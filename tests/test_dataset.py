@@ -1,0 +1,156 @@
+"""TrailDataset round-trip + merge tests (FIXTURES F1 tiny, F5 merge_abc;
+reference what_you_write_you_get_back.c, test_tdbcli.py merge suite)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from traildb_spark import EventFilter, TrailDataset
+from traildb_spark.sources.dump import dump_csv, dump_json, project_fields
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # FIXTURES F1: 3 uuids × 3 events, username constant per trail
+    actions = ["open", "save", "close"]
+    rows = [
+        (f"{i:032x}", i * 10 + j, f"user{i}", actions[j % 3])
+        for i in range(3)
+        for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["uuid", "time", "username", "action"])
+    return TrailDataset.from_dataframe(df)
+
+
+def test_info(tiny):
+    info = tiny.info()
+    assert info.num_trails == 3
+    assert info.num_events == 9
+    assert info.min_timestamp == 0
+    assert info.max_timestamp == 22
+    assert info.fields == ["time", "username", "action"]
+
+
+def test_lexicon(tiny):
+    assert tiny.lexicon_size("action") == 4  # open,save,close + NULL
+    assert tiny.lexicon_size("username") == 4
+    vals = {r["value"] for r in tiny.lexicon("action").collect()}
+    assert vals == {"open", "save", "close"}
+
+
+def test_roundtrip_finalize_open(tiny, spark, tmp_path):
+    # "what you write is what you read" (reference
+    # tests/c-tests/what_you_write_you_get_back.c)
+    path = str(tmp_path / "tiny.tdb")
+    tiny.finalize(path)
+    back = TrailDataset.open(spark, path)
+    a = sorted(map(tuple, tiny.df.collect()))
+    b = sorted(map(tuple, back.df.collect()))
+    assert a == b
+
+
+def test_trail_access(tiny):
+    t = tiny.trail(f"{1:032x}").collect()
+    assert [r["time"] for r in t] == [10, 11, 12]
+    assert all(r["username"] == "user1" for r in t)
+
+
+def test_db_level_filter_view(tiny):
+    view = tiny.with_filter(EventFilter().add_term("action", "open"))
+    assert view.num_events() == 3
+    assert view.num_trails() == 3
+
+
+def test_null_normalization(spark):
+    df = spark.createDataFrame([("U", 1, None), ("U", 2, "x")], ["uuid", "time", "f"])
+    ds = TrailDataset.from_dataframe(df)
+    vals = {r["f"] for r in ds.df.collect()}
+    assert vals == {"", "x"}
+    assert ds.df.filter(F.col("uuid") == "u").count() == 2  # lowercased
+
+
+def test_timestamp_time_col(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [("u", datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc), "x")],
+        ["uuid", "ts", "f"],
+    )
+    ds = TrailDataset.from_dataframe(df, time_col="ts")
+    assert ds.df.first()["time"] == 1704067200
+
+
+# --- merge suite (FIXTURES F5, reference test_tdbcli.py:186-332) ---------
+
+def _mk(spark, cols, rows):
+    from traildb_spark import normalize_events
+    df = spark.createDataFrame(rows, cols)
+    return TrailDataset(normalize_events(df))
+
+
+@pytest.fixture(scope="module")
+def merge_fixtures(spark):
+    A = _mk(spark, ["uuid", "time", "alpha", "number"],
+            [(f"{i:032x}", i + 100, chr(65 + i), str(i)) for i in range(10)])
+    B = _mk(spark, ["uuid", "time", "number", "foobar"],
+            [(f"{i:032x}", i + 100, str(i), str(i + 200)) for i in range(10)])
+    C = _mk(spark, ["uuid", "time", "alpha", "number", "beta"],
+            [(f"{i:032x}", i + 100, chr(65 + i), str(i), str(75 - i)) for i in range(10)])
+    return A, B, C
+
+
+def test_merge_duplicates_preserved(merge_fixtures):
+    A, _, _ = merge_fixtures
+    m = TrailDataset.merge([A, A])
+    assert m.num_events() == 20  # UNION ALL: every event duplicated
+    assert m.df.filter((F.col("uuid") == f"{0:032x}") & (F.col("alpha") == "A")).count() == 2
+
+
+def test_merge_schema_union(merge_fixtures):
+    A, B, _ = merge_fixtures
+    m = TrailDataset.merge([A, B])
+    assert set(m.df.columns) == {"uuid", "time", "alpha", "number", "foobar"}
+    assert m.num_events() == 20
+    # alpha/foobar mutually empty; sum(number)=2*45=90
+    assert m.df.filter((F.col("alpha") == "") & (F.col("foobar") == "")).count() == 0
+    assert m.df.filter(F.col("alpha") == "").count() == 10
+    assert m.df.agg(F.sum(F.col("number").cast("long"))).first()[0] == 90
+
+
+def test_merge_extra_field(merge_fixtures):
+    A, _, C = merge_fixtures
+    m = TrailDataset.merge([A, C])
+    assert set(m.df.columns) == {"uuid", "time", "alpha", "number", "beta"}
+    assert m.df.filter(F.col("beta") == "").count() == 10
+
+
+def test_merge_with_whitelist(merge_fixtures):
+    A, B, _ = merge_fixtures
+    wl = [f"{i:032x}" for i in range(3)]
+    m = TrailDataset.merge([A, B]).select_uuids(wl)
+    assert m.num_events() == 6
+
+
+def test_extract(merge_fixtures):
+    A, _, _ = merge_fixtures
+    ex = A.extract(EventFilter().add_term("number", "3"))
+    assert ex.num_events() == 1
+
+
+# --- dump sinks ----------------------------------------------------------
+
+def test_dump_csv_json(tiny, spark, tmp_path):
+    p1 = str(tmp_path / "out_csv")
+    dump_csv(tiny.df, p1, fields=["uuid", "time", "action"], header=True)
+    back = spark.read.option("header", "true").csv(p1)
+    assert back.count() == 9
+    assert back.columns == ["uuid", "time", "action"]
+
+    p2 = str(tmp_path / "out_json")
+    dump_json(tiny.df, p2, no_empty=True)
+    back2 = spark.read.json(p2)
+    assert back2.count() == 9
+
+
+def test_project_unknown_field_errors(tiny):
+    with pytest.raises(ValueError):
+        project_fields(tiny.df, ["uuid", "nope"])

@@ -1,0 +1,133 @@
+"""CNF filter truth tables — mirrors reference
+tests/c-tests/event_filter_simple.c:51-158 and
+time_range_filter_simple.c:57-148 (counts from FIXTURES.md F2)."""
+
+from pyspark.sql import functions as F
+
+from traildb_spark import EventFilter, parse_filter, uuid_whitelist
+
+
+def n(df, filt):
+    return filt.apply(df).count()
+
+
+def test_single_term(filter_basic):
+    assert n(filter_basic, EventFilter().add_term("a", "foo")) == 3
+
+
+def test_or_within_clause(filter_basic):
+    f = EventFilter().add_term("a", "foo").add_term("b", "sun")
+    assert n(filter_basic, f) == 4
+
+
+def test_empty_value_matches_empty(filter_basic):
+    assert n(filter_basic, EventFilter().add_term("c", "")) == 3
+
+
+def test_empty_value_matches_null(spark):
+    # '' ≡ NULL (reference src/tdb.c:488-524)
+    df = spark.createDataFrame(
+        [("u", 1, None), ("u", 2, ""), ("u", 3, "x")], ["uuid", "time", "a"]
+    )
+    assert n(df, EventFilter().add_term("a", "")) == 2
+    assert n(df, EventFilter().add_term("a", "x", negative=True)) == 2
+
+
+def test_negated(filter_basic):
+    assert n(filter_basic, EventFilter().add_term("a", "foo", negative=True)) == 1
+    assert n(filter_basic, EventFilter().add_term("c", "", negative=True)) == 1
+
+
+def test_neg_or_pos(filter_basic):
+    f = EventFilter().add_term("b", "sun", negative=True).add_term("a", "foo")
+    assert n(filter_basic, f) == 3
+
+
+def test_and_clauses(filter_basic):
+    f = EventFilter().new_clause().add_term("b", "sun").new_clause().add_term("c", "nam")
+    assert n(filter_basic, f) == 1
+    f3 = (
+        EventFilter()
+        .new_clause().add_term("a", "foo")
+        .new_clause().add_term("b", "bar")
+        .new_clause().add_term("c", "")
+    )
+    assert n(filter_basic, f3) == 1
+
+
+def test_empty_clause_matches_nothing(filter_basic):
+    assert n(filter_basic, EventFilter().new_clause()) == 0
+
+
+def test_no_clauses_matches_all(filter_basic):
+    assert n(filter_basic, EventFilter()) == 4
+
+
+def test_unknown_field_item0(filter_basic):
+    # reference src/tdb_decode.c:47-52: positive → 0 rows, negated → all
+    assert n(filter_basic, EventFilter().add_term("nosuch", "x")) == 0
+    assert n(filter_basic, EventFilter().add_term("nosuch", "x", negative=True)) == 4
+
+
+def test_unknown_value(filter_basic):
+    assert n(filter_basic, EventFilter().add_term("a", "zzz")) == 0
+    assert n(filter_basic, EventFilter().add_term("a", "zzz", negative=True)) == 4
+
+
+def test_match_all_none(filter_basic):
+    assert n(filter_basic, EventFilter.all()) == 4
+    assert n(filter_basic, EventFilter.none()) == 0
+
+
+def test_time_ranges(filter_basic):
+    assert n(filter_basic, EventFilter().add_time_range(0, 5)) == 4
+    assert n(filter_basic, EventFilter().add_time_range(0, 4)) == 3
+    assert n(filter_basic, EventFilter().add_time_range(2, 3)) == 1
+    # AND of disjoint ranges → 0
+    f = EventFilter().new_clause().add_time_range(0, 2).new_clause().add_time_range(3, 5)
+    assert n(filter_basic, f) == 0
+    # OR of ranges within one clause
+    f = EventFilter().add_time_range(1, 2).add_time_range(4, 5)
+    assert n(filter_basic, f) == 2
+
+
+def test_time_range_or_item(filter_basic):
+    # range OR item term inside one clause (reference src/tdb.c:861-879)
+    f = EventFilter().add_time_range(4, 5).add_term("a", "foo")
+    assert n(filter_basic, f) == 4
+
+
+def test_parser(filter_basic):
+    assert n(filter_basic, parse_filter("a=foo")) == 3
+    assert n(filter_basic, parse_filter("a=foo b=sun")) == 4
+    assert n(filter_basic, parse_filter("b=sun & c=nam")) == 1
+    assert n(filter_basic, parse_filter("a!=foo")) == 1
+    assert n(filter_basic, parse_filter("c=")) == 3
+    assert n(filter_basic, parse_filter("")) == 4
+    assert n(filter_basic, parse_filter("time:[0,4)")) == 3
+
+
+def test_uuid_whitelist(spark):
+    rows = [(f"{i:032x}", t, str(i)) for i in range(5) for t in (1, 2)]
+    df = spark.createDataFrame(rows, ["uuid", "time", "v"])
+    wl = [f"{1:032x}", f"{3:032x}"]
+    got = uuid_whitelist(df, wl)
+    assert got.count() == 4
+    assert set(r["v"] for r in got.collect()) == {"1", "3"}
+
+
+def test_trail_filter_overrides(spark):
+    from traildb_spark import trail_filter_overrides
+
+    rows = [(f"{i:032x}", t, "x" if t == 1 else "y") for i in range(3) for t in (1, 2)]
+    df = spark.createDataFrame(rows, ["uuid", "time", "v"])
+    u0 = f"{0:032x}"
+    # db filter: v=x; override for trail 0: match-all
+    got = trail_filter_overrides(
+        df, EventFilter().add_term("v", "x"), {u0: EventFilter.all()}
+    )
+    assert got.count() == 4  # 2 events of trail 0 + 1 'x' event each of trails 1,2
+    # blacklist: override trail 0 to match-none, db match-all
+    got2 = trail_filter_overrides(df, EventFilter.all(), {u0: EventFilter.none()})
+    assert got2.count() == 4
+    assert all(r["uuid"] != u0 for r in got2.collect())

@@ -1,0 +1,226 @@
+"""TrailDataset — the engine's core abstraction.
+
+Maps the reference's data model (SURVEY §1) onto an idiomatic Spark layout:
+
+* a *traildb* (immutable file/dir, reference `src/tdb.c:298-393`) → an
+  immutable Parquet dataset directory;
+* a *trail* (uuid-keyed, time-ordered event series,
+  `doc/docs/technical_overview.md:8-17`) → the group ``uuid`` with rows
+  sorted by ``time`` within Parquet row groups;
+* *fields* are string columns; empty string ≡ NULL (`src/tdb.c:488-524`).
+
+The write layout IS our index (reference §2.8): ``finalize`` hash-clusters
+by uuid and sorts by (uuid, time) within files, so Parquet min/max stats
+prune both uuid point-lookups (reference O(log N) binary search,
+`src/tdb.c:552-589`) and time-range scans, and every per-trail window
+computation shuffles on a key the layout already clusters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.filters import EventFilter, uuid_whitelist
+
+UUID_COL = "uuid"
+TIME_COL = "time"
+RESERVED = (UUID_COL, TIME_COL)
+
+
+def normalize_events(
+    df: DataFrame,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Normalize an arbitrary DataFrame to the canonical event schema:
+    ``uuid STRING (lowercase hex ok), time LONG, <field> STRING...`` with
+    NULL→'' (the reference's single NULL value, `src/tdb.c:488-524`).
+
+    ``time`` accepts integer or timestamp input; timestamps become Unix
+    seconds (the reference stores uint64 "usually Unix time",
+    `doc/docs/api.md:53`).
+    """
+    cols = [c for c in df.columns if c not in (uuid_col, time_col)]
+    if fields is not None:
+        cols = [c for c in cols if c in fields]
+    t = F.col(time_col)
+    dtype = dict(df.dtypes)[time_col]
+    if dtype.startswith("timestamp"):
+        t = F.unix_timestamp(t)
+    out = [
+        F.lower(F.col(uuid_col).cast("string")).alias(UUID_COL),
+        t.cast("long").alias(TIME_COL),
+    ]
+    out += [F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c) for c in cols]
+    return df.select(*out)
+
+
+@dataclass
+class TrailInfo:
+    """The reference's ``info`` metadata block (`src/tdb.c:677-700`)."""
+
+    num_trails: int
+    num_events: int
+    min_timestamp: int
+    max_timestamp: int
+    fields: list[str]
+
+
+class TrailDataset:
+    """DataFrame-in / DataFrame-out wrapper; everything stays lazy."""
+
+    def __init__(self, df: DataFrame, db_filter: EventFilter | None = None):
+        self._raw = df
+        self._filter = db_filter
+
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "TrailDataset":
+        """Reference ``tdb_open`` (`src/tdb.c:298-393`) → lazy Parquet scan."""
+        return cls(spark.read.parquet(path))
+
+    @classmethod
+    def from_dataframe(
+        cls, df: DataFrame, uuid_col: str = UUID_COL, time_col: str = TIME_COL
+    ) -> "TrailDataset":
+        return cls(normalize_events(df, uuid_col, time_col))
+
+    # -- views (reference TDB_OPT_EVENT_FILTER, src/tdb.c:707-732) ---------
+    def with_filter(self, f: EventFilter | None) -> "TrailDataset":
+        return TrailDataset(self._raw, f)
+
+    @property
+    def df(self) -> DataFrame:
+        if self._filter is not None:
+            return self._filter.apply(self._raw, time_col=TIME_COL)
+        return self._raw
+
+    @property
+    def fields(self) -> list[str]:
+        """Schema field list incl. implicit time at position 0
+        (reference `src/tdb.c:142-227`, time is field 0)."""
+        return [TIME_COL] + [c for c in self._raw.columns if c not in RESERVED]
+
+    # -- metadata (reference src/tdb.c:677-700, computed at encode) --------
+    def info(self) -> TrailInfo:
+        row = self.df.agg(
+            F.countDistinct(UUID_COL).alias("nt"),
+            F.count(F.lit(1)).alias("ne"),
+            F.min(TIME_COL).alias("mn"),
+            F.max(TIME_COL).alias("mx"),
+        ).first()
+        return TrailInfo(
+            num_trails=row["nt"] or 0,
+            num_events=row["ne"] or 0,
+            min_timestamp=row["mn"] or 0,
+            max_timestamp=row["mx"] or 0,
+            fields=self.fields,
+        )
+
+    def num_trails(self) -> int:
+        return self.df.select(UUID_COL).distinct().count()
+
+    def num_events(self) -> int:
+        return self.df.count()
+
+    def lexicon_size(self, field: str, exact: bool = True) -> int:
+        """Distinct values of a field, +1 for the implicit NULL
+        (reference `src/tdb.c:455-465`). At 100 TB pass exact=False for
+        HLL ``approx_count_distinct`` (2% default error, no giant shuffle).
+        """
+        col = F.coalesce(F.col(field).cast("string"), F.lit(""))
+        agg = (
+            F.countDistinct(F.nullif(col, F.lit("")))
+            if exact
+            else F.approx_count_distinct(F.nullif(col, F.lit("")))
+        )
+        n = self.df.agg(agg.alias("n")).first()["n"]
+        return int(n) + 1
+
+    def lexicon(self, field: str) -> DataFrame:
+        """The field's distinct non-empty values (reference lexicon,
+        `src/tdb.c:106-140`), as a DataFrame — never collected."""
+        col = F.coalesce(F.col(field).cast("string"), F.lit("")).alias("value")
+        return self.df.select(col).where(F.col("value") != "").distinct()
+
+    # -- selection ---------------------------------------------------------
+    def select_uuids(self, uuids: list[str] | DataFrame) -> "TrailDataset":
+        """Reference ``--uuids`` whitelist (`tdbcli/filter.c:142-243`)."""
+        return TrailDataset(uuid_whitelist(self._raw, uuids, UUID_COL), self._filter)
+
+    def trail(self, uuid: str) -> DataFrame:
+        """One trail, time-ascending (reference ``tdb_get_trail`` +
+        cursor loop, `src/tdb_decode.c:122-217`). Parquet min/max on the
+        uuid-clustered layout prunes to O(few row groups)."""
+        return self.df.filter(F.col(UUID_COL) == uuid.lower()).orderBy(TIME_COL)
+
+    # -- merge (reference tdb_cons_append / tdb merge, SURVEY §2.4) --------
+    @staticmethod
+    def merge(datasets: list["TrailDataset"]) -> "TrailDataset":
+        """UNION ALL with schema union; missing fields become ''
+        (reference `tdbcli/op_merge.c:21-186`: union of field names, empty
+        values for missing; duplicates preserved —
+        `tests/tdbcli/test_tdbcli.py:248-259`)."""
+        dfs = [d.df for d in datasets]
+        merged = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+        value_cols = [c for c in merged.columns if c not in RESERVED]
+        merged = merged.fillna("", subset=value_cols)
+        return TrailDataset(merged)
+
+    def append(self, other: "TrailDataset") -> "TrailDataset":
+        """Reference ``tdb_cons_append`` (`src/tdb_cons.c:574-657`)."""
+        return TrailDataset.merge([self, other])
+
+    def extract(self, f: EventFilter) -> "TrailDataset":
+        """Materialized-view path (reference filtered append,
+        `src/tdb_cons.c:418-481`, technical_overview.md:198-217)."""
+        return TrailDataset(f.apply(self._raw, time_col=TIME_COL))
+
+    # -- finalize (reference tdb_cons_finalize 7-stage encode, §2.1 S11) ---
+    def finalize(
+        self,
+        path: str,
+        num_buckets: int | None = None,
+        time_shard: str | None = None,
+        mode: str = "error",
+    ) -> None:
+        """Write the immutable, query-optimized snapshot.
+
+        Reference pipeline (group by uuid → time-sort → compress,
+        `src/tdb_encode.c:399-569`) becomes: shuffle-cluster by uuid,
+        sort (uuid, time) within partitions, write Parquet (dictionary +
+        RLE + compression replace the custom Huffman stages — SURVEY §4
+        non-goals). The sorted clustered layout gives Parquet row-group
+        min/max pruning the same effect as the reference's inverted index
+        and uuid binary search.
+
+        ``time_shard``: optional 'yyyy-MM-dd'-style partition column formula
+        replicating the reference's "daily tdb" deployment pattern
+        (`doc/docs/index.md:43-45`) — enables partition pruning on time.
+        """
+        df = self.df
+        writer_df = df
+        n = num_buckets or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        if time_shard:
+            writer_df = df.withColumn(
+                "__shard", F.date_format(F.timestamp_seconds(F.col(TIME_COL)), time_shard)
+            )
+            (
+                writer_df.repartition(n, F.col("__shard"), F.col(UUID_COL))
+                .sortWithinPartitions("__shard", UUID_COL, TIME_COL)
+                .write.mode(mode)
+                .partitionBy("__shard")
+                .parquet(path)
+            )
+        else:
+            (
+                writer_df.repartition(n, F.col(UUID_COL))
+                .sortWithinPartitions(UUID_COL, TIME_COL)
+                .write.mode(mode)
+                .parquet(path)
+            )

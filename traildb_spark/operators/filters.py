@@ -1,0 +1,253 @@
+"""CNF event-filter engine.
+
+Re-expresses the reference's query surface (reference `src/tdb.c:803-899`
+filter builder, `src/tdb_decode.c:15-61` evaluator, `tdbcli/filter.c:61-140`
+string parser) as a compiler from a filter spec to ONE Catalyst `Column`.
+Because the output is a plain Column, Catalyst pushes the predicate into the
+Parquet scan (dictionary/min-max/row-group pruning) — the Spark-native
+equivalent of the reference's page-level inverted index
+(`tdbcli/tdb_index.c:559-631`), with exact re-check for free.
+
+Semantics preserved from the reference:
+
+* CNF: clauses are ANDed; terms inside a clause are ORed
+  (`src/tdb_decode.c:15-61`).
+* empty string ≡ NULL — one value (`src/tdb.c:488-495,513-524`). Every
+  comparison goes through ``coalesce(col, '')`` so Spark's three-valued
+  logic can never drop a row the reference would keep.
+* negated terms use two-valued logic: ``f != v`` matches rows where f is
+  NULL/empty (the reference compares dictionary ids, which always exist).
+* unknown field or unknown value → item 0: a positive term matches nothing,
+  a negated term matches everything (`src/tdb_decode.c:47-52`,
+  `tests/c-tests/event_filter_simple.c:138-149`). We can only detect
+  unknown *fields* statically (schema); unknown *values* fall out naturally
+  (equality with a value not present matches nothing).
+* time-range terms are start-inclusive, end-exclusive and OR with item
+  terms inside a clause (`src/tdb.c:861-879`, `src/tdb_decode.c:33-38`).
+* match-all / match-none short-circuit (`src/tdb.c:818-832`) — compiled to
+  literal True/False, which Catalyst constant-folds (filter elimination /
+  empty relation).
+* a filter with zero clauses matches everything; a clause with zero terms
+  matches nothing (`tests/c-tests/event_filter_simple.c:98-110`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TIME_COL = "time"
+
+
+@dataclass(frozen=True)
+class Term:
+    """field=value or field!=value (value '' matches NULL too)."""
+
+    field: str
+    value: str
+    negative: bool = False
+
+
+@dataclass(frozen=True)
+class TimeRange:
+    """start <= time < end (end-exclusive, reference src/tdb.c:861-879)."""
+
+    start: int
+    end: int
+
+
+ClauseTerm = Union[Term, TimeRange]
+
+
+@dataclass
+class EventFilter:
+    """A CNF filter: AND of clauses, each clause an OR of terms.
+
+    Mirrors the reference builder API
+    (``tdb_event_filter_new/new_clause/add_term/add_time_range``,
+    `src/tdb.c:803-899`) but keeps the spec as plain data so it is
+    introspectable (reference `src/tdb.c:901-1044`) and serializable.
+    """
+
+    clauses: list[list[ClauseTerm]] = dc_field(default_factory=list)
+    match_all: bool = False
+    match_none: bool = False
+
+    # -- builder API -------------------------------------------------------
+    @classmethod
+    def all(cls) -> "EventFilter":
+        return cls(match_all=True)
+
+    @classmethod
+    def none(cls) -> "EventFilter":
+        return cls(match_none=True)
+
+    def new_clause(self) -> "EventFilter":
+        self.clauses.append([])
+        return self
+
+    def _ensure_clause(self) -> list[ClauseTerm]:
+        if not self.clauses:
+            self.clauses.append([])
+        return self.clauses[-1]
+
+    def add_term(self, field: str, value: str, negative: bool = False) -> "EventFilter":
+        self._ensure_clause().append(Term(field, value, negative))
+        return self
+
+    def add_time_range(self, start: int, end: int) -> "EventFilter":
+        self._ensure_clause().append(TimeRange(int(start), int(end)))
+        return self
+
+    # -- introspection (reference src/tdb.c:901-1044) ----------------------
+    def num_clauses(self) -> int:
+        return len(self.clauses)
+
+    def num_terms(self, clause: int) -> int:
+        return len(self.clauses[clause])
+
+    def get_term(self, clause: int, term: int) -> ClauseTerm:
+        return self.clauses[clause][term]
+
+    # -- compiler ----------------------------------------------------------
+    def compile(
+        self,
+        schema_fields: list[str] | None = None,
+        time_col: str = TIME_COL,
+    ) -> Column:
+        """Compile to a single Catalyst Column (the whole point).
+
+        ``schema_fields``: known field names; terms referencing unknown
+        fields get the reference's item-0 semantics. Pass None to skip the
+        check (all fields assumed known).
+        """
+        if self.match_none:
+            return F.lit(False)
+        if self.match_all or not self.clauses:
+            return F.lit(True)
+
+        clause_cols: list[Column] = []
+        for clause in self.clauses:
+            if not clause:
+                # empty clause matches nothing → whole filter matches nothing
+                clause_cols.append(F.lit(False))
+                continue
+            term_cols: list[Column] = []
+            for t in clause:
+                if isinstance(t, TimeRange):
+                    c = (F.col(time_col) >= F.lit(t.start)) & (F.col(time_col) < F.lit(t.end))
+                else:
+                    known = schema_fields is None or t.field in schema_fields
+                    if not known:
+                        # item 0: positive matches nothing, negative everything
+                        c = F.lit(bool(t.negative))
+                    else:
+                        v = F.coalesce(F.col(t.field).cast("string"), F.lit(""))
+                        c = (v != F.lit(t.value)) if t.negative else (v == F.lit(t.value))
+                term_cols.append(c)
+            acc = term_cols[0]
+            for c in term_cols[1:]:
+                acc = acc | c
+            clause_cols.append(acc)
+        out = clause_cols[0]
+        for c in clause_cols[1:]:
+            out = out & c
+        return out
+
+    def apply(self, df: DataFrame, time_col: str = TIME_COL) -> DataFrame:
+        return df.filter(self.compile(df.columns, time_col=time_col))
+
+
+def parse_filter(text: str) -> EventFilter:
+    """Parse the reference CLI filter language → EventFilter.
+
+    Grammar (reference `tdbcli/filter.c:61-140`): terms separated by
+    whitespace OR within a clause; ``&`` separates clauses (AND);
+    ``field=value`` / ``field!=value``; ``field=`` matches empty/NULL;
+    a value of ``@path`` reads the value from a file.
+    Extension: ``time>=S<E`` is not in the reference CLI (time ranges are
+    API-only there); we accept ``time:[S,E)`` as a term for completeness.
+    """
+    f = EventFilter()
+    text = text.strip()
+    if not text:
+        return EventFilter.all()
+    for raw_clause in text.split("&"):
+        f.new_clause()
+        for tok in raw_clause.split():
+            if tok.startswith("time:[") and tok.endswith(")"):
+                body = tok[len("time:[") : -1]
+                start_s, end_s = body.split(",")
+                f.add_time_range(int(start_s), int(end_s))
+                continue
+            if "!=" in tok:
+                fld, val = tok.split("!=", 1)
+                neg = True
+            elif "=" in tok:
+                fld, val = tok.split("=", 1)
+                neg = False
+            else:
+                raise ValueError(f"bad filter term: {tok!r}")
+            if val.startswith("@"):
+                with open(val[1:], "r", encoding="utf-8") as fh:
+                    val = fh.read().rstrip("\n")
+            f.add_term(fld, val, negative=neg)
+    return f
+
+
+def uuid_whitelist(df: DataFrame, uuids: list[str] | DataFrame, uuid_col: str = "uuid") -> DataFrame:
+    """Restrict to trails in the whitelist (reference ``--uuids``,
+    `tdbcli/filter.c:142-243`: match-none db filter + match-all overrides).
+
+    Spark-native: a broadcast left-semi join — Catalyst broadcasts the
+    (small) uuid list so no shuffle of the big side; for a big whitelist
+    AQE falls back to shuffle semi-join.
+    """
+    if isinstance(uuids, DataFrame):
+        wl = uuids.select(F.col(uuids.columns[0]).alias(uuid_col)).distinct()
+    else:
+        spark = df.sparkSession
+        wl = spark.createDataFrame([(u,) for u in uuids], [uuid_col]).distinct()
+    return df.join(F.broadcast(wl), uuid_col, "left_semi")
+
+
+def trail_filter_overrides(
+    df: DataFrame,
+    db_filter: EventFilter | None,
+    overrides: dict[str, EventFilter],
+    uuid_col: str = "uuid",
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """Per-trail filter overrides (reference ``tdb_set_trail_opt``,
+    `src/tdb.c:753-778`; resolution order trail > db,
+    `src/tdb_decode.c:136-181`).
+
+    Implemented as a CASE over the uuid: each distinct override filter
+    becomes one WHEN branch guarded by ``uuid IN (...)``; trails without an
+    override use the db filter. Branch predicates stay pure Column
+    expressions, so pushdown still applies per-branch. For very large
+    override maps, group uuids by identical filter first (done here) — the
+    documented uses (whitelist/blacklist, technical_overview.md:163-196)
+    produce only 1-2 distinct filters.
+    """
+    fields = df.columns
+    base = db_filter.compile(fields, time_col) if db_filter is not None else F.lit(True)
+    if not overrides:
+        return df.filter(base)
+    # group uuids by identical filter spec to minimize branches
+    by_spec: dict[str, tuple[EventFilter, list[str]]] = {}
+    for u, filt in overrides.items():
+        key = repr(filt)
+        by_spec.setdefault(key, (filt, []))[1].append(u)
+    expr = None
+    covered = None
+    for filt, uuids in by_spec.values():
+        cond = F.col(uuid_col).isin(uuids)
+        branch = cond & filt.compile(fields, time_col)
+        expr = branch if expr is None else (expr | branch)
+        covered = cond if covered is None else (covered | cond)
+    expr = expr | (~covered & base)
+    return df.filter(expr)

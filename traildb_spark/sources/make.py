@@ -1,0 +1,101 @@
+"""Ingest: the reference CLI's ``tdb make`` re-expressed as Spark readers.
+
+Reference surface (SURVEY §2.1 S5-S7): CSV with custom delimiter, header
+row or positional ``--fields`` spec with column-index mapping
+(``2:uuid,5:time``) (`tdbcli/op_make.c:166-236`, field spec `:91-117`);
+newline-delimited JSON with required ``uuid``/``time`` keys and nulls
+ignored (`tdbcli/op_make.c:262-372`); ``--skip-bad-input`` tolerance
+(`tdbcli/op_make.c:153-163`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dataset import TrailDataset, normalize_events
+
+
+def parse_field_spec(spec: list[str]) -> list[tuple[int | None, str]]:
+    """``["uuid", "time", "2:action"]`` → [(None,'uuid'), (None,'time'),
+    (2,'action')]; an explicit index pins the source column position
+    (reference `tdbcli/op_make.c:91-117`, 1-based in the CLI)."""
+    out: list[tuple[int | None, str]] = []
+    for s in spec:
+        if ":" in s:
+            idx, name = s.split(":", 1)
+            out.append((int(idx), name))
+        else:
+            out.append((None, s))
+    return out
+
+
+def make_from_csv(
+    spark: SparkSession,
+    path: str,
+    fields: list[str] | None = None,
+    delimiter: str = ",",
+    header: bool = False,
+    skip_bad_input: bool = True,
+    uuid_col: str = "uuid",
+    time_col: str = "time",
+) -> TrailDataset:
+    """Reference ``tdb make --csv`` (`tdbcli/op_make.c:166-236`).
+
+    ``fields``: positional field spec when the file has no header; entries
+    may carry a 1-based source index (``"3:uuid"``). ``skip_bad_input`` →
+    DROPMALFORMED (reference `--skip-bad-input`), else FAILFAST.
+    """
+    mode = "DROPMALFORMED" if skip_bad_input else "FAILFAST"
+    reader = (
+        spark.read.option("delimiter", delimiter)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+    )
+    df = reader.csv(path)
+    if not header:
+        if not fields:
+            raise ValueError("headerless CSV requires a --fields spec")
+        spec = parse_field_spec(fields)
+        sel = []
+        for pos, (idx, name) in enumerate(spec):
+            src = f"_c{(idx - 1) if idx is not None else pos}"
+            sel.append(F.col(src).alias(name))
+        df = df.select(*sel)
+    elif fields:
+        # header present: spec subsets/renames by name or index
+        spec = parse_field_spec(fields)
+        sel = []
+        for idx, name in spec:
+            src = df.columns[idx - 1] if idx is not None else name
+            sel.append(F.col(src).alias(name))
+        df = df.select(*sel)
+    return TrailDataset(normalize_events(df, uuid_col, time_col))
+
+
+def make_from_json(
+    spark: SparkSession,
+    path: str,
+    fields: list[str] | None = None,
+    skip_bad_input: bool = True,
+    uuid_col: str = "uuid",
+    time_col: str = "time",
+) -> TrailDataset:
+    """Reference ``tdb make --json`` (`tdbcli/op_make.c:262-372`):
+    newline-delimited objects; ``uuid`` and ``time`` keys required; null
+    values ignored (→ '' after normalization)."""
+    mode = "DROPMALFORMED" if skip_bad_input else "FAILFAST"
+    df = spark.read.option("mode", mode).json(path)
+    if uuid_col not in df.columns or time_col not in df.columns:
+        raise ValueError(f"JSON input must carry '{uuid_col}' and '{time_col}' keys")
+    if fields:
+        keep = [uuid_col, time_col] + [f for f in fields if f in df.columns]
+        df = df.select(*[c for c in df.columns if c in keep])
+    return TrailDataset(normalize_events(df, uuid_col, time_col))
+
+
+def make_from_dataframe(df: DataFrame, uuid_col: str = "uuid", time_col: str = "time") -> TrailDataset:
+    """Programmatic constructor (reference ``tdb_cons_add`` row sink,
+    `src/tdb_cons.c:356-411` — in Spark the rows already exist as a
+    DataFrame; finalize() is the encode step)."""
+    return TrailDataset(normalize_events(df, uuid_col, time_col))
