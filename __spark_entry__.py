@@ -1,38 +1,672 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator from SURVEY.md §2 that is implemented appears here as a
+``queries()`` entry with (where SQL-expressible) a matching ``oracle_sql()``
+DuckDB query. Column names are aliased identically on both sides; float
+results are rounded identically; event timestamps are compared as Unix
+SECONDS (the parquet carries TIMESTAMP(NANOS): Spark reads it as LONG nanos
+under ``spark.sql.legacy.parquet.nanosAsLong``, DuckDB as TIMESTAMP_NS —
+``ts div 1e9`` vs ``epoch_ns(ts)//1e9``).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from traildb_spark import EventFilter, TrailDataset
+from traildb_spark.functions import vectorized
+from traildb_spark.operators import dedup, similarity, text, trails
+from traildb_spark.streaming.sessions import streaming_session_counts
+
+# --------------------------------------------------------------------------
+# loaders
+# --------------------------------------------------------------------------
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table → canonical trail schema: uuid STRING, time LONG
+    (Unix seconds), event_id LONG, event_type STRING, value DOUBLE,
+    props STRING."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = _load(spark, sf_dir, "events")
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        t = F.expr("ts div 1000000000")
+    else:
+        t = F.unix_timestamp(F.col("ts"))
+    return df.select(
+        F.col("user_id").cast("string").alias("uuid"),
+        t.cast("long").alias("time"),
+        F.col("event_id"),
+        F.coalesce(F.col("event_type"), F.lit("")).alias("event_type"),
+        F.col("value"),
+        F.coalesce(F.col("props"), F.lit("")).alias("props"),
+    )
+
+
+# DuckDB-side canonical events CTE (matches _events exactly)
+_E = (
+    "SELECT CAST(user_id AS VARCHAR) AS uuid, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS \"time\", "
+    "event_id, COALESCE(event_type, '') AS event_type, "
+    "value, COALESCE(props, '') AS props FROM events"
+)
+
+# sequential-fold cosine in DuckDB mirroring Spark's zip_with+aggregate
+# (both cast float→double first, then left-to-right summation → identical
+# IEEE doubles, so round() agrees bit-for-bit)
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, [CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in generate_series(1, len({a}))]), (x, y) -> x + y)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, [CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) "
+        f"for i in generate_series(1, len({a}))]), (x, y) -> x + y))"
+    )
+
+
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS = f"list_filter(string_split({_NORM_TEXT}, ' '), t -> t <> '')"
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+TIME_LO, TIME_HI = 1704500000, 1705500000  # mid-January 2024 window
+
+
+# --------------------------------------------------------------------------
+# reference-parity queries (SURVEY §2) on the events trail table
+# --------------------------------------------------------------------------
+
+def q01_cnf_filter_dump(spark, sf_dir):
+    """P2-P8+P1: CNF filter (clause OR, clause AND, time-range term)
+    compiled to one Column, then projection (tdb dump --filter)."""
+    ev = _events(spark, sf_dir)
+    f = (
+        EventFilter()
+        .new_clause()
+        .add_term("event_type", "click")
+        .add_term("event_type", "view")
+        .new_clause()
+        .add_time_range(TIME_LO, TIME_HI)
+    )
+    ds = TrailDataset(ev.select("uuid", "time", "event_type", "props"), db_filter=f)
+    return ds.df.select("uuid", "time", "event_type")
+
+
+def q02_negation_empty(spark, sf_dir):
+    """P4+P6: negated term and empty-value semantics ('' ≡ NULL)."""
+    ev = _events(spark, sf_dir)
+    f = (
+        EventFilter()
+        .new_clause().add_term("event_type", "purchase", negative=True)
+        .new_clause().add_term("props", "", negative=True)
+    )
+    return f.apply(ev).select("uuid", "time", "event_id", "event_type")
+
+
+def q03_trail_lengths(spark, sf_dir):
+    """C4/A3: per-trail event counts + time bounds."""
+    ev = _events(spark, sf_dir)
+    return (
+        trails.trail_lengths(ev)
+        .join(
+            ev.groupBy("uuid").agg(
+                F.min("time").alias("first_time"), F.max("time").alias("last_time")
+            ),
+            "uuid",
+        )
+        .select("uuid", "trail_length", "first_time", "last_time")
+    )
+
+
+def q04_info(spark, sf_dir):
+    """A1: dataset-level info aggregates (tdb_num_trails etc.)."""
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.countDistinct("uuid").alias("num_trails"),
+        F.count(F.lit(1)).alias("num_events"),
+        F.min("time").alias("min_timestamp"),
+        F.max("time").alias("max_timestamp"),
+    )
+
+
+def q05_lexicon_sizes(spark, sf_dir):
+    """A2: per-field distinct-value counts (+1 implicit NULL)."""
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        (F.countDistinct(F.nullif(F.col("event_type"), F.lit(""))) + 1).alias("lex_event_type"),
+        (F.countDistinct(F.nullif(F.col("props"), F.lit(""))) + 1).alias("lex_props"),
+    )
+
+
+def q06_sessions(spark, sf_dir):
+    """A4: sessionization (30-min gap rule) per trail."""
+    ev = _events(spark, sf_dir).select("uuid", "time")
+    return trails.session_stats(ev, gap=1800)
+
+
+def q07_only_diff(spark, sf_dir):
+    """C7: only-diff (edge) decode of event_type with event_id tiebreak."""
+    ev = _events(spark, sf_dir).select("uuid", "time", "event_id", "event_type")
+    return trails.only_diff_items(
+        ev, fields=["event_type"], tiebreak=["event_id"]
+    )
+
+
+def q08_merge_schema_union(spark, sf_dir):
+    """J5/J6: merge datasets with mismatched schemas → union of fields,
+    missing values empty."""
+    ev = _events(spark, sf_dir)
+    a = TrailDataset(ev.filter(F.col("event_id") % 2 == 0).select("uuid", "time", "event_type"))
+    b = TrailDataset(ev.filter(F.col("event_id") % 2 == 1).select("uuid", "time", "props"))
+    return TrailDataset.merge([a, b]).df
+
+
+def q09_uuid_whitelist(spark, sf_dir):
+    """P12: --uuids trail whitelist via broadcast semi-join."""
+    ev = _events(spark, sf_dir)
+    ds = TrailDataset(ev.select("uuid", "time", "event_id", "event_type"))
+    return ds.select_uuids(["1", "3", "5", "7"]).df
+
+
+def q10_multi_cursor(spark, sf_dir):
+    """J1/J7: k-way timestamp-ordered merge of time-sharded datasets with
+    per-trail positions."""
+    ev = _events(spark, sf_dir).select("uuid", "time", "event_id", "event_type")
+    mid = (TIME_LO + TIME_HI) // 2
+    shard1 = ev.filter(F.col("time") < mid)
+    shard2 = ev.filter(F.col("time") >= mid)
+    return trails.merged_trail_stream([shard1, shard2])
+
+
+def q11_trail_ids(spark, sf_dir):
+    """C5/C6: uuid → dense trail_id in uuid sort order."""
+    ev = _events(spark, sf_dir)
+    return trails.trail_ids(ev)
+
+
+def q12_edge_semantics(spark, sf_dir):
+    """P5: unknown-field item-0 semantics — positive matches nothing,
+    negated matches everything; empty-value match on a never-empty field."""
+    ev = _events(spark, sf_dir)
+    fields = ev.columns
+    pos = EventFilter().add_term("no_such_field", "x").compile(fields)
+    neg = EventFilter().add_term("no_such_field", "x", negative=True).compile(fields)
+    empty = EventFilter().add_term("event_type", "").compile(fields)
+    return ev.agg(
+        F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("n_unknown_pos"),
+        F.sum(F.when(neg, 1).otherwise(0)).cast("long").alias("n_unknown_neg"),
+        F.sum(F.when(empty, 1).otherwise(0)).cast("long").alias("n_empty_match"),
+    )
+
+
+def q13_session_windows(spark, sf_dir):
+    """Streaming-analog session windows (F.session_window) evaluated in
+    batch — stream/batch parity for the A4 idiom."""
+    ev = _events(spark, sf_dir).select(
+        "uuid", F.timestamp_seconds(F.col("time")).alias("event_time")
+    )
+    out = streaming_session_counts(ev, gap_seconds=1800, watermark="0 seconds")
+    return out.select(
+        "uuid",
+        F.unix_timestamp("window_start").alias("session_start"),
+        F.unix_timestamp("window_end").alias("session_end"),
+        "num_events",
+    )
+
+
+# --------------------------------------------------------------------------
+# relational surface (Spark-native beyond reference: joins/aggs/windows)
+# --------------------------------------------------------------------------
+
+def q20_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped scan+agg on lineitem (grouped agg engine the
+    reference lacks, SURVEY §2.5 '—' row)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q21_revenue_by_nation(spark, sf_dir):
+    """Star-schema join: lineitem⋈orders⋈customer⋈nation⋈region with
+    broadcast dims, revenue per nation."""
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q22_top_customers(spark, sf_dir):
+    """Window ranking + LIMIT (reference lacks both, SURVEY §2.6)."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    totals = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return (
+        totals.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select(
+            F.col("o_custkey").alias("custkey"), "c_name", "total_spend", "n_orders", "rnk"
+        )
+    )
+
+
+def q23_props_extract(spark, sf_dir):
+    """Scalar-function surface: regexp extraction from the JSON-ish props
+    column, aggregated per event_type."""
+    ev = _events(spark, sf_dir)
+    k = F.regexp_extract(F.col("props"), "[0-9]+", 0).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("value")), 4).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# north-star: dedup / text / similarity on documents + embeddings
+# --------------------------------------------------------------------------
+
+def q30_fingerprints(spark, sf_dir):
+    """Document fingerprinting + token counting (exact md5 parity with the
+    SQL oracle)."""
+    docs = _load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.fingerprint(c).alias("fingerprint"),
+        text.token_count(c).cast("long").alias("n_tokens"),
+        text.bpe_token_count(c).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q31_quality(spark, sf_dir):
+    """Quality scoring (length/punct/alpha heuristics)."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+def q32_langid(spark, sf_dir):
+    """Language-ID (stopword-overlap heuristic), counted per language."""
+    docs = _load(spark, sf_dir, "documents")
+    out = docs.select(text.detect_language(F.col("text")).alias("lang_detected"))
+    return out.groupBy("lang_detected").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q33_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: per-doc group size (group_size>1 ⇒
+    duplicate)."""
+    docs = _load(spark, sf_dir, "documents")
+    h = dedup.normalize_text(F.col("text"))
+    w = Window.partitionBy(F.md5(h))
+    return docs.select(
+        "doc_id",
+        F.md5(h).alias("content_hash"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
+def q34_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8) via prefix
+    filtering — no O(n²) cross join."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+
+
+def q35_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, verified at char-shingle Jaccard ≥0.5.
+    (No SQL oracle: Spark murmur3 hash has no DuckDB equivalent — the
+    verified output is checked by q34's exact pairs being a subset; driver
+    records rows-only.)"""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def q36_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3). Rows-only check (xxhash64 not
+    reproducible in DuckDB)."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+def q37_emb_neardup(spark, sf_dir):
+    """Embedding near-dup pairs cos ≥ 0.4, exact (brute-force oracle
+    parity; the LSH variant is q38)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return vectorized.pairwise_cosine_pairs(emb, threshold=0.4)
+
+
+def q38_emb_neardup_lsh(spark, sf_dir):
+    """Sign-LSH-bucketed embedding near-dup (the 100 TB scale path).
+    Rows-only check (approximate candidate set)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(
+        emb, threshold=0.4, num_planes=16, bands=4
+    )
+
+
+def q39_sim_topk(spark, sf_dir):
+    """Brute-force cosine top-k (k=5) for 5 query vectors."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def q40_sim_topk_lsh(spark, sf_dir):
+    """LSH-bucketed ANN top-k (scale path). Rows-only (approximate)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries, k=5, num_planes=8, max_hamming=4)
+
+
+# --------------------------------------------------------------------------
+# contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CNF filter + projection on sf0.001 (reference §3.1 dump
+    lifecycle)."""
+    return q01_cnf_filter_dump(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_cnf_filter_dump": q01_cnf_filter_dump,
+        "q02_negation_empty": q02_negation_empty,
+        "q03_trail_lengths": q03_trail_lengths,
+        "q04_info": q04_info,
+        "q05_lexicon_sizes": q05_lexicon_sizes,
+        "q06_sessions": q06_sessions,
+        "q07_only_diff": q07_only_diff,
+        "q08_merge_schema_union": q08_merge_schema_union,
+        "q09_uuid_whitelist": q09_uuid_whitelist,
+        "q10_multi_cursor": q10_multi_cursor,
+        "q11_trail_ids": q11_trail_ids,
+        "q12_edge_semantics": q12_edge_semantics,
+        "q13_session_windows": q13_session_windows,
+        "q20_pricing_summary": q20_pricing_summary,
+        "q21_revenue_by_nation": q21_revenue_by_nation,
+        "q22_top_customers": q22_top_customers,
+        "q23_props_extract": q23_props_extract,
+        "q30_fingerprints": q30_fingerprints,
+        "q31_quality": q31_quality,
+        "q32_langid": q32_langid,
+        "q33_dedup_exact": q33_dedup_exact,
+        "q34_ngram_jaccard": q34_ngram_jaccard,
+        "q35_minhash_lsh": q35_minhash_lsh,
+        "q36_simhash": q36_simhash,
+        "q37_emb_neardup": q37_emb_neardup,
+        "q38_emb_neardup_lsh": q38_emb_neardup_lsh,
+        "q39_sim_topk": q39_sim_topk,
+        "q40_sim_topk_lsh": q40_sim_topk_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langs = {
+        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+        "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+        "es": ["el", "la", "los", "y", "es", "un", "una", "por", "para", "con"],
+        "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    }
+    def hits(lang):
+        lst = ", ".join(f"'{w}'" for w in langs[lang])
+        return f"len(list_filter({_TOKENS}, t -> list_contains([{lst}], t)))"
+
+    lang_case = (
+        "CASE "
+        f"WHEN {hits('de')} > 0 AND {hits('de')} >= {hits('en')} AND {hits('de')} >= {hits('es')} AND {hits('de')} >= {hits('fr')} THEN 'de' "
+        f"WHEN {hits('en')} > 0 AND {hits('en')} >= {hits('es')} AND {hits('en')} >= {hits('fr')} THEN 'en' "
+        f"WHEN {hits('es')} > 0 AND {hits('es')} >= {hits('fr')} THEN 'es' "
+        f"WHEN {hits('fr')} > 0 THEN 'fr' "
+        "ELSE 'und' END"
+    )
+
+    grams3 = (
+        "list_distinct([array_to_string(w[i:i+2], ' ') "
+        "for i in generate_series(1, greatest(len(w) - 2, 1))])"
+    )
+    cos_ab = f"{_sql_dot('a.embedding','b.embedding')} / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})"
+    cos_cq = f"{_sql_dot('c.embedding','q.embedding')} / ({_sql_norm('c.embedding')} * {_sql_norm('q.embedding')})"
+
+    return {
+        "q01_cnf_filter_dump": f"""
+            SELECT uuid, "time", event_type FROM ({_E})
+            WHERE event_type IN ('click', 'view')
+              AND "time" >= {TIME_LO} AND "time" < {TIME_HI}
+        """,
+        "q02_negation_empty": f"""
+            SELECT uuid, "time", event_id, event_type FROM ({_E})
+            WHERE event_type <> 'purchase' AND props <> ''
+        """,
+        "q03_trail_lengths": f"""
+            SELECT uuid, COUNT(*) AS trail_length,
+                   MIN("time") AS first_time, MAX("time") AS last_time
+            FROM ({_E}) GROUP BY uuid
+        """,
+        "q04_info": f"""
+            SELECT COUNT(DISTINCT uuid) AS num_trails, COUNT(*) AS num_events,
+                   MIN("time") AS min_timestamp, MAX("time") AS max_timestamp
+            FROM ({_E})
+        """,
+        "q05_lexicon_sizes": f"""
+            SELECT COUNT(DISTINCT NULLIF(event_type, '')) + 1 AS lex_event_type,
+                   COUNT(DISTINCT NULLIF(props, '')) + 1 AS lex_props
+            FROM ({_E})
+        """,
+        "q06_sessions": f"""
+            WITH m AS (
+              SELECT uuid,
+                     CASE WHEN "time" - lag("time") OVER (PARTITION BY uuid ORDER BY "time") > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM ({_E}))
+            SELECT uuid, CAST(SUM(is_new) + 1 AS BIGINT) AS num_sessions,
+                   COUNT(*) AS num_events
+            FROM m GROUP BY uuid
+        """,
+        "q07_only_diff": f"""
+            SELECT uuid, "time", event_id,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR event_type <> lag(event_type) OVER w
+                        THEN event_type ELSE '' END AS event_type
+            FROM ({_E})
+            WINDOW w AS (PARTITION BY uuid ORDER BY "time", event_id)
+        """,
+        "q08_merge_schema_union": f"""
+            SELECT uuid, "time", event_type, '' AS props FROM ({_E}) WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT uuid, "time", '' AS event_type, props FROM ({_E}) WHERE event_id % 2 = 1
+        """,
+        "q09_uuid_whitelist": f"""
+            SELECT uuid, "time", event_id, event_type FROM ({_E})
+            WHERE uuid IN ('1', '3', '5', '7')
+        """,
+        "q10_multi_cursor": f"""
+            SELECT uuid, "time", event_id, event_type,
+                   CAST(row_number() OVER (PARTITION BY uuid ORDER BY "time", event_id, event_type) AS INT) AS event_pos
+            FROM ({_E})
+        """,
+        "q11_trail_ids": f"""
+            SELECT uuid, CAST(dense_rank() OVER (ORDER BY uuid) - 1 AS BIGINT) AS trail_id
+            FROM (SELECT DISTINCT uuid FROM ({_E}))
+        """,
+        "q12_edge_semantics": f"""
+            SELECT CAST(0 AS BIGINT) AS n_unknown_pos,
+                   COUNT(*) AS n_unknown_neg,
+                   CAST(SUM(CASE WHEN event_type = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_match
+            FROM ({_E})
+        """,
+        "q13_session_windows": f"""
+            WITH m AS (
+              SELECT uuid, "time",
+                     CASE WHEN "time" - lag("time") OVER (PARTITION BY uuid ORDER BY "time") >= 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM ({_E})),
+            s AS (
+              SELECT uuid, "time",
+                     SUM(is_new) OVER (PARTITION BY uuid ORDER BY "time"
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM m)
+            SELECT uuid, MIN("time") AS session_start,
+                   MAX("time") + 1800 AS session_end,
+                   COUNT(*) AS num_events
+            FROM s GROUP BY uuid, session_id
+        """,
+        "q20_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 4) AS sum_qty,
+                   round(SUM(l_extendedprice), 4) AS sum_base_price,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(AVG(l_quantity), 6) AS avg_qty,
+                   round(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q21_revenue_by_nation": """
+            SELECT n_name, r_name,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   COUNT(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name, r_name
+        """,
+        "q22_top_customers": """
+            WITH totals AS (
+              SELECT o_custkey AS custkey,
+                     round(SUM(o_totalprice), 4) AS total_spend,
+                     COUNT(*) AS n_orders
+              FROM orders GROUP BY o_custkey),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (ORDER BY total_spend DESC, custkey) AS INT) AS rnk
+              FROM totals)
+            SELECT custkey, c_name, total_spend, n_orders, rnk
+            FROM ranked JOIN customer ON custkey = c_custkey
+            WHERE rnk <= 10
+        """,
+        "q23_props_extract": f"""
+            SELECT event_type,
+                   CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
+                   COUNT(*) AS n,
+                   round(AVG(value), 4) AS avg_value
+            FROM ({_E}) GROUP BY event_type
+        """,
+        "q30_fingerprints": f"""
+            SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "q31_quality": f"""
+            WITH t AS (
+              SELECT doc_id, {_NORM_TEXT} AS nt,
+                     CAST(len({_TOKENS}) AS DOUBLE) AS n_tokens
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(length(nt) AS DOUBLE) AS n_chars,
+                     CAST(length(regexp_replace(nt, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                     CAST(length(regexp_replace(nt, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                     n_tokens
+              FROM t)
+            SELECT doc_id,
+                   round(((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+                    + (CASE WHEN n_tokens > 0 AND n_alpha / n_tokens >= 2.0 AND n_alpha / n_tokens <= 12.0 THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.2 THEN 1.0 WHEN n_chars = 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+            FROM m
+        """,
+        "q32_langid": f"""
+            SELECT {lang_case} AS lang_detected, COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "q33_dedup_exact": f"""
+            SELECT doc_id, md5({_NORM_TEXT}) AS content_hash,
+                   COUNT(*) OVER (PARTITION BY md5({_NORM_TEXT})) AS group_size
+            FROM documents
+        """,
+        "q34_ngram_jaccard": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, {grams3} AS g FROM toks WHERE len(w) > 0),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                           / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) AS jaccard
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        """,
+        "q37_emb_neardup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({cos_ab}, 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round({cos_ab}, 6) >= 0.4
+        """,
+        "q39_sim_topk": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round({cos_cq}, 6) AS cos
+              FROM embeddings c
+              JOIN embeddings q ON q.vec_id < 5)
+            SELECT query_id, corpus_id, cos,
+                   CAST(rnk AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, corpus_id) AS rnk
+                  FROM scored)
+            WHERE rnk <= 5
+        """,
+    }

@@ -1,0 +1,128 @@
+"""Dedup / text / similarity operator tests on synthetic + real fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from traildb_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),       # exact dup of 1
+        (3, "The  quick brown fox jumps over the lazy DOG "),     # dup after normalize
+        (4, "the quick brown fox jumps over the lazy cat"),       # near dup
+        (5, "completely different content about spark engines"),
+        (6, "der hund ist nicht auf der couch und das ist gut"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    got = dedup.exact_duplicates(docs).collect()
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids == [1, 2, 3]
+    canon = {r["doc_id"]: r["is_canonical"] for r in got}
+    assert canon == {1: True, 2: False, 3: False}
+
+
+def test_dedup_exact_keeps_canonical(docs):
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(docs).collect())
+    assert kept == [1, 4, 5, 6]
+
+
+def test_ngram_jaccard_pairs(docs):
+    got = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert (1, 4) in pairs and 0.5 <= pairs[(1, 4)] < 1.0
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_minhash_lsh_pairs(docs):
+    got = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert (1, 4) in pairs  # high char-shingle overlap
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_simhash_pairs(docs):
+    got = dedup.simhash_pairs(docs, max_hamming=3).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in got}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (4, [0.0, 0.998, 0.02, 0.0]),   # near dup of 3
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = dedup.embedding_neardup_pairs(df, threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert (1, 2) in pairs and (3, 4) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_text_stats(docs):
+    got = {r["doc_id"]: r for r in text.text_stats(docs).collect()}
+    assert got[1]["n_tokens"] == 9
+    assert got[1]["fingerprint"] == got[3]["fingerprint"]  # normalization
+    assert got[1]["lang_detected"] == "en"
+    assert got[6]["lang_detected"] == "de"
+    assert 0.0 <= got[5]["quality"] <= 1.0
+    assert got[1]["n_bpe_tokens"] == 9
+
+
+def test_bpe_tokens_symbols(spark):
+    df = spark.createDataFrame([(1, "abc123,def! x9")], ["doc_id", "text"])
+    r = text.text_stats(df).first()
+    # abc 123 , def ! x 9 → 7
+    assert r["n_bpe_tokens"] == 7
+
+
+def test_brute_force_topk(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+        + [(10, [0.9, 0.1, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])], ["query_id", "embedding"])
+    got = similarity.brute_force_topk(corpus, queries, k=2).collect()
+    assert [(r["corpus_id"], r["rank"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (0, 1),
+        (10, 2),
+    ]
+
+
+def test_lsh_topk_recall_on_real_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    approx = similarity.lsh_topk(emb, queries, k=5, num_planes=8, max_hamming=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    hit = total = 0
+    for r in approx:
+        total += 1
+        if r["corpus_id"] in exact_sets[r["query_id"]]:
+            hit += 1
+    assert total > 0 and hit / len(exact) >= 0.5  # recall@5 over 3 queries
+
+
+def test_ivf_topk_runs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.ivf_topk(emb, queries, k=3, num_centroids=8, nprobe=3).collect()
+    assert len(got) == 6
+    # self-match must rank first with cos ~1
+    firsts = {r["query_id"]: r for r in got if r["rank"] == 1}
+    for qid, r in firsts.items():
+        assert r["corpus_id"] == qid and r["cos"] >= 0.999

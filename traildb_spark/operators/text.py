@@ -1,0 +1,99 @@
+"""Text-analysis operators for corpus curation (north-star surface).
+
+Language-ID (stopword-overlap heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting. Every function
+is a pure Column expression (whole-stage codegen, no UDF) and each has an
+exactly-equivalent ANSI-SQL formulation used by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+# Tiny deterministic marker-word sets per language. The corpus fixture is
+# synthetic word salad, so this is a *mechanism* demo: real deployments
+# swap in proper stopword tables (broadcast join) without changing shape.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "por", "para", "con"],
+}
+
+# BPE-ish tokenization: word pieces OR numbers OR single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.filter(F.split(normalize_text(col), " "), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish regex tokens (letters runs, digit runs, symbols) —
+    ``regexp_count`` stays JVM-side."""
+    return F.regexp_count(col, F.lit(TOKEN_REGEX))
+
+
+def stopword_ratio(col: Column, stopwords: list[str]) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(stopwords)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: mean word length sanity,
+    punctuation ratio, and alpha ratio — the C4/Gopher-style cheap filters.
+    Deterministic, SQL-expressible."""
+    t = normalize_text(col)
+    n_chars = F.length(t).cast("double")
+    n_alpha = F.length(F.regexp_replace(t, r"[^a-z]", "")).cast("double")
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+    n_tokens = token_count(col).cast("double")
+    mean_wlen = F.when(n_tokens > 0, n_alpha / n_tokens).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((alpha_ratio + wlen_ok + punct_ok) / F.lit(3.0), 6)
+
+
+def detect_language(col: Column) -> Column:
+    """Stopword-overlap language ID: the language whose marker set hits the
+    most tokens; ties broken alphabetically; no hits → 'und'."""
+    toks = tokens(col)
+    # array_max on structs compares field-by-field: max hits first; rank r
+    # is ordered so ties resolve to the alphabetically FIRST language.
+    ranked = []
+    for i, lang in enumerate(sorted(LANG_MARKERS, reverse=True)):
+        hits = F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
+        ranked.append(F.struct(hits.alias("hits"), F.lit(i).alias("r"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*ranked))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (stable across
+    engines; DuckDB md5() produces the identical hex)."""
+    return F.md5(normalize_text(col))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document stats table — the curation feature vector."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars_raw"),
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        quality_score(c).alias("quality"),
+        detect_language(c).alias("lang_detected"),
+        fingerprint(c).alias("fingerprint"),
+    )

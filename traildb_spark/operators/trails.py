@@ -92,10 +92,13 @@ def only_diff_items(
     approximate ("removes *most* duplicates"); ``lag()`` is exact — a
     strictly cleaner result documented as such.
     """
-    fields = fields or [c for c in df.columns if c not in (uuid_col, time_col)]
-    w = _trail_window(uuid_col, time_col, *(tiebreak or []))
+    tiebreak = tiebreak or []
+    fields = fields or [
+        c for c in df.columns if c not in (uuid_col, time_col, *tiebreak)
+    ]
+    w = _trail_window(uuid_col, time_col, *tiebreak)
     first = F.row_number().over(w) == 1
-    out = [F.col(uuid_col), F.col(time_col)]
+    out = [F.col(uuid_col), F.col(time_col)] + [F.col(c) for c in tiebreak]
     for c in fields:
         prev = F.lag(F.col(c)).over(w)
         out.append(

