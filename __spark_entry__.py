@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from traildb_spark import EventFilter, TrailDataset
 from traildb_spark.functions import vectorized
-from traildb_spark.operators import dedup, similarity, text, trails
+from traildb_spark.operators import dedup, joins, similarity, text, trails
+from traildb_spark.operators.filters import trail_filter_overrides
 from traildb_spark.streaming.sessions import streaming_session_counts
 
 # --------------------------------------------------------------------------
@@ -231,6 +232,34 @@ def q13_session_windows(spark, sf_dir):
     )
 
 
+def q14_trail_boundaries(spark, sf_dir):
+    """C3: trail assembly — per-trail time-ordered event array
+    (sort_array∘collect_list), surfaced as first/last event per trail."""
+    ev = _events(spark, sf_dir).select("uuid", "time", "event_id", "event_type")
+    arr = F.sort_array(
+        F.collect_list(F.struct("time", "event_id", "event_type"))
+    )
+    g = ev.groupBy("uuid").agg(arr.alias("trail"))
+    return g.select(
+        "uuid",
+        F.size("trail").alias("n_events"),
+        F.element_at("trail", 1)["event_type"].alias("first_type"),
+        F.element_at("trail", -1)["event_type"].alias("last_type"),
+    )
+
+
+def q15_trail_overrides(spark, sf_dir):
+    """P10: per-trail filter overrides (tdb_set_trail_opt) — listed trails
+    use their own filter, the rest fall back to the db-level filter."""
+    ev = _events(spark, sf_dir).select("uuid", "time", "event_id", "event_type")
+    db = EventFilter().add_time_range(TIME_LO, TIME_HI)
+    clicky = EventFilter().add_term("event_type", "click")
+    out = trail_filter_overrides(
+        ev, db, {"1": clicky, "3": clicky, "5": EventFilter.none()}
+    )
+    return out.select("uuid", "time", "event_id", "event_type")
+
+
 # --------------------------------------------------------------------------
 # relational surface (Spark-native beyond reference: joins/aggs/windows)
 # --------------------------------------------------------------------------
@@ -306,6 +335,36 @@ def q23_props_extract(spark, sf_dir):
         F.sum(k).cast("long").alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(F.col("value")), 4).alias("avg_value"),
+    )
+
+
+def q24_asof_join(spark, sf_dir):
+    """As-of join (operator Spark lacks natively): each event picks up the
+    user's most recent order at-or-before the event time. Right side is
+    pre-aggregated per (uuid, order time) for determinism; differential
+    oracle is DuckDB's native ASOF JOIN."""
+    ev = _events(spark, sf_dir).select("uuid", "time", "event_id")
+    orders = _load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("uuid"),
+        F.unix_timestamp("o_orderdate").alias("otime"),
+        "o_totalprice",
+    )
+    agg = orders.groupBy("uuid", "otime").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("order_total"),
+    )
+    return joins.as_of_join(
+        ev, agg, on="uuid", left_time="time", right_time="otime"
+    ).select("uuid", "time", "event_id", "otime", "n_orders", "order_total")
+
+
+def q25_rollup(spark, sf_dir):
+    """Hierarchical rollup aggregation (SURVEY §2.6 '—' row: grouping sets
+    free in Spark, absent in the reference)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
 
 
@@ -409,6 +468,16 @@ def q40_sim_topk_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, k=5, num_planes=8, max_hamming=4)
 
 
+def q41_sim_topk_ivf(spark, sf_dir):
+    """IVF (centroid-bucketed) ANN top-k — the partition-pruned scale path.
+    Rows-only (approximate: probes nprobe of num_centroids cells)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=5, num_centroids=16, nprobe=4)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -434,10 +503,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_trail_ids": q11_trail_ids,
         "q12_edge_semantics": q12_edge_semantics,
         "q13_session_windows": q13_session_windows,
+        "q14_trail_boundaries": q14_trail_boundaries,
+        "q15_trail_overrides": q15_trail_overrides,
         "q20_pricing_summary": q20_pricing_summary,
         "q21_revenue_by_nation": q21_revenue_by_nation,
         "q22_top_customers": q22_top_customers,
         "q23_props_extract": q23_props_extract,
+        "q24_asof_join": q24_asof_join,
+        "q25_rollup": q25_rollup,
         "q30_fingerprints": q30_fingerprints,
         "q31_quality": q31_quality,
         "q32_langid": q32_langid,
@@ -449,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_emb_neardup_lsh": q38_emb_neardup_lsh,
         "q39_sim_topk": q39_sim_topk,
         "q40_sim_topk_lsh": q40_sim_topk_lsh,
+        "q41_sim_topk_ivf": q41_sim_topk_ivf,
     }
 
 
@@ -561,6 +635,41 @@ def oracle_sql() -> dict[str, str]:
                    MAX("time") + 1800 AS session_end,
                    COUNT(*) AS num_events
             FROM s GROUP BY uuid, session_id
+        """,
+        "q14_trail_boundaries": f"""
+            WITH s AS (
+              SELECT uuid, "time", event_id, event_type FROM ({_E}))
+            SELECT uuid, CAST(COUNT(*) AS INT) AS n_events,
+                   (array_agg(event_type ORDER BY "time", event_id, event_type))[1] AS first_type,
+                   (array_agg(event_type ORDER BY "time", event_id, event_type))[-1] AS last_type
+            FROM s GROUP BY uuid
+        """,
+        "q15_trail_overrides": f"""
+            SELECT uuid, "time", event_id, event_type FROM ({_E})
+            WHERE CASE
+              WHEN uuid IN ('1', '3') THEN event_type = 'click'
+              WHEN uuid = '5' THEN FALSE
+              ELSE "time" >= {TIME_LO} AND "time" < {TIME_HI}
+            END
+        """,
+        "q24_asof_join": f"""
+            WITH e AS (SELECT uuid, "time", event_id FROM ({_E})),
+            o AS (
+              SELECT CAST(o_custkey AS VARCHAR) AS uuid,
+                     CAST(epoch(o_orderdate) AS BIGINT) AS otime,
+                     COUNT(*) AS n_orders,
+                     round(SUM(o_totalprice), 4) AS order_total
+              FROM orders GROUP BY 1, 2)
+            SELECT e.uuid, e."time", e.event_id, o.otime, o.n_orders, o.order_total
+            FROM e ASOF LEFT JOIN o
+              ON e.uuid = o.uuid AND e."time" >= o.otime
+        """,
+        "q25_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 4) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "q20_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,79 @@
+"""Relational join operators beyond the reference surface.
+
+The reference joins only on uuid (SURVEY §2.4: union/merge, whitelist
+semi-join); everything here is the Spark-native extension a query engine
+needs — most notably the as-of join, which Spark lacks as a built-in.
+
+Reference parity note: uuid-stitching/k-way merge live in
+``operators.trails`` (J1/J7); ``TrailDataset.merge`` covers J3-J6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str = "time",
+    right_time: str = "time",
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of (nearest-timestamp) left join: for every left row, attach the
+    right row with the greatest ``right_time`` <= ``left_time`` within the
+    same key group (``direction='backward'``, inclusive), or the smallest
+    ``right_time`` >= ``left_time`` (``'forward'``).
+
+    100 TB-safe plan: a UNION of both sides followed by ONE hash shuffle on
+    the key and a running ``last(..., ignorenulls)`` window — the classic
+    merge-scan formulation. No range join, no per-key explosion; cost is
+    O((|L|+|R|) log partition) like any sort-based window. Time columns must
+    be numeric (cast dates to epoch seconds first).
+
+    Determinism contract: the right side must be unique per
+    (key, right_time) — pre-aggregate if not (same contract as DuckDB's
+    ASOF JOIN, which this operator is differentially tested against).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward': {direction!r}")
+    sign = 1 if direction == "backward" else -1
+    r_payload = [c for c in right.columns if c not in keys]
+    l_payload = [c for c in left.columns if c not in keys]
+
+    r = right.select(
+        *[F.col(c) for c in keys],
+        (F.col(right_time).cast("long") * sign).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("__r"),
+    )
+    l = left.select(
+        *[F.col(c) for c in keys],
+        (F.col(left_time).cast("long") * sign).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        F.struct(*[F.col(c) for c in l_payload]).alias("__l"),
+    )
+    u = l.unionByName(
+        r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType))
+    )
+    # right rows sort before left rows at equal __t (side 0 < 1), making the
+    # equal-timestamp match inclusive in both directions
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
+        F.col("__side") == 1
+    )
+    out = [*[F.col(c) for c in keys]]
+    out += [F.col(f"__l.{c}").alias(c) for c in l_payload]
+    for c in r_payload:
+        name = c if c not in left.columns else c + suffix
+        out.append(F.col(f"__m.{c}").alias(name))
+    return matched.select(*out)
