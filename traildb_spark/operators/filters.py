@@ -145,8 +145,24 @@ class EventFilter:
                         # item 0: positive matches nothing, negative everything
                         c = F.lit(bool(t.negative))
                     else:
-                        v = F.coalesce(F.col(t.field).cast("string"), F.lit(""))
-                        c = (v != F.lit(t.value)) if t.negative else (v == F.lit(t.value))
+                        # ''≡NULL duality (reference src/tdb.c:488-495,
+                        # 520-524) expressed WITHOUT coalesce(): a coalesce
+                        # wrapper blocks Parquet predicate pushdown, turning
+                        # every filtered scan into a full read. These
+                        # branches are semantically identical (explicit
+                        # three-valued logic) and every leaf is a pushable
+                        # IsNull/EqualTo/Not(EqualTo).
+                        col = F.col(t.field).cast("string")
+                        if t.negative:
+                            if t.value == "":
+                                c = col.isNotNull() & (col != F.lit(""))
+                            else:
+                                c = col.isNull() | (col != F.lit(t.value))
+                        else:
+                            if t.value == "":
+                                c = col.isNull() | (col == F.lit(""))
+                            else:
+                                c = col == F.lit(t.value)
                 term_cols.append(c)
             acc = term_cols[0]
             for c in term_cols[1:]:
