@@ -1,0 +1,80 @@
+"""CLI round-trip: make -> info -> dump -> merge, mirroring the reference
+end-to-end CLI suite (reference tests/tdbcli/test_tdbcli.py:80-141)."""
+
+import pyspark.sql.functions as F
+
+from traildb_spark.cli import main
+
+
+def test_cli_make_info_dump_merge(spark, tmp_path, capsys):
+    # build a small CSV input (headerless, positional field spec)
+    src = tmp_path / "in.csv"
+    rows = ["u1,100,click", "u1,200,view", "u2,150,click", "u2,90,"]
+    src.write_text("\n".join(rows) + "\n")
+    db = str(tmp_path / "db")
+
+    assert main(["make", "-o", db, "-f", "uuid,time,action", str(src)]) == 0
+    out = capsys.readouterr().out
+    assert "4 events, 2 trails" in out
+
+    assert main(["info", "-i", db]) == 0
+    out = capsys.readouterr().out
+    assert "num_trails 2" in out and "num_events 4" in out
+    assert "min_timestamp 90" in out and "max_timestamp 200" in out
+
+    # filtered dump to stdout
+    assert main(["dump", "-i", db, "-o", "-", "--filter", "action=click",
+                 "-f", "uuid,time,action", "--csv-header"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "uuid,time,action"
+    assert sorted(out[1:]) == ["u1,100,click", "u2,150,click"]
+
+    # empty-value filter matches the NULL-ish row
+    assert main(["dump", "-i", db, "-o", "-", "--filter", "action="]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and out[0].startswith("u2,90")
+
+    # uuid whitelist
+    wl = tmp_path / "uuids.txt"
+    wl.write_text("u2\n")
+    assert main(["dump", "-i", db, "-o", "-", "--uuids", str(wl)]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2 and all(ln.startswith("u2") for ln in out)
+
+    # merge db with itself -> duplicates preserved (UNION ALL semantics,
+    # reference tests/tdbcli/test_tdbcli.py:248-259)
+    merged = str(tmp_path / "merged")
+    assert main(["merge", "-o", merged, db, db]) == 0
+    out = capsys.readouterr().out
+    assert "8 events, 2 trails" in out
+
+    # dump to a CSV dataset directory
+    outdir = str(tmp_path / "dumped")
+    assert main(["dump", "-i", db, "-o", outdir, "-f", "uuid,time,action"]) == 0
+    back = spark.read.csv(outdir).count()
+    assert back == 4
+
+
+def test_cli_json_roundtrip(spark, tmp_path, capsys):
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"uuid": "a", "time": 10, "kind": "x"}\n'
+        '{"uuid": "a", "time": 20, "kind": null}\n'
+        '{"uuid": "b", "time": 5, "kind": "y"}\n'
+    )
+    db = str(tmp_path / "jdb")
+    assert main(["make", "-j", "-o", db, str(src)]) == 0
+    capsys.readouterr()
+
+    outdir = str(tmp_path / "jdump")
+    assert main(["dump", "-j", "-i", db, "-o", outdir, "--json-no-empty"]) == 0
+    objs = [r.asDict() for r in spark.read.json(outdir).collect()]
+    # null kind was normalized to '' then dropped by --json-no-empty
+    a20 = [o for o in objs if o["time"] == 20][0]
+    assert a20.get("kind") is None
+    assert len(objs) == 3
+
+
+def test_cli_index_explains(capsys):
+    assert main(["index"]) == 0
+    assert "Parquet" in capsys.readouterr().out

@@ -1,0 +1,78 @@
+"""Real Structured Streaming runs (file source, availableNow trigger,
+memory sink) proving stream/batch parity for the sessionization idiom and
+exercising the custom stateful trail operator."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from traildb_spark.streaming.sessions import (
+    stateful_trail_counts,
+    stream_events,
+    streaming_session_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    """sf0.001 events re-written as a 3-file parquet directory (arrival
+    shards), normalized to (uuid, event_time)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").cast("string").alias("uuid"),
+            F.timestamp_seconds(F.expr("ts div 1000000000")).alias("event_time"),
+        )
+    )
+    ev.repartition(3).write.parquet(path)
+    return path
+
+
+def _run_stream(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update" if name == "stateful" else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_sessions_match_batch(spark, event_dir):
+    schema = spark.read.parquet(event_dir).schema
+    stream = stream_events(spark, event_dir, schema)
+    assert stream.isStreaming
+    out = streaming_session_counts(stream, gap_seconds=1800, watermark="0 seconds")
+    _run_stream(out, "sessions")
+    got = spark.sql(
+        "select uuid, window_start, num_events from sessions"
+    ).collect()
+    bdf = spark.read.parquet(event_dir)
+    max_ts = bdf.agg(F.max("event_time")).collect()[0][0]
+    batch = (
+        streaming_session_counts(bdf, gap_seconds=1800, watermark="0 seconds")
+        # append-mode emits a session only once the watermark (== max event
+        # time under availableNow) passes its end; sessions still open at
+        # end-of-input stay in state — exclude them from the batch expectation
+        .filter(F.col("window_end") <= F.lit(max_ts))
+        .select("uuid", "window_start", "num_events")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) > 0
+
+
+def test_stateful_trail_counts(spark, event_dir):
+    schema = spark.read.parquet(event_dir).schema
+    stream = stream_events(spark, event_dir, schema)
+    out = stateful_trail_counts(stream)
+    _run_stream(out, "stateful")
+    got = {r["uuid"]: r["n_events"] for r in spark.sql("select * from stateful").collect()}
+    batch = {
+        r["uuid"]: r["n"]
+        for r in spark.read.parquet(event_dir).groupBy("uuid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # availableNow processes everything in one batch -> final counts equal batch
+    assert got == batch

@@ -1,0 +1,178 @@
+"""``tdb``-compatible command-line front end.
+
+Mirrors the reference CLI surface (`tdbcli/main.c:93-117`): ``make``,
+``dump``, ``merge``, ``index``, plus ``info``. Commands map 1:1 onto the
+library operators, so everything a reference user runs today
+(`tdb make -o out -c -f 2:uuid,5:time input.csv`,
+`tdb dump -i db --filter 'a=1 b=2 & c!=3' --uuids @file`) has a direct
+equivalent over Parquet datasets.
+
+Differences, by design:
+- a "tdb" is a Parquet dataset directory (SURVEY §1.6), so ``-o``/``-i``
+  take directories;
+- ``dump`` writes a dataset by default; ``-o -`` streams rows to stdout for
+  interactive use (driver-side collect — bounded by --limit);
+- ``index`` is a no-op: Parquet row-group min/max + dictionary stats under
+  the finalize() layout already provide the reference index's pruning
+  (SURVEY §2.8 X1-X3); it prints what the engine relies on instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark():
+    from .session import get_spark
+
+    return get_spark("traildb-spark-cli")
+
+
+def _split_fields(s: str | None) -> list[str] | None:
+    return [f for f in s.split(",") if f] if s else None
+
+
+def cmd_make(args) -> int:
+    from .sources.make import make_from_csv, make_from_json
+
+    spark = _spark()
+    if args.json:
+        ds = make_from_json(
+            spark, args.inputs, fields=_split_fields(args.fields),
+            skip_bad_input=args.skip_bad_input,
+        )
+    else:
+        ds = make_from_csv(
+            spark, args.inputs, fields=_split_fields(args.fields),
+            delimiter=args.delimiter, header=args.csv_header,
+            skip_bad_input=args.skip_bad_input,
+        )
+    ds.finalize(args.output, num_buckets=args.buckets, mode="overwrite")
+    info = ds.info()
+    print(f"created {args.output}: {info.num_events} events, {info.num_trails} trails")
+    return 0
+
+
+def cmd_dump(args) -> int:
+    from .dataset import TrailDataset
+    from .operators.filters import parse_filter, uuid_whitelist
+    from .sources.dump import dump_csv, dump_json, project_fields
+
+    spark = _spark()
+    ds = TrailDataset.open(spark, args.input)
+    df = ds.df
+    if args.filter:
+        df = parse_filter(args.filter).apply(df)
+    if args.uuids:
+        with open(args.uuids, "r", encoding="utf-8") as fh:
+            wl = [ln.strip() for ln in fh if ln.strip()]
+        df = uuid_whitelist(df, wl)
+    fields = _split_fields(args.fields)
+    if args.output == "-":
+        rows = project_fields(df, fields).limit(args.limit).collect()
+        cols = fields or df.columns
+        if args.csv_header:
+            print(args.delimiter.join(cols))
+        for r in rows:
+            print(args.delimiter.join("" if r[c] is None else str(r[c]) for c in cols))
+    elif args.json:
+        dump_json(df, args.output, fields=fields, no_empty=args.json_no_empty, mode="overwrite")
+    else:
+        dump_csv(df, args.output, fields=fields, delimiter=args.delimiter,
+                 header=args.csv_header, mode="overwrite")
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from .dataset import TrailDataset
+
+    spark = _spark()
+    dss = [TrailDataset.open(spark, p) for p in args.inputs.split(",")] if isinstance(args.inputs, str) else [
+        TrailDataset.open(spark, p) for p in args.inputs
+    ]
+    merged = TrailDataset.merge(dss)
+    merged.finalize(args.output, num_buckets=args.buckets, mode="overwrite")
+    info = merged.info()
+    print(f"merged {len(dss)} datasets -> {args.output}: {info.num_events} events, {info.num_trails} trails")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .dataset import TrailDataset
+
+    spark = _spark()
+    ds = TrailDataset.open(spark, args.input)
+    info = ds.info()
+    print(f"num_trails {info.num_trails}")
+    print(f"num_events {info.num_events}")
+    print(f"min_timestamp {info.min_timestamp}")
+    print(f"max_timestamp {info.max_timestamp}")
+    print(f"fields {','.join(ds.fields)}")
+    return 0
+
+
+def cmd_index(args) -> int:
+    print(
+        "no separate index needed: the finalize() layout (clustered by uuid, "
+        "time-sorted row groups) exposes Parquet min/max + dictionary stats, "
+        "which Catalyst uses for the same page-pruning the reference index "
+        "provides (candidates + exact re-filter). See SURVEY.md §2.8."
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tdb", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    mk = sub.add_parser("make", help="build a dataset from CSV/JSON events")
+    mk.add_argument("-o", "--output", required=True)
+    mk.add_argument("-c", "--csv", action="store_true", default=True)
+    mk.add_argument("-j", "--json", action="store_true")
+    mk.add_argument("-d", "--delimiter", default=",")
+    mk.add_argument("-f", "--fields", help="field spec, e.g. uuid,time,action or 2:uuid,5:time")
+    mk.add_argument("--csv-header", action="store_true")
+    mk.add_argument("--skip-bad-input", action="store_true")
+    mk.add_argument("--buckets", type=int, default=None)
+    mk.add_argument("inputs", help="input path/glob")
+    mk.set_defaults(fn=cmd_make)
+
+    dp = sub.add_parser("dump", help="export events (CSV/JSON/stdout)")
+    dp.add_argument("-i", "--input", required=True)
+    dp.add_argument("-o", "--output", default="-")
+    dp.add_argument("-c", "--csv", action="store_true", default=True)
+    dp.add_argument("-j", "--json", action="store_true")
+    dp.add_argument("-d", "--delimiter", default=",")
+    dp.add_argument("-f", "--fields")
+    dp.add_argument("--filter", help="CNF filter, e.g. 'a=1 b=2 & c!=3'")
+    dp.add_argument("--uuids", help="file with one uuid per line (whitelist)")
+    dp.add_argument("--csv-header", action="store_true")
+    dp.add_argument("--json-no-empty", action="store_true")
+    dp.add_argument("--limit", type=int, default=1000, help="stdout row cap")
+    dp.set_defaults(fn=cmd_dump)
+
+    mg = sub.add_parser("merge", help="merge datasets (schema union)")
+    mg.add_argument("-o", "--output", required=True)
+    mg.add_argument("--buckets", type=int, default=None)
+    mg.add_argument("inputs", nargs="+")
+    mg.set_defaults(fn=cmd_merge)
+
+    inf = sub.add_parser("info", help="dataset metadata (tdb_num_trails etc.)")
+    inf.add_argument("-i", "--input", required=True)
+    inf.set_defaults(fn=cmd_info)
+
+    ix = sub.add_parser("index", help="explain why indexing is built-in")
+    ix.set_defaults(fn=cmd_index)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -56,6 +56,60 @@ def streaming_session_counts(
     )
 
 
+def stateful_trail_counts(
+    events: DataFrame,
+    uuid_col: str = "uuid",
+    ts_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful per-trail operator via applyInPandasWithState:
+    maintains a running (count, min_ts, max_ts) per uuid across micro-
+    batches — the streaming analog of a persistent trail cursor position.
+
+    State is one tuple per uuid (bounded by trail count, not event count);
+    timeout follows the watermark so idle trails age out of the store.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{uuid_col} string, n_events long, first_seen timestamp, last_seen timestamp"
+    )
+    state_schema = "n long, first_us long, last_us long"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, first_us, last_us = state.get() if state.exists else (0, None, None)
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            n += len(pdf)
+            lo = int(ts.min().value // 1000)
+            hi = int(ts.max().value // 1000)
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                uuid_col: [key[0]],
+                "n_events": [n],
+                "first_seen": [pd.Timestamp(first_us, unit="us")],
+                "last_seen": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(uuid_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_batch_equivalence(spark, batch_df: DataFrame, gap_seconds: int = 1800):
     """Batch-mode evaluation of the streaming query (session_window works
     in batch too) — used by tests to prove stream/batch parity against the
