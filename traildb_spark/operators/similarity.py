@@ -88,60 +88,78 @@ def ivf_build(
     num_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    iters: int = 3,
-) -> tuple[DataFrame, DataFrame]:
-    """IVF index: Lloyd-iterate centroids (seeded deterministically from a
-    hash-sample of the corpus), assign each vector to its nearest centroid.
+    iters: int = 2,
+):
+    """IVF index: Lloyd-iterate spherical k-means centroids, assign each
+    vector to its nearest centroid.
 
-    Returns (assignments, centroids). The k-means loop is ``iters`` joint
-    scans — each iteration is broadcast-join + groupBy(avg), no corpus
-    shuffle beyond the final assignment write. Centroid count stays small
-    (thousands at 100 TB) so the broadcast is cheap.
+    Returns (assignments DataFrame, centroids numpy array). Centroids are
+    metadata-scale (thousands of rows even at 100 TB) so they live on the
+    driver and broadcast to executors; each Lloyd iteration is ONE corpus
+    scan emitting per-partition partial sums (num_centroids × partitions
+    tiny rows collected), never a corpus shuffle. Assignment is a GEMM per
+    Arrow batch via mapInPandas.
     """
-    v = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    ).cache()
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    v = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")).cache()
     # deterministic seed: the num_centroids rows with smallest hash(id)
-    seeds = (
+    seed_rows = (
         v.withColumn("hk", F.hash(F.col("corpus_id")))
-        .orderBy("hk")
+        .orderBy("hk", "corpus_id")
         .limit(num_centroids)
-        .select(F.col("hk"), F.col("cv").alias("centroid"))
+        .collect()
     )
-    cents = seeds.select(
-        (F.row_number().over(Window.orderBy("hk")) - 1).alias("cid"), "centroid"
-    )
+    cents = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in seed_rows])
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
     for _ in range(iters):
-        assigned = _assign(v, cents)
-        cents = (
-            assigned.groupBy("cid")
-            .agg(F.collect_list("cv").alias("vs"))
-            .select(
-                "cid",
-                F.transform(
-                    F.sequence(F.lit(0), F.size(F.element_at("vs", 1)) - 1),
-                    lambda i: F.aggregate(
-                        "vs", F.lit(0.0), lambda acc, x: acc + F.element_at(x, i + F.lit(1))
-                    )
-                    / F.size("vs"),
-                ).alias("centroid"),
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            C = bc.value
+            sums = np.zeros_like(C)
+            counts = np.zeros(C.shape[0], dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                cid = np.argmax(Mn @ C.T, axis=1)
+                np.add.at(sums, cid, M)
+                np.add.at(counts, cid, 1)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {"cid": nz, "s": list(sums[nz]), "n": counts[nz]}
             )
-        )
-    assignments = _assign(v, cents).select("corpus_id", "cid")
-    v.unpersist()
+
+        rows = v.mapInPandas(partials, "cid int, s array<double>, n long").collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(cents.shape[0], dtype=np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.asarray(r["s"])
+            counts[r["cid"]] += r["n"]
+        keep = counts > 0
+        cents[keep] = sums[keep] / counts[keep, None]
+        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["cv"].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"corpus_id": pdf["corpus_id"], "cid": np.argmax(Mn @ C.T, axis=1)}
+            )
+
+    assignments = v.mapInPandas(assign, "corpus_id long, cid int")
     return assignments, cents
-
-
-def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
-    scored = v.join(F.broadcast(cents)).withColumn(
-        "cos", cosine_udf(F.col("cv"), F.col("centroid"), round_digits=12)
-    )
-    w = Window.partitionBy("corpus_id").orderBy(F.desc("cos"), F.asc("cid"))
-    return (
-        scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
-        .select("corpus_id", "cv", "cid")
-    )
 
 
 def ivf_topk(
@@ -156,25 +174,29 @@ def ivf_topk(
 ) -> DataFrame:
     """ANN top-k via IVF: score only vectors in the query's ``nprobe``
     nearest centroid cells. At scale the assignments table is written
-    partitioned by cid, so a probe reads nprobe/num_centroids of the data.
+    partitioned by cid, so a probe reads nprobe/num_centroids of the data;
+    here the cell restriction is a broadcast join on cid.
     """
+    import numpy as np
+
     assignments, cents = ivf_build(corpus, num_centroids, vec_col, id_col)
     c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")
     ).join(assignments, "corpus_id")
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
-    qc = q.join(F.broadcast(cents)).withColumn(
-        "cos_c", cosine_udf(F.col("qv"), F.col("centroid"), round_digits=12)
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cid"))
-    probes = (
-        qc.withColumn("r", F.row_number().over(wq))
-        .filter(F.col("r") <= nprobe)
-        .select("query_id", "qv", "cid")
+    # probe cells per query: computed on the (small, broadcast-bound) query
+    # set driver-side — |Q| × num_centroids GEMM
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    order = np.argsort(-(Qn @ cents.T), axis=1)[:, :nprobe]
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        [
+            (int(qpdf[query_id_col].iloc[i]), [float(x) for x in Q[i]], int(cid))
+            for i in range(len(qpdf))
+            for cid in order[i]
+        ],
+        f"query_id long, qv array<double>, cid int",
     )
     scored = c.join(F.broadcast(probes), "cid").withColumn(
         "cos", cosine_udf(F.col("cv"), F.col("qv"))
