@@ -428,10 +428,12 @@ def q35_minhash_lsh(spark, sf_dir):
 
 
 def q36_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming ≤ 3). Rows-only check (xxhash64 not
-    reproducible in DuckDB)."""
+    """SimHash near-dup pairs (Hamming ≤ 3), full oracle parity: token
+    hashes are the first 60 bits of md5 so DuckDB reproduces the exact
+    simhash codes (block-permutation candidates + exact Hamming verify)."""
     docs = _load(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, max_hamming=3)
+    md5_60 = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    return dedup.simhash_pairs(docs, max_hamming=3, token_hasher=md5_60)
 
 
 def q37_emb_neardup(spark, sf_dir):
@@ -758,6 +760,26 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) AS jaccard
               FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        """,
+        "q36_simhash": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS} AS w FROM documents),
+            h AS (
+              SELECT doc_id,
+                     [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in w] AS hs
+              FROM t),
+            s AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(0::BIGINT,
+                       [CASE WHEN 2 * len(list_filter(hs, v -> (v >> b) & 1 = 1)) > len(hs)
+                             THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                        for b in generate_series(0, 59)]),
+                       (x, y) -> x + y) AS sh
+              FROM h)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
         "q37_emb_neardup": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis), mirroring the reference's test
+strategy (SURVEY §5): "what you write is what you read" round-trips
+(reference tests/c-tests/what_you_write_you_get_back.c, basic_cursor.c) and
+CNF filter semantics against an independent Python evaluator (reference
+tests/tdbcli/test_tdbcli.py:92-141 computes expectations in pure Python).
+"""
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from traildb_spark import EventFilter, TrailDataset
+from traildb_spark.dataset import normalize_events
+
+VALUES = ["", "a", "b", "xyz", None]
+
+event = st.tuples(
+    st.sampled_from(["u0", "u1", "u2"]),        # uuid
+    st.integers(min_value=0, max_value=10**9),  # time
+    st.sampled_from(VALUES),                    # f1
+    st.sampled_from(VALUES),                    # f2
+)
+event_lists = st.lists(event, min_size=0, max_size=40)
+
+
+def _mk(spark, rows):
+    df = spark.createDataFrame(
+        [(u, t, a, b) for (u, t, a, b) in rows],
+        "uuid string, time long, f1 string, f2 string",
+    )
+    return normalize_events(df, "uuid", "time")
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=event_lists)
+def test_what_you_write_you_get_back(spark, tmp_path_factory, rows):
+    """finalize → open round-trip preserves the exact event multiset with
+    '' normalization of NULLs (reference round-trip property)."""
+    df = _mk(spark, rows)
+    path = str(tmp_path_factory.mktemp("prop") / "db")
+    TrailDataset(df).finalize(path, num_buckets=2)
+    back = TrailDataset.open(spark, path)
+    got = Counter(map(tuple, back.df.select("uuid", "time", "f1", "f2").collect()))
+    want = Counter(
+        (u, t, a or "", b or "") for (u, t, a, b) in rows
+    )
+    assert got == want
+    # per-trail time order within the layout
+    ordered = back.df.withColumn(
+        "ok",
+        F.col("time")
+        >= F.lag("time", 1, 0).over(Window.partitionBy("uuid").orderBy("time")),
+    )
+    assert ordered.filter(~F.col("ok")).count() == 0
+
+
+clause = st.lists(
+    st.tuples(
+        st.sampled_from(["f1", "f2", "nosuch"]),
+        st.sampled_from(["", "a", "b", "zzz"]),
+        st.booleans(),  # negative
+    ),
+    min_size=1,
+    max_size=3,
+)
+cnf = st.lists(clause, min_size=1, max_size=3)
+
+
+def _py_eval(filters, row):
+    """Independent CNF evaluator with reference semantics: ''≡NULL, unknown
+    field item-0 (positive never matches, negated always)."""
+    fields = {"f1": row[2] or "", "f2": row[3] or ""}
+    for cl in filters:
+        hit = False
+        for (fld, val, neg) in cl:
+            if fld not in fields:
+                term = neg
+            else:
+                term = (fields[fld] != val) if neg else (fields[fld] == val)
+            hit = hit or term
+        if not hit:
+            return False
+    return True
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=event_lists, filters=cnf)
+def test_cnf_filter_matches_python_oracle(spark, rows, filters):
+    df = _mk(spark, rows)
+    f = EventFilter()
+    for cl in filters:
+        f.new_clause()
+        for (fld, val, neg) in cl:
+            f.add_term(fld, val, negative=neg)
+    got = Counter(
+        map(tuple, df.filter(f.compile(df.columns)).collect())
+    )
+    want = Counter(
+        (u, t, a or "", b or "")
+        for (u, t, a, b) in rows
+        if _py_eval(filters, (u, t, a, b))
+    )
+    assert got == want

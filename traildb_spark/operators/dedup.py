@@ -369,6 +369,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    token_hasher=None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
@@ -376,12 +377,23 @@ def simhash_pairs(
     64-bit hash into (max_hamming+1) blocks; any pair within distance d
     must agree exactly on at least one block (pigeonhole). Join per block —
     shuffle key (block_idx, block_value), uniform.
+
+    ``token_hasher``: optional Column fn token → int64 hash. Default
+    xxhash64; pass an md5-prefix hasher for cross-engine-reproducible
+    hashes (the DuckDB oracle uses that form).
     """
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    tokens = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    if token_hasher is None:
+        token_hasher = lambda t: F.xxhash64(t)  # noqa: E731 (xxhash64 is *args)
+    from ..functions.vectorized import simhash_from_hashes
+
+    sh = simhash_from_hashes(F.transform(tokens, token_hasher))
     base = _materialize(
-        _spread(df).select(F.col(id_col).alias("id"), simhash64(tokens).alias("sh"))
+        _spread(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
     )
 
     def block(i):
