@@ -1,0 +1,110 @@
+"""Scale smoke: run core operators on a 10x-replicated events table (~6M
+rows) and on a deliberately skewed dataset (one whale uuid owning ~1M
+events). Not CI — evidence that the plans survive scale-up and skew.
+
+Usage: python tools/scale_smoke.py  (writes scratch data under /tmp)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from traildb_spark import EventFilter, TrailDataset  # noqa: E402
+from traildb_spark.operators import trails  # noqa: E402
+from traildb_spark.operators.joins import as_of_join  # noqa: E402
+from traildb_spark.session import get_spark  # noqa: E402
+
+
+def timed(label, fn):
+    t0 = time.time()
+    n = fn()
+    print(f"{label}: {n} rows in {time.time() - t0:.2f}s", flush=True)
+
+
+def main():
+    spark = get_spark("scale-smoke", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    big = "/tmp/scale_smoke/events10x"
+    if not Path(big).exists():
+        ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        reps = [ev.withColumn("user_id", F.col("user_id") + F.lit(i * 10000)) for i in range(10)]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.repartition(32).write.mode("overwrite").parquet(big)
+
+    ev = (
+        spark.read.parquet(big)
+        .select(
+            F.col("user_id").cast("string").alias("uuid"),
+            F.expr("ts div 1000000000").alias("time"),
+            "event_id",
+            F.coalesce("event_type", F.lit("")).alias("event_type"),
+        )
+    )
+    n = ev.count()
+    print(f"10x dataset: {n} rows, {ev.select('uuid').distinct().count()} trails")
+
+    f = (
+        EventFilter()
+        .new_clause().add_term("event_type", "click").add_term("event_type", "view")
+        .new_clause().add_time_range(1704500000, 1705500000)
+    )
+    timed("cnf_filter_10x", lambda: f.apply(ev).count())
+    timed("sessions_10x", lambda: trails.session_stats(ev.select("uuid", "time"), gap=1800).count())
+    timed("only_diff_10x", lambda: trails.only_diff_items(ev, fields=["event_type"], tiebreak=["event_id"]).count())
+    timed("trail_lengths_10x", lambda: trails.trail_lengths(ev).count())
+    orders = (
+        spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+        .select(
+            F.col("o_custkey").cast("string").alias("uuid"),
+            F.unix_timestamp("o_orderdate").alias("otime"),
+            "o_totalprice",
+        )
+        .groupBy("uuid", "otime")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    timed("asof_10x", lambda: as_of_join(ev.select("uuid", "time", "event_id"), orders,
+                                          on="uuid", left_time="time", right_time="otime").count())
+
+    # whale skew: one uuid with ~1M events, 1500 normal trails
+    whale = "/tmp/scale_smoke/whale"
+    if not Path(whale).exists():
+        base = spark.read.parquet("/root/testdata/sf0.1/events.parquet").select(
+            F.col("user_id").cast("string").alias("uuid"),
+            F.expr("ts div 1000000000").alias("time"),
+            "event_id",
+        )
+        w = (
+            spark.range(0, 1_000_000)
+            .select(
+                F.lit("WHALE").alias("uuid"),
+                (F.lit(1704067200) + (F.col("id") % 2_000_000)).alias("time"),
+                F.col("id").alias("event_id"),
+            )
+        )
+        base.unionByName(w).write.mode("overwrite").parquet(whale)
+    wev = spark.read.parquet(whale)
+    print(f"whale dataset: {wev.count()} rows")
+    timed("whale_sessions", lambda: trails.session_stats(wev.select("uuid", "time"), gap=1800).count())
+    timed("whale_only_diff", lambda: trails.only_diff_items(
+        wev.select("uuid", "time", "event_id").withColumn("f", (F.col("event_id") % 5).cast("string")),
+        fields=["f"], tiebreak=["event_id"]).count())
+    timed("whale_finalize", lambda: (
+        TrailDataset(wev.select("uuid", "time", F.col("event_id").cast("string").alias("eid"))).finalize(
+            "/tmp/scale_smoke/whale_out", num_buckets=32, mode="overwrite"
+        ),
+        1,
+    )[1])
+
+
+if __name__ == "__main__":
+    main()
