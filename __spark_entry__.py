@@ -427,6 +427,17 @@ def q35_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, threshold=0.5)
 
 
+def q42_dedup_clusters(spark, sf_dir):
+    """Duplicate clustering: connected components (hybrid union-find /
+    min-label propagation) over SimHash near-dup pairs; every doc labeled
+    with its cluster's canonical (min) id. Oracle: DuckDB recursive CTE
+    over the same md5-60 simhash pair set."""
+    docs = _load(spark, sf_dir, "documents")
+    md5_60 = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    pairs = dedup.simhash_pairs(docs, max_hamming=3, token_hasher=md5_60)
+    return dedup.dedup_clusters(docs, pairs)
+
+
 def q36_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3), full oracle parity: token
     hashes are the first 60 bits of md5 so DuckDB reproduces the exact
@@ -525,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_sim_topk": q39_sim_topk,
         "q40_sim_topk_lsh": q40_sim_topk_lsh,
         "q41_sim_topk_ivf": q41_sim_topk_ivf,
+        "q42_dedup_clusters": q42_dedup_clusters,
     }
 
 
@@ -760,6 +772,40 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) AS jaccard
               FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        """,
+        "q42_dedup_clusters": f"""
+            WITH RECURSIVE
+            t AS (
+              SELECT doc_id, {_TOKENS} AS w FROM documents),
+            hh AS (
+              SELECT doc_id,
+                     [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in w] AS hs
+              FROM t),
+            sh AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(0::BIGINT,
+                       [CASE WHEN 2 * len(list_filter(hs, v -> (v >> b) & 1 = 1)) > len(hs)
+                             THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                        for b in generate_series(0, 59)]),
+                       (x, y) -> x + y) AS code
+              FROM hh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.code, b.code)) <= 3),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            cc(id, comp) AS (
+                SELECT src, src FROM edges
+              UNION
+                SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+            labels AS (
+              SELECT id, MIN(comp) AS component FROM cc GROUP BY id)
+            SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component,
+                   d.doc_id = COALESCE(l.component, d.doc_id) AS is_canonical
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
         """,
         "q36_simhash": f"""
             WITH t AS (

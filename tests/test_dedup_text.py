@@ -126,3 +126,21 @@ def test_ivf_topk_runs(spark, sf_dir):
     firsts = {r["query_id"]: r for r in got if r["rank"] == 1}
     for qid, r in firsts.items():
         assert r["corpus_id"] == qid and r["cos"] >= 0.999
+
+
+def test_connected_components_chain_and_islands(spark):
+    from traildb_spark.operators.dedup import connected_components, dedup_clusters
+    import pyspark.sql.functions as F
+
+    # chain 1-2-3-4 (diameter > 1 iteration), island pair 10-11, self-loop 20
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 20)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], ["doc_id"])
+    out = {r["doc_id"]: (r["component"], r["is_canonical"]) for r in dedup_clusters(docs, pairs).collect()}
+    assert out[99] == (99, True)      # singleton: own component
+    assert out[4] == (1, False)
+    assert out[1] == (1, True)

@@ -420,6 +420,114 @@ def simhash_pairs(
 
 
 # --------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 20,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (id, component) where
+    component = min id reachable. This is the step that turns pairwise
+    near-dup output into "keep one doc per duplicate cluster".
+
+    Hybrid strategy: the EDGE list of a dedup job is orders of magnitude
+    smaller than the corpus, so when it fits the driver comfortably
+    (<= driver_threshold edges) union-find runs there exactly — one collect
+    of (src,dst) longs, no iteration overhead. Above the threshold, falls
+    back to distributed min-label propagation: each iteration is one edge
+    shuffle, convergence detected by a label-table checksum (labels only
+    ever decrease, so checksum stability == fixpoint). Giant-component
+    graphs would warrant the large-star/small-star variant (same join
+    primitive, alternating orientations).
+    """
+    edges = _materialize(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).filter(
+            F.col("src") != F.col("dst")
+        ).dropDuplicates()
+    )
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = edges.collect()
+        for r in rows:
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                # union by min id so the root IS the canonical label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {x for r in rows for x in (r["src"], r["dst"])}
+        out = [(x, find(x)) for x in sorted(nodes)]
+        edges.unpersist()
+        return pairs.sparkSession.createDataFrame(out, "id long, component long")
+
+    # distributed path
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = _materialize(
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        prop = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("neighbor_min"))
+        )
+        new_labels = _materialize(
+            labels.join(prop, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("neighbor_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        csum = new_labels.agg(
+            F.bit_xor(F.xxhash64("id", "component")).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        labels.unpersist()
+        labels = new_labels
+        if prev_sum == (csum["c"], csum["n"]):
+            break
+        prev_sum = (csum["c"], csum["n"])
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every doc with its duplicate-cluster id and canonical flag: docs in
+    no cluster are their own singleton component."""
+    comp = connected_components(pairs)
+    out = df.select(F.col(id_col)).join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    return out.select(
+        id_col,
+        F.coalesce("component", F.col(id_col)).alias("component"),
+    ).withColumn("is_canonical", F.col(id_col) == F.col("component"))
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 
