@@ -392,9 +392,11 @@ def q31_quality(spark, sf_dir):
 
 
 def q32_langid(spark, sf_dir):
-    """Language-ID (stopword-overlap heuristic), counted per language."""
+    """Language-ID (stopword-overlap heuristic), counted per language.
+    Uses the Arrow-batched kernel; the Catalyst formulation
+    (text.detect_language) computes the identical result."""
     docs = _load(spark, sf_dir, "documents")
-    out = docs.select(text.detect_language(F.col("text")).alias("lang_detected"))
+    out = docs.select(text.detect_language_vec(F.col("text")).alias("lang_detected"))
     return out.groupBy("lang_detected").agg(F.count(F.lit(1)).alias("n_docs"))
 
 

@@ -8,6 +8,7 @@ exactly-equivalent ANSI-SQL formulation used by the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,6 +78,34 @@ def detect_language(col: Column) -> Column:
         ranked.append(F.struct(hits.alias("hits"), F.lit(i).alias("r"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*ranked))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def detect_language_vec(col: Column) -> Column:
+    """Arrow-batched variant of :func:`detect_language` — identical
+    semantics (max marker hits, alphabetical tie-break, 'und' on zero
+    hits), one Python pass per batch instead of 4 interpreted array
+    filters per row. Verified equal via the q32 DuckDB oracle."""
+    import re
+
+    markers = {lang: frozenset(ws) for lang, ws in LANG_MARKERS.items()}
+    order = sorted(LANG_MARKERS)
+    ws_re = re.compile(r"\s+")
+
+    @F.pandas_udf("string")
+    def lid(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            toks = [w for w in ws_re.sub(" ", (t or "").lower()).strip().split(" ") if w]
+            best_lang, best_hits = "und", 0
+            for lang in order:
+                m = markers[lang]
+                h = sum(1 for w in toks if w in m)
+                if h > best_hits:
+                    best_hits, best_lang = h, lang
+            out.append(best_lang)
+        return pd.Series(out)
+
+    return lid(col)
 
 
 def fingerprint(col: Column) -> Column:
