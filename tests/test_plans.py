@@ -94,3 +94,30 @@ def test_session_agg_partial_aggregation(spark, sf_dir):
     plan = audit.explain_str(agg, "simple")
     assert plan.count("HashAggregate") >= 2
     assert audit.num_shuffles(agg) == 1
+
+
+def test_time_shard_partition_pruning(spark, sf_dir, tmp_path):
+    """Sharded finalize + time-range filter: the derived __shard predicate
+    must land in PartitionFilters (Hive partition pruning), __shard must not
+    leak into the schema, and pruned results == unsharded results."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("uuid"),
+        F.expr("ts div 1000000000").alias("time"),
+        F.coalesce("event_type", F.lit("")).alias("event_type"),
+    )
+    path = str(tmp_path / "sharded")
+    TrailDataset(ev).finalize(path, num_buckets=4, time_shard="yyyy-MM-dd")
+    t0, t1 = 1704067200, 1704153600  # first day
+    f = EventFilter().add_time_range(t0, t1)
+    ds = TrailDataset.open(spark, path).with_filter(f)
+    assert "__shard" not in ds.df.columns
+    plan = audit.explain_str(ds.df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m and "__shard" in m.group(1), f"no shard pruning:\n{plan[:800]}"
+    expect = sorted(
+        map(tuple, ev.filter((F.col("time") >= t0) & (F.col("time") < t1)).collect())
+    )
+    got = sorted(map(tuple, ds.df.select("uuid", "time", "event_type").collect()))
+    assert got == expect

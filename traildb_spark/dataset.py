@@ -18,17 +18,21 @@ computation shuffles on a key the layout already clusters.
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.filters import EventFilter, uuid_whitelist
+from .operators.filters import EventFilter, TimeRange, uuid_whitelist
 
 UUID_COL = "uuid"
 TIME_COL = "time"
-RESERVED = (UUID_COL, TIME_COL)
+SHARD_COL = "__shard"
+META_FILE = "_traildb_meta.json"
+RESERVED = (UUID_COL, TIME_COL, SHARD_COL)
 
 
 def normalize_events(
@@ -71,18 +75,65 @@ class TrailInfo:
     fields: list[str]
 
 
+def _shard_predicate(f: EventFilter, shard_fmt: str) -> Column | None:
+    """Derive a partition predicate on the ``__shard`` column from the
+    filter's pure-time-range clauses.
+
+    Sound candidate generation (reference index contract, §2.8 X2): only
+    clauses consisting solely of time ranges constrain the shard — the
+    derived predicate selects a superset of shards and the exact filter
+    re-checks rows. This is what turns 'time in [a,b)' into Hive-partition
+    pruning on the daily-shard layout.
+    """
+    derived = []
+    for clause in f.clauses:
+        if clause and all(isinstance(t, TimeRange) for t in clause):
+            ors = None
+            for t in clause:
+                c = (
+                    F.col(SHARD_COL)
+                    >= F.date_format(F.timestamp_seconds(F.lit(t.start)), shard_fmt)
+                ) & (
+                    F.col(SHARD_COL)
+                    <= F.date_format(F.timestamp_seconds(F.lit(t.end)), shard_fmt)
+                )
+                ors = c if ors is None else (ors | c)
+            derived.append(ors)
+    if not derived:
+        return None
+    out = derived[0]
+    for c in derived[1:]:
+        out = out & c
+    return out
+
+
 class TrailDataset:
     """DataFrame-in / DataFrame-out wrapper; everything stays lazy."""
 
-    def __init__(self, df: DataFrame, db_filter: EventFilter | None = None):
+    def __init__(
+        self,
+        df: DataFrame,
+        db_filter: EventFilter | None = None,
+        shard_fmt: str | None = None,
+    ):
         self._raw = df
         self._filter = db_filter
+        self._shard_fmt = shard_fmt
 
     # -- constructors ------------------------------------------------------
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "TrailDataset":
-        """Reference ``tdb_open`` (`src/tdb.c:298-393`) → lazy Parquet scan."""
-        return cls(spark.read.parquet(path))
+        """Reference ``tdb_open`` (`src/tdb.c:298-393`) → lazy Parquet scan.
+        Reads the layout sidecar (shard format) when present."""
+        shard_fmt = None
+        meta_path = os.path.join(path, META_FILE)
+        try:
+            if os.path.exists(meta_path):
+                with open(meta_path, "r", encoding="utf-8") as fh:
+                    shard_fmt = json.load(fh).get("time_shard")
+        except OSError:
+            pass
+        return cls(spark.read.parquet(path), shard_fmt=shard_fmt)
 
     @classmethod
     def from_dataframe(
@@ -92,13 +143,23 @@ class TrailDataset:
 
     # -- views (reference TDB_OPT_EVENT_FILTER, src/tdb.c:707-732) ---------
     def with_filter(self, f: EventFilter | None) -> "TrailDataset":
-        return TrailDataset(self._raw, f)
+        return TrailDataset(self._raw, f, shard_fmt=self._shard_fmt)
 
     @property
     def df(self) -> DataFrame:
+        out = self._raw
+        sharded = SHARD_COL in out.columns
         if self._filter is not None:
-            return self._filter.apply(self._raw, time_col=TIME_COL)
-        return self._raw
+            # derived shard predicate FIRST (hits PartitionFilters), exact
+            # CNF re-check second — the reference's candidates+recheck order
+            if sharded and self._shard_fmt:
+                sp = _shard_predicate(self._filter, self._shard_fmt)
+                if sp is not None:
+                    out = out.filter(sp)
+            out = self._filter.apply(out, time_col=TIME_COL)
+        if sharded:
+            out = out.drop(SHARD_COL)
+        return out
 
     @property
     def fields(self) -> list[str]:
@@ -202,21 +263,30 @@ class TrailDataset:
         ``time_shard``: optional 'yyyy-MM-dd'-style partition column formula
         replicating the reference's "daily tdb" deployment pattern
         (`doc/docs/index.md:43-45`) — enables partition pruning on time.
+        The format is recorded in a ``_traildb_meta.json`` sidecar so
+        ``open()`` can translate time-range filters into partition
+        predicates; use a lexicographically monotonic pattern
+        (year-first, e.g. 'yyyy-MM-dd' or 'yyyy-MM-dd-HH').
         """
         df = self.df
         writer_df = df
         n = num_buckets or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         if time_shard:
             writer_df = df.withColumn(
-                "__shard", F.date_format(F.timestamp_seconds(F.col(TIME_COL)), time_shard)
+                SHARD_COL, F.date_format(F.timestamp_seconds(F.col(TIME_COL)), time_shard)
             )
             (
-                writer_df.repartition(n, F.col("__shard"), F.col(UUID_COL))
-                .sortWithinPartitions("__shard", UUID_COL, TIME_COL)
+                writer_df.repartition(n, F.col(SHARD_COL), F.col(UUID_COL))
+                .sortWithinPartitions(SHARD_COL, UUID_COL, TIME_COL)
                 .write.mode(mode)
-                .partitionBy("__shard")
+                .partitionBy(SHARD_COL)
                 .parquet(path)
             )
+            try:
+                with open(os.path.join(path, META_FILE), "w", encoding="utf-8") as fh:
+                    json.dump({"time_shard": time_shard}, fh)
+            except OSError:
+                pass  # non-local filesystem: caller passes shard_fmt to open()
         else:
             (
                 writer_df.repartition(n, F.col(UUID_COL))
