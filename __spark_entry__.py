@@ -429,6 +429,28 @@ def q35_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, threshold=0.5)
 
 
+def q43_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation in ONE lazy plan: quality gate → langid →
+    exact dedup (keep min doc_id per content hash) → per-language stats.
+    The composite the pipeline operators exist for; everything stays in a
+    single Catalyst plan (one scan, two shuffles)."""
+    docs = _load(spark, sf_dir, "documents")
+    h = F.md5(dedup.normalize_text(F.col("text")))
+    w = Window.partitionBy(h).orderBy("doc_id")
+    kept = (
+        docs.withColumn("quality", text.quality_score(F.col("text")))
+        .filter(F.col("quality") >= 0.5)
+        .withColumn("lang_detected", text.detect_language_vec(F.col("text")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return kept.groupBy("lang_detected").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
 def q42_dedup_clusters(spark, sf_dir):
     """Duplicate clustering: connected components (hybrid union-find /
     min-label propagation) over SimHash near-dup pairs; every doc labeled
@@ -539,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_sim_topk_lsh": q40_sim_topk_lsh,
         "q41_sim_topk_ivf": q41_sim_topk_ivf,
         "q42_dedup_clusters": q42_dedup_clusters,
+        "q43_curation_pipeline": q43_curation_pipeline,
     }
 
 
@@ -774,6 +797,29 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) AS jaccard
               FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+        """,
+        "q43_curation_pipeline": f"""
+            WITH m AS (
+              SELECT doc_id, text,
+                     CAST(length({_NORM_TEXT}) AS DOUBLE) AS n_chars,
+                     CAST(length(regexp_replace({_NORM_TEXT}, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                     CAST(length(regexp_replace({_NORM_TEXT}, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                     CAST(len({_TOKENS}) AS DOUBLE) AS n_tokens
+              FROM documents),
+            q AS (
+              SELECT doc_id, text,
+                     round(((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+                      + (CASE WHEN n_tokens > 0 AND n_alpha / n_tokens >= 2.0 AND n_alpha / n_tokens <= 12.0 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.2 THEN 1.0 WHEN n_chars = 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+              FROM m),
+            f AS (
+              SELECT doc_id, text, quality, {lang_case} AS lang_detected,
+                     row_number() OVER (PARTITION BY md5({_NORM_TEXT}) ORDER BY doc_id) AS rn
+              FROM q WHERE quality >= 0.5)
+            SELECT lang_detected, COUNT(*) AS n_docs,
+                   round(AVG(quality), 6) AS avg_quality,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars
+            FROM f WHERE rn = 1 GROUP BY lang_detected
         """,
         "q42_dedup_clusters": f"""
             WITH RECURSIVE
