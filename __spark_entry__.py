@@ -358,6 +358,26 @@ def q24_asof_join(spark, sf_dir):
     ).select("uuid", "time", "event_id", "otime", "n_orders", "order_total")
 
 
+def q26_range_join(spark, sf_dir):
+    """Interval (range) join via time binning — no nested-loop join: count
+    events per overlapping campaign window. Windows overlap so each event
+    can land in two; oracle is a plain SQL BETWEEN join."""
+    ev = _events(spark, sf_dir).select("uuid", "time")
+    spark_windows = spark.range(0, 50).select(
+        F.col("id").alias("window_id"),
+        (F.lit(TIME_LO) + F.col("id") * 20000).alias("w_start"),
+        (F.lit(TIME_LO) + F.col("id") * 20000 + 40000).alias("w_end"),
+    )
+    joined = joins.range_join(
+        ev, spark_windows, left_time="time", start_col="w_start", end_col="w_end",
+        bin_size=20000,
+    )
+    return joined.groupBy("window_id", "w_start", "w_end").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("uuid").alias("n_trails"),
+    )
+
+
 def q25_rollup(spark, sf_dir):
     """Hierarchical rollup aggregation (SURVEY §2.6 '—' row: grouping sets
     free in Spark, absent in the reference)."""
@@ -548,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_props_extract": q23_props_extract,
         "q24_asof_join": q24_asof_join,
         "q25_rollup": q25_rollup,
+        "q26_range_join": q26_range_join,
         "q30_fingerprints": q30_fingerprints,
         "q31_quality": q31_quality,
         "q32_langid": q32_langid,
@@ -702,6 +723,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.uuid, e."time", e.event_id, o.otime, o.n_orders, o.order_total
             FROM e ASOF LEFT JOIN o
               ON e.uuid = o.uuid AND e."time" >= o.otime
+        """,
+        "q26_range_join": f"""
+            WITH w AS (
+              SELECT i AS window_id,
+                     {TIME_LO} + i * 20000 AS w_start,
+                     {TIME_LO} + i * 20000 + 40000 AS w_end
+              FROM generate_series(0, 49) AS t(i)),
+            e AS (SELECT uuid, "time" FROM ({_E}))
+            SELECT w.window_id, w.w_start, w.w_end,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT e.uuid) AS n_trails
+            FROM e JOIN w ON e."time" >= w.w_start AND e."time" < w.w_end
+            GROUP BY 1, 2, 3
         """,
         "q25_rollup": """
             SELECT l_returnflag, l_linestatus,

@@ -86,3 +86,52 @@ def test_asof_bad_direction(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_range_join_binned_equals_naive(spark):
+    """Binned range join == naive inequality join on a random-ish fixture,
+    across bin sizes (including bins much smaller/larger than intervals)."""
+    from traildb_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [(i, (i * 37) % 1000) for i in range(200)], ["lid", "t"]
+    )
+    right = spark.createDataFrame(
+        [(j, (j * 91) % 900, (j * 91) % 900 + 10 + (j % 50)) for j in range(40)],
+        ["rid", "s", "e"],
+    )
+    naive = sorted(
+        (l["lid"], r["rid"])
+        for l in left.collect()
+        for r in right.collect()
+        if r["s"] <= l["t"] < r["e"]
+    )
+    for bin_size in (7, 64, 2000):
+        got = sorted(
+            map(
+                tuple,
+                range_join(left, right, left_time="t", start_col="s", end_col="e",
+                           bin_size=bin_size).select("lid", "rid").collect(),
+            )
+        )
+        assert got == naive, f"bin_size={bin_size}"
+
+
+def test_range_join_with_keys(spark):
+    from traildb_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([("a", 5), ("b", 5)], ["k", "t"])
+    right = spark.createDataFrame([("a", 0, 10)], ["k", "s", "e"])
+    out = range_join(left, right, left_time="t", start_col="s", end_col="e", on="k")
+    assert [tuple(r) for r in out.select("k", "t").collect()] == [("a", 5)]
+
+
+def test_range_join_no_nested_loop_plan(spark):
+    from traildb_spark.operators.joins import range_join
+    from traildb_spark.plans import audit
+
+    left = spark.createDataFrame([(1, 1)], ["lid", "t"])
+    right = spark.createDataFrame([(1, 0, 5)], ["rid", "s", "e"])
+    out = range_join(left, right, left_time="t", start_col="s", end_col="e")
+    plan = audit.explain_str(out, "simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan

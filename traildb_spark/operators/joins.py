@@ -14,6 +14,40 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str = "time",
+    start_col: str = "start",
+    end_col: str = "end",
+    on: str | list[str] | None = None,
+    bin_size: int = 3600,
+) -> DataFrame:
+    """Interval join: every (left row, right row) pair where
+    ``start <= left_time < end`` (and optional equi-keys match).
+
+    Spark plans a bare inequality join as BroadcastNestedLoopJoin —
+    O(|L|·|R|) and driver-memory-bound. This operator bins time instead:
+    right intervals replicate to each ``bin_size`` bucket they overlap,
+    left rows take their single bucket, the join runs as a plain hash
+    equi-join on (keys..., bin), and the exact interval predicate
+    re-checks candidates. Shuffle volume = |L| + |R|·(avg interval /
+    bin_size); pick bin_size near the median interval length.
+    """
+    keys = [on] if isinstance(on, str) else list(on or [])
+    lbin = (F.col(left_time).cast("long") / bin_size).cast("long")
+    rbins = F.sequence(
+        (F.col(start_col).cast("long") / bin_size).cast("long"),
+        ((F.col(end_col).cast("long") - 1) / bin_size).cast("long"),
+    )
+    l = left.withColumn("__bin", lbin)
+    r = right.withColumn("__bin", F.explode(rbins))
+    joined = l.join(r, [*keys, "__bin"]).filter(
+        (F.col(start_col) <= F.col(left_time)) & (F.col(left_time) < F.col(end_col))
+    )
+    return joined.drop("__bin")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
