@@ -482,6 +482,14 @@ def q42_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(docs, pairs)
 
 
+def q44_minhash_portable(spark, sf_dir):
+    """MinHash+LSH with portable math (md5 shingles, rotate-XOR perms, md5
+    band keys): the ONLY fully oracle-checked LSH pipeline — candidates AND
+    verify reproduced in DuckDB. q35 remains the numpy fast path."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_portable(docs)
+
+
 def q36_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3), full oracle parity: token
     hashes are the first 60 bits of md5 so DuckDB reproduces the exact
@@ -583,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_sim_topk_ivf": q41_sim_topk_ivf,
         "q42_dedup_clusters": q42_dedup_clusters,
         "q43_curation_pipeline": q43_curation_pipeline,
+        "q44_minhash_portable": q44_minhash_portable,
     }
 
 
@@ -609,6 +618,15 @@ def oracle_sql() -> dict[str, str]:
     grams3 = (
         "list_distinct([array_to_string(w[i:i+2], ' ') "
         "for i in generate_series(1, greatest(len(w) - 2, 1))])"
+    )
+
+    from traildb_spark.operators.dedup import _portable_perms
+
+    rows_per_band = 4
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> xor((h % {1 << (60 - r)}) * {1 << r}"
+        f" + h // {1 << (60 - r)}, {c})))"
+        for (r, c) in _portable_perms(16)
     )
     cos_ab = f"{_sql_dot('a.embedding','b.embedding')} / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})"
     cos_cq = f"{_sql_dot('c.embedding','q.embedding')} / ({_sql_norm('c.embedding')} * {_sql_norm('q.embedding')})"
@@ -888,6 +906,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component,
                    d.doc_id = COALESCE(l.component, d.doc_id) AS is_canonical
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+        """,
+        "q44_minhash_portable": f"""
+            WITH t AS (
+              SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                       [CAST(('0x' || substr(md5(substr(nt, i, 5)), 1, 15)) AS BIGINT)
+                        for i in generate_series(1, greatest(length(nt) - 4, 1))])) AS hs
+              FROM t),
+            s AS (
+              SELECT doc_id, hs, [{sig_items}] AS sig FROM g WHERE len(hs) > 0),
+            banded AS (
+              SELECT doc_id, b,
+                     md5(array_to_string(sig[b * {rows_per_band} + 1 : b * {rows_per_band} + {rows_per_band}], ',')) AS bh
+              FROM s, generate_series(0, 3) AS bt(b)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM banded a JOIN banded b2
+                ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id)
+            SELECT c.id_a, c.id_b,
+                   round(CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(ga.hs, gb.hs))) AS DOUBLE), 6) AS jaccard
+            FROM cand c
+            JOIN s ga ON c.id_a = ga.doc_id
+            JOIN s gb ON c.id_b = gb.doc_id
+            WHERE round(CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE)
+                        / CAST(len(list_distinct(list_concat(ga.hs, gb.hs))) AS DOUBLE), 6) >= 0.5
         """,
         "q36_simhash": f"""
             WITH t AS (

@@ -49,6 +49,16 @@ def test_minhash_lsh_pairs(docs):
     assert not any(5 in p or 6 in p for p in pairs)
 
 
+def test_minhash_lsh_pairs_portable(docs):
+    got = dedup.minhash_lsh_pairs_portable(docs, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(5 in p or 6 in p for p in pairs)
+    # exact-dup pairs must carry jaccard exactly 1.0
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
+    assert j[(1, 2)] == 1.0 and j[(1, 3)] == 1.0
+
+
 def test_simhash_pairs(docs):
     got = dedup.simhash_pairs(docs, max_hamming=3).collect()
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in got}

@@ -348,6 +348,142 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
+# MinHash + LSH, portable-math variant (cross-engine reproducible)
+# --------------------------------------------------------------------------
+
+_MASK60 = (1 << 60) - 1
+# deterministic 60-bit xor constants + rotation amounts for the portable
+# permutation family h_j(x) = rot60(x, r_j) XOR c_j — min-wise-independent
+# enough for LSH, and exactly reproducible in any engine with 64-bit ints
+# (no multiplication, so no overflow semantics to match).
+def _portable_perms(num_hashes: int) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(777)
+    return [
+        (int(rng.randint(1, 60)), int(rng.randint(0, _MASK60, dtype=np.int64)))
+        for _ in range(num_hashes)
+    ]
+
+
+def md5_shingle_hashes(col: Column, k: int = 5) -> Column:
+    """Sorted distinct 60-bit md5-prefix hashes of char k-shingles,
+    value-identical to DuckDB's CAST('0x'||substr(md5(shingle),1,15) AS
+    BIGINT). Arrow-batched hashlib kernel — the Catalyst
+    transform(md5∘substr) formulation computes the same values but
+    interpreted per shingle (measured ~5× slower end-to-end at sf0.1).
+
+    NOTE substring semantics must match SQL substr(nt, i, k): the k-window
+    is over UNICODE CODE POINTS of the normalized text, md5 over its UTF-8
+    encoding.
+    """
+    from ..functions.vectorized import _pynorm
+
+    @F.pandas_udf("array<long>")
+    def sh(s: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in s:
+            nt = _pynorm(t or "")
+            n = max(len(nt) - (k - 1), 1)
+            hs = {
+                int.from_bytes(
+                    hashlib.md5(nt[i : i + k].encode("utf-8")).digest()[:8], "big"
+                )
+                >> 4
+                for i in range(n)
+            }
+            out.append(np.array(sorted(hs), dtype=np.int64))
+        return pd.Series(out)
+
+    return sh(col)
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash banding with every step reproducible in ANSI SQL: md5-prefix
+    shingle hashes, rotate-XOR permutations (no overflow), md5 band keys,
+    exact Jaccard verify. Same plan shape as minhash_lsh_pairs (the numpy
+    fast path); exists so the full LSH pipeline — candidates AND verify —
+    can be differentially tested against a DuckDB oracle.
+    """
+    rows = num_hashes // bands
+    perms = _portable_perms(num_hashes)
+
+    r_arr = np.array([r for (r, _) in perms], dtype=np.int64)[:, None]
+    c_arr = np.array([c for (_, c) in perms], dtype=np.int64)[:, None]
+    m_arr = (np.int64(1) << (60 - r_arr))
+
+    @F.pandas_udf(f"array<long>")
+    def sig_udf(col: pd.Series) -> pd.Series:
+        out = []
+        for hs in col:
+            if hs is None or len(hs) == 0:
+                out.append(np.zeros(num_hashes, dtype=np.int64))
+                continue
+            h = np.asarray(hs, dtype=np.int64)[None, :]
+            # all permutations in one broadcast op: (num_hashes, n)
+            rot = ((h % m_arr) << r_arr) + (h >> (60 - r_arr))
+            out.append(np.min(rot ^ c_arr, axis=1))
+        return pd.Series(out)
+
+    base = _materialize(
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            md5_shingle_hashes(F.col(text_col), shingle_k).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+        .withColumn("sig", sig_udf(F.col("grams")))
+    )
+    # populate the cache distributed NOW: otherwise AQE's broadcast-build
+    # for the verify joins recomputes the (expensive) hash pipeline
+    # single-threaded before the main stage fills the cache
+    base.count()
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(",", F.slice("sig", b * rows + 1, rows))
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = base.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = base.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 
