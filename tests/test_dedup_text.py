@@ -41,6 +41,23 @@ def test_ngram_jaccard_pairs(docs):
     assert not any(5 in p or 6 in p for p in pairs)
 
 
+def test_ngram_jaccard_freq_order_equivalence(docs):
+    # PPJoin frequency ordering changes only WHICH grams land in prefixes,
+    # never the verified result set (prefix-filter completeness holds for
+    # any consistent total order)
+    plain = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, freq_order_top_k=0
+        ).collect()
+    }
+    ordered = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert plain == ordered and len(plain) > 0
+
+
 def test_minhash_lsh_pairs(docs):
     got = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in got}

@@ -180,16 +180,29 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    freq_order_top_k: int = 4096,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with word-n-gram Jaccard >= threshold.
 
     Candidate pruning by prefix filtering (SSJoin/PPJoin family): if
-    J(A,B) >= t then the prefixes of the lexicographically sorted sets of
-    length |X| - ceil(t*|X|) + 1 must intersect — so bucket-join on prefix
-    grams, then verify exactly. Complete (no false negatives), and the
-    shuffle key is a single n-gram: fine-grained, skew bounded by stop-gram
-    frequency (add a frequency cut at 100 TB).
+    J(A,B) >= t then the prefixes — under ANY globally consistent total
+    order of the gram universe — of length |X| - ceil(t*|X|) + 1 must
+    intersect. So bucket-join on prefix grams, then verify exactly:
+    complete (no false negatives) for any ordering.
+
+    The ordering is where skew dies: PPJoin-style, grams are ordered by
+    ASCENDING document frequency, so prefixes hold each doc's rarest grams
+    and stop-grams ("of the and") — the hot join keys that would otherwise
+    concentrate the candidate shuffle onto a few reducers and emit O(df²)
+    candidate pairs per stop-gram — are pushed out of prefixes entirely.
+    Implemented scale-style: one map-side-combined groupBy counts gram df,
+    only the top `freq_order_top_k` hot grams ship to the driver and ride
+    into the prefix UDF as a broadcast rank table; the cold tail (df≈1,
+    unbounded universe) needs no ordering info — hash order is already
+    frequency-flat. `freq_order_top_k=0` disables (plain hash order).
     """
+    import math
+
     from ..functions.vectorized import word_ngram_hashes_udf
 
     grams = word_ngram_hashes_udf(F.col(text_col), n)
@@ -198,15 +211,48 @@ def ngram_jaccard_pairs(
             F.size("grams") > 0
         )
     )
-    prefix_len = (
-        F.size("grams") - F.ceil(F.size("grams") * F.lit(threshold)).cast("int") + 1
-    )
+    hot_rank: dict[int, int] = {}
+    if freq_order_top_k:
+        hot = (
+            base.select(F.explode("grams").alias("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .filter(F.col("df_cnt") > 1)
+            .orderBy(F.desc("df_cnt"))
+            .limit(freq_order_top_k)
+            .collect()
+        )
+        # rank ascending by df: the rarest hot gram sorts first among hots
+        hot_rank = {
+            int(r["g"]): i for i, r in enumerate(sorted(hot, key=lambda r: r["df_cnt"]))
+        }
+
+    @F.pandas_udf("array<long>")
+    def prefix_udf(col: pd.Series) -> pd.Series:
+        out = []
+        for hs in col:
+            arr = np.asarray(hs, dtype=np.int64)
+            # same value as the Catalyst ceil(size * t) formulation
+            plen = len(arr) - int(math.ceil(len(arr) * threshold)) + 1
+            if hot_rank:
+                ranks = np.fromiter(
+                    (hot_rank.get(int(h), -1) for h in arr),
+                    dtype=np.int64,
+                    count=len(arr),
+                )
+                is_hot = ranks >= 0
+                arr = np.concatenate(
+                    [arr[~is_hot], arr[is_hot][np.argsort(ranks[is_hot], kind="stable")]]
+                )
+            out.append(arr[:plen])
+        return pd.Series(out)
+
     # candidate generation carries ONLY (id, size, prefix-gram-hash) — the
     # gram arrays never ride through the candidate shuffle
     exploded = base.select(
         "id",
         F.size("grams").alias("sz"),
-        F.explode(F.slice("grams", F.lit(1), prefix_len)).alias("g"),
+        F.explode(prefix_udf(F.col("grams"))).alias("g"),
     )
     a = exploded.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
     b = exploded.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
