@@ -76,3 +76,70 @@ def test_stateful_trail_counts(spark, event_dir):
     }
     # availableNow processes everything in one batch -> final counts equal batch
     assert got == batch
+
+
+def test_streaming_dedup_exact(spark, sf_dir, tmp_path):
+    from traildb_spark.streaming.ingest import streaming_dedup_exact
+    from traildb_spark.operators.text import fingerprint as fp
+
+    path = str(tmp_path / "docs")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("event_time", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")))
+    )
+    # inject exact duplicates with fresh ids
+    dup = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 1000000)
+    docs.unionByName(dup).repartition(3).write.parquet(path)
+
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = streaming_dedup_exact(stream, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_stream").count()
+    distinct_fp = (
+        spark.read.parquet(path).select(fp(F.col("text")).alias("h")).distinct().count()
+    )
+    # everything arrives within one batch => exactly one survivor per content
+    assert got == distinct_fp
+    assert "content_hash" not in spark.sql("select * from dedup_stream").columns
+
+
+def test_streaming_finalize_layout(spark, sf_dir, tmp_path):
+    import os
+
+    from traildb_spark.dataset import TrailDataset
+    from traildb_spark.streaming.ingest import streaming_finalize
+
+    src = str(tmp_path / "src")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").cast("string").alias("uuid"),
+            F.expr("ts div 1000000000").cast("long").alias("time"),
+            F.col("event_type").cast("string").alias("event_type"),
+        )
+    )
+    ev.repartition(3).write.parquet(src)
+
+    out_dir = str(tmp_path / "tdb")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming_finalize(
+        stream, out_dir, checkpoint=str(tmp_path / "ckpt"), time_shard="yyyy-MM-dd"
+    )
+    q.awaitTermination(120)
+
+    ds = TrailDataset.open(spark, out_dir)
+    assert ds.df.count() == ev.count()
+    # sidecar written => time-range filters can prune shards on open()
+    assert os.path.exists(os.path.join(out_dir, "_traildb_meta.json"))
+    shards = [d for d in os.listdir(out_dir) if d.startswith("__shard=")]
+    assert len(shards) >= 1
