@@ -143,3 +143,39 @@ def test_streaming_finalize_layout(spark, sf_dir, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "_traildb_meta.json"))
     shards = [d for d in os.listdir(out_dir) if d.startswith("__shard=")]
     assert len(shards) >= 1
+
+
+def test_compact_shards_preserves_data(spark, sf_dir, tmp_path):
+    import os
+
+    from traildb_spark.dataset import TrailDataset, compact_shards
+    from traildb_spark.streaming.ingest import streaming_finalize
+
+    src = str(tmp_path / "src")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").cast("string").alias("uuid"),
+            F.expr("ts div 1000000000").cast("long").alias("time"),
+            F.col("event_type").cast("string").alias("event_type"),
+        )
+    )
+    ev.repartition(3).write.parquet(src)
+    out = str(tmp_path / "tdb")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_finalize(stream, out, checkpoint=str(tmp_path / "ck"), time_shard="yyyy-MM-dd")
+    q.awaitTermination(180)
+
+    shard0 = sorted(d for d in os.listdir(out) if d.startswith("__shard="))[0]
+    n_files = lambda: len(
+        [f for f in os.listdir(os.path.join(out, shard0)) if f.endswith(".parquet")]
+    )
+    before_files = n_files()
+    before = {tuple(r) for r in TrailDataset.open(spark, out).df.collect()}
+    compact_shards(spark, out, num_buckets=1)
+    assert {tuple(r) for r in TrailDataset.open(spark, out).df.collect()} == before
+    assert n_files() <= before_files and n_files() == 1

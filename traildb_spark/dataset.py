@@ -294,3 +294,51 @@ class TrailDataset:
                 .write.mode(mode)
                 .parquet(path)
             )
+
+
+def compact_shards(
+    spark: SparkSession,
+    path: str,
+    shards: list[str] | None = None,
+    num_buckets: int | None = None,
+) -> list[str]:
+    """Re-finalize CLOSED time shards of a sharded dataset in place.
+
+    ``streaming.ingest.streaming_finalize`` clusters per micro-batch, so a
+    shard that received many batches holds many small uuid-runs; queries
+    stay correct but lose row-group pruning sharpness and pay small-file
+    overhead. Compaction rewrites a whole shard as one uuid-clustered,
+    (uuid, time)-sorted file set — the reference's immutable daily
+    re-encode (doc/docs/index.md:43-45), applied per shard instead of per
+    database so 100 TB of history is never rewritten to absorb one day.
+
+    Only compact shards no longer receiving appends (older than the
+    stream's watermark): the swap is not concurrency-safe against an
+    in-flight write to the SAME shard. Returns the shard values rewritten.
+    """
+    import shutil
+
+    if shards is None:
+        shards = sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(path)
+            if d.startswith(f"{SHARD_COL}=")
+        )
+    n = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    done: list[str] = []
+    for shard in shards:
+        shard_dir = os.path.join(path, f"{SHARD_COL}={shard}")
+        tmp_dir = os.path.join(path, f".compact.{shard}.tmp")
+        (
+            spark.read.parquet(shard_dir)
+            .repartition(n, F.col(UUID_COL))
+            .sortWithinPartitions(UUID_COL, TIME_COL)
+            .write.mode("overwrite")
+            .parquet(tmp_dir)
+        )
+        old_dir = os.path.join(path, f".compact.{shard}.old")
+        os.rename(shard_dir, old_dir)
+        os.rename(tmp_dir, shard_dir)
+        shutil.rmtree(old_dir)
+        done.append(shard)
+    return done
