@@ -490,6 +490,17 @@ def q44_minhash_portable(spark, sf_dir):
     return dedup.minhash_lsh_pairs_portable(docs)
 
 
+def q45_boilerplate_removal(spark, sf_dir):
+    """Paragraph-level dedup across documents (C4/RefinedWeb boilerplate
+    removal): drop every 10-word chunk appearing in >= 2 docs, reassemble
+    the survivors in order. Frequent-chunk set is broadcast back as an
+    anti-join — the corpus never shuffles to be cleaned."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.remove_boilerplate(
+        docs, text.word_chunks(F.col("text"), 10), min_df=2
+    )
+
+
 def q36_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3), full oracle parity: token
     hashes are the first 60 bits of md5 so DuckDB reproduces the exact
@@ -592,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_dedup_clusters": q42_dedup_clusters,
         "q43_curation_pipeline": q43_curation_pipeline,
         "q44_minhash_portable": q44_minhash_portable,
+        "q45_boilerplate_removal": q45_boilerplate_removal,
     }
 
 
@@ -906,6 +918,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component,
                    d.doc_id = COALESCE(l.component, d.doc_id) AS is_canonical
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+        """,
+        "q45_boilerplate_removal": f"""
+            WITH t AS (
+              SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS ws FROM documents),
+            c0 AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(0, CAST(ceil(len(ws) / 10.0) AS INT) - 1)) AS pos
+              FROM t),
+            chunks AS (
+              SELECT doc_id, pos,
+                     array_to_string(ws[pos * 10 + 1 : pos * 10 + 10], ' ') AS para
+              FROM c0),
+            freq AS (
+              SELECT para FROM (SELECT DISTINCT doc_id, para FROM chunks)
+              GROUP BY para HAVING count(*) >= 2),
+            kept AS (
+              SELECT c.doc_id, c.pos, c.para FROM chunks c
+              WHERE c.para NOT IN (SELECT para FROM freq))
+            SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
         """,
         "q44_minhash_portable": f"""
             WITH t AS (

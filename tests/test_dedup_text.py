@@ -171,3 +171,35 @@ def test_connected_components_chain_and_islands(spark):
     assert out[99] == (99, True)      # singleton: own component
     assert out[4] == (1, False)
     assert out[1] == (1, True)
+
+
+def test_remove_boilerplate(spark):
+    rows = [
+        (1, "all rights reserved . alpha beta gamma delta"),
+        (2, "all rights reserved . epsilon zeta eta theta"),
+        (3, "unique prose with no repeats at all here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # 4-word chunks: chunk 0 ("all rights reserved .") is shared by docs 1+2
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in text.remove_boilerplate(
+            docs, text.word_chunks(F.col("text"), 4), min_df=2
+        ).collect()
+    }
+    assert got[1] == "alpha beta gamma delta"
+    assert got[2] == "epsilon zeta eta theta"
+    assert got[3] == "unique prose with no repeats at all here"
+
+
+def test_remove_boilerplate_within_doc_repeat_not_boilerplate(spark):
+    # a chunk repeated twice INSIDE one doc only must survive (df counts docs)
+    rows = [(1, "spam spam spam spam spam spam spam spam"), (2, "other words entirely here")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in text.remove_boilerplate(
+            docs, text.word_chunks(F.col("text"), 4), min_df=2
+        ).collect()
+    }
+    assert got[1] == "spam spam spam spam spam spam spam spam"

@@ -126,3 +126,68 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         detect_language(c).alias("lang_detected"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# boilerplate removal (paragraph-level dedup across documents)
+# --------------------------------------------------------------------------
+
+def word_chunks(col: Column, n: int = 10) -> Column:
+    """Normalized text → array of fixed-size word chunks (the paragraph
+    unit for corpora without structural delimiters; pass ``F.split(text,
+    '\\n\\n')`` instead when real paragraphs exist)."""
+    w = F.split(normalize_text(col), " ")
+    n_chunks = F.ceil(F.size(w) / F.lit(n)).cast("int")
+    return F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(w, i * n + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    paragraphs: Column,
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    joiner: str = " ",
+) -> DataFrame:
+    """Drop every paragraph that appears in >= ``min_df`` documents
+    (C4/RefinedWeb-style boilerplate removal: headers, footers, cookie
+    banners repeat across pages; prose does not), then reassemble each
+    document from its surviving paragraphs in order. Documents left with
+    no paragraphs drop out entirely.
+
+    Scale shape: the frequency count shuffles only (md5(paragraph)) with
+    map-side combine, and the frequent set — boilerplate is by definition
+    a small universe — comes back as a broadcast anti-join, so the corpus
+    itself is never shuffled to be cleaned. Counting is per-document
+    (distinct within doc) so a paragraph repeated inside ONE document is
+    not boilerplate.
+    """
+    base = df.select(
+        F.col(id_col), F.posexplode(paragraphs).alias("pos", "para")
+    ).withColumn("ph", F.md5("para"))
+    freq = (
+        base.select(id_col, "ph")
+        .distinct()
+        .groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("df_cnt"))
+        .filter(F.col("df_cnt") >= min_df)
+        .select("ph")
+    )
+    kept = base.join(F.broadcast(freq), "ph", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                joiner,
+            ).alias("clean_text")
+        )
+    )
