@@ -501,6 +501,41 @@ def q45_boilerplate_removal(spark, sf_dir):
     )
 
 
+def q46_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by hashed-id bucket: a pure
+    projection (no shuffle, no seed) whose membership is reproducible in
+    any engine — the only split discipline that survives reruns and
+    late-arriving data."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    return curation.hash_split(
+        docs.select("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+def q47_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop every doc sharing a 13-word-gram
+    with the eval set (docs with doc_id % 50 == 0 stand in for the
+    benchmark). Bench grams broadcast; corpus grams probe map-side."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return curation.decontaminate(docs, bench, n=13).select("doc_id")
+
+
+def q48_source_quota(spark, sf_dir):
+    """Per-source quota: keep the 2 largest docs per source (cap any one
+    domain's corpus share); ties break on doc_id for determinism."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    return curation.per_source_quota(
+        docs, "source", 2, order_by=[F.col("n_chars").desc()]
+    ).select("doc_id", "source", "n_chars")
+
+
 def q36_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3), full oracle parity: token
     hashes are the first 60 bits of md5 so DuckDB reproduces the exact
@@ -604,6 +639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_curation_pipeline": q43_curation_pipeline,
         "q44_minhash_portable": q44_minhash_portable,
         "q45_boilerplate_removal": q45_boilerplate_removal,
+        "q46_hash_split": q46_hash_split,
+        "q47_decontaminate": q47_decontaminate,
+        "q48_source_quota": q48_source_quota,
     }
 
 
@@ -918,6 +956,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component,
                    d.doc_id = COALESCE(l.component, d.doc_id) AS is_canonical
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+        """,
+        "q46_hash_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 9000 THEN 'train'
+                        WHEN b < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+                  FROM documents)
+        """,
+        "q47_decontaminate": f"""
+            WITH w AS (
+              SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [CAST(('0x' || substr(md5(array_to_string(ws[i:i+12], ' ')), 1, 15)) AS BIGINT)
+                        for i in generate_series(1, greatest(len(ws) - 12, 1))]) AS gs
+              FROM w),
+            bg AS (
+              SELECT DISTINCT unnest(gs) AS bgram FROM g WHERE doc_id % 50 = 0),
+            bad AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest(gs) AS dgram FROM g)
+              WHERE dgram IN (SELECT bgram FROM bg))
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "q48_source_quota": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents)
+            WHERE rn <= 2
         """,
         "q45_boilerplate_removal": f"""
             WITH t AS (

@@ -1,0 +1,56 @@
+"""Curation operator tests: splits, decontamination, quotas."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from traildb_spark.operators import curation
+
+
+def test_hash_split_deterministic_and_proportional(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in curation.hash_split(docs, w).collect()}
+    b = {r["doc_id"]: r["split"] for r in curation.hash_split(docs, w).collect()}
+    assert a == b  # rerun-stable, no seed
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.6 <= frac_train <= 0.95  # 500 ids: loose proportion check
+    # different salt => different (but still deterministic) assignment
+    c = {r["doc_id"]: r["split"] for r in curation.hash_split(docs, w, salt="v2").collect()}
+    assert c != a
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError):
+        curation.hash_split(df, {"train": 0.5, "val": 0.1})
+
+
+def test_decontaminate(spark):
+    bench_sentence = "the capital of france is paris and it has many museums to visit"
+    rows = [
+        (1, f"some long prefix text here {bench_sentence} and a long suffix follows"),
+        (2, "totally unrelated document about spark shuffle partitions and parquet files ok"),
+        (3, "short exact dup"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, bench_sentence), (101, "short exact dup")], ["doc_id", "text"]
+    )
+    kept = sorted(r["doc_id"] for r in curation.decontaminate(docs, bench, n=13).collect())
+    # doc 1 contains a benchmark 13-gram; doc 3 (< 13 words) matches whole-doc gram
+    assert kept == [2]
+
+
+def test_per_source_quota(spark):
+    rows = [(i, f"src{i % 2}", 100 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = curation.per_source_quota(
+        df, "source", 2, order_by=[F.col("n_chars").desc()]
+    ).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # largest two per source
+    assert sorted(by_src["src0"]) == [6, 8]
+    assert sorted(by_src["src1"]) == [7, 9]

@@ -1,0 +1,140 @@
+"""Corpus curation: deterministic splits, decontamination, source quotas.
+
+The pipeline steps between "deduplicated corpus" and "training shards":
+assign reproducible train/val/test splits, strip documents that leak
+benchmark content, and cap any one source's share of the corpus. All
+three are pure DataFrame compositions with exact DuckDB-oracle parity.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column, buckets: int = 10000, salt: str = "") -> Column:
+    """Deterministic bucket in [0, buckets): first 60 bits of
+    md5(salt || value) mod buckets. Engine-independent (DuckDB:
+    CAST('0x'||substr(md5(..),1,15) AS BIGINT) % buckets), so a split
+    assigned today is the same split in every rerun, engine, and audit —
+    random() splits are not reproducible across retries or engines.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    return h % buckets
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Assign each row a named split by hashed-id bucket ranges.
+
+    ``weights`` maps split name → fraction (must sum to 1; the last split
+    absorbs rounding). Pure projection: no shuffle, no state, no sampling
+    seed to lose — membership is a function of the id alone, so late-
+    arriving data lands in consistent splits and val never bleeds into
+    train across pipeline reruns.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = hash_bucket(F.col(id_col), buckets, salt)
+    names = list(weights)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        hi = round(acc * buckets)
+        expr = F.when(b < hi, name) if expr is None else expr.when(b < hi, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def md5_word_ngram_hashes(col: Column, n: int = 13) -> Column:
+    """Sorted distinct 60-bit md5-prefix hashes of word n-grams over the
+    normalized text; a doc shorter than n words hashes as one whole-doc
+    gram. Arrow-batched kernel (the Catalyst higher-order formulation is
+    value-identical but interpreted per gram); value-equal to DuckDB's
+    md5 over array_to_string(words[i:i+n-1], ' ').
+    """
+    from ..functions.vectorized import _pynorm
+
+    @F.pandas_udf("array<long>")
+    def gh(s: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for t in s:
+            words = [w for w in _pynorm(t or "").split(" ") if w]
+            m = max(len(words) - (n - 1), 1)
+            hs = {
+                int.from_bytes(
+                    hashlib.md5(" ".join(words[i : i + n]).encode("utf-8")).digest()[:8],
+                    "big",
+                )
+                >> 4
+                for i in range(m)
+            }
+            out.append(np.array(sorted(hs), dtype=np.int64))
+        return pd.Series(out)
+
+    return gh(col)
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Remove every document sharing at least one word n-gram with the
+    benchmark set (eval-leakage removal; 13 grams is the published
+    GPT-3/PaLM convention). The benchmark's distinct gram set is small and
+    broadcasts, so corpus grams are probed map-side and never shuffle; only
+    the contaminated id list (tiny by construction) joins back as an
+    anti-join. Grams travel as 60-bit md5 hashes, never strings.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(md5_word_ngram_hashes(F.col(bench_text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+    contaminated = (
+        df.select(F.col(id_col), F.explode(md5_word_ngram_hashes(F.col(text_col), n)).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def per_source_quota(
+    df: DataFrame,
+    key_col: str = "source",
+    quota: int = 100,
+    order_by: list[Column] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``quota`` rows per key (cap any one domain/source's
+    share of the corpus). Ranking is a per-key window — one shuffle on the
+    key; a skewed mega-source is bounded because only rank <= quota rows
+    survive the subsequent stages. Deterministic: ties break on id.
+    """
+    order = (order_by or []) + [F.col(id_col).asc()]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
