@@ -536,6 +536,29 @@ def q48_source_quota(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def q49_media_metadata(spark, sf_dir):
+    """Multimodal metadata pass over a binary media column (documents
+    re-cast as a MEDIA_SCHEMA table: payload = utf-8 bytes of the text,
+    kind cycles image/audio/video). media_metadata touches only byte
+    LENGTH and the JSON sidecar, so column pruning keeps payload bytes out
+    of the scan; oracle recomputes the same values in SQL."""
+    from traildb_spark.operators import multimodal
+
+    docs = _load(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.concat(F.lit("x/"), kind).alias("mime"),
+        F.to_json(F.struct(F.col("source"))).alias("meta"),
+    )
+    return multimodal.media_metadata(media)
+
+
 def q36_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3), full oracle parity: token
     hashes are the first 60 bits of md5 so DuckDB reproduces the exact
@@ -642,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_hash_split": q46_hash_split,
         "q47_decontaminate": q47_decontaminate,
         "q48_source_quota": q48_source_quota,
+        "q49_media_metadata": q49_media_metadata,
     }
 
 
@@ -956,6 +980,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component,
                    d.doc_id = COALESCE(l.component, d.doc_id) AS is_canonical
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+        """,
+        "q49_media_metadata": """
+            SELECT doc_id AS media_id,
+                   ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+                   'x/' || ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+                   octet_length(CAST(text AS BLOB)) AS n_bytes,
+                   source AS meta_source
+            FROM documents
         """,
         "q46_hash_split": """
             SELECT doc_id,
