@@ -203,3 +203,18 @@ def test_remove_boilerplate_within_doc_repeat_not_boilerplate(spark):
         ).collect()
     }
     assert got[1] == "spam spam spam spam spam spam spam spam"
+
+
+def test_dedup_fuzzy_linear_output(docs):
+    got = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in dedup.dedup_fuzzy(
+            docs,
+            pair_fn=lambda reps: dedup.minhash_lsh_pairs(reps, threshold=0.5),
+        ).collect()
+    }
+    assert len(got) == 6  # one row per input doc, always
+    # 1,2,3 exact dups; 4 near-dup of the group rep => one cluster, canon 1
+    assert got[1] == (1, True)
+    assert got[2] == (1, False) and got[3] == (1, False) and got[4] == (1, False)
+    assert got[5] == (5, True) and got[6] == (6, True)

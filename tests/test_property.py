@@ -105,3 +105,31 @@ def test_cnf_filter_matches_python_oracle(spark, rows, filters):
         if _py_eval(filters, (u, t, a, b))
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=30, unique=True),
+    w=st.sampled_from(
+        [
+            {"train": 1.0},
+            {"train": 0.9, "val": 0.1},
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            {"a": 0.25, "b": 0.25, "c": 0.25, "d": 0.25},
+        ]
+    ),
+)
+def test_hash_split_is_a_partition(spark, ids, w):
+    """Every id gets exactly one split from the weight keys, assignment is
+    id-order- and partitioning-independent, and salt='' matches a rerun."""
+    from traildb_spark.operators import curation
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = curation.hash_split(df, w).collect()
+    assert len(got) == len(ids)
+    assert {r["split"] for r in got} <= set(w)
+    again = {
+        r["doc_id"]: r["split"]
+        for r in curation.hash_split(df.repartition(7).sort(F.desc("doc_id")), w).collect()
+    }
+    assert {r["doc_id"]: r["split"] for r in got} == again

@@ -105,6 +105,59 @@ def main():
         1,
     )[1])
 
+    # 20x documents (~100k docs): even replicas are EXACT dups of the
+    # original, odd replicas append a replica-unique word (near dups) —
+    # dedup/curation plans must survive both volume and dup-group fan-out
+    from traildb_spark.operators import curation, dedup, text  # noqa: E402
+
+    docs20 = "/tmp/scale_smoke/docs20x"
+    if not Path(docs20).exists():
+        d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        reps = [
+            d.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                (
+                    F.col("text")
+                    if i % 2 == 0
+                    else F.concat(F.col("text"), F.lit(f" replica{i}"))
+                ).alias("text"),
+                "lang",
+                "source",
+            )
+            for i in range(20)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.repartition(32).write.mode("overwrite").parquet(docs20)
+    docs = spark.read.parquet(docs20)
+    print(f"20x documents: {docs.count()} docs")
+    timed("dedup_exact_100k", lambda: dedup.exact_duplicates(docs).count())
+    timed(
+        "boilerplate_100k",
+        lambda: text.remove_boilerplate(
+            docs, text.word_chunks(F.col("text"), 10), min_df=2
+        ).count(),
+    )
+    bench_set = docs.filter(F.col("doc_id") % 5000 == 0)
+    timed(
+        "decontaminate_100k",
+        lambda: curation.decontaminate(docs, bench_set, n=13).count(),
+    )
+    timed(
+        "hash_split_100k",
+        lambda: curation.hash_split(
+            docs.select("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).groupBy("split").count().count(),
+    )
+    # contrast: all-pairs LSH emits O(g^2) rows per dup group (~1M pairs,
+    # ~300s measured) — dedup_fuzzy collapses exact dups FIRST and returns
+    # one labeled row per doc (linear output)
+    timed(
+        "dedup_fuzzy_100k",
+        lambda: dedup.dedup_fuzzy(docs).count(),
+    )
+
 
 if __name__ == "__main__":
     main()

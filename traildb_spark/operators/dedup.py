@@ -805,3 +805,56 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# --------------------------------------------------------------------------
+# full fuzzy-dedup pipeline (exact collapse → LSH → clusters → keep-list)
+# --------------------------------------------------------------------------
+
+def dedup_fuzzy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pair_fn=None,
+) -> DataFrame:
+    """End-to-end near-duplicate removal with LINEAR output: every doc
+    labeled (cluster id, is_canonical), one canonical per cluster.
+
+    Order matters at scale: a corpus with exact-dup groups of size g makes
+    any all-pairs formulation emit O(g²) rows per group (measured in
+    tools/scale_smoke.py: 100k docs with 20-way dup groups → 1M+ pairs,
+    300s — the pairs ARE the cost, not the LSH). So collapse exact dups
+    FIRST (one hash shuffle, groups of any size become one representative),
+    run MinHash-LSH only over distinct contents, cluster the representative
+    pairs with connected components, then propagate the representative's
+    cluster to its exact copies with one broadcast-sized join.
+
+    ``pair_fn(reps) -> (id_a, id_b, ...)`` defaults to
+    ``minhash_lsh_pairs``; pass a lambda to change thresholds/method.
+    Output: (id, component, is_canonical) for EVERY input doc.
+    """
+    pair_fn = pair_fn or (lambda reps: minhash_lsh_pairs(reps, text_col, id_col))
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    hashed = df.select(F.col(id_col), h.alias("__h"))
+    rep_map = hashed.withColumn("__rep", F.min(id_col).over(w)).select(
+        id_col, "__rep"
+    )
+    reps = df.join(
+        rep_map.filter(F.col(id_col) == F.col("__rep")).select(id_col), id_col
+    )
+    pairs = pair_fn(reps)
+    rep_clusters = dedup_clusters(reps, pairs.select("id_a", "id_b"), id_col)
+    return (
+        rep_map.join(
+            rep_clusters.select(
+                F.col(id_col).alias("__rep"), F.col("component")
+            ),
+            "__rep",
+        )
+        .select(
+            id_col,
+            "component",
+            (F.col(id_col) == F.col("component")).alias("is_canonical"),
+        )
+    )
