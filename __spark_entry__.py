@@ -559,6 +559,22 @@ def q49_media_metadata(spark, sf_dir):
     return multimodal.media_metadata(media)
 
 
+def q50_pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-and-chunk at a 512-token budget): global
+    token offsets WITHOUT a global-order window — two-phase prefix sum
+    (per-shard windows + driver prefix over shard totals, metadata-scale).
+    Oracle is the naive global cumsum, proving the scalable plan computes
+    the identical layout."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    return curation.pack_sequences(
+        docs.withColumn("n_tokens", text.token_count(F.col("text")).cast("long")),
+        budget=512,
+        shard_size=100,
+    )
+
+
 def q36_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3), full oracle parity: token
     hashes are the first 60 bits of md5 so DuckDB reproduces the exact
@@ -666,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_decontaminate": q47_decontaminate,
         "q48_source_quota": q48_source_quota,
         "q49_media_metadata": q49_media_metadata,
+        "q50_pack_sequences": q50_pack_sequences,
     }
 
 
@@ -980,6 +997,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component,
                    d.doc_id = COALESCE(l.component, d.doc_id) AS is_canonical
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+        """,
+        "q50_pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+              FROM t)
+            SELECT doc_id, n_tokens, CAST(token_offset AS BIGINT) AS token_offset,
+                   CAST(token_offset // 512 AS BIGINT) AS seq_start,
+                   CAST((token_offset + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS seq_end
+            FROM o
         """,
         "q49_media_metadata": """
             SELECT doc_id AS media_id,

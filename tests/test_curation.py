@@ -54,3 +54,33 @@ def test_per_source_quota(spark):
     # largest two per source
     assert sorted(by_src["src0"]) == [6, 8]
     assert sorted(by_src["src1"]) == [7, 9]
+
+
+def test_pack_sequences_two_phase_prefix(spark):
+    # 10 docs of 100 tokens each, budget 256: offsets 0,100,...,900;
+    # shard_size=3 forces the multi-shard prefix path
+    rows = [(i, 100) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {
+        r["doc_id"]: (r["token_offset"], r["seq_start"], r["seq_end"])
+        for r in curation.pack_sequences(df, budget=256, shard_size=3).collect()
+    }
+    assert len(got) == 10
+    for i in range(10):
+        off = i * 100
+        assert got[i] == (off, off // 256, (off + 99) // 256)
+    # doc 2 (offset 200) crosses the 256 boundary -> spans seqs 0..1
+    assert got[2] == (200, 0, 1)
+
+
+def test_pack_sequences_zero_token_doc(spark):
+    # a zero-token doc occupies no space but still gets a (degenerate)
+    # sequence assignment at its offset
+    df = spark.createDataFrame([(1, 5), (2, 0), (3, 7)], ["doc_id", "n_tokens"])
+    got = {
+        r["doc_id"]: (r["token_offset"], r["seq_start"], r["seq_end"])
+        for r in curation.pack_sequences(df, budget=8, shard_size=2).collect()
+    }
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (5, 0, 0)
+    assert got[3] == (5, 0, 1)

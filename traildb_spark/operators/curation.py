@@ -138,3 +138,64 @@ def per_source_quota(
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    count_col: Column | None = None,
+    shard_size: int = 100_000,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in
+    ``id_col`` order and cut every ``budget`` tokens — each doc gets its
+    global token offset and the training-sequence ids it spans
+    (seq = offset div budget; docs crossing a boundary are split across
+    sequences, the standard pretraining convention).
+
+    The naive formulation is a cumulative sum over a GLOBAL ordering —
+    an orderBy().window() with no partition key, which Catalyst executes
+    on a single task and is the canonical does-not-scale plan. Two-phase
+    prefix sum instead: docs fall into deterministic id-range shards
+    (``id div shard_size``), the per-shard token totals — metadata-scale,
+    one row per shard — come to the driver for the prefix scan, and each
+    shard's base offset joins back via broadcast while the intra-shard
+    running sum is an ordinary partitioned window. Every stage is
+    parallel; the only serial work is the prefix over shard totals.
+    """
+    cnt = (count_col if count_col is not None else F.col("n_tokens")).alias("__n")
+    shard = (F.col(id_col) / F.lit(shard_size)).cast("long").alias("__shard")
+    base = df.select(F.col(id_col), cnt, shard)
+
+    totals = base.groupBy("__shard").agg(F.sum("__n").alias("__tot")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(totals, key=lambda r: r["__shard"]):
+        offsets.append((r["__shard"], acc))
+        acc += r["__tot"]
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets, ["__shard", "__base"])
+    )
+
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        base.join(off, "__shard")
+        .withColumn(
+            "token_offset",
+            (F.col("__base") + F.coalesce(F.sum("__n").over(w), F.lit(0))).cast("long"),
+        )
+        .withColumn("seq_start", (F.col("token_offset") / budget).cast("long"))
+        .withColumn(
+            "seq_end",
+            (
+                (F.col("token_offset") + F.greatest(F.col("__n"), F.lit(1)) - 1)
+                / budget
+            ).cast("long"),
+        )
+    )
+    return out.select(id_col, F.col("__n").alias("n_tokens"), "token_offset", "seq_start", "seq_end")
