@@ -575,6 +575,14 @@ def q50_pack_sequences(spark, sf_dir):
     )
 
 
+def q51_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-word fraction,
+    repeated-word fraction, repeated-2-gram fraction) — the degenerate-text
+    filters length/stopword ratios miss."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
 def q36_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3), full oracle parity: token
     hashes are the first 60 bits of md5 so DuckDB reproduces the exact
@@ -683,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_source_quota": q48_source_quota,
         "q49_media_metadata": q49_media_metadata,
         "q50_pack_sequences": q50_pack_sequences,
+        "q51_repetition": q51_repetition,
     }
 
 
@@ -997,6 +1006,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component,
                    d.doc_id = COALESCE(l.component, d.doc_id) AS is_canonical
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+        """,
+        "q51_repetition": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            g AS (
+              SELECT doc_id, ws,
+                     CASE WHEN len(ws) >= 2
+                          THEN [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)]
+                          ELSE [] END AS gs
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN len(ws) = 0 THEN 0.0
+                        ELSE round(CAST(list_max(list_transform(list_distinct(ws),
+                               w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+                             / CAST(len(ws) AS DOUBLE), 6) END AS top_word_frac,
+                   CASE WHEN len(ws) = 0 THEN 0.0
+                        ELSE round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                             / CAST(len(ws) AS DOUBLE), 6) END AS dup_word_frac,
+                   CASE WHEN len(gs) = 0 THEN 0.0
+                        ELSE round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+                             / CAST(len(gs) AS DOUBLE), 6) END AS dup_2gram_frac
+            FROM g
         """,
         "q50_pack_sequences": f"""
             WITH t AS (

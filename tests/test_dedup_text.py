@@ -228,3 +228,21 @@ def test_minhash_max_bucket_skips_degenerate_buckets(spark):
     )
     assert dedup.minhash_lsh_pairs(docs, max_bucket=10).count() == 0
     assert dedup.minhash_lsh_pairs(docs).count() == 60 * 59 // 2
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (1, "spam spam spam spam"),                      # one word only
+        (2, "a b c d e f g h"),                          # all distinct
+        (3, "go stop go stop go stop"),                  # repeated 2-grams
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert got[1]["top_word_frac"] == 1.0 and got[1]["dup_word_frac"] == 0.75
+    assert got[1]["dup_2gram_frac"] == round(1 - 1 / 3, 6)
+    assert got[2]["top_word_frac"] == 0.125 and got[2]["dup_word_frac"] == 0.0
+    assert got[2]["dup_2gram_frac"] == 0.0
+    assert got[3]["top_word_frac"] == 0.5
+    assert got[3]["dup_2gram_frac"] == round(1 - 2 / 5, 6)
+    assert got[4]["top_word_frac"] == 0.0 and got[4]["dup_2gram_frac"] == 0.0

@@ -191,3 +191,50 @@ def remove_boilerplate(
             ).alias("clean_text")
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of tokens
+    taken by the single most frequent word, the repeated-word fraction
+    (1 - distinct/total), and the repeated-2-gram fraction. High values
+    flag degenerate/boilerplate text that length or stopword ratios miss.
+
+    One Arrow-batched numpy kernel per batch (unique+counts); a pure
+    Catalyst mode() per row would be an interpreted O(distinct·n)
+    higher-order expression. Values round to 6dp and match the DuckDB
+    list-function oracle exactly.
+    """
+    from .dedup import normalize_text
+
+    @F.pandas_udf("struct<top_word_frac:double,dup_word_frac:double,dup_2gram_frac:double>")
+    def rep(s: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        top, dupw, dupg = [], [], []
+        for t in s:
+            words = [w for w in (t or "").split(" ") if w]
+            n = len(words)
+            if n == 0:
+                top.append(0.0); dupw.append(0.0); dupg.append(0.0)
+                continue
+            _, counts = np.unique(words, return_counts=True)
+            top.append(float(counts.max()) / n)
+            dupw.append(1.0 - len(counts) / n)
+            if n >= 2:
+                grams = [f"{words[i]} {words[i+1]}" for i in range(n - 1)]
+                dupg.append(1.0 - len(set(grams)) / len(grams))
+            else:
+                dupg.append(0.0)
+        return pd.DataFrame(
+            {"top_word_frac": top, "dup_word_frac": dupw, "dup_2gram_frac": dupg}
+        )
+
+    st = rep(normalize_text(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.round(st["top_word_frac"], 6).alias("top_word_frac"),
+        F.round(st["dup_word_frac"], 6).alias("dup_word_frac"),
+        F.round(st["dup_2gram_frac"], 6).alias("dup_2gram_frac"),
+    )
