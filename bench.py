@@ -48,6 +48,9 @@ def main():
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # operators persist intermediates (_materialize); drop them so one
+        # query's cache residue doesn't evict/churn the next query's
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

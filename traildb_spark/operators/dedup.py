@@ -345,8 +345,6 @@ def minhash_lsh_pairs(
         .filter(F.size("grams") > 0)
         .withColumn("sig", minhash_signatures(F.col("grams"), num_hashes))
     )
-    # populate the cache distributed before any join stage consumes it
-    base.count()
     sig = base.select("id", "sig")
     # banding carries ids only — gram arrays stay out of the shuffle
     banded = sig.select(
