@@ -583,6 +583,15 @@ def q51_repetition(spark, sf_dir):
     return text.repetition_stats(docs)
 
 
+def q52_emb_neardup_portable(spark, sf_dir):
+    """SRP-LSH embedding near-dup with portable math: vectors quantized to
+    integers (floor(v*2^20)), ±1 literal hyperplanes — sign bits become
+    exact integer comparisons, so candidates AND verify reproduce in
+    DuckDB. q38 remains the numpy-Gaussian fast path (rows-only)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs_portable(emb, threshold=0.4)
+
+
 def q36_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3), full oracle parity: token
     hashes are the first 60 bits of md5 so DuckDB reproduces the exact
@@ -692,7 +701,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_media_metadata": q49_media_metadata,
         "q50_pack_sequences": q50_pack_sequences,
         "q51_repetition": q51_repetition,
+        "q52_emb_neardup_portable": q52_emb_neardup_portable,
     }
+
+
+def _q52_oracle() -> str:
+    """SQL for the portable SRP near-dup: the ±1 hyperplanes inline as
+    VALUES literals (the same matrix dedup._srp_planes hands Spark)."""
+    from traildb_spark.operators.dedup import _srp_planes
+
+    planes = _srp_planes(16, 64)
+    values = ", ".join(
+        f"({p}, [{', '.join(str(int(x)) for x in row)}])"
+        for p, row in enumerate(planes)
+    )
+    cos = f"{_sql_dot('a.embedding','b.embedding')} / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})"
+    return f"""
+        WITH q AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+                  for i in generate_series(1, 64)] AS qv
+          FROM embeddings),
+        planes(pid, h) AS (VALUES {values}),
+        dots AS (
+          SELECT vec_id, pid,
+                 list_sum([qv[i] * h[i] for i in generate_series(1, 64)]) AS d
+          FROM q, planes),
+        codes AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN d >= 0 THEN 1 << pid ELSE 0 END) AS BIGINT) AS code
+          FROM dots GROUP BY vec_id),
+        banded AS (
+          SELECT vec_id, b, (code >> (b * 4)) & 15 AS bh
+          FROM codes, generate_series(0, 3) AS t(b)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM banded a JOIN banded b2
+            ON a.b = b2.b AND a.bh = b2.bh AND a.vec_id < b2.vec_id)
+        SELECT c.id_a, c.id_b, round({cos}, 6) AS cos
+        FROM cand c
+        JOIN embeddings a ON c.id_a = a.vec_id
+        JOIN embeddings b ON c.id_b = b.vec_id
+        WHERE round({cos}, 6) >= 0.4
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1007,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
                    d.doc_id = COALESCE(l.component, d.doc_id) AS is_canonical
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
         """,
+        "q52_emb_neardup_portable": _q52_oracle(),
         "q51_repetition": f"""
             WITH t AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
             g AS (

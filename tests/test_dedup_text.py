@@ -246,3 +246,18 @@ def test_repetition_stats(spark):
     assert got[3]["top_word_frac"] == 0.5
     assert got[3]["dup_2gram_frac"] == round(1 - 2 / 5, 6)
     assert got[4]["top_word_frac"] == 0.0 and got[4]["dup_2gram_frac"] == 0.0
+
+
+def test_embedding_neardup_portable(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (4, [0.0, 0.998, 0.02, 0.0]),   # near dup of 3
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = dedup.embedding_neardup_pairs_portable(df, threshold=0.99, dim=4)
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in got.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.99
+    assert (3, 4) in pairs
+    assert (1, 3) not in pairs and (1, 4) not in pairs

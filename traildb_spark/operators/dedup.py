@@ -880,3 +880,95 @@ def dedup_fuzzy(
             (F.col(id_col) == F.col("component")).alias("is_canonical"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup, portable-math variant (cross-engine reproducible)
+# --------------------------------------------------------------------------
+
+_Q_SCALE = 1 << 20  # quantization: floor(v * 2^20) — exact in any engine
+
+
+def _srp_planes(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes (Rademacher SRP — same LSH guarantees
+    as Gaussian planes for sign projections). Small enough to inline as SQL
+    literals, so an oracle engine reproduces the EXACT codes."""
+    rng = np.random.RandomState(4242)
+    return (rng.randint(0, 2, size=(num_planes, dim)) * 2 - 1).tolist()
+
+
+def embedding_neardup_pairs_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-random-projection near-dup with every step reproducible in
+    ANSI SQL: vectors quantize to integers (floor(v·2^20) — float
+    multiplication is IEEE-exact, floor is unambiguous), hyperplanes are
+    ±1 literals, so the sign bits are INTEGER comparisons — no float
+    summation order to match between engines (integer sums are
+    associative; |q|≤2^20 · 64 dims cannot overflow int64). Verify uses
+    the sequential-fold cosine that q37 already proves bit-equal to the
+    DuckDB oracle. Same banding/shuffle shape as embedding_neardup_pairs
+    (the numpy fast path).
+    """
+    planes = np.asarray(_srp_planes(num_planes, dim), dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def code_udf(col: pd.Series) -> pd.Series:
+        V = np.vstack(col.to_numpy()).astype(np.float64)
+        Q = np.floor(V * _Q_SCALE).astype(np.int64)
+        bits = (Q @ planes.T) >= 0  # (n, planes) integer GEMM — exact
+        weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
+        return pd.Series((bits * weights).sum(axis=1))
+
+    bits_per_band = num_planes // bands
+    mask = (1 << bits_per_band) - 1
+    base = _materialize(
+        _spread(df).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            code_udf(F.col(vec_col)).alias("code"),
+        )
+    )
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("code"), b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # sequential-fold cosine (zip_with+aggregate) — bit-equal to the
+    # DuckDB list_reduce oracle, unlike numpy pairwise summation
+    va_d = F.transform(F.col("va"), lambda x: x.cast("double"))
+    vb_d = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(cosine(va_d, vb_d), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
