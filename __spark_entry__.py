@@ -592,6 +592,20 @@ def q52_emb_neardup_portable(spark, sf_dir):
     return dedup.embedding_neardup_pairs_portable(emb, threshold=0.4)
 
 
+def q53_sim_topk_portable(spark, sf_dir):
+    """ANN top-k via portable sign-LSH (integer-quantized SRP codes,
+    hamming-ball probe, sequential-fold cosine rank) — the approximate
+    similarity-search pipeline itself oracle-checked end-to-end. q40
+    remains the numpy fast path."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk_portable(
+        emb, queries, k=5, num_planes=8, max_hamming=4
+    )
+
+
 def q36_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3), full oracle parity: token
     hashes are the first 60 bits of md5 so DuckDB reproduces the exact
@@ -702,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_pack_sequences": q50_pack_sequences,
         "q51_repetition": q51_repetition,
         "q52_emb_neardup_portable": q52_emb_neardup_portable,
+        "q53_sim_topk_portable": q53_sim_topk_portable,
     }
 
 
@@ -743,6 +758,44 @@ def _q52_oracle() -> str:
         JOIN embeddings a ON c.id_a = a.vec_id
         JOIN embeddings b ON c.id_b = b.vec_id
         WHERE round({cos}, 6) >= 0.4
+    """
+
+
+def _q53_oracle() -> str:
+    """Portable sign-LSH ANN top-k: 8-plane integer SRP codes, hamming-ball
+    candidate probe, sequential-fold cosine ranking."""
+    from traildb_spark.operators.dedup import _srp_planes
+
+    planes = _srp_planes(8, 64)
+    values = ", ".join(
+        f"({p}, [{', '.join(str(int(x)) for x in row)}])"
+        for p, row in enumerate(planes)
+    )
+    cos = f"{_sql_dot('c.embedding','q.embedding')} / ({_sql_norm('c.embedding')} * {_sql_norm('q.embedding')})"
+    return f"""
+        WITH qz AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+                  for i in generate_series(1, 64)] AS qv
+          FROM embeddings),
+        planes(pid, h) AS (VALUES {values}),
+        codes AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN list_sum([qv[i] * h[i] for i in generate_series(1, 64)]) >= 0
+                          THEN 1 << pid ELSE 0 END) AS BIGINT) AS code
+          FROM qz, planes GROUP BY vec_id),
+        ranked AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                 round({cos}, 6) AS cos,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY round({cos}, 6) DESC, c.vec_id ASC) AS rank
+          FROM embeddings q
+          JOIN codes qc ON q.vec_id = qc.vec_id
+          JOIN codes cc ON bit_count(xor(qc.code, cc.code)) <= 4
+          JOIN embeddings c ON c.vec_id = cc.vec_id
+          WHERE q.vec_id < 5)
+        SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
     """
 
 
@@ -1059,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
         """,
         "q52_emb_neardup_portable": _q52_oracle(),
+        "q53_sim_topk_portable": _q53_oracle(),
         "q51_repetition": f"""
             WITH t AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
             g AS (

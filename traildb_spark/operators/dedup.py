@@ -897,6 +897,25 @@ def _srp_planes(num_planes: int, dim: int) -> list[list[int]]:
     return (rng.randint(0, 2, size=(num_planes, dim)) * 2 - 1).tolist()
 
 
+def portable_srp_code(col: Column, num_planes: int = 16, dim: int = 64) -> Column:
+    """Engine-portable SRP code: quantize to integers (floor(v·2^20)),
+    project on ±1 literal hyperplanes, pack sign bits into a long. All
+    integer arithmetic after the one IEEE-exact multiply+floor, so any
+    engine reproduces the identical code. One int64 GEMM per Arrow batch.
+    """
+    planes = np.asarray(_srp_planes(num_planes, dim), dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def code_udf(c: pd.Series) -> pd.Series:
+        V = np.vstack(c.to_numpy()).astype(np.float64)
+        Q = np.floor(V * _Q_SCALE).astype(np.int64)
+        bits = (Q @ planes.T) >= 0  # (n, planes) integer GEMM — exact
+        weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
+        return pd.Series((bits * weights).sum(axis=1))
+
+    return code_udf(col)
+
+
 def embedding_neardup_pairs_portable(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -916,23 +935,13 @@ def embedding_neardup_pairs_portable(
     DuckDB oracle. Same banding/shuffle shape as embedding_neardup_pairs
     (the numpy fast path).
     """
-    planes = np.asarray(_srp_planes(num_planes, dim), dtype=np.int64)
-
-    @F.pandas_udf("long")
-    def code_udf(col: pd.Series) -> pd.Series:
-        V = np.vstack(col.to_numpy()).astype(np.float64)
-        Q = np.floor(V * _Q_SCALE).astype(np.int64)
-        bits = (Q @ planes.T) >= 0  # (n, planes) integer GEMM — exact
-        weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
-        return pd.Series((bits * weights).sum(axis=1))
-
     bits_per_band = num_planes // bands
     mask = (1 << bits_per_band) - 1
     base = _materialize(
         _spread(df).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            code_udf(F.col(vec_col)).alias("code"),
+            portable_srp_code(F.col(vec_col), num_planes, dim).alias("code"),
         )
     )
     banded = base.select(

@@ -207,3 +207,47 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cos", "rank")
     )
+
+
+def lsh_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    num_planes: int = 8,
+    max_hamming: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """``lsh_topk`` with engine-portable math: SRP codes from
+    integer-quantized dots on ±1 literal hyperplanes (see
+    dedup.portable_srp_code) and sequential-fold cosine ranking, so the
+    ENTIRE approximate pipeline — candidate ball and ranking — reproduces
+    in a SQL oracle. Same plan shape as the fast path: corpus never
+    re-partitions, queries broadcast, one shuffle for the rank window.
+    """
+    from .dedup import cosine, portable_srp_code
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        portable_srp_code(F.col(vec_col), num_planes, dim).alias("ccode"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        portable_srp_code(F.col(vec_col), num_planes, dim).alias("qcode"),
+    )
+    joined = c.join(F.broadcast(q)).filter(
+        F.bit_count(F.col("ccode").bitwiseXOR(F.col("qcode"))) <= max_hamming
+    )
+    cv_d = F.transform(F.col("cv"), lambda x: x.cast("double"))
+    qv_d = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    scored = joined.withColumn("cos", F.round(cosine(cv_d, qv_d), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos", "rank")
+    )
