@@ -659,6 +659,20 @@ def q41_sim_topk_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, k=5, num_centroids=16, nprobe=4)
 
 
+def q54_sim_topk_ivf_portable(spark, sf_dir):
+    """ANN top-k via portable IVF: deterministic md5-keyed centroid choice,
+    sequential-fold-cosine cell assignment and probing — the whole IVF
+    pipeline oracle-checked end-to-end. q41 remains the k-means/GEMM fast
+    path (rows-only)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk_portable(
+        emb, queries, k=5, num_centroids=8, nprobe=2
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -717,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_repetition": q51_repetition,
         "q52_emb_neardup_portable": q52_emb_neardup_portable,
         "q53_sim_topk_portable": q53_sim_topk_portable,
+        "q54_sim_topk_ivf_portable": q54_sim_topk_ivf_portable,
     }
 
 
@@ -794,6 +809,47 @@ def _q53_oracle() -> str:
           JOIN codes cc ON bit_count(xor(qc.code, cc.code)) <= 4
           JOIN embeddings c ON c.vec_id = cc.vec_id
           WHERE q.vec_id < 5)
+        SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
+def _q54_oracle() -> str:
+    """Portable IVF ANN top-k: centroids = 8 smallest md5-keyed corpus
+    vectors, assignment/probe by rounded sequential-fold cosine argmax."""
+    cos_ec = f"{_sql_dot('e.embedding','c.embedding')} / ({_sql_norm('e.embedding')} * {_sql_norm('c.embedding')})"
+    cos_qc = f"{_sql_dot('q.embedding','c.embedding')} / ({_sql_norm('q.embedding')} * {_sql_norm('c.embedding')})"
+    cos_vq = f"{_sql_dot('v.embedding','q.embedding')} / ({_sql_norm('v.embedding')} * {_sql_norm('q.embedding')})"
+    return f"""
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding
+          FROM embeddings
+          ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   vec_id
+          LIMIT 8),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY round({cos_ec}, 6) DESC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY round({cos_qc}, 6) DESC, c.cid ASC) AS rn
+            FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5)
+          WHERE rn <= 2),
+        ranked AS (
+          SELECT p.query_id, a.vec_id AS corpus_id,
+                 round({cos_vq}, 6) AS cos,
+                 row_number() OVER (PARTITION BY p.query_id
+                                    ORDER BY round({cos_vq}, 6) DESC, a.vec_id ASC) AS rank
+          FROM probes p
+          JOIN assign a ON p.cid = a.cid
+          JOIN embeddings v ON v.vec_id = a.vec_id
+          JOIN embeddings q ON q.vec_id = p.query_id)
         SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5
     """
@@ -1113,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q52_emb_neardup_portable": _q52_oracle(),
         "q53_sim_topk_portable": _q53_oracle(),
+        "q54_sim_topk_ivf_portable": _q54_oracle(),
         "q51_repetition": f"""
             WITH t AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
             g AS (

@@ -155,6 +155,24 @@ def test_ivf_topk_runs(spark, sf_dir):
         assert r["corpus_id"] == qid and r["cos"] >= 0.999
 
 
+def test_ivf_topk_portable_self_match_and_shape(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.ivf_topk_portable(
+        emb, queries, k=3, num_centroids=8, nprobe=2
+    ).collect()
+    # k rows per query, contiguous ranks, self-match first (its own cell is
+    # always the nearest probe)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(len(v) for v in by_q.values()) == {3}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        assert rows[0]["corpus_id"] == qid and rows[0]["cos"] >= 0.999
+
+
 def test_connected_components_chain_and_islands(spark):
     from traildb_spark.operators.dedup import connected_components, dedup_clusters
     import pyspark.sql.functions as F

@@ -209,6 +209,83 @@ def ivf_topk(
     )
 
 
+def ivf_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """``ivf_topk`` with engine-portable math so the ENTIRE IVF pipeline —
+    centroid choice, cell assignment, probe selection, ranking — reproduces
+    in a SQL oracle (q41's k-means build stays the numpy fast path).
+
+    Portable construction: centroids are the ``num_centroids`` corpus
+    vectors with the smallest md5-derived key (deterministic, seedless);
+    assignment/probing take argmax of the sequential-fold cosine rounded to
+    6 places with an id tiebreak — every comparison is reproducible
+    bit-for-bit across engines.
+
+    Plan shape matches the fast path: the centroid table is metadata-scale
+    and broadcast to both sides; the corpus is scanned once for assignment
+    (at 100 TB the assignment would be written out partitioned by cid so a
+    probe reads nprobe/num_centroids of the data); the only corpus-sized
+    shuffle is the assignment argmax window (the fast path's mapInPandas
+    GEMM avoids even that — this variant trades one shuffle for
+    oracle-checkability).
+    """
+    from .dedup import cosine
+
+    as_double = lambda col: F.transform(col, lambda x: x.cast("double"))
+
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    hk = F.conv(
+        F.substring(F.md5(F.col("corpus_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    cents = (
+        c.withColumn("hk", hk)
+        .orderBy("hk", "corpus_id")
+        .limit(num_centroids)
+        .select(F.col("corpus_id").alias("cid"), F.col("cv").alias("centv"))
+    )
+
+    cent_cos = F.round(cosine(as_double(F.col("cv")), as_double(F.col("centv"))), 6)
+    w_assign = Window.partitionBy("corpus_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        c.join(F.broadcast(cents))
+        .withColumn("ccos", cent_cos)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("corpus_id", "cv", "cid")
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probe_cos = F.round(cosine(as_double(F.col("qv")), as_double(F.col("centv"))), 6)
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cid"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("pcos", probe_cos)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+
+    scored = assign.join(F.broadcast(probes), "cid").withColumn(
+        "cos", F.round(cosine(as_double(F.col("cv")), as_double(F.col("qv"))), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos", "rank")
+    )
+
+
 def lsh_topk_portable(
     corpus: DataFrame,
     queries: DataFrame,
