@@ -583,6 +583,37 @@ def q51_repetition(spark, sf_dir):
     return text.repetition_stats(docs)
 
 
+def q55_stratified_sample(spark, sf_dir):
+    """Deterministic per-source downsampling (seedless md5-bucket
+    thresholds — the rebalancing step of corpus mixing). Pure pushed-down
+    filter, no shuffle."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    return curation.stratified_sample(
+        docs,
+        rates={"src0": 0.5, "src1": 0.25, "src3": 1.0},
+        default_rate=0.1,
+    ).select("doc_id", "source")
+
+
+def q56_top_terms(spark, sf_dir):
+    """Per-doc top-3 distinctive terms by tf/df — TF-IDF with the idf log
+    dropped so every score is one exact integer division (portable
+    bit-for-bit; log ranks identically but libm ulps don't travel)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.top_terms(docs, k=3)
+
+
+def q57_pii_scrub(spark, sf_dir):
+    """PII-shaped span counting + redaction (emails, IPv4s, digit runs)
+    over the events props payload — pure regexp codegen, no UDF."""
+    ev = _events(spark, sf_dir)
+    return text.scrub_pii(ev, text_col="props").select(
+        "event_id", "n_email", "n_ipv4", "n_number", "scrubbed"
+    )
+
+
 def q52_emb_neardup_portable(spark, sf_dir):
     """SRP-LSH embedding near-dup with portable math: vectors quantized to
     integers (floor(v*2^20)), ±1 literal hyperplanes — sign bits become
@@ -732,6 +763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_emb_neardup_portable": q52_emb_neardup_portable,
         "q53_sim_topk_portable": q53_sim_topk_portable,
         "q54_sim_topk_ivf_portable": q54_sim_topk_ivf_portable,
+        "q55_stratified_sample": q55_stratified_sample,
+        "q56_top_terms": q56_top_terms,
+        "q57_pii_scrub": q57_pii_scrub,
     }
 
 
@@ -812,6 +846,13 @@ def _q53_oracle() -> str:
         SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5
     """
+
+
+# PII patterns duplicated for the SQL side (RE2-safe; backslashes doubled
+# for SQL string literals where needed)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_NUM = r"[0-9]{2,}"
 
 
 def _q54_oracle() -> str:
@@ -1170,6 +1211,44 @@ def oracle_sql() -> dict[str, str]:
         "q52_emb_neardup_portable": _q52_oracle(),
         "q53_sim_topk_portable": _q53_oracle(),
         "q54_sim_topk_ivf_portable": _q54_oracle(),
+        "q55_stratified_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 10000 AS b
+              FROM documents)
+            WHERE b < CASE source WHEN 'src0' THEN 5000
+                                  WHEN 'src1' THEN 2500
+                                  WHEN 'src3' THEN 10000
+                                  ELSE 1000 END
+        """,
+        "q56_top_terms": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            ranked AS (
+              SELECT tf.doc_id, tf.term, tf.tf, d.df,
+                     round(CAST(tf.tf AS DOUBLE) / d.df, 6) AS score,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY round(CAST(tf.tf AS DOUBLE) / d.df, 6) DESC,
+                                                 tf.term ASC) AS rank
+              FROM tf JOIN dfreq d USING (term))
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                   score, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "q57_pii_scrub": f"""
+            SELECT event_id,
+                   len(regexp_extract_all(props, '{_PII_EMAIL}')) AS n_email,
+                   len(regexp_extract_all(props, '{_PII_IPV4}')) AS n_ipv4,
+                   len(regexp_extract_all(props, '{_PII_NUM}')) AS n_number,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(props, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_IPV4}', '<IP>', 'g'),
+                     '{_PII_NUM}', '<NUM>', 'g') AS scrubbed
+            FROM ({_E})
+        """,
         "q51_repetition": f"""
             WITH t AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
             g AS (

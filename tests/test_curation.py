@@ -84,3 +84,22 @@ def test_pack_sequences_zero_token_doc(spark):
     assert got[1] == (0, 0, 0)
     assert got[2] == (5, 0, 0)
     assert got[3] == (5, 0, 1)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    # all-of-a, none-of-b: thresholds act per stratum
+    kept = curation.stratified_sample(
+        df, rates={"a": 1.0, "b": 0.0}, stratum_col="source"
+    ).collect()
+    assert {r["source"] for r in kept} == {"a"}
+    assert len(kept) == 100
+    # unlisted strata use default_rate
+    none_kept = curation.stratified_sample(df, rates={}, default_rate=0.0).count()
+    assert none_kept == 0
+    # deterministic across calls, and a subset relation: rate 0.2 ⊆ rate 0.5
+    s2 = {r["doc_id"] for r in curation.stratified_sample(df, {"a": 0.2}).collect()}
+    s5 = {r["doc_id"] for r in curation.stratified_sample(df, {"a": 0.5}).collect()}
+    assert s2 <= s5
+    assert s2 == {r["doc_id"] for r in curation.stratified_sample(df, {"a": 0.2}).collect()}

@@ -279,3 +279,36 @@ def test_embedding_neardup_portable(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.99
     assert (3, 4) in pairs
     assert (1, 3) not in pairs and (1, 4) not in pairs
+
+
+def test_top_terms_tf_over_df_ranking(spark):
+    from traildb_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z")], ["doc_id", "text"]
+    )
+    got = {(r["doc_id"], r["rank"]): r for r in text.top_terms(df, k=2).collect()}
+    # doc 1: x has tf=2, df=1 → score 2.0 beats y (1/2)
+    assert got[(1, 1)]["term"] == "x" and got[(1, 1)]["score"] == 2.0
+    assert got[(1, 2)]["term"] == "y" and got[(1, 2)]["score"] == 0.5
+    # doc 2: z (1/1) beats y (1/2)
+    assert got[(2, 1)]["term"] == "z" and got[(2, 2)]["term"] == "y"
+
+
+def test_scrub_pii_counts_and_redaction(spark):
+    from traildb_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io from 10.0.0.1 port 8080"), (2, "clean words only")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in text.scrub_pii(df).collect()}
+    r1 = got[1]
+    assert r1["n_email"] == 1 and r1["n_ipv4"] == 1
+    # digit runs (>= 2 digits) counted on the ORIGINAL text: '10' and '8080'
+    assert r1["n_number"] == 2
+    assert "<EMAIL>" in r1["scrubbed"] and "<IP>" in r1["scrubbed"] and "<NUM>" in r1["scrubbed"]
+    assert "@" not in r1["scrubbed"]
+    r2 = got[2]
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_number"]) == (0, 0, 0)
+    assert r2["scrubbed"] == "clean words only"

@@ -140,6 +140,38 @@ def per_source_quota(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its
+    md5-derived id bucket falls below the stratum's rate threshold.
+
+    Like ``hash_split``, membership is a pure function of the id — no
+    sampling seed, no shuffle, no state — so reruns, engines, and late
+    shards all agree on the sample, and the same row is never double-kept
+    at two rates. ``rates`` maps stratum value → keep fraction; unlisted
+    strata fall back to ``default_rate``. A small rates map compiles into
+    a literal CASE (whole-stage codegen, filter fully pushed down to the
+    scan); a huge strata table would become a broadcast join against a
+    (stratum, threshold) dim without changing semantics.
+    """
+    b = hash_bucket(F.col(id_col), buckets, salt)
+    expr = None
+    for name, r in rates.items():
+        thr = round(r * buckets)
+        cond = F.col(stratum_col) == name
+        expr = F.when(cond, b < thr) if expr is None else expr.when(cond, b < thr)
+    default_thr = round(default_rate * buckets)
+    expr = (b < default_thr) if expr is None else expr.otherwise(b < default_thr)
+    return df.filter(expr)
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

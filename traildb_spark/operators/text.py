@@ -9,7 +9,7 @@ exactly-equivalent ANSI-SQL formulation used by the DuckDB oracle.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
@@ -238,3 +238,68 @@ def repetition_stats(
         F.round(st["dup_word_frac"], 6).alias("dup_word_frac"),
         F.round(st["dup_2gram_frac"], 6).alias("dup_2gram_frac"),
     )
+
+
+def top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k distinctive terms ranked by tf/df — the TF-IDF
+    idea with the idf log dropped so every score is ONE IEEE division of
+    two exact integers (bit-identical in any engine; log(N/df) ranks
+    identically but its libm ulps aren't portable).
+
+    Plan shape at 100 TB: explode is map-side; term frequencies aggregate
+    with map-side combine on (doc, term); document frequencies are a
+    vocabulary-scale aggregate of that same table (no second corpus
+    scan); the tf⋈df join shuffles on term (AQE may broadcast the df side
+    — vocabularies are sublinear in corpus size); one final shuffle ranks
+    per doc. Ties break on the term string, so top-k is deterministic.
+    """
+    t = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.round(F.col("tf").cast("double") / F.col("df"), 6)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+# Conservative, RE2-and-Java-portable PII patterns (no backrefs, no
+# lookaround). Redaction order is fixed: emails first (they contain
+# digits), then IPv4, then bare digit runs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("number", r"[0-9]{2,}", "<NUM>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """Count and redact PII-shaped spans (emails, IPv4s, digit runs).
+
+    Counts are taken on the ORIGINAL text per class; redaction applies the
+    patterns in ``PII_PATTERNS`` order so an email's digits are consumed by
+    ``<EMAIL>`` before the digit-run pass. Pure ``regexp_count`` /
+    ``regexp_replace`` column expressions — whole-stage codegen, zero
+    Python, trivially parallel at any scale.
+    """
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn(out_col, scrubbed)
