@@ -614,6 +614,53 @@ def q57_pii_scrub(spark, sf_dir):
     )
 
 
+def q58_value_freqs(spark, sf_dir):
+    """Top-k value frequency table for one field — the reference's
+    compression-model unigram counting (tdb_encode_model.c:444-486) as a
+    product operator."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.value_frequencies(ev, "event_type", top_k=3)
+
+
+def q59_transitions(spark, sf_dir):
+    """Per-trail adjacent-event transition matrix (Markov counts) — the
+    bigram model (tdb_encode_model.c:344-381) over the time axis."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.transition_counts(ev, "event_type", "uuid", "time", "event_id")
+
+
+def q60_funnel(spark, sf_dir):
+    """Ordered funnel signup → view → purchase: per-trail step timestamps
+    latched in ONE fold over the sorted trail (single uuid shuffle). The
+    oracle is the independent min-time-chain formulation — k sequential
+    re-aggregations — proving the one-pass fold computes the same chain."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.funnel_times(
+        ev,
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "view",
+            F.col("event_type") == "purchase",
+        ],
+    )
+
+
+def q61_retention(spark, sf_dir):
+    """Daily cohort retention triangle: trails active at each (first-seen
+    day, day offset). Distinct-first plan: every exchange after the uuid
+    shuffle is bounded by trails x active-days, not events."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.retention(ev, period=86400)
+
+
 def q52_emb_neardup_portable(spark, sf_dir):
     """SRP-LSH embedding near-dup with portable math: vectors quantized to
     integers (floor(v*2^20)), ±1 literal hyperplanes — sign bits become
@@ -766,6 +813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_stratified_sample": q55_stratified_sample,
         "q56_top_terms": q56_top_terms,
         "q57_pii_scrub": q57_pii_scrub,
+        "q58_value_freqs": q58_value_freqs,
+        "q59_transitions": q59_transitions,
+        "q60_funnel": q60_funnel,
+        "q61_retention": q61_retention,
     }
 
 
@@ -1236,6 +1287,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
                    score, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 3
+        """,
+        "q58_value_freqs": f"""
+            SELECT value, freq FROM (
+              SELECT event_type AS value, COUNT(*) AS freq,
+                     row_number() OVER (ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+              FROM ({_E}) GROUP BY event_type)
+            WHERE rn <= 3
+        """,
+        "q59_transitions": f"""
+            WITH l AS (
+              SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY uuid
+                                           ORDER BY "time", event_id) AS prev
+              FROM ({_E}))
+            SELECT prev AS src, event_type AS dst, COUNT(*) AS freq
+            FROM l WHERE prev IS NOT NULL GROUP BY 1, 2
+        """,
+        "q60_funnel": f"""
+            WITH e AS (SELECT uuid, "time" AS t, event_type FROM ({_E})),
+            u AS (SELECT DISTINCT uuid FROM e),
+            c0 AS (SELECT uuid, min(t) AS t0 FROM e
+                   WHERE event_type = 'signup' GROUP BY uuid),
+            c1 AS (SELECT e.uuid, min(t) AS t1 FROM e JOIN c0 USING (uuid)
+                   WHERE event_type = 'view' AND t > t0 GROUP BY e.uuid),
+            c2 AS (SELECT e.uuid, min(t) AS t2 FROM e JOIN c1 USING (uuid)
+                   WHERE event_type = 'purchase' AND t > t1 GROUP BY e.uuid)
+            SELECT u.uuid, c0.t0 AS s0, c1.t1 AS s1, c2.t2 AS s2
+            FROM u LEFT JOIN c0 USING (uuid) LEFT JOIN c1 USING (uuid)
+                   LEFT JOIN c2 USING (uuid)
+        """,
+        "q61_retention": f"""
+            WITH a AS (SELECT DISTINCT uuid, "time" // 86400 AS bucket FROM ({_E})),
+            c AS (SELECT uuid, bucket,
+                         min(bucket) OVER (PARTITION BY uuid) AS cohort
+                  FROM a)
+            SELECT cohort, bucket - cohort AS "offset", COUNT(*) AS trails
+            FROM c GROUP BY 1, 2
         """,
         "q57_pii_scrub": f"""
             SELECT event_id,

@@ -1,0 +1,72 @@
+"""Trail-analytics operator tests (hand-computed fixtures)."""
+
+from pyspark.sql import functions as F
+
+from traildb_spark.operators import analytics
+
+
+def _ev(spark):
+    # two trails; u1: a@1 b@2 a@3 c@4   u2: b@10 b@20 a@30
+    rows = [
+        ("u1", 1, "a"),
+        ("u1", 2, "b"),
+        ("u1", 3, "a"),
+        ("u1", 4, "c"),
+        ("u2", 10, "b"),
+        ("u2", 20, "b"),
+        ("u2", 30, "a"),
+    ]
+    return spark.createDataFrame(rows, ["uuid", "time", "event_type"])
+
+
+def test_value_frequencies_topk(spark):
+    df = _ev(spark)
+    got = {r["value"]: r["freq"] for r in analytics.value_frequencies(df, "event_type").collect()}
+    assert got == {"a": 3, "b": 3, "c": 1}
+    top1 = analytics.value_frequencies(df, "event_type", top_k=1).collect()
+    assert [(r["value"], r["freq"]) for r in top1] == [("a", 3)]  # tie → alphabetical
+
+
+def test_transition_counts(spark):
+    df = _ev(spark)
+    got = {(r["src"], r["dst"]): r["freq"] for r in analytics.transition_counts(df, "event_type").collect()}
+    # u1: a→b, b→a, a→c ; u2: b→b, b→a
+    assert got == {("a", "b"): 1, ("b", "a"): 2, ("a", "c"): 1, ("b", "b"): 1}
+
+
+def test_funnel_times_chain_and_break(spark):
+    df = _ev(spark)
+    steps = [F.col("event_type") == s for s in ("a", "b", "c")]
+    got = {r["uuid"]: (r["s0"], r["s1"], r["s2"]) for r in analytics.funnel_times(df, steps).collect()}
+    # u1: a@1 → b@2 → c@4 ; u2: a@30 but no b AFTER it → chain breaks
+    assert got["u1"] == (1, 2, 4)
+    assert got["u2"] == (30, None, None)
+
+
+def test_funnel_strictly_after_same_timestamp(spark):
+    rows = [("u", 5, "a"), ("u", 5, "b"), ("u", 6, "b")]
+    df = spark.createDataFrame(rows, ["uuid", "time", "event_type"])
+    steps = [F.col("event_type") == "a", F.col("event_type") == "b"]
+    r = analytics.funnel_times(df, steps).first()
+    # b@5 is NOT after a@5; b@6 is
+    assert (r["s0"], r["s1"]) == (5, 6)
+
+
+def test_funnel_counts(spark):
+    df = _ev(spark)
+    steps = [F.col("event_type") == s for s in ("a", "b", "c")]
+    got = {r["step"]: r["trails"] for r in analytics.funnel_counts(df, steps).collect()}
+    assert got == {0: 2, 1: 1, 2: 1}
+
+
+def test_retention_triangle(spark):
+    # u1 active buckets {0,1,3}; u2 active {1}
+    rows = [
+        ("u1", 10, "x"),
+        ("u1", 86_410, "x"),
+        ("u1", 3 * 86_400 + 5, "x"),
+        ("u2", 86_500, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["uuid", "time", "event_type"])
+    got = {(r["cohort"], r["offset"]): r["trails"] for r in analytics.retention(df).collect()}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1}

@@ -1,0 +1,171 @@
+"""Trail-analytics operators: the aggregates TrailDB callers write as
+cursor programs (`doc/docs/index.md:21-26` — "iterate cursors ... and
+compute anything"; e.g. the sessionization tutorial
+`examples/tutorial_wikipedia_sessions.c:26-47`), expressed as first-class
+DataFrame operators so they distribute instead of looping one cursor at a
+time on the driver.
+
+Every operator here is pure Catalyst (no Python in the hot path) and
+shuffles at most once on uuid plus once on a small aggregate key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .trails import TIME_COL, UUID_COL, _trail_window
+
+
+def value_frequencies(
+    df: DataFrame, field: str, top_k: int | None = None
+) -> DataFrame:
+    """Distinct-value frequency table for one field — the reference's
+    compression-model unigram counting (`src/tdb_encode_model.c:444-486`)
+    surfaced as a product operator. One shuffle with map-side combine;
+    the result is lexicon-sized (bounded by the field's cardinality, not
+    the event count). ``top_k`` adds a deterministic global head — a
+    second, lexicon-sized sort, never an event-sized one.
+    """
+    freq = df.groupBy(F.col(field).alias("value")).agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    if top_k is not None:
+        w = Window.orderBy(F.desc("freq"), F.asc("value"))
+        freq = (
+            freq.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .drop("rank")
+        )
+    return freq
+
+
+def transition_counts(
+    df: DataFrame,
+    field: str,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+) -> DataFrame:
+    """Markov transition matrix over a field: count per-trail adjacent
+    (previous value → value) pairs across all trails — the reference's
+    bigram model (`src/tdb_encode_model.c:344-381`) generalized to the
+    time axis, and the standard input to flow/funnel visualizations.
+
+    One uuid shuffle for the lag window, then an aggregation keyed on the
+    (value, value) pair space — at most lexicon² keys with map-side
+    combine, so the second exchange is tiny regardless of event count.
+    Trail-initial events (no predecessor) are excluded.
+    """
+    w = _trail_window(uuid_col, time_col, *tiebreak)
+    pairs = df.withColumn("__prev", F.lag(F.col(field)).over(w)).filter(
+        F.col("__prev").isNotNull()
+    )
+    return pairs.groupBy(
+        F.col("__prev").alias("src"), F.col(field).alias("dst")
+    ).agg(F.count(F.lit(1)).alias("freq"))
+
+
+def funnel_times(
+    df: DataFrame,
+    steps: list[Column],
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """Ordered-funnel timestamps per trail: ``s0`` is the first event
+    matching ``steps[0]``; ``s_i`` the first event matching ``steps[i]``
+    STRICTLY AFTER ``s_{i-1}`` (NULL once the chain breaks). The classic
+    cursor program — walk the trail once, latch each step's time — as a
+    single ``aggregate`` fold over the time-sorted trail: ONE shuffle on
+    uuid, no Python, no per-step re-scan of the events (the equivalent
+    min-time-chain SQL re-aggregates the event table once per step; the
+    DuckDB oracle uses exactly that independent formulation).
+
+    Equal-timestamp events cannot satisfy two consecutive steps (strict
+    ``>``), so the result is insensitive to tie order within the sort.
+    """
+    k = len(steps)
+    if k == 0:
+        raise ValueError("funnel needs at least one step predicate")
+    ev = F.struct(
+        F.col(time_col).cast("long").alias("t"),
+        *[steps[i].cast("boolean").alias(f"p{i}") for i in range(k)],
+    )
+    trail = df.groupBy(F.col(uuid_col).alias("uuid")).agg(
+        F.sort_array(F.collect_list(ev)).alias("evs")
+    )
+
+    init = F.struct(
+        *[F.lit(None).cast("long").alias(f"s{i}") for i in range(k)]
+    )
+
+    def fold(acc, e):
+        news: list[Column] = []
+        prev = None
+        for i in range(k):
+            cur = acc[f"s{i}"]
+            if i == 0:
+                hit = e["p0"] & cur.isNull()
+            else:
+                hit = e[f"p{i}"] & cur.isNull() & prev.isNotNull() & (e["t"] > prev)
+            val = F.when(hit, e["t"]).otherwise(cur)
+            news.append(val.alias(f"s{i}"))
+            prev = val
+        return F.struct(*news)
+
+    out = trail.withColumn("__f", F.aggregate(F.col("evs"), init, fold))
+    return out.select(
+        "uuid", *[F.col(f"__f.s{i}").alias(f"s{i}") for i in range(k)]
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[Column],
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """Funnel summary: how many trails reached each step (in order). The
+    per-trail table reduces to ``len(steps)`` rows — metadata-scale."""
+    times = funnel_times(df, steps, uuid_col, time_col)
+    aggs = [
+        F.count(F.col(f"s{i}")).alias(f"reached_{i}") for i in range(len(steps))
+    ]
+    wide = times.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step"), F.col(f"reached_{i}").alias("trails")
+            )
+            for i in range(len(steps))
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("x")).select("x.step", "x.trails")
+
+
+def retention(
+    df: DataFrame,
+    period: int = 86400,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """Cohort retention: bucket time into ``period``-sized buckets, cohort
+    each trail by its first active bucket, and count distinct trails active
+    at each (cohort, offset). The event table reduces to distinct
+    (uuid, bucket) pairs FIRST (map-side combine on the uuid shuffle), the
+    cohort assignment is a per-uuid min over that reduced table, and the
+    final count groups (cohort, offset) — every exchange after the first is
+    bounded by trails × active-buckets, not events.
+    """
+    b = (F.col(time_col).cast("long") / F.lit(period)).cast("long")
+    active = df.select(
+        F.col(uuid_col).alias("uuid"), b.alias("bucket")
+    ).distinct()
+    w = Window.partitionBy("uuid")
+    cohorted = active.withColumn("cohort", F.min("bucket").over(w))
+    return (
+        cohorted.groupBy(
+            "cohort", (F.col("bucket") - F.col("cohort")).alias("offset")
+        )
+        .agg(F.count(F.lit(1)).alias("trails"))
+    )
