@@ -151,21 +151,23 @@ def retention(
 ) -> DataFrame:
     """Cohort retention: bucket time into ``period``-sized buckets, cohort
     each trail by its first active bucket, and count distinct trails active
-    at each (cohort, offset). The event table reduces to distinct
-    (uuid, bucket) pairs FIRST (map-side combine on the uuid shuffle), the
-    cohort assignment is a per-uuid min over that reduced table, and the
-    final count groups (cohort, offset) — every exchange after the first is
-    bounded by trails × active-buckets, not events.
+    at each (cohort, offset). TWO shuffles total: ``collect_set(bucket)``
+    per uuid dedups map-side (partial aggregation) so the uuid exchange
+    carries at most trails × active-buckets rows, cohort = ``array_min``
+    needs no second pass over events, and the final exchange is keyed on
+    the tiny (cohort, offset) triangle. Per-trail set size is bounded by
+    the dataset's time span / ``period`` (e.g. a year of daily buckets is
+    366 ints), not by event count.
     """
     b = (F.col(time_col).cast("long") / F.lit(period)).cast("long")
-    active = df.select(
-        F.col(uuid_col).alias("uuid"), b.alias("bucket")
-    ).distinct()
-    w = Window.partitionBy("uuid")
-    cohorted = active.withColumn("cohort", F.min("bucket").over(w))
-    return (
-        cohorted.groupBy(
-            "cohort", (F.col("bucket") - F.col("cohort")).alias("offset")
-        )
-        .agg(F.count(F.lit(1)).alias("trails"))
+    per_trail = (
+        df.select(F.col(uuid_col).alias("uuid"), b.alias("bucket"))
+        .groupBy("uuid")
+        .agg(F.collect_set("bucket").alias("bs"))
     )
+    spread = per_trail.select(
+        F.array_min("bs").alias("cohort"), F.explode("bs").alias("bucket")
+    )
+    return spread.groupBy(
+        "cohort", (F.col("bucket") - F.col("cohort")).alias("offset")
+    ).agg(F.count(F.lit(1)).alias("trails"))

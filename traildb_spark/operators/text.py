@@ -254,9 +254,10 @@ def top_terms(
     Plan shape at 100 TB: explode is map-side; term frequencies aggregate
     with map-side combine on (doc, term); document frequencies are a
     vocabulary-scale aggregate of that same table (no second corpus
-    scan); the tf⋈df join shuffles on term (AQE may broadcast the df side
-    — vocabularies are sublinear in corpus size); one final shuffle ranks
-    per doc. Ties break on the term string, so top-k is deterministic.
+    scan); the tf⋈df join broadcasts the vocabulary-sized df side so the
+    corpus-sized tf table never re-shuffles onto term; one final shuffle
+    ranks per doc. Ties break on the term string, so top-k is
+    deterministic.
     """
     t = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
@@ -265,8 +266,11 @@ def top_terms(
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     score = F.round(F.col("tf").cast("double") / F.col("df"), 6)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    # broadcast the vocabulary-sized df table so tf (corpus-sized) is never
+    # re-shuffled onto term; for a vocabulary too big to broadcast, drop the
+    # hint and AQE falls back to a shuffle join on term
     return (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq), "term")
         .withColumn("score", score)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
