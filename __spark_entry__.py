@@ -661,6 +661,19 @@ def q61_retention(spark, sf_dir):
     return analytics.retention(ev, period=86400)
 
 
+def q62_percentiles(spark, sf_dir):
+    """Exact per-type value percentiles (Spark percentile interpolation is
+    bit-identical to DuckDB quantile_cont). The operator's approx=True mode
+    is the 100 TB path (mergeable t-digest-style sketch, no per-group
+    buffering)."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.percentiles(
+        ev, value_col="value", keys=("event_type",), probs=(0.5, 0.95, 0.99)
+    )
+
+
 def q52_emb_neardup_portable(spark, sf_dir):
     """SRP-LSH embedding near-dup with portable math: vectors quantized to
     integers (floor(v*2^20)), ±1 literal hyperplanes — sign bits become
@@ -817,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_transitions": q59_transitions,
         "q60_funnel": q60_funnel,
         "q61_retention": q61_retention,
+        "q62_percentiles": q62_percentiles,
     }
 
 
@@ -1324,6 +1338,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT cohort, bucket - cohort AS "offset", COUNT(*) AS trails
             FROM c GROUP BY 1, 2
+        """,
+        "q62_percentiles": f"""
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.95) AS p95,
+                   quantile_cont(value, 0.99) AS p99
+            FROM ({_E}) GROUP BY event_type
         """,
         "q57_pii_scrub": f"""
             SELECT event_id,

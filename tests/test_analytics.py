@@ -70,3 +70,15 @@ def test_retention_triangle(spark):
     df = spark.createDataFrame(rows, ["uuid", "time", "event_type"])
     got = {(r["cohort"], r["offset"]): r["trails"] for r in analytics.retention(df).collect()}
     assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+
+
+def test_percentiles_exact_and_approx(spark):
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 5.0), ("b", 15.0)]
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    got = {r["event_type"]: r for r in analytics.percentiles(df, probs=(0.5, 0.9)).collect()}
+    assert got["a"]["p50"] == 50.5  # interpolated median of 1..100
+    assert abs(got["a"]["p90"] - 90.1) < 1e-9  # 1 + 0.9*99, up to fp repr
+    assert got["b"]["p50"] == 10.0
+    # approx mode: same schema, values within rank-error of exact
+    ap = {r["event_type"]: r for r in analytics.percentiles(df, probs=(0.5, 0.9), approx=True).collect()}
+    assert abs(ap["a"]["p50"] - 50.5) <= 1.0
