@@ -133,3 +133,48 @@ def test_hash_split_is_a_partition(spark, ids, w):
         for r in curation.hash_split(df.repartition(7).sort(F.desc("doc_id")), w).collect()
     }
     assert {r["doc_id"]: r["split"] for r in got} == again
+
+
+# --- funnel fold vs independent Python min-time-chain ---------------------
+
+funnel_event = st.tuples(
+    st.sampled_from(["u0", "u1", "u2"]),
+    st.integers(min_value=0, max_value=50),     # small range → many ties
+    st.sampled_from(["a", "b", "c", "x"]),
+)
+
+
+def _py_funnel(rows, steps):
+    """Independent oracle: per uuid, s0 = min time matching steps[0];
+    s_i = min time matching steps[i] strictly after s_{i-1}."""
+    out = {}
+    for u in {r[0] for r in rows}:
+        evs = [(t, v) for (uu, t, v) in rows if uu == u]
+        times = []
+        prev = None
+        for i, sv in enumerate(steps):
+            cand = [
+                t for (t, v) in evs
+                if v == sv and (i == 0 or (prev is not None and t > prev))
+            ]
+            cur = min(cand) if cand and (i == 0 or prev is not None) else None
+            times.append(cur)
+            prev = cur
+        out[u] = tuple(times)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(funnel_event, min_size=0, max_size=40))
+def test_funnel_fold_matches_min_chain(spark, rows):
+    from traildb_spark.operators import analytics
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "uuid string, time long, event_type string")
+    steps = [F.col("event_type") == s for s in ("a", "b", "c")]
+    got = {
+        r["uuid"]: (r["s0"], r["s1"], r["s2"])
+        for r in analytics.funnel_times(df, steps).collect()
+    }
+    assert got == _py_funnel(rows, ["a", "b", "c"])

@@ -75,6 +75,17 @@ def main():
     timed("asof_10x", lambda: as_of_join(ev.select("uuid", "time", "event_id"), orders,
                                           on="uuid", left_time="time", right_time="otime").count())
 
+    from traildb_spark.operators import analytics  # noqa: E402
+
+    timed("transitions_10x", lambda: analytics.transition_counts(
+        ev, "event_type", "uuid", "time", "event_id").count())
+    timed("funnel_10x", lambda: analytics.funnel_times(
+        ev,
+        [F.col("event_type") == "signup", F.col("event_type") == "view",
+         F.col("event_type") == "purchase"],
+    ).count())
+    timed("retention_10x", lambda: analytics.retention(ev, period=86400).count())
+
     # whale skew: one uuid with ~1M events, 1500 normal trails
     whale = "/tmp/scale_smoke/whale"
     if not Path(whale).exists():
