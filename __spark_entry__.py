@@ -661,6 +661,24 @@ def q61_retention(spark, sf_dir):
     return analytics.retention(ev, period=86400)
 
 
+def q63_funnel_within(spark, sf_dir):
+    """Conversion-window funnel (view then purchase within 1 day of
+    signup per hop) — q60's fold with the ``within`` constraint, against
+    the independent windowed min-time-chain oracle."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.funnel_times(
+        ev,
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "view",
+            F.col("event_type") == "purchase",
+        ],
+        within=86400,
+    )
+
+
 def q62_percentiles(spark, sf_dir):
     """Exact per-type value percentiles (Spark percentile interpolation is
     bit-identical to DuckDB quantile_cont). The operator's approx=True mode
@@ -831,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_funnel": q60_funnel,
         "q61_retention": q61_retention,
         "q62_percentiles": q62_percentiles,
+        "q63_funnel_within": q63_funnel_within,
     }
 
 
@@ -1338,6 +1357,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT cohort, bucket - cohort AS "offset", COUNT(*) AS trails
             FROM c GROUP BY 1, 2
+        """,
+        "q63_funnel_within": f"""
+            WITH e AS (SELECT uuid, "time" AS t, event_type FROM ({_E})),
+            u AS (SELECT DISTINCT uuid FROM e),
+            c0 AS (SELECT uuid, min(t) AS t0 FROM e
+                   WHERE event_type = 'signup' GROUP BY uuid),
+            c1 AS (SELECT e.uuid, min(t) AS t1 FROM e JOIN c0 USING (uuid)
+                   WHERE event_type = 'view' AND t > t0 AND t <= t0 + 86400
+                   GROUP BY e.uuid),
+            c2 AS (SELECT e.uuid, min(t) AS t2 FROM e JOIN c1 USING (uuid)
+                   WHERE event_type = 'purchase' AND t > t1 AND t <= t1 + 86400
+                   GROUP BY e.uuid)
+            SELECT u.uuid, c0.t0 AS s0, c1.t1 AS s1, c2.t2 AS s2
+            FROM u LEFT JOIN c0 USING (uuid) LEFT JOIN c1 USING (uuid)
+                   LEFT JOIN c2 USING (uuid)
         """,
         "q62_percentiles": f"""
             SELECT event_type,

@@ -82,3 +82,18 @@ def test_percentiles_exact_and_approx(spark):
     # approx mode: same schema, values within rank-error of exact
     ap = {r["event_type"]: r for r in analytics.percentiles(df, probs=(0.5, 0.9), approx=True).collect()}
     assert abs(ap["a"]["p50"] - 50.5) <= 1.0
+
+
+def test_funnel_within_window(spark):
+    rows = [("u", 0, "a"), ("u", 100, "b"), ("u", 5, "b")]
+    df = spark.createDataFrame(rows, ["uuid", "time", "event_type"])
+    steps = [F.col("event_type") == "a", F.col("event_type") == "b"]
+    # no window: earliest b after a is t=5
+    r = analytics.funnel_times(df, steps).first()
+    assert (r["s0"], r["s1"]) == (0, 5)
+    # within=3: b@5 misses the window, b@100 too → chain breaks
+    r = analytics.funnel_times(df, steps, within=3).first()
+    assert (r["s0"], r["s1"]) == (0, None)
+    # within=10: b@5 qualifies
+    r = analytics.funnel_times(df, steps, within=10).first()
+    assert (r["s0"], r["s1"]) == (0, 5)

@@ -71,18 +71,25 @@ def funnel_times(
     steps: list[Column],
     uuid_col: str = UUID_COL,
     time_col: str = TIME_COL,
+    within: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel timestamps per trail: ``s0`` is the first event
     matching ``steps[0]``; ``s_i`` the first event matching ``steps[i]``
-    STRICTLY AFTER ``s_{i-1}`` (NULL once the chain breaks). The classic
-    cursor program — walk the trail once, latch each step's time — as a
-    single ``aggregate`` fold over the time-sorted trail: ONE shuffle on
-    uuid, no Python, no per-step re-scan of the events (the equivalent
-    min-time-chain SQL re-aggregates the event table once per step; the
-    DuckDB oracle uses exactly that independent formulation).
+    STRICTLY AFTER ``s_{i-1}`` (NULL once the chain breaks). ``within``
+    adds the standard conversion-window constraint: step i also requires
+    ``t <= s_{i-1} + within``. The classic cursor program — walk the
+    trail once, latch each step's time — as a single ``aggregate`` fold
+    over the time-sorted trail: ONE shuffle on uuid, no Python, no
+    per-step re-scan of the events (the equivalent min-time-chain SQL
+    re-aggregates the event table once per step; the DuckDB oracle uses
+    exactly that independent formulation).
 
     Equal-timestamp events cannot satisfy two consecutive steps (strict
     ``>``), so the result is insensitive to tie order within the sort.
+    Note the greedy first-match semantics shared with the min-chain
+    formulation: each step latches its EARLIEST eligible time, so with
+    ``within`` a later s_{i-1} candidate that would have let s_i succeed
+    is not explored (the industry-standard funnel definition).
     """
     k = len(steps)
     if k == 0:
@@ -108,6 +115,8 @@ def funnel_times(
                 hit = e["p0"] & cur.isNull()
             else:
                 hit = e[f"p{i}"] & cur.isNull() & prev.isNotNull() & (e["t"] > prev)
+                if within is not None:
+                    hit = hit & (e["t"] <= prev + F.lit(within))
             val = F.when(hit, e["t"]).otherwise(cur)
             news.append(val.alias(f"s{i}"))
             prev = val
@@ -124,10 +133,11 @@ def funnel_counts(
     steps: list[Column],
     uuid_col: str = UUID_COL,
     time_col: str = TIME_COL,
+    within: int | None = None,
 ) -> DataFrame:
     """Funnel summary: how many trails reached each step (in order). The
     per-trail table reduces to ``len(steps)`` rows — metadata-scale."""
-    times = funnel_times(df, steps, uuid_col, time_col)
+    times = funnel_times(df, steps, uuid_col, time_col, within)
     aggs = [
         F.count(F.col(f"s{i}")).alias(f"reached_{i}") for i in range(len(steps))
     ]
