@@ -863,7 +863,13 @@ def _q52_oracle() -> str:
         f"({p}, [{', '.join(str(int(x)) for x in row)}])"
         for p, row in enumerate(planes)
     )
-    cos = f"{_sql_dot('a.embedding','b.embedding')} / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})"
+    # quantized-integer cosine: int sums are exact (order-free), the final
+    # sqrt·mul·div chain is correctly-rounded IEEE — matches the Spark-side
+    # numpy kernel bit-for-bit (dedup.quantized_cosine_udf)
+    qdot = "list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, 64)])"
+    qna = "sqrt(list_sum([a.qv[i] * a.qv[i] for i in generate_series(1, 64)]))"
+    qnb = "sqrt(list_sum([b.qv[i] * b.qv[i] for i in generate_series(1, 64)]))"
+    cos = f"{qdot} / ({qna} * {qnb})"
     return f"""
         WITH q AS (
           SELECT vec_id,
@@ -888,8 +894,8 @@ def _q52_oracle() -> str:
             ON a.b = b2.b AND a.bh = b2.bh AND a.vec_id < b2.vec_id)
         SELECT c.id_a, c.id_b, round({cos}, 6) AS cos
         FROM cand c
-        JOIN embeddings a ON c.id_a = a.vec_id
-        JOIN embeddings b ON c.id_b = b.vec_id
+        JOIN q a ON c.id_a = a.vec_id
+        JOIN q b ON c.id_b = b.vec_id
         WHERE round({cos}, 6) >= 0.4
     """
 
