@@ -28,11 +28,11 @@ def event_dir(spark, sf_dir, tmp_path_factory):
     return path
 
 
-def _run_stream(df, name):
+def _run_stream(df, name, mode=None):
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("update" if name == "stateful" else "append")
+        .outputMode(mode or ("update" if name == "stateful" else "append"))
         .trigger(availableNow=True)
         .start()
     )
@@ -179,3 +179,39 @@ def test_compact_shards_preserves_data(spark, sf_dir, tmp_path):
     compact_shards(spark, out, num_buckets=1)
     assert {tuple(r) for r in TrailDataset.open(spark, out).df.collect()} == before
     assert n_files() <= before_files and n_files() == 1
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    from traildb_spark.streaming.sessions import streaming_funnel
+    from traildb_spark.operators import analytics
+
+    path = str(tmp_path / "funnel_events")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").cast("string").alias("uuid"),
+            F.timestamp_seconds(F.expr("ts div 1000000000")).alias("event_time"),
+            F.col("event_type"),
+        )
+    )
+    # time-ordered arrival (the parity contract) — single sorted file
+    ev.orderBy("event_time").coalesce(1).write.parquet(path)
+
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = streaming_funnel(stream, ["signup", "view", "purchase"])
+    _run_stream(out, "sfunnel", mode="update")
+    got = {
+        r["uuid"]: (r["s0"], r["s1"], r["s2"])
+        for r in spark.sql("select * from sfunnel").collect()
+    }
+
+    batch_in = spark.read.parquet(path).select(
+        "uuid", F.unix_timestamp("event_time").alias("time"), "event_type"
+    )
+    steps = [F.col("event_type") == s for s in ("signup", "view", "purchase")]
+    want = {
+        r["uuid"]: (r["s0"], r["s1"], r["s2"])
+        for r in analytics.funnel_times(batch_in, steps).collect()
+    }
+    assert got == want and len(got) > 0

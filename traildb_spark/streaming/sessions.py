@@ -117,3 +117,80 @@ def run_batch_equivalence(spark, batch_df: DataFrame, gap_seconds: int = 1800):
     return streaming_session_counts(
         batch_df, gap_seconds, ts_col="event_time", watermark="0 seconds"
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    step_values: list[str],
+    field: str = "event_type",
+    uuid_col: str = "uuid",
+    ts_col: str = "event_time",
+    watermark: str = "1 hour",
+    within: int | None = None,
+) -> DataFrame:
+    """Streaming analog of ``analytics.funnel_times``: per-trail latched
+    step timestamps maintained in state across micro-batches (state = k
+    longs per uuid — bounded by trail count). Each batch replays the same
+    latch rule as the batch fold: step i fires on the first event equal to
+    ``step_values[i]`` strictly after step i-1 (and within the conversion
+    window if set).
+
+    Parity contract: equals the batch funnel when events arrive
+    time-ordered per trail (the reference's model — trails are stored
+    time-ordered; the tests prove equality under availableNow). A
+    late-arriving earlier event can't un-latch a step — batch mode is the
+    replayable source of truth, as with the reference's immutable daily
+    re-encode.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = len(step_values)
+    if k == 0:
+        raise ValueError("funnel needs at least one step value")
+    out_schema = f"{uuid_col} string, " + ", ".join(f"s{i} long" for i in range(k))
+    state_schema = ", ".join(f"s{i} long" for i in range(k))
+
+    def update(key, pdfs, state):
+        times = list(state.get()) if state.exists else [-1] * k
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            secs = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000_000
+            for t, v in zip(secs, pdf[field]):
+                t = int(t)
+                # at most one step can latch per event (strict > rules out
+                # chaining two steps on one timestamp)
+                for i in range(k):
+                    if times[i] >= 0:
+                        continue
+                    ok = v == step_values[i] and (
+                        i == 0
+                        or (
+                            times[i - 1] >= 0
+                            and t > times[i - 1]
+                            and (within is None or t <= times[i - 1] + within)
+                        )
+                    )
+                    if ok:
+                        times[i] = t
+                    break
+        state.update(tuple(times))
+        yield pd.DataFrame(
+            {
+                uuid_col: [key[0]],
+                **{f"s{i}": [times[i] if times[i] >= 0 else None] for i in range(k)},
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(uuid_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
