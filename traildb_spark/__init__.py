@@ -13,10 +13,16 @@ from .operators.filters import (
     trail_filter_overrides,
     uuid_whitelist,
 )
-from .operators import trails
+from .operators import analytics, curation, dedup, joins, similarity, text, trails
 from .session import get_spark
 
 __all__ = [
+    "analytics",
+    "curation",
+    "dedup",
+    "joins",
+    "similarity",
+    "text",
     "TrailDataset",
     "TrailInfo",
     "EventFilter",
