@@ -392,6 +392,21 @@ def q25_rollup(spark, sf_dir):
 # north-star: dedup / text / similarity on documents + embeddings
 # --------------------------------------------------------------------------
 
+def q64_cube(spark, sf_dir):
+    """Full cube over (returnflag, linestatus, ship-year): all 2^3
+    grouping sets in one pass (SURVEY §2.6 '—' row; partial aggregation
+    means the cube costs one shuffle regardless of set count)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("ship_year", F.year("l_shipdate").cast("long"))
+        .cube("l_returnflag", "l_linestatus", "ship_year")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q30_fingerprints(spark, sf_dir):
     """Document fingerprinting + token counting (exact md5 parity with the
     SQL oracle)."""
@@ -850,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_retention": q61_retention,
         "q62_percentiles": q62_percentiles,
         "q63_funnel_within": q63_funnel_within,
+        "q64_cube": q64_cube,
     }
 
 
@@ -1152,6 +1168,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q64_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   round(SUM(l_quantity), 4) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus, CAST(year(l_shipdate) AS BIGINT))
         """,
         "q20_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
