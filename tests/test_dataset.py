@@ -154,3 +154,20 @@ def test_dump_csv_json(tiny, spark, tmp_path):
 def test_project_unknown_field_errors(tiny):
     with pytest.raises(ValueError):
         project_fields(tiny.df, ["uuid", "nope"])
+
+
+def test_field_name_validation(spark):
+    """Reference rules (src/tdb_cons.c:181-223, tests/c-tests/field_names.c):
+    charset, reserved 'time', duplicates, length."""
+    from traildb_spark.dataset import normalize_events, validate_field_names
+
+    validate_field_names(["ok_name", "Also-OK", "pct%25", "f9"])
+    for bad in (["time"], ["has space"], ["dot.dot"], [""], ["x" * 512], ["a", "a"]):
+        with pytest.raises(ValueError):
+            validate_field_names(bad)
+
+    # normalize_events applies the check to the field columns
+    df = spark.createDataFrame([("u", 1, "v")], ["uuid", "time", "bad col"])
+    with pytest.raises(ValueError):
+        normalize_events(df)
+    assert normalize_events(df, validate_names=False).columns == ["uuid", "time", "bad col"]

@@ -35,11 +35,42 @@ META_FILE = "_traildb_meta.json"
 RESERVED = (UUID_COL, TIME_COL, SHARD_COL)
 
 
+# reference charset (src/tdb_limits.h:48-51: urlencode-safe, used in
+# filenames) and length cap (:9); 'time' reserved (src/tdb_cons.c:185-186)
+_FIELDNAME_CHARS = frozenset(
+    "_-%"
+    "abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789"
+)
+_MAX_FIELDNAME_LENGTH = 512
+
+
+def validate_field_names(names: list[str]) -> None:
+    """Reference field-name rules (`src/tdb_cons.c:181-223`,
+    ``is_fieldname_invalid`` + ``find_duplicate_fieldnames``): non-empty,
+    < 512 chars, charset ``[A-Za-z0-9_%-]``, 'time' reserved, no
+    duplicates. Raises ``ValueError`` like the reference returns
+    TDB_ERR_INVALID_FIELDNAME / TDB_ERR_DUPLICATE_FIELDS."""
+    seen = set()
+    for name in names:
+        if name == "time":
+            raise ValueError("field name 'time' is reserved")
+        if not name or len(name) >= _MAX_FIELDNAME_LENGTH:
+            raise ValueError(f"invalid field name length: {name!r}")
+        if not set(name) <= _FIELDNAME_CHARS:
+            raise ValueError(f"invalid characters in field name: {name!r}")
+        if name in seen:
+            raise ValueError(f"duplicate field name: {name!r}")
+        seen.add(name)
+
+
 def normalize_events(
     df: DataFrame,
     uuid_col: str = UUID_COL,
     time_col: str = TIME_COL,
     fields: list[str] | None = None,
+    validate_names: bool = True,
 ) -> DataFrame:
     """Normalize an arbitrary DataFrame to the canonical event schema:
     ``uuid STRING (lowercase hex ok), time LONG, <field> STRING...`` with
@@ -47,11 +78,14 @@ def normalize_events(
 
     ``time`` accepts integer or timestamp input; timestamps become Unix
     seconds (the reference stores uint64 "usually Unix time",
-    `doc/docs/api.md:53`).
+    `doc/docs/api.md:53`). Field names are checked against the reference's
+    charset/duplicate rules unless ``validate_names=False``.
     """
     cols = [c for c in df.columns if c not in (uuid_col, time_col)]
     if fields is not None:
         cols = [c for c in cols if c in fields]
+    if validate_names:
+        validate_field_names(cols)
     t = F.col(time_col)
     dtype = dict(df.dtypes)[time_col]
     if dtype.startswith("timestamp"):
