@@ -171,3 +171,25 @@ def test_field_name_validation(spark):
     with pytest.raises(ValueError):
         normalize_events(df)
     assert normalize_events(df, validate_names=False).columns == ["uuid", "time", "bad col"]
+
+
+def test_zero_fields_and_empty_dataset(spark, tmp_path):
+    """Reference edge cases tests/c-tests/zero_fields.c and
+    empty_tdb_cons.c: a trail store with no value fields, and a finalized
+    empty store, both round-trip."""
+    from traildb_spark.dataset import normalize_events
+
+    zf = normalize_events(spark.createDataFrame([("u1", 5), ("u1", 3), ("u2", 9)], ["uuid", "time"]))
+    p = str(tmp_path / "zf")
+    TrailDataset(zf).finalize(p)
+    back = TrailDataset.open(spark, p)
+    info = back.info()
+    assert (info.num_trails, info.num_events) == (2, 3)
+    assert (info.min_timestamp, info.max_timestamp) == (3, 9)
+
+    empty = zf.limit(0)
+    p2 = str(tmp_path / "empty")
+    TrailDataset(empty).finalize(p2)
+    back2 = TrailDataset.open(spark, p2)
+    info2 = back2.info()
+    assert (info2.num_trails, info2.num_events) == (0, 0)
