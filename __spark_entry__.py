@@ -918,7 +918,7 @@ def _q52_oracle() -> str:
 
 def _q53_oracle() -> str:
     """Portable sign-LSH ANN top-k: 8-plane integer SRP codes, hamming-ball
-    candidate probe, sequential-fold cosine ranking."""
+    candidate probe, quantized-integer cosine ranking."""
     from traildb_spark.operators.dedup import _srp_planes
 
     planes = _srp_planes(8, 64)
@@ -926,7 +926,10 @@ def _q53_oracle() -> str:
         f"({p}, [{', '.join(str(int(x)) for x in row)}])"
         for p, row in enumerate(planes)
     )
-    cos = f"{_sql_dot('c.embedding','q.embedding')} / ({_sql_norm('c.embedding')} * {_sql_norm('q.embedding')})"
+    qdot = "list_sum([c.qv[i] * q.qv[i] for i in generate_series(1, 64)])"
+    qnc = "sqrt(list_sum([c.qv[i] * c.qv[i] for i in generate_series(1, 64)]))"
+    qnq = "sqrt(list_sum([q.qv[i] * q.qv[i] for i in generate_series(1, 64)]))"
+    cos = f"{qdot} / ({qnc} * {qnq})"
     return f"""
         WITH qz AS (
           SELECT vec_id,
@@ -944,10 +947,10 @@ def _q53_oracle() -> str:
                  round({cos}, 6) AS cos,
                  row_number() OVER (PARTITION BY q.vec_id
                                     ORDER BY round({cos}, 6) DESC, c.vec_id ASC) AS rank
-          FROM embeddings q
+          FROM qz q
           JOIN codes qc ON q.vec_id = qc.vec_id
           JOIN codes cc ON bit_count(xor(qc.code, cc.code)) <= 4
-          JOIN embeddings c ON c.vec_id = cc.vec_id
+          JOIN qz c ON c.vec_id = cc.vec_id
           WHERE q.vec_id < 5)
         SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5
@@ -963,14 +966,27 @@ _PII_NUM = r"[0-9]{2,}"
 
 def _q54_oracle() -> str:
     """Portable IVF ANN top-k: centroids = 8 smallest md5-keyed corpus
-    vectors, assignment/probe by rounded sequential-fold cosine argmax."""
-    cos_ec = f"{_sql_dot('e.embedding','c.embedding')} / ({_sql_norm('e.embedding')} * {_sql_norm('c.embedding')})"
-    cos_qc = f"{_sql_dot('q.embedding','c.embedding')} / ({_sql_norm('q.embedding')} * {_sql_norm('c.embedding')})"
-    cos_vq = f"{_sql_dot('v.embedding','q.embedding')} / ({_sql_norm('v.embedding')} * {_sql_norm('q.embedding')})"
+    vectors, assignment/probe by rounded quantized-integer cosine argmax
+    (matches dedup.quantized_cosine_udf bit-for-bit)."""
+
+    def qcos(a: str, b: str) -> str:
+        dot = f"list_sum([{a}.qv[i] * {b}.qv[i] for i in generate_series(1, 64)])"
+        na = f"sqrt(list_sum([{a}.qv[i] * {a}.qv[i] for i in generate_series(1, 64)]))"
+        nb = f"sqrt(list_sum([{b}.qv[i] * {b}.qv[i] for i in generate_series(1, 64)]))"
+        return f"{dot} / ({na} * {nb})"
+
+    cos_ec = qcos("e", "c")
+    cos_qc = qcos("q", "c")
+    cos_vq = qcos("v", "q")
     return f"""
-        WITH cents AS (
-          SELECT vec_id AS cid, embedding
-          FROM embeddings
+        WITH qz AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+                  for i in generate_series(1, 64)] AS qv
+          FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cid, qv
+          FROM qz
           ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
                    vec_id
           LIMIT 8),
@@ -979,14 +995,14 @@ def _q54_oracle() -> str:
             SELECT e.vec_id, c.cid,
                    row_number() OVER (PARTITION BY e.vec_id
                                       ORDER BY round({cos_ec}, 6) DESC, c.cid ASC) AS rn
-            FROM embeddings e CROSS JOIN cents c)
+            FROM qz e CROSS JOIN cents c)
           WHERE rn = 1),
         probes AS (
           SELECT query_id, cid FROM (
             SELECT q.vec_id AS query_id, c.cid,
                    row_number() OVER (PARTITION BY q.vec_id
                                       ORDER BY round({cos_qc}, 6) DESC, c.cid ASC) AS rn
-            FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5)
+            FROM qz q CROSS JOIN cents c WHERE q.vec_id < 5)
           WHERE rn <= 2),
         ranked AS (
           SELECT p.query_id, a.vec_id AS corpus_id,
@@ -995,8 +1011,8 @@ def _q54_oracle() -> str:
                                     ORDER BY round({cos_vq}, 6) DESC, a.vec_id ASC) AS rank
           FROM probes p
           JOIN assign a ON p.cid = a.cid
-          JOIN embeddings v ON v.vec_id = a.vec_id
-          JOIN embeddings q ON q.vec_id = p.query_id)
+          JOIN qz v ON v.vec_id = a.vec_id
+          JOIN qz q ON q.vec_id = p.query_id)
         SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5
     """

@@ -225,9 +225,10 @@ def ivf_topk_portable(
 
     Portable construction: centroids are the ``num_centroids`` corpus
     vectors with the smallest md5-derived key (deterministic, seedless);
-    assignment/probing take argmax of the sequential-fold cosine rounded to
-    6 places with an id tiebreak — every comparison is reproducible
-    bit-for-bit across engines.
+    assignment/probing take argmax of the quantized-integer cosine
+    (dedup.quantized_cosine_udf — exact order-free int sums, numpy
+    execution matches SQL bit-for-bit) rounded to 6 places with an id
+    tiebreak — every comparison is reproducible across engines.
 
     Plan shape matches the fast path: the centroid table is metadata-scale
     and broadcast to both sides; the corpus is scanned once for assignment
@@ -237,11 +238,11 @@ def ivf_topk_portable(
     GEMM avoids even that — this variant trades one shuffle for
     oracle-checkability).
     """
-    from .dedup import cosine
+    from .dedup import quantize_q20, quantized_cosine_udf
 
-    as_double = lambda col: F.transform(col, lambda x: x.cast("double"))
-
-    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), quantize_q20(F.col(vec_col)).alias("cv")
+    )
     hk = F.conv(
         F.substring(F.md5(F.col("corpus_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -252,7 +253,7 @@ def ivf_topk_portable(
         .select(F.col("corpus_id").alias("cid"), F.col("cv").alias("centv"))
     )
 
-    cent_cos = F.round(cosine(as_double(F.col("cv")), as_double(F.col("centv"))), 6)
+    cent_cos = F.round(quantized_cosine_udf(F.col("cv"), F.col("centv")), 6)
     w_assign = Window.partitionBy("corpus_id").orderBy(F.desc("ccos"), F.asc("cid"))
     assign = (
         c.join(F.broadcast(cents))
@@ -263,9 +264,9 @@ def ivf_topk_portable(
     )
 
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(query_id_col).alias("query_id"), quantize_q20(F.col(vec_col)).alias("qv")
     )
-    probe_cos = F.round(cosine(as_double(F.col("qv")), as_double(F.col("centv"))), 6)
+    probe_cos = F.round(quantized_cosine_udf(F.col("qv"), F.col("centv")), 6)
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cid"))
     probes = (
         q.join(F.broadcast(cents))
@@ -276,7 +277,7 @@ def ivf_topk_portable(
     )
 
     scored = assign.join(F.broadcast(probes), "cid").withColumn(
-        "cos", F.round(cosine(as_double(F.col("cv")), as_double(F.col("qv"))), 6)
+        "cos", F.round(quantized_cosine_udf(F.col("cv"), F.col("qv")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
     return (
@@ -299,29 +300,31 @@ def lsh_topk_portable(
 ) -> DataFrame:
     """``lsh_topk`` with engine-portable math: SRP codes from
     integer-quantized dots on ±1 literal hyperplanes (see
-    dedup.portable_srp_code) and sequential-fold cosine ranking, so the
-    ENTIRE approximate pipeline — candidate ball and ranking — reproduces
-    in a SQL oracle. Same plan shape as the fast path: corpus never
-    re-partitions, queries broadcast, one shuffle for the rank window.
+    dedup.portable_srp_code) and quantized-integer cosine ranking
+    (dedup.quantized_cosine_udf — exact order-free int sums, so the numpy
+    execution matches SQL bit-for-bit), so the ENTIRE approximate
+    pipeline — candidate ball and ranking — reproduces in a SQL oracle.
+    Same plan shape as the fast path: corpus never re-partitions, queries
+    broadcast, one shuffle for the rank window.
     """
-    from .dedup import cosine, portable_srp_code
+    from .dedup import portable_srp_code, quantize_q20, quantized_cosine_udf
 
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).alias("cv"),
+        quantize_q20(F.col(vec_col)).alias("cq"),
         portable_srp_code(F.col(vec_col), num_planes, dim).alias("ccode"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+        quantize_q20(F.col(vec_col)).alias("qq"),
         portable_srp_code(F.col(vec_col), num_planes, dim).alias("qcode"),
     )
     joined = c.join(F.broadcast(q)).filter(
         F.bit_count(F.col("ccode").bitwiseXOR(F.col("qcode"))) <= max_hamming
     )
-    cv_d = F.transform(F.col("cv"), lambda x: x.cast("double"))
-    qv_d = F.transform(F.col("qv"), lambda x: x.cast("double"))
-    scored = joined.withColumn("cos", F.round(cosine(cv_d, qv_d), 6))
+    scored = joined.withColumn(
+        "cos", F.round(quantized_cosine_udf(F.col("cq"), F.col("qq")), 6)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
