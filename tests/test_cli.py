@@ -78,3 +78,52 @@ def test_cli_json_roundtrip(spark, tmp_path, capsys):
 def test_cli_index_explains(capsys):
     assert main(["index"]) == 0
     assert "Parquet" in capsys.readouterr().out
+
+
+def test_tutorial_pipeline_end_to_end(spark, tmp_path):
+    """The reference tutorial's full lifecycle (doc/docs/tutorial.md):
+    make from CSV → finalize → open → CNF filter → per-trail sessionize →
+    dump. A reference user's complete workflow on this engine."""
+    import csv
+
+    from traildb_spark import EventFilter, TrailDataset, trails
+    from traildb_spark.sources.make import make_from_csv
+    from traildb_spark.sources.dump import dump_json
+
+    src = tmp_path / "edits.csv"
+    with open(src, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["uuid", "time", "action", "page"])
+        rows = [
+            ("aa", 100, "edit", "Spark"),
+            ("aa", 200, "edit", "Spark"),
+            ("aa", 5000, "revert", "Spark"),   # > gap → 2nd session
+            ("bb", 150, "edit", "DuckDB"),
+            ("bb", 160, "", "DuckDB"),         # empty ≡ NULL value
+        ]
+        w.writerows(rows)
+
+    ds = make_from_csv(spark, str(src), header=True)
+    out = str(tmp_path / "db")
+    ds.finalize(out)
+    db = TrailDataset.open(spark, out)
+
+    info = db.info()
+    assert (info.num_trails, info.num_events) == (2, 5)
+
+    f = EventFilter().new_clause().add_term("action", "edit")
+    assert db.with_filter(f).df.count() == 3
+    # empty-value term matches the ''-normalized row
+    f2 = EventFilter().new_clause().add_term("action", "")
+    assert db.with_filter(f2).df.count() == 1
+
+    sessions = {
+        r["uuid"]: r["num_sessions"]
+        for r in trails.session_stats(db.df, gap=1800).collect()
+    }
+    assert sessions == {"aa": 2, "bb": 1}
+
+    dump_dir = str(tmp_path / "dump")
+    dump_json(db.with_filter(f).df, dump_dir)
+    back = spark.read.json(dump_dir)
+    assert back.count() == 3
