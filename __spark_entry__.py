@@ -407,6 +407,17 @@ def q64_cube(spark, sf_dir):
     )
 
 
+def q65_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: 'new' docs (doc_id % 5 != 0) kept only if
+    their content fingerprint is absent from the 'existing' corpus
+    (doc_id % 5 == 0) — today's crawl vs the ingested corpus, via a
+    distinct-fingerprint left-anti join."""
+    docs = _load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    existing = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.dedup_against(new, existing).select("doc_id", "source")
+
+
 def q30_fingerprints(spark, sf_dir):
     """Document fingerprinting + token counting (exact md5 parity with the
     SQL oracle)."""
@@ -866,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_percentiles": q62_percentiles,
         "q63_funnel_within": q63_funnel_within,
         "q64_cube": q64_cube,
+        "q65_dedup_incremental": q65_dedup_incremental,
     }
 
 
@@ -1184,6 +1196,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q65_dedup_incremental": f"""
+            SELECT d.doc_id, d.source
+            FROM documents d
+            WHERE d.doc_id % 5 <> 0
+              AND md5({_NORM_TEXT.replace("text", "d.text")}) NOT IN (
+                SELECT md5({_NORM_TEXT.replace("text", "e.text")})
+                FROM documents e WHERE e.doc_id % 5 = 0)
         """,
         "q64_cube": """
             SELECT l_returnflag, l_linestatus,

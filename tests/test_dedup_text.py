@@ -312,3 +312,19 @@ def test_scrub_pii_counts_and_redaction(spark):
     r2 = got[2]
     assert (r2["n_email"], r2["n_ipv4"], r2["n_number"]) == (0, 0, 0)
     assert r2["scrubbed"] == "clean words only"
+
+
+def test_dedup_against_incremental(spark):
+    existing = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "other content")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "The  QUICK brown fox "),  # dup after normalization
+            (11, "genuinely new text"),
+            (12, "other content"),          # exact dup
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in dedup.dedup_against(new, existing).collect())
+    assert kept == [11]

@@ -1018,3 +1018,30 @@ def embedding_neardup_pairs_portable(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def dedup_against(
+    new: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest dedup: keep only rows of ``new`` whose normalized
+    content fingerprint does NOT appear in ``existing`` — the daily
+    pipeline case (today's crawl vs the already-ingested corpus), the
+    batch analog of ``streaming.ingest.streaming_dedup_exact``.
+
+    The existing corpus reduces to DISTINCT fingerprints before the join
+    (map-side combine; the fingerprint set is bounded by distinct
+    contents, not corpus rows), then a left-anti hash join keyed on the
+    16-byte md5 — at 100 TB the fingerprint set is written once and
+    reused per increment rather than rescanned.
+    """
+    seen = existing.select(
+        F.md5(normalize_text(F.col(text_col))).alias("__fp")
+    ).distinct()
+    return (
+        new.withColumn("__fp", F.md5(normalize_text(F.col(text_col))))
+        .join(seen, "__fp", "left_anti")
+        .drop("__fp")
+    )
