@@ -729,7 +729,7 @@ def q52_emb_neardup_portable(spark, sf_dir):
 
 def q53_sim_topk_portable(spark, sf_dir):
     """ANN top-k via portable sign-LSH (integer-quantized SRP codes,
-    hamming-ball probe, sequential-fold cosine rank) — the approximate
+    hamming-ball probe, quantized-integer cosine rank) — the approximate
     similarity-search pipeline itself oracle-checked end-to-end. q40
     remains the numpy fast path."""
     emb = _load(spark, sf_dir, "embeddings")
@@ -796,7 +796,7 @@ def q41_sim_topk_ivf(spark, sf_dir):
 
 def q54_sim_topk_ivf_portable(spark, sf_dir):
     """ANN top-k via portable IVF: deterministic md5-keyed centroid choice,
-    sequential-fold-cosine cell assignment and probing — the whole IVF
+    quantized-integer-cosine cell assignment and probing — the whole IVF
     pipeline oracle-checked end-to-end. q41 remains the k-means/GEMM fast
     path (rows-only)."""
     emb = _load(spark, sf_dir, "embeddings")

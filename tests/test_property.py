@@ -144,9 +144,10 @@ funnel_event = st.tuples(
 )
 
 
-def _py_funnel(rows, steps):
+def _py_funnel(rows, steps, within=None):
     """Independent oracle: per uuid, s0 = min time matching steps[0];
-    s_i = min time matching steps[i] strictly after s_{i-1}."""
+    s_i = min time matching steps[i] strictly after s_{i-1} (and within
+    the conversion window when set)."""
     out = {}
     for u in {r[0] for r in rows}:
         evs = [(t, v) for (uu, t, v) in rows if uu == u]
@@ -155,7 +156,9 @@ def _py_funnel(rows, steps):
         for i, sv in enumerate(steps):
             cand = [
                 t for (t, v) in evs
-                if v == sv and (i == 0 or (prev is not None and t > prev))
+                if v == sv
+                and (i == 0 or (prev is not None and t > prev
+                                and (within is None or t <= prev + within)))
             ]
             cur = min(cand) if cand and (i == 0 or prev is not None) else None
             times.append(cur)
@@ -173,8 +176,9 @@ def test_funnel_fold_matches_min_chain(spark, rows):
         return
     df = spark.createDataFrame(rows, "uuid string, time long, event_type string")
     steps = [F.col("event_type") == s for s in ("a", "b", "c")]
-    got = {
-        r["uuid"]: (r["s0"], r["s1"], r["s2"])
-        for r in analytics.funnel_times(df, steps).collect()
-    }
-    assert got == _py_funnel(rows, ["a", "b", "c"])
+    for within in (None, 7):
+        got = {
+            r["uuid"]: (r["s0"], r["s1"], r["s2"])
+            for r in analytics.funnel_times(df, steps, within=within).collect()
+        }
+        assert got == _py_funnel(rows, ["a", "b", "c"], within)
