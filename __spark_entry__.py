@@ -407,6 +407,21 @@ def q64_cube(spark, sf_dir):
     )
 
 
+def q66_set_ops(spark, sf_dir):
+    """Distinct set operations over trail-id sets (SURVEY §2.6 '—' row:
+    the reference's merge is UNION ALL only; INTERSECT/EXCEPT come free in
+    Spark): trails that both purchased and errored, and trails that
+    purchased but never errored."""
+    ev = _events(spark, sf_dir)
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("uuid")
+    erroring = ev.filter(F.col("event_type") == "error").select("uuid")
+    both = purchasers.intersect(erroring).withColumn("op", F.lit("both"))
+    only_purchase = purchasers.subtract(erroring).withColumn(
+        "op", F.lit("purchase_only")
+    )
+    return both.unionByName(only_purchase)
+
+
 def q65_dedup_incremental(spark, sf_dir):
     """Incremental-ingest dedup: 'new' docs (doc_id % 5 != 0) kept only if
     their content fingerprint is absent from the 'existing' corpus
@@ -878,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_funnel_within": q63_funnel_within,
         "q64_cube": q64_cube,
         "q65_dedup_incremental": q65_dedup_incremental,
+        "q66_set_ops": q66_set_ops,
     }
 
 
@@ -1196,6 +1212,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q66_set_ops": f"""
+            WITH p AS (SELECT uuid FROM ({_E}) WHERE event_type = 'purchase'),
+            e2 AS (SELECT uuid FROM ({_E}) WHERE event_type = 'error')
+            SELECT uuid, 'both' AS op FROM (SELECT uuid FROM p INTERSECT SELECT uuid FROM e2)
+            UNION ALL
+            SELECT uuid, 'purchase_only' AS op FROM (SELECT uuid FROM p EXCEPT SELECT uuid FROM e2)
         """,
         "q65_dedup_incremental": f"""
             SELECT d.doc_id, d.source

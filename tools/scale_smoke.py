@@ -32,10 +32,13 @@ def main():
     spark = get_spark("scale-smoke", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    big = "/tmp/scale_smoke/events10x"
+    import os
+
+    n_reps = int(os.environ.get("SMOKE_REPS", "10"))
+    big = f"/tmp/scale_smoke/events{n_reps}x"
     if not Path(big).exists():
         ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-        reps = [ev.withColumn("user_id", F.col("user_id") + F.lit(i * 10000)) for i in range(10)]
+        reps = [ev.withColumn("user_id", F.col("user_id") + F.lit(i * 10000)) for i in range(n_reps)]
         out = reps[0]
         for r in reps[1:]:
             out = out.unionByName(r)
@@ -51,7 +54,7 @@ def main():
         )
     )
     n = ev.count()
-    print(f"10x dataset: {n} rows, {ev.select('uuid').distinct().count()} trails")
+    print(f"{n_reps}x dataset: {n} rows, {ev.select('uuid').distinct().count()} trails")
 
     f = (
         EventFilter()
