@@ -1,8 +1,9 @@
-"""Scale smoke: run core operators on a 10x-replicated events table (~6M
-rows) and on a deliberately skewed dataset (one whale uuid owning ~1M
-events). Not CI — evidence that the plans survive scale-up and skew.
+"""Scale smoke: run core operators on a replicated events table
+(SMOKE_REPS × sf0.1, default 10× = 1M rows; 100× = 10M) and on a
+deliberately skewed dataset (one whale uuid owning ~1M events). Not CI —
+evidence that the plans survive scale-up and skew.
 
-Usage: python tools/scale_smoke.py  (writes scratch data under /tmp)
+Usage: [SMOKE_REPS=100] python tools/scale_smoke.py  (scratch under /tmp)
 """
 
 from __future__ import annotations
@@ -20,6 +21,17 @@ from traildb_spark import EventFilter, TrailDataset  # noqa: E402
 from traildb_spark.operators import trails  # noqa: E402
 from traildb_spark.operators.joins import as_of_join  # noqa: E402
 from traildb_spark.session import get_spark  # noqa: E402
+
+
+def _force(df):
+    """Full evaluation: checksum every output column so Catalyst cannot
+    prune the operator's work the way a bare count() can (a count over a
+    window op drops the window entirely)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("ck"),
+    ).collect()[0]
+    return row["n"]
 
 
 def timed(label, fn):
@@ -61,10 +73,10 @@ def main():
         .new_clause().add_term("event_type", "click").add_term("event_type", "view")
         .new_clause().add_time_range(1704500000, 1705500000)
     )
-    timed("cnf_filter_10x", lambda: f.apply(ev).count())
-    timed("sessions_10x", lambda: trails.session_stats(ev.select("uuid", "time"), gap=1800).count())
-    timed("only_diff_10x", lambda: trails.only_diff_items(ev, fields=["event_type"], tiebreak=["event_id"]).count())
-    timed("trail_lengths_10x", lambda: trails.trail_lengths(ev).count())
+    timed("cnf_filter_10x", lambda: _force(f.apply(ev)))
+    timed("sessions_10x", lambda: _force(trails.session_stats(ev.select("uuid", "time"), gap=1800)))
+    timed("only_diff_10x", lambda: _force(trails.only_diff_items(ev, fields=["event_type"], tiebreak=["event_id"])))
+    timed("trail_lengths_10x", lambda: _force(trails.trail_lengths(ev)))
     orders = (
         spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
         .select(
@@ -75,19 +87,35 @@ def main():
         .groupBy("uuid", "otime")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    timed("asof_10x", lambda: as_of_join(ev.select("uuid", "time", "event_id"), orders,
-                                          on="uuid", left_time="time", right_time="otime").count())
+    timed("asof_10x", lambda: _force(as_of_join(ev.select("uuid", "time", "event_id"), orders,
+                                  on="uuid", left_time="time", right_time="otime")))
 
     from traildb_spark.operators import analytics  # noqa: E402
 
-    timed("transitions_10x", lambda: analytics.transition_counts(
-        ev, "event_type", "uuid", "time", "event_id").count())
-    timed("funnel_10x", lambda: analytics.funnel_times(
+    timed("transitions_10x", lambda: _force(analytics.transition_counts(
+        ev, "event_type", "uuid", "time", "event_id")))
+    timed("funnel_10x", lambda: _force(analytics.funnel_times(
         ev,
         [F.col("event_type") == "signup", F.col("event_type") == "view",
          F.col("event_type") == "purchase"],
-    ).count())
-    timed("retention_10x", lambda: analytics.retention(ev, period=86400).count())
+    )))
+    timed("retention_10x", lambda: _force(analytics.retention(ev, period=86400)))
+
+    # time-shard pruning at scale: finalize the replica with daily shards,
+    # then a one-day CNF query must touch one shard, not the dataset
+    sharded = f"/tmp/scale_smoke/sharded{n_reps}x"
+    if not Path(sharded).exists():
+        TrailDataset(
+            ev.select("uuid", "time", F.col("event_id").cast("string").alias("eid"))
+        ).finalize(sharded, time_shard="yyyy-MM-dd", mode="overwrite")
+    db = TrailDataset.open(spark, sharded)
+    day = (
+        EventFilter()
+        .new_clause()
+        .add_time_range(1704844800, 1704931200)  # one day of the ~12-day span
+    )
+    timed("sharded_day_query", lambda: _force(db.with_filter(day).df))
+    timed("unsharded_day_query", lambda: _force(day.apply(ev)))
 
     # whale skew: one uuid with ~1M events, 1500 normal trails
     whale = "/tmp/scale_smoke/whale"
@@ -108,10 +136,10 @@ def main():
         base.unionByName(w).write.mode("overwrite").parquet(whale)
     wev = spark.read.parquet(whale)
     print(f"whale dataset: {wev.count()} rows")
-    timed("whale_sessions", lambda: trails.session_stats(wev.select("uuid", "time"), gap=1800).count())
-    timed("whale_only_diff", lambda: trails.only_diff_items(
+    timed("whale_sessions", lambda: _force(trails.session_stats(wev.select("uuid", "time"), gap=1800)))
+    timed("whale_only_diff", lambda: _force(trails.only_diff_items(
         wev.select("uuid", "time", "event_id").withColumn("f", (F.col("event_id") % 5).cast("string")),
-        fields=["f"], tiebreak=["event_id"]).count())
+        fields=["f"], tiebreak=["event_id"])))
     timed("whale_finalize", lambda: (
         TrailDataset(wev.select("uuid", "time", F.col("event_id").cast("string").alias("eid"))).finalize(
             "/tmp/scale_smoke/whale_out", num_buckets=32, mode="overwrite"
