@@ -407,6 +407,23 @@ def q64_cube(spark, sf_dir):
     )
 
 
+def q67_mix_corpus(spark, sf_dir):
+    """Token-budget corpus mixing: apply a target mixture (40/40/20 over
+    three sources, 20k-token budget) as md5-threshold downsampling with
+    rates derived from per-source token totals — the static data-mixture
+    recipe as one deterministic pushed-down filter."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", text.token_count(F.col("text")).cast("long")
+    )
+    return curation.mix_corpus(
+        docs,
+        target_fractions={"src0": 0.4, "src1": 0.4, "src2": 0.2},
+        budget_tokens=20000,
+    ).select("doc_id", "source")
+
+
 def q66_set_ops(spark, sf_dir):
     """Distinct set operations over trail-id sets (SURVEY §2.6 '—' row:
     the reference's merge is UNION ALL only; INTERSECT/EXCEPT come free in
@@ -894,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_cube": q64_cube,
         "q65_dedup_incremental": q65_dedup_incremental,
         "q66_set_ops": q66_set_ops,
+        "q67_mix_corpus": q67_mix_corpus,
     }
 
 
@@ -1212,6 +1230,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q67_mix_corpus": f"""
+            WITH d AS (
+              SELECT doc_id, source, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+              FROM documents),
+            tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot
+                    FROM d GROUP BY source),
+            thr AS (
+              SELECT source,
+                     CAST(floor(least(1.0,
+                        (20000 * CASE source WHEN 'src0' THEN 0.4
+                                             WHEN 'src1' THEN 0.4
+                                             ELSE 0.2 END) / tot) * 10000) AS BIGINT) AS t
+              FROM tot WHERE source IN ('src0', 'src1', 'src2'))
+            SELECT d.doc_id, d.source
+            FROM d JOIN thr USING (source)
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 10000 < thr.t
         """,
         "q66_set_ops": f"""
             WITH p AS (SELECT uuid FROM ({_E}) WHERE event_type = 'purchase'),

@@ -103,3 +103,21 @@ def test_stratified_sample_rates_and_determinism(spark):
     s5 = {r["doc_id"] for r in curation.stratified_sample(df, {"a": 0.5}).collect()}
     assert s2 <= s5
     assert s2 == {r["doc_id"] for r in curation.stratified_sample(df, {"a": 0.2}).collect()}
+
+
+def test_mix_corpus_budget_and_nesting(spark):
+    rows = [(i, "a" if i < 100 else "b", 10) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    # each source holds 1000 tokens; budget 500 at 50/50 → rate 0.25 each
+    out = curation.mix_corpus(df, {"a": 0.5, "b": 0.5}, budget_tokens=500)
+    got = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in got}
+    # md5 buckets ≈ uniform: expect ~25 docs per source (loose bounds)
+    assert set(by_src) == {"a", "b"} and all(10 <= v <= 40 for v in by_src.values())
+    # rate >= 1 keeps everything; unlisted strata are dropped
+    all_a = curation.mix_corpus(df, {"a": 1.0}, budget_tokens=10_000)
+    assert all_a.count() == 100 and all_a.filter("source = 'b'").count() == 0
+    # nested samples: a bigger budget strictly grows each stratum's sample
+    small = {r["doc_id"] for r in curation.mix_corpus(df, {"a": 1.0}, 200).collect()}
+    large = {r["doc_id"] for r in curation.mix_corpus(df, {"a": 1.0}, 600).collect()}
+    assert small <= large

@@ -231,3 +231,45 @@ def pack_sequences(
         )
     )
     return out.select(id_col, F.col("__n").alias("n_tokens"), "token_offset", "seq_start", "seq_end")
+
+
+def mix_corpus(
+    df: DataFrame,
+    target_fractions: dict[str, float],
+    budget_tokens: int,
+    token_col: str = "n_tokens",
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic corpus mixing: downsample each stratum so its token
+    mass approximates ``budget_tokens * fraction`` — applying a data-mixture
+    recipe (the DoReMi/Pile-style static mixture) as one pushed-down
+    filter. Strata absent from ``target_fractions`` are dropped.
+
+    Per-stratum token totals are a metadata-scale aggregate (one
+    map-side-combined shuffle, #strata rows to the driver); keep-rates
+    become md5-bucket thresholds exactly like :func:`stratified_sample`,
+    so membership stays a pure function of the id: reruns, engines, and
+    late shards agree, and raising the budget strictly grows each
+    stratum's sample (nested samples). Rate math is floor-based — no
+    round-half ambiguity between engines.
+    """
+    import math
+
+    totals = {
+        r[stratum_col]: r["tot"]
+        for r in df.groupBy(stratum_col).agg(F.sum(token_col).alias("tot")).collect()
+    }
+    b = hash_bucket(F.col(id_col), buckets, salt)
+    expr = None
+    for name, frac in target_fractions.items():
+        tot = totals.get(name, 0)
+        rate = 1.0 if tot == 0 else min(1.0, (budget_tokens * frac) / tot)
+        thr = int(math.floor(rate * buckets))
+        cond = (F.col(stratum_col) == name) & (b < thr)
+        expr = cond if expr is None else expr | cond
+    if expr is None:
+        raise ValueError("target_fractions must name at least one stratum")
+    return df.filter(expr)
