@@ -193,3 +193,49 @@ def test_zero_fields_and_empty_dataset(spark, tmp_path):
     back2 = TrailDataset.open(spark, p2)
     info2 = back2.info()
     assert (info2.num_trails, info2.num_events) == (0, 0)
+
+
+def test_compression_codecs_identical_content(spark, tmp_path):
+    """Reference runs every test under two compression configs
+    (TDB_CONS_NO_BIGRAMS, tests/c-tests/tdb_test.h:9-33); our analog:
+    the finalized layout must read back identically under different
+    Parquet codecs."""
+    from traildb_spark.dataset import normalize_events
+
+    ev = normalize_events(
+        spark.createDataFrame(
+            [(f"u{i%7}", i, f"v{i%13}") for i in range(500)],
+            ["uuid", "time", "f1"],
+        )
+    )
+    hashes = []
+    for codec in ("snappy", "zstd"):
+        spark.conf.set("spark.sql.parquet.compression.codec", codec)
+        p = str(tmp_path / codec)
+        TrailDataset(ev).finalize(p)
+        back = TrailDataset.open(spark, p).df
+        h = back.agg(
+            F.sum(F.crc32(F.concat_ws("|", "uuid", "time", "f1")))
+        ).collect()[0][0]
+        hashes.append((h, back.count()))
+    spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
+    assert hashes[0] == hashes[1]
+
+
+def test_wide_schema_roundtrip(spark, tmp_path):
+    """Reference stress: really_lots_of_fields.c (16382 fields max). 100
+    fields round-trip with filter semantics intact."""
+    from traildb_spark.dataset import normalize_events
+
+    n_fields = 100
+    cols = ["uuid", "time"] + [f"f{i}" for i in range(n_fields)]
+    rows = [tuple(["u1", t] + [f"v{t}_{i}" for i in range(n_fields)]) for t in range(20)]
+    df = normalize_events(spark.createDataFrame(rows, cols))
+    p = str(tmp_path / "wide")
+    TrailDataset(df).finalize(p)
+    back = TrailDataset.open(spark, p)
+    # fields includes the implicit 'time' (reference field 0, src/tdb.c:193)
+    assert len(back.fields) == n_fields + 1
+    f = EventFilter().new_clause().add_term("f99", "v7_99")
+    got = back.with_filter(f).df.collect()
+    assert len(got) == 1 and got[0]["time"] == 7
