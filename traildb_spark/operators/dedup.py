@@ -511,27 +511,39 @@ def minhash_lsh_pairs_portable(
     c_arr = np.array([c for (_, c) in perms], dtype=np.int64)[:, None]
     m_arr = (np.int64(1) << (60 - r_arr))
 
-    @F.pandas_udf(f"array<long>")
-    def sig_udf(col: pd.Series) -> pd.Series:
-        out = []
-        for hs in col:
-            if hs is None or len(hs) == 0:
-                out.append(np.zeros(num_hashes, dtype=np.int64))
-                continue
-            h = np.asarray(hs, dtype=np.int64)[None, :]
+    from ..functions.vectorized import _pynorm
+
+    # ONE Arrow pass computes shingle hashes AND the signature — a separate
+    # sig UDF would round-trip the (long) gram arrays JVM→Python→JVM twice
+    @F.pandas_udf("struct<grams: array<long>, sig: array<long>>")
+    def grams_sig_udf(s: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        gs, sigs = [], []
+        for t in s:
+            nt = _pynorm(t or "")
+            n = max(len(nt) - (shingle_k - 1), 1)
+            hs = {
+                int.from_bytes(
+                    hashlib.md5(nt[i : i + shingle_k].encode("utf-8")).digest()[:8],
+                    "big",
+                )
+                >> 4
+                for i in range(n)
+            }
+            arr = np.array(sorted(hs), dtype=np.int64)
+            gs.append(arr)
+            h = arr[None, :]
             # all permutations in one broadcast op: (num_hashes, n)
             rot = ((h % m_arr) << r_arr) + (h >> (60 - r_arr))
-            out.append(np.min(rot ^ c_arr, axis=1))
-        return pd.Series(out)
+            sigs.append(np.min(rot ^ c_arr, axis=1))
+        return pd.DataFrame({"grams": gs, "sig": sigs})
 
     base = _materialize(
         _spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            md5_shingle_hashes(F.col(text_col), shingle_k).alias("grams"),
-        )
+        .select(F.col(id_col).alias("id"), grams_sig_udf(F.col(text_col)).alias("gs"))
+        .select("id", F.col("gs.grams").alias("grams"), F.col("gs.sig").alias("sig"))
         .filter(F.size("grams") > 0)
-        .withColumn("sig", sig_udf(F.col("grams")))
     )
     # populate the cache distributed NOW: otherwise AQE's broadcast-build
     # for the verify joins recomputes the (expensive) hash pipeline
