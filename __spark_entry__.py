@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from traildb_spark import EventFilter, TrailDataset
-from traildb_spark.functions import vectorized
+from traildb_spark.functions import core, vectorized
 from traildb_spark.operators import dedup, joins, similarity, text, trails
 from traildb_spark.operators.filters import trail_filter_overrides
 from traildb_spark.streaming.sessions import streaming_session_counts
@@ -43,14 +43,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     df = _load(spark, sf_dir, "events")
-    ts_type = dict(df.dtypes)["ts"]
-    if ts_type == "bigint":
-        t = F.expr("ts div 1000000000")
-    else:
-        t = F.unix_timestamp(F.col("ts"))
     return df.select(
         F.col("user_id").cast("string").alias("uuid"),
-        t.cast("long").alias("time"),
+        core.ts_seconds(df).alias("time"),
         F.col("event_id"),
         F.coalesce(F.col("event_type"), F.lit("")).alias("event_type"),
         F.col("value"),

@@ -5,7 +5,29 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pyspark.sql.functions as F  # noqa: E402
+
+from traildb_spark.functions.core import ts_seconds  # noqa: E402
 from traildb_spark.session import get_spark  # noqa: E402
+
+
+def load_events(spark, sf_dir, *, as_timestamp=False):
+    """Canonical (uuid, time|event_time, event_type) view of events.parquet,
+    robust to the reader surfacing TIMESTAMP(NANOS) as either BIGINT nanos
+    (Spark <= 4.0 + nanosAsLong) or TIMESTAMP_NTZ (Spark >= 4.1). All tests
+    must load events through here — never hand-roll `ts div 1e9`."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    secs = ts_seconds(df)
+    t = (
+        F.timestamp_seconds(secs).alias("event_time")
+        if as_timestamp
+        else secs.alias("time")
+    )
+    return df.select(
+        F.col("user_id").cast("string").alias("uuid"),
+        t,
+        F.col("event_type").cast("string").alias("event_type"),
+    )
 
 
 @pytest.fixture(scope="session")

@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from traildb_spark import EventFilter, TrailDataset
+from traildb_spark.functions.core import ts_seconds
 from traildb_spark.operators.joins import as_of_join
 from traildb_spark.plans import audit
 
@@ -35,7 +36,7 @@ def test_cnf_filter_pushdown(events_parquet):
     the fused filter+decode property (reference src/tdb_decode.c:303-323)."""
     ev = events_parquet.select(
         F.col("user_id").cast("string").alias("uuid"),
-        F.expr("ts div 1000000000").alias("time"),
+        ts_seconds(events_parquet).alias("time"),
         "event_type",
     )
     f = EventFilter().new_clause().add_term("event_type", "click").add_term(
@@ -52,9 +53,10 @@ def test_finalized_layout_prunes_and_matches(spark, sf_dir, tmp_path):
     """finalize() then query: uuid predicate is pushed into the scan of the
     clustered layout, and pruned results == full-scan results (the
     index/no-index differential)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
         F.col("user_id").cast("string").alias("uuid"),
-        F.expr("ts div 1000000000").alias("time"),
+        ts_seconds(raw).alias("time"),
         F.coalesce("event_type", F.lit("")).alias("event_type"),
     )
     path = str(tmp_path / "tdb")
@@ -100,9 +102,10 @@ def test_time_shard_partition_pruning(spark, sf_dir, tmp_path):
     """Sharded finalize + time-range filter: the derived __shard predicate
     must land in PartitionFilters (Hive partition pruning), __shard must not
     leak into the schema, and pruned results == unsharded results."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
         F.col("user_id").cast("string").alias("uuid"),
-        F.expr("ts div 1000000000").alias("time"),
+        ts_seconds(raw).alias("time"),
         F.coalesce("event_type", F.lit("")).alias("event_type"),
     )
     path = str(tmp_path / "sharded")
@@ -128,9 +131,10 @@ def test_bucketed_table_join_no_shuffle(spark, sf_dir, tmp_path):
     aggregate with ZERO exchanges on the bucketed key — the cluster-scale
     deployment claim of SCALE.md made checkable (the reference's analog:
     trails co-located within one tdb file)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
         F.col("user_id").cast("string").alias("uuid"),
-        F.expr("ts div 1000000000").alias("time"),
+        ts_seconds(raw).alias("time"),
         F.col("event_id").cast("string").alias("eid"),
     )
     import shutil

@@ -5,6 +5,8 @@ exercising the custom stateful trail operator."""
 import pyspark.sql.functions as F
 import pytest
 
+from conftest import load_events
+
 from traildb_spark.streaming.sessions import (
     stateful_trail_counts,
     stream_events,
@@ -17,13 +19,7 @@ def event_dir(spark, sf_dir, tmp_path_factory):
     """sf0.001 events re-written as a 3-file parquet directory (arrival
     shards), normalized to (uuid, event_time)."""
     path = str(tmp_path_factory.mktemp("stream") / "events")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select(
-            F.col("user_id").cast("string").alias("uuid"),
-            F.timestamp_seconds(F.expr("ts div 1000000000")).alias("event_time"),
-        )
-    )
+    ev = load_events(spark, sf_dir, as_timestamp=True).select("uuid", "event_time")
     ev.repartition(3).write.parquet(path)
     return path
 
@@ -119,14 +115,7 @@ def test_streaming_finalize_layout(spark, sf_dir, tmp_path):
     from traildb_spark.streaming.ingest import streaming_finalize
 
     src = str(tmp_path / "src")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select(
-            F.col("user_id").cast("string").alias("uuid"),
-            F.expr("ts div 1000000000").cast("long").alias("time"),
-            F.col("event_type").cast("string").alias("event_type"),
-        )
-    )
+    ev = load_events(spark, sf_dir)
     ev.repartition(3).write.parquet(src)
 
     out_dir = str(tmp_path / "tdb")
@@ -152,14 +141,7 @@ def test_compact_shards_preserves_data(spark, sf_dir, tmp_path):
     from traildb_spark.streaming.ingest import streaming_finalize
 
     src = str(tmp_path / "src")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select(
-            F.col("user_id").cast("string").alias("uuid"),
-            F.expr("ts div 1000000000").cast("long").alias("time"),
-            F.col("event_type").cast("string").alias("event_type"),
-        )
-    )
+    ev = load_events(spark, sf_dir)
     ev.repartition(3).write.parquet(src)
     out = str(tmp_path / "tdb")
     stream = (
@@ -186,14 +168,7 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
     from traildb_spark.operators import analytics
 
     path = str(tmp_path / "funnel_events")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select(
-            F.col("user_id").cast("string").alias("uuid"),
-            F.timestamp_seconds(F.expr("ts div 1000000000")).alias("event_time"),
-            F.col("event_type"),
-        )
-    )
+    ev = load_events(spark, sf_dir, as_timestamp=True)
     # time-ordered arrival (the parity contract) — single sorted file
     ev.orderBy("event_time").coalesce(1).write.parquet(path)
 

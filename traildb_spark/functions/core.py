@@ -31,6 +31,25 @@ def parse_time(col: Column) -> Column:
     )
 
 
+def ts_seconds(df, col: str = "ts") -> Column:
+    """Unix-seconds LONG from an events ``ts`` column, robust to how the
+    active Spark surfaces parquet INT64 TIMESTAMP(NANOS):
+
+    * Spark <= 4.0 with ``spark.sql.legacy.parquet.nanosAsLong`` reads it
+      as BIGINT nanoseconds → integer-divide by 1e9;
+    * Spark >= 4.1 dropped that conf and yields TIMESTAMP_NTZ →
+      ``unix_timestamp`` (session tz is pinned to UTC in
+      :func:`traildb_spark.session.get_spark`, so NTZ == UTC instant).
+
+    All timestamp consumers (tests, ``__spark_entry__``) must go through
+    this single branch so an engine upgrade flips exactly one code path.
+    """
+    ts_type = dict(df.dtypes).get(col)
+    if ts_type == "bigint":
+        return F.expr(f"{col} div 1000000000").cast("long")
+    return F.unix_timestamp(F.col(col)).cast("long")
+
+
 def empty_as_null(col: Column) -> Column:
     return F.nullif(col, F.lit(""))
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark
 from pyspark.sql import SparkSession
 
 # Local test parallelism; a real deployment overrides via spark-submit conf.
@@ -34,9 +35,6 @@ def get_spark(app_name: str = "traildb-spark", master: str | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # The driver's events.parquet carries TIMESTAMP(NANOS), which the
-        # Spark 4 Parquet reader rejects by default; read as LONG nanos.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
@@ -48,4 +46,9 @@ def get_spark(app_name: str = "traildb-spark", master: str | None = None) -> Spa
     elif not os.environ.get("SPARK_MASTER"):
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         builder = builder.master(f"local[{cpus}]")
+    # Spark <= 4.0 rejects parquet INT64 TIMESTAMP(NANOS) unless this legacy
+    # conf reads it as LONG nanos; Spark >= 4.1 dropped the conf and reads
+    # TIMESTAMP_NTZ natively. functions.core.ts_seconds handles both dtypes.
+    if tuple(int(x) for x in pyspark.__version__.split(".")[:2]) < (4, 1):
+        builder = builder.config("spark.sql.legacy.parquet.nanosAsLong", "true")
     return builder.getOrCreate()
