@@ -494,12 +494,17 @@ def q34_ngram_jaccard(spark, sf_dir):
 
 
 def q35_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs, verified at char-shingle Jaccard ≥0.5.
-    (No SQL oracle: Spark murmur3 hash has no DuckDB equivalent — the
-    verified output is checked by q34's exact pairs being a subset; driver
-    records rows-only.)"""
+    """MinHash+LSH near-dup pairs at 7-char shingles, Jaccard ≥0.5 —
+    portable math (md5 shingles, rotate-XOR perms) so candidates AND
+    verify reproduce in the DuckDB oracle. The numpy fast path
+    (dedup.minhash_lsh_pairs, xxhash/affine family) stays the exported
+    scale kernel, equivalence-tested against exact Jaccard in
+    tests/test_dedup_text.py (reference ethos: differential everywhere,
+    tests/c-tests/multi_cursor.c:129-146)."""
     docs = _load(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.minhash_lsh_pairs_portable(
+        docs, shingle_k=7, num_hashes=16, bands=4, threshold=0.5
+    )
 
 
 def q43_curation_pipeline(spark, sf_dir):
@@ -785,11 +790,14 @@ def q37_emb_neardup(spark, sf_dir):
 
 
 def q38_emb_neardup_lsh(spark, sf_dir):
-    """Sign-LSH-bucketed embedding near-dup (the 100 TB scale path).
-    Rows-only check (approximate candidate set)."""
+    """Sign-LSH-bucketed embedding near-dup at a WIDER code (24 planes /
+    6 bands) than q52 — portable integer math end-to-end, so the full
+    candidate+verify pipeline is oracle-checked. The numpy Gaussian-plane
+    fast path (dedup.embedding_neardup_pairs) stays exported and is
+    soundness-tested against exact pairs in tests/test_dedup_text.py."""
     emb = _load(spark, sf_dir, "embeddings")
-    return dedup.embedding_neardup_pairs(
-        emb, threshold=0.4, num_planes=16, bands=4
+    return dedup.embedding_neardup_pairs_portable(
+        emb, threshold=0.4, num_planes=24, bands=6
     )
 
 
@@ -803,22 +811,33 @@ def q39_sim_topk(spark, sf_dir):
 
 
 def q40_sim_topk_lsh(spark, sf_dir):
-    """LSH-bucketed ANN top-k (scale path). Rows-only (approximate)."""
+    """LSH-bucketed ANN top-k with a LONGER code / TIGHTER ball (12
+    planes, hamming ≤3) than q53 — portable integer SRP math, so the
+    approximate pipeline is oracle-checked end-to-end. The numpy
+    Gaussian-plane fast path (similarity.lsh_topk) stays exported and is
+    recall-tested against brute force in tests/test_dedup_text.py."""
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_topk(emb, queries, k=5, num_planes=8, max_hamming=4)
+    return similarity.lsh_topk_portable(
+        emb, queries, k=5, num_planes=12, max_hamming=3
+    )
 
 
 def q41_sim_topk_ivf(spark, sf_dir):
-    """IVF (centroid-bucketed) ANN top-k — the partition-pruned scale path.
-    Rows-only (approximate: probes nprobe of num_centroids cells)."""
+    """IVF ANN top-k over MORE cells / WIDER probe (16 centroids, nprobe
+    4) than q54 — portable deterministic centroid choice + integer cosine,
+    oracle-checked end-to-end. The k-means/GEMM fast path
+    (similarity.ivf_topk) stays exported and is recall-tested against
+    brute force in tests/test_dedup_text.py."""
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, k=5, num_centroids=16, nprobe=4)
+    return similarity.ivf_topk_portable(
+        emb, queries, k=5, num_centroids=16, nprobe=4
+    )
 
 
 def q54_sim_topk_ivf_portable(spark, sf_dir):
@@ -910,12 +929,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _q52_oracle() -> str:
+def _srp_neardup_oracle(num_planes: int, bands: int, threshold: float) -> str:
     """SQL for the portable SRP near-dup: the ±1 hyperplanes inline as
-    VALUES literals (the same matrix dedup._srp_planes hands Spark)."""
+    VALUES literals (the same matrix dedup._srp_planes hands Spark).
+    Parameterized so q52 (16 planes / 4 bands) and q38 (24 / 6) share it."""
     from traildb_spark.operators.dedup import _srp_planes
 
-    planes = _srp_planes(16, 64)
+    planes = _srp_planes(num_planes, 64)
+    bits = num_planes // bands
+    mask = (1 << bits) - 1
     values = ", ".join(
         f"({p}, [{', '.join(str(int(x)) for x in row)}])"
         for p, row in enumerate(planes)
@@ -943,8 +965,8 @@ def _q52_oracle() -> str:
                  CAST(SUM(CASE WHEN d >= 0 THEN 1 << pid ELSE 0 END) AS BIGINT) AS code
           FROM dots GROUP BY vec_id),
         banded AS (
-          SELECT vec_id, b, (code >> (b * 4)) & 15 AS bh
-          FROM codes, generate_series(0, 3) AS t(b)),
+          SELECT vec_id, b, (code >> (b * {bits})) & {mask} AS bh
+          FROM codes, generate_series(0, {bands - 1}) AS t(b)),
         cand AS (
           SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
           FROM banded a JOIN banded b2
@@ -953,16 +975,17 @@ def _q52_oracle() -> str:
         FROM cand c
         JOIN q a ON c.id_a = a.vec_id
         JOIN q b ON c.id_b = b.vec_id
-        WHERE round({cos}, 6) >= 0.4
+        WHERE round({cos}, 6) >= {threshold}
     """
 
 
-def _q53_oracle() -> str:
-    """Portable sign-LSH ANN top-k: 8-plane integer SRP codes, hamming-ball
-    candidate probe, quantized-integer cosine ranking."""
+def _srp_topk_oracle(num_planes: int, max_hamming: int, k: int) -> str:
+    """Portable sign-LSH ANN top-k: integer SRP codes, hamming-ball
+    candidate probe, quantized-integer cosine ranking. Parameterized so
+    q53 (8 planes, ball 4) and q40 (12 planes, ball 3) share it."""
     from traildb_spark.operators.dedup import _srp_planes
 
-    planes = _srp_planes(8, 64)
+    planes = _srp_planes(num_planes, 64)
     values = ", ".join(
         f"({p}, [{', '.join(str(int(x)) for x in row)}])"
         for p, row in enumerate(planes)
@@ -990,11 +1013,11 @@ def _q53_oracle() -> str:
                                     ORDER BY round({cos}, 6) DESC, c.vec_id ASC) AS rank
           FROM qz q
           JOIN codes qc ON q.vec_id = qc.vec_id
-          JOIN codes cc ON bit_count(xor(qc.code, cc.code)) <= 4
+          JOIN codes cc ON bit_count(xor(qc.code, cc.code)) <= {max_hamming}
           JOIN qz c ON c.vec_id = cc.vec_id
           WHERE q.vec_id < 5)
         SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
-        FROM ranked WHERE rank <= 5
+        FROM ranked WHERE rank <= {k}
     """
 
 
@@ -1005,10 +1028,12 @@ _PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 _PII_NUM = r"[0-9]{2,}"
 
 
-def _q54_oracle() -> str:
-    """Portable IVF ANN top-k: centroids = 8 smallest md5-keyed corpus
-    vectors, assignment/probe by rounded quantized-integer cosine argmax
-    (matches dedup.quantized_cosine_udf bit-for-bit)."""
+def _ivf_topk_oracle(num_centroids: int, nprobe: int, k: int) -> str:
+    """Portable IVF ANN top-k: centroids = num_centroids smallest
+    md5-keyed corpus vectors, assignment/probe by rounded
+    quantized-integer cosine argmax (matches dedup.quantized_cosine_udf
+    bit-for-bit). Parameterized so q54 (8 cells / probe 2) and q41
+    (16 / 4) share it."""
 
     def qcos(a: str, b: str) -> str:
         dot = f"list_sum([{a}.qv[i] * {b}.qv[i] for i in generate_series(1, 64)])"
@@ -1030,7 +1055,7 @@ def _q54_oracle() -> str:
           FROM qz
           ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
                    vec_id
-          LIMIT 8),
+          LIMIT {num_centroids}),
         assign AS (
           SELECT vec_id, cid FROM (
             SELECT e.vec_id, c.cid,
@@ -1044,7 +1069,7 @@ def _q54_oracle() -> str:
                    row_number() OVER (PARTITION BY q.vec_id
                                       ORDER BY round({cos_qc}, 6) DESC, c.cid ASC) AS rn
             FROM qz q CROSS JOIN cents c WHERE q.vec_id < 5)
-          WHERE rn <= 2),
+          WHERE rn <= {nprobe}),
         ranked AS (
           SELECT p.query_id, a.vec_id AS corpus_id,
                  round({cos_vq}, 6) AS cos,
@@ -1055,7 +1080,53 @@ def _q54_oracle() -> str:
           JOIN qz v ON v.vec_id = a.vec_id
           JOIN qz q ON q.vec_id = p.query_id)
         SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
-        FROM ranked WHERE rank <= 5
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _minhash_portable_oracle(
+    shingle_k: int, num_hashes: int, bands: int, threshold: float
+) -> str:
+    """Portable MinHash+LSH SQL: md5-prefix shingle hashes, rotate-XOR
+    permutations, md5 band keys, exact Jaccard verify — the DuckDB twin of
+    dedup.minhash_lsh_pairs_portable. Parameterized so q44 (5-char
+    shingles) and q35 (7-char) share it."""
+    from traildb_spark.operators.dedup import _portable_perms
+
+    rows_per_band = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> xor((h % {1 << (60 - r)}) * {1 << r}"
+        f" + h // {1 << (60 - r)}, {c})))"
+        for (r, c) in _portable_perms(num_hashes)
+    )
+    jac = (
+        "round(CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(ga.hs, gb.hs))) AS DOUBLE), 6)"
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(
+                   [CAST(('0x' || substr(md5(substr(nt, i, {shingle_k})), 1, 15)) AS BIGINT)
+                    for i in generate_series(1, greatest(length(nt) - {shingle_k - 1}, 1))])) AS hs
+          FROM t),
+        s AS (
+          SELECT doc_id, hs, [{sig_items}] AS sig FROM g WHERE len(hs) > 0),
+        banded AS (
+          SELECT doc_id, b,
+                 md5(array_to_string(sig[b * {rows_per_band} + 1 : b * {rows_per_band} + {rows_per_band}], ',')) AS bh
+          FROM s, generate_series(0, {bands - 1}) AS bt(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM banded a JOIN banded b2
+            ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id)
+        SELECT c.id_a, c.id_b, {jac} AS jaccard
+        FROM cand c
+        JOIN s ga ON c.id_a = ga.doc_id
+        JOIN s gb ON c.id_b = gb.doc_id
+        WHERE {jac} >= {threshold}
     """
 
 
@@ -1084,14 +1155,6 @@ def oracle_sql() -> dict[str, str]:
         "for i in generate_series(1, greatest(len(w) - 2, 1))])"
     )
 
-    from traildb_spark.operators.dedup import _portable_perms
-
-    rows_per_band = 4
-    sig_items = ", ".join(
-        f"list_min(list_transform(hs, h -> xor((h % {1 << (60 - r)}) * {1 << r}"
-        f" + h // {1 << (60 - r)}, {c})))"
-        for (r, c) in _portable_perms(16)
-    )
     cos_ab = f"{_sql_dot('a.embedding','b.embedding')} / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})"
     cos_cq = f"{_sql_dot('c.embedding','q.embedding')} / ({_sql_norm('c.embedding')} * {_sql_norm('q.embedding')})"
 
@@ -1412,9 +1475,13 @@ def oracle_sql() -> dict[str, str]:
                    d.doc_id = COALESCE(l.component, d.doc_id) AS is_canonical
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
         """,
-        "q52_emb_neardup_portable": _q52_oracle(),
-        "q53_sim_topk_portable": _q53_oracle(),
-        "q54_sim_topk_ivf_portable": _q54_oracle(),
+        "q35_minhash_lsh": _minhash_portable_oracle(7, 16, 4, 0.5),
+        "q38_emb_neardup_lsh": _srp_neardup_oracle(24, 6, 0.4),
+        "q40_sim_topk_lsh": _srp_topk_oracle(12, 3, 5),
+        "q41_sim_topk_ivf": _ivf_topk_oracle(16, 4, 5),
+        "q52_emb_neardup_portable": _srp_neardup_oracle(16, 4, 0.4),
+        "q53_sim_topk_portable": _srp_topk_oracle(8, 4, 5),
+        "q54_sim_topk_ivf_portable": _ivf_topk_oracle(8, 2, 5),
         "q55_stratified_sample": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,
@@ -1610,34 +1677,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS clean_text
             FROM kept GROUP BY doc_id
         """,
-        "q44_minhash_portable": f"""
-            WITH t AS (
-              SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),
-            g AS (
-              SELECT doc_id,
-                     list_sort(list_distinct(
-                       [CAST(('0x' || substr(md5(substr(nt, i, 5)), 1, 15)) AS BIGINT)
-                        for i in generate_series(1, greatest(length(nt) - 4, 1))])) AS hs
-              FROM t),
-            s AS (
-              SELECT doc_id, hs, [{sig_items}] AS sig FROM g WHERE len(hs) > 0),
-            banded AS (
-              SELECT doc_id, b,
-                     md5(array_to_string(sig[b * {rows_per_band} + 1 : b * {rows_per_band} + {rows_per_band}], ',')) AS bh
-              FROM s, generate_series(0, 3) AS bt(b)),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-              FROM banded a JOIN banded b2
-                ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id)
-            SELECT c.id_a, c.id_b,
-                   round(CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE)
-                         / CAST(len(list_distinct(list_concat(ga.hs, gb.hs))) AS DOUBLE), 6) AS jaccard
-            FROM cand c
-            JOIN s ga ON c.id_a = ga.doc_id
-            JOIN s gb ON c.id_b = gb.doc_id
-            WHERE round(CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE)
-                        / CAST(len(list_distinct(list_concat(ga.hs, gb.hs))) AS DOUBLE), 6) >= 0.5
-        """,
+        "q44_minhash_portable": _minhash_portable_oracle(5, 16, 4, 0.5),
         "q36_simhash": f"""
             WITH t AS (
               SELECT doc_id, {_TOKENS} AS w FROM documents),

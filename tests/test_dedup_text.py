@@ -328,3 +328,87 @@ def test_dedup_against_incremental(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup.dedup_against(new, existing).collect())
     assert kept == [11]
+
+
+def test_minhash_fast_path_sound_vs_exact_jaccard(spark, sf_dir):
+    """Equivalence discipline for the numpy fast path (the driver's q35 now
+    runs the portable twin; this keeps the xxhash/affine kernel honest):
+    every pair the LSH pipeline emits must carry the EXACT char-shingle
+    Jaccard, and the emitted set must be a subset of the exact >= t pair
+    set (LSH can lose candidates, never invent them). On sf0.001's real
+    dup clusters the banding also recovers every exact pair (recall 1.0
+    at these params), so we assert full set equality."""
+    from traildb_spark.functions.vectorized import char_shingle_hashes_udf
+    from traildb_spark.operators.dedup import _jaccard_hashes_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    g = docs.select(
+        F.col("doc_id").alias("id"),
+        char_shingle_hashes_udf(F.col("text"), 5).alias("grams"),
+    )
+    a = g.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    b = g.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.round(_jaccard_hashes_udf(F.col("grams_a"), F.col("grams_b")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert set(got) == set(exact)
+    assert got == exact  # values are the exact Jaccard, not an estimate
+
+
+def test_embedding_neardup_fast_path_sound_vs_exact(spark, sf_dir):
+    """The Gaussian-plane SRP fast path must emit a SUBSET of the exact
+    cos>=t pairs with exactly matching cosine values (the verify step is
+    exact — no false positives ever). Recall: sf0.001's near-dup pairs all
+    sit in cos [0.4, 0.5], the weakest zone of the 16-plane/4-band
+    s-curve, where the analytic collision probability is ~0.45; planes
+    are seeded, so the measured 0.47 is deterministic — assert a floor
+    just under it (production near-dups at cos>=0.9 sit at ~0.95+ on the
+    same curve)."""
+    from traildb_spark.functions.vectorized import pairwise_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_neardup_pairs(
+            emb, threshold=0.4, num_planes=16, bands=4
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in pairwise_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    assert set(got) <= set(exact)
+    assert all(exact[p] == c for p, c in got.items())
+    assert len(got) >= 0.4 * len(exact)
+
+
+def test_topk_cosine_tie_break_matches_brute_force(spark):
+    """Regression for the argpartition tie bug: with many corpus rows
+    sharing the same rounded cosine, the per-batch candidate cut must keep
+    the corpus_id-ascending winners regardless of partitioning."""
+    from traildb_spark.functions.vectorized import topk_cosine
+
+    # 40 vectors, all identical → cos == 1.0 for every pair: top-3 must be
+    # the 3 smallest corpus ids under any partitioning of the corpus
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(8)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], ["query_id", "embedding"]
+    )
+    got = topk_cosine(corpus, queries, k=3).orderBy("rank").collect()
+    assert [r["corpus_id"] for r in got] == [0, 1, 2]
+    exact = similarity.brute_force_topk(corpus, queries, k=3).orderBy("rank").collect()
+    assert [(r["corpus_id"], r["cos"]) for r in got] == [
+        (r["corpus_id"], r["cos"]) for r in exact
+    ]

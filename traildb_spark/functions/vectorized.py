@@ -32,11 +32,75 @@ def _pynorm(t: str) -> str:
     return _WS.sub(" ", t.lower()).strip()
 
 
+def _flat_starts(offsets: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Window-start indices for a batch flattened into one buffer: for doc d,
+    ``counts[d]`` consecutive indices beginning at ``offsets[d]``. The glue
+    that lets one numpy pass replace a per-document Python loop."""
+    total = int(counts.sum())
+    firsts = np.repeat(offsets, counts)
+    excl = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return firsts + (np.arange(total, dtype=np.int64) - np.repeat(excl, counts))
+
+
+def _per_doc_sorted_unique(
+    h: np.ndarray, doc_ids: np.ndarray, ndocs: int
+) -> list[np.ndarray]:
+    """Per-document sorted-distinct over a flat (hash, doc) pairing — one
+    lexsort for the whole batch instead of ndocs ``np.unique`` calls.
+    Sort order matches ``np.unique`` on the original dtype of ``h``."""
+    order = np.lexsort((h, doc_ids))
+    hs, ds = h[order], doc_ids[order]
+    keep = np.ones(len(hs), dtype=bool)
+    keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+    hs, ds = hs[keep], ds[keep]
+    counts = np.bincount(ds, minlength=ndocs)
+    return np.split(hs.astype(np.int64), np.cumsum(counts)[:-1])
+
+
+def _md5_shingle_flat(
+    texts: list, k: int
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray]:
+    """Batch-flattened md5 char-shingle hashing (the portable 60-bit
+    family: value-identical to DuckDB CAST('0x'||substr(md5(s),1,15) AS
+    BIGINT)). md5 runs once per DISTINCT shingle in the batch
+    (pd.factorize — shingles repeat heavily across docs), then per-doc
+    sorted-distinct via one lexsort. Returns (per-doc arrays, their
+    concatenation, doc start offsets) so callers can run signature
+    reductions over the flat buffer without re-joining."""
+    import hashlib
+
+    counts = np.fromiter(
+        (max(len(t) - (k - 1), 1) for t in texts), dtype=np.int64, count=len(texts)
+    )
+    shingles = np.array(
+        [t[i : i + k] for t in texts for i in range(max(len(t) - (k - 1), 1))],
+        dtype=object,
+    )
+    inv, uniq = pd.factorize(shingles)
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big") >> 4
+            for u in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    doc_ids = np.repeat(np.arange(len(texts)), counts)
+    grams = _per_doc_sorted_unique(uh[inv], doc_ids, len(texts))
+    lens = np.fromiter((len(g) for g in grams), dtype=np.int64, count=len(grams))
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(grams) else np.empty(0, np.int64)
+    flat = np.concatenate(grams) if grams else np.empty(0, np.int64)
+    return grams, flat, offs
+
+
 def char_shingle_hashes_udf(text: Column, k: int = 5) -> Column:
-    """text → sorted distinct uint64 hashes of char k-shingles, one numpy
-    rolling-polynomial pass per doc (wraparound mod 2^64). Catalyst's
-    transform(sequence, substr∘xxhash64) computes the same set but
-    interpreted per element — measured ~350µs/shingle vs ~0.1µs here.
+    """text → sorted distinct uint64 hashes of char k-shingles via ONE
+    numpy rolling-polynomial pass over the whole Arrow batch (all docs
+    concatenated into a flat code-point buffer; per-doc window starts via
+    offsets; wraparound mod 2^64). Catalyst's transform(sequence,
+    substr∘xxhash64) computes the same set but interpreted per element —
+    measured ~350µs/shingle vs ~0.1µs here; the former per-document Python
+    loop paid ~100µs of interpreter overhead per doc on top.
 
     Windows are over UNICODE CODE POINTS (utf-32 decode gives one uint32
     per character), matching SQL substr(nt, i, k) semantics — so the
@@ -45,60 +109,160 @@ def char_shingle_hashes_udf(text: Column, k: int = 5) -> Column:
 
     @F.pandas_udf(ArrayType(LongType()))
     def sh(col: pd.Series) -> pd.Series:
-        P = np.uint64(1099511628211)  # FNV prime
-        powers = P ** np.arange(k, dtype=np.uint64)[::-1]
-        out = []
-        for t in col:
-            t = _pynorm(t or "")
-            c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-            if len(c) <= k:
-                h = (c * powers[-len(c):]).sum() if len(c) else np.uint64(0)
-                out.append(np.array([h], dtype=np.uint64).astype(np.int64))
-                continue
-            # rolling window product-sum via strided windows (vectorized)
-            n = len(c) - k + 1
-            win = np.lib.stride_tricks.sliding_window_view(c, k)
-            h = (win * powers[None, :]).sum(axis=1)
-            out.append(np.unique(h).astype(np.int64))
-        return pd.Series(out)
+        texts = [_pynorm(t or "") for t in col]
+        grams, _, _ = _char_shingle_flat(texts, k)
+        return pd.Series(grams)
 
     return sh(text)
 
 
+def _char_shingle_flat(
+    texts: list, k: int
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray]:
+    """Batch-flattened FNV rolling-hash char shingling (see
+    char_shingle_hashes_udf for semantics). Returns (per-doc sorted
+    distinct arrays, their concatenation, per-doc start offsets)."""
+    P = np.uint64(1099511628211)  # FNV prime
+    powers = P ** np.arange(k, dtype=np.uint64)[::-1]
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    out: list = [None] * len(texts)
+    # short docs (< k chars, incl. empty): whole-text polynomial
+    for i in np.nonzero(lens < k)[0]:
+        c = np.frombuffer(
+            texts[i].encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.uint64)
+        h = (c * powers[-len(c):]).sum() if len(c) else np.uint64(0)
+        out[i] = np.array([h], dtype=np.uint64).astype(np.int64)
+    long_idx = np.nonzero(lens >= k)[0]
+    if len(long_idx):
+        c = np.frombuffer(
+            "".join(texts[i] for i in long_idx).encode("utf-32-le"),
+            dtype=np.uint32,
+        ).astype(np.uint64)
+        llens = lens[long_idx]
+        offsets = np.concatenate(([0], np.cumsum(llens)[:-1]))
+        counts = llens - k + 1
+        # rolling polynomial over the flat buffer: k strided
+        # multiply-adds, O(N) memory (no (N, k) window matrix)
+        nwin = len(c) - k + 1
+        h_all = np.zeros(nwin, dtype=np.uint64)
+        for j in range(k):
+            h_all += c[j : j + nwin] * powers[j]
+        starts = _flat_starts(offsets, counts)
+        doc_ids = np.repeat(np.arange(len(long_idx)), counts)
+        arrays = _per_doc_sorted_unique(h_all[starts], doc_ids, len(long_idx))
+        for d, i in enumerate(long_idx):
+            out[i] = arrays[d]
+    glens = np.fromiter((len(g) for g in out), dtype=np.int64, count=len(out))
+    offs = np.concatenate(([0], np.cumsum(glens)[:-1])) if out else np.empty(0, np.int64)
+    flat = np.concatenate(out) if out else np.empty(0, np.int64)
+    return out, flat, offs
+
+
+def _minhash_from_flat(
+    flat: np.ndarray, offs: np.ndarray, ndocs: int, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(num_hashes, ndocs) MinHash matrix from a flat hash buffer via
+    reduceat, 8 permutation rows per pass (bounded memory). Elementwise
+    int64 wraparound matches the historical per-doc affine transform."""
+    num_hashes = len(a)
+    hm = flat % _MERSENNE
+    sigs = np.empty((num_hashes, ndocs), dtype=np.int64)
+    for s0 in range(0, num_hashes, 8):
+        s1 = min(s0 + 8, num_hashes)
+        m = (a[s0:s1, None] * hm[None, :] + b[s0:s1, None]) % _MERSENNE
+        sigs[s0:s1] = np.minimum.reduceat(m, offs, axis=1)
+    return sigs
+
+
+def char_shingle_minhash_udf(
+    text: Column, k: int = 5, num_hashes: int = 64
+) -> Column:
+    """Fused text → struct(n_grams, sig): char-shingle hashing AND the
+    MinHash signature in ONE Arrow pass. The shingle arrays never leave the
+    Python worker — no JVM round-trip, no columnar cache of array<long>
+    grams (measured ~4× the UDF cost itself), no gram arrays in any
+    shuffle. Callers re-derive exact-verify grams for the bounded survivor
+    set via char_shingle_hashes_udf on a semi-join."""
+    a, b = _perm_params(num_hashes)
+
+    @F.pandas_udf("struct<n_grams: long, sig: array<long>>")
+    def gs(col: pd.Series) -> pd.DataFrame:
+        texts = [_pynorm(t or "") for t in col]
+        grams, flat, offs = _char_shingle_flat(texts, k)
+        if len(flat):
+            sigs = _minhash_from_flat(flat, offs, len(grams), a, b)
+            sig_list = [sigs[:, d] for d in range(len(grams))]
+        else:
+            sig_list = []
+        return pd.DataFrame(
+            {
+                "n_grams": np.fromiter(
+                    (len(g) for g in grams), dtype=np.int64, count=len(grams)
+                ),
+                "sig": sig_list,
+            }
+        )
+
+    return gs(text)
+
+
 def word_ngram_hashes_udf(text: Column, n: int = 3) -> Column:
     """text → sorted distinct uint64 hashes of word n-grams: blake2b word
-    hashes combined by XOR-rotation (position-sensitive), numpy-vectorized
-    over gram positions. Set-equivalent to string n-grams (2^-64
-    collisions), so Jaccard values match the string formulation."""
+    hashes combined by XOR-rotation (position-sensitive). Set-equivalent to
+    string n-grams (2^-64 collisions), so Jaccard values match the string
+    formulation.
+
+    Flattened per Arrow batch: blake2b runs once per DISTINCT word in the
+    batch (pd.factorize; Zipf makes the vocabulary ~50× smaller than the
+    token stream), and the n-gram XOR-rotate combine is one strided numpy
+    pass over the concatenated word-hash buffer."""
     import hashlib
 
     @F.pandas_udf(ArrayType(LongType()))
     def gh(col: pd.Series) -> pd.Series:
-        out = []
-        for t in col:
-            words = [w for w in _pynorm(t or "").split(" ") if w]
-            if not words:
-                out.append(np.empty(0, dtype=np.int64))
-                continue
-            wh = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little"
-                    )
-                    for w in words
-                ],
-                dtype=np.uint64,
+        docs = [[w for w in _pynorm(t or "").split(" ") if w] for t in col]
+        nw = np.fromiter((len(ws) for ws in docs), dtype=np.int64, count=len(docs))
+        out: list = [None] * len(docs)
+        for i in np.nonzero(nw == 0)[0]:
+            out[i] = np.empty(0, dtype=np.int64)
+        # short docs (1..n-1 words): one hash of the joined words
+        for i in np.nonzero((nw > 0) & (nw < n))[0]:
+            whole = hashlib.blake2b(" ".join(docs[i]).encode("utf-8"), digest_size=8)
+            out[i] = np.array(
+                [int.from_bytes(whole.digest(), "little")], dtype=np.uint64
+            ).astype(np.int64)
+        long_idx = np.nonzero(nw >= n)[0]
+        if len(long_idx):
+            words = np.array(
+                [w for i in long_idx for w in docs[i]], dtype=object
             )
-            if len(wh) < n:
-                whole = hashlib.blake2b(" ".join(words).encode("utf-8"), digest_size=8)
-                g = np.array([int.from_bytes(whole.digest(), "little")], dtype=np.uint64)
-            else:
-                g = wh[: len(wh) - n + 1].copy()
-                for j in range(1, n):
-                    r = np.uint64(7 * j + 1)
-                    x = wh[j : len(wh) - n + 1 + j]
-                    g ^= (x << r) | (x >> (np.uint64(64) - r))
-            out.append(np.unique(g).astype(np.int64))
+            inv, uniq = pd.factorize(words)
+            uh = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
+                        "little",
+                    )
+                    for w in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            wh = uh[inv]
+            llens = nw[long_idx]
+            offsets = np.concatenate(([0], np.cumsum(llens)[:-1]))
+            counts = llens - n + 1
+            starts = _flat_starts(offsets, counts)
+            g = wh[starts].copy()
+            for j in range(1, n):
+                r = np.uint64(7 * j + 1)
+                x = wh[starts + j]
+                g ^= (x << r) | (x >> (np.uint64(64) - r))
+            doc_ids = np.repeat(np.arange(len(long_idx)), counts)
+            arrays = _per_doc_sorted_unique(g, doc_ids, len(long_idx))
+            for d, i in enumerate(long_idx):
+                out[i] = arrays[d]
         return pd.Series(out)
 
     return gh(text)
@@ -114,22 +278,33 @@ def _perm_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
 def minhash_signatures(hash_arrays: Column, num_hashes: int = 64) -> Column:
     """array<long> of element hashes → array<long> MinHash signature.
 
-    One xxhash64 per shingle happens JVM-side; the 64 permutations are a
-    single numpy broadcast per Arrow batch here.
-    """
+    One xxhash64 per shingle happens JVM-side; the permutations run as
+    numpy broadcasts over the batch's CONCATENATED hash buffer with
+    per-doc minima via ``np.minimum.reduceat`` — no per-document Python
+    loop. Permutation rows go in blocks of 8 so the (rows, total_hashes)
+    intermediate stays within a fixed memory budget regardless of batch
+    size."""
     a, b = _perm_params(num_hashes)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(col: pd.Series) -> pd.Series:
-        out = []
-        for hs in col:
-            if hs is None or len(hs) == 0:
-                out.append(np.zeros(num_hashes, dtype=np.int64))
-                continue
-            h = np.asarray(hs, dtype=np.uint64).astype(np.int64)
-            # (num_hashes, n) affine transform mod Mersenne prime
-            m = (a[:, None] * (h[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
-            out.append(m.min(axis=1))
+        lens = np.fromiter(
+            (0 if hs is None else len(hs) for hs in col),
+            dtype=np.int64,
+            count=len(col),
+        )
+        out: list = [None] * len(col)
+        for i in np.nonzero(lens == 0)[0]:
+            out[i] = np.zeros(num_hashes, dtype=np.int64)
+        idx = np.nonzero(lens > 0)[0]
+        if len(idx):
+            flat = np.concatenate(
+                [np.asarray(col[i], dtype=np.uint64).astype(np.int64) for i in idx]
+            )
+            offs = np.concatenate(([0], np.cumsum(lens[idx])[:-1]))
+            sigs = _minhash_from_flat(flat, offs, len(idx), a, b)
+            for d, i in enumerate(idx):
+                out[i] = sigs[:, d]
         return pd.Series(out)
 
     return sig(hash_arrays)
@@ -141,19 +316,29 @@ def simhash_from_hashes(hash_arrays: Column) -> Column:
 
     @F.pandas_udf(LongType())
     def sh(col: pd.Series) -> pd.Series:
+        lens = np.fromiter(
+            (0 if hs is None else len(hs) for hs in col),
+            dtype=np.int64,
+            count=len(col),
+        )
         out = np.zeros(len(col), dtype=np.int64)
-        for i, hs in enumerate(col):
-            if hs is None or len(hs) == 0:
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int32
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            word = np.uint64(0)
-            for bpos in np.nonzero(votes > 0)[0]:
-                word |= np.uint64(1) << np.uint64(bpos)
-            out[i] = word.astype(np.int64)
+        idx = np.nonzero(lens > 0)[0]
+        if len(idx):
+            flat = np.concatenate(
+                [np.asarray(col[i], dtype=np.int64) for i in idx]
+            ).astype(np.uint64)
+            offs = np.concatenate(([0], np.cumsum(lens[idx])[:-1]))
+            code = np.zeros(len(idx), dtype=np.uint64)
+            # bit-unpack + per-doc majority vote over the flat buffer,
+            # 16 bit positions per pass to bound the (N, 16) intermediate
+            for b0 in range(0, 64, 16):
+                bpos = np.arange(b0, b0 + 16, dtype=np.uint64)
+                bits = ((flat[:, None] >> bpos[None, :]) & 1).astype(np.int32)
+                votes = np.add.reduceat(2 * bits - 1, offs, axis=0)
+                code |= (
+                    (votes > 0).astype(np.uint64) << bpos[None, :]
+                ).sum(axis=1)
+            out[idx] = code.astype(np.int64)
         return pd.Series(out)
 
     return sh(hash_arrays)
@@ -286,9 +471,19 @@ def topk_cosine(
             c = c / np.linalg.norm(c, axis=1, keepdims=True)
             cids = pdfb[id_col].to_numpy()
             cos = np.round(c @ Q.T, round_digits)  # (batch, nq)
-            # partial top-k per query within the batch
+            # partial top-k per query within the batch. Deterministic
+            # tie-break (cos desc, corpus_id asc) INSIDE the kernel: a bare
+            # argpartition keeps arbitrary rows among rounded-cos ties, so
+            # the candidate set could exclude the id-asc winner the final
+            # window expects — top-k would vary across partitionings.
             kk = min(k, cos.shape[0])
-            idx = np.argpartition(-cos, kk - 1, axis=0)[:kk]
+            idx = np.stack(
+                [
+                    np.lexsort((cids, -cos[:, qi]))[:kk]
+                    for qi in range(cos.shape[1])
+                ],
+                axis=1,
+            )
             rows = {
                 "query_id": np.repeat(QI, kk),
                 "corpus_id": cids[idx].T.ravel(),

@@ -209,16 +209,22 @@ def ngram_jaccard_pairs(
 
     from ..functions.vectorized import word_ngram_hashes_udf
 
-    grams = word_ngram_hashes_udf(F.col(text_col), n)
-    base = _materialize(
-        _spread(df).select(F.col(id_col).alias("id"), grams.alias("grams")).filter(
-            F.size("grams") > 0
-        )
+    grams = word_ngram_hashes_udf(F.col("__text"), n)
+    # NO materialized gram cache: columnar caching of array<long> costs ~4×
+    # the (batch-flattened) UDF itself, and at 100 TB a cached
+    # all-grams intermediate is a non-starter. Each pass recomputes the
+    # gram UDF from text via lineage; gram arrays never enter a shuffle or
+    # the block store — only (id, size, prefix hash) rows move.
+    base = _spread(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    )
+    with_grams = base.select("id", "__text", grams.alias("grams")).filter(
+        F.size("grams") > 0
     )
     hot_rank: dict[int, int] = {}
     if freq_order_top_k:
         hot = (
-            base.select(F.explode("grams").alias("g"))
+            with_grams.select(F.explode("grams").alias("g"))
             .groupBy("g")
             .agg(F.count(F.lit(1)).alias("df_cnt"))
             .filter(F.col("df_cnt") > 1)
@@ -256,7 +262,7 @@ def ngram_jaccard_pairs(
     # pos is the gram's index in the doc's globally-consistent order
     # (cold-by-hash then hot-by-ascending-df — a total order, so positions
     # are comparable across docs), enabling PPJoin's position filter.
-    exploded = base.select(
+    exploded = with_grams.select(
         "id",
         F.size("grams").alias("sz"),
         F.posexplode(prefix_udf(F.col("grams"))).alias("pos", "g"),
@@ -292,8 +298,21 @@ def ngram_jaccard_pairs(
         .filter(F.col("__ub") >= F.col("__req"))
         .select("id_a", "id_b")
     )
-    ga = base.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = base.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    # exact verify recomputes grams from text for the BOUNDED survivor set
+    # only (semi-join on candidate ids): the full-corpus gram arrays are
+    # never cached or joined — at any scale the expensive arrays exist
+    # only for docs that reached verification.
+    cand = _materialize(cand)
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    surv = base.join(ids, "id", "left_semi").select(
+        "id", word_ngram_hashes_udf(F.col("__text"), n).alias("grams")
+    )
+    ga = surv.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = surv.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     return (
         cand.join(ga, "id_a")
         .join(gb, "id_b")
@@ -355,20 +374,22 @@ def minhash_lsh_pairs(
     magnitude. None = exact banding semantics (the oracle-checked default);
     production fuzzy dedup (``dedup_fuzzy``) caps at 64.
     """
-    from ..functions.vectorized import char_shingle_hashes_udf, minhash_signatures
+    from ..functions.vectorized import char_shingle_hashes_udf, char_shingle_minhash_udf
 
     rows = num_hashes // bands
-    # ONE materialization with both grams and signature: the shingle UDF and
-    # the minhash UDF pipeline in the same stage (no shuffle between them),
-    # and banding, signature-verify, and exact-verify all reuse this cache.
+    # Fused shingle+signature UDF: gram arrays stay inside the Python
+    # worker; only (id, n_grams, sig) is cached — 64 longs per doc, cheap
+    # columnar cache, nothing heavy in any shuffle. Exact-verify re-derives
+    # grams from text for the bounded survivor set only (see below).
+    raw = _spread(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    )
     base = _materialize(
-        _spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            char_shingle_hashes_udf(F.col(text_col), shingle_k).alias("grams"),
+        raw.select(
+            "id", char_shingle_minhash_udf(F.col("__text"), shingle_k, num_hashes).alias("gs")
         )
-        .filter(F.size("grams") > 0)
-        .withColumn("sig", minhash_signatures(F.col("grams"), num_hashes))
+        .select("id", F.col("gs.n_grams").alias("n_grams"), F.col("gs.sig").alias("sig"))
+        .filter(F.col("n_grams") > 0)
     )
     sig = base.select("id", "sig")
     # banding carries ids only — gram arrays stay out of the shuffle
@@ -413,8 +434,12 @@ def minhash_lsh_pairs(
 
     @F.pandas_udf("double")
     def _sig_agree(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        X = np.vstack(xs.to_numpy())
-        Y = np.vstack(ys.to_numpy())
+        if len(xs) == 0:
+            return pd.Series(np.empty(0))
+        # concatenate+reshape, NOT vstack: vstack wraps every row through
+        # atleast_2d in Python (measured ~10× slower at 500k candidates)
+        X = np.concatenate(xs.to_numpy()).reshape(len(xs), -1)
+        Y = np.concatenate(ys.to_numpy()).reshape(len(ys), -1)
         return pd.Series((X == Y).mean(axis=1))
 
     pruned = (
@@ -424,8 +449,18 @@ def minhash_lsh_pairs(
         .filter(F.col("est") >= F.lit(threshold - est_margin))
         .select("id_a", "id_b")
     )
-    ga = base.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = base.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    # exact verify: grams recomputed from text for surviving ids only
+    pruned = _materialize(pruned)
+    ids = (
+        pruned.select(F.col("id_a").alias("id"))
+        .union(pruned.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    surv = raw.join(ids, "id", "left_semi").select(
+        "id", char_shingle_hashes_udf(F.col("__text"), shingle_k).alias("grams")
+    )
+    ga = surv.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = surv.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     return (
         pruned.join(ga, "id_a")
         .join(gb, "id_b")
@@ -466,25 +501,13 @@ def md5_shingle_hashes(col: Column, k: int = 5) -> Column:
     is over UNICODE CODE POINTS of the normalized text, md5 over its UTF-8
     encoding.
     """
-    from ..functions.vectorized import _pynorm
+    from ..functions.vectorized import _md5_shingle_flat, _pynorm
 
     @F.pandas_udf("array<long>")
     def sh(s: pd.Series) -> pd.Series:
-        import hashlib
-
-        out = []
-        for t in s:
-            nt = _pynorm(t or "")
-            n = max(len(nt) - (k - 1), 1)
-            hs = {
-                int.from_bytes(
-                    hashlib.md5(nt[i : i + k].encode("utf-8")).digest()[:8], "big"
-                )
-                >> 4
-                for i in range(n)
-            }
-            out.append(np.array(sorted(hs), dtype=np.int64))
-        return pd.Series(out)
+        texts = [_pynorm(t or "") for t in s]
+        grams, _, _ = _md5_shingle_flat(texts, k)
+        return pd.Series(grams)
 
     return sh(col)
 
@@ -517,26 +540,27 @@ def minhash_lsh_pairs_portable(
     # sig UDF would round-trip the (long) gram arrays JVM→Python→JVM twice
     @F.pandas_udf("struct<grams: array<long>, sig: array<long>>")
     def grams_sig_udf(s: pd.Series) -> pd.DataFrame:
-        import hashlib
+        from ..functions.vectorized import _md5_shingle_flat
 
-        gs, sigs = [], []
-        for t in s:
-            nt = _pynorm(t or "")
-            n = max(len(nt) - (shingle_k - 1), 1)
-            hs = {
-                int.from_bytes(
-                    hashlib.md5(nt[i : i + shingle_k].encode("utf-8")).digest()[:8],
-                    "big",
+        texts = [_pynorm(t or "") for t in s]
+        gs, flat, offs = _md5_shingle_flat(texts, shingle_k)
+        if len(flat):
+            h = flat[None, :]
+            sigs_m = np.empty((num_hashes, len(gs)), dtype=np.int64)
+            # permutations over the flat gram buffer, per-doc minima via
+            # reduceat; 8 permutation rows at a time bounds the (rows, N)
+            # intermediate independent of batch size
+            for s0 in range(0, num_hashes, 8):
+                s1 = min(s0 + 8, num_hashes)
+                rot = ((h % m_arr[s0:s1]) << r_arr[s0:s1]) + (
+                    h >> (60 - r_arr[s0:s1])
                 )
-                >> 4
-                for i in range(n)
-            }
-            arr = np.array(sorted(hs), dtype=np.int64)
-            gs.append(arr)
-            h = arr[None, :]
-            # all permutations in one broadcast op: (num_hashes, n)
-            rot = ((h % m_arr) << r_arr) + (h >> (60 - r_arr))
-            sigs.append(np.min(rot ^ c_arr, axis=1))
+                sigs_m[s0:s1] = np.minimum.reduceat(
+                    rot ^ c_arr[s0:s1], offs, axis=1
+                )
+            sigs = [sigs_m[:, d] for d in range(len(gs))]
+        else:
+            sigs = []
         return pd.DataFrame({"grams": gs, "sig": sigs})
 
     base = _materialize(
