@@ -412,3 +412,34 @@ def test_topk_cosine_tie_break_matches_brute_force(spark):
     assert [(r["corpus_id"], r["cos"]) for r in got] == [
         (r["corpus_id"], r["cos"]) for r in exact
     ]
+
+
+def test_connected_components_distributed_long_chain(spark):
+    """Distributed star-alternation path (driver_threshold=0): a 64-node
+    path graph has diameter 63 — plain min-label propagation would need 63
+    rounds and under the old max_iters=20 silently returned SPLIT
+    clusters; large-star/small-star converges in O(log n) rounds."""
+    from traildb_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 163)], ["id_a", "id_b"]
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            chain, driver_threshold=0, max_iters=15
+        ).collect()
+    }
+    assert comp == {i: 100 for i in range(100, 164)}
+
+
+def test_connected_components_distributed_raises_without_fixpoint(spark):
+    """Exhausting max_iters without an edge-set fixpoint must raise, never
+    silently return partial labels."""
+    from traildb_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 164)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, driver_threshold=0, max_iters=1)

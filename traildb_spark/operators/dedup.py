@@ -690,7 +690,7 @@ def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
-    max_iters: int = 20,
+    max_iters: int = 50,
     driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (id, component) where
@@ -700,12 +700,16 @@ def connected_components(
     Hybrid strategy: the EDGE list of a dedup job is orders of magnitude
     smaller than the corpus, so when it fits the driver comfortably
     (<= driver_threshold edges) union-find runs there exactly — one collect
-    of (src,dst) longs, no iteration overhead. Above the threshold, falls
-    back to distributed min-label propagation: each iteration is one edge
-    shuffle, convergence detected by a label-table checksum (labels only
-    ever decrease, so checksum stability == fixpoint). Giant-component
-    graphs would warrant the large-star/small-star variant (same join
-    primitive, alternating orientations).
+    of (src,dst) longs, no iteration overhead. Above the threshold, runs
+    the distributed large-star/small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    is two groupBy-min + join passes over the edge set, and the edge set
+    contracts toward stars in O(log n) rounds REGARDLESS of component
+    diameter — a path graph converges logarithmically where plain
+    min-label propagation needs diameter rounds. Fixpoint is detected by
+    an order-independent edge-set checksum; exhausting ``max_iters``
+    without a fixpoint RAISES rather than silently returning split
+    clusters (50 rounds covers any n that fits in int64).
     """
     edges = _materialize(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).filter(
@@ -736,40 +740,76 @@ def connected_components(
         edges.unpersist()
         return pairs.sparkSession.createDataFrame(out, "id long, component long")
 
-    # distributed path
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    labels = _materialize(
+    # distributed path: large-star/small-star alternation
+    nodes = _materialize(
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .withColumn("component", F.col("id"))
     )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        """For every node u: connect each STRICTLY LARGER neighbor to
+        min(Γ(u) ∪ {u}). Shrinks tall chains from both ends."""
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        """Orient edges child=max/parent=min; re-hang every node (and its
+        smaller neighbors) off the minimum of its smaller neighborhood."""
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        out1 = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        out2 = mins.select("u", F.col("m").alias("v"))
+        return (
+            out1.unionByName(out2).filter(F.col("u") != F.col("v")).distinct()
+        )
+
+    # localCheckpoint, not persist: each round's plan references the
+    # previous round's ~4 times, so an uncut lineage grows 4^rounds
+    # logical nodes (observed: CacheManager OOM at round ~15 on a 64-edge
+    # graph). Checkpointing truncates the plan to the materialized RDD —
+    # the iterative-algorithm idiom (on a cluster, cluster-mode
+    # checkpointing trades resilience for an HDFS write; local blocks are
+    # re-derivable here by re-running the bounded loop).
+    e = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).distinct().localCheckpoint()
+    rounds = max_iters
     prev_sum = None
-    for _ in range(max_iters):
-        prop = (
-            sym.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("neighbor_min"))
-        )
-        new_labels = _materialize(
-            labels.join(prop, "id", "left").select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("neighbor_min", F.col("component"))
-                ).alias("component"),
-            )
-        )
-        csum = new_labels.agg(
-            F.bit_xor(F.xxhash64("id", "component")).alias("c"),
+    converged = False
+    for _ in range(rounds):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        csum = e.agg(
+            F.bit_xor(F.xxhash64("u", "v")).alias("c"),
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
-        labels.unpersist()
-        labels = new_labels
         if prev_sum == (csum["c"], csum["n"]):
+            converged = True
             break
         prev_sum = (csum["c"], csum["n"])
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {rounds} "
+            "large-star/small-star rounds — edge set still changing "
+            "(pathological input?); refusing to return split clusters"
+        )
+    # fixpoint edge set is a union of stars: u (child, the larger id) →
+    # v (its component's minimum); roots appear only on the right side.
+    # groupBy-min is a no-op on a proper star but keeps the join 1:1.
+    star = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("component"))
+    labels = nodes.join(star, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
     return labels
 
 
