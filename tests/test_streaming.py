@@ -190,3 +190,36 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
         for r in analytics.funnel_times(batch_in, steps).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_finalize_batch_idempotent_on_replay(spark, sf_dir, tmp_path):
+    """The at-least-once crash-retry contract: replaying a batch id must
+    not duplicate events — (a) full replay after commit is skipped via the
+    marker, (b) replay after a PARTIAL commit (files moved, marker never
+    written — the crash window) overwrites deterministically instead of
+    appending."""
+    import os
+
+    from traildb_spark.dataset import TrailDataset
+    from traildb_spark.streaming.ingest import _finalize_batch
+
+    ev = load_events(spark, sf_dir).limit(500)
+    out = str(tmp_path / "tdb")
+
+    assert _finalize_batch(ev, 7, out, time_shard="yyyy-MM-dd") is True
+    n1 = TrailDataset.open(spark, out).df.count()
+    assert n1 == 500
+
+    # (a) replay of a committed batch: skipped, no growth
+    assert _finalize_batch(ev, 7, out, time_shard="yyyy-MM-dd") is False
+    assert TrailDataset.open(spark, out).df.count() == n1
+
+    # (b) crash between data move and marker write: delete the marker to
+    # re-open the crash window, replay — deterministic names overwrite
+    os.remove(os.path.join(out, "_traildb_commits", "batch-7"))
+    assert _finalize_batch(ev, 7, out, time_shard="yyyy-MM-dd") is True
+    assert TrailDataset.open(spark, out).df.count() == n1
+
+    # a distinct batch id appends as new data
+    assert _finalize_batch(ev, 8, out, time_shard="yyyy-MM-dd") is True
+    assert TrailDataset.open(spark, out).df.count() == 2 * n1

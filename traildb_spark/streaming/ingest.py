@@ -10,7 +10,10 @@ data in the SAME finalized layout batch queries already prune:
   that survives an unbounded stream).
 * ``streaming_finalize`` — sink a stream into the ``TrailDataset``
   finalize layout (uuid-clustered, time-sorted, optional time shards), one
-  micro-batch at a time, exactly-once via checkpointed ``foreachBatch``.
+  micro-batch at a time. ``foreachBatch`` alone is only AT-LEAST-ONCE (a
+  retry after a partial append would duplicate events), so the batch
+  writer adds an idempotent commit protocol: stage → deterministic-rename
+  move → commit marker (details on ``_finalize_batch``).
 """
 
 from __future__ import annotations
@@ -69,21 +72,20 @@ def streaming_finalize(
     the fully clustered form — mirroring the reference's immutable daily
     re-encode.
 
-    Exactly-once: ``foreachBatch`` + the checkpoint guarantee each batch id
-    commits once; ``num_buckets`` caps files per batch (default 1 — at
-    local/daily scale small batches should not spray one file per core).
+    Exactly-once: the checkpoint makes the ENGINE replay each batch id
+    at-least-once; ``_finalize_batch`` makes the WRITE idempotent per
+    batch id (committed-marker skip + deterministic file names), so the
+    composition is effectively exactly-once even across a crash between
+    the data write and the checkpoint commit. ``num_buckets`` caps files
+    per batch (default 1 — at local/daily scale small batches should not
+    spray one file per core).
 
     Returns the started ``StreamingQuery``.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        TrailDataset(batch_df).finalize(
-            path,
-            num_buckets=num_buckets or 1,
-            time_shard=time_shard,
-            mode="append",
+        _finalize_batch(
+            batch_df, batch_id, path, time_shard=time_shard, num_buckets=num_buckets
         )
 
     return (
@@ -93,3 +95,80 @@ def streaming_finalize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _finalize_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    time_shard: str | None = None,
+    num_buckets: int | None = None,
+) -> bool:
+    """Idempotently land one micro-batch in the finalize layout.
+
+    ``foreachBatch`` is at-least-once: after a crash between the data
+    write and the checkpoint commit, the same (batch_id, data) is replayed
+    — a bare ``mode="append"`` would duplicate every event of the partial
+    batch. Protocol (all Hadoop FileSystem ops, so file://, hdfs:// and
+    any committer-backed store behave the same):
+
+    1. ``<path>/_traildb_commits/batch-<id>`` exists → committed, skip.
+    2. Stage the clustered batch under ``<path>/_staging/batch-<id>``
+       with ``mode="overwrite"`` (a retry re-stages cleanly).
+    3. Scrub any ``batch-<id>-*`` files a previous partial attempt moved
+       into the final tree, then move staged parquet files to their final
+       shard directories under DETERMINISTIC names
+       (``batch-<id>-<seq>.parquet``) — re-moving after a partial move
+       overwrites, never duplicates.
+    4. Write the sidecar (constant content — idempotent), then create the
+       commit marker and drop staging.
+
+    Returns True if the batch was written, False if skipped as committed.
+    Directories starting with ``_`` are invisible to parquet readers, so
+    staging and markers never pollute query results.
+    """
+    spark = batch_df.sparkSession
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    marker = hpath(f"{path}/_traildb_commits/batch-{batch_id}")
+    if fs.exists(marker):
+        return False
+    if batch_df.isEmpty():
+        fs.mkdirs(marker.getParent())
+        fs.createNewFile(marker)
+        return False
+    staging = f"{path}/_staging/batch-{batch_id}"
+    TrailDataset(batch_df).finalize(
+        staging, num_buckets=num_buckets or 1, time_shard=time_shard, mode="overwrite"
+    )
+    # collect staged data files grouped by relative shard dir
+    staged: dict[str, list] = {}
+    it = fs.listFiles(hpath(staging), True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if not name.endswith(".parquet"):
+            continue
+        rel = p.getParent().toString()[len(fs.makeQualified(hpath(staging)).toString()):]
+        staged.setdefault(rel.strip("/"), []).append(p)
+    # scrub leftovers of a previous partial move for THIS batch id
+    for pattern in (f"{path}/batch-{batch_id}-*", f"{path}/*/batch-{batch_id}-*"):
+        for st in fs.globStatus(hpath(pattern)) or []:
+            fs.delete(st.getPath(), False)
+    for rel, files in staged.items():
+        dest_dir = hpath(f"{path}/{rel}") if rel else hpath(path)
+        fs.mkdirs(dest_dir)
+        for seq, p in enumerate(sorted(files, key=lambda q: q.getName())):
+            fs.rename(p, hpath(f"{dest_dir.toString()}/batch-{batch_id}-{seq:05d}.parquet"))
+    if time_shard:
+        import json as _json
+
+        out = fs.create(hpath(f"{path}/_traildb_meta.json"), True)
+        out.write(bytearray(_json.dumps({"time_shard": time_shard}), "utf-8"))
+        out.close()
+    fs.mkdirs(marker.getParent())
+    fs.createNewFile(marker)
+    fs.delete(hpath(staging), True)
+    return True
