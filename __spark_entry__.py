@@ -854,6 +854,37 @@ def q54_sim_topk_ivf_portable(spark, sf_dir):
     )
 
 
+def q68_make_dump_roundtrip(spark, sf_dir):
+    """What-you-write-you-get-back, driver-checked (reference
+    tests/c-tests/what_you_write_you_get_back.c and
+    tests/tdbcli/test_tdbcli.py:80-90): events → headerless CSV with a
+    SCRAMBLED column order → ``tdb make`` with a 1-based positional field
+    spec (S5/S7) → constructor+finalize (S10/S11) → open (S3) → canonical
+    dump projection (S8/P1). The oracle is DuckDB reading the ORIGINAL
+    events directly — the roundtrip must be the identity."""
+    import os
+    import tempfile
+
+    from traildb_spark.sources import make
+
+    ev = _events(spark, sf_dir).select("uuid", "time", "event_type", "props")
+    tmp = tempfile.mkdtemp(prefix="tdb_roundtrip_")
+    csv_path = os.path.join(tmp, "in_csv")
+    tdb_path = os.path.join(tmp, "tdb")
+    # scrambled column order on disk; the field spec re-maps by index
+    (
+        ev.select("event_type", "uuid", "props", "time")
+        .write.option("emptyValue", "")
+        .csv(csv_path)
+    )
+    ds = make.make_from_csv(
+        spark, csv_path, fields=["2:uuid", "4:time", "1:event_type", "3:props"]
+    )
+    ds.finalize(tdb_path, num_buckets=4)
+    out = TrailDataset.open(spark, tdb_path).df
+    return out.select("uuid", "time", "event_type", "props")
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -926,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_dedup_incremental": q65_dedup_incremental,
         "q66_set_ops": q66_set_ops,
         "q67_mix_corpus": q67_mix_corpus,
+        "q68_make_dump_roundtrip": q68_make_dump_roundtrip,
     }
 
 
@@ -1163,6 +1195,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT uuid, "time", event_type FROM ({_E})
             WHERE event_type IN ('click', 'view')
               AND "time" >= {TIME_LO} AND "time" < {TIME_HI}
+        """,
+        "q68_make_dump_roundtrip": f"""
+            SELECT uuid, "time", event_type, props FROM ({_E})
         """,
         "q02_negation_empty": f"""
             SELECT uuid, "time", event_id, event_type FROM ({_E})
