@@ -17,6 +17,8 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -596,11 +598,25 @@ def q48_source_quota(spark, sf_dir):
 
 def q49_media_metadata(spark, sf_dir):
     """Multimodal metadata pass over a binary media column (documents
-    re-cast as a MEDIA_SCHEMA table: payload = utf-8 bytes of the text,
-    kind cycles image/audio/video). media_metadata touches only byte
-    LENGTH and the JSON sidecar, so column pruning keeps payload bytes out
-    of the scan; oracle recomputes the same values in SQL."""
+    re-cast as a MEDIA_SCHEMA table, kind cycling image/audio/video).
+    Image-kind rows carry REAL PNG payloads (multimodal.make_png: valid
+    sig/IHDR/IDAT/IEND, stored-block zlib) whose byte size has the closed
+    form h*(w+1)+68, so the SQL oracle predicts n_bytes of genuine image
+    binaries; audio/video rows carry utf-8 text payloads. media_metadata
+    touches only byte LENGTH and the JSON sidecar, so column pruning
+    keeps payload bytes out of the scan."""
     from traildb_spark.operators import multimodal
+
+    @F.pandas_udf("binary")
+    def png_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            w, h = 8 + int(i) % 9, 8 + int(i) % 7
+            yy, xx = np.mgrid[0:h, 0:w]
+            out.append(
+                multimodal.make_png(((yy * 17 + xx * 31 + int(i)) % 256).astype("uint8"))
+            )
+        return pd.Series(out)
 
     docs = _load(spark, sf_dir, "documents")
     kind = F.element_at(
@@ -610,7 +626,9 @@ def q49_media_metadata(spark, sf_dir):
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.when(kind == "image", png_payload(F.col("doc_id")))
+        .otherwise(F.encode(F.col("text"), "UTF-8"))
+        .alias("content"),
         F.concat(F.lit("x/"), kind).alias("mime"),
         F.to_json(F.struct(F.col("source"))).alias("meta"),
     )
@@ -1653,7 +1671,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
                    'x/' || ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS mime,
-                   octet_length(CAST(text AS BLOB)) AS n_bytes,
+                   CASE WHEN doc_id % 3 = 0
+                        -- real PNG payload: stored-block grayscale PNG of
+                        -- (8 + id%9) x (8 + id%7) has size h*(w+1) + 68
+                        THEN (8 + doc_id % 7) * (8 + doc_id % 9 + 1) + 68
+                        ELSE octet_length(CAST(text AS BLOB)) END AS n_bytes,
                    source AS meta_source
             FROM documents
         """,

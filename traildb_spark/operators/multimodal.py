@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata (north-star surface).
 
-The decode kernels (PIL/ffmpeg/librosa) are NOT in this container, so the
-byte-level decoding is stubbed behind ``_decode_image_stub`` — clearly
-marked, deterministic, swap-in-one-place. Everything Spark-side is real and
-tested: schemas, Arrow batch shapes, ``mapInPandas`` partitioning, and the
-metadata extraction contract.
+Image decode is REAL pure-python/stdlib for the containers this matters
+for: PNG/JPEG/GIF header parsing for dimensions, a complete PNG pixel
+decoder (zlib inflate + scanline unfiltering — 8-bit gray/RGB/RGBA/
+gray+alpha, non-interlaced) and a matching deterministic PNG encoder for
+fixtures, plus a numpy DCT perceptual hash over the decoded bitmap.
+JPEG/GIF PIXEL decode (Huffman+IDCT / LZW) stays out of scope — for those
+containers pHash falls back to a byte-content hash, clearly marked; real
+deployments swap `_gray_pixels` for PIL in one place. Audio/video decode
+(ffmpeg/librosa) remains stubbed the same way.
 
 At 100 TB the rules encoded here: binaries ride in their own column so
 column pruning skips them unless asked; feature extraction is
@@ -16,8 +20,11 @@ column pruning skips them unless asked; feature extraction is
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,35 +61,189 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
-def _decode_image_stub(content: bytes) -> tuple[int, int]:
-    """STUB: image decode. Real deployments replace this with
-    PIL.Image.open(BytesIO(content)).size — the library is not in this
-    container. Deterministic fake: pseudo-dimensions from the byte length
-    and first bytes, so tests are stable.
-    """
-    if content is None or len(content) == 0:
-        raise NotImplementedError(
-            "image decode stub: empty payload (real impl uses PIL, not installed here)"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image_size(content: bytes) -> tuple[int, int]:
+    """(width, height) from the container header — pure python, no image
+    library. PNG: IHDR at a fixed offset. JPEG: walk the marker stream to
+    the first SOF0–SOF15 frame header. GIF: logical screen descriptor.
+    Raises ValueError for anything else (callers decide the fallback)."""
+    if content.startswith(_PNG_SIG) and len(content) >= 24:
+        w, h = struct.unpack(">II", content[16:24])
+        return int(w), int(h)
+    if content[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 4 <= len(content):
+            if content[i] != 0xFF:
+                break
+            marker = content[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+            # SOFn (C0–CF except the huffman/arithmetic tables C4, C8, CC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                return int(w), int(h)
+            i += 2 + seg_len
+        raise ValueError("JPEG: no SOF frame header found")
+    if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 10:
+        w, h = struct.unpack("<HH", content[6:10])
+        return int(w), int(h)
+    raise ValueError("unrecognized image container")
+
+
+def _gray_pixels(content: bytes) -> np.ndarray:
+    """Decode a PNG payload to a grayscale float array (H, W).
+
+    Full pure-stdlib decode: chunk walk → IDAT zlib inflate → per-scanline
+    unfilter (None/Sub/Up/Average/Paeth) → ITU-R 601 luma. Supports 8-bit
+    gray / gray+alpha / RGB / RGBA, non-interlaced — the shapes the
+    fixture generator emits and the overwhelming share of real corpora.
+    Raises ValueError on other containers/configs (JPEG pixel decode needs
+    a real codec; swap this function for PIL in deployment)."""
+    if not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, width, height, channels = 8, None, None, None
+    idat = b""
+    while pos + 8 <= len(content):
+        (clen,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0:
+                raise ValueError("PNG: only 8-bit non-interlaced supported")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"PNG: unsupported color type {color}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("PNG: missing IHDR or IDAT")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG: unexpected scanline payload size")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        f = raw[y * (stride + 1)]
+        if f == 0:  # None
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the left neighbor: scan in order
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"PNG: bad filter {f}")
+                cur[x] = (row[x] + pred) & 0xFF
+        out[y] = cur
+        prev = cur
+    px = out.reshape(height, width, channels).astype(np.float64)
+    if channels == 1:
+        return px[:, :, 0]
+    if channels == 2:
+        return px[:, :, 0]
+    return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+
+
+def make_png(gray: np.ndarray) -> bytes:
+    """Deterministic 8-bit grayscale PNG encoder (fixture generator):
+    filter-0 scanlines, zlib level 0 (stored blocks), so the byte size is
+    the CLOSED FORM H*(W+1) + 68 for raw payloads <= 64 KiB — which lets
+    SQL oracles predict n_bytes of real image binaries."""
+    g = np.asarray(gray, dtype=np.uint8)
+    h, w = g.shape
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
-    w = 16 + (len(content) % 1024)
-    h = 16 + (int.from_bytes(content[:4].ljust(4, b"\0"), "little") % 1024)
-    return w, h
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 0))
+        + chunk(b"IEND", b"")
+    )
 
 
-def _phash_stub(content: bytes) -> int:
-    """STUB for perceptual hash: deterministic 64-bit hash of the payload
-    (real impl: DCT-based pHash over the decoded bitmap)."""
+def phash64(gray: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of a grayscale bitmap: nearest-neighbor
+    resample to 32×32, orthonormal DCT-II (one matrix multiply each side),
+    keep the top-left 8×8 low-frequency block minus DC, threshold at the
+    median. Near-identical images land within a few bits of Hamming
+    distance; unrelated images ~32."""
+    g = np.asarray(gray, dtype=np.float64)
+    hh, ww = g.shape
+    iy = (np.arange(32) * hh) // 32
+    ix = (np.arange(32) * ww) // 32
+    small = g[np.ix_(iy, ix)]
+    n = 32
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    dct = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    dct[0, :] = np.sqrt(1.0 / n)
+    freq = dct @ small @ dct.T
+    # round before comparing: float noise (~1e-13) in the DCT of a flat
+    # image must not flip bits above an exactly-zero median
+    vals = np.round(freq[:8, :8].ravel()[1:], 6)
+    med = np.median(vals)
+    bits = vals > med
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def _content_hash64(content: bytes) -> int:
+    """Fallback 64-bit CONTENT hash for payloads whose pixels we cannot
+    decode in pure python (JPEG/GIF): deterministic, but byte-level — NOT
+    perceptual. Kept distinct so deployments know to swap in PIL."""
     import hashlib
 
-    return int.from_bytes(hashlib.blake2b(content, digest_size=8).digest(), "big", signed=False) >> 1
+    return (
+        int.from_bytes(
+            hashlib.blake2b(content, digest_size=8).digest(), "big", signed=False
+        )
+        >> 1
+    )
 
 
 def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
     """Decode + feature-extract images via mapInPandas (Arrow-batched).
 
     Input: MEDIA_SCHEMA rows with kind='image'. Output:
-    IMAGE_FEATURES_SCHEMA. The iterator contract keeps memory bounded to
-    one Arrow batch regardless of partition size.
+    IMAGE_FEATURES_SCHEMA. Dimensions come from real container header
+    parsing (PNG/JPEG/GIF); pHash and the luma-histogram features come
+    from the real decoded bitmap for PNGs, with a marked byte-content
+    fallback for containers whose pixel decode needs a codec library.
+    The iterator contract keeps memory bounded to one Arrow batch
+    regardless of partition size.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -91,21 +252,29 @@ def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
             for _, row in pdf.iterrows():
                 content = bytes(row["content"]) if row["content"] is not None else b""
                 try:
-                    w, h = _decode_image_stub(content)
-                except NotImplementedError:
-                    w, h = -1, -1
+                    w, h = decode_image_size(content)
+                except ValueError:
+                    w, h = -1, -1  # unknown container: surface, don't fail the job
+                try:
+                    gray = _gray_pixels(content)
+                    ph = phash64(gray)
+                    # 8-dim luma-histogram embedding from the DECODED bitmap
+                    hist, _ = np.histogram(gray, bins=8, range=(0.0, 256.0))
+                    feats = (hist / max(gray.size, 1)).astype(float).tolist()
+                except ValueError:
+                    ph = _content_hash64(content) if content else 0
+                    feats = [
+                        float((content[i] if i < len(content) else 0)) / 255.0
+                        for i in range(8)
+                    ]
                 out.append(
                     {
                         "media_id": row["media_id"],
                         "width": w,
                         "height": h,
                         "n_bytes": len(content),
-                        "phash": _phash_stub(content) if content else 0,
-                        # 8-dim deterministic fake embedding from byte stats
-                        "features": [
-                            float((content[i] if i < len(content) else 0)) / 255.0
-                            for i in range(8)
-                        ],
+                        "phash": ph,
+                        "features": feats,
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
