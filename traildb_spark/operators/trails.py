@@ -58,17 +58,43 @@ def trail_ids(df: DataFrame, uuid_col: str = UUID_COL) -> DataFrame:
 
     Scalable construction: the naive ``dense_rank() over (order by uuid)``
     funnels ALL rows through one partition. Instead rank only the distinct
-    uuid set via a range-partitioned sort + per-partition offsets
-    (zipWithIndex), then broadcast/shuffle-join back. The distinct uuid set
-    is ~num_trails rows (44 M in the reference's wikipedia db) — far
-    smaller than the event table.
+    uuid set with a two-phase prefix (the ``curation.pack_sequences``
+    pattern, pure DataFrame API — no RDD, so the plan stays visible to
+    Catalyst and ``plans.audit``): range-partition the uuids (partition i
+    holds strictly smaller uuids than partition i+1 regardless of where
+    the sampled boundaries fall), bring the PER-PARTITION COUNTS — one row
+    per partition, metadata-scale — to the driver for the prefix scan,
+    and add each partition's base offset to a partition-local row_number.
+    The distinct uuid set is ~num_trails rows (44 M in the reference's
+    wikipedia db) — far smaller than the event table.
     """
-    uuids = df.select(uuid_col).distinct().repartitionByRange(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), uuid_col
-    ).sortWithinPartitions(uuid_col)
-    rdd = uuids.rdd.map(lambda r: r[0]).zipWithIndex()
-    mapping = df.sparkSession.createDataFrame(rdd, [uuid_col, "trail_id"])
-    return mapping
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    uuids = (
+        df.select(uuid_col)
+        .distinct()
+        .repartitionByRange(n, uuid_col)
+        .withColumn("__pid", F.spark_partition_id())
+        # pin ONE materialization: range boundaries come from sampling, so
+        # the count pass and the ranking pass must see identical partitions
+        .localCheckpoint()
+    )
+    counts = uuids.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    acc = 0
+    bases = []
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        bases.append((r["__pid"], acc))
+        acc += r["__n"]
+    base = F.broadcast(
+        df.sparkSession.createDataFrame(bases or [(0, 0)], ["__pid", "__base"])
+    )
+    w = Window.partitionBy("__pid").orderBy(uuid_col)
+    return (
+        uuids.join(base, "__pid")
+        .withColumn(
+            "trail_id", (F.col("__base") + F.row_number().over(w) - 1).cast("long")
+        )
+        .select(uuid_col, "trail_id")
+    )
 
 
 def with_trail_id(df: DataFrame, uuid_col: str = UUID_COL) -> DataFrame:
