@@ -121,3 +121,29 @@ def test_mix_corpus_budget_and_nesting(spark):
     small = {r["doc_id"] for r in curation.mix_corpus(df, {"a": 1.0}, 200).collect()}
     large = {r["doc_id"] for r in curation.mix_corpus(df, {"a": 1.0}, 600).collect()}
     assert small <= large
+
+
+def test_per_source_quota_salted_matches_plain_window(spark):
+    """The salted two-phase plan must equal the naive global window on a
+    whale-skewed input (one source holds 90% of rows)."""
+    from pyspark.sql import Window
+
+    from traildb_spark.operators.curation import per_source_quota
+
+    rows = [(i, "whale" if i < 900 else f"s{i % 7}", float(i % 37)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    order = [F.col("score").desc()]
+    got = {
+        (r["doc_id"], r["source"])
+        for r in per_source_quota(
+            df, quota=13, order_by=order, salt_buckets=8
+        ).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    naive = {
+        (r["doc_id"], r["source"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 13)
+        .collect()
+    }
+    assert got == naive and len(got) > 13

@@ -125,18 +125,32 @@ def per_source_quota(
     quota: int = 100,
     order_by: list[Column] | None = None,
     id_col: str = "doc_id",
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Keep at most ``quota`` rows per key (cap any one domain/source's
-    share of the corpus). Ranking is a per-key window — one shuffle on the
-    key; a skewed mega-source is bounded because only rank <= quota rows
-    survive the subsequent stages. Deterministic: ties break on id.
-    """
+    share of the corpus). Deterministic: ties break on id.
+
+    Salted two-phase ranking: a whale source (half the web corpus is one
+    domain) would funnel every row through ONE reducer under a plain
+    per-key window. Phase 1 ranks within (key, hash(id) % salt_buckets) —
+    the whale spreads over ``salt_buckets`` reducers — and keeps each
+    bucket's local top ``quota``; any row in the TRUE top-quota has at
+    most quota-1 rows ahead of it globally, hence at most quota-1 ahead
+    within its own bucket, so phase 1 never drops a final survivor.
+    Phase 2 re-ranks the bounded remainder (<= salt_buckets * quota rows
+    per key — metadata-scale) with the exact global window."""
     order = (order_by or []) + [F.col(id_col).asc()]
-    w = Window.partitionBy(key_col).orderBy(*order)
+    w1 = Window.partitionBy(key_col, "__salt").orderBy(*order)
+    w2 = Window.partitionBy(key_col).orderBy(*order)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        df.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+        .withColumn("__lrn", F.row_number().over(w1))
+        .filter(F.col("__lrn") <= quota)
+        .withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= quota)
-        .drop("__rn")
+        .drop("__salt", "__lrn", "__rn")
     )
 
 
