@@ -808,14 +808,18 @@ def q37_emb_neardup(spark, sf_dir):
 
 
 def q38_emb_neardup_lsh(spark, sf_dir):
-    """Sign-LSH-bucketed embedding near-dup at a WIDER code (24 planes /
-    6 bands) than q52 — portable integer math end-to-end, so the full
-    candidate+verify pipeline is oracle-checked. The numpy Gaussian-plane
-    fast path (dedup.embedding_neardup_pairs) stays exported and is
-    soundness-tested against exact pairs in tests/test_dedup_text.py."""
+    """Sign-LSH-bucketed embedding near-dup at a WIDER code and LONGER
+    bands (24 planes / 4 bands = 6-bit band keys) than q52 (16/4) —
+    portable integer math end-to-end, so the full candidate+verify
+    pipeline is oracle-checked. 6-bit bands give 64 buckets per band:
+    candidate pairs shrink ~6x vs 4-bit banding, which matters because
+    every candidate ships two 64-int vectors into the verify kernel. The
+    numpy Gaussian-plane fast path (dedup.embedding_neardup_pairs) stays
+    exported and is soundness-tested against exact pairs in
+    tests/test_dedup_text.py."""
     emb = _load(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs_portable(
-        emb, threshold=0.4, num_planes=24, bands=6
+        emb, threshold=0.4, num_planes=24, bands=4
     )
 
 
@@ -1153,6 +1157,17 @@ def _minhash_portable_oracle(
         "round(CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE)"
         " / CAST(len(list_distinct(list_concat(ga.hs, gb.hs))) AS DOUBLE), 6)"
     )
+    # stage-1 prune mirrored from the Spark pipeline: signature agreement
+    # >= ceil((t - 2.5σ) * num_hashes) exact-match positions
+    import math as _math
+
+    min_agree = int(
+        _math.ceil((threshold - 2.5 * (0.25 / num_hashes) ** 0.5) * num_hashes)
+    )
+    agree = (
+        f"len([i for i in generate_series(1, {num_hashes})"
+        " if ga.sig[i] = gb.sig[i]])"
+    )
     return f"""
         WITH t AS (
           SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),
@@ -1176,7 +1191,7 @@ def _minhash_portable_oracle(
         FROM cand c
         JOIN s ga ON c.id_a = ga.doc_id
         JOIN s gb ON c.id_b = gb.doc_id
-        WHERE {jac} >= {threshold}
+        WHERE {agree} >= {min_agree} AND {jac} >= {threshold}
     """
 
 
@@ -1529,7 +1544,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
         """,
         "q35_minhash_lsh": _minhash_portable_oracle(7, 16, 4, 0.5),
-        "q38_emb_neardup_lsh": _srp_neardup_oracle(24, 6, 0.4),
+        "q38_emb_neardup_lsh": _srp_neardup_oracle(24, 4, 0.4),
         "q40_sim_topk_lsh": _srp_topk_oracle(12, 3, 5),
         "q41_sim_topk_ivf": _ivf_topk_oracle(16, 4, 5),
         "q52_emb_neardup_portable": _srp_neardup_oracle(16, 4, 0.4),

@@ -221,51 +221,57 @@ def word_ngram_hashes_udf(text: Column, n: int = 3) -> Column:
 
     @F.pandas_udf(ArrayType(LongType()))
     def gh(col: pd.Series) -> pd.Series:
-        docs = [[w for w in _pynorm(t or "").split(" ") if w] for t in col]
-        nw = np.fromiter((len(ws) for ws in docs), dtype=np.int64, count=len(docs))
-        out: list = [None] * len(docs)
-        for i in np.nonzero(nw == 0)[0]:
-            out[i] = np.empty(0, dtype=np.int64)
-        # short docs (1..n-1 words): one hash of the joined words
-        for i in np.nonzero((nw > 0) & (nw < n))[0]:
-            whole = hashlib.blake2b(" ".join(docs[i]).encode("utf-8"), digest_size=8)
-            out[i] = np.array(
-                [int.from_bytes(whole.digest(), "little")], dtype=np.uint64
-            ).astype(np.int64)
-        long_idx = np.nonzero(nw >= n)[0]
-        if len(long_idx):
-            words = np.array(
-                [w for i in long_idx for w in docs[i]], dtype=object
-            )
-            inv, uniq = pd.factorize(words)
-            uh = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
-                        "little",
-                    )
-                    for w in uniq
-                ),
-                dtype=np.uint64,
-                count=len(uniq),
-            )
-            wh = uh[inv]
-            llens = nw[long_idx]
-            offsets = np.concatenate(([0], np.cumsum(llens)[:-1]))
-            counts = llens - n + 1
-            starts = _flat_starts(offsets, counts)
-            g = wh[starts].copy()
-            for j in range(1, n):
-                r = np.uint64(7 * j + 1)
-                x = wh[starts + j]
-                g ^= (x << r) | (x >> (np.uint64(64) - r))
-            doc_ids = np.repeat(np.arange(len(long_idx)), counts)
-            arrays = _per_doc_sorted_unique(g, doc_ids, len(long_idx))
-            for d, i in enumerate(long_idx):
-                out[i] = arrays[d]
-        return pd.Series(out)
+        return pd.Series(_word_ngram_flat(list(col), n))
 
     return gh(text)
+
+
+def _word_ngram_flat(col: list, n: int) -> list:
+    """Batch-flattened word n-gram hashing (see word_ngram_hashes_udf for
+    semantics). Returns one sorted-distinct int64 array per input text."""
+    import hashlib
+
+    docs = [[w for w in _pynorm(t or "").split(" ") if w] for t in col]
+    nw = np.fromiter((len(ws) for ws in docs), dtype=np.int64, count=len(docs))
+    out: list = [None] * len(docs)
+    for i in np.nonzero(nw == 0)[0]:
+        out[i] = np.empty(0, dtype=np.int64)
+    # short docs (1..n-1 words): one hash of the joined words
+    for i in np.nonzero((nw > 0) & (nw < n))[0]:
+        whole = hashlib.blake2b(" ".join(docs[i]).encode("utf-8"), digest_size=8)
+        out[i] = np.array(
+            [int.from_bytes(whole.digest(), "little")], dtype=np.uint64
+        ).astype(np.int64)
+    long_idx = np.nonzero(nw >= n)[0]
+    if len(long_idx):
+        words = np.array([w for i in long_idx for w in docs[i]], dtype=object)
+        inv, uniq = pd.factorize(words)
+        uh = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
+                    "little",
+                )
+                for w in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        wh = uh[inv]
+        llens = nw[long_idx]
+        offsets = np.concatenate(([0], np.cumsum(llens)[:-1]))
+        counts = llens - n + 1
+        starts = _flat_starts(offsets, counts)
+        g = wh[starts].copy()
+        for j in range(1, n):
+            r = np.uint64(7 * j + 1)
+            x = wh[starts + j]
+            g ^= (x << r) | (x >> (np.uint64(64) - r))
+        doc_ids = np.repeat(np.arange(len(long_idx)), counts)
+        arrays = _per_doc_sorted_unique(g, doc_ids, len(long_idx))
+        for d, i in enumerate(long_idx):
+            out[i] = arrays[d]
+    return out
 
 
 def _perm_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:

@@ -207,24 +207,28 @@ def ngram_jaccard_pairs(
     """
     import math
 
-    from ..functions.vectorized import word_ngram_hashes_udf
+    from ..functions.vectorized import _word_ngram_flat, word_ngram_hashes_udf
 
-    grams = word_ngram_hashes_udf(F.col("__text"), n)
     # NO materialized gram cache: columnar caching of array<long> costs ~4×
     # the (batch-flattened) UDF itself, and at 100 TB a cached
-    # all-grams intermediate is a non-starter. Each pass recomputes the
-    # gram UDF from text via lineage; gram arrays never enter a shuffle or
-    # the block store — only (id, size, prefix hash) rows move.
+    # all-grams intermediate is a non-starter. Gram arrays never enter a
+    # shuffle or the block store — only (id, size, prefix hash) rows move;
+    # exact-verify re-derives grams for survivors from text (below).
     base = _spread(df).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__text")
     )
-    with_grams = base.select("id", "__text", grams.alias("grams")).filter(
-        F.size("grams") > 0
-    )
     hot_rank: dict[int, int] = {}
     if freq_order_top_k:
+        # document-frequency counts drive only the PREFIX ORDERING — any
+        # consistent total order is correct (verify is exact; proven by
+        # test_ngram_jaccard_freq_order_equivalence) — so a deterministic
+        # 25% doc sample suffices: hot grams are by definition the ones a
+        # sample cannot miss, and the pass costs a quarter of the corpus.
         hot = (
-            with_grams.select(F.explode("grams").alias("g"))
+            base.sample(fraction=0.25, seed=42)
+            .select(
+                F.explode(word_ngram_hashes_udf(F.col("__text"), n)).alias("g")
+            )
             .groupBy("g")
             .agg(F.count(F.lit(1)).alias("df_cnt"))
             .filter(F.col("df_cnt") > 1)
@@ -237,11 +241,14 @@ def ngram_jaccard_pairs(
             int(r["g"]): i for i, r in enumerate(sorted(hot, key=lambda r: r["df_cnt"]))
         }
 
-    @F.pandas_udf("array<long>")
-    def prefix_udf(col: pd.Series) -> pd.Series:
+    @F.pandas_udf("struct<sz: int, prefix: array<long>>")
+    def prefix_udf(col: pd.Series) -> pd.DataFrame:
+        # FUSED text → (gram count, ordered prefix): the gram arrays are
+        # born and die inside this one Arrow pass
+        arrays = _word_ngram_flat(list(col), n)
+        szs = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=len(arrays))
         out = []
-        for hs in col:
-            arr = np.asarray(hs, dtype=np.int64)
+        for arr in arrays:
             # same value as the Catalyst ceil(size * t) formulation
             plen = len(arr) - int(math.ceil(len(arr) * threshold)) + 1
             if hot_rank:
@@ -255,17 +262,22 @@ def ngram_jaccard_pairs(
                     [arr[~is_hot], arr[is_hot][np.argsort(ranks[is_hot], kind="stable")]]
                 )
             out.append(arr[:plen])
-        return pd.Series(out)
+        return pd.DataFrame({"sz": szs, "prefix": out})
 
     # candidate generation carries ONLY (id, size, prefix-position, gram
     # hash) — the gram arrays never ride through the candidate shuffle.
     # pos is the gram's index in the doc's globally-consistent order
     # (cold-by-hash then hot-by-ascending-df — a total order, so positions
     # are comparable across docs), enabling PPJoin's position filter.
-    exploded = with_grams.select(
-        "id",
-        F.size("grams").alias("sz"),
-        F.posexplode(prefix_udf(F.col("grams"))).alias("pos", "g"),
+    # THIS exploded set is the one cached intermediate: all-scalar columns
+    # (arrays cache ~4× worse than they compute) at prefix density
+    # (~1-t of the gram stream), and caching it keeps the self-join from
+    # running the fused UDF once per side.
+    exploded = _materialize(
+        base.select("id", prefix_udf(F.col("__text")).alias("sp"))
+        .select("id", F.col("sp.sz").alias("sz"), F.col("sp.prefix").alias("prefix"))
+        .filter(F.col("sz") > 0)
+        .select("id", "sz", F.posexplode("prefix").alias("pos", "g"))
     )
     a = exploded.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("pos").alias("pos_a"), "g"
@@ -308,8 +320,10 @@ def ngram_jaccard_pairs(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    surv = base.join(ids, "id", "left_semi").select(
-        "id", word_ngram_hashes_udf(F.col("__text"), n).alias("grams")
+    surv = _materialize(
+        base.join(ids, "id", "left_semi").select(
+            "id", word_ngram_hashes_udf(F.col("__text"), n).alias("grams")
+        )
     )
     ga = surv.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = surv.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
@@ -536,9 +550,12 @@ def minhash_lsh_pairs_portable(
 
     from ..functions.vectorized import _pynorm
 
-    # ONE Arrow pass computes shingle hashes AND the signature — a separate
-    # sig UDF would round-trip the (long) gram arrays JVM→Python→JVM twice
-    @F.pandas_udf("struct<grams: array<long>, sig: array<long>>")
+    # ONE Arrow pass computes shingle hashes AND the signature; only
+    # (n_grams, sig) leaves the Python worker — the gram arrays are born
+    # and die inside the pass (array<long> columns cache ~4× worse than
+    # they compute, and at scale an all-grams cache is a non-starter).
+    # Exact-verify re-derives grams from text for survivors only.
+    @F.pandas_udf("struct<n_grams: int, sig: array<long>>")
     def grams_sig_udf(s: pd.Series) -> pd.DataFrame:
         from ..functions.vectorized import _md5_shingle_flat
 
@@ -561,13 +578,20 @@ def minhash_lsh_pairs_portable(
             sigs = [sigs_m[:, d] for d in range(len(gs))]
         else:
             sigs = []
-        return pd.DataFrame({"grams": gs, "sig": sigs})
+        return pd.DataFrame(
+            {
+                "n_grams": np.fromiter(
+                    (len(g) for g in gs), dtype=np.int64, count=len(gs)
+                ),
+                "sig": sigs,
+            }
+        )
 
+    raw = _spread(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     base = _materialize(
-        _spread(df)
-        .select(F.col(id_col).alias("id"), grams_sig_udf(F.col(text_col)).alias("gs"))
-        .select("id", F.col("gs.grams").alias("grams"), F.col("gs.sig").alias("sig"))
-        .filter(F.size("grams") > 0)
+        raw.select("id", grams_sig_udf(F.col("__text")).alias("gs"))
+        .select("id", F.col("gs.n_grams").alias("n_grams"), F.col("gs.sig").alias("sig"))
+        .filter(F.col("n_grams") > 0)
     )
     # populate the cache distributed NOW: otherwise AQE's broadcast-build
     # for the verify joins recomputes the (expensive) hash pipeline
@@ -597,8 +621,43 @@ def minhash_lsh_pairs_portable(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    ga = base.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = base.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    # stage-1 prune: signature agreement >= ceil((t - 2.5σ) * num_hashes)
+    # — the sig arrays are already cached and only num_hashes longs wide,
+    # so this JVM-side zip_with costs almost nothing and drops the
+    # word-salad candidate mass (measured 24k → ~2k at k=5) before any
+    # gram array is recomputed or joined. The SQL oracle applies the
+    # IDENTICAL integer cutoff, so the pipeline stays differentially
+    # testable end-to-end.
+    min_agree = int(np.ceil((threshold - 2.5 * (0.25 / num_hashes) ** 0.5) * num_hashes))
+    if min_agree > 0:
+        sa = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sb = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        agree = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+            )
+        )
+        cand = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(agree >= F.lit(min_agree))
+            .select("id_a", "id_b")
+        )
+    # exact verify: md5 shingle sets recomputed from text for surviving
+    # ids only (bounded), never cached corpus-wide
+    cand = _materialize(cand)
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    surv = _materialize(
+        raw.join(ids, "id", "left_semi").select(
+            "id", md5_shingle_hashes(F.col("__text"), shingle_k).alias("grams")
+        )
+    )
+    ga = surv.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = surv.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
     union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
     return (
