@@ -18,6 +18,7 @@ sys.path.insert(0, str(REPO))
 import pyspark.sql.functions as F  # noqa: E402
 
 from traildb_spark import EventFilter, TrailDataset  # noqa: E402
+from traildb_spark.functions.core import ts_seconds  # noqa: E402
 from traildb_spark.operators import trails  # noqa: E402
 from traildb_spark.operators.joins import as_of_join  # noqa: E402
 from traildb_spark.session import get_spark  # noqa: E402
@@ -56,14 +57,12 @@ def main():
             out = out.unionByName(r)
         out.repartition(32).write.mode("overwrite").parquet(big)
 
-    ev = (
-        spark.read.parquet(big)
-        .select(
-            F.col("user_id").cast("string").alias("uuid"),
-            F.expr("ts div 1000000000").alias("time"),
-            "event_id",
-            F.coalesce("event_type", F.lit("")).alias("event_type"),
-        )
+    raw_big = spark.read.parquet(big)
+    ev = raw_big.select(
+        F.col("user_id").cast("string").alias("uuid"),
+        ts_seconds(raw_big).alias("time"),
+        "event_id",
+        F.coalesce("event_type", F.lit("")).alias("event_type"),
     )
     n = ev.count()
     print(f"{n_reps}x dataset: {n} rows, {ev.select('uuid').distinct().count()} trails")
@@ -120,9 +119,10 @@ def main():
     # whale skew: one uuid with ~1M events, 1500 normal trails
     whale = "/tmp/scale_smoke/whale"
     if not Path(whale).exists():
-        base = spark.read.parquet("/root/testdata/sf0.1/events.parquet").select(
+        raw_w = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        base = raw_w.select(
             F.col("user_id").cast("string").alias("uuid"),
-            F.expr("ts div 1000000000").alias("time"),
+            ts_seconds(raw_w).alias("time"),
             "event_id",
         )
         w = (
