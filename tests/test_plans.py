@@ -159,3 +159,51 @@ def test_bucketed_table_join_no_shuffle(spark, sf_dir, tmp_path):
     pj = p.join(p.groupBy("uuid").agg(F.count(F.lit(1)).alias("n")), "uuid")
     assert n_ex == 0 and audit.num_shuffles(pj) >= 1
     assert joined.count() == pj.count()
+
+
+def test_per_source_quota_salted_two_level_shuffle(spark):
+    """The whale-source guard is structural: the plan must rank in TWO
+    window passes — first partitioned by (source, salt), then by source
+    over the bounded survivors — i.e. both partitioning shapes appear."""
+    from traildb_spark.operators.curation import per_source_quota
+
+    df = spark.createDataFrame(
+        [(i, "w", float(i)) for i in range(50)], ["doc_id", "source", "score"]
+    )
+    out = per_source_quota(df, quota=3, salt_buckets=4)
+    plan = audit.explain_str(out, "simple")
+    assert "hashpartitioning(source" in plan
+    assert "__salt" in plan  # phase-1 salted partitioning survives planning
+
+
+def test_trail_ids_plan_is_dataframe_native(spark, sf_dir):
+    """trail_ids must not drop to the RDD API: the ranking plan has to be
+    a visible DataFrame plan (range partition + window), not an opaque
+    ExistingRDD scan of zipWithIndex output."""
+    from traildb_spark.operators.trails import trail_ids
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("uuid")
+    )
+    out = trail_ids(ev)
+    plan = audit.explain_str(out, "simple")
+    # localCheckpoint shows as an RDD scan boundary, but the RANKING math
+    # (window + base-offset join) must be in the visible plan
+    assert "row_number" in plan or "Window" in plan
+    assert "__base" in plan
+
+
+def test_ngram_candidates_shuffle_scalars_only(spark, sf_dir):
+    """The PPJoin candidate stage must never shuffle gram ARRAYS: every
+    exchange in the candidate subplan carries scalar columns only (id,
+    size, position, gram hash)."""
+    import re
+
+    from traildb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    plan = audit.explain_str(out, "formatted")
+    # every Exchange's output attribute list must be free of array types
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "grams" not in m.group(0), m.group(0)
