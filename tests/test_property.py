@@ -182,3 +182,126 @@ def test_funnel_fold_matches_min_chain(spark, rows):
             for r in analytics.funnel_times(df, steps, within=within).collect()
         }
         assert got == _py_funnel(rows, ["a", "b", "c"], within)
+
+
+# ---------------------------------------------------------------------------
+# flattened Arrow kernels == naive per-document reference implementations
+# ---------------------------------------------------------------------------
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)  # any scalar value, incl. astral
+        ),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _naive_char_shingles(t, k=5):
+    """Per-doc reference for the flattened rolling-hash kernel: the original
+    loop formulation, executed independently in numpy."""
+    import numpy as np
+
+    from traildb_spark.functions.vectorized import _pynorm
+
+    P = np.uint64(1099511628211)
+    powers = P ** np.arange(k, dtype=np.uint64)[::-1]
+    c = np.frombuffer(_pynorm(t or "").encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    if len(c) <= k:
+        h = (c * powers[-len(c):]).sum() if len(c) else np.uint64(0)
+        return np.array([h], dtype=np.uint64).astype(np.int64).tolist()
+    n = len(c) - k + 1
+    win = np.lib.stride_tricks.sliding_window_view(c, k)
+    return np.unique((win * powers[None, :]).sum(axis=1)).astype(np.int64).tolist()
+
+
+def _naive_word_ngrams(t, n=3):
+    import hashlib
+
+    import numpy as np
+
+    from traildb_spark.functions.vectorized import _pynorm
+
+    words = [w for w in _pynorm(t or "").split(" ") if w]
+    if not words:
+        return []
+    wh = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            for w in words
+        ],
+        dtype=np.uint64,
+    )
+    if len(wh) < n:
+        whole = hashlib.blake2b(" ".join(words).encode("utf-8"), digest_size=8)
+        g = np.array([int.from_bytes(whole.digest(), "little")], dtype=np.uint64)
+    else:
+        g = wh[: len(wh) - n + 1].copy()
+        for j in range(1, n):
+            r = np.uint64(7 * j + 1)
+            x = wh[j : len(wh) - n + 1 + j]
+            g ^= (x << r) | (x >> (np.uint64(64) - r))
+    return np.unique(g).astype(np.int64).tolist()
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_texts)
+def test_char_shingle_flat_equals_naive(spark, texts):
+    from traildb_spark.functions.vectorized import char_shingle_hashes_udf
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: list(r["g"])
+        for r in df.select("i", char_shingle_hashes_udf(F.col("t"), 5).alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _naive_char_shingles(t, 5), repr(t)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_texts)
+def test_word_ngram_flat_equals_naive(spark, texts):
+    from traildb_spark.functions.vectorized import word_ngram_hashes_udf
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: list(r["g"])
+        for r in df.select("i", word_ngram_hashes_udf(F.col("t"), 3).alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _naive_word_ngrams(t, 3), repr(t)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.integers(-(2**63), 2**63 - 1), max_size=30), min_size=1, max_size=8))
+def test_minhash_flat_equals_naive(spark, arrays):
+    import numpy as np
+
+    from traildb_spark.functions.vectorized import (
+        _MERSENNE,
+        _perm_params,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i int, h array<long>"
+    )
+    got = {
+        r["i"]: list(r["s"])
+        for r in df.select("i", minhash_signatures(F.col("h"), 16).alias("s")).collect()
+    }
+    a, b = _perm_params(16)
+    for i, hs in enumerate(arrays):
+        if not hs:
+            assert got[i] == [0] * 16
+            continue
+        h = np.asarray(hs, dtype=np.uint64).astype(np.int64)
+        m = (a[:16, None] * (h[None, :] % _MERSENNE) + b[:16, None]) % _MERSENNE
+        assert got[i] == m.min(axis=1).tolist(), hs
