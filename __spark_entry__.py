@@ -609,8 +609,14 @@ def q49_media_metadata(spark, sf_dir):
 
     @F.pandas_udf("binary")
     def png_payload(ids: pd.Series) -> pd.Series:
+        # receives NULL for non-image rows (F.when does NOT short-circuit
+        # Python UDFs — the Arrow eval node runs on every row, so the
+        # selector must be pushed INTO the argument to skip the encode)
         out = []
         for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
             w, h = 8 + int(i) % 9, 8 + int(i) % 7
             yy, xx = np.mgrid[0:h, 0:w]
             out.append(
@@ -626,9 +632,10 @@ def q49_media_metadata(spark, sf_dir):
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.when(kind == "image", png_payload(F.col("doc_id")))
-        .otherwise(F.encode(F.col("text"), "UTF-8"))
-        .alias("content"),
+        F.coalesce(
+            png_payload(F.when(kind == "image", F.col("doc_id"))),
+            F.encode(F.col("text"), "UTF-8"),
+        ).alias("content"),
         F.concat(F.lit("x/"), kind).alias("mime"),
         F.to_json(F.struct(F.col("source"))).alias("meta"),
     )
@@ -1158,16 +1165,21 @@ def _minhash_portable_oracle(
         " / CAST(len(list_distinct(list_concat(ga.hs, gb.hs))) AS DOUBLE), 6)"
     )
     # stage-1 prune mirrored from the Spark pipeline: signature agreement
-    # >= ceil((t - 2.5σ) * num_hashes) exact-match positions
+    # >= ceil((t - 2.5σ) * num_hashes) exact-match positions — applied, as
+    # in Spark, only when the cutoff exceeds the rows-per-band agreement
+    # floor that banding already certifies for every candidate
     import math as _math
 
     min_agree = int(
         _math.ceil((threshold - 2.5 * (0.25 / num_hashes) ** 0.5) * num_hashes)
     )
-    agree = (
-        f"len([i for i in generate_series(1, {num_hashes})"
-        " if ga.sig[i] = gb.sig[i]])"
-    )
+    if min_agree > rows_per_band:
+        agree_pred = (
+            f"len([i for i in generate_series(1, {num_hashes})"
+            f" if ga.sig[i] = gb.sig[i]]) >= {min_agree} AND "
+        )
+    else:
+        agree_pred = ""
     return f"""
         WITH t AS (
           SELECT doc_id, {_NORM_TEXT} AS nt FROM documents),
@@ -1191,7 +1203,7 @@ def _minhash_portable_oracle(
         FROM cand c
         JOIN s ga ON c.id_a = ga.doc_id
         JOIN s gb ON c.id_b = gb.doc_id
-        WHERE {agree} >= {min_agree} AND {jac} >= {threshold}
+        WHERE {agree_pred}{jac} >= {threshold}
     """
 
 

@@ -183,3 +183,33 @@ def test_extract_image_features_real_png(spark):
     # undecodable container: dimensions surfaced as -1, content-hash fallback
     assert (out[2]["width"], out[2]["height"]) == (-1, -1)
     assert out[2]["phash"] != 0
+
+
+def test_extract_image_features_survives_malformed_payloads(spark):
+    """One bit-flipped image must never abort the job: truncated JPEG SOF
+    (struct.error), corrupt PNG IDAT (zlib.error), and a truncated IHDR
+    all fall back to (-1, -1) + content hash instead of raising."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from traildb_spark.operators import multimodal
+
+    good = multimodal.make_png(np.zeros((9, 9), dtype="uint8"))
+    # corrupt the IDAT payload bytes of a valid PNG (zlib.error on inflate)
+    bad_idat = bytearray(good)
+    bad_idat[41:49] = b"\x00" * 8
+    rows = [
+        (1, "image", b"\xff\xd8\xff\xc0\x00\x11\x08", "image/jpeg", None),  # truncated SOF
+        (2, "image", bytes(bad_idat), "image/png", None),
+        (3, "image", good[:20], "image/png", None),  # truncated IHDR
+        (4, "image", good, "image/png", None),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.extract_image_features(media).collect()}
+    assert len(out) == 4
+    assert (out[1]["width"], out[1]["height"]) == (-1, -1)
+    assert (out[2]["width"], out[2]["height"]) == (9, 9)  # header parses
+    assert out[2]["phash"] != 0  # pixels don't: content-hash fallback
+    assert (out[4]["width"], out[4]["height"]) == (9, 9)

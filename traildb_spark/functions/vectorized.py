@@ -69,6 +69,8 @@ def _md5_shingle_flat(
     reductions over the flat buffer without re-joining."""
     import hashlib
 
+    if not texts:  # np.split on zero docs would yield one spurious entry
+        return [], np.empty(0, np.int64), np.empty(0, np.int64)
     counts = np.fromiter(
         (max(len(t) - (k - 1), 1) for t in texts), dtype=np.int64, count=len(texts)
     )

@@ -470,8 +470,10 @@ def minhash_lsh_pairs(
         .union(pruned.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    surv = raw.join(ids, "id", "left_semi").select(
-        "id", char_shingle_hashes_udf(F.col("__text"), shingle_k).alias("grams")
+    surv = _materialize(
+        raw.join(ids, "id", "left_semi").select(
+            "id", char_shingle_hashes_udf(F.col("__text"), shingle_k).alias("grams")
+        )
     )
     ga = surv.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = surv.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
@@ -621,15 +623,14 @@ def minhash_lsh_pairs_portable(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # stage-1 prune: signature agreement >= ceil((t - 2.5σ) * num_hashes)
-    # — the sig arrays are already cached and only num_hashes longs wide,
-    # so this JVM-side zip_with costs almost nothing and drops the
-    # word-salad candidate mass (measured 24k → ~2k at k=5) before any
-    # gram array is recomputed or joined. The SQL oracle applies the
-    # IDENTICAL integer cutoff, so the pipeline stays differentially
-    # testable end-to-end.
+    # stage-1 prune: signature agreement >= ceil((t - 2.5σ) * num_hashes).
+    # Banding already CERTIFIES rows-per-band matching positions for every
+    # candidate, so the filter only has teeth when the cutoff exceeds that
+    # floor (high thresholds / many bands — e.g. t=0.7 at 64 hashes / 16
+    # bands gives cutoff 35 vs floor 4); below the floor it is skipped on
+    # BOTH sides so the Spark plan and the SQL oracle stay identical.
     min_agree = int(np.ceil((threshold - 2.5 * (0.25 / num_hashes) ** 0.5) * num_hashes))
-    if min_agree > 0:
+    if min_agree > rows:
         sa = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
         sb = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
         agree = F.size(

@@ -63,6 +63,13 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# every way a malformed payload can fail the pure-python decoders:
+# struct.unpack on truncated headers raises struct.error, a corrupt IDAT
+# raises zlib.error — callers treating "undecodable" as a value, not a
+# crash, must catch all three (one bit-flipped image must never abort a
+# 100 TB job)
+DECODE_ERRORS = (ValueError, struct.error, zlib.error)
+
 
 def decode_image_size(content: bytes) -> tuple[int, int]:
     """(width, height) from the container header — pure python, no image
@@ -253,15 +260,15 @@ def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
                 content = bytes(row["content"]) if row["content"] is not None else b""
                 try:
                     w, h = decode_image_size(content)
-                except ValueError:
-                    w, h = -1, -1  # unknown container: surface, don't fail the job
+                except DECODE_ERRORS:
+                    w, h = -1, -1  # unknown/corrupt container: surface, don't fail the job
                 try:
                     gray = _gray_pixels(content)
                     ph = phash64(gray)
                     # 8-dim luma-histogram embedding from the DECODED bitmap
                     hist, _ = np.histogram(gray, bins=8, range=(0.0, 256.0))
                     feats = (hist / max(gray.size, 1)).astype(float).tolist()
-                except ValueError:
+                except DECODE_ERRORS:
                     ph = _content_hash64(content) if content else 0
                     feats = [
                         float((content[i] if i < len(content) else 0)) / 255.0

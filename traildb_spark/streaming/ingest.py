@@ -161,7 +161,17 @@ def _finalize_batch(
         dest_dir = hpath(f"{path}/{rel}") if rel else hpath(path)
         fs.mkdirs(dest_dir)
         for seq, p in enumerate(sorted(files, key=lambda q: q.getName())):
-            fs.rename(p, hpath(f"{dest_dir.toString()}/batch-{batch_id}-{seq:05d}.parquet"))
+            dest = hpath(f"{dest_dir.toString()}/batch-{batch_id}-{seq:05d}.parquet")
+            # Hadoop rename reports failure by RETURNING false (dest exists,
+            # src vanished, ...) — not by raising. Silently continuing would
+            # delete the staged file below and still write the commit
+            # marker: permanent data loss. Fail the batch instead; the
+            # engine retries and the scrub above clears the collision.
+            if not fs.rename(p, dest):
+                raise IOError(
+                    f"batch {batch_id}: rename {p} -> {dest} failed; "
+                    "aborting commit so the retry can re-stage"
+                )
     if time_shard:
         import json as _json
 
