@@ -891,19 +891,33 @@ def q68_make_dump_roundtrip(spark, sf_dir):
     spec (S5/S7) → constructor+finalize (S10/S11) → open (S3) → canonical
     dump projection (S8/P1). The oracle is DuckDB reading the ORIGINAL
     events directly — the roundtrip must be the identity."""
+    import glob
     import os
+    import shutil
     import tempfile
 
     from traildb_spark.sources import make
 
+    # cap /tmp accumulation: each invocation writes a CSV + parquet copy
+    # of events; clear prior runs' dirs before creating this run's (the
+    # returned DataFrame reads lazily from THIS run's files, so cleanup
+    # can only ever target earlier invocations)
+    for old_dir in glob.glob(os.path.join(tempfile.gettempdir(), "tdb_roundtrip_*")):
+        shutil.rmtree(old_dir, ignore_errors=True)
     ev = _events(spark, sf_dir).select("uuid", "time", "event_type", "props")
     tmp = tempfile.mkdtemp(prefix="tdb_roundtrip_")
     csv_path = os.path.join(tmp, "in_csv")
     tdb_path = os.path.join(tmp, "tdb")
-    # scrambled column order on disk; the field spec re-maps by index
+    # scrambled column order on disk; the field spec re-maps by index.
+    # The writer must not trim whitespace (its default WOULD — silently
+    # breaking the identity for values with leading/trailing spaces);
+    # embedded newlines are out of dialect (the reference's CSV is
+    # line-based) and would surface as an oracle count mismatch.
     (
         ev.select("event_type", "uuid", "props", "time")
         .write.option("emptyValue", "")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(csv_path)
     )
     ds = make.make_from_csv(

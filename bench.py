@@ -48,14 +48,21 @@ def main():
     def _warm(s: pd.Series) -> pd.Series:
         return s
 
-    spark.range(0, int(cpus) * 4, 1, int(cpus)).select(_warm("id")).count()
+    # NOTE: .count() would let ColumnPruning drop a deterministic UDF
+    # projection entirely (the UDF never runs) — aggregate over the UDF
+    # output so the warm pass actually executes on every worker
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).select(
+        _warm("id").alias("v")
+    ).agg(F.max("v")).collect()
     wdf = spark.range(0, int(cpus) * 4, 1, int(cpus)).select(
         F.concat(F.lit("warm text sample "), F.col("id").cast("string")).alias("t")
     )
     wdf.select(
-        F.size(char_shingle_hashes_udf(F.col("t"), 5))
-        + F.size(word_ngram_hashes_udf(F.col("t"), 3))
-    ).count()
+        (
+            F.size(char_shingle_hashes_udf(F.col("t"), 5))
+            + F.size(word_ngram_hashes_udf(F.col("t"), 3))
+        ).alias("v")
+    ).agg(F.max("v")).collect()
 
     timings: dict[str, float] = {}
     # two passes, report per-query min: the first pass pays plan/codegen

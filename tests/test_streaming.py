@@ -216,10 +216,18 @@ def test_finalize_batch_idempotent_on_replay(spark, sf_dir, tmp_path):
 
     # (b) crash between data move and marker write: delete the marker to
     # re-open the crash window, replay — deterministic names overwrite
-    os.remove(os.path.join(out, "_traildb_commits", "batch-7"))
+    os.remove(os.path.join(out, "_traildb_commits", "batch-manual-7"))
     assert _finalize_batch(ev, 7, out, time_shard="yyyy-MM-dd") is True
     assert TrailDataset.open(spark, out).df.count() == n1
 
     # a distinct batch id appends as new data
     assert _finalize_batch(ev, 8, out, time_shard="yyyy-MM-dd") is True
     assert TrailDataset.open(spark, out).df.count() == 2 * n1
+
+    # a NEW checkpoint lineage restarting at batch id 7 must append, not
+    # be discarded by the old lineage's marker
+    assert (
+        _finalize_batch(ev, 7, out, time_shard="yyyy-MM-dd", run_token="ckpt2")
+        is True
+    )
+    assert TrailDataset.open(spark, out).df.count() == 3 * n1

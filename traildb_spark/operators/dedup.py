@@ -750,7 +750,7 @@ def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
-    max_iters: int = 50,
+    max_iters: int = 64,
     driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (id, component) where
@@ -769,7 +769,10 @@ def connected_components(
     min-label propagation needs diameter rounds. Fixpoint is detected by
     an order-independent edge-set checksum; exhausting ``max_iters``
     without a fixpoint RAISES rather than silently returning split
-    clusters (50 rounds covers any n that fits in int64).
+    clusters. The loop runs max_iters contraction rounds plus one
+    confirming pass (fixpoint is only OBSERVABLE one round after it is
+    reached); the default 64 covers the O(log n) contraction of any
+    node-id space that fits in int64.
     """
     edges = _materialize(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).filter(
@@ -847,7 +850,10 @@ def connected_components(
     rounds = max_iters
     prev_sum = None
     converged = False
-    for _ in range(rounds):
+    # rounds + 1: a fixpoint first reached exactly at round `rounds` is
+    # only detected by the NEXT (no-op) pass — without the extra pass the
+    # effective capacity would be rounds - 1 contraction rounds
+    for _ in range(rounds + 1):
         e = _small_star(_large_star(e)).localCheckpoint()
         csum = e.agg(
             F.bit_xor(F.xxhash64("u", "v")).alias("c"),

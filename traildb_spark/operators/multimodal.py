@@ -134,6 +134,10 @@ def _gray_pixels(content: bytes) -> np.ndarray:
         pos += 12 + clen
     if width is None or not idat:
         raise ValueError("PNG: missing IHDR or IDAT")
+    if width == 0 or height == 0:
+        # a zero-dim bitmap would make downstream phash64 indexing raise
+        # IndexError, which is not a DECODE_ERRORS member
+        raise ValueError("PNG: zero-dimension image")
     raw = zlib.decompress(idat)
     stride = width * channels
     if len(raw) != height * (stride + 1):

@@ -83,9 +83,22 @@ def streaming_finalize(
     Returns the started ``StreamingQuery``.
     """
 
+    # commit markers are scoped to THIS checkpoint lineage: a restart
+    # against the same output path with a FRESH checkpoint restarts batch
+    # ids at 0, and markers keyed by bare batch_id would silently discard
+    # the new batches as "already committed"
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         _finalize_batch(
-            batch_df, batch_id, path, time_shard=time_shard, num_buckets=num_buckets
+            batch_df,
+            batch_id,
+            path,
+            time_shard=time_shard,
+            num_buckets=num_buckets,
+            run_token=run_token,
         )
 
     return (
@@ -103,6 +116,7 @@ def _finalize_batch(
     path: str,
     time_shard: str | None = None,
     num_buckets: int | None = None,
+    run_token: str = "manual",
 ) -> bool:
     """Idempotently land one micro-batch in the finalize layout.
 
@@ -112,7 +126,11 @@ def _finalize_batch(
     batch. Protocol (all Hadoop FileSystem ops, so file://, hdfs:// and
     any committer-backed store behave the same):
 
-    1. ``<path>/_traildb_commits/batch-<id>`` exists → committed, skip.
+    1. ``<path>/_traildb_commits/batch-<run>-<id>`` exists → committed,
+       skip. ``run_token`` scopes markers to one checkpoint lineage
+       (streaming_finalize derives it from the checkpoint path), so a
+       restart with a fresh checkpoint — whose batch ids restart at 0 —
+       appends instead of being silently discarded.
     2. Stage the clustered batch under ``<path>/_staging/batch-<id>``
        with ``mode="overwrite"`` (a retry re-stages cleanly).
     3. Scrub any ``batch-<id>-*`` files a previous partial attempt moved
@@ -131,14 +149,14 @@ def _finalize_batch(
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    marker = hpath(f"{path}/_traildb_commits/batch-{batch_id}")
+    marker = hpath(f"{path}/_traildb_commits/batch-{run_token}-{batch_id}")
     if fs.exists(marker):
         return False
     if batch_df.isEmpty():
         fs.mkdirs(marker.getParent())
         fs.createNewFile(marker)
         return False
-    staging = f"{path}/_staging/batch-{batch_id}"
+    staging = f"{path}/_staging/batch-{run_token}-{batch_id}"
     TrailDataset(batch_df).finalize(
         staging, num_buckets=num_buckets or 1, time_shard=time_shard, mode="overwrite"
     )
@@ -154,14 +172,19 @@ def _finalize_batch(
         rel = p.getParent().toString()[len(fs.makeQualified(hpath(staging)).toString()):]
         staged.setdefault(rel.strip("/"), []).append(p)
     # scrub leftovers of a previous partial move for THIS batch id
-    for pattern in (f"{path}/batch-{batch_id}-*", f"{path}/*/batch-{batch_id}-*"):
+    for pattern in (
+        f"{path}/batch-{run_token}-{batch_id}-*",
+        f"{path}/*/batch-{run_token}-{batch_id}-*",
+    ):
         for st in fs.globStatus(hpath(pattern)) or []:
             fs.delete(st.getPath(), False)
     for rel, files in staged.items():
         dest_dir = hpath(f"{path}/{rel}") if rel else hpath(path)
         fs.mkdirs(dest_dir)
         for seq, p in enumerate(sorted(files, key=lambda q: q.getName())):
-            dest = hpath(f"{dest_dir.toString()}/batch-{batch_id}-{seq:05d}.parquet")
+            dest = hpath(
+                f"{dest_dir.toString()}/batch-{run_token}-{batch_id}-{seq:05d}.parquet"
+            )
             # Hadoop rename reports failure by RETURNING false (dest exists,
             # src vanished, ...) — not by raising. Silently continuing would
             # delete the staged file below and still write the commit
