@@ -239,3 +239,28 @@ def test_wide_schema_roundtrip(spark, tmp_path):
     f = EventFilter().new_clause().add_term("f99", "v7_99")
     got = back.with_filter(f).df.collect()
     assert len(got) == 1 and got[0]["time"] == 7
+
+
+def test_shard_pruning_survives_session_timezone_change(spark, sf_dir, tmp_path):
+    """Shard labels are pinned to UTC: a dataset finalized under one
+    session timezone and queried under another must return identical
+    rows (a tz-dependent label would prune away matching partitions)."""
+    import pyspark.sql.functions as F
+
+    from conftest import load_events
+    from traildb_spark import EventFilter, TrailDataset
+
+    ev = load_events(spark, sf_dir).select("uuid", "time", "event_type")
+    path = str(tmp_path / "tz_sharded")
+    TrailDataset(ev).finalize(path, num_buckets=2, time_shard="yyyy-MM-dd")
+    t0, t1 = 1704067200, 1704153600
+    f = EventFilter().add_time_range(t0, t1)
+    expect = ev.filter((F.col("time") >= t0) & (F.col("time") < t1)).count()
+    assert expect > 0
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        got = TrailDataset.open(spark, path).with_filter(f).df.count()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert got == expect

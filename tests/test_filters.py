@@ -131,3 +131,28 @@ def test_trail_filter_overrides(spark):
     got2 = trail_filter_overrides(df, EventFilter.all(), {u0: EventFilter.none()})
     assert got2.count() == 4
     assert all(r["uuid"] != u0 for r in got2.collect())
+
+
+def test_uuid_whitelist_case_and_empty(spark):
+    from traildb_spark.operators.filters import uuid_whitelist
+
+    df = spark.createDataFrame([("ab12", 1), ("cd34", 2)], ["uuid", "time"])
+    # ingest lowercases uuids; an uppercase whitelist must still match
+    got = uuid_whitelist(df, ["AB12"]).collect()
+    assert [r["uuid"] for r in got] == ["ab12"]
+    # empty whitelist = match-none (the reference's match-none db filter),
+    # not a schema-inference crash
+    assert uuid_whitelist(df, []).count() == 0
+
+
+def test_parse_filter_value_containing_neq(spark):
+    """Reference grammar scans for the FIRST '=': 'note=a!=b' is a
+    positive term on field 'note' with value 'a!=b'."""
+    from traildb_spark.operators.filters import parse_filter
+
+    f = parse_filter("note=a!=b")
+    t = f.get_term(0, 0)
+    assert (t.field, t.value, t.negative) == ("note", "a!=b", False)
+    f2 = parse_filter("note!=x")
+    t2 = f2.get_term(0, 0)
+    assert (t2.field, t2.value, t2.negative) == ("note", "x", True)

@@ -135,3 +135,30 @@ def test_range_join_no_nested_loop_plan(spark):
     out = range_join(left, right, left_time="t", start_col="s", end_col="e")
     plan = audit.explain_str(out, "simple")
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_asof_join_fractional_times(spark):
+    """Sub-second numeric timestamps must not be truncated: right@10.7 is
+    in the FUTURE of left@10.5 and may not match backward."""
+    from traildb_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame([("a", 10.5, 1)], ["k", "t", "x"])
+    right = spark.createDataFrame(
+        [("a", 10.7, "future"), ("a", 10.2, "past")], ["k", "t2", "y"]
+    )
+    got = as_of_join(left, right, on="k", left_time="t", right_time="t2").collect()
+    assert len(got) == 1 and got[0]["y"] == "past"
+
+
+def test_range_join_inverted_interval_matches_nothing(spark):
+    """A zeroed/sentinel end (end <= start) is an empty interval: zero
+    pairs, and crucially zero bin explosion."""
+    from traildb_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([(1.7e9, "e")], ["time", "ev"])
+    right = spark.createDataFrame(
+        [(1.7e9 - 10, 0.0, "bad"), (1.7e9 - 10, 1.8e9, "good")],
+        ["start", "end", "tag"],
+    )
+    got = range_join(left, right).collect()
+    assert [r["tag"] for r in got] == ["good"]

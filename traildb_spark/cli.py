@@ -38,6 +38,8 @@ def _split_fields(s: str | None) -> list[str] | None:
 def cmd_make(args) -> int:
     from .sources.make import make_from_csv, make_from_json
 
+    from .dataset import TrailDataset
+
     spark = _spark()
     if args.json:
         ds = make_from_json(
@@ -51,7 +53,9 @@ def cmd_make(args) -> int:
             skip_bad_input=args.skip_bad_input,
         )
     ds.finalize(args.output, num_buckets=args.buckets, mode="overwrite")
-    info = ds.info()
+    # summarize from the just-written clustered output, not the ingest
+    # lineage — ds.info() would re-read and re-normalize the whole input
+    info = TrailDataset.open(spark, args.output).info()
     print(f"created {args.output}: {info.num_events} events, {info.num_trails} trails")
     return 0
 
@@ -63,9 +67,11 @@ def cmd_dump(args) -> int:
 
     spark = _spark()
     ds = TrailDataset.open(spark, args.input)
-    df = ds.df
     if args.filter:
-        df = parse_filter(args.filter).apply(df)
+        # route through the dataset so pure-time-range clauses prune
+        # time shards (the sidecar open() just loaded exists for this)
+        ds = ds.with_filter(parse_filter(args.filter))
+    df = ds.df
     if args.uuids:
         with open(args.uuids, "r", encoding="utf-8") as fh:
             wl = [ln.strip() for ln in fh if ln.strip()]
@@ -95,7 +101,7 @@ def cmd_merge(args) -> int:
     ]
     merged = TrailDataset.merge(dss)
     merged.finalize(args.output, num_buckets=args.buckets, mode="overwrite")
-    info = merged.info()
+    info = TrailDataset.open(spark, args.output).info()
     print(f"merged {len(dss)} datasets -> {args.output}: {info.num_events} events, {info.num_trails} trails")
     return 0
 

@@ -109,6 +109,19 @@ class TrailInfo:
     fields: list[str]
 
 
+def _shard_expr(ts_col: Column, fmt: str) -> Column:
+    """Shard label rendered in UTC REGARDLESS of spark.sql.session.timeZone.
+
+    Writer and reader sessions can disagree on timezone; a label computed
+    under one tz but pruned under another silently drops matching rows.
+    ``to_utc_timestamp(ts, current_timezone())`` shifts the instant so
+    that rendering in the session tz equals rendering the original
+    instant in UTC — the sidecar records the convention."""
+    return F.date_format(
+        F.to_utc_timestamp(F.timestamp_seconds(ts_col), F.current_timezone()), fmt
+    )
+
+
 def _shard_predicate(f: EventFilter, shard_fmt: str) -> Column | None:
     """Derive a partition predicate on the ``__shard`` column from the
     filter's pure-time-range clauses.
@@ -125,11 +138,9 @@ def _shard_predicate(f: EventFilter, shard_fmt: str) -> Column | None:
             ors = None
             for t in clause:
                 c = (
-                    F.col(SHARD_COL)
-                    >= F.date_format(F.timestamp_seconds(F.lit(t.start)), shard_fmt)
+                    F.col(SHARD_COL) >= _shard_expr(F.lit(t.start), shard_fmt)
                 ) & (
-                    F.col(SHARD_COL)
-                    <= F.date_format(F.timestamp_seconds(F.lit(t.end)), shard_fmt)
+                    F.col(SHARD_COL) <= _shard_expr(F.lit(t.end), shard_fmt)
                 )
                 ors = c if ors is None else (ors | c)
             derived.append(ors)
@@ -246,7 +257,11 @@ class TrailDataset:
     # -- selection ---------------------------------------------------------
     def select_uuids(self, uuids: list[str] | DataFrame) -> "TrailDataset":
         """Reference ``--uuids`` whitelist (`tdbcli/filter.c:142-243`)."""
-        return TrailDataset(uuid_whitelist(self._raw, uuids, UUID_COL), self._filter)
+        return TrailDataset(
+            uuid_whitelist(self._raw, uuids, UUID_COL),
+            self._filter,
+            shard_fmt=self._shard_fmt,
+        )
 
     def trail(self, uuid: str) -> DataFrame:
         """One trail, time-ascending (reference ``tdb_get_trail`` +
@@ -274,7 +289,9 @@ class TrailDataset:
     def extract(self, f: EventFilter) -> "TrailDataset":
         """Materialized-view path (reference filtered append,
         `src/tdb_cons.c:418-481`, technical_overview.md:198-217)."""
-        return TrailDataset(f.apply(self._raw, time_col=TIME_COL))
+        return TrailDataset(
+            f.apply(self._raw, time_col=TIME_COL), shard_fmt=self._shard_fmt
+        )
 
     # -- finalize (reference tdb_cons_finalize 7-stage encode, §2.1 S11) ---
     def finalize(
@@ -307,7 +324,7 @@ class TrailDataset:
         n = num_buckets or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         if time_shard:
             writer_df = df.withColumn(
-                SHARD_COL, F.date_format(F.timestamp_seconds(F.col(TIME_COL)), time_shard)
+                SHARD_COL, _shard_expr(F.col(TIME_COL), time_shard)
             )
             (
                 writer_df.repartition(n, F.col(SHARD_COL), F.col(UUID_COL))
@@ -318,7 +335,7 @@ class TrailDataset:
             )
             try:
                 with open(os.path.join(path, META_FILE), "w", encoding="utf-8") as fh:
-                    json.dump({"time_shard": time_shard}, fh)
+                    json.dump({"time_shard": time_shard, "timezone": "UTC"}, fh)
             except OSError:
                 pass  # non-local filesystem: caller passes shard_fmt to open()
         else:

@@ -209,6 +209,15 @@ def pack_sequences(
     running sum is an ordinary partitioned window. Every stage is
     parallel; the only serial work is the prefix over shard totals.
     """
+    integral = {"tinyint", "smallint", "int", "bigint", "long"}
+    if dict(df.dtypes).get(id_col) not in integral:
+        # a string id silently casts to NULL shards and crashes the
+        # driver-side prefix scan — fail with the actual contract instead
+        raise ValueError(
+            f"pack_sequences requires an integral {id_col!r} (shard = id div "
+            f"{shard_size} must follow the global id order); map string ids "
+            "to a dense integer first (e.g. operators.trails.trail_ids)"
+        )
     cnt = (count_col if count_col is not None else F.col("n_tokens")).alias("__n")
     shard = (F.col(id_col) / F.lit(shard_size)).cast("long").alias("__shard")
     base = df.select(F.col(id_col), cnt, shard)

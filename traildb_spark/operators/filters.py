@@ -199,14 +199,19 @@ def parse_filter(text: str) -> EventFilter:
                 start_s, end_s = body.split(",")
                 f.add_time_range(int(start_s), int(end_s))
                 continue
-            if "!=" in tok:
-                fld, val = tok.split("!=", 1)
-                neg = True
-            elif "=" in tok:
-                fld, val = tok.split("=", 1)
-                neg = False
-            else:
+            # reference grammar (tdbcli/filter.c): scan for the FIRST '='
+            # and inspect the char before it — '!=' inside a VALUE must
+            # stay part of the value ('note=a!=b' is field 'note',
+            # positive value 'a!=b', not a negated 'note=a' term)
+            eq = tok.find("=")
+            if eq < 0:
                 raise ValueError(f"bad filter term: {tok!r}")
+            if eq > 0 and tok[eq - 1] == "!":
+                fld, val = tok[: eq - 1], tok[eq + 1 :]
+                neg = True
+            else:
+                fld, val = tok[:eq], tok[eq + 1 :]
+                neg = False
             if val.startswith("@"):
                 with open(val[1:], "r", encoding="utf-8") as fh:
                     val = fh.read().rstrip("\n")
@@ -223,10 +228,20 @@ def uuid_whitelist(df: DataFrame, uuids: list[str] | DataFrame, uuid_col: str = 
     AQE falls back to shuffle semi-join.
     """
     if isinstance(uuids, DataFrame):
-        wl = uuids.select(F.col(uuids.columns[0]).alias(uuid_col)).distinct()
+        wl = uuids.select(
+            F.lower(F.col(uuids.columns[0]).cast("string")).alias(uuid_col)
+        ).distinct()
     else:
         spark = df.sparkSession
-        wl = spark.createDataFrame([(u,) for u in uuids], [uuid_col]).distinct()
+        # explicit schema: an empty whitelist must mean match-none (the
+        # reference's match-none db filter), not a schema-inference crash
+        wl = spark.createDataFrame(
+            [(u,) for u in uuids], f"{uuid_col} string"
+        ).distinct()
+        # normalize to the engine's canonical lowercase uuid form
+        # (normalize_events lowercases at ingest — a raw uppercase-hex
+        # whitelist would otherwise silently match nothing)
+        wl = wl.select(F.lower(F.col(uuid_col)).alias(uuid_col))
     return df.join(F.broadcast(wl), uuid_col, "left_semi")
 
 

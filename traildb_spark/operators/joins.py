@@ -41,7 +41,13 @@ def range_join(
         ((F.col(end_col).cast("long") - 1) / bin_size).cast("long"),
     )
     l = left.withColumn("__bin", lbin)
-    r = right.withColumn("__bin", F.explode(rbins))
+    # drop empty/inverted intervals BEFORE binning: they match nothing by
+    # the predicate, but F.sequence(start_bin, end_bin) with start > stop
+    # counts DOWN — one zeroed/sentinel end would explode into millions of
+    # candidate bins instead of zero
+    r = right.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        "__bin", F.explode(rbins)
+    )
     joined = l.join(r, [*keys, "__bin"]).filter(
         (F.col(start_col) <= F.col(left_time)) & (F.col(left_time) < F.col(end_col))
     )
@@ -79,15 +85,29 @@ def as_of_join(
     r_payload = [c for c in right.columns if c not in keys]
     l_payload = [c for c in left.columns if c not in keys]
 
+    # ordering key dtype: integral inputs stay long (exact for the full
+    # int64 range, e.g. nanosecond epochs); any fractional input promotes
+    # BOTH sides to double — truncating 10.7 to 10 would let a future
+    # right row match a left row at 10.5, silently violating the as-of
+    # contract. (Mixed long/double above 2^53 loses precision; pre-scale
+    # to a common integer unit in that case.)
+    integral = {"tinyint", "smallint", "int", "bigint", "long"}
+    t_type = (
+        "long"
+        if dict(left.dtypes)[left_time] in integral
+        and dict(right.dtypes)[right_time] in integral
+        else "double"
+    )
+
     r = right.select(
         *[F.col(c) for c in keys],
-        (F.col(right_time).cast("long") * sign).alias("__t"),
+        (F.col(right_time).cast(t_type) * sign).alias("__t"),
         F.lit(0).alias("__side"),
         F.struct(*[F.col(c) for c in r_payload]).alias("__r"),
     )
     l = left.select(
         *[F.col(c) for c in keys],
-        (F.col(left_time).cast("long") * sign).alias("__t"),
+        (F.col(left_time).cast(t_type) * sign).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
         F.struct(*[F.col(c) for c in l_payload]).alias("__l"),

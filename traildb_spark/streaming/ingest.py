@@ -199,7 +199,11 @@ def _finalize_batch(
         import json as _json
 
         out = fs.create(hpath(f"{path}/_traildb_meta.json"), True)
-        out.write(bytearray(_json.dumps({"time_shard": time_shard}), "utf-8"))
+        out.write(
+            bytearray(
+                _json.dumps({"time_shard": time_shard, "timezone": "UTC"}), "utf-8"
+            )
+        )
         out.close()
     fs.mkdirs(marker.getParent())
     fs.createNewFile(marker)
