@@ -207,3 +207,30 @@ def test_ngram_candidates_shuffle_scalars_only(spark, sf_dir):
     # every Exchange's output attribute list must be free of array types
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "grams" not in m.group(0), m.group(0)
+
+
+def test_pushed_filters_handles_in_lists(events_parquet):
+    """In(col, [v1,v2]) pushed filters contain ']' inside the entry — the
+    audit parser must bracket-match, not truncate (regression: the
+    whitelist-pushdown property was unverifiable)."""
+    df = events_parquet.filter(F.col("event_type").isin("click", "view"))
+    pf = audit.pushed_filters(df)
+    assert "In(event_type, [click,view])" in pf  # whole entry, not truncated
+
+
+def test_read_schemas_handles_nested_types(spark, sf_dir, tmp_path):
+    """Nested array<struct<...>> schemas must parse whole, and nested
+    member names must not count as top-level column reads."""
+    from traildb_spark.operators.trails import collect_trails
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("uuid"),
+        ts_seconds(spark.read.parquet(f"{sf_dir}/events.parquet")).alias("time"),
+        F.coalesce("event_type", F.lit("")).alias("event_type"),
+    )
+    path = str(tmp_path / "nested")
+    collect_trails(ev).write.parquet(path)
+    df = spark.read.parquet(path).select("uuid", "events")
+    audit.assert_schema_pruned(df, {"uuid", "events"})
+    schemas = audit.read_schemas(df)
+    assert schemas and all(s.count("<") == s.count(">") for s in schemas)

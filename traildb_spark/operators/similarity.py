@@ -32,16 +32,20 @@ def brute_force_topk(
     corpus. Scoring is one Arrow-batched einsum (cosine_udf), not the
     interpreted Catalyst fold.
     """
-    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    scored = c.join(F.broadcast(q)).withColumn(
-        "cos", cosine_udf(F.col("cv"), F.col("qv"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "corpus_id", "cos", "rank")
+    from ..functions.vectorized import topk_cosine
+
+    # delegate to the mapInPandas kernel that actually implements the
+    # promised pattern: per-partition partial top-k inside the Arrow
+    # batch, so only |Q| * partitions * k candidate rows reach the rank
+    # window (a broadcast-join + window formulation computes the same
+    # values but shuffles the full |corpus| x |Q| cross product)
+    return topk_cosine(
+        corpus,
+        queries,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
     )
 
 
@@ -112,6 +116,9 @@ def ivf_build(
         .limit(num_centroids)
         .collect()
     )
+    if not seed_rows:
+        v.unpersist()
+        raise ValueError("ivf_build: empty corpus (no vectors to index)")
     cents = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in seed_rows])
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
@@ -144,6 +151,7 @@ def ivf_build(
         keep = counts > 0
         cents[keep] = sums[keep] / counts[keep, None]
         cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        bc.destroy()  # consumed by the collect above; don't leak per-iter blocks
 
     bc = spark.sparkContext.broadcast(cents)
 
@@ -158,7 +166,12 @@ def ivf_build(
                 {"corpus_id": pdf["corpus_id"], "cid": np.argmax(Mn @ C.T, axis=1)}
             )
 
-    assignments = v.mapInPandas(assign, "corpus_id long, cid int")
+    # materialize eagerly so the corpus cache (and the final broadcast)
+    # can be released now instead of leaking for the session's lifetime;
+    # callers always consume the full assignment table anyway
+    assignments = v.mapInPandas(assign, "corpus_id long, cid int").localCheckpoint()
+    v.unpersist()
+    bc.destroy()
     return assignments, cents
 
 
@@ -179,17 +192,22 @@ def ivf_topk(
     """
     import numpy as np
 
+    spark = corpus.sparkSession
+    # empty query set: empty result, not a driver-side numpy crash
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, corpus_id long, cos double, rank int"
+        )
     assignments, cents = ivf_build(corpus, num_centroids, vec_col, id_col)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")
     ).join(assignments, "corpus_id")
     # probe cells per query: computed on the (small, broadcast-bound) query
     # set driver-side — |Q| × num_centroids GEMM
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
     Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     order = np.argsort(-(Qn @ cents.T), axis=1)[:, :nprobe]
-    spark = corpus.sparkSession
     probes = spark.createDataFrame(
         [
             (int(qpdf[query_id_col].iloc[i]), [float(x) for x in Q[i]], int(cid))

@@ -127,8 +127,12 @@ def only_diff_items(
     out = [F.col(uuid_col), F.col(time_col)] + [F.col(c) for c in tiebreak]
     for c in fields:
         prev = F.lag(F.col(c)).over(w)
+        # null-safe change test: with a bare !=, a transition to or from
+        # NULL compares to NULL and the value is wrongly suppressed
         out.append(
-            F.when(first | (F.col(c) != prev), F.col(c)).otherwise(F.lit("")).alias(c)
+            F.when(first | ~prev.eqNullSafe(F.col(c)), F.col(c))
+            .otherwise(F.lit(""))
+            .alias(c)
         )
     return df.select(*out)
 
@@ -183,8 +187,13 @@ def multi_cursor_merge(
     """
     from functools import reduce
 
+    if not dfs:
+        raise ValueError("multi_cursor_merge: need at least one dataset")
     merged = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
     value_cols = [c for c in merged.columns if c not in (uuid_col, time_col)]
+    # ''-fill applies to STRING value columns (the canonical schema —
+    # normalize_events casts all fields to string); non-string extras keep
+    # NULL, which still orders deterministically (nulls first) downstream
     return merged.fillna("", subset=value_cols)
 
 

@@ -53,13 +53,25 @@ def make_from_csv(
         .option("mode", mode)
     )
     df = reader.csv(path)
+
+    def _src_col(idx: int, name: str) -> str:
+        # the CLI spec is 1-based (reference tdbcli/op_make.c:91-117);
+        # 0 or a negative index would silently wrap via Python indexing
+        # and bind the WRONG source column
+        if idx < 1 or idx > len(df.columns):
+            raise ValueError(
+                f"field spec {idx}:{name}: column index out of range "
+                f"(1..{len(df.columns)}, 1-based)"
+            )
+        return df.columns[idx - 1]
+
     if not header:
         if not fields:
             raise ValueError("headerless CSV requires a --fields spec")
         spec = parse_field_spec(fields)
         sel = []
         for pos, (idx, name) in enumerate(spec):
-            src = f"_c{(idx - 1) if idx is not None else pos}"
+            src = _src_col(idx, name) if idx is not None else f"_c{pos}"
             sel.append(F.col(src).alias(name))
         df = df.select(*sel)
     elif fields:
@@ -67,10 +79,10 @@ def make_from_csv(
         spec = parse_field_spec(fields)
         sel = []
         for idx, name in spec:
-            src = df.columns[idx - 1] if idx is not None else name
+            src = _src_col(idx, name) if idx is not None else name
             sel.append(F.col(src).alias(name))
         df = df.select(*sel)
-    return TrailDataset(normalize_events(df, uuid_col, time_col))
+    return TrailDataset(_check_time(normalize_events(df, uuid_col, time_col), skip_bad_input))
 
 
 def make_from_json(
@@ -89,9 +101,39 @@ def make_from_json(
     if uuid_col not in df.columns or time_col not in df.columns:
         raise ValueError(f"JSON input must carry '{uuid_col}' and '{time_col}' keys")
     if fields:
-        keep = [uuid_col, time_col] + [f for f in fields if f in df.columns]
+        # a requested field absent from the input is a spec error, same
+        # contract as dump.project_fields — silently dropping a
+        # misspelled field would build a dataset missing data
+        unknown = [f for f in fields if f not in df.columns]
+        if unknown:
+            raise ValueError(f"unknown fields in JSON input: {unknown}")
+        keep = [uuid_col, time_col] + list(fields)
         df = df.select(*[c for c in df.columns if c in keep])
-    return TrailDataset(normalize_events(df, uuid_col, time_col))
+    return TrailDataset(_check_time(normalize_events(df, uuid_col, time_col), skip_bad_input))
+
+
+def _check_time(ev: DataFrame, skip_bad_input: bool) -> DataFrame:
+    """The reference's bad-time contract (`tdbcli/op_make.c:153-163` +
+    ``safely_to_int``): an unparseable time either skips the row
+    (``--skip-bad-input``) or aborts the ingest — it must never land as a
+    NULL-time event (which would sort first and corrupt time filters and
+    info() bounds). ``normalize_events`` casts, so bad values surface here
+    as NULLs."""
+    from ..dataset import TIME_COL
+
+    if skip_bad_input:
+        return ev.filter(F.col(TIME_COL).isNotNull())
+    # fail at evaluation time on the first bad row: raise_error sits in
+    # the time column itself, so column pruning can never skip the check
+    return ev.withColumn(
+        TIME_COL,
+        F.coalesce(
+            F.col(TIME_COL),
+            F.raise_error(
+                F.lit("unparseable time value (pass skip_bad_input=True to drop)")
+            ).cast("long"),
+        ),
+    )
 
 
 def make_from_dataframe(df: DataFrame, uuid_col: str = "uuid", time_col: str = "time") -> TrailDataset:
