@@ -928,6 +928,113 @@ def q68_make_dump_roundtrip(spark, sf_dir):
     return out.select("uuid", "time", "event_type", "props")
 
 
+def q69_audio_features(spark, sf_dir):
+    """Audio decode + signal stats over a binary media column. Audio-kind
+    rows (doc_id % 3 == 1, matching q49's kind cycle) carry REAL RIFF/WAVE
+    16-bit PCM payloads (multimodal.make_wav) whose samples are the
+    deterministic sequence s[i] = (i*37 + doc_id*11) % 2048 - 1024, so the
+    SQL oracle recomputes the decoded rate/duration/RMS/zero-crossings/
+    peak from first principles — proving the WAV encoder, the chunk-walk
+    decoder, and the numpy feature kernel agree end-to-end. rms is
+    bit-stable across both engines: the squared sum is exact in int64 and
+    /n + sqrt are single IEEE-double ops."""
+    from traildb_spark.operators import multimodal
+
+    @F.pandas_udf("binary")
+    def wav_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            n = 64 + i % 64
+            rate = 8000 + 4000 * (i % 5)
+            s = ((np.arange(n, dtype=np.int64) * 37 + i * 11) % 2048 - 1024).astype(
+                "int16"
+            )
+            out.append(multimodal.make_wav(s, rate))
+        return pd.Series(out)
+
+    docs = _load(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.coalesce(
+            wav_payload(F.when(kind == "audio", F.col("doc_id"))),
+            F.encode(F.col("text"), "UTF-8"),
+        ).alias("content"),
+        F.concat(F.lit("x/"), kind).alias("mime"),
+        F.to_json(F.struct(F.col("source"))).alias("meta"),
+    )
+    feats = multimodal.extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_samples",
+        "duration_ms",
+        F.round(F.col("rms"), 6).alias("rms"),
+        "zcr",
+        "peak",
+    )
+
+
+def q70_image_resize(spark, sf_dir):
+    """Image resize (decode → nearest-neighbor resample to 8×8 → PNG
+    re-encode) over real PNG payloads built exactly as q49's (pixel
+    (y, x) = (y*17 + x*31 + doc_id) % 256). The SQL oracle recomputes the
+    resampled grid in closed form — n_bytes from the stored-block PNG size
+    formula h*(w+1)+68 and mean_luma by averaging the 64 sampled pixel
+    values via generate_series — verifying decode, resample, and re-encode
+    against first principles. mean_luma is exact: integer pixel sum / 64
+    is one IEEE division by a power of two."""
+    from traildb_spark.operators import multimodal
+
+    @F.pandas_udf("binary")
+    def png_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            w, h = 8 + i % 9, 8 + i % 7
+            yy, xx = np.mgrid[0:h, 0:w]
+            out.append(
+                multimodal.make_png(((yy * 17 + xx * 31 + i) % 256).astype("uint8"))
+            )
+        return pd.Series(out)
+
+    docs = _load(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.coalesce(
+            png_payload(F.when(kind == "image", F.col("doc_id"))),
+            F.encode(F.col("text"), "UTF-8"),
+        ).alias("content"),
+        F.concat(F.lit("x/"), kind).alias("mime"),
+        F.to_json(F.struct(F.col("source"))).alias("meta"),
+    )
+    resized = multimodal.resize_images(media, 8, 8, method="nearest")
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("content").alias("n_bytes"),
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1001,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_set_ops": q66_set_ops,
         "q67_mix_corpus": q67_mix_corpus,
         "q68_make_dump_roundtrip": q68_make_dump_roundtrip,
+        "q69_audio_features": q69_audio_features,
+        "q70_image_resize": q70_image_resize,
     }
 
 
@@ -1257,6 +1366,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q68_make_dump_roundtrip": f"""
             SELECT uuid, "time", event_type, props FROM ({_E})
+        """,
+        "q69_audio_features": """
+            -- recompute the WAV fixture's PCM from first principles:
+            -- s[i] = (i*37 + doc_id*11) % 2048 - 1024, n = 64 + id%64,
+            -- rate = 8000 + 4000*(id%5); rms/zcr/peak over that sequence
+            WITH a AS (
+              SELECT doc_id,
+                     64 + CAST(doc_id % 64 AS BIGINT) AS n,
+                     CAST(8000 + 4000 * (doc_id % 5) AS INT) AS rate
+              FROM documents WHERE doc_id % 3 = 1
+            ), s AS (
+              SELECT doc_id, n, rate,
+                     [ (i*37 + doc_id*11) % 2048 - 1024
+                       for i in generate_series(0, n - 1) ] AS xs
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   rate AS sample_rate,
+                   1 AS channels,
+                   n AS n_samples,
+                   n * 1000 // rate AS duration_ms,
+                   ROUND(sqrt(CAST(list_sum(list_transform(xs, x -> x*x)) AS DOUBLE) / n), 6) AS rms,
+                   CAST(len(list_filter(generate_series(2, n), i -> xs[i-1] * xs[i] < 0)) AS BIGINT) AS zcr,
+                   CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
+            FROM s
+        """,
+        "q70_image_resize": """
+            -- nearest-neighbor 8x8 resample of the q49 PNG pattern
+            -- pixel(y,x) = (y*17 + x*31 + id) % 256 on an (h,w) canvas,
+            -- sampled at iy=(Y*h)//8, ix=(X*w)//8; resized stored-block
+            -- PNG size is the closed form 8*(8+1)+68
+            WITH a AS (
+              SELECT doc_id,
+                     8 + CAST(doc_id % 9 AS INT) AS w,
+                     8 + CAST(doc_id % 7 AS INT) AS h
+              FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT doc_id AS media_id,
+                   8 AS width, 8 AS height,
+                   CAST(8 * (8 + 1) + 68 AS BIGINT) AS n_bytes,
+                   ROUND(CAST(list_sum(
+                     [ ((((k // 8) * h) // 8) * 17 + (((k % 8) * w) // 8) * 31 + doc_id) % 256
+                       for k in generate_series(0, 63) ]) AS DOUBLE) / 64, 6) AS mean_luma
+            FROM a
         """,
         "q02_negation_empty": f"""
             SELECT uuid, "time", event_id, event_type FROM ({_E})

@@ -213,3 +213,88 @@ def test_extract_image_features_survives_malformed_payloads(spark):
     assert (out[2]["width"], out[2]["height"]) == (9, 9)  # header parses
     assert out[2]["phash"] != 0  # pixels don't: content-hash fallback
     assert (out[4]["width"], out[4]["height"]) == (9, 9)
+
+
+def test_wav_roundtrip_and_size_formula():
+    import numpy as np
+
+    from traildb_spark.operators.multimodal import decode_wav, make_wav
+
+    s = (np.arange(100) * 321 % 2048 - 1024).astype("int16")
+    wav = make_wav(s, 16000)
+    assert len(wav) == 44 + 2 * 100  # closed-form size for the oracle
+    rate, channels, back = decode_wav(wav)
+    assert (rate, channels) == (16000, 1)
+    assert np.array_equal(back, s)
+
+
+def test_decode_wav_rejects_non_pcm():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from traildb_spark.operators.multimodal import decode_wav, make_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"ID3\x03mp3 payload")
+    # 8-bit PCM (bits != 16) is out of scope, surfaced as ValueError
+    wav = bytearray(make_wav(np.zeros(4, dtype="int16"), 8000))
+    wav[34:36] = struct.pack("<H", 8)
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(wav))
+
+
+def test_extract_audio_features_stats(spark):
+    import numpy as np
+
+    from traildb_spark.operators import multimodal
+
+    s = np.array([1000, -1000, 1000, -1000, 0, 500], dtype="int16")
+    rows = [
+        (1, "audio", multimodal.make_wav(s, 8000), "audio/wav", None),
+        (2, "audio", b"OggS not a wav", "audio/ogg", None),
+        (3, "image", b"not audio", "image/png", None),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.extract_audio_features(media).collect()}
+    assert set(out) == {1, 2}  # only kind='audio'
+    r1 = out[1]
+    assert (r1["sample_rate"], r1["channels"], r1["n_samples"]) == (8000, 1, 6)
+    assert r1["duration_ms"] == 6 * 1000 // 8000
+    assert r1["zcr"] == 3  # strict sign flips; the 0 sample breaks the run
+    assert r1["peak"] == 1000
+    expected_rms = float(np.sqrt((s.astype("int64") ** 2).sum() / 6))
+    assert abs(r1["rms"] - expected_rms) < 1e-9
+    # undecodable codec: surfaced, not fatal
+    assert out[2]["sample_rate"] == -1
+
+
+def test_resize_images_box_and_nearest(spark):
+    import numpy as np
+
+    from traildb_spark.operators import multimodal
+
+    g = (np.arange(16 * 16, dtype=np.int64) % 256).reshape(16, 16).astype("uint8")
+    rows = [
+        (1, "image", multimodal.make_png(g), "image/png", None),
+        (2, "image", b"\xff\xd8 jpeg no pixels", "image/jpeg", None),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+    box = {r["media_id"]: r for r in multimodal.resize_images(media, 8, 8).collect()}
+    r1 = box[1]
+    assert (r1["width"], r1["height"]) == (8, 8)
+    assert len(r1["content"]) == 8 * (8 + 1) + 68  # closed-form resized PNG size
+    # box downscale of a 2x2 block = floor of the block mean
+    back = multimodal._gray_pixels(bytes(r1["content"]))
+    blk = g.astype(np.float64).reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    assert np.array_equal(back, np.floor(blk))
+    assert abs(r1["mean_luma"] - np.floor(blk).mean()) < 1e-9
+    # pixel-less container -> surfaced as -1/NULL, job survives
+    assert box[2]["width"] == -1 and box[2]["content"] is None
+
+    near = {r["media_id"]: r for r in multimodal.resize_images(media, 4, 4, method="nearest").collect()}
+    iy = (np.arange(4) * 16) // 4
+    back_n = multimodal._gray_pixels(bytes(near[1]["content"]))
+    assert np.array_equal(back_n, g[np.ix_(iy, iy)].astype(np.float64))

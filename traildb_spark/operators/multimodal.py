@@ -8,8 +8,9 @@ gray+alpha, non-interlaced) and a matching deterministic PNG encoder for
 fixtures, plus a numpy DCT perceptual hash over the decoded bitmap.
 JPEG/GIF PIXEL decode (Huffman+IDCT / LZW) stays out of scope — for those
 containers pHash falls back to a byte-content hash, clearly marked; real
-deployments swap `_gray_pixels` for PIL in one place. Audio/video decode
-(ffmpeg/librosa) remains stubbed the same way.
+deployments swap `_gray_pixels` for PIL in one place. Audio is REAL for
+RIFF/WAVE 16-bit PCM (header parse + numpy signal stats); compressed
+codecs (mp3/opus) and video decode (ffmpeg) remain stubbed the same way.
 
 At 100 TB the rules encoded here: binaries ride in their own column so
 column pruning skips them unless asked; feature extraction is
@@ -31,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -315,6 +317,204 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
             F.substring(F.col("content"), F.col("frame_idx") * 16 + 1, 16).alias("frame_bytes"),
         )
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+RESIZED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content", BinaryType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def make_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Deterministic RIFF/WAVE encoder for fixtures: canonical 44-byte
+    header + 16-bit little-endian mono PCM. Byte size has the closed form
+    44 + 2*n, so SQL oracles can predict n_bytes of real audio binaries
+    (the audio analog of :func:`make_png`)."""
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a RIFF/WAVE payload → (sample_rate, channels, samples int16).
+
+    Real pure-stdlib decode of the format that dominates raw-audio corpora:
+    chunk walk over RIFF, `fmt ` for PCM params, `data` for the frames.
+    Only 16-bit integer PCM (format tag 1) is decoded; compressed codecs
+    (mp3/aac/opus) need a real decoder — same posture as JPEG pixels in
+    :func:`_gray_pixels`, swap for soundfile/ffmpeg in one place.
+    Raises ValueError/struct.error on malformed input (DECODE_ERRORS)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(content):
+        ctype = content[pos : pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        if ctype == b"fmt ":
+            tag, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag != 1 or bits != 16:
+                raise ValueError("WAV: only 16-bit integer PCM supported")
+        elif ctype == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    return int(rate), int(channels), samples
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio via mapInPandas (Arrow-batched).
+
+    Input: MEDIA_SCHEMA rows with kind='audio'. Output:
+    AUDIO_FEATURES_SCHEMA — sample rate / channel count / duration from
+    the real WAV header, and numpy signal stats over the decoded PCM:
+    RMS energy, zero-crossing count (strict sign flips), peak amplitude.
+    Undecodable payloads surface as -1 dims rather than failing the job
+    (one corrupt clip must never abort a 100 TB pass). At scale the same
+    rules as images apply: binaries in their own pruned column,
+    ``repartition`` by bytes before the decode stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"]) if row["content"] is not None else b""
+                try:
+                    rate, channels, s = decode_wav(content)
+                    n = int(s.size)
+                    x = s.astype(np.int64)
+                    rms = float(np.sqrt((x * x).sum() / n)) if n else 0.0
+                    zcr = int(np.count_nonzero(x[1:] * x[:-1] < 0)) if n > 1 else 0
+                    peak = int(np.abs(x).max()) if n else 0
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "sample_rate": rate,
+                            "channels": channels,
+                            "n_samples": n,
+                            "duration_ms": n * 1000 // rate if rate else 0,
+                            "rms": rms,
+                            "zcr": zcr,
+                            "peak": peak,
+                        }
+                    )
+                except DECODE_ERRORS:
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "sample_rate": -1,
+                            "channels": -1,
+                            "n_samples": -1,
+                            "duration_ms": -1,
+                            "rms": 0.0,
+                            "zcr": -1,
+                            "peak": -1,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    auds = df.filter(F.col("kind") == "audio").select("media_id", "content")
+    return auds.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, width: int = 8, height: int = 8, method: str = "box"
+) -> DataFrame:
+    """Resize image payloads via mapInPandas: decode PNG pixels, resample
+    to (width, height), re-encode as deterministic grayscale PNG.
+
+    ``method='box'`` averages each source block (area interpolation — the
+    right default for downscaling before a vision encoder); ``'nearest'``
+    picks the top-left sample of each block, matching :func:`phash64`'s
+    grid so oracles can recompute pixels in closed form. Output carries the
+    resized binary plus ``mean_luma`` of the resized bitmap (a brightness
+    stat downstream quality filters use). Undecodable payloads → width -1,
+    NULL content. Non-PNG containers fall in that bucket until a real
+    codec is swapped into :func:`_gray_pixels`."""
+    if method not in ("box", "nearest"):
+        raise ValueError(f"resize_images: unknown method {method!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"]) if row["content"] is not None else b""
+                try:
+                    gray = _gray_pixels(content)
+                    hh, ww = gray.shape
+                    if method == "nearest":
+                        iy = (np.arange(height) * hh) // height
+                        ix = (np.arange(width) * ww) // width
+                        small = gray[np.ix_(iy, ix)]
+                    else:
+                        ey = (np.arange(height + 1) * hh) // height
+                        ex = (np.arange(width + 1) * ww) // width
+                        csum = np.zeros((hh + 1, ww + 1))
+                        csum[1:, 1:] = gray.cumsum(0).cumsum(1)
+                        area = (ey[1:] - ey[:-1])[:, None] * (ex[1:] - ex[:-1])[None, :]
+                        small = (
+                            csum[np.ix_(ey[1:], ex[1:])]
+                            - csum[np.ix_(ey[:-1], ex[1:])]
+                            - csum[np.ix_(ey[1:], ex[:-1])]
+                            + csum[np.ix_(ey[:-1], ex[:-1])]
+                        ) / area
+                    small_u8 = np.clip(np.floor(small), 0, 255).astype(np.uint8)
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "width": width,
+                            "height": height,
+                            "content": make_png(small_u8),
+                            "mean_luma": float(small_u8.mean()),
+                        }
+                    )
+                except DECODE_ERRORS:
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "width": -1,
+                            "height": -1,
+                            "content": None,
+                            "mean_luma": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZED_IMAGE_SCHEMA.fields]
+            )
+
+    imgs = df.filter(F.col("kind") == "image").select("media_id", "content")
+    return imgs.mapInPandas(run, schema=RESIZED_IMAGE_SCHEMA)
 
 
 def media_metadata(df: DataFrame) -> DataFrame:
