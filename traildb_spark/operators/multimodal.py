@@ -262,8 +262,10 @@ def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
+            # zip over the two columns, not iterrows: row materialization
+            # costs ~100µs/row of pandas overhead the decode loop feels
+            for media_id, payload in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(payload) if payload is not None else b""
                 try:
                     w, h = decode_image_size(content)
                 except DECODE_ERRORS:
@@ -282,7 +284,7 @@ def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
                     ]
                 out.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": media_id,
                         "width": w,
                         "height": h,
                         "n_bytes": len(content),
@@ -406,8 +408,8 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
+            for media_id, payload in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(payload) if payload is not None else b""
                 try:
                     rate, channels, s = decode_wav(content)
                     n = int(s.size)
@@ -417,7 +419,7 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                     peak = int(np.abs(x).max()) if n else 0
                     out.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": media_id,
                             "sample_rate": rate,
                             "channels": channels,
                             "n_samples": n,
@@ -430,7 +432,7 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 except DECODE_ERRORS:
                     out.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": media_id,
                             "sample_rate": -1,
                             "channels": -1,
                             "n_samples": -1,
@@ -468,8 +470,8 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"]) if row["content"] is not None else b""
+            for media_id, payload in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(payload) if payload is not None else b""
                 try:
                     gray = _gray_pixels(content)
                     hh, ww = gray.shape
@@ -492,7 +494,7 @@ def resize_images(
                     small_u8 = np.clip(np.floor(small), 0, 255).astype(np.uint8)
                     out.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": media_id,
                             "width": width,
                             "height": height,
                             "content": make_png(small_u8),
@@ -502,7 +504,7 @@ def resize_images(
                 except DECODE_ERRORS:
                     out.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": media_id,
                             "width": -1,
                             "height": -1,
                             "content": None,
