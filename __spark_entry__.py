@@ -1035,6 +1035,19 @@ def q70_image_resize(spark, sf_dir):
     )
 
 
+def q71_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: md5-keyed deterministic
+    centroids, argmax quantized-cosine cell assignment, within-cell
+    keep-earliest drop at cos >= 0.4 (the corpus's planted near-dup band —
+    real deployments run 0.95+; the rule is threshold-independent). Every
+    arithmetic step is engine-portable, so the oracle reproduces the FULL
+    pipeline: clustering, assignment, and the drop rule."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, num_centroids=16, threshold=0.4).select(
+        F.col("id").alias("vec_id"), "cid", "is_kept"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1110,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_make_dump_roundtrip": q68_make_dump_roundtrip,
         "q69_audio_features": q69_audio_features,
         "q70_image_resize": q70_image_resize,
+        "q71_semantic_dedup": q71_semantic_dedup,
     }
 
 
@@ -1391,6 +1405,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(generate_series(2, n), i -> xs[i-1] * xs[i] < 0)) AS BIGINT) AS zcr,
                    CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
             FROM s
+        """,
+        "q71_semantic_dedup": """
+            -- SemDeDup, full pipeline in SQL: deterministic md5-keyed
+            -- centroids, argmax rounded-quantized-cosine assignment
+            -- (id tiebreak), within-cell keep-earliest drop at cos >= 0.4
+            WITH qz AS (
+              SELECT vec_id,
+                     [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+                      for i in generate_series(1, 64)] AS qv
+              FROM embeddings),
+            cents AS (
+              SELECT vec_id AS cid, qv
+              FROM qz
+              ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                       vec_id
+              LIMIT 16),
+            assign AS (
+              SELECT vec_id, qv, cid FROM (
+                SELECT e.vec_id, e.qv, c.cid,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(
+                           list_sum([e.qv[i] * c.qv[i] for i in generate_series(1, 64)])
+                           / (sqrt(list_sum([e.qv[i] * e.qv[i] for i in generate_series(1, 64)]))
+                              * sqrt(list_sum([c.qv[i] * c.qv[i] for i in generate_series(1, 64)]))), 6) DESC,
+                         c.cid ASC) AS rn
+                FROM qz e CROSS JOIN cents c)
+              WHERE rn = 1),
+            dups AS (
+              SELECT DISTINCT b.vec_id
+              FROM assign a JOIN assign b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE round(
+                      list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, 64)])
+                      / (sqrt(list_sum([a.qv[i] * a.qv[i] for i in generate_series(1, 64)]))
+                         * sqrt(list_sum([b.qv[i] * b.qv[i] for i in generate_series(1, 64)]))), 6) >= 0.4)
+            SELECT s.vec_id, s.cid, d.vec_id IS NULL AS is_kept
+            FROM assign s LEFT JOIN dups d ON s.vec_id = d.vec_id
         """,
         "q70_image_resize": """
             -- nearest-neighbor 8x8 resample of the q49 PNG pattern

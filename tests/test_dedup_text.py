@@ -458,3 +458,26 @@ def test_connected_components_distributed_raises_without_fixpoint(spark):
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(chain, driver_threshold=0, max_iters=1)
+
+
+def test_semantic_dedup_keep_earliest(spark):
+    """Identical vectors land in the same cell (identical cosines to every
+    centroid) and only the smallest id survives; a far-away vector is
+    untouched. num_centroids > n makes every vector a centroid candidate,
+    exercising the md5-key cut."""
+    import numpy as np
+
+    from traildb_spark.operators import dedup
+
+    v = [float(x) for x in np.linspace(0.1, 1.0, 64)]
+    w = [float(x) for x in np.linspace(1.0, 0.1, 64)]
+    rows = [(1, v), (2, v), (3, w), (4, [x * 2.0 for x in v])]  # 4 ~ 1 (cos=1)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: r for r in dedup.semantic_dedup(emb, num_centroids=2, threshold=0.999).collect()}
+    assert out[1]["is_kept"] is True
+    assert out[2]["is_kept"] is False  # exact dup of 1, larger id
+    assert out[3]["is_kept"] is True   # dissimilar
+    # scaled copy has cosine 1 BUT quantization floor makes it ~0.9999997+;
+    # still above 0.999 -> dropped iff same cell as 1 (it is: same direction)
+    assert out[4]["is_kept"] is False
+    assert out[1]["cid"] == out[2]["cid"] == out[4]["cid"]

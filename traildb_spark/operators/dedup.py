@@ -1212,3 +1212,71 @@ def dedup_against(
         .join(seen, "__fp", "left_anti")
         .drop("__fp")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 64,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    embedding space into clusters, then drop within-cluster semantic
+    duplicates, keeping one representative per near-dup group. Returns
+    ``(id, cid, is_kept)`` for every input row.
+
+    Portable construction so the WHOLE pipeline reproduces in a SQL
+    oracle: centroids are the ``num_centroids`` corpus vectors with the
+    smallest md5-derived key (deterministic, seedless — the rule
+    ``similarity.ivf_topk_portable`` uses); each vector is assigned to its
+    argmax rounded-quantized-integer-cosine centroid (id tiebreak); within
+    a cell a vector is dropped iff a SMALLER-id cell mate sits at
+    ``cos >= threshold`` — the keep-earliest rule exact dedup uses, made
+    deterministic across partitionings.
+
+    Scale: clustering is the point — it bounds the quadratic. The only
+    O(cell²) work is the within-cell self-join and E[|cell|] =
+    n/num_centroids, so num_centroids grows linearly with the corpus to
+    hold the per-cell pair budget flat. The centroid table is
+    metadata-scale and broadcast to every stage; the corpus shuffles once
+    for the assignment argmax and once on cid for the self-join (at
+    100 TB the assignment is written partitioned by cid, making the
+    self-join co-located and shuffle-free).
+    """
+    c = df.select(F.col(id_col).alias("id"), quantize_q20(F.col(vec_col)).alias("qv"))
+    hk = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    cents = (
+        c.withColumn("hk", hk)
+        .orderBy("hk", "id")
+        .limit(num_centroids)
+        .select(F.col("id").alias("cid"), F.col("qv").alias("centv"))
+    )
+    w_assign = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        c.join(F.broadcast(cents))
+        .withColumn(
+            "ccos", F.round(quantized_cosine_udf(F.col("qv"), F.col("centv")), 6)
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id", "qv", "cid")
+    )
+    a = assign.select(F.col("id").alias("id_a"), F.col("qv").alias("qv_a"), "cid")
+    b = assign.select(F.col("id").alias("id_b"), F.col("qv").alias("qv_b"), "cid")
+    dup_ids = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", F.round(quantized_cosine_udf(F.col("qv_a"), F.col("qv_b")), 6)
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assign.join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
+        .select("id", "cid", F.col("__dup").isNull().alias("is_kept"))
+    )
