@@ -1048,6 +1048,16 @@ def q71_semantic_dedup(spark, sf_dir):
     )
 
 
+def q72_gopher_quality(spark, sf_dir):
+    """The published Gopher rule set (Rae et al. 2021 A1.1) as per-rule
+    flags over the documents table — word-count/mean-word-length bounds,
+    symbol and bullet/ellipsis ratios, alpha-word fraction, stopword
+    presence, and the conjunction. One scan, zero shuffles; every ratio an
+    exact integer division the SQL oracle reproduces bit-for-bit."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1124,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_audio_features": q69_audio_features,
         "q70_image_resize": q70_image_resize,
         "q71_semantic_dedup": q71_semantic_dedup,
+        "q72_gopher_quality": q72_gopher_quality,
     }
 
 
@@ -1405,6 +1416,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(generate_series(2, n), i -> xs[i-1] * xs[i] < 0)) AS BIGINT) AS zcr,
                    CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
             FROM s
+        """,
+        "q72_gopher_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKENS} AS ws,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                l -> trim(l)), l -> l <> '') AS ls
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     CASE WHEN len(ws) > 0
+                          THEN CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / len(ws)
+                          ELSE 0.0 END AS mean_wlen,
+                     CASE WHEN len(ws) > 0
+                          THEN CAST(len(list_filter(ws, t -> t = '#'))
+                                    + len(list_filter(ws, t -> contains(t, '...'))) AS DOUBLE) / len(ws)
+                          ELSE 0.0 END AS symbol_ratio,
+                     CASE WHEN len(ls) > 0
+                          THEN CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls)
+                          ELSE 0.0 END AS bullet_frac,
+                     CASE WHEN len(ls) > 0
+                          THEN CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls)
+                          ELSE 0.0 END AS ellipsis_frac,
+                     CASE WHEN len(ws) > 0
+                          THEN CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(ws)
+                          ELSE 0.0 END AS alpha_frac,
+                     len(list_filter(['the','be','to','of','and','that','have','with'],
+                                     s -> list_contains(ws, s))) AS stop_hits
+              FROM t)
+            SELECT doc_id,
+                   CAST(n_words AS INT) AS n_words,
+                   round(mean_wlen, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_word_ratio,
+                   round(bullet_frac, 6) AS bullet_line_frac,
+                   round(ellipsis_frac, 6) AS ellipsis_line_frac,
+                   round(alpha_frac, 6) AS alpha_word_frac,
+                   CAST(stop_hits AS INT) AS n_stopword_kinds,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+                    AND symbol_ratio < 0.1
+                    AND bullet_frac < 0.9
+                    AND ellipsis_frac < 0.3
+                    AND alpha_frac > 0.8
+                    AND stop_hits >= 2) AS passes_gopher
+            FROM m
         """,
         "q71_semantic_dedup": """
             -- SemDeDup, full pipeline in SQL: deterministic md5-keyed

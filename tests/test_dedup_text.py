@@ -481,3 +481,28 @@ def test_semantic_dedup_keep_earliest(spark):
     # still above 0.999 -> dropped iff same cell as 1 (it is: same direction)
     assert out[4]["is_kept"] is False
     assert out[1]["cid"] == out[2]["cid"] == out[4]["cid"]
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Pin each published rule on crafted fixtures: a clean passing doc, a
+    bullet-list doc, an ellipsis-heavy doc, a symbol-heavy doc, and a
+    numeric doc with no alpha words."""
+    from traildb_spark.operators import text as t
+
+    good = ("the quick brown fox jumps over that lazy dog and it liked to "
+            "run with a steady pace of joy have some more words here ") * 3
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    dots = "\n".join(f"line {i} trails off..." for i in range(10))
+    symbols = "# " * 30 + "word " * 30
+    numeric = "12 34 56 78 90 " * 20
+    docs = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, dots), (4, symbols), (5, numeric)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in t.gopher_quality_flags(docs).collect()}
+    assert out[1]["passes_gopher"] is True
+    assert out[1]["n_stopword_kinds"] >= 2
+    assert out[2]["bullet_line_frac"] == 1.0 and out[2]["passes_gopher"] is False
+    assert out[3]["ellipsis_line_frac"] == 1.0 and out[3]["passes_gopher"] is False
+    assert out[4]["symbol_word_ratio"] == 0.5 and out[4]["passes_gopher"] is False
+    assert out[5]["alpha_word_frac"] == 0.0 and out[5]["passes_gopher"] is False

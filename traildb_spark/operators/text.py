@@ -307,3 +307,100 @@ def scrub_pii(
         out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.withColumn(out_col, scrubbed)
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The published Gopher quality-filter rule set (Rae et al. 2021,
+    arXiv:2112.11446 Appendix A1.1) as one declarative projection — the
+    standard pre-training document gate, kept as FLAGS per rule so
+    downstream pipelines can tune thresholds without re-scanning:
+
+    1. 50 <= word count <= 100,000
+    2. 3 <= mean word length <= 10
+    3. symbol-to-word ratio ('#' or '...') < 0.1
+    4. < 90% of lines start with a bullet
+    5. < 30% of lines end with an ellipsis
+    6. > 80% of words contain at least one alphabetic character
+    7. at least 2 distinct required stopwords present
+
+    Word rules run on whitespace tokens of the normalized text (the
+    corpus-wide convention); LINE rules run on the RAW text's newlines
+    (normalization collapses them). Pure Catalyst — one scan, zero
+    shuffles, every ratio an exact integer division reproducible in SQL.
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    sum_wlen = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_wlen = F.when(n_words > 0, sum_wlen.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    n_symbols = (
+        F.size(F.filter(toks, lambda t: t == F.lit("#")))
+        + F.size(F.filter(toks, lambda t: t.contains("...")))
+    )
+    symbol_ratio = F.when(n_words > 0, n_symbols.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = F.when(n_words > 0, alpha_words.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+            )
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    rule_words = (n_words >= 50) & (n_words <= 100_000)
+    rule_wlen = (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+    rule_symbol = symbol_ratio < 0.1
+    rule_bullet = bullet_frac < 0.9
+    rule_ellipsis = ellipsis_frac < 0.3
+    rule_alpha = alpha_frac > 0.8
+    rule_stop = stop_hits >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("n_stopword_kinds"),
+        (
+            rule_words
+            & rule_wlen
+            & rule_symbol
+            & rule_bullet
+            & rule_ellipsis
+            & rule_alpha
+            & rule_stop
+        ).alias("passes_gopher"),
+    )
