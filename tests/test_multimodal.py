@@ -298,3 +298,51 @@ def test_resize_images_box_and_nearest(spark):
     iy = (np.arange(4) * 16) // 4
     back_n = multimodal._gray_pixels(bytes(near[1]["content"]))
     assert np.array_equal(back_n, g[np.ix_(iy, iy)].astype(np.float64))
+
+
+def test_decode_wav_stereo_duration_and_bad_fmt():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from traildb_spark.operators.multimodal import decode_wav, make_wav
+
+    # hand-build a stereo 16-bit PCM WAV: 4 frames @ 8000 Hz, interleaved
+    frames = np.array([[100, -100], [200, -200], [300, -300], [400, -400]], dtype="<i2")
+    data = frames.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 8000 * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, channels, s = decode_wav(wav)
+    assert (rate, channels, s.size) == (8000, 2, 8)
+    # zero channels must raise ValueError (a caught DECODE_ERRORS member),
+    # never ZeroDivisionError downstream
+    bad = bytearray(make_wav(np.zeros(4, dtype="int16"), 8000))
+    bad[22:24] = struct.pack("<H", 0)
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_extract_audio_features_stereo_duration(spark):
+    import struct
+
+    import numpy as np
+
+    from traildb_spark.operators import multimodal
+
+    frames = np.tile(np.array([[1000, -1000]], dtype="<i2"), (8000, 1))  # 1s stereo
+    data = frames.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 8000 * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame(
+        [(1, "audio", wav, "audio/wav", None)], schema=multimodal.MEDIA_SCHEMA
+    )
+    r = multimodal.extract_audio_features(media).first()
+    assert r["channels"] == 2 and r["n_samples"] == 16000
+    assert r["duration_ms"] == 1000  # frames / rate, NOT samples / rate

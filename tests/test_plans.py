@@ -234,3 +234,19 @@ def test_read_schemas_handles_nested_types(spark, sf_dir, tmp_path):
     audit.assert_schema_pruned(df, {"uuid", "events"})
     schemas = audit.read_schemas(df)
     assert schemas and all(s.count("<") == s.count(">") for s in schemas)
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
+    """SemDeDup's scale contract is structural: the centroid table reaches
+    BOTH consumers as a broadcast (no corpus-sized shuffle for assignment
+    scoring) and the only sort-merge/hash shuffles key on id / cid — never
+    a cartesian over the corpus."""
+    from traildb_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, num_centroids=8, threshold=0.9)
+    plan = audit.explain_str(out, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the quadratic is bounded by design: the pair join must key on cid,
+    # not run corpus x corpus
+    assert "CartesianProduct" not in plan

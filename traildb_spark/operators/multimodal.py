@@ -384,6 +384,10 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
             tag, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
             if tag != 1 or bits != 16:
                 raise ValueError("WAV: only 16-bit integer PCM supported")
+            if channels < 1 or rate < 1:
+                # a zero here would surface later as ZeroDivisionError,
+                # which is not a DECODE_ERRORS member
+                raise ValueError("WAV: invalid channel count or sample rate")
         elif ctype == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
@@ -400,7 +404,11 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     AUDIO_FEATURES_SCHEMA — sample rate / channel count / duration from
     the real WAV header, and numpy signal stats over the decoded PCM:
     RMS energy, zero-crossing count (strict sign flips), peak amplitude.
-    Undecodable payloads surface as -1 dims rather than failing the job
+    Multi-channel PCM is decoded but the signal stats treat the
+    interleaved stream as one signal (exact for mono — the fixture and
+    dominant corpus shape; de-interleave before the stats if per-channel
+    numbers matter). Undecodable payloads surface as -1 dims rather than
+    failing the job
     (one corrupt clip must never abort a 100 TB pass). At scale the same
     rules as images apply: binaries in their own pruned column,
     ``repartition`` by bytes before the decode stage."""
@@ -423,7 +431,10 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                             "sample_rate": rate,
                             "channels": channels,
                             "n_samples": n,
-                            "duration_ms": n * 1000 // rate if rate else 0,
+                            # duration follows FRAMES (interleaved samples
+                            # / channels), not raw sample count — a stereo
+                            # clip is not twice as long
+                            "duration_ms": (n // channels) * 1000 // rate,
                             "rms": rms,
                             "zcr": zcr,
                             "peak": peak,
@@ -466,6 +477,8 @@ def resize_images(
     codec is swapped into :func:`_gray_pixels`."""
     if method not in ("box", "nearest"):
         raise ValueError(f"resize_images: unknown method {method!r}")
+    if width < 1 or height < 1:
+        raise ValueError("resize_images: target dimensions must be >= 1")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
