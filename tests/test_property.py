@@ -305,3 +305,76 @@ def test_minhash_flat_equals_naive(spark, arrays):
         h = np.asarray(hs, dtype=np.uint64).astype(np.int64)
         m = (a[:16, None] * (h[None, :] % _MERSENNE) + b[:16, None]) % _MERSENNE
         assert got[i] == m.min(axis=1).tolist(), hs
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=500),
+    st.integers(min_value=1, max_value=192000),
+)
+def test_wav_roundtrip_any_pcm(samples, rate):
+    """make_wav → decode_wav is the identity for every int16 sequence and
+    sample rate, and the byte size obeys the closed form 44 + 2n."""
+    import numpy as np
+
+    from traildb_spark.operators.multimodal import decode_wav, make_wav
+
+    s = np.asarray(samples, dtype="<i2")
+    wav = make_wav(s, rate)
+    assert len(wav) == 44 + 2 * len(samples)
+    r, ch, back = decode_wav(wav)
+    assert (r, ch) == (rate, 1)
+    assert np.array_equal(back, s)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=255),
+    st.sampled_from(["box", "nearest"]),
+)
+def test_resize_constant_image_stays_constant(w, h, v, method):
+    """Both resample methods are convex: a constant bitmap resizes to the
+    same constant at any target shape, through a full PNG re-encode."""
+    import numpy as np
+
+    from traildb_spark.operators.multimodal import _gray_pixels, make_png
+
+    g = np.full((h, w), v, dtype=np.uint8)
+    # drive the real kernel (the Spark wrapper is covered in
+    # test_multimodal): decode -> _resample -> encode -> decode. Any (w, h)
+    # vs the fixed 8x8 target exercises BOTH up- and downscale, including
+    # the empty-block clamp (no NaN from 0/0 on upscale).
+    from traildb_spark.operators.multimodal import _resample
+
+    gray = _gray_pixels(make_png(g))
+    small = _resample(gray, 8, 8, method)
+    assert np.isfinite(small).all()
+    out = np.clip(np.floor(small), 0, 255).astype(np.uint8)
+    assert (out == v).all()
+    back = _gray_pixels(make_png(out))
+    assert (back == v).all()
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+)
+def test_resample_box_preserves_mass_on_downscale(sw, sh, tw, th):
+    """Box resample is finite for every source/target shape (upscale blocks
+    are edge-clamped, never 0/0), and when target dims divide source dims
+    the block means preserve total mass exactly."""
+    import numpy as np
+
+    from traildb_spark.operators.multimodal import _resample
+
+    rng = np.random.default_rng(sw * 1000 + sh * 100 + tw * 10 + th)
+    g = rng.integers(0, 256, size=(sh, sw)).astype(np.float64)
+    out = _resample(g, tw, th, "box")
+    assert out.shape == (th, tw) and np.isfinite(out).all()
+    if sh % th == 0 and sw % tw == 0:
+        assert abs(out.mean() - g.mean()) < 1e-9

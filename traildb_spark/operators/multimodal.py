@@ -461,6 +461,35 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return auds.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+def _resample(gray: np.ndarray, width: int, height: int, method: str) -> np.ndarray:
+    """Resample a float bitmap to (height, width). ``'nearest'`` picks the
+    phash64 grid sample; ``'box'`` area-averages each source block via an
+    integral image. Upscaling makes some target blocks empty under pure
+    floor arithmetic — those are clamped to at least one source pixel
+    (edge repeat), never a 0/0."""
+    hh, ww = gray.shape
+    if method == "nearest":
+        iy = (np.arange(height) * hh) // height
+        ix = (np.arange(width) * ww) // width
+        return gray[np.ix_(iy, ix)]
+    ey = (np.arange(height + 1) * hh) // height
+    ex = (np.arange(width + 1) * ww) // width
+    # clamp empty blocks (target dim > source dim) to one source pixel
+    y0 = np.minimum(ey[:-1], hh - 1)
+    x0 = np.minimum(ex[:-1], ww - 1)
+    y1 = np.maximum(ey[1:], y0 + 1)
+    x1 = np.maximum(ex[1:], x0 + 1)
+    csum = np.zeros((hh + 1, ww + 1))
+    csum[1:, 1:] = gray.cumsum(0).cumsum(1)
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return (
+        csum[np.ix_(y1, x1)]
+        - csum[np.ix_(y0, x1)]
+        - csum[np.ix_(y1, x0)]
+        + csum[np.ix_(y0, x0)]
+    ) / area
+
+
 def resize_images(
     df: DataFrame, width: int = 8, height: int = 8, method: str = "box"
 ) -> DataFrame:
@@ -487,23 +516,7 @@ def resize_images(
                 content = bytes(payload) if payload is not None else b""
                 try:
                     gray = _gray_pixels(content)
-                    hh, ww = gray.shape
-                    if method == "nearest":
-                        iy = (np.arange(height) * hh) // height
-                        ix = (np.arange(width) * ww) // width
-                        small = gray[np.ix_(iy, ix)]
-                    else:
-                        ey = (np.arange(height + 1) * hh) // height
-                        ex = (np.arange(width + 1) * ww) // width
-                        csum = np.zeros((hh + 1, ww + 1))
-                        csum[1:, 1:] = gray.cumsum(0).cumsum(1)
-                        area = (ey[1:] - ey[:-1])[:, None] * (ex[1:] - ex[:-1])[None, :]
-                        small = (
-                            csum[np.ix_(ey[1:], ex[1:])]
-                            - csum[np.ix_(ey[:-1], ex[1:])]
-                            - csum[np.ix_(ey[1:], ex[:-1])]
-                            + csum[np.ix_(ey[:-1], ex[:-1])]
-                        ) / area
+                    small = _resample(gray, width, height, method)
                     small_u8 = np.clip(np.floor(small), 0, 255).astype(np.uint8)
                     out.append(
                         {
