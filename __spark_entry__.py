@@ -596,22 +596,14 @@ def q48_source_quota(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
-def q49_media_metadata(spark, sf_dir):
-    """Multimodal metadata pass over a binary media column (documents
-    re-cast as a MEDIA_SCHEMA table, kind cycling image/audio/video).
-    Image-kind rows carry REAL PNG payloads (multimodal.make_png: valid
-    sig/IHDR/IDAT/IEND, stored-block zlib) whose byte size has the closed
-    form h*(w+1)+68, so the SQL oracle predicts n_bytes of genuine image
-    binaries; audio/video rows carry utf-8 text payloads. media_metadata
-    touches only byte LENGTH and the JSON sidecar, so column pruning
-    keeps payload bytes out of the scan."""
+def _png_fixture_payload():
+    """PNG payload UDF shared by q49/q70: image pixel (y, x) =
+    (y*17 + x*31 + doc_id) % 256 on an (8 + id%7, 8 + id%9) canvas,
+    stored-block encode → byte size has the closed form h*(w+1)+68."""
     from traildb_spark.operators import multimodal
 
     @F.pandas_udf("binary")
     def png_payload(ids: pd.Series) -> pd.Series:
-        # receives NULL for non-image rows (F.when does NOT short-circuit
-        # Python UDFs — the Arrow eval node runs on every row, so the
-        # selector must be pushed INTO the argument to skip the encode)
         out = []
         for i in ids:
             if pd.isna(i):
@@ -624,21 +616,46 @@ def q49_media_metadata(spark, sf_dir):
             )
         return pd.Series(out)
 
+    return png_payload
+
+
+def _media_table(spark, sf_dir, target_kind, payload_udf):
+    """The ONE MEDIA_SCHEMA fixture over documents (q49/q69/q70 and their
+    oracles depend on this staying in lock-step): kind cycles
+    image/audio/video on doc_id % 3; rows of ``target_kind`` carry
+    ``payload_udf(doc_id)`` binaries, every other row utf-8 text. The
+    selector is pushed INTO the UDF argument (F.when does NOT
+    short-circuit Python UDFs — the Arrow eval node runs on every row, so
+    non-target rows must see NULL to skip the encode)."""
     docs = _load(spark, sf_dir, "documents")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
-    media = docs.select(
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
         F.coalesce(
-            png_payload(F.when(kind == "image", F.col("doc_id"))),
+            payload_udf(F.when(kind == target_kind, F.col("doc_id"))),
             F.encode(F.col("text"), "UTF-8"),
         ).alias("content"),
         F.concat(F.lit("x/"), kind).alias("mime"),
         F.to_json(F.struct(F.col("source"))).alias("meta"),
     )
+
+
+def q49_media_metadata(spark, sf_dir):
+    """Multimodal metadata pass over a binary media column (documents
+    re-cast as a MEDIA_SCHEMA table, kind cycling image/audio/video).
+    Image-kind rows carry REAL PNG payloads (multimodal.make_png: valid
+    sig/IHDR/IDAT/IEND, stored-block zlib) whose byte size has the closed
+    form h*(w+1)+68, so the SQL oracle predicts n_bytes of genuine image
+    binaries; audio/video rows carry utf-8 text payloads. media_metadata
+    touches only byte LENGTH and the JSON sidecar, so column pruning
+    keeps payload bytes out of the scan."""
+    from traildb_spark.operators import multimodal
+
+    media = _media_table(spark, sf_dir, "image", _png_fixture_payload())
     return multimodal.media_metadata(media)
 
 
@@ -956,21 +973,7 @@ def q69_audio_features(spark, sf_dir):
             out.append(multimodal.make_wav(s, rate))
         return pd.Series(out)
 
-    docs = _load(spark, sf_dir, "documents")
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
-    )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        kind.alias("kind"),
-        F.coalesce(
-            wav_payload(F.when(kind == "audio", F.col("doc_id"))),
-            F.encode(F.col("text"), "UTF-8"),
-        ).alias("content"),
-        F.concat(F.lit("x/"), kind).alias("mime"),
-        F.to_json(F.struct(F.col("source"))).alias("meta"),
-    )
+    media = _media_table(spark, sf_dir, "audio", wav_payload)
     feats = multimodal.extract_audio_features(media)
     return feats.select(
         "media_id",
@@ -995,36 +998,7 @@ def q70_image_resize(spark, sf_dir):
     is one IEEE division by a power of two."""
     from traildb_spark.operators import multimodal
 
-    @F.pandas_udf("binary")
-    def png_payload(ids: pd.Series) -> pd.Series:
-        out = []
-        for i in ids:
-            if pd.isna(i):
-                out.append(None)
-                continue
-            i = int(i)
-            w, h = 8 + i % 9, 8 + i % 7
-            yy, xx = np.mgrid[0:h, 0:w]
-            out.append(
-                multimodal.make_png(((yy * 17 + xx * 31 + i) % 256).astype("uint8"))
-            )
-        return pd.Series(out)
-
-    docs = _load(spark, sf_dir, "documents")
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
-    )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        kind.alias("kind"),
-        F.coalesce(
-            png_payload(F.when(kind == "image", F.col("doc_id"))),
-            F.encode(F.col("text"), "UTF-8"),
-        ).alias("content"),
-        F.concat(F.lit("x/"), kind).alias("mime"),
-        F.to_json(F.struct(F.col("source"))).alias("meta"),
-    )
+    media = _media_table(spark, sf_dir, "image", _png_fixture_payload())
     resized = multimodal.resize_images(media, 8, 8, method="nearest")
     return resized.select(
         "media_id",
@@ -1430,7 +1404,7 @@ def oracle_sql() -> dict[str, str]:
                           THEN CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / len(ws)
                           ELSE 0.0 END AS mean_wlen,
                      CASE WHEN len(ws) > 0
-                          THEN CAST(len(list_filter(ws, t -> t = '#'))
+                          THEN CAST(len(list_filter(ws, t -> contains(t, '#')))
                                     + len(list_filter(ws, t -> contains(t, '...'))) AS DOUBLE) / len(ws)
                           ELSE 0.0 END AS symbol_ratio,
                      CASE WHEN len(ls) > 0

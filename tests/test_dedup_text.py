@@ -463,8 +463,8 @@ def test_connected_components_distributed_raises_without_fixpoint(spark):
 def test_semantic_dedup_keep_earliest(spark):
     """Identical vectors land in the same cell (identical cosines to every
     centroid) and only the smallest id survives; a far-away vector is
-    untouched. num_centroids > n makes every vector a centroid candidate,
-    exercising the md5-key cut."""
+    untouched. num_centroids=2 over 4 vectors exercises the md5-key cut
+    (2 of the 4 become centroids)."""
     import numpy as np
 
     from traildb_spark.operators import dedup
@@ -495,8 +495,9 @@ def test_gopher_quality_flags_rules(spark):
     dots = "\n".join(f"line {i} trails off..." for i in range(10))
     symbols = "# " * 30 + "word " * 30
     numeric = "12 34 56 78 90 " * 20
+    markdown = "## header words here " * 25  # '##' tokens must hit the rule
     docs = spark.createDataFrame(
-        [(1, good), (2, bullets), (3, dots), (4, symbols), (5, numeric)],
+        [(1, good), (2, bullets), (3, dots), (4, symbols), (5, numeric), (6, markdown)],
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in t.gopher_quality_flags(docs).collect()}
@@ -506,3 +507,24 @@ def test_gopher_quality_flags_rules(spark):
     assert out[3]["ellipsis_line_frac"] == 1.0 and out[3]["passes_gopher"] is False
     assert out[4]["symbol_word_ratio"] == 0.5 and out[4]["passes_gopher"] is False
     assert out[5]["alpha_word_frac"] == 0.0 and out[5]["passes_gopher"] is False
+    assert out[6]["symbol_word_ratio"] == 0.25 and out[6]["passes_gopher"] is False
+
+
+def test_semantic_dedup_gemm_equals_pairs(spark, sf_dir):
+    """The GEMM assignment (one int64 matmul per Arrow batch) must produce
+    the identical (id, cid, is_kept) table as the oracle-checked per-pair
+    scoring — same exact integer dots, same HALF_UP/lowest-cid tiebreak."""
+    from traildb_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = {
+        (r["id"], r["cid"], r["is_kept"])
+        for r in dedup.semantic_dedup(emb, num_centroids=16, threshold=0.4).collect()
+    }
+    gemm = {
+        (r["id"], r["cid"], r["is_kept"])
+        for r in dedup.semantic_dedup(
+            emb, num_centroids=16, threshold=0.4, assign="gemm"
+        ).collect()
+    }
+    assert pairs == gemm and len(pairs) > 0

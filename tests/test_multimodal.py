@@ -266,8 +266,10 @@ def test_extract_audio_features_stats(spark):
     assert r1["peak"] == 1000
     expected_rms = float(np.sqrt((s.astype("int64") ** 2).sum() / 6))
     assert abs(r1["rms"] - expected_rms) < 1e-9
-    # undecodable codec: surfaced, not fatal
+    # undecodable codec: surfaced, not fatal; rms is a true NULL (silence
+    # is a legitimate 0.0)
     assert out[2]["sample_rate"] == -1
+    assert out[2]["rms"] is None
 
 
 def test_resize_images_box_and_nearest(spark):

@@ -15,6 +15,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 import pyspark.sql.functions as F  # noqa: E402
 
 from traildb_spark import EventFilter, TrailDataset  # noqa: E402
@@ -199,6 +201,72 @@ def main():
         "dedup_fuzzy_100k",
         lambda: dedup.dedup_fuzzy(docs).count(),
     )
+
+    # Gopher rule gate: one scan, zero shuffles — throughput should track
+    # the text volume, not the rule count
+    timed("gopher_flags_100k", lambda: _force(text.gopher_quality_flags(docs)))
+
+    # SemDeDup at 25x vectors (50k): centroid count scales WITH the corpus
+    # (cells stay ~constant) — the design contract that bounds the
+    # within-cell quadratic
+    emb25 = "/tmp/scale_smoke/emb25x"
+    if not Path(emb25).exists():
+        e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        reps = [
+            e.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"), "embedding"
+            )
+            for i in range(25)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.repartition(32).write.mode("overwrite").parquet(emb25)
+    emb = spark.read.parquet(emb25)
+    print(f"25x embeddings: {emb.count()} vectors")
+    timed(
+        "semantic_dedup_50k_c400_gemm",
+        lambda: _force(dedup.semantic_dedup(emb, num_centroids=400, threshold=0.4, assign="gemm")),
+    )
+
+    # multimodal decode throughput: ~50k real PNG + WAV payloads built on
+    # the workers (mapInPandas keeps memory at one Arrow batch)
+    from traildb_spark.operators import multimodal  # noqa: E402
+
+    @F.pandas_udf("binary")
+    def media_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 2 == 0:
+                w, h = 16 + i % 17, 16 + i % 13
+                yy, xx = np.mgrid[0:h, 0:w]
+                out.append(
+                    multimodal.make_png(((yy * 7 + xx * 11 + i) % 256).astype("uint8"))
+                )
+            else:
+                nsamp = 1000 + i % 1000
+                s = ((np.arange(nsamp) * 37 + i) % 4096 - 2048).astype("int16")
+                out.append(multimodal.make_wav(s, 16000))
+        return pd.Series(out)
+
+    media = (
+        spark.range(0, 50_000, 1, 32)
+        .select(
+            F.col("id").alias("media_id"),
+            F.when(F.col("id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+            media_payload(F.col("id")).alias("content"),
+            F.lit("x/x").alias("mime"),
+            F.lit(None).cast("string").alias("meta"),
+        )
+        .persist()
+    )
+    media.count()
+    timed("image_features_25k", lambda: _force(
+        multimodal.extract_image_features(media).drop("features")))
+    timed("image_resize_25k", lambda: multimodal.resize_images(media, 8, 8).count())
+    timed("audio_features_25k", lambda: _force(multimodal.extract_audio_features(media)))
+    media.unpersist()
 
 
 if __name__ == "__main__":

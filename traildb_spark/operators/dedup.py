@@ -1220,6 +1220,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     num_centroids: int = 64,
     threshold: float = 0.95,
+    assign: str = "pairs",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
     embedding space into clusters, then drop within-cluster semantic
@@ -1240,10 +1241,23 @@ def semantic_dedup(
     n/num_centroids, so num_centroids grows linearly with the corpus to
     hold the per-cell pair budget flat. The centroid table is
     metadata-scale and broadcast to every stage; the corpus shuffles once
-    for the assignment argmax and once on cid for the self-join (at
-    100 TB the assignment is written partitioned by cid, making the
-    self-join co-located and shuffle-free).
+    for the assignment argmax (``max_by`` partial aggregation — the
+    broadcast-join fan-out of n×m scored rows collapses map-side, only n
+    rows move) and once on cid for the self-join (at 100 TB the
+    assignment is written partitioned by cid, making the self-join
+    co-located and shuffle-free).
+
+    ``assign='pairs'`` (default) scores each (vector, centroid) pair with
+    the same rounded quantized cosine the SQL oracle computes — fully
+    differential-testable. ``assign='gemm'`` computes the identical int64
+    dots as ONE matmul per Arrow batch against the broadcast centroid
+    matrix (exact: all sums < 2^53) — no n×m row fan-out at all, the
+    scale kernel for large centroid counts; equivalence-tested against
+    'pairs' in tests/test_dedup_text.py. Tie-break parity: HALF_UP
+    rounding at 6 places, lowest cid wins.
     """
+    if assign not in ("pairs", "gemm"):
+        raise ValueError(f"semantic_dedup: unknown assign mode {assign!r}")
     c = df.select(F.col(id_col).alias("id"), quantize_q20(F.col(vec_col)).alias("qv"))
     hk = F.conv(
         F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
@@ -1254,29 +1268,81 @@ def semantic_dedup(
         .limit(num_centroids)
         .select(F.col("id").alias("cid"), F.col("qv").alias("centv"))
     )
-    w_assign = Window.partitionBy("id").orderBy(F.desc("ccos"), F.asc("cid"))
-    assign = (
-        c.join(F.broadcast(cents))
-        .withColumn(
-            "ccos", F.round(quantized_cosine_udf(F.col("qv"), F.col("centv")), 6)
+    if assign == "pairs":
+        ccos = F.round(quantized_cosine_udf(F.col("qv"), F.col("centv")), 6)
+        assign_df = (
+            c.join(F.broadcast(cents))
+            .withColumn("ccos", ccos)
+            .groupBy("id")
+            .agg(
+                # argmax with id tiebreak: max over (ccos asc, -cid asc)
+                # structs ≡ highest cosine, then LOWEST cid — partial
+                # aggregation collapses the broadcast fan-out map-side
+                F.max_by("cid", F.struct(F.col("ccos"), (-F.col("cid")).alias("nc"))).alias("cid"),
+                F.first("qv").alias("qv"),
+            )
+            .select("id", "qv", "cid")
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("id", "qv", "cid")
-    )
-    a = assign.select(F.col("id").alias("id_a"), F.col("qv").alias("qv_a"), "cid")
-    b = assign.select(F.col("id").alias("id_b"), F.col("qv").alias("qv_b"), "cid")
-    dup_ids = (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos", F.round(quantized_cosine_udf(F.col("qv_a"), F.col("qv_b")), 6)
+    else:
+        cent_rows = sorted(cents.collect(), key=lambda r: r["cid"])  # bounded
+        cids_arr = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+        C = np.array([list(r["centv"]) for r in cent_rows], dtype=np.int64)
+        cnorm = np.sqrt((C * C).sum(axis=1))  # exact int sums -> one sqrt
+
+        @F.pandas_udf("long")
+        def gemm_cell(qv: pd.Series) -> pd.Series:
+            V = np.vstack(qv.to_numpy()).astype(np.int64)
+            dots = V @ C.T  # exact in int64 (|q| <= 2^20, d = 64)
+            vnorm = np.sqrt((V * V).sum(axis=1))
+            cos = dots / (vnorm[:, None] * cnorm[None, :])
+            # HALF_UP to 6 places (matches Spark/DuckDB round, NOT
+            # np.round's banker's rounding), then first argmax over the
+            # cid-ascending centroid order = lowest-cid tiebreak
+            r6 = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
+            return pd.Series(cids_arr[np.argmax(r6, axis=1)])
+
+        assign_df = c.select("id", "qv", gemm_cell(F.col("qv")).alias("cid"))
+    if assign == "pairs":
+        a = assign_df.select(F.col("id").alias("id_a"), F.col("qv").alias("qv_a"), "cid")
+        b = assign_df.select(F.col("id").alias("id_b"), F.col("qv").alias("qv_b"), "cid")
+        dup_ids = (
+            a.join(b, "cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cos", F.round(quantized_cosine_udf(F.col("qv_a"), F.col("qv_b")), 6)
+            )
+            .filter(F.col("cos") >= threshold)
+            .select(F.col("id_b").alias("id"))
+            .distinct()
         )
-        .filter(F.col("cos") >= threshold)
-        .select(F.col("id_b").alias("id"))
-        .distinct()
-    )
+    else:
+        # one blocked cos matrix per cell (applyInPandas) — the SemDeDup
+        # paper's per-cluster formulation. Emits each dropped id once;
+        # memory is O(block × cell), never cell². r6/1e6 reconstructs the
+        # exact double F.round produces (correctly-rounded decimal), so
+        # the threshold comparison matches the pairs path bit-for-bit.
+        def _cell_drops(pdf: pd.DataFrame) -> pd.DataFrame:
+            order = np.argsort(pdf["id"].to_numpy())
+            ids = pdf["id"].to_numpy()[order]
+            V = np.vstack(pdf["qv"].to_numpy()[order]).astype(np.int64)
+            norms = np.sqrt((V * V).sum(axis=1))
+            has_smaller = np.zeros(len(ids), dtype=bool)
+            for s0 in range(0, len(ids), 1024):
+                s1 = min(s0 + 1024, len(ids))
+                cos = (V[s0:s1] @ V.T) / (norms[s0:s1, None] * norms[None, :])
+                r6 = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
+                hit = (r6 / 1e6) >= threshold
+                # row i (global s0+i) marks columns j > s0+i: j has a
+                # smaller-id neighbor at >= threshold
+                tri = hit & (
+                    np.arange(len(ids))[None, :]
+                    > (s0 + np.arange(s1 - s0))[:, None]
+                )
+                has_smaller |= tri.any(axis=0)
+            return pd.DataFrame({"id": ids[has_smaller]})
+
+        dup_ids = assign_df.groupBy("cid").applyInPandas(_cell_drops, "id long")
     return (
-        assign.join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
+        assign_df.join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
         .select("id", "cid", F.col("__dup").isNull().alias("is_kept"))
     )

@@ -215,10 +215,7 @@ def phash64(gray: np.ndarray) -> int:
     median. Near-identical images land within a few bits of Hamming
     distance; unrelated images ~32."""
     g = np.asarray(gray, dtype=np.float64)
-    hh, ww = g.shape
-    iy = (np.arange(32) * hh) // 32
-    ix = (np.arange(32) * ww) // 32
-    small = g[np.ix_(iy, ix)]
+    small = _resample(g, 32, 32, "nearest")
     n = 32
     k = np.arange(n)[:, None]
     x = np.arange(n)[None, :]
@@ -380,6 +377,11 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
         ctype = content[pos : pos + 4]
         (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
         body = content[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            # a payload truncated in transit would otherwise decode to a
+            # plausible-looking shorter clip instead of the corrupt-row
+            # sentinel
+            raise ValueError("WAV: truncated chunk")
         if ctype == b"fmt ":
             tag, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
             if tag != 1 or bits != 16:
@@ -448,14 +450,20 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                             "channels": -1,
                             "n_samples": -1,
                             "duration_ms": -1,
-                            "rms": 0.0,
+                            # NULL, not 0.0: silence is a legitimate rms
+                            # (same contract as resize's mean_luma)
+                            "rms": None,
                             "zcr": -1,
                             "peak": -1,
                         }
                     )
-            yield pd.DataFrame(
+            pdf_out = pd.DataFrame(
                 out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
             )
+            # keep corrupt-row rms a true NULL: in a plain float64 column
+            # pandas coerces None -> NaN, which Arrow transmits as NaN
+            pdf_out["rms"] = pd.array(pdf_out["rms"], dtype="Float64")
+            yield pdf_out
 
     auds = df.filter(F.col("kind") == "audio").select("media_id", "content")
     return auds.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

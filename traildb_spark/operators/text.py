@@ -339,8 +339,10 @@ def gopher_quality_flags(
     mean_wlen = F.when(n_words > 0, sum_wlen.cast("double") / n_words).otherwise(
         F.lit(0.0)
     )
+    # tokens CONTAINING the symbol, not equal to it: '##'/'#tag' headers
+    # are exactly what the hash-symbol rule exists to catch
     n_symbols = (
-        F.size(F.filter(toks, lambda t: t == F.lit("#")))
+        F.size(F.filter(toks, lambda t: t.contains("#")))
         + F.size(F.filter(toks, lambda t: t.contains("...")))
     )
     symbol_ratio = F.when(n_words > 0, n_symbols.cast("double") / n_words).otherwise(
