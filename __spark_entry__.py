@@ -1032,6 +1032,21 @@ def q72_gopher_quality(spark, sf_dir):
     return text.gopher_quality_flags(docs)
 
 
+def q73_decontaminate_semantic(spark, sf_dir):
+    """Embedding-space decontamination: benchmark = every 50th vector;
+    corpus rows within cosine 0.4 of ANY benchmark vector (including the
+    benchmark members themselves, self-cos = 1) are dropped. Quantized
+    integer cosine throughout, so the oracle reproduces the exact filter;
+    the 'gemm' broadcast-matrix kernel is equivalence-tested in
+    tests/test_curation.py."""
+    from traildb_spark.operators import curation
+
+    emb = _load(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    out = curation.decontaminate_semantic(emb, bench, threshold=0.4)
+    return out.select("vec_id")
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1109,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_image_resize": q70_image_resize,
         "q71_semantic_dedup": q71_semantic_dedup,
         "q72_gopher_quality": q72_gopher_quality,
+        "q73_decontaminate_semantic": q73_decontaminate_semantic,
     }
 
 
@@ -1390,6 +1406,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(generate_series(2, n), i -> xs[i-1] * xs[i] < 0)) AS BIGINT) AS zcr,
                    CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
             FROM s
+        """,
+        "q73_decontaminate_semantic": """
+            -- keep corpus vectors below cosine 0.4 against EVERY
+            -- benchmark vector (every 50th id), quantized-integer math
+            WITH qz AS (
+              SELECT vec_id,
+                     [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+                      for i in generate_series(1, 64)] AS qv
+              FROM embeddings),
+            hits AS (
+              SELECT DISTINCT c.vec_id
+              FROM qz c JOIN qz b ON b.vec_id % 50 = 0
+              WHERE round(
+                      list_sum([c.qv[i] * b.qv[i] for i in generate_series(1, 64)])
+                      / (sqrt(list_sum([c.qv[i] * c.qv[i] for i in generate_series(1, 64)]))
+                         * sqrt(list_sum([b.qv[i] * b.qv[i] for i in generate_series(1, 64)]))), 6) >= 0.4)
+            SELECT e.vec_id FROM embeddings e
+            LEFT JOIN hits h ON e.vec_id = h.vec_id
+            WHERE h.vec_id IS NULL
         """,
         "q72_gopher_quality": f"""
             WITH t AS (

@@ -147,3 +147,25 @@ def test_per_source_quota_salted_matches_plain_window(spark):
         .collect()
     }
     assert got == naive and len(got) > 13
+
+
+def test_decontaminate_semantic_modes_agree(spark, sf_dir):
+    """Benchmark members drop (self-cosine 1), survivors are identical
+    between the oracle-twin pairs mode and the broadcast-GEMM kernel, and
+    an empty benchmark is a no-op."""
+    from pyspark.sql import functions as F
+
+    from traildb_spark.operators import curation
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 25 == 0)
+    pairs = {r["vec_id"] for r in
+             curation.decontaminate_semantic(emb, bench, threshold=0.5).collect()}
+    gemm = {r["vec_id"] for r in
+            curation.decontaminate_semantic(emb, bench, threshold=0.5, mode="gemm").collect()}
+    assert pairs == gemm
+    n = emb.count()
+    assert 0 < len(pairs) < n  # bench members (at least) dropped
+    assert not any(v % 25 == 0 for v in pairs)
+    empty = curation.decontaminate_semantic(emb, bench.filter(F.lit(False)), mode="gemm")
+    assert empty.count() == n

@@ -296,3 +296,65 @@ def mix_corpus(
     if expr is None:
         raise ValueError("target_fractions must name at least one stratum")
     return df.filter(expr)
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    mode: str = "pairs",
+) -> DataFrame:
+    """Embedding-space decontamination: keep only corpus rows whose vector
+    sits BELOW cosine ``threshold`` against EVERY benchmark vector — the
+    semantic complement of the 13-gram :func:`decontaminate` (catches
+    paraphrased/translated benchmark leakage n-grams miss). Returns the
+    surviving corpus rows.
+
+    Math is the engine-portable quantized-integer cosine family
+    (``dedup.quantize_q20`` / HALF_UP round at 6 places), so the whole
+    filter reproduces in a SQL oracle. ``mode='pairs'`` scores each
+    (corpus, benchmark) pair row-wise via a broadcast join — the oracle
+    twin. ``mode='gemm'`` collects the benchmark matrix (metadata-scale BY
+    DEFINITION — it's an eval set) and computes per-batch int64 matmuls
+    against it inside mapInPandas: zero joins, zero shuffles, bit-identical
+    (equivalence-tested). At 100 TB the corpus is scanned once either way;
+    'gemm' just removes the |corpus|×|bench| row fan-out.
+    """
+    from .dedup import quantize_q20, quantized_cosine_udf
+
+    if mode not in ("pairs", "gemm"):
+        raise ValueError(f"decontaminate_semantic: unknown mode {mode!r}")
+    c = corpus.withColumn("__qv", quantize_q20(F.col(vec_col)))
+    b = benchmark.select(quantize_q20(F.col(vec_col)).alias("__bv"))
+    if mode == "pairs":
+        hit = (
+            c.select(F.col(id_col).alias("__cid"), "__qv")
+            .join(F.broadcast(b))
+            .withColumn(
+                "__cos", F.round(quantized_cosine_udf(F.col("__qv"), F.col("__bv")), 6)
+            )
+            .filter(F.col("__cos") >= threshold)
+            .select(F.col("__cid").alias(id_col))
+            .distinct()
+        )
+        return c.join(hit, id_col, "left_anti").drop("__qv")
+
+    import numpy as np
+
+    bench_rows = b.collect()  # bounded: the benchmark set
+    if not bench_rows:
+        return corpus  # nothing to leak against (np.vstack would choke on 0 rows)
+    B = np.array([list(r["__bv"]) for r in bench_rows], dtype=np.int64)
+    bnorm = np.sqrt((B * B).sum(axis=1))
+
+    @F.pandas_udf("boolean")
+    def contaminated(qv: pd.Series) -> pd.Series:
+        V = np.vstack(qv.to_numpy()).astype(np.int64)
+        vnorm = np.sqrt((V * V).sum(axis=1))
+        cos = (V @ B.T) / (vnorm[:, None] * bnorm[None, :])
+        r6 = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
+        return pd.Series(((r6 / 1e6) >= threshold).any(axis=1))
+
+    return c.filter(~contaminated(F.col("__qv"))).drop("__qv")
