@@ -528,3 +528,24 @@ def test_semantic_dedup_gemm_equals_pairs(spark, sf_dir):
         ).collect()
     }
     assert pairs == gemm and len(pairs) > 0
+
+
+def test_brute_force_topk_empty_queries(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    empty_q = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, empty_q, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "corpus_id", "cos", "rank"]
+
+
+def test_minhash_portable_sig_prune_off_matches_on(docs):
+    """At the default parameters the prune is below the banding floor
+    (skipped), so both settings must agree; the flag exists for the pure
+    candidates-then-exact-verify contract at high thresholds."""
+    on = {(r["id_a"], r["id_b"]) for r in
+          dedup.minhash_lsh_pairs_portable(docs, threshold=0.5).collect()}
+    off = {(r["id_a"], r["id_b"]) for r in
+           dedup.minhash_lsh_pairs_portable(docs, threshold=0.5, sig_prune=False).collect()}
+    assert on == off and len(on) > 0

@@ -348,3 +348,46 @@ def test_extract_audio_features_stereo_duration(spark):
     r = multimodal.extract_audio_features(media).first()
     assert r["channels"] == 2 and r["n_samples"] == 16000
     assert r["duration_ms"] == 1000  # frames / rate, NOT samples / rate
+
+
+def test_decode_image_size_rejects_non_ihdr_first_png():
+    """A valid-signature PNG whose first chunk is not IHDR (CgBI-style)
+    must raise, not return garbage dims read from the wrong chunk."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from traildb_spark.operators import multimodal
+
+    good = multimodal.make_png(np.zeros((4, 4), dtype="uint8"))
+    cgbi = bytearray(good)
+    cgbi[12:16] = b"CgBI"  # signature intact, leading chunk is not IHDR
+    with _pytest.raises(ValueError):
+        multimodal.decode_image_size(bytes(cgbi))
+    # normal PNG still parses
+    assert multimodal.decode_image_size(good) == (4, 4)
+
+
+def test_gray_pixels_bounded_inflate():
+    """Oversized IDAT output must surface as ValueError after at most
+    expected+1 inflated bytes — never a full decompression-bomb alloc."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from traildb_spark.operators.multimodal import _PNG_SIG, _gray_pixels
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # header claims 2x2 gray, IDAT inflates to 1 MiB of zeros
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * (1 << 20), 9)
+    ) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError):
+        _gray_pixels(bomb)

@@ -464,6 +464,12 @@ def topk_cosine(
 
     spark = corpus.sparkSession
     qpdf = queries.select(query_id_col, vec_col).toPandas()
+    # empty query set: empty result, not a driver-side np.vstack crash
+    # (the broadcast-join formulation this kernel replaced returned empty)
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, corpus_id long, cos double, rank int"
+        )
     qids = qpdf[query_id_col].to_numpy()
     qmat = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)

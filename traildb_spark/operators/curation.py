@@ -351,10 +351,13 @@ def decontaminate_semantic(
 
     @F.pandas_udf("boolean")
     def contaminated(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:  # empty Arrow batch: no rows, no vstack crash
+            return pd.Series(np.empty(0, dtype=bool))
+        from .dedup import _round6_half_up
+
         V = np.vstack(qv.to_numpy()).astype(np.int64)
         vnorm = np.sqrt((V * V).sum(axis=1))
         cos = (V @ B.T) / (vnorm[:, None] * bnorm[None, :])
-        r6 = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
-        return pd.Series(((r6 / 1e6) >= threshold).any(axis=1))
+        return pd.Series(((_round6_half_up(cos) / 1e6) >= threshold).any(axis=1))
 
     return c.filter(~contaminated(F.col("__qv"))).drop("__qv")

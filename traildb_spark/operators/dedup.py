@@ -536,6 +536,7 @@ def minhash_lsh_pairs_portable(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    sig_prune: bool = True,
 ) -> DataFrame:
     """MinHash banding with every step reproducible in ANSI SQL: md5-prefix
     shingle hashes, rotate-XOR permutations (no overflow), md5 band keys,
@@ -629,8 +630,14 @@ def minhash_lsh_pairs_portable(
     # floor (high thresholds / many bands — e.g. t=0.7 at 64 hashes / 16
     # bands gives cutoff 35 vs floor 4); below the floor it is skipped on
     # BOTH sides so the Spark plan and the SQL oracle stay identical.
+    # APPROXIMATION, stated plainly: a true pair at Jaccard exactly t has
+    # a small (≈0.6% at the 2.5σ margin) chance of signature agreement
+    # below the cutoff and is then dropped BEFORE the exact verify — a
+    # recall trade of the same kind banding itself makes, and one the
+    # mirrored oracle cannot surface. Pass sig_prune=False for the pure
+    # candidates→exact-verify contract (every banded candidate verified).
     min_agree = int(np.ceil((threshold - 2.5 * (0.25 / num_hashes) ** 0.5) * num_hashes))
-    if min_agree > rows:
+    if sig_prune and min_agree > rows:
         sa = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
         sb = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
         agree = F.size(
@@ -875,7 +882,12 @@ def connected_components(
     star = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("component"))
     labels = nodes.join(star, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
-    )
+    ).localCheckpoint()  # eager: lets the inputs unpersist below
+    # release the cached edge/node sets NOW (the driver path already
+    # does) — without this every distributed CC call leaks its blocks for
+    # the session lifetime
+    nodes.unpersist()
+    edges.unpersist()
     return labels
 
 
@@ -1054,6 +1066,20 @@ def dedup_fuzzy(
 # --------------------------------------------------------------------------
 
 _Q_SCALE = 1 << 20  # quantization: floor(v * 2^20) — exact in any engine
+
+
+def _round6_half_up(x: np.ndarray) -> np.ndarray:
+    """HALF_UP rounding to 6 decimal places, returned as SCALED floats
+    (value × 1e6; divide by 1e6 to reconstruct the rounded double).
+
+    np.round is banker's rounding — never use it for oracle-parity math.
+    This floor(|x|·1e6 + 0.5) form matches Spark/DuckDB ROUND on every
+    value except doubles whose ·1e6 product lands within one ulp of an
+    exact .5 tie (quantized-cosine ratios never produce these in
+    practice; the pairs/gemm equivalence tests run on real embeddings).
+    Oracle-gated queries stay on the 'pairs' mode, where rounding is
+    Spark's own."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5)
 
 
 def _srp_planes(num_planes: int, dim: int) -> list[list[int]]:
@@ -1286,19 +1312,28 @@ def semantic_dedup(
     else:
         cent_rows = sorted(cents.collect(), key=lambda r: r["cid"])  # bounded
         cids_arr = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+        if not cent_rows:
+            # empty corpus: empty labeled result, same schema as pairs mode
+            # (np.array([]) would be shape-(0,) and crash the axis-1 sum)
+            return c.select(
+                "id",
+                F.lit(None).cast("long").alias("cid"),
+                F.lit(True).alias("is_kept"),
+            )
         C = np.array([list(r["centv"]) for r in cent_rows], dtype=np.int64)
         cnorm = np.sqrt((C * C).sum(axis=1))  # exact int sums -> one sqrt
 
         @F.pandas_udf("long")
         def gemm_cell(qv: pd.Series) -> pd.Series:
+            if len(qv) == 0:  # empty Arrow batch: no rows, no vstack crash
+                return pd.Series(np.empty(0, dtype=np.int64))
             V = np.vstack(qv.to_numpy()).astype(np.int64)
             dots = V @ C.T  # exact in int64 (|q| <= 2^20, d = 64)
             vnorm = np.sqrt((V * V).sum(axis=1))
             cos = dots / (vnorm[:, None] * cnorm[None, :])
-            # HALF_UP to 6 places (matches Spark/DuckDB round, NOT
-            # np.round's banker's rounding), then first argmax over the
-            # cid-ascending centroid order = lowest-cid tiebreak
-            r6 = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
+            # HALF_UP then first argmax over the cid-ascending centroid
+            # order = lowest-cid tiebreak (see _round6_half_up's caveats)
+            r6 = _round6_half_up(cos)
             return pd.Series(cids_arr[np.argmax(r6, axis=1)])
 
         assign_df = c.select("id", "qv", gemm_cell(F.col("qv")).alias("cid"))
@@ -1330,8 +1365,7 @@ def semantic_dedup(
             for s0 in range(0, len(ids), 1024):
                 s1 = min(s0 + 1024, len(ids))
                 cos = (V[s0:s1] @ V.T) / (norms[s0:s1, None] * norms[None, :])
-                r6 = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
-                hit = (r6 / 1e6) >= threshold
+                hit = (_round6_half_up(cos) / 1e6) >= threshold
                 # row i (global s0+i) marks columns j > s0+i: j has a
                 # smaller-id neighbor at >= threshold
                 tri = hit & (

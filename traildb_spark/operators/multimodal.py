@@ -79,6 +79,11 @@ def decode_image_size(content: bytes) -> tuple[int, int]:
     the first SOF0–SOF15 frame header. GIF: logical screen descriptor.
     Raises ValueError for anything else (callers decide the fallback)."""
     if content.startswith(_PNG_SIG) and len(content) >= 24:
+        # verify the first chunk IS IHDR: CgBI-style PNGs (valid signature,
+        # different leading chunk) would otherwise yield garbage dims read
+        # from the wrong chunk's body — silently, with no exception
+        if content[12:16] != b"IHDR":
+            raise ValueError("PNG: first chunk is not IHDR")
         w, h = struct.unpack(">II", content[16:24])
         return int(w), int(h)
     if content[:2] == b"\xff\xd8":  # JPEG SOI
@@ -140,9 +145,15 @@ def _gray_pixels(content: bytes) -> np.ndarray:
         # a zero-dim bitmap would make downstream phash64 indexing raise
         # IndexError, which is not a DECODE_ERRORS member
         raise ValueError("PNG: zero-dimension image")
-    raw = zlib.decompress(idat)
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bound the inflate to the size IHDR promises (+1 to detect overrun):
+    # an unbounded zlib.decompress would allocate a decompression bomb's
+    # full output BEFORE the size check — MemoryError is not a
+    # DECODE_ERRORS member and would fail the task, not the row
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected + 1)
+    if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("PNG: unexpected scanline payload size")
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
