@@ -391,3 +391,27 @@ def test_gray_pixels_bounded_inflate():
     ) + chunk(b"IEND", b"")
     with _pytest.raises(ValueError):
         _gray_pixels(bomb)
+
+
+def test_phash_neardup_pairs(spark):
+    """Noised copies of an image collide at small Hamming distance; an
+    unrelated image does not pair with anything."""
+    import numpy as np
+
+    from traildb_spark.operators import multimodal
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(48, 48)).astype("uint8")
+    noised = np.clip(img.astype(int) + rng.randint(-6, 7, img.shape), 0, 255).astype("uint8")
+    other = rng.randint(0, 256, size=(48, 48)).astype("uint8")
+    rows = [
+        (1, "image", multimodal.make_png(img), "image/png", None),
+        (2, "image", multimodal.make_png(noised), "image/png", None),
+        (3, "image", multimodal.make_png(other), "image/png", None),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_image_features(media)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in multimodal.phash_neardup_pairs(feats, max_hamming=10).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 10
+    assert not any(3 in p for p in pairs)

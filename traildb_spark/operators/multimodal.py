@@ -575,3 +575,54 @@ def media_metadata(df: DataFrame) -> DataFrame:
         F.length(F.col("content")).alias("n_bytes"),
         F.get_json_object(F.col("meta"), "$.source").alias("meta_source"),
     )
+
+
+def phash_neardup_pairs(
+    features: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    the visual analog of ``dedup.simhash_pairs`` over the output of
+    :func:`extract_image_features` (re-encodes, resizes, and mild edits
+    land within a few bits of the 64-bit DCT pHash; unrelated images ~32).
+
+    Same block-permutation candidate generation (pigeonhole: a pair within
+    distance d agrees exactly on one of d+1 blocks), same scale posture:
+    the shuffle key is (block idx, block value) over 64/(d+1)-bit values —
+    uniform for DCT hashes — and only (id, phash) rows move; image bytes
+    never enter the join. Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    base = features.select(F.col(id_col).alias("id"), F.col(hash_col).alias("ph"))
+
+    def block(i: int):
+        return F.shiftright(F.col("ph"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    blocked = base.select(
+        "id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("blk"), block(i).alias("bv"))
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "ph", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    a = blocked.select(F.col("id").alias("id_a"), F.col("ph").alias("ph_a"), "blk", "bv")
+    b = blocked.select(F.col("id").alias("id_b"), F.col("ph").alias("ph_b"), "blk", "bv")
+    xor = F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    return (
+        a.join(b, ["blk", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
