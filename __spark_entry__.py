@@ -1047,6 +1047,25 @@ def q73_decontaminate_semantic(spark, sf_dir):
     return out.select("vec_id")
 
 
+def q74_duplicated_spans(spark, sf_dir):
+    """Substring-level duplication profile (Lee et al. 2021 exact-substring
+    dedup at 15-word-window granularity): per doc, how many window
+    positions carry a gram that occurs in >= 2 distinct documents. Grams
+    travel as portable 60-bit md5 hashes; permille is exact integer
+    division, so the oracle reproduces every value."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.duplicated_span_stats(docs, window=15)
+
+
+def q75_unigram_surprisal(spark, sf_dir):
+    """Model-free perplexity analog: per-doc average self-information
+    under the corpus's own unigram distribution, integerized to whole bits
+    via binary-digit counts (len(bin(total)) - len(bin(count))) so the
+    score is bit-portable across engines."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.unigram_surprisal(docs)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1125,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_semantic_dedup": q71_semantic_dedup,
         "q72_gopher_quality": q72_gopher_quality,
         "q73_decontaminate_semantic": q73_decontaminate_semantic,
+        "q74_duplicated_spans": q74_duplicated_spans,
+        "q75_unigram_surprisal": q75_unigram_surprisal,
     }
 
 
@@ -1470,6 +1491,52 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_frac > 0.8
                     AND stop_hits >= 2) AS passes_gopher
             FROM m
+        """,
+        "q74_duplicated_spans": f"""
+            -- window POSITION duplicated iff its 15-word gram occurs in
+            -- >= 2 distinct docs; permille = exact integer division
+            WITH w AS (
+              SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            g AS (
+              SELECT doc_id,
+                     [CAST(('0x' || substr(md5(array_to_string(ws[i:i+14], ' ')), 1, 15)) AS BIGINT)
+                      for i in generate_series(1, greatest(len(ws) - 14, 1))] AS gs
+              FROM w),
+            e AS (SELECT doc_id, unnest(gs) AS g FROM g),
+            dup AS (
+              SELECT g FROM (SELECT DISTINCT doc_id, g FROM e)
+              GROUP BY g HAVING count(*) >= 2),
+            dw AS (
+              SELECT doc_id, count(*) AS dup_windows FROM e
+              WHERE g IN (SELECT g FROM dup) GROUP BY doc_id),
+            tw AS (SELECT doc_id, count(*) AS total_windows FROM e GROUP BY doc_id)
+            SELECT tw.doc_id,
+                   tw.total_windows,
+                   COALESCE(dw.dup_windows, 0) AS dup_windows,
+                   1000 * COALESCE(dw.dup_windows, 0) // tw.total_windows AS dup_permille
+            FROM tw LEFT JOIN dw ON tw.doc_id = dw.doc_id
+        """,
+        "q75_unigram_surprisal": f"""
+            -- self-information in whole bits via binary-digit counts:
+            -- bits(w) = len(bin(total)) - len(bin(count_w))
+            WITH w AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+            vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+            tot AS (SELECT sum(cnt) AS total FROM vocab),
+            s AS (
+              SELECT tf.doc_id,
+                     sum(tf.tf * (length(bin(CAST(tot.total AS BIGINT)))
+                                  - length(bin(CAST(vocab.cnt AS BIGINT))))) AS surprisal_bits,
+                     sum(tf.tf) AS n_tokens
+              FROM tf JOIN vocab USING (term) CROSS JOIN tot
+              GROUP BY tf.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   COALESCE(s.surprisal_bits, 0) AS surprisal_bits,
+                   CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
+                        ELSE 1000 * s.surprisal_bits // s.n_tokens END AS millibits_per_token
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """,
         "q71_semantic_dedup": """
             -- SemDeDup, full pipeline in SQL: deterministic md5-keyed

@@ -549,3 +549,74 @@ def test_minhash_portable_sig_prune_off_matches_on(docs):
     off = {(r["id_a"], r["id_b"]) for r in
            dedup.minhash_lsh_pairs_portable(docs, threshold=0.5, sig_prune=False).collect()}
     assert on == off and len(on) > 0
+
+
+def test_duplicated_span_stats(spark):
+    """A 5-word window shared by two docs marks its positions duplicated in
+    both; unique text contributes zero; short docs get the whole-doc
+    window; permille is exact integer division."""
+    from traildb_spark.operators.dedup import duplicated_span_stats
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, shared + " one two three four five"),   # 10 words -> 6 windows
+        (1, "x y z " + shared),                      # 8 words -> 4 windows
+        (2, "totally unrelated words only here now there then when how"),
+        (3, "tiny doc"),                             # < 5 words -> 1 window
+        (4, "tiny doc"),                             # exact copy of 3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["total_windows"], r["dup_windows"], r["dup_permille"])
+        for r in duplicated_span_stats(df, window=5).collect()
+    }
+    # doc0: windows at positions 0..5; only position 0 is the shared gram
+    assert got[0] == (6, 1, 166)
+    # doc1: windows at positions 0..3; only position 3 is shared
+    assert got[1] == (4, 1, 250)
+    assert got[2] == (6, 0, 0)
+    # exact-copy short docs: their single whole-doc window is duplicated
+    assert got[3] == (1, 1, 1000)
+    assert got[4] == (1, 1, 1000)
+
+
+def test_duplicated_span_stats_multiplicity(spark):
+    """A gram repeated WITHIN one doc counts every position once it is
+    cross-doc duplicated; a within-doc-only repeat does not count."""
+    from traildb_spark.operators.dedup import duplicated_span_stats
+
+    rows = [
+        (0, "a b c a b c a b c"),  # 9 words, window 3: positions 0..6
+        (1, "a b c"),              # whole-doc window == the 'a b c' gram
+        (2, "q r q r q r q r"),    # self-repeating but no partner doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["total_windows"], r["dup_windows"])
+        for r in duplicated_span_stats(df, window=3).collect()
+    }
+    # doc0 windows: abc bca cab abc bca cab abc -> 'a b c' at 0,3,6
+    assert got[0] == (7, 3)
+    assert got[1] == (1, 1)
+    assert got[2] == (6, 0)
+
+
+def test_unigram_surprisal(spark):
+    """Rare-word docs outscore common-word docs; bits are exact binary
+    -digit arithmetic; empty docs score zero."""
+    from traildb_spark.operators.text import unigram_surprisal
+
+    rows = [
+        (0, "the the the the the the the"),  # 7x the
+        (1, "the zebra"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal_bits"], r["millibits_per_token"])
+        for r in unigram_surprisal(df).collect()
+    }
+    # total=9 tokens -> len(bin(9))=4; count(the)=8 -> len=4; count(zebra)=1 -> len=1
+    assert got[0] == (7, 0, 0)          # 7 * (4-4)
+    assert got[1] == (2, 3, 1500)       # (4-4) + (4-1) = 3 bits over 2 tokens
+    assert got[2] == (0, 0, 0)

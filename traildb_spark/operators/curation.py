@@ -89,6 +89,46 @@ def md5_word_ngram_hashes(col: Column, n: int = 13) -> Column:
     return gh(col)
 
 
+def md5_word_ngram_hashes_all(col: Column, n: int = 13) -> Column:
+    """POSITIONAL (non-distinct) variant of :func:`md5_word_ngram_hashes`:
+    one 60-bit md5-prefix hash per window position, in document order, so
+    callers can count duplicated positions with multiplicity. md5 runs once
+    per DISTINCT gram in the Arrow batch (pd.factorize memo — grams repeat
+    heavily under Zipf), value-identical to DuckDB's md5 over
+    array_to_string(ws[i:i+n-1], ' ')."""
+    from ..functions.vectorized import _pynorm
+
+    @F.pandas_udf("array<long>")
+    def gh(s: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        docs = [[w for w in _pynorm(t or "").split(" ") if w] for t in s]
+        counts = np.fromiter(
+            (max(len(ws) - (n - 1), 1) for ws in docs), dtype=np.int64, count=len(docs)
+        )
+        grams = [
+            " ".join(ws[i : i + n])
+            for ws in docs
+            for i in range(max(len(ws) - (n - 1), 1))
+        ]
+        if not grams:
+            return pd.Series([np.empty(0, np.int64)] * len(docs))
+        inv, uniq = pd.factorize(np.array(grams, dtype=object))
+        uh = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big") >> 4
+                for u in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        return pd.Series(np.split(uh[inv], np.cumsum(counts)[:-1]))
+
+    return gh(col)
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

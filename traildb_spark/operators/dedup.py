@@ -1380,3 +1380,61 @@ def semantic_dedup(
         assign_df.join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
         .select("id", "cid", F.col("__dup").isNull().alias("is_kept"))
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 15,
+) -> DataFrame:
+    """Substring-level duplication profile (the exact-substring dedup of
+    Lee et al. 2021, arXiv:2107.06499, at word-window granularity): a
+    window POSITION is duplicated iff its ``window``-word gram occurs in at
+    least 2 distinct documents. Returns one row per document:
+    ``(doc_id, total_windows, dup_windows, dup_permille)`` — the signal
+    used to drop or trim documents dominated by corpus-repeated spans.
+    ``dup_permille`` is an exact integer division (portable bit-for-bit).
+
+    The reference's gram machinery is the compression model's n-gram
+    frequency counting (/root/reference/src/tdb_encode_model.c:444-486)
+    re-aimed at curation; hashing reuses the portable 60-bit md5 family so
+    a SQL oracle reproduces every value.
+
+    Plan shape at 100 TB: grams travel ONLY as (doc_id, hash) pairs —
+    never strings; one map-side-combined shuffle collapses them to the
+    per-(doc, gram) count table, which is persisted (24 bytes/row,
+    distinct-window scale; at deployment write it out partitioned by hash
+    instead) and serves all three derived aggregates. The duplicated-gram
+    set is bounded by grams that actually repeat across docs; the join
+    back is hash-keyed with map-side combined counts on both sides — no
+    stage ever shuffles text.
+    """
+    from .curation import md5_word_ngram_hashes_all
+
+    ex = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id",
+        F.explode(md5_word_ngram_hashes_all(F.col(text_col), window)).alias("g"),
+    )
+    # (doc, gram) -> multiplicity: the only pass over the corpus text;
+    # persisted (LRU-evictable) because three aggregates branch off it
+    cnt = _materialize(ex.groupBy("id", "g").agg(F.count("*").alias("c")))
+    cnt.count()  # fill the cache distributed, once, before the branches
+    tot = cnt.groupBy("id").agg(F.sum("c").alias("total_windows"))
+    dup = (
+        cnt.groupBy("g")
+        .agg(F.count("*").alias("nd"))  # rows per gram = distinct docs
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dupw = cnt.join(dup, "g").groupBy("id").agg(F.sum("c").alias("dup_windows"))
+    return (
+        tot.join(dupw, "id", "left")
+        .withColumn("dup_windows", F.coalesce(F.col("dup_windows"), F.lit(0)))
+        .select(
+            F.col("id").alias(id_col),
+            "total_windows",
+            "dup_windows",
+            F.expr("1000 * dup_windows div total_windows").alias("dup_permille"),
+        )
+    )

@@ -406,3 +406,55 @@ def gopher_quality_flags(
             & rule_stop
         ).alias("passes_gopher"),
     )
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average self-information under the corpus's own
+    unigram model — the perplexity-style quality signal (CCNet, Wenzek et
+    al. 2020, uses an external LM; this is the model-free analog): rare
+    -word-heavy documents score high, templated/common-word documents
+    score low. Information is integerized to WHOLE BITS via binary-digit
+    count — ``bits(w) = len(bin(total)) - len(bin(count_w))`` ≈
+    ``floor(log2(total)) - floor(log2(count_w))`` — so every score is
+    exact integer arithmetic, reproducible bit-for-bit in any engine
+    (``log``'s libm ulps don't travel; same discipline as
+    :func:`top_terms`). Returns ``(doc_id, n_tokens, surprisal_bits,
+    millibits_per_token)``.
+
+    Plan shape at 100 TB: term frequencies combine map-side on
+    (doc, term); the unigram model is a vocabulary-scale aggregate OF that
+    table (no second corpus scan) and broadcasts together with the 1-row
+    corpus total, so the corpus-sized tf table never re-shuffles onto
+    term; one final doc-keyed shuffle sums the weighted bits.
+    """
+    t = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    bits = F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("cnt")))
+    scored = (
+        tf.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * bits).alias("surprisal_bits"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("surprisal_bits"), F.lit(0)).alias("surprisal_bits"),
+            F.expr(
+                "CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0 "
+                "ELSE 1000 * surprisal_bits div n_tokens END"
+            ).alias("millibits_per_token"),
+        )
+    )
