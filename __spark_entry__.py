@@ -1057,6 +1057,19 @@ def q74_duplicated_spans(spark, sf_dir):
     return dedup.duplicated_span_stats(docs, window=15)
 
 
+def q76_bloom_dedup(spark, sf_dir):
+    """Incremental-ingest dedup through a broadcast Bloom filter (no false
+    negatives; hits exactly re-checked), bit-identical to the plain
+    anti-join — the candidates+recheck discipline of the reference's
+    inverted index (tdbcli/tdb_index.c:559-631) applied to dedup. The
+    existing slice deliberately contains copies of three 'new' docs so the
+    filter provably routes true duplicates."""
+    docs = _load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    existing = docs.filter((F.col("doc_id") % 3 == 0) | F.col("doc_id").isin(1, 2, 7))
+    return dedup.bloom_dedup_against(new, existing).select("doc_id", "source")
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1146,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_decontaminate_semantic": q73_decontaminate_semantic,
         "q74_duplicated_spans": q74_duplicated_spans,
         "q75_unigram_surprisal": q75_unigram_surprisal,
+        "q76_bloom_dedup": q76_bloom_dedup,
     }
 
 
@@ -1537,6 +1551,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
                         ELSE 1000 * s.surprisal_bits // s.n_tokens END AS millibits_per_token
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """,
+        "q76_bloom_dedup": f"""
+            -- exact semantics: Bloom layer only routes rows; result is
+            -- the plain distinct-fingerprint anti-join
+            SELECT d.doc_id, d.source
+            FROM documents d
+            WHERE d.doc_id % 3 <> 0
+              AND md5({_NORM_TEXT.replace("text", "d.text")}) NOT IN (
+                SELECT md5({_NORM_TEXT.replace("text", "e.text")})
+                FROM documents e
+                WHERE e.doc_id % 3 = 0 OR e.doc_id IN (1, 2, 7))
         """,
         "q71_semantic_dedup": """
             -- SemDeDup, full pipeline in SQL: deterministic md5-keyed

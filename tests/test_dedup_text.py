@@ -620,3 +620,48 @@ def test_unigram_surprisal(spark):
     assert got[0] == (7, 0, 0)          # 7 * (4-4)
     assert got[1] == (2, 3, 1500)       # (4-4) + (4-1) = 3 bits over 2 tokens
     assert got[2] == (0, 0, 0)
+
+
+def test_bloom_dedup_against_exact_equals_antijoin(spark, sf_dir):
+    """Bloom prefilter + exact recheck is bit-identical to the plain
+    distinct-fingerprint anti-join; pure-Bloom mode never keeps a true
+    duplicate (no false negatives) and over-drops at most the FP sliver."""
+    from pyspark.sql import functions as F
+
+    from traildb_spark.operators.dedup import bloom_dedup_against, dedup_against
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    # existing = the % 3 == 0 slice PLUS copies of two 'new' docs, so the
+    # split is guaranteed to contain true cross-split duplicates
+    existing = docs.filter((F.col("doc_id") % 3 == 0) | F.col("doc_id").isin(1, 2))
+    exact = {r["doc_id"] for r in dedup_against(new, existing).select("doc_id").collect()}
+    bloom = {
+        r["doc_id"]
+        for r in bloom_dedup_against(new, existing).select("doc_id").collect()
+    }
+    assert bloom == exact and 0 < len(exact) < new.count()
+
+    pure = {
+        r["doc_id"]
+        for r in bloom_dedup_against(new, existing, exact=False)
+        .select("doc_id")
+        .collect()
+    }
+    assert pure <= exact  # may over-drop (FPs), never under-drop
+
+
+def test_bloom_dedup_tiny_filter_still_exact(spark):
+    """Even a saturated 64-bit filter (every probe a hit) stays exact in
+    recheck mode — the Bloom layer only routes rows, never decides."""
+    from traildb_spark.operators.dedup import bloom_dedup_against
+
+    new = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "ccc")], ["doc_id", "text"]
+    )
+    existing = spark.createDataFrame([(0, "bbb")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]
+        for r in bloom_dedup_against(new, existing, num_bits=64).collect()
+    }
+    assert got == {1, 3}

@@ -1438,3 +1438,106 @@ def duplicated_span_stats(
             F.expr("1000 * dup_windows div total_windows").alias("dup_permille"),
         )
     )
+
+
+def _bloom_positions(fp: Column, num_bits: int, num_hashes: int) -> Column:
+    """``num_hashes`` bit positions for an md5-hex fingerprint via double
+    hashing (Kirsch-Mitzenmacher: pos_i = h1 + i*h2 mod m) over the two
+    60-bit hex halves of the digest — pure Catalyst, no Python. Safe from
+    63-bit overflow for num_hashes <= 8 (h1 + 7*h2 < 2^63)."""
+    h1 = F.conv(F.substring(fp, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(fp, 17, 15), 16, 10).cast("long")
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)]
+    )
+
+
+def build_bloom_filter(
+    existing: DataFrame,
+    text_col: str = "text",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> np.ndarray:
+    """Distributed Bloom-filter build over the existing corpus's distinct
+    content fingerprints: positions explode map-side, the bitmap
+    aggregates as ``num_bits/64`` longs via ``bit_or`` (map-side
+    combined), and only the word table — metadata scale, 2 MB at the
+    16M-bit default — ever reaches the driver.
+
+    Sizing at 100 TB: one monolithic filter caps out where the bitmap
+    stops broadcasting (~1 G bits / 128 MB covers ~70M distinct docs at
+    1% FP with k=4). Beyond that, shard the fingerprint space by digest
+    prefix into p independent filters and probe the shard each row's
+    prefix selects — same code per shard, co-partitioned by construction.
+    """
+    fps = existing.select(
+        F.md5(normalize_text(F.col(text_col))).alias("fp")
+    ).distinct()
+    words = (
+        fps.select(
+            F.explode(_bloom_positions(F.col("fp"), num_bits, num_hashes)).alias("pos")
+        )
+        .distinct()
+        .groupBy(F.expr("pos div 64").alias("w"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 as int))")).alias("bits"))
+    )
+    arr = np.zeros(num_bits // 64, dtype=np.uint64)
+    for r in words.collect():
+        arr[int(r["w"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return arr
+
+
+def bloom_dedup_against(
+    new: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    exact: bool = True,
+) -> DataFrame:
+    """Incremental-ingest dedup through a broadcast Bloom filter — the
+    scale path for ``dedup_against`` when the existing-corpus fingerprint
+    set is too large to anti-join every increment against in full.
+
+    The filter admits no false negatives, so rows failing ANY probe bit
+    are provably new and skip the join entirely; only Bloom HITS (true
+    dups + the tunable false-positive sliver) are re-checked. With
+    ``exact=True`` (default) hits go through the exact fingerprint
+    anti-join — the result is bit-identical to :func:`dedup_against`, but
+    the join's probe side shrinks from |new| to |hits|. With
+    ``exact=False`` hits are dropped outright (at-most-FP-rate
+    over-deletion, zero joins) — the posture streaming pipelines take
+    when a second pass over `existing` is not affordable.
+
+    The reference's analog is the page-level inverted index: candidates
+    from a compact probe structure, then exact re-check
+    (/root/reference/tdbcli/tdb_index.c:559-631).
+    """
+    bloom = new.sparkSession.sparkContext.broadcast(
+        build_bloom_filter(existing, text_col, num_bits, num_hashes)
+    )
+    m, k = num_bits, num_hashes
+
+    @F.pandas_udf("boolean")
+    def bloom_hit(fp: pd.Series) -> pd.Series:
+        a = bloom.value
+        h1 = np.array([int(s[:15], 16) for s in fp], dtype=np.uint64)
+        h2 = np.array([int(s[16:31], 16) for s in fp], dtype=np.uint64)
+        res = np.ones(len(fp), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            res &= ((a[(pos >> np.uint64(6)).astype(np.int64)] >> (pos & np.uint64(63)))
+                    & np.uint64(1)).astype(bool)
+        return pd.Series(res)
+
+    fp_col = F.md5(normalize_text(F.col(text_col)))
+    tagged = new.withColumn("__fp", fp_col).withColumn("__hit", bloom_hit(F.col("__fp")))
+    misses = tagged.filter(~F.col("__hit"))
+    if not exact:
+        return misses.drop("__fp", "__hit")
+    seen = existing.select(
+        F.md5(normalize_text(F.col(text_col))).alias("__fp")
+    ).distinct()
+    rechecked = tagged.filter(F.col("__hit")).join(seen, "__fp", "left_anti")
+    return misses.unionByName(rechecked).drop("__fp", "__hit")
