@@ -1070,6 +1070,27 @@ def q76_bloom_dedup(spark, sf_dir):
     return dedup.bloom_dedup_against(new, existing).select("doc_id", "source")
 
 
+def q77_video_frames(spark, sf_dir):
+    """Video frame-sampling plumbing, driver-checked end to end: the
+    MEDIA_SCHEMA video rows (utf-8 text payloads) explode to one row per
+    sampled frame (64-byte stub frames, stride 2). The decode itself is
+    the documented stub, but its arithmetic — frame count = byte length
+    div 64 + 1, 16-byte frame slices — is deterministic, so the Spark
+    explode/slice plumbing is differentially verified; the fixture is
+    ASCII, making char-substr and byte-substr coincide in the oracle."""
+    from traildb_spark.operators import multimodal
+
+    media = _media_table(
+        spark, sf_dir, "video", lambda c: F.lit(None).cast("binary")
+    )
+    frames = multimodal.sample_video_frames(media, every_n=2, bytes_per_frame=64)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.decode(F.col("frame_bytes"), "UTF-8").alias("frame_text"),
+    )
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1160,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_duplicated_spans": q74_duplicated_spans,
         "q75_unigram_surprisal": q75_unigram_surprisal,
         "q76_bloom_dedup": q76_bloom_dedup,
+        "q77_video_frames": q77_video_frames,
     }
 
 
@@ -1551,6 +1573,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
                         ELSE 1000 * s.surprisal_bits // s.n_tokens END AS millibits_per_token
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """,
+        "q77_video_frames": """
+            -- stub frame arithmetic: frames = bytelen div 64 + 1 (ASCII
+            -- fixture, so char-substr == byte-substr), stride 2, 16-byte
+            -- slices
+            WITH v AS (
+              SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+            f AS (
+              SELECT media_id, text,
+                     unnest(generate_series(0, CAST(length(text) // 64 AS INT), 2)) AS frame_idx
+              FROM v)
+            SELECT media_id, frame_idx,
+                   substr(text, frame_idx * 16 + 1, 16) AS frame_text
+            FROM f
         """,
         "q76_bloom_dedup": f"""
             -- exact semantics: Bloom layer only routes rows; result is

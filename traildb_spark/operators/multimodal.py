@@ -308,15 +308,21 @@ def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
     return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+def sample_video_frames(
+    df: DataFrame, every_n: int = 30, bytes_per_frame: int = 1024
+) -> DataFrame:
     """Frame-sampling contract: one output row per sampled frame.
 
     STUB decode: frame count is derived from payload length (real impl:
-    ffmpeg probe). The Spark-side shape — explode to (media_id, frame_idx,
-    frame_bytes) — is the real contract downstream models consume.
+    ffmpeg probe), one "frame" per ``bytes_per_frame`` payload bytes plus
+    the final partial. The Spark-side shape — explode to (media_id,
+    frame_idx, frame_bytes) with every_n stride — is the real contract
+    downstream models consume, and the stub arithmetic is deterministic
+    (integer division + byte slices), so the whole path is
+    differentially checkable (q77).
     """
-    n_frames = (F.length(F.col("content")) / F.lit(1024)).cast("int") + 1
-    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    n_frames = F.expr(f"length(content) div {int(bytes_per_frame)}") + 1
+    idx = F.sequence(F.lit(0), (n_frames - 1).cast("int"), F.lit(every_n))
     vids = df.filter(F.col("kind") == "video")
     return (
         vids.withColumn("frame_idx", F.explode(idx))
