@@ -378,3 +378,54 @@ def test_resample_box_preserves_mass_on_downscale(sw, sh, tw, th):
     assert out.shape == (th, tw) and np.isfinite(out).all()
     if sh % th == 0 and sw % tw == 0:
         assert abs(out.mean() - g.mean()) < 1e-9
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_texts)
+def test_word_ngram_positional_equals_naive(spark, texts):
+    """md5_word_ngram_hashes_all (the positional, non-distinct kernel
+    behind duplicated_span_stats) equals a per-doc naive md5 over every
+    window position, in order, on arbitrary unicode."""
+    import hashlib
+
+    from traildb_spark.functions.vectorized import _pynorm
+    from traildb_spark.operators.curation import md5_word_ngram_hashes_all
+
+    n = 3
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: list(r["g"])
+        for r in df.select(
+            "i", md5_word_ngram_hashes_all(F.col("t"), n).alias("g")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in _pynorm(t or "").split(" ") if w]
+        want = [
+            int.from_bytes(
+                hashlib.md5(" ".join(words[j : j + n]).encode("utf-8")).digest()[:8],
+                "big",
+            )
+            >> 4
+            for j in range(max(len(words) - (n - 1), 1))
+        ]
+        assert got[i] == want, repr(t)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="0123456789abcdef", min_size=32, max_size=32), min_size=1, max_size=16))
+def test_bloom_positions_jvm_equals_python(spark, fps):
+    """The JVM-side double-hashing positions (conv on md5-hex halves)
+    equal the Python probe's arithmetic — the invariant that makes
+    bloom_dedup_against's build and probe agree bit-for-bit."""
+    from traildb_spark.operators.dedup import _bloom_positions
+
+    m, k = 1 << 20, 4
+    df = spark.createDataFrame([(i, f) for i, f in enumerate(fps)], ["i", "fp"])
+    got = {
+        r["i"]: list(r["p"])
+        for r in df.select("i", _bloom_positions(F.col("fp"), m, k).alias("p")).collect()
+    }
+    for i, f in enumerate(fps):
+        h1, h2 = int(f[:15], 16), int(f[16:31], 16)
+        assert got[i] == [(h1 + j * h2) % m for j in range(k)], f

@@ -206,6 +206,27 @@ def main():
     # the text volume, not the rule count
     timed("gopher_flags_100k", lambda: _force(text.gopher_quality_flags(docs)))
 
+    # duplicated-span profile: the dup-heavy corpus is its stress case —
+    # exact-dup groups make most windows duplicated, so the (doc, gram)
+    # count table and the dup-gram set are at their fattest
+    timed(
+        "dup_spans_100k",
+        lambda: _force(dedup.duplicated_span_stats(docs, window=15)),
+    )
+
+    # unigram surprisal: tf -> vocabulary-scale model broadcast back
+    timed("surprisal_100k", lambda: _force(text.unigram_surprisal(docs)))
+
+    # Bloom incremental dedup: filter build over ~50k distinct
+    # fingerprints + broadcast probe + recheck join of the hits
+    timed(
+        "bloom_dedup_100k",
+        lambda: dedup.bloom_dedup_against(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+        ).count(),
+    )
+
     # SemDeDup at 25x vectors (50k): centroid count scales WITH the corpus
     # (cells stay ~constant) — the design contract that bounds the
     # within-cell quadratic
