@@ -458,3 +458,154 @@ def unigram_surprisal(
             ).alias("millibits_per_token"),
         )
     )
+
+
+END_OF_WORD = "</w>"
+
+
+def _merge_pair_udf(a: str, b: str):
+    """Arrow kernel applying ONE merge (a,b)->ab left-to-right without
+    overlap — the standard BPE replacement — to each symbol array."""
+
+    @F.pandas_udf("array<string>")
+    def merge_pair(col: pd.Series) -> pd.Series:
+        out = []
+        for sy in col:
+            sy = list(sy)
+            res, i = [], 0
+            while i < len(sy):
+                if i < len(sy) - 1 and sy[i] == a and sy[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(sy[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out)
+
+    return merge_pair
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 50,
+    min_count: int = 2,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """Learn a byte-pair-encoding merge table (Sennrich et al. 2016,
+    arXiv:1508.07909) over the corpus — the token-level analog of the
+    reference's compression model, which likewise mines frequency-counted
+    bigrams over (optionally sampled) data to build its codebook
+    (/root/reference/src/tdb_encode_model.c:344-446, sampling :24-27 —
+    ``sample_fraction`` mirrors that 10%-above-1M-events policy for
+    100 TB corpora).
+
+    The scalable structure: BPE statistics depend only on the DISTINCT
+    -word frequency table, so the corpus is scanned and shuffled exactly
+    ONCE (map-side-combined word count); every one of the ``num_merges``
+    rounds then runs at vocabulary scale — explode adjacent symbol pairs
+    weighted by word count, map-side-combined pair aggregate, and only
+    the single argmax row (count desc, then lexicographic pair — fully
+    deterministic) reaches the driver. The merge is a narrow Arrow map
+    over the vocab; per-round ``localCheckpoint`` cuts the iterative
+    lineage exactly as connected_components does.
+
+    Returns the merge table: ``(rank, left, right, merged, pair_count)``.
+    """
+    base = df
+    if sample_fraction < 1.0:
+        base = df.sample(fraction=sample_fraction, seed=13)
+    wf = (
+        base.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = wf.select(
+        "cnt",
+        F.concat(F.split(F.col("w"), ""), F.array(F.lit(END_OF_WORD))).alias("syms"),
+    ).localCheckpoint()
+
+    # guard size==1: sequence(1, 0) DESCENDS in Spark rather than being empty
+    pair_expr = F.expr(
+        "CASE WHEN size(syms) > 1 THEN "
+        "  transform(sequence(1, size(syms) - 1), "
+        "            i -> struct(syms[i-1] AS a, syms[i] AS b)) "
+        "ELSE cast(array() AS array<struct<a:string,b:string>>) END"
+    )
+    merges: list[tuple] = []
+    for rank in range(num_merges):
+        top = (
+            vocab.select("cnt", F.explode(pair_expr).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_count:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((rank, a, b, a + b, c))
+
+        vocab = vocab.withColumn(
+            "syms", _merge_pair_udf(a, b)(F.col("syms"))
+        ).localCheckpoint()
+    return df.sparkSession.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment each document with a learned merge table: per word, apply
+    the merges in RANK order (the standard greedy BPE encoder), emitting
+    ``(id, bpe_tokens array<string>, n_bpe_tokens)``. The merge table is
+    metadata-scale and rides a plain broadcast; encoding is a narrow
+    Arrow map over the corpus — zero shuffles."""
+    ranked = [
+        (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+    ]
+    bc = df.sparkSession.sparkContext.broadcast(ranked)
+
+    @F.pandas_udf("array<string>")
+    def encode(col: pd.Series) -> pd.Series:
+        pairs = bc.value
+        from ..functions.vectorized import _pynorm
+
+        cache: dict = {}
+
+        def enc_word(w: str) -> list:
+            if w in cache:
+                return cache[w]
+            sy = list(w) + [END_OF_WORD]
+            for a, b in pairs:
+                res, i = [], 0
+                while i < len(sy):
+                    if i < len(sy) - 1 and sy[i] == a and sy[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(sy[i])
+                        i += 1
+                sy = res
+            cache[w] = sy
+            return sy
+
+        out = []
+        for t in col:
+            words = [w for w in _pynorm(t or "").split(" ") if w]
+            toks: list = []
+            for w in words:
+                toks.extend(enc_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        encode(F.col(text_col)).alias("bpe_tokens"),
+    ).withColumn("n_bpe_tokens", F.size("bpe_tokens"))
