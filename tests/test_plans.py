@@ -250,3 +250,73 @@ def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
     # the quadratic is bounded by design: the pair join must key on cid,
     # not run corpus x corpus
     assert "CartesianProduct" not in plan
+
+
+def _overlapping_row_groups(path, time_lo, time_hi, event_type):
+    """Count Parquet row groups whose (time, event_type) min/max stats
+    overlap the conjunctive predicate — exactly what the reader's
+    row-group skipping evaluates."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    hit = total = 0
+    for f in sorted(Path(path).glob("*.parquet")):
+        pf = pq.ParquetFile(f)
+        for i in range(pf.metadata.num_row_groups):
+            rg = pf.metadata.row_group(i)
+            st = {
+                rg.column(j).path_in_schema: rg.column(j).statistics
+                for j in range(rg.num_columns)
+            }
+            total += 1
+            t, e = st["time"], st["event_type"]
+            if (
+                t.min < time_hi
+                and t.max >= time_lo
+                and e.min <= event_type <= e.max
+            ):
+                hit += 1
+    return hit, total
+
+
+def test_zorder_layout_prunes_both_columns(spark, tmp_path):
+    """The Z-ordered auxiliary layout skips row groups on BOTH predicate
+    columns at once, where the uuid-clustered primary layout (time and
+    event_type spread over every row group) skips almost nothing — and
+    both layouts return identical query results."""
+    from tests.conftest import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.01").select(
+        "uuid", "time", F.coalesce("event_type", F.lit("")).alias("event_type")
+    )
+    plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+    blk = 64 * 1024  # small row groups -> meaningful skipping granularity
+    (
+        ev.repartition(4, "uuid")
+        .sortWithinPartitions("uuid", "time")
+        .write.option("parquet.block.size", blk)
+        .parquet(plain)
+    )
+    TrailDataset(ev).save_zordered(
+        zord, ["time", "event_type"], buckets_per_col=16, parquet_block_bytes=blk
+    )
+
+    lo, hi = 1704800000, 1704900000
+    et = "click"
+    hit_p, tot_p = _overlapping_row_groups(plain, lo, hi, et)
+    hit_z, tot_z = _overlapping_row_groups(zord, lo, hi, et)
+    assert tot_z >= 4 and tot_p >= 4
+    # the z-layout must prune a strictly larger fraction
+    assert hit_z / tot_z < hit_p / tot_p
+    # and at least half its row groups must be skippable for this query
+    assert hit_z <= tot_z / 2
+
+    pred = (
+        (F.col("time") >= lo)
+        & (F.col("time") < hi)
+        & (F.col("event_type") == et)
+    )
+    rows_p = spark.read.parquet(plain).filter(pred).count()
+    rows_z = spark.read.parquet(zord).filter(pred).count()
+    assert rows_p == rows_z and rows_p > 0
