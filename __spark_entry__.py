@@ -1091,6 +1091,17 @@ def q77_video_frames(spark, sf_dir):
     )
 
 
+def q78_chunk_documents(spark, sf_dir):
+    """Retrieval/context-window chunking: 32-token windows, 8-token
+    overlap (stride 24), final partials kept, empty docs emit nothing.
+    Pure Catalyst narrow map — the oracle reproduces every chunk string
+    and count."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    return curation.chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1182,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_unigram_surprisal": q75_unigram_surprisal,
         "q76_bloom_dedup": q76_bloom_dedup,
         "q77_video_frames": q77_video_frames,
+        "q78_chunk_documents": q78_chunk_documents,
     }
 
 
@@ -1573,6 +1585,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
                         ELSE 1000 * s.surprisal_bits // s.n_tokens END AS millibits_per_token
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """,
+        "q78_chunk_documents": f"""
+            -- 32-token chunks, stride 24, partials kept, empty docs skip
+            WITH w AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            s AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(0, len(ws) - 1, 24)) AS start
+              FROM w WHERE len(ws) > 0)
+            SELECT doc_id,
+                   CAST(start / 24 AS INT) AS chunk_idx,
+                   array_to_string(ws[start + 1 : start + 32], ' ') AS chunk_text,
+                   len(ws[start + 1 : start + 32]) AS n_chunk_tokens
+            FROM s
         """,
         "q77_video_frames": """
             -- stub frame arithmetic: frames = bytelen div 64 + 1 (ASCII

@@ -169,3 +169,29 @@ def test_decontaminate_semantic_modes_agree(spark, sf_dir):
     assert not any(v % 25 == 0 for v in pairs)
     empty = curation.decontaminate_semantic(emb, bench.filter(F.lit(False)), mode="gemm")
     assert empty.count() == n
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from traildb_spark.operators.curation import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, words), (1, "a b"), (2, "")], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    }
+    # stride 3 over 10 words -> starts 0,3,6,9; last chunk is a partial
+    assert got[(0, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(0, 1)] == ("w3 w4 w5 w6", 4)
+    assert got[(0, 2)] == ("w6 w7 w8 w9", 4)
+    assert got[(0, 3)] == ("w9", 1)
+    assert got[(1, 0)] == ("a b", 2)
+    # empty doc emits nothing
+    assert not any(k[0] == 2 for k in got)
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert got[(0, 0)][0].split()[-1] == got[(0, 1)][0].split()[0]
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)

@@ -401,3 +401,43 @@ def decontaminate_semantic(
         return pd.Series(((_round6_half_up(cos) / 1e6) >= threshold).any(axis=1))
 
     return c.filter(~contaminated(F.col("__qv"))).drop("__qv")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    retrieval/context-window chunking step (stride = chunk_tokens -
+    overlap; final partial chunks kept; empty docs emit nothing).
+    Returns ``(id, chunk_idx, chunk_text, n_chunk_tokens)``.
+
+    Pure Catalyst — normalize, split, one sequence/transform/posexplode —
+    so chunking is a narrow map over the corpus: zero shuffles, zero
+    Python, and the row fan-out is bounded by ~n_tokens/stride per doc.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    from .text import tokens as _tokens
+
+    ws = _tokens(F.col(text_col))
+    chunks = F.when(
+        F.size(ws) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 1, F.lit(stride)),
+            lambda s: F.slice(ws, s + 1, chunk_tokens),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "cw"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(F.col("cw"), " ").alias("chunk_text"),
+            F.size("cw").alias("n_chunk_tokens"),
+        )
+    )
