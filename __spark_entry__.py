@@ -1102,6 +1102,17 @@ def q78_chunk_documents(spark, sf_dir):
     return curation.chunk_documents(docs, chunk_tokens=32, overlap=8)
 
 
+def q79_event_paths(spark, sf_dir):
+    """Trail path mining: every 3-long run of consecutive event types
+    within trails, counted corpus-wide — transition_counts generalized to
+    k-grams (the reference's bigram model on the time axis, one window
+    shuffle, lexicon^3-bounded aggregate)."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.event_path_ngrams(ev, "event_type", 3, "uuid", "time", "event_id")
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1194,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_bloom_dedup": q76_bloom_dedup,
         "q77_video_frames": q77_video_frames,
         "q78_chunk_documents": q78_chunk_documents,
+        "q79_event_paths": q79_event_paths,
     }
 
 
@@ -1585,6 +1597,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
                         ELSE 1000 * s.surprisal_bits // s.n_tokens END AS millibits_per_token
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """,
+        "q79_event_paths": f"""
+            WITH l AS (
+              SELECT event_type AS s1,
+                     lead(event_type, 1) OVER w AS s2,
+                     lead(event_type, 2) OVER w AS s3,
+                     lead("time", 2) OVER w AS t_end
+              FROM ({_E})
+              WINDOW w AS (PARTITION BY uuid ORDER BY "time", event_id))
+            SELECT s1, s2, s3, COUNT(*) AS freq
+            FROM l WHERE t_end IS NOT NULL GROUP BY 1, 2, 3
         """,
         "q78_chunk_documents": f"""
             -- 32-token chunks, stride 24, partials kept, empty docs skip

@@ -97,3 +97,20 @@ def test_funnel_within_window(spark):
     # within=10: b@5 qualifies
     r = analytics.funnel_times(df, steps, within=10).first()
     assert (r["s0"], r["s1"]) == (0, 5)
+
+
+def test_event_path_ngrams(spark):
+    from traildb_spark.operators.analytics import event_path_ngrams
+
+    rows = [
+        ("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "c"), ("u1", 4, "b"),
+        ("u2", 1, "a"), ("u2", 2, "b"), ("u2", 3, "c"),
+        ("u3", 1, "x"), ("u3", 2, "y"),  # shorter than k -> no path
+    ]
+    df = spark.createDataFrame(rows, ["uuid", "time", "event_type"])
+    got = {
+        (r["s1"], r["s2"], r["s3"]): r["freq"]
+        for r in event_path_ngrams(df, "event_type", 3).collect()
+    }
+    # windows never cross trail boundaries; (a,b,c) occurs in u1 and u2
+    assert got == {("a", "b", "c"): 2, ("b", "c", "b"): 1}

@@ -212,3 +212,36 @@ def percentiles(
         )
         aggs.append(agg.alias(label))
     return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def event_path_ngrams(
+    df: DataFrame,
+    field: str,
+    k: int = 3,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+) -> DataFrame:
+    """Trail path mining: count every k-long run of consecutive event
+    values within trails, corpus-wide — :func:`transition_counts`
+    (the reference's bigram model, `src/tdb_encode_model.c:344-381`)
+    generalized to k-grams, the standard input to top-paths and
+    next-step-prediction views. Returns ``(s1..sk, freq)``.
+
+    All k-1 leads share ONE window spec (a single uuid shuffle + sort);
+    completeness is detected on the always-non-NULL time column, so
+    NULL/'' event values participate in paths like any other value. The
+    final aggregate keys on at most lexicon^k combinations with map-side
+    combine — tiny regardless of event count.
+    """
+    w = _trail_window(uuid_col, time_col, *tiebreak)
+    out = df.select(
+        F.col(field).alias("s1"),
+        *[F.lead(F.col(field), i).over(w).alias(f"s{i+1}") for i in range(1, k)],
+        F.lead(F.col(time_col), k - 1).over(w).alias("__t_end"),
+    )
+    return (
+        out.filter(F.col("__t_end").isNotNull())
+        .groupBy(*[f"s{i+1}" for i in range(k)])
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
