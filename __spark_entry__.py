@@ -1113,6 +1113,30 @@ def q79_event_paths(spark, sf_dir):
     return analytics.event_path_ngrams(ev, "event_type", 3, "uuid", "time", "event_id")
 
 
+def q80_attribution(spark, sf_dir):
+    """Last-touch attribution with a 1-day lookback: every 'purchase'
+    credits the most recent prior 'click'/'view' in the same trail (or
+    '(none)' if absent/expired); value summed as integer cents. One uuid
+    shuffle + a |touches|+1-group aggregate."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.attribution(
+        ev, "purchase", ["click", "view"], 86400, "last_touch",
+        "event_type", "value", "uuid", "time", "event_id",
+    )
+
+
+def q81_lexicon_dump(spark, sf_dir):
+    """Full lexicon enumeration (field, value, item_id): reference
+    tdb_get_item_value as a queryable table; item 0 = reserved NULL/''
+    per field, dense ids in value order (documented deviation from
+    insertion order)."""
+    ev = _events(spark, sf_dir)
+    ds = TrailDataset(ev.select("uuid", "time", "event_type", "props"))
+    return ds.lexicon_dump(["event_type", "props"])
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1206,6 +1230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_video_frames": q77_video_frames,
         "q78_chunk_documents": q78_chunk_documents,
         "q79_event_paths": q79_event_paths,
+        "q80_attribution": q80_attribution,
+        "q81_lexicon_dump": q81_lexicon_dump,
     }
 
 
@@ -1597,6 +1623,42 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
                         ELSE 1000 * s.surprisal_bits // s.n_tokens END AS millibits_per_token
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """,
+        "q80_attribution": f"""
+            WITH e AS ({_E}),
+            t AS (
+              SELECT event_type, "time", value,
+                     last_value(CASE WHEN event_type IN ('click','view')
+                                     THEN event_type END IGNORE NULLS)
+                       OVER w AS lt_type,
+                     last_value(CASE WHEN event_type IN ('click','view')
+                                     THEN "time" END IGNORE NULLS)
+                       OVER w AS lt_time
+              FROM e
+              WINDOW w AS (PARTITION BY uuid ORDER BY "time", event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+            SELECT CASE WHEN lt_time IS NOT NULL AND lt_time >= "time" - 86400
+                        THEN lt_type ELSE '(none)' END AS channel,
+                   COUNT(*) AS conversions,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS attributed_cents
+            FROM t WHERE event_type = 'purchase'
+            GROUP BY 1
+        """,
+        "q81_lexicon_dump": f"""
+            WITH e AS ({_E}),
+            vals AS (
+              SELECT 'event_type' AS field, event_type AS value FROM e
+              WHERE event_type <> ''
+              UNION ALL
+              SELECT 'props', props FROM e WHERE props <> ''),
+            d AS (SELECT DISTINCT field, value FROM vals)
+            SELECT field, value,
+                   CAST(dense_rank() OVER (PARTITION BY field ORDER BY value)
+                        AS BIGINT) AS item_id
+            FROM d
+            UNION ALL
+            SELECT f, '', 0
+            FROM (VALUES ('event_type'), ('props')) AS t(f)
         """,
         "q79_event_paths": f"""
             WITH l AS (

@@ -114,3 +114,76 @@ def test_event_path_ngrams(spark):
     }
     # windows never cross trail boundaries; (a,b,c) occurs in u1 and u2
     assert got == {("a", "b", "c"): 2, ("b", "c", "b"): 1}
+
+
+def _attr_ev(spark):
+    # u1: view@10, click@20, purchase@30(v=1.00), purchase@200000(v=2.50)
+    #     (second purchase: last touch click@20 is outside lookback=100)
+    # u2: purchase@5(v=0.40)  (no prior touch at all)
+    # u3: click@1, view@2, purchase@50(v=10.00)  (last touch = view)
+    rows = [
+        ("u1", 10, 1, "view", 9.99),
+        ("u1", 20, 2, "click", 0.0),
+        ("u1", 30, 3, "purchase", 1.00),
+        ("u1", 200000, 4, "purchase", 2.50),
+        ("u2", 5, 5, "purchase", 0.40),
+        ("u3", 1, 6, "click", 0.0),
+        ("u3", 2, 7, "view", 0.0),
+        ("u3", 50, 8, "purchase", 10.00),
+    ]
+    return spark.createDataFrame(
+        rows, ["uuid", "time", "event_id", "event_type", "value"]
+    )
+
+
+def test_attribution_last_touch_lookback(spark):
+    df = _attr_ev(spark)
+    got = {
+        r["channel"]: (r["conversions"], r["attributed_cents"])
+        for r in analytics.attribution(
+            df, "purchase", ["click", "view"], 100, "last_touch",
+            "event_type", "value", "uuid", "time", "event_id",
+        ).collect()
+    }
+    # u1@30 → click@20 (within 100); u1@200000 → expired; u2 → none;
+    # u3@50 → view@2 (50-100 < 2, within)
+    assert got == {
+        "click": (1, 100),
+        "view": (1, 1000),
+        "(none)": (2, 290),
+    }
+
+
+def test_attribution_first_touch_ignores_lookback(spark):
+    df = _attr_ev(spark)
+    got = {
+        r["channel"]: r["conversions"]
+        for r in analytics.attribution(
+            df, "purchase", ["click", "view"], 100, "first_touch",
+            "event_type", "value", "uuid", "time", "event_id",
+        ).collect()
+    }
+    # u1 both purchases → first touch view@10; u2 → none; u3 → click@1
+    assert got == {"view": (2), "click": 1, "(none)": 1}
+
+
+def test_attribution_strict_prefix(spark):
+    # a touch AT the conversion row itself must not self-attribute
+    rows = [("u", 7, 1, "click", 0.0), ("u", 7, 2, "purchase", 1.0)]
+    df = spark.createDataFrame(
+        rows, ["uuid", "time", "event_id", "event_type", "value"]
+    )
+    r = analytics.attribution(
+        df, "purchase", ["click", "purchase"], None, "last_touch",
+        "event_type", "value", "uuid", "time", "event_id",
+    ).collect()
+    # prefix is by row order (time, event_id): click@(7,1) precedes
+    # purchase@(7,2) → attributed to click, never to itself
+    assert {x["channel"] for x in r} == {"click"}
+
+
+def test_attribution_bad_model_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        analytics.attribution(_attr_ev(spark), "purchase", [], None, "u_shaped")

@@ -37,6 +37,21 @@ def test_lexicon(tiny):
     assert vals == {"open", "save", "close"}
 
 
+def test_lexicon_dump(tiny):
+    rows = tiny.lexicon_dump(["action"]).collect()
+    got = {(r["field"], r["value"]): r["item_id"] for r in rows}
+    # item 0 reserved for ''/NULL; real values dense-ranked by value order
+    assert got == {
+        ("action", ""): 0,
+        ("action", "close"): 1,
+        ("action", "open"): 2,
+        ("action", "save"): 3,
+    }
+    # default: every non-time field
+    both = tiny.lexicon_dump()
+    assert {r["field"] for r in both.collect()} == {"action", "username"}
+
+
 def test_roundtrip_finalize_open(tiny, spark, tmp_path):
     # "what you write is what you read" (reference
     # tests/c-tests/what_you_write_you_get_back.c)

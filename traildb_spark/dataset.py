@@ -23,7 +23,7 @@ import os
 from dataclasses import dataclass
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.filters import EventFilter, TimeRange, uuid_whitelist
@@ -253,6 +253,43 @@ class TrailDataset:
         `src/tdb.c:106-140`), as a DataFrame — never collected."""
         col = F.coalesce(F.col(field).cast("string"), F.lit("")).alias("value")
         return self.df.select(col).where(F.col("value") != "").distinct()
+
+    def lexicon_dump(self, fields: list[str] | None = None) -> DataFrame:
+        """Full lexicon enumeration with item ids — the reference's
+        `tdb_get_item_value`/`tdb_get_item` mapping (`src/tdb.c:467-524`)
+        as a queryable table ``(field, value, item_id)``.
+
+        Item id 0 is the reserved NULL/'' item for every field
+        (`src/tdb.c:488-495`); real values get dense ids ≥ 1. Deviation
+        (documented): the reference numbers values by first-insertion
+        order during encode — an artifact of its single-writer
+        constructor; here ids are assigned in lexicographic value order,
+        which is deterministic under any parallel ingest.
+
+        Scale: one distinct-aggregate per field (map-side combined,
+        lexicon-sized output) and one dense_rank window PARTITIONed by
+        field — the window input is already collapsed to distinct values,
+        so the sort is lexicon-sized, never event-sized.
+        """
+        if fields is None:
+            fields = [f for f in self.fields if f != TIME_COL]
+        lexes = None
+        for f in fields:
+            lx = self.lexicon(f).select(
+                F.lit(f).alias("field"), F.col("value")
+            )
+            lexes = lx if lexes is None else lexes.unionAll(lx)
+        w = Window.partitionBy("field").orderBy("value")
+        ranked = lexes.withColumn(
+            "item_id", F.dense_rank().over(w).cast("long")
+        )
+        nulls = (
+            self.df.sparkSession.createDataFrame(
+                [(f,) for f in fields], "field string"
+            )
+            .select("field", F.lit("").alias("value"), F.lit(0).cast("long").alias("item_id"))
+        )
+        return ranked.unionAll(nulls)
 
     # -- selection ---------------------------------------------------------
     def select_uuids(self, uuids: list[str] | DataFrame) -> "TrailDataset":

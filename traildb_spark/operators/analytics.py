@@ -245,3 +245,78 @@ def event_path_ngrams(
         .groupBy(*[f"s{i+1}" for i in range(k)])
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def attribution(
+    df: DataFrame,
+    conversion: str,
+    touches: list[str],
+    lookback: int | None = None,
+    model: str = "last_touch",
+    field: str = "event_type",
+    value_col: str | None = None,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+) -> DataFrame:
+    """Marketing attribution — TrailDB's motivating workload ("events of
+    users over time", `doc/docs/index.md:7-14`; AdRoll's attribution use
+    case is the reference's origin story). For every ``conversion`` event,
+    credit the touch event (``field`` value in ``touches``) that a model
+    picks from the trail prefix STRICTLY before the conversion:
+
+    - ``last_touch``: the most recent prior touch, expired to ``(none)``
+      when it is older than ``lookback`` seconds (end-exclusive prefix,
+      closed lookback: attributed iff touch_time >= conv_time - lookback).
+    - ``first_touch``: the earliest touch in the trail prefix; ``lookback``
+      is ignored (classic first-touch has no window).
+
+    Returns ``(channel, conversions, attributed_value)`` where ``channel``
+    is the credited touch value or ``'(none)'`` and ``attributed_value``
+    sums ``round(value*100)`` as integer cents (bit-portable across
+    engines — no float-summation order sensitivity).
+
+    Scale: ONE uuid shuffle for the prefix window (shared by both running
+    columns), then a channel-keyed aggregate with map-side combine — at
+    most |touches|+1 groups. No self-join of conversions against touches
+    (the naive formulation is O(conversions × touches) per trail).
+    """
+    if model not in ("last_touch", "first_touch"):
+        raise ValueError(f"unknown attribution model: {model}")
+    w = (
+        _trail_window(uuid_col, time_col, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(field).isin(list(touches))
+    pick = F.last if model == "last_touch" else F.first
+    touch_type = pick(F.when(is_touch, F.col(field)), ignorenulls=True).over(w)
+    touch_time = pick(F.when(is_touch, F.col(time_col)), ignorenulls=True).over(w)
+    conv = df.select(
+        F.col(field).alias("__f"),
+        F.col(time_col).alias("__t"),
+        (
+            F.round(F.col(value_col) * 100).cast("long")
+            if value_col
+            else F.lit(0).cast("long")
+        ).alias("__cents"),
+        touch_type.alias("__touch"),
+        touch_time.alias("__touch_t"),
+    ).filter(F.col("__f") == conversion)
+    attributed = F.col("__touch").isNotNull()
+    if lookback is not None and model == "last_touch":
+        attributed = attributed & (
+            F.col("__touch_t") >= F.col("__t") - F.lit(int(lookback))
+        )
+    return (
+        conv.select(
+            F.when(attributed, F.col("__touch"))
+            .otherwise(F.lit("(none)"))
+            .alias("channel"),
+            F.col("__cents"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.sum("__cents").alias("attributed_cents"),
+        )
+    )
