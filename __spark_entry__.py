@@ -1137,6 +1137,47 @@ def q81_lexicon_dump(spark, sf_dir):
     return ds.lexicon_dump(["event_type", "props"])
 
 
+def q82_cooccurrence_pmi(spark, sf_dir):
+    """Collocation extraction: adjacent word-bigram counts + whole-bit
+    PMI (bit_length arithmetic — bit-portable, overflow-free). Bigrams
+    via a zero-shuffle zip_with narrow map; vocab-sized aggregates."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.cooccurrence_pmi(docs, min_count=3)
+
+
+def q83_quality_prune(spark, sf_dir):
+    """Corpus pruning: keep the global top-100 documents by
+    (quality_score desc, doc_id asc) — salted two-phase top-k, no
+    corpus-sized single-reducer sort."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", text.quality_score(F.col("text")).alias("q")
+    )
+    return curation.top_k_global(
+        scored, [F.desc("q"), F.asc("doc_id")], 100, salt_col="doc_id"
+    )
+
+
+def q84_activity_histogram(spark, sf_dir):
+    """Activity heatmap: events by (day-of-week, hour, event_type) from
+    pure integer Unix-seconds arithmetic; ≤ 7×24×lexicon groups."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.activity_histogram(ev, "event_type", "time")
+
+
+def q85_inverted_index(spark, sf_dir):
+    """Retrieval index build: (term, doc_id, tf, first_pos, positions)
+    postings — exploded/shardable form, one narrow posexplode + one
+    map-side-combined aggregate. Restricted to docs 0-49 to keep the
+    oracle compare bounded."""
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return text.inverted_index(docs)
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1232,6 +1273,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_event_paths": q79_event_paths,
         "q80_attribution": q80_attribution,
         "q81_lexicon_dump": q81_lexicon_dump,
+        "q82_cooccurrence_pmi": q82_cooccurrence_pmi,
+        "q83_quality_prune": q83_quality_prune,
+        "q84_activity_histogram": q84_activity_histogram,
+        "q85_inverted_index": q85_inverted_index,
     }
 
 
@@ -1623,6 +1668,70 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
                         ELSE 1000 * s.surprisal_bits // s.n_tokens END AS millibits_per_token
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """,
+        "q82_cooccurrence_pmi": f"""
+            WITH w AS (SELECT {_TOKENS} AS ws FROM documents),
+            uni AS (
+              SELECT t.w, COUNT(*) AS cnt
+              FROM (SELECT unnest(ws) AS w FROM w) t GROUP BY 1),
+            big AS (
+              SELECT ws[i] AS w1, ws[i + 1] AS w2
+              FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM w WHERE len(ws) >= 2)),
+            bc AS (
+              SELECT w1, w2, COUNT(*) AS pair_count FROM big
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            tot AS (SELECT COUNT(*) AS n FROM big)
+            SELECT bc.w1, bc.w2, bc.pair_count,
+                   CAST(length(bin(bc.pair_count)) + length(bin(tot.n))
+                        - length(bin(u1.cnt)) - length(bin(u2.cnt))
+                        AS BIGINT) AS pmi_bits
+            FROM bc
+            JOIN uni u1 ON bc.w1 = u1.w
+            JOIN uni u2 ON bc.w2 = u2.w
+            CROSS JOIN tot
+        """,
+        "q83_quality_prune": f"""
+            WITH t AS (
+              SELECT doc_id, source, {_NORM_TEXT} AS nt,
+                     CAST(len({_TOKENS}) AS DOUBLE) AS n_tokens
+              FROM documents),
+            m AS (
+              SELECT doc_id, source,
+                     CAST(length(nt) AS DOUBLE) AS n_chars,
+                     CAST(length(regexp_replace(nt, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                     CAST(length(regexp_replace(nt, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                     n_tokens
+              FROM t),
+            s AS (
+              SELECT doc_id, source,
+                     round(((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+                      + (CASE WHEN n_tokens > 0 AND n_alpha / n_tokens >= 2.0 AND n_alpha / n_tokens <= 12.0 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.2 THEN 1.0 WHEN n_chars = 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS q
+              FROM m)
+            SELECT doc_id, source, q FROM s
+            ORDER BY q DESC, doc_id ASC LIMIT 100
+        """,
+        "q84_activity_histogram": f"""
+            SELECT ("time" // 86400 + 4) % 7 AS dow,
+                   ("time" % 86400) // 3600 AS hour,
+                   event_type AS value,
+                   COUNT(*) AS events
+            FROM ({_E}) GROUP BY 1, 2, 3
+        """,
+        "q85_inverted_index": f"""
+            WITH w AS (
+              SELECT doc_id, {_TOKENS} AS ws FROM documents WHERE doc_id < 50),
+            p AS (
+              SELECT doc_id, ws[i] AS term, i AS pos
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws))) AS i
+                    FROM w WHERE len(ws) > 0))
+            SELECT term, doc_id,
+                   COUNT(*) AS tf,
+                   MIN(pos) AS first_pos,
+                   string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+            FROM p GROUP BY term, doc_id
         """,
         "q80_attribution": f"""
             WITH e AS ({_E}),

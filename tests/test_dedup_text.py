@@ -740,3 +740,76 @@ def test_apply_bpe_segments_with_learned_merges(spark):
         assert "".join(out[i]) == "</w>".join(t.split(" ")) + "</w>"
     # 'low' occurs 6x -> fully merged to a single token
     assert out[0] == ["low</w>"] * 5
+
+
+# -- cooccurrence / inverted index / top-k prune / histogram ---------------
+
+
+def test_cooccurrence_pmi_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "new york is big"), (2, "new york new york"), (3, "big apple")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["pmi_bits"])
+        for r in text.cooccurrence_pmi(docs, min_count=2).collect()
+    }
+    # bigrams: (new,york)x3 (york,is) (is,big) (york,new) (big,apple)
+    assert set(out) == {("new", "york")}
+    cnt, pmi = out[("new", "york")]
+    assert cnt == 3
+    # N=7 bigrams, c(new)=3, c(york)=3 → bits(3)+bits(7)-bits(3)-bits(3)
+    # = 2+3-2-2 = 1
+    assert pmi == 1
+
+
+def test_cooccurrence_empty_and_single_word_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "hello"), (3, "a b a b")], ["doc_id", "text"]
+    )
+    rows = text.cooccurrence_pmi(docs, min_count=2).collect()
+    # only (a,b) reaches count 2; empty/1-token docs emit nothing
+    assert {(r["w1"], r["w2"]) for r in rows} == {("a", "b")}
+
+
+def test_inverted_index_positions(spark):
+    docs = spark.createDataFrame(
+        [(1, "to be or not to be"), (2, "be")], ["doc_id", "text"]
+    )
+    rows = {
+        (r["term"], r["doc_id"]): (r["tf"], r["first_pos"], r["positions"])
+        for r in text.inverted_index(docs).collect()
+    }
+    assert rows[("to", 1)] == (2, 1, "1,5")
+    assert rows[("be", 1)] == (2, 2, "2,6")
+    assert rows[("be", 2)] == (1, 1, "1")
+    assert rows[("not", 1)] == (1, 4, "4")
+
+
+def test_top_k_global_total_order(spark):
+    from traildb_spark.operators import curation
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, i % 10) for i in range(1000)], ["doc_id", "score"]
+    )
+    got = curation.top_k_global(
+        df, [F.desc("score"), F.asc("doc_id")], 25, salt_col="doc_id",
+        salt_buckets=8,
+    ).collect()
+    exp = sorted(range(1000), key=lambda i: (-(i % 10), i))[:25]
+    assert sorted(r["doc_id"] for r in got) == sorted(exp)
+    assert len(got) == 25
+
+
+def test_activity_histogram_integer_calendar(spark):
+    from traildb_spark.operators import analytics
+
+    # 1970-01-01 (Thu=4) 00:30 and 1970-01-04 (Sun=0) 23:59
+    rows = [("u", 1800, "a"), ("u", 3 * 86400 + 86340, "a"), ("u", 1805, "b")]
+    df = spark.createDataFrame(rows, ["uuid", "time", "event_type"])
+    got = {
+        (r["dow"], r["hour"], r["value"]): r["events"]
+        for r in analytics.activity_histogram(df).collect()
+    }
+    assert got == {(4, 0, "a"): 1, (0, 23, "a"): 1, (4, 0, "b"): 1}

@@ -320,3 +320,28 @@ def attribution(
             F.sum("__cents").alias("attributed_cents"),
         )
     )
+
+
+def activity_histogram(
+    df: DataFrame,
+    field: str = "event_type",
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """Activity heatmap: event counts by (day-of-week, hour-of-day,
+    field value) — the standard "when do users act" TrailDB report,
+    computed with pure integer arithmetic on the Unix-seconds time
+    column (no timezone/calendar library): 1970-01-01 was a Thursday,
+    so ``dow = (time div 86400 + 4) mod 7`` with 0 = Sunday; hour is
+    ``time mod 86400 div 3600``. Bit-portable across engines, and the
+    aggregate keys on at most 7×24×lexicon values with map-side combine
+    — never event-sized.
+    """
+    t = F.col(time_col)
+    return (
+        df.groupBy(
+            F.pmod((t / 86400).cast("long") + 4, F.lit(7)).alias("dow"),
+            ((t % 86400) / 3600).cast("long").alias("hour"),
+            F.col(field).alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("events"))
+    )

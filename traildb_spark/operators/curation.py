@@ -441,3 +441,39 @@ def chunk_documents(
             F.size("cw").alias("n_chunk_tokens"),
         )
     )
+
+
+def top_k_global(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    k: int,
+    salt_col: Column | str = "doc_id",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global top-k under a TOTAL order (pass a tiebreak
+    column so no two rows compare equal) — the "keep the best K documents
+    by quality" pruning step, written so no single reducer ever sees the
+    corpus.
+
+    Two-phase (same shape as the salted `per_source_quota`): phase 1
+    ranks within `salt_buckets` hash buckets (each sees ~n/B rows) and
+    keeps its local top-k — any global top-k row is in its bucket's
+    top-k, so this loses nothing; phase 2 ranks the ≤ B·k survivors on
+    ONE reducer, which is fine because B·k is a constant independent of
+    corpus size. The salt assignment affects nothing but load balance:
+    under a total order the global top-k set is unique.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    salt = F.pmod(F.xxhash64(salt_col), F.lit(salt_buckets))
+    w1 = Window.partitionBy(salt).orderBy(*cols)
+    cand = (
+        df.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    w2 = Window.orderBy(*cols)
+    return (
+        cand.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -609,3 +609,105 @@ def apply_bpe(
         F.col(id_col),
         encode(F.col(text_col)).alias("bpe_tokens"),
     ).withColumn("n_bpe_tokens", F.size("bpe_tokens"))
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Collocation extraction: adjacent word-bigram counts scored by
+    whole-bit pointwise mutual information —
+    ``pmi_bits ≈ log2(P(xy) / (P(x)·P(y)))`` integerized via binary digit
+    counts (``bits(c_xy) + bits(N) - bits(c_x) - bits(c_y)``, each term a
+    plain bit_length ≤ 63) so the score is bit-portable across engines
+    and never overflows, unlike the product form ``bits(c_xy·N)``.
+
+    Scale: bigrams are derived with a zero-shuffle narrow map
+    (``zip_with`` over two slices of the token array — no window, no
+    posexplode self-join); one map-side-combined aggregate each for
+    bigram and unigram counts (vocab- and vocab-pair-sized outputs, never
+    event-sized); unigram counts join back in twice keyed on the words.
+    ``min_count`` prunes the bigram tail BEFORE the joins, which is what
+    bounds the join input at 100 TB (the distinct-bigram universe is
+    dominated by count-1 pairs).
+
+    Returns ``(w1, w2, pair_count, pmi_bits)``.
+    """
+    w = tokens(F.col(text_col))
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    base = df.select(w.alias("__w"), bigrams.alias("__b"))
+    uni = (
+        base.select(F.explode("__w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bi = (
+        base.select(F.explode("__b").alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    n_total = base.select(
+        F.coalesce(F.sum(F.size("__b")), F.lit(0)).alias("n")
+    )
+
+    def bits(c: Column) -> Column:
+        return F.length(F.bin(c.cast("long")))
+
+    return (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("cnt").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cnt").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            (
+                bits(F.col("pair_count")) + bits(F.col("n"))
+                - bits(F.col("c1")) - bits(F.col("c2"))
+            ).cast("long").alias("pmi_bits"),
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Retrieval index build: one posting row per (term, doc) with term
+    frequency and 1-based token positions — the classic inverted index in
+    its exploded (shardable) form. Emitting postings as rows rather than
+    one giant list per term is deliberate: a posting LIST for a stop-term
+    is corpus-sized (unbounded row), while posting ROWS partition freely
+    and sort/merge by (term, doc_id) at any scale.
+
+    One posexplode (narrow) + one map-side-combined aggregate keyed on
+    (term, doc_id). Positions within one doc are bounded by doc length,
+    so the per-row ``positions`` string is bounded too.
+
+    Returns ``(term, doc_id, tf, first_pos, positions)``.
+    """
+    toks = tokens(F.col(text_col))
+    posting = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos0", "term"),
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    return posting.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.min("pos").cast("long").alias("first_pos"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("pos")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("positions"),
+    )
