@@ -1178,6 +1178,15 @@ def q85_inverted_index(spark, sf_dir):
     return text.inverted_index(docs)
 
 
+def q86_remove_spans(spark, sf_dir):
+    """Exact-substring dedup REMOVAL (Lee et al. 2021 second half; q74 is
+    the profile): drop every token covered by a corpus-duplicated 15-word
+    window, rebuild the surviving text. Coverage via the as-of-join
+    running-max pattern — linear shuffles, no per-doc quadratic probe."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(docs, window=15)
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1277,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_quality_prune": q83_quality_prune,
         "q84_activity_histogram": q84_activity_histogram,
         "q85_inverted_index": q85_inverted_index,
+        "q86_remove_spans": q86_remove_spans,
     }
 
 
@@ -1732,6 +1742,44 @@ def oracle_sql() -> dict[str, str]:
                    MIN(pos) AS first_pos,
                    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
             FROM p GROUP BY term, doc_id
+        """,
+        "q86_remove_spans": f"""
+            -- token j removed iff a duplicated 15-word window starts in
+            -- [j-14, j]; same md5-60 positional gram family as q74
+            WITH w AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            pg AS (
+              SELECT doc_id, i - 1 AS p,
+                     CAST(('0x' || substr(md5(array_to_string(ws[i:i+14], ' ')), 1, 15)) AS BIGINT) AS g
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, greatest(len(ws) - 14, 1))) AS i
+                    FROM w)),
+            dup AS (
+              SELECT g FROM (SELECT DISTINCT doc_id, g FROM pg)
+              GROUP BY g HAVING count(*) >= 2),
+            ds AS (SELECT doc_id, p FROM pg WHERE g IN (SELECT g FROM dup)),
+            tk AS (
+              SELECT doc_id, i - 1 AS j, ws[i] AS tok
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws))) AS i
+                    FROM w WHERE len(ws) > 0)),
+            cov AS (
+              SELECT DISTINCT t.doc_id, t.j
+              FROM tk t JOIN ds d
+                ON d.doc_id = t.doc_id AND d.p BETWEEN t.j - 14 AND t.j),
+            agg AS (
+              SELECT t.doc_id,
+                     count(*) AS n_tokens,
+                     count(c.j) AS n_removed,
+                     COALESCE(string_agg(CASE WHEN c.j IS NULL THEN t.tok END,
+                                         ' ' ORDER BY t.j), '') AS clean_text
+              FROM tk t LEFT JOIN cov c
+                ON t.doc_id = c.doc_id AND t.j = c.j
+              GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.clean_text, '') AS clean_text,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.n_removed, 0) AS n_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "q80_attribution": f"""
             WITH e AS ({_E}),

@@ -813,3 +813,42 @@ def test_activity_histogram_integer_calendar(spark):
         for r in analytics.activity_histogram(df).collect()
     }
     assert got == {(4, 0, "a"): 1, (0, 23, "a"): 1, (4, 0, "b"): 1}
+
+
+def test_remove_duplicated_spans(spark):
+    # window=3; the run "x y z" appears in docs 1 and 2 → its tokens are
+    # removed wherever a dup window covers them
+    docs = spark.createDataFrame(
+        [
+            (1, "a b x y z c d"),
+            (2, "p q x y z r s"),
+            (3, "unique words only here"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in dedup.remove_duplicated_spans(docs, window=3).collect()
+    }
+    # doc 1: only window (x,y,z) duplicates → tokens x y z removed
+    assert got[1] == ("a b c d", 7, 3)
+    assert got[2] == ("p q r s", 7, 3)
+    assert got[3] == ("unique words only here", 4, 0)
+    assert got[4] == ("", 0, 0)
+
+
+def test_remove_duplicated_spans_short_doc_fully_covered(spark):
+    # docs shorter than the window hash as one whole-doc gram; exact
+    # copies are fully removed, the unique doc is untouched
+    docs = spark.createDataFrame(
+        [(1, "tiny copy"), (2, "tiny copy"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup.remove_duplicated_spans(docs, window=5).collect()
+    }
+    assert got[1] == ("", 2)
+    assert got[2] == ("", 2)
+    assert got[3] == ("other text", 0)

@@ -1541,3 +1541,99 @@ def bloom_dedup_against(
     ).distinct()
     rechecked = tagged.filter(F.col("__hit")).join(seen, "__fp", "left_anti")
     return misses.unionByName(rechecked).drop("__fp", "__hit")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 15,
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (the second half of Lee et al. 2021,
+    arXiv:2107.06499 — :func:`duplicated_span_stats` is the profile, this
+    is the edit): drop every token covered by at least one duplicated
+    ``window``-word gram (a gram is duplicated iff it occurs in ≥ 2
+    distinct documents), and rebuild the surviving text in token order.
+    Returns ``(doc_id, clean_text, n_tokens, n_removed)`` for every input
+    document (fully-duplicated docs come back with ``clean_text = ''``).
+
+    Coverage without a quadratic probe: a dup window starting at token
+    position p covers tokens p..p+window-1, so token j is covered iff the
+    most recent dup start at or before j is ≥ j-window+1 — a running-max
+    over the per-doc position axis. Implemented exactly like the as-of
+    join (`operators/joins.py`): union dup-start markers with token rows,
+    ONE uuid-style (id) window pass computes "last dup start ≤ here" for
+    every token, then one id-keyed aggregate rebuilds the text. All three
+    shuffles are linear in token count; nothing is per-doc quadratic, and
+    text strings never enter the gram shuffles (grams travel as 60-bit
+    md5 hashes, the same portable family the DuckDB oracle recomputes).
+    """
+    from .curation import md5_word_ngram_hashes_all
+
+    toks = normalize_text(F.col(text_col))
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id",
+        F.filter(F.split(toks, " "), lambda t: t != "").alias("__w"),
+        md5_word_ngram_hashes_all(F.col(text_col), window).alias("__g"),
+    )
+    # gram occurrences keyed by hash; zero-token docs contribute a
+    # sentinel gram but can't have covered tokens (they emit no token rows)
+    occ = base.select("id", F.posexplode("__g").alias("p", "g"))
+    dup_grams = (
+        occ.select("id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dup_starts = occ.join(dup_grams, "g").select(
+        "id", F.col("p").alias("pos"), F.lit(0).alias("kind"), F.lit(None).cast("string").alias("tok")
+    )
+    token_rows = base.select(
+        "id", F.posexplode("__w").alias("pos", "tok")
+    ).select("id", "pos", F.lit(1).alias("kind"), "tok")
+    # markers sort before tokens at the same position: a dup start at p
+    # must be visible to token j = p
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = (
+        dup_starts.unionByName(token_rows)
+        .withColumn("last_dup", F.max(F.when(F.col("kind") == 0, F.col("pos"))).over(w))
+        .filter(F.col("kind") == 1)
+        .withColumn(
+            "keep",
+            F.col("last_dup").isNull() | (F.col("last_dup") <= F.col("pos") - window),
+        )
+    )
+    rebuilt = marked.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("pos", F.when(F.col("keep"), F.col("tok")).alias("t"))
+                        )
+                    ),
+                    lambda s: s["t"].isNotNull(),
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        )
+    )
