@@ -1187,6 +1187,18 @@ def q86_remove_spans(spark, sf_dir):
     return dedup.remove_duplicated_spans(docs, window=15)
 
 
+def q87_sample_exact(spark, sf_dir):
+    """Exactly-k deterministic uniform sample (eval-set carving): rank by
+    md5(seed||doc_id), keep the 75 smallest via salted two-phase top-k —
+    no single-reducer global sort, stable across re-partitioning."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    return curation.uniform_sample_exact(
+        docs.select("doc_id", "source", "n_chars"), 75, seed="evalv1:"
+    )
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1287,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_activity_histogram": q84_activity_histogram,
         "q85_inverted_index": q85_inverted_index,
         "q86_remove_spans": q86_remove_spans,
+        "q87_sample_exact": q87_sample_exact,
     }
 
 
@@ -1742,6 +1755,12 @@ def oracle_sql() -> dict[str, str]:
                    MIN(pos) AS first_pos,
                    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
             FROM p GROUP BY term, doc_id
+        """,
+        "q87_sample_exact": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            ORDER BY md5('evalv1:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+            LIMIT 75
         """,
         "q86_remove_spans": f"""
             -- token j removed iff a duplicated 15-word window starts in

@@ -195,3 +195,18 @@ def test_chunk_documents_windows_and_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_uniform_sample_exact_k_and_stability(spark):
+    from traildb_spark.operators import curation
+
+    df = spark.createDataFrame([(i, f"s{i%3}") for i in range(500)], ["doc_id", "source"])
+    a = curation.uniform_sample_exact(df, 40, seed="x:")
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    assert len(ids_a) == 40
+    # stable under repartitioning
+    b = curation.uniform_sample_exact(df.repartition(13), 40, seed="x:")
+    assert sorted(r["doc_id"] for r in b.collect()) == ids_a
+    # different seed → (almost surely) different set
+    c = curation.uniform_sample_exact(df, 40, seed="y:")
+    assert sorted(r["doc_id"] for r in c.collect()) != ids_a

@@ -429,3 +429,86 @@ def test_bloom_positions_jvm_equals_python(spark, fps):
     for i, f in enumerate(fps):
         h1, h2 = int(f[:15], 16), int(f[16:31], 16)
         assert got[i] == [(h1 + j * h2) % m for j in range(k)], f
+
+
+# -- round-3 additions: attribution and span removal vs pure-Python refs ---
+
+attr_event = st.tuples(
+    st.sampled_from(["u0", "u1", "u2"]),
+    st.integers(min_value=0, max_value=1000),
+    st.sampled_from(["view", "click", "purchase", "error"]),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(attr_event, min_size=0, max_size=50),
+       lookback=st.sampled_from([None, 0, 50, 10**6]))
+def test_attribution_matches_python_fold(spark, rows, lookback):
+    """Last-touch attribution equals a sequential per-trail Python fold."""
+    from traildb_spark.operators import analytics
+
+    rows = [(u, t, i, et) for i, (u, t, et) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "uuid string, time long, event_id long, event_type string")
+    got = {
+        r["channel"]: r["conversions"]
+        for r in analytics.attribution(
+            df, "purchase", ["view", "click"], lookback, "last_touch",
+            "event_type", None, "uuid", "time", "event_id",
+        ).collect()
+    }
+    want: dict = {}
+    by_uuid: dict = {}
+    for u, t, i, et in rows:
+        by_uuid.setdefault(u, []).append((t, i, et))
+    for u, evs in by_uuid.items():
+        evs.sort()
+        last = None  # (time, type)
+        for t, _, et in evs:
+            if et == "purchase":
+                ch = "(none)"
+                if last is not None and (lookback is None or last[0] >= t - lookback):
+                    ch = last[1]
+                want[ch] = want.get(ch, 0) + 1
+            if et in ("view", "click"):
+                last = (t, et)
+    assert got == want
+
+
+doc_text = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=12
+).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(doc_text, min_size=1, max_size=8),
+       window=st.sampled_from([2, 3, 5]))
+def test_remove_spans_matches_python_reference(spark, texts, window):
+    """Span removal equals the naive per-token coverage check."""
+    from traildb_spark.operators import dedup as D
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in D.remove_duplicated_spans(df, window=window).collect()
+    }
+    # python reference: gram at pos i = tokens[i:i+window] (whole doc if
+    # shorter); dup iff gram text occurs in >= 2 distinct docs
+    toks = {d: [w for w in t.split(" ") if w] for d, t in rows}
+    gram_docs: dict = {}
+    grams: dict = {}
+    for d, ws in toks.items():
+        gs = [" ".join(ws[i:i + window])
+              for i in range(max(len(ws) - (window - 1), 1))]
+        grams[d] = gs
+        for g in set(gs):
+            gram_docs.setdefault(g, set()).add(d)
+    want = {}
+    for d, ws in toks.items():
+        dup_starts = [i for i, g in enumerate(grams[d]) if len(gram_docs[g]) >= 2]
+        covered = set()
+        for p in dup_starts:
+            covered.update(range(p, p + window))
+        kept = [w for j, w in enumerate(ws) if j not in covered]
+        want[d] = (" ".join(kept), len(ws), sum(1 for j in range(len(ws)) if j in covered))
+    assert got == want

@@ -231,3 +231,39 @@ def test_finalize_batch_idempotent_on_replay(spark, sf_dir, tmp_path):
         is True
     )
     assert TrailDataset.open(spark, out).df.count() == 3 * n1
+
+
+def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
+    from traildb_spark.streaming.sessions import streaming_attribution
+    from traildb_spark.operators import analytics
+
+    path = str(tmp_path / "attr_events")
+    ev = load_events(spark, sf_dir, as_timestamp=True)
+    ev.orderBy("event_time").coalesce(1).write.parquet(path)
+
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = streaming_attribution(
+        stream, "purchase", ["click", "view"], lookback=86400
+    )
+    _run_stream(out, "sattr", mode="append")
+    got = (
+        spark.sql("select channel, count(*) as conversions from sattr group by channel")
+        .collect()
+    )
+    got = {r["channel"]: r["conversions"] for r in got}
+
+    batch_in = spark.read.parquet(path).select(
+        "uuid", F.unix_timestamp("event_time").alias("time"), "event_type",
+        F.monotonically_increasing_id().alias("event_id"),
+    )
+    # the streaming file is globally time-sorted, so per-trail file order
+    # == time order; the batch tiebreak must follow the same arrival order
+    want = {
+        r["channel"]: r["conversions"]
+        for r in analytics.attribution(
+            batch_in, "purchase", ["click", "view"], 86400, "last_touch",
+            "event_type", None, "uuid", "time", "event_id",
+        ).collect()
+    }
+    assert got == want and sum(got.values()) > 0

@@ -289,6 +289,29 @@ def main():
     timed("audio_features_25k", lambda: _force(multimodal.extract_audio_features(media)))
     media.unpersist()
 
+    # round-3 late additions: attribution over the replicated trails,
+    # span removal / PMI / postings / global top-k over the 100k-doc corpus
+    ev_attr = raw_big.select(
+        F.col("user_id").cast("string").alias("uuid"),
+        ts_seconds(raw_big).alias("time"),
+        "event_id",
+        F.coalesce("event_type", F.lit("")).alias("event_type"),
+        "value",
+    )
+    timed("attribution_10x", lambda: _force(analytics.attribution(
+        ev_attr, "purchase", ["click", "view"], 86400, "last_touch",
+        "event_type", "value", "uuid", "time", "event_id")))
+    timed("activity_histogram_10x", lambda: _force(
+        analytics.activity_histogram(ev_attr, "event_type", "time")))
+    timed("remove_spans_100k", lambda: _force(
+        dedup.remove_duplicated_spans(docs, window=15).drop("clean_text")))
+    timed("cooccurrence_pmi_100k", lambda: _force(
+        text.cooccurrence_pmi(docs, min_count=3)))
+    timed("inverted_index_100k", lambda: text.inverted_index(docs).count())
+    timed("quality_topk_100k", lambda: _force(curation.top_k_global(
+        docs.select("doc_id", text.quality_score(F.col("text")).alias("q")),
+        [F.desc("q"), F.asc("doc_id")], 1000, salt_col="doc_id")))
+
 
 if __name__ == "__main__":
     main()

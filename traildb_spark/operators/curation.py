@@ -477,3 +477,28 @@ def top_k_global(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def uniform_sample_exact(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """EXACTLY-k uniform sample, deterministic and engine-portable: rank
+    rows by ``md5(seed || id)`` (a pseudorandom but reproducible total
+    order — same family as `hash_split`/`stratified_sample`) and keep the
+    k smallest via the salted two-phase :func:`top_k_global`. Unlike the
+    rate-based samplers this hits the requested size exactly — eval-set
+    carving ("give me exactly 50k held-out docs") needs exact-k, and a
+    driver-side ``collect`` or single-reducer ``ORDER BY LIMIT`` does not
+    survive 100 TB. The md5 rank depends only on (seed, id), so the
+    sample is stable under re-partitioning, re-runs, and engine changes.
+    """
+    rank = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return top_k_global(
+        df.withColumn("__rk", rank),
+        [F.asc("__rk"), F.asc(id_col)],
+        k,
+        salt_col=id_col,
+    ).drop("__rk")

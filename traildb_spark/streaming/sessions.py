@@ -194,3 +194,72 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_attribution(
+    events: DataFrame,
+    conversion: str,
+    touches: list[str],
+    lookback: int | None = None,
+    field: str = "event_type",
+    uuid_col: str = "uuid",
+    ts_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming analog of ``analytics.attribution`` (last-touch): per
+    trail the state is TWO longs — the last touch's time and its index in
+    ``touches`` — updated per micro-batch; each conversion emits one
+    attribution row ``(uuid, conv_time, channel)`` immediately.
+
+    Parity contract (same as ``streaming_funnel``): equals the batch
+    operator when events arrive time-ordered per trail; a late-arriving
+    touch can't retroactively re-attribute an already-emitted conversion
+    — the batch operator over the finalized store is the replayable
+    source of truth. State is bounded by trail count (16 bytes each),
+    never by event count.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    touch_idx = {v: i for i, v in enumerate(touches)}
+
+    def update(key, pdfs, state):
+        last_t, last_i = state.get() if state.exists else (-1, -1)
+        out_t, out_ch = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            secs = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000_000
+            for t, v in zip(secs, pdf[field]):
+                t = int(t)
+                if v == conversion:
+                    ch = "(none)"
+                    if last_i >= 0 and (lookback is None or last_t >= t - lookback):
+                        ch = touches[last_i]
+                    out_t.append(t)
+                    out_ch.append(ch)
+                # a row that is BOTH touch and conversion touches after
+                # converting — matches the batch strict-prefix window
+                i = touch_idx.get(v)
+                if i is not None:
+                    last_t, last_i = t, i
+        state.update((last_t, last_i))
+        yield pd.DataFrame(
+            {
+                uuid_col: [key[0]] * len(out_t),
+                "conv_time": out_t,
+                "channel": out_ch,
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(uuid_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"{uuid_col} string, conv_time long, channel string",
+            stateStructType="last_t long, last_i long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
