@@ -1199,6 +1199,18 @@ def q87_sample_exact(spark, sf_dir):
     )
 
 
+def q88_session_basket(spark, sf_dir):
+    """Market-basket over sessions: unordered event-type pairs by
+    session co-occurrence (support) + whole-bit lift. Sessionize = one
+    uuid shuffle; pairs explode from lexicon-bounded per-session arrays."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.session_cooccurrence(
+        ev, "event_type", gap=1800, min_support=2
+    )
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1300,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_inverted_index": q85_inverted_index,
         "q86_remove_spans": q86_remove_spans,
         "q87_sample_exact": q87_sample_exact,
+        "q88_session_basket": q88_session_basket,
     }
 
 
@@ -1755,6 +1768,34 @@ def oracle_sql() -> dict[str, str]:
                    MIN(pos) AS first_pos,
                    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
             FROM p GROUP BY term, doc_id
+        """,
+        "q88_session_basket": f"""
+            WITH e AS ({_E}),
+            m AS (
+              SELECT uuid, "time", event_type,
+                     CASE WHEN "time" - lag("time") OVER (PARTITION BY uuid ORDER BY "time") > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e),
+            s AS (
+              SELECT uuid || '#' || CAST(SUM(is_new) OVER (PARTITION BY uuid ORDER BY "time"
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS sid,
+                     event_type AS v
+              FROM m),
+            d AS (SELECT DISTINCT sid, v FROM s),
+            n AS (SELECT COUNT(DISTINCT sid) AS n FROM d),
+            singles AS (SELECT v, COUNT(*) AS nv FROM d GROUP BY v),
+            p AS (
+              SELECT a.v AS v1, b.v AS v2, COUNT(*) AS support
+              FROM d a JOIN d b ON a.sid = b.sid AND a.v < b.v
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT p.v1, p.v2, p.support,
+                   CAST(length(bin(p.support)) + length(bin(n.n))
+                        - length(bin(s1.nv)) - length(bin(s2.nv))
+                        AS BIGINT) AS lift_bits
+            FROM p
+            JOIN singles s1 ON p.v1 = s1.v
+            JOIN singles s2 ON p.v2 = s2.v
+            CROSS JOIN n
         """,
         "q87_sample_exact": """
             SELECT doc_id, source, n_chars

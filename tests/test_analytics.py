@@ -187,3 +187,29 @@ def test_attribution_bad_model_raises(spark):
 
     with _pytest.raises(ValueError):
         analytics.attribution(_attr_ev(spark), "purchase", [], None, "u_shaped")
+
+
+def test_session_cooccurrence_basket(spark):
+    # u1 session1: a,b,c (times 0,10,20); gap>30 → session2: a,b
+    # u2 session1: a,b
+    rows = [
+        ("u1", 0, "a"), ("u1", 10, "b"), ("u1", 20, "c"),
+        ("u1", 100, "a"), ("u1", 110, "b"),
+        ("u2", 5, "a"), ("u2", 6, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["uuid", "time", "event_type"])
+    got = {
+        (r["v1"], r["v2"]): (r["support"], r["lift_bits"])
+        for r in analytics.session_cooccurrence(df, gap=30, min_support=1).collect()
+    }
+    # 3 sessions; (a,b) in all 3; (a,c),(b,c) in 1
+    assert got[("a", "b")][0] == 3
+    assert got[("a", "c")][0] == 1
+    assert got[("b", "c")][0] == 1
+    # lift_bits(a,b) = bits(3)+bits(3)-bits(3)-bits(3) = 0
+    assert got[("a", "b")][1] == 0
+    # lift_bits(a,c) = bits(1)+bits(3)-bits(3)-bits(1) = 0
+    assert got[("a", "c")][1] == 0
+    # min_support filters
+    got2 = analytics.session_cooccurrence(df, gap=30, min_support=2).collect()
+    assert {(r["v1"], r["v2"]) for r in got2} == {("a", "b")}

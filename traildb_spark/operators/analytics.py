@@ -345,3 +345,89 @@ def activity_histogram(
         )
         .agg(F.count(F.lit(1)).alias("events"))
     )
+
+
+def session_cooccurrence(
+    df: DataFrame,
+    field: str = "event_type",
+    gap: int = 1800,
+    min_support: int = 2,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """Market-basket analysis over sessions: for every unordered pair of
+    distinct ``field`` values co-occurring in one session, the number of
+    sessions containing both (support) and a whole-bit lift score —
+    ``lift_bits ≈ log2(P(ab)·N / (P(a)·P(b)·N²)·N) = log2(n_ab·N /
+    (n_a·n_b))`` integerized as ``bits(n_ab)+bits(N)-bits(n_a)-bits(n_b)``
+    (bit-portable, overflow-free — same family as
+    ``text.cooccurrence_pmi``). The classic "users who did X in a session
+    also did Y" report, i.e. the reference's trail-program idiom
+    (`doc/docs/index.md:21-26`) as a distributed operator.
+
+    Scale: sessionize is ONE uuid shuffle (two stacked windows, same
+    partitioning); distinct values per session collapse via one
+    map-side-combined aggregate to a sorted array bounded by the lexicon,
+    pairs explode from that array NARROWLY (≤ lexicon² rows per session,
+    lexicon-bounded, never event²), and the final aggregates key on value
+    pairs — at most lexicon² groups. Nothing event-quadratic anywhere.
+
+    Returns ``(v1, v2, support, lift_bits)`` with ``v1 < v2``.
+    """
+    from .trails import sessionize
+
+    sess = sessionize(df, gap=gap, uuid_col=uuid_col, time_col=time_col).select(
+        F.concat_ws("#", F.col(uuid_col), F.col("session_id")).alias("sid"),
+        F.col(field).alias("v"),
+    )
+    per_sess = sess.distinct().groupBy("sid").agg(
+        F.array_sort(F.collect_set("v")).alias("vs")
+    )
+    n_sessions = per_sess.select(F.count(F.lit(1)).alias("n"))
+    singles = (
+        sess.distinct()
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    pairs = per_sess.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("vs"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("vs"),
+                            i + 2,
+                            F.greatest(F.size("vs") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("v1"), y.alias("v2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.v1", "p.v2")
+    support = (
+        pairs.groupBy("v1", "v2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+    def bits(c: Column) -> Column:
+        return F.length(F.bin(c.cast("long")))
+
+    return (
+        support.join(
+            singles.select(F.col("v").alias("v1"), F.col("nv").alias("n1")), "v1"
+        )
+        .join(singles.select(F.col("v").alias("v2"), F.col("nv").alias("n2")), "v2")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "v1",
+            "v2",
+            "support",
+            (
+                bits(F.col("support")) + bits(F.col("n"))
+                - bits(F.col("n1")) - bits(F.col("n2"))
+            ).cast("long").alias("lift_bits"),
+        )
+    )
