@@ -1211,6 +1211,24 @@ def q88_session_basket(spark, sf_dir):
     )
 
 
+def q89_clean_text(spark, sf_dir):
+    """Ingest text hygiene: NFC normalize (Arrow-batched pandas kernel —
+    the only Python step), control-char strip + whitespace collapse in
+    Catalyst; oracle reproduces every step via nfc_normalize."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.clean_text(docs)
+
+
+def q90_burst_windows(spark, sf_dir):
+    """Activity-spike detection: per trail the peak event count in any
+    sliding 1-hour window (+ earliest peak time). One uuid shuffle,
+    RANGE frame streams per trail."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.burst_windows(ev, window=3600)
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1313,6 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_remove_spans": q86_remove_spans,
         "q87_sample_exact": q87_sample_exact,
         "q88_session_basket": q88_session_basket,
+        "q89_clean_text": q89_clean_text,
+        "q90_burst_windows": q90_burst_windows,
     }
 
 
@@ -1768,6 +1788,31 @@ def oracle_sql() -> dict[str, str]:
                    MIN(pos) AS first_pos,
                    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
             FROM p GROUP BY term, doc_id
+        """,
+        "q89_clean_text": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(nfc_normalize(COALESCE(text, '')),
+                                      '[\\x00-\\x1f\\x7f]', '', 'g'),
+                       ' +', ' ', 'g')) AS clean_text,
+                     length(COALESCE(text, '')) AS n0
+              FROM documents)
+            SELECT doc_id, clean_text,
+                   CAST(n0 - length(clean_text) AS BIGINT) AS n_chars_removed
+            FROM n
+        """,
+        "q90_burst_windows": f"""
+            WITH c AS (
+              SELECT uuid, "time" AS t,
+                     COUNT(*) OVER (PARTITION BY uuid ORDER BY "time"
+                                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS c
+              FROM ({_E}))
+            SELECT uuid,
+                   MAX(c) AS peak_events,
+                   MIN(t) FILTER (WHERE c = mc) AS peak_time
+            FROM (SELECT uuid, t, c, MAX(c) OVER (PARTITION BY uuid) AS mc FROM c)
+            GROUP BY uuid
         """,
         "q88_session_basket": f"""
             WITH e AS ({_E}),

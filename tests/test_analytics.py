@@ -213,3 +213,19 @@ def test_session_cooccurrence_basket(spark):
     # min_support filters
     got2 = analytics.session_cooccurrence(df, gap=30, min_support=2).collect()
     assert {(r["v1"], r["v2"]) for r in got2} == {("a", "b")}
+
+
+def test_burst_windows_peak_and_tiebreak(spark):
+    # u1: events at 0,10,20, then 5000,5010 → peak 3 at t=20
+    # u2: two equal peaks of 2 (at 10 and 5010) → earliest wins
+    rows = [
+        ("u1", 0), ("u1", 10), ("u1", 20), ("u1", 5000), ("u1", 5010),
+        ("u2", 0), ("u2", 10), ("u2", 5000), ("u2", 5010),
+    ]
+    df = spark.createDataFrame(rows, ["uuid", "time"])
+    got = {
+        r["uuid"]: (r["peak_events"], r["peak_time"])
+        for r in analytics.burst_windows(df, window=3600).collect()
+    }
+    assert got["u1"] == (3, 20)
+    assert got["u2"] == (2, 10)

@@ -852,3 +852,20 @@ def test_remove_duplicated_spans_short_doc_fully_covered(spark):
     assert got[1] == ("", 2)
     assert got[2] == ("", 2)
     assert got[3] == ("other text", 0)
+
+
+def test_clean_text_nfc_and_controls(spark):
+    # decomposed é (e + combining acute) → composed; tab/newline are
+    # C0 controls → removed; spaces collapse
+    docs = spark.createDataFrame(
+        [(1, "café  x"), (2, "a\tb\nc"), (3, None), (4, "  ok  ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_chars_removed"])
+        for r in text.clean_text(docs).collect()
+    }
+    assert got[1] == ("café x", 2)  # NFC merges 2 cps to 1, 1 space dropped
+    assert got[2] == ("abc", 2)
+    assert got[3] == ("", 0)
+    assert got[4] == ("ok", 4)

@@ -431,3 +431,42 @@ def session_cooccurrence(
             ).cast("long").alias("lift_bits"),
         )
     )
+
+
+def burst_windows(
+    df: DataFrame,
+    window: int = 3600,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """Activity-spike detection per trail: the peak number of events in
+    any sliding ``window``-second interval ending at an event (the
+    standard anchored formulation — the max over a continuous slide is
+    always achieved at some event time), plus the earliest time at which
+    that peak occurs. Returns ``(uuid, peak_events, peak_time)``.
+
+    ONE uuid shuffle: a RANGE window frame (``[t-window, t]`` on the
+    integer time axis) streams per trail in time order — no
+    per-trail materialization, whale trails stream like any other — and
+    the per-trail argmax folds map-side in the same partitioning.
+    """
+    w = (
+        Window.partitionBy(uuid_col)
+        .orderBy(F.col(time_col).cast("long"))
+        .rangeBetween(-int(window), 0)
+    )
+    counted = df.select(
+        F.col(uuid_col).alias("uuid"),
+        F.col(time_col).cast("long").alias("t"),
+        F.count(F.lit(1)).over(w).alias("c"),
+    )
+    # argmax with earliest-time tiebreak via one struct max:
+    # max(c, -t) picks highest count, then smallest t
+    best = counted.groupBy("uuid").agg(
+        F.max(F.struct(F.col("c"), (-F.col("t")).alias("nt"))).alias("b")
+    )
+    return best.select(
+        "uuid",
+        F.col("b.c").alias("peak_events"),
+        (-F.col("b.nt")).cast("long").alias("peak_time"),
+    )

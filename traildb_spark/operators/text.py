@@ -711,3 +711,40 @@ def inverted_index(
             ",",
         ).alias("positions"),
     )
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-side text hygiene: Unicode NFC normalization, control-char
+    removal (C0 + DEL), whitespace collapse, trim — the standard first
+    stage of a web-corpus pipeline. Returns ``(id, clean_text,
+    n_chars_removed)``.
+
+    NFC is the ONLY step that needs Python (Spark has no normalization
+    builtin): an Arrow-batched ``pandas.Series.str.normalize`` — C-loop
+    per batch, no per-row Python. Everything after runs in Catalyst so
+    codegen fuses it with the surrounding plan. Mostly-ASCII corpora pay
+    almost nothing for NFC (pandas short-circuits per string); the DuckDB
+    oracle reproduces every step (``nfc_normalize`` + the same regexes),
+    so the op is differentially checked end-to-end.
+    """
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.fillna("").str.normalize("NFC")
+
+    normalized = nfc(F.col(text_col))
+    stripped = F.regexp_replace(
+        normalized, "[\\x00-\\x1f\\x7f]", ""
+    )
+    collapsed = F.trim(F.regexp_replace(stripped, " +", " "))
+    return df.select(
+        F.col(id_col),
+        collapsed.alias("clean_text"),
+        (
+            F.length(F.coalesce(F.col(text_col), F.lit("")))
+            - F.length(collapsed)
+        ).cast("long").alias("n_chars_removed"),
+    )
