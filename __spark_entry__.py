@@ -1229,6 +1229,31 @@ def q90_burst_windows(spark, sf_dir):
     return analytics.burst_windows(ev, window=3600)
 
 
+def q91_length_deciles(spark, sf_dir):
+    """Equal-frequency binning: doc-length deciles via exact
+    rank-before-value arithmetic — ties share one bucket, no global row
+    sort (value-cardinality-sized cumsum + broadcast map join)."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return curation.rank_buckets(docs, "n_chars", n_buckets=10)
+
+
+def q92_dataset_diff(spark, sf_dir):
+    """Dataset diff (migration validation): split events into two
+    overlapping views (A = all, B = all except event_id % 97 == 0),
+    digest each trail to an order-insensitive additive md5 multiset
+    fingerprint, full-outer join — per-uuid match verdicts."""
+    from traildb_spark.dataset import diff_datasets
+
+    ev = _events(spark, sf_dir).select("uuid", "time", "event_type", "event_id")
+    a = ev
+    b = ev.filter(F.col("event_id") % 97 != 0)
+    return diff_datasets(
+        a, b, uuid_col="uuid", fields=["time", "event_type", "event_id"]
+    )
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1333,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_session_basket": q88_session_basket,
         "q89_clean_text": q89_clean_text,
         "q90_burst_windows": q90_burst_windows,
+        "q91_length_deciles": q91_length_deciles,
+        "q92_dataset_diff": q92_dataset_diff,
     }
 
 
@@ -1788,6 +1815,45 @@ def oracle_sql() -> dict[str, str]:
                    MIN(pos) AS first_pos,
                    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
             FROM p GROUP BY term, doc_id
+        """,
+        "q91_length_deciles": """
+            WITH f AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1),
+            cum AS (
+              SELECT v,
+                     COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+                     (SELECT SUM(c) FROM f) AS n
+              FROM f)
+            SELECT d.doc_id, d.n_chars,
+                   CAST(floor(10 * cum.before / cum.n) AS BIGINT) AS bucket
+            FROM documents d JOIN cum ON d.n_chars = cum.v
+        """,
+        "q92_dataset_diff": f"""
+            WITH ea AS (
+              SELECT uuid, "time", event_type, event_id FROM ({_E})),
+            eb AS (SELECT * FROM ea WHERE event_id % 97 <> 0),
+            da AS (
+              SELECT uuid, COUNT(*) AS n_a,
+                     CAST(SUM(CAST(('0x' || substr(md5(
+                            CAST("time" AS VARCHAR) || '|' || event_type || '|'
+                            || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT))
+                          % 1152921504606846976 AS VARCHAR) AS fp_a
+              FROM ea GROUP BY uuid),
+            dbb AS (
+              SELECT uuid, COUNT(*) AS n_b,
+                     CAST(SUM(CAST(('0x' || substr(md5(
+                            CAST("time" AS VARCHAR) || '|' || event_type || '|'
+                            || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT))
+                          % 1152921504606846976 AS VARCHAR) AS fp_b
+              FROM eb GROUP BY uuid)
+            SELECT COALESCE(da.uuid, dbb.uuid) AS uuid,
+                   COALESCE(n_a, 0) AS n_a,
+                   COALESCE(n_b, 0) AS n_b,
+                   COALESCE(fp_a, '') AS fp_a,
+                   COALESCE(fp_b, '') AS fp_b,
+                   (COALESCE(n_a, 0) = COALESCE(n_b, 0)
+                    AND COALESCE(fp_a, '') = COALESCE(fp_b, '')) AS "match"
+            FROM da FULL OUTER JOIN dbb ON da.uuid = dbb.uuid
         """,
         "q89_clean_text": """
             WITH n AS (

@@ -210,3 +210,19 @@ def test_uniform_sample_exact_k_and_stability(spark):
     # different seed → (almost surely) different set
     c = curation.uniform_sample_exact(df, 40, seed="y:")
     assert sorted(r["doc_id"] for r in c.collect()) != ids_a
+
+
+def test_rank_buckets_ties_one_bucket(spark):
+    from traildb_spark.operators import curation
+
+    # values: 1×4, 2×4, 3×2 → N=10; rank_before: 1→0, 2→4, 3→8
+    rows = [(i, v) for i, v in enumerate([1] * 4 + [2] * 4 + [3] * 2)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = {
+        r["id"]: r["bucket"]
+        for r in curation.rank_buckets(df, "v", n_buckets=5).collect()
+    }
+    # floor(5*0/10)=0, floor(5*4/10)=2, floor(5*8/10)=4
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[i] for i in range(4, 8)} == {2}
+    assert {got[i] for i in range(8, 10)} == {4}

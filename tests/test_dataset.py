@@ -279,3 +279,26 @@ def test_shard_pruning_survives_session_timezone_change(spark, sf_dir, tmp_path)
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
     assert got == expect
+
+
+def test_diff_datasets_detects_missing_and_matching(spark):
+    from traildb_spark.dataset import diff_datasets
+
+    a = spark.createDataFrame(
+        [("u1", 1, "x"), ("u1", 2, "y"), ("u2", 5, "z"), ("u3", 7, "w")],
+        ["uuid", "time", "f"],
+    )
+    b = spark.createDataFrame(
+        [("u1", 1, "x"), ("u1", 2, "y"), ("u2", 5, "DIFFERENT")],
+        ["uuid", "time", "f"],
+    )
+    got = {r["uuid"]: r for r in diff_datasets(a, b).collect()}
+    assert got["u1"]["match"] is True
+    assert got["u2"]["match"] is False  # same count, different content
+    assert got["u2"]["n_a"] == got["u2"]["n_b"] == 1
+    assert got["u3"]["match"] is False and got["u3"]["n_b"] == 0
+    # duplicate events are NOT cancelled (additive digest, not XOR)
+    a2 = spark.createDataFrame([("u", 1, "x"), ("u", 1, "x")], ["uuid", "time", "f"])
+    b2 = spark.createDataFrame([("u", 1, "x")], ["uuid", "time", "f"])
+    r = diff_datasets(a2, b2).first()
+    assert r["match"] is False and r["n_a"] == 2

@@ -549,3 +549,59 @@ def compact_shards(
         shutil.rmtree(old_dir)
         done.append(shard)
     return done
+
+
+def diff_datasets(
+    a: DataFrame,
+    b: DataFrame,
+    uuid_col: str = "uuid",
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Trail-level dataset diff — the operational "did the
+    migration/compaction/merge preserve everything" check, i.e. the
+    reference's what-you-write-you-get-back test
+    (`tests/c-tests/what_you_write_you_get_back.c`) as a distributed
+    operator over two live datasets. Returns one row per uuid present in
+    either side: ``(uuid, n_a, n_b, fp_a, fp_b, match)`` where the
+    fingerprint is an order-insensitive multiset digest of the trail's
+    events: SUM over events of the 60-bit md5 of the canonical
+    ``time|field1|field2…`` string, reduced mod 2^60 via decimal
+    arithmetic (portable: no int64 overflow, additive — so map-side
+    combinable — and duplicate-sensitive, unlike XOR which cancels
+    repeated events pairwise).
+
+    Scale: one map-side-combined aggregate per side keyed on uuid, one
+    full-outer join on uuid. Nothing trail-sized ever materializes.
+    """
+    def digest(df: DataFrame, nc: str, fc: str) -> DataFrame:
+        cols = fields
+        if cols is None:
+            cols = [c for c in df.columns if c != uuid_col]
+        canon = F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+        )
+        fp = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+        # 2^60: the md5-prefix value space; decimal sum never overflows
+        return df.groupBy(F.col(uuid_col).alias("uuid")).agg(
+            F.count(F.lit(1)).alias(nc),
+            (F.sum(fp) % F.lit(1152921504606846976).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias(fc),
+        )
+    da = digest(a, "n_a", "fp_a")
+    db_ = digest(b, "n_b", "fp_b")
+    out = da.join(db_, "uuid", "full_outer")
+    return out.select(
+        "uuid",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.coalesce(F.col("fp_a").cast("string"), F.lit("")).alias("fp_a"),
+        F.coalesce(F.col("fp_b").cast("string"), F.lit("")).alias("fp_b"),
+        (
+            (F.coalesce("n_a", F.lit(0)) == F.coalesce("n_b", F.lit(0)))
+            & (
+                F.coalesce(F.col("fp_a").cast("string"), F.lit(""))
+                == F.coalesce(F.col("fp_b").cast("string"), F.lit(""))
+            )
+        ).alias("match"),
+    )

@@ -502,3 +502,44 @@ def uniform_sample_exact(
         k,
         salt_col=id_col,
     ).drop("__rk")
+
+
+def rank_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Equal-frequency binning (exact quantile-bucket assignment) without
+    a global row sort: ``bucket = floor(n_buckets · rank_before / N)``
+    where ``rank_before`` counts rows with a strictly smaller value — so
+    ties always land in ONE bucket (unlike ``ntile``, which splits ties
+    and is partition-order-sensitive) and the result is deterministic and
+    engine-portable. The standard "length deciles / quality quartiles"
+    stratifier for curriculum mixes and eval slicing.
+
+    Scale: one map-side-combined value-frequency aggregate (output =
+    distinct values of the metric, e.g. ≤ a few thousand doc lengths), a
+    cumulative sum ordered over those DISTINCT VALUES (value-cardinality-
+    sized, never row-sized — use on bounded-cardinality metrics, which
+    quantization metrics are), and a broadcast join back. No row ever
+    sorts globally.
+    """
+    freq = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    total = freq.select(F.sum("__c").alias("__n"))
+    cum = (
+        freq.withColumn("__before", F.coalesce(F.sum("__c").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__v",
+            (
+                F.floor(F.lit(n_buckets) * F.col("__before") / F.col("__n"))
+            ).cast("long").alias(out_col),
+        )
+    )
+    return df.join(
+        F.broadcast(cum), df[value_col] == cum["__v"], "left"
+    ).drop("__v")
