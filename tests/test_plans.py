@@ -12,6 +12,7 @@ from traildb_spark import EventFilter, TrailDataset
 from traildb_spark.functions.core import ts_seconds
 from traildb_spark.operators.joins import as_of_join
 from traildb_spark.plans import audit
+from tests.conftest import load_events
 
 
 @pytest.fixture(scope="module")
@@ -285,8 +286,6 @@ def test_zorder_layout_prunes_both_columns(spark, tmp_path):
     columns at once, where the uuid-clustered primary layout (time and
     event_type spread over every row group) skips almost nothing — and
     both layouts return identical query results."""
-    from tests.conftest import load_events
-
     ev = load_events(spark, "/root/testdata/sf0.01").select(
         "uuid", "time", F.coalesce("event_type", F.lit("")).alias("event_type")
     )
@@ -320,3 +319,75 @@ def test_zorder_layout_prunes_both_columns(spark, tmp_path):
     rows_p = spark.read.parquet(plain).filter(pred).count()
     rows_z = spark.read.parquet(zord).filter(pred).count()
     assert rows_p == rows_z and rows_p > 0
+
+
+def test_attribution_two_shuffles_only(spark, sf_dir):
+    """attribution = one uuid exchange (prefix window) + one tiny
+    channel-keyed exchange — never a conversions×touches join."""
+    from traildb_spark.operators import analytics
+    from traildb_spark.plans.audit import explain_str, num_shuffles
+
+    ev = load_events(spark, sf_dir)
+    out = analytics.attribution(
+        ev, "purchase", ["click", "view"], 86400, "last_touch",
+        "event_type", None, "uuid", "time",
+    )
+    assert num_shuffles(out) <= 2
+    plan = explain_str(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_burst_windows_single_uuid_shuffle(spark, sf_dir):
+    from traildb_spark.operators import analytics
+    from traildb_spark.plans.audit import num_shuffles
+
+    ev = load_events(spark, sf_dir)
+    out = analytics.burst_windows(ev, window=3600)
+    # the RANGE window and the per-trail argmax share the uuid exchange;
+    # AQE may add one small final exchange at most
+    assert num_shuffles(out) <= 2
+
+
+def test_top_k_global_no_full_global_sort(spark, sf_dir):
+    """Phase-1 window must partition by the salt (parallel), and the only
+    unpartitioned window runs AFTER the candidate cut."""
+    from traildb_spark.operators import curation, text
+    from traildb_spark.plans.audit import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select("doc_id", text.quality_score(F.col("text")).alias("q"))
+    out = curation.top_k_global(scored, [F.desc("q"), F.asc("doc_id")], 10,
+                                salt_col="doc_id", salt_buckets=8)
+    plan = explain_str(out)
+    # two Window nodes: the salted one sees the corpus, the global one
+    # only sees filtered candidates (a Filter on __rn sits between them)
+    assert plan.count("Window") >= 2
+    first_window = plan.find("Window")
+    assert "pmod" in plan[:first_window].lower() or "pmod" in plan.lower()
+
+
+def test_session_cooccurrence_no_event_squared_join(spark, sf_dir):
+    from traildb_spark.operators import analytics
+    from traildb_spark.plans.audit import explain_str
+
+    ev = load_events(spark, sf_dir)
+    out = analytics.session_cooccurrence(ev, "event_type", gap=1800)
+    plan = explain_str(out, "simple")  # tree only — nodes appear once
+    assert "CartesianProduct" not in plan
+    # exactly one BroadcastNestedLoopJoin is BY DESIGN: the single-row
+    # session-total broadcast (a 1×n cross join is O(n)); pair generation
+    # itself must stay a narrow array explode, never a join
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_rank_buckets_broadcasts_value_map(spark, sf_dir):
+    from traildb_spark.operators import curation
+    from traildb_spark.plans.audit import num_broadcast_joins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    out = curation.rank_buckets(docs, "n_chars", n_buckets=10)
+    # the value→bucket map joins back broadcast, never shuffling the corpus
+    assert num_broadcast_joins(out) >= 1
