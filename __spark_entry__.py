@@ -1254,6 +1254,19 @@ def q92_dataset_diff(spark, sf_dir):
     )
 
 
+def q93_countmin(spark, sf_dir):
+    """Count-min sketch build + probe over props (width 64, depth 4 —
+    narrow enough to force real collisions): estimates for every distinct
+    value. Deterministic md5 cells ⇒ the DuckDB oracle reproduces the
+    sketch AND the min-estimates bit-for-bit."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    sketch = analytics.countmin_build(ev, "props", width=64, depth=4)
+    vals = ev.select("props").distinct()
+    return analytics.countmin_probe(sketch, vals, "props", width=64, depth=4)
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1360,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_burst_windows": q90_burst_windows,
         "q91_length_deciles": q91_length_deciles,
         "q92_dataset_diff": q92_dataset_diff,
+        "q93_countmin": q93_countmin,
     }
 
 
@@ -1815,6 +1829,26 @@ def oracle_sql() -> dict[str, str]:
                    MIN(pos) AS first_pos,
                    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
             FROM p GROUP BY term, doc_id
+        """,
+        "q93_countmin": f"""
+            -- count-min: cell(d, v) = md5('cm:' || d || ':' || v) 60-bit
+            -- mod 64; est(v) = min over d of the (d, cell) counter
+            WITH e AS ({_E}),
+            cells AS (
+              SELECT props AS v, d,
+                     CAST(('0x' || substr(md5('cm:' || CAST(d AS VARCHAR)
+                            || ':' || props), 1, 15)) AS BIGINT) % 64 AS cell
+              FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d)),
+            sketch AS (
+              SELECT d, cell, COUNT(*) AS c FROM cells GROUP BY d, cell),
+            probes AS (
+              SELECT DISTINCT v, d,
+                     CAST(('0x' || substr(md5('cm:' || CAST(d AS VARCHAR)
+                            || ':' || v), 1, 15)) AS BIGINT) % 64 AS cell
+              FROM cells)
+            SELECT p.v AS value, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS est
+            FROM probes p LEFT JOIN sketch s ON p.d = s.d AND p.cell = s.cell
+            GROUP BY p.v
         """,
         "q91_length_deciles": """
             WITH f AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1),

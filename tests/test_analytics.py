@@ -229,3 +229,36 @@ def test_burst_windows_peak_and_tiebreak(spark):
     }
     assert got["u1"] == (3, 20)
     assert got["u2"] == (2, 10)
+
+
+def test_countmin_overestimates_and_merges(spark):
+    rows = [(v,) for v in ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"]]
+    df = spark.createDataFrame(rows, ["v"])
+    vals = df.distinct()
+    # narrow sketch: estimates may collide but never underestimate
+    sk = analytics.countmin_build(df, "v", width=4, depth=2)
+    est = {
+        r["value"]: r["est"]
+        for r in analytics.countmin_probe(sk, vals, "v", width=4, depth=2).collect()
+    }
+    true = {"a": 50, "b": 20, "c": 5, "d": 1}
+    assert all(est[v] >= c for v, c in true.items())
+    # wide sketch: exact
+    skw = analytics.countmin_build(df, "v", width=4096, depth=4)
+    estw = {
+        r["value"]: r["est"]
+        for r in analytics.countmin_probe(skw, vals, "v", width=4096, depth=4).collect()
+    }
+    assert estw == true
+    # mergeable: union + re-sum == sketch of the concatenation
+    h1, h2 = df.limit(30), df.subtract(spark.createDataFrame([], df.schema))
+    s1 = analytics.countmin_build(h1, "v", width=4096, depth=4)
+    s2 = analytics.countmin_build(df.exceptAll(h1), "v", width=4096, depth=4)
+    merged = (
+        s1.unionByName(s2).groupBy("d", "cell").agg(F.sum("c").alias("c"))
+    )
+    est_m = {
+        r["value"]: r["est"]
+        for r in analytics.countmin_probe(merged, vals, "v", width=4096, depth=4).collect()
+    }
+    assert est_m == true

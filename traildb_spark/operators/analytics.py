@@ -470,3 +470,87 @@ def burst_windows(
         F.col("b.c").alias("peak_events"),
         (-F.col("b.nt")).cast("long").alias("peak_time"),
     )
+
+
+def _cm_cells(col: Column, width: int, depth: int, seed: str) -> Column:
+    """depth (row, cell) coordinates for one value under the portable
+    60-bit md5 family (exactly reproducible in SQL engines)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{seed}{d}:"),
+                                    F.coalesce(col.cast("string"), F.lit("")),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("cell"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def countmin_build(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cm:",
+) -> DataFrame:
+    """Count-min sketch as a DataFrame: ``(d, cell, c)`` with at most
+    ``depth × width`` rows regardless of input size. The heavy-hitter /
+    approximate-frequency primitive when the value universe is unbounded
+    (URLs, n-grams) and an exact groupBy would carry a key per distinct
+    value through the shuffle.
+
+    Spark-native construction: the depth cell coordinates explode
+    NARROWLY per row, then ONE aggregate with map-side combine collapses
+    to ≤ depth×width groups — the exchange carries the sketch size, not
+    the distinct-value count. Sketches are MERGEABLE by construction:
+    union two and re-sum (see ``test_countmin_merge``) — the property
+    that lets per-day / per-shard sketches roll up without touching raw
+    data. Deterministic md5 hashing ⇒ the same sketch is reproducible in
+    SQL, so even this approximate op is differentially checkable.
+    """
+    return (
+        df.select(F.explode(_cm_cells(F.col(col), width, depth, seed)).alias("x"))
+        .groupBy(F.col("x.d").alias("d"), F.col("x.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_probe(
+    sketch: DataFrame,
+    values: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cm:",
+) -> DataFrame:
+    """Point-query the sketch for each value in ``values[col]``:
+    ``est = min over rows of the value's cell counters`` (the classic CM
+    estimate — never an underestimate, overestimates bounded by
+    collisions ≤ e·N/width with prob 1-e^-depth). The sketch side is
+    ≤ depth×width rows, so the join broadcasts; per probed value the
+    aggregate folds depth rows. Returns ``(value, est)``.
+    """
+    pr = values.select(
+        F.col(col).alias("value"),
+        F.explode(_cm_cells(F.col(col), width, depth, seed)).alias("x"),
+    ).select("value", F.col("x.d").alias("d"), F.col("x.cell").alias("cell"))
+    joined = pr.join(F.broadcast(sketch), ["d", "cell"], "left")
+    return joined.groupBy("value").agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est")
+    )
