@@ -267,3 +267,53 @@ def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and sum(got.values()) > 0
+
+
+def test_streaming_countmin_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed sketch (merged across micro-batches) equals the one-shot
+    batch sketch, and replaying a committed batch doesn't double-count."""
+    from traildb_spark.operators import analytics
+    from traildb_spark.streaming.ingest import streaming_countmin
+
+    path = str(tmp_path / "cm_events")
+    ev = load_events(spark, sf_dir, as_timestamp=True)
+    # several files → several micro-batches via maxFilesPerTrigger
+    ev.repartition(4).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = str(tmp_path / "cm_out")
+    q = streaming_countmin(
+        stream, "event_type", out, str(tmp_path / "cm_ckpt"), width=64, depth=4
+    )
+    q.awaitTermination(120)
+
+    import os
+    with open([f"{out}/{f}" for f in os.listdir(out) if f.startswith("_latest")][0]) as fh:
+        cur = fh.read().strip()
+    streamed = spark.read.parquet(cur)
+    batch = analytics.countmin_build(
+        spark.read.parquet(path), "event_type", width=64, depth=4
+    )
+    a = {(r["d"], r["cell"]): r["c"] for r in streamed.collect()}
+    b = {(r["d"], r["cell"]): r["c"] for r in batch.collect()}
+    assert a == b and len(a) > 0
+
+    # crash-replay the LAST committed batch: pointer already at its
+    # output → _countmin_batch returns False and counts are unchanged
+    import hashlib
+    from traildb_spark.streaming.ingest import _countmin_batch
+
+    token = hashlib.md5(str(tmp_path / "cm_ckpt").encode()).hexdigest()[:8]
+    last_id = int(cur.rsplit("_", 1)[1])
+    replay_df = spark.read.parquet(path)  # superset of the last batch
+    assert _countmin_batch(
+        replay_df, last_id, out, "event_type", 64, 4, "cm:", token
+    ) is False
+    after = {
+        (r["d"], r["cell"]): r["c"] for r in spark.read.parquet(cur).collect()
+    }
+    assert after == b

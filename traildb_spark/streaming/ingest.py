@@ -209,3 +209,106 @@ def _finalize_batch(
     fs.createNewFile(marker)
     fs.delete(hpath(staging), True)
     return True
+
+
+def streaming_countmin(
+    stream: DataFrame,
+    col: str,
+    path: str,
+    checkpoint: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "cm:",
+):
+    """Continuously maintain a count-min sketch over a stream — the
+    mergeability of `analytics.countmin_build` in motion: each
+    micro-batch's partial sketch (≤ depth×width rows) merges into the
+    running sketch by union + re-sum, so the state written to ``path``
+    stays sketch-sized forever while the stream is unbounded. The classic
+    "approximate top values over an infinite firehose" primitive.
+
+    Exactly-once via a pointer protocol (a naive read-merge-swap
+    double-counts if the engine replays a batch after the swap): each
+    batch writes its merged sketch to a DETERMINISTIC per-batch dir built
+    from the sketch the ``_latest`` pointer references, then atomically
+    advances the pointer. A replay before the pointer advanced rebuilds
+    the identical dir from the identical input; a replay after it sees
+    the pointer already at its own output and returns without touching
+    state. Probe the pointer target any time with
+    ``analytics.countmin_probe``.
+    """
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _countmin_batch(
+            batch_df, batch_id, path, col, width, depth, seed, run_token
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _countmin_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    col: str,
+    width: int,
+    depth: int,
+    seed: str,
+    run_token: str,
+) -> bool:
+    """One count-min merge step (exposed for the crash-replay tests, like
+    ``_finalize_batch``). Returns False when the batch was a replay of an
+    already-committed id (state untouched)."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..operators.analytics import countmin_build
+
+    latest = f"{path}/_latest_{run_token}"
+    out_b = f"{path}/sketch_{run_token}_{batch_id}"
+    prev: str | None = None
+    try:
+        with open(latest, "r", encoding="utf-8") as fh:
+            prev = fh.read().strip() or None
+    except OSError:
+        pass
+    if prev == out_b:
+        return False  # replay after commit: pointer already advanced
+    spark = batch_df.sparkSession
+    part = countmin_build(batch_df, col, width, depth, seed)
+    if prev is not None:
+        merged = (
+            spark.read.parquet(prev)
+            .unionByName(part)
+            .groupBy("d", "cell")
+            .agg(F.sum("c").alias("c"))
+        )
+    else:
+        merged = part
+    _os.makedirs(path, exist_ok=True)
+    merged.coalesce(1).write.mode("overwrite").parquet(out_b)
+    tmp = f"{latest}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(out_b)
+    _os.replace(tmp, latest)  # atomic pointer advance = the commit
+    if prev is not None and _os.path.exists(prev):
+        _shutil.rmtree(prev)  # safe: replays of this batch now no-op
+    return True
+
+
+def countmin_current(spark, path: str, checkpoint: str) -> DataFrame:
+    """The live sketch the ``streaming_countmin`` pointer references."""
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+    with open(f"{path}/_latest_{run_token}", "r", encoding="utf-8") as fh:
+        return spark.read.parquet(fh.read().strip())
