@@ -226,3 +226,15 @@ def test_rank_buckets_ties_one_bucket(spark):
     assert {got[i] for i in range(4)} == {0}
     assert {got[i] for i in range(4, 8)} == {2}
     assert {got[i] for i in range(8, 10)} == {4}
+
+
+def test_rank_buckets_null_values_excluded(spark):
+    from traildb_spark.operators import curation
+
+    rows = [(i, None if i < 3 else (i % 2)) for i in range(13)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {r["id"]: r["bucket"] for r in curation.rank_buckets(df, "v", 2).collect()}
+    # 3 nulls → bucket NULL; 5×0 → bucket 0; 5×1 → floor(2*5/10)=1
+    assert all(got[i] is None for i in range(3))
+    reals = {got[i] for i in range(3, 13)}
+    assert reals == {0, 1}

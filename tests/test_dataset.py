@@ -302,3 +302,12 @@ def test_diff_datasets_detects_missing_and_matching(spark):
     b2 = spark.createDataFrame([("u", 1, "x")], ["uuid", "time", "f"])
     r = diff_datasets(a2, b2).first()
     assert r["match"] is False and r["n_a"] == 2
+
+
+def test_diff_datasets_column_order_insensitive(spark):
+    from traildb_spark.dataset import diff_datasets
+
+    a = spark.createDataFrame([("u", 1, "x")], ["uuid", "time", "f"])
+    b = spark.createDataFrame([("u", "x", 1)], ["uuid", "f", "time"])
+    r = diff_datasets(a, b).first()
+    assert r["match"] is True

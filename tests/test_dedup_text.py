@@ -869,3 +869,22 @@ def test_clean_text_nfc_and_controls(spark):
     assert got[2] == ("abc", 2)
     assert got[3] == ("", 0)
     assert got[4] == ("ok", 4)
+
+
+def test_remove_spans_unicode_whitespace_alignment(spark):
+    # NBSP must tokenize identically in the gram-position kernel (Python
+    # regex) and the Catalyst token split — else coverage misaligns.
+    # With ASCII-only \s both engines treat 'foo bar' as ONE token.
+    docs = spark.createDataFrame(
+        [(1, "a b foo bar c"), (2, "a b foo bar c x")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"])
+        for r in dedup.remove_duplicated_spans(docs, window=2).collect()
+    }
+    # 'foo bar' is ONE token on both sides: doc1 = a,b,foobar,c (4);
+    # doc2 adds x (5). All of doc1's windows duplicate → 4 removed; doc2
+    # keeps only the trailing x
+    assert got[1] == (4, 4)
+    assert got[2] == (5, 4)

@@ -317,3 +317,68 @@ def test_streaming_countmin_matches_batch(spark, sf_dir, tmp_path):
         (r["d"], r["cell"]): r["c"] for r in spark.read.parquet(cur).collect()
     }
     assert after == b
+
+
+def test_streaming_attribution_chunked_arrival(spark, sf_dir, tmp_path):
+    """Small Arrow batches force multi-chunk groups: state must sort the
+    WHOLE group, not each chunk (regression for per-chunk sort_values)."""
+    from traildb_spark.streaming.sessions import streaming_attribution
+    from traildb_spark.operators import analytics
+
+    path = str(tmp_path / "attr_chunks")
+    ev = load_events(spark, sf_dir, as_timestamp=True).limit(600)
+    # write UNsorted multi-partition input: chunks arrive out of order
+    ev.repartition(8).write.parquet(path)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        out = streaming_attribution(
+            stream, "purchase", ["click", "view"], lookback=86400
+        )
+        _run_stream(out, "sattr2", mode="append")
+        got = {
+            r["channel"]: r["conversions"]
+            for r in spark.sql(
+                "select channel, count(*) conversions from sattr2 group by channel"
+            ).collect()
+        }
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    batch_in = spark.read.parquet(path).select(
+        "uuid", F.unix_timestamp("event_time").alias("time"), "event_type",
+    )
+    want = {
+        r["channel"]: r["conversions"]
+        for r in analytics.attribution(
+            batch_in, "purchase", ["click", "view"], 86400, "last_touch",
+            "event_type", None, "uuid", "time",
+        ).collect()
+    }
+    assert got == want and sum(got.values()) > 0
+
+
+def test_countmin_checkpoint_reset_starts_fresh(spark, tmp_path):
+    """batch id 0 against existing state = cleared-checkpoint reset: the
+    old totals must be discarded, not double-merged."""
+    from traildb_spark.operators import analytics
+    from traildb_spark.streaming.ingest import _countmin_batch
+
+    out = str(tmp_path / "cm_reset")
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], ["v"])
+    assert _countmin_batch(df, 0, out, "v", 64, 2, "cm:", "tok") is True
+    assert _countmin_batch(df, 1, out, "v", 64, 2, "cm:", "tok") is True
+    # "reset": same token, batch ids restart at 0 over the same source
+    assert _countmin_batch(df, 0, out, "v", 64, 2, "cm:", "tok") is True
+    with open(f"{out}/_latest_tok") as fh:
+        cur = fh.read().strip()
+    est = {
+        r["value"]: r["est"]
+        for r in analytics.countmin_probe(
+            spark.read.parquet(cur), df.distinct(), "v", width=64, depth=2
+        ).collect()
+    }
+    # one pass over df, not three
+    assert est == {"a": 2, "b": 1}

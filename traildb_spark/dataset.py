@@ -573,10 +573,18 @@ def diff_datasets(
     Scale: one map-side-combined aggregate per side keyed on uuid, one
     full-outer join on uuid. Nothing trail-sized ever materializes.
     """
+    # derive the field list ONCE (sorted for determinism): computing it
+    # per-side would hash columns in each side's own order, flagging
+    # column-order differences as data differences
+    if fields is None:
+        fields = sorted(
+            set(a.columns).intersection(b.columns) - {uuid_col}
+        )
+        if not fields:
+            raise ValueError("diff_datasets: no common fields to digest")
+
     def digest(df: DataFrame, nc: str, fc: str) -> DataFrame:
         cols = fields
-        if cols is None:
-            cols = [c for c in df.columns if c != uuid_col]
         canon = F.concat_ws(
             "|", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
         )

@@ -24,7 +24,11 @@ _MERSENNE = (1 << 61) - 1
 
 import re as _re
 
-_WS = _re.compile(r"\s+")
+# ASCII-only \s to mirror Java regex (Catalyst regexp_replace) and RE2
+# (DuckDB): Python's default \s also matches NBSP/U+2000.., which would
+# shift token positions against the Catalyst-split token stream on
+# Unicode-whitespace text (e.g. scraped HTML)
+_WS = _re.compile(r"\s+", _re.ASCII)
 
 
 def _pynorm(t: str) -> str:

@@ -376,19 +376,22 @@ def session_cooccurrence(
     """
     from .trails import sessionize
 
+    from .dedup import _materialize
+
     sess = sessionize(df, gap=gap, uuid_col=uuid_col, time_col=time_col).select(
         F.concat_ws("#", F.col(uuid_col), F.col("session_id")).alias("sid"),
         F.col(field).alias("v"),
     )
-    per_sess = sess.distinct().groupBy("sid").agg(
+    # the distinct (sid, value) set feeds THREE branches (pairs, singles,
+    # session total) — materialize it so the sessionize windows + distinct
+    # shuffle run once, not per branch
+    d = _materialize(sess.distinct())
+    d.count()  # fill the cache distributed, once, before the branches
+    per_sess = d.groupBy("sid").agg(
         F.array_sort(F.collect_set("v")).alias("vs")
     )
     n_sessions = per_sess.select(F.count(F.lit(1)).alias("n"))
-    singles = (
-        sess.distinct()
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("nv"))
-    )
+    singles = d.groupBy("v").agg(F.count(F.lit(1)).alias("nv"))
     pairs = per_sess.select(
         F.explode(
             F.flatten(

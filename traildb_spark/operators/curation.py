@@ -525,8 +525,13 @@ def rank_buckets(
     quantization metrics are), and a broadcast join back. No row ever
     sorts globally.
     """
-    freq = df.groupBy(F.col(value_col).alias("__v")).agg(
-        F.count(F.lit(1)).alias("__c")
+    # NULL metric rows are excluded from ranking (they'd sort first and
+    # shift every real bucket) and come back with a NULL bucket via the
+    # left join below — callers decide their fate explicitly
+    freq = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
     total = freq.select(F.sum("__c").alias("__n"))

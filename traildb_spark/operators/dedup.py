@@ -1577,8 +1577,13 @@ def remove_duplicated_spans(
         md5_word_ngram_hashes_all(F.col(text_col), window).alias("__g"),
     )
     # gram occurrences keyed by hash; zero-token docs contribute a
-    # sentinel gram but can't have covered tokens (they emit no token rows)
-    occ = base.select("id", F.posexplode("__g").alias("p", "g"))
+    # sentinel gram but can't have covered tokens (they emit no token
+    # rows). Materialized: dup_grams and dup_starts both branch off it,
+    # and re-evaluating means re-running the gram-hash UDF over the
+    # corpus (same convention as duplicated_span_stats' count table;
+    # token_rows needs only __w, so column pruning drops the UDF there)
+    occ = _materialize(base.select("id", F.posexplode("__g").alias("p", "g")))
+    occ.count()  # fill the cache distributed, once, before the branches
     dup_grams = (
         occ.select("id", "g")
         .distinct()

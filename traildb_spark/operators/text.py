@@ -89,7 +89,7 @@ def detect_language_vec(col: Column) -> Column:
 
     markers = {lang: frozenset(ws) for lang, ws in LANG_MARKERS.items()}
     order = sorted(LANG_MARKERS)
-    ws_re = re.compile(r"\s+")
+    ws_re = re.compile(r"\s+", re.ASCII)  # mirror Java/RE2 \s (see vectorized._WS)
 
     @F.pandas_udf("string")
     def lid(s: pd.Series) -> pd.Series:

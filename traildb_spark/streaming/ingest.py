@@ -267,7 +267,12 @@ def _countmin_batch(
 ) -> bool:
     """One count-min merge step (exposed for the crash-replay tests, like
     ``_finalize_batch``). Returns False when the batch was a replay of an
-    already-committed id (state untouched)."""
+    already-committed id (state untouched).
+
+    Pointer/marker ops use local-filesystem calls — this sink is scoped
+    to ``file://`` paths (driver-local sketch state is tiny by
+    construction). For object-store deployments port the pointer ops to
+    the Hadoop FileSystem API as ``_finalize_batch`` does."""
     import os as _os
     import shutil as _shutil
 
@@ -279,10 +284,19 @@ def _countmin_batch(
     try:
         with open(latest, "r", encoding="utf-8") as fh:
             prev = fh.read().strip() or None
-    except OSError:
-        pass
+    except FileNotFoundError:
+        pass  # genuinely no state yet; any OTHER OSError must raise —
+        # treating a transient read failure as "no state" would silently
+        # reset the accumulated sketch to this batch's counts
     if prev == out_b:
         return False  # replay after commit: pointer already advanced
+    if prev is not None and batch_id == 0:
+        # batch id 0 with existing state = a CLEARED checkpoint against a
+        # kept output path (an intact checkpoint never re-issues id 0
+        # after later commits). Merging the re-read source into the old
+        # totals would double-count everything; start a fresh lineage.
+        _shutil.rmtree(prev, ignore_errors=True)
+        prev = None
     spark = batch_df.sparkSession
     part = countmin_build(batch_df, col, width, depth, seed)
     if prev is not None:

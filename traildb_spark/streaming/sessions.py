@@ -154,7 +154,11 @@ def streaming_funnel(
 
     def update(key, pdfs, state):
         times = list(state.get()) if state.exists else [-1] * k
-        for pdf in pdfs:
+        # concat BEFORE sorting: the group arrives as multiple Arrow
+        # chunks in shuffle (not time) order; sorting each chunk alone
+        # would replay a big trail's events out of order
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(ts_col)
             secs = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000_000
             for t, v in zip(secs, pdf[field]):
@@ -227,7 +231,10 @@ def streaming_attribution(
     def update(key, pdfs, state):
         last_t, last_i = state.get() if state.exists else (-1, -1)
         out_t, out_ch = [], []
-        for pdf in pdfs:
+        # concat BEFORE sorting — chunks arrive in shuffle order, not
+        # time order (same contract note as streaming_funnel)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(ts_col)
             secs = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000_000
             for t, v in zip(secs, pdf[field]):
