@@ -1267,6 +1267,39 @@ def q93_countmin(spark, sf_dir):
     return analytics.countmin_probe(sketch, vals, "props", width=64, depth=4)
 
 
+def q94_video_decode(spark, sf_dir):
+    """REAL video decode: video-kind rows (doc_id % 3 == 2, q49's kind
+    cycle) carry actual YUV4MPEG2 Cmono streams whose luma is the
+    deterministic ramp p[f, i] = (doc_id*7 + f*13 + i) % 256 over
+    n = 2 + doc_id % 4 frames of 8×4; decode → stride-2 frame sample →
+    exact integer luma stats. The oracle recomputes width/height/frame
+    count AND every kept frame's luma_sum/luma_max from the closed form —
+    proving the Y4M encoder, the header/FRAME parser, and the sampling
+    kernel agree end-to-end (retires the video stub the same way q69/q70
+    retired audio/image)."""
+    from traildb_spark.operators import multimodal
+
+    @F.pandas_udf("binary")
+    def y4m_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            n, h, w = 2 + i % 4, 4, 8
+            base = np.arange(h * w, dtype=np.int64)
+            frames = np.stack(
+                [((i * 7 + f * 13 + base) % 256).astype(np.uint8).reshape(h, w)
+                 for f in range(n)]
+            )
+            out.append(multimodal.make_y4m(frames))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "video", y4m_payload)
+    return multimodal.extract_video_frames(media, every_n=2)
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1374,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_length_deciles": q91_length_deciles,
         "q92_dataset_diff": q92_dataset_diff,
         "q93_countmin": q93_countmin,
+        "q94_video_decode": q94_video_decode,
     }
 
 
@@ -1829,6 +1863,27 @@ def oracle_sql() -> dict[str, str]:
                    MIN(pos) AS first_pos,
                    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
             FROM p GROUP BY term, doc_id
+        """,
+        "q94_video_decode": """
+            -- closed form of the Y4M fixture: luma p[f,i] = (id*7 + f*13
+            -- + i) % 256 over 8x4 frames, n = 2 + id % 4, stride 2
+            WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+            f AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, (2 + doc_id % 4) - 1, 2)) AS frame_idx
+              FROM v),
+            px AS (
+              SELECT doc_id, frame_idx, unnest(generate_series(0, 31)) AS i
+              FROM f)
+            SELECT doc_id AS media_id,
+                   CAST(frame_idx AS INTEGER) AS frame_idx,
+                   CAST(8 AS INTEGER) AS width,
+                   CAST(4 AS INTEGER) AS height,
+                   CAST(2 + doc_id % 4 AS INTEGER) AS n_frames,
+                   CAST(SUM((doc_id * 7 + frame_idx * 13 + i) % 256) AS BIGINT) AS luma_sum,
+                   CAST(MAX((doc_id * 7 + frame_idx * 13 + i) % 256) AS INTEGER) AS luma_max
+            FROM px
+            GROUP BY doc_id, frame_idx
         """,
         "q93_countmin": f"""
             -- count-min: cell(d, v) = md5('cm:' || d || ':' || v) 60-bit

@@ -415,3 +415,37 @@ def test_phash_neardup_pairs(spark):
              for r in multimodal.phash_neardup_pairs(feats, max_hamming=10).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 10
     assert not any(3 in p for p in pairs)
+
+
+def test_y4m_roundtrip_and_chroma_gate(spark):
+    import numpy as np
+    from traildb_spark.operators import multimodal as M
+
+    fr = (np.arange(2 * 4 * 6, dtype=np.int64) * 31 % 256).astype("uint8").reshape(2, 4, 6)
+    b = M.make_y4m(fr, fps=30)
+    w, h, back = M.decode_y4m(b)
+    assert (w, h) == (6, 4) and np.array_equal(back, fr)
+    # chroma-carrying stream → honest NotImplementedError, not garbage
+    chroma = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\nFRAME\n" + bytes(6)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        M.decode_y4m(chroma)
+    with _pytest.raises(ValueError):
+        M.decode_y4m(b"RIFFxxxx")
+    with _pytest.raises(ValueError):
+        M.decode_y4m(b[: len(b) - 3])  # truncated final frame
+
+
+def test_extract_video_frames_stride(spark):
+    import numpy as np
+    from traildb_spark.operators import multimodal as M
+
+    fr = np.stack([np.full((2, 3), v, np.uint8) for v in (10, 20, 30, 40, 50)])
+    rows = [(1, "video", bytearray(M.make_y4m(fr)), "x/video", None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {
+        r["frame_idx"]: (r["n_frames"], r["luma_sum"], r["luma_max"])
+        for r in M.extract_video_frames(df, every_n=2).collect()
+    }
+    assert set(got) == {0, 2, 4}
+    assert got[0] == (5, 60, 10) and got[4] == (5, 300, 50)

@@ -632,3 +632,120 @@ def phash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# video: YUV4MPEG2 (Y4M) — a real headered stream format, pure-python
+# --------------------------------------------------------------------------
+
+def make_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode a (n_frames, height, width) uint8 luma array as a real
+    YUV4MPEG2 stream (Cmono = luma-only; the format's own spec covers
+    mono streams, so no chroma planes are fabricated). Complements
+    ``make_png``/``make_wav``: every media kind now round-trips through
+    an actual container format."""
+    if frames.ndim != 3:
+        raise ValueError("frames must be (n, h, w)")
+    n, h, w = frames.shape
+    header = f"YUV4MPEG2 W{w} H{h} F{int(fps)}:1 Ip A1:1 Cmono\n".encode()
+    body = b"".join(b"FRAME\n" + f.astype(np.uint8).tobytes() for f in frames)
+    return header + body
+
+
+def decode_y4m(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a YUV4MPEG2 stream: header params, then FRAME-delimited luma
+    planes. Returns ``(width, height, frames[n, h, w])``. Chroma-carrying
+    streams (C420 etc.) raise ``NotImplementedError`` — the honest gate
+    for formats that need a real chroma path, same convention as the
+    JPEG-pixel fallback."""
+    nl = content.find(b"\n")
+    if nl < 0 or not content.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = "C420"  # the format's default when absent
+    for tok in content[:nl].split(b" ")[1:]:
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "C":
+            colorspace = "C" + val
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "Cmono":
+        raise NotImplementedError(
+            f"Y4M colorspace {colorspace}: chroma decode not implemented"
+        )
+    plane = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(content):
+        fnl = content.find(b"\n", pos)
+        if fnl < 0 or not content[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        start = fnl + 1
+        if start + plane > len(content):
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(content[start : start + plane], dtype=np.uint8).reshape(h, w)
+        )
+        pos = start + plane
+    return w, h, np.stack(frames) if frames else np.empty((0, h, w), np.uint8)
+
+
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("luma_sum", LongType()),
+        StructField("luma_max", IntegerType()),
+    ]
+)
+
+
+def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame sampling: decode Y4M payloads, keep every
+    ``every_n``-th frame, emit exact integer luma stats per kept frame —
+    the decode→frame-sample→feature contract of a training-data video
+    pipeline with an actual codec behind it (``sample_video_frames``
+    remains the format-agnostic stub-arithmetic plumbing for opaque
+    payloads). Arrow-batched mapInPandas; only fixed-width stats leave
+    the worker, never pixel planes."""
+    vids = df.filter(F.col("kind") == "video").select("media_id", "content")
+
+    def run(batches):
+        for pdf in batches:
+            ids, fidx, ws, hs, ns, sums, maxs = [], [], [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                w, h, frames = decode_y4m(bytes(content))
+                n = int(frames.shape[0])
+                for i in range(0, n, every_n):
+                    f = frames[i]
+                    ids.append(int(mid))
+                    fidx.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    ns.append(n)
+                    sums.append(int(f.astype(np.int64).sum()))
+                    maxs.append(int(f.max()) if f.size else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_frames": pd.Series(ns, dtype="int32"),
+                    "luma_sum": pd.Series(sums, dtype="int64"),
+                    "luma_max": pd.Series(maxs, dtype="int32"),
+                }
+            )
+
+    return vids.mapInPandas(run, VIDEO_FRAMES_SCHEMA)
