@@ -1300,6 +1300,53 @@ def q94_video_decode(spark, sf_dir):
     return multimodal.extract_video_frames(media, every_n=2)
 
 
+def q95_pattern_match(spark, sf_dir):
+    """Sequence pattern with absence constraint per trail: purchases
+    preceded by a view with NO error strictly between. One uuid window
+    carrying both running columns + a per-trail fold."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.pattern_match(
+        ev, "view", "purchase", "error", "event_type", "uuid", "time", "event_id"
+    )
+
+
+def q96_time_to_convert(spark, sf_dir):
+    """Survival-curve input: day-bucketed gap from first signup to first
+    later purchase per trail; bucket -1 = censored (never converted)."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.time_to_convert(ev, "signup", "purchase", bucket=86400)
+
+
+def q97_dup_by_source(spark, sf_dir):
+    """Curation report: per source, how many docs share their content
+    fingerprint with ANY doc corpus-wide (dup_permille = exact integer
+    division). Fingerprint-keyed count + broadcast-size source rollup."""
+    docs = _load(spark, sf_dir, "documents")
+    f = docs.select("source", text.fingerprint(F.col("text")).alias("fp"))
+    g = f.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    joined = f.join(g, "fp")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n") > 1).cast("long")).alias("n_dup_docs"),
+    ).withColumn(
+        "dup_permille", F.expr("1000 * n_dup_docs div n_docs")
+    )
+
+
+def q98_rolling_active(spark, sf_dir):
+    """Rolling 7-day active-trails timeline (WAU curve): trail-day
+    distinct rows explode ×7 (trail-day scale, not event scale), then a
+    day-keyed distinct count."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.rolling_active(ev, window_days=7, period=86400)
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1408,6 +1455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_dataset_diff": q92_dataset_diff,
         "q93_countmin": q93_countmin,
         "q94_video_decode": q94_video_decode,
+        "q95_pattern_match": q95_pattern_match,
+        "q96_time_to_convert": q96_time_to_convert,
+        "q97_dup_by_source": q97_dup_by_source,
+        "q98_rolling_active": q98_rolling_active,
     }
 
 
@@ -1863,6 +1914,61 @@ def oracle_sql() -> dict[str, str]:
                    MIN(pos) AS first_pos,
                    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
             FROM p GROUP BY term, doc_id
+        """,
+        "q95_pattern_match": f"""
+            WITH e AS ({_E}),
+            t AS (
+              SELECT uuid, event_type,
+                     last_value(CASE WHEN event_type = 'view'
+                                     THEN "time" END IGNORE NULLS) OVER w AS lf,
+                     last_value(CASE WHEN event_type = 'error'
+                                     THEN "time" END IGNORE NULLS) OVER w AS lw
+              FROM e
+              WINDOW w AS (PARTITION BY uuid ORDER BY "time", event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+            SELECT uuid, COUNT(*) AS n_then,
+                   SUM(CASE WHEN lf IS NOT NULL AND (lw IS NULL OR lw < lf)
+                            THEN 1 ELSE 0 END) AS n_matched
+            FROM t WHERE event_type = 'purchase'
+            GROUP BY uuid
+        """,
+        "q96_time_to_convert": f"""
+            WITH e AS ({_E}),
+            s AS (
+              SELECT uuid,
+                     MIN(CASE WHEN event_type = 'signup' THEN "time" END) AS st
+              FROM e GROUP BY uuid),
+            c AS (
+              SELECT s.uuid, s.st,
+                     MIN(CASE WHEN e.event_type = 'purchase' AND e."time" > s.st
+                              THEN e."time" END) AS et
+              FROM s JOIN e ON s.uuid = e.uuid
+              WHERE s.st IS NOT NULL
+              GROUP BY s.uuid, s.st)
+            SELECT CASE WHEN et IS NULL THEN -1
+                        ELSE (et - st) // 86400 END AS bucket,
+                   COUNT(*) AS trails
+            FROM c GROUP BY 1
+        """,
+        "q97_dup_by_source": f"""
+            WITH f AS (
+              SELECT doc_id, source, md5({_NORM_TEXT}) AS fp FROM documents),
+            g AS (SELECT fp, COUNT(*) AS n FROM f GROUP BY fp)
+            SELECT f.source,
+                   COUNT(*) AS n_docs,
+                   SUM(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+                   1000 * SUM(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) // COUNT(*)
+                     AS dup_permille
+            FROM f JOIN g USING (fp)
+            GROUP BY f.source
+        """,
+        "q98_rolling_active": f"""
+            WITH e AS ({_E}),
+            per AS (SELECT DISTINCT uuid, "time" // 86400 AS d FROM e),
+            sp AS (
+              SELECT uuid, unnest(generate_series(d, d + 6)) AS day FROM per)
+            SELECT day, COUNT(DISTINCT uuid) AS active_trails
+            FROM sp GROUP BY day
         """,
         "q94_video_decode": """
             -- closed form of the Y4M fixture: luma p[f,i] = (id*7 + f*13

@@ -262,3 +262,52 @@ def test_countmin_overestimates_and_merges(spark):
         for r in analytics.countmin_probe(merged, vals, "v", width=4096, depth=4).collect()
     }
     assert est_m == true
+
+
+def test_pattern_match_absence_constraint(spark):
+    rows = [
+        # u1: view@1, purchase@5 → matched
+        ("u1", 1, 1, "view"), ("u1", 5, 2, "purchase"),
+        # u2: view@1, error@3, purchase@5 → error between → not matched
+        ("u2", 1, 3, "view"), ("u2", 3, 4, "error"), ("u2", 5, 5, "purchase"),
+        # u3: error@1, view@3, purchase@5 → error BEFORE view → matched
+        ("u3", 1, 6, "error"), ("u3", 3, 7, "view"), ("u3", 5, 8, "purchase"),
+        # u4: purchase@5 with no view → not matched
+        ("u4", 5, 9, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["uuid", "time", "event_id", "event_type"])
+    got = {
+        r["uuid"]: (r["n_then"], r["n_matched"])
+        for r in analytics.pattern_match(
+            df, "view", "purchase", "error", "event_type", "uuid", "time", "event_id"
+        ).collect()
+    }
+    assert got == {"u1": (1, 1), "u2": (1, 0), "u3": (1, 1), "u4": (1, 0)}
+
+
+def test_time_to_convert_buckets_and_censoring(spark):
+    rows = [
+        ("u1", 0, "signup"), ("u1", 100, "purchase"),          # bucket 1
+        ("u2", 0, "signup"), ("u2", 250, "purchase"),          # bucket 2
+        ("u3", 0, "signup"),                                   # censored
+        ("u4", 50, "purchase"), ("u4", 60, "signup"),          # purchase BEFORE signup → censored
+        ("u5", 0, "click"),                                    # never signed up → excluded
+    ]
+    df = spark.createDataFrame(rows, ["uuid", "time", "event_type"])
+    got = {
+        r["bucket"]: r["trails"]
+        for r in analytics.time_to_convert(df, "signup", "purchase", bucket=100).collect()
+    }
+    assert got == {1: 1, 2: 1, -1: 2}
+
+
+def test_rolling_active_window(spark):
+    rows = [("u1", 0), ("u1", 90000), ("u2", 0)]  # u1 days 0,1; u2 day 0
+    df = spark.createDataFrame(rows, ["uuid", "time"])
+    got = {
+        r["day"]: r["active_trails"]
+        for r in analytics.rolling_active(df, window_days=2, period=86400).collect()
+    }
+    # u1 active in day-windows ending 0..1 (from day 0) and 1..2 (day 1);
+    # u2 in windows 0..1
+    assert got == {0: 2, 1: 2, 2: 1}

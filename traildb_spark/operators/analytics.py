@@ -557,3 +557,131 @@ def countmin_probe(
     return joined.groupBy("value").agg(
         F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est")
     )
+
+
+def pattern_match(
+    df: DataFrame,
+    first: str,
+    then: str,
+    without: str | None = None,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+) -> DataFrame:
+    """Sequence-pattern counts: occurrences of ``first → then`` with an
+    optional ABSENCE constraint — no ``without`` event strictly between
+    them (the "view → purchase with no error in between" class of trail
+    query; regex-over-events restricted to the two-anchor + negation form
+    that covers the reference's documented cursor-program patterns).
+
+    Anchor = each ``then`` event; its match uses the most recent prior
+    ``first`` (the tightest window, so the absence check is least likely
+    to be vacuously broken — standard semantics). One uuid window pass
+    carries both running columns; the per-trail aggregate folds map-side.
+    Returns ``(uuid, n_then, n_matched)`` per trail.
+    """
+    w = (
+        _trail_window(uuid_col, time_col, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_first = F.last(
+        F.when(F.col(field) == first, F.col(time_col)), ignorenulls=True
+    ).over(w)
+    last_without = (
+        F.last(
+            F.when(F.col(field) == without, F.col(time_col)), ignorenulls=True
+        ).over(w)
+        if without is not None
+        else F.lit(None).cast("long")
+    )
+    anchors = df.select(
+        F.col(uuid_col).alias("uuid"),
+        F.col(field).alias("__f"),
+        last_first.alias("__lf"),
+        last_without.alias("__lw"),
+    ).filter(F.col("__f") == then)
+    matched = F.col("__lf").isNotNull() & (
+        F.col("__lw").isNull() | (F.col("__lw") < F.col("__lf"))
+    )
+    return anchors.groupBy("uuid").agg(
+        F.count(F.lit(1)).alias("n_then"),
+        F.sum(matched.cast("long")).alias("n_matched"),
+    )
+
+
+def time_to_convert(
+    df: DataFrame,
+    start: str,
+    end: str,
+    bucket: int = 86400,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """Time-to-event distribution: per trail, the gap from the FIRST
+    ``start`` event to the first ``end`` event strictly after it, bucketed
+    into ``bucket``-second bins and counted — the funnel-latency /
+    survival-curve input. Trails that start but never convert land in
+    bucket -1 (the censored tail every survival analysis needs).
+
+    One uuid-keyed aggregate (two conditional mins — the second via a
+    min over (start-gated) end times), then a bucket-keyed count:
+    map-side folds everywhere, output is histogram-sized.
+    """
+    t = F.col(time_col)
+    per = df.groupBy(F.col(uuid_col).alias("uuid")).agg(
+        F.min(F.when(F.col(field) == start, t)).alias("__s"),
+    )
+    ends = df.select(
+        F.col(uuid_col).alias("uuid"), t.alias("__t"), F.col(field).alias("__f")
+    ).filter(F.col("__f") == end)
+    conv = (
+        per.join(ends, "uuid", "left")
+        .filter(F.col("__s").isNotNull())
+        .groupBy("uuid", "__s")
+        .agg(F.min(F.when(F.col("__t") > F.col("__s"), F.col("__t"))).alias("__e"))
+    )
+    b = F.when(
+        F.col("__e").isNotNull(),
+        ((F.col("__e") - F.col("__s")) / F.lit(int(bucket))).cast("long"),
+    ).otherwise(F.lit(-1))
+    return conv.select(b.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("trails")
+    )
+
+
+def rolling_active(
+    df: DataFrame,
+    window_days: int = 7,
+    period: int = 86400,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """Rolling N-day active trails per day — the DAU/WAU timeline. A
+    distinct-over-sliding-window is not directly expressible without a
+    quadratic self-join; instead each trail's DISTINCT active day
+    contributes to the ``window_days`` day-buckets it keeps the trail
+    "active" in, and a distinct count per bucket finishes the job.
+
+    Shuffle accounting: per-trail distinct days collapse map-side
+    (collect_set), the explode is ×window_days on TRAIL-DAY rows (not
+    events), and the final countDistinct keys on calendar days. Days with
+    zero activity simply don't appear (standard sparse timeline).
+    Returns ``(day, active_trails)`` — ``day`` is the Unix day index of
+    the WINDOW END.
+    """
+    day = (F.col(time_col).cast("long") / F.lit(int(period))).cast("long")
+    per = (
+        df.select(F.col(uuid_col).alias("uuid"), day.alias("d"))
+        .distinct()
+    )
+    spread = per.select(
+        "uuid",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(int(window_days) - 1))
+        ).alias("day"),
+    )
+    return spread.groupBy("day").agg(
+        F.countDistinct("uuid").alias("active_trails")
+    )
