@@ -2351,9 +2351,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_E})
         """,
         "q13_session_windows": f"""
+            -- new session iff gap STRICTLY exceeds 1800: F.session_window
+            -- merges an event at exactly prev+gap (probed empirically —
+            -- events at t=0 and t=1800 with gap 1800s form ONE window),
+            -- matching trails.sessionize's `> gap` and the q06 oracle
             WITH m AS (
               SELECT uuid, "time",
-                     CASE WHEN "time" - lag("time") OVER (PARTITION BY uuid ORDER BY "time") >= 1800
+                     CASE WHEN "time" - lag("time") OVER (PARTITION BY uuid ORDER BY "time") > 1800
                           THEN 1 ELSE 0 END AS is_new
               FROM ({_E})),
             s AS (
