@@ -2055,7 +2055,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      trim(regexp_replace(
                        regexp_replace(nfc_normalize(COALESCE(text, '')),
-                                      '[\\x00-\\x1f\\x7f]', '', 'g'),
+                                      '[\\x00-\\x1f\\x7f]', ' ', 'g'),
                        ' +', ' ', 'g')) AS clean_text,
                      length(COALESCE(text, '')) AS n0
               FROM documents)
@@ -2208,17 +2208,19 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "q77_video_frames": """
-            -- stub frame arithmetic: frames = bytelen div 64 + 1 (ASCII
-            -- fixture, so char-substr == byte-substr), stride 2, 16-byte
-            -- slices
+            -- stub frame arithmetic: frames = ceil(bytelen / 64) (ASCII
+            -- fixture, so char-substr == byte-substr), stride 2, each
+            -- frame = its own 64-byte payload slice; empty payloads emit
+            -- no frames
             WITH v AS (
-              SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+              SELECT doc_id AS media_id, text FROM documents
+              WHERE doc_id % 3 = 2 AND length(text) > 0),
             f AS (
               SELECT media_id, text,
-                     unnest(generate_series(0, CAST(length(text) // 64 AS INT), 2)) AS frame_idx
+                     unnest(generate_series(0, CAST((length(text) + 63) // 64 AS INT) - 1, 2)) AS frame_idx
               FROM v)
             SELECT media_id, frame_idx,
-                   substr(text, frame_idx * 16 + 1, 16) AS frame_text
+                   substr(text, frame_idx * 64 + 1, 64) AS frame_text
             FROM f
         """,
         "q76_bloom_dedup": f"""
@@ -2792,7 +2794,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q45_boilerplate_removal": f"""
             WITH t AS (
-              SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS ws FROM documents),
+              SELECT doc_id, {_TOKENS} AS ws FROM documents),
             c0 AS (
               SELECT doc_id, ws,
                      unnest(generate_series(0, CAST(ceil(len(ws) / 10.0) AS INT) - 1)) AS pos

@@ -866,7 +866,7 @@ def test_clean_text_nfc_and_controls(spark):
         for r in text.clean_text(docs).collect()
     }
     assert got[1] == ("café x", 2)  # NFC merges 2 cps to 1, 1 space dropped
-    assert got[2] == ("abc", 2)
+    assert got[2] == ("a b c", 0)  # controls become spaces, words intact
     assert got[3] == ("", 0)
     assert got[4] == ("ok", 4)
 
@@ -888,3 +888,41 @@ def test_remove_spans_unicode_whitespace_alignment(spark):
     # keeps only the trailing x
     assert got[1] == (4, 4)
     assert got[2] == (5, 4)
+
+
+def test_connected_components_string_ids_driver_path(spark):
+    pairs = spark.createDataFrame(
+        [("url-b", "url-a"), ("url-c", "url-b")], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {"url-a": "url-a", "url-b": "url-a", "url-c": "url-a"}
+
+
+def test_ivf_topk_string_ids(spark):
+    rows = [(f"v{i}", [float(i == j) for j in range(4)]) for i in range(4)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [("q0", [1.0, 0.0, 0.0, 0.0])], ["query_id", "embedding"]
+    )
+    got = similarity.ivf_topk(
+        corpus, queries, k=2, num_centroids=2, nprobe=2
+    ).collect()
+    assert len(got) == 2
+    assert sorted(r["rank"] for r in got) == [1, 2]
+    top = [r for r in got if r["rank"] == 1][0]
+    assert top["corpus_id"] == "v0" and top["query_id"] == "q0"
+
+
+def test_word_chunks_empty_doc_no_chunks(spark):
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "a b")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["ch"]
+        for r in df.select("doc_id", text.word_chunks(FF.col("text"), 2).alias("ch")).collect()
+    }
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["a b"]

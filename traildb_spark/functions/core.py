@@ -56,3 +56,12 @@ def empty_as_null(col: Column) -> Column:
 
 def null_as_empty(col: Column) -> Column:
     return F.coalesce(col.cast("string"), F.lit(""))
+
+
+def md5_60(col: Column) -> Column:
+    """The portable 60-bit hash family used everywhere cross-engine
+    determinism matters: first 15 hex chars of md5 as a non-negative
+    int64. DuckDB mirror: ``CAST(('0x' || substr(md5(x), 1, 15)) AS
+    BIGINT)``. One definition — hash-family changes (width, salt
+    convention) must not be re-implemented per call site."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.core import md5_60
 from .trails import TIME_COL, UUID_COL, _trail_window
 
 
@@ -169,7 +170,7 @@ def retention(
     the dataset's time span / ``period`` (e.g. a year of daily buckets is
     366 ints), not by event count.
     """
-    b = (F.col(time_col).cast("long") / F.lit(period)).cast("long")
+    b = F.floor(F.col(time_col).cast("long") / F.lit(period)).cast("long")
     per_trail = (
         df.select(F.col(uuid_col).alias("uuid"), b.alias("bucket"))
         .groupBy("uuid")
@@ -339,8 +340,8 @@ def activity_histogram(
     t = F.col(time_col)
     return (
         df.groupBy(
-            F.pmod((t / 86400).cast("long") + 4, F.lit(7)).alias("dow"),
-            ((t % 86400) / 3600).cast("long").alias("hour"),
+            F.pmod(F.floor(t / 86400).cast("long") + 4, F.lit(7)).alias("dow"),
+            (F.pmod(t, F.lit(86400)) / 3600).cast("long").alias("hour"),
             F.col(field).alias("value"),
         )
         .agg(F.count(F.lit(1)).alias("events"))
@@ -483,20 +484,12 @@ def _cm_cells(col: Column, width: int, depth: int, seed: str) -> Column:
             F.struct(
                 F.lit(d).alias("d"),
                 (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(f"{seed}{d}:"),
-                                    F.coalesce(col.cast("string"), F.lit("")),
-                                )
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
+                    md5_60(
+                        F.concat(
+                            F.lit(f"{seed}{d}:"),
+                            F.coalesce(col.cast("string"), F.lit("")),
+                        )
+                    )
                     % width
                 ).alias("cell"),
             )
@@ -671,7 +664,7 @@ def rolling_active(
     Returns ``(day, active_trails)`` — ``day`` is the Unix day index of
     the WINDOW END.
     """
-    day = (F.col(time_col).cast("long") / F.lit(int(period))).cast("long")
+    day = F.floor(F.col(time_col).cast("long") / F.lit(int(period))).cast("long")
     per = (
         df.select(F.col(uuid_col).alias("uuid"), day.alias("d"))
         .distinct()

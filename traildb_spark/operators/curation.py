@@ -20,10 +20,9 @@ def hash_bucket(col: Column, buckets: int = 10000, salt: str = "") -> Column:
     assigned today is the same split in every rerun, engine, and audit —
     random() splits are not reproducible across retries or engines.
     """
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10
-    ).cast("long")
-    return h % buckets
+    from ..functions.core import md5_60
+
+    return md5_60(F.concat(F.lit(salt), col.cast("string"))) % buckets
 
 
 def hash_split(
@@ -398,7 +397,10 @@ def decontaminate_semantic(
         V = np.vstack(qv.to_numpy()).astype(np.int64)
         vnorm = np.sqrt((V * V).sum(axis=1))
         cos = (V @ B.T) / (vnorm[:, None] * bnorm[None, :])
-        return pd.Series(((_round6_half_up(cos) / 1e6) >= threshold).any(axis=1))
+        r6 = _round6_half_up(cos) / 1e6
+        # NaN (zero-norm vector): Spark/DuckDB order NaN above all, so
+        # the 'pairs' path's `>= threshold` ACCEPTS it — mirror that
+        return pd.Series(((r6 >= threshold) | np.isnan(r6)).any(axis=1))
 
     return c.filter(~contaminated(F.col("__qv"))).drop("__qv")
 

@@ -17,6 +17,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.core import md5_60
+
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -808,7 +810,13 @@ def connected_components(
         nodes = {x for r in rows for x in (r["src"], r["dst"])}
         out = [(x, find(x)) for x in sorted(nodes)]
         edges.unpersist()
-        return pairs.sparkSession.createDataFrame(out, "id long, component long")
+        # schema follows the input id type (string doc ids are legal and
+        # the distributed path below handles them — the fast path must
+        # not flip behavior on data volume)
+        id_t = edges.schema["src"].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame(
+            out, f"id {id_t}, component {id_t}"
+        )
 
     # distributed path: large-star/small-star alternation
     nodes = _materialize(
@@ -1098,6 +1106,8 @@ def quantize_q20(col: Column) -> Column:
 
     @F.pandas_udf("array<long>")
     def qz(c: pd.Series) -> pd.Series:
+        if len(c) == 0:  # empty Arrow batch: no rows, no vstack crash
+            return pd.Series([], dtype=object)
         V = np.vstack(c.to_numpy()).astype(np.float64)
         Q = np.floor(V * _Q_SCALE).astype(np.int64)
         return pd.Series(list(Q))
@@ -1117,6 +1127,8 @@ def quantized_cosine_udf(a: Column, b: Column) -> Column:
 
     @F.pandas_udf("double")
     def qcos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:  # empty Arrow batch: no rows, no vstack crash
+            return pd.Series(np.empty(0, dtype=np.float64))
         X = np.vstack(xs.to_numpy()).astype(np.int64)
         Y = np.vstack(ys.to_numpy()).astype(np.int64)
         dot = (X * Y).sum(axis=1).astype(np.float64)
@@ -1137,6 +1149,8 @@ def portable_srp_code(col: Column, num_planes: int = 16, dim: int = 64) -> Colum
 
     @F.pandas_udf("long")
     def code_udf(c: pd.Series) -> pd.Series:
+        if len(c) == 0:  # empty Arrow batch: no rows, no vstack crash
+            return pd.Series(np.empty(0, dtype=np.int64))
         V = np.vstack(c.to_numpy()).astype(np.float64)
         Q = np.floor(V * _Q_SCALE).astype(np.int64)
         bits = (Q @ planes.T) >= 0  # (n, planes) integer GEMM — exact
@@ -1285,9 +1299,7 @@ def semantic_dedup(
     if assign not in ("pairs", "gemm"):
         raise ValueError(f"semantic_dedup: unknown assign mode {assign!r}")
     c = df.select(F.col(id_col).alias("id"), quantize_q20(F.col(vec_col)).alias("qv"))
-    hk = F.conv(
-        F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    hk = md5_60(F.col("id").cast("string"))
     cents = (
         c.withColumn("hk", hk)
         .orderBy("hk", "id")
@@ -1365,7 +1377,11 @@ def semantic_dedup(
             for s0 in range(0, len(ids), 1024):
                 s1 = min(s0 + 1024, len(ids))
                 cos = (V[s0:s1] @ V.T) / (norms[s0:s1, None] * norms[None, :])
-                hit = (_round6_half_up(cos) / 1e6) >= threshold
+                r6 = _round6_half_up(cos) / 1e6
+                # NaN (zero-norm vector, 0/0): Spark AND DuckDB order NaN
+                # above every value, so the pairs path's `cos >= t`
+                # ACCEPTS it — numpy's >= would reject; mirror explicitly
+                hit = (r6 >= threshold) | np.isnan(r6)
                 # row i (global s0+i) marks columns j > s0+i: j has a
                 # smaller-id neighbor at >= threshold
                 tri = hit & (

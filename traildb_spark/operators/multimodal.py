@@ -313,24 +313,29 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame-sampling contract: one output row per sampled frame.
 
-    STUB decode: frame count is derived from payload length (real impl:
-    ffmpeg probe), one "frame" per ``bytes_per_frame`` payload bytes plus
-    the final partial. The Spark-side shape — explode to (media_id,
-    frame_idx, frame_bytes) with every_n stride — is the real contract
-    downstream models consume, and the stub arithmetic is deterministic
-    (integer division + byte slices), so the whole path is
-    differentially checkable (q77).
+    STUB decode for opaque/compressed payloads (real formats:
+    ``extract_video_frames`` decodes actual YUV4MPEG2): frame count =
+    ``ceil(len / bytes_per_frame)`` (partial final frame counts, exact
+    multiples do NOT grow a phantom frame), and frame i's bytes are
+    payload slice ``[i·bytes_per_frame, (i+1)·bytes_per_frame)`` — the
+    slice stride IS ``bytes_per_frame``, so frame_bytes corresponds to
+    the frame's own payload region. Deterministic arithmetic → the whole
+    explode/slice path is differentially checkable (q77). Empty payloads
+    emit no frames.
     """
-    n_frames = F.expr(f"length(content) div {int(bytes_per_frame)}") + 1
+    bpf = int(bytes_per_frame)
+    n_frames = F.expr(f"(length(content) + {bpf - 1}) div {bpf}")
     idx = F.sequence(F.lit(0), (n_frames - 1).cast("int"), F.lit(every_n))
-    vids = df.filter(F.col("kind") == "video")
+    vids = df.filter((F.col("kind") == "video") & (F.length("content") > 0))
     return (
         vids.withColumn("frame_idx", F.explode(idx))
         .select(
             "media_id",
             "frame_idx",
-            # STUB: slice of payload stands in for the decoded frame
-            F.substring(F.col("content"), F.col("frame_idx") * 16 + 1, 16).alias("frame_bytes"),
+            # STUB: the frame's own payload slice stands in for decode
+            F.substring(
+                F.col("content"), F.col("frame_idx") * bpf + 1, bpf
+            ).alias("frame_bytes"),
         )
     )
 
@@ -725,7 +730,20 @@ def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                w, h, frames = decode_y4m(bytes(content))
+                try:
+                    w, h, frames = decode_y4m(bytes(content))
+                except DECODE_ERRORS + (NotImplementedError,):
+                    # corrupt / non-Y4M / chroma payload → sentinel row,
+                    # never a failed task (same contract as the image and
+                    # audio extractors)
+                    ids.append(int(mid))
+                    fidx.append(-1)
+                    ws.append(-1)
+                    hs.append(-1)
+                    ns.append(-1)
+                    sums.append(0)
+                    maxs.append(-1)
+                    continue
                 n = int(frames.shape[0])
                 for i in range(0, n, every_n):
                     f = frames[i]

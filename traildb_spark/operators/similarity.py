@@ -169,7 +169,10 @@ def ivf_build(
     # materialize eagerly so the corpus cache (and the final broadcast)
     # can be released now instead of leaking for the session's lifetime;
     # callers always consume the full assignment table anyway
-    assignments = v.mapInPandas(assign, "corpus_id long, cid int").localCheckpoint()
+    id_t = dict(corpus.dtypes)[id_col]  # follow the caller's id type
+    assignments = v.mapInPandas(
+        assign, f"corpus_id {id_t}, cid int"
+    ).localCheckpoint()
     v.unpersist()
     bc.destroy()
     return assignments, cents
@@ -195,9 +198,11 @@ def ivf_topk(
     spark = corpus.sparkSession
     # empty query set: empty result, not a driver-side numpy crash
     qpdf = queries.select(query_id_col, vec_col).toPandas()
+    qid_t = dict(queries.dtypes)[query_id_col]
+    cid_t = dict(corpus.dtypes)[id_col]
     if len(qpdf) == 0:
         return spark.createDataFrame(
-            [], "query_id long, corpus_id long, cos double, rank int"
+            [], f"query_id {qid_t}, corpus_id {cid_t}, cos double, rank int"
         )
     assignments, cents = ivf_build(corpus, num_centroids, vec_col, id_col)
     c = corpus.select(
@@ -210,11 +215,14 @@ def ivf_topk(
     order = np.argsort(-(Qn @ cents.T), axis=1)[:, :nprobe]
     probes = spark.createDataFrame(
         [
-            (int(qpdf[query_id_col].iloc[i]), [float(x) for x in Q[i]], int(cid))
+            (qpdf[query_id_col].iloc[i].item()
+             if hasattr(qpdf[query_id_col].iloc[i], "item")
+             else qpdf[query_id_col].iloc[i],
+             [float(x) for x in Q[i]], int(cid))
             for i in range(len(qpdf))
             for cid in order[i]
         ],
-        f"query_id long, qv array<double>, cid int",
+        f"query_id {qid_t}, qv array<double>, cid int",
     )
     scored = c.join(F.broadcast(probes), "cid").withColumn(
         "cos", cosine_udf(F.col("cv"), F.col("qv"))
@@ -261,9 +269,9 @@ def ivf_topk_portable(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), quantize_q20(F.col(vec_col)).alias("cv")
     )
-    hk = F.conv(
-        F.substring(F.md5(F.col("corpus_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    from ..functions.core import md5_60
+
+    hk = md5_60(F.col("corpus_id").cast("string"))
     cents = (
         c.withColumn("hk", hk)
         .orderBy("hk", "corpus_id")

@@ -136,7 +136,10 @@ def word_chunks(col: Column, n: int = 10) -> Column:
     """Normalized text → array of fixed-size word chunks (the paragraph
     unit for corpora without structural delimiters; pass ``F.split(text,
     '\\n\\n')`` instead when real paragraphs exist)."""
-    w = F.split(normalize_text(col), " ")
+    # filter the ''-token a split of empty text produces: an empty doc
+    # must emit NO chunks (an '' "paragraph" occurring min_df times would
+    # otherwise become boilerplate and rewrite every empty doc)
+    w = F.filter(F.split(normalize_text(col), " "), lambda t: t != "")
     n_chunks = F.ceil(F.size(w) / F.lit(n)).cast("int")
     return F.when(
         F.size(w) > 0,
@@ -736,8 +739,10 @@ def clean_text(
         return s.fillna("").str.normalize("NFC")
 
     normalized = nfc(F.col(text_col))
+    # control chars become SPACES (then collapse): deleting them outright
+    # would glue the words around a newline/tab into one fabricated token
     stripped = F.regexp_replace(
-        normalized, "[\\x00-\\x1f\\x7f]", ""
+        normalized, "[\\x00-\\x1f\\x7f]", " "
     )
     collapsed = F.trim(F.regexp_replace(stripped, " +", " "))
     return df.select(
