@@ -512,3 +512,73 @@ def test_remove_spans_matches_python_reference(spark, texts, window):
         kept = [w for j, w in enumerate(ws) if j not in covered]
         want[d] = (" ".join(kept), len(ws), sum(1 for j in range(len(ws)) if j in covered))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["u0", "u1"]), st.integers(0, 500),
+              st.sampled_from(["a", "b", "c", ""])),
+    min_size=0, max_size=40))
+def test_session_cooccurrence_matches_python(spark, rows):
+    """Basket pairs/supports equal a brute-force per-session Python calc."""
+    from traildb_spark.operators import analytics
+
+    df = spark.createDataFrame(rows, "uuid string, time long, event_type string")
+    got = {
+        (r["v1"], r["v2"]): r["support"]
+        for r in analytics.session_cooccurrence(df, gap=100, min_support=1).collect()
+    }
+    # python reference
+    per_u: dict = {}
+    for u, t, v in rows:
+        per_u.setdefault(u, []).append((t, v))
+    sessions = []
+    for u, evs in per_u.items():
+        evs.sort()
+        cur = []
+        prev = None
+        for t, v in evs:
+            if prev is not None and t - prev > 100:
+                sessions.append(cur)
+                cur = []
+            cur.append(v)
+            prev = t
+        if cur:
+            sessions.append(cur)
+    want: dict = {}
+    for s in sessions:
+        vs = sorted(set(s))
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                want[(vs[i], vs[j])] = want.get((vs[i], vs[j]), 0) + 1
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=8).map(" ".join),
+    min_size=1, max_size=6))
+def test_cooccurrence_pmi_matches_python(spark, texts):
+    from traildb_spark.operators import text as T
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["pmi_bits"])
+        for r in T.cooccurrence_pmi(df, min_count=1).collect()
+    }
+    uni: dict = {}
+    bi: dict = {}
+    n = 0
+    for t in texts:
+        ws = [w for w in t.split(" ") if w]
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            n += 1
+    want = {
+        p: (c, c.bit_length() + n.bit_length()
+            - uni[p[0]].bit_length() - uni[p[1]].bit_length())
+        for p, c in bi.items()
+    }
+    assert got == want
