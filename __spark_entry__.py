@@ -2030,15 +2030,17 @@ def oracle_sql() -> dict[str, str]:
             da AS (
               SELECT uuid, COUNT(*) AS n_a,
                      CAST(SUM(CAST(('0x' || substr(md5(
-                            CAST("time" AS VARCHAR) || '|' || event_type || '|'
-                            || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT))
+                            CAST(length(CAST("time" AS VARCHAR)) AS VARCHAR) || ':' || CAST("time" AS VARCHAR)
+                            || '|' || CAST(length(event_type) AS VARCHAR) || ':' || event_type
+                            || '|' || CAST(length(CAST(event_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT))
                           % 1152921504606846976 AS VARCHAR) AS fp_a
               FROM ea GROUP BY uuid),
             dbb AS (
               SELECT uuid, COUNT(*) AS n_b,
                      CAST(SUM(CAST(('0x' || substr(md5(
-                            CAST("time" AS VARCHAR) || '|' || event_type || '|'
-                            || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT))
+                            CAST(length(CAST("time" AS VARCHAR)) AS VARCHAR) || ':' || CAST("time" AS VARCHAR)
+                            || '|' || CAST(length(event_type) AS VARCHAR) || ':' || event_type
+                            || '|' || CAST(length(CAST(event_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT))
                           % 1152921504606846976 AS VARCHAR) AS fp_b
               FROM eb GROUP BY uuid)
             SELECT COALESCE(da.uuid, dbb.uuid) AS uuid,

@@ -127,3 +127,25 @@ def test_tutorial_pipeline_end_to_end(spark, tmp_path):
     dump_json(db.with_filter(f).df, dump_dir)
     back = spark.read.json(dump_dir)
     assert back.count() == 3
+
+
+def test_cli_json_stdout(spark, tmp_path, capsys):
+    """-j with stdout output (the default) must emit NDJSON, not bare
+    delimiter-joined values."""
+    import json
+
+    src = tmp_path / "in2.jsonl"
+    src.write_text(
+        '{"uuid": "a", "time": 10, "kind": "x"}\n'
+        '{"uuid": "b", "time": 5, "kind": ""}\n'
+    )
+    db = str(tmp_path / "jdb2")
+    assert main(["make", "-j", "-o", db, str(src)]) == 0
+    capsys.readouterr()
+    assert main(["dump", "-j", "-i", db, "--json-no-empty"]) == 0
+    out = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    objs = [json.loads(ln) for ln in out]
+    assert len(objs) == 2
+    by_time = {o["time"]: o for o in objs}
+    assert by_time[10]["kind"] == "x"
+    assert "kind" not in by_time[5]  # '' dropped by --json-no-empty

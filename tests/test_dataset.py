@@ -311,3 +311,39 @@ def test_diff_datasets_column_order_insensitive(spark):
     b = spark.createDataFrame([("u", "x", 1)], ["uuid", "f", "time"])
     r = diff_datasets(a, b).first()
     assert r["match"] is True
+
+
+def test_diff_datasets_separator_injection(spark):
+    from traildb_spark.dataset import diff_datasets
+
+    # ('x|y','z') vs ('x','y|z') concatenate identically under a bare
+    # '|' join — the length-prefixed digest must tell them apart
+    a = spark.createDataFrame([("u", "x|y", "z")], ["uuid", "f1", "f2"])
+    b = spark.createDataFrame([("u", "x", "y|z")], ["uuid", "f1", "f2"])
+    r = diff_datasets(a, b, fields=["f1", "f2"]).first()
+    assert r["match"] is False
+
+
+def test_lexicon_dump_zero_fields(spark):
+    from traildb_spark.dataset import TrailDataset, normalize_events
+
+    zf = normalize_events(spark.createDataFrame([("u", 5)], ["uuid", "time"]))
+    out = TrailDataset(zf).lexicon_dump()
+    assert out.columns == ["field", "value", "item_id"]
+    assert out.count() == 0
+
+
+def test_shard_predicate_sentinel_bounds(spark, tmp_path):
+    from traildb_spark import EventFilter, TrailDataset
+    from traildb_spark.dataset import normalize_events
+
+    rows = [("u", 1704067200 + i * 86400, str(i)) for i in range(3)]
+    ds = TrailDataset(
+        normalize_events(spark.createDataFrame(rows, ["uuid", "time", "f"]))
+    )
+    p = str(tmp_path / "sh")
+    ds.finalize(p, time_shard="yyyy-MM-dd")
+    back = TrailDataset.open(spark, p)
+    # sentinel end far beyond representable timestamps must not crash
+    f = EventFilter().add_time_range(1704067200, 2**62)
+    assert back.with_filter(f).df.count() == 3

@@ -382,3 +382,21 @@ def test_countmin_checkpoint_reset_starts_fresh(spark, tmp_path):
     }
     # one pass over df, not three
     assert est == {"a": 2, "b": 1}
+
+
+def test_finalize_cleared_checkpoint_refuses(spark, sf_dir, tmp_path):
+    """Cleared-checkpoint reuse (same token, ids restart at 0, output
+    holds old commits) must raise, not silently drop the new batches."""
+    import pytest as _pytest
+
+    from traildb_spark.streaming.ingest import _finalize_batch
+
+    ev = load_events(spark, sf_dir).limit(100)
+    out = str(tmp_path / "tdb")
+    assert _finalize_batch(ev, 0, out, run_token="tok") is True
+    assert _finalize_batch(ev, 1, out, run_token="tok") is True
+    # genuine crash-replay of the LAST batch: skip quietly
+    assert _finalize_batch(ev, 1, out, run_token="tok") is False
+    # new lineage (ids restart at 0) against the same output: loud refusal
+    with _pytest.raises(RuntimeError, match="previous lineage"):
+        _finalize_batch(ev, 0, out, run_token="tok")

@@ -80,10 +80,23 @@ def cmd_dump(args) -> int:
     if args.output == "-":
         rows = project_fields(df, fields).limit(args.limit).collect()
         cols = fields or df.columns
-        if args.csv_header:
-            print(args.delimiter.join(cols))
-        for r in rows:
-            print(args.delimiter.join("" if r[c] is None else str(r[c]) for c in cols))
+        if args.json:
+            # -j on stdout: NDJSON lines, honoring --json-no-empty —
+            # the reference's JSON dump surface, interactively
+            import json as _json
+
+            for r in rows:
+                obj = {
+                    c: r[c]
+                    for c in cols
+                    if not (args.json_no_empty and (r[c] is None or r[c] == ""))
+                }
+                print(_json.dumps(obj, sort_keys=True))
+        else:
+            if args.csv_header:
+                print(args.delimiter.join(cols))
+            for r in rows:
+                print(args.delimiter.join("" if r[c] is None else str(r[c]) for c in cols))
     elif args.json:
         dump_json(df, args.output, fields=fields, no_empty=args.json_no_empty, mode="overwrite")
     else:

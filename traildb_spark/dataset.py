@@ -132,15 +132,23 @@ def _shard_predicate(f: EventFilter, shard_fmt: str) -> Column | None:
     re-checks rows. This is what turns 'time in [a,b)' into Hive-partition
     pruning on the daily-shard layout.
     """
+    # clamp bounds into the formatable timestamp domain (years 1..9999):
+    # sentinel bounds like 2^62 would overflow timestamp_seconds at
+    # execution, crashing a query the unsharded path handles fine. Data
+    # shard labels were themselves rendered via timestamp_seconds, so
+    # clamping toward the domain edges only WIDENS the candidate set —
+    # still a sound superset; the exact CNF re-check stays authoritative.
+    _TS_LO, _TS_HI = -62135596800, 253402300799
+    _clamp = lambda v: max(_TS_LO, min(_TS_HI, int(v)))
     derived = []
     for clause in f.clauses:
         if clause and all(isinstance(t, TimeRange) for t in clause):
             ors = None
             for t in clause:
                 c = (
-                    F.col(SHARD_COL) >= _shard_expr(F.lit(t.start), shard_fmt)
+                    F.col(SHARD_COL) >= _shard_expr(F.lit(_clamp(t.start)), shard_fmt)
                 ) & (
-                    F.col(SHARD_COL) <= _shard_expr(F.lit(t.end), shard_fmt)
+                    F.col(SHARD_COL) <= _shard_expr(F.lit(_clamp(t.end)), shard_fmt)
                 )
                 ors = c if ors is None else (ors | c)
             derived.append(ors)
@@ -273,6 +281,12 @@ class TrailDataset:
         """
         if fields is None:
             fields = [f for f in self.fields if f != TIME_COL]
+        if not fields:
+            # zero-field dataset (legal: reference zero_fields.c) → empty
+            # lexicon table, stable schema
+            return self.df.sparkSession.createDataFrame(
+                [], "field string, value string, item_id long"
+            )
         lexes = None
         for f in fields:
             lx = self.lexicon(f).select(
@@ -522,6 +536,15 @@ def compact_shards(
     Only compact shards no longer receiving appends (older than the
     stream's watermark): the swap is not concurrency-safe against an
     in-flight write to the SAME shard. Returns the shard values rewritten.
+
+    Crash safety: the two-rename swap has one unavoidable window (shard
+    renamed away, replacement not yet in place). Every call therefore
+    RECOVERS first — a leftover ``.compact.<shard>.old`` with no live
+    shard dir is restored before anything else, so a crashed compaction
+    self-heals on retry instead of leaving the shard invisible. Local
+    filesystem paths only (os.rename atomicity); port the renames to the
+    Hadoop FileSystem API for hdfs:// — ``streaming.ingest._finalize_batch``
+    shows the pattern.
     """
     import shutil
 
@@ -536,6 +559,16 @@ def compact_shards(
     for shard in shards:
         shard_dir = os.path.join(path, f"{SHARD_COL}={shard}")
         tmp_dir = os.path.join(path, f".compact.{shard}.tmp")
+        old_dir = os.path.join(path, f".compact.{shard}.old")
+        # recover a previous crash: backup exists and the live dir is
+        # gone → restore the backup (its content is the pre-compaction
+        # truth); stale tmp dirs are always safe to drop
+        if os.path.exists(old_dir) and not os.path.exists(shard_dir):
+            os.rename(old_dir, shard_dir)
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
         (
             spark.read.parquet(shard_dir)
             .repartition(n, F.col(UUID_COL))
@@ -543,7 +576,6 @@ def compact_shards(
             .write.mode("overwrite")
             .parquet(tmp_dir)
         )
-        old_dir = os.path.join(path, f".compact.{shard}.old")
         os.rename(shard_dir, old_dir)
         os.rename(tmp_dir, shard_dir)
         shutil.rmtree(old_dir)
@@ -583,12 +615,26 @@ def diff_datasets(
         if not fields:
             raise ValueError("diff_datasets: no common fields to digest")
 
+    from .functions.core import md5_60
+
     def digest(df: DataFrame, nc: str, fc: str) -> DataFrame:
         cols = fields
+        # length-prefix every field ('len:value') so the canonical string
+        # segments unambiguously: a bare '|' join would collide
+        # ('x|y','z') with ('x','y|z') and report match=True for trails
+        # whose contents differ
         canon = F.concat_ws(
-            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+            "|",
+            *[
+                F.concat(
+                    F.length(F.coalesce(F.col(c).cast("string"), F.lit(""))).cast("string"),
+                    F.lit(":"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("")),
+                )
+                for c in cols
+            ],
         )
-        fp = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+        fp = md5_60(canon).cast("decimal(38,0)")
         # 2^60: the md5-prefix value space; decimal sum never overflows
         return df.groupBy(F.col(uuid_col).alias("uuid")).agg(
             F.count(F.lit(1)).alias(nc),

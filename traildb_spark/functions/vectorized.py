@@ -447,8 +447,9 @@ def pairwise_cosine_pairs(
                 {"id_a": ia[keep], "id_b": ib[keep], "cos": cos[bi, bj][keep]}
             )
 
+    id_t = dict(df.dtypes)[id_col]  # follow the caller's id type
     return df.select(id_col, vec_col).mapInPandas(
-        run, schema="id_a long, id_b long, cos double"
+        run, schema=f"id_a {id_t}, id_b {id_t}, cos double"
     )
 
 
@@ -472,7 +473,9 @@ def topk_cosine(
     # (the broadcast-join formulation this kernel replaced returned empty)
     if len(qpdf) == 0:
         return spark.createDataFrame(
-            [], "query_id long, corpus_id long, cos double, rank int"
+            [],
+            f"query_id {dict(queries.dtypes)[query_id_col]}, "
+            f"corpus_id {dict(corpus.dtypes)[id_col]}, cos double, rank int"
         )
     qids = qpdf[query_id_col].to_numpy()
     qmat = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
@@ -510,7 +513,11 @@ def topk_cosine(
             yield pd.DataFrame(rows)
 
     cand = corpus.select(id_col, vec_col).mapInPandas(
-        run, schema="query_id long, corpus_id long, cos double"
+        run,
+        schema=(
+            f"query_id {dict(queries.dtypes)[query_id_col]}, "
+            f"corpus_id {dict(corpus.dtypes)[id_col]}, cos double"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
     return (

@@ -59,6 +59,7 @@ def streaming_finalize(
     checkpoint: str,
     time_shard: str | None = None,
     num_buckets: int | None = None,
+    processing_time: str | None = None,
 ):
     """Continuously land a normalized event stream in the finalize layout.
 
@@ -101,13 +102,19 @@ def streaming_finalize(
             run_token=run_token,
         )
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
+    # default: drain-what's-there and stop (the reference's cron-loop
+    # cadence, and what the parity tests drive). Pass processing_time
+    # (e.g. "1 minute") for a genuinely continuous long-running query.
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def _finalize_batch(
@@ -151,6 +158,30 @@ def _finalize_batch(
     fs = hpath(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     marker = hpath(f"{path}/_traildb_commits/batch-{run_token}-{batch_id}")
     if fs.exists(marker):
+        # Replay of a committed id — UNLESS this is batch 0 of a CLEARED
+        # checkpoint reusing the same path (same token, ids restart at 0,
+        # stale markers would silently discard every new batch = data
+        # loss). An intact checkpoint can only replay id 0 while no later
+        # id has committed (batch N+1 starts only after N's checkpoint
+        # commit), so markers for ids >= 1 prove a stale lineage: refuse
+        # loudly — the output already holds the old lineage's data, and
+        # appending a re-read source would duplicate it.
+        if batch_id == 0:
+            later = fs.globStatus(
+                hpath(f"{path}/_traildb_commits/batch-{run_token}-*")
+            )
+            stale = any(
+                s.getPath().getName() != f"batch-{run_token}-0" for s in later or []
+            )
+            if stale:
+                raise RuntimeError(
+                    "streaming_finalize: batch id 0 arrived but this output "
+                    "path already holds commits from a previous lineage of "
+                    "the same checkpoint path (checkpoint was cleared and "
+                    "reused). Appending would duplicate the old data and "
+                    "skipping would lose the new — use a fresh checkpoint "
+                    "path or a clean output directory."
+                )
         return False
     if batch_df.isEmpty():
         fs.mkdirs(marker.getParent())
@@ -219,6 +250,7 @@ def streaming_countmin(
     width: int = 1024,
     depth: int = 4,
     seed: str = "cm:",
+    processing_time: str | None = None,
 ):
     """Continuously maintain a count-min sketch over a stream — the
     mergeability of `analytics.countmin_build` in motion: each
@@ -246,13 +278,16 @@ def streaming_countmin(
             batch_df, batch_id, path, col, width, depth, seed, run_token
         )
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def _countmin_batch(

@@ -81,6 +81,8 @@ def stateful_trail_counts(
 
         n, first_us, last_us = state.get() if state.exists else (0, None, None)
         for pdf in pdfs:
+            if len(pdf) == 0:  # empty chunk: min()/max() would be NaT
+                continue
             ts = pd.to_datetime(pdf[ts_col])
             n += len(pdf)
             lo = int(ts.min().value // 1000)
