@@ -1347,6 +1347,19 @@ def q98_rolling_active(spark, sf_dir):
     return analytics.rolling_active(ev, window_days=7, period=86400)
 
 
+def q99_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase splits 10000 bp
+    equally over its 1-day prefix click/view touches (remainder to the
+    most recent; untouched conversions credit '(none)') — credit
+    conserves exactly at 10000 × conversions."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.attribution_linear(
+        ev, "purchase", ["click", "view"], 86400
+    )
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1459,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_time_to_convert": q96_time_to_convert,
         "q97_dup_by_source": q97_dup_by_source,
         "q98_rolling_active": q98_rolling_active,
+        "q99_attribution_linear": q99_attribution_linear,
     }
 
 
@@ -1961,6 +1975,45 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_permille
             FROM f JOIN g USING (fp)
             GROUP BY f.source
+        """,
+        "q99_attribution_linear": f"""
+            WITH e AS ({_E}),
+            c AS (SELECT uuid, "time" AS ct, event_id AS cid FROM e
+                  WHERE event_type = 'purchase'),
+            t AS (SELECT uuid, "time" AS tt, event_id AS tid,
+                         event_type AS ch FROM e
+                  WHERE event_type IN ('click', 'view')),
+            j AS (
+              SELECT c.uuid, c.cid, t.ch, t.tt, t.tid
+              FROM c JOIN t ON c.uuid = t.uuid
+              WHERE (t.tt < c.ct OR (t.tt = c.ct AND t.tid < c.cid))
+                AND t.tt >= c.ct - 86400),
+            k AS (
+              SELECT uuid, cid, ch,
+                     COUNT(*) OVER (PARTITION BY uuid, cid) AS n,
+                     row_number() OVER (PARTITION BY uuid, cid
+                                        ORDER BY tt DESC, tid DESC) AS rn
+              FROM j),
+            credited AS (
+              SELECT uuid, cid, ch,
+                     CASE WHEN rn = 1 THEN 10000 - (n - 1) * (10000 // n)
+                          ELSE 10000 // n END AS bp
+              FROM k),
+            per_ch AS (
+              SELECT ch AS channel,
+                     COUNT(DISTINCT (uuid, cid)) AS conversions_touched,
+                     CAST(SUM(bp) AS BIGINT) AS credit_bp
+              FROM credited GROUP BY ch),
+            untouched AS (
+              SELECT '(none)' AS channel,
+                     COUNT(*) AS conversions_touched,
+                     CAST(COUNT(*) * 10000 AS BIGINT) AS credit_bp
+              FROM c
+              WHERE NOT EXISTS (
+                SELECT 1 FROM credited x
+                WHERE x.uuid = c.uuid AND x.cid = c.cid)
+              HAVING COUNT(*) > 0)
+            SELECT * FROM per_ch UNION ALL SELECT * FROM untouched
         """,
         "q98_rolling_active": f"""
             WITH e AS ({_E}),

@@ -311,3 +311,30 @@ def test_rolling_active_window(spark):
     # u1 active in day-windows ending 0..1 (from day 0) and 1..2 (day 1);
     # u2 in windows 0..1
     assert got == {0: 2, 1: 2, 2: 1}
+
+
+def test_attribution_linear_credit_conserves(spark):
+    rows = [
+        # u1: click@1, view@2, purchase@10 → 2 touches: 5000 each
+        ("u1", 1, 1, "click"), ("u1", 2, 2, "view"), ("u1", 10, 3, "purchase"),
+        # u2: click@1, click@2, view@3, purchase@10 → 3 touches:
+        #   10000//3=3333 each, most recent (view@3) gets 3334
+        ("u2", 1, 4, "click"), ("u2", 2, 5, "click"), ("u2", 3, 6, "view"),
+        ("u2", 10, 7, "purchase"),
+        # u3: purchase@5 no touches → (none) 10000
+        ("u3", 5, 8, "purchase"),
+        # u4: touch outside lookback → (none)
+        ("u4", 0, 9, "click"), ("u4", 1000, 10, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["uuid", "time", "event_id", "event_type"])
+    got = {
+        r["channel"]: (r["conversions_touched"], r["credit_bp"])
+        for r in analytics.attribution_linear(
+            df, "purchase", ["click", "view"], 100
+        ).collect()
+    }
+    assert got["click"] == (2, 5000 + 2 * 3333)
+    assert got["view"] == (2, 5000 + 3334)
+    assert got["(none)"] == (2, 20000)
+    total = sum(bp for _, bp in got.values())
+    assert total == 4 * 10000  # exact conservation

@@ -678,3 +678,83 @@ def rolling_active(
     return spread.groupBy("day").agg(
         F.countDistinct("uuid").alias("active_trails")
     )
+
+
+def attribution_linear(
+    df: DataFrame,
+    conversion: str,
+    touches: list[str],
+    lookback: int | None = None,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution: every conversion
+    splits exactly 10000 basis points over its eligible prefix touches —
+    integer division with the remainder going to the MOST RECENT touch,
+    so credit conserves exactly (``sum(credit_bp) = 10000 ×
+    conversions``, touched or not: conversions with no eligible touch
+    credit '(none)'). Eligibility = strictly before the conversion in
+    (time, id) trail order and within ``lookback`` seconds.
+
+    Scale: one uuid-keyed join pairs each trail's touches with its
+    conversions — the pairing is per-trail (bounded by trail size, the
+    same bound every per-trail operator carries), never cross-trail; the
+    credit windows partition by conversion id and the final aggregate
+    keys on ≤ |touches|+1 channels. For whale trails route through the
+    binned ``operators.joins.range_join`` instead of the raw pairing.
+
+    Returns ``(channel, conversions_touched, credit_bp)``.
+    """
+    conv = df.filter(F.col(field) == conversion).select(
+        F.col(uuid_col).alias("__u"),
+        F.col(time_col).alias("__ct"),
+        F.col(id_col).alias("__cid"),
+    )
+    tch = df.filter(F.col(field).isin(list(touches))).select(
+        F.col(uuid_col).alias("__u"),
+        F.col(time_col).alias("__tt"),
+        F.col(id_col).alias("__tid"),
+        F.col(field).alias("__ch"),
+    )
+    before = (F.col("__tt") < F.col("__ct")) | (
+        (F.col("__tt") == F.col("__ct")) & (F.col("__tid") < F.col("__cid"))
+    )
+    cond = before
+    if lookback is not None:
+        cond = cond & (F.col("__tt") >= F.col("__ct") - F.lit(int(lookback)))
+    j = conv.join(tch, "__u").filter(cond)
+    wn = Window.partitionBy("__u", "__cid")
+    wr = Window.partitionBy("__u", "__cid").orderBy(
+        F.desc("__tt"), F.desc("__tid")
+    )
+    credited = (
+        j.withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn("__rn", F.row_number().over(wr))
+        .withColumn(
+            "__bp",
+            F.when(
+                F.col("__rn") == 1,
+                F.lit(10000)
+                - (F.col("__n") - 1) * F.expr("10000 div __n"),
+            ).otherwise(F.expr("10000 div __n")),
+        )
+    )
+    per_channel = credited.groupBy(F.col("__ch").alias("channel")).agg(
+        F.countDistinct("__u", "__cid").alias("conversions_touched"),
+        F.sum("__bp").cast("long").alias("credit_bp"),
+    )
+    untouched = (
+        conv.join(
+            credited.select("__u", "__cid").distinct(), ["__u", "__cid"], "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("(none)").alias("channel"),
+            F.col("n").alias("conversions_touched"),
+            (F.col("n") * 10000).cast("long").alias("credit_bp"),
+        )
+        .filter(F.col("conversions_touched") > 0)
+    )
+    return per_channel.unionByName(untouched)
