@@ -537,7 +537,7 @@ def q42_dedup_clusters(spark, sf_dir):
     with its cluster's canonical (min) id. Oracle: DuckDB recursive CTE
     over the same md5-60 simhash pair set."""
     docs = _load(spark, sf_dir, "documents")
-    md5_60 = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    from traildb_spark.functions.core import md5_60
     pairs = dedup.simhash_pairs(docs, max_hamming=3, token_hasher=md5_60)
     return dedup.dedup_clusters(docs, pairs)
 
@@ -820,7 +820,7 @@ def q36_simhash(spark, sf_dir):
     hashes are the first 60 bits of md5 so DuckDB reproduces the exact
     simhash codes (block-permutation candidates + exact Hamming verify)."""
     docs = _load(spark, sf_dir, "documents")
-    md5_60 = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    from traildb_spark.functions.core import md5_60
     return dedup.simhash_pairs(docs, max_hamming=3, token_hasher=md5_60)
 
 
@@ -916,13 +916,17 @@ def q68_make_dump_roundtrip(spark, sf_dir):
     from traildb_spark.sources import make
 
     # cap /tmp accumulation: each invocation writes a CSV + parquet copy
-    # of events; clear prior runs' dirs before creating this run's (the
-    # returned DataFrame reads lazily from THIS run's files, so cleanup
-    # can only ever target earlier invocations)
-    for old_dir in glob.glob(os.path.join(tempfile.gettempdir(), "tdb_roundtrip_*")):
+    # of events; clear THIS PROCESS's prior runs only — the glob is
+    # pid-scoped so a concurrently-running bench/correctness process (or
+    # its still-lazy DataFrames) never loses files under it. Note the
+    # lazy-read caveat applies within one process too: build-two-then-
+    # collect would lose the first run's files, so callers evaluate each
+    # q68 DataFrame before requesting another (the driver does).
+    pid_prefix = f"tdb_roundtrip_p{os.getpid()}_"
+    for old_dir in glob.glob(os.path.join(tempfile.gettempdir(), pid_prefix + "*")):
         shutil.rmtree(old_dir, ignore_errors=True)
     ev = _events(spark, sf_dir).select("uuid", "time", "event_type", "props")
-    tmp = tempfile.mkdtemp(prefix="tdb_roundtrip_")
+    tmp = tempfile.mkdtemp(prefix=pid_prefix)
     csv_path = os.path.join(tmp, "in_csv")
     tdb_path = os.path.join(tmp, "tdb")
     # scrambled column order on disk; the field spec re-maps by index.
@@ -1074,8 +1078,8 @@ def q77_video_frames(spark, sf_dir):
     """Video frame-sampling plumbing, driver-checked end to end: the
     MEDIA_SCHEMA video rows (utf-8 text payloads) explode to one row per
     sampled frame (64-byte stub frames, stride 2). The decode itself is
-    the documented stub, but its arithmetic — frame count = byte length
-    div 64 + 1, 16-byte frame slices — is deterministic, so the Spark
+    the documented stub, but its arithmetic — frame count = ceil(byte
+    length / 64), each frame its own 64-byte slice — is deterministic, so the Spark
     explode/slice plumbing is differentially verified; the fixture is
     ASCII, making char-substr and byte-substr coincide in the oracle."""
     from traildb_spark.operators import multimodal
@@ -1479,7 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _srp_neardup_oracle(num_planes: int, bands: int, threshold: float) -> str:
     """SQL for the portable SRP near-dup: the ±1 hyperplanes inline as
     VALUES literals (the same matrix dedup._srp_planes hands Spark).
-    Parameterized so q52 (16 planes / 4 bands) and q38 (24 / 6) share it."""
+    Parameterized so q52 (16 planes / 4 bands) and q38 (24 planes / 4 bands, i.e. 6 bits per band) share it."""
     from traildb_spark.operators.dedup import _srp_planes
 
     planes = _srp_planes(num_planes, 64)
@@ -1570,9 +1574,13 @@ def _srp_topk_oracle(num_planes: int, max_hamming: int, k: int) -> str:
 
 # PII patterns duplicated for the SQL side (RE2-safe; backslashes doubled
 # for SQL string literals where needed)
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
-_PII_NUM = r"[0-9]{2,}"
+# canonical PII patterns — interpolated into the q57 oracle so the SQL
+# can never drift from text.scrub_pii's definitions
+from traildb_spark.operators.text import PII_PATTERNS as _PII
+
+_PII_EMAIL = _PII[0][1]
+_PII_IPV4 = _PII[1][1]
+_PII_NUM = _PII[2][1]
 
 
 def _ivf_topk_oracle(num_centroids: int, nprobe: int, k: int) -> str:
@@ -1694,12 +1702,13 @@ def _minhash_portable_oracle(
 
 
 def oracle_sql() -> dict[str, str]:
-    langs = {
-        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
-        "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
-        "es": ["el", "la", "los", "y", "es", "un", "una", "por", "para", "con"],
-        "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
-    }
+    from traildb_spark.operators.text import GOPHER_STOPWORDS
+
+    _gopher_stops = ",".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    # the CANONICAL marker sets — a one-sided edit can't desync the oracle
+    from traildb_spark.operators.text import LANG_MARKERS
+
+    langs = {k: list(v) for k, v in sorted(LANG_MARKERS.items())}
     def hits(lang):
         lst = ", ".join(f"'{w}'" for w in langs[lang])
         return f"len(list_filter({_TOKENS}, t -> list_contains([{lst}], t)))"
@@ -1799,7 +1808,7 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN len(ws) > 0
                           THEN CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(ws)
                           ELSE 0.0 END AS alpha_frac,
-                     len(list_filter(['the','be','to','of','and','that','have','with'],
+                     len(list_filter([{_gopher_stops}],
                                      s -> list_contains(ws, s))) AS stop_hits
               FROM t)
             SELECT doc_id,
@@ -2554,7 +2563,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q23_props_extract": f"""
             SELECT event_type,
-                   CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(SUM(TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
                    COUNT(*) AS n,
                    round(AVG(value), 4) AS avg_value
             FROM ({_E}) GROUP BY event_type

@@ -238,3 +238,10 @@ def test_rank_buckets_null_values_excluded(spark):
     assert all(got[i] is None for i in range(3))
     reals = {got[i] for i in range(3, 13)}
     assert reals == {0, 1}
+
+
+def test_pack_sequences_empty_input(spark):
+    from traildb_spark.operators import curation
+
+    df = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert curation.pack_sequences(df, budget=128).count() == 0

@@ -385,6 +385,16 @@ def srp_code(vec: Column, num_planes: int = 16, seed: int = 1234) -> Column:
     return code_udf(vec)
 
 
+def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
+    """HALF_UP decimal rounding (what Spark ROUND and DuckDB round() do).
+    np.round is banker's rounding and breaks oracle parity on exact .5
+    ties at the target digit; same caveat as dedup._round6_half_up: a
+    value within one ulp of a tie can still differ from the engines'
+    decimal rounding, which no float formulation avoids."""
+    s = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
 def cosine_udf(a: Column, b: Column, round_digits: int = 6) -> Column:
     """Row-wise cosine of two array<float> columns, one einsum per Arrow
     batch — replaces the interpreted Catalyst aggregate/zip_with fold
@@ -396,7 +406,7 @@ def cosine_udf(a: Column, b: Column, round_digits: int = 6) -> Column:
         B = np.vstack(ys.to_numpy()).astype(np.float64)
         num = np.einsum("ij,ij->i", A, B)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        return pd.Series(np.round(num / np.where(den == 0, 1, den), round_digits))
+        return pd.Series(_round_half_up(num / np.where(den == 0, 1, den), round_digits))
 
     return cos(a, b)
 
@@ -439,7 +449,7 @@ def pairwise_cosine_pairs(
             q = np.vstack(pdfb[vec_col].to_numpy()).astype(np.float64)
             q = q / np.linalg.norm(q, axis=1, keepdims=True)
             qids = pdfb[id_col].to_numpy()
-            cos = np.round(q @ M.T, round_digits)
+            cos = _round_half_up(q @ M.T, round_digits)
             bi, bj = np.nonzero(cos >= threshold)
             ia, ib = qids[bi], I[bj]
             keep = ia < ib
@@ -491,7 +501,7 @@ def topk_cosine(
             c = np.vstack(pdfb[vec_col].to_numpy()).astype(np.float64)
             c = c / np.linalg.norm(c, axis=1, keepdims=True)
             cids = pdfb[id_col].to_numpy()
-            cos = np.round(c @ Q.T, round_digits)  # (batch, nq)
+            cos = _round_half_up(c @ Q.T, round_digits)  # (batch, nq)
             # partial top-k per query within the batch. Deterministic
             # tie-break (cos desc, corpus_id asc) INSIDE the kernel: a bare
             # argpartition keeps arbitrary rows among rounded-cos ties, so

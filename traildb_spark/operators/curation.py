@@ -269,7 +269,9 @@ def pack_sequences(
         acc += r["__tot"]
     spark = df.sparkSession
     off = F.broadcast(
-        spark.createDataFrame(offsets, ["__shard", "__base"])
+        # empty input → schema can't infer from []; seed a typed dummy
+        # row the join simply never matches (same guard as trail_ids)
+        spark.createDataFrame(offsets or [(0, 0)], ["__shard", "__base"])
     )
 
     w = (
