@@ -9,7 +9,7 @@ from traildb_spark.cli import main
 def test_cli_make_info_dump_merge(spark, tmp_path, capsys):
     # build a small CSV input (headerless, positional field spec)
     src = tmp_path / "in.csv"
-    rows = ["u1,100,click", "u1,200,view", "u2,150,click", "u2,90,"]
+    rows = ["a1,100,click", "a1,200,view", "b2,150,click", "b2,90,"]
     src.write_text("\n".join(rows) + "\n")
     db = str(tmp_path / "db")
 
@@ -27,19 +27,19 @@ def test_cli_make_info_dump_merge(spark, tmp_path, capsys):
                  "-f", "uuid,time,action", "--csv-header"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0] == "uuid,time,action"
-    assert sorted(out[1:]) == ["u1,100,click", "u2,150,click"]
+    assert sorted(out[1:]) == ["a1,100,click", "b2,150,click"]
 
     # empty-value filter matches the NULL-ish row
     assert main(["dump", "-i", db, "-o", "-", "--filter", "action="]) == 0
     out = capsys.readouterr().out.strip().splitlines()
-    assert len(out) == 1 and out[0].startswith("u2,90")
+    assert len(out) == 1 and out[0].startswith("b2,90")
 
     # uuid whitelist
     wl = tmp_path / "uuids.txt"
-    wl.write_text("u2\n")
+    wl.write_text("b2\n")
     assert main(["dump", "-i", db, "-o", "-", "--uuids", str(wl)]) == 0
     out = capsys.readouterr().out.strip().splitlines()
-    assert len(out) == 2 and all(ln.startswith("u2") for ln in out)
+    assert len(out) == 2 and all(ln.startswith("b2") for ln in out)
 
     # merge db with itself -> duplicates preserved (UNION ALL semantics,
     # reference tests/tdbcli/test_tdbcli.py:248-259)
@@ -149,3 +149,21 @@ def test_cli_json_stdout(spark, tmp_path, capsys):
     by_time = {o["time"]: o for o in objs}
     assert by_time[10]["kind"] == "x"
     assert "kind" not in by_time[5]  # '' dropped by --json-no-empty
+
+
+def test_make_rejects_bad_uuid(spark, tmp_path):
+    """Reference parse_uuid contract: non-hex uuid aborts (FAILFAST) or
+    skips (--skip-bad-input); hex tokens pass verbatim."""
+    import pytest as _pytest
+
+    from traildb_spark.sources.make import make_from_csv
+
+    src = tmp_path / "in.csv"
+    src.write_text("uuid,time,f\nab12,10,x\nNOT-HEX,20,y\n")
+    ds = make_from_csv(
+        spark, str(src), header=True, skip_bad_input=True
+    )
+    assert [r["uuid"] for r in ds.df.collect()] == ["ab12"]
+    strict = make_from_csv(spark, str(src), header=True, skip_bad_input=False)
+    with _pytest.raises(Exception, match="invalid uuid"):
+        strict.df.collect()

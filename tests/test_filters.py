@@ -156,3 +156,27 @@ def test_parse_filter_value_containing_neq(spark):
     f2 = parse_filter("note!=x")
     t2 = f2.get_term(0, 0)
     assert (t2.field, t2.value, t2.negative) == ("note", "x", True)
+
+
+def test_parse_filter_rejects_stray_amp():
+    import pytest as _pytest
+
+    from traildb_spark.operators.filters import parse_filter
+
+    for bad in ("a=1 &", "& a=1", "a=1 && b=2"):
+        with _pytest.raises(ValueError, match="empty clause"):
+            parse_filter(bad)
+
+
+def test_trail_overrides_uppercase_uuid_keys(spark):
+    from traildb_spark import EventFilter
+    from traildb_spark.operators.filters import trail_filter_overrides
+
+    df = spark.createDataFrame(
+        [("ab12", 1, "x"), ("cd34", 2, "y")], ["uuid", "time", "f"]
+    )
+    # uppercase key must still match the canonical lowercase uuid
+    out = trail_filter_overrides(
+        df, None, {"AB12": EventFilter.none()}
+    ).collect()
+    assert {r["uuid"] for r in out} == {"cd34"}

@@ -162,3 +162,40 @@ def test_range_join_inverted_interval_matches_nothing(spark):
     )
     got = range_join(left, right).collect()
     assert [r["tag"] for r in got] == ["good"]
+
+
+def test_asof_null_right_time_is_not_a_match(spark):
+    from traildb_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame([("k", 5)], ["k", "time"])
+    right = spark.createDataFrame(
+        [("k", None, 99)], "k string, rt long, px long"
+    )
+    out = as_of_join(left, right, on="k", left_time="time", right_time="rt").collect()
+    assert len(out) == 1 and out[0]["px"] is None
+
+
+def test_range_join_rejects_ambiguous_columns(spark):
+    import pytest as _pytest
+
+    from traildb_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([("k", 5, "x")], ["k", "time", "shared"])
+    right = spark.createDataFrame(
+        [("k", 0, 10, "y")], ["k", "start", "end", "shared"]
+    )
+    with _pytest.raises(ValueError, match="ambiguous"):
+        range_join(left, right, on="k")
+
+
+def test_range_join_sentinel_interval_fails_fast(spark):
+    import pytest as _pytest
+
+    from traildb_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([("k", 5)], ["k", "time"])
+    right = spark.createDataFrame(
+        [("k", 0, 253402300800)], ["k", "start", "end"]  # open-ended sentinel
+    )
+    with _pytest.raises(Exception, match="bins"):
+        range_join(left, right, on="k", bin_size=3600).collect()

@@ -12,9 +12,11 @@ Semantics preserved from the reference:
 
 * CNF: clauses are ANDed; terms inside a clause are ORed
   (`src/tdb_decode.c:15-61`).
-* empty string ≡ NULL — one value (`src/tdb.c:488-495,513-524`). Every
-  comparison goes through ``coalesce(col, '')`` so Spark's three-valued
-  logic can never drop a row the reference would keep.
+* empty string ≡ NULL — one value (`src/tdb.c:488-495,513-524`),
+  implemented with explicit IsNull/IsNotNull branches rather than a
+  ``coalesce`` wrapper (coalesce around the column would block Parquet
+  predicate pushdown — see the inline note in ``compile``); Spark's
+  three-valued logic still never drops a row the reference would keep.
 * negated terms use two-valued logic: ``f != v`` matches rows where f is
   NULL/empty (the reference compares dictionary ids, which always exist).
 * unknown field or unknown value → item 0: a positive term matches nothing,
@@ -192,6 +194,11 @@ def parse_filter(text: str) -> EventFilter:
     if not text:
         return EventFilter.all()
     for raw_clause in text.split("&"):
+        if not raw_clause.strip():
+            # 'a=1 &' / 'a=1 && b=2': an empty clause would compile to
+            # lit(False) and silently turn the WHOLE filter into
+            # match-nothing — reject the malformed expression instead
+            raise ValueError(f"empty clause in filter expression: {text!r}")
         f.new_clause()
         for tok in raw_clause.split():
             if tok.startswith("time:[") and tok.endswith(")"):
@@ -223,14 +230,18 @@ def uuid_whitelist(df: DataFrame, uuids: list[str] | DataFrame, uuid_col: str = 
     """Restrict to trails in the whitelist (reference ``--uuids``,
     `tdbcli/filter.c:142-243`: match-none db filter + match-all overrides).
 
-    Spark-native: a broadcast left-semi join — Catalyst broadcasts the
-    (small) uuid list so no shuffle of the big side; for a big whitelist
-    AQE falls back to shuffle semi-join.
+    Spark-native semi-join. A driver-provided LIST is by construction
+    small → explicit broadcast hint (no shuffle of the big side). A
+    DataFrame whitelist is left UNhinted: F.broadcast is a hard override
+    that would force a multi-GB whitelist through the driver — without
+    the hint Catalyst/AQE broadcast when it fits the threshold and fall
+    back to a shuffle semi-join when it doesn't.
     """
     if isinstance(uuids, DataFrame):
         wl = uuids.select(
             F.lower(F.col(uuids.columns[0]).cast("string")).alias(uuid_col)
         ).distinct()
+        return df.join(wl, uuid_col, "left_semi")
     else:
         spark = df.sparkSession
         # explicit schema: an empty whitelist must mean match-none (the
@@ -272,7 +283,10 @@ def trail_filter_overrides(
     by_spec: dict[str, tuple[EventFilter, list[str]]] = {}
     for u, filt in overrides.items():
         key = repr(filt)
-        by_spec.setdefault(key, (filt, []))[1].append(u)
+        # canonical lowercase uuid form, same normalization as
+        # uuid_whitelist — an uppercase-hex override key would otherwise
+        # silently never apply
+        by_spec.setdefault(key, (filt, []))[1].append(u.lower())
     expr = None
     covered = None
     for filt, uuids in by_spec.values():

@@ -22,6 +22,7 @@ def range_join(
     end_col: str = "end",
     on: str | list[str] | None = None,
     bin_size: int = 3600,
+    max_bins_per_interval: int = 100_000,
 ) -> DataFrame:
     """Interval join: every (left row, right row) pair where
     ``start <= left_time < end`` (and optional equi-keys match).
@@ -33,20 +34,53 @@ def range_join(
     equi-join on (keys..., bin), and the exact interval predicate
     re-checks candidates. Shuffle volume = |L| + |R|·(avg interval /
     bin_size); pick bin_size near the median interval length.
+
+    Column-collision contract: ``left_time``/``start_col``/``end_col``
+    must be three DISTINCT names and the two frames must share no other
+    column besides the equi-keys — rename before joining otherwise (the
+    post-join exact predicate references the columns by bare name).
+    ``max_bins_per_interval`` is the explosion guard: an interval wider
+    than ``bin_size × max_bins`` (open-ended sentinel ends are the usual
+    culprit) fails FAST with guidance instead of exploding 70M bin rows
+    into the shuffle — clamp sentinel ends or raise bin_size.
     """
     keys = [on] if isinstance(on, str) else list(on or [])
+    shared = (set(left.columns) & set(right.columns)) - set(keys)
+    if shared or len({left_time, start_col, end_col}) != 3:
+        raise ValueError(
+            f"range_join: ambiguous columns {sorted(shared)} — rename the "
+            "non-key columns shared by both sides before joining"
+        )
     lbin = (F.col(left_time).cast("long") / bin_size).cast("long")
-    rbins = F.sequence(
-        (F.col(start_col).cast("long") / bin_size).cast("long"),
-        ((F.col(end_col).cast("long") - 1) / bin_size).cast("long"),
-    )
+    start_bin = (F.col(start_col).cast("long") / bin_size).cast("long")
+    end_bin = ((F.col(end_col).cast("long") - 1) / bin_size).cast("long")
     l = left.withColumn("__bin", lbin)
     # drop empty/inverted intervals BEFORE binning: they match nothing by
     # the predicate, but F.sequence(start_bin, end_bin) with start > stop
     # counts DOWN — one zeroed/sentinel end would explode into millions of
     # candidate bins instead of zero
+    # the guard must sit INSIDE the evaluated expression (a dropped
+    # side-column would be pruned by Catalyst and never run): the
+    # sequence's upper bound itself raises when the interval is too wide
+    end_bin_checked = F.when(
+        end_bin - start_bin < F.lit(int(max_bins_per_interval)), end_bin
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "range_join: interval spans more than "
+                    f"{max_bins_per_interval} bins of {bin_size}s — clamp "
+                    "sentinel end values or raise bin_size (interval start="
+                ),
+                F.col(start_col).cast("string"),
+                F.lit(" end="),
+                F.col(end_col).cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long")
+    )
     r = right.filter(F.col(end_col) > F.col(start_col)).withColumn(
-        "__bin", F.explode(rbins)
+        "__bin", F.explode(F.sequence(start_bin, end_bin_checked))
     )
     joined = l.join(r, [*keys, "__bin"]).filter(
         (F.col(start_col) <= F.col(left_time)) & (F.col(left_time) < F.col(end_col))
@@ -99,7 +133,11 @@ def as_of_join(
         else "double"
     )
 
-    r = right.select(
+    # a NULL right_time row would sort FIRST (nulls-first ascending) with
+    # a non-null payload struct, and last(ignorenulls) would attach it to
+    # every left row as a bogus "most recent" match — drop such rows (no
+    # timestamp = can never be an as-of match)
+    r = right.filter(F.col(right_time).isNotNull()).select(
         *[F.col(c) for c in keys],
         (F.col(right_time).cast(t_type) * sign).alias("__t"),
         F.lit(0).alias("__side"),

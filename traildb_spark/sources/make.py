@@ -82,7 +82,8 @@ def make_from_csv(
             src = _src_col(idx, name) if idx is not None else name
             sel.append(F.col(src).alias(name))
         df = df.select(*sel)
-    return TrailDataset(_check_time(normalize_events(df, uuid_col, time_col), skip_bad_input))
+    ev = _check_time(normalize_events(df, uuid_col, time_col), skip_bad_input)
+    return TrailDataset(_check_uuid(ev, skip_bad_input))
 
 
 def make_from_json(
@@ -109,7 +110,37 @@ def make_from_json(
             raise ValueError(f"unknown fields in JSON input: {unknown}")
         keep = [uuid_col, time_col] + list(fields)
         df = df.select(*[c for c in df.columns if c in keep])
-    return TrailDataset(_check_time(normalize_events(df, uuid_col, time_col), skip_bad_input))
+    ev = _check_time(normalize_events(df, uuid_col, time_col), skip_bad_input)
+    return TrailDataset(_check_uuid(ev, skip_bad_input))
+
+
+def _check_uuid(ev: DataFrame, skip_bad_input: bool) -> DataFrame:
+    """The reference's uuid contract for `tdb make` (`tdbcli/op_make.c:22-38`
+    parse_uuid + tdb_uuid_raw): a token is valid iff it is 1..32 hex
+    chars; anything else skips the row (``--skip-bad-input``) or aborts.
+    Documented deviation: the reference right-pads short tokens with '0'
+    to 32 hex chars (an artifact of its 16-byte binary uuid storage);
+    our string keys preserve the token verbatim — validation matches,
+    canonical form doesn't need to. Library-level ``from_dataframe``
+    deliberately accepts ARBITRARY string keys; only the CLI-parity
+    ingest validates."""
+    from ..dataset import UUID_COL
+
+    ok = F.col(UUID_COL).rlike("^[0-9a-f]{1,32}$")
+    if skip_bad_input:
+        return ev.filter(ok)
+    return ev.withColumn(
+        UUID_COL,
+        F.when(ok, F.col(UUID_COL)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("invalid uuid (want 1..32 hex chars; pass "
+                          "skip_bad_input=True to drop): "),
+                    F.col(UUID_COL),
+                )
+            ).cast("string")
+        ),
+    )
 
 
 def _check_time(ev: DataFrame, skip_bad_input: bool) -> DataFrame:
