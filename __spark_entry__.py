@@ -1364,6 +1364,49 @@ def q99_attribution_linear(spark, sf_dir):
     )
 
 
+def q100_cluster_sizes(spark, sf_dir):
+    """Dedup reporting: the cluster-size histogram over the q42
+    connected components (how much of the corpus sits in dup groups of
+    size 1, 2, 3…) — the standard before/after dedup audit. Component
+    labels reduce to component-sized counts, then a histogram-sized
+    aggregate."""
+    docs = _load(spark, sf_dir, "documents")
+    md5_60_fn = core.md5_60
+    pairs = dedup.simhash_pairs(docs, max_hamming=3, token_hasher=md5_60_fn)
+    labeled = dedup.dedup_clusters(docs, pairs)
+    sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
+def q101_cohort_revenue(spark, sf_dir):
+    """Cohort revenue triangle: per (signup-day cohort, day offset), the
+    number of active trails AND their summed purchase value in integer
+    cents — `retention` extended with a value metric (the LTV curve
+    input). Same two-shuffle shape: per-trail day sets collapse map-side,
+    the final aggregate keys on the tiny cohort triangle."""
+    ev = _events(spark, sf_dir)
+    day = F.floor(F.col("time") / 86400).cast("long")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    ).otherwise(F.lit(0))
+    per = ev.select("uuid", day.alias("d"), cents.alias("c")).groupBy(
+        "uuid", "d"
+    ).agg(F.sum("c").alias("rev"))
+    cohort = per.groupBy("uuid").agg(F.min("d").alias("cohort"))
+    return (
+        per.join(cohort, "uuid")
+        .groupBy("cohort", (F.col("d") - F.col("cohort")).alias("offset"))
+        .agg(
+            F.count(F.lit(1)).alias("trails"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1477,6 +1520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_dup_by_source": q97_dup_by_source,
         "q98_rolling_active": q98_rolling_active,
         "q99_attribution_linear": q99_attribution_linear,
+        "q100_cluster_sizes": q100_cluster_sizes,
+        "q101_cohort_revenue": q101_cohort_revenue,
     }
 
 
@@ -1729,6 +1774,41 @@ def oracle_sql() -> dict[str, str]:
 
     cos_ab = f"{_sql_dot('a.embedding','b.embedding')} / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})"
     cos_cq = f"{_sql_dot('c.embedding','q.embedding')} / ({_sql_norm('c.embedding')} * {_sql_norm('q.embedding')})"
+
+    _q42_sql = f"""
+            WITH RECURSIVE
+            t AS (
+              SELECT doc_id, {_TOKENS} AS w FROM documents),
+            hh AS (
+              SELECT doc_id,
+                     [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in w] AS hs
+              FROM t),
+            sh AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(0::BIGINT,
+                       [CASE WHEN 2 * len(list_filter(hs, v -> (v >> b) & 1 = 1)) > len(hs)
+                             THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                        for b in generate_series(0, 59)]),
+                       (x, y) -> x + y) AS code
+              FROM hh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.code, b.code)) <= 3),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            cc(id, comp) AS (
+                SELECT src, src FROM edges
+              UNION
+                SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
+            labels AS (
+              SELECT id, MIN(comp) AS component FROM cc GROUP BY id)
+            SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component,
+                   d.doc_id = COALESCE(l.component, d.doc_id) AS is_canonical
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+        """
 
     return {
         "q01_cnf_filter_dump": f"""
@@ -1984,6 +2064,30 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_permille
             FROM f JOIN g USING (fp)
             GROUP BY f.source
+        """,
+        "q100_cluster_sizes": f"""
+            WITH labeled AS ({{_q42}})
+            , sizes AS (
+              SELECT component, COUNT(*) AS sz FROM labeled GROUP BY component)
+            SELECT sz AS cluster_size,
+                   COUNT(*) AS n_clusters,
+                   CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+            FROM sizes GROUP BY sz
+        """.format(_q42=_q42_sql),
+        "q101_cohort_revenue": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT uuid, "time" // 86400 AS d,
+                     SUM(CASE WHEN event_type = 'purchase'
+                              THEN CAST(round(value * 100) AS BIGINT)
+                              ELSE 0 END) AS rev
+              FROM e GROUP BY uuid, "time" // 86400),
+            c AS (SELECT uuid, MIN(d) AS cohort FROM per GROUP BY uuid)
+            SELECT c.cohort, per.d - c.cohort AS "offset",
+                   COUNT(*) AS trails,
+                   CAST(SUM(per.rev) AS BIGINT) AS revenue_cents
+            FROM per JOIN c ON per.uuid = c.uuid
+            GROUP BY c.cohort, per.d - c.cohort
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),
@@ -2636,40 +2740,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(text)) AS BIGINT) AS total_chars
             FROM f WHERE rn = 1 GROUP BY lang_detected
         """,
-        "q42_dedup_clusters": f"""
-            WITH RECURSIVE
-            t AS (
-              SELECT doc_id, {_TOKENS} AS w FROM documents),
-            hh AS (
-              SELECT doc_id,
-                     [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in w] AS hs
-              FROM t),
-            sh AS (
-              SELECT doc_id,
-                     list_reduce(list_prepend(0::BIGINT,
-                       [CASE WHEN 2 * len(list_filter(hs, v -> (v >> b) & 1 = 1)) > len(hs)
-                             THEN (1::BIGINT << b) ELSE 0::BIGINT END
-                        for b in generate_series(0, 59)]),
-                       (x, y) -> x + y) AS code
-              FROM hh),
-            pairs AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE bit_count(xor(a.code, b.code)) <= 3),
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION
-              SELECT id_b, id_a FROM pairs),
-            cc(id, comp) AS (
-                SELECT src, src FROM edges
-              UNION
-                SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src),
-            labels AS (
-              SELECT id, MIN(comp) AS component FROM cc GROUP BY id)
-            SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component,
-                   d.doc_id = COALESCE(l.component, d.doc_id) AS is_canonical
-            FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
-        """,
+        "q42_dedup_clusters": _q42_sql,
         "q35_minhash_lsh": _minhash_portable_oracle(7, 16, 4, 0.5),
         "q38_emb_neardup_lsh": _srp_neardup_oracle(24, 4, 0.4),
         "q40_sim_topk_lsh": _srp_topk_oracle(12, 3, 5),
