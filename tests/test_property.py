@@ -582,3 +582,56 @@ def test_cooccurrence_pmi_matches_python(spark, texts):
         for p, c in bi.items()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["u0", "u1"]), st.integers(0, 10_000)),
+    min_size=1, max_size=40),
+    window=st.sampled_from([10, 100, 3600]))
+def test_burst_windows_matches_python(spark, rows, window):
+    from traildb_spark.operators import analytics
+
+    df = spark.createDataFrame(rows, "uuid string, time long")
+    got = {
+        r["uuid"]: (r["peak_events"], r["peak_time"])
+        for r in analytics.burst_windows(df, window=window).collect()
+    }
+    per: dict = {}
+    for u, t in rows:
+        per.setdefault(u, []).append(t)
+    want = {}
+    for u, ts in per.items():
+        ts.sort()
+        best = None
+        for t in ts:
+            c = sum(1 for x in ts if t - window <= x <= t)
+            if best is None or c > best[0] or (c == best[0] and t < best[1]):
+                best = (c, t)
+        want[u] = best
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=st.lists(st.one_of(st.none(), st.integers(0, 20)),
+                     min_size=1, max_size=60),
+       n_buckets=st.sampled_from([2, 4, 10]))
+def test_rank_buckets_matches_python(spark, vals, n_buckets):
+    from traildb_spark.operators import curation
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["bucket"]
+        for r in curation.rank_buckets(df, "v", n_buckets).collect()
+    }
+    nn = [v for v in vals if v is not None]
+    n = len(nn)
+    want = {}
+    for i, v in enumerate(vals):
+        if v is None:
+            want[i] = None
+        else:
+            before = sum(1 for x in nn if x < v)
+            want[i] = (n_buckets * before) // n
+    assert got == want
