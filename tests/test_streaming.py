@@ -400,3 +400,48 @@ def test_finalize_cleared_checkpoint_refuses(spark, sf_dir, tmp_path):
     # new lineage (ids restart at 0) against the same output: loud refusal
     with _pytest.raises(RuntimeError, match="previous lineage"):
         _finalize_batch(ev, 0, out, run_token="tok")
+
+
+def test_stream_stream_touch_conversion_join_matches_batch(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream interval join equals the batch
+    pairing (attribution_linear's join condition) for in-watermark data."""
+    from traildb_spark.streaming.sessions import streaming_touch_conversion_join
+
+    path = str(tmp_path / "ssj_events")
+    ev = load_events(spark, sf_dir, as_timestamp=True).limit(2000)
+    ev.orderBy("event_time").coalesce(1).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    touches = (
+        spark.readStream.schema(schema).parquet(path)
+        .filter(F.col("event_type").isin("click", "view"))
+    )
+    convs = (
+        spark.readStream.schema(schema).parquet(path)
+        .filter(F.col("event_type") == "purchase")
+    )
+    out = streaming_touch_conversion_join(touches, convs, lookback=86400)
+    _run_stream(out, "ssj", mode="append")
+    got = {
+        (r["uuid"], r["touch_time"], r["conv_time"], r["channel"])
+        for r in spark.sql("select * from ssj").collect()
+    }
+
+    b = spark.read.parquet(path).select(
+        "uuid", F.unix_timestamp("event_time").alias("t"), "event_type"
+    )
+    bt = b.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("uuid").alias("u"), F.col("t").alias("tt"),
+        F.col("event_type").alias("ch"),
+    )
+    bc = b.filter(F.col("event_type") == "purchase").select("uuid", F.col("t").alias("ct"))
+    want = {
+        (r["uuid"], r["tt"], r["ct"], r["ch"])
+        for r in bc.join(
+            bt,
+            (F.col("uuid") == F.col("u"))
+            & (F.col("tt") < F.col("ct"))
+            & (F.col("tt") >= F.col("ct") - 86400),
+        ).collect()
+    }
+    assert got == want and len(got) > 0

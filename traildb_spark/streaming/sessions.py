@@ -272,3 +272,54 @@ def streaming_attribution(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_touch_conversion_join(
+    touches: DataFrame,
+    conversions: DataFrame,
+    lookback: int = 86400,
+    uuid_col: str = "uuid",
+    ts_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: every (touch, conversion) pair of the
+    same trail where the touch precedes the conversion by at most
+    ``lookback`` seconds — the joined-pairs primitive under
+    ``attribution_linear``, as two live streams. The watermark bounds the
+    join state on BOTH sides (Spark evicts buffered rows once they can no
+    longer match any future row given the time-range condition), so state
+    is (arrival rate × (lookback + watermark)), never stream length —
+    the only interval-join formulation that survives an unbounded stream.
+
+    Emits ``(uuid, touch_time, conv_time, channel)``; equals the batch
+    pairing (``attribution_linear``'s join, strict time inequality) for
+    in-watermark data. Late rows beyond the watermark drop — the batch
+    operator over finalized storage remains the replayable truth.
+    """
+    t = (
+        touches.withWatermark(ts_col, watermark)
+        .select(
+            F.col(uuid_col).alias("t_uuid"),
+            F.col(ts_col).alias("touch_ts"),
+            F.col("event_type").alias("channel"),
+        )
+    )
+    c = (
+        conversions.withWatermark(ts_col, watermark)
+        .select(
+            F.col(uuid_col).alias(uuid_col),
+            F.col(ts_col).alias("conv_ts"),
+        )
+    )
+    joined = c.join(
+        t,
+        (F.col(uuid_col) == F.col("t_uuid"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr(f"INTERVAL {int(lookback)} SECONDS")),
+    )
+    return joined.select(
+        uuid_col,
+        F.unix_timestamp("touch_ts").alias("touch_time"),
+        F.unix_timestamp("conv_ts").alias("conv_time"),
+        "channel",
+    )
