@@ -1407,6 +1407,34 @@ def q101_cohort_revenue(spark, sf_dir):
     )
 
 
+def q102_gap_histogram(spark, sf_dir):
+    """Inter-event-time distribution keyed by the previous event type,
+    whole-bit (log2) gap buckets — the engine-portable latency
+    histogram. One uuid window + a ≤64×lexicon aggregate."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.gap_histogram(ev, "event_type", "uuid", "time", "event_id")
+
+
+def q103_surprisal_mix(spark, sf_dir):
+    """Pipeline composition: docs bucketed into surprisal-per-token
+    quintiles (equal-frequency, rank_buckets) crossed with source —
+    the "how does quality distribute across sources" curation report."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = text.unigram_surprisal(docs).select("doc_id", "millibits_per_token")
+    bucketed = curation.rank_buckets(
+        scored, "millibits_per_token", n_buckets=5
+    )
+    return (
+        bucketed.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q75_unigram_surprisal(spark, sf_dir):
     """Model-free perplexity analog: per-doc average self-information
     under the corpus's own unigram distribution, integerized to whole bits
@@ -1522,6 +1550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_attribution_linear": q99_attribution_linear,
         "q100_cluster_sizes": q100_cluster_sizes,
         "q101_cohort_revenue": q101_cohort_revenue,
+        "q102_gap_histogram": q102_gap_histogram,
+        "q103_surprisal_mix": q103_surprisal_mix,
     }
 
 
@@ -1775,6 +1805,29 @@ def oracle_sql() -> dict[str, str]:
     cos_ab = f"{_sql_dot('a.embedding','b.embedding')} / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})"
     cos_cq = f"{_sql_dot('c.embedding','q.embedding')} / ({_sql_norm('c.embedding')} * {_sql_norm('q.embedding')})"
 
+    _q75_sql = f"""
+            -- self-information in whole bits via binary-digit counts:
+            -- bits(w) = len(bin(total)) - len(bin(count_w))
+            WITH w AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+            vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+            tot AS (SELECT sum(cnt) AS total FROM vocab),
+            s AS (
+              SELECT tf.doc_id,
+                     sum(tf.tf * (length(bin(CAST(tot.total AS BIGINT)))
+                                  - length(bin(CAST(vocab.cnt AS BIGINT))))) AS surprisal_bits,
+                     sum(tf.tf) AS n_tokens
+              FROM tf JOIN vocab USING (term) CROSS JOIN tot
+              GROUP BY tf.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   COALESCE(s.surprisal_bits, 0) AS surprisal_bits,
+                   CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
+                        ELSE 1000 * s.surprisal_bits // s.n_tokens END AS millibits_per_token
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """
+
     _q42_sql = f"""
             WITH RECURSIVE
             t AS (
@@ -1932,28 +1985,7 @@ def oracle_sql() -> dict[str, str]:
                    1000 * COALESCE(dw.dup_windows, 0) // tw.total_windows AS dup_permille
             FROM tw LEFT JOIN dw ON tw.doc_id = dw.doc_id
         """,
-        "q75_unigram_surprisal": f"""
-            -- self-information in whole bits via binary-digit counts:
-            -- bits(w) = len(bin(total)) - len(bin(count_w))
-            WITH w AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
-            t AS (SELECT doc_id, unnest(ws) AS term FROM w),
-            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
-            vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
-            tot AS (SELECT sum(cnt) AS total FROM vocab),
-            s AS (
-              SELECT tf.doc_id,
-                     sum(tf.tf * (length(bin(CAST(tot.total AS BIGINT)))
-                                  - length(bin(CAST(vocab.cnt AS BIGINT))))) AS surprisal_bits,
-                     sum(tf.tf) AS n_tokens
-              FROM tf JOIN vocab USING (term) CROSS JOIN tot
-              GROUP BY tf.doc_id)
-            SELECT d.doc_id,
-                   COALESCE(s.n_tokens, 0) AS n_tokens,
-                   COALESCE(s.surprisal_bits, 0) AS surprisal_bits,
-                   CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
-                        ELSE 1000 * s.surprisal_bits // s.n_tokens END AS millibits_per_token
-            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
-        """,
+        "q75_unigram_surprisal": _q75_sql,
         "q82_cooccurrence_pmi": f"""
             WITH w AS (SELECT {_TOKENS} AS ws FROM documents),
             uni AS (
@@ -2065,6 +2097,37 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN g USING (fp)
             GROUP BY f.source
         """,
+        "q102_gap_histogram": f"""
+            WITH e AS ({_E}),
+            g AS (
+              SELECT lag(event_type) OVER w AS value,
+                     "time" - lag("time") OVER w AS gap
+              FROM e
+              WINDOW w AS (PARTITION BY uuid ORDER BY "time", event_id))
+            SELECT value,
+                   CAST(CASE WHEN gap <= 0 THEN 0
+                             ELSE length(bin(gap)) END AS BIGINT) AS gap_bucket,
+                   COUNT(*) AS n_gaps
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "q103_surprisal_mix": """
+            WITH s AS ({_q75}),
+            f AS (SELECT millibits_per_token AS v, COUNT(*) AS c FROM s GROUP BY 1),
+            cum AS (
+              SELECT v,
+                     COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+                     (SELECT SUM(c) FROM f) AS n
+              FROM f)
+            SELECT d.source,
+                   CAST(floor(5 * cum.before / cum.n) AS BIGINT) AS bucket,
+                   COUNT(*) AS n_docs
+            FROM s
+            JOIN cum ON s.millibits_per_token = cum.v
+            JOIN documents d ON s.doc_id = d.doc_id
+            GROUP BY 1, 2
+        """.format(_q75=_q75_sql),
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})
             , sizes AS (

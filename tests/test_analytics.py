@@ -338,3 +338,18 @@ def test_attribution_linear_credit_conserves(spark):
     assert got["(none)"] == (2, 20000)
     total = sum(bp for _, bp in got.values())
     assert total == 4 * 10000  # exact conservation
+
+
+def test_gap_histogram_bit_buckets(spark):
+    rows = [
+        ("u", 0, 1, "a"), ("u", 1, 2, "b"),     # gap 1 → bucket 1 (prev a)
+        ("u", 4, 3, "a"),                        # gap 3 → bucket 2 (prev b)
+        ("u", 4, 4, "c"),                        # gap 0 → bucket 0 (prev a)
+        ("u", 1028, 5, "a"),                     # gap 1024 → bucket 11 (prev c)
+    ]
+    df = spark.createDataFrame(rows, ["uuid", "time", "event_id", "event_type"])
+    got = {
+        (r["value"], r["gap_bucket"]): r["n_gaps"]
+        for r in analytics.gap_histogram(df, "event_type", "uuid", "time", "event_id").collect()
+    }
+    assert got == {("a", 1): 1, ("b", 2): 1, ("a", 0): 1, ("c", 11): 1}

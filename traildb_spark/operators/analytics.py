@@ -758,3 +758,36 @@ def attribution_linear(
         .filter(F.col("conversions_touched") > 0)
     )
     return per_channel.unionByName(untouched)
+
+
+def gap_histogram(
+    df: DataFrame,
+    field: str | None = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+) -> DataFrame:
+    """Inter-event-time distribution: per-trail consecutive gaps bucketed
+    into whole-bit (log2) bins — ``bucket = bit_length(gap)`` (0 for
+    gap 0) — optionally keyed by the PREVIOUS event's ``field`` value
+    ("how long after a click does the next event come"). Integer bit
+    buckets are the engine-portable log histogram (same family as
+    `unigram_surprisal`); one uuid window shuffle + a ≤64×lexicon-keyed
+    aggregate.
+
+    Returns ``(value, gap_bucket, n_gaps)`` (``value`` omitted when
+    ``field`` is None).
+    """
+    w = _trail_window(uuid_col, time_col, *tiebreak)
+    gap = F.col(time_col) - F.lag(F.col(time_col)).over(w)
+    cols = {"__gap": gap}
+    if field is not None:
+        cols["value"] = F.lag(F.col(field)).over(w)
+    out = df.withColumns(cols).filter(F.col("__gap").isNotNull())
+    bucket = F.when(F.col("__gap") <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("__gap")))
+    ).cast("long")
+    keys = (["value"] if field is not None else []) + []
+    return out.select(*(keys + [bucket.alias("gap_bucket")])).groupBy(
+        *(keys + ["gap_bucket"])
+    ).agg(F.count(F.lit(1)).alias("n_gaps"))
