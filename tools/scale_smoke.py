@@ -312,6 +312,32 @@ def main():
         docs.select("doc_id", text.quality_score(F.col("text")).alias("q")),
         [F.desc("q"), F.asc("doc_id")], 1000, salt_col="doc_id")))
 
+    # round-3 final additions over the replicated trails / docs
+    timed("session_basket_10x", lambda: _force(analytics.session_cooccurrence(
+        ev, "event_type", gap=1800, min_support=2)))
+    timed("burst_windows_10x", lambda: _force(analytics.burst_windows(ev, window=3600)))
+    timed("pattern_match_10x", lambda: _force(analytics.pattern_match(
+        ev, "view", "purchase", "error", "event_type", "uuid", "time", "event_id")))
+    timed("rolling_active_10x", lambda: _force(analytics.rolling_active(ev)))
+    timed("gap_histogram_10x", lambda: _force(analytics.gap_histogram(
+        ev, "event_type", "uuid", "time", "event_id")))
+    ev_val = raw_big.select(
+        F.col("user_id").cast("string").alias("uuid"),
+        ts_seconds(raw_big).alias("time"), "event_id",
+        F.coalesce("event_type", F.lit("")).alias("event_type"), "value",
+    )
+    timed("attribution_linear_10x", lambda: _force(analytics.attribution_linear(
+        ev_val, "purchase", ["click", "view"], 86400)))
+    timed("countmin_10x", lambda: _force(analytics.countmin_probe(
+        analytics.countmin_build(ev, "event_type", width=256, depth=4),
+        ev.select("event_type").distinct(), "event_type", width=256, depth=4)))
+    timed("remove_spans_rebuild_100k", lambda: dedup.remove_duplicated_spans(
+        docs, window=15).count())
+    timed("rank_buckets_100k", lambda: _force(curation.rank_buckets(
+        docs.select("doc_id", F.length("text").alias("len")), "len", 10)))
+    timed("sample_exact_100k", lambda: _force(curation.uniform_sample_exact(
+        docs.select("doc_id"), 5000)))
+
 
 if __name__ == "__main__":
     main()
