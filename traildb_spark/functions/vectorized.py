@@ -78,14 +78,21 @@ def _md5_shingle_flat(
     counts = np.fromiter(
         (max(len(t) - (k - 1), 1) for t in texts), dtype=np.int64, count=len(texts)
     )
+    # factorize over utf-8 BYTES: pandas' string hashtable is C-string
+    # (NUL-terminated) — '\x00' would collide with '' and every prefix
+    # before a NUL; bytes objects hash by full content
     shingles = np.array(
-        [t[i : i + k] for t in texts for i in range(max(len(t) - (k - 1), 1))],
+        [
+            t[i : i + k].encode("utf-8")
+            for t in texts
+            for i in range(max(len(t) - (k - 1), 1))
+        ],
         dtype=object,
     )
     inv, uniq = pd.factorize(shingles)
     uh = np.fromiter(
         (
-            int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big") >> 4
+            int.from_bytes(hashlib.md5(u).digest()[:8], "big") >> 4
             for u in uniq
         ),
         dtype=np.int64,
@@ -250,12 +257,16 @@ def _word_ngram_flat(col: list, n: int) -> list:
         ).astype(np.int64)
     long_idx = np.nonzero(nw >= n)[0]
     if len(long_idx):
-        words = np.array([w for i in long_idx for w in docs[i]], dtype=object)
+        # bytes objects: see _md5_shingle_flat — pandas' str hashtable
+        # truncates at NUL
+        words = np.array(
+            [w.encode("utf-8") for i in long_idx for w in docs[i]], dtype=object
+        )
         inv, uniq = pd.factorize(words)
         uh = np.fromiter(
             (
                 int.from_bytes(
-                    hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
+                    hashlib.blake2b(w, digest_size=8).digest(),
                     "little",
                 )
                 for w in uniq

@@ -107,8 +107,10 @@ def md5_word_ngram_hashes_all(col: Column, n: int = 13) -> Column:
         counts = np.fromiter(
             (max(len(ws) - (n - 1), 1) for ws in docs), dtype=np.int64, count=len(docs)
         )
+        # utf-8 BYTES keys: pandas' str hashtable is NUL-terminated —
+        # a gram containing '\x00' would collide with its pre-NUL prefix
         grams = [
-            " ".join(ws[i : i + n])
+            " ".join(ws[i : i + n]).encode("utf-8")
             for ws in docs
             for i in range(max(len(ws) - (n - 1), 1))
         ]
@@ -117,7 +119,7 @@ def md5_word_ngram_hashes_all(col: Column, n: int = 13) -> Column:
         inv, uniq = pd.factorize(np.array(grams, dtype=object))
         uh = np.fromiter(
             (
-                int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big") >> 4
+                int.from_bytes(hashlib.md5(u).digest()[:8], "big") >> 4
                 for u in uniq
             ),
             dtype=np.int64,
