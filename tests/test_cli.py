@@ -75,9 +75,41 @@ def test_cli_json_roundtrip(spark, tmp_path, capsys):
     assert len(objs) == 3
 
 
-def test_cli_index_explains(capsys):
-    assert main(["index"]) == 0
-    assert "Parquet" in capsys.readouterr().out
+def test_cli_index_roundtrip(spark, tmp_path, capsys):
+    """``tdb index`` builds the auxiliary z-ordered artifact, ``open``
+    auto-discovers it via the sidecar, dump routes covered filters to it,
+    and ``--no-index`` produces identical output — the reference's
+    index/no-index differential (tests/tdbcli/test_tdbcli.py:72-78) plus
+    its create/auto-discovery surface (tdbcli/tdb_index.c:721-779,637-662)."""
+    import json as _json
+    import os
+
+    src = tmp_path / "in.csv"
+    rows = [
+        f"a{i % 7},{100 + i},{'click' if i % 3 else 'view'}" for i in range(60)
+    ]
+    src.write_text("\n".join(rows) + "\n")
+    db = str(tmp_path / "idb")
+    assert main(["make", "-o", db, "-f", "uuid,time,action", str(src)]) == 0
+    capsys.readouterr()
+
+    assert main(["index", "-i", db, "--columns", "action"]) == 0
+    assert "_zindex" in capsys.readouterr().out
+    with open(os.path.join(db, "_traildb_meta.json")) as fh:
+        meta = _json.load(fh)
+    assert meta["zindex"] == {"path": "_zindex", "columns": ["action"]}
+
+    def dump_lines(*extra):
+        assert main([
+            "dump", "-i", db, "-o", "-", "--filter", "action=view",
+            "-f", "uuid,time,action", *extra,
+        ]) == 0
+        return sorted(capsys.readouterr().out.strip().splitlines())
+
+    with_index = dump_lines()
+    without = dump_lines("--no-index")
+    assert with_index == without
+    assert len(with_index) == 20  # i % 3 == 0 rows
 
 
 def test_tutorial_pipeline_end_to_end(spark, tmp_path):

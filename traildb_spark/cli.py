@@ -12,9 +12,11 @@ Differences, by design:
   take directories;
 - ``dump`` writes a dataset by default; ``-o -`` streams rows to stdout for
   interactive use (driver-side collect — bounded by --limit);
-- ``index`` is a no-op: Parquet row-group min/max + dictionary stats under
-  the finalize() layout already provide the reference index's pruning
-  (SURVEY §2.8 X1-X3); it prints what the engine relies on instead.
+- ``index`` builds a z-ordered auxiliary copy under ``<db>/_zindex`` and
+  registers it in the sidecar: the finalize() layout already prunes on
+  uuid/time, so the optional index targets CNF filters over OTHER columns
+  — the same role as the reference's optional inverted-index artifact
+  (SURVEY §2.8 X1-X3); ``dump --no-index`` opts out.
 """
 
 from __future__ import annotations
@@ -66,7 +68,7 @@ def cmd_dump(args) -> int:
     from .sources.dump import dump_csv, dump_json, project_fields
 
     spark = _spark()
-    ds = TrailDataset.open(spark, args.input)
+    ds = TrailDataset.open(spark, args.input, use_index=not args.no_index)
     if args.filter:
         # route through the dataset so pure-time-range clauses prune
         # time shards (the sidecar open() just loaded exists for this)
@@ -91,7 +93,10 @@ def cmd_dump(args) -> int:
                     for c in cols
                     if not (args.json_no_empty and (r[c] is None or r[c] == ""))
                 }
-                print(_json.dumps(obj, sort_keys=True))
+                # default=str: non-JSON-native column types (timestamp,
+                # date, binary, decimal) degrade to strings instead of
+                # raising — parity with the file-based Spark JSON writer
+                print(_json.dumps(obj, sort_keys=True, default=str))
         else:
             if args.csv_header:
                 print(args.delimiter.join(cols))
@@ -134,12 +139,22 @@ def cmd_info(args) -> int:
 
 
 def cmd_index(args) -> int:
-    print(
-        "no separate index needed: the finalize() layout (clustered by uuid, "
-        "time-sorted row groups) exposes Parquet min/max + dictionary stats, "
-        "which Catalyst uses for the same page-pruning the reference index "
-        "provides (candidates + exact re-filter). See SURVEY.md §2.8."
+    """Reference ``tdb index`` (`tdbcli/tdb_index.c:721-779`): build the
+    optional auxiliary index artifact. The primary finalize() layout already
+    prunes on uuid/time; this adds a z-ordered copy registered in the
+    sidecar so CNF filters over ``--columns`` prune row groups on all of
+    them at once (auto-discovered by ``open``, opt-out ``--no-index``)."""
+    from .dataset import TrailDataset
+
+    spark = _spark()
+    cols = _split_fields(args.columns)
+    if not cols:
+        print("index: --columns is required (comma-separated field list)", file=sys.stderr)
+        return 1
+    zpath = TrailDataset.build_index(
+        spark, args.input, cols, buckets_per_col=args.buckets_per_col
     )
+    print(f"indexed {args.input} on {','.join(cols)} -> {zpath}")
     return 0
 
 
@@ -171,6 +186,8 @@ def build_parser() -> argparse.ArgumentParser:
     dp.add_argument("--csv-header", action="store_true")
     dp.add_argument("--json-no-empty", action="store_true")
     dp.add_argument("--limit", type=int, default=1000, help="stdout row cap")
+    dp.add_argument("--no-index", action="store_true",
+                    help="ignore any auxiliary index (reference --no-index)")
     dp.set_defaults(fn=cmd_dump)
 
     mg = sub.add_parser("merge", help="merge datasets (schema union)")
@@ -183,7 +200,11 @@ def build_parser() -> argparse.ArgumentParser:
     inf.add_argument("-i", "--input", required=True)
     inf.set_defaults(fn=cmd_info)
 
-    ix = sub.add_parser("index", help="explain why indexing is built-in")
+    ix = sub.add_parser("index", help="build the auxiliary z-ordered index")
+    ix.add_argument("-i", "--input", required=True)
+    ix.add_argument("--columns", required=True,
+                    help="comma-separated columns to index (z-order)")
+    ix.add_argument("--buckets-per-col", type=int, default=16)
     ix.set_defaults(fn=cmd_index)
     return p
 

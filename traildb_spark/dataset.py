@@ -32,6 +32,7 @@ UUID_COL = "uuid"
 TIME_COL = "time"
 SHARD_COL = "__shard"
 META_FILE = "_traildb_meta.json"
+ZINDEX_DIR = "_zindex"  # '_' prefix: invisible to the primary parquet scan
 RESERVED = (UUID_COL, TIME_COL, SHARD_COL)
 
 
@@ -168,25 +169,48 @@ class TrailDataset:
         df: DataFrame,
         db_filter: EventFilter | None = None,
         shard_fmt: str | None = None,
+        zindex: tuple[DataFrame, list[str]] | None = None,
     ):
         self._raw = df
         self._filter = db_filter
         self._shard_fmt = shard_fmt
+        # auxiliary z-ordered copy: (lazy DataFrame, indexed columns) —
+        # the reference's optional inverted-index artifact (§2.8 X1-X3)
+        self._zindex = zindex
 
     # -- constructors ------------------------------------------------------
     @classmethod
-    def open(cls, spark: SparkSession, path: str) -> "TrailDataset":
+    def open(
+        cls, spark: SparkSession, path: str, use_index: bool = True
+    ) -> "TrailDataset":
         """Reference ``tdb_open`` (`src/tdb.c:298-393`) → lazy Parquet scan.
-        Reads the layout sidecar (shard format) when present."""
+        Reads the layout sidecar (shard format, z-index) when present.
+
+        Index auto-discovery (reference `tdbcli/tdb_index.c:637-662`): if
+        the sidecar records a z-ordered auxiliary copy (built by
+        ``build_index`` / ``tdb index``), it is loaded lazily and CNF
+        filters whose item-term columns are all covered by it are routed
+        there by the ``df`` property. ``use_index=False`` is the
+        reference's ``--no-index`` opt-out (`tdbcli/main.c:72-74`)."""
         shard_fmt = None
+        zindex = None
         meta_path = os.path.join(path, META_FILE)
         try:
             if os.path.exists(meta_path):
                 with open(meta_path, "r", encoding="utf-8") as fh:
-                    shard_fmt = json.load(fh).get("time_shard")
+                    meta = json.load(fh)
+                shard_fmt = meta.get("time_shard")
+                zmeta = meta.get("zindex")
+                if use_index and zmeta and zmeta.get("columns"):
+                    zpath = os.path.join(path, zmeta.get("path", ZINDEX_DIR))
+                    if os.path.isdir(zpath):
+                        zindex = (
+                            spark.read.parquet(zpath),
+                            list(zmeta["columns"]),
+                        )
         except OSError:
             pass
-        return cls(spark.read.parquet(path), shard_fmt=shard_fmt)
+        return cls(spark.read.parquet(path), shard_fmt=shard_fmt, zindex=zindex)
 
     @classmethod
     def from_dataframe(
@@ -196,10 +220,35 @@ class TrailDataset:
 
     # -- views (reference TDB_OPT_EVENT_FILTER, src/tdb.c:707-732) ---------
     def with_filter(self, f: EventFilter | None) -> "TrailDataset":
-        return TrailDataset(self._raw, f, shard_fmt=self._shard_fmt)
+        return TrailDataset(
+            self._raw, f, shard_fmt=self._shard_fmt, zindex=self._zindex
+        )
+
+    def _index_covers(self) -> bool:
+        """True when the db filter should route to the z-ordered auxiliary
+        copy: the filter has at least one item term and every item-term
+        column is z-indexed (time ranges ride along — time is a sort key
+        within the z-layout). Mirrors the reference's index-match contract
+        (`tdbcli/tdb_index.c:559-631`): the index answers exactly the
+        filters whose items it covers; everything else scans the primary.
+        """
+        if self._zindex is None or self._filter is None:
+            return False
+        f = self._filter
+        if f.match_all or f.match_none or not f.clauses:
+            return False
+        tf = f.term_fields()
+        return bool(tf) and tf <= set(self._zindex[1])
 
     @property
     def df(self) -> DataFrame:
+        if self._filter is not None and self._index_covers():
+            # route to the z-ordered copy: identical rows, but row-group
+            # min/max stats are tight on ALL indexed columns at once, so
+            # the exact CNF predicate prunes where the trail-clustered
+            # primary cannot (candidates + exact re-check in one scan)
+            zdf, _ = self._zindex
+            return self._filter.apply(zdf, time_col=TIME_COL)
         out = self._raw
         sharded = SHARD_COL in out.columns
         if self._filter is not None:
@@ -274,10 +323,14 @@ class TrailDataset:
         constructor; here ids are assigned in lexicographic value order,
         which is deterministic under any parallel ingest.
 
-        Scale: one distinct-aggregate per field (map-side combined,
-        lexicon-sized output) and one dense_rank window PARTITIONed by
-        field — the window input is already collapsed to distinct values,
-        so the sort is lexicon-sized, never event-sized.
+        Scale: ONE scan of the event table regardless of field count —
+        fields are stacked via explode(array(struct(field, value))) and
+        collapsed by a single map-side-combined distinct on (field, value)
+        (the reference reads each lexicon file O(1); a per-field loop here
+        would be F full scans — 50 scans at 100 TB × 50 fields). The
+        dense_rank window runs on the already-distinct, lexicon-sized
+        result, never event-sized (proof:
+        ``test_plans.py::test_lexicon_dump_single_scan``).
         """
         if fields is None:
             fields = [f for f in self.fields if f != TIME_COL]
@@ -287,12 +340,26 @@ class TrailDataset:
             return self.df.sparkSession.createDataFrame(
                 [], "field string, value string, item_id long"
             )
-        lexes = None
-        for f in fields:
-            lx = self.lexicon(f).select(
-                F.lit(f).alias("field"), F.col("value")
-            )
-            lexes = lx if lexes is None else lexes.unionAll(lx)
+        stacked = self.df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("field"),
+                            F.coalesce(F.col(f).cast("string"), F.lit("")).alias(
+                                "value"
+                            ),
+                        )
+                        for f in fields
+                    ]
+                )
+            ).alias("kv")
+        )
+        lexes = (
+            stacked.select("kv.field", "kv.value")
+            .where(F.col("value") != "")
+            .distinct()
+        )
         w = Window.partitionBy("field").orderBy("value")
         ranked = lexes.withColumn(
             "item_id", F.dense_rank().over(w).cast("long")
@@ -307,11 +374,19 @@ class TrailDataset:
 
     # -- selection ---------------------------------------------------------
     def select_uuids(self, uuids: list[str] | DataFrame) -> "TrailDataset":
-        """Reference ``--uuids`` whitelist (`tdbcli/filter.c:142-243`)."""
+        """Reference ``--uuids`` whitelist (`tdbcli/filter.c:142-243`).
+
+        The whitelist applies to BOTH layouts (primary and z-index copy)
+        so a later ``with_filter`` may still route to the index without
+        losing the trail restriction."""
+        zindex = self._zindex
+        if zindex is not None:
+            zindex = (uuid_whitelist(zindex[0], uuids, UUID_COL), zindex[1])
         return TrailDataset(
             uuid_whitelist(self._raw, uuids, UUID_COL),
             self._filter,
             shard_fmt=self._shard_fmt,
+            zindex=zindex,
         )
 
     def trail(self, uuid: str) -> DataFrame:
@@ -326,12 +401,33 @@ class TrailDataset:
         """UNION ALL with schema union; missing fields become ''
         (reference `tdbcli/op_merge.c:21-186`: union of field names, empty
         values for missing; duplicates preserved —
-        `tests/tdbcli/test_tdbcli.py:248-259`)."""
-        dfs = [d.df for d in datasets]
+        `tests/tdbcli/test_tdbcli.py:248-259`).
+
+        When every input shares the same time-shard format, the merged
+        view KEEPS the shard column and format, so a time-range filter on
+        the merged view still prunes Hive partitions in every underlying
+        scan (the reference's daily-tdb union stays day-prunable); mixed
+        or absent formats fall back to the plain union.
+        """
+        fmts = {d._shard_fmt for d in datasets}
+        fmt = next(iter(fmts)) if len(fmts) == 1 else None
+        if fmt and all(SHARD_COL in d._raw.columns for d in datasets):
+            dfs = []
+            for d in datasets:
+                out = d._raw
+                if d._filter is not None:
+                    sp = _shard_predicate(d._filter, fmt)
+                    if sp is not None:
+                        out = out.filter(sp)
+                    out = d._filter.apply(out, time_col=TIME_COL)
+                dfs.append(out)
+        else:
+            fmt = None
+            dfs = [d.df for d in datasets]
         merged = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
         value_cols = [c for c in merged.columns if c not in RESERVED]
         merged = merged.fillna("", subset=value_cols)
-        return TrailDataset(merged)
+        return TrailDataset(merged, shard_fmt=fmt)
 
     def append(self, other: "TrailDataset") -> "TrailDataset":
         """Reference ``tdb_cons_append`` (`src/tdb_cons.c:574-657`)."""
@@ -339,9 +435,16 @@ class TrailDataset:
 
     def extract(self, f: EventFilter) -> "TrailDataset":
         """Materialized-view path (reference filtered append,
-        `src/tdb_cons.c:418-481`, technical_overview.md:198-217)."""
+        `src/tdb_cons.c:418-481`, technical_overview.md:198-217). On a
+        sharded dataset the filter's pure-time clauses prune partitions
+        before the exact re-check, same as the ``df`` path."""
+        out = self._raw
+        if SHARD_COL in out.columns and self._shard_fmt:
+            sp = _shard_predicate(f, self._shard_fmt)
+            if sp is not None:
+                out = out.filter(sp)
         return TrailDataset(
-            f.apply(self._raw, time_col=TIME_COL), shard_fmt=self._shard_fmt
+            f.apply(out, time_col=TIME_COL), shard_fmt=self._shard_fmt
         )
 
     # -- finalize (reference tdb_cons_finalize 7-stage encode, §2.1 S11) ---
@@ -515,6 +618,49 @@ class TrailDataset:
         if parquet_block_bytes:
             writer = writer.option("parquet.block.size", int(parquet_block_bytes))
         writer.parquet(path)
+
+    @staticmethod
+    def build_index(
+        spark: SparkSession,
+        db_path: str,
+        cols: list[str],
+        buckets_per_col: int = 16,
+        parquet_block_bytes: int | None = None,
+    ) -> str:
+        """``tdb index`` (reference `tdbcli/tdb_index.c:721-779`): build the
+        optional auxiliary index artifact for an existing finalized dataset
+        and register it for auto-discovery.
+
+        Writes a z-ordered copy of the dataset under ``<db>/_zindex``
+        (the underscore prefix keeps it invisible to the primary scan,
+        like the reference's separate ``<db>/index`` file) and records
+        ``{"zindex": {"path": "_zindex", "columns": [...]}}`` in the
+        ``_traildb_meta.json`` sidecar so ``open()`` discovers it
+        (reference auto-discovery, `tdbcli/tdb_index.c:637-662`) and the
+        ``df`` router sends covered CNF filters to it. Returns the index
+        path. Rebuilding overwrites the previous index.
+        """
+        ds = TrailDataset.open(spark, db_path, use_index=False)
+        missing = [c for c in cols if c not in ds._raw.columns]
+        if missing:
+            raise ValueError(f"index columns not in schema: {missing}")
+        zpath = os.path.join(db_path, ZINDEX_DIR)
+        ds.save_zordered(
+            zpath,
+            cols,
+            buckets_per_col=buckets_per_col,
+            mode="overwrite",
+            parquet_block_bytes=parquet_block_bytes,
+        )
+        meta_path = os.path.join(db_path, META_FILE)
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path, "r", encoding="utf-8") as fh:
+                meta = json.load(fh)
+        meta["zindex"] = {"path": ZINDEX_DIR, "columns": list(cols)}
+        with open(meta_path, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+        return zpath
 
 
 def compact_shards(

@@ -114,6 +114,19 @@ class EventFilter:
     def get_term(self, clause: int, term: int) -> ClauseTerm:
         return self.clauses[clause][term]
 
+    def term_fields(self) -> set[str]:
+        """Field names referenced by item terms (time ranges excluded) —
+        used by the index router (`TrailDataset.df`) to decide whether an
+        auxiliary z-ordered copy covers this filter, the analog of the
+        reference matching CNF items against its inverted index
+        (`tdbcli/tdb_index.c:559-631`)."""
+        return {
+            t.field
+            for clause in self.clauses
+            for t in clause
+            if isinstance(t, Term)
+        }
+
     # -- compiler ----------------------------------------------------------
     def compile(
         self,

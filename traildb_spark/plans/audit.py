@@ -23,7 +23,7 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def _balanced(text: str, start: int, open_ch: str, close_ch: str) -> str:
-    """The substring from ``start`` (which must point at ``open_ch``) to its
+    r"""The substring from ``start`` (which must point at ``open_ch``) to its
     MATCHING close, inclusive. Regexes like ``[^\]]*`` truncate at the
     first close char, which corrupts nested forms — ``In(uuid, [a,b])``
     inside PushedFilters, ``array<struct<...>>`` inside ReadSchema."""
