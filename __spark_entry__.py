@@ -1444,6 +1444,39 @@ def q75_unigram_surprisal(spark, sf_dir):
     return text.unigram_surprisal(docs)
 
 
+def q104_jpeg_decode(spark, sf_dir):
+    """REAL JPEG pixel decode: image-kind rows (doc_id % 3 == 0, q49's
+    kind cycle) carry actual baseline JPEGs — Huffman entropy coding,
+    quantization, DCT — of a block-flat pattern: 8×8 tile (by, bx) holds
+    value (by*31 + bx*17 + doc_id) % 256 on a (8*(1 + id%2)) ×
+    (8*(1 + id%3)) canvas, encoded at quality 100 (all-ones quantization
+    tables). A flat tile's DCT is DC-only, so quality-100 decode is
+    bit-exact: width/height and the integer luma sum/min/max are all in
+    closed form from the pattern, and the oracle recomputes them —
+    proving the entropy decoder, dequantizer, and IDCT end-to-end
+    (retires the r3 JPEG honest gate the way q94 retired video)."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.jpeg import make_jpeg
+
+    @F.pandas_udf("binary")
+    def jpeg_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            hb, wb = 1 + i % 2, 1 + i % 3  # blocks
+            by, bx = np.mgrid[0:hb, 0:wb]
+            tiles = ((by * 31 + bx * 17 + i) % 256).astype(np.uint8)
+            canvas = np.kron(tiles, np.ones((8, 8), np.uint8))
+            out.append(make_jpeg(canvas, quality=100))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "image", jpeg_payload)
+    return multimodal.image_luma_stats(media)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1552,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_cohort_revenue": q101_cohort_revenue,
         "q102_gap_histogram": q102_gap_histogram,
         "q103_surprisal_mix": q103_surprisal_mix,
+        "q104_jpeg_decode": q104_jpeg_decode,
     }
 
 
@@ -2128,6 +2162,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents d ON s.doc_id = d.doc_id
             GROUP BY 1, 2
         """.format(_q75=_q75_sql),
+        "q104_jpeg_decode": """
+            -- block-flat JPEG q100 decode is exact: tile (by, bx) of the
+            -- (1 + id%2) x (1 + id%3) block grid holds
+            -- (by*31 + bx*17 + id) % 256; each tile contributes 64 equal
+            -- pixels, so sum/min/max come straight from the tile list
+            WITH a AS (
+              SELECT doc_id,
+                     1 + CAST(doc_id % 3 AS INT) AS wb,
+                     1 + CAST(doc_id % 2 AS INT) AS hb
+              FROM documents WHERE doc_id % 3 = 0
+            ), t AS (
+              SELECT doc_id, wb, hb,
+                     [ ((k // wb) * 31 + (k % wb) * 17 + doc_id) % 256
+                       for k in generate_series(0, hb * wb - 1) ] AS tiles
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   CAST(8 * wb AS INT) AS width,
+                   CAST(8 * hb AS INT) AS height,
+                   CAST(64 * list_sum(tiles) AS BIGINT) AS luma_sum,
+                   CAST(list_min(tiles) AS INT) AS luma_min,
+                   CAST(list_max(tiles) AS INT) AS luma_max
+            FROM t
+        """,
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})
             , sizes AS (

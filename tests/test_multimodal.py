@@ -1,11 +1,13 @@
-"""Multimodal binary-column plumbing: schemas, mapInPandas batch contract,
-frame-sample explode shape. Decode kernels are deterministic stubs (libs not
-in the container) — the Spark-side contract is what's under test."""
+"""Multimodal binary-column plumbing + the real pure-python codecs:
+PNG pixel decode, baseline JPEG encode/decode, WAV PCM, Y4M video.
+Schemas, mapInPandas batch contracts, and the decode kernels themselves
+(round-trip, error bounds, honest gates) are all under test."""
 
+import numpy as np
 import pyspark.sql.functions as F
 import pytest
 
-from traildb_spark.operators import multimodal
+from traildb_spark.operators import jpeg, multimodal
 
 
 @pytest.fixture(scope="module")
@@ -449,3 +451,139 @@ def test_extract_video_frames_stride(spark):
     }
     assert set(got) == {0, 2, 4}
     assert got[0] == (5, 60, 10) and got[4] == (5, 300, 50)
+
+
+# --------------------------------------------------------------------------
+# baseline JPEG codec (operators/jpeg.py)
+# --------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """Encode→decode at several shapes/qualities: shape preserved, error
+    bounded and monotone-ish in quality (the codec is lossy by contract,
+    never structurally wrong)."""
+    rng = np.random.default_rng(7)
+    for shape in [(8, 8), (16, 24), (33, 41), (7, 5), (64, 40)]:
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = jpeg.decode_jpeg_luma(jpeg.make_jpeg(g, 95))
+        assert out.shape == shape
+        rmse = float(np.sqrt(((out - g) ** 2).mean()))
+        assert rmse < 8.0, (shape, rmse)
+    # smooth content: high quality must beat low quality clearly
+    yy, xx = np.mgrid[0:32, 0:48]
+    smooth = ((yy * 2 + xx) % 256).astype(np.uint8)
+    e95 = float(np.abs(jpeg.decode_jpeg_luma(jpeg.make_jpeg(smooth, 95)) - smooth).mean())
+    e20 = float(np.abs(jpeg.decode_jpeg_luma(jpeg.make_jpeg(smooth, 20)) - smooth).mean())
+    assert e95 < e20
+
+
+def test_jpeg_flat_blocks_exact_at_q100():
+    """The q104 oracle contract: block-flat bitmaps survive quality-100
+    encode/decode bit-exactly (flat tile ⇒ DC-only DCT ⇒ quant 1 exact)."""
+    for doc_id in (0, 3, 6, 9, 12, 33):
+        hb, wb = 1 + doc_id % 2, 1 + doc_id % 3
+        by, bx = np.mgrid[0:hb, 0:wb]
+        tiles = ((by * 31 + bx * 17 + doc_id) % 256).astype(np.uint8)
+        canvas = np.kron(tiles, np.ones((8, 8), np.uint8))
+        out = np.round(jpeg.decode_jpeg_luma(jpeg.make_jpeg(canvas, 100)))
+        assert np.array_equal(out, canvas)
+
+
+def test_jpeg_color_and_subsampling_luma():
+    """RGB encodes decode to the BT.601 luma plane for both 4:4:4 and
+    4:2:0 — chroma blocks are entropy-decoded (stream advances correctly)
+    but never pollute the luma output."""
+    rng = np.random.default_rng(11)
+    c = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    y = 0.299 * c[:, :, 0] + 0.587 * c[:, :, 1] + 0.114 * c[:, :, 2]
+    for sub in ("444", "420"):
+        out = jpeg.decode_jpeg_luma(jpeg.encode_jpeg(c, 90, subsampling=sub))
+        assert out.shape == (24, 31)
+        assert float(np.abs(out - y).mean()) < 6.0
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn bitstreams decode identically to the unrestarted encode
+    (predictors reset, pad bits discarded, markers consumed)."""
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (40, 64), dtype=np.uint8)
+    with_rst = jpeg.encode_jpeg(g, 85, restart_interval=3)
+    without = jpeg.encode_jpeg(g, 85)
+    assert any(bytes([0xFF, 0xD0 + i]) in with_rst for i in range(8))
+    assert np.array_equal(
+        jpeg.decode_jpeg_luma(with_rst), jpeg.decode_jpeg_luma(without)
+    )
+
+
+def test_jpeg_honest_gates_and_corruption():
+    """Progressive frames and malformed streams raise DECODE_ERRORS
+    members — one bad payload degrades to a sentinel row, never a failed
+    task."""
+    g = np.full((16, 16), 128, np.uint8)
+    good = jpeg.make_jpeg(g, 90)
+    with pytest.raises(ValueError, match="sequential"):
+        jpeg.decode_jpeg_luma(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_luma(b"\xff\xd8\xff\xd9")  # no frame at all
+    with pytest.raises(multimodal.DECODE_ERRORS):
+        jpeg.decode_jpeg_luma(good[: len(good) // 2])  # truncated entropy data
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_luma(b"not a jpeg")
+
+
+def test_jpeg_phash_is_perceptual_across_containers():
+    """The same bitmap through PNG (lossless) and JPEG q95 (lossy) must
+    land within a few pHash bits — the retired byte-content fallback
+    would differ by ~32 — while an unrelated image stays far."""
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (48, 48), dtype=np.uint8)
+    other = rng.integers(0, 256, (48, 48), dtype=np.uint8)
+    ph_png = multimodal.phash64(multimodal._gray_pixels(multimodal.make_png(base)))
+    ph_jpg = multimodal.phash64(multimodal._gray_pixels(jpeg.make_jpeg(base, 95)))
+    ph_other = multimodal.phash64(other.astype(np.float64))
+    assert bin(ph_png ^ ph_jpg).count("1") <= 8
+    assert bin(ph_png ^ ph_other).count("1") >= 16
+
+
+def test_image_luma_stats_operator(spark):
+    """image_luma_stats over a mixed PNG/JPEG/corrupt media table: exact
+    integers for both real codecs, -1 sentinels for the rest."""
+    tiles = np.array([[10, 250], [100, 37]], np.uint8)
+    canvas = np.kron(tiles, np.ones((8, 8), np.uint8))
+    png_img = (np.arange(4 * 6) % 256).astype(np.uint8).reshape(4, 6)
+    rows = [
+        (1, "image", bytearray(jpeg.make_jpeg(canvas, 100)), "image/jpeg", None),
+        (2, "image", bytearray(multimodal.make_png(png_img)), "image/png", None),
+        (3, "image", b"garbage", "image/gif", None),
+        (4, "audio", b"skipped", "audio/wav", None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.image_luma_stats(df).collect()}
+    assert set(got) == {1, 2, 3}
+    r1 = got[1]
+    assert (r1["width"], r1["height"]) == (16, 16)
+    assert r1["luma_sum"] == 64 * int(tiles.sum())
+    assert (r1["luma_min"], r1["luma_max"]) == (10, 250)
+    r2 = got[2]
+    assert (r2["width"], r2["height"]) == (6, 4)
+    assert r2["luma_sum"] == int(png_img.sum())
+    assert got[3]["width"] == -1 and got[3]["luma_sum"] == -1
+
+
+def test_resize_and_features_decode_jpeg_payloads(spark):
+    """resize_images and extract_image_features now decode JPEG payloads
+    for real (r3's biggest honest gate): dimensions from the header,
+    pHash/histogram/resize from actual pixels."""
+    rng = np.random.default_rng(13)
+    g = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+    rows = [(1, "image", bytearray(jpeg.make_jpeg(g, 95)), "image/jpeg", None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feat = multimodal.extract_image_features(df).collect()[0]
+    assert (feat["width"], feat["height"]) == (40, 32)
+    expected_ph = multimodal.phash64(jpeg.decode_jpeg_luma(bytes(rows[0][2])))
+    assert feat["phash"] == expected_ph
+    rz = multimodal.resize_images(df, 8, 8, method="box").collect()[0]
+    assert (rz["width"], rz["height"]) == (8, 8)
+    assert rz["content"] is not None and rz["mean_luma"] is not None
+    # the resized mean tracks the source mean within quantization error
+    assert abs(rz["mean_luma"] - float(g.mean())) < 8.0

@@ -302,7 +302,9 @@ def test_minhash_flat_equals_naive(spark, arrays):
         if not hs:
             assert got[i] == [0] * 16
             continue
-        h = np.asarray(hs, dtype=np.uint64).astype(np.int64)
+        # int64 directly (the uint64 detour is bit-identical for in-range
+        # longs and trips numpy 2.x's out-of-bound deprecation)
+        h = np.asarray(hs, dtype=np.int64)
         m = (a[:16, None] * (h[None, :] % _MERSENNE) + b[:16, None]) % _MERSENNE
         assert got[i] == m.min(axis=1).tolist(), hs
 
@@ -635,3 +637,48 @@ def test_rank_buckets_matches_python(spark, vals, n_buckets):
             before = sum(1 for x in nn if x < v)
             want[i] = (n_buckets * before) // n
     assert got == want
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    quality=st.sampled_from([100, 95, 80, 50]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_any_shape(w, h, quality, seed):
+    """Baseline JPEG encode→decode for arbitrary shapes (incl. non-
+    multiple-of-8 and 1-pixel edges) preserves dimensions, stays in
+    [0, 255], and at quality 100 (all-ones quant tables) the error is
+    bounded by coefficient rounding alone."""
+    import numpy as np
+
+    from traildb_spark.operators.jpeg import decode_jpeg_luma, make_jpeg
+
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    out = decode_jpeg_luma(make_jpeg(g, quality))
+    assert out.shape == (h, w)
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    if quality == 100:
+        # every quantized coefficient errs by <= 0.5; the 2D IDCT of the
+        # error block is bounded by 0.5 * sum|basis| <= 4 per pixel
+        assert float(np.abs(out - g).max()) <= 4.0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    v=st.integers(min_value=0, max_value=255),
+    wb=st.integers(min_value=1, max_value=4),
+    hb=st.integers(min_value=1, max_value=4),
+)
+def test_jpeg_flat_tiles_exact(v, wb, hb):
+    """Flat 8x8 tiles round-trip exactly at quality 100 — the invariant
+    the q104 SQL oracle is built on."""
+    import numpy as np
+
+    from traildb_spark.operators.jpeg import decode_jpeg_luma, make_jpeg
+
+    canvas = np.full((hb * 8, wb * 8), v, np.uint8)
+    out = np.round(decode_jpeg_luma(make_jpeg(canvas, 100)))
+    assert np.array_equal(out, canvas)

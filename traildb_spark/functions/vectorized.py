@@ -321,8 +321,11 @@ def minhash_signatures(hash_arrays: Column, num_hashes: int = 64) -> Column:
             out[i] = np.zeros(num_hashes, dtype=np.int64)
         idx = np.nonzero(lens > 0)[0]
         if len(idx):
+            # int64 directly: the old uint64→int64 round trip was
+            # bit-identical for in-range longs but trips numpy 2.x's
+            # out-of-bound-python-int deprecation on negative hashes
             flat = np.concatenate(
-                [np.asarray(col[i], dtype=np.uint64).astype(np.int64) for i in idx]
+                [np.asarray(col[i], dtype=np.int64) for i in idx]
             )
             offs = np.concatenate(([0], np.cumsum(lens[idx])[:-1]))
             sigs = _minhash_from_flat(flat, offs, len(idx), a, b)

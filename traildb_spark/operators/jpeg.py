@@ -1,0 +1,714 @@
+"""Baseline JPEG codec in pure python/numpy (no image libraries).
+
+Retires the JPEG honest gate from the multimodal layer: real corpora are
+JPEG-heavy, so ``_gray_pixels`` (and with it resize/pHash/luma features)
+now decodes baseline JPEG payloads for real instead of falling back to a
+byte-content hash. Everything here is public knowledge — the ITU T.81
+(ISO/IEC 10918-1) specification: marker structure (B.2), canonical
+Huffman construction (C.2), the decode procedures DECODE/RECEIVE/EXTEND
+(F.2.2), the zigzag order (A.3.6), and the Annex K example quantization
+and Huffman tables.
+
+Scope (the honest contract):
+
+* **decode**: baseline + extended sequential DCT, Huffman entropy coding
+  (SOF0/SOF1), 8-bit samples, grayscale or YCbCr with any Hi×Vi sampling,
+  interleaved or single-component scans, restart markers. Progressive
+  (SOF2), hierarchical, lossless, and arithmetic-coded frames raise
+  ``ValueError`` — they are a different decode algorithm, not a bigger
+  table.
+* Output is the LUMA plane only (``decode_jpeg_luma``): JPEG stores
+  YCbCr, so the grayscale bitmap the multimodal operators need is the Y
+  component directly — chroma blocks are entropy-decoded (the bitstream
+  is interleaved; they cannot be skipped) but never IDCT'd, which both
+  matches the downstream need and halves the work.
+* **encode** (fixtures + round-trip tests): baseline JPEG with the Annex
+  K tables — grayscale (1 component) or YCbCr 4:4:4 / 4:2:0 from RGB,
+  selectable quality (libjpeg's scaling curve) and restart interval.
+
+Reference citation for parity bookkeeping: the reference engine has no
+media handling at all (SURVEY §2 lists no such operator); this module is
+north-star LLM-pipeline surface. Deployment note: the per-bit entropy
+loop is python — correct and fine for tests/fixtures; at 100 TB swap
+``decode_jpeg_luma`` for a codec library inside ``_gray_pixels`` (one
+call site), keeping this as the dependency-free reference.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- spec constants (ITU T.81) ---------------------------------------------
+
+# zigzag index k -> row-major position in the 8x8 block (A.3.6)
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1 example quantization tables (row-major)
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 example Huffman tables: (bits[1..16] counts, value list)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+# a typo in the tables above must fail at import, not decode garbage
+for _b, _v in (
+    (DC_LUMA_BITS, DC_LUMA_VALS),
+    (DC_CHROMA_BITS, DC_CHROMA_VALS),
+    (AC_LUMA_BITS, AC_LUMA_VALS),
+    (AC_CHROMA_BITS, AC_CHROMA_VALS),
+):
+    assert len(_b) == 16 and sum(_b) == len(_v), "huffman table corrupt"
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix — JPEG's FDCT/IDCT (A.3.3) is
+    exactly the orthonormal 2D DCT on level-shifted samples."""
+    n = 8
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    d[0, :] = np.sqrt(1.0 / n)
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality→scale curve: 5000/q below 50, else
+    200-2q; entries clamp to [1, 255] (baseline requires 8-bit tables)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (table * scale + 50) // 100
+    return np.clip(t, 1, 255)
+
+
+def _build_canonical(bits: list[int], vals: list[int]):
+    """Canonical Huffman code assignment (C.2): codes of each length in
+    value-list order, starting from (prev+1)<<1 at each length step.
+    Returns {symbol: (code, length)} for encode and the spec's
+    (mincode, maxcode, valptr, huffval) arrays for decode (F.2.2.3)."""
+    enc: dict[int, tuple[int, int]] = {}
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        if bits[length - 1] == 0:
+            mincode[length] = code
+            maxcode[length] = -1
+            code <<= 1
+            continue
+        valptr[length] = k
+        mincode[length] = code
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        maxcode[length] = code - 1
+        code <<= 1
+    return enc, (mincode, maxcode, valptr, list(vals))
+
+
+# -- decoder ----------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    byte stuffing removed on the fly (F.2.2.5). Stops at any real marker
+    (0xFF followed by non-zero): ``self.marker`` records it."""
+
+    __slots__ = ("data", "pos", "buf", "nbits", "marker")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG: entropy data exhausted")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            else:
+                # a real marker: the spec pads the tail of the segment
+                # with 1-bits; remember the marker and feed 1s
+                self.marker = nxt
+                self.buf = (self.buf << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def receive(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def decode(self, table) -> int:
+        """DECODE (F.2.2.3): walk code lengths until code <= maxcode[l]."""
+        mincode, maxcode, valptr, huffval = table
+        code = self.receive(1)
+        for length in range(1, 17):
+            if maxcode[length] >= code:
+                return huffval[valptr[length] + code - mincode[length]]
+            code = (code << 1) | self.receive(1)
+        raise ValueError("JPEG: invalid huffman code")
+
+    def align_to_marker(self) -> int | None:
+        """Discard pad bits and return the next marker byte (for RSTn)."""
+        self.buf = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                m = d[self.pos + 1]
+                self.pos += 2
+                self.marker = None
+                return m
+            self.pos += 1
+        return None
+
+
+def _extend(v: int, t: int) -> int:
+    """EXTEND (F.2.2.1): map the t-bit magnitude to its signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg_luma(content: bytes) -> np.ndarray:
+    """Decode a baseline/extended-sequential JPEG to its luma plane as a
+    float64 (H, W) array in [0, 255]. See the module docstring for scope;
+    unsupported frame types raise ValueError (a DECODE_ERRORS member, so
+    the multimodal extractors surface a sentinel instead of failing)."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, tuple] = {}
+    huff_ac: dict[int, tuple] = {}
+    comps: list[dict] = []
+    width = height = None
+    restart_interval = 0
+    i = 2
+    n = len(content)
+    while i + 4 <= n:
+        if content[i] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at byte {i}")
+        marker = content[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seg_len,) = struct.unpack(">H", content[i + 2 : i + 4])
+        seg = content[i + 4 : i + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            # a payload truncated in transit must raise a DECODE_ERRORS
+            # member, not whatever IndexError the short slice causes later
+            raise ValueError("JPEG: truncated marker segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[p : p + 64], np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg[p : p + 128], ">u2").astype(np.int64)
+                    p += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                if len(bits) != 16 or len(vals) != nv:
+                    raise ValueError("JPEG: truncated huffman table")
+                _, dec = _build_canonical(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential Huffman
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"JPEG: {precision}-bit precision unsupported")
+            height, width = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "JPEG: only baseline/extended sequential Huffman (SOF0/SOF1) supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for s in range(ns):
+                cs, tables = seg[1 + 2 * s : 3 + 2 * s]
+                comp = next(c for c in comps if c["id"] == cs)
+                comp["td"] = tables >> 4
+                comp["ta"] = tables & 15
+                scan.append(comp)
+            data_start = i + 2 + seg_len
+            return _decode_scan(
+                content, data_start, scan, comps, qt, huff_dc, huff_ac,
+                width, height, restart_interval,
+            )
+        # APPn / COM / anything else: skip
+        i += 2 + seg_len
+    raise ValueError("JPEG: no SOS scan found")
+
+
+def _decode_scan(
+    content, pos, scan, comps, qt, huff_dc, huff_ac, width, height, ri
+) -> np.ndarray:
+    if width is None or not scan:
+        raise ValueError("JPEG: SOS before SOF")
+    if width == 0 or height == 0:
+        raise ValueError("JPEG: zero-dimension image")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    luma = comps[0]
+    interleaved = len(scan) > 1
+    if interleaved:
+        mcux = -(-width // (8 * hmax))
+        mcuy = -(-height // (8 * vmax))
+        per_mcu = [(c, c["h"], c["v"]) for c in scan]
+        ly_w, ly_h = mcux * luma["h"], mcuy * luma["v"]  # luma blocks grid
+    else:
+        c = scan[0]
+        cw = -(-(width * c["h"]) // hmax)
+        ch = -(-(height * c["v"]) // vmax)
+        mcux = -(-cw // 8)
+        mcuy = -(-ch // 8)
+        per_mcu = [(c, 1, 1)]
+        ly_w, ly_h = mcux, mcuy
+    n_mcu = mcux * mcuy
+    # coefficient store for the luma component only (chroma is decoded to
+    # advance the bitstream, never kept)
+    lcoef = np.zeros((ly_h * ly_w, 64), dtype=np.int64)
+    want_luma = scan[0] is luma
+
+    reader = _BitReader(content, pos)
+    pred = {id(c): 0 for c in scan}
+    zz = ZIGZAG
+    mcu_done = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcu_done and mcu_done % ri == 0:
+                m = reader.align_to_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    raise ValueError("JPEG: expected restart marker")
+                for c in scan:
+                    pred[id(c)] = 0
+            for c, ch_, cv_ in per_mcu:
+                dct = huff_dc.get(c["td"])
+                act = huff_ac.get(c["ta"])
+                if dct is None or act is None:
+                    raise ValueError("JPEG: missing huffman table")
+                keep = want_luma and c is luma
+                for by in range(cv_):
+                    for bx in range(ch_):
+                        # DC
+                        t = reader.decode(dct)
+                        diff = _extend(reader.receive(t), t) if t else 0
+                        pred[id(c)] += diff
+                        if keep:
+                            if interleaved:
+                                gy = my * cv_ + by
+                                gx = mx * ch_ + bx
+                            else:
+                                gy, gx = my, mx
+                            row = lcoef[gy * ly_w + gx]
+                            row[0] = pred[id(c)]
+                        else:
+                            row = None
+                        # AC
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode(act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            v = _extend(reader.receive(s), s)
+                            if row is not None:
+                                row[zz[k]] = v
+                            k += 1
+            mcu_done += 1
+
+    q = qt.get(luma["tq"])
+    if q is None:
+        raise ValueError("JPEG: missing quantization table")
+    # dequantize (coeffs are stored at their zigzag-mapped row-major slots,
+    # so the quant table must be de-zigzagged the same way)
+    deq = np.zeros(64, dtype=np.int64)
+    deq[zz] = q[np.arange(64)]
+    blocks = (lcoef * deq[None, :]).reshape(-1, 8, 8).astype(np.float64)
+    # IDCT all luma blocks in one einsum pair + level shift
+    px = _DCT.T @ blocks @ _DCT + 128.0
+    px = np.clip(px, 0.0, 255.0)
+    # assemble the luma plane and crop to the component's true size
+    plane = (
+        px.reshape(ly_h, ly_w, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(ly_h * 8, ly_w * 8)
+    )
+    lw = -(-(width * luma["h"]) // hmax)
+    lh = -(-(height * luma["v"]) // vmax)
+    plane = plane[:lh, :lw]
+    if (lh, lw) != (height, width):
+        # sub-sampled luma (nonstandard): nearest-upsample to frame size
+        iy = (np.arange(height) * lh) // height
+        ix = (np.arange(width) * lw) // width
+        plane = plane[np.ix_(iy, ix)]
+    return plane
+
+
+# -- encoder (fixtures / round-trip tests) ----------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("out", "buf", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.buf >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.buf &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (F.1.2.3)
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Blocks (n, 64) of quantized zigzag-ordered coefficients for an
+    edge-padded component plane whose dims are multiples of 8."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    freq = _DCT @ blocks @ _DCT.T
+    qz = q[ZIGZAG].astype(np.float64)
+    zzed = freq.reshape(-1, 64)[:, ZIGZAG]
+    # round half away from zero (libjpeg's DIVIDE_BY): deterministic and
+    # symmetric for negative coefficients
+    return (np.sign(zzed) * np.floor(np.abs(zzed) / qz + 0.5)).astype(np.int64)
+
+
+def _pad_to(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate to multiples of (bh, bw) — the spec's recommended
+    extension, and the one that avoids ringing at the crop edge."""
+    h, w = plane.shape
+    H = -(-h // bh) * bh
+    W = -(-w // bw) * bw
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def _encode_block(bw: _BitWriter, coef: np.ndarray, pred: int, dcenc, acenc) -> int:
+    dc = int(coef[0])
+    diff = dc - pred
+    mag = abs(diff)
+    t = mag.bit_length()
+    code, length = dcenc[t]
+    bw.write(code, length)
+    if t:
+        v = diff if diff >= 0 else diff + (1 << t) - 1
+        bw.write(v, t)
+    last = 63
+    while last > 0 and coef[last] == 0:
+        last -= 1
+    run = 0
+    for k in range(1, last + 1):
+        v = int(coef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = acenc[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = abs(v).bit_length()
+        code, length = acenc[(run << 4) | s]
+        bw.write(code, length)
+        vv = v if v >= 0 else v + (1 << s) - 1
+        bw.write(vv, s)
+        run = 0
+    if last < 63:
+        code, length = acenc[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder. ``pixels`` is uint8 (H, W) grayscale or
+    (H, W, 3) RGB; RGB converts to BT.601 YCbCr with ``subsampling``
+    '444' or '420'. Deterministic for fixed inputs (fixture generator —
+    the JPEG sibling of :func:`multimodal.make_png`)."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        planes = [px.astype(np.float64)]
+        samp = [(1, 1)]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+
+            def down2(p):
+                pp = _pad_to(p, 2, 2)
+                return (
+                    pp.reshape(pp.shape[0] // 2, 2, pp.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+
+            planes = [y, down2(cb), down2(cr)]
+        elif subsampling == "444":
+            samp = [(1, 1), (1, 1), (1, 1)]
+            planes = [y, cb, cr]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+    else:
+        raise ValueError("pixels must be (H, W) or (H, W, 3)")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("bad image dimensions")
+    ncomp = len(planes)
+    qluma = _quality_scale(QUANT_LUMA, quality)
+    qchroma = _quality_scale(QUANT_CHROMA, quality)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    # DQT (table 0 always; table 1 for color)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes(
+        int(qluma[z]) for z in ZIGZAG
+    )
+    if ncomp == 3:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x01" + bytes(
+            int(qchroma[z]) for z in ZIGZAG
+        )
+    # SOF0
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+    def dht(tc, th, bits, vals):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if ncomp == 3:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # per-component quantized coefficient grids
+    dcl, _ = _build_canonical(DC_LUMA_BITS, DC_LUMA_VALS)
+    acl, _ = _build_canonical(AC_LUMA_BITS, AC_LUMA_VALS)
+    dcc, _ = _build_canonical(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    acc, _ = _build_canonical(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    grids = []
+    for ci, plane in enumerate(planes):
+        hs, vs = samp[ci]
+        cw = -(-(w * hs) // hmax)
+        chh = -(-(h * vs) // vmax)
+        p = _pad_to(np.clip(plane[:chh, :cw], 0, 255), 8 * vs, 8 * hs)
+        # pad the component plane itself to the MCU grid so every MCU has
+        # its full complement of blocks
+        mcux = -(-w // (8 * hmax)) if ncomp > 1 else -(-cw // 8)
+        mcuy = -(-h // (8 * vmax)) if ncomp > 1 else -(-chh // 8)
+        full_w = (mcux * hs * 8) if ncomp > 1 else mcux * 8
+        full_h = (mcuy * vs * 8) if ncomp > 1 else mcuy * 8
+        p = np.pad(
+            p, ((0, full_h - p.shape[0]), (0, full_w - p.shape[1])), mode="edge"
+        )
+        q = qluma if ci == 0 else qchroma
+        coefs = _fdct_quant(p, q)
+        bw_blocks = p.shape[1] // 8
+        grids.append((coefs, bw_blocks, hs, vs))
+
+    writer = _BitWriter()
+    mcux = -(-w // (8 * hmax)) if ncomp > 1 else grids[0][1]
+    mcuy = -(-h // (8 * vmax)) if ncomp > 1 else grids[0][0].shape[0] // grids[0][1]
+    preds = [0] * ncomp
+    mcu_done = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_done and mcu_done % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                coefs, bwb, hs, vs = grids[ci]
+                enc_dc = dcl if ci == 0 else dcc
+                enc_ac = acl if ci == 0 else acc
+                for by in range(vs):
+                    for bx in range(hs):
+                        gy = my * vs + by
+                        gx = mx * hs + bx
+                        preds[ci] = _encode_block(
+                            writer, coefs[gy * bwb + gx], preds[ci], enc_dc, enc_ac
+                        )
+            mcu_done += 1
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def make_jpeg(gray: np.ndarray, quality: int = 90) -> bytes:
+    """Grayscale fixture encoder — the JPEG sibling of ``make_png``."""
+    return encode_jpeg(np.asarray(gray, dtype=np.uint8), quality=quality)

@@ -1,16 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata (north-star surface).
 
-Image decode is REAL pure-python/stdlib for the containers this matters
-for: PNG/JPEG/GIF header parsing for dimensions, a complete PNG pixel
-decoder (zlib inflate + scanline unfiltering — 8-bit gray/RGB/RGBA/
-gray+alpha, non-interlaced) and a matching deterministic PNG encoder for
-fixtures, plus a numpy DCT perceptual hash over the decoded bitmap.
-JPEG/GIF PIXEL decode (Huffman+IDCT / LZW) stays out of scope — for those
-containers pHash falls back to a byte-content hash, clearly marked; real
-deployments swap `_gray_pixels` for PIL in one place. Audio is REAL for
-RIFF/WAVE 16-bit PCM (header parse + numpy signal stats); compressed
-codecs (mp3/opus) and video decode (ffmpeg) remain stubbed the same way.
+Image decode is REAL pure-python for the containers this matters for:
+PNG/JPEG/GIF header parsing for dimensions, a complete PNG pixel decoder
+(zlib inflate + scanline unfiltering — 8-bit gray/RGB/RGBA/gray+alpha,
+non-interlaced), a complete baseline JPEG pixel decoder
+(:mod:`.jpeg` — Huffman entropy decode, dequant, IDCT; grayscale/YCbCr
+with any sampling, restart markers), and matching deterministic PNG/JPEG
+encoders for fixtures, plus a numpy DCT perceptual hash over the decoded
+bitmap. GIF pixel decode (LZW) and progressive JPEG stay out of scope —
+those fall back to a byte-content hash, clearly marked; real deployments
+swap `_gray_pixels` for PIL in one place. Audio is REAL for RIFF/WAVE
+16-bit PCM (header parse + numpy signal stats); compressed codecs
+(mp3/opus) and video decode (ffmpeg) remain stubbed the same way.
 
 At 100 TB the rules encoded here: binaries ride in their own column so
 column pruning skips them unless asked; feature extraction is
@@ -109,14 +111,20 @@ def decode_image_size(content: bytes) -> tuple[int, int]:
 
 
 def _gray_pixels(content: bytes) -> np.ndarray:
-    """Decode a PNG payload to a grayscale float array (H, W).
+    """Decode an image payload to a grayscale float array (H, W).
 
-    Full pure-stdlib decode: chunk walk → IDAT zlib inflate → per-scanline
-    unfilter (None/Sub/Up/Average/Paeth) → ITU-R 601 luma. Supports 8-bit
-    gray / gray+alpha / RGB / RGBA, non-interlaced — the shapes the
-    fixture generator emits and the overwhelming share of real corpora.
-    Raises ValueError on other containers/configs (JPEG pixel decode needs
-    a real codec; swap this function for PIL in deployment)."""
+    PNG: full pure-stdlib decode — chunk walk → IDAT zlib inflate →
+    per-scanline unfilter (None/Sub/Up/Average/Paeth) → ITU-R 601 luma;
+    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced. JPEG: real
+    baseline/extended-sequential pixel decode via the pure-numpy codec in
+    :mod:`traildb_spark.operators.jpeg` (the luma plane IS the grayscale
+    bitmap — JPEG stores YCbCr). Raises ValueError on other containers
+    and configs (GIF pixels, progressive JPEG); swap this one function
+    for PIL for full coverage in deployment."""
+    if content[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_luma
+
+        return decode_jpeg_luma(content)
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos, width, height, channels = 8, None, None, None
@@ -243,8 +251,9 @@ def phash64(gray: np.ndarray) -> int:
 
 def _content_hash64(content: bytes) -> int:
     """Fallback 64-bit CONTENT hash for payloads whose pixels we cannot
-    decode in pure python (JPEG/GIF): deterministic, but byte-level — NOT
-    perceptual. Kept distinct so deployments know to swap in PIL."""
+    decode in pure python (GIF, progressive JPEG): deterministic, but
+    byte-level — NOT perceptual. Kept distinct so deployments know to
+    swap in PIL."""
     import hashlib
 
     return (
@@ -261,8 +270,9 @@ def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
     Input: MEDIA_SCHEMA rows with kind='image'. Output:
     IMAGE_FEATURES_SCHEMA. Dimensions come from real container header
     parsing (PNG/JPEG/GIF); pHash and the luma-histogram features come
-    from the real decoded bitmap for PNGs, with a marked byte-content
-    fallback for containers whose pixel decode needs a codec library.
+    from the real decoded bitmap for PNGs AND baseline JPEGs, with a
+    marked byte-content fallback for containers whose pixel decode still
+    needs a codec library (GIF, progressive JPEG).
     The iterator contract keeps memory bounded to one Arrow batch
     regardless of partition size.
     """
@@ -532,7 +542,8 @@ def resize_images(
     grid so oracles can recompute pixels in closed form. Output carries the
     resized binary plus ``mean_luma`` of the resized bitmap (a brightness
     stat downstream quality filters use). Undecodable payloads → width -1,
-    NULL content. Non-PNG containers fall in that bucket until a real
+    NULL content. PNG and baseline JPEG decode for real; remaining
+    containers (GIF, progressive JPEG) fall in that bucket until a full
     codec is swapped into :func:`_gray_pixels`."""
     if method not in ("box", "nearest"):
         raise ValueError(f"resize_images: unknown method {method!r}")
@@ -573,6 +584,66 @@ def resize_images(
 
     imgs = df.filter(F.col("kind") == "image").select("media_id", "content")
     return imgs.mapInPandas(run, schema=RESIZED_IMAGE_SCHEMA)
+
+
+IMAGE_LUMA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("luma_sum", LongType()),
+        StructField("luma_min", IntegerType()),
+        StructField("luma_max", IntegerType()),
+    ]
+)
+
+
+def image_luma_stats(df: DataFrame) -> DataFrame:
+    """Exact integer brightness stats from REAL pixel decode (PNG and
+    baseline JPEG): per image-kind row, the decoded bitmap's dimensions
+    and integer luma sum/min/max — the brightness signal a pretraining
+    quality filter thresholds on (all-black/all-white frames, washed-out
+    scans), and a closed-form differential target: for block-flat
+    fixtures JPEG quality-100 decode is EXACT, so a SQL oracle can
+    recompute every output from the pattern (q104). Undecodable payloads
+    → -1 sentinels. Arrow-batched mapInPandas; only fixed-width stats
+    leave the worker, never bitmaps."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(payload) if payload is not None else b""
+                try:
+                    gray = np.round(_gray_pixels(content)).astype(np.int64)
+                    h, w = gray.shape
+                    out.append(
+                        {
+                            "media_id": media_id,
+                            "width": w,
+                            "height": h,
+                            "luma_sum": int(gray.sum()),
+                            "luma_min": int(gray.min()),
+                            "luma_max": int(gray.max()),
+                        }
+                    )
+                except DECODE_ERRORS:
+                    out.append(
+                        {
+                            "media_id": media_id,
+                            "width": -1,
+                            "height": -1,
+                            "luma_sum": -1,
+                            "luma_min": -1,
+                            "luma_max": -1,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in IMAGE_LUMA_SCHEMA.fields]
+            )
+
+    imgs = df.filter(F.col("kind") == "image").select("media_id", "content")
+    return imgs.mapInPandas(run, schema=IMAGE_LUMA_SCHEMA)
 
 
 def media_metadata(df: DataFrame) -> DataFrame:
