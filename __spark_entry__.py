@@ -2253,7 +2253,10 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS ({_E}),
             per AS (SELECT DISTINCT uuid, "time" // 86400 AS d FROM e),
             sp AS (
-              SELECT uuid, unnest(generate_series(d, d + 6)) AS day FROM per)
+              SELECT uuid,
+                     unnest(generate_series(
+                       d, LEAST(d + 6, (SELECT MAX(d) FROM per)))) AS day
+              FROM per)
             SELECT day, COUNT(DISTINCT uuid) AS active_trails
             FROM sp GROUP BY day
         """,

@@ -309,8 +309,9 @@ def test_rolling_active_window(spark):
         for r in analytics.rolling_active(df, window_days=2, period=86400).collect()
     }
     # u1 active in day-windows ending 0..1 (from day 0) and 1..2 (day 1);
-    # u2 in windows 0..1
-    assert got == {0: 2, 1: 2, 2: 1}
+    # u2 in windows 0..1 — but day 2 is AFTER the last observed day
+    # (max d = 1): a prospective partial WAU row must not be emitted
+    assert got == {0: 2, 1: 2}
 
 
 def test_attribution_linear_credit_conserves(spark):

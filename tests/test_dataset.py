@@ -347,3 +347,31 @@ def test_shard_predicate_sentinel_bounds(spark, tmp_path):
     # sentinel end far beyond representable timestamps must not crash
     f = EventFilter().add_time_range(1704067200, 2**62)
     assert back.with_filter(f).df.count() == 3
+
+
+def test_raw_binary_uuid_ingest_roundtrip(spark, tmp_path):
+    """Raw 16-byte uuid columns (the reference's API form,
+    src/tdb_uuid.c:52-75) normalize through the uuid_hex codec into the
+    canonical lowercase-hex form: binary -> hex -> finalize -> open -> dump
+    round-trips, and matches the same data ingested as hex text."""
+    from traildb_spark.dataset import TrailDataset, normalize_events
+
+    raw = bytes(range(16))                      # 000102...0e0f
+    hex_form = raw.hex()
+    rows_bin = [(bytearray(raw), 10, "x"), (bytearray(raw), 20, None)]
+    df_bin = spark.createDataFrame(rows_bin, "uuid binary, time long, f string")
+    ev = normalize_events(df_bin)
+    got = sorted(map(tuple, ev.collect()))
+    assert got == [(hex_form, 10, "x"), (hex_form, 20, "")]
+
+    p = str(tmp_path / "bindb")
+    TrailDataset(ev).finalize(p, num_buckets=1)
+    back = TrailDataset.open(spark, p)
+    assert back.trail(hex_form.upper()).count() == 2  # lookup normalizes too
+
+    # identical to the hex-text ingest path
+    df_hex = spark.createDataFrame(
+        [(hex_form.upper(), 10, "x"), (hex_form, 20, None)],
+        "uuid string, time long, f string",
+    )
+    assert sorted(map(tuple, normalize_events(df_hex).collect())) == got

@@ -158,7 +158,10 @@ def test_compact_shards_preserves_data(spark, sf_dir, tmp_path):
     )
     before_files = n_files()
     before = {tuple(r) for r in TrailDataset.open(spark, out).df.collect()}
-    compact_shards(spark, out, num_buckets=1)
+    # scheme-qualified path: compaction must run purely through the Hadoop
+    # FileSystem API resolved from the path's scheme (hdfs://s3a:// story),
+    # never os.rename on the bare local path
+    compact_shards(spark, f"file://{out}", num_buckets=1)
     assert {tuple(r) for r in TrailDataset.open(spark, out).df.collect()} == before
     assert n_files() <= before_files and n_files() == 1
 
@@ -360,18 +363,27 @@ def test_streaming_attribution_chunked_arrival(spark, sf_dir, tmp_path):
     assert got == want and sum(got.values()) > 0
 
 
-def test_countmin_checkpoint_reset_starts_fresh(spark, tmp_path):
-    """batch id 0 against existing state = cleared-checkpoint reset: the
-    old totals must be discarded, not double-merged."""
+def test_countmin_checkpoint_reset_refuses(spark, tmp_path):
+    """batch id 0 against existing state = cleared-checkpoint reuse: the
+    accumulated sketch must neither be double-merged NOR silently
+    destroyed — the batch refuses loudly (same contract as
+    ``_finalize_batch``), and a genuine replay of id 0 still no-ops."""
+    import pytest as _pytest
+
     from traildb_spark.operators import analytics
     from traildb_spark.streaming.ingest import _countmin_batch
 
     out = str(tmp_path / "cm_reset")
     df = spark.createDataFrame([("a",), ("b",), ("a",)], ["v"])
     assert _countmin_batch(df, 0, out, "v", 64, 2, "cm:", "tok") is True
+    # replay of id 0 while the pointer still references its own output:
+    # legitimate at-least-once replay, state untouched
+    assert _countmin_batch(df, 0, out, "v", 64, 2, "cm:", "tok") is False
     assert _countmin_batch(df, 1, out, "v", 64, 2, "cm:", "tok") is True
-    # "reset": same token, batch ids restart at 0 over the same source
-    assert _countmin_batch(df, 0, out, "v", 64, 2, "cm:", "tok") is True
+    # "reset": same token, batch ids restart at 0 over existing state
+    with _pytest.raises(RuntimeError, match="previous lineage"):
+        _countmin_batch(df, 0, out, "v", 64, 2, "cm:", "tok")
+    # the accumulated sketch survives the refused batch
     with open(f"{out}/_latest_tok") as fh:
         cur = fh.read().strip()
     est = {
@@ -380,8 +392,7 @@ def test_countmin_checkpoint_reset_starts_fresh(spark, tmp_path):
             spark.read.parquet(cur), df.distinct(), "v", width=64, depth=2
         ).collect()
     }
-    # one pass over df, not three
-    assert est == {"a": 2, "b": 1}
+    assert est == {"a": 4, "b": 2}  # two committed passes, not zero/three
 
 
 def test_finalize_cleared_checkpoint_refuses(spark, sf_dir, tmp_path):
@@ -445,3 +456,47 @@ def test_stream_stream_touch_conversion_join_matches_batch(spark, sf_dir, tmp_pa
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_join_id_tiebreak_matches_batch_exactly(spark, tmp_path):
+    """With id_col the stream join reproduces attribution_linear's FULL
+    pairing including equal-timestamp touches with smaller event id
+    (tt == ct AND tid < cid) — the r3-documented divergence, closed; and
+    channel_col is honored instead of a hard-coded event_type."""
+    from traildb_spark.streaming.sessions import streaming_touch_conversion_join
+
+    base = 1700000000
+    rows = [
+        # (uuid, time, event_id, kind): equal-ts pairs in both id orders
+        ("u1", base, 1, "click"), ("u1", base, 2, "purchase"),   # kept: 1 < 2
+        ("u2", base, 9, "click"), ("u2", base, 4, "purchase"),   # dropped: 9 > 4
+        ("u3", base - 50, 5, "view"), ("u3", base, 6, "purchase"),  # normal
+        ("u4", base - 99999, 7, "click"), ("u4", base, 8, "purchase"),  # out of lookback
+    ]
+    path = str(tmp_path / "tiebreak")
+    spark.createDataFrame(
+        rows, "uuid string, t long, event_id long, kind string"
+    ).withColumn("event_time", F.timestamp_seconds(F.col("t"))).drop("t") \
+        .coalesce(1).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    touches = (
+        spark.readStream.schema(schema).parquet(path)
+        .filter(F.col("kind").isin("click", "view"))
+    )
+    convs = (
+        spark.readStream.schema(schema).parquet(path)
+        .filter(F.col("kind") == "purchase")
+    )
+    out = streaming_touch_conversion_join(
+        touches, convs, lookback=86400,
+        channel_col="kind", id_col="event_id",
+    )
+    _run_stream(out, "ssj_tie", mode="append")
+    got = {
+        (r["uuid"], r["touch_time"], r["conv_time"], r["channel"])
+        for r in spark.sql("select * from ssj_tie").collect()
+    }
+    assert got == {
+        ("u1", base, base, "click"),
+        ("u3", base - 50, base, "view"),
+    }

@@ -79,20 +79,31 @@ def normalize_events(
 
     ``time`` accepts integer or timestamp input; timestamps become Unix
     seconds (the reference stores uint64 "usually Unix time",
-    `doc/docs/api.md:53`). Field names are checked against the reference's
-    charset/duplicate rules unless ``validate_names=False``.
+    `doc/docs/api.md:53`). ``uuid`` accepts hex text OR raw 16-byte
+    binary — the reference's API takes raw uuids and hex is the CLI form
+    (`src/tdb_uuid.c:52-75`); binary input goes through the ``uuid_hex``
+    codec into the engine's canonical lowercase-hex form. Field names are
+    checked against the reference's charset/duplicate rules unless
+    ``validate_names=False``.
     """
+    from .functions.core import uuid_hex
+
     cols = [c for c in df.columns if c not in (uuid_col, time_col)]
     if fields is not None:
         cols = [c for c in cols if c in fields]
     if validate_names:
         validate_field_names(cols)
     t = F.col(time_col)
-    dtype = dict(df.dtypes)[time_col]
-    if dtype.startswith("timestamp"):
+    dtypes = dict(df.dtypes)
+    if dtypes[time_col].startswith("timestamp"):
         t = F.unix_timestamp(t)
+    u = (
+        uuid_hex(F.col(uuid_col))
+        if dtypes[uuid_col] == "binary"
+        else F.lower(F.col(uuid_col).cast("string"))
+    )
     out = [
-        F.lower(F.col(uuid_col).cast("string")).alias(UUID_COL),
+        u.alias(UUID_COL),
         t.cast("long").alias(TIME_COL),
     ]
     out += [F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c) for c in cols]
@@ -687,44 +698,55 @@ def compact_shards(
     renamed away, replacement not yet in place). Every call therefore
     RECOVERS first — a leftover ``.compact.<shard>.old`` with no live
     shard dir is restored before anything else, so a crashed compaction
-    self-heals on retry instead of leaving the shard invisible. Local
-    filesystem paths only (os.rename atomicity); port the renames to the
-    Hadoop FileSystem API for hdfs:// — ``streaming.ingest._finalize_batch``
-    shows the pattern.
+    self-heals on retry instead of leaving the shard invisible.
+
+    All filesystem operations go through the Hadoop FileSystem API
+    resolved from the path's own scheme, so file://, hdfs:// and
+    committer-backed object stores behave identically (same contract as
+    ``streaming.ingest._finalize_batch``). Hadoop ``rename`` reports
+    failure by RETURNING false — every rename here raises on false,
+    because continuing past a failed swap would drop or shadow a shard.
     """
-    import shutil
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+    def _rename(src, dst) -> None:
+        if not fs.rename(src, dst):
+            raise IOError(f"compact_shards: rename {src} -> {dst} failed")
 
     if shards is None:
         shards = sorted(
-            d.split("=", 1)[1]
-            for d in os.listdir(path)
-            if d.startswith(f"{SHARD_COL}=")
+            st.getPath().getName().split("=", 1)[1]
+            for st in fs.listStatus(hpath(path)) or []
+            if st.isDirectory()
+            and st.getPath().getName().startswith(f"{SHARD_COL}=")
         )
     n = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     done: list[str] = []
     for shard in shards:
-        shard_dir = os.path.join(path, f"{SHARD_COL}={shard}")
-        tmp_dir = os.path.join(path, f".compact.{shard}.tmp")
-        old_dir = os.path.join(path, f".compact.{shard}.old")
+        shard_dir = hpath(f"{path}/{SHARD_COL}={shard}")
+        tmp_dir = hpath(f"{path}/.compact.{shard}.tmp")
+        old_dir = hpath(f"{path}/.compact.{shard}.old")
         # recover a previous crash: backup exists and the live dir is
         # gone → restore the backup (its content is the pre-compaction
         # truth); stale tmp dirs are always safe to drop
-        if os.path.exists(old_dir) and not os.path.exists(shard_dir):
-            os.rename(old_dir, shard_dir)
-        if os.path.exists(tmp_dir):
-            shutil.rmtree(tmp_dir)
-        if os.path.exists(old_dir):
-            shutil.rmtree(old_dir)
+        if fs.exists(old_dir) and not fs.exists(shard_dir):
+            _rename(old_dir, shard_dir)
+        if fs.exists(tmp_dir):
+            fs.delete(tmp_dir, True)
+        if fs.exists(old_dir):
+            fs.delete(old_dir, True)
         (
-            spark.read.parquet(shard_dir)
+            spark.read.parquet(shard_dir.toString())
             .repartition(n, F.col(UUID_COL))
             .sortWithinPartitions(UUID_COL, TIME_COL)
             .write.mode("overwrite")
-            .parquet(tmp_dir)
+            .parquet(tmp_dir.toString())
         )
-        os.rename(shard_dir, old_dir)
-        os.rename(tmp_dir, shard_dir)
-        shutil.rmtree(old_dir)
+        _rename(shard_dir, old_dir)
+        _rename(tmp_dir, shard_dir)
+        fs.delete(old_dir, True)
         done.append(shard)
     return done
 

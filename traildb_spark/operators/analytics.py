@@ -662,17 +662,26 @@ def rolling_active(
     events), and the final countDistinct keys on calendar days. Days with
     zero activity simply don't appear (standard sparse timeline).
     Returns ``(day, active_trails)`` — ``day`` is the Unix day index of
-    the WINDOW END.
+    the WINDOW END, clamped to the last OBSERVED day: without the clamp,
+    data ending on day D would emit partial rows for D+1..D+N-1 that read
+    as complete (and collapsing) WAU values. The clamp is a broadcast
+    1-row max, not a shuffle.
     """
     day = F.floor(F.col(time_col).cast("long") / F.lit(int(period))).cast("long")
     per = (
         df.select(F.col(uuid_col).alias("uuid"), day.alias("d"))
         .distinct()
     )
-    spread = per.select(
+    maxd = per.agg(F.max("d").alias("__maxd"))
+    spread = per.crossJoin(F.broadcast(maxd)).select(
         "uuid",
         F.explode(
-            F.sequence(F.col("d"), F.col("d") + F.lit(int(window_days) - 1))
+            F.sequence(
+                F.col("d"),
+                F.least(
+                    F.col("d") + F.lit(int(window_days) - 1), F.col("__maxd")
+                ),
+            )
         ).alias("day"),
     )
     return spread.groupBy("day").agg(

@@ -327,11 +327,20 @@ def _countmin_batch(
         return False  # replay after commit: pointer already advanced
     if prev is not None and batch_id == 0:
         # batch id 0 with existing state = a CLEARED checkpoint against a
-        # kept output path (an intact checkpoint never re-issues id 0
-        # after later commits). Merging the re-read source into the old
-        # totals would double-count everything; start a fresh lineage.
-        _shutil.rmtree(prev, ignore_errors=True)
-        prev = None
+        # kept output path (an intact checkpoint can only replay id 0
+        # while the pointer still references id 0's own output — caught
+        # above). Merging the re-read source into the old totals would
+        # double-count everything, and silently discarding the
+        # accumulated sketch would destroy state with no operator-visible
+        # signal — refuse loudly, same contract as ``_finalize_batch``.
+        raise RuntimeError(
+            "streaming_countmin: batch id 0 arrived but this sketch path "
+            "already holds state from a previous lineage of the same "
+            "checkpoint path (checkpoint was cleared and reused). Merging "
+            "would double-count and resetting would destroy the "
+            "accumulated sketch — use a fresh checkpoint path or delete "
+            f"the sketch state at {path} explicitly."
+        )
     spark = batch_df.sparkSession
     part = countmin_build(batch_df, col, width, depth, seed)
     if prev is not None:

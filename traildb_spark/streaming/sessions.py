@@ -281,6 +281,8 @@ def streaming_touch_conversion_join(
     uuid_col: str = "uuid",
     ts_col: str = "event_time",
     watermark: str = "1 hour",
+    channel_col: str = "event_type",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Stream-stream interval join: every (touch, conversion) pair of the
     same trail where the touch precedes the conversion by at most
@@ -291,30 +293,42 @@ def streaming_touch_conversion_join(
     is (arrival rate × (lookback + watermark)), never stream length —
     the only interval-join formulation that survives an unbounded stream.
 
-    Emits ``(uuid, touch_time, conv_time, channel)``; equals the batch
-    pairing (``attribution_linear``'s join, strict time inequality) for
-    in-watermark data. Late rows beyond the watermark drop — the batch
-    operator over finalized storage remains the replayable truth.
+    Emits ``(uuid, touch_time, conv_time, channel)`` with the channel
+    read from ``channel_col``. Parity contract vs the batch pairing
+    (``attribution_linear``'s join): the batch join also admits
+    EQUAL-timestamp pairs whose touch has the smaller event id
+    (``tt == ct AND tid < cid``). Pass ``id_col`` (present on both input
+    streams) to reproduce that tiebreak exactly; with ``id_col=None``
+    the stream join is strictly ``touch_ts < conv_ts`` and equal-
+    timestamp pairs are omitted — a documented divergence. Late rows
+    beyond the watermark drop — the batch operator over finalized
+    storage remains the replayable truth.
     """
-    t = (
-        touches.withWatermark(ts_col, watermark)
-        .select(
-            F.col(uuid_col).alias("t_uuid"),
-            F.col(ts_col).alias("touch_ts"),
-            F.col("event_type").alias("channel"),
+    t_cols = [
+        F.col(uuid_col).alias("t_uuid"),
+        F.col(ts_col).alias("touch_ts"),
+        F.col(channel_col).alias("channel"),
+    ]
+    c_cols = [
+        F.col(uuid_col).alias(uuid_col),
+        F.col(ts_col).alias("conv_ts"),
+    ]
+    if id_col is not None:
+        t_cols.append(F.col(id_col).alias("t_id"))
+        c_cols.append(F.col(id_col).alias("c_id"))
+    t = touches.withWatermark(ts_col, watermark).select(*t_cols)
+    c = conversions.withWatermark(ts_col, watermark).select(*c_cols)
+    order = F.col("touch_ts") < F.col("conv_ts")
+    if id_col is not None:
+        # the batch tiebreak; the non-strict <= keeps the condition a
+        # closed time range so state eviction still bounds both sides
+        order = (F.col("touch_ts") <= F.col("conv_ts")) & (
+            order | (F.col("t_id") < F.col("c_id"))
         )
-    )
-    c = (
-        conversions.withWatermark(ts_col, watermark)
-        .select(
-            F.col(uuid_col).alias(uuid_col),
-            F.col(ts_col).alias("conv_ts"),
-        )
-    )
     joined = c.join(
         t,
         (F.col(uuid_col) == F.col("t_uuid"))
-        & (F.col("touch_ts") < F.col("conv_ts"))
+        & order
         & (F.col("touch_ts") >= F.col("conv_ts") - F.expr(f"INTERVAL {int(lookback)} SECONDS")),
     )
     return joined.select(
