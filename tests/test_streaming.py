@@ -236,6 +236,22 @@ def test_finalize_batch_idempotent_on_replay(spark, sf_dir, tmp_path):
     assert TrailDataset.open(spark, out).df.count() == 3 * n1
 
 
+def _append_watermark_sentinels(spark, path, schema, max_ts, uuid="ffffffff"):
+    """Two far-future single-row files that arrive as LATER micro-batches
+    (mtime order) and push the watermark past every real event — the
+    standard way to surface the tail of a watermarked append-mode
+    operator when draining a finite test stream."""
+    import time as _time
+
+    for i, off in enumerate((10**6, 2 * 10**6)):
+        _time.sleep(0.05)  # distinct mtimes → deterministic batch order
+        spark.createDataFrame(
+            [(uuid, max_ts + off, "noop")], "uuid string, t long, event_type string"
+        ).withColumn("event_time", F.timestamp_seconds(F.col("t"))).drop("t") \
+            .select(*[f.name for f in schema.fields]) \
+            .coalesce(1).write.mode("append").parquet(path)
+
+
 def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
     from traildb_spark.streaming.sessions import streaming_attribution
     from traildb_spark.operators import analytics
@@ -243,16 +259,26 @@ def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
     path = str(tmp_path / "attr_events")
     ev = load_events(spark, sf_dir, as_timestamp=True)
     ev.orderBy("event_time").coalesce(1).write.parquet(path)
-
     schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path)
+    max_ts = spark.read.parquet(path).agg(
+        F.max(F.unix_timestamp("event_time"))
+    ).first()[0]
+    _append_watermark_sentinels(spark, path, schema, max_ts)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
     out = streaming_attribution(
         stream, "purchase", ["click", "view"], lookback=86400
     )
     _run_stream(out, "sattr", mode="append")
     got = (
-        spark.sql("select channel, count(*) as conversions from sattr group by channel")
-        .collect()
+        spark.sql(
+            "select channel, count(*) as conversions from sattr "
+            "where uuid <> 'ffffffff' group by channel"
+        ).collect()
     )
     got = {r["channel"]: r["conversions"] for r in got}
 
@@ -270,6 +296,103 @@ def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and sum(got.values()) > 0
+
+
+def test_streaming_funnel_out_of_order_matches_batch(spark, tmp_path):
+    """Cross-micro-batch DISORDER within the watermark: a trail's earlier
+    events arrive in a LATER batch; the reorder buffer must still produce
+    the batch fold (r3's parity contract held only under time-ordered
+    arrival — this is the closed gap)."""
+    from traildb_spark.operators import analytics
+    from traildb_spark.streaming.sessions import streaming_funnel
+
+    base = 1700000000
+    rows = [
+        # u1 completes a->b->c but b,c arrive one batch BEFORE a
+        ("u1", base + 100, "view"), ("u1", base + 200, "purchase"),
+        ("u1", base + 10, "signup"),
+        # u2: conversion-window violation only visible after reorder
+        ("u2", base + 500, "purchase"), ("u2", base + 490, "view"),
+        ("u2", base + 480, "signup"),
+    ]
+    path = str(tmp_path / "ooo_funnel")
+    import time as _time
+
+    # file 1 = the LATER events, file 2 = the earlier ones (mtime order
+    # drives micro-batch order under maxFilesPerTrigger=1)
+    for chunk in (rows[:2] + rows[3:4], rows[2:3] + rows[4:]):
+        _time.sleep(0.05)
+        spark.createDataFrame(
+            chunk, "uuid string, t long, event_type string"
+        ).withColumn("event_time", F.timestamp_seconds(F.col("t"))).drop("t") \
+            .coalesce(1).write.mode("append").parquet(path)
+
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = streaming_funnel(stream, ["signup", "view", "purchase"], watermark="1 hour")
+    _run_stream(out, "ooo_sfunnel", mode="update")
+    got = {
+        r["uuid"]: (r["s0"], r["s1"], r["s2"])
+        for r in spark.sql("select * from ooo_sfunnel").collect()
+    }
+    batch_in = spark.createDataFrame(rows, "uuid string, time long, event_type string")
+    steps = [F.col("event_type") == s for s in ("signup", "view", "purchase")]
+    want = {
+        r["uuid"]: (r["s0"], r["s1"], r["s2"])
+        for r in analytics.funnel_times(batch_in, steps).collect()
+    }
+    assert got == want
+    assert got["u1"] == (base + 10, base + 100, base + 200)
+
+
+def test_streaming_attribution_out_of_order_matches_batch(spark, tmp_path):
+    """A touch arriving one batch AFTER the conversion it precedes (but
+    within the watermark) must still win the attribution — finalized-only
+    emission + the reorder buffer."""
+    from traildb_spark.streaming.sessions import streaming_attribution
+
+    base = 1700000000
+    path = str(tmp_path / "ooo_attr")
+    import time as _time
+
+    chunks = [
+        [("u1", base + 300, "purchase"), ("u2", base + 40, "click")],
+        [("u1", base + 250, "click"), ("u2", base + 90, "purchase")],
+    ]
+    for chunk in chunks:
+        _time.sleep(0.05)
+        spark.createDataFrame(
+            chunk, "uuid string, t long, event_type string"
+        ).withColumn("event_time", F.timestamp_seconds(F.col("t"))).drop("t") \
+            .coalesce(1).write.mode("append").parquet(path)
+    schema = spark.read.parquet(path).schema
+    _append_watermark_sentinels(spark, path, schema, base + 300)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = streaming_attribution(
+        stream, "purchase", ["click", "view"], lookback=86400, watermark="1 hour"
+    )
+    _run_stream(out, "ooo_sattr", mode="append")
+    got = {
+        (r["uuid"], r["conv_time"], r["channel"])
+        for r in spark.sql(
+            "select * from ooo_sattr where uuid <> 'ffffffff'"
+        ).collect()
+    }
+    # u1's click@+250 arrived after the purchase@+300 but precedes it in
+    # event time → click wins; u2 is the in-order control
+    assert got == {
+        ("u1", base + 300, "click"),
+        ("u2", base + 90, "click"),
+    }
 
 
 def test_streaming_countmin_matches_batch(spark, sf_dir, tmp_path):

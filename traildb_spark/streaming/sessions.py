@@ -79,7 +79,8 @@ def stateful_trail_counts(
     def update(key, pdfs, state):
         import pandas as pd
 
-        n, first_us, last_us = state.get() if state.exists else (0, None, None)
+        # GroupState.get is a PROPERTY (raises if absent), not a method
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
         for pdf in pdfs:
             if len(pdf) == 0:  # empty chunk: min()/max() would be NaT
                 continue
@@ -137,12 +138,22 @@ def streaming_funnel(
     ``step_values[i]`` strictly after step i-1 (and within the conversion
     window if set).
 
-    Parity contract: equals the batch funnel when events arrive
-    time-ordered per trail (the reference's model — trails are stored
-    time-ordered; the tests prove equality under availableNow). A
-    late-arriving earlier event can't un-latch a step — batch mode is the
-    replayable source of truth, as with the reference's immutable daily
-    re-encode.
+    Out-of-order contract (watermark-bounded reorder buffer): events are
+    NOT folded on arrival. Per trail the state holds (a) the durable
+    latch times and (b) a buffer of events still above the watermark;
+    each batch folds — in timestamp order — only the buffered events
+    that have fallen below the current watermark (the engine guarantees
+    no older event can still arrive), then emits the durable fold
+    extended by a SPECULATIVE fold of the sorted remaining buffer. In
+    update mode later batches overwrite earlier speculation, so the
+    emitted result converges to the batch funnel for ANY arrival order
+    with lateness within the watermark — proven by
+    ``test_streaming_funnel_out_of_order_matches_batch``. Events later
+    than the watermark are dropped by the engine (standard contract);
+    the batch operator over finalized storage stays the replayable
+    truth. State per trail = k longs + (arrival rate × watermark)
+    buffered (ts, value) pairs — the same bound every watermarked
+    stateful operator carries, never stream length.
     """
     import pandas as pd
 
@@ -152,40 +163,72 @@ def streaming_funnel(
     if k == 0:
         raise ValueError("funnel needs at least one step value")
     out_schema = f"{uuid_col} string, " + ", ".join(f"s{i} long" for i in range(k))
-    state_schema = ", ".join(f"s{i} long" for i in range(k))
+    state_schema = (
+        ", ".join(f"s{i} long" for i in range(k))
+        + ", buf_t array<long>, buf_v array<string>"
+    )
+
+    def fold(times: list, evs) -> list:
+        for t, v in evs:
+            t = int(t)
+            # at most one step can latch per event (strict > rules out
+            # chaining two steps on one timestamp)
+            for i in range(k):
+                if times[i] >= 0:
+                    continue
+                ok = v == step_values[i] and (
+                    i == 0
+                    or (
+                        times[i - 1] >= 0
+                        and t > times[i - 1]
+                        and (within is None or t <= times[i - 1] + within)
+                    )
+                )
+                if ok:
+                    times[i] = t
+                break
+        return times
 
     def update(key, pdfs, state):
-        times = list(state.get()) if state.exists else [-1] * k
-        # concat BEFORE sorting: the group arrives as multiple Arrow
-        # chunks in shuffle (not time) order; sorting each chunk alone
-        # would replay a big trail's events out of order
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        if len(pdf):
-            pdf = pdf.sort_values(ts_col)
+        if state.exists:
+            st = state.get  # property, not a method
+            times = list(st[:k])
+            buf = list(zip(st[k] or [], st[k + 1] or []))
+        else:
+            times, buf = [-1] * k, []
+        # concat all Arrow chunks (they arrive in shuffle order, not time
+        # order) and append to the reorder buffer; on an event-time
+        # timeout the group is invoked with no data at all
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             secs = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000_000
-            for t, v in zip(secs, pdf[field]):
-                t = int(t)
-                # at most one step can latch per event (strict > rules out
-                # chaining two steps on one timestamp)
-                for i in range(k):
-                    if times[i] >= 0:
-                        continue
-                    ok = v == step_values[i] and (
-                        i == 0
-                        or (
-                            times[i - 1] >= 0
-                            and t > times[i - 1]
-                            and (within is None or t <= times[i - 1] + within)
-                        )
-                    )
-                    if ok:
-                        times[i] = t
-                    break
-        state.update(tuple(times))
+            buf.extend(zip((int(t) for t in secs), pdf[field]))
+        # events strictly below the watermark are FINAL (nothing older
+        # can arrive): fold them durably in timestamp order. Stable sort
+        # keeps arrival order for equal timestamps.
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_sec = wm_ms // 1000
+        buf.sort(key=lambda e: e[0])
+        n_final = 0
+        while n_final < len(buf) and buf[n_final][0] < wm_sec:
+            n_final += 1
+        times = fold(times, buf[:n_final])
+        buf = buf[n_final:]
+        state.update(tuple(times) + ([t for t, _ in buf], [v for _, v in buf]))
+        if buf:
+            # re-invoke this group (even with no new data) once the
+            # watermark passes its oldest buffered event, so the durable
+            # fold progresses and the buffer drains; must be strictly
+            # above the current watermark
+            state.setTimeoutTimestamp(max(buf[0][0] * 1000 + 1, wm_ms + 1))
+        # speculative view over the not-yet-final tail: converges to the
+        # batch fold as the watermark passes each event
+        spec = fold(list(times), buf)
         yield pd.DataFrame(
             {
                 uuid_col: [key[0]],
-                **{f"s{i}": [times[i] if times[i] >= 0 else None] for i in range(k)},
+                **{f"s{i}": [spec[i] if spec[i] >= 0 else None] for i in range(k)},
             }
         )
 
@@ -197,7 +240,7 @@ def streaming_funnel(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -213,16 +256,23 @@ def streaming_attribution(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming analog of ``analytics.attribution`` (last-touch): per
-    trail the state is TWO longs — the last touch's time and its index in
-    ``touches`` — updated per micro-batch; each conversion emits one
-    attribution row ``(uuid, conv_time, channel)`` immediately.
+    trail the durable state is the last FINALIZED touch (time + index in
+    ``touches``) plus the watermark reorder buffer; each conversion emits
+    one attribution row ``(uuid, conv_time, channel)`` when it finalizes.
 
-    Parity contract (same as ``streaming_funnel``): equals the batch
-    operator when events arrive time-ordered per trail; a late-arriving
-    touch can't retroactively re-attribute an already-emitted conversion
-    — the batch operator over the finalized store is the replayable
-    source of truth. State is bounded by trail count (16 bytes each),
-    never by event count.
+    Out-of-order contract (same reorder buffer as ``streaming_funnel``):
+    events fold — in timestamp order — only once they fall below the
+    watermark, so a touch arriving out of order (but within the
+    watermark) still attributes the conversions it precedes; append-mode
+    output is emitted exactly once and only from finalized events (a
+    speculative emission could not be retracted). Consequence, shared
+    with every watermarked append-mode operator: conversions newer than
+    the watermark stay buffered until a later batch advances it — an
+    unbounded stream emits them ``watermark`` late, and a drained test
+    stream surfaces them by appending a watermark-advancing sentinel.
+    The batch operator over finalized storage stays the replayable
+    truth. State per trail = 2 longs + (arrival rate × watermark)
+    buffered pairs, never stream length.
     """
     import pandas as pd
 
@@ -231,28 +281,45 @@ def streaming_attribution(
     touch_idx = {v: i for i, v in enumerate(touches)}
 
     def update(key, pdfs, state):
-        last_t, last_i = state.get() if state.exists else (-1, -1)
-        out_t, out_ch = [], []
-        # concat BEFORE sorting — chunks arrive in shuffle order, not
-        # time order (same contract note as streaming_funnel)
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        if len(pdf):
-            pdf = pdf.sort_values(ts_col)
+        if state.exists:
+            last_t, last_i, bt, bv = state.get  # property, not a method
+            buf = list(zip(bt or [], bv or []))
+        else:
+            (last_t, last_i), buf = (-1, -1), []
+        chunks = [c for c in pdfs if len(c)]  # empty on event-time timeout
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             secs = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000_000
-            for t, v in zip(secs, pdf[field]):
-                t = int(t)
-                if v == conversion:
-                    ch = "(none)"
-                    if last_i >= 0 and (lookback is None or last_t >= t - lookback):
-                        ch = touches[last_i]
-                    out_t.append(t)
-                    out_ch.append(ch)
-                # a row that is BOTH touch and conversion touches after
-                # converting — matches the batch strict-prefix window
-                i = touch_idx.get(v)
-                if i is not None:
-                    last_t, last_i = t, i
-        state.update((last_t, last_i))
+            buf.extend(zip((int(t) for t in secs), pdf[field]))
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_sec = wm_ms // 1000
+        buf.sort(key=lambda e: e[0])  # stable: arrival order breaks ties
+        out_t, out_ch = [], []
+        n_final = 0
+        for t, v in buf:
+            if t >= wm_sec:
+                break
+            n_final += 1
+            if v == conversion:
+                ch = "(none)"
+                if last_i >= 0 and (lookback is None or last_t >= t - lookback):
+                    ch = touches[last_i]
+                out_t.append(t)
+                out_ch.append(ch)
+            # a row that is BOTH touch and conversion touches after
+            # converting — matches the batch strict-prefix window
+            i = touch_idx.get(v)
+            if i is not None:
+                last_t, last_i = t, i
+        buf = buf[n_final:]
+        state.update(
+            (last_t, last_i, [t for t, _ in buf], [v for _, v in buf])
+        )
+        if buf:
+            # wake this group when the watermark passes its oldest
+            # buffered event so pending conversions emit without needing
+            # new data for the same trail
+            state.setTimeoutTimestamp(max(buf[0][0] * 1000 + 1, wm_ms + 1))
         yield pd.DataFrame(
             {
                 uuid_col: [key[0]] * len(out_t),
@@ -267,9 +334,9 @@ def streaming_attribution(
         .applyInPandasWithState(
             update,
             outputStructType=f"{uuid_col} string, conv_time long, channel string",
-            stateStructType="last_t long, last_i long",
+            stateStructType="last_t long, last_i long, buf_t array<long>, buf_v array<string>",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
