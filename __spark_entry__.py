@@ -1477,6 +1477,39 @@ def q104_jpeg_decode(spark, sf_dir):
     return multimodal.image_luma_stats(media)
 
 
+def q105_gif_decode(spark, sf_dir):
+    """REAL GIF pixel decode (LZW + palette, interlaced on odd ids):
+    image-kind rows carry GIF fixtures with a 16-level GRAY palette
+    pal[j] = (doc_id*7 + j*13) % 256 and index map (y, x) =
+    (y*5 + x*3 + doc_id) % 16 on a (5 + id%4) × (6 + id%5) canvas.
+    GIF is lossless and a gray palette makes luma == palette value, so
+    the oracle recomputes width/height/luma sum/min/max exactly from the
+    closed form — proving the LZW decoder, sub-block chain walk, palette
+    mapping, and Adam-style deinterlacer end-to-end (the GIF sibling of
+    q104's JPEG proof; retires the last common-container pixel gate)."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.gif import make_gif
+
+    @F.pandas_udf("binary")
+    def gif_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            h, w = 5 + i % 4, 6 + i % 5
+            pal_v = (i * 7 + np.arange(16) * 13) % 256
+            pal = np.stack([pal_v] * 3, axis=1).astype(np.uint8)
+            yy, xx = np.mgrid[0:h, 0:w]
+            idx = ((yy * 5 + xx * 3 + i) % 16).astype(np.uint8)
+            out.append(make_gif(idx, pal, interlace=bool(i % 2)))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "image", gif_payload)
+    return multimodal.image_luma_stats(media)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1586,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_gap_histogram": q102_gap_histogram,
         "q103_surprisal_mix": q103_surprisal_mix,
         "q104_jpeg_decode": q104_jpeg_decode,
+        "q105_gif_decode": q105_gif_decode,
     }
 
 
@@ -2184,6 +2218,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 * list_sum(tiles) AS BIGINT) AS luma_sum,
                    CAST(list_min(tiles) AS INT) AS luma_min,
                    CAST(list_max(tiles) AS INT) AS luma_max
+            FROM t
+        """,
+        "q105_gif_decode": """
+            -- GIF decode is lossless and the palette is gray, so pixel
+            -- luma == pal[(y*5 + x*3 + id) % 16] with
+            -- pal[j] = (id*7 + j*13) % 256 on a (5+id%4) x (6+id%5)
+            -- canvas; sum/min/max come straight from the pixel list
+            WITH a AS (
+              SELECT doc_id,
+                     6 + CAST(doc_id % 5 AS INT) AS w,
+                     5 + CAST(doc_id % 4 AS INT) AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ), t AS (
+              SELECT doc_id, w, h,
+                     [ (doc_id * 7 + (((k // w) * 5 + (k % w) * 3 + doc_id) % 16) * 13) % 256
+                       for k in generate_series(0, h * w - 1) ] AS px
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(list_sum(px) AS BIGINT) AS luma_sum,
+                   CAST(list_min(px) AS INT) AS luma_min,
+                   CAST(list_max(px) AS INT) AS luma_max
             FROM t
         """,
         "q100_cluster_sizes": f"""

@@ -587,3 +587,70 @@ def test_resize_and_features_decode_jpeg_payloads(spark):
     assert rz["content"] is not None and rz["mean_luma"] is not None
     # the resized mean tracks the source mean within quantization error
     assert abs(rz["mean_luma"] - float(g.mean())) < 8.0
+
+
+# --------------------------------------------------------------------------
+# GIF codec (operators/gif.py)
+# --------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_exact():
+    """GIF is lossless: encode→decode is the identity on (palette,
+    indices) across shapes and palette sizes, including images large
+    enough to force LZW table rebuilds (the 4096-code clear path)."""
+    from traildb_spark.operators import gif
+
+    rng = np.random.default_rng(1)
+    for shape, ncol in [((1, 1), 2), ((7, 5), 4), ((33, 41), 16), ((128, 100), 256)]:
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, shape, dtype=np.uint8)
+        p2, i2 = gif.decode_gif_indices(gif.make_gif(idx, pal))
+        assert np.array_equal(i2, idx) and np.array_equal(p2[:ncol], pal)
+
+
+def test_gif_interlace_and_luma():
+    from traildb_spark.operators import gif
+
+    rng = np.random.default_rng(2)
+    idx = rng.integers(0, 8, (21, 13), dtype=np.uint8)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    _, i2 = gif.decode_gif_indices(gif.make_gif(idx, pal, interlace=True))
+    assert np.array_equal(i2, idx)
+    # gray palette → luma equals the palette value exactly
+    gray = np.stack([np.arange(0, 256, 16, dtype=np.uint8)] * 3, axis=1)
+    gidx = rng.integers(0, 16, (9, 11), dtype=np.uint8)
+    lum = np.round(gif.decode_gif_luma(gif.make_gif(gidx, gray)))
+    assert np.array_equal(lum, gray[gidx][:, :, 0])
+
+
+def test_gif_gray_pixels_and_features(spark):
+    """_gray_pixels and the feature extractors decode GIF payloads for
+    real now — the content-hash fallback is gone for all three common
+    containers (PNG, JPEG, GIF)."""
+    from traildb_spark.operators import gif
+
+    pal = np.stack([np.arange(0, 256, 4, dtype=np.uint8)] * 3, axis=1)
+    idx = (np.arange(24 * 24) % 64).astype(np.uint8).reshape(24, 24)
+    payload = gif.make_gif(idx, pal)
+    gray = multimodal._gray_pixels(payload)
+    assert gray.shape == (24, 24)
+    rows = [(1, "image", bytearray(payload), "image/gif", None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feat = multimodal.extract_image_features(df).collect()[0]
+    assert (feat["width"], feat["height"]) == (24, 24)
+    assert feat["phash"] == multimodal.phash64(gray)
+    stats = multimodal.image_luma_stats(df).collect()[0]
+    assert stats["luma_sum"] == int(np.round(gray).sum())
+
+
+def test_gif_corruption_gates():
+    from traildb_spark.operators import gif
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    good = gif.make_gif(np.array([[0, 1], [1, 0]], np.uint8), pal)
+    for bad in (b"GIF89a", good[:10], good[:-4], b"GIF89a" + b"\x00" * 20,
+                b"not a gif"):
+        with pytest.raises(ValueError):
+            gif.decode_gif_indices(bad)
+    with pytest.raises(ValueError):
+        gif.make_gif(np.array([[5]], np.uint8), pal)  # index beyond palette

@@ -4,6 +4,9 @@ deliberately skewed dataset (one whale uuid owning ~1M events). Not CI —
 evidence that the plans survive scale-up and skew.
 
 Usage: [SMOKE_REPS=100] python tools/scale_smoke.py  (scratch under /tmp)
+       SMOKE_HEAVY=1 python tools/scale_smoke.py  — 100M-row events +
+       500k-doc / 500k-vector heavy families (minhash, semantic dedup,
+       IVF, streaming finalize) ONLY; skips the standard sections.
 """
 
 from __future__ import annotations
@@ -43,11 +46,162 @@ def timed(label, fn):
     print(f"{label}: {n} rows in {time.time() - t0:.2f}s", flush=True)
 
 
+def heavy(spark):
+    """The 100M-row / 500k-doc smoke of the heavy families — the
+    operators whose scale posture the plans (not the fixtures) must
+    carry: MinHash+LSH, semantic dedup, IVF ANN, and the streaming
+    finalize ingest path. Replication is a single crossJoin-with-range
+    plan (1000 unionByName branches would explode the optimizer)."""
+    import os
+
+    from traildb_spark.operators import dedup, similarity  # noqa: E402
+    from traildb_spark.streaming.ingest import streaming_finalize  # noqa: E402
+
+    # -- events at 100M rows (1000 x sf0.1) -------------------------------
+    big = "/tmp/scale_smoke/events100m"
+    if not Path(big).exists():
+        raw = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        ev = raw.select(
+            F.col("user_id").cast("string").alias("uuid"),
+            ts_seconds(raw).alias("time"),
+            "event_id",
+            F.coalesce("event_type", F.lit("")).alias("event_type"),
+        )
+        reps = spark.range(0, 1000).select(F.col("id").alias("rep"))
+        (
+            ev.crossJoin(reps)
+            .select(
+                F.concat(F.col("uuid"), F.lit("-"), F.col("rep")).alias("uuid"),
+                "time",
+                "event_id",
+                "event_type",
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(big)
+        )
+    ev = spark.read.parquet(big)
+    print(f"100M events: {ev.count()} rows", flush=True)
+
+    f = (
+        EventFilter()
+        .new_clause().add_term("event_type", "click").add_term("event_type", "view")
+        .new_clause().add_time_range(1704500000, 1705500000)
+    )
+    timed("cnf_filter_100m", lambda: _force(f.apply(ev)))
+    timed("trail_lengths_100m", lambda: _force(trails.trail_lengths(ev)))
+    timed("sessions_100m", lambda: _force(
+        trails.session_stats(ev.select("uuid", "time"), gap=1800)))
+
+    # batch finalize of the full 100M (the write path itself)
+    timed("finalize_100m", lambda: (
+        TrailDataset(ev.select("uuid", "time", F.col("event_id").cast("string").alias("eid")))
+        .finalize("/tmp/scale_smoke/final100m", num_buckets=64, mode="overwrite"),
+        1,
+    )[1])
+
+    # streaming finalize: the same 100M arriving as 8 micro-batches of
+    # parquet files — exactly-once landing in the sharded layout
+    stream_out = "/tmp/scale_smoke/stream100m"
+    ckpt = "/tmp/scale_smoke/stream100m_ckpt"
+    for d in (stream_out, ckpt):
+        if Path(d).exists():
+            import shutil
+
+            shutil.rmtree(d)
+    schema = ev.schema
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(big)
+        )
+        q = streaming_finalize(
+            stream, stream_out, checkpoint=ckpt, time_shard="yyyy-MM-dd",
+            num_buckets=8,
+        )
+        q.awaitTermination(3600)
+        return spark.read.parquet(stream_out).count()
+
+    timed("streaming_finalize_100m", run_stream)
+
+    # -- documents at 100x (~500k docs, exact+near dup structure) ---------
+    docs100 = "/tmp/scale_smoke/docs100x"
+    if not Path(docs100).exists():
+        d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        reps = spark.range(0, 100).select(F.col("id").alias("rep"))
+        (
+            d.crossJoin(reps)
+            .select(
+                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+                F.when(F.col("rep") % 2 == 0, F.col("text"))
+                .otherwise(F.concat(F.col("text"), F.lit(" replica"), F.col("rep")))
+                .alias("text"),
+                "lang",
+                "source",
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(docs100)
+        )
+    docs = spark.read.parquet(docs100)
+    print(f"100x documents: {docs.count()} docs", flush=True)
+    timed("dedup_exact_500k", lambda: dedup.exact_duplicates(docs).count())
+    # minhash over the DISTINCT texts (the production shape: exact-dedup
+    # first — dedup_fuzzy does this internally; here the LSH stage itself
+    # is the measurement target)
+    timed("minhash_lsh_500k", lambda: dedup.dedup_fuzzy(docs).count())
+
+    # -- embeddings at 250x (~500k vectors) -------------------------------
+    emb250 = "/tmp/scale_smoke/emb250x"
+    if not Path(emb250).exists():
+        e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        reps = spark.range(0, 250).select(F.col("id").alias("rep"))
+        (
+            e.crossJoin(reps)
+            .select(
+                (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+                "embedding",
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(emb250)
+        )
+    emb = spark.read.parquet(emb250)
+    print(f"250x embeddings: {emb.count()} vectors", flush=True)
+    timed(
+        "semantic_dedup_500k_c1000_gemm",
+        lambda: _force(
+            dedup.semantic_dedup(emb, num_centroids=1000, threshold=0.4, assign="gemm")
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") % 5000 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )  # ~100 queries
+    timed(
+        "ivf_topk_500k",
+        lambda: _force(
+            similarity.ivf_topk(emb, queries, k=10, num_centroids=256, nprobe=8)
+        ),
+    )
+    timed(
+        "lsh_topk_500k",
+        lambda: _force(
+            similarity.lsh_topk(emb, queries, k=10, num_planes=16)
+        ),
+    )
+
+
 def main():
     spark = get_spark("scale-smoke", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
     import os
+
+    if os.environ.get("SMOKE_HEAVY"):
+        heavy(spark)
+        return
 
     n_reps = int(os.environ.get("SMOKE_REPS", "10"))
     big = f"/tmp/scale_smoke/events{n_reps}x"

@@ -1,0 +1,282 @@
+"""GIF87a/89a codec in pure python/numpy (no image libraries).
+
+Retires the last common-container pixel gate in the multimodal layer
+(PNG and baseline JPEG already decode for real): GIF's variable-width
+LZW with clear/EOI codes, the logical screen/image descriptors, local
+and global color tables, interlacing, and the GCE transparency index —
+all from the public GIF89a specification (CompuServe, 1990) and the
+original Welch LZW paper. A matching deterministic encoder (fixed
+8-bit-seeded LZW with table rebuilds) generates fixtures, so the
+decode path is differentially testable without any external codec.
+
+Scope (honest contract): static images — the FIRST frame of an animated
+GIF is returned (the common corpus shape for thumbnails/memes is single
+frame; sampling all frames belongs to the video surface). Malformed
+streams raise ValueError (a DECODE_ERRORS member). The multimodal layer
+converts the decoded palette image to grayscale luma like every other
+container.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _read_blocks(content: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``pos``; returns
+    (data, position after the 0x00 terminator)."""
+    out = bytearray()
+    n = len(content)
+    while True:
+        if pos >= n:
+            raise ValueError("GIF: truncated sub-block chain")
+        size = content[pos]
+        pos += 1
+        if size == 0:
+            return bytes(out), pos
+        if pos + size > n:
+            raise ValueError("GIF: truncated sub-block")
+        out += content[pos : pos + size]
+        pos += size
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    """Variable-width LZW per the GIF spec: codes start at
+    ``min_code_size + 1`` bits, grow after the table fills (cap 12),
+    CLEAR resets the table, EOI ends the stream. Returns ``expected``
+    indices (extra output is truncated — encoders may pad)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(expected, dtype=np.uint8)
+    n_out = 0
+
+    # bit reader: LSB-first within bytes
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+
+    def next_code(width: int) -> int:
+        nonlocal bitbuf, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream exhausted")
+            bitbuf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        return code
+
+    # table: list of byte strings; rebuilt on CLEAR
+    def fresh_table() -> list:
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh_table()
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while n_out < expected:
+        code = next_code(width)
+        if code == clear:
+            table = fresh_table()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF: invalid first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError("GIF: LZW code out of range")
+        take = min(len(entry), expected - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], np.uint8)
+        n_out += take
+        prev = entry
+        # grow the code width when the NEXT code could address the table
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if n_out < expected:
+        raise ValueError("GIF: LZW output short of image size")
+    return out
+
+
+_DEINTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_indices(content: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the first image of a GIF → (palette[n,3] uint8,
+    indices[h,w] uint8). Walks the logical screen descriptor, optional
+    global color table, extensions, then the first image descriptor
+    (local table wins, interlace undone)."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(content) < 13:
+        raise ValueError("GIF: truncated header")
+    _, _, flags, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        gct_size = 2 << (flags & 0x07)
+        end = pos + 3 * gct_size
+        if end > len(content):
+            raise ValueError("GIF: truncated global color table")
+        palette = np.frombuffer(content[pos:end], np.uint8).reshape(-1, 3)
+        pos = end
+    n = len(content)
+    while pos < n:
+        b = content[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            if pos + 2 > n:
+                raise ValueError("GIF: truncated extension")
+            _, pos = _read_blocks(content, pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+        # image descriptor
+        if pos + 10 > n:
+            raise ValueError("GIF: truncated image descriptor")
+        _left, _top, w, h, iflags = struct.unpack("<HHHHB", content[pos + 1 : pos + 10])
+        pos += 10
+        if iflags & 0x80:
+            lct_size = 2 << (iflags & 0x07)
+            end = pos + 3 * lct_size
+            if end > len(content):
+                raise ValueError("GIF: truncated local color table")
+            palette = np.frombuffer(content[pos:end], np.uint8).reshape(-1, 3)
+            pos = end
+        if palette is None:
+            raise ValueError("GIF: no color table")
+        if w == 0 or h == 0:
+            raise ValueError("GIF: zero-dimension image")
+        if pos >= n:
+            raise ValueError("GIF: missing LZW code size")
+        min_code = content[pos]
+        if not 2 <= min_code <= 11:
+            raise ValueError("GIF: bad LZW minimum code size")
+        data, pos = _read_blocks(content, pos + 1)
+        flat = _lzw_decode(data, min_code, w * h)
+        img = flat.reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            out = np.empty_like(img)
+            src = 0
+            for start, step in _DEINTERLACE_PASSES:
+                rows = range(start, h, step)
+                for r in rows:
+                    out[r] = img[src]
+                    src += 1
+            img = out
+        if int(img.max(initial=0)) >= len(palette):
+            raise ValueError("GIF: pixel index outside color table")
+        return palette.copy(), img
+    raise ValueError("GIF: no image block found")
+
+
+def decode_gif_luma(content: bytes) -> np.ndarray:
+    """First frame → BT.601 luma float array (H, W), the same grayscale
+    contract as the PNG and JPEG decoders."""
+    palette, idx = decode_gif_indices(content)
+    rgb = palette[idx].astype(np.float64)
+    return 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF LZW encoder (dict of byte-string prefixes, CLEAR emitted when
+    the table reaches 4096 — the spec's cap)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def fresh() -> dict:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prev = b""
+    for v in indices.ravel().tolist():
+        cur = prev + bytes([v])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4095:
+            emit(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prev = bytes([v])
+    if prev:
+        emit(table[prev], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def make_gif(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """Deterministic GIF89a encoder for fixtures: one frame, a global
+    color table (padded to a power of two), optional interlacing —
+    the GIF sibling of ``make_png``/``make_jpeg``. ``indices`` is
+    (H, W) uint8 into ``palette`` (n, 3) uint8."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("make_gif: indices (H,W), palette (n,3)")
+    if pal.shape[0] < 2 or pal.shape[0] > 256:
+        raise ValueError("make_gif: palette must hold 2..256 colors")
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("make_gif: index outside palette")
+    h, w = idx.shape
+    bits = max(1, (pal.shape[0] - 1).bit_length())
+    size = 1 << bits
+    pal_full = np.zeros((size, 3), np.uint8)
+    pal_full[: pal.shape[0]] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal_full.tobytes()
+    iflags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    if interlace:
+        rows = []
+        for start, step in _DEINTERLACE_PASSES:
+            rows.extend(range(start, h, step))
+        idx = idx[rows]
+    min_code = max(2, bits)
+    out.append(min_code)
+    data = _lzw_encode(idx, min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -118,13 +118,19 @@ def _gray_pixels(content: bytes) -> np.ndarray:
     8-bit gray / gray+alpha / RGB / RGBA, non-interlaced. JPEG: real
     baseline/extended-sequential pixel decode via the pure-numpy codec in
     :mod:`traildb_spark.operators.jpeg` (the luma plane IS the grayscale
-    bitmap — JPEG stores YCbCr). Raises ValueError on other containers
-    and configs (GIF pixels, progressive JPEG); swap this one function
-    for PIL for full coverage in deployment."""
+    bitmap — JPEG stores YCbCr). GIF: real LZW decode of the first frame
+    via :mod:`traildb_spark.operators.gif` (palette → BT.601 luma).
+    Raises ValueError on remaining configs (progressive JPEG, exotic
+    PNG bit depths); swap this one function for PIL for full coverage
+    in deployment."""
     if content[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg_luma
 
         return decode_jpeg_luma(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_luma
+
+        return decode_gif_luma(content)
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos, width, height, channels = 8, None, None, None
