@@ -654,3 +654,76 @@ def test_gif_corruption_gates():
             gif.decode_gif_indices(bad)
     with pytest.raises(ValueError):
         gif.make_gif(np.array([[5]], np.uint8), pal)  # index beyond palette
+
+
+def test_png_palette_subbyte_and_16bit():
+    """The PNG decoder covers the remaining real-corpus shapes: palette
+    (PLTE) at 8- and 4-bit, 1-bit grayscale (scaled to 0/255), and
+    16-bit gray/RGB (high byte, the spec's own 8-bit reduction); missing
+    PLTE and Adam7 raise ValueError."""
+    import struct
+    import zlib
+
+    from traildb_spark.operators.multimodal import _PNG_SIG, _gray_pixels
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png(width, height, depth, color, raw, plte=None):
+        ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+        body = _PNG_SIG + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            body += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        return body + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+
+    def luma(rgb):
+        f = rgb.astype(np.float64)
+        return 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+
+    # palette 8-bit
+    idx = rng.integers(0, 16, (7, 11), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(7))
+    assert np.allclose(_gray_pixels(png(11, 7, 8, 3, raw, pal)), luma(pal[idx]))
+
+    # palette 4-bit (2 px/byte, MSB-first)
+    idx4 = rng.integers(0, 16, (5, 7), dtype=np.uint8)
+    rows = []
+    for y in range(5):
+        bits = np.unpackbits(idx4[y][:, None], axis=1)[:, 4:].ravel()
+        bits = np.concatenate([bits, np.zeros((-len(bits)) % 8, np.uint8)])
+        rows.append(b"\x00" + np.packbits(bits).tobytes())
+    assert np.allclose(
+        _gray_pixels(png(7, 5, 4, 3, b"".join(rows), pal)), luma(pal[idx4])
+    )
+
+    # 1-bit grayscale scales to {0, 255}
+    bw = rng.integers(0, 2, (6, 10), dtype=np.uint8)
+    rows = [
+        b"\x00" + np.packbits(
+            np.concatenate([bw[y], np.zeros((-10) % 8, np.uint8)])
+        ).tobytes()
+        for y in range(6)
+    ]
+    assert np.allclose(_gray_pixels(png(10, 6, 1, 0, b"".join(rows))), bw * 255.0)
+
+    # 16-bit gray and RGB keep the high byte
+    g16 = rng.integers(0, 65536, (4, 6), dtype=np.uint16)
+    raw = b"".join(b"\x00" + g16[y].byteswap().tobytes() for y in range(4))
+    assert np.array_equal(_gray_pixels(png(6, 4, 16, 0, raw)), (g16 >> 8))
+    c16 = rng.integers(0, 65536, (3, 5, 3), dtype=np.uint16)
+    raw = b"".join(b"\x00" + c16[y].byteswap().tobytes() for y in range(3))
+    assert np.allclose(_gray_pixels(png(5, 3, 16, 2, raw)), luma(c16 >> 8))
+
+    with pytest.raises(ValueError):  # palette image without PLTE
+        _gray_pixels(png(4, 4, 8, 3, b"\x00" * 20))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)  # Adam7
+    with pytest.raises(ValueError):
+        _gray_pixels(
+            _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"x") + chunk(b"IEND", b"")
+        )

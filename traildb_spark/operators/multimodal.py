@@ -114,15 +114,18 @@ def _gray_pixels(content: bytes) -> np.ndarray:
     """Decode an image payload to a grayscale float array (H, W).
 
     PNG: full pure-stdlib decode — chunk walk → IDAT zlib inflate →
-    per-scanline unfilter (None/Sub/Up/Average/Paeth) → ITU-R 601 luma;
-    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced. JPEG: real
-    baseline/extended-sequential pixel decode via the pure-numpy codec in
-    :mod:`traildb_spark.operators.jpeg` (the luma plane IS the grayscale
-    bitmap — JPEG stores YCbCr). GIF: real LZW decode of the first frame
-    via :mod:`traildb_spark.operators.gif` (palette → BT.601 luma).
-    Raises ValueError on remaining configs (progressive JPEG, exotic
-    PNG bit depths); swap this one function for PIL for full coverage
-    in deployment."""
+    per-scanline unfilter (None/Sub/Up/Average/Paeth) → sample unpack →
+    ITU-R 601 luma. Covers every non-interlaced PNG shape: gray /
+    gray+alpha / RGB / RGBA at depths 8 and 16 (16-bit keeps the high
+    byte — the spec's own 8-bit reduction), palette (color type 3, PLTE)
+    at depths 1/2/4/8, and sub-byte grayscale (1/2/4) rescaled to
+    [0, 255]. JPEG: real baseline/extended-sequential pixel decode via
+    the pure-numpy codec in :mod:`traildb_spark.operators.jpeg` (the
+    luma plane IS the grayscale bitmap — JPEG stores YCbCr). GIF: real
+    LZW decode of the first frame via :mod:`traildb_spark.operators.gif`
+    (palette → BT.601 luma). Raises ValueError on remaining configs
+    (progressive JPEG, Adam7 PNG); swap this one function for PIL for
+    full coverage in deployment."""
     if content[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg_luma
 
@@ -134,6 +137,8 @@ def _gray_pixels(content: bytes) -> np.ndarray:
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos, width, height, channels = 8, None, None, None
+    depth, color = 8, 0
+    palette = None
     idat = b""
     while pos + 8 <= len(content):
         (clen,) = struct.unpack(">I", content[pos : pos + 4])
@@ -143,11 +148,18 @@ def _gray_pixels(content: bytes) -> np.ndarray:
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or interlace != 0:
-                raise ValueError("PNG: only 8-bit non-interlaced supported")
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if interlace != 0:
+                raise ValueError("PNG: Adam7 interlacing not supported")
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
             if channels is None:
                 raise ValueError(f"PNG: unsupported color type {color}")
+            allowed = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color, (8, 16))
+            if depth not in allowed:
+                raise ValueError(f"PNG: depth {depth} invalid for color {color}")
+        elif ctype == b"PLTE":
+            if clen % 3:
+                raise ValueError("PNG: malformed PLTE")
+            palette = np.frombuffer(data[: clen // 3 * 3], np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -159,7 +171,12 @@ def _gray_pixels(content: bytes) -> np.ndarray:
         # a zero-dim bitmap would make downstream phash64 indexing raise
         # IndexError, which is not a DECODE_ERRORS member
         raise ValueError("PNG: zero-dimension image")
-    stride = width * channels
+    if color == 3 and palette is None:
+        raise ValueError("PNG: palette image without PLTE")
+    # filtering operates on BYTES: stride is the packed scanline width,
+    # and the Sub/Paeth left-neighbor offset is bytes-per-pixel (>= 1)
+    stride = (width * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
     expected = height * (stride + 1)
     # bound the inflate to the size IHDR promises (+1 to detect overrun):
     # an unbounded zlib.decompress would allocate a decompression bomb's
@@ -183,9 +200,9 @@ def _gray_pixels(content: bytes) -> np.ndarray:
         else:  # Sub / Average / Paeth need the left neighbor: scan in order
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                a = cur[x - channels] if x >= channels else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - channels] if x >= channels else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 if f == 1:
                     pred = a
                 elif f == 3:
@@ -199,10 +216,30 @@ def _gray_pixels(content: bytes) -> np.ndarray:
                 cur[x] = (row[x] + pred) & 0xFF
         out[y] = cur
         prev = cur
-    px = out.reshape(height, width, channels).astype(np.float64)
-    if channels == 1:
-        return px[:, :, 0]
-    if channels == 2:
+    # unpack filtered bytes -> per-pixel samples
+    if depth == 8:
+        samples = out.reshape(height, width, channels)
+    elif depth == 16:
+        # high byte = the spec's sample-depth rescale to 8 bits
+        samples = out.reshape(height, stride)[:, 0::2].reshape(
+            height, width, channels
+        )
+    else:  # 1 / 2 / 4 bit (gray or palette indices), MSB-first packing
+        bits = np.unpackbits(out, axis=1)[:, : width * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (
+            bits.reshape(height, width, depth) * weights[None, None, :]
+        ).sum(axis=2)[:, :, None]
+    px = samples.astype(np.float64)
+    if color == 3:
+        idx = samples[:, :, 0].astype(np.int64)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("PNG: palette index out of range")
+        rgb = palette[idx].astype(np.float64)
+        return 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    if depth in (1, 2, 4):
+        px = px * (255.0 / ((1 << depth) - 1))
+    if channels in (1, 2):
         return px[:, :, 0]
     return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
 
