@@ -240,9 +240,10 @@ def test_decode_wav_rejects_non_pcm():
 
     with _pytest.raises(ValueError):
         decode_wav(b"ID3\x03mp3 payload")
-    # 8-bit PCM (bits != 16) is out of scope, surfaced as ValueError
+    # a perceptual-codec tag (ADPCM=2) is out of scope, surfaced as
+    # ValueError; integer widths and G.711 now decode for real
     wav = bytearray(make_wav(np.zeros(4, dtype="int16"), 8000))
-    wav[34:36] = struct.pack("<H", 8)
+    wav[20:22] = struct.pack("<H", 2)
     with _pytest.raises(ValueError):
         decode_wav(bytes(wav))
 
@@ -727,3 +728,61 @@ def test_png_palette_subbyte_and_16bit():
         _gray_pixels(
             _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"x") + chunk(b"IEND", b"")
         )
+
+
+def test_wav_format_tags_all_decode_to_int16():
+    """decode_wav covers the raw-audio corpus shapes beyond 16-bit PCM:
+    8-bit unsigned PCM, 32-bit PCM (high 16 bits), IEEE float32
+    (clipped/scaled), G.711 A-law/mu-law (exact ITU table expansion),
+    and WAVE_FORMAT_EXTENSIBLE SubFormat resolution; perceptual codecs
+    stay an honest ValueError gate."""
+    import struct
+
+    from traildb_spark.operators.multimodal import _g711_expand, decode_wav
+
+    def wav(tag, bits, rate, ch, data, extensible=False):
+        base = struct.pack(
+            "<HHIIHH", 0xFFFE if extensible else tag, ch, rate,
+            rate * ch * bits // 8, ch * bits // 8, bits,
+        )
+        if extensible:
+            fmt = base + struct.pack("<HHI", 22, bits, 0xF) + struct.pack("<H", tag) + b"\x00" * 14
+        else:
+            fmt = base
+        return (
+            b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rng = np.random.default_rng(4)
+    u8 = rng.integers(0, 256, 50, dtype=np.uint8)
+    _, _, back = decode_wav(wav(1, 8, 8000, 1, u8.tobytes()))
+    assert np.array_equal(back, (u8.astype(np.int16) - 128) << 8)
+
+    i32 = rng.integers(-(2**31), 2**31, 30, dtype=np.int64).astype("<i4")
+    _, _, back = decode_wav(wav(1, 32, 44100, 2, i32.tobytes()))
+    assert np.array_equal(back, (i32.astype(np.int64) >> 16).astype(np.int16))
+
+    f = (rng.random(40) * 2.2 - 1.1).astype("<f4")  # includes clipping
+    _, _, back = decode_wav(wav(3, 32, 16000, 1, f.tobytes()))
+    want = np.clip(np.round(f.astype(np.float64) * 32767.0), -32768, 32767)
+    assert np.array_equal(back, want.astype(np.int16))
+
+    # G.711 standard fixed points: mu-law code 0xFF is 0, full-scale
+    # magnitudes are 32124 (mu) and 32256 (A)
+    mu = _g711_expand(bytes(range(256)), alaw=False)
+    al = _g711_expand(bytes(range(256)), alaw=True)
+    assert mu[255] == 0 and mu.max() == 32124 and mu.min() == -32124
+    assert al.max() == 32256 and al.min() == -32256
+    _, _, back = decode_wav(wav(7, 8, 8000, 1, bytes(range(256))))
+    assert np.array_equal(back, mu)
+    _, _, back = decode_wav(wav(6, 8, 8000, 1, bytes(range(256))))
+    assert np.array_equal(back, al)
+
+    s = np.arange(-50, 50, dtype=np.int16)
+    r, _, back = decode_wav(wav(1, 16, 8000, 1, s.tobytes(), extensible=True))
+    assert r == 8000 and np.array_equal(back, s)
+
+    with pytest.raises(ValueError, match="unsupported format"):
+        decode_wav(wav(2, 4, 8000, 1, b"\x00" * 8))  # ADPCM: honest gate

@@ -436,18 +436,50 @@ def make_wav(samples: np.ndarray, rate: int) -> bytes:
     return hdr + data
 
 
+def _g711_expand(data: bytes, alaw: bool) -> np.ndarray:
+    """G.711 μ-law / A-law → linear int16 (ITU-T G.711 public spec) —
+    the telephony-corpus WAV shapes (format tags 6/7). Pure numpy table
+    expansion, exact per the standard decode formulas."""
+    codes = np.arange(256, dtype=np.int64)
+    if alaw:
+        c = codes ^ 0x55
+        sign = np.where(c & 0x80, 1, -1)
+        exp = (c >> 4) & 0x07
+        mant = c & 0x0F
+        mag = np.where(
+            exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1)
+        )
+        table = (sign * mag).astype(np.int16)
+    else:
+        c = ~codes & 0xFF
+        sign = np.where(c & 0x80, -1, 1)
+        exp = (c >> 4) & 0x07
+        mant = c & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        table = (sign * mag).astype(np.int16)
+    return table[np.frombuffer(data, dtype=np.uint8)]
+
+
 def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
     """Parse a RIFF/WAVE payload → (sample_rate, channels, samples int16).
 
-    Real pure-stdlib decode of the format that dominates raw-audio corpora:
-    chunk walk over RIFF, `fmt ` for PCM params, `data` for the frames.
-    Only 16-bit integer PCM (format tag 1) is decoded; compressed codecs
-    (mp3/aac/opus) need a real decoder — same posture as JPEG pixels in
-    :func:`_gray_pixels`, swap for soundfile/ffmpeg in one place.
-    Raises ValueError/struct.error on malformed input (DECODE_ERRORS)."""
+    Real pure-stdlib decode of the formats that dominate raw-audio
+    corpora: chunk walk over RIFF, `fmt ` for params, `data` for frames.
+    Decoded sample shapes — all normalized to int16:
+
+    * tag 1 (integer PCM) at 16-bit (native), 8-bit (unsigned, shifted
+      and scaled up), and 32-bit (high 16 bits kept);
+    * tag 3 (IEEE float) at 32-bit, clipped to [-1, 1] and scaled;
+    * tags 6/7 (G.711 A-law / μ-law) via exact table expansion;
+    * tag 0xFFFE (EXTENSIBLE) resolves through its SubFormat GUID.
+
+    Perceptual codecs (mp3/aac/opus) need a real decoder — same posture
+    as progressive JPEG in :func:`_gray_pixels`, swap for
+    soundfile/ffmpeg in one place. Raises ValueError/struct.error on
+    malformed input (DECODE_ERRORS)."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
-    pos, rate, channels, bits, data = 12, None, None, None, None
+    pos, rate, channels, bits, tag, data = 12, None, None, None, None, None
     while pos + 8 <= len(content):
         ctype = content[pos : pos + 4]
         (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
@@ -459,8 +491,12 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError("WAV: truncated chunk")
         if ctype == b"fmt ":
             tag, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
-            if tag != 1 or bits != 16:
-                raise ValueError("WAV: only 16-bit integer PCM supported")
+            if tag == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: the real format is the first
+                # two bytes of the SubFormat GUID at offset 24
+                if clen < 40:
+                    raise ValueError("WAV: truncated EXTENSIBLE fmt")
+                (tag,) = struct.unpack("<H", body[24:26])
             if channels < 1 or rate < 1:
                 # a zero here would surface later as ZeroDivisionError,
                 # which is not a DECODE_ERRORS member
@@ -470,7 +506,24 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV: missing fmt or data chunk")
-    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    if tag == 1 and bits == 16:
+        samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    elif tag == 1 and bits == 8:
+        u = np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+        samples = ((u - 128) << 8).astype(np.int16)
+    elif tag == 1 and bits == 32:
+        samples = (
+            np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4") >> 16
+        ).astype(np.int16)
+    elif tag == 3 and bits == 32:
+        f = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4")
+        samples = np.clip(np.round(f.astype(np.float64) * 32767.0), -32768, 32767).astype(np.int16)
+    elif tag == 6 and bits == 8:
+        samples = _g711_expand(data, alaw=True)
+    elif tag == 7 and bits == 8:
+        samples = _g711_expand(data, alaw=False)
+    else:
+        raise ValueError(f"WAV: unsupported format tag {tag} at {bits} bits")
     return int(rate), int(channels), samples
 
 
