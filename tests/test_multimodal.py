@@ -517,12 +517,18 @@ def test_jpeg_restart_markers():
 
 
 def test_jpeg_honest_gates_and_corruption():
-    """Progressive frames and malformed streams raise DECODE_ERRORS
-    members — one bad payload degrades to a sentinel row, never a failed
-    task."""
+    """Unsupported frame types (lossless/arithmetic) and malformed
+    streams raise DECODE_ERRORS members — one bad payload degrades to a
+    sentinel row, never a failed task."""
     g = np.full((16, 16), 128, np.uint8)
     good = jpeg.make_jpeg(g, 90)
-    with pytest.raises(ValueError, match="sequential"):
+    # SOF3 (lossless) and SOF9 (arithmetic) stay honest gates
+    for sof in (b"\xff\xc3", b"\xff\xc9"):
+        with pytest.raises(ValueError, match="sequential"):
+            jpeg.decode_jpeg_luma(good.replace(b"\xff\xc0", sof, 1))
+    # a sequential stream mislabeled SOF2 has an illegal progressive
+    # scan header (interleaved full-band) — rejected, not misdecoded
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg_luma(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(ValueError):
         jpeg.decode_jpeg_luma(b"\xff\xd8\xff\xd9")  # no frame at all
@@ -530,6 +536,44 @@ def test_jpeg_honest_gates_and_corruption():
         jpeg.decode_jpeg_luma(good[: len(good) // 2])  # truncated entropy data
     with pytest.raises(ValueError):
         jpeg.decode_jpeg_luma(b"not a jpeg")
+
+
+def test_jpeg_progressive_equals_sequential():
+    """Progressive encode→decode is BIT-IDENTICAL to sequential for the
+    same input and quality (both carry the same quantized coefficients;
+    any scan-machinery disagreement surfaces as a pixel diff): DC coarse
+    + DC refinement + per-component AC first/refinement scans, grayscale
+    and color, 4:4:4 and 4:2:0, odd shapes."""
+    rng = np.random.default_rng(9)
+    for shape, q in [((16, 16), 90), ((33, 41), 95), ((8, 8), 50),
+                     ((40, 56), 100), ((7, 5), 80)]:
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        seq = jpeg.decode_jpeg_luma(jpeg.encode_jpeg(g, q))
+        prog = jpeg.decode_jpeg_luma(jpeg.encode_jpeg(g, q, progressive=True))
+        assert np.array_equal(seq, prog), (shape, q)
+    c = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        seq = jpeg.decode_jpeg_luma(jpeg.encode_jpeg(c, 90, subsampling=sub))
+        prog = jpeg.decode_jpeg_luma(
+            jpeg.encode_jpeg(c, 90, subsampling=sub, progressive=True)
+        )
+        assert np.array_equal(seq, prog), sub
+
+
+def test_jpeg_progressive_eob_runs_and_sparse_blocks():
+    """A mostly-flat image with isolated detail forces multi-block EOB
+    runs (EOBn, r > 0) and long zero-history runs in the refinement scan
+    — the progressive paths a dense random image never exercises."""
+    g = np.full((64, 64), 100, np.uint8)
+    g[5, 7] = 240   # one detailed block among many flat ones
+    g[40:44, 40:44] = 30
+    for q in (85, 50):
+        seq = jpeg.decode_jpeg_luma(jpeg.encode_jpeg(g, q))
+        prog = jpeg.decode_jpeg_luma(jpeg.encode_jpeg(g, q, progressive=True))
+        assert np.array_equal(seq, prog), q
+    # and through the multimodal layer: progressive payloads now decode
+    gray = multimodal._gray_pixels(jpeg.encode_jpeg(g, 90, progressive=True))
+    assert gray.shape == (64, 64)
 
 
 def test_jpeg_phash_is_perceptual_across_containers():

@@ -682,3 +682,40 @@ def test_jpeg_flat_tiles_exact(v, wb, hb):
     canvas = np.full((hb * 8, wb * 8), v, np.uint8)
     out = np.round(decode_jpeg_luma(make_jpeg(canvas, 100)))
     assert np.array_equal(out, canvas)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    h=st.integers(min_value=1, max_value=48),
+    w=st.integers(min_value=1, max_value=48),
+    q=st.sampled_from([20, 50, 80, 95, 100]),
+    style=st.integers(min_value=0, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_progressive_fuzz_equals_sequential(h, w, q, style, seed):
+    """Progressive decode must be bit-identical to sequential for the
+    same input across content styles (dense noise, sparse detail,
+    gradients, binary high-frequency) — the scan machinery (EOB runs,
+    ZRL-in-refinement, correction-bit ordering) has no tolerance band to
+    hide in."""
+    import numpy as np
+
+    from traildb_spark.operators.jpeg import decode_jpeg_luma, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    if style == 0:
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    elif style == 1:
+        g = np.full((h, w), int(rng.integers(0, 256)), np.uint8)
+        for _ in range(int(rng.integers(0, 4))):
+            g[int(rng.integers(0, h)), int(rng.integers(0, w))] = int(
+                rng.integers(0, 256)
+            )
+    elif style == 2:
+        yy, xx = np.mgrid[0:h, 0:w]
+        g = ((yy * int(rng.integers(1, 9)) + xx * int(rng.integers(1, 9))) % 256).astype(np.uint8)
+    else:
+        g = (rng.integers(0, 2, (h, w)) * 255).astype(np.uint8)
+    seq = decode_jpeg_luma(encode_jpeg(g, q))
+    prog = decode_jpeg_luma(encode_jpeg(g, q, progressive=True))
+    assert np.array_equal(seq, prog)

@@ -11,10 +11,12 @@ and Huffman tables.
 
 Scope (the honest contract):
 
-* **decode**: baseline + extended sequential DCT, Huffman entropy coding
-  (SOF0/SOF1), 8-bit samples, grayscale or YCbCr with any Hi×Vi sampling,
-  interleaved or single-component scans, restart markers. Progressive
-  (SOF2), hierarchical, lossless, and arithmetic-coded frames raise
+* **decode**: baseline + extended sequential DCT (SOF0/SOF1) AND
+  progressive DCT (SOF2 — spectral selection, successive approximation
+  with DC/AC refinement scans, EOB-run coding, T.81 Annex G), Huffman
+  entropy coding, 8-bit samples, grayscale or YCbCr with any Hi×Vi
+  sampling, interleaved or single-component scans, restart markers.
+  Hierarchical, lossless, and arithmetic-coded frames raise
   ``ValueError`` — they are a different decode algorithm, not a bigger
   table.
 * Output is the LUMA plane only (``decode_jpeg_luma``): JPEG stores
@@ -24,7 +26,12 @@ Scope (the honest contract):
   matches the downstream need and halves the work.
 * **encode** (fixtures + round-trip tests): baseline JPEG with the Annex
   K tables — grayscale (1 component) or YCbCr 4:4:4 / 4:2:0 from RGB,
-  selectable quality (libjpeg's scaling curve) and restart interval.
+  selectable quality (libjpeg's scaling curve) and restart interval —
+  plus a progressive mode (four-stage scan script) whose decoded output
+  is asserted BIT-IDENTICAL to the sequential encode of the same input:
+  both modes carry the same quantized coefficients, so any encoder/
+  decoder disagreement in the progressive scan machinery surfaces as a
+  pixel diff against the independently-decoded sequential stream.
 
 Reference citation for parity bookkeeping: the reference engine has no
 media handling at all (SURVEY §2 lists no such operator); this module is
@@ -288,6 +295,8 @@ def decode_jpeg_luma(content: bytes) -> np.ndarray:
     comps: list[dict] = []
     width = height = None
     restart_interval = 0
+    progressive = False
+    prog: "_ProgressiveState | None" = None
     i = 2
     n = len(content)
     while i + 4 <= n:
@@ -341,9 +350,23 @@ def decode_jpeg_luma(content: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2: progressive Huffman
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"JPEG: {precision}-bit precision unsupported")
+            height, width = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            progressive = True
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "JPEG: only baseline/extended sequential Huffman (SOF0/SOF1) supported"
+                "JPEG: only sequential (SOF0/SOF1) and progressive (SOF2) "
+                "Huffman frames supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -356,13 +379,26 @@ def decode_jpeg_luma(content: bytes) -> np.ndarray:
                 comp["td"] = tables >> 4
                 comp["ta"] = tables & 15
                 scan.append(comp)
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             data_start = i + 2 + seg_len
-            return _decode_scan(
-                content, data_start, scan, comps, qt, huff_dc, huff_ac,
-                width, height, restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    content, data_start, scan, comps, qt, huff_dc, huff_ac,
+                    width, height, restart_interval,
+                )
+            if prog is None:
+                prog = _ProgressiveState(comps, width, height)
+            i = prog.decode_scan(
+                content, data_start, scan, huff_dc, huff_ac,
+                ss, se, ahal >> 4, ahal & 15, restart_interval,
             )
+            continue
         # APPn / COM / anything else: skip
         i += 2 + seg_len
+    if prog is not None:
+        return _idct_luma(
+            prog.lcoef, prog.ly_w, prog.ly_h, comps, comps[0], qt, width, height
+        )
     raise ValueError("JPEG: no SOS scan found")
 
 
@@ -449,13 +485,21 @@ def _decode_scan(
                             k += 1
             mcu_done += 1
 
+    return _idct_luma(lcoef, ly_w, ly_h, comps, luma, qt, width, height)
+
+
+def _idct_luma(lcoef, ly_w, ly_h, comps, luma, qt, width, height) -> np.ndarray:
+    """Dequantize + IDCT the accumulated luma coefficient grid and crop
+    to frame size (shared by the sequential and progressive paths)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     q = qt.get(luma["tq"])
     if q is None:
         raise ValueError("JPEG: missing quantization table")
     # dequantize (coeffs are stored at their zigzag-mapped row-major slots,
     # so the quant table must be de-zigzagged the same way)
     deq = np.zeros(64, dtype=np.int64)
-    deq[zz] = q[np.arange(64)]
+    deq[ZIGZAG] = q[np.arange(64)]
     blocks = (lcoef * deq[None, :]).reshape(-1, 8, 8).astype(np.float64)
     # IDCT all luma blocks in one einsum pair + level shift
     px = _DCT.T @ blocks @ _DCT + 128.0
@@ -475,6 +519,216 @@ def _decode_scan(
         ix = (np.arange(width) * lw) // width
         plane = plane[np.ix_(iy, ix)]
     return plane
+
+
+class _ProgressiveState:
+    """Cross-scan decode state for a progressive (SOF2) frame: the luma
+    coefficient grid accumulated over DC/AC first and refinement scans
+    (T.81 G.2). Chroma-only scans never touch luma state, so their
+    entropy data is skipped wholesale; interleaved DC scans decode every
+    component (the MCU stream interleaves them)."""
+
+    def __init__(self, comps: list[dict], width: int, height: int):
+        if not comps:
+            raise ValueError("JPEG: SOS before SOF")
+        if width == 0 or height == 0:
+            raise ValueError("JPEG: zero-dimension image")
+        self.comps = comps
+        self.width, self.height = width, height
+        self.luma = comps[0]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        self.hmax, self.vmax = hmax, vmax
+        # the luma grid at INTERLEAVED size (covers the non-interleaved
+        # grid too: dummy right/bottom blocks just stay zero)
+        self.mcux = -(-width // (8 * hmax))
+        self.mcuy = -(-height // (8 * vmax))
+        self.ly_w = self.mcux * self.luma["h"]
+        self.ly_h = self.mcuy * self.luma["v"]
+        self.lcoef = np.zeros((self.ly_h * self.ly_w, 64), dtype=np.int64)
+
+    @staticmethod
+    def _skip_entropy(content: bytes, pos: int) -> int:
+        """Position of the next real marker (skips stuffing and RSTn) —
+        used to hop over scans that cannot affect the luma plane."""
+        n = len(content)
+        while pos + 1 < n:
+            if content[pos] == 0xFF:
+                m = content[pos + 1]
+                if m == 0x00 or 0xD0 <= m <= 0xD7:
+                    pos += 2
+                    continue
+                return pos
+            pos += 1
+        raise ValueError("JPEG: entropy data ran off the end")
+
+    def decode_scan(
+        self, content, pos, scan, huff_dc, huff_ac, ss, se, ah, al, ri
+    ) -> int:
+        """Decode one progressive scan; returns the byte position of the
+        marker that follows its entropy data."""
+        if ss > se or se > 63 or al > 13:
+            raise ValueError("JPEG: bad progressive scan parameters")
+        luma_in_scan = self.luma in scan
+        if not luma_in_scan:
+            return self._skip_entropy(content, pos)
+        if len(scan) > 1 and ss != 0:
+            raise ValueError("JPEG: interleaved AC scan is illegal")
+        reader = _BitReader(content, pos)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("JPEG: DC scan must have Se=0")
+            self._dc_scan(reader, scan, huff_dc, ah, al, ri)
+        else:
+            self._ac_scan(reader, scan[0], huff_ac, ss, se, ah, al, ri)
+        return self._skip_entropy(content, reader.pos)
+
+    # -- DC scans (interleaved or single-component) -----------------------
+    def _dc_scan(self, reader, scan, huff_dc, ah, al, ri):
+        interleaved = len(scan) > 1
+        if interleaved:
+            mcux, mcuy = self.mcux, self.mcuy
+            per_mcu = [(c, c["h"], c["v"]) for c in scan]
+        else:
+            c = scan[0]
+            cw = -(-(self.width * c["h"]) // self.hmax)
+            ch = -(-(self.height * c["v"]) // self.vmax)
+            mcux, mcuy = -(-cw // 8), -(-ch // 8)
+            per_mcu = [(c, 1, 1)]
+        pred = {id(c): 0 for c in scan}
+        mcu_done = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and mcu_done and mcu_done % ri == 0:
+                    m = reader.align_to_marker()
+                    if m is None or not (0xD0 <= m <= 0xD7):
+                        raise ValueError("JPEG: expected restart marker")
+                    for c in scan:
+                        pred[id(c)] = 0
+                for c, ch_, cv_ in per_mcu:
+                    keep = c is self.luma
+                    for by in range(cv_):
+                        for bx in range(ch_):
+                            if ah == 0:
+                                tbl = huff_dc.get(c["td"])
+                                if tbl is None:
+                                    raise ValueError("JPEG: missing huffman table")
+                                t = reader.decode(tbl)
+                                diff = _extend(reader.receive(t), t) if t else 0
+                                pred[id(c)] += diff
+                                val = pred[id(c)] << al
+                            else:
+                                # refinement: one raw bit per block
+                                bit = reader.receive(1)
+                                val = bit << al
+                            if keep:
+                                gy = my * cv_ + by if interleaved else my
+                                gx = mx * ch_ + bx if interleaved else mx
+                                row = self.lcoef[gy * self.ly_w + gx]
+                                if ah == 0:
+                                    row[0] = val
+                                elif val:
+                                    row[0] |= val
+                mcu_done += 1
+
+    # -- AC scans (always single-component) -------------------------------
+    def _ac_scan(self, reader, c, huff_ac, ss, se, ah, al, ri):
+        if c is not self.luma:
+            raise ValueError("JPEG: internal — chroma AC scan not skipped")
+        tbl = huff_ac.get(c["ta"])
+        if tbl is None:
+            raise ValueError("JPEG: missing huffman table")
+        cw = -(-(self.width * c["h"]) // self.hmax)
+        ch = -(-(self.height * c["v"]) // self.vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        zz = ZIGZAG
+        eobrun = 0
+        done = 0
+        for gy in range(bh):
+            for gx in range(bw):
+                if ri and done and done % ri == 0:
+                    m = reader.align_to_marker()
+                    if m is None or not (0xD0 <= m <= 0xD7):
+                        raise ValueError("JPEG: expected restart marker")
+                    eobrun = 0
+                row = self.lcoef[gy * self.ly_w + gx]
+                if ah == 0:
+                    eobrun = self._ac_first(reader, tbl, row, ss, se, al, eobrun)
+                else:
+                    eobrun = self._ac_refine(reader, tbl, row, ss, se, al, eobrun)
+                done += 1
+        # trailing EOB run beyond the last block is legal padding
+
+    @staticmethod
+    def _ac_first(reader, tbl, row, ss, se, al, eobrun):
+        """G.2.2: first AC scan of a band — EOBn run-length coding."""
+        zz = ZIGZAG
+        if eobrun:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = reader.decode(tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    return (1 << r) - 1 + reader.receive(r)  # this block counted
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC index overflow")
+            row[zz[k]] = _extend(reader.receive(s), s) << al
+            k += 1
+        return 0
+
+    @staticmethod
+    def _ac_refine(reader, tbl, row, ss, se, al, eobrun):
+        """G.2.2.3: refinement AC scan — one magnitude bit per already-
+        nonzero coefficient, new ±1-at-this-bit coefficients inserted via
+        zero-history run coding."""
+        zz = ZIGZAG
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode(tbl)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) + (reader.receive(r) if r else 0)
+                        break
+                    newval = 0  # ZRL: pass 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG: refinement magnitude must be 1")
+                    newval = p1 if reader.receive(1) else m1
+                # advance past r zero-history coefficients, applying
+                # correction bits to nonzero-history ones along the way
+                while k <= se:
+                    z = zz[k]
+                    if row[z] != 0:
+                        if reader.receive(1) and (row[z] & p1) == 0:
+                            row[z] += p1 if row[z] >= 0 else m1
+                    else:
+                        if r == 0:
+                            if newval:
+                                row[z] = newval
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            # inside an EOB run every remaining nonzero coefficient of the
+            # band still carries its correction bit
+            while k <= se:
+                z = zz[k]
+                if row[z] != 0:
+                    if reader.receive(1) and (row[z] & p1) == 0:
+                        row[z] += p1 if row[z] >= 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
 
 
 # -- encoder (fixtures / round-trip tests) ----------------------------------
@@ -568,16 +822,138 @@ def _encode_block(bw: _BitWriter, coef: np.ndarray, pred: int, dcenc, acenc) -> 
     return dc
 
 
+# flat 8-bit canonical AC table for progressive scans: every symbol the
+# progressive encoder can emit — EOBn (r<<4|0, r<=14), ZRL (0xF0), and
+# (r, s<=10) — at one code length (176 codes of 8 bits, Kraft 0.69).
+# The Annex K tables lack the EOBn codes with r>0, so progressive scans
+# get their own table; suboptimal size, trivially valid.
+_PROG_AC_BITS = [0] * 7 + [176] + [0] * 8
+_PROG_AC_VALS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+assert sum(_PROG_AC_BITS) == len(_PROG_AC_VALS)
+
+
+class _ProgressiveWriter:
+    """Encoder-side state for one progressive AC scan: EOB-run
+    accumulation with the pending correction bits that must follow the
+    EOBn code (G.1.2.3)."""
+
+    def __init__(self, bw: _BitWriter, acenc):
+        self.bw = bw
+        self.acenc = acenc
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.acenc[r << 4]
+            self.bw.write(code, length)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+    def bump_eobrun(self, bits: list[int]) -> None:
+        self.eobrun += 1
+        self.pending.extend(bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def _enc_ac_first(pw: _ProgressiveWriter, coef, ss, se, al) -> None:
+    """G.1.2.2: first AC scan of a band — ``coef`` is the block's
+    quantized coefficients in ZIGZAG order (the encoder grids store
+    zigzag order already, unlike the decoder's row-major store)."""
+    r = 0
+    any_emitted = False
+    for k in range(ss, se + 1):
+        c = int(coef[k])
+        v = (abs(c) >> al) * (1 if c >= 0 else -1)
+        if v == 0:
+            r += 1
+            continue
+        pw.flush_eobrun()
+        while r > 15:
+            code, length = pw.acenc[0xF0]
+            pw.bw.write(code, length)
+            r -= 16
+        s = abs(v).bit_length()
+        code, length = pw.acenc[(r << 4) | s]
+        pw.bw.write(code, length)
+        vv = v if v >= 0 else v + (1 << s) - 1
+        pw.bw.write(vv, s)
+        r = 0
+        any_emitted = True
+    if r > 0 or not any_emitted:
+        pw.bump_eobrun([])
+
+
+def _enc_ac_refine(pw: _ProgressiveWriter, coef, ss, se, al) -> None:
+    """G.1.2.3: the encoder twin of ``_ProgressiveState._ac_refine``;
+    ``coef`` in zigzag order like ``_enc_ac_first``."""
+    absv = [abs(int(coef[k])) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i
+    r = 0
+    br: list[int] = []
+    for i, a in enumerate(absv):
+        if a == 0:
+            r += 1
+            continue
+        # the ZRL flush must fire at ANY nonzero position (corrections
+        # included): the decoder reads buffered correction bits strictly
+        # in position order while consuming each ZRL's 16 zero-history
+        # positions, so br may never span past an emitted ZRL. Past the
+        # last newly-significant position (i > eob) zeros fold into the
+        # EOB run instead.
+        while r > 15 and i <= eob:
+            pw.flush_eobrun()
+            code, length = pw.acenc[0xF0]
+            pw.bw.write(code, length)
+            for b in br:
+                pw.bw.write(b, 1)
+            br = []
+            r -= 16
+        if a > 1:
+            br.append(a & 1)
+            continue
+        # newly significant (magnitude becomes 1 at this bit plane)
+        pw.flush_eobrun()
+        code, length = pw.acenc[(r << 4) | 1]
+        pw.bw.write(code, length)
+        pw.bw.write(1 if int(coef[i + ss]) >= 0 else 0, 1)
+        for b in br:
+            pw.bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br or eob < 0:
+        pw.bump_eobrun(br)
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JPEG encoder. ``pixels`` is uint8 (H, W) grayscale or
-    (H, W, 3) RGB; RGB converts to BT.601 YCbCr with ``subsampling``
-    '444' or '420'. Deterministic for fixed inputs (fixture generator —
-    the JPEG sibling of :func:`multimodal.make_png`)."""
+    """Baseline or progressive JPEG encoder. ``pixels`` is uint8 (H, W)
+    grayscale or (H, W, 3) RGB; RGB converts to BT.601 YCbCr with
+    ``subsampling`` '444' or '420'. ``progressive=True`` emits an SOF2
+    frame with the four-stage scan script (coarse DC at Al=1 → DC
+    refinement → per-component AC at Al=1 → AC refinement), exercising
+    spectral selection, successive approximation, and EOB-run coding —
+    the fixture source for the progressive decoder (``restart_interval``
+    applies to sequential mode only). Deterministic for fixed inputs
+    (the JPEG sibling of :func:`multimodal.make_png`)."""
     px = np.asarray(pixels)
     if px.ndim == 2:
         planes = [px.astype(np.float64)]
@@ -626,36 +1002,41 @@ def encode_jpeg(
         out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x01" + bytes(
             int(qchroma[z]) for z in ZIGZAG
         )
-    # SOF0
+    # SOF0 (sequential) / SOF2 (progressive)
     sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
     for ci in range(ncomp):
         hs, vs = samp[ci]
         sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     # DHT
     def dht(tc, th, bits, vals):
         body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
     out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if progressive:
+        # progressive AC scans need EOBn codes the Annex K tables lack
+        out += dht(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+    else:
+        out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
     if ncomp == 3:
         out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
-    if restart_interval:
+        if progressive:
+            out += dht(1, 1, _PROG_AC_BITS, _PROG_AC_VALS)
+        else:
+            out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval and not progressive:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    sos = bytearray([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     # per-component quantized coefficient grids
     dcl, _ = _build_canonical(DC_LUMA_BITS, DC_LUMA_VALS)
-    acl, _ = _build_canonical(AC_LUMA_BITS, AC_LUMA_VALS)
     dcc, _ = _build_canonical(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    acc, _ = _build_canonical(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if progressive:
+        acl = acc = _build_canonical(_PROG_AC_BITS, _PROG_AC_VALS)[0]
+    else:
+        acl, _ = _build_canonical(AC_LUMA_BITS, AC_LUMA_VALS)
+        acc, _ = _build_canonical(AC_CHROMA_BITS, AC_CHROMA_VALS)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     grids = []
@@ -678,9 +1059,80 @@ def encode_jpeg(
         bw_blocks = p.shape[1] // 8
         grids.append((coefs, bw_blocks, hs, vs))
 
-    writer = _BitWriter()
     mcux = -(-w // (8 * hmax)) if ncomp > 1 else grids[0][1]
     mcuy = -(-h // (8 * vmax)) if ncomp > 1 else grids[0][0].shape[0] // grids[0][1]
+
+    def sos_hdr(comp_indices, ss, se, ah, al, with_dc, with_ac):
+        hdr = bytearray([len(comp_indices)])
+        for ci in comp_indices:
+            td = (0 if ci == 0 else 1) if with_dc else 0
+            ta = (0 if ci == 0 else 1) if with_ac else 0
+            hdr += bytes([ci + 1, (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr
+
+    if progressive:
+        # --- scan 1: DC all components, Ah=0, Al=1 (coarse) --------------
+        writer = _BitWriter()
+        preds = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    coefs, bwb, hs, vs = grids[ci]
+                    enc_dc = dcl if ci == 0 else dcc
+                    for by in range(vs):
+                        for bx in range(hs):
+                            gy = my * vs + by
+                            gx = mx * hs + bx
+                            v = int(coefs[gy * bwb + gx][0]) >> 1
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            t = abs(diff).bit_length()
+                            code, length = enc_dc[t]
+                            writer.write(code, length)
+                            if t:
+                                vv = diff if diff >= 0 else diff + (1 << t) - 1
+                                writer.write(vv, t)
+        writer.flush()
+        out += sos_hdr(list(range(ncomp)), 0, 0, 0, 1, True, False) + writer.out
+        # --- scan 2: DC refinement, Ah=1, Al=0 (raw bits) ----------------
+        writer = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    coefs, bwb, hs, vs = grids[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            gy = my * vs + by
+                            gx = mx * hs + bx
+                            writer.write(int(coefs[gy * bwb + gx][0]) & 1, 1)
+        writer.flush()
+        out += sos_hdr(list(range(ncomp)), 0, 0, 1, 0, False, False) + writer.out
+        # --- scans 3/4 per component: AC first (Al=1), AC refine ---------
+        # AC scans are ALWAYS non-interleaved: the block grid is the
+        # component's OWN ceil(cw/8) x ceil(ch/8), not the MCU-padded one
+        # (the decoder reads exactly that many blocks)
+        for ci in range(ncomp):
+            coefs, bwb, hs, vs = grids[ci]
+            cw = -(-(w * hs) // hmax)
+            chh = -(-(h * vs) // vmax)
+            n_blocks_w = -(-cw // 8)
+            n_blocks_h = -(-chh // 8)
+            for ah, al, fn in ((0, 1, _enc_ac_first), (1, 0, _enc_ac_refine)):
+                writer = _BitWriter()
+                pw = _ProgressiveWriter(writer, acl if ci == 0 else acc)
+                for gy in range(n_blocks_h):
+                    for gx in range(n_blocks_w):
+                        fn(pw, coefs[gy * bwb + gx], 1, 63, al)
+                pw.flush_eobrun()
+                writer.flush()
+                out += sos_hdr([ci], 1, 63, ah, al, False, True) + writer.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # --- sequential: single interleaved scan -----------------------------
+    out += sos_hdr(list(range(ncomp)), 0, 63, 0, 0, True, True)
+    writer = _BitWriter()
     preds = [0] * ncomp
     mcu_done = 0
     rst = 0
