@@ -830,3 +830,52 @@ def test_wav_format_tags_all_decode_to_int16():
 
     with pytest.raises(ValueError, match="unsupported format"):
         decode_wav(wav(2, 4, 8000, 1, b"\x00" * 8))  # ADPCM: honest gate
+
+
+def test_png_adam7_interlaced():
+    """Adam7 decode: the 7 sub-images are independently filtered and
+    scattered back — gray, RGB, and palette, including dims < 8 where
+    some passes are empty; last PNG gate closed."""
+    import struct
+    import zlib
+
+    from traildb_spark.operators.multimodal import _PNG_SIG, _gray_pixels
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+    def adam7(img, color=0, plte=None):
+        h, w = img.shape[:2]
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for y in range(sub.shape[0]):
+                raw += b"\x00" + sub[y].tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+        body = _PNG_SIG + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            body += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        return body + chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (3, 2), (7, 5), (17, 23)]:
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(_gray_pixels(adam7(g)), g), shape
+    c = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    want = 0.299 * c[:, :, 0] + 0.587 * c[:, :, 1] + 0.114 * c[:, :, 2]
+    assert np.allclose(_gray_pixels(adam7(c, color=2)), want)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (11, 6), dtype=np.uint8)
+    p = pal[idx].astype(float)
+    assert np.allclose(
+        _gray_pixels(adam7(idx, color=3, plte=pal)),
+        0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2],
+    )

@@ -115,17 +115,18 @@ def _gray_pixels(content: bytes) -> np.ndarray:
 
     PNG: full pure-stdlib decode — chunk walk → IDAT zlib inflate →
     per-scanline unfilter (None/Sub/Up/Average/Paeth) → sample unpack →
-    ITU-R 601 luma. Covers every non-interlaced PNG shape: gray /
-    gray+alpha / RGB / RGBA at depths 8 and 16 (16-bit keeps the high
-    byte — the spec's own 8-bit reduction), palette (color type 3, PLTE)
-    at depths 1/2/4/8, and sub-byte grayscale (1/2/4) rescaled to
-    [0, 255]. JPEG: real baseline/extended-sequential pixel decode via
-    the pure-numpy codec in :mod:`traildb_spark.operators.jpeg` (the
-    luma plane IS the grayscale bitmap — JPEG stores YCbCr). GIF: real
-    LZW decode of the first frame via :mod:`traildb_spark.operators.gif`
-    (palette → BT.601 luma). Raises ValueError on remaining configs
-    (progressive JPEG, Adam7 PNG); swap this one function for PIL for
-    full coverage in deployment."""
+    ITU-R 601 luma. Covers every PNG shape: gray / gray+alpha / RGB /
+    RGBA at depths 8 and 16 (16-bit keeps the high byte — the spec's
+    own 8-bit reduction), palette (color type 3, PLTE) at depths
+    1/2/4/8, sub-byte grayscale (1/2/4) rescaled to [0, 255], and Adam7
+    interlacing (7 independently-filtered sub-images scattered back).
+    JPEG: real pixel decode for baseline, extended-sequential, AND
+    progressive frames via the pure-numpy codec in
+    :mod:`traildb_spark.operators.jpeg` (the luma plane IS the grayscale
+    bitmap — JPEG stores YCbCr). GIF: real LZW decode of the first frame
+    via :mod:`traildb_spark.operators.gif` (palette → BT.601 luma).
+    Remaining honest gates: lossless/arithmetic JPEG. Swap this one
+    function for PIL if those ever matter."""
     if content[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg_luma
 
@@ -148,8 +149,8 @@ def _gray_pixels(content: bytes) -> np.ndarray:
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if interlace != 0:
-                raise ValueError("PNG: Adam7 interlacing not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG: unknown interlace method {interlace}")
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
             if channels is None:
                 raise ValueError(f"PNG: unsupported color type {color}")
@@ -173,11 +174,33 @@ def _gray_pixels(content: bytes) -> np.ndarray:
         raise ValueError("PNG: zero-dimension image")
     if color == 3 and palette is None:
         raise ValueError("PNG: palette image without PLTE")
-    # filtering operates on BYTES: stride is the packed scanline width,
-    # and the Sub/Paeth left-neighbor offset is bytes-per-pixel (>= 1)
-    stride = (width * channels * depth + 7) // 8
     bpp = max(1, channels * depth // 8)
-    expected = height * (stride + 1)
+
+    def sub_image_layout(w: int, h: int):
+        # filtering operates on BYTES: stride is the packed scanline
+        # width, Sub/Paeth left-neighbor offset is bytes-per-pixel
+        stride = (w * channels * depth + 7) // 8
+        return stride, h * (stride + 1)
+
+    # Adam7 sub-images (x0, y0, dx, dy per the PNG spec); interlace 0 is
+    # the single full-frame "pass"
+    passes = (
+        [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        if interlace
+        else [(0, 0, 1, 1)]
+    )
+    layout = []
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        pw = -(-(width - x0) // dx) if width > x0 else 0
+        ph = -(-(height - y0) // dy) if height > y0 else 0
+        if pw == 0 or ph == 0:
+            layout.append((x0, y0, dx, dy, 0, 0, 0))
+            continue
+        stride, nbytes = sub_image_layout(pw, ph)
+        layout.append((x0, y0, dx, dy, pw, ph, stride))
+        expected += nbytes
     # bound the inflate to the size IHDR promises (+1 to detect overrun):
     # an unbounded zlib.decompress would allocate a decompression bomb's
     # full output BEFORE the size check — MemoryError is not a
@@ -186,50 +209,61 @@ def _gray_pixels(content: bytes) -> np.ndarray:
     raw = d.decompress(idat, expected + 1)
     if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("PNG: unexpected scanline payload size")
-    out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(height):
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        f = raw[y * (stride + 1)]
-        if f == 0:  # None
-            cur = row
-        elif f == 2:  # Up
-            cur = (row + prev) & 0xFF
-        else:  # Sub / Average / Paeth need the left neighbor: scan in order
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + b) // 2
-                elif f == 4:
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                else:
-                    raise ValueError(f"PNG: bad filter {f}")
-                cur[x] = (row[x] + pred) & 0xFF
-        out[y] = cur
-        prev = cur
-    # unpack filtered bytes -> per-pixel samples
-    if depth == 8:
-        samples = out.reshape(height, width, channels)
-    elif depth == 16:
-        # high byte = the spec's sample-depth rescale to 8 bits
-        samples = out.reshape(height, stride)[:, 0::2].reshape(
-            height, width, channels
-        )
-    else:  # 1 / 2 / 4 bit (gray or palette indices), MSB-first packing
-        bits = np.unpackbits(out, axis=1)[:, : width * depth]
+
+    def unfilter(buf: bytes, off: int, h: int, stride: int) -> np.ndarray:
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            row = np.frombuffer(
+                buf, dtype=np.uint8, count=stride, offset=off + y * (stride + 1) + 1
+            ).astype(np.int32)
+            f = buf[off + y * (stride + 1)]
+            if f == 0:  # None
+                cur = row
+            elif f == 2:  # Up
+                cur = (row + prev) & 0xFF
+            else:  # Sub / Average / Paeth need the left neighbor: in order
+                cur = np.zeros(stride, dtype=np.int32)
+                for x in range(stride):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b) // 2
+                    elif f == 4:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    else:
+                        raise ValueError(f"PNG: bad filter {f}")
+                    cur[x] = (row[x] + pred) & 0xFF
+            out[y] = cur
+            prev = cur
+        return out
+
+    def unpack(filtered: np.ndarray, w: int, h: int, stride: int) -> np.ndarray:
+        # filtered bytes -> (h, w, channels) samples
+        if depth == 8:
+            return filtered.reshape(h, w, channels)
+        if depth == 16:
+            # high byte = the spec's sample-depth rescale to 8 bits
+            return filtered.reshape(h, stride)[:, 0::2].reshape(h, w, channels)
+        bits = np.unpackbits(filtered, axis=1)[:, : w * depth]
         weights = 1 << np.arange(depth - 1, -1, -1)
-        samples = (
-            bits.reshape(height, width, depth) * weights[None, None, :]
+        return (
+            bits.reshape(h, w, depth) * weights[None, None, :]
         ).sum(axis=2)[:, :, None]
+
+    samples = np.zeros((height, width, channels), dtype=np.int64)
+    off = 0
+    for x0, y0, dx, dy, pw, ph, stride in layout:
+        if pw == 0 or ph == 0:
+            continue
+        sub = unpack(unfilter(raw, off, ph, stride), pw, ph, stride)
+        samples[y0::dy, x0::dx] = sub
+        off += ph * (stride + 1)
     px = samples.astype(np.float64)
     if color == 3:
         idx = samples[:, :, 0].astype(np.int64)
