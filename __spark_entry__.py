@@ -1510,6 +1510,24 @@ def q105_gif_decode(spark, sf_dir):
     return multimodal.image_luma_stats(media)
 
 
+def q106_bm25(spark, sf_dir):
+    """BM25 retrieval top-10 per query (queries = first 5 tokens of every
+    97th document — so each query has at least one guaranteed strong
+    hit). Whole-bit idf + integer-rational tf saturation (k1=1.2, b=0.75,
+    length ratio in thousandths) keep every score exact int64 arithmetic,
+    so the oracle reproduces scores AND ranks bit-for-bit — no libm log,
+    no float summation order. One (doc,term) tf table serves df, dl, and
+    the match join; query terms and vocabulary stats broadcast."""
+    docs = _load(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(text.tokens(F.col("text")), 1, 5), " ").alias(
+            "text"
+        ),
+    )
+    return text.bm25_topk(docs, queries, k=10)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1620,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_surprisal_mix": q103_surprisal_mix,
         "q104_jpeg_decode": q104_jpeg_decode,
         "q105_gif_decode": q105_gif_decode,
+        "q106_bm25": q106_bm25,
     }
 
 
@@ -2243,6 +2262,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(px) AS INT) AS luma_min,
                    CAST(list_max(px) AS INT) AS luma_max
             FROM t
+        """,
+        "q106_bm25": f"""
+            -- whole-bit idf + integer-rational BM25 (k1=1.2, b=0.75):
+            -- contrib = (idf_bits*22000*tf) // (10000*tf + 3000 + 9*r),
+            -- r = (1000*dl*N) // L — all int64, bit-portable
+            WITH w AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+            qd AS (
+              SELECT DISTINCT doc_id AS query_id, unnest(list_slice(ws, 1, 5)) AS term
+              FROM w WHERE doc_id % 97 = 0),
+            sc AS (
+              SELECT qd.query_id, tf.doc_id,
+                     CAST(SUM(
+                       ((length(bin(CAST(st.n_docs AS BIGINT)))
+                         - length(bin(CAST(dft.df AS BIGINT)))) * 22000 * tf.tf)
+                       // (10000 * tf.tf + 3000
+                           + 9 * ((1000 * dl.dl * st.n_docs) // st.total_len))
+                     ) AS BIGINT) AS score
+              FROM tf
+              JOIN qd USING (term)
+              JOIN dft USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN st
+              GROUP BY 1, 2),
+            r AS (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id
+                     ) AS rank
+              FROM sc)
+            SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10
         """,
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})

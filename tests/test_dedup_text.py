@@ -926,3 +926,36 @@ def test_word_chunks_empty_doc_no_chunks(spark):
     }
     assert got[1] == [] and got[2] == []
     assert got[3] == ["a b"]
+
+
+def test_bm25_topk_ranking_and_portable_scoring(spark):
+    """BM25 sanity on a hand-built corpus: the doc matching both query
+    terms outranks single-term docs; a term in every doc has idf_bits 0
+    and contributes nothing; ties break on doc_id; rank caps at k."""
+    from traildb_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common apple banana"),
+            (2, "common apple apple apple"),
+            (3, "common banana"),
+            (4, "common common common common"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [(100, "apple banana"), (200, "common")], ["query_id", "text"]
+    )
+    out = T.bm25_topk(docs, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    q100 = sorted(by_q[100])
+    # doc 1 matches both terms -> top; scores are deterministic ints
+    assert q100[0][1] == 1 and len(q100) == 3
+    assert all(s >= 0 for _, _, s in q100)
+    # 'common' appears in all 4 docs: idf_bits = len(bin(4)) - len(bin(4))
+    # = 0 -> every contribution 0; ties broken by ascending doc_id, k=3
+    assert sorted(by_q[200]) == [(1, 1, 0), (2, 2, 0), (3, 3, 0)]

@@ -753,3 +753,82 @@ def clean_text(
             - F.length(collapsed)
         ).cast("long").alias("n_chars_removed"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval: top-``k`` documents per query — the retrieval
+    operator a training-data pipeline needs for decontamination probes,
+    eval-set mining, and hard-negative selection, built on the same
+    tokenizer as :func:`inverted_index`.
+
+    ENGINE-PORTABLE scoring (the module's whole-bit discipline): the
+    Robertson idf is integerized to whole bits,
+    ``idf_bits(t) = len(bin(N)) - len(bin(df_t))``, and the tf
+    saturation uses k1 = 1.2, b = 0.75 as exact integer rationals with
+    the document-length ratio rounded to thousandths:
+
+        r       = (1000 * dl * N) div L          -- dl/avgdl in 1/1000s
+        contrib = (idf_bits * 22000 * tf) div (10000*tf + 3000 + 9*r)
+        score   = Σ contrib over matched distinct query terms
+
+    Every step is int64 arithmetic (bounded: idf ≤ 63 bits, so the
+    numerator stays < 2^60 for tf < 10^9), so a SQL oracle reproduces
+    scores bit-for-bit — no libm log, no float summation order. Ranking
+    is rank-faithful to classic BM25 up to the whole-bit idf and the
+    1/1000 length-ratio granularity (both documented, deterministic).
+
+    Scale: the tf table combines map-side on (doc, term); df/N/L are
+    vocabulary- and 1-row-scale broadcasts; query terms (tiny) broadcast
+    into the tf join, so the only corpus-sized shuffles key on (doc,
+    term) and (query, doc). The final top-k is a per-query window —
+    fine for the normal "many docs, few queries" shape; route through
+    ``curation.top_k_global`` per query if a stop-word query ever makes
+    one query's candidate set dominate. Returns ``(query_id, doc_id,
+    score, rank)``.
+    """
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    q_terms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens(F.col(query_text_col))).alias("term"),
+    ).distinct()
+    idf_bits = F.length(F.bin(F.col("n_docs"))) - F.length(F.bin(F.col("df")))
+    r = F.expr("(1000 * dl * n_docs) div total_len")
+    contrib = F.expr(
+        "(idf_bits * 22000 * tf) div (10000 * tf + 3000 + 9 * r)"
+    )
+    scored = (
+        tf.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_bits", idf_bits)
+        .withColumn("r", r)
+        .withColumn("contrib", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").cast("long").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
