@@ -1528,6 +1528,16 @@ def q106_bm25(spark, sf_dir):
     return text.bm25_topk(docs, queries, k=10)
 
 
+def q107_bigram_surprisal(spark, sf_dir):
+    """Bigram-conditional surprisal per document (whole-bit integer
+    self-information under the corpus's own bigram model) — the quality
+    signal that catches common-words-in-unusual-order text the unigram
+    score misses. Zero-shuffle in-doc bigram construction (zip_with),
+    map-side-combined counts, broadcast model joins."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.bigram_surprisal(docs)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1639,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_jpeg_decode": q104_jpeg_decode,
         "q105_gif_decode": q105_gif_decode,
         "q106_bm25": q106_bm25,
+        "q107_bigram_surprisal": q107_bigram_surprisal,
     }
 
 
@@ -2298,6 +2309,36 @@ def oracle_sql() -> dict[str, str]:
               FROM sc)
             SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "q107_bigram_surprisal": f"""
+            -- bits(w2|w1) = len(bin(ctx_count)) - len(bin(bigram_count))
+            WITH w AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            b AS (
+              SELECT doc_id,
+                     unnest([ws[i] || ' ' || ws[i+1]
+                             for i in generate_series(1, len(ws) - 1)]) AS bg
+              FROM w WHERE len(ws) >= 2),
+            tf AS (SELECT doc_id, bg, count(*) AS tf FROM b GROUP BY 1, 2),
+            model AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+            ctx AS (
+              SELECT split_part(bg, ' ', 1) AS w1,
+                     CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+              FROM model GROUP BY 1),
+            s AS (
+              SELECT tf.doc_id,
+                     CAST(sum(tf.tf * (length(bin(ctx.ctx_cnt))
+                                       - length(bin(model.cnt)))) AS BIGINT) AS sb,
+                     CAST(sum(tf.tf) AS BIGINT) AS nb
+              FROM tf
+              JOIN model USING (bg)
+              JOIN ctx ON split_part(tf.bg, ' ', 1) = ctx.w1
+              GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(s.nb, 0) AS n_bigrams,
+                   COALESCE(s.sb, 0) AS surprisal_bits,
+                   CASE WHEN COALESCE(s.nb, 0) = 0 THEN 0
+                        ELSE 1000 * s.sb // s.nb END AS millibits_per_bigram
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """,
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})

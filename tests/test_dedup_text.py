@@ -959,3 +959,25 @@ def test_bm25_topk_ranking_and_portable_scoring(spark):
     # 'common' appears in all 4 docs: idf_bits = len(bin(4)) - len(bin(4))
     # = 0 -> every contribution 0; ties broken by ascending doc_id, k=3
     assert sorted(by_q[200]) == [(1, 1, 0), (2, 2, 0), (3, 3, 0)]
+
+
+def test_bigram_surprisal_orders_word_salad_above_template(spark):
+    """The conditional signal: same words, unusual ORDER scores higher;
+    one-token and empty docs contribute zero bigrams; repeated template
+    text scores low."""
+    from traildb_spark.operators import text as T
+
+    rows = [
+        (1, "the cat sat on the mat " * 5),      # template, repeated
+        (2, "mat the on sat the cat " * 1 + "cat mat on the sat the"),  # salad
+        (3, "solo"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in T.bigram_surprisal(docs).collect()}
+    assert out[3]["n_bigrams"] == 0 and out[3]["millibits_per_bigram"] == 0
+    assert out[4]["n_bigrams"] == 0
+    assert out[1]["n_bigrams"] == 29  # 30 tokens -> 29 adjacent pairs
+    # the salad's bigrams are rare given their contexts; the template's
+    # bigrams are the dominant continuation of each context
+    assert out[2]["millibits_per_bigram"] > out[1]["millibits_per_bigram"]

@@ -832,3 +832,64 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def bigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average CONDITIONAL self-information under the
+    corpus's own bigram model -- the next step up from
+    :func:`unigram_surprisal` toward an LM-based quality score: a
+    document full of common words in UNUSUAL order (word salad,
+    shuffled boilerplate) scores high here while scoring low on the
+    unigram signal. bits(w2 | w1) = bits_count(ctx w1) -
+    bits_count(bigram w1,w2), integerized to whole bits via
+    binary-digit counts (same engine-portable discipline as
+    :func:`unigram_surprisal` -- no libm log). The first token of each
+    document has no context and contributes nothing. Returns
+    ``(doc_id, n_bigrams, surprisal_bits, millibits_per_bigram)``.
+
+    Plan shape: one zip_with produces in-document adjacent bigrams with
+    ZERO shuffle (the q82 PMI pattern); (doc, bigram) counts combine
+    map-side; the bigram model and its context marginal are
+    vocab^2-scale aggregates OF that table joined back broadcast -- the
+    corpus never re-shuffles onto the bigram key.
+    """
+    ws = tokens(F.col(text_col))
+    pairs = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    t = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg")
+    )
+    tf = t.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    model = tf.groupBy("bg").agg(F.sum("tf").alias("cnt"))
+    ctx = model.groupBy(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("cnt").alias("ctx_cnt"))
+    bits = F.length(F.bin(F.col("ctx_cnt"))) - F.length(F.bin(F.col("cnt")))
+    scored = (
+        tf.join(F.broadcast(model), "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(ctx), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * bits).alias("surprisal_bits"),
+            F.sum("tf").alias("n_bigrams"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("surprisal_bits"), F.lit(0)).alias("surprisal_bits"),
+            F.expr(
+                "CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0 "
+                "ELSE 1000 * surprisal_bits div n_bigrams END"
+            ).alias("millibits_per_bigram"),
+        )
+    )
