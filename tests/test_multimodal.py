@@ -879,3 +879,34 @@ def test_png_adam7_interlaced():
         _gray_pixels(adam7(idx, color=3, plte=pal)),
         0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2],
     )
+
+
+def test_ima_adpcm_roundtrip_and_gates():
+    """IMA/DVI ADPCM (WAV tag 0x11): the 4:1 compressed codec decodes
+    for real — smooth signals round-trip above 25 dB SNR, the header
+    predictor is the exact first sample, block padding is benign, and
+    corrupt step indices / stereo raise the honest gate."""
+    import struct
+
+    from traildb_spark.operators.multimodal import decode_wav, make_adpcm_wav
+
+    t = np.arange(3000)
+    sig = (8000 * np.sin(t / 20.0) + 2000 * np.sin(t / 7.0)).astype(np.int16)
+    r, ch, back = decode_wav(make_adpcm_wav(sig, 16000))
+    assert (r, ch) == (16000, 1) and len(back) >= len(sig)
+    assert back[0] == sig[0]
+    err = back[: len(sig)].astype(np.int64) - sig.astype(np.int64)
+    snr = 10 * np.log10(
+        (sig.astype(np.int64) ** 2).mean() / max((err**2).mean(), 1)
+    )
+    assert snr > 25.0, snr
+
+    bad = bytearray(make_adpcm_wav(np.array([1, 2, 3], np.int16), 8000))
+    bad[bad.find(b"data") + 8 + 2] = 200  # step index out of range
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(bad))
+    stereo = bytearray(make_adpcm_wav(sig[:100], 8000))
+    fmt_off = stereo.find(b"fmt ") + 8
+    stereo[fmt_off + 2 : fmt_off + 4] = struct.pack("<H", 2)  # channels=2
+    with pytest.raises(ValueError, match="mono IMA"):
+        decode_wav(bytes(stereo))

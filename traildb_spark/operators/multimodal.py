@@ -494,6 +494,100 @@ def _g711_expand(data: bytes, alaw: bool) -> np.ndarray:
     return table[np.frombuffer(data, dtype=np.uint8)]
 
 
+# IMA/DVI ADPCM tables (public IMA spec, 1992)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+_IMA_STEP = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+        494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+        1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+        4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+        11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+        27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+
+
+def _ima_adpcm_decode_block(data: bytes, pred: int, idx: int) -> list[int]:
+    """One mono IMA ADPCM block body (nibble stream, low nibble first) →
+    linear int16 samples, standard reconstruction arithmetic."""
+    out = []
+    for byte in data:
+        for nib in (byte & 0x0F, byte >> 4):
+            step = int(_IMA_STEP[idx])
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + int(_IMA_INDEX[nib & 7])))
+            out.append(pred)
+    return out
+
+
+def _ima_adpcm_encode(samples: np.ndarray, block_align: int = 256) -> bytes:
+    """Mono IMA ADPCM encoder (fixture generator): standard greedy
+    nibble quantization with decoder-mirrored state update; the stream
+    pads to whole blocks (decode length = ceil-to-block samples)."""
+    s = np.asarray(samples, dtype=np.int64)
+    spb = (block_align - 4) * 2 + 1  # samples per block incl. header
+    out = bytearray()
+    pos = 0
+    pred, idx = 0, 0
+    while pos < len(s):
+        block = s[pos : pos + spb]
+        pred = int(block[0])
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for v in block[1:]:
+            step = int(_IMA_STEP[idx])
+            diff = int(v) - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            rec = step >> 3
+            if diff >= step:
+                nib |= 4
+                diff -= step
+                rec += step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+                rec += step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+                rec += step >> 2
+            pred = pred - rec if nib & 8 else pred + rec
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + int(_IMA_INDEX[nib & 7])))
+            nibbles.append(nib)
+        nibbles += [0] * (spb - 1 - len(nibbles))  # pad the final block
+        for i in range(0, len(nibbles), 2):
+            out.append(nibbles[i] | (nibbles[i + 1] << 4))
+        pos += spb
+    return bytes(out)
+
+
+def make_adpcm_wav(samples: np.ndarray, rate: int, block_align: int = 256) -> bytes:
+    """Mono IMA ADPCM RIFF/WAVE fixture encoder (format tag 0x11)."""
+    data = _ima_adpcm_encode(samples, block_align)
+    spb = (block_align - 4) * 2 + 1
+    fmt = struct.pack(
+        "<HHIIHH", 0x11, 1, rate, rate * block_align // spb, block_align, 4
+    ) + struct.pack("<HH", 2, spb)  # cbSize=2, samples-per-block
+    return (
+        b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
     """Parse a RIFF/WAVE payload → (sample_rate, channels, samples int16).
 
@@ -505,15 +599,18 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
       and scaled up), and 32-bit (high 16 bits kept);
     * tag 3 (IEEE float) at 32-bit, clipped to [-1, 1] and scaled;
     * tags 6/7 (G.711 A-law / μ-law) via exact table expansion;
+    * tag 0x11 (IMA/DVI ADPCM, mono) via the standard step/index-table
+      reconstruction — a real COMPRESSED audio codec (4:1), block
+      headers carrying (predictor, step index) per the IMA spec;
     * tag 0xFFFE (EXTENSIBLE) resolves through its SubFormat GUID.
 
-    Perceptual codecs (mp3/aac/opus) need a real decoder — same posture
-    as progressive JPEG in :func:`_gray_pixels`, swap for
-    soundfile/ffmpeg in one place. Raises ValueError/struct.error on
-    malformed input (DECODE_ERRORS)."""
+    Perceptual codecs (mp3/aac/opus) and multi-channel ADPCM need a real
+    decoder — swap for soundfile/ffmpeg in one place. Raises
+    ValueError/struct.error on malformed input (DECODE_ERRORS)."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     pos, rate, channels, bits, tag, data = 12, None, None, None, None, None
+    block_align = 0
     while pos + 8 <= len(content):
         ctype = content[pos : pos + 4]
         (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
@@ -524,7 +621,9 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
             # sentinel
             raise ValueError("WAV: truncated chunk")
         if ctype == b"fmt ":
-            tag, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            tag, channels, rate, _br, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
             if tag == 0xFFFE:
                 # WAVE_FORMAT_EXTENSIBLE: the real format is the first
                 # two bytes of the SubFormat GUID at offset 24
@@ -556,6 +655,22 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
         samples = _g711_expand(data, alaw=True)
     elif tag == 7 and bits == 8:
         samples = _g711_expand(data, alaw=False)
+    elif tag == 0x11 and bits == 4:
+        if channels != 1:
+            raise ValueError("WAV: only mono IMA ADPCM supported")
+        if block_align < 5:
+            raise ValueError("WAV: bad ADPCM block align")
+        out: list[int] = []
+        for off in range(0, len(data), block_align):
+            block = data[off : off + block_align]
+            if len(block) < 4:
+                raise ValueError("WAV: truncated ADPCM block header")
+            pred, idx, _rsv = struct.unpack("<hBB", block[:4])
+            if idx > 88:
+                raise ValueError("WAV: bad ADPCM step index")
+            out.append(pred)  # the header predictor IS the first sample
+            out.extend(_ima_adpcm_decode_block(block[4:], pred, idx))
+        samples = np.array(out, dtype=np.int16)
     else:
         raise ValueError(f"WAV: unsupported format tag {tag} at {bits} bits")
     return int(rate), int(channels), samples
