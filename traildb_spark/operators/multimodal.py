@@ -1,18 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata (north-star surface).
 
-Image decode is REAL pure-python for the containers this matters for:
-PNG/JPEG/GIF header parsing for dimensions, a complete PNG pixel decoder
-(zlib inflate + scanline unfiltering — 8-bit gray/RGB/RGBA/gray+alpha,
-non-interlaced), a complete baseline JPEG pixel decoder
-(:mod:`.jpeg` — Huffman entropy decode, dequant, IDCT; grayscale/YCbCr
-with any sampling, restart markers), and matching deterministic PNG/JPEG
-encoders for fixtures, plus a numpy DCT perceptual hash over the decoded
-bitmap. GIF pixel decode (LZW) and progressive JPEG stay out of scope —
-those fall back to a byte-content hash, clearly marked; real deployments
-swap `_gray_pixels` for PIL in one place. Audio is REAL for RIFF/WAVE
-16-bit PCM (header parse + numpy signal stats); compressed codecs
-(mp3/opus) and video decode (ffmpeg) remain stubbed the same way.
+Image decode is REAL pure-python for all three common containers: a
+complete PNG pixel decoder (every spec shape — gray/RGB/RGBA/gray+alpha
+at 8/16-bit, palette and sub-byte depths, Adam7 interlacing), a complete
+JPEG pixel decoder (:mod:`.jpeg` — baseline, extended-sequential, AND
+progressive frames; Huffman entropy decode, dequant, IDCT, any YCbCr
+sampling, restart markers), a complete GIF decoder (:mod:`.gif` — LZW,
+local/global palettes, interlacing), and matching deterministic
+encoders for fixtures, plus a numpy DCT perceptual hash over the
+decoded bitmap. Audio is REAL for RIFF/WAVE integer PCM (8/16/32-bit),
+IEEE float, G.711 A-law/μ-law, and mono IMA ADPCM (a genuinely
+compressed codec). Remaining honest gates — lossless/arithmetic JPEG,
+perceptual audio codecs (mp3/aac/opus), compressed video — fall back to
+marked byte-content paths; swap `_gray_pixels`/`decode_wav` for
+PIL/soundfile in one place each if they ever matter.
 
 At 100 TB the rules encoded here: binaries ride in their own column so
 column pruning skips them unless asked; feature extraction is
