@@ -411,6 +411,22 @@ def test_index_routing_reads_zindex_and_prunes(spark, tmp_path):
     unrouted = TrailDataset.open(spark, db).with_filter(f2).df
     assert "_zindex" not in audit.explain_str(unrouted)
 
+    # STALE-index guard (reference index<->data checksum): rewrite the
+    # primary after the index was built -> open() must drop the index,
+    # or routing would silently serve the OLD rows
+    half = ev.filter(F.col("time") % 2 == 0)
+    TrailDataset(half).finalize(db, mode="overwrite")
+    stale = TrailDataset.open(spark, db).with_filter(f).df
+    assert "_zindex" not in audit.explain_str(stale), "stale index routed"
+    assert stale.count() == half.filter(F.col("event_type") == "click").count()
+    # rebuilding re-ties the index to the new data and routing resumes
+    TrailDataset.build_index(
+        spark, db, ["event_type"], parquet_block_bytes=64 * 1024
+    )
+    rebuilt = TrailDataset.open(spark, db).with_filter(f).df
+    assert "_zindex" in audit.explain_str(rebuilt)
+    assert rebuilt.count() == stale.count()
+
 
 def test_attribution_two_shuffles_only(spark, sf_dir):
     """attribution = one uuid exchange (prefix window) + one tiny

@@ -47,6 +47,31 @@ _FIELDNAME_CHARS = frozenset(
 _MAX_FIELDNAME_LENGTH = 512
 
 
+def _data_fingerprint(path: str) -> str:
+    """Cheap metadata fingerprint of a dataset's PRIMARY data files:
+    md5 over the sorted (relative path, size) list of non-hidden
+    parquet files. Used to tie the auxiliary z-index to the data it was
+    built from — the analog of the reference's index↔data consistency
+    checksum (`tdbcli/tdb_index.c:439-451`): a stale index must be
+    ignored, because routing substitutes its rows for the primary's."""
+    import hashlib
+
+    entries = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for f in files:
+            if f.startswith((".", "_")) or not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            entries.append(
+                (os.path.relpath(full, path), os.path.getsize(full))
+            )
+    h = hashlib.md5()
+    for rel, size in sorted(entries):
+        h.update(f"{rel}:{size};".encode("utf-8"))
+    return h.hexdigest()
+
+
 def validate_field_names(names: list[str]) -> None:
     """Reference field-name rules (`src/tdb_cons.c:181-223`,
     ``is_fieldname_invalid`` + ``find_duplicate_fieldnames``): non-empty,
@@ -214,7 +239,14 @@ class TrailDataset:
                 zmeta = meta.get("zindex")
                 if use_index and zmeta and zmeta.get("columns"):
                     zpath = os.path.join(path, zmeta.get("path", ZINDEX_DIR))
-                    if os.path.isdir(zpath):
+                    # consistency guard (reference index↔data checksum,
+                    # tdb_index.c:439-451): if the primary data changed
+                    # since the index was built, routing would substitute
+                    # STALE rows — ignore the index instead
+                    fresh = zmeta.get("data_fingerprint") == _data_fingerprint(
+                        path
+                    )
+                    if os.path.isdir(zpath) and fresh:
                         zindex = (
                             spark.read.parquet(zpath),
                             list(zmeta["columns"]),
@@ -668,7 +700,13 @@ class TrailDataset:
         if os.path.exists(meta_path):
             with open(meta_path, "r", encoding="utf-8") as fh:
                 meta = json.load(fh)
-        meta["zindex"] = {"path": ZINDEX_DIR, "columns": list(cols)}
+        meta["zindex"] = {
+            "path": ZINDEX_DIR,
+            "columns": list(cols),
+            # ties the index to THIS data: open() drops the index when
+            # the primary's files change (stale-index guard)
+            "data_fingerprint": _data_fingerprint(db_path),
+        }
         with open(meta_path, "w", encoding="utf-8") as fh:
             json.dump(meta, fh)
         return zpath
