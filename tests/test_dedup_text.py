@@ -981,3 +981,39 @@ def test_bigram_surprisal_orders_word_salad_above_template(spark):
     # the salad's bigrams are rare given their contexts; the template's
     # bigrams are the dominant continuation of each context
     assert out[2]["millibits_per_bigram"] > out[1]["millibits_per_bigram"]
+
+
+def test_ivf_prebuilt_index_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
+    """save_ivf_index / ivf_topk_prebuilt: the persisted artifact's probe
+    reads ONLY the probed cells' files (PartitionFilters on cid in the
+    plan — the layout IS the index) and self-matches rank first; recall
+    vs brute force holds like the in-memory ivf_topk."""
+    import re
+
+    from traildb_spark.plans import audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    similarity.save_ivf_index(emb, idx, num_centroids=8)
+    import os
+
+    cells = [d for d in os.listdir(os.path.join(idx, "data")) if d.startswith("cid=")]
+    assert len(cells) >= 4  # data actually spread over cell partitions
+
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk_prebuilt(spark, idx, queries, k=5, nprobe=3)
+    plan = audit.explain_str(out)
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m and "cid" in m.group(1), f"no cid partition pruning:\n{plan[:800]}"
+
+    rows = out.collect()
+    firsts = {r["query_id"]: r for r in rows if r["rank"] == 1}
+    assert len(firsts) == 3
+    for qid, r in firsts.items():
+        assert r["corpus_id"] == qid and r["cos"] >= 0.999
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    es = {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    hit = sum(1 for r in rows if r["corpus_id"] in es[r["query_id"]])
+    assert hit / len(exact) >= 0.8

@@ -357,3 +357,115 @@ def lsh_topk_portable(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cos", "rank")
     )
+
+
+IVF_META_FILE = "_ivf_meta.json"
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 2,
+) -> str:
+    """Persist an IVF vector index as an on-disk artifact -- the ANN
+    sibling of ``TrailDataset.build_index``: vectors land in parquet
+    PARTITIONED BY their cell id, centroids (metadata-scale) in a JSON
+    sidecar. A probe then reads ~nprobe/num_centroids of the FILES via
+    Hive partition pruning instead of scanning the corpus and filtering
+    -- the layout IS the index, same philosophy as ``finalize``. This is
+    the concrete 100 TB deployment form of ``ivf_topk``'s cell
+    restriction (which joins in-memory assignments per query run).
+    Returns ``path``.
+    """
+    import json
+    import os
+
+    assignments, cents = ivf_build(corpus, num_centroids, vec_col, id_col, iters)
+    data = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")
+        )
+        .join(assignments, "corpus_id")
+        .repartition("cid")
+    )
+    data.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(path, "data")
+    )
+    with open(os.path.join(path, IVF_META_FILE), "w", encoding="utf-8") as fh:
+        json.dump(
+            {
+                "num_centroids": int(cents.shape[0]),
+                "dim": int(cents.shape[1]),
+                "id_type": dict(corpus.dtypes)[id_col],
+                "centroids": [[float(x) for x in row] for row in cents],
+            },
+            fh,
+        )
+    return path
+
+
+def ivf_topk_prebuilt(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k against a :func:`save_ivf_index` artifact: probe cells
+    are chosen driver-side from the sidecar centroids (|Q| x cells GEMM
+    on metadata), and the scan carries ``cid IN (probes)`` so Hive
+    partition pruning reads only the probed cells' files -- provably in
+    the plan (PartitionFilters), not just by intent. Exact cosine +
+    per-query rank over the probed cells, identical semantics to
+    ``ivf_topk`` given the same centroids.
+    """
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, IVF_META_FILE), "r", encoding="utf-8") as fh:
+        meta = json.load(fh)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    qid_t = dict(queries.dtypes)[query_id_col]
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], f"query_id {qid_t}, corpus_id {meta['id_type']}, cos double, rank int"
+        )
+    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    order = np.argsort(-(Qn @ cents.T), axis=1)[:, :nprobe]
+    probes = spark.createDataFrame(
+        [
+            (
+                qpdf[query_id_col].iloc[i].item()
+                if hasattr(qpdf[query_id_col].iloc[i], "item")
+                else qpdf[query_id_col].iloc[i],
+                [float(x) for x in Q[i]],
+                int(cid),
+            )
+            for i in range(len(qpdf))
+            for cid in order[i]
+        ],
+        f"query_id {qid_t}, qv array<double>, cid int",
+    )
+    data = spark.read.parquet(os.path.join(path, "data"))
+    # the IN-list on the PARTITION column is what prunes files; the join
+    # then matches each probed cell to its queries
+    wanted = sorted({int(c) for row in order for c in row})
+    pruned = data.filter(F.col("cid").isin(wanted))
+    scored = pruned.join(F.broadcast(probes), "cid").withColumn(
+        "cos", cosine_udf(F.col("cv"), F.col("qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos", "rank")
+    )
