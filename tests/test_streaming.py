@@ -623,3 +623,57 @@ def test_stream_join_id_tiebreak_matches_batch_exactly(spark, tmp_path):
         ("u1", base, base, "click"),
         ("u3", base - 50, base, "view"),
     }
+
+
+def test_streaming_uniform_sample_equals_batch(spark, sf_dir, tmp_path):
+    """The maintained exactly-k sample is IDENTICAL to the batch
+    uniform_sample_exact over the same data (md5 rank ignores arrival
+    order), state stays k rows, replays no-op, and cleared-checkpoint
+    reuse refuses."""
+    import pytest as _pytest
+
+    from traildb_spark.operators import curation
+    from traildb_spark.streaming.ingest import (
+        _sample_batch,
+        sample_current,
+        streaming_uniform_sample,
+    )
+
+    path = str(tmp_path / "docs_stream")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    docs.repartition(4).write.parquet(path)  # several files -> several batches
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = str(tmp_path / "sample_out")
+    q = streaming_uniform_sample(
+        stream, k=37, path=out, checkpoint=str(tmp_path / "sample_ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in sample_current(
+        spark, out, str(tmp_path / "sample_ckpt")
+    ).collect()}
+    want = {
+        r["doc_id"]
+        for r in curation.uniform_sample_exact(docs, 37, "doc_id").collect()
+    }
+    assert got == want and len(got) == 37
+
+    # crash-replay of the last committed id: pointer already advanced
+    last_id = 3
+    assert _sample_batch(
+        docs.limit(5), last_id, out, 37, "doc_id", "",
+        __import__("hashlib").md5(str(tmp_path / "sample_ckpt").encode()).hexdigest()[:8],
+    ) is False
+    # cleared-checkpoint reuse refuses instead of corrupting the sample
+    with _pytest.raises(RuntimeError, match="cleared checkpoint"):
+        _sample_batch(
+            docs.limit(5), 0, out, 37, "doc_id", "",
+            __import__("hashlib").md5(str(tmp_path / "sample_ckpt").encode()).hexdigest()[:8],
+        )

@@ -370,3 +370,112 @@ def countmin_current(spark, path: str, checkpoint: str) -> DataFrame:
     run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
     with open(f"{path}/_latest_{run_token}", "r", encoding="utf-8") as fh:
         return spark.read.parquet(fh.read().strip())
+
+
+def streaming_uniform_sample(
+    stream: DataFrame,
+    k: int,
+    path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    seed: str = "",
+    processing_time: str | None = None,
+):
+    """Maintain an EXACTLY-k uniform sample over an unbounded stream —
+    the streaming analog of ``curation.uniform_sample_exact`` and the
+    classic "hold a fair eval set out of a firehose" primitive.
+
+    The md5 rank ``md5(seed || id)`` is a pure function of the row, so
+    the k smallest ranks over everything-seen-so-far form a MERGEABLE
+    state: each micro-batch unions its rows into the kept set and trims
+    back to k. State is k rows forever; and because the rank ignores
+    arrival order, the maintained sample is IDENTICAL to the batch
+    operator over the same data — not merely same-distribution
+    (parity-tested). Exactly-once via the same atomic-pointer protocol
+    as ``streaming_countmin`` (deterministic per-batch dirs + pointer
+    swap; replays rebuild the identical dir or no-op).
+    """
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _sample_batch(batch_df, batch_id, path, k, id_col, seed, run_token)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _sample_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    k: int,
+    id_col: str,
+    seed: str,
+    run_token: str,
+) -> bool:
+    """One merge-and-trim step (exposed for crash-replay tests; same
+    pointer protocol and cleared-checkpoint refusal as
+    ``_countmin_batch``)."""
+    import os as _os
+    import shutil as _shutil
+
+    latest = f"{path}/_latest_{run_token}"
+    out_b = f"{path}/sample_{run_token}_{batch_id}"
+    prev: str | None = None
+    try:
+        with open(latest, "r", encoding="utf-8") as fh:
+            prev = fh.read().strip() or None
+    except FileNotFoundError:
+        pass
+    if prev == out_b:
+        return False  # replay after commit
+    if prev is not None and batch_id == 0:
+        raise RuntimeError(
+            "streaming_uniform_sample: batch id 0 arrived over existing "
+            "state (cleared checkpoint reused) — use a fresh checkpoint "
+            f"path or delete the sample state at {path} explicitly."
+        )
+    spark = batch_df.sparkSession
+    rank = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    part = batch_df.withColumn("__rk", rank)
+    if prev is not None:
+        part = spark.read.parquet(prev).unionByName(part)
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.asc("__rk"), F.asc(id_col))
+    # the union is <= k + batch rows; the single-partition rank is
+    # bounded by that, never by stream length
+    trimmed = (
+        part.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    _os.makedirs(path, exist_ok=True)
+    trimmed.coalesce(1).write.mode("overwrite").parquet(out_b)
+    tmp = f"{latest}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(out_b)
+    _os.replace(tmp, latest)  # atomic pointer advance = the commit
+    if prev is not None and _os.path.exists(prev):
+        _shutil.rmtree(prev)
+    return True
+
+
+def sample_current(spark, path: str, checkpoint: str) -> DataFrame:
+    """The live sample the ``streaming_uniform_sample`` pointer
+    references (ranks column dropped)."""
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+    with open(f"{path}/_latest_{run_token}", "r", encoding="utf-8") as fh:
+        return spark.read.parquet(fh.read().strip()).drop("__rk")
