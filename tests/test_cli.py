@@ -201,3 +201,33 @@ def test_make_rejects_bad_uuid(spark, tmp_path):
     strict = make_from_csv(spark, str(src), header=True, skip_bad_input=False)
     with _pytest.raises(Exception, match="invalid uuid"):
         strict.df.collect()
+
+
+def test_cli_merge_filter_and_uuids(spark, tmp_path, capsys):
+    """Reference parity: --filter and --uuids apply in MERGE mode too
+    (tdbcli usage text + the reference merge test suite), and a
+    headerless CSV with no --fields defaults to positional uuid,time."""
+    src = tmp_path / "m.csv"
+    rows = ["aa,100,click", "aa,200,view", "bb,150,click", "cc,90,view"]
+    src.write_text("\n".join(rows) + "\n")
+    db = str(tmp_path / "mdb")
+    assert main(["make", "-o", db, "-f", "uuid,time,action", str(src)]) == 0
+    capsys.readouterr()
+
+    wl = tmp_path / "uuids.txt"
+    wl.write_text("aa\nbb\n")
+    merged = str(tmp_path / "mout")
+    assert main([
+        "merge", "-o", merged, "--filter", "action=click",
+        "--uuids", str(wl), db, db,
+    ]) == 0
+    out = capsys.readouterr().out
+    # 2 click rows in the whitelist x 2 copies (UNION ALL semantics)
+    assert "4 events, 2 trails" in out
+
+    # headerless default field spec: uuid,time only
+    src2 = tmp_path / "two.csv"
+    src2.write_text("dd,5\ndd,6\n")
+    db2 = str(tmp_path / "twodb")
+    assert main(["make", "-o", db2, str(src2)]) == 0
+    assert "2 events, 1 trails" in capsys.readouterr().out

@@ -112,11 +112,21 @@ def cmd_dump(args) -> int:
 
 def cmd_merge(args) -> int:
     from .dataset import TrailDataset
+    from .operators.filters import parse_filter
 
     spark = _spark()
-    dss = [TrailDataset.open(spark, p) for p in args.inputs.split(",")] if isinstance(args.inputs, str) else [
-        TrailDataset.open(spark, p) for p in args.inputs
-    ]
+    paths = args.inputs.split(",") if isinstance(args.inputs, str) else args.inputs
+    dss = [TrailDataset.open(spark, p) for p in paths]
+    # reference: --filter and --uuids apply in merge mode too
+    # (tdbcli/main.c usage: "Filters are supported in the 'dump' and
+    # 'merge' modes"; merge tests exercise --uuids)
+    if args.filter:
+        f = parse_filter(args.filter)
+        dss = [d.with_filter(f) for d in dss]
+    if args.uuids:
+        with open(args.uuids, "r", encoding="utf-8") as fh:
+            wl = [ln.strip() for ln in fh if ln.strip()]
+        dss = [d.select_uuids(wl) for d in dss]
     merged = TrailDataset.merge(dss)
     merged.finalize(args.output, num_buckets=args.buckets, mode="overwrite")
     info = TrailDataset.open(spark, args.output).info()
@@ -193,6 +203,8 @@ def build_parser() -> argparse.ArgumentParser:
     mg = sub.add_parser("merge", help="merge datasets (schema union)")
     mg.add_argument("-o", "--output", required=True)
     mg.add_argument("--buckets", type=int, default=None)
+    mg.add_argument("--filter", help="CNF filter applied to every input")
+    mg.add_argument("--uuids", help="uuid whitelist file applied to every input")
     mg.add_argument("inputs", nargs="+")
     mg.set_defaults(fn=cmd_merge)
 

@@ -67,7 +67,9 @@ def make_from_csv(
 
     if not header:
         if not fields:
-            raise ValueError("headerless CSV requires a --fields spec")
+            # reference default (tdbcli/main.c usage): with no --fields,
+            # two positional columns 'uuid' and 'time' are expected
+            fields = ["uuid", "time"]
         spec = parse_field_spec(fields)
         sel = []
         for pos, (idx, name) in enumerate(spec):
