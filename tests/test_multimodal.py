@@ -910,3 +910,22 @@ def test_ima_adpcm_roundtrip_and_gates():
     stereo[fmt_off + 2 : fmt_off + 4] = struct.pack("<H", 2)  # channels=2
     with pytest.raises(ValueError, match="mono IMA"):
         decode_wav(bytes(stereo))
+
+
+def test_jpeg_anisotropic_subsampling():
+    """4:2:2 and 4:4:0 (one-axis chroma subsampling) exercise the
+    decoder's generic Hi x Vi MCU walk — luma identical across all four
+    modes, progressive == sequential for the new factors too."""
+    rng = np.random.default_rng(21)
+    c = rng.integers(0, 256, (23, 29, 3), dtype=np.uint8)
+    y = 0.299 * c[:, :, 0] + 0.587 * c[:, :, 1] + 0.114 * c[:, :, 2]
+    for sub in ("444", "420", "422", "440"):
+        out = jpeg.decode_jpeg_luma(jpeg.encode_jpeg(c, 90, subsampling=sub))
+        assert out.shape == (23, 29)
+        assert float(np.abs(out - y).mean()) < 6.0, sub
+    for sub in ("422", "440"):
+        seq = jpeg.decode_jpeg_luma(jpeg.encode_jpeg(c, 85, subsampling=sub))
+        prog = jpeg.decode_jpeg_luma(
+            jpeg.encode_jpeg(c, 85, subsampling=sub, progressive=True)
+        )
+        assert np.array_equal(seq, prog), sub

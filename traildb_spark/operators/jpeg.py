@@ -965,22 +965,25 @@ def encode_jpeg(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsampling == "420":
-            samp = [(2, 2), (1, 1), (1, 1)]
-
-            def down2(p):
-                pp = _pad_to(p, 2, 2)
-                return (
-                    pp.reshape(pp.shape[0] // 2, 2, pp.shape[1] // 2, 2)
-                    .mean(axis=(1, 3))
-                )
-
-            planes = [y, down2(cb), down2(cr)]
-        elif subsampling == "444":
-            samp = [(1, 1), (1, 1), (1, 1)]
-            planes = [y, cb, cr]
-        else:
+        factors = {
+            "444": (1, 1),
+            "420": (2, 2),
+            "422": (2, 1),  # horizontal-only chroma subsampling
+            "440": (1, 2),  # vertical-only
+        }.get(subsampling)
+        if factors is None:
             raise ValueError(f"unsupported subsampling {subsampling!r}")
+        fh_, fv_ = factors
+        samp = [(fh_, fv_), (1, 1), (1, 1)]
+
+        def down(p):
+            pp = _pad_to(p, fv_, fh_)
+            return (
+                pp.reshape(pp.shape[0] // fv_, fv_, pp.shape[1] // fh_, fh_)
+                .mean(axis=(1, 3))
+            )
+
+        planes = [y, cb, cr] if (fh_, fv_) == (1, 1) else [y, down(cb), down(cr)]
     else:
         raise ValueError("pixels must be (H, W) or (H, W, 3)")
     h, w = px.shape[:2]
