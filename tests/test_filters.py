@@ -180,3 +180,63 @@ def test_trail_overrides_uppercase_uuid_keys(spark):
         df, None, {"AB12": EventFilter.none()}
     ).collect()
     assert {r["uuid"] for r in out} == {"cd34"}
+
+
+def test_trail_filter_spec_join_equals_case_form(spark):
+    """The join-based filter-spec TABLE (million-trail scale form) must
+    agree exactly with the CASE-expression trail_filter_overrides on the
+    same overrides — including ''==NULL terms, negation, unknown-field
+    item-0 semantics, and the db-filter fallback for trails without an
+    override."""
+    import random
+
+    from traildb_spark.operators.filters import (
+        EventFilter,
+        trail_filter_overrides,
+        trail_filter_spec_join,
+    )
+
+    rng = random.Random(11)
+    uuids = [f"u{i}" for i in range(6)]
+    vals = ["", "a", "b", None]
+    rows = [
+        (u, t, rng.choice(vals), rng.choice(vals), 1000 + 10 * t + i)
+        for i, (u, t) in enumerate(
+            (rng.choice(uuids), rng.randrange(100)) for _ in range(120)
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, f1 string, f2 string, event_id long"
+    )
+
+    # overrides for half the trails: random CNF over f1/f2/nosuch
+    overrides = {}
+    spec_rows = []
+    for u in uuids[:3]:
+        f = EventFilter()
+        for ci in range(rng.randint(1, 2)):
+            f.new_clause()
+            for _ in range(rng.randint(1, 2)):
+                fld = rng.choice(["f1", "f2", "nosuch"])
+                val = rng.choice(["", "a", "zzz"])
+                neg = rng.random() < 0.5
+                f.add_term(fld, val, negative=neg)
+                spec_rows.append((u, ci, fld, val, neg))
+        overrides[u] = f
+    spec = spark.createDataFrame(
+        spec_rows, "uuid string, clause long, field string, value string, negative boolean"
+    )
+    db_f = EventFilter().new_clause().add_term("f1", "a").add_term("f2", "b")
+
+    want = sorted(
+        map(tuple, trail_filter_overrides(df, db_f, overrides).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            trail_filter_spec_join(
+                df, spec, ("uuid", "time", "event_id"), db_f
+            ).collect(),
+        )
+    )
+    assert got == want and len(want) > 0

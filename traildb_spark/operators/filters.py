@@ -269,6 +269,93 @@ def uuid_whitelist(df: DataFrame, uuids: list[str] | DataFrame, uuid_col: str = 
     return df.join(F.broadcast(wl), uuid_col, "left_semi")
 
 
+def trail_filter_spec_join(
+    df: DataFrame,
+    spec: DataFrame,
+    id_cols: tuple[str, ...] = ("uuid", "time", "event_id"),
+    db_filter: EventFilter | None = None,
+    uuid_col: str = "uuid",
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """Per-trail filter overrides as a JOIN against a filter-spec TABLE —
+    the scale form of :func:`trail_filter_overrides` (reference
+    ``tdb_set_trail_opt``, `src/tdb.c:753-778`). The CASE-expression
+    form compiles every distinct override into the plan, which stops
+    scaling somewhere in the thousands of distinct filters; a
+    million-trail override map is DATA, so here it stays data:
+
+    ``spec`` columns: ``(uuid, clause, field, value, negative)`` — one
+    row per CNF term, ``clause`` numbering clauses within the trail's
+    filter (terms of one clause OR together, clauses AND). Reference
+    term semantics apply: '' matches NULL/empty, negation is
+    two-valued, a ``field`` not in the schema gets item-0 semantics
+    (positive term never matches, negated always —
+    `src/tdb_decode.c:47-52`). Trails absent from ``spec`` fall back to
+    ``db_filter`` (resolution order trail > db,
+    `src/tdb_decode.c:136-181`).
+
+    ``id_cols`` must uniquely identify an event (the engine's standard
+    (uuid, time, event_id) tiebreak): term matches aggregate per event
+    and join back on it — deterministic under retries, unlike a
+    monotonically-increasing surrogate. Shuffle accounting: one
+    uuid-keyed join (events × their OWN trail's terms — bounded by
+    spec-per-trail, never cross-trail), two event-keyed aggregates, one
+    id join back. All linear; nothing trail-count-shaped reaches the
+    driver or the plan.
+    """
+    fields = [c for c in df.columns if c != uuid_col]
+    sp = spec.select(
+        F.lower(F.col("uuid").cast("string")).alias(uuid_col),
+        F.col("clause").cast("long").alias("__clause"),
+        F.col("field").cast("string").alias("__field"),
+        F.col("value").cast("string").alias("__value"),
+        F.col("negative").cast("boolean").alias("__neg"),
+    )
+
+    def term_for(col_name: str) -> Column:
+        col = F.col(col_name).cast("string")
+        v = F.col("__value")
+        pos = F.when(
+            v == "", col.isNull() | (col == F.lit(""))
+        ).otherwise(col == v)
+        neg = F.when(
+            v == "", col.isNotNull() & (col != F.lit(""))
+        ).otherwise(col.isNull() | (col != v))
+        return F.when(F.col("__neg"), neg).otherwise(pos)
+
+    match: Column = None  # type: ignore[assignment]
+    for c in fields:
+        branch = F.when(F.col("__field") == c, term_for(c))
+        match = branch if match is None else match.when(
+            F.col("__field") == c, term_for(c)
+        )
+    # unknown field → item-0 semantics
+    match = (
+        match.otherwise(F.col("__neg")) if match is not None else F.col("__neg")
+    )
+
+    ids = list(id_cols)
+    joined = df.join(sp, uuid_col, "inner").withColumn("__match", match)
+    per_clause = joined.groupBy(*ids, "__clause").agg(
+        F.max("__match").alias("__sat")
+    )
+    per_event = per_clause.groupBy(*ids).agg(
+        F.min("__sat").alias("__keep")
+    )
+    out = df.join(per_event, ids, "left")
+    base = (
+        db_filter.compile(df.columns, time_col)
+        if db_filter is not None
+        else F.lit(True)
+    )
+    # trails with a spec use its verdict; others use the db filter;
+    # re-select to preserve the caller's column order (the id join moves
+    # key columns to the front)
+    return out.filter(
+        F.when(F.col("__keep").isNotNull(), F.col("__keep")).otherwise(base)
+    ).select(*df.columns)
+
+
 def trail_filter_overrides(
     df: DataFrame,
     db_filter: EventFilter | None,
