@@ -719,3 +719,28 @@ def test_jpeg_progressive_fuzz_equals_sequential(h, w, q, style, seed):
     seq = decode_jpeg_luma(encode_jpeg(g, q))
     prog = decode_jpeg_luma(encode_jpeg(g, q, progressive=True))
     assert np.array_equal(seq, prog)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    ncol=st.sampled_from([2, 3, 4, 7, 16, 100, 256]),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_roundtrip_fuzz(h, w, ncol, interlace, seed):
+    """GIF encode→decode is the exact identity on (palette, indices) for
+    any shape, palette size (incl. non-power-of-two), and interlacing —
+    LZW width growth, table rebuilds, and the deinterlacer have no
+    tolerance band to hide in."""
+    import numpy as np
+
+    from traildb_spark.operators.gif import decode_gif_indices, make_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, (h, w), dtype=np.uint8)
+    p2, i2 = decode_gif_indices(make_gif(idx, pal, interlace=interlace))
+    assert np.array_equal(i2, idx)
+    assert np.array_equal(p2[:ncol], pal)
