@@ -375,3 +375,35 @@ def test_raw_binary_uuid_ingest_roundtrip(spark, tmp_path):
         "uuid string, time long, f string",
     )
     assert sorted(map(tuple, normalize_events(df_hex).collect())) == got
+
+
+def test_stale_index_guard_covers_sharded_datasets(spark, tmp_path):
+    """The index<->data fingerprint must SEE the data of a time-sharded
+    dataset (shard dirs start with '__shard=' — a naive hidden-dir walk
+    would fingerprint them as empty and the stale guard would never
+    fire)."""
+    from traildb_spark.dataset import TrailDataset, _data_fingerprint
+
+    rows = [("aa", 1704067200 + i * 86400, "x" if i % 2 else "y") for i in range(4)]
+    from traildb_spark.dataset import normalize_events
+
+    ds = TrailDataset(
+        normalize_events(spark.createDataFrame(rows, ["uuid", "time", "f"]))
+    )
+    p = str(tmp_path / "sharded")
+    ds.finalize(p, time_shard="yyyy-MM-dd")
+    fp1 = _data_fingerprint(p)
+    assert fp1 != _data_fingerprint(str(tmp_path))  # not the empty digest
+
+    TrailDataset.build_index(spark, p, ["f"])
+    assert TrailDataset.open(spark, p)._zindex is not None
+
+    # rewrite the primary -> fingerprint changes -> index dropped
+    ds2 = TrailDataset(
+        normalize_events(
+            spark.createDataFrame(rows[:2], ["uuid", "time", "f"])
+        )
+    )
+    ds2.finalize(p, time_shard="yyyy-MM-dd", mode="overwrite")
+    assert _data_fingerprint(p) != fp1
+    assert TrailDataset.open(spark, p)._zindex is None

@@ -58,7 +58,13 @@ def _data_fingerprint(path: str) -> str:
 
     entries = []
     for root, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        # skip hidden/metadata dirs (_zindex, _staging, _traildb_commits)
+        # but KEEP Hive partition dirs: time shards are named
+        # '__shard=<v>' — excluding them would fingerprint a sharded
+        # dataset as empty and the stale guard would never fire
+        dirs[:] = [
+            d for d in dirs if "=" in d or not d.startswith((".", "_"))
+        ]
         for f in files:
             if f.startswith((".", "_")) or not f.endswith(".parquet"):
                 continue
