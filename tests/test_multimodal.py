@@ -929,3 +929,43 @@ def test_jpeg_anisotropic_subsampling():
             jpeg.encode_jpeg(c, 85, subsampling=sub, progressive=True)
         )
         assert np.array_equal(seq, prog), sub
+
+
+def test_animated_gif_video_frames(spark):
+    """extract_video_frames decodes animated GIFs for real: full-frame
+    and patch-composited animations (GIF89a rectangles + GCE) produce
+    the frames a viewer would see, with exact integer luma stats; Y4M
+    payloads keep working side by side."""
+    from traildb_spark.operators import gif
+
+    rng = np.random.default_rng(8)
+    pal = np.stack([np.arange(0, 256, 16, dtype=np.uint8)] * 3, axis=1)
+    base = rng.integers(0, 16, (10, 12), dtype=np.uint8)
+    fr = [base.copy()]
+    rects = [(0, 0)]
+    for i in range(1, 4):
+        nf = fr[-1].copy()
+        nf[1:9, i : i + 8] = rng.integers(0, 16, (8, min(8, 12 - i)), np.uint8)
+        fr.append(nf)
+        rects.append((i, 1))
+    frames = np.stack(fr)
+    payload = gif.make_animated_gif(frames, pal, rects=rects)
+    y4m = multimodal.make_y4m(
+        np.stack([np.full((4, 6), v, np.uint8) for v in (10, 20)])
+    )
+    rows = [
+        (1, "video", bytearray(payload), "image/gif", None),
+        (2, "video", bytearray(y4m), "video/y4m", None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in multimodal.extract_video_frames(df, every_n=1).collect()
+    }
+    want_luma = pal[frames][:, :, :, 0].astype(np.int64)
+    for i in range(4):
+        r = got[(1, i)]
+        assert (r["width"], r["height"], r["n_frames"]) == (12, 10, 4)
+        assert r["luma_sum"] == int(want_luma[i].sum())
+        assert r["luma_max"] == int(want_luma[i].max())
+    assert got[(2, 0)]["luma_sum"] == 240 and got[(2, 1)]["luma_sum"] == 480

@@ -9,12 +9,14 @@ original Welch LZW paper. A matching deterministic encoder (fixed
 8-bit-seeded LZW with table rebuilds) generates fixtures, so the
 decode path is differentially testable without any external codec.
 
-Scope (honest contract): static images — the FIRST frame of an animated
-GIF is returned (the common corpus shape for thumbnails/memes is single
-frame; sampling all frames belongs to the video surface). Malformed
-streams raise ValueError (a DECODE_ERRORS member). The multimodal layer
-converts the decoded palette image to grayscale luma like every other
-container.
+Scope: the IMAGE surface decodes the first frame
+(``decode_gif_luma`` — the thumbnail/meme corpus shape); the VIDEO
+surface decodes ALL frames of an animation with GIF89a composition —
+patch rectangles, GCE transparency, disposal methods 2 (restore to
+background) and 3 (restore previous) — via :func:`decode_gif_frames`,
+feeding ``multimodal.extract_video_frames``. Malformed streams raise
+ValueError (a DECODE_ERRORS member). The multimodal layer converts
+decoded palette images to grayscale luma like every other container.
 """
 
 from __future__ import annotations
@@ -279,4 +281,155 @@ def make_gif(
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode ALL frames of a (possibly animated) GIF to luma planes:
+    ``(width, height, frames[n, h, w] float64)`` — the GIF sibling of
+    ``multimodal.decode_y4m``, so animations feed the video surface.
+
+    Frame composition per GIF89a: each image descriptor patches its
+    (left, top, w, h) rectangle onto the logical-screen canvas; the
+    Graphic Control Extension supplies transparency (transparent pixels
+    leave the canvas untouched) and disposal — method 2 restores the
+    patched rectangle to the background color after the frame, method 3
+    (restore-previous) restores the pre-frame canvas. The emitted frame
+    sequence is what a viewer displays."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(content) < 13:
+        raise ValueError("GIF: truncated header")
+    sw, sh = struct.unpack("<HH", content[6:10])
+    flags, bg = content[10], content[11]
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        gct = 2 << (flags & 0x07)
+        end = pos + 3 * gct
+        if end > len(content):
+            raise ValueError("GIF: truncated global color table")
+        gpal = np.frombuffer(content[pos:end], np.uint8).reshape(-1, 3)
+        pos = end
+    if sw == 0 or sh == 0:
+        raise ValueError("GIF: zero-dimension screen")
+    canvas = np.zeros((sh, sw), np.uint8)
+    if gpal is not None and bg < len(gpal):
+        canvas[:] = bg
+    cur_pal = gpal
+    frames: list[np.ndarray] = []
+    pal_frames: list[np.ndarray] = []
+    transparent = None
+    disposal = 0
+    n = len(content)
+    while pos < n:
+        b = content[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            if pos + 2 > n:
+                raise ValueError("GIF: truncated extension")
+            label = content[pos + 1]
+            data, newpos = _read_blocks(content, pos + 2)
+            if label == 0xF9 and len(data) >= 4:
+                packed = data[0]
+                disposal = (packed >> 2) & 0x07
+                transparent = data[3] if packed & 1 else None
+            pos = newpos
+            continue
+        if b != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+        if pos + 10 > n:
+            raise ValueError("GIF: truncated image descriptor")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", content[pos + 1 : pos + 10])
+        pos += 10
+        pal = cur_pal
+        if iflags & 0x80:
+            lct = 2 << (iflags & 0x07)
+            end = pos + 3 * lct
+            if end > len(content):
+                raise ValueError("GIF: truncated local color table")
+            pal = np.frombuffer(content[pos:end], np.uint8).reshape(-1, 3)
+            pos = end
+        if pal is None:
+            raise ValueError("GIF: no color table")
+        if left + w > sw or top + h > sh or w == 0 or h == 0:
+            raise ValueError("GIF: frame rectangle outside the screen")
+        if pos >= n:
+            raise ValueError("GIF: missing LZW code size")
+        min_code = content[pos]
+        if not 2 <= min_code <= 11:
+            raise ValueError("GIF: bad LZW minimum code size")
+        data, pos = _read_blocks(content, pos + 1)
+        patch = _lzw_decode(data, min_code, w * h).reshape(h, w)
+        if int(patch.max(initial=0)) >= len(pal):
+            raise ValueError("GIF: pixel index outside color table")
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        if transparent is not None:
+            mask = patch != transparent
+            region[mask] = patch[mask]
+        else:
+            region[:] = patch
+        frames.append(canvas.copy())
+        pal_frames.append(pal)
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = (
+                bg if gpal is not None and bg < len(gpal) else 0
+            )
+        elif disposal == 3 and before is not None:
+            canvas = before
+        disposal = 0
+        transparent = None
+    if not frames:
+        raise ValueError("GIF: no image block found")
+    out = np.empty((len(frames), sh, sw), np.float64)
+    for i, (fr, pal) in enumerate(zip(frames, pal_frames)):
+        rgb = pal[np.minimum(fr, len(pal) - 1)].astype(np.float64)
+        out[i] = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    return sw, sh, out
+
+
+def make_animated_gif(
+    frames: np.ndarray,
+    palette: np.ndarray,
+    rects: list[tuple[int, int]] | None = None,
+) -> bytes:
+    """Animated GIF89a fixture encoder: frame 0 is full-screen; later
+    frames may be patch rectangles at the given (left, top) offsets
+    (full-screen when ``rects`` is None). ``frames`` is (n, h, w) uint8
+    indices for full frames — patches slice out of each frame at its
+    rect, so decode-compositing reproduces ``frames`` exactly."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if fr.ndim != 3:
+        raise ValueError("frames must be (n, h, w)")
+    nfr, h, w = fr.shape
+    bits = max(1, (pal.shape[0] - 1).bit_length())
+    size = 1 << bits
+    pal_full = np.zeros((size, 3), np.uint8)
+    pal_full[: pal.shape[0]] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal_full.tobytes()
+    min_code = max(2, bits)
+    for i in range(nfr):
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: no disposal
+        if i == 0 or rects is None:
+            left, top, pw, ph = 0, 0, w, h
+            patch = fr[i]
+        else:
+            left, top = rects[i]
+            ph = min(8, h - top)
+            pw = min(8, w - left)
+            patch = fr[i][top : top + ph, left : left + pw]
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, pw, ph, 0)
+        out.append(min_code)
+        data = _lzw_encode(patch, min_code)
+        for j in range(0, len(data), 255):
+            chunk = data[j : j + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

@@ -1033,14 +1033,24 @@ VIDEO_FRAMES_SCHEMA = StructType(
 
 
 def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
-    """REAL video frame sampling: decode Y4M payloads, keep every
+    """REAL video frame sampling: decode Y4M streams AND animated GIFs
+    (composited per the GIF89a disposal/transparency rules,
+    :func:`traildb_spark.operators.gif.decode_gif_frames`), keep every
     ``every_n``-th frame, emit exact integer luma stats per kept frame —
     the decode→frame-sample→feature contract of a training-data video
-    pipeline with an actual codec behind it (``sample_video_frames``
+    pipeline with actual codecs behind it (``sample_video_frames``
     remains the format-agnostic stub-arithmetic plumbing for opaque
     payloads). Arrow-batched mapInPandas; only fixed-width stats leave
     the worker, never pixel planes."""
+    from .gif import decode_gif_frames
+
     vids = df.filter(F.col("kind") == "video").select("media_id", "content")
+
+    def decode(content: bytes):
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            w, h, luma = decode_gif_frames(content)
+            return w, h, np.round(luma).astype(np.uint8)
+        return decode_y4m(content)
 
     def run(batches):
         for pdf in batches:
@@ -1049,7 +1059,7 @@ def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
                 if content is None:
                     continue
                 try:
-                    w, h, frames = decode_y4m(bytes(content))
+                    w, h, frames = decode(bytes(content))
                 except DECODE_ERRORS + (NotImplementedError,):
                     # corrupt / non-Y4M / chroma payload → sentinel row,
                     # never a failed task (same contract as the image and
