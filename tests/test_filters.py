@@ -240,3 +240,17 @@ def test_trail_filter_spec_join_equals_case_form(spark):
         )
     )
     assert got == want and len(want) > 0
+
+    # regression: a positive non-empty term against a NULL column must be
+    # FALSE, not SQL NULL — a NULL keep flag would silently flip the row
+    # into the no-override db-filter branch
+    df2 = spark.createDataFrame(
+        [("ux", 1, None, None, 1), ("ux", 2, "b", None, 2)],
+        "uuid string, time long, f1 string, f2 string, event_id long",
+    )
+    spec2 = spark.createDataFrame(
+        [("ux", 0, "f2", "b", False)],
+        "uuid string, clause long, field string, value string, negative boolean",
+    )
+    kept = trail_filter_spec_join(df2, spec2, ("uuid", "time", "event_id")).collect()
+    assert kept == []  # neither row has f2 = 'b'

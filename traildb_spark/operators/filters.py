@@ -315,9 +315,15 @@ def trail_filter_spec_join(
     def term_for(col_name: str) -> Column:
         col = F.col(col_name).cast("string")
         v = F.col("__value")
+        # NULL-safe: a positive non-empty term against a NULL column is
+        # FALSE, not SQL NULL — a NULL here would ride through the
+        # max/min aggregates into a NULL keep flag and flip the row into
+        # the "no override" db-filter branch (the compiled-Column form
+        # gets this for free from WHERE semantics; the aggregate path
+        # must be explicit)
         pos = F.when(
             v == "", col.isNull() | (col == F.lit(""))
-        ).otherwise(col == v)
+        ).otherwise(col.isNotNull() & (col == v))
         neg = F.when(
             v == "", col.isNotNull() & (col != F.lit(""))
         ).otherwise(col.isNull() | (col != v))
