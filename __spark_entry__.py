@@ -1538,6 +1538,59 @@ def q107_bigram_surprisal(spark, sf_dir):
     return text.bigram_surprisal(docs)
 
 
+def q108_trail_overrides_table(spark, sf_dir):
+    """Per-trail filter overrides as a JOINED SPEC TABLE (the
+    million-trail scale form of q15's CASE expression): trails whose
+    uuid ends in '0' keep only click/view events, trails ending in '1'
+    keep non-empty-props AND non-error events, everyone else falls back
+    to the db-level time-range filter. The spec is DATA (one row per CNF
+    term), evaluated by a uuid join + two event-keyed aggregates —
+    nothing filter-count-shaped enters the plan."""
+    from traildb_spark.operators.filters import (
+        EventFilter,
+        trail_filter_spec_join,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "uuid", "time", "event_id", "event_type", "props"
+    )
+    uuids = ev.select("uuid").distinct()
+    u0 = uuids.filter(F.col("uuid").endswith("0"))
+    u1 = uuids.filter(F.col("uuid").endswith("1"))
+    spec = (
+        u0.select(
+            "uuid", F.lit(0).alias("clause"),
+            F.lit("event_type").alias("field"), F.lit("click").alias("value"),
+            F.lit(False).alias("negative"),
+        )
+        .unionByName(
+            u0.select(
+                "uuid", F.lit(0).alias("clause"),
+                F.lit("event_type").alias("field"), F.lit("view").alias("value"),
+                F.lit(False).alias("negative"),
+            )
+        )
+        .unionByName(
+            u1.select(
+                "uuid", F.lit(0).alias("clause"),
+                F.lit("props").alias("field"), F.lit("").alias("value"),
+                F.lit(True).alias("negative"),
+            )
+        )
+        .unionByName(
+            u1.select(
+                "uuid", F.lit(1).alias("clause"),
+                F.lit("event_type").alias("field"), F.lit("error").alias("value"),
+                F.lit(True).alias("negative"),
+            )
+        )
+    )
+    db_f = EventFilter().add_time_range(TIME_LO, TIME_HI)
+    return trail_filter_spec_join(
+        ev, spec, ("uuid", "time", "event_id"), db_f
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1650,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_gif_decode": q105_gif_decode,
         "q106_bm25": q106_bm25,
         "q107_bigram_surprisal": q107_bigram_surprisal,
+        "q108_trail_overrides_table": q108_trail_overrides_table,
     }
 
 
@@ -2339,6 +2393,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN COALESCE(s.nb, 0) = 0 THEN 0
                         ELSE 1000 * s.sb // s.nb END AS millibits_per_bigram
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """,
+        "q108_trail_overrides_table": f"""
+            -- per-trail override semantics in closed form: last uuid
+            -- char '0' -> click/view only; '1' -> props <> '' AND
+            -- event_type <> 'error'; otherwise the db time-range filter
+            SELECT uuid, "time", event_id, event_type, props
+            FROM ({_E})
+            WHERE CASE
+              WHEN uuid LIKE '%0' THEN event_type IN ('click', 'view')
+              WHEN uuid LIKE '%1' THEN props <> '' AND event_type <> 'error'
+              ELSE "time" >= {TIME_LO} AND "time" < {TIME_HI}
+            END
         """,
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})
