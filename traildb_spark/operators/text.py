@@ -851,9 +851,13 @@ def bigram_surprisal(
 
     Plan shape: one zip_with produces in-document adjacent bigrams with
     ZERO shuffle (the q82 PMI pattern); (doc, bigram) counts combine
-    map-side; the bigram model and its context marginal are
-    vocab^2-scale aggregates OF that table joined back broadcast -- the
-    corpus never re-shuffles onto the bigram key.
+    map-side. Unlike the unigram model (bounded by real vocabulary),
+    the BIGRAM model grows with the corpus -- distinct adjacent pairs
+    are not metadata-scale at 100 TB -- so the model and context joins
+    carry NO broadcast hint: AQE broadcasts when they fit and falls
+    back to bg-/w1-keyed shuffle joins when they don't (a hard
+    broadcast here would be a driver OOM, the anti-pattern
+    ``unigram_surprisal`` legitimately uses).
     """
     ws = tokens(F.col(text_col))
     pairs = F.zip_with(
@@ -871,9 +875,9 @@ def bigram_surprisal(
     ).agg(F.sum("cnt").alias("ctx_cnt"))
     bits = F.length(F.bin(F.col("ctx_cnt"))) - F.length(F.bin(F.col("cnt")))
     scored = (
-        tf.join(F.broadcast(model), "bg")
+        tf.join(model, "bg")
         .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
-        .join(F.broadcast(ctx), "w1")
+        .join(ctx, "w1")
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("tf") * bits).alias("surprisal_bits"),
