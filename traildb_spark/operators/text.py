@@ -814,8 +814,12 @@ def bm25_topk(
         "(idf_bits * 22000 * tf) div (10000 * tf + 3000 + 9 * r)"
     )
     scored = (
+        # query terms: genuinely tiny, hard broadcast. The df table is
+        # VOCABULARY-scale (web corpora push it past broadcast range) —
+        # no hint, AQE decides; after the q_terms semi-restriction the
+        # surviving df rows are query-term-sized anyway.
         tf.join(F.broadcast(q_terms), "term")
-        .join(F.broadcast(dft), "term")
+        .join(dft, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn("idf_bits", idf_bits)
