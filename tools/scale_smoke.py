@@ -148,6 +148,20 @@ def heavy(spark):
     docs = spark.read.parquet(docs100)
     print(f"100x documents: {docs.count()} docs", flush=True)
     timed("dedup_exact_500k", lambda: dedup.exact_duplicates(docs).count())
+    from traildb_spark.operators import text as _text  # noqa: E402
+
+    timed(
+        "bigram_surprisal_500k",
+        lambda: _force(_text.bigram_surprisal(docs)),
+    )
+    queries_bm = docs.filter(F.col("doc_id") % 4999 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(_text.tokens(F.col("text")), 1, 5), " ").alias("text"),
+    )
+    timed(
+        "bm25_topk_500k",
+        lambda: _force(_text.bm25_topk(docs, queries_bm, k=10)),
+    )
     # minhash over the DISTINCT texts (the production shape: exact-dedup
     # first — dedup_fuzzy does this internally; here the LSH stage itself
     # is the measurement target)
