@@ -969,3 +969,67 @@ def test_animated_gif_video_frames(spark):
         assert r["luma_sum"] == int(want_luma[i].sum())
         assert r["luma_max"] == int(want_luma[i].max())
     assert got[(2, 0)]["luma_sum"] == 240 and got[(2, 1)]["luma_sum"] == 480
+
+
+def test_gif_animation_disposal_and_transparency():
+    """GIF89a composition semantics the fixture encoder never emits:
+    disposal 2 restores the frame's rectangle to the background color,
+    disposal 3 restores the pre-frame canvas, and GCE-transparent patch
+    pixels leave the canvas untouched."""
+    import struct
+
+    from traildb_spark.operators.gif import _lzw_encode, decode_gif_frames
+
+    def build(frames_spec, sw, sh, pal, bg=0):
+        bits = max(1, (pal.shape[0] - 1).bit_length())
+        pf = np.zeros((1 << bits, 3), np.uint8)
+        pf[: pal.shape[0]] = pal
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", sw, sh, 0x80 | (bits - 1), bg, 0)
+        out += pf.tobytes()
+        mc = max(2, bits)
+        for left, top, patch, disp, trans in frames_spec:
+            tflag = 1 if trans is not None else 0
+            out += b"\x21\xf9\x04" + bytes(
+                [(disp << 2) | tflag, 0, 0, trans or 0]
+            ) + b"\x00"
+            h, w = patch.shape
+            out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+            out.append(mc)
+            data = _lzw_encode(patch, mc)
+            for j in range(0, len(data), 255):
+                out.append(len(data[j : j + 255]))
+                out += data[j : j + 255]
+            out += b"\x00"
+        out += b"\x3b"
+        return bytes(out)
+
+    pal = np.stack([np.arange(0, 256, 64, dtype=np.uint8)] * 3, axis=1)
+    f1 = np.full((4, 6), 1, np.uint8)
+    p2 = np.full((2, 2), 3, np.uint8)
+    p3 = np.full((1, 1), 2, np.uint8)
+
+    _, _, lum = decode_gif_frames(
+        build([(0, 0, f1, 0, None), (2, 1, p2, 2, None), (0, 0, p3, 0, None)], 6, 4, pal)
+    )
+    lum = np.round(lum).astype(int)
+    assert (lum[0] == 64).all()
+    assert lum[1][1, 2] == 192 and lum[1][0, 0] == 64
+    assert lum[2][1, 2] == 0 and lum[2][2, 3] == 0   # rect -> background
+    assert lum[2][0, 0] == 128 and lum[2][3, 5] == 64
+
+    _, _, lum = decode_gif_frames(
+        build([(0, 0, f1, 0, None), (2, 1, p2, 3, None), (0, 0, p3, 0, None)], 6, 4, pal)
+    )
+    lum = np.round(lum).astype(int)
+    assert lum[1][1, 2] == 192
+    assert lum[2][1, 2] == 64  # restored to the PRE-frame canvas, not bg
+    assert lum[2][0, 0] == 128
+
+    pt = np.array([[3, 0], [0, 3]], np.uint8)  # index 0 transparent
+    _, _, lum = decode_gif_frames(
+        build([(0, 0, f1, 0, None), (1, 1, pt, 0, 0)], 6, 4, pal)
+    )
+    lum = np.round(lum).astype(int)
+    assert lum[1][1, 1] == 192 and lum[1][1, 2] == 64
+    assert lum[1][2, 1] == 64 and lum[1][2, 2] == 192
