@@ -677,3 +677,46 @@ def test_streaming_uniform_sample_equals_batch(spark, sf_dir, tmp_path):
             docs.limit(5), 0, out, 37, "doc_id", "",
             __import__("hashlib").md5(str(tmp_path / "sample_ckpt").encode()).hexdigest()[:8],
         )
+
+
+def test_pointer_protocol_hadoop_fs_qualified_paths(spark, tmp_path):
+    """The countmin/sample pointer state must work against scheme-QUALIFIED
+    paths (``file://...``): every pointer read, atomic swap, and prev-state
+    delete goes through the Hadoop FileSystem API, so the identical code
+    path serves hdfs:// and s3a:// deployments — the same posture as
+    ``_finalize_batch``. (os.path/open() on a ``file://``-prefixed string
+    would look for a literal ``./file:`` directory and corrupt or lose
+    state silently.)"""
+    import os
+
+    import pytest as _pytest
+
+    from traildb_spark.streaming.ingest import (
+        _countmin_batch,
+        _fs_read_small,
+        _sample_batch,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], ["v"])
+    out = f"file://{tmp_path}/cm_q"
+    assert _countmin_batch(df, 0, out, "v", 64, 2, "cm:", "tok") is True
+    # replay of the committed id: pointer already references its output
+    assert _countmin_batch(df, 0, out, "v", 64, 2, "cm:", "tok") is False
+    assert _countmin_batch(df, 1, out, "v", 64, 2, "cm:", "tok") is True
+    with _pytest.raises(RuntimeError, match="previous lineage"):
+        _countmin_batch(df, 0, out, "v", 64, 2, "cm:", "tok")
+    cur = _fs_read_small(spark, f"{out}/_latest_tok")
+    assert cur is not None and cur.endswith("sketch_tok_1")
+    assert spark.read.parquet(cur).count() > 0
+    # superseded sketch dirs are deleted through the FS API too
+    assert [
+        d for d in os.listdir(f"{tmp_path}/cm_q") if d.startswith("sketch")
+    ] == ["sketch_tok_1"]
+
+    sdf = spark.createDataFrame([(str(i),) for i in range(50)], ["doc_id"])
+    sout = f"file://{tmp_path}/sm_q"
+    assert _sample_batch(sdf, 0, sout, 7, "doc_id", "", "tok") is True
+    assert _sample_batch(sdf, 0, sout, 7, "doc_id", "", "tok") is False
+    assert _sample_batch(sdf, 1, sout, 7, "doc_id", "", "tok") is True
+    cur2 = _fs_read_small(spark, f"{sout}/_latest_tok")
+    assert spark.read.parquet(cur2).count() == 7

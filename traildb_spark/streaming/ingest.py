@@ -25,6 +25,56 @@ from ..dataset import TrailDataset
 from ..operators.text import fingerprint
 
 
+def _hfs(spark, path: str):
+    """(jvm, Path class, FileSystem) for ``path``'s scheme — the same
+    Hadoop FileSystem route ``_finalize_batch`` uses, so every streaming
+    state path (file://, hdfs://, s3a://) goes through one API."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, hpath, fs
+
+
+def _fs_read_small(spark, path: str) -> str | None:
+    """Read a small UTF-8 file (a pointer) via the Hadoop FS API; None if
+    absent. Any OTHER failure raises — treating a transient read error as
+    "no state" would silently reset accumulated streaming state."""
+    jvm, hpath, fs = _hfs(spark, path)
+    p = hpath(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # commons-io ships with hadoop-common; py4j passes byte[] BY VALUE,
+        # so a readFully-into-array round trip would read back zeros —
+        # IOUtils materializes the string JVM-side instead
+        return str(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+    finally:
+        stream.close()
+
+
+def _fs_swap_pointer(spark, latest: str, content: str) -> None:
+    """Atomically advance the ``_latest`` pointer: write ``.tmp`` via the
+    FS API, then FileContext.rename(..., OVERWRITE) — the rename IS the
+    commit. Atomic on HDFS and the local FS; on S3A the rename is a
+    single-object copy+delete of a tiny file, and the pointer protocol
+    tolerates the non-atomicity (a replay either rebuilds the identical
+    target dir or observes its own path and no-ops)."""
+    jvm, hpath, fs = _hfs(spark, latest)
+    tmp = hpath(latest + ".tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(content, "utf-8"))
+    out.close()
+    fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        hpath(latest).toUri(), spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    opts = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1
+    )
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fctx.rename(tmp, hpath(latest), opts)
+
+
 def streaming_dedup_exact(
     stream: DataFrame,
     text_col: str = "text",
@@ -304,25 +354,16 @@ def _countmin_batch(
     ``_finalize_batch``). Returns False when the batch was a replay of an
     already-committed id (state untouched).
 
-    Pointer/marker ops use local-filesystem calls — this sink is scoped
-    to ``file://`` paths (driver-local sketch state is tiny by
-    construction). For object-store deployments port the pointer ops to
-    the Hadoop FileSystem API as ``_finalize_batch`` does."""
-    import os as _os
-    import shutil as _shutil
-
+    Pointer/marker ops go through the Hadoop FileSystem API
+    (``_fs_read_small`` / ``_fs_swap_pointer``), so the sketch state works
+    unchanged on file://, hdfs:// and s3a:// — the same deployment posture
+    as ``_finalize_batch``."""
     from ..operators.analytics import countmin_build
 
+    spark = batch_df.sparkSession
     latest = f"{path}/_latest_{run_token}"
     out_b = f"{path}/sketch_{run_token}_{batch_id}"
-    prev: str | None = None
-    try:
-        with open(latest, "r", encoding="utf-8") as fh:
-            prev = fh.read().strip() or None
-    except FileNotFoundError:
-        pass  # genuinely no state yet; any OTHER OSError must raise —
-        # treating a transient read failure as "no state" would silently
-        # reset the accumulated sketch to this batch's counts
+    prev = (_fs_read_small(spark, latest) or "").strip() or None
     if prev == out_b:
         return False  # replay after commit: pointer already advanced
     if prev is not None and batch_id == 0:
@@ -341,7 +382,6 @@ def _countmin_batch(
             "accumulated sketch — use a fresh checkpoint path or delete "
             f"the sketch state at {path} explicitly."
         )
-    spark = batch_df.sparkSession
     part = countmin_build(batch_df, col, width, depth, seed)
     if prev is not None:
         merged = (
@@ -352,14 +392,11 @@ def _countmin_batch(
         )
     else:
         merged = part
-    _os.makedirs(path, exist_ok=True)
     merged.coalesce(1).write.mode("overwrite").parquet(out_b)
-    tmp = f"{latest}.tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(out_b)
-    _os.replace(tmp, latest)  # atomic pointer advance = the commit
-    if prev is not None and _os.path.exists(prev):
-        _shutil.rmtree(prev)  # safe: replays of this batch now no-op
+    _fs_swap_pointer(spark, latest, out_b)  # pointer advance = the commit
+    if prev is not None:
+        _, hpath, fs = _hfs(spark, prev)
+        fs.delete(hpath(prev), True)  # safe: replays of this batch now no-op
     return True
 
 
@@ -368,8 +405,10 @@ def countmin_current(spark, path: str, checkpoint: str) -> DataFrame:
     import hashlib as _hashlib
 
     run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
-    with open(f"{path}/_latest_{run_token}", "r", encoding="utf-8") as fh:
-        return spark.read.parquet(fh.read().strip())
+    cur = _fs_read_small(spark, f"{path}/_latest_{run_token}")
+    if cur is None:
+        raise FileNotFoundError(f"{path}/_latest_{run_token}")
+    return spark.read.parquet(cur.strip())
 
 
 def streaming_uniform_sample(
@@ -424,19 +463,12 @@ def _sample_batch(
     run_token: str,
 ) -> bool:
     """One merge-and-trim step (exposed for crash-replay tests; same
-    pointer protocol and cleared-checkpoint refusal as
+    Hadoop-FS pointer protocol and cleared-checkpoint refusal as
     ``_countmin_batch``)."""
-    import os as _os
-    import shutil as _shutil
-
+    spark = batch_df.sparkSession
     latest = f"{path}/_latest_{run_token}"
     out_b = f"{path}/sample_{run_token}_{batch_id}"
-    prev: str | None = None
-    try:
-        with open(latest, "r", encoding="utf-8") as fh:
-            prev = fh.read().strip() or None
-    except FileNotFoundError:
-        pass
+    prev = (_fs_read_small(spark, latest) or "").strip() or None
     if prev == out_b:
         return False  # replay after commit
     if prev is not None and batch_id == 0:
@@ -445,7 +477,6 @@ def _sample_batch(
             "state (cleared checkpoint reused) — use a fresh checkpoint "
             f"path or delete the sample state at {path} explicitly."
         )
-    spark = batch_df.sparkSession
     rank = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     part = batch_df.withColumn("__rk", rank)
     if prev is not None:
@@ -460,14 +491,11 @@ def _sample_batch(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
-    _os.makedirs(path, exist_ok=True)
     trimmed.coalesce(1).write.mode("overwrite").parquet(out_b)
-    tmp = f"{latest}.tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(out_b)
-    _os.replace(tmp, latest)  # atomic pointer advance = the commit
-    if prev is not None and _os.path.exists(prev):
-        _shutil.rmtree(prev)
+    _fs_swap_pointer(spark, latest, out_b)  # pointer advance = the commit
+    if prev is not None:
+        _, hpath, fs = _hfs(spark, prev)
+        fs.delete(hpath(prev), True)
     return True
 
 
@@ -477,5 +505,7 @@ def sample_current(spark, path: str, checkpoint: str) -> DataFrame:
     import hashlib as _hashlib
 
     run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
-    with open(f"{path}/_latest_{run_token}", "r", encoding="utf-8") as fh:
-        return spark.read.parquet(fh.read().strip()).drop("__rk")
+    cur = _fs_read_small(spark, f"{path}/_latest_{run_token}")
+    if cur is None:
+        raise FileNotFoundError(f"{path}/_latest_{run_token}")
+    return spark.read.parquet(cur.strip()).drop("__rk")
