@@ -254,3 +254,48 @@ def test_trail_filter_spec_join_equals_case_form(spark):
     )
     kept = trail_filter_spec_join(df2, spec2, ("uuid", "time", "event_id")).collect()
     assert kept == []  # neither row has f2 = 'b'
+
+
+def test_trail_filter_spec_join_guards(spark):
+    """The spec-join's 'bounded by spec-per-trail' claim is enforced: a
+    pathological spec (one whale trail with > max_terms_per_trail terms)
+    raises loudly before the events-by-terms join runs, and a spec row
+    with a NULL field/value/negative raises at execution instead of
+    silently flipping the trail onto the db-filter branch."""
+    import pytest as _pytest
+
+    from traildb_spark.operators.filters import trail_filter_spec_join
+
+    df = spark.createDataFrame(
+        [("u0", 1, "a", 1), ("u0", 2, "b", 2)],
+        "uuid string, time long, f1 string, event_id long",
+    )
+    big_spec = spark.createDataFrame(
+        [("u0", 0, "f1", f"v{i}", False) for i in range(25)],
+        "uuid string, clause long, field string, value string, negative boolean",
+    )
+    with _pytest.raises(ValueError, match="max_terms_per_trail"):
+        trail_filter_spec_join(
+            df, big_spec, ("uuid", "time", "event_id"), max_terms_per_trail=10
+        )
+    # same spec under a raised cap (or None) runs fine
+    assert (
+        trail_filter_spec_join(
+            df, big_spec, ("uuid", "time", "event_id"), max_terms_per_trail=None
+        ).count()
+        == 0
+    )
+
+    null_spec = spark.createDataFrame(
+        [("u0", 0, "f1", None, False)],
+        "uuid string, clause long, field string, value string, negative boolean",
+    )
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception, match="NULL"):
+        try:
+            trail_filter_spec_join(
+                df, null_spec, ("uuid", "time", "event_id")
+            ).collect()
+        except Py4JJavaError as e:  # surface the JVM message for the match
+            raise RuntimeError(str(e)) from e

@@ -276,6 +276,7 @@ def trail_filter_spec_join(
     db_filter: EventFilter | None = None,
     uuid_col: str = "uuid",
     time_col: str = TIME_COL,
+    max_terms_per_trail: int | None = 10_000,
 ) -> DataFrame:
     """Per-trail filter overrides as a JOIN against a filter-spec TABLE —
     the scale form of :func:`trail_filter_overrides` (reference
@@ -302,15 +303,63 @@ def trail_filter_spec_join(
     spec-per-trail, never cross-trail), two event-keyed aggregates, one
     id join back. All linear; nothing trail-count-shaped reaches the
     driver or the plan.
+
+    The "bounded by spec-per-trail" claim is ENFORCED, not assumed:
+    ``max_terms_per_trail`` (default 10k) raises loudly if any trail's
+    spec exceeds it — a pathological spec (thousands of terms on a whale
+    trail) would otherwise silently multiply that trail's events in the
+    join. The check is one aggregate over the spec table (spec-sized,
+    never event-sized); pass ``None`` to skip it for trusted specs.
+    Spec rows with a NULL ``uuid``/``clause``/``field``/``value``/
+    ``negative`` raise at execution (a NULL would otherwise ride through
+    the max/min aggregates into a NULL keep flag and silently flip the
+    trail onto the db-filter branch).
     """
     fields = [c for c in df.columns if c != uuid_col]
+    spec_ok = (
+        F.col("uuid").isNotNull()
+        & F.col("clause").isNotNull()
+        & F.col("field").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("negative").isNotNull()
+    )
+    # assert_true returns NULL when the row is valid; folding it into the
+    # __neg expression (instead of a dropped side column) keeps it alive
+    # through column pruning
+    neg_checked = F.coalesce(
+        F.assert_true(
+            spec_ok,
+            F.lit(
+                "trail_filter_spec_join: spec row with NULL "
+                "uuid/clause/field/value/negative — fix the spec table "
+                "(NULLs would silently flip the trail to the db filter)"
+            ),
+        ).cast("boolean"),
+        F.col("negative").cast("boolean"),
+    )
     sp = spec.select(
         F.lower(F.col("uuid").cast("string")).alias(uuid_col),
         F.col("clause").cast("long").alias("__clause"),
         F.col("field").cast("string").alias("__field"),
         F.col("value").cast("string").alias("__value"),
-        F.col("negative").cast("boolean").alias("__neg"),
+        neg_checked.alias("__neg"),
     )
+    if max_terms_per_trail is not None:
+        whale = (
+            sp.groupBy(uuid_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_terms_per_trail))
+            .limit(1)
+            .collect()
+        )
+        if whale:
+            raise ValueError(
+                f"trail_filter_spec_join: trail {whale[0][uuid_col]!r} has "
+                f"{whale[0]['__n']} spec terms (> max_terms_per_trail="
+                f"{max_terms_per_trail}); the events-by-terms join fan-out "
+                "for that trail would be unbounded. Split the filter, raise "
+                "max_terms_per_trail explicitly, or pass None to bypass."
+            )
 
     def term_for(col_name: str) -> Column:
         col = F.col(col_name).cast("string")
