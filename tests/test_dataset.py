@@ -392,8 +392,8 @@ def test_stale_index_guard_covers_sharded_datasets(spark, tmp_path):
     )
     p = str(tmp_path / "sharded")
     ds.finalize(p, time_shard="yyyy-MM-dd")
-    fp1 = _data_fingerprint(p)
-    assert fp1 != _data_fingerprint(str(tmp_path))  # not the empty digest
+    fp1 = _data_fingerprint(spark, p)
+    assert fp1 != _data_fingerprint(spark, str(tmp_path))  # not the empty digest
 
     TrailDataset.build_index(spark, p, ["f"])
     assert TrailDataset.open(spark, p)._zindex is not None
@@ -405,5 +405,37 @@ def test_stale_index_guard_covers_sharded_datasets(spark, tmp_path):
         )
     )
     ds2.finalize(p, time_shard="yyyy-MM-dd", mode="overwrite")
-    assert _data_fingerprint(p) != fp1
+    assert _data_fingerprint(spark, p) != fp1
     assert TrailDataset.open(spark, p)._zindex is None
+
+
+def test_sidecar_and_index_discovery_on_qualified_paths(spark, tmp_path):
+    """finalize → tdb-index → open over a ``file://``-QUALIFIED path:
+    sidecar write/read, the data fingerprint walk, and z-index discovery
+    all go through the Hadoop FS API, so the identical code path serves
+    hdfs:// and s3a:// (an os.path-based walk would see no files behind
+    the scheme prefix and silently skip discovery — perf loss at best,
+    a never-firing stale guard at worst)."""
+    from traildb_spark.dataset import TrailDataset, normalize_events
+
+    rows = [
+        (f"u{i % 3:02d}", 1704067200 + i * 86400, "x" if i % 2 else "y")
+        for i in range(8)
+    ]
+    ds = TrailDataset(
+        normalize_events(spark.createDataFrame(rows, ["uuid", "time", "f"]))
+    )
+    q = f"file://{tmp_path}/qualified_db"
+    ds.finalize(q, time_shard="yyyy-MM-dd")
+
+    opened = TrailDataset.open(spark, q)
+    assert opened._shard_fmt == "yyyy-MM-dd"  # sidecar read through FS API
+
+    TrailDataset.build_index(spark, q, ["f"])
+    withx = TrailDataset.open(spark, q)
+    assert withx._zindex is not None and withx._zindex[1] == ["f"]
+    assert TrailDataset.open(spark, q, use_index=False)._zindex is None
+
+    # rewrite the primary through the qualified path: stale guard fires
+    ds.finalize(q, time_shard="yyyy-MM-dd", mode="overwrite")
+    assert TrailDataset.open(spark, q)._zindex is None

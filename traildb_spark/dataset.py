@@ -26,6 +26,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import fsutil
 from .operators.filters import EventFilter, TimeRange, uuid_whitelist
 
 UUID_COL = "uuid"
@@ -47,34 +48,26 @@ _FIELDNAME_CHARS = frozenset(
 _MAX_FIELDNAME_LENGTH = 512
 
 
-def _data_fingerprint(path: str) -> str:
+def _data_fingerprint(spark: SparkSession, path: str) -> str:
     """Cheap metadata fingerprint of a dataset's PRIMARY data files:
-    md5 over the sorted (relative path, size) list of non-hidden
-    parquet files. Used to tie the auxiliary z-index to the data it was
-    built from — the analog of the reference's index↔data consistency
-    checksum (`tdbcli/tdb_index.c:439-451`): a stale index must be
-    ignored, because routing substitutes its rows for the primary's."""
+    md5 over the sorted (relative path, size, modification-time) list of
+    non-hidden parquet files (hidden-dir/shard-dir rules in
+    ``fsutil.list_data_files``). Used to tie the auxiliary z-index to the
+    data it was built from — the analog of the reference's index↔data
+    consistency checksum (`tdbcli/tdb_index.c:439-451`): a stale index
+    must be ignored, because routing substitutes its rows for the
+    primary's. mtime closes the same-name/same-size rewrite hole
+    (Spark's randomized part names make it unlikely, but an external
+    overwrite preserving both would otherwise pass). The false-stale
+    direction (e.g. a copy without preserved mtimes) only drops the
+    index — a perf loss, never a correctness one. Goes through the
+    Hadoop FS API so build-time and open-time fingerprints agree on any
+    filesystem, not just file://."""
     import hashlib
 
-    entries = []
-    for root, dirs, files in os.walk(path):
-        # skip hidden/metadata dirs (_zindex, _staging, _traildb_commits)
-        # but KEEP Hive partition dirs: time shards are named
-        # '__shard=<v>' — excluding them would fingerprint a sharded
-        # dataset as empty and the stale guard would never fire
-        dirs[:] = [
-            d for d in dirs if "=" in d or not d.startswith((".", "_"))
-        ]
-        for f in files:
-            if f.startswith((".", "_")) or not f.endswith(".parquet"):
-                continue
-            full = os.path.join(root, f)
-            entries.append(
-                (os.path.relpath(full, path), os.path.getsize(full))
-            )
     h = hashlib.md5()
-    for rel, size in sorted(entries):
-        h.update(f"{rel}:{size};".encode("utf-8"))
+    for rel, size, mtime in sorted(fsutil.list_data_files(spark, path)):
+        h.update(f"{rel}:{size}:{mtime};".encode("utf-8"))
     return h.hexdigest()
 
 
@@ -233,32 +226,33 @@ class TrailDataset:
         ``build_index`` / ``tdb index``), it is loaded lazily and CNF
         filters whose item-term columns are all covered by it are routed
         there by the ``df`` property. ``use_index=False`` is the
-        reference's ``--no-index`` opt-out (`tdbcli/main.c:72-74`)."""
+        reference's ``--no-index`` opt-out (`tdbcli/main.c:72-74`).
+
+        Sidecar read and fingerprint walk go through the Hadoop FS API
+        (``fsutil``), so discovery works identically on file://, hdfs://
+        and s3a:// — the same posture as ``compact_shards`` and the
+        streaming sinks."""
         shard_fmt = None
         zindex = None
-        meta_path = os.path.join(path, META_FILE)
-        try:
-            if os.path.exists(meta_path):
-                with open(meta_path, "r", encoding="utf-8") as fh:
-                    meta = json.load(fh)
-                shard_fmt = meta.get("time_shard")
-                zmeta = meta.get("zindex")
-                if use_index and zmeta and zmeta.get("columns"):
-                    zpath = os.path.join(path, zmeta.get("path", ZINDEX_DIR))
-                    # consistency guard (reference index↔data checksum,
-                    # tdb_index.c:439-451): if the primary data changed
-                    # since the index was built, routing would substitute
-                    # STALE rows — ignore the index instead
-                    fresh = zmeta.get("data_fingerprint") == _data_fingerprint(
-                        path
+        raw = fsutil.read_small(spark, f"{path}/{META_FILE}")
+        if raw is not None:
+            meta = json.loads(raw)
+            shard_fmt = meta.get("time_shard")
+            zmeta = meta.get("zindex")
+            if use_index and zmeta and zmeta.get("columns"):
+                zpath = f"{path}/{zmeta.get('path', ZINDEX_DIR)}"
+                # consistency guard (reference index↔data checksum,
+                # tdb_index.c:439-451): if the primary data changed
+                # since the index was built, routing would substitute
+                # STALE rows — ignore the index instead
+                fresh = zmeta.get("data_fingerprint") == _data_fingerprint(
+                    spark, path
+                )
+                if fresh and fsutil.exists(spark, zpath):
+                    zindex = (
+                        spark.read.parquet(zpath),
+                        list(zmeta["columns"]),
                     )
-                    if os.path.isdir(zpath) and fresh:
-                        zindex = (
-                            spark.read.parquet(zpath),
-                            list(zmeta["columns"]),
-                        )
-        except OSError:
-            pass
         return cls(spark.read.parquet(path), shard_fmt=shard_fmt, zindex=zindex)
 
     @classmethod
@@ -536,11 +530,11 @@ class TrailDataset:
                 .partitionBy(SHARD_COL)
                 .parquet(path)
             )
-            try:
-                with open(os.path.join(path, META_FILE), "w", encoding="utf-8") as fh:
-                    json.dump({"time_shard": time_shard, "timezone": "UTC"}, fh)
-            except OSError:
-                pass  # non-local filesystem: caller passes shard_fmt to open()
+            fsutil.write_small(
+                df.sparkSession,
+                f"{path}/{META_FILE}",
+                json.dumps({"time_shard": time_shard, "timezone": "UTC"}),
+            )
         else:
             (
                 writer_df.repartition(n, F.col(UUID_COL))
@@ -693,7 +687,7 @@ class TrailDataset:
         missing = [c for c in cols if c not in ds._raw.columns]
         if missing:
             raise ValueError(f"index columns not in schema: {missing}")
-        zpath = os.path.join(db_path, ZINDEX_DIR)
+        zpath = f"{db_path}/{ZINDEX_DIR}"
         ds.save_zordered(
             zpath,
             cols,
@@ -701,20 +695,17 @@ class TrailDataset:
             mode="overwrite",
             parquet_block_bytes=parquet_block_bytes,
         )
-        meta_path = os.path.join(db_path, META_FILE)
-        meta = {}
-        if os.path.exists(meta_path):
-            with open(meta_path, "r", encoding="utf-8") as fh:
-                meta = json.load(fh)
+        meta_path = f"{db_path}/{META_FILE}"
+        raw = fsutil.read_small(spark, meta_path)
+        meta = json.loads(raw) if raw is not None else {}
         meta["zindex"] = {
             "path": ZINDEX_DIR,
             "columns": list(cols),
             # ties the index to THIS data: open() drops the index when
             # the primary's files change (stale-index guard)
-            "data_fingerprint": _data_fingerprint(db_path),
+            "data_fingerprint": _data_fingerprint(spark, db_path),
         }
-        with open(meta_path, "w", encoding="utf-8") as fh:
-            json.dump(meta, fh)
+        fsutil.write_small(spark, meta_path, json.dumps(meta))
         return zpath
 
 

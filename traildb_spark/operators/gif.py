@@ -294,8 +294,16 @@ def decode_gif_frames(content: bytes) -> tuple[int, int, np.ndarray]:
     Graphic Control Extension supplies transparency (transparent pixels
     leave the canvas untouched) and disposal — method 2 restores the
     patched rectangle to the background color after the frame, method 3
-    (restore-previous) restores the pre-frame canvas. The emitted frame
-    sequence is what a viewer displays."""
+    (restore-previous) restores the pre-frame canvas.
+
+    Chosen flattening (documented because the luma canvas has no alpha
+    channel): disposal 2 restores to the GIF's DECLARED background color
+    even when the disposing frame's GCE declared a transparency index —
+    i.e. the "transparent background" a browser would show as alpha-0 is
+    flattened to the file's own bg color, keeping every emitted pixel
+    palette-pure and the whole decode closed-form checkable. Renderers
+    that restore such rectangles to alpha-0 and composite over the page
+    will differ on exactly those pixels."""
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     if len(content) < 13:

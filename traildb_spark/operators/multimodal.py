@@ -330,9 +330,10 @@ def phash64(gray: np.ndarray) -> int:
 
 def _content_hash64(content: bytes) -> int:
     """Fallback 64-bit CONTENT hash for payloads whose pixels we cannot
-    decode in pure python (GIF, progressive JPEG): deterministic, but
-    byte-level — NOT perceptual. Kept distinct so deployments know to
-    swap in PIL."""
+    decode in pure python (lossless/arithmetic-coded JPEG, containers
+    outside PNG/JPEG/GIF): deterministic, but byte-level — NOT
+    perceptual. Kept distinct so deployments know to swap a codec into
+    :func:`_gray_pixels`."""
     import hashlib
 
     return (
@@ -351,7 +352,7 @@ def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
     parsing (PNG/JPEG/GIF); pHash and the luma-histogram features come
     from the real decoded bitmap for PNGs AND baseline JPEGs, with a
     marked byte-content fallback for containers whose pixel decode still
-    needs a codec library (GIF, progressive JPEG).
+    needs a codec library (lossless/arithmetic JPEG, non-PNG/JPEG/GIF).
     The iterator contract keeps memory bounded to one Arrow batch
     regardless of partition size.
     """
@@ -789,9 +790,10 @@ def resize_images(
     grid so oracles can recompute pixels in closed form. Output carries the
     resized binary plus ``mean_luma`` of the resized bitmap (a brightness
     stat downstream quality filters use). Undecodable payloads → width -1,
-    NULL content. PNG and baseline JPEG decode for real; remaining
-    containers (GIF, progressive JPEG) fall in that bucket until a full
-    codec is swapped into :func:`_gray_pixels`."""
+    NULL content. PNG, JPEG (baseline AND progressive) and GIF decode for
+    real; the undecodable bucket is now only lossless/arithmetic-coded
+    JPEG and containers outside PNG/JPEG/GIF (swap a codec into
+    :func:`_gray_pixels` to extend)."""
     if method not in ("box", "nearest"):
         raise ValueError(f"resize_images: unknown method {method!r}")
     if width < 1 or height < 1:

@@ -22,57 +22,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..dataset import TrailDataset
+from ..fsutil import hfs as _hfs
+from ..fsutil import read_small as _fs_read_small
+from ..fsutil import swap_pointer as _fs_swap_pointer
 from ..operators.text import fingerprint
-
-
-def _hfs(spark, path: str):
-    """(jvm, Path class, FileSystem) for ``path``'s scheme — the same
-    Hadoop FileSystem route ``_finalize_batch`` uses, so every streaming
-    state path (file://, hdfs://, s3a://) goes through one API."""
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return jvm, hpath, fs
-
-
-def _fs_read_small(spark, path: str) -> str | None:
-    """Read a small UTF-8 file (a pointer) via the Hadoop FS API; None if
-    absent. Any OTHER failure raises — treating a transient read error as
-    "no state" would silently reset accumulated streaming state."""
-    jvm, hpath, fs = _hfs(spark, path)
-    p = hpath(path)
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
-    try:
-        # commons-io ships with hadoop-common; py4j passes byte[] BY VALUE,
-        # so a readFully-into-array round trip would read back zeros —
-        # IOUtils materializes the string JVM-side instead
-        return str(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
-    finally:
-        stream.close()
-
-
-def _fs_swap_pointer(spark, latest: str, content: str) -> None:
-    """Atomically advance the ``_latest`` pointer: write ``.tmp`` via the
-    FS API, then FileContext.rename(..., OVERWRITE) — the rename IS the
-    commit. Atomic on HDFS and the local FS; on S3A the rename is a
-    single-object copy+delete of a tiny file, and the pointer protocol
-    tolerates the non-atomicity (a replay either rebuilds the identical
-    target dir or observes its own path and no-ops)."""
-    jvm, hpath, fs = _hfs(spark, latest)
-    tmp = hpath(latest + ".tmp")
-    out = fs.create(tmp, True)
-    out.write(bytearray(content, "utf-8"))
-    out.close()
-    fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-        hpath(latest).toUri(), spark.sparkContext._jsc.hadoopConfiguration()
-    )
-    opts = spark.sparkContext._gateway.new_array(
-        jvm.org.apache.hadoop.fs.Options.Rename, 1
-    )
-    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-    fctx.rename(tmp, hpath(latest), opts)
 
 
 def streaming_dedup_exact(
