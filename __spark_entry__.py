@@ -1591,6 +1591,48 @@ def q108_trail_overrides_table(spark, sf_dir):
     )
 
 
+def q109_y4m_chroma(spark, sf_dir):
+    """REAL Y4M chroma decode (retires the last honest media gate):
+    video-kind rows carry C420 streams — 8×4 luma y[f,i] = (id*7 + f*13
+    + i) % 256 PLUS 4×2 subsampled chroma planes cb[f,j] = (id*3 + f*5 +
+    j*11) % 256 and cr[f,j] = (id*13 + f*7 + j*17) % 256 over
+    n = 2 + id % 4 frames. Decode all three planes → stride-2 sample →
+    exact integer sums per plane. The oracle recomputes every sum from
+    the closed form, so a decoder that merely STRIDES past chroma (right
+    luma, wrong cb/cr) fails the hash — the proof chroma samples are
+    read, not skipped."""
+    from traildb_spark.operators import multimodal
+
+    @F.pandas_udf("binary")
+    def y4m_c420_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            n, h, w = 2 + i % 4, 4, 8
+            yb = np.arange(h * w, dtype=np.int64)
+            cbase = np.arange((h // 2) * (w // 2), dtype=np.int64)
+            y = np.stack(
+                [((i * 7 + f * 13 + yb) % 256).astype(np.uint8).reshape(h, w)
+                 for f in range(n)]
+            )
+            cb = np.stack(
+                [((i * 3 + f * 5 + cbase * 11) % 256)
+                 .astype(np.uint8).reshape(h // 2, w // 2) for f in range(n)]
+            )
+            cr = np.stack(
+                [((i * 13 + f * 7 + cbase * 17) % 256)
+                 .astype(np.uint8).reshape(h // 2, w // 2) for f in range(n)]
+            )
+            out.append(multimodal.make_y4m(y, colorspace="C420", cb=cb, cr=cr))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "video", y4m_c420_payload)
+    return multimodal.extract_video_chroma(media, every_n=2)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1704,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_bm25": q106_bm25,
         "q107_bigram_surprisal": q107_bigram_surprisal,
         "q108_trail_overrides_table": q108_trail_overrides_table,
+        "q109_y4m_chroma": q109_y4m_chroma,
     }
 
 
@@ -2405,6 +2448,40 @@ def oracle_sql() -> dict[str, str]:
               WHEN uuid LIKE '%1' THEN props <> '' AND event_type <> 'error'
               ELSE "time" >= {TIME_LO} AND "time" < {TIME_HI}
             END
+        """,
+        "q109_y4m_chroma": """
+            -- closed form of the C420 fixture: 8x4 luma ramp
+            -- y[f,i] = (id*7 + f*13 + i) % 256, 4x2 chroma ramps
+            -- cb[f,j] = (id*3 + f*5 + j*11) % 256 and
+            -- cr[f,j] = (id*13 + f*7 + j*17) % 256, n = 2 + id % 4,
+            -- stride-2 frame sample
+            WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+            f AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, (2 + doc_id % 4) - 1, 2)) AS frame_idx
+              FROM v),
+            yp AS (
+              SELECT doc_id, frame_idx,
+                     SUM((doc_id * 7 + frame_idx * 13 + i) % 256) AS ysum
+              FROM f, (SELECT unnest(generate_series(0, 31)) AS i)
+              GROUP BY doc_id, frame_idx),
+            cp AS (
+              SELECT doc_id, frame_idx,
+                     SUM((doc_id * 3 + frame_idx * 5 + j * 11) % 256) AS cbsum,
+                     SUM((doc_id * 13 + frame_idx * 7 + j * 17) % 256) AS crsum
+              FROM f, (SELECT unnest(generate_series(0, 7)) AS j)
+              GROUP BY doc_id, frame_idx)
+            SELECT yp.doc_id AS media_id,
+                   CAST(yp.frame_idx AS INTEGER) AS frame_idx,
+                   CAST(8 AS INTEGER) AS width,
+                   CAST(4 AS INTEGER) AS height,
+                   CAST(2 + yp.doc_id % 4 AS INTEGER) AS n_frames,
+                   'C420' AS colorspace,
+                   CAST(yp.ysum AS BIGINT) AS luma_sum,
+                   CAST(cp.cbsum AS BIGINT) AS cb_sum,
+                   CAST(cp.crsum AS BIGINT) AS cr_sum
+            FROM yp JOIN cp
+              ON yp.doc_id = cp.doc_id AND yp.frame_idx = cp.frame_idx
         """,
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})

@@ -420,23 +420,111 @@ def test_phash_neardup_pairs(spark):
     assert not any(3 in p for p in pairs)
 
 
-def test_y4m_roundtrip_and_chroma_gate(spark):
+def test_y4m_roundtrip_all_colorspaces(spark):
+    """Encode→decode round-trip fuzz over EVERY colorspace the YUV4MPEG2
+    spec names (Cmono, the C420 siting variants, C411, C422, C444,
+    C444alpha) across random shapes/frame counts: every stored plane
+    must come back bit-identical, luma-only default return included."""
     import numpy as np
     from traildb_spark.operators import multimodal as M
 
-    fr = (np.arange(2 * 4 * 6, dtype=np.int64) * 31 % 256).astype("uint8").reshape(2, 4, 6)
-    b = M.make_y4m(fr, fps=30)
-    w, h, back = M.decode_y4m(b)
-    assert (w, h) == (6, 4) and np.array_equal(back, fr)
-    # chroma-carrying stream → honest NotImplementedError, not garbage
-    chroma = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\nFRAME\n" + bytes(6)
+    rng = np.random.default_rng(7)
+    cases = {
+        "Cmono": None, "C420": (2, 2), "C420jpeg": (2, 2),
+        "C420paldv": (2, 2), "C420mpeg2": (2, 2), "C422": (2, 1),
+        "C411": (4, 1), "C444": (1, 1), "C444alpha": (1, 1),
+    }
+    for cs, sub in cases.items():
+        for _ in range(3):
+            if sub is None:
+                w, h = int(rng.integers(1, 9)), int(rng.integers(1, 7))
+            else:
+                sx, sy = sub
+                w, h = sx * int(rng.integers(1, 5)), sy * int(rng.integers(1, 4))
+            n = int(rng.integers(1, 4))
+            y = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+            kw = {}
+            if sub is not None:
+                cw, ch = w // sub[0], h // sub[1]
+                kw["cb"] = rng.integers(0, 256, (n, ch, cw), dtype=np.uint8)
+                kw["cr"] = rng.integers(0, 256, (n, ch, cw), dtype=np.uint8)
+            if cs == "C444alpha":
+                kw["alpha"] = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+            b = M.make_y4m(y, fps=30, colorspace=cs, **kw)
+            w2, h2, back = M.decode_y4m(b)  # luma-only default
+            assert (w2, h2) == (w, h) and np.array_equal(back, y), cs
+            w3, h3, cs3, y3, cb3, cr3, a3 = M.decode_y4m(b, planes=True)
+            assert (w3, h3, cs3) == (w, h, cs)
+            assert np.array_equal(y3, y)
+            if sub is None:
+                assert cb3 is None and cr3 is None
+            else:
+                assert np.array_equal(cb3, kw["cb"])
+                assert np.array_equal(cr3, kw["cr"])
+            if cs == "C444alpha":
+                assert np.array_equal(a3, kw["alpha"])
+            else:
+                assert a3 is None
+            # truncation anywhere in the LAST frame's plane set raises
+            import pytest as _pytest
+            with _pytest.raises(ValueError):
+                M.decode_y4m(b[: len(b) - 1])
+
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        M.decode_y4m(chroma)
     with _pytest.raises(ValueError):
         M.decode_y4m(b"RIFFxxxx")
+    # odd dims are undefined under 2x2 subsampling
     with _pytest.raises(ValueError):
-        M.decode_y4m(b[: len(b) - 3])  # truncated final frame
+        M.decode_y4m(b"YUV4MPEG2 W3 H2 F25:1 Ip A1:1 C420\nFRAME\n" + bytes(9))
+    # unknown colorspace: ValueError (sentinel path), never silent garbage
+    with _pytest.raises(ValueError):
+        M.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C999\nFRAME\n" + bytes(6))
+    # encoder refuses mismatched plane shapes / planes Cmono can't carry
+    y = np.zeros((1, 2, 2), np.uint8)
+    with _pytest.raises(ValueError):
+        M.make_y4m(y, colorspace="Cmono", cb=y, cr=y)
+    with _pytest.raises(ValueError):
+        M.make_y4m(y, colorspace="C420", cb=np.zeros((1, 2, 2), np.uint8),
+                   cr=np.zeros((1, 1, 1), np.uint8))
+    # header-default colorspace is C420 per spec when the C tag is absent
+    dflt = b"YUV4MPEG2 W2 H2\nFRAME\n" + bytes(range(6))
+    w4, h4, cs4, y4, cb4, cr4, _ = M.decode_y4m(dflt, planes=True)
+    assert cs4 == "C420" and int(cb4[0, 0, 0]) == 4 and int(cr4[0, 0, 0]) == 5
+
+
+def test_extract_video_chroma_stats(spark):
+    """extract_video_chroma proves the chroma planes are READ, not just
+    strided past: exact Cb/Cr sums for a C420 stream, NULL chroma for
+    Cmono, sentinel row for a corrupt payload."""
+    import numpy as np
+    from traildb_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 256, (3, 4, 6), dtype=np.uint8)
+    cb = rng.integers(0, 256, (3, 2, 3), dtype=np.uint8)
+    cr = rng.integers(0, 256, (3, 2, 3), dtype=np.uint8)
+    c420 = M.make_y4m(y, colorspace="C420", cb=cb, cr=cr)
+    mono = M.make_y4m(np.full((2, 2, 2), 9, np.uint8))
+    rows = [
+        (1, "video", bytearray(c420), "video/y4m", None),
+        (2, "video", bytearray(mono), "video/y4m", None),
+        (3, "video", bytearray(b"garbage"), "video/y4m", None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in M.extract_video_chroma(df, every_n=2).collect()
+    }
+    assert set(got) == {(1, 0), (1, 2), (2, 0), (3, -1)}
+    for i in (0, 2):
+        r = got[(1, i)]
+        assert r["colorspace"] == "C420" and (r["width"], r["height"]) == (6, 4)
+        assert r["luma_sum"] == int(y[i].astype(np.int64).sum())
+        assert r["cb_sum"] == int(cb[i].astype(np.int64).sum())
+        assert r["cr_sum"] == int(cr[i].astype(np.int64).sum())
+    m = got[(2, 0)]
+    assert m["colorspace"] == "Cmono" and m["cb_sum"] is None and m["cr_sum"] is None
+    assert got[(3, -1)]["colorspace"] is None
 
 
 def test_extract_video_frames_stride(spark):

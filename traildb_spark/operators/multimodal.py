@@ -963,26 +963,101 @@ def phash_neardup_pairs(
 # video: YUV4MPEG2 (Y4M) — a real headered stream format, pure-python
 # --------------------------------------------------------------------------
 
-def make_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
-    """Encode a (n_frames, height, width) uint8 luma array as a real
-    YUV4MPEG2 stream (Cmono = luma-only; the format's own spec covers
-    mono streams, so no chroma planes are fabricated). Complements
-    ``make_png``/``make_wav``: every media kind now round-trips through
-    an actual container format."""
+# chroma subsampling factors (sx, sy) per YUV4MPEG2 colorspace tag; the
+# C420 siting variants (jpeg/paldv/mpeg2) differ only in sample POSITION,
+# which does not change plane sizes or byte layout
+_Y4M_SUBSAMPLE = {
+    "C420": (2, 2),
+    "C420jpeg": (2, 2),
+    "C420paldv": (2, 2),
+    "C420mpeg2": (2, 2),
+    "C422": (2, 1),
+    "C411": (4, 1),
+    "C444": (1, 1),
+}
+
+
+def _y4m_plane_dims(colorspace: str, w: int, h: int):
+    """(chroma_w, chroma_h, has_alpha) for a colorspace; None chroma for
+    Cmono. Raises ValueError for dims not divisible by the subsampling
+    (the spec's plane math is undefined there) and for unknown tags."""
+    if colorspace == "Cmono":
+        return None, None, False
+    if colorspace == "C444alpha":
+        return w, h, True
+    sub = _Y4M_SUBSAMPLE.get(colorspace)
+    if sub is None:
+        raise ValueError(f"unknown Y4M colorspace {colorspace}")
+    sx, sy = sub
+    if w % sx or h % sy:
+        raise ValueError(
+            f"Y4M {colorspace}: dimensions {w}x{h} not divisible by "
+            f"the {sx}x{sy} chroma subsampling"
+        )
+    return w // sx, h // sy, False
+
+
+def make_y4m(
+    frames: np.ndarray,
+    fps: int = 25,
+    colorspace: str = "Cmono",
+    cb: np.ndarray | None = None,
+    cr: np.ndarray | None = None,
+    alpha: np.ndarray | None = None,
+) -> bytes:
+    """Encode uint8 planes as a real YUV4MPEG2 stream. ``frames`` is the
+    (n, h, w) luma; chroma-carrying colorspaces (C420 and its siting
+    variants, C411, C422, C444, C444alpha) take matching (n, ch, cw)
+    ``cb``/``cr`` stacks (and (n, h, w) ``alpha`` for C444alpha) sized
+    per the subsampling. Complements ``make_png``/``make_wav``: every
+    media kind round-trips through an actual container format, so the
+    decoder is testable against hand-built streams of every spec
+    colorspace."""
     if frames.ndim != 3:
         raise ValueError("frames must be (n, h, w)")
     n, h, w = frames.shape
-    header = f"YUV4MPEG2 W{w} H{h} F{int(fps)}:1 Ip A1:1 Cmono\n".encode()
-    body = b"".join(b"FRAME\n" + f.astype(np.uint8).tobytes() for f in frames)
-    return header + body
+    cw, ch, has_alpha = _y4m_plane_dims(colorspace, w, h)
+    parts = [f"YUV4MPEG2 W{w} H{h} F{int(fps)}:1 Ip A1:1 {colorspace}\n".encode()]
+    if cw is None:
+        if cb is not None or cr is not None or alpha is not None:
+            raise ValueError("Cmono carries no chroma/alpha planes")
+        planes = [np.asarray(frames, np.uint8)]
+    else:
+        if cb is None or cr is None:
+            raise ValueError(f"{colorspace} requires cb and cr planes")
+        cb = np.asarray(cb, np.uint8)
+        cr = np.asarray(cr, np.uint8)
+        if cb.shape != (n, ch, cw) or cr.shape != (n, ch, cw):
+            raise ValueError(
+                f"{colorspace} chroma must be {(n, ch, cw)}, got "
+                f"{cb.shape} / {cr.shape}"
+            )
+        planes = [np.asarray(frames, np.uint8), cb, cr]
+        if has_alpha:
+            if alpha is None or np.asarray(alpha).shape != (n, h, w):
+                raise ValueError("C444alpha requires an (n, h, w) alpha plane")
+            planes.append(np.asarray(alpha, np.uint8))
+        elif alpha is not None:
+            raise ValueError(f"{colorspace} carries no alpha plane")
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        for pl in planes:
+            parts.append(pl[i].tobytes())
+    return b"".join(parts)
 
 
-def decode_y4m(content: bytes) -> tuple[int, int, np.ndarray]:
-    """Parse a YUV4MPEG2 stream: header params, then FRAME-delimited luma
-    planes. Returns ``(width, height, frames[n, h, w])``. Chroma-carrying
-    streams (C420 etc.) raise ``NotImplementedError`` — the honest gate
-    for formats that need a real chroma path, same convention as the
-    JPEG-pixel fallback."""
+def decode_y4m(content: bytes, planes: bool = False):
+    """Parse a YUV4MPEG2 stream: header params, then FRAME-delimited
+    plane sets. Every colorspace the spec names decodes — Cmono, the
+    C420 siting variants, C411, C422, C444, C444alpha (plane sizes per
+    ``_y4m_plane_dims``); unknown tags raise ValueError.
+
+    Default return is the luma surface ``(width, height, y[n, h, w])`` —
+    the Y plane IS the luma in Y'CbCr, no conversion needed. With
+    ``planes=True`` returns ``(width, height, colorspace, y, cb, cr,
+    alpha)`` where cb/cr are the RAW subsampled stacks (n, ch, cw) and
+    cb/cr/alpha are None when the colorspace lacks them — callers that
+    want RGB or chroma stats get the exact stored samples."""
     nl = content.find(b"\n")
     if nl < 0 or not content.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 stream")
@@ -1000,25 +1075,46 @@ def decode_y4m(content: bytes) -> tuple[int, int, np.ndarray]:
             colorspace = "C" + val
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
-    if colorspace != "Cmono":
-        raise NotImplementedError(
-            f"Y4M colorspace {colorspace}: chroma decode not implemented"
-        )
-    plane = w * h
-    frames = []
+    cw, ch, has_alpha = _y4m_plane_dims(colorspace, w, h)
+    y_sz = w * h
+    c_sz = (cw * ch) if cw is not None else 0
+    frame_sz = y_sz + 2 * c_sz + (y_sz if has_alpha else 0)
+    ys, cbs, crs, als = [], [], [], []
     pos = nl + 1
-    while pos < len(content):
+    n_ = len(content)
+    while pos < n_:
         fnl = content.find(b"\n", pos)
         if fnl < 0 or not content[pos:fnl].startswith(b"FRAME"):
             raise ValueError(f"bad FRAME marker at byte {pos}")
         start = fnl + 1
-        if start + plane > len(content):
+        if start + frame_sz > n_:
             raise ValueError("truncated Y4M frame")
-        frames.append(
-            np.frombuffer(content[start : start + plane], dtype=np.uint8).reshape(h, w)
+        ys.append(
+            np.frombuffer(content[start : start + y_sz], np.uint8).reshape(h, w)
         )
-        pos = start + plane
-    return w, h, np.stack(frames) if frames else np.empty((0, h, w), np.uint8)
+        pos = start + y_sz
+        if c_sz:
+            cbs.append(
+                np.frombuffer(content[pos : pos + c_sz], np.uint8).reshape(ch, cw)
+            )
+            crs.append(
+                np.frombuffer(
+                    content[pos + c_sz : pos + 2 * c_sz], np.uint8
+                ).reshape(ch, cw)
+            )
+            pos += 2 * c_sz
+        if has_alpha:
+            als.append(
+                np.frombuffer(content[pos : pos + y_sz], np.uint8).reshape(h, w)
+            )
+            pos += y_sz
+    y = np.stack(ys) if ys else np.empty((0, h, w), np.uint8)
+    if not planes:
+        return w, h, y
+    cb = np.stack(cbs) if cbs else (np.empty((0, ch, cw), np.uint8) if c_sz else None)
+    cr = np.stack(crs) if crs else (np.empty((0, ch, cw), np.uint8) if c_sz else None)
+    al = np.stack(als) if als else (np.empty((0, h, w), np.uint8) if has_alpha else None)
+    return w, h, colorspace, y, cb, cr, al
 
 
 VIDEO_FRAMES_SCHEMA = StructType(
@@ -1062,10 +1158,11 @@ def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
                     continue
                 try:
                     w, h, frames = decode(bytes(content))
-                except DECODE_ERRORS + (NotImplementedError,):
-                    # corrupt / non-Y4M / chroma payload → sentinel row,
-                    # never a failed task (same contract as the image and
-                    # audio extractors)
+                except DECODE_ERRORS:
+                    # corrupt / non-Y4M payload → sentinel row, never a
+                    # failed task (same contract as the image and audio
+                    # extractors); chroma-carrying streams decode for
+                    # real (luma = the Y plane)
                     ids.append(int(mid))
                     fidx.append(-1)
                     ws.append(-1)
@@ -1097,3 +1194,81 @@ def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
             )
 
     return vids.mapInPandas(run, VIDEO_FRAMES_SCHEMA)
+
+
+VIDEO_CHROMA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("colorspace", StringType()),
+        StructField("luma_sum", LongType()),
+        StructField("cb_sum", LongType()),
+        StructField("cr_sum", LongType()),
+    ]
+)
+
+
+def extract_video_chroma(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """Full-plane Y4M decode: per kept frame, exact integer sums of the
+    Y plane AND the RAW subsampled Cb/Cr planes, plus the stream's
+    colorspace tag — the proof the chroma path reads the stored chroma
+    SAMPLES, not just strides past them (a stride-only decoder gets
+    luma_sum right and cb_sum/cr_sum wrong). Cmono streams report NULL
+    chroma sums; corrupt/non-Y4M payloads emit the frame_idx -1 sentinel
+    row like :func:`extract_video_frames`. Arrow-batched mapInPandas;
+    only fixed-width stats leave the worker, never pixel planes."""
+    vids = df.filter(F.col("kind") == "video").select("media_id", "content")
+
+    def run(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f.name: [] for f in VIDEO_CHROMA_SCHEMA.fields
+            }
+
+            def emit(mid, fi, w, h, n, cs, ls, cbs_, crs_):
+                rows["media_id"].append(int(mid))
+                rows["frame_idx"].append(fi)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(n)
+                rows["colorspace"].append(cs)
+                rows["luma_sum"].append(ls)
+                rows["cb_sum"].append(cbs_)
+                rows["cr_sum"].append(crs_)
+
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    w, h, cs, y, cb, cr, _ = decode_y4m(
+                        bytes(content), planes=True
+                    )
+                except DECODE_ERRORS:
+                    emit(mid, -1, -1, -1, -1, None, 0, None, None)
+                    continue
+                n = int(y.shape[0])
+                for i in range(0, n, every_n):
+                    emit(
+                        mid, i, w, h, n, cs,
+                        int(y[i].astype(np.int64).sum()),
+                        int(cb[i].astype(np.int64).sum()) if cb is not None else None,
+                        int(cr[i].astype(np.int64).sum()) if cr is not None else None,
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "colorspace": pd.Series(rows["colorspace"], dtype="object"),
+                    "luma_sum": pd.Series(rows["luma_sum"], dtype="int64"),
+                    "cb_sum": pd.Series(rows["cb_sum"], dtype="Int64"),
+                    "cr_sum": pd.Series(rows["cr_sum"], dtype="Int64"),
+                }
+            )
+
+    return vids.mapInPandas(run, VIDEO_CHROMA_SCHEMA)
