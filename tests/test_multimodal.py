@@ -1121,3 +1121,126 @@ def test_gif_animation_disposal_and_transparency():
     lum = np.round(lum).astype(int)
     assert lum[1][1, 1] == 192 and lum[1][1, 2] == 64
     assert lum[1][2, 1] == 64 and lum[1][2, 2] == 192
+
+
+def test_lzw_fast_equals_spec_procedure():
+    """The vectorized LZW production path (bulk code extraction + output
+    back-references) must agree byte-for-byte with the literal GIF-spec
+    table-of-strings procedure on streams that exercise width growth,
+    table-full rebuilds (CLEAR), KwKwK, and interlacing — and raise the
+    same errors on truncation."""
+    import numpy as np
+    import pytest as _pytest
+
+    from traildb_spark.operators import gif as G
+
+    def lzw_body(content):
+        pos = 13 + 3 * (2 << (content[10] & 7)) + 10
+        mcs = content[pos]
+        data, _ = G._read_blocks(content, pos + 1)
+        return data, mcs
+
+    rng = np.random.default_rng(41)
+    for trial in range(24):
+        if trial % 6 == 0:  # big enough to force 12-bit codes + rebuild
+            h, w = 300, int(rng.integers(200, 400))
+        else:
+            h, w = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+        ncol = int(rng.integers(2, 17))
+        if trial % 2:
+            idx = rng.integers(0, ncol, (h, w), dtype=np.uint8)
+        else:  # long runs → long back-reference strings
+            idx = (
+                np.add.outer(np.arange(h) // 7, np.arange(w) // 11) % ncol
+            ).astype(np.uint8)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        b = G.make_gif(idx, pal, interlace=bool(trial % 4 == 1))
+        data, mcs = lzw_body(b)
+        fast = G._lzw_decode(data, mcs, h * w)
+        ref = G._lzw_decode_ref(data, mcs, h * w)
+        assert np.array_equal(fast, ref) and np.array_equal(
+            fast.reshape(-1), G.decode_gif_indices(b)[1].reshape(-1)
+            if not (trial % 4 == 1) else fast.reshape(-1)
+        )
+        if len(data) > 6:
+            for f in (G._lzw_decode, G._lzw_decode_ref):
+                with _pytest.raises(ValueError):
+                    f(data[:3], mcs, h * w)
+
+
+def test_jpeg_lut_decode_equals_spec_walk():
+    """The 16-bit-prefix LUT Huffman decode must agree with the literal
+    F.2.2.3 per-bit DECODE walk (_BitReaderSpec) symbol-for-symbol on
+    random canonical tables × random bitstreams."""
+    import numpy as np
+
+    from traildb_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(17)
+    for trial in range(15):
+        # random canonical table: random symbol count per length, capped
+        # so the kraft sum stays feasible
+        nsym = int(rng.integers(4, 40))
+        syms = rng.choice(256, nsym, replace=False).tolist()
+        # build lengths greedily: kraft-feasible canonical assignment
+        bits = [0] * 16
+        remaining = nsym
+        code_space = 1.0
+        for length in range(1, 17):
+            if remaining == 0:
+                break
+            cap = int(code_space * (1 << length)) - (
+                0 if length == 16 else 1
+            )  # leave room unless last level
+            take = min(remaining, max(0, cap), int(rng.integers(0, remaining + 1)) if length < 16 else remaining)
+            bits[length - 1] = take
+            remaining -= take
+            code_space = (code_space - take / (1 << length))
+        if remaining:
+            continue  # infeasible draw; skip
+        _, dec = J._build_canonical(bits, syms)
+        # random symbol sequence → encode with the canonical codes
+        enc = J._build_canonical(bits, syms)[0]
+        seq = rng.choice(syms, 500).tolist()
+        bw = J._BitWriter()
+        for s in seq:
+            code, length = enc[s]
+            bw.write(code, length)
+        bw.flush()
+        data = bytes(bw.out)
+        fast = J._BitReader(data, 0)
+        spec = J._BitReaderSpec(data, 0)
+        for s in seq:
+            a = fast.decode(dec)
+            b = spec.decode(dec)
+            assert a == b == s, f"trial {trial}: {a} {b} {s}"
+
+
+def test_fast_image_decoder_hook(spark):
+    """FAST_IMAGE_DECODER is the single production swap point: when set,
+    every image operator routes through it; returning None falls back to
+    the built-in codecs per payload; unset restores pure-python."""
+    import numpy as np
+
+    from traildb_spark.operators import multimodal as M
+
+    png = M.make_png(np.full((4, 4), 7, np.uint8))
+    calls = []
+
+    def fake(content):
+        calls.append(len(content))
+        if len(calls) == 1:
+            return None  # first call falls back to the real codec
+        return np.full((2, 2), 200.0)
+
+    try:
+        M.FAST_IMAGE_DECODER = fake
+        a = M._gray_pixels(png)
+        assert a.shape == (4, 4) and float(a.mean()) == 7.0  # fallback
+        b = M._gray_pixels(png)
+        assert b.shape == (2, 2) and float(b.mean()) == 200.0  # hook
+        assert len(calls) == 2
+    finally:
+        M.FAST_IMAGE_DECODER = None
+    c = M._gray_pixels(png)
+    assert c.shape == (4, 4) and len(calls) == 2  # hook fully detached

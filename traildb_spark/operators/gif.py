@@ -45,10 +45,123 @@ def _read_blocks(content: bytes, pos: int) -> tuple[bytes, int]:
 
 
 def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
-    """Variable-width LZW per the GIF spec: codes start at
-    ``min_code_size + 1`` bits, grow after the table fills (cap 12),
-    CLEAR resets the table, EOI ends the stream. Returns ``expected``
-    indices (extra output is truncated — encoders may pad)."""
+    """Variable-width LZW per the GIF spec — the fast production path.
+
+    Two optimizations over the literal table-of-byte-strings procedure
+    (kept below as ``_lzw_decode_ref``, the differential oracle):
+
+    * **Bulk code extraction.** Between CLEAR codes the width schedule is
+      deterministic (each emitted code after the first adds one table
+      entry; width bumps when the table reaches 2^width, cap 12), so the
+      bit offsets of a whole run of same-width codes are known in
+      advance — numpy gathers 3 bytes per code and shifts/masks them all
+      at once instead of a per-code bit loop.
+    * **Output back-references.** Every table entry's string is a
+      substring of already-produced output (entry = prev + first char of
+      its own expansion), so the table stores (position, length) into
+      the output buffer and expansion is ONE bytearray slice copy per
+      code — no byte-string concatenation, no per-symbol writes. Root
+      strings live in a prefix region of the buffer.
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    nbytes = len(data)
+    total_bits = nbytes * 8
+    arr = np.frombuffer(data, np.uint8).astype(np.uint32)
+    arr = np.concatenate([arr, np.zeros(4, np.uint32)])
+    # output buffer: [roots prefix | expected pixels | slack for the last
+    # entry (max table-entry length is bounded by the output produced)]
+    base = clear
+    out = bytearray(base + expected + 4096)
+    out[:base] = bytes(range(clear))
+    target = base + expected
+    # table as (position, length) into `out`; roots pre-filled, the two
+    # reserved slots (clear/eoi) keep length 0 and are never dereferenced
+    pos_t = [0] * 4096
+    len_t = [0] * 4096
+    for i in range(clear):
+        pos_t[i] = i
+        len_t[i] = 1
+    size = clear + 2
+    width = min_code_size + 1
+    prev_pos = 0
+    prev_len = 0  # 0 == no previous code (start / after CLEAR)
+    o = base
+    bitpos = 0
+    done = False
+    while o < target and not done:
+        # how many codes fit at the CURRENT width before the table could
+        # force a bump (first code after CLEAR adds no entry)
+        if width < 12:
+            n_codes = (1 << width) - size + (1 if prev_len == 0 else 0)
+        else:
+            n_codes = 1024  # width capped: grab a big batch
+        n_codes = min(n_codes, (total_bits - bitpos) // width)
+        if n_codes <= 0:
+            raise ValueError("GIF: LZW stream exhausted")
+        offs = bitpos + width * np.arange(n_codes, dtype=np.int64)
+        byte = offs >> 3
+        vals = (
+            (arr[byte] | (arr[byte + 1] << 8) | (arr[byte + 2] << 16))
+            >> (offs & 7).astype(np.uint32)
+        ) & ((1 << width) - 1)
+        codes = vals.tolist()
+        batch_width = width  # a CLEAR resets `width` mid-batch, but every
+        # consumed code (the CLEAR included) was read at the batch width
+        consumed = 0
+        for code in codes:
+            consumed += 1
+            if code == clear:
+                size = clear + 2
+                width = min_code_size + 1
+                prev_len = 0
+                break  # re-plan the batch at the reset width
+            if code == eoi:
+                done = True
+                break
+            if prev_len == 0:
+                if code >= size:
+                    raise ValueError("GIF: invalid first LZW code")
+                L = len_t[code]
+                out[o : o + L] = out[pos_t[code] : pos_t[code] + L]
+            elif code < size:
+                L = len_t[code]
+                out[o : o + L] = out[pos_t[code] : pos_t[code] + L]
+                if size < 4096:  # full table: 12-bit codes can't address more
+                    # new entry = prev + entry[0] = out[prev_pos : o+1]
+                    pos_t[size] = prev_pos
+                    len_t[size] = prev_len + 1
+                    size += 1
+            elif code == size and size < 4096:
+                # KwKwK: entry = prev + prev[0], materialized in place
+                L = prev_len + 1
+                out[o : o + prev_len] = out[prev_pos:o]
+                out[o + prev_len] = out[prev_pos]
+                pos_t[size] = o
+                len_t[size] = L
+                size += 1
+            else:
+                raise ValueError("GIF: LZW code out of range")
+            prev_pos = o
+            prev_len = L
+            o += L
+            if o >= target:
+                break
+        bitpos += consumed * batch_width
+        if width < 12 and size >= (1 << width):
+            width += 1
+    if o < target:
+        raise ValueError("GIF: LZW output short of image size")
+    return np.frombuffer(bytes(out[base:target]), np.uint8)
+
+
+def _lzw_decode_ref(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    """The literal GIF-spec LZW procedure (table of byte strings, per-code
+    bit reads) — kept as the differential oracle for ``_lzw_decode``'s
+    vectorized fast path. Codes start at ``min_code_size + 1`` bits, grow
+    after the table fills (cap 12), CLEAR resets the table, EOI ends the
+    stream. Returns ``expected`` indices (extra output is truncated —
+    encoders may pad)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out = np.empty(expected, dtype=np.uint8)

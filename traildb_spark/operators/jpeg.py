@@ -63,6 +63,7 @@ ZIGZAG = np.array(
     ],
     dtype=np.int64,
 )
+_ZIGZAG_LIST = ZIGZAG.tolist()  # list indexing for the per-symbol hot loops
 
 # Annex K.1 example quantization tables (row-major)
 QUANT_LUMA = np.array(
@@ -182,7 +183,12 @@ def _build_canonical(bits: list[int], vals: list[int]):
     """Canonical Huffman code assignment (C.2): codes of each length in
     value-list order, starting from (prev+1)<<1 at each length step.
     Returns {symbol: (code, length)} for encode and the spec's
-    (mincode, maxcode, valptr, huffval) arrays for decode (F.2.2.3)."""
+    (mincode, maxcode, valptr, huffval) arrays for decode (F.2.2.3),
+    plus a 16-bit prefix LUT as the 5th element: entry =
+    (code_length << 8) | symbol for every 16-bit window starting with
+    that code, 0 = invalid prefix. Canonical codes of one length are
+    CONSECUTIVE, so the LUT builds as ≤16 numpy range fills — decoding
+    becomes one table index per symbol instead of a per-bit walk."""
     enc: dict[int, tuple[int, int]] = {}
     mincode = [0] * 17
     maxcode = [-1] * 17
@@ -203,16 +209,211 @@ def _build_canonical(bits: list[int], vals: list[int]):
             k += 1
         maxcode[length] = code - 1
         code <<= 1
-    return enc, (mincode, maxcode, valptr, list(vals))
+    huffval = list(vals)
+    lut = np.zeros(1 << 16, dtype=np.uint16)
+    for length in range(1, 17):
+        if maxcode[length] < mincode[length] or maxcode[length] < 0:
+            continue
+        cnt = maxcode[length] - mincode[length] + 1
+        entries = (
+            np.asarray(
+                huffval[valptr[length] : valptr[length] + cnt], dtype=np.uint16
+            )
+            | (length << 8)
+        )
+        start = mincode[length] << (16 - length)
+        lut[start : start + (cnt << (16 - length))] = np.repeat(
+            entries, 1 << (16 - length)
+        )
+    # memoryview: ~40ns/index vs ~230ns for numpy scalar indexing — the
+    # LUT is hit once per Huffman symbol, the hottest op in the decoder
+    return enc, (mincode, maxcode, valptr, huffval, memoryview(lut))
 
 
 # -- decoder ----------------------------------------------------------------
 
 
 class _BitReader:
-    """MSB-first bit reader over an entropy-coded segment with 0xFF00
-    byte stuffing removed on the fly (F.2.2.5). Stops at any real marker
-    (0xFF followed by non-zero): ``self.marker`` records it."""
+    """MSB-first bit reader over an entropy-coded segment.
+
+    Fast path (this is THE production entropy stage): the segment up to
+    the next real marker is destuffed in one C pass
+    (``bytes.replace(b'\\xff\\x00', b'\\xff')``) and padded with 0xFF
+    (the spec's 1-bit padding), so ``receive`` never tests for stuffing
+    per byte, and ``decode`` resolves a whole Huffman symbol with ONE
+    16-bit-window LUT index (table[4]) instead of the per-bit DECODE
+    walk — ~10× fewer Python ops per symbol. ``_BitReaderSpec`` below
+    keeps the literal F.2.2.3 procedure as the differential reference."""
+
+    __slots__ = ("data", "seg", "spos", "buf", "nbits", "_marker", "_mpos")
+
+    _PAD = b"\xff" * 8  # >= 64 pad bits: any legitimate tail read fits
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.buf = 0
+        self.nbits = 0
+        self._load_segment(pos)
+
+    def _load_segment(self, pos: int) -> None:
+        d = self.data
+        n = len(d)
+        i = pos
+        while True:
+            j = d.find(b"\xff", i)
+            if j < 0:
+                end, self._marker, self._mpos = n, None, n
+                break
+            if j + 1 >= n:
+                # trailing lone 0xFF: the reference procedure treats it
+                # as an implicit EOI and feeds pad bits
+                end, self._marker, self._mpos = j, 0xD9, n
+                break
+            if d[j + 1] == 0x00:
+                i = j + 2  # stuffed data byte, stays in the segment
+                continue
+            end, self._marker, self._mpos = j, d[j + 1], j
+            break
+        self.seg = d[pos:end].replace(b"\xff\x00", b"\xff") + self._PAD
+        self.spos = 0
+
+    def receive(self, n: int) -> int:
+        seg = self.seg
+        while self.nbits < n:
+            p = self.spos
+            if p >= len(seg):
+                raise ValueError("JPEG: entropy data exhausted")
+            self.buf = (self.buf << 8) | seg[p]
+            self.spos = p + 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def decode(self, table) -> int:
+        """DECODE via the canonical-prefix LUT: peek 16 bits, one index."""
+        seg = self.seg
+        while self.nbits < 16:
+            p = self.spos
+            if p >= len(seg):
+                raise ValueError("JPEG: entropy data exhausted")
+            self.buf = (self.buf << 8) | seg[p]
+            self.spos = p + 1
+            self.nbits += 8
+        v = table[4][(self.buf >> (self.nbits - 16)) & 0xFFFF]
+        if v == 0:
+            raise ValueError("JPEG: invalid huffman code")
+        self.nbits -= v >> 8
+        self.buf &= (1 << self.nbits) - 1
+        return v & 0xFF
+
+    def decode_block(self, dct, act, zz) -> tuple:
+        """Decode one 8×8 block — DC diff plus (natural-order index,
+        value) AC lists — with ALL reader state in locals: the
+        sequential scan's hot path spends its time here, and hoisting
+        buf/nbits/spos out of attribute access and per-symbol method
+        calls is worth ~1.5× on top of the LUT decode."""
+        seg = self.seg
+        n = len(seg)
+        buf = self.buf
+        nbits = self.nbits
+        p = self.spos
+        dlut = dct[4]
+        alut = act[4]
+        while nbits < 16:
+            if p >= n:
+                raise ValueError("JPEG: entropy data exhausted")
+            buf = (buf << 8) | seg[p]
+            p += 1
+            nbits += 8
+        v = dlut[(buf >> (nbits - 16)) & 0xFFFF]
+        if v == 0:
+            raise ValueError("JPEG: invalid huffman code")
+        nbits -= v >> 8
+        buf &= (1 << nbits) - 1
+        t = v & 255
+        if t:
+            while nbits < t:
+                if p >= n:
+                    raise ValueError("JPEG: entropy data exhausted")
+                buf = (buf << 8) | seg[p]
+                p += 1
+                nbits += 8
+            nbits -= t
+            diff = (buf >> nbits) & ((1 << t) - 1)
+            buf &= (1 << nbits) - 1
+            if diff < (1 << (t - 1)):  # EXTEND
+                diff += 1 - (1 << t)
+        else:
+            diff = 0
+        ks: list[int] = []
+        vs: list[int] = []
+        k = 1
+        while k < 64:
+            while nbits < 16:
+                if p >= n:
+                    raise ValueError("JPEG: entropy data exhausted")
+                buf = (buf << 8) | seg[p]
+                p += 1
+                nbits += 8
+            v = alut[(buf >> (nbits - 16)) & 0xFFFF]
+            if v == 0:
+                raise ValueError("JPEG: invalid huffman code")
+            nbits -= v >> 8
+            buf &= (1 << nbits) - 1
+            rs = v & 255
+            s = rs & 15
+            if s == 0:
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("JPEG: AC index overflow")
+            while nbits < s:
+                if p >= n:
+                    raise ValueError("JPEG: entropy data exhausted")
+                buf = (buf << 8) | seg[p]
+                p += 1
+                nbits += 8
+            nbits -= s
+            av = (buf >> nbits) & ((1 << s) - 1)
+            buf &= (1 << nbits) - 1
+            if av < (1 << (s - 1)):  # EXTEND
+                av += 1 - (1 << s)
+            ks.append(zz[k])
+            vs.append(av)
+            k += 1
+        self.buf = buf
+        self.nbits = nbits
+        self.spos = p
+        return diff, ks, vs
+
+    def align_to_marker(self) -> int | None:
+        """Discard pad bits and return the next marker byte (for RSTn)."""
+        self.buf = 0
+        self.nbits = 0
+        if self._marker is None or self._mpos + 1 >= len(self.data):
+            return None
+        m = self._marker
+        self._load_segment(self._mpos + 2)
+        return m
+
+    @property
+    def pos(self) -> int:
+        """Original-stream position of the current segment's end marker —
+        any in-scan position yields the same ``_skip_entropy`` result, so
+        this is the hand-off point after a scan completes."""
+        return self._mpos
+
+
+class _BitReaderSpec:
+    """The literal T.81 F.2.2 procedures (per-bit DECODE walk, stuffing
+    test per byte) — kept as the differential oracle for `_BitReader`'s
+    LUT fast path (test: random tables × random bitstreams decode
+    identically)."""
 
     __slots__ = ("data", "pos", "buf", "nbits", "marker")
 
@@ -254,27 +455,13 @@ class _BitReader:
 
     def decode(self, table) -> int:
         """DECODE (F.2.2.3): walk code lengths until code <= maxcode[l]."""
-        mincode, maxcode, valptr, huffval = table
+        mincode, maxcode, valptr, huffval = table[:4]
         code = self.receive(1)
         for length in range(1, 17):
             if maxcode[length] >= code:
                 return huffval[valptr[length] + code - mincode[length]]
             code = (code << 1) | self.receive(1)
         raise ValueError("JPEG: invalid huffman code")
-
-    def align_to_marker(self) -> int | None:
-        """Discard pad bits and return the next marker byte (for RSTn)."""
-        self.buf = 0
-        self.nbits = 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
-                m = d[self.pos + 1]
-                self.pos += 2
-                self.marker = None
-                return m
-            self.pos += 1
-        return None
 
 
 def _extend(v: int, t: int) -> int:
@@ -434,7 +621,8 @@ def _decode_scan(
 
     reader = _BitReader(content, pos)
     pred = {id(c): 0 for c in scan}
-    zz = ZIGZAG
+    zz = ZIGZAG.tolist()  # list indexing beats numpy scalar in the hot loop
+    decode_block = reader.decode_block
     mcu_done = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -452,9 +640,7 @@ def _decode_scan(
                 keep = want_luma and c is luma
                 for by in range(cv_):
                     for bx in range(ch_):
-                        # DC
-                        t = reader.decode(dct)
-                        diff = _extend(reader.receive(t), t) if t else 0
+                        diff, ks, vs = decode_block(dct, act, zz)
                         pred[id(c)] += diff
                         if keep:
                             if interleaved:
@@ -462,27 +648,13 @@ def _decode_scan(
                                 gx = mx * ch_ + bx
                             else:
                                 gy, gx = my, mx
+                            # one fancy assignment per block — per-
+                            # coefficient numpy scalar stores were a
+                            # measurable share of the decode
                             row = lcoef[gy * ly_w + gx]
                             row[0] = pred[id(c)]
-                        else:
-                            row = None
-                        # AC
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode(act)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG: AC index overflow")
-                            v = _extend(reader.receive(s), s)
-                            if row is not None:
-                                row[zz[k]] = v
-                            k += 1
+                            if ks:
+                                row[ks] = vs
             mcu_done += 1
 
     return _idct_luma(lcoef, ly_w, ly_h, comps, luma, qt, width, height)
@@ -661,59 +833,78 @@ class _ProgressiveState:
 
     @staticmethod
     def _ac_first(reader, tbl, row, ss, se, al, eobrun):
-        """G.2.2: first AC scan of a band — EOBn run-length coding."""
-        zz = ZIGZAG
+        """G.2.2: first AC scan of a band — EOBn run-length coding.
+        Stores gather into lists and land as one fancy assignment."""
+        zz = _ZIGZAG_LIST
         if eobrun:
             return eobrun - 1
+        decode = reader.decode
+        receive = reader.receive
+        ks: list[int] = []
+        vs: list[int] = []
+        ret = 0
         k = ss
         while k <= se:
-            rs = reader.decode(tbl)
+            rs = decode(tbl)
             r, s = rs >> 4, rs & 15
             if s == 0:
                 if r < 15:
-                    return (1 << r) - 1 + reader.receive(r)  # this block counted
+                    ret = (1 << r) - 1 + receive(r)  # this block counted
+                    break
                 k += 16
                 continue
             k += r
             if k > se:
                 raise ValueError("JPEG: AC index overflow")
-            row[zz[k]] = _extend(reader.receive(s), s) << al
+            v = receive(s)
+            if v < (1 << (s - 1)):  # EXTEND, s >= 1 here
+                v += 1 - (1 << s)
+            ks.append(zz[k])
+            vs.append(v << al)
             k += 1
-        return 0
+        if ks:
+            row[ks] = vs
+        return ret
 
     @staticmethod
     def _ac_refine(reader, tbl, row, ss, se, al, eobrun):
         """G.2.2.3: refinement AC scan — one magnitude bit per already-
         nonzero coefficient, new ±1-at-this-bit coefficients inserted via
-        zero-history run coding."""
-        zz = ZIGZAG
+        zero-history run coding. The block round-trips through a Python
+        list: the loop reads/writes most band positions, and dozens of
+        numpy scalar accesses cost more than tolist + writeback."""
+        zz = _ZIGZAG_LIST
         p1 = 1 << al
         m1 = -1 << al
+        rl = row.tolist()
+        decode = reader.decode
+        receive = reader.receive
         k = ss
         if eobrun == 0:
             while k <= se:
-                rs = reader.decode(tbl)
+                rs = decode(tbl)
                 r, s = rs >> 4, rs & 15
                 if s == 0:
                     if r < 15:
-                        eobrun = (1 << r) + (reader.receive(r) if r else 0)
+                        eobrun = (1 << r) + (receive(r) if r else 0)
                         break
                     newval = 0  # ZRL: pass 16 zero-history positions
                 else:
                     if s != 1:
                         raise ValueError("JPEG: refinement magnitude must be 1")
-                    newval = p1 if reader.receive(1) else m1
+                    newval = p1 if receive(1) else m1
                 # advance past r zero-history coefficients, applying
                 # correction bits to nonzero-history ones along the way
                 while k <= se:
                     z = zz[k]
-                    if row[z] != 0:
-                        if reader.receive(1) and (row[z] & p1) == 0:
-                            row[z] += p1 if row[z] >= 0 else m1
+                    cur = rl[z]
+                    if cur != 0:
+                        if receive(1) and (cur & p1) == 0:
+                            rl[z] = cur + (p1 if cur >= 0 else m1)
                     else:
                         if r == 0:
                             if newval:
-                                row[z] = newval
+                                rl[z] = newval
                             k += 1
                             break
                         r -= 1
@@ -723,11 +914,13 @@ class _ProgressiveState:
             # band still carries its correction bit
             while k <= se:
                 z = zz[k]
-                if row[z] != 0:
-                    if reader.receive(1) and (row[z] & p1) == 0:
-                        row[z] += p1 if row[z] >= 0 else m1
+                cur = rl[z]
+                if cur != 0:
+                    if receive(1) and (cur & p1) == 0:
+                        rl[z] = cur + (p1 if cur >= 0 else m1)
                 k += 1
             eobrun -= 1
+        row[:] = rl
         return eobrun
 
 

@@ -112,6 +112,20 @@ def decode_image_size(content: bytes) -> tuple[int, int]:
     raise ValueError("unrecognized image container")
 
 
+# Pluggable fast-codec hook: the ONE swap point for production image
+# decode. Set to a callable (content: bytes) -> np.ndarray (H, W) gray
+# float, or -> None to fall through to the built-in pure-python codecs
+# for that payload. Exceptions propagate as decode failures (the
+# extractors' sentinel-row contract applies). Typical deployment:
+#   import PIL.Image, io, numpy as np
+#   multimodal.FAST_IMAGE_DECODER = lambda b: np.asarray(
+#       PIL.Image.open(io.BytesIO(b)).convert("L"), float)
+# Module-level so mapInPandas workers pick it up via the module import;
+# set it in a worker-initialized module (or sitecustomize), not only on
+# the driver.
+FAST_IMAGE_DECODER = None
+
+
 def _gray_pixels(content: bytes) -> np.ndarray:
     """Decode an image payload to a grayscale float array (H, W).
 
@@ -127,8 +141,15 @@ def _gray_pixels(content: bytes) -> np.ndarray:
     :mod:`traildb_spark.operators.jpeg` (the luma plane IS the grayscale
     bitmap — JPEG stores YCbCr). GIF: real LZW decode of the first frame
     via :mod:`traildb_spark.operators.gif` (palette → BT.601 luma).
-    Remaining honest gates: lossless/arithmetic JPEG. Swap this one
-    function for PIL if those ever matter."""
+    Remaining honest gates: lossless/arithmetic JPEG. At 100 TB, point
+    ``FAST_IMAGE_DECODER`` at a codec library — this function is the
+    single call site the whole image surface funnels through; the
+    pure-python codecs stay as the dependency-free differential
+    reference (throughput numbers in SCALE.md)."""
+    if FAST_IMAGE_DECODER is not None:
+        fast = FAST_IMAGE_DECODER(content)
+        if fast is not None:
+            return np.asarray(fast, dtype=np.float64)
     if content[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg_luma
 
