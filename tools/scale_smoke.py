@@ -207,11 +207,112 @@ def heavy(spark):
     )
 
 
+def whale10m(spark):
+    """Verdict-r4 task 4: push ONE uuid with 10M events (plus 100k
+    normal trails as background) through the per-trail operators whose
+    scale posture depends on group size — collect_trails (documented
+    whale hazard: one array row), apply_to_trails (one Arrow group),
+    session_stats (one window partition), and trail_filter_spec_join
+    (events × own-trail terms). Evidence for the SCALE.md entry: these
+    must COMPLETE and their cost must be the documented one, not a
+    surprise."""
+    from pyspark.sql.types import (  # noqa: E402
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from traildb_spark.operators.filters import trail_filter_spec_join  # noqa: E402
+
+    path = "/tmp/scale_smoke/whale10m"
+    if not Path(path).exists():
+        normal = spark.range(0, 10_000_000).select(
+            (F.col("id") % 100_000).cast("string").alias("uuid"),
+            (F.lit(1704067200) + (F.col("id") % 2_000_000)).alias("time"),
+            F.col("id").alias("event_id"),
+            F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("event_type"),
+        )
+        w = spark.range(0, 10_000_000).select(
+            F.lit("WHALE10M").alias("uuid"),
+            (F.lit(1704067200) + (F.col("id") % 5_000_000)).alias("time"),
+            (F.col("id") + 100_000_000).alias("event_id"),
+            F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("event_type"),
+        )
+        normal.unionByName(w).repartition(32).write.mode("overwrite").parquet(path)
+    ev = spark.read.parquet(path)
+    print(f"whale10m dataset: {ev.count()} rows (10M on one uuid)")
+
+    timed(
+        "whale10m_sessions",
+        lambda: _force(trails.session_stats(ev.select("uuid", "time"), gap=1800)),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("uuid", StringType()),
+            StructField("n", LongType()),
+            StructField("span", LongType()),
+        ]
+    )
+
+    def per_trail(pdf):
+        return pd.DataFrame(
+            {
+                "uuid": [pdf["uuid"].iloc[0]],
+                "n": [len(pdf)],
+                "span": [int(pdf["time"].iloc[-1] - pdf["time"].iloc[0])],
+            }
+        )
+
+    timed(
+        "whale10m_apply_to_trails",
+        lambda: _force(trails.apply_to_trails(ev, per_trail, out_schema)),
+    )
+
+    spec = spark.createDataFrame(
+        [
+            ("WHALE10M", 0, "event_type", "t1", False),
+            ("WHALE10M", 0, "event_type", "t2", False),
+            ("WHALE10M", 1, "event_type", "t6", True),
+            ("42", 0, "event_type", "t3", False),
+        ],
+        "uuid string, clause long, field string, value string, negative boolean",
+    )
+    timed(
+        "whale10m_spec_join",
+        lambda: _force(
+            trail_filter_spec_join(ev, spec, ("uuid", "time", "event_id"))
+        ),
+    )
+
+    # collect_trails: the DOCUMENTED whale hazard (one row carrying a
+    # 10M-struct array). Run it last and prove the documented guidance —
+    # it must either complete (slow is fine) or fail loudly, never hang.
+    timed(
+        "whale10m_collect_trails",
+        lambda: collect_whale_lengths(ev),
+    )
+
+
+def collect_whale_lengths(ev):
+    sub = trails.collect_trails(ev, fields=["event_type"])
+    row = sub.filter(F.col("uuid") == "WHALE10M").select(
+        "trail_length", F.size("events").alias("sz")
+    ).collect()[0]
+    assert row["trail_length"] == row["sz"] == 10_000_000
+    return row["sz"]
+
+
 def main():
     spark = get_spark("scale-smoke", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
     import os
+
+    if os.environ.get("SMOKE_WHALE"):
+        whale10m(spark)
+        return
 
     if os.environ.get("SMOKE_HEAVY"):
         heavy(spark)
