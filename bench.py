@@ -27,7 +27,10 @@ def main():
     spark = get_spark("traildb-spark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    except ValueError:
+        sf = -1.0  # non-standard dir name (e.g. a synthetic scale-up)
 
     qs = entrymod.queries()
     # warm the JVM, parquet footers, AND the Python UDF workers once

@@ -1244,3 +1244,39 @@ def test_fast_image_decoder_hook(spark):
         M.FAST_IMAGE_DECODER = None
     c = M._gray_pixels(png)
     assert c.shape == (4, 4) and len(calls) == 2  # hook fully detached
+
+
+def test_adpcm_vectorized_equals_per_block_reference():
+    """The block-lockstep vectorized IMA ADPCM decode must agree sample-
+    for-sample with the per-block reference procedure, including ragged
+    final blocks and saturating predictors."""
+    import numpy as np
+    import struct as _struct
+
+    from traildb_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(13)
+    for trial in range(12):
+        n = int(rng.integers(10, 5000))
+        if trial % 3 == 0:  # drive the clamp paths
+            sig = (rng.integers(0, 2, n) * 65535 - 32768).astype(np.int16)
+        else:
+            sig = (np.cumsum(rng.normal(0, 900, n))).clip(-32768, 32767).astype(np.int16)
+        ba = int(rng.choice([8, 64, 256, 1024]))
+        wav = M.make_adpcm_wav(sig, rate=8000, block_align=ba)
+        rate, ch, got = M.decode_wav(wav)
+        # reference: per-block python procedure over the same data chunk
+        pos, data = 12, None
+        while pos + 8 <= len(wav):
+            ctype = wav[pos:pos + 4]
+            (clen,) = _struct.unpack("<I", wav[pos + 4:pos + 8])
+            if ctype == b"data":
+                data = wav[pos + 8:pos + 8 + clen]
+            pos += 8 + clen + (clen & 1)
+        want = []
+        for off in range(0, len(data), ba):
+            block = data[off:off + ba]
+            pred, idx, _ = _struct.unpack("<hBB", block[:4])
+            want.append(pred)
+            want.extend(M._ima_adpcm_decode_block(block[4:], pred, idx))
+        assert np.array_equal(got, np.array(want, np.int16)), f"trial {trial}"

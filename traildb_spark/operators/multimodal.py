@@ -535,6 +535,72 @@ _IMA_STEP = np.array(
 )
 
 
+# precomputed (step_index × nibble) transition tables: signed delta and
+# next step index — turns the per-sample recursion into two 2-D gathers
+_IMA_GRID_IDX = np.arange(89)[:, None]
+_IMA_GRID_NIB = np.arange(16)[None, :]
+_IMA_SDIFF = (
+    (_IMA_STEP[_IMA_GRID_IDX] >> 3)
+    + np.where(_IMA_GRID_NIB & 1, _IMA_STEP[_IMA_GRID_IDX] >> 2, 0)
+    + np.where(_IMA_GRID_NIB & 2, _IMA_STEP[_IMA_GRID_IDX] >> 1, 0)
+    + np.where(_IMA_GRID_NIB & 4, _IMA_STEP[_IMA_GRID_IDX], 0)
+) * np.where(_IMA_GRID_NIB & 8, -1, 1)
+_IMA_NEXT = np.clip(_IMA_GRID_IDX + _IMA_INDEX[_IMA_GRID_NIB & 7], 0, 88)
+
+
+def _ima_adpcm_decode_all(data: bytes, block_align: int) -> np.ndarray:
+    """Decode a whole mono IMA ADPCM stream VECTORIZED ACROSS BLOCKS:
+    every block carries its own (predictor, step index) header, so
+    blocks are independent — the inherently-sequential sample recursion
+    runs once per sample POSITION with numpy operating on all blocks in
+    lock-step (~60× over the per-sample Python loop; rates in SCALE.md).
+    A ragged final block falls back to the per-block reference decoder
+    ``_ima_adpcm_decode_block``, which doubles as the differential
+    oracle in tests."""
+    n_full = len(data) // block_align
+    out_parts = []
+    if n_full:
+        blocks = np.frombuffer(
+            data[: n_full * block_align], np.uint8
+        ).reshape(n_full, block_align)
+        pred = (
+            blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int64)
+        )
+        idx = blocks[:, 2].astype(np.int64)
+        if int(idx.max(initial=0)) > 88:
+            raise ValueError("WAV: bad ADPCM step index")
+        body = blocks[:, 4:].astype(np.int64)
+        n_nibs = body.shape[1] * 2
+        nibs = np.empty((n_full, n_nibs), np.int64)
+        nibs[:, 0::2] = body & 0x0F
+        nibs[:, 1::2] = body >> 4
+        out = np.empty((n_full, 1 + n_nibs), np.int64)
+        out[:, 0] = pred  # the header predictor IS the first sample
+        for j in range(n_nibs):
+            nib = nibs[:, j]
+            pred = pred + _IMA_SDIFF[idx, nib]
+            np.clip(pred, -32768, 32767, out=pred)
+            idx = _IMA_NEXT[idx, nib]
+            out[:, j + 1] = pred
+        out_parts.append(out.reshape(-1))
+    tail = data[n_full * block_align :]
+    if tail:
+        if len(tail) < 4:
+            raise ValueError("WAV: truncated ADPCM block header")
+        pred_t, idx_t, _rsv = struct.unpack("<hBB", tail[:4])
+        if idx_t > 88:
+            raise ValueError("WAV: bad ADPCM step index")
+        out_parts.append(
+            np.array(
+                [pred_t] + _ima_adpcm_decode_block(tail[4:], pred_t, idx_t),
+                np.int64,
+            )
+        )
+    if not out_parts:
+        return np.empty(0, np.int16)
+    return np.concatenate(out_parts).astype(np.int16)
+
+
 def _ima_adpcm_decode_block(data: bytes, pred: int, idx: int) -> list[int]:
     """One mono IMA ADPCM block body (nibble stream, low nibble first) →
     linear int16 samples, standard reconstruction arithmetic."""
@@ -684,17 +750,7 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError("WAV: only mono IMA ADPCM supported")
         if block_align < 5:
             raise ValueError("WAV: bad ADPCM block align")
-        out: list[int] = []
-        for off in range(0, len(data), block_align):
-            block = data[off : off + block_align]
-            if len(block) < 4:
-                raise ValueError("WAV: truncated ADPCM block header")
-            pred, idx, _rsv = struct.unpack("<hBB", block[:4])
-            if idx > 88:
-                raise ValueError("WAV: bad ADPCM step index")
-            out.append(pred)  # the header predictor IS the first sample
-            out.extend(_ima_adpcm_decode_block(block[4:], pred, idx))
-        samples = np.array(out, dtype=np.int16)
+        samples = _ima_adpcm_decode_all(data, block_align)
     else:
         raise ValueError(f"WAV: unsupported format tag {tag} at {bits} bits")
     return int(rate), int(channels), samples
