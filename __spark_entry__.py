@@ -1633,6 +1633,28 @@ def q109_y4m_chroma(spark, sf_dir):
     return multimodal.extract_video_chroma(media, every_n=2)
 
 
+def q110_token_heavy_hitters(spark, sf_dir):
+    """Vocabulary heavy hitters via Misra-Gries — the bounded-state
+    answer to "which tokens dominate the corpus" when the vocabulary is
+    too wide to groupBy exactly. The k-counter MG summary (state ≤ k per
+    partition, absolute-error guarantee) yields a certified SUPERSET of
+    every token with count > N/(k+1); one broadcast semi-join recounts
+    just the candidates exactly, so the final output — the exact
+    frequent set with exact counts — is deterministic regardless of
+    partitioning, which is what lets an approximate-sketch pipeline be
+    oracle-checked end-to-end (the oracle computes the same set with a
+    plain GROUP BY/HAVING the MG path deliberately avoids)."""
+    from traildb_spark.operators import analytics
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(text.tokens(F.col("text"))).alias("token")
+    )
+    return analytics.heavy_hitters_exact(toks, "token", k=200).select(
+        F.col("value").alias("token"), "n"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1747,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_bigram_surprisal": q107_bigram_surprisal,
         "q108_trail_overrides_table": q108_trail_overrides_table,
         "q109_y4m_chroma": q109_y4m_chroma,
+        "q110_token_heavy_hitters": q110_token_heavy_hitters,
     }
 
 
@@ -2482,6 +2505,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cp.crsum AS BIGINT) AS cr_sum
             FROM yp JOIN cp
               ON yp.doc_id = cp.doc_id AND yp.frame_idx = cp.frame_idx
+        """,
+        "q110_token_heavy_hitters": f"""
+            -- the exact frequent set the MG pipeline certifies: every
+            -- token with count * (k+1) > N, k = 200
+            WITH t AS (
+              SELECT unnest({_TOKENS}) AS token FROM documents),
+            c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+            s AS (SELECT SUM(n) AS total FROM c)
+            SELECT c.token, c.n
+            FROM c, s
+            WHERE c.n * 201 > s.total
         """,
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})

@@ -354,3 +354,40 @@ def test_gap_histogram_bit_buckets(spark):
         for r in analytics.gap_histogram(df, "event_type", "uuid", "time", "event_id").collect()
     }
     assert got == {("a", 1): 1, ("b", 2): 1, ("a", 0): 1, ("c", 11): 1}
+
+
+def test_mg_summary_bounds_and_guarantee(spark):
+    """Misra-Gries invariants: (1) every value with true count > N/(k+1)
+    appears in the summary; (2) lo <= true <= hi for every reported
+    value; (3) state stays <= k rows per partition regardless of the
+    distinct-value universe; (4) heavy_hitters_exact returns EXACTLY the
+    > N/(k+1) set with exact counts."""
+    import numpy as np
+
+    from traildb_spark.operators.analytics import heavy_hitters_exact, mg_summary
+
+    rng = np.random.default_rng(23)
+    # zipf-ish universe: few hot values over a wide cold tail
+    hot = [f"hot{i}" for i in range(5)]
+    vals = []
+    for i, h in enumerate(hot):
+        vals += [h] * (4000 // (i + 1))
+    vals += [f"cold{i}" for i in range(6000)]  # 6000 singletons
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], ["v"]).repartition(7)
+    n = len(vals)
+    k = 50
+    true = {}
+    for v in vals:
+        true[v] = true.get(v, 0) + 1
+
+    summ = {r["value"]: (r["lo"], r["hi"]) for r in mg_summary(df, "v", k).collect()}
+    guaranteed = {v for v, c in true.items() if c * (k + 1) > n}
+    assert guaranteed  # the fixture must actually exercise the guarantee
+    assert guaranteed <= set(summ), "frequent value missing from MG summary"
+    for v, (lo, hi) in summ.items():
+        assert lo <= true[v] <= hi, (v, lo, true[v], hi)
+    assert len(summ) <= k * 7 + 7  # sketch-sized, never universe-sized
+
+    got = {r["value"]: r["n"] for r in heavy_hitters_exact(df, "v", k).collect()}
+    assert got == {v: true[v] for v in guaranteed}

@@ -720,3 +720,75 @@ def test_pointer_protocol_hadoop_fs_qualified_paths(spark, tmp_path):
     assert _sample_batch(sdf, 1, sout, 7, "doc_id", "", "tok") is True
     cur2 = _fs_read_small(spark, f"{sout}/_latest_tok")
     assert spark.read.parquet(cur2).count() == 7
+
+
+def test_streaming_heavy_hitters_guarantee_and_replay(spark, sf_dir, tmp_path):
+    """The maintained MG state must certify the same exact frequent set
+    as the batch pipeline over everything streamed so far (the
+    mergeable-summaries guarantee survives incremental merging), with
+    state <= k+1 rows, replay no-ops, and cleared-checkpoint refusal —
+    same pointer contract as countmin/sample."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from traildb_spark.operators.analytics import heavy_hitters_exact
+    from traildb_spark.streaming.ingest import (
+        _heavy_hitters_batch,
+        heavy_hitters_current,
+        streaming_heavy_hitters,
+    )
+
+    path = str(tmp_path / "hh_src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    docs.repartition(4).write.parquet(path)  # several files -> several batches
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = str(tmp_path / "hh_out")
+    ckpt = str(tmp_path / "hh_ckpt")
+    k = 60
+    q = streaming_heavy_hitters(stream, "token", out, ckpt, k=k)
+    q.awaitTermination(120)
+
+    state = heavy_hitters_current(spark, out, ckpt)
+    assert state.count() <= k  # bounded state, stream-length-independent
+
+    # certify: candidates ⊇ guaranteed-frequent; exact recount of the
+    # candidates == the batch exact frequent set over the same data
+    all_toks = spark.read.parquet(path)
+    n = all_toks.count()
+    cand = state.select(F.col("value").alias("token"))
+    exact = (
+        all_toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * (k + 1) > F.lit(n))
+    )
+    got = {r["token"]: r["n"] for r in exact.collect()}
+    want = {
+        r["value"]: r["n"]
+        for r in heavy_hitters_exact(all_toks, "token", k).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # bounds bracket truth for every reported value
+    truth = {
+        r["token"]: r["c"]
+        for r in all_toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for r in state.collect():
+        assert r["lo"] <= truth.get(r["value"], 0) <= r["hi"]
+
+    # crash-replay of the last committed id: pointer already advanced
+    import hashlib
+
+    token = hashlib.md5(ckpt.encode()).hexdigest()[:8]
+    assert _heavy_hitters_batch(
+        all_toks.limit(5), 3, out, "token", k, token
+    ) is False
+    with _pytest.raises(RuntimeError, match="cleared checkpoint"):
+        _heavy_hitters_batch(all_toks.limit(5), 0, out, "token", k, token)

@@ -527,6 +527,110 @@ def countmin_build(
     )
 
 
+def mg_summary(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """Misra-Gries heavy-hitter summary with bounded state — the
+    deterministic-guarantee sibling of :func:`countmin_build` (count-min
+    bounds error probabilistically; MG bounds it absolutely).
+
+    Per partition, a k-counter MG summary runs over Arrow batches (each
+    batch's exact ``value_counts`` merges into the counters; when they
+    exceed k, the (k+1)-th largest count is deducted from ALL — the
+    classic decrement step, O(k log k) per batch, state ≤ k forever).
+    Per-partition summaries are MERGEABLE (Agarwal et al., "Mergeable
+    Summaries"): the global aggregate sums stored counts per value into
+    a LOWER bound ``lo`` and adds the total deducted mass as the shared
+    UPPER slack: ``hi = lo + Σ_p deducted_p``.
+
+    Guarantee (the reason this is sound at 100 TB): total deducted mass
+    ≤ N/(k+1), so EVERY value with true count > N/(k+1) appears in the
+    output — the output is a small superset of the guaranteed-frequent
+    set, and one cheap semi-join back to the data turns it into the
+    EXACT frequent set (see ``q110``). Shuffle accounting: the exchange
+    carries ≤ (k+1) rows per partition, never the distinct-value count —
+    the whole point versus an exact groupBy over an unbounded universe.
+
+    Returns ``(value, lo, hi)``; NULL input values count like any other
+    value (keyed as NULL).
+    """
+    import pandas as pd
+
+    k = int(k)
+    if k < 1:
+        raise ValueError("mg_summary: k must be >= 1")
+
+    def summarize(batches):
+        counters: dict = {}
+        deducted = 0
+        for pdf in batches:
+            vc = pdf[pdf.columns[0]].value_counts(dropna=False)
+            for v, c in vc.items():
+                key = None if pd.isna(v) else v
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                deducted += cut
+                counters = {
+                    v: c - cut for v, c in counters.items() if c > cut
+                }
+        out = pd.DataFrame(
+            {
+                "value": list(counters.keys()) + [None],
+                "cnt": list(counters.values()) + [deducted],
+                "is_meta": [False] * len(counters) + [True],
+            }
+        )
+        yield out
+
+    summ = df.select(F.col(col).cast("string")).mapInPandas(
+        summarize, "value string, cnt long, is_meta boolean"
+    )
+    # the summary is sketch-sized (≤ (k+1) rows per partition), so a
+    # global window for the shared deducted mass costs one tiny exchange
+    # and keeps the operator fully lazy — no collect, no persist
+    w = Window.partitionBy()
+    summ = summ.withColumn(
+        "__ded",
+        F.sum(F.when(F.col("is_meta"), F.col("cnt")).otherwise(0)).over(w),
+    )
+    return (
+        summ.filter(~F.col("is_meta"))
+        .groupBy("value")
+        .agg(F.sum("cnt").alias("lo"), F.max("__ded").alias("__d"))
+        .select(
+            "value", "lo", (F.col("lo") + F.col("__d")).alias("hi")
+        )
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame, col: str, k: int = 100
+) -> DataFrame:
+    """EXACT frequent set via the MG summary: every value with true
+    count > N/(k+1) — computed without ever shuffling the full distinct-
+    value universe. The MG summary (state ≤ k·partitions rows) is a
+    guaranteed superset of that set; a broadcast semi-join back to the
+    data counts ONLY the candidates exactly, and the integer threshold
+    ``n·(k+1) > N`` keeps the whole query reproducible in SQL. Returns
+    ``(value, n)`` — deterministic regardless of partitioning, which is
+    what makes an approximate-sketch pipeline oracle-checkable
+    end-to-end. NULL keys are not returned (SQL join semantics drop them
+    from the semi-join); ``coalesce`` upstream if NULL is a meaningful
+    category."""
+    cand = mg_summary(df, col, k).select("value")
+    vals = df.select(F.col(col).cast("string").alias("value"))
+    total = vals.agg(F.count(F.lit(1)).alias("__N"))  # 1-row broadcast total
+    counts = (
+        vals.join(F.broadcast(cand), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * (k + 1) > F.col("__N"))
+        .select("value", "n")
+    )
+
+
 def countmin_probe(
     sketch: DataFrame,
     values: DataFrame,

@@ -452,6 +452,159 @@ def _sample_batch(
     return True
 
 
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    col: str,
+    path: str,
+    checkpoint: str,
+    k: int = 100,
+    processing_time: str | None = None,
+):
+    """Continuously maintain a Misra-Gries heavy-hitter summary over a
+    stream — the deterministic-guarantee sibling of
+    ``streaming_countmin`` (absolute error bounds instead of
+    probabilistic ones). Each micro-batch folds its per-partition MG
+    summaries into the running state and re-trims to k counters; state
+    is ≤ k+1 rows FOREVER while the deducted-mass meta row keeps the
+    upper bound honest: at any point every value with true stream count
+    > N/(k+1) is present in the state (mergeable-summaries guarantee),
+    so ``heavy_hitters_current`` + one exact recount of the candidates
+    yields the EXACT frequent set, stream-long. Exactly-once via the
+    same Hadoop-FS atomic-pointer protocol as ``streaming_countmin``.
+    """
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _heavy_hitters_batch(batch_df, batch_id, path, col, k, run_token)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _heavy_hitters_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    col: str,
+    k: int,
+    run_token: str,
+) -> bool:
+    """One MG merge-and-trim step (exposed for crash-replay tests; same
+    pointer protocol and cleared-checkpoint refusal as
+    ``_countmin_batch``)."""
+    import pandas as pd
+
+    spark = batch_df.sparkSession
+    latest = f"{path}/_latest_{run_token}"
+    out_b = f"{path}/mg_{run_token}_{batch_id}"
+    prev = (_fs_read_small(spark, latest) or "").strip() or None
+    if prev == out_b:
+        return False  # replay after commit
+    if prev is not None and batch_id == 0:
+        raise RuntimeError(
+            "streaming_heavy_hitters: batch id 0 arrived over existing "
+            "state (cleared checkpoint reused) — use a fresh checkpoint "
+            f"path or delete the summary state at {path} explicitly."
+        )
+
+    def summarize(batches):
+        counters: dict = {}
+        deducted = 0
+        for pdf in batches:
+            vc = pdf[pdf.columns[0]].value_counts(dropna=False)
+            for v, c in vc.items():
+                key = None if pd.isna(v) else v
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                deducted += cut
+                counters = {v: c - cut for v, c in counters.items() if c > cut}
+        yield pd.DataFrame(
+            {
+                "value": list(counters.keys()) + [None],
+                "cnt": list(counters.values()) + [deducted],
+                "is_meta": [False] * len(counters) + [True],
+            }
+        )
+
+    part = batch_df.select(F.col(col).cast("string")).mapInPandas(
+        summarize, "value string, cnt long, is_meta boolean"
+    )
+    merged = part if prev is None else spark.read.parquet(prev).unionByName(part)
+    merged = merged.groupBy("value", "is_meta").agg(F.sum("cnt").alias("cnt"))
+
+    def trim(batches):
+        counters: dict = {}
+        deducted = 0
+        for pdf in batches:
+            for v, c, meta in zip(pdf["value"], pdf["cnt"], pdf["is_meta"]):
+                if meta:
+                    deducted += int(c)
+                else:
+                    key = None if pd.isna(v) else v
+                    counters[key] = counters.get(key, 0) + int(c)
+        if len(counters) > k:
+            cut = sorted(counters.values(), reverse=True)[k]
+            deducted += cut
+            counters = {v: c - cut for v, c in counters.items() if c > cut}
+        yield pd.DataFrame(
+            {
+                "value": list(counters.keys()) + [None],
+                "cnt": list(counters.values()) + [deducted],
+                "is_meta": [False] * len(counters) + [True],
+            }
+        )
+
+    # the merged union is sketch-sized (<= k+1 prev rows + (k+1) per
+    # batch partition), so the single-partition trim is bounded by the
+    # summary, never the stream
+    trimmed = merged.coalesce(1).mapInPandas(
+        trim, "value string, cnt long, is_meta boolean"
+    )
+    trimmed.coalesce(1).write.mode("overwrite").parquet(out_b)
+    _fs_swap_pointer(spark, latest, out_b)  # pointer advance = the commit
+    if prev is not None:
+        _, hpath, fs = _hfs(spark, prev)
+        fs.delete(hpath(prev), True)
+    return True
+
+
+def heavy_hitters_current(spark, path: str, checkpoint: str) -> DataFrame:
+    """The live MG summary the ``streaming_heavy_hitters`` pointer
+    references, as ``(value, lo, hi)`` like ``analytics.mg_summary``."""
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+    cur = _fs_read_small(spark, f"{path}/_latest_{run_token}")
+    if cur is None:
+        raise FileNotFoundError(f"{path}/_latest_{run_token}")
+    summ = spark.read.parquet(cur.strip())
+    from pyspark.sql import Window as _W
+
+    ded = F.sum(
+        F.when(F.col("is_meta"), F.col("cnt")).otherwise(0)
+    ).over(_W.partitionBy())
+    return (
+        summ.withColumn("__ded", ded)
+        .filter(~F.col("is_meta"))
+        .select(
+            "value",
+            F.col("cnt").alias("lo"),
+            (F.col("cnt") + F.col("__ded")).alias("hi"),
+        )
+    )
+
+
 def sample_current(spark, path: str, checkpoint: str) -> DataFrame:
     """The live sample the ``streaming_uniform_sample`` pointer
     references (ranks column dropped)."""
