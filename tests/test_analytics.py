@@ -391,3 +391,25 @@ def test_mg_summary_bounds_and_guarantee(spark):
 
     got = {r["value"]: r["n"] for r in heavy_hitters_exact(df, "v", k).collect()}
     assert got == {v: true[v] for v in guaranteed}
+
+    # tiny Arrow batches force MANY per-batch merge+trim steps per
+    # partition — the invariants must hold under chunked arrival too
+    old_conf = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "97")
+    try:
+        summ2 = {
+            r["value"]: (r["lo"], r["hi"])
+            for r in mg_summary(df, "v", k).collect()
+        }
+        assert guaranteed <= set(summ2)
+        for v, (lo, hi) in summ2.items():
+            assert lo <= true[v] <= hi
+        got2 = {
+            r["value"]: r["n"] for r in heavy_hitters_exact(df, "v", k).collect()
+        }
+        assert got2 == got
+    finally:
+        if old_conf is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old_conf
+            )
