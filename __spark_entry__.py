@@ -1655,6 +1655,43 @@ def q110_token_heavy_hitters(spark, sf_dir):
     )
 
 
+def q111_sequence_match(spark, sf_dir):
+    """Regex over trail sequences (the MATCH_RECOGNIZE shape): trails
+    where a view is EVENTUALLY followed by a purchase crossing only
+    click/view events — `` view ((click|view) )*purchase ``. The trail
+    renders as one space-separated JVM string (ordered by time,
+    event_id) and the same RE2-compatible pattern runs verbatim in the
+    oracle, so the whole compile-trail-to-string + regex pipeline is
+    value-checked, sequence text included."""
+    from traildb_spark.operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.sequence_match(
+        ev, " view ((click|view) )*purchase ", "event_type",
+        "uuid", "time", ("event_id",),
+    )
+
+
+def q112_make_patch(spark, sf_dir):
+    """Row-level CDC patch between a dataset and its next-day state
+    (every 97th event deleted, every 89th retyped): the incremental
+    alternative to the reference's daily full re-encode. The operator
+    narrows to digest-changed trails first (one aggregate per side) so
+    the all-columns multiset diff shuffles only changed trails' events;
+    the oracle recomputes the same patch with plain EXCEPT ALL — multiset
+    semantics checked value-for-value, op tags included."""
+    from traildb_spark.dataset import make_patch
+
+    a = _events(spark, sf_dir).select("uuid", "time", "event_id", "event_type")
+    b = a.filter(F.col("event_id") % 97 != 0).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 89 == 0, F.lit("patched")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    return make_patch(a, b)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1770,6 +1807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_trail_overrides_table": q108_trail_overrides_table,
         "q109_y4m_chroma": q109_y4m_chroma,
         "q110_token_heavy_hitters": q110_token_heavy_hitters,
+        "q111_sequence_match": q111_sequence_match,
+        "q112_make_patch": q112_make_patch,
     }
 
 
@@ -2516,6 +2555,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.token, c.n
             FROM c, s
             WHERE c.n * 201 > s.total
+        """,
+        "q111_sequence_match": f"""
+            -- trail sequence as ' v1 v2 ... vn ' ordered by (time,
+            -- event_id); same RE2 pattern as the Spark side
+            WITH e AS ({_E}),
+            seqs AS (
+              SELECT uuid,
+                     ' ' || string_agg(event_type, ' '
+                           ORDER BY "time", event_id) || ' ' AS seq
+              FROM e GROUP BY uuid)
+            SELECT uuid, seq FROM seqs
+            WHERE regexp_matches(seq, ' view ((click|view) )*purchase ')
+        """,
+        "q112_make_patch": f"""
+            -- the CDC patch turning a into b, multiset semantics
+            WITH a AS (
+              SELECT uuid, "time", event_id, event_type FROM ({_E})),
+            b AS (
+              SELECT uuid, "time", event_id,
+                     CASE WHEN event_id % 89 = 0 THEN 'patched'
+                          ELSE event_type END AS event_type
+              FROM a WHERE event_id % 97 <> 0)
+            SELECT *, '-' AS __op FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+            UNION ALL
+            SELECT *, '+' AS __op FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
         """,
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})

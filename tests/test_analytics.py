@@ -413,3 +413,30 @@ def test_mg_summary_bounds_and_guarantee(spark):
             spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", old_conf
             )
+
+
+def test_sequence_match_order_ties_and_nulls(spark):
+    """sequence_match renders trails ordered by (time, tiebreak), NULL
+    as the empty token, and the regex is an unanchored search — the
+    exact contract the oracle mirrors."""
+    from traildb_spark.operators.analytics import sequence_match
+
+    rows = [
+        ("u1", 10, 1, "view"), ("u1", 20, 2, "click"), ("u1", 20, 3, "view"),
+        ("u1", 30, 4, "purchase"),
+        ("u2", 10, 1, "view"), ("u2", 20, 2, "error"), ("u2", 30, 3, "purchase"),
+        ("u3", 5, 1, None), ("u3", 6, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "uuid string, time long, event_id long, event_type string")
+    got = {
+        r["uuid"]: r["seq"]
+        for r in sequence_match(
+            df, " view ((click|view) )*purchase ", "event_type",
+            "uuid", "time", ("event_id",),
+        ).collect()
+    }
+    # u1 matches and the tie at t=20 resolves by event_id (click before view)
+    assert got == {"u1": " view click view purchase "}
+    # NULL renders as the empty token (double space), matchable explicitly
+    got2 = {r["uuid"] for r in sequence_match(df, "  purchase ", "event_type").collect()}
+    assert got2 == {"u3"}

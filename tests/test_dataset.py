@@ -439,3 +439,40 @@ def test_sidecar_and_index_discovery_on_qualified_paths(spark, tmp_path):
     # rewrite the primary through the qualified path: stale guard fires
     ds.finalize(q, time_shard="yyyy-MM-dd", mode="overwrite")
     assert TrailDataset.open(spark, q)._zindex is None
+
+
+def test_make_patch_apply_patch_roundtrip(spark):
+    """apply_patch(a, make_patch(a, b)) must equal b as a MULTISET —
+    including duplicate rows, pure deletions, pure insertions, and
+    modified rows (delete+insert pairs); changed_only narrowing must not
+    change the result; schema mismatch raises."""
+    import pytest as _pytest
+
+    from traildb_spark.dataset import apply_patch, diff_datasets, make_patch
+
+    rows_a = [
+        ("u1", 10, "x"), ("u1", 10, "x"),  # duplicate row: multiset matters
+        ("u1", 20, "y"), ("u2", 5, "z"), ("u3", 7, "k"),
+    ]
+    rows_b = [
+        ("u1", 10, "x"),                    # one duplicate removed
+        ("u1", 20, "y2"),                   # modified
+        ("u2", 5, "z"),                     # untouched trail
+        ("u4", 9, "new"), ("u4", 9, "new"),  # inserted duplicates
+    ]
+    a = spark.createDataFrame(rows_a, "uuid string, time long, f string")
+    b = spark.createDataFrame(rows_b, "uuid string, time long, f string")
+
+    for changed_only in (True, False):
+        patch = make_patch(a, b, changed_only=changed_only)
+        got = sorted(map(tuple, apply_patch(a, patch).collect()))
+        assert got == sorted(map(tuple, b.collect())), changed_only
+        # the digest diff agrees: every trail matches after the patch
+        d = diff_datasets(apply_patch(a, patch), b)
+        assert d.filter(~d["match"]).count() == 0
+    # untouched trails contribute NO patch rows under narrowing
+    patch = make_patch(a, b)
+    assert patch.filter(patch["uuid"] == "u2").count() == 0
+
+    with _pytest.raises(ValueError, match="schemas differ"):
+        make_patch(a, b.withColumnRenamed("f", "g"))

@@ -498,3 +498,22 @@ def test_rank_buckets_broadcasts_value_map(spark, sf_dir):
     out = curation.rank_buckets(docs, "n_chars", n_buckets=10)
     # the value→bucket map joins back broadcast, never shuffling the corpus
     assert num_broadcast_joins(out) >= 1
+
+
+def test_heavy_hitters_exact_broadcasts_candidates(spark, sf_dir):
+    """heavy_hitters_exact's recount must broadcast the candidate set
+    (sketch-sized) into a semi-join — shuffling the corpus by value to
+    join a <= k-row table would defeat the whole bounded-state design —
+    and the 1-row total must ride a broadcast, never a shuffle."""
+    from pyspark.sql import functions as F
+
+    from traildb_spark.operators.analytics import heavy_hitters_exact
+    from traildb_spark.plans.audit import explain_str
+
+    toks = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    )
+    out = heavy_hitters_exact(toks, "token", k=50)
+    plan = explain_str(out, "simple")
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

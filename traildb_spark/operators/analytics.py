@@ -656,6 +656,60 @@ def countmin_probe(
     )
 
 
+def sequence_match(
+    df: DataFrame,
+    pattern: str,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    tiebreak: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Regex over TRAIL SEQUENCES — the general form of
+    :func:`pattern_match` (which hard-codes one A-then-B-without-C
+    shape) and the engine's answer to SQL MATCH_RECOGNIZE: render each
+    trail's ``field`` values, ordered by (time, tiebreak), as a single
+    space-separated string `` v1 v2 ... vn `` (one leading and trailing
+    space, so every token can be matched as ``" tok "`` without
+    word-boundary edge cases), and keep trails where ``pattern`` finds a
+    match (unanchored, like ``rlike``).
+
+    Pattern language: any regex over the rendered string — e.g.
+    ``" view click purchase "`` (three consecutive events),
+    ``" signup ([^ ]+ )*purchase "`` (eventually-follows with arbitrary
+    gap), ``" (view |click )+purchase "``. Stick to the
+    alternation/class/star/plus subset and the SAME pattern runs
+    verbatim in DuckDB/RE2 for oracle checks. ``field`` values must not
+    contain spaces (event vocabularies don't); NULL renders as the
+    empty token.
+
+    Scale shape: one uuid shuffle into collect_list (map-side partial
+    lists), the sort and regex run per trail JVM-side — no Python, no
+    joins. Sequence length is bounded by max-trail-length like every
+    per-trail operator (whale numbers in SCALE.md). Returns
+    ``(uuid, seq)`` for matching trails — keeping ``seq`` makes the
+    match auditable downstream."""
+    ev = F.struct(
+        F.col(time_col).alias("__t"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tiebreak)],
+        F.coalesce(F.col(field).cast("string"), F.lit("")).alias("__v"),
+    )
+    seq = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(ev)), lambda s: s["__v"]
+            ),
+            " ",
+        ),
+        F.lit(" "),
+    )
+    return (
+        df.groupBy(uuid_col)
+        .agg(seq.alias("seq"))
+        .filter(F.col("seq").rlike(pattern))
+    )
+
+
 def pattern_match(
     df: DataFrame,
     first: str,
