@@ -231,3 +231,30 @@ def test_cli_merge_filter_and_uuids(spark, tmp_path, capsys):
     db2 = str(tmp_path / "twodb")
     assert main(["make", "-o", db2, str(src2)]) == 0
     assert "2 events, 1 trails" in capsys.readouterr().out
+
+
+def test_cli_diff_and_patch(spark, tmp_path):
+    """`tdb diff` exits 0 on identical datasets, 1 on divergence, and
+    --patch writes the row-level CDC patch whose application restores
+    multiset equality."""
+    from pyspark.sql import functions as F
+
+    from traildb_spark.cli import main
+    from traildb_spark.dataset import TrailDataset, apply_patch, normalize_events
+
+    rows = [(f"u{i%5}", 100 + i, f"t{i%3}") for i in range(50)]
+    a_df = normalize_events(
+        spark.createDataFrame(rows, ["uuid", "time", "etype"])
+    )
+    pa, pb, pp = (str(tmp_path / x) for x in ("da", "db", "patch"))
+    TrailDataset(a_df).finalize(pa)
+    TrailDataset(a_df.filter(F.col("time") % 7 != 0)).finalize(pb)
+
+    assert main(["diff", "-a", pa, "-b", pa]) == 0  # identical
+    assert main(["diff", "-a", pa, "-b", pb, "--patch", pp]) == 1
+
+    patched = apply_patch(
+        TrailDataset.open(spark, pa).df, spark.read.parquet(pp)
+    )
+    want = sorted(map(tuple, TrailDataset.open(spark, pb).df.collect()))
+    assert sorted(map(tuple, patched.collect())) == want

@@ -168,6 +168,34 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """``tdb diff``: trail-level digest comparison of two datasets (the
+    operational did-the-migration-preserve-everything check), optionally
+    emitting the row-level CDC patch that turns A into B
+    (``--patch OUT`` — apply with ``dataset.apply_patch``). Prints the
+    summary counts; exit status 1 when the datasets differ, so scripts
+    can gate on it like ``diff(1)``."""
+    from .dataset import TrailDataset, diff_datasets, make_patch
+
+    spark = _spark()
+    a = TrailDataset.open(spark, args.a).df
+    b = TrailDataset.open(spark, args.b).df
+    d = diff_datasets(a, b).persist()
+    total = d.count()
+    bad = d.filter(~d["match"]).count()
+    print(f"trails {total}")
+    print(f"mismatched {bad}")
+    if args.patch:
+        common = [c for c in a.columns if c in b.columns]
+        patch = make_patch(a.select(*common), b.select(*common))
+        patch.write.mode("overwrite").parquet(args.patch)
+        n_del = patch.filter(patch["__op"] == "-").count()
+        n_ins = patch.filter(patch["__op"] == "+").count()
+        print(f"patch {args.patch} (-{n_del} +{n_ins})")
+    d.unpersist()
+    return 1 if bad else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tdb", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -218,6 +246,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated columns to index (z-order)")
     ix.add_argument("--buckets-per-col", type=int, default=16)
     ix.set_defaults(fn=cmd_index)
+
+    df_ = sub.add_parser(
+        "diff", help="trail-digest dataset diff (+ optional CDC patch)"
+    )
+    df_.add_argument("-a", required=True, help="left dataset")
+    df_.add_argument("-b", required=True, help="right dataset")
+    df_.add_argument("--patch", help="write the row-level A→B patch here")
+    df_.set_defaults(fn=cmd_diff)
     return p
 
 
