@@ -476,3 +476,37 @@ def test_make_patch_apply_patch_roundtrip(spark):
 
     with _pytest.raises(ValueError, match="schemas differ"):
         make_patch(a, b.withColumnRenamed("f", "g"))
+
+
+def test_fsutil_list_data_files_rules(spark, tmp_path):
+    """The fingerprint walk's visibility rules, unit-level: hidden and
+    metadata subtrees (_zindex, _staging, dotfiles) are invisible, Hive
+    shard dirs ('__shard=...') are PRIMARY data, non-parquet files are
+    ignored, and entries carry (rel, size, mtime)."""
+    import os
+
+    from traildb_spark import fsutil
+
+    root = tmp_path / "db"
+    (root / "__shard=2024-01-01").mkdir(parents=True)
+    (root / "_zindex").mkdir()
+    (root / "_staging" / "deep").mkdir(parents=True)
+    (root / "__shard=2024-01-01" / "part-0.parquet").write_bytes(b"x" * 7)
+    (root / "top.parquet").write_bytes(b"y" * 3)
+    (root / "_zindex" / "z.parquet").write_bytes(b"z")
+    (root / "_staging" / "deep" / "s.parquet").write_bytes(b"s")
+    (root / ".hidden.parquet").write_bytes(b"h")
+    (root / "_SUCCESS").write_bytes(b"")
+    (root / "notes.txt").write_bytes(b"n")
+
+    got = sorted(fsutil.list_data_files(spark, str(root)))
+    assert [(r, s) for r, s, _ in got] == [
+        ("__shard=2024-01-01/part-0.parquet", 7),
+        ("top.parquet", 3),
+    ]
+    assert all(m > 0 for _, _, m in got)
+    # qualified path: identical listing through the same API
+    got_q = sorted(fsutil.list_data_files(spark, f"file://{root}"))
+    assert [(r, s) for r, s, _ in got_q] == [(r, s) for r, s, _ in got]
+    # absent root: empty, not an error
+    assert list(fsutil.list_data_files(spark, str(tmp_path / "nope"))) == []

@@ -348,8 +348,9 @@ def main():
     timed("only_diff_10x", lambda: _force(trails.only_diff_items(ev, fields=["event_type"], tiebreak=["event_id"])))
     timed("trail_lengths_10x", lambda: _force(trails.trail_lengths(ev)))
     from traildb_spark.operators.analytics import heavy_hitters_exact  # noqa: E402
+    mg_in = raw_big.select(F.coalesce("props", F.lit("")).alias("props"))
     timed("mg_heavy_hitters_10x", lambda: _force(
-        heavy_hitters_exact(ev.select("props"), "props", k=100)))
+        heavy_hitters_exact(mg_in, "props", k=100)))
     orders = (
         spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
         .select(
