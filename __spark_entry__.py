@@ -1692,6 +1692,26 @@ def q112_make_patch(spark, sf_dir):
     return make_patch(a, b)
 
 
+def q113_temperature_mix(spark, sf_dir):
+    """α=1/2 temperature mixture (the published multilingual/data-recipe
+    sampling: upsample tail sources at the head's expense) over a skewed
+    source map — 3/4 of docs collapse into one 'web' head source. The
+    allocation is INTEGER end-to-end (isqrt(n·10^12) weights + largest-
+    remainder apportionment, ties by source), and row selection is the
+    md5(doc_id) rank, so the oracle reproduces the EXACT sample: the
+    apportionment re-derives in SQL with a correction step that turns
+    floor(sqrt(double)) into exact isqrt."""
+    from traildb_spark.operators.curation import temperature_mix
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.col("source"))
+        .otherwise(F.lit("web"))
+        .alias("source"),
+    )
+    return temperature_mix(docs, total=60, alpha=0.5)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1809,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_token_heavy_hitters": q110_token_heavy_hitters,
         "q111_sequence_match": q111_sequence_match,
         "q112_make_patch": q112_make_patch,
+        "q113_temperature_mix": q113_temperature_mix,
     }
 
 
@@ -2580,6 +2601,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, '-' AS __op FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
             UNION ALL
             SELECT *, '+' AS __op FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+        """,
+        "q113_temperature_mix": """
+            -- alpha=1/2 mixture, TOTAL=60: integer isqrt(n*10^12)
+            -- weights (floor(sqrt(double)) corrected to exact isqrt),
+            -- largest-remainder apportionment (remainder desc, source
+            -- asc), md5(doc_id) rank selection per source
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN source
+                          ELSE 'web' END AS source
+              FROM documents),
+            c AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+            s0 AS (
+              SELECT source, n,
+                     CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1000000000000))
+                          AS BIGINT) AS r
+              FROM c),
+            w AS (
+              SELECT source, n,
+                     CASE
+                       WHEN (r + 1) * (r + 1) <= n * 1000000000000 THEN r + 1
+                       WHEN r * r > n * 1000000000000 THEN r - 1
+                       ELSE r END AS w
+              FROM s0),
+            tot AS (SELECT SUM(w) AS wsum FROM w),
+            base AS (
+              SELECT source, n, (60 * w) // wsum AS fl,
+                     (60 * w) % wsum AS rem
+              FROM w, tot),
+            fl_sum AS (SELECT SUM(fl) AS sfl FROM base),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+                        AS rr
+              FROM base),
+            alloc AS (
+              SELECT source,
+                     fl + CASE WHEN rr <= 60 - sfl THEN 1 ELSE 0 END AS q
+              FROM ranked, fl_sum),
+            sel AS (
+              SELECT d.doc_id, d.source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                     ) AS rn
+              FROM d)
+            SELECT sel.doc_id, sel.source
+            FROM sel JOIN alloc ON sel.source = alloc.source
+            WHERE sel.rn <= alloc.q
         """,
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})

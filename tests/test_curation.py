@@ -245,3 +245,61 @@ def test_pack_sequences_empty_input(spark):
 
     df = spark.createDataFrame([], "doc_id long, n_tokens long")
     assert curation.pack_sequences(df, budget=128).count() == 0
+
+
+def test_temperature_allocations_properties():
+    """Apportionment invariants across α: exact total (min(total, N)),
+    never past a source's cap, α=1 ≈ proportional, α=0 ≈ uniform,
+    0<α<1 strictly between (tail upsampled vs proportional), capped
+    excess redistributed, deterministic tie-breaks."""
+    from traildb_spark.operators.curation import temperature_allocations
+
+    counts = {"web": 10_000, "books": 400, "code": 100, "tiny": 3}
+    for alpha in (0.0, 0.3, 0.5, 0.7, 1.0):
+        a = temperature_allocations(counts, 500, alpha)
+        assert sum(a.values()) == 500, alpha
+        assert all(a[s] <= counts[s] for s in counts), alpha
+    prop = temperature_allocations(counts, 500, 1.0)
+    half = temperature_allocations(counts, 500, 0.5)
+    # α=1 ~ proportional: web gets ~476; α=0.5 upsamples the tail
+    assert prop["web"] > 450 and half["web"] < prop["web"]
+    assert half["books"] > prop["books"] and half["code"] > prop["code"]
+    # α=0: uniform over sources; 'tiny' (3) AND 'code' (100) cap, and
+    # their excess redistributes evenly over the uncapped pair
+    uni = temperature_allocations(counts, 400, 0.0)
+    assert uni["tiny"] == 3 and uni["code"] == 100
+    assert sum(uni.values()) == 400
+    assert abs(uni["web"] - uni["books"]) <= 1
+    # total beyond the corpus: everything allocated, nothing more
+    full = temperature_allocations(counts, 10**9, 0.5)
+    assert full == counts
+    # empty / zero-total edge
+    assert temperature_allocations({}, 10, 0.5) == {}
+    assert temperature_allocations(counts, 0, 0.5) == {s: 0 for s in counts}
+
+
+def test_temperature_mix_exact_and_stable(spark):
+    """temperature_mix returns EXACTLY the allocated rows, stable under
+    repartitioning (md5 rank is a pure function of id), and respects
+    caps on starved sources."""
+    from pyspark.sql import functions as F
+
+    from traildb_spark.operators.curation import (
+        temperature_allocations,
+        temperature_mix,
+    )
+
+    rows = [(i, "web" if i % 10 else "rare") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = temperature_mix(df, 150, alpha=0.5)
+    per = {
+        r["source"]: r["n"]
+        for r in got.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = temperature_allocations({"web": 900, "rare": 100}, 150, 0.5)
+    assert per == {s: q for s, q in want.items() if q}
+    a = sorted(r["doc_id"] for r in got.collect())
+    b = sorted(
+        r["doc_id"] for r in temperature_mix(df.repartition(13), 150, alpha=0.5).collect()
+    )
+    assert a == b  # partitioning-independent selection

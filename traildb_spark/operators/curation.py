@@ -195,6 +195,116 @@ def per_source_quota(
     )
 
 
+def temperature_allocations(
+    counts: dict, total: int, alpha: float = 0.5
+) -> dict:
+    """Capped largest-remainder apportionment of ``total`` over α-scaled
+    source weights ``w_s = n_s^α`` — the published data-mixing recipe
+    (multilingual sampling in mBERT/XLM-R, α-temperature mixtures in LLM
+    data curricula): α=1 is proportional, α=0 uniform over sources, and
+    0<α<1 upsamples the tail at the head's expense.
+
+    Driver-side over the SOURCE list (metadata-scale — never rows).
+    Integer math end-to-end for α=0.5 (``isqrt(n·10^12)``), so the
+    allocation is bit-reproducible in SQL (q113's oracle recomputes it
+    with an exactly-corrected ``floor(sqrt(double))``); other α use
+    driver floats for the weights, then the same integer apportionment.
+    Caps: no source allocates past its row count; excess redistributes
+    over the remaining sources by the same rule until placed (waterfill;
+    each round either places rows or retires a capped source, so it
+    terminates)."""
+    import math
+
+    counts = {s: int(n) for s, n in counts.items()}
+    alloc = {s: 0 for s in counts}
+    total = min(int(total), sum(counts.values()))
+    if total <= 0:
+        return alloc
+    if abs(alpha - 0.5) < 1e-12:
+        w = {s: math.isqrt(n * 10**12) for s, n in counts.items()}
+    elif alpha == 0:
+        w = {s: (1 if n > 0 else 0) for s, n in counts.items()}
+    else:
+        w = {
+            s: (int(round(n**alpha * 10**6)) if n > 0 else 0)
+            for s, n in counts.items()
+        }
+    active = {s for s in counts if counts[s] > 0 and w[s] > 0}
+    remaining = total
+    while remaining > 0 and active:
+        W = sum(w[s] for s in active)
+        share = {s: remaining * w[s] // W for s in active}
+        leftover = remaining - sum(share.values())
+        # largest remainder, ties by source name: leftover < len(active)
+        # because every floor loses strictly less than 1 share
+        order = sorted(active, key=lambda s: (-(remaining * w[s] % W), s))
+        for s in order[:leftover]:
+            share[s] += 1
+        placed = 0
+        for s in list(active):
+            take = min(share[s], counts[s] - alloc[s])
+            alloc[s] += take
+            placed += take
+            if alloc[s] >= counts[s]:
+                active.discard(s)
+        remaining -= placed
+        if placed == 0:
+            break  # safety: all active shares rounded to capped sources
+    return alloc
+
+
+def temperature_mix(
+    df: DataFrame,
+    total: int,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: str = "",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """EXACT-size α-temperature mixture over sources: allocate ``total``
+    rows across sources by :func:`temperature_allocations`, then take
+    each source's allocation deterministically (md5(seed||id) rank, ties
+    by id — the same engine-portable order as
+    :func:`uniform_sample_exact`, so the mixture is stable under
+    re-partitioning, re-runs, and engine changes).
+
+    One aggregate collects the per-source counts (sources are
+    metadata-scale); the selection is the salted two-phase per-source
+    rank of :func:`per_source_quota` with a BROADCAST per-source quota
+    column, so a whale source spreads over ``salt_buckets`` reducers and
+    no full-corpus sort exists anywhere in the plan."""
+    counts = {
+        r[source_col]: r["__n"]
+        for r in df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    alloc = temperature_allocations(counts, total, alpha)
+    spark = df.sparkSession
+    amap = spark.createDataFrame(
+        [(s, int(q)) for s, q in alloc.items()],
+        f"{source_col} string, __quota long",
+    )
+    rank = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    order = [F.asc("__rk"), F.asc(id_col)]
+    w1 = Window.partitionBy(source_col, "__salt").orderBy(*order)
+    w2 = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        df.withColumn("__rk", rank)
+        .join(F.broadcast(amap), source_col)
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+        .withColumn("__lrn", F.row_number().over(w1))
+        .filter(F.col("__lrn") <= F.col("__quota"))
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rk", "__salt", "__lrn", "__rn", "__quota")
+        .select(*df.columns)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],
