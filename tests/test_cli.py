@@ -258,3 +258,30 @@ def test_cli_diff_and_patch(spark, tmp_path):
     )
     want = sorted(map(tuple, TrailDataset.open(spark, pb).df.collect()))
     assert sorted(map(tuple, patched.collect())) == want
+
+
+def test_cli_parquet_ingest_and_dump(spark, tmp_path):
+    """`tdb make -p` ingests parquet events (accepting the raw table's
+    user_id/ts aliases) and `tdb dump -p` round-trips the dataset back
+    to parquet with filters applied."""
+    from pyspark.sql import functions as F
+
+    from traildb_spark.cli import main
+
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(
+        [(i, f"u{i%4}", 1704067200 + i, "click" if i % 2 else "view")
+         for i in range(40)],
+        "event_id long, user_id string, ts long, event_type string",
+    ).write.parquet(src)
+
+    db = str(tmp_path / "pq_db")
+    assert main(["make", "-p", "-o", db, src]) == 0
+    out = str(tmp_path / "pq_dump")
+    assert main([
+        "dump", "-p", "-i", db, "-o", out, "--filter", "event_type=click",
+    ]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    assert got.filter(F.col("event_type") != "click").count() == 0
+    assert set(got.columns) >= {"uuid", "time", "event_type"}

@@ -43,7 +43,21 @@ def cmd_make(args) -> int:
     from .dataset import TrailDataset
 
     spark = _spark()
-    if args.json:
+    if args.parquet:
+        from .dataset import normalize_events
+        from .sources.make import make_from_dataframe
+
+        raw = spark.read.parquet(args.inputs)
+        cols = _split_fields(args.fields)
+        if cols:
+            raw = raw.select(*cols)
+        # accept the common (uuid,time) aliases parquet event dumps use
+        ren = {"user_id": "uuid", "ts": "time"}
+        for src, dst in ren.items():
+            if dst not in raw.columns and src in raw.columns:
+                raw = raw.withColumnRenamed(src, dst)
+        ds = make_from_dataframe(raw)
+    elif args.json:
         ds = make_from_json(
             spark, args.inputs, fields=_split_fields(args.fields),
             skip_bad_input=args.skip_bad_input,
@@ -102,6 +116,8 @@ def cmd_dump(args) -> int:
                 print(args.delimiter.join(cols))
             for r in rows:
                 print(args.delimiter.join("" if r[c] is None else str(r[c]) for c in cols))
+    elif args.parquet:
+        project_fields(df, fields).write.mode("overwrite").parquet(args.output)
     elif args.json:
         dump_json(df, args.output, fields=fields, no_empty=args.json_no_empty, mode="overwrite")
     else:
@@ -204,6 +220,8 @@ def build_parser() -> argparse.ArgumentParser:
     mk.add_argument("-o", "--output", required=True)
     mk.add_argument("-c", "--csv", action="store_true", default=True)
     mk.add_argument("-j", "--json", action="store_true")
+    mk.add_argument("-p", "--parquet", action="store_true",
+                    help="ingest parquet events (user_id/ts aliases accepted)")
     mk.add_argument("-d", "--delimiter", default=",")
     mk.add_argument("-f", "--fields", help="field spec, e.g. uuid,time,action or 2:uuid,5:time")
     mk.add_argument("--csv-header", action="store_true")
@@ -217,6 +235,8 @@ def build_parser() -> argparse.ArgumentParser:
     dp.add_argument("-o", "--output", default="-")
     dp.add_argument("-c", "--csv", action="store_true", default=True)
     dp.add_argument("-j", "--json", action="store_true")
+    dp.add_argument("-p", "--parquet", action="store_true",
+                    help="write parquet instead of CSV/JSON")
     dp.add_argument("-d", "--delimiter", default=",")
     dp.add_argument("-f", "--fields")
     dp.add_argument("--filter", help="CNF filter, e.g. 'a=1 b=2 & c!=3'")
