@@ -1712,6 +1712,19 @@ def q113_temperature_mix(spark, sf_dir):
     return temperature_mix(docs, total=60, alpha=0.5)
 
 
+def q114_trigram_backoff(spark, sf_dir):
+    """Stupid-backoff trigram surprisal against a HELD-OUT model (even
+    doc_ids train, odd doc_ids score), so unseen trigrams genuinely walk
+    the backoff chain — trigram → (w2,w3) bigram → w3 unigram → unknown,
+    1322 millibits ≈ log2(1/0.4) per level, whole-bit count ratios, all
+    int64. The oracle rebuilds the three model tables and the CASE chain
+    in SQL, so every backoff branch is value-checked."""
+    docs = _load(spark, sf_dir, "documents")
+    model = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    return text.trigram_backoff_surprisal(score, model)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1830,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_sequence_match": q111_sequence_match,
         "q112_make_patch": q112_make_patch,
         "q113_temperature_mix": q113_temperature_mix,
+        "q114_trigram_backoff": q114_trigram_backoff,
     }
 
 
@@ -2649,6 +2663,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT sel.doc_id, sel.source
             FROM sel JOIN alloc ON sel.source = alloc.source
             WHERE sel.rn <= alloc.q
+        """,
+        "q114_trigram_backoff": f"""
+            -- stupid backoff vs a held-out model (even ids train, odd
+            -- score): tri -> (w2,w3) -> w3 -> unknown; 1322 mb/level
+            WITH mw AS (
+              SELECT doc_id, {_TOKENS} AS ws FROM documents
+              WHERE doc_id % 2 = 0),
+            uni AS (
+              SELECT w, COUNT(*) AS c1 FROM (
+                SELECT unnest(ws) AS w FROM mw) GROUP BY w),
+            big AS (
+              SELECT b, COUNT(*) AS c2 FROM (
+                SELECT unnest([ws[i] || ' ' || ws[i+1]
+                               for i in generate_series(1, len(ws) - 1)]) AS b
+                FROM mw WHERE len(ws) >= 2) GROUP BY b),
+            tri AS (
+              SELECT t, COUNT(*) AS c3 FROM (
+                SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in generate_series(1, len(ws) - 2)]) AS t
+                FROM mw WHERE len(ws) >= 3) GROUP BY t),
+            tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+            sw AS (
+              SELECT doc_id, {_TOKENS} AS ws FROM documents
+              WHERE doc_id % 2 = 1),
+            stf AS (
+              SELECT doc_id, t, COUNT(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in generate_series(1, len(ws) - 2)]) AS t
+                FROM sw WHERE len(ws) >= 3) GROUP BY doc_id, t),
+            scored AS (
+              SELECT stf.doc_id,
+                     CAST(SUM(stf.tf * CASE
+                       WHEN tri.c3 IS NOT NULL THEN
+                         1000 * (length(bin(b12.c2)) - length(bin(tri.c3)))
+                       WHEN b23.c2 IS NOT NULL THEN
+                         1322 + 1000 * (length(bin(u2.c1)) - length(bin(b23.c2)))
+                       WHEN u3.c1 IS NOT NULL THEN
+                         2644 + 1000 * (length(bin(tot.n)) - length(bin(u3.c1)))
+                       ELSE 2644 + 1000 * (length(bin(tot.n)) - 1)
+                     END) AS BIGINT) AS smb,
+                     CAST(SUM(stf.tf) AS BIGINT) AS nt
+              FROM stf
+              LEFT JOIN tri ON stf.t = tri.t
+              LEFT JOIN big b12
+                ON split_part(stf.t, ' ', 1) || ' '
+                   || split_part(stf.t, ' ', 2) = b12.b
+              LEFT JOIN big b23
+                ON split_part(stf.t, ' ', 2) || ' '
+                   || split_part(stf.t, ' ', 3) = b23.b
+              LEFT JOIN uni u2 ON split_part(stf.t, ' ', 2) = u2.w
+              LEFT JOIN uni u3 ON split_part(stf.t, ' ', 3) = u3.w
+              CROSS JOIN tot
+              GROUP BY stf.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(s.nt, 0) AS n_trigrams,
+                   COALESCE(s.smb, 0) AS surprisal_millibits,
+                   CASE WHEN COALESCE(s.nt, 0) = 0 THEN 0
+                        ELSE s.smb // s.nt END AS millibits_per_trigram
+            FROM documents d
+            LEFT JOIN scored s ON d.doc_id = s.doc_id
+            WHERE d.doc_id % 2 = 1
         """,
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})

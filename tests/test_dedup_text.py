@@ -1017,3 +1017,39 @@ def test_ivf_prebuilt_index_prunes_partitions_and_matches(spark, sf_dir, tmp_pat
         es.setdefault(r["query_id"], set()).add(r["corpus_id"])
     hit = sum(1 for r in rows if r["corpus_id"] in es[r["query_id"]])
     assert hit / len(exact) >= 0.8
+
+
+def test_trigram_backoff_levels_exact(spark):
+    """Every stupid-backoff branch fires and scores exactly: seen
+    trigram (whole-bit ratio), bigram backoff (+1322), unigram backoff
+    (+2644), unknown word (count clamped to 1). Model and scored corpus
+    are disjoint by construction."""
+    from traildb_spark.operators.text import trigram_backoff_surprisal
+
+    model = spark.createDataFrame(
+        [(0, "a b c a b c d e f")], ["doc_id", "text"]
+    )
+    # model counts: N=9; tri: 'a b c'x2, 'b c a', 'c a b', 'b c d',
+    # 'c d e', 'd e f'; bigrams: 'a b'x2,'b c'x2,'c a','c d','d e','e f';
+    # unigrams: a2 b2 c2 d1 e1 f1
+    score = spark.createDataFrame(
+        [
+            (1, "a b c"),      # seen trigram: bits(c('a b')=2) - bits(c3=2) = 0
+            (2, "x b c"),      # tri unseen, bg23 'b c'=2 seen: 1322 + bits(c(b)=2)-bits(2)=1322+0
+            (3, "x y f"),      # only w3 'f'=1 seen: 2644 + bits(N=9)-bits(1) = 2644+4000-1000
+            (4, "x y z"),      # unknown w3: 2644 + (bits(9)-1)*1000
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["surprisal_millibits"])
+        for r in trigram_backoff_surprisal(score, model).collect()
+    }
+    assert got[1] == (1, 0)
+    assert got[2] == (1, 1322)
+    assert got[3] == (1, 2644 + 3000)
+    assert got[4] == (1, 2644 + 3000)
+    # self-model: every trigram is seen, so no backoff penalty appears
+    self_scored = trigram_backoff_surprisal(model).collect()[0]
+    assert self_scored["n_trigrams"] == 7
+    assert self_scored["surprisal_millibits"] < 7 * 1322

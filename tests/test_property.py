@@ -744,3 +744,35 @@ def test_gif_roundtrip_fuzz(h, w, ncol, interlace, seed):
     p2, i2 = decode_gif_indices(make_gif(idx, pal, interlace=interlace))
     assert np.array_equal(i2, idx)
     assert np.array_equal(p2[:ncol], pal)
+
+
+@given(
+    counts=st.dictionaries(
+        st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=4),
+        st.integers(min_value=0, max_value=10_000),
+        min_size=0,
+        max_size=12,
+    ),
+    total=st.integers(min_value=0, max_value=30_000),
+    alpha=st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0]),
+)
+@settings(max_examples=200, deadline=None)
+def test_temperature_allocations_invariants(counts, total, alpha):
+    """Apportionment invariants over random universes: allocations are
+    non-negative integers, never exceed a source's count, sum to
+    min(total, N) whenever any source has weight, and empty-weight
+    sources get zero."""
+    from traildb_spark.operators.curation import temperature_allocations
+
+    alloc = temperature_allocations(counts, total, alpha)
+    assert set(alloc) == set(counts)
+    assert all(isinstance(v, int) and v >= 0 for v in alloc.values())
+    assert all(alloc[s] <= counts[s] for s in counts)
+    n = sum(counts.values())
+    if any(c > 0 for c in counts.values()):
+        assert sum(alloc.values()) == min(total, n)
+    else:
+        assert sum(alloc.values()) == 0
+    for s, c in counts.items():
+        if c == 0:
+            assert alloc[s] == 0

@@ -838,6 +838,148 @@ def bm25_topk(
     )
 
 
+def trigram_backoff_surprisal(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document trigram self-information under STUPID BACKOFF
+    (Brants et al. 2007, "Large Language Models in Machine Translation")
+    — the LM-quality signal one step past :func:`bigram_surprisal`, and
+    the first of the family that scores against a SEPARATE model corpus
+    (``model_df``; defaults to ``df``): when the model is held out,
+    unseen trigrams genuinely back off, which is the whole point of the
+    scheme. Backoff chain per trigram (w1 w2 w3):
+
+    * seen trigram:   bits(count(w1 w2)) − bits(count(w1 w2 w3))
+    * else seen (w2 w3): 1322 millibits + [bits(count(w2)) − bits(count(w2 w3))]·1000
+    * else seen w3:   2644 + [bits(N) − bits(count(w3))]·1000
+    * unknown w3:     2644 + [bits(N) − 1]·1000  (count clamped to 1)
+
+    1322 millibits ≈ log2(1/0.4) per backoff level, integerized so the
+    whole score is exact int64 (bits = binary-digit count, the
+    engine-portable whole-bit discipline of the surprisal family — no
+    libm log anywhere). Returns ``(doc_id, n_trigrams,
+    surprisal_millibits, millibits_per_trigram)``.
+
+    Plan shape: zip_with builds in-document trigrams with zero shuffle;
+    model n-gram tables combine map-side; the five model joins carry NO
+    broadcast hint — n-gram models are corpus-scale at 100 TB, so AQE
+    must pick broadcast vs shuffle per actual size (same reasoning as
+    the bigram model)."""
+    BACKOFF_MILLIBITS = 1322  # ceil(1000·log2(2.5))
+    model_df = df if model_df is None else model_df
+
+    def ngrams(d: DataFrame, n: int):
+        ws = tokens(F.col(text_col))
+        if n == 1:
+            out = ws
+        else:
+            cut = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+            parts = [F.slice(ws, i + 1, cut) for i in range(n)]
+            out = parts[0]
+            for p in parts[1:]:
+                out = F.zip_with(
+                    out, p, lambda a, b: F.concat(a, F.lit(" "), b)
+                )
+        return d.select(
+            F.col(id_col).alias("doc_id"), F.explode(out).alias("g")
+        )
+
+    uni = ngrams(model_df, 1).groupBy(F.col("g").alias("w")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    big = ngrams(model_df, 2).groupBy(F.col("g").alias("b")).agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    tri = ngrams(model_df, 3).groupBy(F.col("g").alias("t")).agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    n_total = uni.agg(F.sum("c1").alias("__N"))  # 1-row broadcast total
+
+    tf = ngrams(df, 3).groupBy("doc_id", F.col("g").alias("t")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    parts = tf.select(
+        "doc_id",
+        "t",
+        "tf",
+        F.concat_ws(
+            " ",
+            F.split_part(F.col("t"), F.lit(" "), F.lit(1)),
+            F.split_part(F.col("t"), F.lit(" "), F.lit(2)),
+        ).alias("bg12"),
+        F.concat_ws(
+            " ",
+            F.split_part(F.col("t"), F.lit(" "), F.lit(2)),
+            F.split_part(F.col("t"), F.lit(" "), F.lit(3)),
+        ).alias("bg23"),
+        F.split_part(F.col("t"), F.lit(" "), F.lit(2)).alias("w2"),
+        F.split_part(F.col("t"), F.lit(" "), F.lit(3)).alias("w3"),
+    )
+    j = (
+        parts.join(tri, parts["t"] == tri["t"], "left")
+        .drop(tri["t"])
+        .join(big.withColumnRenamed("c2", "c_bg12"), parts["bg12"] == big["b"], "left")
+        .drop("b")
+        .join(
+            big.withColumnRenamed("c2", "c_bg23").withColumnRenamed("b", "b2"),
+            parts["bg23"] == F.col("b2"),
+            "left",
+        )
+        .drop("b2")
+        .join(uni.withColumnRenamed("c1", "c_w2"), parts["w2"] == uni["w"], "left")
+        .drop("w")
+        .join(
+            uni.withColumnRenamed("c1", "c_w3").withColumnRenamed("w", "wb"),
+            parts["w3"] == F.col("wb"),
+            "left",
+        )
+        .drop("wb")
+        .crossJoin(F.broadcast(n_total))
+    )
+    bits = lambda c: F.length(F.bin(c))  # noqa: E731
+    mb = (
+        F.when(
+            F.col("c3").isNotNull(),
+            1000 * (bits(F.col("c_bg12")) - bits(F.col("c3"))),
+        )
+        .when(
+            F.col("c_bg23").isNotNull(),
+            BACKOFF_MILLIBITS
+            + 1000 * (bits(F.col("c_w2")) - bits(F.col("c_bg23"))),
+        )
+        .when(
+            F.col("c_w3").isNotNull(),
+            2 * BACKOFF_MILLIBITS
+            + 1000 * (bits(F.col("__N")) - bits(F.col("c_w3"))),
+        )
+        .otherwise(
+            2 * BACKOFF_MILLIBITS + 1000 * (bits(F.col("__N")) - F.lit(1))
+        )
+    )
+    scored = j.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * mb).alias("surprisal_millibits"),
+        F.sum("tf").alias("n_trigrams"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            F.coalesce(F.col("surprisal_millibits"), F.lit(0)).alias(
+                "surprisal_millibits"
+            ),
+            F.expr(
+                "CASE WHEN coalesce(n_trigrams, 0) = 0 THEN 0 "
+                "ELSE surprisal_millibits div n_trigrams END"
+            ).alias("millibits_per_trigram"),
+        )
+    )
+
+
 def bigram_surprisal(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
