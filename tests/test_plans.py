@@ -517,3 +517,44 @@ def test_heavy_hitters_exact_broadcasts_candidates(spark, sf_dir):
     plan = explain_str(out, "simple")
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_temperature_mix_broadcasts_quota_map_no_global_sort(spark, sf_dir):
+    """temperature_mix must broadcast the per-source quota map and rank
+    within (source, salt) windows — a global ORDER BY or a shuffled join
+    against the ≤|sources|-row map would be the 100 TB anti-pattern."""
+    from traildb_spark.operators.curation import temperature_mix
+    from traildb_spark.plans.audit import explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = temperature_mix(docs, 100, alpha=0.5)
+    plan = explain_str(out, "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # no global (non-partitioned) Sort feeding a single partition:
+    # every Sort in this plan sits under a partitioned window
+    assert "CartesianProduct" not in plan
+
+
+def test_make_patch_changed_only_narrows_with_semi_joins(spark, sf_dir):
+    """make_patch(changed_only=True) must narrow BOTH sides to digest-
+    changed trails via semi-joins before the all-columns exceptAll —
+    the two LeftSemi joins are the 100 TB shape (daily deltas touch a
+    fraction of trails)."""
+    from pyspark.sql import functions as F
+
+    from traildb_spark.dataset import make_patch
+    from traildb_spark.plans.audit import explain_str
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").cast("string").alias("uuid"),
+            F.col("event_id"),
+            F.coalesce("event_type", F.lit("")).alias("event_type"),
+        )
+    )
+    b = ev.filter(F.col("event_id") % 31 != 0)
+    plan = explain_str(make_patch(ev, b), "simple")
+    assert plan.count("LeftSemi") >= 2
