@@ -440,3 +440,22 @@ def test_sequence_match_order_ties_and_nulls(spark):
     # NULL renders as the empty token (double space), matchable explicitly
     got2 = {r["uuid"] for r in sequence_match(df, "  purchase ", "event_type").collect()}
     assert got2 == {"u3"}
+
+
+def test_sequence_match_whale_guard(spark):
+    """The per-trail string materialization is guarded: a trail past
+    max_events_per_trail raises loudly at execution; None bypasses."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from traildb_spark.operators.analytics import sequence_match
+
+    rows = [("u1", t, t, "a") for t in range(50)] + [("u2", 1, 1, "b")]
+    df = spark.createDataFrame(rows, "uuid string, time long, event_id long, event_type string")
+    with _pytest.raises(Exception, match="max_events_per_trail"):
+        try:
+            sequence_match(df, " a ", max_events_per_trail=10).collect()
+        except Py4JJavaError as e:
+            raise RuntimeError(str(e)) from e
+    got = {r["uuid"] for r in sequence_match(df, " a ", max_events_per_trail=None).collect()}
+    assert got == {"u1"}

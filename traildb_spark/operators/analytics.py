@@ -663,6 +663,7 @@ def sequence_match(
     uuid_col: str = UUID_COL,
     time_col: str = TIME_COL,
     tiebreak: tuple[str, ...] = ("event_id",),
+    max_events_per_trail: int | None = 1_000_000,
 ) -> DataFrame:
     """Regex over TRAIL SEQUENCES — the general form of
     :func:`pattern_match` (which hard-codes one A-then-B-without-C
@@ -684,10 +685,14 @@ def sequence_match(
 
     Scale shape: one uuid shuffle into collect_list (map-side partial
     lists), the sort and regex run per trail JVM-side — no Python, no
-    joins. Sequence length is bounded by max-trail-length like every
-    per-trail operator (whale numbers in SCALE.md). Returns
-    ``(uuid, seq)`` for matching trails — keeping ``seq`` makes the
-    match auditable downstream."""
+    joins. The rendered sequence materializes one string PER TRAIL, so
+    ``max_events_per_trail`` (default 1M ≈ tens of MB of string) raises
+    loudly at execution if a whale trail would blow the aggregation
+    buffer — the check rides the same aggregate (assert_true folded
+    into the seq column, zero extra jobs); pass ``None`` to bypass for
+    corpora whose whales are known-safe. Returns ``(uuid, seq)`` for
+    matching trails — keeping ``seq`` makes the match auditable
+    downstream."""
     ev = F.struct(
         F.col(time_col).alias("__t"),
         *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tiebreak)],
@@ -703,6 +708,19 @@ def sequence_match(
         ),
         F.lit(" "),
     )
+    if max_events_per_trail is not None:
+        seq = F.coalesce(
+            F.assert_true(
+                F.count(F.lit(1)) <= int(max_events_per_trail),
+                F.lit(
+                    "sequence_match: a trail exceeds max_events_per_trail="
+                    f"{int(max_events_per_trail)}; its rendered sequence "
+                    "would dominate the aggregation buffer. Raise the cap "
+                    "explicitly or pass None to bypass."
+                ),
+            ).cast("string"),
+            seq,
+        )
     return (
         df.groupBy(uuid_col)
         .agg(seq.alias("seq"))
