@@ -303,3 +303,15 @@ def test_temperature_mix_exact_and_stable(spark):
         r["doc_id"] for r in temperature_mix(df.repartition(13), 150, alpha=0.5).collect()
     )
     assert a == b  # partitioning-independent selection
+
+
+def test_temperature_mix_refuses_null_sources(spark):
+    import pytest as _pytest
+
+    from traildb_spark.operators.curation import temperature_mix
+
+    df = spark.createDataFrame(
+        [(1, "web"), (2, None)], "doc_id long, source string"
+    )
+    with _pytest.raises(ValueError, match="NULL values in the source"):
+        temperature_mix(df, 1)

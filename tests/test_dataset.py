@@ -510,3 +510,24 @@ def test_fsutil_list_data_files_rules(spark, tmp_path):
     assert [(r, s) for r, s, _ in got_q] == [(r, s) for r, s, _ in got]
     # absent root: empty, not an error
     assert list(fsutil.list_data_files(spark, str(tmp_path / "nope"))) == []
+
+
+def test_make_patch_null_uuid_rows_not_lost(spark):
+    """NULL-uuid rows must survive changed_only narrowing (NULL keys
+    never pass a semi-join): differing NULL-uuid rows still produce
+    patch rows and the round-trip still restores multiset equality."""
+    from traildb_spark.dataset import apply_patch, make_patch
+
+    a = spark.createDataFrame(
+        [(None, 1, "x"), ("u1", 2, "y")],
+        "uuid string, time long, f string",
+    )
+    b = spark.createDataFrame(
+        [(None, 1, "CHANGED"), ("u1", 2, "y")],
+        "uuid string, time long, f string",
+    )
+    patch = make_patch(a, b)
+    assert patch.count() == 2  # one '-', one '+', both NULL-uuid
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    got = sorted(map(tuple, apply_patch(a, patch).collect()), key=key)
+    assert got == sorted(map(tuple, b.collect()), key=key)

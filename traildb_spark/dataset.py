@@ -899,8 +899,16 @@ def make_patch(
             .filter(~F.col("match"))
             .select(F.col("uuid").alias(uuid_col))
         )
-        a = a.join(changed, uuid_col, "left_semi")
-        b = b.join(changed, uuid_col, "left_semi")
+        # NULL-uuid rows can never pass a semi-join (NULL keys don't
+        # equi-join), so they'd silently vanish from the patch even when
+        # the sides differ — carry them through unconditionally; the
+        # exceptAll ignores them when they're identical anyway
+        a = a.join(changed, uuid_col, "left_semi").unionByName(
+            a.filter(F.col(uuid_col).isNull())
+        )
+        b = b.join(changed, uuid_col, "left_semi").unionByName(
+            b.filter(F.col(uuid_col).isNull())
+        )
     dels = a.exceptAll(b).withColumn("__op", F.lit("-"))
     ins = b.exceptAll(a).withColumn("__op", F.lit("+"))
     return dels.unionByName(ins)

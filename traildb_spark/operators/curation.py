@@ -280,6 +280,14 @@ def temperature_mix(
         .agg(F.count(F.lit(1)).alias("__n"))
         .collect()
     }
+    if None in counts:
+        # a NULL source would get an allocation the selection join can
+        # never fill (NULL keys don't equi-join) — the mixture would
+        # silently come up short of `total`; refuse instead
+        raise ValueError(
+            "temperature_mix: NULL values in the source column — coalesce "
+            "them to a real label upstream"
+        )
     alloc = temperature_allocations(counts, total, alpha)
     spark = df.sparkSession
     amap = spark.createDataFrame(
