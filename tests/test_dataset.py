@@ -531,3 +531,22 @@ def test_make_patch_null_uuid_rows_not_lost(spark):
     key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
     got = sorted(map(tuple, apply_patch(a, patch).collect()), key=key)
     assert got == sorted(map(tuple, b.collect()), key=key)
+
+
+def test_diff_datasets_null_uuid_trail_compares_as_one(spark):
+    """A NULL-uuid trail present identically on both sides must compare
+    as ONE matching trail (null-safe join), not two spurious mismatches
+    that would flip `tdb diff`'s exit status on identical datasets."""
+    from traildb_spark.dataset import diff_datasets
+
+    a = spark.createDataFrame(
+        [(None, 1, "x"), ("u1", 2, "y")], "uuid string, time long, f string"
+    )
+    d = diff_datasets(a, a).collect()
+    assert len(d) == 2 and all(r["match"] for r in d)
+    b = spark.createDataFrame(
+        [(None, 1, "DIFFERENT"), ("u1", 2, "y")],
+        "uuid string, time long, f string",
+    )
+    d2 = {r["uuid"]: r["match"] for r in diff_datasets(a, b).collect()}
+    assert d2 == {None: False, "u1": True}

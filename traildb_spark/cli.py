@@ -44,7 +44,6 @@ def cmd_make(args) -> int:
 
     spark = _spark()
     if args.parquet:
-        from .dataset import normalize_events
         from .sources.make import make_from_dataframe
 
         raw = spark.read.parquet(args.inputs)
@@ -93,6 +92,10 @@ def cmd_dump(args) -> int:
             wl = [ln.strip() for ln in fh if ln.strip()]
         df = uuid_whitelist(df, wl)
     fields = _split_fields(args.fields)
+    if args.parquet and args.output == "-":
+        print("dump: --parquet needs -o (parquet cannot stream to stdout)",
+              file=sys.stderr)
+        return 1
     if args.output == "-":
         rows = project_fields(df, fields).limit(args.limit).collect()
         cols = fields or df.columns
@@ -205,9 +208,15 @@ def cmd_diff(args) -> int:
         common = [c for c in a.columns if c in b.columns]
         patch = make_patch(a.select(*common), b.select(*common))
         patch.write.mode("overwrite").parquet(args.patch)
-        n_del = patch.filter(patch["__op"] == "-").count()
-        n_ins = patch.filter(patch["__op"] == "+").count()
-        print(f"patch {args.patch} (-{n_del} +{n_ins})")
+        # count from the materialized output: re-counting the live plan
+        # would recompute the digest diff + both exceptAll shuffles twice
+        written = spark.read.parquet(args.patch)
+        ops = {
+            r["__op"]: r["n"]
+            for r in written.groupBy("__op").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        print(f"patch {args.patch} (-{ops.get('-', 0)} +{ops.get('+', 0)})")
     d.unpersist()
     return 1 if bad else 0
 

@@ -847,7 +847,16 @@ def diff_datasets(
         )
     da = digest(a, "n_a", "fp_a")
     db_ = digest(b, "n_b", "fp_b")
-    out = da.join(db_, "uuid", "full_outer")
+    # null-safe join key: a NULL-uuid trail present identically on both
+    # sides must compare as ONE matching trail, not two spurious
+    # mismatches (plain equi-joins never match NULL keys, which would
+    # make `tdb diff` exit non-zero on identical datasets)
+    out = da.join(
+        db_, da["uuid"].eqNullSafe(db_["uuid"]), "full_outer"
+    ).select(
+        F.coalesce(da["uuid"], db_["uuid"]).alias("uuid"),
+        "n_a", "n_b", "fp_a", "fp_b",
+    )
     return out.select(
         "uuid",
         F.coalesce("n_a", F.lit(0)).alias("n_a"),

@@ -52,8 +52,10 @@ def write_small(spark, path: str, content: str) -> None:
     """Overwrite a small UTF-8 file through the FS API."""
     _, hpath, fs = hfs(spark, path)
     out = fs.create(hpath(path), True)
-    out.write(bytearray(content, "utf-8"))
-    out.close()
+    try:
+        out.write(bytearray(content, "utf-8"))
+    finally:
+        out.close()  # a leaked stream holds the HDFS lease, blocking retries
 
 
 def swap_pointer(spark, latest: str, content: str) -> None:
@@ -65,8 +67,10 @@ def swap_pointer(spark, latest: str, content: str) -> None:
     jvm, hpath, fs = hfs(spark, latest)
     tmp = hpath(latest + ".tmp")
     out = fs.create(tmp, True)
-    out.write(bytearray(content, "utf-8"))
-    out.close()
+    try:
+        out.write(bytearray(content, "utf-8"))
+    finally:
+        out.close()
     fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
         hpath(latest).toUri(), spark.sparkContext._jsc.hadoopConfiguration()
     )

@@ -552,11 +552,25 @@ def mg_summary(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     Returns ``(value, lo, hi)``; NULL input values count like any other
     value (keyed as NULL).
     """
-    import pandas as pd
-
     k = int(k)
     if k < 1:
         raise ValueError("mg_summary: k must be >= 1")
+    summ = df.select(F.col(col).cast("string")).mapInPandas(
+        mg_partition_summarize(k), MG_SUMMARY_SCHEMA
+    )
+    return mg_bounds(summ)
+
+
+MG_SUMMARY_SCHEMA = "value string, cnt long, is_meta boolean"
+
+
+def mg_partition_summarize(k: int):
+    """The ONE Misra-Gries partition kernel (shared by :func:`mg_summary`
+    and ``streaming_heavy_hitters`` so the decrement accounting — the
+    part with a proof obligation — lives in exactly one place): an
+    Arrow-batched k-counter MG over one partition's rows, emitting
+    counter rows plus a single meta row carrying the deducted mass."""
+    import pandas as pd
 
     def summarize(batches):
         counters: dict = {}
@@ -572,21 +586,23 @@ def mg_summary(df: DataFrame, col: str, k: int = 100) -> DataFrame:
                 counters = {
                     v: c - cut for v, c in counters.items() if c > cut
                 }
-        out = pd.DataFrame(
+        yield pd.DataFrame(
             {
                 "value": list(counters.keys()) + [None],
                 "cnt": list(counters.values()) + [deducted],
                 "is_meta": [False] * len(counters) + [True],
             }
         )
-        yield out
 
-    summ = df.select(F.col(col).cast("string")).mapInPandas(
-        summarize, "value string, cnt long, is_meta boolean"
-    )
-    # the summary is sketch-sized (≤ (k+1) rows per partition), so a
-    # global window for the shared deducted mass costs one tiny exchange
-    # and keeps the operator fully lazy — no collect, no persist
+    return summarize
+
+
+def mg_bounds(summ: DataFrame) -> DataFrame:
+    """(value, lo, hi) projection of an MG counter+meta summary frame:
+    lo = stored count, hi = lo + total deducted mass. The summary is
+    sketch-sized (≤ (k+1) rows per partition), so the global window for
+    the shared deducted mass costs one tiny exchange and stays fully
+    lazy — no collect, no persist."""
     w = Window.partitionBy()
     summ = summ.withColumn(
         "__ded",

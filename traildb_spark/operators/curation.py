@@ -294,7 +294,20 @@ def temperature_mix(
         [(s, int(q)) for s, q in alloc.items()],
         f"{source_col} string, __quota long",
     )
-    rank = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    # a NULL id would get a NULL rank (sorted first by Spark, last by
+    # other engines) and NULL-id rows tie on BOTH sort keys, making the
+    # selection partition-order dependent — raise at execution instead
+    # (assert_true folded into the rank column: zero extra jobs)
+    rank = F.coalesce(
+        F.assert_true(
+            F.col(id_col).isNotNull(),
+            F.lit(
+                "temperature_mix: NULL values in the id column break the "
+                "deterministic rank — coalesce or drop them upstream"
+            ),
+        ).cast("string"),
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+    )
     order = [F.asc("__rk"), F.asc(id_col)]
     w1 = Window.partitionBy(source_col, "__salt").orderBy(*order)
     w2 = Window.partitionBy(source_col).orderBy(*order)

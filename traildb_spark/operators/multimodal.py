@@ -1219,7 +1219,8 @@ def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
     the worker, never pixel planes."""
     from .gif import decode_gif_frames
 
-    if int(every_n) < 1:
+    every_n = int(every_n)  # normalized: range() below needs a real int
+    if every_n < 1:
         raise ValueError("extract_video_frames: every_n must be >= 1")
     vids = df.filter(F.col("kind") == "video").select("media_id", "content")
 
@@ -1299,7 +1300,8 @@ def extract_video_chroma(df: DataFrame, every_n: int = 1) -> DataFrame:
     chroma sums; corrupt/non-Y4M payloads emit the frame_idx -1 sentinel
     row like :func:`extract_video_frames`. Arrow-batched mapInPandas;
     only fixed-width stats leave the worker, never pixel planes."""
-    if int(every_n) < 1:
+    every_n = int(every_n)  # normalized: range() below needs a real int
+    if every_n < 1:
         raise ValueError("extract_video_chroma: every_n must be >= 1")
     vids = df.filter(F.col("kind") == "video").select("media_id", "content")
 

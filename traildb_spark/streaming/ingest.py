@@ -504,6 +504,11 @@ def _heavy_hitters_batch(
     ``_countmin_batch``)."""
     import pandas as pd
 
+    from ..operators.analytics import (
+        MG_SUMMARY_SCHEMA,
+        mg_partition_summarize,
+    )
+
     spark = batch_df.sparkSession
     latest = f"{path}/_latest_{run_token}"
     out_b = f"{path}/mg_{run_token}_{batch_id}"
@@ -516,29 +521,8 @@ def _heavy_hitters_batch(
             "state (cleared checkpoint reused) — use a fresh checkpoint "
             f"path or delete the summary state at {path} explicitly."
         )
-
-    def summarize(batches):
-        counters: dict = {}
-        deducted = 0
-        for pdf in batches:
-            vc = pdf[pdf.columns[0]].value_counts(dropna=False)
-            for v, c in vc.items():
-                key = None if pd.isna(v) else v
-                counters[key] = counters.get(key, 0) + int(c)
-            if len(counters) > k:
-                cut = sorted(counters.values(), reverse=True)[k]
-                deducted += cut
-                counters = {v: c - cut for v, c in counters.items() if c > cut}
-        yield pd.DataFrame(
-            {
-                "value": list(counters.keys()) + [None],
-                "cnt": list(counters.values()) + [deducted],
-                "is_meta": [False] * len(counters) + [True],
-            }
-        )
-
     part = batch_df.select(F.col(col).cast("string")).mapInPandas(
-        summarize, "value string, cnt long, is_meta boolean"
+        mg_partition_summarize(k), MG_SUMMARY_SCHEMA
     )
     merged = part if prev is None else spark.read.parquet(prev).unionByName(part)
     merged = merged.groupBy("value", "is_meta").agg(F.sum("cnt").alias("cnt"))
@@ -568,9 +552,7 @@ def _heavy_hitters_batch(
     # the merged union is sketch-sized (<= k+1 prev rows + (k+1) per
     # batch partition), so the single-partition trim is bounded by the
     # summary, never the stream
-    trimmed = merged.coalesce(1).mapInPandas(
-        trim, "value string, cnt long, is_meta boolean"
-    )
+    trimmed = merged.coalesce(1).mapInPandas(trim, MG_SUMMARY_SCHEMA)
     trimmed.coalesce(1).write.mode("overwrite").parquet(out_b)
     _fs_swap_pointer(spark, latest, out_b)  # pointer advance = the commit
     if prev is not None:
@@ -588,21 +570,9 @@ def heavy_hitters_current(spark, path: str, checkpoint: str) -> DataFrame:
     cur = _fs_read_small(spark, f"{path}/_latest_{run_token}")
     if cur is None:
         raise FileNotFoundError(f"{path}/_latest_{run_token}")
-    summ = spark.read.parquet(cur.strip())
-    from pyspark.sql import Window as _W
+    from ..operators.analytics import mg_bounds
 
-    ded = F.sum(
-        F.when(F.col("is_meta"), F.col("cnt")).otherwise(0)
-    ).over(_W.partitionBy())
-    return (
-        summ.withColumn("__ded", ded)
-        .filter(~F.col("is_meta"))
-        .select(
-            "value",
-            F.col("cnt").alias("lo"),
-            (F.col("cnt") + F.col("__ded")).alias("hi"),
-        )
-    )
+    return mg_bounds(spark.read.parquet(cur.strip()))
 
 
 def sample_current(spark, path: str, checkpoint: str) -> DataFrame:
