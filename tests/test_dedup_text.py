@@ -1019,6 +1019,66 @@ def test_ivf_prebuilt_index_prunes_partitions_and_matches(spark, sf_dir, tmp_pat
     assert hit / len(exact) >= 0.8
 
 
+def test_ivf_artifact_roundtrip_via_fs_api_file_scheme(spark, sf_dir, tmp_path):
+    """The persisted-ANN artifact must work through the Hadoop FS API on a
+    scheme-qualified path (file:// stands in for hdfs://s3a:// — the same
+    code path, different scheme): save writes the sidecar via fsutil, the
+    probe reads it back, and results match the plain-path artifact
+    byte-for-byte. Before round 6 the sidecar used plain open() and the
+    artifact silently broke off the driver-local filesystem."""
+    from traildb_spark import fsutil
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    idx = "file://" + str(tmp_path / "ivf_uri")
+    similarity.save_ivf_index(emb, idx, num_centroids=4)
+    assert fsutil.exists(spark, f"{idx}/{similarity.IVF_META_FILE}")
+
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = similarity.ivf_topk_prebuilt(spark, idx, queries, k=3, nprobe=2).collect()
+    firsts = {r["query_id"]: r for r in rows if r["rank"] == 1}
+    assert len(firsts) == 2
+    for qid, r in firsts.items():
+        assert r["corpus_id"] == qid and r["cos"] >= 0.999
+
+
+def test_ivf_prebuilt_refuses_stale_or_missing_sidecar(spark, sf_dir, tmp_path):
+    """Consistency guard (reference `tdbcli/tdb_index.c:439-451,701-702`):
+    cell data rewritten after the sidecar was built -> hard refusal (there
+    is no primary to fall back to, so serving would be silently wrong);
+    no sidecar at all -> FileNotFoundError naming the fix."""
+    import shutil
+
+    import pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    idx = str(tmp_path / "ivf_stale")
+    similarity.save_ivf_index(emb, idx, num_centroids=4)
+    queries = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    # sanity: fresh artifact answers
+    assert similarity.ivf_topk_prebuilt(spark, idx, queries, k=3, nprobe=2).count() > 0
+
+    # mutate a cell: copy one part file to a new name -> the fingerprint's
+    # (path,size,mtime) multiset changes exactly as an external rewrite would
+    import os
+
+    data_dir = os.path.join(idx, "data")
+    cell = next(d for d in sorted(os.listdir(data_dir)) if d.startswith("cid="))
+    part = next(
+        f
+        for f in os.listdir(os.path.join(data_dir, cell))
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    shutil.copy(
+        os.path.join(data_dir, cell, part),
+        os.path.join(data_dir, cell, "part-rewritten.parquet"),
+    )
+    with pytest.raises(ValueError, match="stale"):
+        similarity.ivf_topk_prebuilt(spark, idx, queries, k=3, nprobe=2)
+
+    with pytest.raises(FileNotFoundError, match="save_ivf_index"):
+        similarity.ivf_topk_prebuilt(spark, str(tmp_path / "nope"), queries, k=3)
+
+
 def test_trigram_backoff_levels_exact(spark):
     """Every stupid-backoff branch fires and scores exactly: seen
     trigram (whole-bit ratio), bigram backoff (+1322), unigram backoff

@@ -49,26 +49,13 @@ _MAX_FIELDNAME_LENGTH = 512
 
 
 def _data_fingerprint(spark: SparkSession, path: str) -> str:
-    """Cheap metadata fingerprint of a dataset's PRIMARY data files:
-    md5 over the sorted (relative path, size, modification-time) list of
-    non-hidden parquet files (hidden-dir/shard-dir rules in
-    ``fsutil.list_data_files``). Used to tie the auxiliary z-index to the
-    data it was built from — the analog of the reference's index↔data
-    consistency checksum (`tdbcli/tdb_index.c:439-451`): a stale index
-    must be ignored, because routing substitutes its rows for the
-    primary's. mtime closes the same-name/same-size rewrite hole
-    (Spark's randomized part names make it unlikely, but an external
-    overwrite preserving both would otherwise pass). The false-stale
-    direction (e.g. a copy without preserved mtimes) only drops the
-    index — a perf loss, never a correctness one. Goes through the
-    Hadoop FS API so build-time and open-time fingerprints agree on any
-    filesystem, not just file://."""
-    import hashlib
-
-    h = hashlib.md5()
-    for rel, size, mtime in sorted(fsutil.list_data_files(spark, path)):
-        h.update(f"{rel}:{size}:{mtime};".encode("utf-8"))
-    return h.hexdigest()
+    """Consistency token tying the auxiliary z-index to the data it was
+    built from (reference index↔data checksum analog,
+    `tdbcli/tdb_index.c:439-451`): a stale index must be ignored, because
+    routing substitutes its rows for the primary's. Shared implementation
+    in :func:`fsutil.data_fingerprint` (also guards the persisted IVF
+    artifact in ``operators.similarity``)."""
+    return fsutil.data_fingerprint(spark, path)
 
 
 def validate_field_names(names: list[str]) -> None:
@@ -252,6 +239,19 @@ class TrailDataset:
                     zindex = (
                         spark.read.parquet(zpath),
                         list(zmeta["columns"]),
+                    )
+                elif not fresh:
+                    # surface the hidden perf cliff: the sidecar records
+                    # an index but the data changed since it was built
+                    # (or mtimes weren't preserved by a copy) — filters
+                    # will full-scan until `tdb index` is re-run
+                    import warnings
+
+                    warnings.warn(
+                        f"z-index at {zpath} is stale (data fingerprint "
+                        "mismatch) and will be ignored; re-run "
+                        "`tdb index` to restore pruning",
+                        stacklevel=2,
                     )
         return cls(spark.read.parquet(path), shard_fmt=shard_fmt, zindex=zindex)
 

@@ -81,6 +81,25 @@ def swap_pointer(spark, latest: str, content: str) -> None:
     fctx.rename(tmp, hpath(latest), opts)
 
 
+def data_fingerprint(spark, path: str) -> str:
+    """Cheap metadata fingerprint of a dataset's PRIMARY data files:
+    md5 over the sorted (relative path, size, modification-time ms) list
+    from :func:`list_data_files`. The shared consistency token tying an
+    auxiliary artifact (z-index, persisted IVF cells) to the data it was
+    built from — the analog of the reference's index↔data checksum
+    (`tdbcli/tdb_index.c:439-451`). mtime closes the same-name/same-size
+    rewrite hole; the false-stale direction (a copy without preserved
+    mtimes) only invalidates the artifact, never correctness. Goes
+    through the Hadoop FS API so build-time and open-time fingerprints
+    agree on any filesystem, not just file://."""
+    import hashlib
+
+    h = hashlib.md5()
+    for rel, size, mtime in sorted(list_data_files(spark, path)):
+        h.update(f"{rel}:{size}:{mtime};".encode("utf-8"))
+    return h.hexdigest()
+
+
 def list_data_files(spark, path: str) -> Iterator[tuple[str, int, int]]:
     """Yield (relative path, size, modification-time ms) for every
     PRIMARY parquet data file under ``path``, recursively.

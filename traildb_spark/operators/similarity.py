@@ -381,8 +381,10 @@ def save_ivf_index(
     Returns ``path``.
     """
     import json
-    import os
 
+    from .. import fsutil
+
+    spark = corpus.sparkSession
     assignments, cents = ivf_build(corpus, num_centroids, vec_col, id_col, iters)
     data = (
         corpus.select(
@@ -391,19 +393,25 @@ def save_ivf_index(
         .join(assignments, "corpus_id")
         .repartition("cid")
     )
-    data.write.mode("overwrite").partitionBy("cid").parquet(
-        os.path.join(path, "data")
-    )
-    with open(os.path.join(path, IVF_META_FILE), "w", encoding="utf-8") as fh:
-        json.dump(
+    data.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/data")
+    # sidecar through the Hadoop FS API (fsutil) so the artifact is whole
+    # on hdfs://s3a:// like every other metadata path; the fingerprint of
+    # the just-written cells ties centroids to data (reference index↔data
+    # checksum analog, tdbcli/tdb_index.c:439-451) — a probe against
+    # rewritten cells with the old centroids would route to wrong cells
+    fsutil.write_small(
+        spark,
+        f"{path}/{IVF_META_FILE}",
+        json.dumps(
             {
                 "num_centroids": int(cents.shape[0]),
                 "dim": int(cents.shape[1]),
                 "id_type": dict(corpus.dtypes)[id_col],
                 "centroids": [[float(x) for x in row] for row in cents],
-            },
-            fh,
-        )
+                "data_fingerprint": fsutil.data_fingerprint(spark, f"{path}/data"),
+            }
+        ),
+    )
     return path
 
 
@@ -423,14 +431,34 @@ def ivf_topk_prebuilt(
     the plan (PartitionFilters), not just by intent. Exact cosine +
     per-query rank over the probed cells, identical semantics to
     ``ivf_topk`` given the same centroids.
+
+    Refuses a stale artifact: if the cell parquet was rewritten since the
+    sidecar was built (fingerprint mismatch) the centroids no longer
+    describe the cells, so probing would silently return wrong neighbors
+    — unlike the z-index (which falls back to the primary scan) there is
+    no primary here to fall back to, hence a hard error telling the
+    caller to rebuild (reference consistency-guard analog,
+    `tdbcli/tdb_index.c:439-451,701-702`).
     """
     import json
-    import os
 
     import numpy as np
 
-    with open(os.path.join(path, IVF_META_FILE), "r", encoding="utf-8") as fh:
-        meta = json.load(fh)
+    from .. import fsutil
+
+    raw = fsutil.read_small(spark, f"{path}/{IVF_META_FILE}")
+    if raw is None:
+        raise FileNotFoundError(
+            f"no IVF index sidecar at {path}/{IVF_META_FILE}; "
+            "build one with save_ivf_index"
+        )
+    meta = json.loads(raw)
+    want = meta.get("data_fingerprint")
+    if want is not None and want != fsutil.data_fingerprint(spark, f"{path}/data"):
+        raise ValueError(
+            f"IVF index at {path} is stale: cell data changed since the "
+            "sidecar was written — rebuild with save_ivf_index"
+        )
     cents = np.asarray(meta["centroids"], dtype=np.float64)
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     qid_t = dict(queries.dtypes)[query_id_col]
@@ -455,7 +483,7 @@ def ivf_topk_prebuilt(
         ],
         f"query_id {qid_t}, qv array<double>, cid int",
     )
-    data = spark.read.parquet(os.path.join(path, "data"))
+    data = spark.read.parquet(f"{path}/data")
     # the IN-list on the PARTITION column is what prunes files; the join
     # then matches each probed cell to its queries
     wanted = sorted({int(c) for row in order for c in row})
