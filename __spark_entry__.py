@@ -619,20 +619,33 @@ def _png_fixture_payload():
     return png_payload
 
 
-def _media_table(spark, sf_dir, target_kind, payload_udf):
+# bump when any payload closed-form changes, or stale caches serve old bytes
+_MEDIA_CACHE_VERSION = "1"
+
+
+def _media_table(spark, sf_dir, target_kind, payload_udf, cache_name=None):
     """The ONE MEDIA_SCHEMA fixture over documents (q49/q69/q70 and their
     oracles depend on this staying in lock-step): kind cycles
     image/audio/video on doc_id % 3; rows of ``target_kind`` carry
     ``payload_udf(doc_id)`` binaries, every other row utf-8 text. The
     selector is pushed INTO the UDF argument (F.when does NOT
     short-circuit Python UDFs — the Arrow eval node runs on every row, so
-    non-target rows must see NULL to skip the encode)."""
+    non-target rows must see NULL to skip the encode).
+
+    ``cache_name``: fixture queries whose payload ENCODE is expensive
+    (jpeg/gif/y4m/wav/png) pass a name so the generated table lands in a
+    /tmp parquet cache keyed by (sf_dir, name, version) and later runs —
+    bench's min-of-2, repeated oracle checks — read bytes instead of
+    re-encoding. Payloads are pure functions of doc_id, so the cache is
+    deterministic; this keeps the BENCH numbers measuring the decode
+    operator, not the fixture generator (the only r4→r5 bench regression
+    was q104 re-encoding payloads every run)."""
     docs = _load(spark, sf_dir, "documents")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
-    return docs.select(
+    table = docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
         F.coalesce(
@@ -642,6 +655,18 @@ def _media_table(spark, sf_dir, target_kind, payload_udf):
         F.concat(F.lit("x/"), kind).alias("mime"),
         F.to_json(F.struct(F.col("source"))).alias("meta"),
     )
+    if cache_name is None:
+        return table
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        f"{sf_dir}|{cache_name}|v{_MEDIA_CACHE_VERSION}".encode()
+    ).hexdigest()[:12]
+    cache = f"/tmp/traildb_spark_media_cache/{cache_name}-{key}"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        table.write.mode("overwrite").parquet(cache)
+    return spark.read.parquet(cache)
 
 
 def q49_media_metadata(spark, sf_dir):
@@ -655,7 +680,7 @@ def q49_media_metadata(spark, sf_dir):
     keeps payload bytes out of the scan."""
     from traildb_spark.operators import multimodal
 
-    media = _media_table(spark, sf_dir, "image", _png_fixture_payload())
+    media = _media_table(spark, sf_dir, "image", _png_fixture_payload(), cache_name="png")
     return multimodal.media_metadata(media)
 
 
@@ -977,7 +1002,7 @@ def q69_audio_features(spark, sf_dir):
             out.append(multimodal.make_wav(s, rate))
         return pd.Series(out)
 
-    media = _media_table(spark, sf_dir, "audio", wav_payload)
+    media = _media_table(spark, sf_dir, "audio", wav_payload, cache_name="wav")
     feats = multimodal.extract_audio_features(media)
     return feats.select(
         "media_id",
@@ -1002,7 +1027,7 @@ def q70_image_resize(spark, sf_dir):
     is one IEEE division by a power of two."""
     from traildb_spark.operators import multimodal
 
-    media = _media_table(spark, sf_dir, "image", _png_fixture_payload())
+    media = _media_table(spark, sf_dir, "image", _png_fixture_payload(), cache_name="png")
     resized = multimodal.resize_images(media, 8, 8, method="nearest")
     return resized.select(
         "media_id",
@@ -1300,7 +1325,7 @@ def q94_video_decode(spark, sf_dir):
             out.append(multimodal.make_y4m(frames))
         return pd.Series(out)
 
-    media = _media_table(spark, sf_dir, "video", y4m_payload)
+    media = _media_table(spark, sf_dir, "video", y4m_payload, cache_name="y4m")
     return multimodal.extract_video_frames(media, every_n=2)
 
 
@@ -1473,7 +1498,7 @@ def q104_jpeg_decode(spark, sf_dir):
             out.append(make_jpeg(canvas, quality=100))
         return pd.Series(out)
 
-    media = _media_table(spark, sf_dir, "image", jpeg_payload)
+    media = _media_table(spark, sf_dir, "image", jpeg_payload, cache_name="jpeg")
     return multimodal.image_luma_stats(media)
 
 
@@ -1506,7 +1531,7 @@ def q105_gif_decode(spark, sf_dir):
             out.append(make_gif(idx, pal, interlace=bool(i % 2)))
         return pd.Series(out)
 
-    media = _media_table(spark, sf_dir, "image", gif_payload)
+    media = _media_table(spark, sf_dir, "image", gif_payload, cache_name="gif")
     return multimodal.image_luma_stats(media)
 
 
@@ -1629,7 +1654,7 @@ def q109_y4m_chroma(spark, sf_dir):
             out.append(multimodal.make_y4m(y, colorspace="C420", cb=cb, cr=cr))
         return pd.Series(out)
 
-    media = _media_table(spark, sf_dir, "video", y4m_c420_payload)
+    media = _media_table(spark, sf_dir, "video", y4m_c420_payload, cache_name="y4m420")
     return multimodal.extract_video_chroma(media, every_n=2)
 
 
@@ -1723,6 +1748,16 @@ def q114_trigram_backoff(spark, sf_dir):
     model = docs.filter(F.col("doc_id") % 2 == 0)
     score = docs.filter(F.col("doc_id") % 2 == 1)
     return text.trigram_backoff_surprisal(score, model)
+
+
+def q115_sessions_chunked(spark, sf_dir):
+    """Bounded-memory whale cursor path: sessionization as a constant-state
+    fold over time-ordered chunks (apply_to_trails_chunked — the Spark form
+    of the reference cursor's stream-at-any-trail-length contract,
+    src/tdb_decode.c:227-329, 2^50-event trail limit src/tdb_limits.h:19).
+    Same oracle as q06: the chunked path must equal the window path."""
+    ev = _events(spark, sf_dir).select("uuid", "time")
+    return trails.session_stats_chunked(ev, gap=1800)
 
 
 # --------------------------------------------------------------------------
@@ -1844,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_make_patch": q112_make_patch,
         "q113_temperature_mix": q113_temperature_mix,
         "q114_trigram_backoff": q114_trigram_backoff,
+        "q115_sessions_chunked": q115_sessions_chunked,
     }
 
 
@@ -2725,6 +2761,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN scored s ON d.doc_id = s.doc_id
             WHERE d.doc_id % 2 = 1
+        """,
+        # identical semantics to q06 — the chunked cursor fold must equal
+        # the window formulation on the same data
+        "q115_sessions_chunked": f"""
+            WITH m AS (
+              SELECT uuid,
+                     CASE WHEN "time" - lag("time") OVER (PARTITION BY uuid ORDER BY "time") > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM ({_E}))
+            SELECT uuid, CAST(SUM(is_new) + 1 AS BIGINT) AS num_sessions,
+                   COUNT(*) AS num_events
+            FROM m GROUP BY uuid
         """,
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})

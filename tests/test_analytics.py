@@ -459,3 +459,31 @@ def test_sequence_match_whale_guard(spark):
             raise RuntimeError(str(e)) from e
     got = {r["uuid"] for r in sequence_match(df, " a ", max_events_per_trail=None).collect()}
     assert got == {"u1"}
+
+
+def test_sequence_match_rejects_spaced_values(spark):
+    """The token contract is enforced, not just documented: a field value
+    containing a space would silently split into two tokens — the
+    aggregate raises on the first offending row instead. Clean
+    vocabularies (including NULL -> empty token) are unaffected."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from traildb_spark.operators.analytics import sequence_match
+
+    bad = spark.createDataFrame(
+        [("u1", 1, 1, "view"), ("u1", 2, 2, "add to cart")],
+        "uuid string, time long, event_id long, event_type string",
+    )
+    with _pytest.raises(Exception, match="contains a space"):
+        try:
+            sequence_match(bad, " view ").collect()
+        except Py4JJavaError as e:
+            raise RuntimeError(str(e)) from e
+
+    ok = spark.createDataFrame(
+        [("u1", 1, 1, "view"), ("u1", 2, 2, None), ("u2", 1, 1, "click")],
+        "uuid string, time long, event_id long, event_type string",
+    )
+    got = {r["uuid"]: r["seq"] for r in sequence_match(ok, " view ").collect()}
+    assert got == {"u1": " view  "}  # NULL renders as the empty token

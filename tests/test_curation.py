@@ -277,6 +277,24 @@ def test_temperature_allocations_properties():
     assert temperature_allocations({}, 10, 0.5) == {}
     assert temperature_allocations(counts, 0, 0.5) == {s: 0 for s in counts}
 
+    # generic-α robustness: log-space weights survive counts that would
+    # overflow a direct n**alpha float (10^200 squared >> float max) —
+    # ratios still honor α (bigger source dominates harder at α=2)
+    huge = {"a": 10**200, "b": 10**199}
+    big = temperature_allocations(huge, 1000, 2.0)
+    assert sum(big.values()) == 1000 and big["a"] > big["b"]
+    # invalid α values fail fast, not mid-apportionment
+    import math as _math
+
+    import pytest as _pytest
+
+    for bad in (-0.5, float("nan"), float("inf")):
+        with _pytest.raises(ValueError, match="alpha"):
+            temperature_allocations(counts, 100, bad)
+    assert not any(
+        _math.isnan(v) for v in temperature_allocations(counts, 100, 3.0).values()
+    )
+
 
 def test_temperature_mix_exact_and_stable(spark):
     """temperature_mix returns EXACTLY the allocated rows, stable under

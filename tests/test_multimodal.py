@@ -1280,3 +1280,69 @@ def test_adpcm_vectorized_equals_per_block_reference():
             want.append(pred)
             want.extend(M._ima_adpcm_decode_block(block[4:], pred, idx))
         assert np.array_equal(got, np.array(want, np.int16)), f"trial {trial}"
+
+
+def test_decoder_override_ships_to_workers_end_to_end(spark):
+    """The executable production swap: ``decoder=`` rides the mapInPandas
+    CLOSURE to every Python worker (a module-global FAST_IMAGE_DECODER
+    set on the driver never reaches worker processes), so the fast-codec
+    deployment story is provable through the real Spark operators:
+    (a) a fall-through hook yields features/pHash identical to the
+    built-in codecs; (b) a selective hook replaces exactly the payloads
+    it claims and falls back for the rest; (c) image_luma_stats sees the
+    hook's bitmap verbatim."""
+    from traildb_spark.operators import multimodal as M
+
+    rows = []
+    for i in range(8):
+        side = 4 if i % 2 == 0 else 5  # even ids get 4x4, odd 5x5
+        arr = ((np.arange(side * side).reshape(side, side) * 7 + i) % 256).astype(
+            np.uint8
+        )
+        rows.append((i, "image", bytearray(M.make_png(arr)), "x/image", None))
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    base = {r["media_id"]: r for r in M.extract_image_features(media).collect()}
+
+    # (a) fall-through hook == built-in codecs, bit for bit
+    passthru = {
+        r["media_id"]: r
+        for r in M.extract_image_features(media, decoder=lambda b: None).collect()
+    }
+    for i in base:
+        assert passthru[i]["phash"] == base[i]["phash"]
+        assert passthru[i]["features"] == base[i]["features"]
+
+    # (b) selective hook: constant bitmap for 4-wide payloads, None else
+    def hook(content):
+        w, _ = M.decode_image_size(content)
+        return np.full((2, 2), 128.0) if w == 4 else None
+
+    got = {
+        r["media_id"]: r
+        for r in M.extract_image_features(media, decoder=hook).collect()
+    }
+    want_hooked_phash = M.phash64(np.full((2, 2), 128.0))
+    for i in base:
+        if i % 2 == 0:
+            assert got[i]["phash"] == want_hooked_phash
+            # all four pixels land in histogram bin 4 ([128, 160))
+            assert got[i]["features"] == [0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+        else:
+            assert got[i]["phash"] == base[i]["phash"]
+            assert got[i]["features"] == base[i]["features"]
+
+    # (c) luma stats observe the hook's bitmap verbatim
+    luma = {
+        r["media_id"]: r for r in M.image_luma_stats(media, decoder=hook).collect()
+    }
+    for i in base:
+        if i % 2 == 0:
+            assert (
+                luma[i]["width"],
+                luma[i]["height"],
+                luma[i]["luma_sum"],
+                luma[i]["luma_min"],
+                luma[i]["luma_max"],
+            ) == (2, 2, 512, 128, 128)
+        else:
+            assert luma[i]["width"] == 5 and luma[i]["luma_sum"] >= 0

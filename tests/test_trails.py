@@ -94,3 +94,87 @@ def test_apply_to_trails(spark):
            trails.apply_to_trails(df, first_last,
                                   "uuid string, first_value double, n long").collect()}
     assert got == {"u1": (2.0, 2), "u2": (7.0, 1)}
+
+
+def test_apply_to_trails_chunked_parity_and_streaming(spark):
+    """The bounded-memory cursor path (reference stream-at-any-length
+    contract, src/tdb_decode.c:227-329): state threads across chunks of
+    one trail, trails slice correctly inside a shared Arrow batch AND
+    across batch boundaries, incremental emission works, and the session
+    fold equals the window formulation exactly."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(13):
+        t = 0
+        for _ in range(rng.randrange(1, 40)):
+            t += rng.randrange(1, 4000)
+            rows.append((f"{i:032x}", t))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["uuid", "time"])
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        # parity vs the window path, with chunk_size forcing many steps
+        want = {
+            r["uuid"]: (r["num_sessions"], r["num_events"])
+            for r in trails.session_stats(df, gap=1800).collect()
+        }
+        for cs in (None, 3):
+            got = {
+                r["uuid"]: (r["num_sessions"], r["num_events"])
+                for r in trails.session_stats_chunked(
+                    df, gap=1800, chunk_size=cs
+                ).collect()
+            }
+            assert got == want, f"chunk_size={cs}"
+
+        # incremental emission: per-chunk running count, then a total row
+        import pandas as pd
+
+        def init(u):
+            return {"u": u, "n": 0}
+
+        def step(st, chunk):
+            assert chunk["uuid"].nunique() == 1 == len({st["u"]} | set(chunk["uuid"]))
+            # chunks arrive time-ordered
+            ts = chunk["time"].to_numpy()
+            assert (ts[1:] >= ts[:-1]).all()
+            st["n"] += len(chunk)
+            return st, pd.DataFrame({"uuid": [st["u"]], "kind": ["chunk"], "n": [len(chunk)]})
+
+        def finish(st):
+            return pd.DataFrame({"uuid": [st["u"]], "kind": ["total"], "n": [st["n"]]})
+
+        out = trails.apply_to_trails_chunked(
+            df, init, step, finish, "uuid string, kind string, n long", chunk_size=5
+        ).collect()
+        lengths = {
+            r["uuid"]: r["trail_length"] for r in trails.trail_lengths(df).collect()
+        }
+        totals = {r["uuid"]: r["n"] for r in out if r["kind"] == "total"}
+        assert totals == lengths
+        chunk_sums = {}
+        for r in out:
+            if r["kind"] == "chunk":
+                assert r["n"] <= 5  # chunk_size honored
+                chunk_sums[r["uuid"]] = chunk_sums.get(r["uuid"], 0) + r["n"]
+        assert chunk_sums == lengths
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_apply_to_trails_chunked_rejects_bad_chunk_size(spark):
+    import pytest
+
+    df = spark.createDataFrame([("u", 1)], ["uuid", "time"])
+    with pytest.raises(ValueError, match="chunk_size"):
+        trails.apply_to_trails_chunked(
+            df, lambda u: None, lambda s, c: (s, None), lambda s: None,
+            "uuid string", chunk_size=0,
+        )

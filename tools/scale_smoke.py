@@ -7,6 +7,10 @@ Usage: [SMOKE_REPS=100] python tools/scale_smoke.py  (scratch under /tmp)
        SMOKE_HEAVY=1 python tools/scale_smoke.py  — 100M-row events +
        500k-doc / 500k-vector heavy families (minhash, semantic dedup,
        IVF, streaming finalize) ONLY; skips the standard sections.
+       SMOKE_WHALE=1  — the 10M-events-on-one-uuid skew suite.
+       SPARK_GRAFT_DRIVER_MEM=4g SMOKE_WHALE100=1 — a 100M-event single
+       trail through the bounded-memory chunked cursor path in a capped
+       JVM (self-checking closed-form session count).
 """
 
 from __future__ import annotations
@@ -286,6 +290,14 @@ def whale10m(spark):
         ),
     )
 
+    # the bounded-memory cursor path on the same whale: cost should track
+    # apply_to_trails (same shuffle) while holding only one Arrow batch +
+    # fold state per trail in memory
+    timed(
+        "whale10m_apply_chunked_sessions",
+        lambda: _force(trails.session_stats_chunked(ev.select("uuid", "time"), gap=1800)),
+    )
+
     # collect_trails: the DOCUMENTED whale hazard (one row carrying a
     # 10M-struct array). Run it last and prove the documented guidance —
     # it must either complete (slow is fine) or fail loudly, never hang.
@@ -293,6 +305,37 @@ def whale10m(spark):
         "whale10m_collect_trails",
         lambda: collect_whale_lengths(ev),
     )
+
+
+def whale100m_chunked(spark):
+    """Verdict-r5 task 2's done-criterion: a 100M-event trail (10× the
+    measured 10M whale) streams through the chunked cursor path under a
+    CAPPED JVM — run with SPARK_GRAFT_DRIVER_MEM=4g to prove the contract
+    (the whole-group apply_to_trails path needs the full trail as one
+    pandas frame, >> 4 GB here; the chunked fold holds one Arrow batch).
+    The fixture has a closed-form answer so the run self-checks: times are
+    5M distinct hour-spaced values each hit 20 times -> exactly 5M
+    sessions of 20 events."""
+    path = "/tmp/scale_smoke/whale100m"
+    if not Path(path).exists():
+        w = spark.range(0, 100_000_000).select(
+            F.lit("WHALE100M").alias("uuid"),
+            (F.lit(1704067200) + (F.col("id") % 5_000_000) * 3600).alias("time"),
+        )
+        w.repartition(64).write.mode("overwrite").parquet(path)
+    ev = spark.read.parquet(path)
+    print(f"whale100m dataset: {ev.count()} rows (ALL on one uuid)", flush=True)
+
+    def run():
+        row = trails.session_stats_chunked(ev, gap=1800).collect()[0]
+        assert (row["uuid"], row["num_sessions"], row["num_events"]) == (
+            "WHALE100M",
+            5_000_000,
+            100_000_000,
+        ), row
+        return row["num_events"]
+
+    timed("whale100m_chunked_sessions", run)
 
 
 def collect_whale_lengths(ev):
@@ -309,6 +352,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     import os
+
+    if os.environ.get("SMOKE_WHALE100"):
+        whale100m_chunked(spark)
+        return
 
     if os.environ.get("SMOKE_WHALE"):
         whale10m(spark)

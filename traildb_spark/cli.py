@@ -44,6 +44,21 @@ def cmd_make(args) -> int:
 
     spark = _spark()
     if args.parquet:
+        # CSV/JSON-only knobs have no meaning for parquet ingest; error
+        # instead of silently ignoring them (the row formats are typed)
+        bad = [
+            name
+            for name, val in (
+                ("--delimiter", args.delimiter is not None),
+                ("--csv-header", args.csv_header),
+                ("--skip-bad-input", args.skip_bad_input),
+            )
+            if val
+        ]
+        if bad:
+            print(f"make: {', '.join(bad)} not applicable with -p/--parquet",
+                  file=sys.stderr)
+            return 1
         from .sources.make import make_from_dataframe
 
         raw = spark.read.parquet(args.inputs)
@@ -64,7 +79,7 @@ def cmd_make(args) -> int:
     else:
         ds = make_from_csv(
             spark, args.inputs, fields=_split_fields(args.fields),
-            delimiter=args.delimiter, header=args.csv_header,
+            delimiter=args.delimiter or ",", header=args.csv_header,
             skip_bad_input=args.skip_bad_input,
         )
     ds.finalize(args.output, num_buckets=args.buckets, mode="overwrite")
@@ -227,11 +242,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     mk = sub.add_parser("make", help="build a dataset from CSV/JSON events")
     mk.add_argument("-o", "--output", required=True)
-    mk.add_argument("-c", "--csv", action="store_true", default=True)
-    mk.add_argument("-j", "--json", action="store_true")
-    mk.add_argument("-p", "--parquet", action="store_true",
-                    help="ingest parquet events (user_id/ts aliases accepted)")
-    mk.add_argument("-d", "--delimiter", default=",")
+    # one input format only (reference: -c/-j choose the parser,
+    # tdbcli/main.c); CSV is the default when none is given
+    mk_fmt = mk.add_mutually_exclusive_group()
+    mk_fmt.add_argument("-c", "--csv", action="store_true")
+    mk_fmt.add_argument("-j", "--json", action="store_true")
+    mk_fmt.add_argument("-p", "--parquet", action="store_true",
+                        help="ingest parquet events (user_id/ts aliases accepted)")
+    mk.add_argument("-d", "--delimiter", default=None,
+                    help="CSV delimiter (default ,)")
     mk.add_argument("-f", "--fields", help="field spec, e.g. uuid,time,action or 2:uuid,5:time")
     mk.add_argument("--csv-header", action="store_true")
     mk.add_argument("--skip-bad-input", action="store_true")
@@ -242,10 +261,11 @@ def build_parser() -> argparse.ArgumentParser:
     dp = sub.add_parser("dump", help="export events (CSV/JSON/stdout)")
     dp.add_argument("-i", "--input", required=True)
     dp.add_argument("-o", "--output", default="-")
-    dp.add_argument("-c", "--csv", action="store_true", default=True)
-    dp.add_argument("-j", "--json", action="store_true")
-    dp.add_argument("-p", "--parquet", action="store_true",
-                    help="write parquet instead of CSV/JSON")
+    dp_fmt = dp.add_mutually_exclusive_group()
+    dp_fmt.add_argument("-c", "--csv", action="store_true")
+    dp_fmt.add_argument("-j", "--json", action="store_true")
+    dp_fmt.add_argument("-p", "--parquet", action="store_true",
+                        help="write parquet instead of CSV/JSON")
     dp.add_argument("-d", "--delimiter", default=",")
     dp.add_argument("-f", "--fields")
     dp.add_argument("--filter", help="CNF filter, e.g. 'a=1 b=2 & c!=3'")

@@ -696,8 +696,11 @@ def sequence_match(
     gap), ``" (view |click )+purchase "``. Stick to the
     alternation/class/star/plus subset and the SAME pattern runs
     verbatim in DuckDB/RE2 for oracle checks. ``field`` values must not
-    contain spaces (event vocabularies don't); NULL renders as the
-    empty token.
+    contain spaces (event vocabularies don't) — ENFORCED: a spaced value
+    would silently split into two tokens and corrupt every downstream
+    match, so the aggregate raises on the first offending row
+    (assert_true folded into the token column, zero extra jobs — same
+    posture as the whale cap below). NULL renders as the empty token.
 
     Scale shape: one uuid shuffle into collect_list (map-side partial
     lists), the sort and regex run per trail JVM-side — no Python, no
@@ -709,10 +712,26 @@ def sequence_match(
     corpora whose whales are known-safe. Returns ``(uuid, seq)`` for
     matching trails — keeping ``seq`` makes the match auditable
     downstream."""
+    val = F.coalesce(F.col(field).cast("string"), F.lit(""))
+    val = F.coalesce(
+        F.assert_true(
+            ~val.contains(" "),
+            F.concat(
+                F.lit(
+                    "sequence_match: field value contains a space and would "
+                    "split into multiple tokens, corrupting the rendered "
+                    f"sequence (field={field!r}, value="
+                ),
+                val,
+                F.lit(")"),
+            ),
+        ).cast("string"),
+        val,
+    )
     ev = F.struct(
         F.col(time_col).alias("__t"),
         *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tiebreak)],
-        F.coalesce(F.col(field).cast("string"), F.lit("")).alias("__v"),
+        val.alias("__v"),
     )
     seq = F.concat(
         F.lit(" "),

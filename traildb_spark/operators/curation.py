@@ -224,9 +224,26 @@ def temperature_allocations(
         w = {s: math.isqrt(n * 10**12) for s, n in counts.items()}
     elif alpha == 0:
         w = {s: (1 if n > 0 else 0) for s, n in counts.items()}
+    elif alpha == 1:
+        w = dict(counts)  # exact proportional — no float round-trip
     else:
+        # generic α: weights computed in log-space RELATIVE to the
+        # largest source (apportionment only uses weight ratios, so
+        # normalizing is semantics-preserving) — a direct n**alpha
+        # overflows float for large counts with α>1. Near-tie float
+        # weights remain platform-dependent at the ulp level, which is
+        # why only α∈{0, 0.5, 1} are oracle-exact (q113 uses 0.5).
+        if not (alpha == alpha and 0 <= alpha < float("inf")):
+            raise ValueError(
+                f"temperature_allocations: alpha must be finite and >= 0, got {alpha}"
+            )
+        ln_max = max((math.log(n) for n in counts.values() if n > 0), default=0.0)
         w = {
-            s: (int(round(n**alpha * 10**6)) if n > 0 else 0)
+            s: (
+                int(round(math.exp(alpha * (math.log(n) - ln_max)) * 10**15))
+                if n > 0
+                else 0
+            )
             for s, n in counts.items()
         }
     active = {s for s in counts if counts[s] > 0 and w[s] > 0}

@@ -126,6 +126,22 @@ def decode_image_size(content: bytes) -> tuple[int, int]:
 FAST_IMAGE_DECODER = None
 
 
+def _gray_pixels_with(content: bytes, decoder) -> np.ndarray:
+    """``_gray_pixels`` with a per-operator decoder override. The image
+    operators accept ``decoder=`` and close over it, so cloudpickle ships
+    the callable INSIDE the mapInPandas closure to every Python worker —
+    the deployment path that needs no worker-side module setup (the
+    module-global ``FAST_IMAGE_DECODER`` only reaches workers when set in
+    a worker-initialized module, e.g. sitecustomize). Same contract as
+    the global hook: return an (H, W) gray float array, or None to fall
+    through to the built-in codecs for that payload."""
+    if decoder is not None:
+        fast = decoder(content)
+        if fast is not None:
+            return np.asarray(fast, dtype=np.float64)
+    return _gray_pixels(content)
+
+
 def _gray_pixels(content: bytes) -> np.ndarray:
     """Decode an image payload to a grayscale float array (H, W).
 
@@ -365,7 +381,9 @@ def _content_hash64(content: bytes) -> int:
     )
 
 
-def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
+def extract_image_features(
+    df: DataFrame, batch_size: int = 256, decoder=None
+) -> DataFrame:
     """Decode + feature-extract images via mapInPandas (Arrow-batched).
 
     Input: MEDIA_SCHEMA rows with kind='image'. Output:
@@ -390,7 +408,7 @@ def extract_image_features(df: DataFrame, batch_size: int = 256) -> DataFrame:
                 except DECODE_ERRORS:
                     w, h = -1, -1  # unknown/corrupt container: surface, don't fail the job
                 try:
-                    gray = _gray_pixels(content)
+                    gray = _gray_pixels_with(content, decoder)
                     ph = phash64(gray)
                     # 8-dim luma-histogram embedding from the DECODED bitmap
                     hist, _ = np.histogram(gray, bins=8, range=(0.0, 256.0))
@@ -856,7 +874,8 @@ def _resample(gray: np.ndarray, width: int, height: int, method: str) -> np.ndar
 
 
 def resize_images(
-    df: DataFrame, width: int = 8, height: int = 8, method: str = "box"
+    df: DataFrame, width: int = 8, height: int = 8, method: str = "box",
+    decoder=None,
 ) -> DataFrame:
     """Resize image payloads via mapInPandas: decode PNG pixels, resample
     to (width, height), re-encode as deterministic grayscale PNG.
@@ -882,7 +901,7 @@ def resize_images(
             for media_id, payload in zip(pdf["media_id"], pdf["content"]):
                 content = bytes(payload) if payload is not None else b""
                 try:
-                    gray = _gray_pixels(content)
+                    gray = _gray_pixels_with(content, decoder)
                     small = _resample(gray, width, height, method)
                     small_u8 = np.clip(np.floor(small), 0, 255).astype(np.uint8)
                     out.append(
@@ -924,7 +943,7 @@ IMAGE_LUMA_SCHEMA = StructType(
 )
 
 
-def image_luma_stats(df: DataFrame) -> DataFrame:
+def image_luma_stats(df: DataFrame, decoder=None) -> DataFrame:
     """Exact integer brightness stats from REAL pixel decode (PNG and
     baseline JPEG): per image-kind row, the decoded bitmap's dimensions
     and integer luma sum/min/max — the brightness signal a pretraining
@@ -941,7 +960,7 @@ def image_luma_stats(df: DataFrame) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["content"]):
                 content = bytes(payload) if payload is not None else b""
                 try:
-                    gray = np.round(_gray_pixels(content)).astype(np.int64)
+                    gray = np.round(_gray_pixels_with(content, decoder)).astype(np.int64)
                     h, w = gray.shape
                     out.append(
                         {

@@ -229,3 +229,148 @@ def apply_to_trails(
         return fn(pdf.sort_values(time_col, kind="mergesort"))
 
     return df.groupBy(uuid_col).applyInPandas(sorted_fn, schema=schema)
+
+
+def apply_to_trails_chunked(
+    df: DataFrame,
+    init: Callable,
+    step: Callable,
+    finish: Callable,
+    schema,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    chunk_size: int | None = None,
+) -> DataFrame:
+    """Bounded-memory cursor programs for whale trails: stream each trail
+    through a user FOLD in time-ordered chunks instead of materializing it
+    as one pandas frame.
+
+    This is the Spark form of the reference cursor's stream-at-any-length
+    contract: ``tdb_cursor_next`` refills a fixed 1000-event decode buffer
+    however long the trail is (`src/tdb_decode.c:227-329`; trail limit
+    2^50 events, `src/tdb_limits.h:19`), so a cursor program's memory is
+    O(buffer + its own state). ``apply_to_trails`` hands the WHOLE trail
+    to pandas as one group — fine to ~10M events (measured, SCALE.md),
+    but a 100M+-event whale pressures one executor. Here the trail never
+    materializes: events are hash-clustered per uuid, externally sorted
+    within partitions by (uuid, time) — shuffle spill keeps the sort
+    disk-backed — and ``mapInPandas`` walks the partition's Arrow batches
+    in order, slicing on uuid boundaries and threading the user's state
+    across consecutive chunks of the same trail. Peak memory is one Arrow
+    batch plus the fold state, independent of trail length.
+
+    User contract (a fold, not a whole-trail function):
+      - ``init(uuid) -> state`` — called at the first chunk of each trail
+      - ``step(state, chunk_pdf) -> (state, out_pdf | None)`` — consecutive
+        time-ordered chunks of ONE trail (each a pandas frame with the
+        full row schema); may emit incremental output
+      - ``finish(state) -> out_pdf | None`` — end-of-trail output
+
+    ``chunk_size`` further splits Arrow batches before ``step`` (the
+    analog of ``TDB_OPT_CURSOR_EVENT_BUFFER_SIZE``); default is the Arrow
+    batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``).
+
+    Prefer ``apply_to_trails`` when trails are known-bounded (simpler
+    whole-trail functions); use this when any trail may exceed executor
+    memory. For folds expressible as window/agg expressions, use those —
+    they stay JVM-side.
+    """
+    if chunk_size is not None and chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+
+    def run(batches):
+        import numpy as np
+
+        cur_uuid = None
+        started = False
+        state = None
+
+        def emit(out):
+            return out is not None and len(out) > 0
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf[uuid_col].to_numpy()
+            change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+            starts = np.concatenate(([0], change)).astype(np.int64)
+            ends = np.concatenate((change, [n])).astype(np.int64)
+            for s, e in zip(starts, ends):
+                u = ids[s]
+                if not started or u != cur_uuid:
+                    if started:
+                        out = finish(state)
+                        if emit(out):
+                            yield out
+                    cur_uuid = u
+                    started = True
+                    state = init(u)
+                if chunk_size is None:
+                    state, out = step(state, pdf.iloc[s:e])
+                    if emit(out):
+                        yield out
+                else:
+                    for cs in range(s, e, chunk_size):
+                        state, out = step(state, pdf.iloc[cs : min(cs + chunk_size, e)])
+                        if emit(out):
+                            yield out
+        if started:
+            out = finish(state)
+            if emit(out):
+                yield out
+
+    clustered = df.repartition(uuid_col).sortWithinPartitions(uuid_col, time_col)
+    return clustered.mapInPandas(run, schema=schema)
+
+
+def session_stats_chunked(
+    df: DataFrame,
+    gap: int = 1800,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    chunk_size: int | None = None,
+) -> DataFrame:
+    """``session_stats`` computed through the bounded-memory chunked
+    cursor path — same output as the window formulation (the parity is
+    oracle-checked), demonstrating the reference tutorial's session count
+    (`examples/tutorial_wikipedia_sessions.c:26-47`) as a constant-memory
+    fold: state is (last timestamp, session count, event count), O(1) per
+    trail no matter how many events stream through."""
+    import pandas as pd
+
+    def init(u):
+        return {"uuid": u, "last": None, "sessions": 0, "events": 0}
+
+    def step(st, chunk):
+        ts = chunk[time_col].to_numpy()
+        if len(ts):
+            gaps = int((ts[1:] - ts[:-1] > gap).sum())
+            if st["last"] is None:
+                st["sessions"] += 1 + gaps
+            else:
+                st["sessions"] += gaps + (1 if ts[0] - st["last"] > gap else 0)
+            st["last"] = ts[-1]
+            st["events"] += len(ts)
+        return st, None
+
+    def finish(st):
+        return pd.DataFrame(
+            {
+                uuid_col: [st["uuid"]],
+                "num_sessions": [st["sessions"]],
+                "num_events": [st["events"]],
+            }
+        )
+
+    uuid_t = dict(df.dtypes)[uuid_col]  # follow the caller's uuid type
+    return apply_to_trails_chunked(
+        df.select(uuid_col, time_col),
+        init,
+        step,
+        finish,
+        schema=f"{uuid_col} {uuid_t}, num_sessions long, num_events long",
+        uuid_col=uuid_col,
+        time_col=time_col,
+        chunk_size=chunk_size,
+    )
