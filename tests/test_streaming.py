@@ -792,3 +792,75 @@ def test_streaming_heavy_hitters_guarantee_and_replay(spark, sf_dir, tmp_path):
     ) is False
     with _pytest.raises(RuntimeError, match="cleared checkpoint"):
         _heavy_hitters_batch(all_toks.limit(5), 0, out, "token", k, token)
+
+
+def test_apply_to_trails_stream_out_of_order_matches_batch(spark, tmp_path):
+    """Generic streaming cursor fold (streaming/cursor.py): the same
+    init/step/finish contract as trails.apply_to_trails_chunked, run over
+    a watermarked stream with cross-micro-batch DISORDER. The reorder
+    buffer feeds the fold watermark-final events in time order, and the
+    idle timeout fires finish() — so the emitted session stats equal the
+    batch window path exactly."""
+    from traildb_spark.operators import trails
+    from traildb_spark.streaming.cursor import streaming_session_stats_cursor
+
+    base = 1700000000
+    rows = [
+        # u1: two sessions (gap 1900 > 1800) — the session-opening event
+        # arrives one batch LATE
+        ("u1", base + 2000, "x"), ("u1", base + 2100, "x"),
+        ("u1", base + 0, "x"),
+        # u2: one session, in order
+        ("u2", base + 10, "x"), ("u2", base + 1700, "x"),
+        # u3: single event
+        ("u3", base + 5, "x"),
+    ]
+    path = str(tmp_path / "ooo_cursor")
+    import time as _time
+
+    for chunk in (rows[:2] + rows[3:4], rows[2:3] + rows[4:]):
+        _time.sleep(0.05)
+        spark.createDataFrame(
+            chunk, "uuid string, t long, event_type string"
+        ).withColumn("event_time", F.timestamp_seconds(F.col("t"))).drop("t") \
+            .coalesce(1).write.mode("append").parquet(path)
+    schema = spark.read.parquet(path).schema
+    _append_watermark_sentinels(spark, path, schema, base + 2100)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = streaming_session_stats_cursor(
+        stream, gap=1800, watermark="1 hour", idle_timeout=7200
+    )
+    _run_stream(out, "ooo_cursor_sessions", mode="append")
+    got = {
+        r["uuid"]: (r["num_sessions"], r["num_events"])
+        for r in spark.sql(
+            "select * from ooo_cursor_sessions where uuid <> 'ffffffff'"
+        ).collect()
+    }
+    batch_in = spark.createDataFrame(
+        [(u, t) for u, t, _ in rows], "uuid string, time long"
+    )
+    want = {
+        r["uuid"]: (r["num_sessions"], r["num_events"])
+        for r in trails.session_stats(batch_in, gap=1800).collect()
+    }
+    assert got == want
+    assert got["u1"] == (2, 3)  # the late-arriving opener re-ordered first
+
+
+def test_apply_to_trails_stream_validates_idle_timeout(spark):
+    import pytest as _pytest
+
+    from traildb_spark.streaming.cursor import apply_to_trails_stream
+
+    df = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="idle_timeout"):
+        apply_to_trails_stream(
+            df, lambda u: None, lambda s, c: (s, None), lambda s: None,
+            "uuid string", idle_timeout=0,
+        )

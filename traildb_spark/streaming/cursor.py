@@ -1,0 +1,212 @@
+"""Streaming cursor programs: the §2.10 extension model over unbounded
+streams.
+
+The reference's extension contract is "iterate one trail's events in time
+order and compute anything" (`doc/docs/index.md:21-26`,
+`examples/tutorial_wikipedia_sessions.c:26-47`). The batch engine offers
+that as ``trails.apply_to_trails`` (whole trail) and
+``trails.apply_to_trails_chunked`` (bounded-memory fold). This module is
+the STREAMING twin: the same ``init(uuid) / step(state, chunk) /
+finish(state)`` fold, run continuously over a watermarked event stream via
+``applyInPandasWithState``.
+
+Semantics bridge for the unbounded setting:
+
+- **Order**: the reference cursor sees events time-ordered; a stream
+  arrives in any order. Events are therefore buffered per trail and fed
+  to ``step`` only once they fall below the watermark (nothing older can
+  still arrive — the engine's contract), sorted by timestamp. The fold
+  consumes exactly the sequence the batch cursor would.
+- **Trail end**: a stream never ends, but the reference idiom "process a
+  trail, then report" maps to event-time inactivity: after
+  ``idle_timeout`` seconds with no events below the watermark, ``finish``
+  fires, its output is emitted, and the trail's state is dropped (a later
+  event starts a fresh fold — the daily-tdb re-keying pattern,
+  `doc/docs/index.md:43-45`). ``idle_timeout=None`` folds forever and
+  only ``step`` outputs are emitted.
+- **State**: the user fold state is arbitrary picklable Python, carried
+  as one binary blob per trail — bounded by the fold itself plus the
+  (rate × watermark) reorder buffer, the same bound every watermarked
+  stateful operator carries, never stream length.
+
+Output mode is APPEND: emissions are final (no speculative corrections),
+because a generic fold's outputs cannot be retracted — the price of full
+generality; purpose-built operators (``streaming_funnel``) keep their
+speculative update-mode views.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def apply_to_trails_stream(
+    events: DataFrame,
+    init: Callable,
+    step: Callable,
+    finish: Callable,
+    output_schema: str,
+    uuid_col: str = "uuid",
+    ts_col: str = "event_time",
+    carry_cols: tuple[str, ...] = (),
+    watermark: str = "1 hour",
+    idle_timeout: int | None = None,
+) -> DataFrame:
+    """Run a cursor-program fold continuously over a watermarked stream.
+
+    Same contract as ``trails.apply_to_trails_chunked``:
+
+    - ``init(uuid) -> state``
+    - ``step(state, chunk_pdf) -> (state, out_pdf | None)`` — ``chunk_pdf``
+      has columns ``(uuid, time, *carry_cols)``, strictly watermark-final
+      events in timestamp order (ties keep arrival order)
+    - ``finish(state) -> out_pdf | None`` — fires after ``idle_timeout``
+      seconds of event-time inactivity (never, if None); the trail's
+      state is then removed
+
+    Folds whose emissions are chunk-boundary-invariant (emit at finish,
+    or emit per-event rows) produce EXACTLY the batch chunked fold's
+    output for any arrival order within the watermark — proven by
+    ``test_apply_to_trails_stream_out_of_order_matches_batch``.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if idle_timeout is not None and idle_timeout < 1:
+        raise ValueError(f"idle_timeout must be >= 1 second, got {idle_timeout}")
+    carry = list(carry_cols)
+
+    def chunk_frame(uuid, rows):
+        return pd.DataFrame(
+            {
+                uuid_col: [uuid] * len(rows),
+                "time": [r[0] for r in rows],
+                **{c: [r[1 + i] for r in rows] for i, c in enumerate(carry)},
+            }
+        )
+
+    def update(key, pdfs, state):
+        uuid = key[0]
+        if state.exists:
+            fold_state, buf, last_t = pickle.loads(state.get[0])
+        else:
+            fold_state, buf, last_t = init(uuid), [], None
+
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            secs = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000_000
+            if carry:
+                vals = zip(*[pdf[c] for c in carry])
+                buf.extend((int(t), *v) for t, v in zip(secs, vals))
+            else:
+                buf.extend((int(t),) for t in secs)
+
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_sec = wm_ms // 1000
+        # stable sort: equal timestamps keep arrival order, matching the
+        # batch path's mergesort tiebreak
+        buf.sort(key=lambda r: r[0])
+        n_final = 0
+        while n_final < len(buf) and buf[n_final][0] < wm_sec:
+            n_final += 1
+        outs = []
+        if n_final:
+            final = buf[:n_final]
+            buf = buf[n_final:]
+            last_t = final[-1][0]
+            fold_state, out = step(fold_state, chunk_frame(uuid, final))
+            if out is not None and len(out):
+                outs.append(out)
+
+        # trail end: idle past the timeout with nothing left buffered
+        if (
+            idle_timeout is not None
+            and not buf
+            and last_t is not None
+            and wm_sec >= last_t + idle_timeout
+        ):
+            out = finish(fold_state)
+            if out is not None and len(out):
+                outs.append(out)
+            state.remove()
+        else:
+            state.update((pickle.dumps((fold_state, buf, last_t)),))
+            if buf:
+                # wake when the watermark passes the oldest buffered event
+                state.setTimeoutTimestamp(max(buf[0][0] * 1000 + 1, wm_ms + 1))
+            elif idle_timeout is not None and last_t is not None:
+                state.setTimeoutTimestamp(
+                    max((last_t + idle_timeout) * 1000, wm_ms + 1)
+                )
+        yield from outs
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(uuid_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType="blob binary",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def streaming_session_stats_cursor(
+    events: DataFrame,
+    gap: int = 1800,
+    uuid_col: str = "uuid",
+    ts_col: str = "event_time",
+    watermark: str = "1 hour",
+    idle_timeout: int = 7200,
+) -> DataFrame:
+    """The reference tutorial's session count as a STREAMING cursor fold
+    (`examples/tutorial_wikipedia_sessions.c:26-47`): constant state
+    (last timestamp, session count, event count) per trail, one final
+    ``(uuid, num_sessions, num_events)`` row when the trail goes idle —
+    the same fold as ``trails.session_stats_chunked``, so stream and
+    batch outputs coincide for in-watermark data (the parity test's
+    oracle)."""
+    import pandas as pd
+
+    def init(u):
+        return {"uuid": u, "last": None, "sessions": 0, "events": 0}
+
+    def step(st, chunk):
+        ts = chunk["time"].to_numpy()
+        if len(ts):
+            gaps = int((ts[1:] - ts[:-1] > gap).sum())
+            if st["last"] is None:
+                st["sessions"] += 1 + gaps
+            else:
+                st["sessions"] += gaps + (1 if ts[0] - st["last"] > gap else 0)
+            st["last"] = int(ts[-1])
+            st["events"] += len(ts)
+        return st, None
+
+    def finish(st):
+        return pd.DataFrame(
+            {
+                uuid_col: [st["uuid"]],
+                "num_sessions": [st["sessions"]],
+                "num_events": [st["events"]],
+            }
+        )
+
+    return apply_to_trails_stream(
+        events,
+        init,
+        step,
+        finish,
+        output_schema=f"{uuid_col} string, num_sessions long, num_events long",
+        uuid_col=uuid_col,
+        ts_col=ts_col,
+        watermark=watermark,
+        idle_timeout=idle_timeout,
+    )
