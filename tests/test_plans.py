@@ -558,3 +558,24 @@ def test_make_patch_changed_only_narrows_with_semi_joins(spark, sf_dir):
     b = ev.filter(F.col("event_id") % 31 != 0)
     plan = explain_str(make_patch(ev, b), "simple")
     assert plan.count("LeftSemi") >= 2
+
+
+def test_apply_to_trails_chunked_single_shuffle(spark):
+    """The bounded-memory cursor path adds NO exchange beyond the one
+    uuid-clustering repartition: sortWithinPartitions is partition-local
+    and mapInPandas is narrow — same shuffle count as apply_to_trails."""
+    import pandas as pd
+
+    from traildb_spark.operators import trails
+
+    df = spark.createDataFrame(
+        [("u1", 1), ("u1", 2), ("u2", 5)], ["uuid", "time"]
+    )
+    out = trails.apply_to_trails_chunked(
+        df,
+        lambda u: 0,
+        lambda s, c: (s + len(c), None),
+        lambda s: pd.DataFrame({"uuid": ["x"], "n": [s]}),
+        "uuid string, n long",
+    )
+    assert audit.num_shuffles(out) == 1, audit.explain_str(out, "simple")

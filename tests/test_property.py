@@ -776,3 +776,45 @@ def test_temperature_allocations_invariants(counts, total, alpha):
     for s, c in counts.items():
         if c == 0:
             assert alloc[s] == 0
+
+
+def test_chunked_fold_invariant_under_chunking(spark):
+    """Property: for a chunk-boundary-invariant fold (session stats),
+    EVERY chunk_size and Arrow batch size yields the identical result —
+    the chunked cursor's correctness is independent of how the stream of
+    events is sliced (reference: cursor results don't depend on the
+    decode buffer size, tests/c-tests/multi_cursor.c:194-202 runs buffer
+    sizes {1,10,1001,1e6})."""
+    import random
+
+    from traildb_spark.operators import trails
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(7):
+        t = rng.randrange(0, 100)
+        for _ in range(rng.randrange(1, 60)):
+            t += rng.randrange(1, 4000)
+            rows.append((f"u{i}", t))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["uuid", "time"])
+    want = {
+        r["uuid"]: (r["num_sessions"], r["num_events"])
+        for r in trails.session_stats(df, gap=1800).collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        for batch, cs in ((1, None), (5, 1), (13, 7), (10000, 1000)):
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch))
+            got = {
+                r["uuid"]: (r["num_sessions"], r["num_events"])
+                for r in trails.session_stats_chunked(
+                    df, gap=1800, chunk_size=cs
+                ).collect()
+            }
+            assert got == want, (batch, cs)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
