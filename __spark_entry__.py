@@ -1750,6 +1750,22 @@ def q114_trigram_backoff(spark, sf_dir):
     return text.trigram_backoff_surprisal(score, model)
 
 
+def q116_fuzzy_dedup_against(spark, sf_dir):
+    """Incremental FUZZY dedup (the daily-crawl shape): near-dup matches
+    of a NEW batch (odd doc_ids) against an EXISTING corpus (even
+    doc_ids) via the portable MinHash pipeline — md5 shingles,
+    rotate-XOR permutations, banded candidates from the cross-corpus
+    (band, bh) join, exact Jaccard verify, best match per new doc. The
+    exact-match siblings are q65 (anti-join) and q76 (Bloom); the oracle
+    reproduces candidates, prune, verify AND the best-match rank."""
+    docs = _load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.fuzzy_dedup_against(
+        new, corpus, shingle_k=5, num_hashes=16, bands=4, threshold=0.5
+    )
+
+
 def q115_sessions_chunked(spark, sf_dir):
     """Bounded-memory whale cursor path: sessionization as a constant-state
     fold over time-ordered chunks (apply_to_trails_chunked — the Spark form
@@ -1880,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_temperature_mix": q113_temperature_mix,
         "q114_trigram_backoff": q114_trigram_backoff,
         "q115_sessions_chunked": q115_sessions_chunked,
+        "q116_fuzzy_dedup_against": q116_fuzzy_dedup_against,
     }
 
 
@@ -2101,6 +2118,69 @@ def _minhash_portable_oracle(
         JOIN s ga ON c.id_a = ga.doc_id
         JOIN s gb ON c.id_b = gb.doc_id
         WHERE {agree_pred}{jac} >= {threshold}
+    """
+
+
+def _fuzzy_against_oracle(
+    shingle_k: int, num_hashes: int, bands: int, threshold: float
+) -> str:
+    """Cross-corpus twin of _minhash_portable_oracle: corpus = even
+    doc_ids, new batch = odd; candidates from the (band, bh) join of the
+    two banded tables; exact Jaccard verify; BEST match per new doc (max
+    jaccard, ties -> smallest corpus id). Mirrors
+    dedup.fuzzy_dedup_against exactly, including the sig-prune rule
+    (skipped when the cutoff does not exceed the rows-per-band floor)."""
+    from traildb_spark.operators.dedup import _portable_perms, _sig_min_agree
+
+    rows_per_band = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> xor((h % {1 << (60 - r)}) * {1 << r}"
+        f" + h // {1 << (60 - r)}, {c})))"
+        for (r, c) in _portable_perms(num_hashes)
+    )
+    jac = (
+        "round(CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(ga.hs, gb.hs))) AS DOUBLE), 6)"
+    )
+    min_agree = _sig_min_agree(threshold, num_hashes)
+    if min_agree > rows_per_band:
+        agree_pred = (
+            f"len([i for i in generate_series(1, {num_hashes})"
+            f" if ga.sig[i] = gb.sig[i]]) >= {min_agree} AND "
+        )
+    else:
+        agree_pred = ""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, doc_id % 2 AS side, {_NORM_TEXT} AS nt FROM documents),
+        g AS (
+          SELECT doc_id, side,
+                 list_sort(list_distinct(
+                   [CAST(('0x' || substr(md5(substr(nt, i, {shingle_k})), 1, 15)) AS BIGINT)
+                    for i in generate_series(1, greatest(length(nt) - {shingle_k - 1}, 1))])) AS hs
+          FROM t),
+        s AS (
+          SELECT doc_id, side, hs, [{sig_items}] AS sig FROM g WHERE len(hs) > 0),
+        banded AS (
+          SELECT doc_id, side, b,
+                 md5(array_to_string(sig[b * {rows_per_band} + 1 : b * {rows_per_band} + {rows_per_band}], ',')) AS bh
+          FROM s, generate_series(0, {bands - 1}) AS bt(b)),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+          FROM banded n JOIN banded c
+            ON n.b = c.b AND n.bh = c.bh AND n.side = 1 AND c.side = 0),
+        pairs AS (
+          SELECT cd.new_id, cd.corpus_id, {jac} AS jaccard
+          FROM cand cd
+          JOIN s ga ON cd.new_id = ga.doc_id
+          JOIN s gb ON cd.corpus_id = gb.doc_id
+          WHERE {agree_pred}{jac} >= {threshold}),
+        ranked AS (
+          SELECT new_id, corpus_id, jaccard,
+                 row_number() OVER (PARTITION BY new_id
+                                    ORDER BY jaccard DESC, corpus_id ASC) AS rn
+          FROM pairs)
+        SELECT new_id, corpus_id, jaccard FROM ranked WHERE rn = 1
     """
 
 
@@ -2774,6 +2854,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS num_events
             FROM m GROUP BY uuid
         """,
+        "q116_fuzzy_dedup_against": _fuzzy_against_oracle(5, 16, 4, 0.5),
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})
             , sizes AS (

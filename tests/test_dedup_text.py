@@ -1113,3 +1113,80 @@ def test_trigram_backoff_levels_exact(spark):
     self_scored = trigram_backoff_surprisal(model).collect()[0]
     assert self_scored["n_trigrams"] == 7
     assert self_scored["surprisal_millibits"] < 7 * 1322
+
+
+def test_fuzzy_dedup_against_best_match(spark):
+    """Cross-corpus incremental near-dup: new docs match their corpus
+    near-dups, the BEST match wins (max jaccard, tie -> smallest corpus
+    id), novel docs are absent, and a corpus-side dup never pairs with
+    another corpus doc (the join is strictly new x corpus)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about embedding vectors and spark plans"
+    corpus = spark.createDataFrame(
+        [
+            (2, base),
+            (4, base + " extra"),          # second, slightly-different copy
+            (6, other),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                      # exact text of corpus 2 (ties -> 2)
+            (3, other + " suffix"),         # near-dup of corpus 6
+            (5, "totally novel text that matches nothing in the corpus"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["new_id"]: (r["corpus_id"], r["jaccard"])
+        for r in dedup.fuzzy_dedup_against(
+            new, corpus, shingle_k=5, num_hashes=16, bands=4, threshold=0.4
+        ).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1][0] == 2 and got[1][1] == 1.0  # identical text, best of {2,4}
+    assert got[3][0] == 6 and got[3][1] >= 0.4
+
+
+def test_minhash_index_artifact_roundtrip_and_stale(spark, sf_dir, tmp_path):
+    """save_minhash_index / fuzzy_dedup_against_prebuilt: the persisted
+    artifact gives the same matches as the direct two-corpus run, works
+    through a file://-qualified path via the FS API, and refuses stale or
+    missing sidecars (same contract as the IVF artifact)."""
+    import shutil
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = "file://" + str(tmp_path / "mh_idx")
+    dedup.save_minhash_index(corpus, idx, shingle_k=5, num_hashes=16, bands=4)
+    via_idx = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in dedup.fuzzy_dedup_against_prebuilt(
+            spark, idx, new, threshold=0.5
+        ).collect()
+    }
+    direct = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in dedup.fuzzy_dedup_against(
+            new, corpus, shingle_k=5, num_hashes=16, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert via_idx == direct
+
+    # stale refusal: mutate the grams side
+    import os
+
+    local = str(tmp_path / "mh_idx")
+    part = next(
+        f for f in os.listdir(f"{local}/grams")
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    shutil.copy(f"{local}/grams/{part}", f"{local}/grams/part-x.parquet")
+    with pytest.raises(ValueError, match="stale"):
+        dedup.fuzzy_dedup_against_prebuilt(spark, idx, new)
+
+    with pytest.raises(FileNotFoundError, match="save_minhash_index"):
+        dedup.fuzzy_dedup_against_prebuilt(spark, str(tmp_path / "nope"), new)

@@ -530,22 +530,26 @@ def md5_shingle_hashes(col: Column, k: int = 5) -> Column:
     return sh(col)
 
 
-def minhash_lsh_pairs_portable(
+def _portable_sig_pipeline(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_k: int = 5,
-    num_hashes: int = 16,
-    bands: int = 4,
-    threshold: float = 0.5,
-    sig_prune: bool = True,
-) -> DataFrame:
-    """MinHash banding with every step reproducible in ANSI SQL: md5-prefix
-    shingle hashes, rotate-XOR permutations (no overflow), md5 band keys,
-    exact Jaccard verify. Same plan shape as minhash_lsh_pairs (the numpy
-    fast path); exists so the full LSH pipeline — candidates AND verify —
-    can be differentially tested against a DuckDB oracle.
-    """
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+):
+    """Shared portable-MinHash front end: one Arrow pass computes md5
+    shingle hashes AND the rotate-XOR signature per doc; returns
+    ``(raw, base, banded)`` where raw = (id, __text), base = (id,
+    n_grams, sig) persisted + eagerly populated, banded = (id, band, bh)
+    md5 band keys. Only (n_grams, sig) leaves the Python worker — the
+    gram arrays are born and die inside the pass (array<long> columns
+    cache ~4× worse than they compute, and at scale an all-grams cache
+    is a non-starter); exact-verify re-derives grams from text for
+    survivors only. Serves the self-join pipeline
+    (``minhash_lsh_pairs_portable``), the cross-corpus incremental path
+    (``fuzzy_dedup_against``), and the persisted signature artifact
+    (``save_minhash_index``)."""
     rows = num_hashes // bands
     perms = _portable_perms(num_hashes)
 
@@ -555,11 +559,6 @@ def minhash_lsh_pairs_portable(
 
     from ..functions.vectorized import _pynorm
 
-    # ONE Arrow pass computes shingle hashes AND the signature; only
-    # (n_grams, sig) leaves the Python worker — the gram arrays are born
-    # and die inside the pass (array<long> columns cache ~4× worse than
-    # they compute, and at scale an all-grams cache is a non-starter).
-    # Exact-verify re-derives grams from text for survivors only.
     @F.pandas_udf("struct<n_grams: int, sig: array<long>>")
     def grams_sig_udf(s: pd.Series) -> pd.DataFrame:
         from ..functions.vectorized import _md5_shingle_flat
@@ -618,6 +617,37 @@ def minhash_lsh_pairs_portable(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    return raw, base, banded
+
+
+def _sig_min_agree(threshold: float, num_hashes: int) -> int:
+    """Stage-1 signature-agreement cutoff shared by the self-join and
+    cross-corpus pipelines: ceil((t - 2.5σ) * num_hashes)."""
+    return int(
+        np.ceil((threshold - 2.5 * (0.25 / num_hashes) ** 0.5) * num_hashes)
+    )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    sig_prune: bool = True,
+) -> DataFrame:
+    """MinHash banding with every step reproducible in ANSI SQL: md5-prefix
+    shingle hashes, rotate-XOR permutations (no overflow), md5 band keys,
+    exact Jaccard verify. Same plan shape as minhash_lsh_pairs (the numpy
+    fast path); exists so the full LSH pipeline — candidates AND verify —
+    can be differentially tested against a DuckDB oracle.
+    """
+    rows = num_hashes // bands
+    raw, base, banded = _portable_sig_pipeline(
+        df, text_col, id_col, shingle_k, num_hashes, bands
+    )
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (
@@ -638,7 +668,7 @@ def minhash_lsh_pairs_portable(
     # recall trade of the same kind banding itself makes, and one the
     # mirrored oracle cannot surface. Pass sig_prune=False for the pure
     # candidates→exact-verify contract (every banded candidate verified).
-    min_agree = int(np.ceil((threshold - 2.5 * (0.25 / num_hashes) ** 0.5) * num_hashes))
+    min_agree = _sig_min_agree(threshold, num_hashes)
     if sig_prune and min_agree > rows:
         sa = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
         sb = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -676,6 +706,226 @@ def minhash_lsh_pairs_portable(
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def fuzzy_dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    sig_prune: bool = True,
+) -> DataFrame:
+    """Incremental FUZZY dedup: near-duplicate matches of a NEW batch
+    against an EXISTING corpus — the daily-crawl production shape
+    (``dedup_against``/``bloom_dedup_against`` are its exact-match
+    siblings; this is the MinHash-LSH sibling). Returns one row per new
+    doc that has a near-dup in the corpus: ``(new_id, corpus_id,
+    jaccard)`` with the BEST match (max Jaccard, ties → smallest corpus
+    id) — anti-join new_df on new_id to keep only novel docs.
+
+    Same portable math as :func:`minhash_lsh_pairs_portable` (md5
+    shingles, rotate-XOR permutations, md5 band keys, exact Jaccard
+    verify), so the ENTIRE cross-corpus pipeline reproduces in a SQL
+    oracle (q116). Scale shape: candidates come from the (band, bh)
+    equi-join of the two banded signature tables — bands×|new| vs
+    bands×|corpus| key-shuffled rows, never a cross product; AQE
+    broadcasts the new side when it is small (the common case); the
+    exact verify recomputes gram sets only for surviving ids on each
+    side.
+    """
+    rows = num_hashes // bands
+    raw_n, base_n, banded_n = _portable_sig_pipeline(
+        new_df, text_col, id_col, shingle_k, num_hashes, bands
+    )
+    raw_c, base_c, banded_c = _portable_sig_pipeline(
+        corpus_df, text_col, id_col, shingle_k, num_hashes, bands
+    )
+    cand = (
+        banded_n.select(F.col("id").alias("new_id"), "band", "bh")
+        .join(banded_c.select(F.col("id").alias("corpus_id"), "band", "bh"), ["band", "bh"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    min_agree = _sig_min_agree(threshold, num_hashes)
+    if sig_prune and min_agree > rows:
+        sa = base_n.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_a"))
+        sb = base_c.select(F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b"))
+        agree = F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+        )
+        cand = (
+            cand.join(sa, "new_id")
+            .join(sb, "corpus_id")
+            .filter(agree >= F.lit(min_agree))
+            .select("new_id", "corpus_id")
+        )
+    cand = _materialize(cand)
+    ids_n = cand.select(F.col("new_id").alias("id")).distinct()
+    ids_c = cand.select(F.col("corpus_id").alias("id")).distinct()
+    ga = _materialize(
+        raw_n.join(ids_n, "id", "left_semi").select(
+            F.col("id").alias("new_id"),
+            md5_shingle_hashes(F.col("__text"), shingle_k).alias("grams_a"),
+        )
+    )
+    gb = _materialize(
+        raw_c.join(ids_c, "id", "left_semi").select(
+            F.col("id").alias("corpus_id"),
+            md5_shingle_hashes(F.col("__text"), shingle_k).alias("grams_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    pairs = (
+        cand.join(ga, "new_id")
+        .join(gb, "corpus_id")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("corpus_id"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+MINHASH_META_FILE = "_minhash_meta.json"
+
+
+def save_minhash_index(
+    corpus_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> str:
+    """Persist the corpus side of :func:`fuzzy_dedup_against` as an
+    on-disk artifact, so daily batches dedup against a 100 TB corpus
+    WITHOUT re-shingling it: ``bands/`` holds the (id, band, bh) banded
+    signature table (the candidate-join side), ``grams/`` the md5
+    shingle sets (the exact-verify side; linear in corpus text, the
+    price of exact verification without the original text). Parameters
+    and a data fingerprint land in a JSON sidecar through the Hadoop FS
+    API — same posture as the z-index and IVF artifacts (reference
+    index↔data checksum analog, `tdbcli/tdb_index.c:439-451`).
+    """
+    import json
+
+    from .. import fsutil
+
+    spark = corpus_df.sparkSession
+    raw, base, banded = _portable_sig_pipeline(
+        corpus_df, text_col, id_col, shingle_k, num_hashes, bands
+    )
+    banded.write.mode("overwrite").parquet(f"{path}/bands")
+    raw.select(
+        "id", md5_shingle_hashes(F.col("__text"), shingle_k).alias("grams")
+    ).write.mode("overwrite").parquet(f"{path}/grams")
+    base.unpersist()
+    fp = {
+        "bands": fsutil.data_fingerprint(spark, f"{path}/bands"),
+        "grams": fsutil.data_fingerprint(spark, f"{path}/grams"),
+    }
+    fsutil.write_small(
+        spark,
+        f"{path}/{MINHASH_META_FILE}",
+        json.dumps(
+            {
+                "shingle_k": shingle_k,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "id_type": dict(corpus_df.dtypes)[id_col],
+                "data_fingerprint": fp,
+            }
+        ),
+    )
+    return path
+
+
+def fuzzy_dedup_against_prebuilt(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`fuzzy_dedup_against` against a :func:`save_minhash_index`
+    artifact: the corpus is never re-shingled — the banded table joins
+    directly and the stored gram sets serve the exact verify. Signature
+    parameters come from the sidecar, so probe and build can never
+    disagree. Refuses a stale artifact (cell data rewritten since the
+    sidecar) — there is no primary to fall back to, the same contract as
+    the IVF artifact."""
+    import json
+
+    from .. import fsutil
+
+    raw_meta = fsutil.read_small(spark, f"{path}/{MINHASH_META_FILE}")
+    if raw_meta is None:
+        raise FileNotFoundError(
+            f"no minhash index sidecar at {path}/{MINHASH_META_FILE}; "
+            "build one with save_minhash_index"
+        )
+    meta = json.loads(raw_meta)
+    fp = meta.get("data_fingerprint") or {}
+    for part in ("bands", "grams"):
+        want = fp.get(part)
+        if want is not None and want != fsutil.data_fingerprint(
+            spark, f"{path}/{part}"
+        ):
+            raise ValueError(
+                f"minhash index at {path} is stale ({part} changed since "
+                "the sidecar was written) — rebuild with save_minhash_index"
+            )
+    shingle_k = int(meta["shingle_k"])
+    num_hashes = int(meta["num_hashes"])
+    bands = int(meta["bands"])
+
+    raw_n, _base_n, banded_n = _portable_sig_pipeline(
+        new_df, text_col, id_col, shingle_k, num_hashes, bands
+    )
+    banded_c = spark.read.parquet(f"{path}/bands")
+    cand = (
+        banded_n.select(F.col("id").alias("new_id"), "band", "bh")
+        .join(banded_c.select(F.col("id").alias("corpus_id"), "band", "bh"), ["band", "bh"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    cand = _materialize(cand)
+    ids_n = cand.select(F.col("new_id").alias("id")).distinct()
+    ga = _materialize(
+        raw_n.join(ids_n, "id", "left_semi").select(
+            F.col("id").alias("new_id"),
+            md5_shingle_hashes(F.col("__text"), shingle_k).alias("grams_a"),
+        )
+    )
+    gb = (
+        spark.read.parquet(f"{path}/grams")
+        .join(cand.select(F.col("corpus_id").alias("id")).distinct(), "id", "left_semi")
+        .select(F.col("id").alias("corpus_id"), F.col("grams").alias("grams_b"))
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    pairs = (
+        cand.join(ga, "new_id")
+        .join(gb, "corpus_id")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("corpus_id"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", "corpus_id", "jaccard")
     )
 
 
