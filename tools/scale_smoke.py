@@ -547,6 +547,17 @@ def main():
         ).count(),
     )
 
+    # FUZZY incremental dedup (round 6): 50k new docs near-dup-matched
+    # against a 50k corpus — banded-signature equi-join candidates, exact
+    # Jaccard verify on survivors only
+    timed(
+        "fuzzy_dedup_against_100k",
+        lambda: dedup.fuzzy_dedup_against(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+        ).count(),
+    )
+
     # SemDeDup at 25x vectors (50k): centroid count scales WITH the corpus
     # (cells stay ~constant) — the design contract that bounds the
     # within-cell quadratic
