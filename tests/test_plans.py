@@ -579,3 +579,21 @@ def test_apply_to_trails_chunked_single_shuffle(spark):
         "uuid string, n long",
     )
     assert audit.num_shuffles(out) == 1, audit.explain_str(out, "simple")
+
+
+def test_fuzzy_dedup_against_no_cross_product(spark):
+    """The cross-corpus candidate stage must be the (band, bh) EQUI-join
+    of the two banded tables — a plan containing a cartesian product or
+    nested-loop join would be the O(|new|x|corpus|) shape the banding
+    exists to avoid."""
+    from traildb_spark.operators import dedup
+
+    new = spark.createDataFrame(
+        [(1, "some text about foxes jumping")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [(2, "other text about dogs sleeping")], ["doc_id", "text"]
+    )
+    out = dedup.fuzzy_dedup_against(new, corpus, threshold=0.5)
+    plan = audit.explain_str(out, "simple")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
