@@ -1766,6 +1766,20 @@ def q116_fuzzy_dedup_against(spark, sf_dir):
     )
 
 
+def q117_emb_neardup_against(spark, sf_dir):
+    """Incremental EMBEDDING near-dup (the vector sibling of q116):
+    matches of a NEW vector batch (odd vec_ids) against an EXISTING
+    corpus (even vec_ids) via the portable SRP pipeline — integer
+    quantization, ±1 literal hyperplanes, banded candidates from the
+    cross-corpus (band, bh) join, quantized-cosine verify, best match
+    per new vector. The oracle reproduces candidates, verify AND the
+    best-match rank."""
+    emb = _load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    return dedup.embedding_neardup_against(new, corpus, threshold=0.4)
+
+
 def q115_sessions_chunked(spark, sf_dir):
     """Bounded-memory whale cursor path: sessionization as a constant-state
     fold over time-ordered chunks (apply_to_trails_chunked — the Spark form
@@ -1897,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_trigram_backoff": q114_trigram_backoff,
         "q115_sessions_chunked": q115_sessions_chunked,
         "q116_fuzzy_dedup_against": q116_fuzzy_dedup_against,
+        "q117_emb_neardup_against": q117_emb_neardup_against,
     }
 
 
@@ -1947,6 +1962,62 @@ def _srp_neardup_oracle(num_planes: int, bands: int, threshold: float) -> str:
         JOIN q a ON c.id_a = a.vec_id
         JOIN q b ON c.id_b = b.vec_id
         WHERE round({cos}, 6) >= {threshold}
+    """
+
+
+def _srp_against_oracle(num_planes: int, bands: int, threshold: float) -> str:
+    """Cross-corpus twin of _srp_neardup_oracle: corpus = even vec_ids,
+    new batch = odd; candidates from the (band, bh) join of the two
+    banded code tables; quantized-cosine verify; BEST match per new
+    vector (max cos, ties -> smallest corpus id). Mirrors
+    dedup.embedding_neardup_against exactly."""
+    from traildb_spark.operators.dedup import _srp_planes
+
+    planes = _srp_planes(num_planes, 64)
+    bits = num_planes // bands
+    mask = (1 << bits) - 1
+    values = ", ".join(
+        f"({p}, [{', '.join(str(int(x)) for x in row)}])"
+        for p, row in enumerate(planes)
+    )
+    qdot = "list_sum([a.qv[i] * b.qv[i] for i in generate_series(1, 64)])"
+    qna = "sqrt(list_sum([a.qv[i] * a.qv[i] for i in generate_series(1, 64)]))"
+    qnb = "sqrt(list_sum([b.qv[i] * b.qv[i] for i in generate_series(1, 64)]))"
+    cos = f"{qdot} / ({qna} * {qnb})"
+    return f"""
+        WITH q AS (
+          SELECT vec_id, vec_id % 2 AS side,
+                 [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+                  for i in generate_series(1, 64)] AS qv
+          FROM embeddings),
+        planes(pid, h) AS (VALUES {values}),
+        dots AS (
+          SELECT vec_id, side, pid,
+                 list_sum([qv[i] * h[i] for i in generate_series(1, 64)]) AS d
+          FROM q, planes),
+        codes AS (
+          SELECT vec_id, side,
+                 CAST(SUM(CASE WHEN d >= 0 THEN 1 << pid ELSE 0 END) AS BIGINT) AS code
+          FROM dots GROUP BY vec_id, side),
+        banded AS (
+          SELECT vec_id, side, b, (code >> (b * {bits})) & {mask} AS bh
+          FROM codes, generate_series(0, {bands - 1}) AS t(b)),
+        cand AS (
+          SELECT DISTINCT n.vec_id AS new_id, c.vec_id AS corpus_id
+          FROM banded n JOIN banded c
+            ON n.b = c.b AND n.bh = c.bh AND n.side = 1 AND c.side = 0),
+        pairs AS (
+          SELECT cd.new_id, cd.corpus_id, round({cos}, 6) AS cos
+          FROM cand cd
+          JOIN q a ON cd.new_id = a.vec_id
+          JOIN q b ON cd.corpus_id = b.vec_id
+          WHERE round({cos}, 6) >= {threshold}),
+        ranked AS (
+          SELECT new_id, corpus_id, cos,
+                 row_number() OVER (PARTITION BY new_id
+                                    ORDER BY cos DESC, corpus_id ASC) AS rn
+          FROM pairs)
+        SELECT new_id, corpus_id, cos FROM ranked WHERE rn = 1
     """
 
 
@@ -2855,6 +2926,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY uuid
         """,
         "q116_fuzzy_dedup_against": _fuzzy_against_oracle(5, 16, 4, 0.5),
+        "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})
             , sizes AS (

@@ -1190,3 +1190,33 @@ def test_minhash_index_artifact_roundtrip_and_stale(spark, sf_dir, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="save_minhash_index"):
         dedup.fuzzy_dedup_against_prebuilt(spark, str(tmp_path / "nope"), new)
+
+
+def test_embedding_neardup_against_best_match(spark):
+    """Cross-corpus incremental embedding near-dup: new vectors match
+    their corpus near-dups with the BEST match winning (max cos, tie ->
+    smallest corpus id); orthogonal vectors are absent; matches never
+    pair corpus-with-corpus."""
+    corpus = spark.createDataFrame(
+        [
+            (2, [1.0, 0.0, 0.0, 0.0] + [0.0] * 60),
+            (4, [0.999, 0.012, 0.0, 0.0] + [0.0] * 60),   # slightly off axis 1
+            (6, [0.0, 1.0, 0.0, 0.0] + [0.0] * 60),
+        ],
+        ["vec_id", "embedding"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0] + [0.0] * 60),        # == corpus 2 (tie -> 2)
+            (3, [0.0, 0.998, 0.02, 0.0] + [0.0] * 60),     # near corpus 6
+            (5, [0.0, 0.0, 0.0, 1.0] + [0.0] * 60),        # novel direction
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r["new_id"]: (r["corpus_id"], r["cos"])
+        for r in dedup.embedding_neardup_against(new, corpus, threshold=0.95).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1][0] == 2 and got[1][1] == 1.0
+    assert got[3][0] == 6 and got[3][1] >= 0.95

@@ -1410,29 +1410,19 @@ def portable_srp_code(col: Column, num_planes: int = 16, dim: int = 64) -> Colum
     return code_udf(col)
 
 
-def embedding_neardup_pairs_portable(
+def _portable_srp_banded(
     df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    threshold: float = 0.95,
-    num_planes: int = 16,
-    bands: int = 4,
-    dim: int = 64,
-) -> DataFrame:
-    """Sign-random-projection near-dup with every step reproducible in
-    ANSI SQL: vectors quantize to integers (floor(v·2^20) — float
-    multiplication is IEEE-exact, floor is unambiguous), hyperplanes are
-    ±1 literals, so the sign bits are INTEGER comparisons — no float
-    summation order to match between engines (integer sums are
-    associative; |q|≤2^20 · 64 dims cannot overflow int64). Verify is the
-    QUANTIZED cosine over the same integers: int64 dot and norms (exact,
-    order-free), then one sqrt·mul·div chain of correctly-rounded IEEE
-    ops — so the kernel can run as a vectorized Arrow batch in numpy and
-    still match DuckDB's list_sum bit-for-bit (a float sequential fold
-    would force interpreted per-element evaluation; measured ~3× slower
-    on the candidate set). Same banding/shuffle shape as
-    embedding_neardup_pairs (the numpy fast path).
-    """
+    vec_col: str,
+    id_col: str,
+    num_planes: int,
+    bands: int,
+    dim: int,
+):
+    """Shared portable-SRP front end: (base, banded) where base = (id, qv
+    quantized vector, code) persisted, banded = (id, band, bh) band keys
+    sliced from the packed sign bits. Serves the self-join pipeline
+    (``embedding_neardup_pairs_portable``) and the cross-corpus
+    incremental path (``embedding_neardup_against``)."""
     bits_per_band = num_planes // bands
     mask = (1 << bits_per_band) - 1
     base = _materialize(
@@ -1458,6 +1448,88 @@ def embedding_neardup_pairs_portable(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    return base, banded
+
+
+def embedding_neardup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Incremental EMBEDDING near-dup: matches of a NEW vector batch
+    against an EXISTING corpus — the embedding sibling of
+    :func:`fuzzy_dedup_against` (and of the exact q65/Bloom q76 text
+    paths). Returns one row per new vector with a corpus near-dup:
+    ``(new_id, corpus_id, cos)``, the BEST match (max quantized cosine,
+    ties → smallest corpus id); anti-join to keep only novel vectors.
+
+    Portable math end-to-end (quantized integers, ±1 literal
+    hyperplanes, integer-exact cosine — see
+    ``embedding_neardup_pairs_portable``), so the cross-corpus pipeline
+    reproduces in a SQL oracle (q117). Candidates come from the
+    (band, bh) equi-join of the two banded code tables — never a cross
+    product; verify touches survivors only.
+    """
+    base_n, banded_n = _portable_srp_banded(
+        new_df, vec_col, id_col, num_planes, bands, dim
+    )
+    base_c, banded_c = _portable_srp_banded(
+        corpus_df, vec_col, id_col, num_planes, bands, dim
+    )
+    cand = (
+        banded_n.select(F.col("id").alias("new_id"), "band", "bh")
+        .join(
+            banded_c.select(F.col("id").alias("corpus_id"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    va = base_n.select(F.col("id").alias("new_id"), F.col("qv").alias("qa"))
+    vb = base_c.select(F.col("id").alias("corpus_id"), F.col("qv").alias("qb"))
+    pairs = (
+        cand.join(va, "new_id")
+        .join(vb, "corpus_id")
+        .withColumn("cos", F.round(quantized_cosine_udf(F.col("qa"), F.col("qb")), 6))
+        .filter(F.col("cos") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", "corpus_id", "cos")
+    )
+
+
+def embedding_neardup_pairs_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-random-projection near-dup with every step reproducible in
+    ANSI SQL: vectors quantize to integers (floor(v·2^20) — float
+    multiplication is IEEE-exact, floor is unambiguous), hyperplanes are
+    ±1 literals, so the sign bits are INTEGER comparisons — no float
+    summation order to match between engines (integer sums are
+    associative; |q|≤2^20 · 64 dims cannot overflow int64). Verify is the
+    QUANTIZED cosine over the same integers: int64 dot and norms (exact,
+    order-free), then one sqrt·mul·div chain of correctly-rounded IEEE
+    ops — so the kernel can run as a vectorized Arrow batch in numpy and
+    still match DuckDB's list_sum bit-for-bit (a float sequential fold
+    would force interpreted per-element evaluation; measured ~3× slower
+    on the candidate set). Same banding/shuffle shape as
+    embedding_neardup_pairs (the numpy fast path).
+    """
+    base, banded = _portable_srp_banded(df, vec_col, id_col, num_planes, bands, dim)
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (
