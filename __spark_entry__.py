@@ -1790,6 +1790,21 @@ def q115_sessions_chunked(spark, sf_dir):
     return trails.session_stats_chunked(ev, gap=1800)
 
 
+def q118_resolve_duplicates(spark, sf_dir):
+    """Quality-aware duplicate resolution: SimHash near-dup components
+    (q42's pair set) resolved by KEEPING the best quality_score doc per
+    cluster (ties -> min doc_id) instead of the arbitrary min-id copy —
+    the production "dedup but keep the clean mirror" form. Oracle: q42's
+    recursive-CTE components + q31's quality expression + a ROW_NUMBER
+    pick, reproduced end-to-end in DuckDB."""
+    docs = _load(spark, sf_dir, "documents")
+    from traildb_spark.functions.core import md5_60
+    pairs = dedup.simhash_pairs(docs, max_hamming=3, token_hasher=md5_60)
+    return dedup.resolve_duplicates(
+        docs, pairs, score=text.quality_score(F.col("text"))
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1912,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_sessions_chunked": q115_sessions_chunked,
         "q116_fuzzy_dedup_against": q116_fuzzy_dedup_against,
         "q117_emb_neardup_against": q117_emb_neardup_against,
+        "q118_resolve_duplicates": q118_resolve_duplicates,
     }
 
 
@@ -2935,6 +2951,32 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_clusters,
                    CAST(sz * COUNT(*) AS BIGINT) AS n_docs
             FROM sizes GROUP BY sz
+        """.format(_q42=_q42_sql),
+        # q42's components + q31's quality expression + a ROW_NUMBER pick:
+        # best score per component, ties to min doc_id
+        "q118_resolve_duplicates": f"""
+            WITH labeled AS ({{_q42}}),
+            m AS (
+              SELECT doc_id, {_NORM_TEXT} AS nt,
+                     CAST(len({_TOKENS}) AS DOUBLE) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST(length(nt) AS DOUBLE) AS n_chars,
+                     CAST(length(regexp_replace(nt, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                     CAST(length(regexp_replace(nt, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                     n_tokens
+              FROM m),
+            q AS (
+              SELECT doc_id,
+                     round(((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+                      + (CASE WHEN n_tokens > 0 AND n_alpha / n_tokens >= 2.0 AND n_alpha / n_tokens <= 12.0 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.2 THEN 1.0 WHEN n_chars = 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS score
+              FROM c)
+            SELECT l.doc_id, l.component, q.score,
+                   ROW_NUMBER() OVER (PARTITION BY l.component
+                                      ORDER BY q.score DESC, l.doc_id ASC) = 1 AS kept
+            FROM labeled l JOIN q ON l.doc_id = q.doc_id
         """.format(_q42=_q42_sql),
         "q101_cohort_revenue": f"""
             WITH e AS ({_E}),

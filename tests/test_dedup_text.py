@@ -1220,3 +1220,35 @@ def test_embedding_neardup_against_best_match(spark):
     assert set(got) == {1, 3}
     assert got[1][0] == 2 and got[1][1] == 1.0
     assert got[3][0] == 6 and got[3][1] >= 0.95
+
+
+def test_resolve_duplicates_keeps_best_quality(spark):
+    # cluster {1,2,3}: doc 3 has the best quality (clean prose), doc 1 is
+    # min-id but punctuation-soup — resolve must keep 3, not 1.
+    # cluster {7,8}: equal text (equal score) -> tie breaks to min id 7.
+    # doc 5: singleton, always kept.
+    rows = [
+        (1, "the,, quick;; brown!! fox?? costs $$ 1.2.3 ::"),
+        (2, "the,, quick;; brown!! fox?? costs $$ 1.2.4 ::"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (5, "a singleton document about spark"),
+        (7, "identical twin content here"),
+        (8, "identical twin content here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["kept"])
+        for r in dedup.resolve_duplicates(
+            docs, pairs, score=text.quality_score(F.col("text"))
+        ).collect()
+    }
+    assert len(got) == 6
+    assert got[1] == (1, False)
+    assert got[2] == (1, False)
+    assert got[3] == (1, True)       # best quality wins over min id
+    assert got[5] == (5, True)       # singleton kept
+    assert got[7] == (7, True)       # tie -> min id
+    assert got[8] == (7, False)

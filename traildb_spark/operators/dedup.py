@@ -1166,6 +1166,50 @@ def dedup_clusters(
     ).withColumn("is_canonical", F.col(id_col) == F.col("component"))
 
 
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware duplicate resolution: label every row with its
+    near-dup component (from ``pairs``, via :func:`connected_components`)
+    and keep exactly the BEST-scoring row per component — ``score`` is any
+    deterministic quality Column (e.g. ``text.quality_score``); ties break
+    to the smallest id so the pick is reproducible across runs and
+    engines. This is the production form of "dedup the corpus": plain
+    ``dedup_clusters`` keeps the arbitrary min-id copy, which on web data
+    routinely discards the clean article and keeps the ad-wrapped mirror.
+
+    Returns (id, component, score, kept) for EVERY input row — the kept
+    flag rather than a filtered frame, so callers can audit what a drop
+    decision was based on before applying it with ``.filter("kept")``.
+
+    Scale: one extra hash-shuffle by component for the window rank. The
+    window partitions by duplicate-cluster id, whose size is bounded by
+    the largest near-dup cluster — if a pathological corpus has one giant
+    cluster (all rows identical) its rank is computed by a single task,
+    same boundary as the groupBy alternative; for real corpora clusters
+    are tiny. Singleton docs skip the pairs entirely (left join, NULL →
+    own id), so the shuffle carries only (id, component, score) — the
+    text never moves.
+    """
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    labeled = (
+        df.select(F.col(id_col), score.alias("score"))
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+            "score",
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return labeled.withColumn("kept", F.row_number().over(w) == 1)
+
+
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
