@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from traildb_spark import EventFilter, TrailDataset
 from traildb_spark.functions import core, vectorized
-from traildb_spark.operators import dedup, joins, similarity, text, trails
+from traildb_spark.operators import analytics, dedup, joins, similarity, text, trails
 from traildb_spark.operators.filters import trail_filter_overrides
 from traildb_spark.streaming.sessions import streaming_session_counts
 
@@ -1805,6 +1805,16 @@ def q118_resolve_duplicates(spark, sf_dir):
     )
 
 
+def q119_recency_scores(spark, sf_dir):
+    """Recency-weighted trail engagement: per-uuid exponential decay
+    quantized to whole half-life buckets (1 day, t_ref = TIME_HI), summed
+    as an EXACT Q40 fixed-point integer — dyadic weights instead of libm
+    exp, so the score is bit-identical across engines/partitionings and
+    fully oracle-checkable (continuous-decay floats are not)."""
+    ev = _events(spark, sf_dir).select("uuid", "time")
+    return analytics.recency_scores(ev, t_ref=TIME_HI, half_life=86400)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1928,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_fuzzy_dedup_against": q116_fuzzy_dedup_against,
         "q117_emb_neardup_against": q117_emb_neardup_against,
         "q118_resolve_duplicates": q118_resolve_duplicates,
+        "q119_recency_scores": q119_recency_scores,
     }
 
 
@@ -2942,6 +2953,20 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY uuid
         """,
         "q116_fuzzy_dedup_against": _fuzzy_against_oracle(5, 16, 4, 0.5),
+        # dyadic bucketed decay: integer-exact, so SUM is order-free and
+        # engine-portable (no libm exp/pow anywhere)
+        "q119_recency_scores": f"""
+            WITH w AS (
+              SELECT uuid, "time",
+                     GREATEST(CAST(floor(({TIME_HI} - "time") / 86400.0) AS BIGINT), 0) AS b
+              FROM ({_E}))
+            SELECT uuid,
+                   CAST(SUM(CASE WHEN b <= 40 THEN (1::BIGINT << (40 - b))
+                            ELSE 0 END) AS BIGINT) AS score_q,
+                   COUNT(*) AS n_events,
+                   MAX("time") AS last_seen
+            FROM w GROUP BY uuid
+        """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})

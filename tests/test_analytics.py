@@ -487,3 +487,30 @@ def test_sequence_match_rejects_spaced_values(spark):
     )
     got = {r["uuid"]: r["seq"] for r in sequence_match(ok, " view ").collect()}
     assert got == {"u1": " view  "}  # NULL renders as the empty token
+
+
+def test_recency_scores_exact_dyadic(spark):
+    # t_ref=1000, half_life=100: b = floor((1000 - t)/100) clamped >= 0.
+    # u1: t=950 (b=0, w=2^40), t=850 (b=1, w=2^39), t=1050 (future, b=0).
+    # u2: t=0 -> b=10, w=2^30; t far past horizon -> w=0.
+    rows = [
+        ("u1", 950), ("u1", 850), ("u1", 1050),
+        ("u2", 0), ("u2", -999_999),
+    ]
+    df = spark.createDataFrame(rows, "uuid string, time long")
+    got = {
+        r["uuid"]: (r["score_q"], r["n_events"], r["last_seen"])
+        for r in analytics.recency_scores(df, t_ref=1000, half_life=100).collect()
+    }
+    assert got["u1"] == (2**40 + 2**39 + 2**40, 3, 1050)
+    assert got["u2"] == (2**30, 2, 0)
+
+
+def test_recency_scores_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("u", 1)], "uuid string, time long")
+    with _pytest.raises(ValueError, match="half_life"):
+        analytics.recency_scores(df, t_ref=0, half_life=0)
+    with _pytest.raises(ValueError, match="max_buckets"):
+        analytics.recency_scores(df, t_ref=0, half_life=1, max_buckets=63)

@@ -1011,3 +1011,60 @@ def gap_histogram(
     return out.select(*(keys + [bucket.alias("gap_bucket")])).groupBy(
         *(keys + ["gap_bucket"])
     ).agg(F.count(F.lit(1)).alias("n_gaps"))
+
+
+def recency_scores(
+    df: DataFrame,
+    t_ref: int,
+    half_life: int,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    max_buckets: int = 40,
+) -> DataFrame:
+    """Recency-weighted engagement per trail: every event contributes
+    ``2^-b`` where ``b = floor((t_ref - time) / half_life)`` — an
+    exponential decay QUANTIZED to whole half-life buckets, which makes
+    the score a dyadic rational representable EXACTLY as a Q``max_buckets``
+    fixed-point integer (``score_q = Σ 2^(max_buckets - b)``). No libm
+    ``exp``/``pow`` anywhere, so the result is bit-identical across
+    engines and partitionings — the same integer-math discipline as
+    `activity_histogram`/`gap_histogram` (continuous-decay floats are NOT
+    reproducible: the sum order changes per run and libm differs per
+    engine at the ulp level). Events newer than ``t_ref`` clamp to full
+    weight; events older than ``max_buckets`` half-lives contribute 0.
+
+    Returns ``(uuid, score_q, n_events, last_seen)`` with
+    ``score = score_q / 2^max_buckets``. Single map-side-combined
+    aggregate keyed by uuid — never event-sized on the wire. The partial
+    sum is carried as DECIMAL and asserted to fit int64 before the cast
+    (a trail needs > 2^(63-max_buckets) full-weight events to trip it —
+    8.4M at the default Q40; raise/lower ``max_buckets`` to trade decay
+    horizon against headroom).
+    """
+    if half_life <= 0:
+        raise ValueError(f"recency_scores: half_life must be > 0, got {half_life}")
+    if not (0 < max_buckets <= 62):
+        raise ValueError(
+            f"recency_scores: max_buckets must be in (0, 62], got {max_buckets}"
+        )
+    b = F.greatest(
+        F.floor((F.lit(t_ref) - F.col(time_col)) / half_life).cast("long"), F.lit(0)
+    )
+    # pyspark's F.shiftleft only takes a literal shift count — go through
+    # the SQL form, where the count may be a column
+    weight = F.expr(
+        f"CASE WHEN __b <= {max_buckets}"
+        f" THEN shiftleft(CAST(1 AS BIGINT), CAST({max_buckets} - __b AS INT))"
+        f" ELSE CAST(0 AS BIGINT) END"
+    )
+    total = F.sum(weight.cast("decimal(38,0)"))
+    fits = total <= F.lit(2**63 - 1).cast("decimal(38,0)")
+    return df.withColumn("__b", b).groupBy(F.col(uuid_col).alias("uuid")).agg(
+        # assert_true folded into the projected column: zero extra jobs
+        F.when(
+            F.assert_true(fits, "recency_scores: score_q overflows int64").isNull(),
+            total.cast("long"),
+        ).alias("score_q"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.col(time_col)).alias("last_seen"),
+    )
