@@ -1790,6 +1790,19 @@ def q115_sessions_chunked(spark, sf_dir):
     return trails.session_stats_chunked(ev, gap=1800)
 
 
+def q120_distribution_drift(spark, sf_dir):
+    """Cross-window distribution drift per event_type: exact
+    total-variation distance (parts-per-million) between the value
+    histograms of the first and second half of the time range —
+    integer-exact end to end (decimal products + truncating division,
+    no float summation), so the drift score is bit-identical across
+    engines and partitionings. Histogram-sized shuffles only."""
+    ev = _events(spark, sf_dir).select("time", "event_type", "value")
+    return analytics.distribution_drift(
+        ev, t_split=1705000000, bin_width=10.0
+    ).withColumnRenamed("key", "event_type")
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -1939,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_emb_neardup_against": q117_emb_neardup_against,
         "q118_resolve_duplicates": q118_resolve_duplicates,
         "q119_recency_scores": q119_recency_scores,
+        "q120_distribution_drift": q120_distribution_drift,
     }
 
 
@@ -2968,6 +2982,33 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # exact-integer TVD: HUGEINT products/sum + floor division mirror
+        # Spark's decimal(38,0) arithmetic bit for bit
+        "q120_distribution_drift": f"""
+            WITH e AS ({_E}),
+            b AS (
+              SELECT event_type AS key,
+                     CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                     CASE WHEN "time" < 1705000000 THEN 1 ELSE 0 END AS a
+              FROM e),
+            pb AS (
+              SELECT key, bin, SUM(a) AS cnt_a, SUM(1 - a) AS cnt_b
+              FROM b GROUP BY key, bin),
+            t AS (
+              SELECT key, CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+                     CAST(SUM(cnt_b) AS BIGINT) AS tot_b
+              FROM pb GROUP BY key)
+            SELECT pb.key AS event_type, t.tot_a, t.tot_b,
+                   CASE WHEN t.tot_a > 0 AND t.tot_b > 0 THEN
+                     CAST((SUM(ABS(CAST(pb.cnt_a AS HUGEINT) * t.tot_b
+                                   - CAST(pb.cnt_b AS HUGEINT) * t.tot_a))
+                           * 1000000)
+                          // (2 * CAST(t.tot_a AS HUGEINT) * t.tot_b)
+                          AS BIGINT)
+                   ELSE NULL END AS tvd_ppm
+            FROM pb JOIN t USING (key)
+            GROUP BY pb.key, t.tot_a, t.tot_b
+        """,
         "q100_cluster_sizes": f"""
             WITH labeled AS ({{_q42}})
             , sizes AS (

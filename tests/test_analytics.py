@@ -514,3 +514,41 @@ def test_recency_scores_validation(spark):
         analytics.recency_scores(df, t_ref=0, half_life=0)
     with _pytest.raises(ValueError, match="max_buckets"):
         analytics.recency_scores(df, t_ref=0, half_life=1, max_buckets=63)
+
+
+def test_distribution_drift_exact_tvd(spark):
+    # key k1: window A (t<100) values 0,0,15 -> bins {0:2, 1:1}, tot_a=3
+    #         window B values 0,15,15,25    -> bins {0:1, 1:2, 2:1}, tot_b=4
+    # numer = |2*4-1*3| + |1*4-2*3| + |0*4-1*3| = 5+2+3 = 10
+    # tvd = 10/(2*3*4) = 0.41666... -> 416666 ppm (truncating)
+    # key k2: only window A -> tvd_ppm NULL
+    # NULL value forms its own bin: k3 has NULL in A and in B, identical -> 0
+    rows = [
+        ("k1", 50, 0.0), ("k1", 60, 5.0), ("k1", 70, 15.0),
+        ("k1", 150, 3.0), ("k1", 160, 15.0), ("k1", 170, 19.0),
+        ("k1", 180, 25.0),
+        ("k2", 10, 1.0),
+        ("k3", 20, None), ("k3", 120, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, time long, value double"
+    )
+    got = {
+        r["key"]: (r["tot_a"], r["tot_b"], r["tvd_ppm"])
+        for r in analytics.distribution_drift(
+            df, t_split=100, bin_width=10.0
+        ).collect()
+    }
+    assert got["k1"] == (3, 4, 416666)
+    assert got["k2"] == (1, 0, None)
+    assert got["k3"] == (1, 1, 0)
+
+
+def test_distribution_drift_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("k", 1, 1.0)], "event_type string, time long, value double"
+    )
+    with _pytest.raises(ValueError, match="bin_width"):
+        analytics.distribution_drift(df, t_split=0, bin_width=0)

@@ -1068,3 +1068,84 @@ def recency_scores(
         F.count(F.lit(1)).alias("n_events"),
         F.max(F.col(time_col)).alias("last_seen"),
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    t_split: int,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    time_col: str = TIME_COL,
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Per-key distribution drift between two time windows as EXACT
+    total-variation distance -- the data-pipeline health check that
+    catches a source whose value distribution shifted between ingest
+    batches (schema stays identical, the histogram moves).
+
+    Events before ``t_split`` form window A, the rest window B; values
+    are histogrammed into fixed-width bins (``floor(value / bin_width)``
+    -- one IEEE division + floor, identical in any engine; NULL values
+    form their own bin, matching SQL GROUP BY). For each key::
+
+        TVD = 1/2 * sum_bins | cnt_a/tot_a - cnt_b/tot_b |
+
+    computed over the common denominator as the exact integer
+    ``tvd_ppm = sum|cnt_a*tot_b - cnt_b*tot_a| * 1_000_000
+    div (2 * tot_a * tot_b)`` in decimal(38,0) arithmetic -- products,
+    sum and truncating division are all exact integers, so the score is
+    bit-identical across engines and partitionings (float summation
+    order never enters) and the quotient is bounded by 1e6 (TVD <= 1),
+    so the final long cast cannot overflow at ANY data scale; the
+    decimal intermediates hold up to ~7e15 events per window. NULL
+    ``tvd_ppm`` when either window is empty for the key.
+
+    Plan shape: ONE scan; groupBy(key, bin) with conditional counts
+    (map-side combined), then a histogram-sized join + groupBy(key) --
+    every post-scan key is (keys x bins)-sized, metadata-scale at
+    100 TB regardless of event count.
+
+    Reference analog: TrailDB exposes per-field value frequencies
+    (`src/tdb_encode_model.c:444-486`) but no cross-window comparison;
+    this is the SS2.9-style extension a training-data pipeline needs.
+    """
+    if bin_width <= 0:
+        raise ValueError(
+            f"distribution_drift: bin_width must be > 0, got {bin_width}"
+        )
+    bin_ = F.floor(F.col(value_col) / F.lit(float(bin_width))).cast("long")
+    in_a = (F.col(time_col) < F.lit(t_split)).cast("long")
+    per_bin = df.groupBy(
+        F.col(key_col).alias("key"), bin_.alias("bin")
+    ).agg(
+        F.sum(in_a).alias("cnt_a"),
+        F.sum(1 - in_a).alias("cnt_b"),
+    )
+    totals = per_bin.groupBy("key").agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    dec = "decimal(38,0)"
+    ca, cb = F.col("cnt_a").cast(dec), F.col("cnt_b").cast(dec)
+    ta, tb = F.col("tot_a").cast(dec), F.col("tot_b").cast(dec)
+    out = (
+        per_bin.join(totals, "key")
+        .groupBy("key")
+        .agg(
+            F.first("tot_a").alias("tot_a"),
+            F.first("tot_b").alias("tot_b"),
+            F.sum(F.abs(ca * tb - cb * ta)).alias("numer_d"),
+        )
+    )
+    return out.select(
+        "key",
+        "tot_a",
+        "tot_b",
+        F.when(
+            (F.col("tot_a") > 0) & (F.col("tot_b") > 0),
+            F.expr(
+                f"numer_d * CAST(1000000 AS {dec}) "
+                f"div (CAST(2 AS {dec}) * CAST(tot_a AS {dec})"
+                f" * CAST(tot_b AS {dec}))"
+            ),
+        ).alias("tvd_ppm"),
+    )
