@@ -1803,6 +1803,16 @@ def q120_distribution_drift(spark, sf_dir):
     ).withColumnRenamed("key", "event_type")
 
 
+def q121_embedding_gram(spark, sf_dir):
+    """Distributed Gram/covariance statistics of the embedding table:
+    int-quantized (Q10) per-batch d x d matmul partials, combined by a
+    metadata-scale groupBy — the treeAggregate pattern expressed as
+    DataFrame ops. Integer-exact sums end to end; cov_q is one IEEE
+    division + half-up round, so every column is oracle-checkable."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.embedding_gram(emb, q_scale_bits=10)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -1953,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_resolve_duplicates": q118_resolve_duplicates,
         "q119_recency_scores": q119_recency_scores,
         "q120_distribution_drift": q120_distribution_drift,
+        "q121_embedding_gram": q121_embedding_gram,
     }
 
 
@@ -2982,6 +2993,30 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # int-quantized Gram entries: every sum is an exact integer, so
+        # the unnest+self-join formulation here MUST equal Spark's
+        # per-batch matmul partials bit for bit; cov_q is one division +
+        # one half-up round on exact-integer operands
+        "q121_embedding_gram": """
+            WITH q AS (
+              SELECT vec_id,
+                     unnest(generate_series(1, len(embedding))) AS di,
+                     unnest([CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)
+                             for x in embedding]) AS qx
+              FROM embeddings),
+            g AS (
+              SELECT CAST(a.di - 1 AS INT) AS i, CAST(b.di - 1 AS INT) AS j,
+                     CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                     CAST(SUM(a.qx) AS BIGINT) AS sum_i,
+                     CAST(SUM(b.qx) AS BIGINT) AS sum_j,
+                     CAST(SUM(a.qx * b.qx) AS BIGINT) AS sum_prod
+              FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.di <= b.di
+              GROUP BY 1, 2)
+            SELECT i, j, n_vecs, sum_i, sum_j, sum_prod,
+                   round(CAST(sum_prod * n_vecs - sum_i * sum_j AS DOUBLE)
+                         / CAST(n_vecs * n_vecs AS DOUBLE), 6) AS cov_q
+            FROM g
+        """,
         # exact-integer TVD: HUGEINT products/sum + floor division mirror
         # Spark's decimal(38,0) arithmetic bit for bit
         "q120_distribution_drift": f"""

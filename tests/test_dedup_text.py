@@ -1252,3 +1252,50 @@ def test_resolve_duplicates_keeps_best_quality(spark):
     assert got[5] == (5, True)       # singleton kept
     assert got[7] == (7, True)       # tie -> min id
     assert got[8] == (7, False)
+
+
+def test_embedding_gram_hand_computed(spark):
+    # two 2-d vectors, q_scale_bits=1 (scale 2): q = floor(v*2)
+    # v1=(0.5, 1.0) -> q1=(1, 2);  v2=(-0.75, 0.25) -> q2=(-2, 0)
+    # n=2; sums: dim0 = -1, dim1 = 2
+    # G = [[1*1+(-2)(-2), 1*2+(-2)*0], [., 2*2+0*0]] = [[5, 2], [2, 4]]
+    # cov_q(0,0) = (5*2 - (-1)(-1))/4 = 9/4 = 2.25
+    # cov_q(0,1) = (2*2 - (-1)(2))/4 = 6/4 = 1.5
+    # cov_q(1,1) = (4*2 - 4)/4 = 1.0
+    df = spark.createDataFrame(
+        [(1, [0.5, 1.0]), (2, [-0.75, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        (r["i"], r["j"]): r
+        for r in similarity.embedding_gram(df, q_scale_bits=1).collect()
+    }
+    assert set(rows) == {(0, 0), (0, 1), (1, 1)}
+    r00, r01, r11 = rows[(0, 0)], rows[(0, 1)], rows[(1, 1)]
+    assert (r00["n_vecs"], r00["sum_i"], r00["sum_j"], r00["sum_prod"]) == (
+        2, -1, -1, 5)
+    assert (r01["sum_i"], r01["sum_j"], r01["sum_prod"]) == (-1, 2, 2)
+    assert r11["sum_prod"] == 4
+    assert (r00["cov_q"], r01["cov_q"], r11["cov_q"]) == (2.25, 1.5, 1.0)
+
+
+def test_embedding_gram_partitioning_invariant(spark, sf_dir):
+    """Integer partial sums make the result independent of how rows are
+    batched across partitions — the property that justifies calling the
+    treeAggregate-shaped plan exact."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = similarity.embedding_gram(emb.coalesce(1), q_scale_bits=10)
+    b = similarity.embedding_gram(emb.repartition(13), q_scale_bits=10)
+    pa = a.orderBy("i", "j").toPandas()
+    pb = b.orderBy("i", "j").toPandas()
+    assert pa.equals(pb)
+
+
+def test_embedding_gram_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, [0.5])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="q_scale_bits"):
+        similarity.embedding_gram(df, q_scale_bits=0)

@@ -497,3 +497,103 @@ def ivf_topk_prebuilt(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cos", "rank")
     )
+
+
+def embedding_gram(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_scale_bits: int = 10,
+) -> DataFrame:
+    """Distributed second-moment (Gram) statistics of an embedding
+    column — the covariance/whitening input for PCA projection, SemDeDup
+    preprocessing, or embedding-drift monitoring, computed the
+    treeAggregate way but EXPRESSED as DataFrame ops so Catalyst/AQE own
+    the physical plan.
+
+    Vectors are quantized to integers (``floor(v * 2^q_scale_bits)`` —
+    power-of-two scale, IEEE-exact multiply, unambiguous floor: the
+    engine-portable discipline of :func:`~..operators.dedup.quantize_q20`),
+    then every Arrow batch is collapsed to ONE d x d int64 matmul
+    (``Q.T @ Q``) plus per-dimension sums; only the d(d+1)/2
+    upper-triangle partials ever leave the executor. The final
+    ``groupBy(i, j).sum`` shuffles ``triangle x batches`` rows —
+    metadata-scale at 100 TB regardless of row count (a posexplode +
+    self-join formulation would shuffle ``rows x d^2``). Integer sums
+    mean NO float summation order anywhere: the result is bit-identical
+    across engines and partitionings, and fully oracle-checkable.
+
+    Returns one row per (i <= j) dimension pair::
+
+        i, j        0-based dimension indices
+        n_vecs      total vectors
+        sum_i/sum_j exact quantized per-dimension sums
+        sum_prod    exact sum of quantized products
+        cov_q       round((sum_prod*n - sum_i*sum_j) / n^2, 6) — the
+                    sample covariance of the QUANTIZED values: numerator
+                    exact int64, one IEEE division, one half-up round —
+                    engine-portable (divide by 2^(2*q_scale_bits) to
+                    de-scale)
+
+    Overflow bounds (int64): for unit-normalized embeddings |q| <=
+    2^q_scale_bits, so sum_prod <= n * 2^(2*bits) — exact up to n ~ 2^43
+    rows at the default Q10. cov_q's numerator sum_prod*n stays inside
+    the 2^53 double-exact window up to n ~ 2^16 at Q10 for the float
+    division; beyond that, consume the exact integer columns instead.
+
+    Reference analog: none (TrailDB has no vector surface); this extends
+    the SS2 LLM-pipeline operator family alongside semantic dedup
+    (`dedup.semantic_dedup`) and ANN (`similarity.ivf_topk`).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not (1 <= q_scale_bits <= 20):
+        raise ValueError(
+            f"embedding_gram: q_scale_bits must be in [1, 20], got {q_scale_bits}"
+        )
+    scale = float(1 << q_scale_bits)
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(V * scale).astype(np.int64)
+            G = Q.T @ Q
+            S = Q.sum(axis=0)
+            iu, ju = np.triu_indices(Q.shape[1])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "n": np.int64(len(pdf)),
+                    "sum_i": S[iu],
+                    "sum_j": S[ju],
+                    "sum_prod": G[iu, ju],
+                }
+            )
+
+    part = df.select(vec_col).mapInPandas(
+        partials,
+        schema="i int, j int, n long, sum_i long, sum_j long, sum_prod long",
+    )
+    agg = part.groupBy("i", "j").agg(
+        F.sum("n").alias("n_vecs"),
+        F.sum("sum_i").alias("sum_i"),
+        F.sum("sum_j").alias("sum_j"),
+        F.sum("sum_prod").alias("sum_prod"),
+    )
+    num = F.col("sum_prod") * F.col("n_vecs") - F.col("sum_i") * F.col("sum_j")
+    return agg.select(
+        "i",
+        "j",
+        "n_vecs",
+        "sum_i",
+        "sum_j",
+        "sum_prod",
+        F.round(
+            num.cast("double")
+            / (F.col("n_vecs") * F.col("n_vecs")).cast("double"),
+            6,
+        ).alias("cov_q"),
+    )
