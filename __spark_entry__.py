@@ -1813,6 +1813,16 @@ def q121_embedding_gram(spark, sf_dir):
     return similarity.embedding_gram(emb, q_scale_bits=10)
 
 
+def q122_source_divergence(spark, sf_dir):
+    """Per-source vocabulary divergence from the rest of the corpus:
+    exact-integer TVD over unigram distributions, with the absent-token
+    mass folded into a closed form so only EXISTING (source, token)
+    pairs are materialized. The oracle computes the naive union-grid
+    sum — the two formulations must agree bit for bit."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.source_divergence(docs)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -1964,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_recency_scores": q119_recency_scores,
         "q120_distribution_drift": q120_distribution_drift,
         "q121_embedding_gram": q121_embedding_gram,
+        "q122_source_divergence": q122_source_divergence,
     }
 
 
@@ -2993,6 +3004,32 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # naive union-grid TVD (sources x vocabulary CROSS JOIN) — the
+        # closed-form absent-mass folding on the Spark side must equal
+        # this exactly, since both are integer arithmetic throughout
+        "q122_source_divergence": f"""
+            WITH tok AS (
+              SELECT source, unnest({_TOKENS}) AS w FROM documents),
+            sc AS (
+              SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tok GROUP BY 1, 2),
+            wc AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS wtot FROM sc GROUP BY 1),
+            st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot_s FROM sc GROUP BY 1),
+            tt AS (SELECT CAST(SUM(wtot) AS BIGINT) AS total FROM wc),
+            grid AS (
+              SELECT st.source, st.tot_s, tt.total - st.tot_s AS tot_r,
+                     wc.wtot, COALESCE(sc.cnt, 0) AS cnt
+              FROM st CROSS JOIN wc CROSS JOIN tt
+              LEFT JOIN sc ON sc.source = st.source AND sc.w = wc.w)
+            SELECT source, tot_s AS n_tokens_src, tot_r AS n_tokens_rest,
+                   CASE WHEN tot_s > 0 AND tot_r > 0 THEN
+                     CAST(SUM(ABS(CAST(cnt AS HUGEINT) * tot_r
+                                  - CAST(wtot - cnt AS HUGEINT) * tot_s))
+                          * 1000000
+                          // (2 * CAST(tot_s AS HUGEINT) * tot_r) AS BIGINT)
+                   ELSE NULL END AS tvd_ppm
+            FROM grid GROUP BY source, tot_s, tot_r
+        """,
         # int-quantized Gram entries: every sum is an exact integer, so
         # the unnest+self-join formulation here MUST equal Spark's
         # per-batch matmul partials bit for bit; cov_q is one division +

@@ -1299,3 +1299,28 @@ def test_embedding_gram_validation(spark):
     )
     with _pytest.raises(ValueError, match="q_scale_bits"):
         similarity.embedding_gram(df, q_scale_bits=0)
+
+
+def test_source_divergence_hand_computed(spark):
+    # corpus tokens: s1 -> "a a b" (tot=3), s2 -> "b c" (tot=2); total=5
+    # s1: tot_r=2; union vocab {a,b,c}: wtot a=2 b=2 c=1
+    #   a: |2*2 - 0*3| = 4;  b: |1*2 - 1*3| = 1;  c (absent): 1*3 = 3
+    #   numer = 8 -> tvd = 8/(2*3*2) = 0.6666... -> 666666 ppm
+    # s2 (symmetric): numer = |0-2*... compute: tot_s=2, tot_r=3
+    #   a absent: 2*2=4; b: |1*3 - 1*2| = 1; c: |1*3 - 0| = 3 -> 8
+    #   tvd = 8/(2*2*3) = 0.6666... -> 666666
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "b c")], "source string, text string"
+    )
+    got = {
+        r["source"]: (r["n_tokens_src"], r["n_tokens_rest"], r["tvd_ppm"])
+        for r in text.source_divergence(df).collect()
+    }
+    assert got["s1"] == (3, 2, 666666)
+    assert got["s2"] == (2, 3, 666666)
+
+
+def test_source_divergence_single_source_null(spark):
+    df = spark.createDataFrame([("s1", "a b c")], "source string, text string")
+    [r] = text.source_divergence(df).collect()
+    assert r["tvd_ppm"] is None and r["n_tokens_rest"] == 0

@@ -1043,3 +1043,88 @@ def bigram_surprisal(
             ).alias("millibits_per_bigram"),
         )
     )
+
+
+def source_divergence(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source token-distribution divergence from the REST of the
+    corpus, as exact total-variation distance -- the curation signal that
+    ranks sources by how much their vocabulary usage deviates from
+    everything else (a crawl slice gone boilerplate-heavy, a source
+    whose language mix shifted), sibling of
+    :func:`~..operators.analytics.distribution_drift` on the text axis.
+
+    For source s with unigram counts ``cnt_w`` (total ``tot_s``) and
+    rest-of-corpus counts ``rest_w = wtot_w - cnt_w`` (total ``tot_r``)::
+
+        TVD(s) = 1/2 * sum_w | cnt_w/tot_s - rest_w/tot_r |
+
+    The sum runs over the UNION vocabulary, but a token absent from s
+    contributes exactly ``rest_w * tot_s`` to the cross-multiplied
+    numerator, so the whole absent-token mass folds into the closed form
+    ``(tot_r - sum_{w in s} rest_w) * tot_s`` -- the plan only ever
+    materializes (source, token) pairs that EXIST, never the
+    sources x vocabulary grid. Exact decimal(38,0) integer arithmetic
+    end to end (the ``distribution_drift`` discipline): ``tvd_ppm`` is
+    bit-identical across engines/partitionings, bounded by 1e6, NULL
+    when s is the whole corpus (tot_r = 0).
+
+    Plan shape: one explode scan; groupBy(source, token) with map-side
+    combine; token-keyed join for corpus counts (AQE-decided -- vocab is
+    NOT assumed broadcastable at 100 TB); then two metadata-scale
+    broadcasts (per-source totals, single-row corpus total) and a final
+    groupBy(source). Nothing after the explode is event-sized.
+    """
+    tok = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    sc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = sc.groupBy("w").agg(F.sum("cnt").alias("wtot"))
+    pairs = sc.join(wc, "w")
+    per_src = pairs.groupBy("source").agg(
+        F.sum("cnt").alias("tot_s"),
+        F.sum(F.col("wtot") - F.col("cnt")).alias("rest_seen"),
+    )
+    total_row = wc.agg(F.sum("wtot").alias("total"))
+    totals = F.broadcast(
+        per_src.crossJoin(F.broadcast(total_row)).select(
+            "source",
+            "tot_s",
+            "rest_seen",
+            (F.col("total") - F.col("tot_s")).alias("tot_r"),
+        )
+    )
+    dec = "decimal(38,0)"
+    ca = F.col("cnt").cast(dec)
+    cr = (F.col("wtot") - F.col("cnt")).cast(dec)
+    present = (
+        pairs.join(totals, "source")
+        .groupBy("source")
+        .agg(
+            F.first("tot_s").alias("tot_s"),
+            F.first("tot_r").alias("tot_r"),
+            F.first("rest_seen").alias("rest_seen"),
+            F.sum(
+                F.abs(
+                    ca * F.col("tot_r").cast(dec)
+                    - cr * F.col("tot_s").cast(dec)
+                )
+            ).alias("numer_present"),
+        )
+    )
+    return present.select(
+        "source",
+        F.col("tot_s").alias("n_tokens_src"),
+        F.col("tot_r").alias("n_tokens_rest"),
+        F.when(
+            (F.col("tot_s") > 0) & (F.col("tot_r") > 0),
+            F.expr(
+                f"(numer_present + CAST(tot_r - rest_seen AS {dec})"
+                f" * CAST(tot_s AS {dec})) * CAST(1000000 AS {dec})"
+                f" div (CAST(2 AS {dec}) * CAST(tot_s AS {dec})"
+                f" * CAST(tot_r AS {dec}))"
+            ),
+        ).alias("tvd_ppm"),
+    )
