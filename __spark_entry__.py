@@ -1823,6 +1823,15 @@ def q122_source_divergence(spark, sf_dir):
     return text.source_divergence(docs)
 
 
+def q123_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth over doc_id-ordered corpus deciles:
+    new token types per bucket plus the running total. Exact integer
+    bucketing (no rank shuffle); vocab-sized intermediates only; the
+    cumulative window runs over 10 rows."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.vocab_growth(docs, n_buckets=10)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -1975,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_distribution_drift": q120_distribution_drift,
         "q121_embedding_gram": q121_embedding_gram,
         "q122_source_divergence": q122_source_divergence,
+        "q123_vocab_growth": q123_vocab_growth,
     }
 
 
@@ -3004,6 +3014,35 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # equal-width id buckets, first-occurrence = min(doc_id) per
+        # token; integer div bucketing matches Spark's expr exactly
+        "q123_vocab_growth": f"""
+            WITH b AS (
+              SELECT MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+              FROM documents),
+            d AS (
+              SELECT (doc_id - b.min_id) * 10
+                       // (b.max_id - b.min_id + 1) AS bucket,
+                     doc_id, {_TOKENS} AS ws
+              FROM documents CROSS JOIN b),
+            pb AS (
+              SELECT bucket, COUNT(*) AS n_docs,
+                     CAST(SUM(len(ws)) AS BIGINT) AS n_token_occurrences
+              FROM d GROUP BY bucket),
+            fs AS (
+              SELECT w, MIN(doc_id) AS first_id
+              FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY w),
+            nt AS (
+              SELECT (first_id - b.min_id) * 10
+                       // (b.max_id - b.min_id + 1) AS bucket,
+                     COUNT(*) AS new_types
+              FROM fs CROSS JOIN b GROUP BY 1)
+            SELECT pb.bucket, pb.n_docs, pb.n_token_occurrences,
+                   COALESCE(nt.new_types, 0) AS new_types,
+                   CAST(SUM(COALESCE(nt.new_types, 0))
+                        OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_types
+            FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket
+        """,
         # naive union-grid TVD (sources x vocabulary CROSS JOIN) — the
         # closed-form absent-mass folding on the Spark side must equal
         # this exactly, since both are integer arithmetic throughout

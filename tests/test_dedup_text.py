@@ -1324,3 +1324,29 @@ def test_source_divergence_single_source_null(spark):
     df = spark.createDataFrame([("s1", "a b c")], "source string, text string")
     [r] = text.source_divergence(df).collect()
     assert r["tvd_ppm"] is None and r["n_tokens_rest"] == 0
+
+
+def test_vocab_growth_hand_computed(spark):
+    # ids 0..3, 2 buckets (width: (id-0)*2 div 4 -> 0,0,1,1)
+    # d0 "a b", d1 "a c", d2 "c d", d3 "" (no tokens)
+    # bucket0: 2 docs, 4 occ, new types {a,b,c} = 3
+    # bucket1: 2 docs, 2 occ, new types {d} = 1, cum = 4
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "c d"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["bucket"]: (
+            r["n_docs"], r["n_token_occurrences"], r["new_types"], r["cum_types"]
+        )
+        for r in text.vocab_growth(df, n_buckets=2).collect()
+    }
+    assert got == {0: (2, 4, 3, 3), 1: (2, 2, 1, 4)}
+
+
+def test_vocab_growth_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="n_buckets"):
+        text.vocab_growth(df, n_buckets=0)

@@ -1128,3 +1128,68 @@ def source_divergence(
             ),
         ).alias("tvd_ppm"),
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: how many NEW token types each
+    slice of the corpus contributes, in ``id_col`` order — the corpus
+    diagnostic that separates "more of the same" ingest batches from
+    genuinely novel material (a flattening curve means dedup/quota time;
+    a spiking tail means a new domain entered the crawl).
+
+    Documents are assigned to ``n_buckets`` equal-width id ranges
+    (``(id - min_id) * n_buckets div (max_id - min_id + 1)`` — exact
+    integer arithmetic, no rank shuffle); a token type belongs to the
+    bucket of its FIRST occurrence (min doc id). Returns per bucket::
+
+        bucket, n_docs, n_token_occurrences, new_types, cum_types
+
+    ``cum_types`` is a running sum over at most ``n_buckets`` rows — the
+    single-partition window is bucket-sized, never corpus-sized.
+
+    Plan shape: one metadata-scale min/max aggregate (broadcast); one
+    explode scan; groupBy(token) min-id (vocab-sized, map-side
+    combined); two bucket-keyed aggregates + one bucket-sized join.
+    Nothing after the explode is event-sized — holds at 100 TB.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"vocab_growth: n_buckets must be >= 1, got {n_buckets}")
+    bounds = F.broadcast(
+        df.agg(
+            F.min(id_col).alias("min_id"), F.max(id_col).alias("max_id")
+        )
+    )
+    bucket_of = lambda c: F.expr(
+        f"({c} - min_id) * {n_buckets} div (max_id - min_id + 1)"
+    )
+    docs = df.crossJoin(bounds).select(
+        bucket_of(id_col).alias("bucket"),
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+    )
+    per_bucket = docs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_token_occurrences"),
+    )
+    first_seen = (
+        docs.select("id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.min("id").alias("first_id"))
+        .crossJoin(bounds)
+        .select(bucket_of("first_id").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    out = per_bucket.join(first_seen, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "n_token_occurrences",
+        F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return out.withColumn("cum_types", F.sum("new_types").over(w))
