@@ -1832,6 +1832,15 @@ def q123_vocab_growth(spark, sf_dir):
     return text.vocab_growth(docs, n_buckets=10)
 
 
+def q124_rolling_median(spark, sf_dir):
+    """Per-trail rolling median of event value over the last 5 events
+    (time-ordered, event_id tiebreak) — one uuid-shuffled window
+    aggregate, no Python. Median parity needs no rounding: odd frames
+    return a data value, even frames one IEEE add + divide."""
+    ev = _events(spark, sf_dir).select("uuid", "time", "event_id", "value")
+    return analytics.rolling_median(ev, k=5)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -1985,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_embedding_gram": q121_embedding_gram,
         "q122_source_divergence": q122_source_divergence,
         "q123_vocab_growth": q123_vocab_growth,
+        "q124_rolling_median": q124_rolling_median,
     }
 
 
@@ -3014,6 +3024,22 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # ROWS-framed median window: DuckDB's median and Spark's
+        # percentile(0.5) both average the two middle doubles (one IEEE
+        # add + divide) and ignore NULLs — exact parity, no rounding
+        "q124_rolling_median": f"""
+            WITH e AS ({_E})
+            SELECT uuid, "time", event_id, value,
+                   median(value) OVER (
+                     PARTITION BY uuid ORDER BY "time", event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   ) AS rolling_med,
+                   CAST(COUNT(value) OVER (
+                     PARTITION BY uuid ORDER BY "time", event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS n_window
+            FROM e
+        """,
         # equal-width id buckets, first-occurrence = min(doc_id) per
         # token; integer div bucketing matches Spark's expr exactly
         "q123_vocab_growth": f"""

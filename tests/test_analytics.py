@@ -552,3 +552,39 @@ def test_distribution_drift_validation(spark):
     )
     with _pytest.raises(ValueError, match="bin_width"):
         analytics.distribution_drift(df, t_split=0, bin_width=0)
+
+
+def test_rolling_median_hand_computed(spark):
+    # u1 values in time order: 1, 9, 5, NULL, 3  (k=3)
+    # frames: [1]->1; [1,9]->5.0 (avg); [1,9,5]->5; [9,5,N]->7.0; [5,N,3]->4.0
+    rows = [
+        ("u1", 1, 1, 1.0), ("u1", 2, 2, 9.0), ("u1", 3, 3, 5.0),
+        ("u1", 4, 4, None), ("u1", 5, 5, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, value double"
+    )
+    out = {
+        r["event_id"]: (r["rolling_med"], r["n_window"])
+        for r in analytics.rolling_median(df, k=3).collect()
+    }
+    assert out == {
+        1: (1.0, 1), 2: (5.0, 2), 3: (5.0, 3), 4: (7.0, 2), 5: (4.0, 2),
+    }
+
+
+def test_rolling_median_tiebreak_and_validation(spark):
+    import pytest as _pytest
+
+    # same timestamp: event_id breaks the tie deterministically
+    rows = [("u", 1, 2, 10.0), ("u", 1, 1, 0.0)]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, value double"
+    )
+    out = {
+        r["event_id"]: r["rolling_med"]
+        for r in analytics.rolling_median(df, k=2).collect()
+    }
+    assert out == {1: 0.0, 2: 5.0}
+    with _pytest.raises(ValueError, match="k must be"):
+        analytics.rolling_median(df, k=0)

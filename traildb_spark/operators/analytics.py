@@ -1149,3 +1149,47 @@ def distribution_drift(
             ),
         ).alias("tvd_ppm"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    k: int = 5,
+    value_col: str = "value",
+    uuid_col: str = "uuid",
+    time_col: str = TIME_COL,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-trail rolling median of ``value_col`` over the last ``k``
+    events — the smoothed engagement/latency signal a cursor program
+    would compute with a ring buffer (reference idiom: iterate a trail,
+    keep the last k values, emit a robust statistic per step), expressed
+    as ONE window aggregate so it distributes.
+
+    Ordering is (time, tiebreak) — the same deterministic tiebreak
+    discipline as every trail window in this package — and the frame is
+    ``ROWS k-1 PRECEDING .. CURRENT``. Median is order-free and exact:
+    for an odd in-frame count it IS a data value; for an even count both
+    engines average the two middle values with one IEEE add + divide, so
+    the result is oracle-checkable without rounding tricks. NULL values
+    are ignored by the aggregate (an all-NULL frame yields NULL).
+
+    Plan shape: one shuffle on uuid (the trail-window cost every A-family
+    operator pays), zero Python. Whale trails bear the usual
+    single-partition window cost — same posture as session_stats, with
+    apply_to_trails_chunked as the beyond-memory escape hatch.
+    """
+    if k < 1:
+        raise ValueError(f"rolling_median: k must be >= 1, got {k}")
+    w = (
+        Window.partitionBy(uuid_col)
+        .orderBy(F.col(time_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(-(k - 1), 0)
+    )
+    return df.select(
+        F.col(uuid_col).alias("uuid"),
+        F.col(time_col).alias("time"),
+        F.col(tiebreak_col).alias("event_id"),
+        F.col(value_col).alias("value"),
+        F.expr(f"percentile({value_col}, 0.5)").over(w).alias("rolling_med"),
+        F.count(value_col).over(w).alias("n_window"),
+    )
