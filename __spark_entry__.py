@@ -1841,6 +1841,19 @@ def q124_rolling_median(spark, sf_dir):
     return analytics.rolling_median(ev, k=5)
 
 
+def q125_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: distinct shared word 5-grams
+    and exact Jaccard overlap per source pair, with the ubiquity cap
+    (grams in > 16 sources excluded everywhere) that bounds the
+    gram-keyed self-join fan-out at any scale."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    return curation.source_overlap_matrix(
+        docs, n=5, max_sources_per_gram=16
+    )
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -1995,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_source_divergence": q122_source_divergence,
         "q123_vocab_growth": q123_vocab_growth,
         "q124_rolling_median": q124_rolling_median,
+        "q125_source_overlap": q125_source_overlap,
     }
 
 
@@ -3024,6 +3038,36 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # md5-60 5-gram sets per source (q47's gram recipe), ubiquity cap
+        # mirrored via HAVING, exact integer Jaccard ppm
+        "q125_source_overlap": f"""
+            WITH w AS (SELECT source, {_TOKENS} AS ws FROM documents),
+            g AS (
+              SELECT source,
+                     unnest(list_distinct(
+                       [CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15)) AS BIGINT)
+                        for i in generate_series(1, greatest(len(ws) - 4, 1))])) AS g0
+              FROM w),
+            sg AS (SELECT DISTINCT source, g0 AS g FROM g),
+            keep AS (SELECT g FROM sg GROUP BY g HAVING COUNT(*) <= 16),
+            sgk AS (SELECT sg.source, sg.g FROM sg JOIN keep USING (g)),
+            tot AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+              FROM sgk GROUP BY source),
+            sh AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared_grams
+              FROM sgk a JOIN sgk b ON a.g = b.g AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT sh.source_a, sh.source_b,
+                   ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+                   sh.shared_grams,
+                   sh.shared_grams * 1000000
+                     // (ta.n_grams + tb.n_grams - sh.shared_grams) AS jaccard_ppm
+            FROM sh
+            JOIN tot ta ON ta.source = sh.source_a
+            JOIN tot tb ON tb.source = sh.source_b
+        """,
         # ROWS-framed median window: DuckDB's median and Spark's
         # percentile(0.5) both average the two middle doubles (one IEEE
         # add + divide) and ignore NULLs — exact parity, no rounding

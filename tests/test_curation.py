@@ -333,3 +333,48 @@ def test_temperature_mix_refuses_null_sources(spark):
     )
     with _pytest.raises(ValueError, match="NULL values in the source"):
         temperature_mix(df, 1)
+
+
+def test_source_overlap_matrix_hand_computed(spark):
+    from traildb_spark.operators import curation
+
+    # n=2 grams. s1 doc: "a b c" -> grams {ab, bc}; s2: "b c d" -> {bc, cd};
+    # s3: "x y" -> {xy}. Shared: (s1,s2)={bc} -> jaccard 1/3 -> 333333 ppm.
+    # s3 shares nothing -> absent from the matrix.
+    df = spark.createDataFrame(
+        [("s1", "a b c"), ("s2", "b c d"), ("s3", "x y")],
+        "source string, text string",
+    )
+    rows = curation.source_overlap_matrix(df, n=2).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r["source_a"], r["source_b"]) == ("s1", "s2")
+    assert (r["grams_a"], r["grams_b"], r["shared_grams"]) == (2, 2, 1)
+    assert r["jaccard_ppm"] == 333333
+
+
+def test_source_overlap_matrix_ubiquity_cap(spark):
+    from traildb_spark.operators import curation
+
+    # gram "a b" in all three sources: with cap=2 it is excluded
+    # EVERYWHERE (pairs and totals); each source keeps only its private
+    # gram, so no pair shares anything.
+    df = spark.createDataFrame(
+        [("s1", "a b p q"), ("s2", "a b r s"), ("s3", "a b t u")],
+        "source string, text string",
+    )
+    assert curation.source_overlap_matrix(df, n=2, max_sources_per_gram=2).count() == 0
+    # without the cap the three pairs appear
+    assert curation.source_overlap_matrix(df, n=2, max_sources_per_gram=64).count() == 3
+
+
+def test_source_overlap_matrix_validation(spark):
+    import pytest as _pytest
+
+    from traildb_spark.operators import curation
+
+    df = spark.createDataFrame([("s", "a b")], "source string, text string")
+    with _pytest.raises(ValueError, match="n must be"):
+        curation.source_overlap_matrix(df, n=0)
+    with _pytest.raises(ValueError, match="max_sources_per_gram"):
+        curation.source_overlap_matrix(df, max_sources_per_gram=1)

@@ -702,3 +702,88 @@ def rank_buckets(
     return df.join(
         F.broadcast(cum), df[value_col] == cum["__v"], "left"
     ).drop("__v")
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 13,
+    max_sources_per_gram: int = 64,
+) -> DataFrame:
+    """Pairwise n-gram contamination matrix between sources: for every
+    source pair, how many distinct word n-grams they SHARE and the
+    Jaccard overlap of their gram sets — the cross-source twin of
+    :func:`decontaminate` (which checks corpus-vs-benchmark). Finds the
+    mirror/scrape pairs a per-document dedup never surfaces, because the
+    duplication is spread across many near-identical documents.
+
+    Grams travel as 60-bit md5 hashes (:func:`md5_word_ngram_hashes` —
+    never strings). A gram present in more than ``max_sources_per_gram``
+    sources is EXCLUDED EVERYWHERE (totals and pairs): such grams are
+    boilerplate by construction and — the 100 TB point — each one fans
+    out O(sources²) pair rows in the self-join, so the cap is the skew
+    guard that keeps the shuffle bounded by
+    ``shared_grams x cap²`` instead of ``grams x sources²``. The cap is
+    part of the operator's SEMANTICS (mirrored by the oracle), not a
+    silent truncation.
+
+    Returns ``(source_a, source_b, grams_a, grams_b, shared_grams,
+    jaccard_ppm)`` for pairs with at least one shared gram;
+    ``jaccard_ppm = shared * 1_000_000 div (grams_a + grams_b - shared)``
+    is exact integer arithmetic (the TVD-family discipline).
+
+    Plan shape: one explode scan -> distinct (source, gram) [map-side
+    combined]; gram-keyed ubiquity filter; self-equi-join on gram
+    (NEVER a cross product — verified by the plan tests' join-audit
+    pattern); two source-pair-sized aggregates.
+    """
+    if n < 1:
+        raise ValueError(f"source_overlap_matrix: n must be >= 1, got {n}")
+    if max_sources_per_gram < 2:
+        raise ValueError(
+            "source_overlap_matrix: max_sources_per_gram must be >= 2, "
+            f"got {max_sources_per_gram}"
+        )
+    sg = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(md5_word_ngram_hashes(F.col(text_col), n)).alias("g"),
+    ).distinct()
+    keep = (
+        sg.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_sources"))
+        .filter(F.col("n_sources") <= max_sources_per_gram)
+        .select("g")
+    )
+    sg = sg.join(keep, "g")
+    totals = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = sg.alias("a"), sg.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        shared.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "grams_a",
+            "grams_b",
+            "shared_grams",
+            F.expr(
+                "shared_grams * CAST(1000000 AS BIGINT)"
+                " div (grams_a + grams_b - shared_grams)"
+            ).alias("jaccard_ppm"),
+        )
+    )
