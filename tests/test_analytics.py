@@ -588,3 +588,24 @@ def test_rolling_median_tiebreak_and_validation(spark):
     assert out == {1: 0.0, 2: 5.0}
     with _pytest.raises(ValueError, match="k must be"):
         analytics.rolling_median(df, k=0)
+
+
+def test_histogram_tvd_matches_distribution_drift(spark):
+    # pairwise form on split histograms must equal the one-pass form,
+    # including bins existing on only one side
+    rows = [
+        ("k", 10, 1.0), ("k", 20, 1.0), ("k", 30, 25.0),
+        ("k", 110, 1.0), ("k", 120, 99.0), ("k", 130, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, time long, value double")
+    one = {
+        r["key"]: (r["tot_a"], r["tot_b"], r["tvd_ppm"])
+        for r in analytics.distribution_drift(df, t_split=100, bin_width=10.0).collect()
+    }
+    ha = analytics.value_histogram(df.filter("time < 100"), bin_width=10.0)
+    hb = analytics.value_histogram(df.filter("time >= 100"), bin_width=10.0)
+    two = {
+        r["key"]: (r["tot_a"], r["tot_b"], r["tvd_ppm"])
+        for r in analytics.histogram_tvd(ha, hb).collect()
+    }
+    assert one == two and one["k"][2] > 0

@@ -864,3 +864,102 @@ def test_apply_to_trails_stream_validates_idle_timeout(spark):
             df, lambda u: None, lambda s, c: (s, None), lambda s: None,
             "uuid string", idle_timeout=0,
         )
+
+
+def test_streaming_histogram_drift_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed histogram (merged across micro-batches) equals the batch
+    histogram; histogram_tvd(reference-window hist, live hist) equals
+    distribution_drift on the combined data; committed-batch replay is a
+    no-op."""
+    from traildb_spark.operators import analytics
+    from traildb_spark.streaming.ingest import (
+        _histogram_batch,
+        histogram_current,
+        streaming_histogram,
+    )
+
+    # load_events deliberately omits `value`; this test needs it
+    from traildb_spark.functions.core import ts_seconds
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        F.col("user_id").cast("string").alias("uuid"),
+        ts_seconds(raw).alias("time"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("value"),
+    )
+    t_split = int(ev.agg(F.expr("percentile(time, 0.5)")).first()[0])
+    win_a = ev.filter(F.col("time") < t_split)
+    win_b = ev.filter(F.col("time") >= t_split)
+
+    path = str(tmp_path / "hist_src")
+    win_b.repartition(3).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = str(tmp_path / "hist_out")
+    ckpt = str(tmp_path / "hist_ckpt")
+    q = streaming_histogram(stream, out, ckpt, bin_width=10.0)
+    q.awaitTermination(120)
+
+    live = histogram_current(spark, out, ckpt)
+    batch = analytics.value_histogram(win_b, bin_width=10.0)
+    a = {(r["key"], r["bin"]): r["cnt"] for r in live.collect()}
+    b = {(r["key"], r["bin"]): r["cnt"] for r in batch.collect()}
+    assert a == b and len(a) > 0
+
+    # drift vs the frozen window-A reference == the one-pass batch drift
+    ref = analytics.value_histogram(win_a, bin_width=10.0)
+    drift_stream = {
+        r["key"]: (r["tot_a"], r["tot_b"], r["tvd_ppm"])
+        for r in analytics.histogram_tvd(ref, live).collect()
+    }
+    drift_batch = {
+        r["key"]: (r["tot_a"], r["tot_b"], r["tvd_ppm"])
+        for r in analytics.distribution_drift(
+            ev, t_split=t_split, bin_width=10.0
+        ).collect()
+    }
+    assert drift_stream == drift_batch
+
+    # crash-replay the last committed batch id: pointer already advanced
+    import hashlib
+
+    token = hashlib.md5(ckpt.encode()).hexdigest()[:8]
+    cur = [
+        f for f in __import__("os").listdir(out) if f.startswith("_latest")
+    ][0]
+    with open(f"{out}/{cur}") as fh:
+        last = fh.read().strip()
+    last_id = int(last.rsplit("_", 1)[1])
+    assert (
+        _histogram_batch(
+            spark.read.parquet(path), last_id, out, "event_type", "value",
+            10.0, token,
+        )
+        is False
+    )
+    after = {
+        (r["key"], r["bin"]): r["cnt"]
+        for r in histogram_current(spark, out, ckpt).collect()
+    }
+    assert after == a
+
+
+def test_streaming_histogram_cleared_checkpoint_refuses(spark, tmp_path):
+    from traildb_spark.streaming.ingest import _histogram_batch
+
+    df = spark.createDataFrame(
+        [("k", 1.0), ("k", 2.0)], "event_type string, value double"
+    )
+    out = str(tmp_path / "h_out")
+    assert _histogram_batch(df, 0, out, "event_type", "value", 1.0, "tok") is True
+    assert _histogram_batch(df, 0, out, "event_type", "value", 1.0, "tok") is False
+    assert _histogram_batch(df, 1, out, "event_type", "value", 1.0, "tok") is True
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="previous lineage"):
+        _histogram_batch(df, 0, out, "event_type", "value", 1.0, "tok")

@@ -1193,3 +1193,83 @@ def rolling_median(
         F.expr(f"percentile({value_col}, 0.5)").over(w).alias("rolling_med"),
         F.count(value_col).over(w).alias("n_window"),
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Fixed-width value histogram per key — ``(key, bin, cnt)`` with
+    ``bin = floor(value / bin_width)`` (NULL values form their own bin).
+    The mergeable building block under :func:`distribution_drift` and
+    the streaming drift monitor: histograms ADD, so partials from any
+    batching/partitioning combine by (key, bin) sum. One map-side
+    combined aggregate; output is histogram-sized."""
+    if bin_width <= 0:
+        raise ValueError(
+            f"value_histogram: bin_width must be > 0, got {bin_width}"
+        )
+    return df.groupBy(
+        F.col(key_col).alias("key"),
+        F.floor(F.col(value_col) / F.lit(float(bin_width)))
+        .cast("long")
+        .alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def histogram_tvd(ha: DataFrame, hb: DataFrame) -> DataFrame:
+    """Exact total-variation distance between two ``(key, bin, cnt)``
+    histograms (:func:`value_histogram` outputs) — the pairwise form of
+    :func:`distribution_drift` for when the two sides come from
+    DIFFERENT sources: a live streaming histogram vs a frozen reference,
+    this week's ingest vs last week's. Same decimal(38,0) integer
+    arithmetic: ``tvd_ppm`` is bit-identical across engines and NULL
+    when either side has no mass for the key.
+
+    Plan shape: full outer join on (key, bin) with zero-fill, then one
+    key-sized aggregate — everything histogram-sized.
+    """
+    a = ha.select("key", "bin", F.col("cnt").alias("cnt_a"))
+    b = hb.select("key", "bin", F.col("cnt").alias("cnt_b"))
+    m = (
+        a.join(b, ["key", "bin"], "full_outer")
+        .select(
+            "key",
+            F.coalesce(F.col("cnt_a"), F.lit(0)).alias("cnt_a"),
+            F.coalesce(F.col("cnt_b"), F.lit(0)).alias("cnt_b"),
+        )
+    )
+    totals = m.groupBy("key").agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    dec = "decimal(38,0)"
+    ca, cb = F.col("cnt_a").cast(dec), F.col("cnt_b").cast(dec)
+    out = (
+        m.join(totals, "key")
+        .groupBy("key")
+        .agg(
+            F.first("tot_a").alias("tot_a"),
+            F.first("tot_b").alias("tot_b"),
+            F.sum(
+                F.abs(
+                    ca * F.col("tot_b").cast(dec)
+                    - cb * F.col("tot_a").cast(dec)
+                )
+            ).alias("numer_d"),
+        )
+    )
+    return out.select(
+        "key",
+        "tot_a",
+        "tot_b",
+        F.when(
+            (F.col("tot_a") > 0) & (F.col("tot_b") > 0),
+            F.expr(
+                f"numer_d * CAST(1000000 AS {dec}) "
+                f"div (CAST(2 AS {dec}) * CAST(tot_a AS {dec})"
+                f" * CAST(tot_b AS {dec}))"
+            ),
+        ).alias("tvd_ppm"),
+    )

@@ -585,3 +585,109 @@ def sample_current(spark, path: str, checkpoint: str) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"{path}/_latest_{run_token}")
     return spark.read.parquet(cur.strip()).drop("__rk")
+
+
+def streaming_histogram(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bin_width: float = 1.0,
+    processing_time: str | None = None,
+):
+    """Continuously maintain per-key value histograms over a stream —
+    the live half of the drift monitor: histograms ADD
+    (`analytics.value_histogram` partials merge by (key, bin) sum), so
+    the state at ``path`` stays histogram-sized forever while the stream
+    is unbounded, and `analytics.histogram_tvd` against a frozen
+    reference turns it into an exact drift score at any moment.
+
+    Exactly-once via the same pointer protocol as
+    :func:`streaming_countmin`: deterministic per-batch output dir
+    derived from the pointer's current target, then an atomic pointer
+    advance; replays either rebuild the identical dir (before commit) or
+    no-op (after). All pointer I/O goes through the Hadoop FS API —
+    file://, hdfs:// and s3a:// alike.
+    """
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _histogram_batch(
+            batch_df, batch_id, path, key_col, value_col, bin_width, run_token
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _histogram_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    key_col: str,
+    value_col: str,
+    bin_width: float,
+    run_token: str,
+) -> bool:
+    """One histogram merge step (exposed for the crash-replay tests).
+    Returns False when the batch was a replay of an already-committed id
+    (state untouched). Same lineage guard as ``_countmin_batch``: batch
+    id 0 against surviving state from a cleared checkpoint refuses
+    loudly instead of double-counting or resetting."""
+    from ..operators.analytics import value_histogram
+
+    spark = batch_df.sparkSession
+    latest = f"{path}/_latest_{run_token}"
+    out_b = f"{path}/hist_{run_token}_{batch_id}"
+    prev = (_fs_read_small(spark, latest) or "").strip() or None
+    if prev == out_b:
+        return False
+    if prev is not None and batch_id == 0:
+        raise RuntimeError(
+            "streaming_histogram: batch id 0 arrived but this histogram "
+            "path already holds state from a previous lineage of the same "
+            "checkpoint path (checkpoint was cleared and reused). Merging "
+            "would double-count and resetting would destroy the "
+            "accumulated histogram — use a fresh checkpoint path or "
+            f"delete the state at {path} explicitly."
+        )
+    part = value_histogram(batch_df, key_col, value_col, bin_width)
+    if prev is not None:
+        merged = (
+            spark.read.parquet(prev)
+            .unionByName(part)
+            .groupBy("key", "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = part
+    merged.coalesce(1).write.mode("overwrite").parquet(out_b)
+    _fs_swap_pointer(spark, latest, out_b)
+    if prev is not None:
+        _, hpath, fs = _hfs(spark, prev)
+        fs.delete(hpath(prev), True)
+    return True
+
+
+def histogram_current(spark, path: str, checkpoint: str) -> DataFrame:
+    """The live ``(key, bin, cnt)`` histogram the ``streaming_histogram``
+    pointer references — feed it to ``analytics.histogram_tvd`` against
+    a reference histogram for the drift score."""
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+    cur = _fs_read_small(spark, f"{path}/_latest_{run_token}")
+    if cur is None:
+        raise FileNotFoundError(f"{path}/_latest_{run_token}")
+    return spark.read.parquet(cur.strip())
