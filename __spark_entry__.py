@@ -1854,6 +1854,16 @@ def q125_source_overlap(spark, sf_dir):
     )
 
 
+def q126_event_trend(spark, sf_dir):
+    """Per-event-type ingest trend: exact-integer OLS slope of daily
+    event counts over the global day range, zero-filled via closed-form
+    x-moments (nothing exploded per empty day). slope_num/slope_den are
+    exact int64; ppm uses sign-factored truncating division so both
+    engines agree on negative slopes."""
+    ev = _events(spark, sf_dir).select("time", "event_type")
+    return analytics.trend_by_key(ev, bucket_seconds=86400)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2009,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_vocab_growth": q123_vocab_growth,
         "q124_rolling_median": q124_rolling_median,
         "q125_source_overlap": q125_source_overlap,
+        "q126_event_trend": q126_event_trend,
     }
 
 
@@ -3038,6 +3049,42 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # OLS slope over the global day range with closed-form x-moments;
+        # sign factored out of the ppm division so // (floor) and div
+        # (truncate) agree on non-negative operands
+        "q126_event_trend": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT event_type AS key, "time" // 86400 AS b,
+                     CAST(COUNT(*) AS BIGINT) AS y
+              FROM e GROUP BY 1, 2),
+            rng AS (SELECT MIN(b) AS b_lo, MAX(b) AS b_hi FROM per),
+            s AS (
+              SELECT key,
+                     CAST(rng.b_hi - rng.b_lo + 1 AS BIGINT) AS n,
+                     CAST(SUM(y) AS BIGINT) AS sum_y,
+                     CAST(SUM((per.b - rng.b_lo) * y) AS HUGEINT) AS sum_xy
+              FROM per CROSS JOIN rng
+              GROUP BY key, rng.b_hi - rng.b_lo + 1),
+            m AS (
+              SELECT key, n, sum_y,
+                     n * (n - 1) // 2 AS sx,
+                     n * (n - 1) * (2 * n - 1) // 6 AS sxx,
+                     CAST(n AS HUGEINT) * sum_xy
+                       - CAST(n * (n - 1) // 2 AS HUGEINT) * sum_y AS num_d,
+                     CAST(n AS HUGEINT) * (n * (n - 1) * (2 * n - 1) // 6)
+                       - CAST(n * (n - 1) // 2 AS HUGEINT)
+                         * (n * (n - 1) // 2) AS den_d
+              FROM s)
+            SELECT key, n AS n_buckets, sum_y AS total,
+                   CASE WHEN n >= 2 THEN CAST(num_d AS BIGINT) END AS slope_num,
+                   CASE WHEN n >= 2 THEN CAST(den_d AS BIGINT) END AS slope_den,
+                   CASE WHEN n >= 2 THEN
+                     (CASE WHEN num_d < 0 THEN -1 ELSE 1 END)
+                     * CAST(abs(num_d) * 1000000 // den_d AS BIGINT)
+                   END AS slope_ppm_per_bucket
+            FROM m
+        """,
         # md5-60 5-gram sets per source (q47's gram recipe), ubiquity cap
         # mirrored via HAVING, exact integer Jaccard ppm
         "q125_source_overlap": f"""

@@ -609,3 +609,40 @@ def test_histogram_tvd_matches_distribution_drift(spark):
         for r in analytics.histogram_tvd(ha, hb).collect()
     }
     assert one == two and one["k"][2] > 0
+
+
+def test_trend_by_key_exact_slope(spark):
+    # bucket_seconds=10. Global buckets 0..3 (n=4): Sx=6, Sxx=14.
+    # k_up counts per bucket: [1, 2, 3, 4] (present every bucket)
+    #   sum_y=10, sum_xy=0+2+6+12=20; num=4*20-6*10=20; den=4*14-36=20
+    #   slope=1 exactly -> ppm 1_000_000
+    # k_gap: events only in buckets 0 (y=2) and 3 (y=0-filled others)
+    #   counts [2,0,0,1]: sum_y=3, sum_xy=3; num=12-18=-6; den=20
+    #   slope=-0.3 -> ppm -300000
+    rows = (
+        [("k_up", t) for t in [5, 12, 15, 22, 25, 27, 31, 33, 35, 38]]
+        + [("k_gap", 1), ("k_gap", 2), ("k_gap", 30)]
+    )
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    got = {
+        r["key"]: (
+            r["n_buckets"], r["total"], r["slope_num"], r["slope_den"],
+            r["slope_ppm_per_bucket"],
+        )
+        for r in analytics.trend_by_key(df, bucket_seconds=10).collect()
+    }
+    assert got["k_up"] == (4, 10, 20, 20, 1_000_000)
+    assert got["k_gap"] == (4, 3, -6, 20, -300_000)
+
+
+def test_trend_by_key_single_bucket_null(spark):
+    df = spark.createDataFrame(
+        [("k", 1), ("k", 2)], "event_type string, time long"
+    )
+    [r] = analytics.trend_by_key(df, bucket_seconds=100).collect()
+    assert r["n_buckets"] == 1 and r["slope_num"] is None
+    assert r["slope_ppm_per_bucket"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_seconds"):
+        analytics.trend_by_key(df, bucket_seconds=0)

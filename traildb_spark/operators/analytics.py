@@ -1273,3 +1273,107 @@ def histogram_tvd(ha: DataFrame, hb: DataFrame) -> DataFrame:
             ),
         ).alias("tvd_ppm"),
     )
+
+
+def trend_by_key(
+    df: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = TIME_COL,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Per-key ingest trend: the ordinary-least-squares slope of
+    events-per-bucket over time, as EXACT integer arithmetic -- the
+    capacity-planning signal ("which sources are growing/dying") that a
+    float regression would make engine- and partitioning-dependent.
+
+    Buckets are ``time div bucket_seconds``; the regression runs over
+    the GLOBAL bucket range [min, max] of the whole input, and buckets
+    where a key has no events count as y = 0 -- without zero-fill a key
+    active only on its first and last day would show no trend. The
+    trick that keeps this one-aggregate cheap: zero buckets contribute
+    nothing to sum_y / sum_xy, while n, Sx, Sxx over the full range are
+    closed-form integers (n buckets, Sx = n(n-1) div 2,
+    Sxx = n(n-1)(2n-1) div 6 -- both divisions exact), so NOTHING is
+    ever exploded per empty bucket::
+
+        slope = (n*sum_xy - Sx*sum_y) / (n*Sxx - Sx*Sx)    [den > 0, n >= 2]
+
+    Returned as exact int64 ``slope_num``/``slope_den`` (decimal-guarded
+    against silent wraparound) plus ``slope_ppm_per_bucket`` =
+    sign(num) * (|num| * 1e6 div den): truncating division on
+    NON-NEGATIVE operands, so Spark ``div`` (truncate toward zero) and
+    DuckDB ``//`` (floor) agree even for negative slopes. NULL slope
+    when the range has a single bucket.
+
+    Plan shape: one scan; groupBy(key, bucket) map-side combine; one
+    metadata-scale min/max broadcast; groupBy(key). Everything after the
+    scan is (keys x active-buckets)-sized -- holds at 100 TB.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"trend_by_key: bucket_seconds must be > 0, got {bucket_seconds}"
+        )
+    b = F.expr(f"{time_col} div {bucket_seconds}")
+    per = df.select(F.col(key_col).alias("key"), b.alias("b")).groupBy(
+        "key", "b"
+    ).agg(F.count(F.lit(1)).alias("y"))
+    rng = F.broadcast(
+        per.agg(F.min("b").alias("b_lo"), F.max("b").alias("b_hi"))
+    )
+    dec = "decimal(38,0)"
+    sums = (
+        per.crossJoin(rng)
+        .select(
+            "key",
+            (F.col("b") - F.col("b_lo")).alias("x"),
+            "y",
+            (F.col("b_hi") - F.col("b_lo") + 1).alias("n"),
+        )
+        .groupBy("key")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum("y").alias("sum_y"),
+            F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sum_xy"),
+        )
+        # closed-form x-moments of the FULL bucket range (exact integer
+        # divisions: n(n-1) is even, n(n-1)(2n-1) divisible by 6)
+        .withColumn("sx", F.expr("n * (n - 1) div 2"))
+        .withColumn("sxx", F.expr("n * (n - 1) * (2 * n - 1) div 6"))
+        .withColumn(
+            "num_d",
+            F.expr(
+                f"CAST(n AS {dec}) * sum_xy"
+                f" - CAST(sx AS {dec}) * CAST(sum_y AS {dec})"
+            ),
+        )
+        .withColumn(
+            "den_d",
+            F.expr(
+                f"CAST(n AS {dec}) * CAST(sxx AS {dec})"
+                f" - CAST(sx AS {dec}) * CAST(sx AS {dec})"
+            ),
+        )
+    )
+    i64 = F.lit(2**63 - 1).cast(dec)
+    fits = (F.abs(F.col("num_d")) <= i64) & (F.col("den_d") <= i64)
+    has_slope = F.col("n") >= 2
+    return sums.select(
+        "key",
+        F.col("n").alias("n_buckets"),
+        F.col("sum_y").alias("total"),
+        F.when(
+            F.assert_true(
+                fits, "trend_by_key: slope terms overflow int64"
+            ).isNull(),
+            F.when(has_slope, F.col("num_d").cast("long")),
+        ).alias("slope_num"),
+        F.when(has_slope, F.col("den_d").cast("long")).alias("slope_den"),
+        F.when(
+            has_slope,
+            F.expr(
+                f"CAST(CASE WHEN num_d < 0 THEN -1 ELSE 1 END AS BIGINT)"
+                f" * CAST(abs(num_d) * CAST(1000000 AS {dec})"
+                f" div den_d AS BIGINT)"
+            ),
+        ).alias("slope_ppm_per_bucket"),
+    )
