@@ -1864,6 +1864,18 @@ def q126_event_trend(spark, sf_dir):
     return analytics.trend_by_key(ev, bucket_seconds=86400)
 
 
+def q127_trail_similarity(spark, sf_dir):
+    """Behavioral trail cohorts: exact Jaccard (ppm) between trails'
+    distinct (event_type:props) feature sets, feature-keyed self-join
+    with the ubiquity cap (>100 trails) as skew guard and a 0.15
+    similarity floor pruning the output."""
+    ev = _events(spark, sf_dir)
+    feature = F.concat_ws(":", F.col("event_type"), F.col("props"))
+    return trails.trail_similarity_pairs(
+        ev, feature, max_trails_per_feature=100, min_jaccard_ppm=150000
+    )
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2020,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_rolling_median": q124_rolling_median,
         "q125_source_overlap": q125_source_overlap,
         "q126_event_trend": q126_event_trend,
+        "q127_trail_similarity": q127_trail_similarity,
     }
 
 
@@ -3049,6 +3062,31 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # distinct (event_type:props) sets per trail, HAVING ubiquity cap,
+        # exact integer Jaccard ppm with the 0.15 floor in the WHERE
+        "q127_trail_similarity": f"""
+            WITH e AS ({_E}),
+            sf AS (
+              SELECT DISTINCT uuid AS id, event_type || ':' || props AS f
+              FROM e),
+            keep AS (SELECT f FROM sf GROUP BY f HAVING COUNT(*) <= 100),
+            sfk AS (SELECT sf.id, sf.f FROM sf JOIN keep USING (f)),
+            tot AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_f FROM sfk GROUP BY id),
+            sh AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared
+              FROM sfk a JOIN sfk b ON a.f = b.f AND a.id < b.id
+              GROUP BY 1, 2)
+            SELECT sh.id_a AS uuid_a, sh.id_b AS uuid_b,
+                   ta.n_f AS features_a, tb.n_f AS features_b, sh.shared,
+                   sh.shared * 1000000
+                     // (ta.n_f + tb.n_f - sh.shared) AS jaccard_ppm
+            FROM sh
+            JOIN tot ta ON ta.id = sh.id_a
+            JOIN tot tb ON tb.id = sh.id_b
+            WHERE sh.shared * 1000000
+                    // (ta.n_f + tb.n_f - sh.shared) >= 150000
+        """,
         # OLS slope over the global day range with closed-form x-moments;
         # sign factored out of the ppm division so // (floor) and div
         # (truncate) agree on non-negative operands

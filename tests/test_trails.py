@@ -178,3 +178,50 @@ def test_apply_to_trails_chunked_rejects_bad_chunk_size(spark):
             df, lambda u: None, lambda s, c: (s, None), lambda s: None,
             "uuid string", chunk_size=0,
         )
+
+
+def test_trail_similarity_pairs_exact_jaccard(spark):
+    from traildb_spark.operators import trails as T
+
+    # u1 features {a,b,c}, u2 {b,c,d}, u3 {x}
+    rows = [
+        ("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "c"), ("u1", 4, "b"),
+        ("u2", 1, "b"), ("u2", 2, "c"), ("u2", 3, "d"),
+        ("u3", 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, "uuid string, time long, f string")
+    out = T.trail_similarity_pairs(df, F.col("f"))
+    [r] = out.collect()
+    assert (r["uuid_a"], r["uuid_b"]) == ("u1", "u2")
+    assert (r["features_a"], r["features_b"], r["shared"]) == (3, 3, 2)
+    assert r["jaccard_ppm"] == 500000  # 2/4
+
+    # ubiquity cap: a feature in all 3 trails is excluded everywhere
+    rows2 = rows + [("u1", 9, "z"), ("u2", 9, "z"), ("u3", 9, "z")]
+    df2 = spark.createDataFrame(rows2, "uuid string, time long, f string")
+    capped = {
+        (r["uuid_a"], r["uuid_b"]): (r["features_a"], r["shared"])
+        for r in T.trail_similarity_pairs(
+            df2, F.col("f"), max_trails_per_feature=2
+        ).collect()
+    }
+    # z excluded from sizes AND candidates: identical to the uncapped run
+    assert capped == {("u1", "u2"): (3, 2)}
+
+    # min_jaccard_ppm prunes
+    assert (
+        T.trail_similarity_pairs(df, F.col("f"), min_jaccard_ppm=600000).count()
+        == 0
+    )
+
+
+def test_set_jaccard_pairs_validation(spark):
+    import pytest as _pytest
+
+    from traildb_spark.operators.dedup import set_jaccard_pairs
+
+    df = spark.createDataFrame([("a", "f")], "id string, f string")
+    with _pytest.raises(ValueError, match="max_ids_per_feature"):
+        set_jaccard_pairs(df, "id", "f", max_ids_per_feature=1)
+    with _pytest.raises(ValueError, match="min_jaccard_ppm"):
+        set_jaccard_pairs(df, "id", "f", min_jaccard_ppm=2_000_000)

@@ -745,45 +745,19 @@ def source_overlap_matrix(
             "source_overlap_matrix: max_sources_per_gram must be >= 2, "
             f"got {max_sources_per_gram}"
         )
+    from .dedup import set_jaccard_pairs
+
     sg = df.select(
         F.col(source_col).alias("source"),
         F.explode(md5_word_ngram_hashes(F.col(text_col), n)).alias("g"),
-    ).distinct()
-    keep = (
-        sg.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n_sources"))
-        .filter(F.col("n_sources") <= max_sources_per_gram)
-        .select("g")
     )
-    sg = sg.join(keep, "g")
-    totals = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
-    a, b = sg.alias("a"), sg.alias("b")
-    shared = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared_grams"))
-    )
-    ta = totals.select(
-        F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
-    )
-    tb = totals.select(
-        F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
-    )
-    return (
-        shared.join(ta, "source_a")
-        .join(tb, "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "grams_a",
-            "grams_b",
-            "shared_grams",
-            F.expr(
-                "shared_grams * CAST(1000000 AS BIGINT)"
-                " div (grams_a + grams_b - shared_grams)"
-            ).alias("jaccard_ppm"),
-        )
+    return set_jaccard_pairs(
+        sg, "source", "g", max_ids_per_feature=max_sources_per_gram
+    ).select(
+        F.col("id_a").alias("source_a"),
+        F.col("id_b").alias("source_b"),
+        F.col("size_a").alias("grams_a"),
+        F.col("size_b").alias("grams_b"),
+        F.col("shared").alias("shared_grams"),
+        "jaccard_ppm",
     )

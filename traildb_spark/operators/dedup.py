@@ -2024,3 +2024,82 @@ def remove_duplicated_spans(
             F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
         )
     )
+
+
+def set_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    feature_col: str,
+    max_ids_per_feature: int = 1000,
+    min_jaccard_ppm: int = 0,
+) -> DataFrame:
+    """Generic exact set-similarity self-join: pairwise Jaccard overlap
+    (parts-per-million, exact integer arithmetic) between the feature
+    SETS of every pair of ids that share at least one feature — the
+    machinery under both `curation.source_overlap_matrix` (sources x
+    n-gram sets) and `trails.trail_similarity_pairs` (trails x
+    behavior-feature sets).
+
+    A feature held by more than ``max_ids_per_feature`` ids is excluded
+    EVERYWHERE (pair candidates AND set sizes): each such feature fans
+    out O(ids²) candidate rows in the self-join, so the cap is the skew
+    guard that bounds the shuffle by ``features x cap²`` — and removing
+    it from the sizes too keeps Jaccard consistent (a similarity over
+    the non-ubiquitous feature space). The cap is part of the operator's
+    semantics, mirrored by the oracles, never a silent truncation.
+
+    Returns ``(id_a, id_b, size_a, size_b, shared, jaccard_ppm)`` with
+    ``id_a < id_b``, only pairs with ``shared >= 1`` and
+    ``jaccard_ppm >= min_jaccard_ppm``.
+    """
+    if max_ids_per_feature < 2:
+        raise ValueError(
+            "set_jaccard_pairs: max_ids_per_feature must be >= 2, "
+            f"got {max_ids_per_feature}"
+        )
+    if not (0 <= min_jaccard_ppm <= 1_000_000):
+        raise ValueError(
+            "set_jaccard_pairs: min_jaccard_ppm must be in [0, 1e6], "
+            f"got {min_jaccard_ppm}"
+        )
+    sf = df.select(
+        F.col(id_col).alias("id"), F.col(feature_col).alias("f")
+    ).distinct()
+    keep = (
+        sf.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .filter(F.col("n_ids") <= max_ids_per_feature)
+        .select("f")
+    )
+    sf = sf.join(keep, "f")
+    totals = sf.groupBy("id").agg(F.count(F.lit(1)).alias("n_f"))
+    a, b = sf.alias("a"), sf.alias("b")
+    shared = (
+        a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(
+            totals.select(F.col("id").alias("id_a"), F.col("n_f").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            totals.select(F.col("id").alias("id_b"), F.col("n_f").alias("size_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "size_a",
+            "size_b",
+            "shared",
+            F.expr(
+                "shared * CAST(1000000 AS BIGINT)"
+                " div (size_a + size_b - shared)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    if min_jaccard_ppm > 0:
+        out = out.filter(F.col("jaccard_ppm") >= min_jaccard_ppm)
+    return out

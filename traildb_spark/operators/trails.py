@@ -374,3 +374,48 @@ def session_stats_chunked(
         time_col=time_col,
         chunk_size=chunk_size,
     )
+
+
+def trail_similarity_pairs(
+    df: DataFrame,
+    feature: Column,
+    uuid_col: str = UUID_COL,
+    max_trails_per_feature: int = 1000,
+    min_jaccard_ppm: int = 0,
+) -> DataFrame:
+    """Behavioral trail similarity: exact Jaccard overlap (ppm) between
+    the distinct FEATURE SETS of every pair of trails that share at
+    least one feature — the "users who behave alike" cohorting a
+    TrailDB caller writes as a double cursor loop, distributed as one
+    feature-keyed self-join. ``feature`` is any per-event Column (an
+    event field, a concat of fields, a bigram built with lag/lead —
+    caller's choice of what "behavior" means).
+
+    Delegates to :func:`~.dedup.set_jaccard_pairs`: the
+    ``max_trails_per_feature`` ubiquity cap is the skew guard (a
+    feature every trail has — 'click' — would fan out O(trails²) pair
+    rows) AND part of the semantics: similarity is measured over the
+    non-ubiquitous feature space, where it is actually informative.
+    ``min_jaccard_ppm`` prunes the output (applied after the exact
+    computation — it bounds result size, not the join).
+
+    Returns ``(uuid_a, uuid_b, features_a, features_b, shared,
+    jaccard_ppm)`` with ``uuid_a < uuid_b``.
+    """
+    from .dedup import set_jaccard_pairs
+
+    feats = df.select(F.col(uuid_col).alias("uuid"), feature.alias("f"))
+    return set_jaccard_pairs(
+        feats,
+        "uuid",
+        "f",
+        max_ids_per_feature=max_trails_per_feature,
+        min_jaccard_ppm=min_jaccard_ppm,
+    ).select(
+        F.col("id_a").alias("uuid_a"),
+        F.col("id_b").alias("uuid_b"),
+        F.col("size_a").alias("features_a"),
+        F.col("size_b").alias("features_b"),
+        "shared",
+        "jaccard_ppm",
+    )
