@@ -597,3 +597,65 @@ def test_fuzzy_dedup_against_no_cross_product(spark):
     out = dedup.fuzzy_dedup_against(new, corpus, threshold=0.5)
     plan = audit.explain_str(out, "simple")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_set_jaccard_pairs_equi_join_no_cross_product(spark):
+    """The pair stage must be the feature-keyed EQUI self-join — a
+    cartesian/nested-loop plan would be the O(ids²) shape the feature
+    key exists to avoid (same audit as fuzzy_dedup_against)."""
+    from traildb_spark.operators.dedup import set_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [("a", "f1"), ("b", "f1"), ("b", "f2")], "id string, f string"
+    )
+    out = set_jaccard_pairs(df, "id", "f")
+    plan = audit.explain_str(out, "simple")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_embedding_gram_shuffle_is_triangle_sized(spark):
+    """The only exchange after the scan must carry the (i, j) partial
+    rows — d(d+1)/2 per batch — never the vectors: the plan has exactly
+    one aggregate-exchange pair and no uuid/vector-keyed shuffle."""
+    from traildb_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.embedding_gram(df)
+    # one shuffle total: the groupBy(i, j) combine of per-batch partials
+    assert audit.num_shuffles(out) == 1, audit.explain_str(out, "simple")
+
+
+def test_distribution_drift_histogram_sized_exchanges(spark, sf_dir):
+    """Both groupBys must be map-side-combined hash aggregates on
+    (key, bin)/key — no event-sized sort or window anywhere."""
+    from traildb_spark.operators import analytics
+    from traildb_spark.functions.core import ts_seconds
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        ts_seconds(raw).alias("time"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    out = analytics.distribution_drift(ev, t_split=1705000000, bin_width=10.0)
+    plan = audit.explain_str(out, "formatted")
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan
+    # column pruning: the scan must read only the three input columns
+    audit.assert_schema_pruned(out, {"ts", "event_type", "value"})
+
+
+def test_trend_by_key_no_per_bucket_explode(spark, sf_dir):
+    """Zero-fill must come from the closed-form x-moments, not a
+    generate/explode of empty buckets; range is a broadcast."""
+    from traildb_spark.operators import analytics
+    from traildb_spark.functions.core import ts_seconds
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(ts_seconds(raw).alias("time"), F.col("event_type"))
+    out = analytics.trend_by_key(ev)
+    plan = audit.explain_str(out, "simple")
+    assert "Generate" not in plan and "explode" not in plan, plan
+    assert audit.num_broadcast_joins(out) >= 1, plan
