@@ -1876,6 +1876,15 @@ def q127_trail_similarity(spark, sf_dir):
     )
 
 
+def q128_volume_anomalies(spark, sf_dir):
+    """Ingest-volume anomalies: hourly buckets deviating from their
+    event_type's mean by > 2σ, evaluated as the exact integer
+    inequality (n·y − S)² > k²(nQ − S²) over the zero-filled
+    keys × hours grid (blackout hours are first-class candidates)."""
+    ev = _events(spark, sf_dir).select("time", "event_type")
+    return analytics.anomalous_buckets(ev, bucket_seconds=3600, k=2)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2033,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_source_overlap": q125_source_overlap,
         "q126_event_trend": q126_event_trend,
         "q127_trail_similarity": q127_trail_similarity,
+        "q128_volume_anomalies": q128_volume_anomalies,
     }
 
 
@@ -3062,6 +3072,40 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # zero-filled keys x hours grid via generate_series; the k-sigma
+        # test as exact HUGEINT inequality mirroring Spark's decimals
+        "q128_volume_anomalies": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT event_type AS key, "time" // 3600 AS b,
+                     CAST(COUNT(*) AS BIGINT) AS y
+              FROM e GROUP BY 1, 2),
+            rng AS (SELECT MIN(b) AS b_lo, MAX(b) AS b_hi FROM per),
+            st AS (
+              SELECT key,
+                     CAST(rng.b_hi - rng.b_lo + 1 AS BIGINT) AS n,
+                     CAST(SUM(y) AS BIGINT) AS s,
+                     CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q
+              FROM per CROSS JOIN rng
+              GROUP BY key, rng.b_hi, rng.b_lo),
+            grid AS (
+              SELECT st.key, unnest(generate_series(rng.b_lo, rng.b_hi)) AS b
+              FROM st CROSS JOIN rng),
+            filled AS (
+              SELECT g.key, g.b, COALESCE(per.y, 0) AS y
+              FROM grid g LEFT JOIN per ON per.key = g.key AND per.b = g.b),
+            t AS (
+              SELECT f.key, f.b AS bucket, f.y,
+                     (CAST(st.n AS HUGEINT) * f.y - st.s)
+                       * (CAST(st.n AS HUGEINT) * f.y - st.s) AS dev_num,
+                     4 * (CAST(st.n AS HUGEINT) * st.q
+                          - CAST(st.s AS HUGEINT) * st.s) AS bound_num
+              FROM filled f JOIN st ON st.key = f.key)
+            SELECT key, bucket, y,
+                   CAST(dev_num AS BIGINT) AS dev_num,
+                   CAST(bound_num AS BIGINT) AS bound_num
+            FROM t WHERE dev_num > bound_num
+        """,
         # distinct (event_type:props) sets per trail, HAVING ubiquity cap,
         # exact integer Jaccard ppm with the 0.15 floor in the WHERE
         "q127_trail_similarity": f"""

@@ -646,3 +646,47 @@ def test_trend_by_key_single_bucket_null(spark):
 
     with _pytest.raises(ValueError, match="bucket_seconds"):
         analytics.trend_by_key(df, bucket_seconds=0)
+
+
+def test_anomalous_buckets_spike_and_blackout(spark):
+    # k1, bucket_seconds=10, range buckets 0..9 (n=10): counts
+    # [1]*9 + one spike bucket with 11 -> S=20, Q=9+121=130
+    # mean=2, var=(10*130-400)/100=9 -> sigma 3; k=2 -> bound 4*900=3600
+    # spike y=11: dev=(10*11-20)^2=8100 > 3600 -> flagged
+    # normal y=1: dev=(10-20)^2=100 -> not flagged
+    rows = [("k1", b * 10) for b in range(9)] + [
+        ("k1", 95)] * 11
+    # note: bucket 9 gets 11 events, buckets 0..8 one each -> exactly above
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    out = {
+        (r["key"], r["bucket"]): (r["y"], r["dev_num"], r["bound_num"])
+        for r in analytics.anomalous_buckets(
+            df, bucket_seconds=10, k=2
+        ).collect()
+    }
+    assert out == {("k1", 9): (11, 8100, 3600)}
+
+
+def test_anomalous_buckets_zero_bucket_flagged(spark):
+    # k constant at 10/bucket except one missing bucket (y=0):
+    # buckets 0,1,3 present (10 each), bucket 2 absent.
+    # n=4, S=30, Q=300; var=(4*300-900)/16=18.75, mean 7.5
+    # zero bucket: dev=(0-30)^2=900; k=1 -> bound=1*(1200-900)=300
+    # 900 > 300 -> blackout flagged; present buckets: dev=(40-30)^2=100 < 300
+    rows = [("k", b * 10 + i) for b in (0, 1, 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    out = {
+        r["bucket"]: r["y"]
+        for r in analytics.anomalous_buckets(df, bucket_seconds=10, k=1).collect()
+    }
+    assert out == {2: 0}
+
+
+def test_anomalous_buckets_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("k", 1)], "event_type string, time long")
+    with _pytest.raises(ValueError, match="bucket_seconds"):
+        analytics.anomalous_buckets(df, bucket_seconds=0)
+    with _pytest.raises(ValueError, match="k must be"):
+        analytics.anomalous_buckets(df, k=0)

@@ -1377,3 +1377,100 @@ def trend_by_key(
             ),
         ).alias("slope_ppm_per_bucket"),
     )
+
+
+def anomalous_buckets(
+    df: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = TIME_COL,
+    bucket_seconds: int = 86400,
+    k: int = 3,
+) -> DataFrame:
+    """Ingest-volume anomaly detection: per-key time buckets whose event
+    count deviates from that key's mean by more than ``k`` standard
+    deviations — spikes AND blackouts (a bucket with ZERO events is a
+    first-class candidate: "the source went dark" is the anomaly ops
+    most wants to catch). The k-sigma test is evaluated as an EXACT
+    integer inequality, so flagging is bit-identical across engines::
+
+        (y - mean)² > k²·var   ⟺   (n·y - S)² > k²·(n·Q - S²)
+
+    with S = Σy, Q = Σy² over ALL n buckets of the global range
+    (zero buckets contribute nothing to S/Q, so one aggregate over
+    present buckets suffices). Strict >: a key with constant volume
+    (var = 0) flags any deviating bucket and nothing else.
+
+    The keys × buckets grid IS materialized — deliberately: it is
+    histogram-sized (the same size class every drift operator already
+    shuffles), and it is what lets zero buckets be flagged. Returns only
+    the anomalous rows: ``(key, bucket, y, dev_num, bound_num)`` where
+    ``dev_num = (n·y - S)²`` and ``bound_num = k²·(n·Q - S²)`` (exact
+    int64, decimal-guarded) — dev/bound > 1 is the flag, and the ratio
+    doubles as an anomaly magnitude for ranking.
+
+    Plan shape: groupBy(key, bucket) map-side combine; one
+    metadata-scale min/max broadcast; per-key one-row stats; a
+    per-key sequence explode bounded by the bucket range; broadcast-able
+    stats join. Nothing event-sized after the scan.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"anomalous_buckets: bucket_seconds must be > 0, got {bucket_seconds}"
+        )
+    if k < 1:
+        raise ValueError(f"anomalous_buckets: k must be >= 1, got {k}")
+    b = F.expr(f"{time_col} div {bucket_seconds}")
+    per = df.select(F.col(key_col).alias("key"), b.alias("b")).groupBy(
+        "key", "b"
+    ).agg(F.count(F.lit(1)).alias("y"))
+    rng = F.broadcast(
+        per.agg(F.min("b").alias("b_lo"), F.max("b").alias("b_hi"))
+    )
+    dec = "decimal(38,0)"
+    stats = (
+        per.crossJoin(rng)
+        .groupBy("key")
+        .agg(
+            F.first(F.col("b_hi") - F.col("b_lo") + 1).alias("n"),
+            F.sum("y").alias("s"),
+            F.sum((F.col("y") * F.col("y")).cast(dec)).alias("q"),
+        )
+    )
+    # the keys x buckets grid (histogram-sized): every bucket of the
+    # global range for every key, zero-filled via left join
+    grid = (
+        stats.select("key")
+        .crossJoin(rng)
+        .select(
+            "key", F.explode(F.sequence(F.col("b_lo"), F.col("b_hi"))).alias("b")
+        )
+    )
+    filled = grid.join(per, ["key", "b"], "left").select(
+        "key", "b", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    n, s, q = (
+        F.col("n").cast(dec),
+        F.col("s").cast(dec),
+        F.col("q"),
+    )
+    dev = n * F.col("y").cast(dec) - s
+    dev_sq = dev * dev
+    bound = F.lit(k * k).cast(dec) * (n * q - s * s)
+    i64 = F.lit(2**63 - 1).cast(dec)
+    fits = (dev_sq <= i64) & (bound <= i64)
+    return (
+        filled.join(stats, "key")
+        .filter(dev_sq > bound)
+        .select(
+            "key",
+            F.col("b").alias("bucket"),
+            "y",
+            F.when(
+                F.assert_true(
+                    fits, "anomalous_buckets: terms overflow int64"
+                ).isNull(),
+                dev_sq.cast("long"),
+            ).alias("dev_num"),
+            bound.cast("long").alias("bound_num"),
+        )
+    )
