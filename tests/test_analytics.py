@@ -690,3 +690,104 @@ def test_anomalous_buckets_validation(spark):
         analytics.anomalous_buckets(df, bucket_seconds=0)
     with _pytest.raises(ValueError, match="k must be"):
         analytics.anomalous_buckets(df, k=0)
+
+
+def test_attribution_markov_hand_computed(spark):
+    # journeys: u1 A->CONV, u2 A->B->CONV, u3 B->(no conv)
+    # chain: START{A:2/3,B:1/3} A{CONV:1/2,B:1/2} B{CONV:1/2,NULL:1/2}
+    # P(conv)=2/3; remove A -> 1/6 (effect 3/4); remove B -> 1/3 (effect 1/2)
+    # credits: 2 conversions split 3/4 : 1/2 -> A 1.2, B 0.8
+    rows = [
+        ("u1", 1, "A"), ("u1", 2, "conv"),
+        ("u2", 1, "A"), ("u2", 2, "B"), ("u2", 3, "conv"),
+        ("u3", 1, "B"),
+    ]
+    df = spark.createDataFrame(rows, "uuid string, time long, event_type string")
+    got = {
+        r["channel"]: (r["removal_effect"], r["attributed_conversions"])
+        for r in analytics.attribution_markov(df, "conv", ["A", "B"]).collect()
+    }
+    assert abs(got["A"][0] - 0.75) < 1e-9 and abs(got["A"][1] - 1.2) < 1e-9
+    assert abs(got["B"][0] - 0.5) < 1e-9 and abs(got["B"][1] - 0.8) < 1e-9
+
+
+def test_attribution_markov_matches_sequential_reference(spark, sf_dir):
+    """Differential test: the distributed transition counting + solve
+    must match an independent sequential Python implementation that
+    walks each trail, segments journeys, counts transitions and runs
+    the same removal-effect definition via fixed-point iteration
+    (NOT a linear solve — independent numerics)."""
+    from collections import Counter, defaultdict
+
+    from tests.conftest import load_events
+
+    ev = load_events(spark, sf_dir)
+    touches = ["click", "view", "error"]
+    conv = "purchase"
+    got = {
+        r["channel"]: (r["removal_effect"], r["attributed_conversions"])
+        for r in analytics.attribution_markov(ev, conv, touches).collect()
+    }
+
+    # --- sequential reference ---
+    trails = defaultdict(list)
+    for r in ev.collect():
+        if r["event_type"] in touches or r["event_type"] == conv:
+            trails[r["uuid"]].append((r["time"], r["event_type"]))
+    counts = Counter()
+    n_conv = 0
+    for uuid, evs in trails.items():
+        evs.sort()
+        journey = ["__START__"]
+        for _, s in evs:
+            journey.append(s)
+            if s == conv:
+                n_conv += 1
+                for a, b in zip(journey, journey[1:]):
+                    counts[(a, b)] += 1
+                journey = ["__START__"]
+        if len(journey) > 1:
+            journey.append("__NULL__")
+            for a, b in zip(journey, journey[1:]):
+                counts[(a, b)] += 1
+
+    def p_conv(removed=None):
+        out_tot, to = Counter(), defaultdict(Counter)
+        for (a, b), c in counts.items():
+            if a == removed:
+                continue
+            out_tot[a] += c
+            to[a][b] += c
+
+        # iterative absorption: value iteration until convergence
+        states = {a for a in out_tot}
+        v = {s: 0.0 for s in states}
+        for _ in range(10000):
+            nv = {}
+            for s in states:
+                tot = out_tot[s]
+                acc = 0.0
+                for b, c in to[s].items():
+                    if b == removed:
+                        continue  # redirected to NULL
+                    if b == conv:
+                        acc += c / tot
+                    elif b in states:
+                        acc += c / tot * v[b]
+                nv[s] = acc
+            if max(abs(nv[s] - v[s]) for s in states) < 1e-14:
+                v = nv
+                break
+            v = nv
+        return v.get("__START__", 0.0)
+
+    base = p_conv()
+    effects = {}
+    for t in touches:
+        if any(t in (a, b) for (a, b) in counts):
+            effects[t] = 1.0 - p_conv(removed=t) / base
+    tot_eff = sum(effects.values())
+    for t, e in effects.items():
+        assert abs(got[t][0] - e) < 1e-9, (t, got[t][0], e)
+        assert abs(got[t][1] - n_conv * e / tot_eff) < 1e-6
+    assert set(got) == set(effects)

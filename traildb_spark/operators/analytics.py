@@ -1474,3 +1474,151 @@ def anomalous_buckets(
             bound.cast("long").alias("bound_num"),
         )
     )
+
+
+def attribution_markov(
+    df: DataFrame,
+    conversion: str,
+    touches: list[str],
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    max_channels: int = 1000,
+    *tiebreak: str,
+) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution — the model that
+    replaces last/first-touch heuristics with what the journey graph
+    actually says: build the first-order chain over
+    {START, touches..., CONV, NULL}, and a channel's credit is its
+    REMOVAL EFFECT — how much total conversion probability drops when
+    the channel is deleted (its inbound transitions redirected to NULL).
+    The standard reference: Anderl et al. 2014 (SSRN 2343077).
+
+    Journeys: each trail splits at conversions (journey j = events after
+    the j-th conversion, up to and including the next); a journey ends
+    in CONV or, if the trail runs out first, NULL. Non-touch events are
+    ignored. Transition counts are the ONLY distributed product — one
+    uuid shuffle + a (channels+2)²-bounded aggregate, the exact shuffle
+    shape of `transition_counts`. The absorption solve runs on the
+    DRIVER over that lexicon-sized matrix (numpy linear solve — the
+    `semantic_dedup` centroid policy: collect is metadata-scale, never
+    event-scale), guarded by ``max_channels``.
+
+    Returns ``(channel, removal_effect, attributed_conversions)`` —
+    removal_effect in [0, 1]; credits apportion total conversions by
+    normalized removal effects. Floats ARE engine-native here (a linear
+    solve has no integer form) — this operator is differential-tested
+    against an independent sequential implementation instead of a SQL
+    oracle, like `learn_bpe`.
+    """
+    import numpy as np
+
+    if not touches:
+        raise ValueError("attribution_markov: touches must be non-empty")
+    if conversion in touches:
+        raise ValueError("attribution_markov: conversion cannot be a touch")
+    w = _trail_window(uuid_col, time_col, *tiebreak)
+    is_conv = F.col(field) == conversion
+    kept = df.filter(is_conv | F.col(field).isin(list(touches)))
+    # journey index = conversions strictly before this event in the trail
+    # first row of a trail has an EMPTY strict-prefix frame -> SUM is
+    # NULL, not 0 — coalesce or the first journey splits in two
+    j = F.coalesce(
+        F.sum(is_conv.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    seq = (
+        kept.withColumn("__j", j)
+        .groupBy(F.col(uuid_col).alias("uuid"), F.col("__j"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(time_col).alias("t"),
+                        *[F.col(c).alias(c) for c in tiebreak],
+                        F.col(field).alias("s"),
+                    )
+                )
+            ).alias("ev")
+        )
+        .select(F.expr("transform(ev, x -> x.s)").alias("states"))
+    )
+    # prepend START; append NULL when the journey did not convert
+    full = seq.select(
+        F.concat(
+            F.array(F.lit("__START__")),
+            F.col("states"),
+            F.when(
+                F.element_at(F.col("states"), -1) != conversion,
+                F.array(F.lit("__NULL__")),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("states")
+    )
+    pairs = full.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("states"), 1, F.size("states") - 1),
+                F.slice(F.col("states"), 2, F.size("states") - 1),
+                lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    rows = counts.collect()  # (channels+2)²-bounded — metadata-scale
+    chans = sorted(
+        ({r["src"] for r in rows} | {r["dst"] for r in rows})
+        - {"__START__", "__NULL__", conversion}
+    )
+    if len(chans) > max_channels:
+        raise ValueError(
+            f"attribution_markov: {len(chans)} channels exceed "
+            f"max_channels={max_channels} — the driver-side solve is "
+            "O(channels^4); raise the cap only with driver memory to match"
+        )
+    states = ["__START__"] + chans  # transient states
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    trans = np.zeros((n, n))
+    to_conv = np.zeros(n)
+    out_tot = np.zeros(n)
+    for r in rows:
+        if r["src"] not in idx:
+            continue
+        i = idx[r["src"]]
+        out_tot[i] += r["c"]
+        if r["dst"] == conversion:
+            to_conv[i] += r["c"]
+        elif r["dst"] in idx:
+            trans[i, idx[r["dst"]]] += r["c"]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        P = np.where(out_tot[:, None] > 0, trans / out_tot[:, None], 0.0)
+        b = np.where(out_tot > 0, to_conv / out_tot, 0.0)
+
+    def absorb(P_, b_):
+        # x = P x + b on transient states; START is row 0
+        return float(np.linalg.solve(np.eye(len(b_)) - P_, b_)[0])
+
+    p_full = absorb(P, b)
+    total_conv = float(sum(r["c"] for r in rows if r["dst"] == conversion))
+    effects = []
+    for c in chans:
+        k = [i for i, s in enumerate(states) if s != c]
+        # removing c: transitions INTO c become NULL (dropped mass)
+        effects.append(
+            (c, 1.0 - (absorb(P[np.ix_(k, k)], b[k]) / p_full if p_full > 0 else 0.0))
+        )
+    tot_eff = sum(e for _, e in effects)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                c,
+                float(e),
+                float(total_conv * e / tot_eff) if tot_eff > 0 else 0.0,
+            )
+            for c, e in effects
+        ],
+        "channel string, removal_effect double, attributed_conversions double",
+    )
