@@ -1867,12 +1867,19 @@ def q126_event_trend(spark, sf_dir):
 def q127_trail_similarity(spark, sf_dir):
     """Behavioral trail cohorts: exact Jaccard (ppm) between trails'
     distinct (event_type:props) feature sets, feature-keyed self-join
-    with the ubiquity cap (>100 trails) as skew guard and a 0.15
-    similarity floor pruning the output."""
+    with a DATA-ADAPTIVE ubiquity cap (a feature in more than 1/5 of
+    all trails is background noise at any corpus size — the static-cap
+    form goes degenerate as trails grow) and a 0.15 similarity floor
+    pruning the output. The cap count is one metadata-scale distinct
+    aggregate, mirrored by the oracle."""
     ev = _events(spark, sf_dir)
+    n_trails = ev.select("uuid").distinct().count()
     feature = F.concat_ws(":", F.col("event_type"), F.col("props"))
     return trails.trail_similarity_pairs(
-        ev, feature, max_trails_per_feature=100, min_jaccard_ppm=150000
+        ev,
+        feature,
+        max_trails_per_feature=max(16, n_trails // 5),
+        min_jaccard_ppm=150000,
     )
 
 
@@ -3113,7 +3120,11 @@ def oracle_sql() -> dict[str, str]:
             sf AS (
               SELECT DISTINCT uuid AS id, event_type || ':' || props AS f
               FROM e),
-            keep AS (SELECT f FROM sf GROUP BY f HAVING COUNT(*) <= 100),
+            cap AS (
+              SELECT GREATEST(16, COUNT(DISTINCT uuid) // 5) AS c FROM e),
+            keep AS (
+              SELECT f FROM sf GROUP BY f
+              HAVING COUNT(*) <= (SELECT c FROM cap)),
             sfk AS (SELECT sf.id, sf.f FROM sf JOIN keep USING (f)),
             tot AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_f FROM sfk GROUP BY id),
             sh AS (
