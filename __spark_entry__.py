@@ -1892,6 +1892,27 @@ def q128_volume_anomalies(spark, sf_dir):
     return analytics.anomalous_buckets(ev, bucket_seconds=3600, k=2)
 
 
+def q129_split_sentences(spark, sf_dir):
+    """Sentence segmentation of the normalized corpus: maximal runs
+    between [.!?]+ terminator runs, trimmed, empties dropped, densely
+    indexed — pure narrow map, zero shuffles. The RE2-portable subset
+    by construction (no lookarounds)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.split_sentences(docs)
+
+
+def q130_join_skew_report(spark, sf_dir):
+    """Join-skew diagnostic: the top-20 heaviest (uuid) join keys of
+    events ⋈ events-by-day fan-out — per-key counts on both sides and
+    the exact product a key-equi-join would materialize. Deterministic
+    total order (fanout desc, key asc); aggregates are key-cardinality-
+    sized, the final sort is top-k over a window."""
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "click").select("uuid")
+    b = ev.filter(F.col("event_type") == "purchase").select("uuid")
+    return joins.join_skew_report(a, b, "uuid", top_k=20)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2050,6 +2071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_event_trend": q126_event_trend,
         "q127_trail_similarity": q127_trail_similarity,
         "q128_volume_anomalies": q128_volume_anomalies,
+        "q129_split_sentences": q129_split_sentences,
+        "q130_join_skew_report": q130_join_skew_report,
     }
 
 
@@ -3079,6 +3102,41 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # same normalization, same [.!?]+ runs, filter-then-index so the
+        # dense sent_idx matches Spark's filter-before-posexplode
+        "q129_split_sentences": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter([trim(x) for x in
+                                  string_split_regex({_NORM_TEXT}, '[.!?]+')],
+                                 x -> x <> '') AS ss
+              FROM documents)
+            SELECT doc_id,
+                   CAST(unnest(generate_series(1, len(ss))) - 1 AS INT) AS sent_idx,
+                   unnest(ss) AS sentence,
+                   CAST(length(unnest(ss)) AS INT) AS n_chars,
+                   CAST(len(list_filter(string_split(unnest(ss), ' '),
+                                        t -> t <> '')) AS INT) AS n_tokens
+            FROM s
+        """,
+        # count tables per side, key-equi-join, exact integer fan-out,
+        # deterministic top-20 (fanout desc, key asc)
+        "q130_join_skew_report": f"""
+            WITH e AS ({_E}),
+            ca AS (
+              SELECT uuid AS key, CAST(COUNT(*) AS BIGINT) AS cnt_a
+              FROM e WHERE event_type = 'click' AND uuid IS NOT NULL
+              GROUP BY uuid),
+            cb AS (
+              SELECT uuid AS key, CAST(COUNT(*) AS BIGINT) AS cnt_b
+              FROM e WHERE event_type = 'purchase' AND uuid IS NOT NULL
+              GROUP BY uuid)
+            SELECT ca.key, ca.cnt_a, cb.cnt_b,
+                   CAST(ca.cnt_a * cb.cnt_b AS BIGINT) AS fanout
+            FROM ca JOIN cb ON ca.key = cb.key
+            ORDER BY fanout DESC, ca.key ASC
+            LIMIT 20
+        """,
         # zero-filled keys x hours grid via generate_series; the k-sigma
         # test as exact HUGEINT inequality mirroring Spark's decimals
         "q128_volume_anomalies": f"""

@@ -1350,3 +1350,25 @@ def test_vocab_growth_validation(spark):
     df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="n_buckets"):
         text.vocab_growth(df, n_buckets=0)
+
+
+def test_split_sentences_semantics(spark):
+    # normalization lowers + collapses whitespace; terminator RUNS split
+    # once; leading/trailing empties are dropped; indices dense
+    df = spark.createDataFrame(
+        [
+            (1, "Hello world! How are  you?? Fine..."),
+            (2, "!!!"),          # only terminators -> zero sentences
+            (3, "no terminator"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text.split_sentences(df).collect()
+    got = {(r["doc_id"], r["sent_idx"]): (r["sentence"], r["n_tokens"]) for r in rows}
+    assert got == {
+        (1, 0): ("hello world", 2),
+        (1, 1): ("how are you", 3),
+        (1, 2): ("fine", 1),
+        (3, 0): ("no terminator", 2),
+    }
+    assert not [k for k in got if k[0] == 2]

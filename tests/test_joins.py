@@ -199,3 +199,26 @@ def test_range_join_sentinel_interval_fails_fast(spark):
     )
     with _pytest.raises(Exception, match="bins"):
         range_join(left, right, on="k", bin_size=3600).collect()
+
+
+def test_join_skew_report_exact_fanout_and_order(spark):
+    from traildb_spark.operators.joins import join_skew_report
+
+    a = spark.createDataFrame(
+        [("k1",)] * 3 + [("k2",)] * 2 + [("only_a",)] + [(None,)],
+        "uuid string",
+    )
+    b = spark.createDataFrame(
+        [("k1",)] * 4 + [("k2",)] * 10 + [(None,)] * 5, "uuid string"
+    )
+    rows = join_skew_report(a, b, "uuid", top_k=10).collect()
+    # k2: 2*10=20 beats k1: 3*4=12; only_a / NULL excluded
+    assert [(r["key"], r["cnt_a"], r["cnt_b"], r["fanout"]) for r in rows] == [
+        ("k2", 2, 10, 20),
+        ("k1", 3, 4, 12),
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_k"):
+        join_skew_report(a, b, "uuid", top_k=0)

@@ -169,3 +169,67 @@ def as_of_join(
         name = c if c not in left.columns else c + suffix
         out.append(F.col(f"__m.{c}").alias(name))
     return matched.select(*out)
+
+
+def join_skew_report(
+    a: DataFrame, b: DataFrame, key: str, top_k: int = 20
+) -> DataFrame:
+    """Pre-flight skew diagnostic for a planned equi-join: the keys that
+    would dominate the shuffle, with per-side counts and the EXACT row
+    fan-out (``cnt_a * cnt_b``) each key materializes — the number that
+    tells an operator whether to salt, broadcast, or cap before running
+    the real join at 100 TB. The 100 TB engineering answer in data form:
+    run this first, read the top row, pick the strategy.
+
+    Both sides aggregate to key-cardinality-sized count tables first
+    (map-side combined) and join key-on-key — the report NEVER performs
+    the join it diagnoses. The top-k goes through the salted two-phase
+    `curation.top_k_global` under the total order (fanout desc, key asc)
+    — the count table is key-cardinality-sized, NOT metadata-sized, so
+    no single reducer may ever rank all of it;
+    the fan-out product is decimal-guarded and NULL-safe (NULL keys
+    never match in an equi-join, so they are excluded — a separate
+    null_count diagnostic would be a different question).
+
+    Returns ``(key, cnt_a, cnt_b, fanout)``, at most ``top_k`` rows.
+    """
+    if top_k < 1:
+        raise ValueError(f"join_skew_report: top_k must be >= 1, got {top_k}")
+    ca = (
+        a.filter(F.col(key).isNotNull())
+        .groupBy(F.col(key).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    cb = (
+        b.filter(F.col(key).isNotNull())
+        .groupBy(F.col(key).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    dec = "decimal(38,0)"
+    joined = ca.join(cb, "key").select(
+        "key",
+        "cnt_a",
+        "cnt_b",
+        (F.col("cnt_a").cast(dec) * F.col("cnt_b").cast(dec)).alias("__f"),
+    )
+    i64 = F.lit(2**63 - 1).cast(dec)
+    # key cardinality is NOT metadata-scale at 100 TB: rank via the
+    # salted two-phase top-k (no single reducer sees the count table)
+    from .curation import top_k_global
+
+    top = top_k_global(
+        joined, [F.desc("__f"), F.asc("key")], top_k, salt_col="key"
+    )
+    return (
+        top.select(
+            "key",
+            "cnt_a",
+            "cnt_b",
+            F.when(
+                F.assert_true(
+                    F.col("__f") <= i64, "join_skew_report: fanout overflows int64"
+                ).isNull(),
+                F.col("__f").cast("long"),
+            ).alias("fanout"),
+        )
+    )

@@ -1193,3 +1193,45 @@ def vocab_growth(
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return out.withColumn("cum_types", F.sum("new_types").over(w))
+
+
+def split_sentences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sentence segmentation: explode each document into trimmed,
+    non-empty sentence rows — the unit :func:`~..operators.curation.
+    chunk_documents` (token windows) deliberately is not; RAG-style
+    chunking wants sentence boundaries, not mid-sentence cuts.
+
+    Semantics chosen for engine portability: sentences are the maximal
+    runs between terminator runs ``[.!?]+`` of the NORMALIZED text
+    (lowercase, collapsed whitespace — the same normalization every
+    text operator here uses), trimmed, empties dropped; ``sent_idx``
+    numbers surviving sentences 0..n-1 in document order. No
+    lookbehind/lookahead in the pattern — RE2 engines (DuckDB) don't
+    support them, and the portable subset is the whole point.
+
+    Plan shape: pure narrow map (split + posexplode + filter) — zero
+    shuffles, trivially parallel at any scale.
+    """
+    sents = F.filter(
+        F.transform(
+            F.split(normalize_text(F.col(text_col)), r"[.!?]+"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(sents).alias("pos", "sentence")
+    )
+    # the empty-filter runs BEFORE posexplode, so pos is already dense
+    # over surviving sentences
+    return ex.select(
+        "doc_id",
+        F.col("pos").alias("sent_idx"),
+        "sentence",
+        F.length("sentence").alias("n_chars"),
+        F.size(F.filter(F.split(F.col("sentence"), " "), lambda t: t != "")).alias(
+            "n_tokens"
+        ),
+    )
