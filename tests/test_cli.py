@@ -285,3 +285,34 @@ def test_cli_parquet_ingest_and_dump(spark, tmp_path):
     assert got.count() == 20
     assert got.filter(F.col("event_type") != "click").count() == 0
     assert set(got.columns) >= {"uuid", "time", "event_type"}
+
+
+def test_cli_orc_ingest_and_dump(spark, tmp_path):
+    """`tdb make -O` ingests ORC events and `tdb dump -O` exports ORC —
+    the same alias/filter semantics as the parquet path; -O is mutually
+    exclusive with -c/-j/-p and rejects CSV-only options."""
+    from pyspark.sql import functions as F
+
+    from traildb_spark.cli import main
+
+    src = str(tmp_path / "events_orc_src")
+    spark.createDataFrame(
+        [(i, f"u{i%4}", 1704067200 + i, "click" if i % 2 else "view")
+         for i in range(40)],
+        "event_id long, user_id string, ts long, event_type string",
+    ).write.orc(src)
+
+    db = str(tmp_path / "orc_db")
+    assert main(["make", "-O", "-o", db, src]) == 0
+    out = str(tmp_path / "orc_dump")
+    assert main([
+        "dump", "-O", "-i", db, "-o", out, "--filter", "event_type=click",
+    ]) == 0
+    got = spark.read.orc(out)
+    assert got.count() == 20
+    assert got.filter(F.col("event_type") != "click").count() == 0
+
+    # CSV-only knobs rejected, just like -p
+    assert main(["make", "-O", "--csv-header", "-o", db, src]) == 1
+    # stdout export refused for columnar
+    assert main(["dump", "-O", "-i", db]) == 1

@@ -43,9 +43,10 @@ def cmd_make(args) -> int:
     from .dataset import TrailDataset
 
     spark = _spark()
-    if args.parquet:
-        # CSV/JSON-only knobs have no meaning for parquet ingest; error
+    if args.parquet or args.orc:
+        # CSV/JSON-only knobs have no meaning for columnar ingest; error
         # instead of silently ignoring them (the row formats are typed)
+        flag = "-p/--parquet" if args.parquet else "-O/--orc"
         bad = [
             name
             for name, val in (
@@ -56,12 +57,16 @@ def cmd_make(args) -> int:
             if val
         ]
         if bad:
-            print(f"make: {', '.join(bad)} not applicable with -p/--parquet",
+            print(f"make: {', '.join(bad)} not applicable with {flag}",
                   file=sys.stderr)
             return 1
         from .sources.make import make_from_dataframe
 
-        raw = spark.read.parquet(args.inputs)
+        raw = (
+            spark.read.parquet(args.inputs)
+            if args.parquet
+            else spark.read.orc(args.inputs)
+        )
         cols = _split_fields(args.fields)
         if cols:
             raw = raw.select(*cols)
@@ -107,8 +112,8 @@ def cmd_dump(args) -> int:
             wl = [ln.strip() for ln in fh if ln.strip()]
         df = uuid_whitelist(df, wl)
     fields = _split_fields(args.fields)
-    if args.parquet and args.output == "-":
-        print("dump: --parquet needs -o (parquet cannot stream to stdout)",
+    if (args.parquet or args.orc) and args.output == "-":
+        print("dump: --parquet/--orc needs -o (columnar cannot stream to stdout)",
               file=sys.stderr)
         return 1
     if args.output == "-":
@@ -136,6 +141,8 @@ def cmd_dump(args) -> int:
                 print(args.delimiter.join("" if r[c] is None else str(r[c]) for c in cols))
     elif args.parquet:
         project_fields(df, fields).write.mode("overwrite").parquet(args.output)
+    elif args.orc:
+        project_fields(df, fields).write.mode("overwrite").orc(args.output)
     elif args.json:
         dump_json(df, args.output, fields=fields, no_empty=args.json_no_empty, mode="overwrite")
     else:
@@ -249,6 +256,8 @@ def build_parser() -> argparse.ArgumentParser:
     mk_fmt.add_argument("-j", "--json", action="store_true")
     mk_fmt.add_argument("-p", "--parquet", action="store_true",
                         help="ingest parquet events (user_id/ts aliases accepted)")
+    mk_fmt.add_argument("-O", "--orc", action="store_true",
+                        help="ingest ORC events (same alias rules as -p)")
     mk.add_argument("-d", "--delimiter", default=None,
                     help="CSV delimiter (default ,)")
     mk.add_argument("-f", "--fields", help="field spec, e.g. uuid,time,action or 2:uuid,5:time")
@@ -266,6 +275,8 @@ def build_parser() -> argparse.ArgumentParser:
     dp_fmt.add_argument("-j", "--json", action="store_true")
     dp_fmt.add_argument("-p", "--parquet", action="store_true",
                         help="write parquet instead of CSV/JSON")
+    dp_fmt.add_argument("-O", "--orc", action="store_true",
+                        help="write ORC instead of CSV/JSON")
     dp.add_argument("-d", "--delimiter", default=",")
     dp.add_argument("-f", "--fields")
     dp.add_argument("--filter", help="CNF filter, e.g. 'a=1 b=2 & c!=3'")
