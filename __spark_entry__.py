@@ -1913,6 +1913,18 @@ def q130_join_skew_report(spark, sf_dir):
     return joins.join_skew_report(a, b, "uuid", top_k=20)
 
 
+def q131_hll_distinct(spark, sf_dir):
+    """Portable HyperLogLog over the (uuid:props) pair universe —
+    md5 buckets, integer registers, dyadic-exact register sum, so the
+    approximate sketch is still bit-identical to the oracle. p=7 keeps
+    the raw estimator inside its valid range for this cardinality."""
+    ev = _events(spark, sf_dir)
+    pairs = ev.select(
+        F.concat_ws(":", F.col("uuid"), F.col("props")).alias("pair")
+    )
+    return analytics.hll_distinct(pairs, "pair", p=7)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2073,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_volume_anomalies": q128_volume_anomalies,
         "q129_split_sentences": q129_split_sentences,
         "q130_join_skew_report": q130_join_skew_report,
+        "q131_hll_distinct": q131_hll_distinct,
     }
 
 
@@ -3102,6 +3115,38 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # md5-60 buckets (p=7, q=53, R=54), length(bin()) leading-zero
+        # ranks, HUGEINT dyadic register sum; alpha·m² and 2^R appear as
+        # the IDENTICAL double literals Spark bakes in
+        "q131_hll_distinct": f"""
+            WITH e AS ({_E}),
+            h AS (
+              SELECT CAST(('0x' || substr(md5(uuid || ':' || props), 1, 15))
+                          AS BIGINT) AS h
+              FROM e),
+            rk AS (
+              SELECT h >> 53 AS b,
+                     CASE WHEN (h & ((1::BIGINT << 53) - 1)) = 0 THEN 54
+                          ELSE 53 - length(bin(h & ((1::BIGINT << 53) - 1))) + 1
+                     END AS r
+              FROM h),
+            regs AS (SELECT b, MAX(r) AS r FROM rk GROUP BY b),
+            s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+                     COALESCE(SUM(CAST((1::BIGINT << (54 - r)) AS HUGEINT)),
+                              0::HUGEINT) AS ps
+              FROM regs),
+            n AS (
+              SELECT 128 AS m, n_present,
+                     ps + (128 - n_present) * (1::HUGEINT << 54) AS numer
+              FROM s)
+            SELECT m, n_present,
+                   CAST(numer AS DOUBLE) AS numer_d,
+                   CAST(11718.991761634348 AS DOUBLE)
+                     * CAST(18014398509481984.0 AS DOUBLE)
+                     / CAST(numer AS DOUBLE) AS estimate
+            FROM n
+        """,
         # same normalization, same [.!?]+ runs, filter-then-index so the
         # dense sent_idx matches Spark's filter-before-posexplode
         "q129_split_sentences": f"""

@@ -791,3 +791,31 @@ def test_attribution_markov_matches_sequential_reference(spark, sf_dir):
         assert abs(got[t][0] - e) < 1e-9, (t, got[t][0], e)
         assert abs(got[t][1] - n_conv * e / tot_eff) < 1e-6
     assert set(got) == set(effects)
+
+
+def test_hll_distinct_accuracy_and_determinism(spark):
+    # 6000 distinct values at p=10 (m=1024, raw-estimator range starts
+    # ~2.5m=2560): estimate within 10% of truth; identical under
+    # repartitioning (the dyadic-exact sum claim)
+    df = spark.range(6000).select(F.concat_ws("-", F.lit("v"), F.col("id")).alias("v"))
+    a = analytics.hll_distinct(df, "v", p=10).collect()[0]
+    b = analytics.hll_distinct(df.repartition(13), "v", p=10).collect()[0]
+    assert a["m"] == 1024
+    assert abs(a["estimate"] - 6000) / 6000 < 0.10
+    assert (a["numer_d"], a["estimate"], a["n_present"]) == (
+        b["numer_d"], b["estimate"], b["n_present"])
+    # duplicates don't move the sketch
+    c = analytics.hll_distinct(
+        df.union(df).union(df), "v", p=10
+    ).collect()[0]
+    assert c["estimate"] == a["estimate"]
+
+
+def test_hll_distinct_empty_and_validation(spark):
+    df = spark.createDataFrame([], "v string")
+    [r] = analytics.hll_distinct(df, "v", p=4).collect()
+    assert r["n_present"] == 0 and r["numer_d"] == float(16 * 2**57)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="p must be"):
+        analytics.hll_distinct(df, "v", p=3)

@@ -1622,3 +1622,90 @@ def attribution_markov(
         ],
         "channel string, removal_effect double, attributed_conversions double",
     )
+
+
+def hll_distinct(
+    df: DataFrame, col: str, p: int = 12
+) -> DataFrame:
+    """Engine-portable HyperLogLog distinct-count estimate -- the
+    unbounded-universe sibling of `lexicon_size`'s
+    approx_count_distinct, built so the WHOLE sketch is
+    oracle-checkable: deterministic md5 hashing (the package's 60-bit
+    family), integer registers, and the register sum computed as an
+    EXACT dyadic integer instead of the usual float harmonic mean.
+
+    Construction (Flajolet et al. 2007): bucket = top ``p`` bits of the
+    60-bit hash; rank = leading-zero count of the remaining
+    ``q = 60 - p`` bits + 1; register = max rank per bucket. The
+    estimate is ``alpha_m * m^2 / sum(2^-r)`` -- the trap is that the
+    float sum depends on summation order. Here it is the integer
+    ``numer = sum(2^(R - r)) + empty * 2^R`` with the CONSTANT
+    R = q + 1 (the maximum possible rank -- no data-dependent pass):
+    every term is an int64 power of two, the sum is exact in
+    decimal(38,0) (<= m * 2^57 < 2^73), so every engine and
+    partitioning produces the IDENTICAL sketch and estimate:
+    ``alpha * m^2 * 2^R / numer`` -- two correctly-rounded IEEE ops on
+    exact operands (alpha and m are literals baked into both sides).
+    No small/large-range corrections (they need libm ln; the raw
+    estimator is the portable subset -- biased low below ~2.5m
+    distinct, where exact counting is the right tool anyway).
+
+    Scale: ONE groupBy(bucket) with map-side combine -- the exchange
+    carries <= m = 2^p rows per partition, the sketch is m rows
+    forever, and register tables MERGE by max (the countmin posture).
+
+    Returns one row: ``(m, n_present, numer_d, estimate)``.
+    """
+    from ..functions.core import md5_60
+
+    if not (4 <= p <= 16):
+        raise ValueError(f"hll_distinct: p must be in [4, 16], got {p}")
+    m = 1 << p
+    q = 60 - p
+    big_r = q + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = md5_60(F.col(col))
+    bucket = F.shiftright(h, q)
+    rest = h.bitwiseAND(F.lit((1 << q) - 1))
+    # rank = leading zeros of the q-bit field + 1; bit_length via
+    # length(bin(x)) -- the package's no-libm log2 discipline; rest = 0
+    # (all q bits zero) -> rank = q + 1 = R
+    rank = F.when(rest == 0, F.lit(big_r)).otherwise(
+        F.lit(q) - F.length(F.bin(rest)) + 1
+    )
+    regs = (
+        df.select(bucket.alias("b"), rank.alias("r"))
+        .groupBy("b")
+        .agg(F.max("r").alias("r"))
+    )
+    dec = "decimal(38,0)"
+    return (
+        regs.agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(
+                F.expr(
+                    f"CAST(shiftleft(CAST(1 AS BIGINT), {big_r} - r) AS {dec})"
+                )
+            ).alias("present_sum"),
+        )
+        .select(
+            F.lit(m).alias("m"),
+            "n_present",
+            (
+                F.coalesce(F.col("present_sum"), F.lit(0).cast(dec))
+                + (F.lit(m).cast(dec) - F.col("n_present").cast(dec))
+                * F.expr(
+                    f"CAST(shiftleft(CAST(1 AS BIGINT), {big_r}) AS {dec})"
+                )
+            ).alias("numer_dec"),
+        )
+        .select(
+            "m",
+            "n_present",
+            F.col("numer_dec").cast("double").alias("numer_d"),
+            (
+                F.lit(alpha * m * m) * F.lit(float(2 ** big_r))
+                / F.col("numer_dec").cast("double")
+            ).alias("estimate"),
+        )
+    )
