@@ -1925,6 +1925,15 @@ def q131_hll_distinct(spark, sf_dir):
     return analytics.hll_distinct(pairs, "pair", p=7)
 
 
+def q132_volume_correlation(spark, sf_dir):
+    """Correlated event volumes: Pearson correlation of hourly counts
+    for every event_type pair — exact integer moments over the
+    zero-filled global range, three IEEE ops + half-up round at the
+    end. Histogram-sized joins only."""
+    ev = _events(spark, sf_dir).select("time", "event_type")
+    return analytics.volume_correlation_pairs(ev, bucket_seconds=3600)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2086,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_split_sentences": q129_split_sentences,
         "q130_join_skew_report": q130_join_skew_report,
         "q131_hll_distinct": q131_hll_distinct,
+        "q132_volume_correlation": q132_volume_correlation,
     }
 
 
@@ -3115,6 +3125,47 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # exact HUGEINT moments over the zero-filled hour range; pairs
+        # with no shared bucket zero-fill sxy; num/sqrt(dx*dy) + round
+        "q132_volume_correlation": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT event_type AS key, "time" // 3600 AS b,
+                     CAST(COUNT(*) AS BIGINT) AS y
+              FROM e GROUP BY 1, 2),
+            rng AS (
+              SELECT CAST(MAX(b) - MIN(b) + 1 AS BIGINT) AS n FROM per),
+            st AS (
+              SELECT key, CAST(SUM(y) AS BIGINT) AS s,
+                     CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q
+              FROM per GROUP BY key),
+            xy AS (
+              SELECT a.key AS key_a, c.key AS key_b,
+                     CAST(SUM(CAST(a.y AS HUGEINT) * c.y) AS HUGEINT) AS sxy
+              FROM per a JOIN per c ON a.b = c.b AND a.key < c.key
+              GROUP BY 1, 2),
+            base AS (
+              SELECT sa.key AS key_a, sb.key AS key_b,
+                     sa.s AS s_a, sa.q AS q_a, sb.s AS s_b, sb.q AS q_b
+              FROM st sa CROSS JOIN st sb WHERE sa.key < sb.key),
+            m AS (
+              SELECT base.key_a, base.key_b, rng.n,
+                     rng.n * COALESCE(xy.sxy, 0)
+                       - CAST(base.s_a AS HUGEINT) * base.s_b AS num,
+                     rng.n * base.q_a
+                       - CAST(base.s_a AS HUGEINT) * base.s_a AS dx,
+                     rng.n * base.q_b
+                       - CAST(base.s_b AS HUGEINT) * base.s_b AS dy
+              FROM base
+              LEFT JOIN xy ON xy.key_a = base.key_a AND xy.key_b = base.key_b
+              CROSS JOIN rng)
+            SELECT key_a, key_b, n AS n_buckets,
+                   CASE WHEN dx > 0 AND dy > 0 THEN
+                     round(CAST(num AS DOUBLE)
+                           / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6)
+                   END AS corr
+            FROM m
+        """,
         # md5-60 buckets (p=7, q=53, R=54), length(bin()) leading-zero
         # ranks, HUGEINT dyadic register sum; alpha·m² and 2^R appear as
         # the IDENTICAL double literals Spark bakes in

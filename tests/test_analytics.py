@@ -819,3 +819,38 @@ def test_hll_distinct_empty_and_validation(spark):
 
     with _pytest.raises(ValueError, match="p must be"):
         analytics.hll_distinct(df, "v", p=3)
+
+
+def test_volume_correlation_hand_computed(spark):
+    # bucket=10, range buckets 0..2 (n=3)
+    # A counts [1,2,3]; B counts [2,4,6] -> perfectly correlated (+1)
+    # C counts [3,0,0] (zero-filled) vs A: num=3*3-6*3=-9,
+    #   dxA=3*14-36=6, dyC=3*9-9=18 -> corr=-9/sqrt(108)=-0.866025
+    rows = (
+        [("A", 5)] + [("A", 15)] * 2 + [("A", 25)] * 3
+        + [("B", 1)] * 2 + [("B", 11)] * 4 + [("B", 21)] * 6
+        + [("C", 2)] * 3
+    )
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    got = {
+        (r["key_a"], r["key_b"]): r["corr"]
+        for r in analytics.volume_correlation_pairs(df, bucket_seconds=10).collect()
+    }
+    assert got[("A", "B")] == 1.0
+    assert got[("A", "C")] == -0.866025
+    assert got[("B", "C")] == -0.866025
+
+
+def test_volume_correlation_constant_key_null(spark):
+    # D constant 1/bucket -> zero variance -> NULL corr in its pairs
+    rows = [("A", 5), ("A", 15), ("A", 15), ("D", 5), ("D", 15)]
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    got = {
+        (r["key_a"], r["key_b"]): r["corr"]
+        for r in analytics.volume_correlation_pairs(df, bucket_seconds=10).collect()
+    }
+    assert got == {("A", "D"): None}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_seconds"):
+        analytics.volume_correlation_pairs(df, bucket_seconds=0)

@@ -1709,3 +1709,98 @@ def hll_distinct(
             ).alias("estimate"),
         )
     )
+
+
+def volume_correlation_pairs(
+    df: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = TIME_COL,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Pairwise Pearson correlation of per-bucket event volumes between
+    every two keys — "which event types move together" (shared upstream
+    cause, coupled features, bot bursts). All FOUR moments are exact
+    integers over the zero-filled global bucket range (the
+    `trend_by_key` trick: zero buckets contribute nothing to sums, n
+    comes from the range), so the only floats are the final
+    ``num / sqrt(dx·dy)`` — three correctly-rounded IEEE ops on exact
+    operands, identical in any engine, rounded half-up to 6 places::
+
+        num = n·Σxy − Σx·Σy     dx = n·Σxx − (Σx)²    dy likewise
+
+    Keys with zero variance (constant volume — dx = 0) pair to NULL
+    correlation rather than dividing by zero.
+
+    Plan shape: groupBy(key, bucket) map-side combine; bucket-keyed
+    self-join of the per-bucket count table (histogram-sized, never
+    event-sized: (keys × buckets) rows in, (key-pairs × buckets)
+    candidates out, bounded by lexicon² × range); per-pair one-row
+    aggregates. Products are decimal(38,0)-guarded.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"volume_correlation_pairs: bucket_seconds must be > 0, "
+            f"got {bucket_seconds}"
+        )
+    b = F.expr(f"{time_col} div {bucket_seconds}")
+    per = df.select(F.col(key_col).alias("key"), b.alias("b")).groupBy(
+        "key", "b"
+    ).agg(F.count(F.lit(1)).alias("y"))
+    rng = F.broadcast(
+        per.agg(F.min("b").alias("b_lo"), F.max("b").alias("b_hi"))
+    )
+    dec = "decimal(38,0)"
+    # per-key first moments over the zero-filled range
+    stats = per.groupBy("key").agg(
+        F.sum("y").alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("q"),
+    )
+    # cross-moment: only buckets where BOTH keys are non-zero contribute
+    # to Σxy, so the bucket-keyed equi self-join suffices
+    a, c = per.alias("a"), per.alias("c")
+    xy = (
+        a.join(c, (F.col("a.b") == F.col("c.b")) & (F.col("a.key") < F.col("c.key")))
+        .groupBy(F.col("a.key").alias("key_a"), F.col("c.key").alias("key_b"))
+        .agg(F.sum((F.col("a.y") * F.col("c.y")).cast(dec)).alias("sxy"))
+    )
+    n_col = (F.col("b_hi") - F.col("b_lo") + 1).alias("n")
+    sa = stats.select(
+        F.col("key").alias("key_a"), F.col("s").alias("s_a"), F.col("q").alias("q_a")
+    )
+    sb = stats.select(
+        F.col("key").alias("key_b"), F.col("s").alias("s_b"), F.col("q").alias("q_b")
+    )
+    # pair base = lexicon² (metadata-scale) so pairs with NO common
+    # bucket (sxy = 0 — strongly anti-correlated volumes) still appear
+    base = sa.crossJoin(sb).filter(F.col("key_a") < F.col("key_b"))
+    j = (
+        base.join(xy, ["key_a", "key_b"], "left")
+        .crossJoin(rng)
+        .select(
+            "key_a",
+            "key_b",
+            F.coalesce(F.col("sxy"), F.lit(0).cast(dec)).alias("sxy"),
+            "s_a",
+            "q_a",
+            "s_b",
+            "q_b",
+            n_col,
+        )
+    )
+    n = F.col("n").cast(dec)
+    num = n * F.col("sxy") - F.col("s_a").cast(dec) * F.col("s_b").cast(dec)
+    dx = n * F.col("q_a") - F.col("s_a").cast(dec) * F.col("s_a").cast(dec)
+    dy = n * F.col("q_b") - F.col("s_b").cast(dec) * F.col("s_b").cast(dec)
+    return j.select(
+        "key_a",
+        "key_b",
+        F.col("n").alias("n_buckets"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                num.cast("double")
+                / F.sqrt(dx.cast("double") * dy.cast("double")),
+                6,
+            ),
+        ).alias("corr"),
+    )
