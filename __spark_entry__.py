@@ -1934,6 +1934,14 @@ def q132_volume_correlation(spark, sf_dir):
     return analytics.volume_correlation_pairs(ev, bucket_seconds=3600)
 
 
+def q133_winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprints (Schleimer et al. 2003): leftmost
+    minimum md5-60 word-5-gram hash per 4-window, deduped — the
+    position-locating fingerprint family, one struct-min window pass."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, k=5, w=4)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2096,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_join_skew_report": q130_join_skew_report,
         "q131_hll_distinct": q131_hll_distinct,
         "q132_volume_correlation": q132_volume_correlation,
+        "q133_winnow_fingerprints": q133_winnow_fingerprints,
     }
 
 
@@ -3125,6 +3134,28 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # q47's positional gram-hash recipe + the same struct-min window
+        # (both engines order structs field-lexicographically)
+        "q133_winnow_fingerprints": f"""
+            WITH wsq AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CAST(unnest(generate_series(1,
+                       greatest(len(ws) - 4, 1))) - 1 AS INT) AS pos,
+                     unnest([CAST(('0x' || substr(md5(
+                         array_to_string(ws[i:i+4], ' ')), 1, 15)) AS BIGINT)
+                       for i in generate_series(1, greatest(len(ws) - 4, 1))]) AS h
+              FROM wsq),
+            lo AS (
+              SELECT doc_id, pos,
+                     min(struct_pack(h := h, p := pos)) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+                     COUNT(*) OVER (PARTITION BY doc_id) AS n
+              FROM g)
+            SELECT DISTINCT doc_id, fp.p AS pos, fp.h AS gram_hash
+            FROM lo WHERE pos >= 3 OR pos = n - 1
+        """,
         # exact HUGEINT moments over the zero-filled hour range; pairs
         # with no shared bucket zero-fill sxy; num/sqrt(dx*dy) + round
         "q132_volume_correlation": f"""

@@ -1372,3 +1372,38 @@ def test_split_sentences_semantics(spark):
         (3, 0): ("no terminator", 2),
     }
     assert not [k for k in got if k[0] == 2]
+
+
+def test_winnow_fingerprints_guarantee_and_short_doc(spark):
+    """The winnowing guarantee: two docs sharing a run of >= k + w - 1
+    words share at least one fingerprint; a doc shorter than k words
+    still yields exactly one fingerprint (its whole-doc gram)."""
+    k, w = 3, 3
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words >= k+w-1=5
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three"),
+            (2, f"{shared} nine ten eleven"),
+            (3, "tiny doc"),  # 2 words < k
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["gram_hash"])
+    assert by_doc[1] & by_doc[2], "shared run must produce a shared fingerprint"
+    assert len(by_doc[3]) == 1
+    # density: roughly 2/(w+1) of grams become fingerprints, never all
+    n_grams_doc1 = len(f"one two {shared} three".split()) - k + 1
+    assert len(by_doc[1]) < n_grams_doc1
+
+
+def test_winnow_fingerprints_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="k must be"):
+        dedup.winnow_fingerprints(df, k=0)
+    with _pytest.raises(ValueError, match="w must be"):
+        dedup.winnow_fingerprints(df, w=0)

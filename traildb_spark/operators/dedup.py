@@ -2103,3 +2103,72 @@ def set_jaccard_pairs(
     if min_jaccard_ppm > 0:
         out = out.filter(F.col("jaccard_ppm") >= min_jaccard_ppm)
     return out
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD 2003, the MOSS algorithm): from the positional word k-gram
+    hash sequence, select the MINIMUM hash of every window of ``w``
+    consecutive hashes (leftmost position on ties), dedup the
+    selections. Guarantees: any shared substring of at least
+    ``k + w - 1`` words produces at least one SHARED fingerprint, and
+    fingerprint density is ~2/(w+1) — the local, position-robust
+    alternative to MinHash when you need to LOCATE matches, not just
+    detect them.
+
+    A document with fewer than ``w`` hashes contributes its single
+    global minimum (one fingerprint — never zero: every doc is
+    findable). Hashes are the package's 60-bit md5 family
+    (`curation.md5_word_ngram_hashes_all`), so the selection is
+    engine-portable and fully oracle-checkable.
+
+    Returns distinct ``(doc_id, pos, gram_hash)`` — fingerprint hash
+    plus the gram position it anchors (the MOSS match locator).
+
+    Plan shape: one Arrow-batched hash pass (md5 once per DISTINCT gram
+    per batch), posexplode, ONE struct-min window pass per doc (the
+    lexicographic (h, pos) minimum IS hash-min-with-leftmost-tie),
+    distinct. One doc-keyed shuffle; window frames are w-row constants. Whale docs bear the
+    usual single-partition window cost.
+    """
+    from .curation import md5_word_ngram_hashes_all
+
+    if k < 1:
+        raise ValueError(f"winnow_fingerprints: k must be >= 1, got {k}")
+    if w < 1:
+        raise ValueError(f"winnow_fingerprints: w must be >= 1, got {w}")
+    hs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(md5_word_ngram_hashes_all(F.col(text_col), k)).alias(
+            "pos", "h"
+        ),
+    )
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    wd = Window.partitionBy("doc_id")
+    # ONE struct-min pass: lexicographic (h, pos) min over the frame =
+    # minimum hash with LEFTMOST position on ties — both engines order
+    # structs field-lexicographically, so this is oracle-portable
+    located = hs.select(
+        "doc_id",
+        "pos",
+        F.min(F.struct("h", "pos")).over(wf).alias("fp"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+    )
+    full = located.filter(
+        (F.col("pos") >= w - 1) | (F.col("pos") == F.col("n") - 1)
+    )
+    return full.select(
+        "doc_id",
+        F.col("fp.pos").alias("pos"),
+        F.col("fp.h").alias("gram_hash"),
+    ).distinct()
