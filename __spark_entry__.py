@@ -1942,6 +1942,22 @@ def q133_winnow_fingerprints(spark, sf_dir):
     return dedup.winnow_fingerprints(docs, k=5, w=4)
 
 
+def q134_winnow_similarity(spark, sf_dir):
+    """MOSS similarity: Jaccard overlap (ppm) of winnowing-fingerprint
+    sets per doc pair — how MOSS actually scores submissions. Pure
+    composition: winnow_fingerprints ∘ set_jaccard_pairs, fingerprint-
+    keyed equi-join, 0.10 floor. The composability IS the point — both
+    halves already have exact oracles."""
+    docs = _load(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprints(docs, k=3, w=4).select(
+        "doc_id", "gram_hash"
+    )
+    return dedup.set_jaccard_pairs(
+        fps, "doc_id", "gram_hash", max_ids_per_feature=100,
+        min_jaccard_ppm=100000,
+    )
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2105,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_hll_distinct": q131_hll_distinct,
         "q132_volume_correlation": q132_volume_correlation,
         "q133_winnow_fingerprints": q133_winnow_fingerprints,
+        "q134_winnow_similarity": q134_winnow_similarity,
     }
 
 
@@ -3134,6 +3151,46 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # winnow CTE (k=3, w=4) + the q125 pair-join recipe on distinct
+        # (doc, fingerprint) sets
+        "q134_winnow_similarity": f"""
+            WITH wsq AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CAST(unnest(generate_series(1,
+                       greatest(len(ws) - 2, 1))) - 1 AS INT) AS pos,
+                     unnest([CAST(('0x' || substr(md5(
+                         array_to_string(ws[i:i+2], ' ')), 1, 15)) AS BIGINT)
+                       for i in generate_series(1, greatest(len(ws) - 2, 1))]) AS h
+              FROM wsq),
+            lo AS (
+              SELECT doc_id, pos,
+                     min(struct_pack(h := h, p := pos)) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+                     COUNT(*) OVER (PARTITION BY doc_id) AS n
+              FROM g),
+            sf AS (
+              SELECT DISTINCT doc_id AS id, fp.h AS f
+              FROM lo WHERE pos >= 3 OR pos = n - 1),
+            keep AS (SELECT f FROM sf GROUP BY f HAVING COUNT(*) <= 100),
+            sfk AS (SELECT sf.id, sf.f FROM sf JOIN keep USING (f)),
+            tot AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_f FROM sfk GROUP BY id),
+            sh AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared
+              FROM sfk a JOIN sfk b ON a.f = b.f AND a.id < b.id
+              GROUP BY 1, 2)
+            SELECT sh.id_a, sh.id_b, ta.n_f AS size_a, tb.n_f AS size_b,
+                   sh.shared,
+                   sh.shared * 1000000
+                     // (ta.n_f + tb.n_f - sh.shared) AS jaccard_ppm
+            FROM sh
+            JOIN tot ta ON ta.id = sh.id_a
+            JOIN tot tb ON tb.id = sh.id_b
+            WHERE sh.shared * 1000000
+                    // (ta.n_f + tb.n_f - sh.shared) >= 100000
+        """,
         # q47's positional gram-hash recipe + the same struct-min window
         # (both engines order structs field-lexicographically)
         "q133_winnow_fingerprints": f"""

@@ -1407,3 +1407,54 @@ def test_winnow_fingerprints_validation(spark):
         dedup.winnow_fingerprints(df, k=0)
     with _pytest.raises(ValueError, match="w must be"):
         dedup.winnow_fingerprints(df, w=0)
+
+
+def test_pca_project_variance_and_roundtrip(spark, sf_dir):
+    """Projected variance per component ~ the top eigenvalues of the
+    quantized covariance, components capture descending variance, and
+    reconstruction error shrinks as components grow."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.vstack([r["embedding"] for r in emb.collect()]).astype(np.float64)
+    Q = np.floor(V * 1024) / 1024  # the operator sees quantized values
+    C = np.cov(Q.T, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(C))[::-1]
+
+    out = similarity.pca_project(emb, n_components=8)
+    P = np.vstack(
+        [r["proj"] for r in out.orderBy("id").collect()]
+    )
+    got_var = P.var(axis=0)
+    # per-component variance matches the top-8 eigenvalues
+    assert np.allclose(np.sort(got_var)[::-1], evals[:8], rtol=1e-6)
+    # descending order as returned
+    assert all(got_var[i] >= got_var[i + 1] - 1e-12 for i in range(7))
+
+    # reconstruction error monotonically improves with more components
+    errs = []
+    for c in (2, 8):
+        pc = np.vstack(
+            [r["proj"] for r in
+             similarity.pca_project(emb, n_components=c).orderBy("id").collect()]
+        )
+        errs.append((Q - Q.mean(0)).var(axis=0).sum() - pc.var(axis=0).sum())
+    assert errs[1] < errs[0]
+
+
+def test_pca_project_partitioning_invariant_and_validation(spark, sf_dir):
+    import numpy as np
+    import pytest as _pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = np.vstack([r["proj"] for r in
+                   similarity.pca_project(emb.coalesce(1), 4).orderBy("id").collect()])
+    b = np.vstack([r["proj"] for r in
+                   similarity.pca_project(emb.repartition(7), 4).orderBy("id").collect()])
+    # the gram stage is integer-exact, so the components — and hence the
+    # projection — are bit-identical under any partitioning
+    assert np.array_equal(a, b)
+    with _pytest.raises(ValueError, match="n_components"):
+        similarity.pca_project(emb, 0)
+    with _pytest.raises(ValueError, match="exceeds dim"):
+        similarity.pca_project(emb, 1000)

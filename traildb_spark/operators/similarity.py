@@ -597,3 +597,99 @@ def embedding_gram(
             6,
         ).alias("cov_q"),
     )
+
+
+def pca_project(
+    df: DataFrame,
+    n_components: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_scale_bits: int = 10,
+) -> DataFrame:
+    """PCA projection of an embedding column: reduce to the top
+    ``n_components`` principal directions — the whitening/compression
+    step before SemDeDup clustering or a cheaper ANN index. Two-phase by
+    construction:
+
+    1. second-moment statistics via :func:`embedding_gram` (the
+       integer-exact, partitioning-invariant treeAggregate — the ONLY
+       pass over the data that aggregates), collected as ONE d x d
+       matrix (metadata-scale, the `semantic_dedup` centroid policy);
+    2. driver-side symmetric eigendecomposition of the covariance
+       (numpy ``eigh``, d x d), then one Arrow-batched pass ships the
+       d x c component matrix inside the closure and projects every
+       QUANTIZED vector (the data the covariance described) with
+       batch-shape-independent reductions — zero shuffles, and the
+       output is bit-identical under any partitioning (tested).
+
+    Eigenvector SIGN is normalized (largest-|coordinate| component
+    positive, ties to the earlier dimension) so output is deterministic
+    across LAPACK builds up to that convention. Floats are inherent to
+    eigendecomposition — this operator is test-verified (variance
+    ordering, orthogonality, reconstruction-error monotonicity, gram
+    round-trip) rather than SQL-oracled, like `learn_bpe` and
+    `attribution_markov`.
+
+    Returns ``(id, proj)`` with ``proj`` an ``array<double>`` of length
+    ``n_components``, components ordered by descending eigenvalue
+    (ties: ascending component index from eigh's ascending order).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_components < 1:
+        raise ValueError(
+            f"pca_project: n_components must be >= 1, got {n_components}"
+        )
+    gram = embedding_gram(df, vec_col=vec_col, q_scale_bits=q_scale_bits)
+    rows = gram.collect()  # d(d+1)/2 rows — metadata-scale
+    if not rows:
+        raise ValueError("pca_project: empty input")
+    d = max(r["j"] for r in rows) + 1
+    if n_components > d:
+        raise ValueError(
+            f"pca_project: n_components={n_components} exceeds dim {d}"
+        )
+    n = rows[0]["n_vecs"]
+    scale = float(1 << q_scale_bits)
+    cov = np.zeros((d, d))
+    mean_q = np.zeros(d)
+    for r in rows:
+        c = (r["sum_prod"] * n - r["sum_i"] * r["sum_j"]) / (n * n)
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = c
+        if r["i"] == r["j"]:
+            mean_q[r["i"]] = r["sum_i"] / n
+    cov /= scale * scale
+    mean = mean_q / scale
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-vals, kind="stable")[:n_components]
+    comps = vecs[:, order]  # d x c
+    # deterministic sign: make the largest-|coord| entry positive
+    flips = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])])
+    flips[flips == 0] = 1.0
+    comps = comps * flips
+    comps_b = comps.copy()
+    mean_b = mean.copy()
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # project the QUANTIZED vectors (the data the covariance
+            # actually described), and reduce per component with
+            # np.sum's pairwise order — fixed by the 64-long axis, NOT
+            # by batch shape (BLAS gemm blocking varies with row count,
+            # which would break bit-identical partitioning invariance)
+            Vq = np.floor(V * scale) / scale - mean_b
+            P = np.empty((len(Vq), comps_b.shape[1]))
+            for j in range(comps_b.shape[1]):
+                P[:, j] = (Vq * comps_b[:, j]).sum(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "proj": list(P)}
+            )
+
+    id_t = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        project, schema=f"id {id_t}, proj array<double>"
+    )
