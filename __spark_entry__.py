@@ -1958,6 +1958,15 @@ def q134_winnow_similarity(spark, sf_dir):
     )
 
 
+def q135_cdf_drift(spark, sf_dir):
+    """KS + 1-D earth-mover drift between the two halves of the time
+    range, per event_type — exact integer cumulative lattice with
+    gap-weighted EMD; the location-sensitive complement to q120's
+    TVD."""
+    ev = _events(spark, sf_dir).select("time", "event_type", "value")
+    return analytics.cdf_drift(ev, t_split=1705000000, bin_width=10.0)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2122,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_volume_correlation": q132_volume_correlation,
         "q133_winnow_fingerprints": q133_winnow_fingerprints,
         "q134_winnow_similarity": q134_winnow_similarity,
+        "q135_cdf_drift": q135_cdf_drift,
     }
 
 
@@ -3151,6 +3161,46 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # HUGEINT cumulative lattice over observed bins; EMD gap-weighted
+        # by lead(bin) - bin; truncating ppm division
+        "q135_cdf_drift": f"""
+            WITH e AS ({_E}),
+            pb AS (
+              SELECT event_type AS key,
+                     CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                     SUM(CASE WHEN "time" < 1705000000 THEN 1 ELSE 0 END) AS cnt_a,
+                     SUM(CASE WHEN "time" < 1705000000 THEN 0 ELSE 1 END) AS cnt_b
+              FROM e WHERE value IS NOT NULL
+              GROUP BY 1, 2),
+            t AS (
+              SELECT key, CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+                     CAST(SUM(cnt_b) AS BIGINT) AS tot_b
+              FROM pb GROUP BY key),
+            c AS (
+              SELECT key, bin,
+                     CAST(SUM(cnt_a) OVER (PARTITION BY key ORDER BY bin) AS HUGEINT) AS cum_a,
+                     CAST(SUM(cnt_b) OVER (PARTITION BY key ORDER BY bin) AS HUGEINT) AS cum_b,
+                     COALESCE(LEAD(bin) OVER (PARTITION BY key ORDER BY bin) - bin,
+                              1) AS gap
+              FROM pb),
+            m AS (
+              SELECT c.key, t.tot_a, t.tot_b,
+                     MAX(ABS(c.cum_a * t.tot_b - c.cum_b * t.tot_a)) AS ks_num,
+                     SUM(ABS(c.cum_a * t.tot_b - c.cum_b * t.tot_a)
+                         * CAST(c.gap AS HUGEINT)) AS emd_num
+              FROM c JOIN t USING (key)
+              GROUP BY c.key, t.tot_a, t.tot_b)
+            SELECT key, tot_a, tot_b,
+                   CASE WHEN tot_a > 0 AND tot_b > 0 THEN
+                     CAST(ks_num * 1000000
+                          // (CAST(tot_a AS HUGEINT) * tot_b) AS BIGINT)
+                   END AS ks_ppm,
+                   CASE WHEN tot_a > 0 AND tot_b > 0 THEN
+                     CAST(emd_num * 1000000
+                          // (CAST(tot_a AS HUGEINT) * tot_b) AS BIGINT)
+                   END AS emd_ppm_bins
+            FROM m
+        """,
         # winnow CTE (k=3, w=4) + the q125 pair-join recipe on distinct
         # (doc, fingerprint) sets
         "q134_winnow_similarity": f"""

@@ -854,3 +854,29 @@ def test_volume_correlation_constant_key_null(spark):
 
     with _pytest.raises(ValueError, match="bucket_seconds"):
         analytics.volume_correlation_pairs(df, bucket_seconds=0)
+
+
+def test_cdf_drift_ks_and_gap_weighted_emd(spark):
+    # k: A values {0, 10} (bins 0,1); B values {30} (bin 3); tot 2/1
+    # cum lattice |cum_a*tot_b - cum_b*tot_a| at bins:
+    #   bin0: |1*1-0*2|=1 gap 1; bin1: |2*1-0|=2 gap 2; bin3: |2-2|=0
+    # KS = max = 2 -> ks_ppm = 2*1e6 div (2*1) = 1_000_000 (full shift)
+    # EMD = 1*1 + 2*2 = 5 -> emd_ppm = 5*1e6 div 2 = 2_500_000 (2.5 bins)
+    rows = [("k", 10, 0.0), ("k", 20, 10.0), ("k", 150, 30.0),
+            ("k", 30, None)]  # NULL excluded from CDF stats
+    df = spark.createDataFrame(rows, "event_type string, time long, value double")
+    [r] = analytics.cdf_drift(df, t_split=100, bin_width=10.0).collect()
+    assert (r["tot_a"], r["tot_b"]) == (2, 1)
+    assert r["ks_ppm"] == 1_000_000
+    assert r["emd_ppm_bins"] == 2_500_000
+
+
+def test_cdf_drift_identical_windows_zero(spark):
+    rows = [("k", 10, 5.0), ("k", 150, 5.0)]
+    df = spark.createDataFrame(rows, "event_type string, time long, value double")
+    [r] = analytics.cdf_drift(df, t_split=100, bin_width=10.0).collect()
+    assert r["ks_ppm"] == 0 and r["emd_ppm_bins"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bin_width"):
+        analytics.cdf_drift(df, t_split=0, bin_width=0)

@@ -1804,3 +1804,100 @@ def volume_correlation_pairs(
             ),
         ).alias("corr"),
     )
+
+
+def cdf_drift(
+    df: DataFrame,
+    t_split: int,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    time_col: str = TIME_COL,
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """CDF-based drift between two time windows, complementing
+    :func:`distribution_drift`'s TVD with the two classic
+    cumulative statistics — both exact integers::
+
+        KS  = max_bins |CDF_a - CDF_b|          (shift-sensitive)
+        EMD = sum_bins |CDF_a - CDF_b|          (1-D earth mover,
+                                                 in bin-width units)
+
+    computed on the cross-multiplied integer lattice
+    ``|cum_a·tot_b - cum_b·tot_a|`` so no division happens until the
+    final ppm quotients (truncating, bounded: KS ≤ 1e6; EMD is per-bin
+    ppm summed — bounded by bins·1e6). NULL values have no place on a
+    CDF and are EXCLUDED here (they get their own bin in the TVD
+    operator — use both: TVD sees NULL-rate drift, CDF stats see
+    location drift). NULL outputs when either window is empty.
+
+    Plan shape: groupBy(key, bin) map-side combine, then ONE
+    bins-per-key ordered window for the cumulative sums (histogram-
+    sized — the frame never touches event rows), then groupBy(key).
+    """
+    if bin_width <= 0:
+        raise ValueError(f"cdf_drift: bin_width must be > 0, got {bin_width}")
+    bin_ = F.floor(F.col(value_col) / F.lit(float(bin_width))).cast("long")
+    in_a = (F.col(time_col) < F.lit(t_split)).cast("long")
+    per_bin = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"), bin_.alias("bin"))
+        .agg(F.sum(in_a).alias("cnt_a"), F.sum(1 - in_a).alias("cnt_b"))
+    )
+    wc = (
+        Window.partitionBy("key")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wl = Window.partitionBy("key").orderBy("bin")
+    cum = per_bin.select(
+        "key",
+        "bin",
+        "cnt_a",
+        "cnt_b",
+        F.sum("cnt_a").over(wc).alias("cum_a"),
+        F.sum("cnt_b").over(wc).alias("cum_b"),
+        # the CDF gap stays constant until the NEXT observed bin — EMD
+        # must weight each lattice value by that run length (the last
+        # bin's lattice is 0, so its weight is irrelevant)
+        F.coalesce(
+            F.lead("bin").over(wl) - F.col("bin"), F.lit(1)
+        ).alias("gap"),
+    )
+    dec = "decimal(38,0)"
+    ca, cb = F.col("cum_a").cast(dec), F.col("cum_b").cast(dec)
+    ta, tb = F.col("tot_a").cast(dec), F.col("tot_b").cast(dec)
+    totals = per_bin.groupBy("key").agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    lattice = F.abs(ca * tb - cb * ta)
+    out = (
+        cum.join(totals, "key")
+        .groupBy("key")
+        .agg(
+            F.first("tot_a").alias("tot_a"),
+            F.first("tot_b").alias("tot_b"),
+            F.max(lattice).alias("ks_num"),
+            F.sum(lattice * F.col("gap").cast(dec)).alias("emd_num"),
+        )
+    )
+    den = F.col("tot_a").cast(dec) * F.col("tot_b").cast(dec)
+    nonempty = (F.col("tot_a") > 0) & (F.col("tot_b") > 0)
+    return out.select(
+        "key",
+        "tot_a",
+        "tot_b",
+        F.when(
+            nonempty,
+            F.expr(
+                f"ks_num * CAST(1000000 AS {dec})"
+                f" div (CAST(tot_a AS {dec}) * CAST(tot_b AS {dec}))"
+            ),
+        ).alias("ks_ppm"),
+        F.when(
+            nonempty,
+            F.expr(
+                f"emd_num * CAST(1000000 AS {dec})"
+                f" div (CAST(tot_a AS {dec}) * CAST(tot_b AS {dec}))"
+            ),
+        ).alias("emd_ppm_bins"),
+    )
