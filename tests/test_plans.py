@@ -659,3 +659,54 @@ def test_trend_by_key_no_per_bucket_explode(spark, sf_dir):
     plan = audit.explain_str(out, "simple")
     assert "Generate" not in plan and "explode" not in plan, plan
     assert audit.num_broadcast_joins(out) >= 1, plan
+
+
+def test_hll_distinct_single_register_exchange(spark, sf_dir):
+    """One groupBy(bucket) exchange carrying ≤ 2^p rows per partition,
+    then a scalar aggregate — nothing event-sized post-scan."""
+    from traildb_spark.operators import analytics
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("props").alias("v")
+    )
+    out = analytics.hll_distinct(df, "v", p=8)
+    plan = audit.explain_str(out, "simple")
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan
+    # register combine + final single-row agg = 2 exchanges max
+    assert audit.num_shuffles(out) <= 2, plan
+
+
+def test_cdf_drift_no_event_sized_window(spark, sf_dir):
+    """The only Window runs over the per-(key,bin) histogram — the scan
+    feeds a hash aggregate FIRST; a plan windowing raw events would
+    put Window directly over the scan/filter."""
+    from traildb_spark.functions.core import ts_seconds
+    from traildb_spark.operators import analytics
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        ts_seconds(raw).alias("time"), F.col("event_type"), F.col("value")
+    )
+    out = analytics.cdf_drift(ev, t_split=1705000000, bin_width=10.0)
+    plan = audit.explain_str(out, "formatted")
+    # the window's child must be an aggregate, not the parquet scan
+    import re
+
+    win_idx = plan.find("Window")
+    assert win_idx != -1
+    agg_before = plan.find("HashAggregate")
+    assert 0 <= agg_before < win_idx, plan
+
+
+def test_winnow_single_doc_shuffle(spark):
+    """Hashing is a narrow Arrow pass; the only exchange is the doc-keyed
+    window partitioning (plus the final distinct)."""
+    from traildb_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    out = dedup.winnow_fingerprints(df, k=3, w=3)
+    plan = audit.explain_str(out, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert audit.num_shuffles(out) <= 2, plan
