@@ -347,11 +347,84 @@ def collect_whale_lengths(ev):
     return row["sz"]
 
 
+
+def r6_family(spark):
+    """Round-6 drift/statistics family at 100M events / 500k docs /
+    500k vectors — proves the 'nothing event-sized after the scan'
+    accounting in SCALE.md with wall-clock, not argument."""
+    from traildb_spark.operators import analytics, dedup, similarity
+    from traildb_spark.operators import text as text_ops
+
+    big = "/tmp/scale_smoke/events100m"
+    if not Path(big).exists():
+        raise SystemExit("run SMOKE_HEAVY=1 first to build events100m")
+    ev = spark.read.parquet(big)
+    evv = ev.withColumn(
+        "value", (F.xxhash64("uuid", "time") % 10000).cast("double") / 100.0
+    )
+    timed("drift_tvd_100m", lambda: _force(
+        analytics.distribution_drift(evv, t_split=1705000000, bin_width=10.0)))
+    timed("drift_cdf_100m", lambda: _force(
+        analytics.cdf_drift(evv, t_split=1705000000, bin_width=10.0)))
+    timed("trend_100m", lambda: _force(analytics.trend_by_key(ev)))
+    timed("anomalies_100m", lambda: _force(
+        analytics.anomalous_buckets(ev, bucket_seconds=3600, k=3)))
+    timed("volume_corr_100m", lambda: _force(
+        analytics.volume_correlation_pairs(ev, bucket_seconds=3600)))
+    timed("hll_100m", lambda: _force(
+        analytics.hll_distinct(ev.select(F.col("uuid").alias("v")), "v", p=12)))
+
+    docs_big = "/tmp/scale_smoke/docs500k"
+    if not Path(docs_big).exists():
+        d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        reps = spark.range(0, 100).select(F.col("id").alias("rep"))
+        (
+            d.crossJoin(reps)
+            .select(
+                (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" r"), F.col("rep")).alias("text"),
+                "source",
+            )
+            .repartition(32)
+            .write.mode("overwrite").parquet(docs_big)
+        )
+    docs = spark.read.parquet(docs_big)
+    print(f"500k docs: {docs.count()} rows", flush=True)
+    timed("winnow_500k", lambda: _force(
+        dedup.winnow_fingerprints(docs, k=5, w=4)))
+    timed("sentences_500k", lambda: _force(text_ops.split_sentences(docs)))
+    timed("source_divergence_500k", lambda: _force(
+        text_ops.source_divergence(docs)))
+
+    emb_big = "/tmp/scale_smoke/emb500k"
+    if not Path(emb_big).exists():
+        e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        reps = spark.range(0, 100).select(F.col("id").alias("rep"))
+        (
+            e.crossJoin(reps)
+            .select(
+                (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+                "embedding",
+            )
+            .repartition(32)
+            .write.mode("overwrite").parquet(emb_big)
+        )
+    emb = spark.read.parquet(emb_big)
+    print(f"500k vecs: {emb.count()} rows", flush=True)
+    timed("embedding_gram_500k", lambda: _force(similarity.embedding_gram(emb)))
+    timed("pca_project_500k", lambda: _force(
+        similarity.pca_project(emb, n_components=8)))
+
+
 def main():
     spark = get_spark("scale-smoke", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
     import os
+
+    if os.environ.get("SMOKE_R6"):
+        r6_family(spark)
+        return
 
     if os.environ.get("SMOKE_WHALE100"):
         whale100m_chunked(spark)
