@@ -1869,17 +1869,26 @@ def q127_trail_similarity(spark, sf_dir):
     distinct (event_type:props) feature sets, feature-keyed self-join
     with a DATA-ADAPTIVE ubiquity cap (a feature in more than 1/5 of
     all trails is background noise at any corpus size — the static-cap
-    form goes degenerate as trails grow) and a 0.15 similarity floor
+    form goes degenerate as trails grow) and a 0.08 similarity floor
     pruning the output. The cap count is one metadata-scale distinct
-    aggregate, mirrored by the oracle."""
-    ev = _events(spark, sf_dir)
+    aggregate, mirrored by the oracle. Runs on a deterministic 20% md5
+    trail PANEL (`curation.hash_bucket` — the q46 split discipline):
+    exact pairwise similarity is quadratic in cohort size by
+    definition, so the production pairing is panel-exact here plus
+    full-population MinHash (q35's machinery) — this query is the
+    exact half."""
+    from traildb_spark.operators.curation import hash_bucket
+
+    ev = _events(spark, sf_dir).filter(
+        hash_bucket(F.col("uuid"), 5, salt="panel:") == 0
+    )
     n_trails = ev.select("uuid").distinct().count()
     feature = F.concat_ws(":", F.col("event_type"), F.col("props"))
     return trails.trail_similarity_pairs(
         ev,
         feature,
         max_trails_per_feature=max(16, n_trails // 5),
-        min_jaccard_ppm=150000,
+        min_jaccard_ppm=80000,
     )
 
 
@@ -3408,7 +3417,11 @@ def oracle_sql() -> dict[str, str]:
         # distinct (event_type:props) sets per trail, HAVING ubiquity cap,
         # exact integer Jaccard ppm with the 0.15 floor in the WHERE
         "q127_trail_similarity": f"""
-            WITH e AS ({_E}),
+            WITH e0 AS ({_E}),
+            e AS (
+              SELECT * FROM e0
+              WHERE CAST(('0x' || substr(md5('panel:' || uuid), 1, 15))
+                         AS BIGINT) % 5 = 0),
             sf AS (
               SELECT DISTINCT uuid AS id, event_type || ':' || props AS f
               FROM e),
@@ -3432,7 +3445,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
             WHERE sh.shared * 1000000
-                    // (ta.n_f + tb.n_f - sh.shared) >= 150000
+                    // (ta.n_f + tb.n_f - sh.shared) >= 80000
         """,
         # OLS slope over the global day range with closed-form x-moments;
         # sign factored out of the ppm division so // (floor) and div
