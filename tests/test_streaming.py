@@ -963,3 +963,50 @@ def test_streaming_histogram_cleared_checkpoint_refuses(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="previous lineage"):
         _histogram_batch(df, 0, out, "event_type", "value", 1.0, "tok")
+
+
+def test_streaming_anomalies_from_histogram_state(spark, sf_dir, tmp_path):
+    """Streaming volume-anomaly monitor: a time-bucket-keyed streaming
+    histogram + anomalies_from_counts over its live state must equal
+    the one-shot batch anomalous_buckets on the same events."""
+    from traildb_spark.functions.core import ts_seconds
+    from traildb_spark.operators import analytics
+    from traildb_spark.streaming.ingest import (
+        histogram_current,
+        streaming_histogram,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        F.col("event_type").cast("string").alias("event_type"),
+        ts_seconds(raw).alias("time"),
+    )
+    path = str(tmp_path / "anom_src")
+    ev.repartition(3).write.parquet(path)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out, ckpt = str(tmp_path / "anom_out"), str(tmp_path / "anom_ckpt")
+    # histogram the stream on TIME buckets: value_col=time, width=3600s
+    q = streaming_histogram(
+        stream, out, ckpt, key_col="event_type", value_col="time",
+        bin_width=3600.0,
+    )
+    q.awaitTermination(120)
+
+    live = histogram_current(spark, out, ckpt).select(
+        "key", F.col("bin").alias("b"), F.col("cnt").alias("y")
+    )
+    streamed = {
+        (r["key"], r["bucket"]): (r["y"], r["dev_num"], r["bound_num"])
+        for r in analytics.anomalies_from_counts(live, k=2).collect()
+    }
+    batch = {
+        (r["key"], r["bucket"]): (r["y"], r["dev_num"], r["bound_num"])
+        for r in analytics.anomalous_buckets(
+            ev, bucket_seconds=3600, k=2
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0

@@ -1417,12 +1417,24 @@ def anomalous_buckets(
         raise ValueError(
             f"anomalous_buckets: bucket_seconds must be > 0, got {bucket_seconds}"
         )
-    if k < 1:
-        raise ValueError(f"anomalous_buckets: k must be >= 1, got {k}")
     b = F.expr(f"{time_col} div {bucket_seconds}")
     per = df.select(F.col(key_col).alias("key"), b.alias("b")).groupBy(
         "key", "b"
     ).agg(F.count(F.lit(1)).alias("y"))
+    return anomalies_from_counts(per, k=k)
+
+
+def anomalies_from_counts(per: DataFrame, k: int = 3) -> DataFrame:
+    """The k-sigma test of :func:`anomalous_buckets` applied to a
+    PREBUILT per-(key, bucket) count table ``(key, b, y)`` — the live
+    half of the streaming monitor: point it at
+    `streaming.ingest.histogram_current` state (with the stream's
+    histogram keyed on TIME buckets, i.e. ``value_col=time_col``) and
+    the exact batch anomaly semantics run against histogram-sized
+    state, no events rescanned. Identical math, flags and columns as
+    the batch form (see its docstring for the integer inequality)."""
+    if k < 1:
+        raise ValueError(f"anomalies_from_counts: k must be >= 1, got {k}")
     rng = F.broadcast(
         per.agg(F.min("b").alias("b_lo"), F.max("b").alias("b_hi"))
     )
