@@ -389,7 +389,7 @@ def r6_family(spark):
             .write.mode("overwrite").parquet(docs_big)
         )
     docs = spark.read.parquet(docs_big)
-    print(f"500k docs: {docs.count()} rows", flush=True)
+    print(f"replicated docs: {docs.count()} rows", flush=True)
     timed("winnow_500k", lambda: _force(
         dedup.winnow_fingerprints(docs, k=5, w=4)))
     timed("sentences_500k", lambda: _force(text_ops.split_sentences(docs)))
@@ -410,9 +410,9 @@ def r6_family(spark):
             .write.mode("overwrite").parquet(emb_big)
         )
     emb = spark.read.parquet(emb_big)
-    print(f"500k vecs: {emb.count()} rows", flush=True)
-    timed("embedding_gram_500k", lambda: _force(similarity.embedding_gram(emb)))
-    timed("pca_project_500k", lambda: _force(
+    print(f"replicated vecs: {emb.count()} rows", flush=True)
+    timed("embedding_gram_200k", lambda: _force(similarity.embedding_gram(emb)))
+    timed("pca_project_200k", lambda: _force(
         similarity.pca_project(emb, n_components=8)))
 
 
