@@ -1871,17 +1871,19 @@ def q127_trail_similarity(spark, sf_dir):
     all trails is background noise at any corpus size — the static-cap
     form goes degenerate as trails grow) and a 0.08 similarity floor
     pruning the output. The cap count is one metadata-scale distinct
-    aggregate, mirrored by the oracle. Runs on a deterministic 20% md5
-    trail PANEL (`curation.hash_bucket` — the q46 split discipline):
-    exact pairwise similarity is quadratic in cohort size by
-    definition, so the production pairing is panel-exact here plus
-    full-population MinHash (q35's machinery) — this query is the
-    exact half."""
+    aggregate, mirrored by the oracle. Runs on a deterministic
+    FIXED-SIZE md5 trail PANEL (~300 trails at any population —
+    `curation.hash_bucket` with a population-derived modulus, the q46
+    split discipline): exact pairwise similarity is quadratic in cohort
+    size by definition, so a proportional sample goes super-linear with
+    data while a fixed panel stays FLAT — the production pairing is
+    panel-exact here plus full-population MinHash (q35's machinery)."""
     from traildb_spark.operators.curation import hash_bucket
 
-    ev = _events(spark, sf_dir).filter(
-        hash_bucket(F.col("uuid"), 5, salt="panel:") == 0
-    )
+    ev_all = _events(spark, sf_dir)
+    n_all = ev_all.select("uuid").distinct().count()
+    mod = max(5, (n_all + 299) // 300)
+    ev = ev_all.filter(hash_bucket(F.col("uuid"), mod, salt="panel:") == 0)
     n_trails = ev.select("uuid").distinct().count()
     feature = F.concat_ws(":", F.col("event_type"), F.col("props"))
     return trails.trail_similarity_pairs(
@@ -3418,10 +3420,13 @@ def oracle_sql() -> dict[str, str]:
         # exact integer Jaccard ppm with the 0.15 floor in the WHERE
         "q127_trail_similarity": f"""
             WITH e0 AS ({_E}),
+            pm AS (
+              SELECT GREATEST(5, (COUNT(DISTINCT uuid) + 299) // 300) AS m
+              FROM e0),
             e AS (
-              SELECT * FROM e0
+              SELECT e0.* FROM e0 CROSS JOIN pm
               WHERE CAST(('0x' || substr(md5('panel:' || uuid), 1, 15))
-                         AS BIGINT) % 5 = 0),
+                         AS BIGINT) % pm.m = 0),
             sf AS (
               SELECT DISTINCT uuid AS id, event_type || ':' || props AS f
               FROM e),
