@@ -1978,6 +1978,15 @@ def q135_cdf_drift(spark, sf_dir):
     return analytics.cdf_drift(ev, t_split=1705000000, bin_width=10.0)
 
 
+def q136_trail_vectors(spark, sf_dir):
+    """Bag-of-events behavior vectors per trail (ascending-lexicon
+    layout, map-transform build — no pivot/joins): the bridge from
+    trails to the SRP/IVF vector stack for population-scale behavioral
+    pairing."""
+    ev = _events(spark, sf_dir).select("uuid", "event_type")
+    return trails.trail_vectors(ev)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2143,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_winnow_fingerprints": q133_winnow_fingerprints,
         "q134_winnow_similarity": q134_winnow_similarity,
         "q135_cdf_drift": q135_cdf_drift,
+        "q136_trail_vectors": q136_trail_vectors,
     }
 
 
@@ -3172,6 +3182,26 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # uuid×lexicon zero-fill grid + list(cnt ORDER BY v) builds the
+        # same ascending-lexicon vector layout
+        "q136_trail_vectors": f"""
+            WITH e AS ({_E}),
+            lex AS (SELECT DISTINCT event_type AS v FROM e
+                    WHERE event_type IS NOT NULL),
+            c AS (
+              SELECT uuid, event_type AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM e WHERE event_type IS NOT NULL GROUP BY 1, 2),
+            u AS (SELECT uuid, CAST(SUM(cnt) AS BIGINT) AS n_events
+                  FROM c GROUP BY uuid),
+            grid AS (
+              SELECT u.uuid, lex.v, COALESCE(c.cnt, 0) AS cnt
+              FROM u CROSS JOIN lex
+              LEFT JOIN c ON c.uuid = u.uuid AND c.v = lex.v)
+            SELECT g.uuid, u.n_events,
+                   list(g.cnt ORDER BY g.v) AS vec
+            FROM grid g JOIN u ON u.uuid = g.uuid
+            GROUP BY g.uuid, u.n_events
+        """,
         # HUGEINT cumulative lattice over observed bins; EMD gap-weighted
         # by lead(bin) - bin; truncating ppm division
         "q135_cdf_drift": f"""

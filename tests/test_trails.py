@@ -225,3 +225,42 @@ def test_set_jaccard_pairs_validation(spark):
         set_jaccard_pairs(df, "id", "f", max_ids_per_feature=1)
     with _pytest.raises(ValueError, match="min_jaccard_ppm"):
         set_jaccard_pairs(df, "id", "f", min_jaccard_ppm=2_000_000)
+
+
+def test_trail_vectors_layout_and_ann_composition(spark):
+    from traildb_spark.operators import trails as T
+    from traildb_spark.operators import dedup
+
+    rows = [
+        ("u1", "a"), ("u1", "a"), ("u1", "b"),
+        ("u2", "a"), ("u2", "b"),
+        ("u3", "c"), ("u3", None),  # NULL field values are ignored
+    ]
+    df = spark.createDataFrame(rows, "uuid string, event_type string")
+    got = {r["uuid"]: (r["n_events"], r["vec"])
+           for r in T.trail_vectors(df).collect()}
+    # lexicon order a,b,c
+    assert got == {"u1": (3, [2, 1, 0]), "u2": (2, [1, 1, 0]),
+                   "u3": (1, [0, 0, 1])}
+
+    # composition: the vectors feed the portable SRP near-dup stack
+    vecs = T.trail_vectors(df).select(
+        F.col("uuid").alias("vec_id"),
+        F.transform("vec", lambda x: x.cast("float")).alias("embedding"),
+    )
+    pairs = dedup.embedding_neardup_pairs_portable(vecs, threshold=0.9, dim=3)
+    got_pairs = {(r[0], r[1]) for r in pairs.select("id_a", "id_b").collect()}
+    # u1=(2,1,0) and u2=(1,1,0): cos = 3/(sqrt(5)*sqrt(2)) ≈ 0.949
+    assert ("u1", "u2") in got_pairs or ("u2", "u1") in got_pairs
+
+
+def test_trail_vectors_lexicon_guard(spark):
+    import pytest as _pytest
+
+    from traildb_spark.operators import trails as T
+
+    df = spark.createDataFrame(
+        [(str(i), str(i)) for i in range(50)], "uuid string, event_type string"
+    )
+    with _pytest.raises(ValueError, match="max_lexicon"):
+        T.trail_vectors(df, max_lexicon=10)

@@ -419,3 +419,61 @@ def trail_similarity_pairs(
         "shared",
         "jaccard_ppm",
     )
+
+
+def trail_vectors(
+    df: DataFrame,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    max_lexicon: int = 10_000,
+) -> DataFrame:
+    """Bag-of-events vector per trail: ``(uuid, n_events, vec)`` where
+    ``vec[i]`` counts the i-th lexicon value (ascending value order —
+    the deterministic dense-id convention of `lexicon_dump`) in the
+    trail. The bridge from trails to the vector stack: feed ``vec``
+    (cast to float) to `similarity`/`dedup` SRP/IVF operators for
+    population-scale behavioral pairing — the sketch half q127's
+    panel-exact Jaccard docstring promises.
+
+    The lexicon is collected to the driver (lexicon-sized — the
+    `semantic_dedup` centroid policy) and shipped as an array literal,
+    so the vector layout is part of the PLAN, not a join;
+    ``max_lexicon`` guards against accidentally vectorizing an
+    unbounded-cardinality field (ids, urls) where a bag-of-values
+    vector is the wrong tool anyway.
+
+    Plan shape: one groupBy(uuid, value) with map-side combine, one
+    groupBy(uuid) building a value→count map, then a transform over the
+    literal lexicon — no pivot, no per-value joins.
+    """
+    lex = sorted(
+        r["v"]
+        for r in df.select(F.col(field).alias("v")).distinct().collect()
+        if r["v"] is not None
+    )
+    if len(lex) > max_lexicon:
+        raise ValueError(
+            f"trail_vectors: {field} has {len(lex)} distinct values "
+            f"(> max_lexicon={max_lexicon}) — a bag-of-values vector "
+            "over an unbounded field is a modeling error; bucket or "
+            "hash the field first"
+        )
+    counts = (
+        df.filter(F.col(field).isNotNull())
+        .groupBy(F.col(uuid_col).alias("uuid"), F.col(field).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per = counts.groupBy("uuid").agg(
+        F.sum("cnt").alias("n_events"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("v"), F.col("cnt")))
+        ).alias("m"),
+    )
+    lex_arr = F.array(*[F.lit(v) for v in lex])
+    return per.select(
+        "uuid",
+        "n_events",
+        F.transform(
+            lex_arr, lambda v: F.coalesce(F.element_at(F.col("m"), v), F.lit(0))
+        ).alias("vec"),
+    )
