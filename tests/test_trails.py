@@ -243,15 +243,18 @@ def test_trail_vectors_layout_and_ann_composition(spark):
     assert got == {"u1": (3, [2, 1, 0]), "u2": (2, [1, 1, 0]),
                    "u3": (1, [0, 0, 1])}
 
-    # composition: the vectors feed the portable SRP near-dup stack
+    # composition: the vectors feed the vector-similarity stack
+    from traildb_spark.functions.vectorized import pairwise_cosine_pairs
+
     vecs = T.trail_vectors(df).select(
         F.col("uuid").alias("vec_id"),
         F.transform("vec", lambda x: x.cast("float")).alias("embedding"),
     )
-    pairs = dedup.embedding_neardup_pairs_portable(vecs, threshold=0.9, dim=3)
-    got_pairs = {(r[0], r[1]) for r in pairs.select("id_a", "id_b").collect()}
-    # u1=(2,1,0) and u2=(1,1,0): cos = 3/(sqrt(5)*sqrt(2)) ≈ 0.949
-    assert ("u1", "u2") in got_pairs or ("u2", "u1") in got_pairs
+    pairs = pairwise_cosine_pairs(vecs, threshold=0.9)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # u1=(2,1,0) and u2=(1,1,0): cos = 3/(sqrt(5)*sqrt(2)) ≈ 0.949;
+    # u3=(0,0,1) is orthogonal to both
+    assert got_pairs == {("u1", "u2")}
 
 
 def test_trail_vectors_lexicon_guard(spark):
