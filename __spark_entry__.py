@@ -1987,6 +1987,25 @@ def q136_trail_vectors(spark, sf_dir):
     return trails.trail_vectors(ev)
 
 
+def q137_props_extract(spark, sf_dir):
+    """Typed JSON field extraction from props (`core.json_field` —
+    NULL-safe in both engines) + integer-exact per-type aggregation:
+    events carry JSON blobs, queries want typed columns."""
+    ev = _events(spark, sf_dir)
+    k = core.json_field(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2153,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_winnow_similarity": q134_winnow_similarity,
         "q135_cdf_drift": q135_cdf_drift,
         "q136_trail_vectors": q136_trail_vectors,
+        "q137_props_extract": q137_props_extract,
     }
 
 
@@ -3182,6 +3202,20 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # json_extract_string ≡ get_json_object: NULL on malformed or
+        # missing; integer aggregation after the cast
+        "q137_props_extract": f"""
+            WITH e AS ({_E}),
+            x AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM e)
+            SELECT event_type, COUNT(*) AS n,
+                   COUNT(k) AS n_with_k,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k, MAX(k) AS max_k
+            FROM x GROUP BY event_type
+        """,
         # uuid×lexicon zero-fill grid + list(cnt ORDER BY v) builds the
         # same ascending-lexicon vector layout
         "q136_trail_vectors": f"""

@@ -299,3 +299,21 @@ def test_trail_filter_spec_join_guards(spark):
             ).collect()
         except Py4JJavaError as e:  # surface the JVM message for the match
             raise RuntimeError(str(e)) from e
+
+
+def test_json_field_null_on_malformed_and_missing(spark):
+    from pyspark.sql import functions as F
+
+    from traildb_spark.functions.core import json_field
+
+    df = spark.createDataFrame(
+        [('{"k": 7}',), ('{"other": 1}',), ("not json",), ("",), (None,)],
+        "props string",
+    )
+    got = [
+        r["k"]
+        for r in df.select(
+            json_field(F.col("props"), "$.k").cast("long").alias("k")
+        ).collect()
+    ]
+    assert got == [7, None, None, None, None]

@@ -65,3 +65,14 @@ def md5_60(col: Column) -> Column:
     BIGINT)``. One definition — hash-family changes (width, salt
     convention) must not be re-implemented per call site."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def json_field(col: Column, path: str) -> Column:
+    """Extract one field from a JSON-string column (`$.key` paths) — the
+    modern shape of TrailDB's string-valued fields (reference fields are
+    flat strings, `src/tdb.h` item model; production event props are
+    JSON blobs). JVM-side `get_json_object`, NULL on malformed JSON or
+    missing key in BOTH engines (DuckDB mirror:
+    ``json_extract_string(col, '$.key')``), so typed extraction
+    (``.cast("long")``) is oracle-checkable end to end."""
+    return F.get_json_object(col, path)
