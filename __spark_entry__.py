@@ -2006,6 +2006,17 @@ def q137_props_extract(spark, sf_dir):
     )
 
 
+def q138_histogram_percentiles(spark, sf_dir):
+    """p50/p90/p99 of value per event_type from fixed-width histograms —
+    the sort-free percentile path: histogram-sized state, integer
+    nearest-rank selection on the cross-multiplied lattice, bin-lower-
+    boundary output."""
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    return analytics.histogram_percentiles(
+        ev, probs=(0.5, 0.9, 0.99), bin_width=10.0
+    )
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2173,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_cdf_drift": q135_cdf_drift,
         "q136_trail_vectors": q136_trail_vectors,
         "q137_props_extract": q137_props_extract,
+        "q138_histogram_percentiles": q138_histogram_percentiles,
     }
 
 
@@ -3202,6 +3214,30 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # same integer nearest-rank lattice on HUGEINTs; bin lower
+        # boundary = bin * 10.0 (one IEEE multiply)
+        "q138_histogram_percentiles": f"""
+            WITH e AS ({_E}),
+            pb AS (
+              SELECT event_type AS key,
+                     CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM e WHERE value IS NOT NULL GROUP BY 1, 2),
+            c AS (
+              SELECT key, bin,
+                     CAST(SUM(cnt) OVER (PARTITION BY key ORDER BY bin)
+                          AS HUGEINT) AS cum,
+                     CAST(SUM(cnt) OVER (PARTITION BY key) AS HUGEINT) AS tot
+              FROM pb)
+            SELECT key, CAST(MAX(tot) AS BIGINT) AS n_values,
+                   MIN(CASE WHEN cum * 1000000 >= 500000 * tot THEN bin END) AS p50_bin,
+                   MIN(CASE WHEN cum * 1000000 >= 500000 * tot THEN bin END) * CAST(10.0 AS DOUBLE) AS p50,
+                   MIN(CASE WHEN cum * 1000000 >= 900000 * tot THEN bin END) AS p90_bin,
+                   MIN(CASE WHEN cum * 1000000 >= 900000 * tot THEN bin END) * CAST(10.0 AS DOUBLE) AS p90,
+                   MIN(CASE WHEN cum * 1000000 >= 990000 * tot THEN bin END) AS p99_bin,
+                   MIN(CASE WHEN cum * 1000000 >= 990000 * tot THEN bin END) * CAST(10.0 AS DOUBLE) AS p99
+            FROM c GROUP BY key
+        """,
         # json_extract_string ≡ get_json_object: NULL on malformed or
         # missing; integer aggregation after the cast
         "q137_props_extract": f"""

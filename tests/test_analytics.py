@@ -880,3 +880,30 @@ def test_cdf_drift_identical_windows_zero(spark):
 
     with _pytest.raises(ValueError, match="bin_width"):
         analytics.cdf_drift(df, t_split=0, bin_width=0)
+
+
+def test_histogram_percentiles_nearest_rank(spark):
+    # k: values 0..99 (bin_width 10 -> bins 0..9, 10 each)
+    # nearest-rank p50: cum >= 50 -> bin 4 (cum 50); p90: cum >= 90 ->
+    # bin 8; p99: cum >= 99 -> bin 9; p100 -> bin 9
+    rows = [("k", float(v)) for v in range(100)] + [("k", None)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    [r] = analytics.histogram_percentiles(
+        df, probs=(0.5, 0.9, 0.99, 1.0), bin_width=10.0
+    ).collect()
+    assert r["n_values"] == 100  # NULL excluded
+    assert (r["p50_bin"], r["p90_bin"], r["p99_bin"], r["p100_bin"]) == (
+        4, 8, 9, 9)
+    assert r["p50"] == 40.0 and r["p90"] == 80.0
+
+
+def test_histogram_percentiles_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("k", 1.0)], "event_type string, value double")
+    with _pytest.raises(ValueError, match="bin_width"):
+        analytics.histogram_percentiles(df, bin_width=0)
+    with _pytest.raises(ValueError, match="out of"):
+        analytics.histogram_percentiles(df, probs=(0.0,))
+    with _pytest.raises(ValueError, match="multiple"):
+        analytics.histogram_percentiles(df, probs=(0.12345,))

@@ -1913,3 +1913,89 @@ def cdf_drift(
             ),
         ).alias("emd_ppm_bins"),
     )
+
+
+def histogram_percentiles(
+    df: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Percentiles from fixed-width histograms — the 100 TB answer to
+    "p99 per key": `percentiles` (exact) must SORT every group's
+    values; this computes the histogram (one map-side-combined
+    aggregate, histogram-sized state) and reads the percentile off the
+    cumulative counts, exact to bin resolution. The selection rule is
+    pure integers — smallest bin whose cumulative count satisfies
+    ``cum * 1e6 >= ceil(p_ppm * total)`` (nearest-rank definition on
+    the cross-multiplied lattice) — so the chosen bin is bit-identical
+    across engines; the reported value is the bin's LOWER boundary
+    (``bin * bin_width``: one IEEE multiply).
+
+    Returns one row per key: ``(key, n_values, p50_bin, p50, ...)``
+    with a bin-index and boundary column per requested prob (column
+    names from the ppm — p500000 -> ``p50``; probs must be multiples
+    of 0.001 to name cleanly). NULL values are excluded (no place on a
+    CDF); keys with zero non-NULL values drop out.
+
+    Plan shape: groupBy(key, bin); per-key ordered window over BINS
+    (histogram-sized); one conditional-min aggregate per prob. No row
+    sort anywhere — the operator `percentiles` cannot avoid.
+    """
+    if bin_width <= 0:
+        raise ValueError(
+            f"histogram_percentiles: bin_width must be > 0, got {bin_width}"
+        )
+    ppms = []
+    for p in probs:
+        ppm = round(p * 1_000_000)
+        if not (0 < ppm <= 1_000_000):
+            raise ValueError(f"histogram_percentiles: prob {p} out of (0, 1]")
+        if ppm % 1000:
+            raise ValueError(
+                f"histogram_percentiles: prob {p} must be a multiple of 0.001"
+            )
+        ppms.append(ppm)
+    per_bin = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.floor(F.col(value_col) / F.lit(float(bin_width)))
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = (
+        Window.partitionBy("key")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("key")
+    cum = per_bin.select(
+        "key",
+        "bin",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wt).alias("tot"),
+    )
+    aggs = [F.first("tot").alias("n_values")]
+    for ppm in ppms:
+        name = f"p{ppm // 10000}" if ppm % 10000 == 0 else f"p_{ppm}ppm"
+        # nearest-rank: cum >= ceil(ppm * tot / 1e6)  ⟺  cum*1e6 >= ppm*tot
+        # (decimal lattice: no silent wrap past ~9e12 rows per key)
+        dec = "decimal(38,0)"
+        hit = (
+            F.col("cum").cast(dec) * F.lit(1_000_000).cast(dec)
+            >= F.lit(ppm).cast(dec) * F.col("tot").cast(dec)
+        )
+        aggs.append(F.min(F.when(hit, F.col("bin"))).alias(f"{name}_bin"))
+    out = cum.groupBy("key").agg(*aggs)
+    cols = ["key", "n_values"]
+    for ppm in ppms:
+        name = f"p{ppm // 10000}" if ppm % 10000 == 0 else f"p_{ppm}ppm"
+        cols.append(F.col(f"{name}_bin"))
+        cols.append(
+            (F.col(f"{name}_bin") * F.lit(float(bin_width))).alias(name)
+        )
+    return out.select(*cols)
