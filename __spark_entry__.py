@@ -2017,6 +2017,19 @@ def q138_histogram_percentiles(spark, sf_dir):
     )
 
 
+def q139_hll_by_key(spark, sf_dir):
+    """Distinct (uuid:props) pairs PER EVENT TYPE via the per-key
+    portable HLL — keys × 2^p register state instead of a raw
+    count-distinct shuffle; same dyadic-exact estimator as q131, one
+    row per key."""
+    ev = _events(spark, sf_dir)
+    pairs = ev.select(
+        "event_type",
+        F.concat_ws(":", F.col("uuid"), F.col("props")).alias("pair"),
+    )
+    return analytics.hll_distinct_by_key(pairs, "event_type", "pair", p=7)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2185,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_trail_vectors": q136_trail_vectors,
         "q137_props_extract": q137_props_extract,
         "q138_histogram_percentiles": q138_histogram_percentiles,
+        "q139_hll_by_key": q139_hll_by_key,
     }
 
 
@@ -3214,6 +3228,37 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # q131's register recipe grouped by event_type
+        "q139_hll_by_key": f"""
+            WITH e AS ({_E}),
+            h AS (
+              SELECT event_type AS key,
+                     CAST(('0x' || substr(md5(uuid || ':' || props), 1, 15))
+                          AS BIGINT) AS h
+              FROM e),
+            rk AS (
+              SELECT key, h >> 53 AS b,
+                     CASE WHEN (h & ((1::BIGINT << 53) - 1)) = 0 THEN 54
+                          ELSE 53 - length(bin(h & ((1::BIGINT << 53) - 1))) + 1
+                     END AS r
+              FROM h),
+            regs AS (SELECT key, b, MAX(r) AS r FROM rk GROUP BY key, b),
+            s AS (
+              SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present,
+                     COALESCE(SUM(CAST((1::BIGINT << (54 - r)) AS HUGEINT)),
+                              0::HUGEINT) AS ps
+              FROM regs GROUP BY key),
+            n AS (
+              SELECT key, 128 AS m, n_present,
+                     ps + (128 - n_present) * (1::HUGEINT << 54) AS numer
+              FROM s)
+            SELECT key, m, n_present,
+                   CAST(numer AS DOUBLE) AS numer_d,
+                   CAST(11718.991761634348 AS DOUBLE)
+                     * CAST(18014398509481984.0 AS DOUBLE)
+                     / CAST(numer AS DOUBLE) AS estimate
+            FROM n
+        """,
         # same integer nearest-rank lattice on HUGEINTs; bin lower
         # boundary = bin * 10.0 (one IEEE multiply)
         "q138_histogram_percentiles": f"""

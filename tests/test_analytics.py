@@ -907,3 +907,16 @@ def test_histogram_percentiles_validation(spark):
         analytics.histogram_percentiles(df, probs=(0.0,))
     with _pytest.raises(ValueError, match="multiple"):
         analytics.histogram_percentiles(df, probs=(0.12345,))
+
+
+def test_hll_by_key_accuracy_per_key(spark):
+    rows = [("a", f"a-{i}") for i in range(4000)] + [
+        ("b", f"b-{i % 40}") for i in range(4000)  # only 40 distinct
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = {r["key"]: r for r in
+           analytics.hll_distinct_by_key(df, "k", "v", p=10).collect()}
+    assert abs(got["a"]["estimate"] - 4000) / 4000 < 0.10
+    # 40 distinct << 2.5m: raw estimator floor, but monotonically far
+    # below key a (the per-key separation is what the op is for)
+    assert got["b"]["estimate"] < got["a"]["estimate"] / 2

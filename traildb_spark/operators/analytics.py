@@ -1668,6 +1668,50 @@ def hll_distinct(
 
     Returns one row: ``(m, n_present, numer_d, estimate)``.
     """
+    out = hll_distinct_by_key(
+        df.select(F.lit("__all__").alias("__k"), F.col(col)), "__k", col, p
+    ).drop("key")
+    # empty input still yields the one-row EMPTY sketch (n_present = 0,
+    # numer = m·2^R, estimate = alpha·m — the raw-estimator floor):
+    # monitoring pipelines read this row, they don't branch on 0 rows
+    m = 1 << p
+    big_r = 60 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer0 = float(m) * float(2**big_r)
+    base = df.sparkSession.range(1).select(
+        F.lit(m).alias("m"),
+        F.lit(0).cast("long").alias("n_present"),
+        F.lit(numer0).alias("numer_d"),
+        F.lit(alpha * m * m * float(2**big_r) / numer0).alias("estimate"),
+    )
+    merged = base.join(
+        out.select(
+            F.col("m").alias("m2"),
+            F.col("n_present").alias("np2"),
+            F.col("numer_d").alias("nd2"),
+            F.col("estimate").alias("es2"),
+        ),
+        F.lit(True),
+        "left",
+    )
+    return merged.select(
+        F.coalesce(F.col("m2"), F.col("m")).alias("m"),
+        F.coalesce(F.col("np2"), F.col("n_present")).alias("n_present"),
+        F.coalesce(F.col("nd2"), F.col("numer_d")).alias("numer_d"),
+        F.coalesce(F.col("es2"), F.col("estimate")).alias("estimate"),
+    )
+
+
+def hll_distinct_by_key(
+    df: DataFrame, key_col: str, col: str, p: int = 12
+) -> DataFrame:
+    """Per-key :func:`hll_distinct` -- "distinct users per source" /
+    "distinct tokens per language" at 100 TB without a
+    count-distinct shuffle of the raw pairs: state is <= m = 2^p
+    registers PER KEY (keys x m rows total, mergeable by max), one
+    groupBy((key, bucket)) exchange. Same dyadic-exact estimator, same
+    oracle-checkability, one row per key.
+    """
     from ..functions.core import md5_60
 
     if not (4 <= p <= 16):
@@ -1679,20 +1723,18 @@ def hll_distinct(
     h = md5_60(F.col(col))
     bucket = F.shiftright(h, q)
     rest = h.bitwiseAND(F.lit((1 << q) - 1))
-    # rank = leading zeros of the q-bit field + 1; bit_length via
-    # length(bin(x)) -- the package's no-libm log2 discipline; rest = 0
-    # (all q bits zero) -> rank = q + 1 = R
     rank = F.when(rest == 0, F.lit(big_r)).otherwise(
         F.lit(q) - F.length(F.bin(rest)) + 1
     )
     regs = (
-        df.select(bucket.alias("b"), rank.alias("r"))
-        .groupBy("b")
+        df.select(F.col(key_col).alias("key"), bucket.alias("b"), rank.alias("r"))
+        .groupBy("key", "b")
         .agg(F.max("r").alias("r"))
     )
     dec = "decimal(38,0)"
     return (
-        regs.agg(
+        regs.groupBy("key")
+        .agg(
             F.count(F.lit(1)).alias("n_present"),
             F.sum(
                 F.expr(
@@ -1701,6 +1743,7 @@ def hll_distinct(
             ).alias("present_sum"),
         )
         .select(
+            "key",
             F.lit(m).alias("m"),
             "n_present",
             (
@@ -1712,6 +1755,7 @@ def hll_distinct(
             ).alias("numer_dec"),
         )
         .select(
+            "key",
             "m",
             "n_present",
             F.col("numer_dec").cast("double").alias("numer_d"),
