@@ -2030,6 +2030,33 @@ def q139_hll_by_key(spark, sf_dir):
     return analytics.hll_distinct_by_key(pairs, "event_type", "pair", p=7)
 
 
+def q140_upsample_corpus(spark, sf_dir):
+    """Per-source training-mix upsampling: 3 epochs of src0, 1.5 of
+    src1 (fractional copy by deterministic md5 threshold), 0.25 of
+    src2, everything else 1.0 — floor+threshold integer arithmetic,
+    narrow explode, no shuffle."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    out = curation.upsample_corpus(
+        docs, {"src0": 3.0, "src1": 1.5, "src2": 0.25}
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
+def q141_contamination_report(spark, sf_dir):
+    """Contamination audit pairs: every (benchmark item, corpus doc)
+    pair sharing a 13-word-gram with the shared-gram count — the
+    reviewable form of q47's silent anti-join (benchmark = every 50th
+    doc, corpus = the rest)."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return curation.contamination_report(corpus, bench, n=13)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2199,6 +2226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_props_extract": q137_props_extract,
         "q138_histogram_percentiles": q138_histogram_percentiles,
         "q139_hll_by_key": q139_hll_by_key,
+        "q140_upsample_corpus": q140_upsample_corpus,
+        "q141_contamination_report": q141_contamination_report,
     }
 
 
@@ -3228,6 +3257,49 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # q47's distinct-gram recipe, pair-level join + count instead of
+        # the anti-join verdict
+        "q141_contamination_report": f"""
+            WITH w AS (
+              SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [CAST(('0x' || substr(md5(array_to_string(ws[i:i+12], ' ')), 1, 15)) AS BIGINT)
+                        for i in generate_series(1, greatest(len(ws) - 12, 1))]) AS gs
+              FROM w),
+            bg AS (
+              SELECT doc_id AS bench_id, unnest(gs) AS gram
+              FROM g WHERE doc_id % 50 = 0),
+            cg AS (
+              SELECT doc_id, unnest(gs) AS gram
+              FROM g WHERE doc_id % 50 <> 0)
+            SELECT bg.bench_id, cg.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS shared_grams
+            FROM cg JOIN bg ON cg.gram = bg.gram
+            GROUP BY bg.bench_id, cg.doc_id
+        """,
+        # floor(factor) copies + one md5-threshold fractional copy;
+        # generate_series explode mirrors Spark's sequence explode
+        "q140_upsample_corpus": """
+            WITH f AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.5
+                                 WHEN 'src2' THEN 0.25 ELSE 1.0 END AS fac
+              FROM documents),
+            n AS (
+              SELECT doc_id, source,
+                     CAST(floor(fac) AS BIGINT)
+                     + CASE WHEN CAST(('0x' || substr(md5('up:' ||
+                           CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 1000000
+                         < CAST(round((fac - floor(fac)) * 1000000) AS BIGINT)
+                       THEN 1 ELSE 0 END AS n_copies
+              FROM f)
+            SELECT doc_id, source,
+                   CAST(unnest(generate_series(0, n_copies - 1)) AS INT) AS epoch
+            FROM n WHERE n_copies > 0
+        """,
         # q131's register recipe grouped by event_type
         "q139_hll_by_key": f"""
             WITH e AS ({_E}),

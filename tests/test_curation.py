@@ -378,3 +378,57 @@ def test_source_overlap_matrix_validation(spark):
         curation.source_overlap_matrix(df, n=0)
     with _pytest.raises(ValueError, match="max_sources_per_gram"):
         curation.source_overlap_matrix(df, max_sources_per_gram=1)
+
+
+def test_upsample_corpus_epochs_and_fractional(spark):
+    from traildb_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(100)] + [(1000 + i, "b") for i in range(200)],
+        "doc_id long, source string",
+    )
+    out = curation.upsample_corpus(df, {"a": 3.0, "b": 1.5})
+    per_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_src["a"] == 300  # exactly 3 epochs
+    # 1.5: 200 base + ~100 fractional (md5 threshold, deterministic)
+    assert 260 <= per_src["b"] <= 340
+    # determinism: identical on rerun
+    again = {
+        r["source"]: r["n"]
+        for r in curation.upsample_corpus(df, {"a": 3.0, "b": 1.5})
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert again == per_src
+    # epoch indices are dense per doc
+    [r] = out.filter("doc_id = 5").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("epoch")).alias("es")
+    ).collect()
+    assert r["es"] == [0, 1, 2]
+    # factor 0 drops; absent source passes through once
+    zero = curation.upsample_corpus(df, {"a": 0.0})
+    assert zero.filter("source = 'a'").count() == 0
+    assert zero.filter("source = 'b'").count() == 200
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="negative"):
+        curation.upsample_corpus(df, {"a": -1.0})
+
+
+def test_contamination_report_pairs(spark):
+    from traildb_spark.operators import curation
+
+    leak = "alpha beta gamma delta"
+    corpus = spark.createDataFrame(
+        [(1, f"x {leak} y"), (2, "nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"q {leak} r"), (200, "unrelated benchmark item")],
+        "doc_id long, text string",
+    )
+    rows = curation.contamination_report(corpus, bench, n=4).collect()
+    assert [(r["bench_id"], r["doc_id"]) for r in rows] == [(100, 1)]
+    assert rows[0]["shared_grams"] == 1

@@ -761,3 +761,88 @@ def source_overlap_matrix(
         F.col("shared").alias("shared_grams"),
         "jaccard_ppm",
     )
+
+
+def upsample_corpus(
+    df: DataFrame,
+    factors: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source UPSAMPLING for training mixes — the other half of
+    :func:`mix_corpus`'s downsampling: "3 epochs of wikipedia, 1.5 of
+    books, 1 of web". Each doc appears ``floor(factor)`` times, plus
+    one more with probability ``frac(factor)`` decided by the
+    deterministic md5 threshold (the :func:`hash_split` discipline —
+    reproducible across engines/reruns, no RNG). Output carries
+    ``epoch`` (0-based copy index) so downstream shuffling/packing can
+    interleave copies; sources absent from ``factors`` pass through at
+    factor 1.0.
+
+    Plan shape: one broadcast map join (factors are recipe-sized) + one
+    ``explode(sequence(0, n_copies - 1))`` — a narrow map whose fan-out
+    IS the requested epoch count; nothing shuffles.
+    """
+    for s, f in factors.items():
+        if f < 0:
+            raise ValueError(f"upsample_corpus: factor for {s!r} is negative")
+    from ..functions.core import md5_60
+
+    pairs = [x for kv in factors.items() for x in kv]
+    fmap = F.create_map(*[F.lit(x) for x in pairs]) if pairs else F.create_map()
+    factor = F.coalesce(
+        fmap[F.col(source_col)].cast("double"), F.lit(1.0)
+    )
+    base = F.floor(factor).cast("long")
+    frac_ppm = F.round((factor - F.floor(factor)) * 1_000_000).cast("long")
+    # deterministic fractional copy: md5("up:" || id) mod 1e6 < frac_ppm
+    roll = F.pmod(
+        md5_60(F.concat(F.lit("up:"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    n_copies = base + (roll < frac_ppm).cast("long")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )
+
+
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """The AUDIT form of :func:`decontaminate`: instead of silently
+    dropping leaked documents, report WHICH corpus doc leaks WHICH
+    benchmark item and by how much — ``(bench_id, doc_id,
+    shared_grams)`` for every pair sharing at least one word n-gram.
+    Contamination reviews want the pair list (to eyeball, to
+    threshold, to appeal); the anti-join wants the verdict. Same gram
+    machinery (60-bit md5 hashes, never strings), same broadcast-probe
+    plan: the benchmark gram table is small and broadcasts, corpus
+    grams never shuffle, and the output is bounded by actual leakage.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.explode(
+                md5_word_ngram_hashes(F.col(bench_text_col), n)
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    corpus_grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(md5_word_ngram_hashes(F.col(text_col), n)).alias("g"),
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("bench_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
