@@ -316,3 +316,28 @@ def test_cli_orc_ingest_and_dump(spark, tmp_path):
     assert main(["make", "-O", "--csv-header", "-o", db, src]) == 1
     # stdout export refused for columnar
     assert main(["dump", "-O", "-i", db]) == 1
+
+
+def test_cli_stats_and_explain(spark, tmp_path, capsys):
+    """`tdb stats` reports per-shard file sizes with compaction advice;
+    `tdb explain` surfaces pushdown/pruning for a CNF filter."""
+    from traildb_spark.cli import main
+
+    src = str(tmp_path / "ev_src")
+    spark.createDataFrame(
+        [(i, f"u{i%4}", 1704067200 + i, "click" if i % 2 else "view")
+         for i in range(40)],
+        "event_id long, user_id string, ts long, event_type string",
+    ).write.parquet(src)
+    db = str(tmp_path / "db")
+    assert main(["make", "-p", "-o", db, src]) == 0
+
+    assert main(["stats", "-i", db]) == 0
+    out = capsys.readouterr().out
+    assert "n_files" in out and "advice:" in out  # tiny files -> advice
+
+    assert main(["explain", "-i", db, "--filter", "event_type=click",
+                 "-f", "uuid,time,event_type"]) == 0
+    out = capsys.readouterr().out
+    assert "pushed filters:" in out and "event_type" in out
+    assert "read schemas:" in out and "struct<" in out

@@ -243,6 +243,57 @@ def cmd_diff(args) -> int:
     return 1 if bad else 0
 
 
+
+
+def cmd_stats(args) -> int:
+    from .dataset import dataset_file_stats
+
+    spark = _spark()
+    df = dataset_file_stats(spark, args.input)
+    rows = df.collect()
+    if not rows:
+        print("no data files")
+        return 0
+    print("shard n_files total_bytes min_bytes mean_bytes max_bytes")
+    for r in rows:
+        print(
+            f"{r['shard']} {r['n_files']} {r['total_bytes']} "
+            f"{r['min_bytes']} {r['mean_bytes']} {r['max_bytes']}"
+        )
+    small = [r["shard"] for r in rows if r["mean_bytes"] < args.small_mb * 1024 * 1024]
+    if small:
+        print(
+            f"advice: {len(small)} shard(s) below {args.small_mb} MB mean "
+            f"file size — run `tdb compact` / dataset.compact_shards: "
+            + ",".join(small[:10])
+        )
+    return 0
+
+
+def cmd_explain(args) -> int:
+    from .dataset import TrailDataset
+    from .operators.filters import parse_filter
+    from .plans.audit import explain_str, num_shuffles, pushed_filters, read_schemas
+
+    spark = _spark()
+    ds = TrailDataset.open(spark, args.input, use_index=not args.no_index)
+    if args.filter:
+        ds = ds.with_filter(parse_filter(args.filter))
+    df = ds.df
+    if args.fields:
+        df = df.select(*_split_fields(args.fields))
+    print("pushed filters:")
+    for f in pushed_filters(df) or ["(none)"]:
+        print(f"  {f}")
+    print("read schemas:")
+    for s in read_schemas(df) or ["(none)"]:
+        print(f"  {s}")
+    print(f"shuffles: {num_shuffles(df)}")
+    if args.verbose:
+        print(explain_str(df, "formatted"))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tdb", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -295,6 +346,21 @@ def build_parser() -> argparse.ArgumentParser:
     mg.add_argument("--uuids", help="uuid whitelist file applied to every input")
     mg.add_argument("inputs", nargs="+")
     mg.set_defaults(fn=cmd_merge)
+
+    st = sub.add_parser("stats", help="per-shard file-size report (+compaction advice)")
+    st.add_argument("-i", "--input", required=True)
+    st.add_argument("--small-mb", type=int, default=16,
+                    help="mean-file-size advice threshold in MB (default 16)")
+    st.set_defaults(fn=cmd_stats)
+
+    ex = sub.add_parser("explain", help="show pushdown/pruning for a filter (plan audit)")
+    ex.add_argument("-i", "--input", required=True)
+    ex.add_argument("--filter", help="CNF filter, e.g. 'a=1 b=2 & c!=3'")
+    ex.add_argument("-f", "--fields")
+    ex.add_argument("--no-index", action="store_true")
+    ex.add_argument("-v", "--verbose", action="store_true",
+                    help="print the full formatted physical plan")
+    ex.set_defaults(fn=cmd_explain)
 
     inf = sub.add_parser("info", help="dataset metadata (tdb_num_trails etc.)")
     inf.add_argument("-i", "--input", required=True)

@@ -938,3 +938,44 @@ def apply_patch(
     dels = patch.filter(F.col("__op") == "-").select(*cols)
     ins = patch.filter(F.col("__op") == "+").select(*cols)
     return base.select(*cols).exceptAll(dels).unionByName(ins)
+
+
+def dataset_file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Small-file diagnostic for a finalized/streamed dataset — the
+    advisor in front of :func:`compact_shards`: per top-level shard (or
+    ``(root)`` for unsharded layouts), file count, total bytes, and the
+    min/mean/max file size. A shard whose mean file size is far below
+    the HDFS-block/row-group sweet spot (~128 MB) is paying per-file
+    open cost on every scan — the streaming-finalize accumulation
+    pattern this report exists to catch.
+
+    Pure metadata: one recursive Hadoop FS listing
+    (`fsutil.list_data_files` — the same primary-data-file rules as the
+    fingerprint, so hidden/index subtrees never skew the stats),
+    file-count-sized driver state, scheme-agnostic (file://, hdfs://,
+    s3a://). Returns a DataFrame for composability with the rest of the
+    reporting surface.
+    """
+    from . import fsutil
+
+    rows: dict[str, list[int]] = {}
+    for rel, size, _mtime in fsutil.list_data_files(spark, path):
+        parts = rel.split("/")
+        shard = parts[0] if len(parts) > 1 and "=" in parts[0] else "(root)"
+        rows.setdefault(shard, []).append(size)
+    data = [
+        (
+            shard,
+            len(sizes),
+            int(sum(sizes)),
+            int(min(sizes)),
+            int(sum(sizes) // len(sizes)),
+            int(max(sizes)),
+        )
+        for shard, sizes in sorted(rows.items())
+    ]
+    return spark.createDataFrame(
+        data,
+        "shard string, n_files long, total_bytes long, "
+        "min_bytes long, mean_bytes long, max_bytes long",
+    )
