@@ -818,3 +818,131 @@ def test_chunked_fold_invariant_under_chunking(spark):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+# --- round-6 integer-exact family properties -----------------------------
+
+drift_event = st.tuples(
+    st.sampled_from(["k1", "k2"]),              # key
+    st.integers(min_value=0, max_value=199),    # time (t_split = 100)
+    st.one_of(st.none(), st.floats(min_value=-50, max_value=50,
+                                   allow_nan=False, allow_infinity=False)),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(drift_event, min_size=0, max_size=40))
+def test_tvd_drift_matches_python_oracle(spark, rows):
+    """distribution_drift's decimal lattice vs an exact-Fraction Python
+    evaluator: same bins, same NULL-bin semantics, ppm = floor(1e6*TVD)."""
+    import math
+    from collections import Counter
+    from fractions import Fraction
+
+    from traildb_spark.operators import analytics
+
+    df = spark.createDataFrame(rows, "event_type string, time long, value double")
+    got = {
+        r["key"]: (r["tot_a"], r["tot_b"], r["tvd_ppm"])
+        for r in analytics.distribution_drift(df, t_split=100, bin_width=10.0).collect()
+    }
+    want = {}
+    per = {}
+    for k, t, v in rows:
+        b = None if v is None else math.floor(v / 10.0)
+        side = 0 if t < 100 else 1
+        per.setdefault(k, Counter())[(b, side)] += 1
+    for k, c in per.items():
+        tot = [sum(n for (b, s), n in c.items() if s == side) for side in (0, 1)]
+        if tot[0] and tot[1]:
+            bins = {b for (b, _s) in c}
+            tvd = sum(
+                abs(Fraction(c[(b, 0)], tot[0]) - Fraction(c[(b, 1)], tot[1]))
+                for b in bins
+            ) / 2
+            ppm = (tvd.numerator * 1_000_000) // tvd.denominator
+        else:
+            ppm = None
+        want[k] = (tot[0], tot[1], ppm)
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(drift_event, min_size=0, max_size=40))
+def test_histogram_tvd_equals_one_pass(spark, rows):
+    from traildb_spark.operators import analytics
+
+    df = spark.createDataFrame(rows, "event_type string, time long, value double")
+    one = {
+        r["key"]: (r["tot_a"], r["tot_b"], r["tvd_ppm"])
+        for r in analytics.distribution_drift(df, t_split=100, bin_width=10.0).collect()
+    }
+    two = {
+        r["key"]: (r["tot_a"], r["tot_b"], r["tvd_ppm"])
+        for r in analytics.histogram_tvd(
+            analytics.value_histogram(df.filter("time < 100"), bin_width=10.0),
+            analytics.value_histogram(df.filter("time >= 100"), bin_width=10.0),
+        ).collect()
+    }
+    assert one == two
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(min_value=0, max_value=500)),
+        min_size=1, max_size=50,
+    )
+)
+def test_trend_slope_invariant_under_time_shift(spark, rows):
+    """OLS slope is shift-invariant: adding a constant to every time
+    moves the bucket range but not the slope — the closed-form x-moment
+    zero-fill must preserve that exactly."""
+    from traildb_spark.operators import analytics
+
+    df1 = spark.createDataFrame(rows, "event_type string, time long")
+    df2 = spark.createDataFrame(
+        [(k, t + 7000) for k, t in rows], "event_type string, time long"
+    )
+    a = {
+        r["key"]: (r["n_buckets"], r["total"], r["slope_num"], r["slope_den"],
+                   r["slope_ppm_per_bucket"])
+        for r in analytics.trend_by_key(df1, bucket_seconds=100).collect()
+    }
+    b = {
+        r["key"]: (r["n_buckets"], r["total"], r["slope_num"], r["slope_den"],
+                   r["slope_ppm_per_bucket"])
+        for r in analytics.trend_by_key(df2, bucket_seconds=100).collect()
+    }
+    assert a == b
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sets=st.dictionaries(
+        st.sampled_from(["d1", "d2", "d3", "d4"]),
+        st.sets(st.sampled_from(list("abcdefgh")), min_size=1, max_size=8),
+        min_size=1, max_size=4,
+    )
+)
+def test_set_jaccard_matches_python_sets(spark, sets):
+    from traildb_spark.operators.dedup import set_jaccard_pairs
+
+    rows = [(i, f) for i, fs in sets.items() for f in fs]
+    df = spark.createDataFrame(rows, "id string, f string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["size_a"], r["size_b"], r["shared"],
+                                 r["jaccard_ppm"])
+        for r in set_jaccard_pairs(df, "id", "f", max_ids_per_feature=64).collect()
+    }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sh = len(sets[a] & sets[b])
+            if sh:
+                un = len(sets[a] | sets[b])
+                want[(a, b)] = (len(sets[a]), len(sets[b]), sh,
+                                sh * 1_000_000 // un)
+    assert got == want

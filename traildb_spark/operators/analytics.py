@@ -1231,15 +1231,27 @@ def histogram_tvd(ha: DataFrame, hb: DataFrame) -> DataFrame:
     Plan shape: full outer join on (key, bin) with zero-fill, then one
     key-sized aggregate — everything histogram-sized.
     """
-    a = ha.select("key", "bin", F.col("cnt").alias("cnt_a"))
-    b = hb.select("key", "bin", F.col("cnt").alias("cnt_b"))
-    m = (
-        a.join(b, ["key", "bin"], "full_outer")
-        .select(
-            "key",
-            F.coalesce(F.col("cnt_a"), F.lit(0)).alias("cnt_a"),
-            F.coalesce(F.col("cnt_b"), F.lit(0)).alias("cnt_b"),
-        )
+    a = ha.select(
+        F.col("key").alias("key_a"), F.col("bin").alias("bin_a"),
+        F.col("cnt").alias("cnt_a"),
+    )
+    b = hb.select(
+        F.col("key").alias("key_b"), F.col("bin").alias("bin_b"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    # NULL-SAFE bin equality: the NULL-value bin is a real bin on both
+    # sides (distribution_drift groups it as one), and a plain equi-join
+    # would split it into two one-sided rows — inflating TVD for any key
+    # whose NULL rate did NOT drift
+    m = a.join(
+        b,
+        (F.col("key_a") == F.col("key_b"))
+        & F.col("bin_a").eqNullSafe(F.col("bin_b")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("key_a"), F.col("key_b")).alias("key"),
+        F.coalesce(F.col("cnt_a"), F.lit(0)).alias("cnt_a"),
+        F.coalesce(F.col("cnt_b"), F.lit(0)).alias("cnt_b"),
     )
     totals = m.groupBy("key").agg(
         F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
