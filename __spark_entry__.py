@@ -2057,6 +2057,23 @@ def q141_contamination_report(spark, sf_dir):
     return curation.contamination_report(corpus, bench, n=13)
 
 
+def q142_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val split: near-dup clusters (q42's simhash
+    components) are hashed by their COMPONENT label, so every member
+    moves to the same split — the fix for hash_split's per-doc leakage.
+    Oracle: q42's recursive CTE + the hash_bucket range rule on the
+    label."""
+    from traildb_spark.functions.core import md5_60
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, max_hamming=3, token_hasher=md5_60)
+    out = curation.leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.2}
+    )
+    return out.select("doc_id", "component", "split")
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2228,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_hll_by_key": q139_hll_by_key,
         "q140_upsample_corpus": q140_upsample_corpus,
         "q141_contamination_report": q141_contamination_report,
+        "q142_leakage_safe_split": q142_leakage_safe_split,
     }
 
 
@@ -3257,6 +3275,16 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # q42's components + the hash_bucket range rule on the label
+        "q142_leakage_safe_split": """
+            WITH labeled AS ({_q42})
+            SELECT doc_id, component,
+                   CASE WHEN CAST(('0x' || substr(md5(
+                          CAST(component AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 10000 < 8000
+                   THEN 'train' ELSE 'val' END AS split
+            FROM labeled
+        """.format(_q42=_q42_sql),
         # q47's distinct-gram recipe, pair-level join + count instead of
         # the anti-join verdict
         "q141_contamination_report": f"""

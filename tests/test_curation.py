@@ -432,3 +432,36 @@ def test_contamination_report_pairs(spark):
     rows = curation.contamination_report(corpus, bench, n=4).collect()
     assert [(r["bench_id"], r["doc_id"]) for r in rows] == [(100, 1)]
     assert rows[0]["shared_grams"] == 1
+
+
+def test_leakage_safe_split_clusters_move_together(spark):
+    from traildb_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # clusters: {0,1,2}, {10,11}; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = curation.leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.2}
+    ).collect()
+    split = {r["doc_id"]: r["split"] for r in out}
+    comp = {r["doc_id"]: r["component"] for r in out}
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert split[0] == split[1] == split[2]
+    assert split[10] == split[11]
+    assert comp[50] == 50  # singleton labels itself
+    # both splits are populated across the 200 docs
+    assert {r["split"] for r in out} == {"train", "val"}
+    # and the assignment equals plain hash_split on the component label
+    import collections
+
+    by_comp = collections.Counter(
+        (comp[d], split[d]) for d in split
+    )
+    assert all(
+        len({s for (c2, s) in by_comp if c2 == c}) == 1
+        for c in set(comp.values())
+    )

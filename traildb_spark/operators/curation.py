@@ -846,3 +846,39 @@ def contamination_report(
         .groupBy("bench_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Train/val/test assignment where near-duplicates NEVER straddle
+    splits — the classic eval-leakage bug (:func:`hash_split` hashes
+    each id independently, so two near-identical docs can land in train
+    AND val; the model then "generalizes" to its own training data).
+    Given any similarity pair set (`dedup.simhash_pairs`,
+    `minhash_lsh_pairs`, `set_jaccard_pairs` output renamed to
+    ``id_a/id_b``...), documents are grouped into connected components
+    and the SPLIT IS HASHED FROM THE COMPONENT LABEL (min id — the
+    `dedup_clusters` convention), so every member of a cluster moves
+    together; singletons hash their own id, which IS their label.
+
+    Returns ``df`` + ``component`` + ``split``. Scale: inherits
+    `dedup.connected_components`' large-star/small-star posture; the
+    split itself is a pure projection on the label.
+    """
+    from .dedup import connected_components
+
+    comp = connected_components(pairs)  # (id, component)
+    labeled = df.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    return hash_split(
+        labeled, weights, id_col="component", salt=salt, buckets=buckets
+    )
