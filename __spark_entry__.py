@@ -2074,6 +2074,14 @@ def q142_leakage_safe_split(spark, sf_dir):
     return out.select("doc_id", "component", "split")
 
 
+def q143_embedding_outliers(spark, sf_dir):
+    """Centroid-distance outlier gate over the embedding table: exact
+    integer lattice n²·dist² per vector, flag above max_dist=1.008 —
+    no float accumulation anywhere, every d2 value oracle-checked."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.embedding_outliers(emb, max_dist=1.008)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2246,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_upsample_corpus": q140_upsample_corpus,
         "q141_contamination_report": q141_contamination_report,
         "q142_leakage_safe_split": q142_leakage_safe_split,
+        "q143_embedding_outliers": q143_embedding_outliers,
     }
 
 
@@ -3275,6 +3284,48 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # n²·Σq² − 2n·(q·S) + ΣS² on HUGEINTs; threshold literal
+        # floor((1.008·1024)²) = 1065420 baked into both sides
+        "q143_embedding_outliers": """
+            WITH q AS (
+              SELECT vec_id,
+                     [CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)
+                      for x in embedding] AS qv
+              FROM embeddings),
+            u AS (
+              SELECT vec_id,
+                     unnest(generate_series(1, len(qv))) AS i,
+                     unnest(qv) AS qx
+              FROM q),
+            sv AS (
+              SELECT list(s ORDER BY i) AS S,
+                     CAST(COUNT(*) AS BIGINT) AS d
+              FROM (SELECT i, CAST(SUM(qx) AS BIGINT) AS s
+                    FROM u GROUP BY i)),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+            ssq AS (
+              SELECT CAST(list_reduce(list_prepend(0::HUGEINT,
+                       [CAST(x AS HUGEINT) * x for x in sv.S]),
+                       (a, b) -> a + b) AS HUGEINT) AS ss
+              FROM sv),
+            per AS (
+              SELECT q.vec_id,
+                     CAST(nn.n AS HUGEINT) * nn.n
+                       * list_reduce(list_prepend(0::HUGEINT,
+                           [CAST(x AS HUGEINT) * x for x in q.qv]),
+                           (a, b) -> a + b)
+                     - 2 * CAST(nn.n AS HUGEINT)
+                       * list_reduce(list_prepend(0::HUGEINT,
+                           [CAST(q.qv[i] AS HUGEINT) * sv.S[i]
+                            for i in generate_series(1, len(q.qv))]),
+                           (a, b) -> a + b)
+                     + ssq.ss AS d2
+              FROM q CROSS JOIN nn CROSS JOIN sv CROSS JOIN ssq)
+            SELECT vec_id AS id,
+                   CAST(d2 AS BIGINT) AS d2_lattice,
+                   d2 > CAST(nn.n AS HUGEINT) * nn.n * 1065420 AS is_outlier
+            FROM per CROSS JOIN nn
+        """,
         # q42's components + the hash_bucket range rule on the label
         "q142_leakage_safe_split": """
             WITH labeled AS ({_q42})

@@ -1458,3 +1458,33 @@ def test_pca_project_partitioning_invariant_and_validation(spark, sf_dir):
         similarity.pca_project(emb, 0)
     with _pytest.raises(ValueError, match="exceeds dim"):
         similarity.pca_project(emb, 1000)
+
+
+def test_embedding_outliers_exact_lattice(spark):
+    # 2-d, Q1 (scale 2): v1=(1,0)->q(2,0), v2=(1,0)->q(2,0), v3=(-1,0)->q(-2,0)
+    # n=3, S=(2,0)... wait S=(2+2-2, 0)=(2,0); ss=4
+    # D(v1) = 9*4 - 2*3*(2*2) + 4 = 36 - 24 + 4 = 16  (same v2)
+    # D(v3) = 9*4 - 2*3*(-4) + 4 = 36 + 24 + 4 = 64
+    # max_dist=1.2: t = floor((1.2*2)^2)=5 -> n²t = 45: v3 (64) outlier,
+    # v1/v2 (16) not
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["id"]: (r["d2_lattice"], r["is_outlier"])
+        for r in similarity.embedding_outliers(
+            df, max_dist=1.2, q_scale_bits=1
+        ).collect()
+    }
+    assert got == {1: (16, False), 2: (16, False), 3: (64, True)}
+
+
+def test_embedding_outliers_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, [0.5])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="max_dist"):
+        similarity.embedding_outliers(df, max_dist=0)

@@ -693,3 +693,86 @@ def pca_project(
     return df.select(id_col, vec_col).mapInPandas(
         project, schema=f"id {id_t}, proj array<double>"
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    max_dist: float = 1.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_scale_bits: int = 10,
+) -> DataFrame:
+    """Centroid-distance outlier detection over an embedding column —
+    the "drop the garbage vectors before they poison clustering/ANN"
+    gate, exact end to end: with quantized vectors q and per-dimension
+    sums S (n vectors), the squared distance to the centroid obeys::
+
+        n² · ||q - S/n||²  =  n²·Σq² - 2n·(q·S) + ΣS²      (all int64)
+
+    so the flag ``dist > max_dist`` evaluates as the INTEGER lattice
+    comparison ``D > n² · floor((max_dist·2^bits)²)`` — bit-identical
+    across engines, no float accumulation. Returns every vector with
+    ``(id, d2_lattice, is_outlier)``; rank by ``d2_lattice`` for a
+    top-k form, or feed it to `analytics.histogram_percentiles` for a
+    data-derived radius.
+
+    Two passes: per-dimension sums via :func:`embedding_gram`'s
+    diagonal (metadata-scale collect — the centroid policy), then one
+    Arrow-batched pass computing the lattice per vector with integer
+    matvec (batch-shape-independent by construction: integer sums).
+    Overflow: |q| ≤ 2^bits, so D ≤ n²·d·2^(2·bits) — int64-exact to
+    n ~ 6e5 at Q10/d=64; the assert raises rather than wraps.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if max_dist <= 0:
+        raise ValueError(
+            f"embedding_outliers: max_dist must be > 0, got {max_dist}"
+        )
+    gram = embedding_gram(df, vec_col=vec_col, q_scale_bits=q_scale_bits)
+    diag = gram.filter(F.col("i") == F.col("j")).collect()
+    if not diag:
+        raise ValueError("embedding_outliers: empty input")
+    d = max(r["i"] for r in diag) + 1
+    n = diag[0]["n_vecs"]
+    S = np.zeros(d, dtype=np.int64)
+    for r in diag:
+        S[r["i"]] = r["sum_i"]
+    ss = int((S.astype(object) ** 2).sum())  # exact python ints
+    scale = 1 << q_scale_bits
+    t_lattice = int(n) * int(n) * int(
+        np.floor((max_dist * scale) ** 2)
+    )
+    if (
+        int(n) * int(n) * d * (1 << (2 * q_scale_bits + 2)) > 2**63 - 1
+    ):
+        raise ValueError(
+            "embedding_outliers: the distance lattice would overflow "
+            f"int64 at n={n}, d={d}, q_scale_bits={q_scale_bits} — "
+            "reduce q_scale_bits or pre-partition the corpus"
+        )
+    S_b, n_b, ss_b = S.copy(), int(n), ss
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(V * scale).astype(np.int64)
+            D = (
+                n_b * n_b * (Q * Q).sum(axis=1)
+                - 2 * n_b * (Q * S_b).sum(axis=1)
+                + ss_b
+            )
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "d2_lattice": D})
+
+    id_t = dict(df.dtypes)[id_col]
+    scored = df.select(id_col, vec_col).mapInPandas(
+        score, schema=f"id {id_t}, d2_lattice long"
+    )
+    return scored.select(
+        "id",
+        "d2_lattice",
+        (F.col("d2_lattice") > F.lit(t_lattice)).alias("is_outlier"),
+    )
