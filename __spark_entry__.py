@@ -2082,6 +2082,22 @@ def q143_embedding_outliers(spark, sf_dir):
     return similarity.embedding_outliers(emb, max_dist=1.008)
 
 
+def q144_conversion_rates(spark, sf_dir):
+    """Visitor-level conversion rate with Wilson 95% bounds — exact
+    integer counts, a handful of correctly-rounded IEEE ops, half-up
+    rounding; one uuid aggregate + one scalar aggregate."""
+    ev = _events(spark, sf_dir).select("uuid", "event_type")
+    return analytics.conversion_rates(ev, "purchase")
+
+
+def q145_trail_entropy(spark, sf_dir):
+    """Behavioral diversity per trail: whole-bit integerized Shannon
+    entropy (bits(n) − bits(cnt) per event — the surprisal discipline,
+    no libm log), lexicon-bounded aggregates."""
+    ev = _events(spark, sf_dir).select("uuid", "event_type")
+    return analytics.trail_entropy(ev)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2255,6 +2271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_contamination_report": q141_contamination_report,
         "q142_leakage_safe_split": q142_leakage_safe_split,
         "q143_embedding_outliers": q143_embedding_outliers,
+        "q144_conversion_rates": q144_conversion_rates,
+        "q145_trail_entropy": q145_trail_entropy,
     }
 
 
@@ -3284,6 +3302,58 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # Wilson bounds: same IEEE op chain on exact counts, half-up
+        # round — z and z² appear as identical double literals
+        "q144_conversion_rates": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT uuid,
+                     MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+              FROM e GROUP BY uuid),
+            a AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_trails,
+                     CAST(SUM(conv) AS BIGINT) AS n_converted
+              FROM per),
+            m AS (
+              SELECT n_trails, n_converted,
+                     CAST(n_trails AS DOUBLE) AS n,
+                     CAST(n_converted AS DOUBLE) AS x,
+                     CAST(3.8415999999999995 AS DOUBLE) AS z2
+              FROM a)
+            SELECT n_trails, n_converted,
+                   CASE WHEN n_trails > 0 THEN round(x / n, 6) END AS rate,
+                   CASE WHEN n_trails > 0 THEN round(
+                     (x / n + z2 / (2 * n))
+                       / (CAST(1.0 AS DOUBLE) + z2 / n)
+                     - CAST(1.96 AS DOUBLE)
+                       * sqrt((x / n) * (CAST(1.0 AS DOUBLE) - x / n) / n
+                              + z2 / (4 * n * n))
+                       / (CAST(1.0 AS DOUBLE) + z2 / n), 6) END AS wilson_lo,
+                   CASE WHEN n_trails > 0 THEN round(
+                     (x / n + z2 / (2 * n))
+                       / (CAST(1.0 AS DOUBLE) + z2 / n)
+                     + CAST(1.96 AS DOUBLE)
+                       * sqrt((x / n) * (CAST(1.0 AS DOUBLE) - x / n) / n
+                              + z2 / (4 * n * n))
+                       / (CAST(1.0 AS DOUBLE) + z2 / n), 6) END AS wilson_hi
+            FROM m
+        """,
+        # whole-bit entropy: 1000·(n·bits(n) − Σ cnt·bits(cnt)) div n
+        "q145_trail_entropy": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT uuid, event_type AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM e GROUP BY 1, 2),
+            g AS (
+              SELECT uuid, CAST(SUM(cnt) AS BIGINT) AS n_events,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(SUM(cnt * length(bin(cnt))) AS BIGINT) AS cb
+              FROM per GROUP BY uuid)
+            SELECT uuid, n_events, n_distinct,
+                   1000 * (n_events * length(bin(n_events)) - cb)
+                     // n_events AS entropy_millibits
+            FROM g
+        """,
         # n²·Σq² − 2n·(q·S) + ΣS² on HUGEINTs; threshold literal
         # floor((1.008·1024)²) = 1065420 baked into both sides
         "q143_embedding_outliers": """

@@ -920,3 +920,49 @@ def test_hll_by_key_accuracy_per_key(spark):
     # 40 distinct << 2.5m: raw estimator floor, but monotonically far
     # below key a (the per-key separation is what the op is for)
     assert got["b"]["estimate"] < got["a"]["estimate"] / 2
+
+
+def test_conversion_rates_wilson(spark):
+    # 4 trails, 1 converts: rate 0.25; Wilson bounds vs scipy-free
+    # closed form computed here in python with the same float ops
+    rows = [
+        ("u1", "purchase"), ("u1", "click"),
+        ("u2", "click"), ("u3", "view"), ("u4", "click"),
+    ]
+    df = spark.createDataFrame(rows, "uuid string, event_type string")
+    [r] = analytics.conversion_rates(df, "purchase").collect()
+    assert (r["n_trails"], r["n_converted"], r["rate"]) == (4, 1, 0.25)
+    import math
+
+    n, x, z = 4.0, 1.0, 1.96
+    z2 = z * z
+    p = x / n
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = z * math.sqrt(p * (1.0 - p) / n + z2 / (4 * n * n)) / denom
+    assert abs(r["wilson_lo"] - round(center - half, 6)) <= 1e-6
+    assert abs(r["wilson_hi"] - round(center + half, 6)) <= 1e-6
+    assert 0 <= r["wilson_lo"] < r["rate"] < r["wilson_hi"] <= 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="z must be"):
+        analytics.conversion_rates(df, "purchase", z=0)
+
+
+def test_trail_entropy_whole_bit(spark):
+    # u1: 4 events of one type -> cnt=4 bits=3, n=4 bits=3 ->
+    #   1000*(4*3 - 4*3) div 4 = 0 (monotone bot)
+    # u2: 2+2 of two types -> n=4 bits 3; each cnt=2 bits 2 ->
+    #   1000*(12 - 8) div 4 = 1000 millibits (exactly 1 bit: true H=1)
+    # u3: 3+1 -> n=4: 1000*(12 - (3*2 + 1*1)) div 4 = 1250
+    rows = (
+        [("u1", "a")] * 4
+        + [("u2", "a")] * 2 + [("u2", "b")] * 2
+        + [("u3", "a")] * 3 + [("u3", "b")]
+    )
+    df = spark.createDataFrame(rows, "uuid string, event_type string")
+    got = {
+        r["uuid"]: (r["n_events"], r["n_distinct"], r["entropy_millibits"])
+        for r in analytics.trail_entropy(df).collect()
+    }
+    assert got == {"u1": (4, 1, 0), "u2": (4, 2, 1000), "u3": (4, 2, 1250)}

@@ -2055,3 +2055,98 @@ def histogram_percentiles(
             (F.col(f"{name}_bin") * F.lit(float(bin_width))).alias(name)
         )
     return out.select(*cols)
+
+
+def conversion_rates(
+    df: DataFrame,
+    conversion: str,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-trail conversion rate with a Wilson score interval — the
+    "is 3.1% really better than 2.9%" answer a bare ratio can't give.
+    A trail converts if it contains >= 1 ``conversion`` event; rate and
+    interval are over TRAILS (the visitor-level definition), not
+    events. The Wilson bounds use a handful of IEEE ops (add, multiply,
+    divide, one sqrt — each correctly rounded) on exact integer counts,
+    so results are engine-portable without rounding tricks; they are
+    rounded half-up to 6 places for presentation.
+
+    Returns one row: ``(n_trails, n_converted, rate, wilson_lo,
+    wilson_hi)``. Plan: one groupBy(uuid) max-flag aggregate (map-side
+    combined), one scalar aggregate.
+    """
+    if z <= 0:
+        raise ValueError(f"conversion_rates: z must be > 0, got {z}")
+    per = df.groupBy(F.col(uuid_col).alias("uuid")).agg(
+        F.max((F.col(field) == conversion).cast("long")).alias("conv")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_trails"),
+        F.sum("conv").alias("n_converted"),
+    )
+    n = F.col("n_trails").cast("double")
+    x = F.col("n_converted").cast("double")
+    z2 = F.lit(float(z * z))
+    p = x / n
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (4 * n * n))
+        / denom
+    )
+    return agg.select(
+        "n_trails",
+        "n_converted",
+        F.when(F.col("n_trails") > 0, F.round(p, 6)).alias("rate"),
+        F.when(F.col("n_trails") > 0, F.round(center - half, 6)).alias(
+            "wilson_lo"
+        ),
+        F.when(F.col("n_trails") > 0, F.round(center + half, 6)).alias(
+            "wilson_hi"
+        ),
+    )
+
+
+def trail_entropy(
+    df: DataFrame,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+) -> DataFrame:
+    """Per-trail behavioral diversity as integerized Shannon entropy —
+    the signal that separates a monotone bot (one event type, entropy
+    0) from a browsing human, in the same whole-bit discipline as
+    `text.unigram_surprisal` (no libm log): each event contributes
+    ``bits(n) - bits(cnt_v)`` whole bits, where bits(x) =
+    length(bin(x)) and cnt_v is its value's count in the trail::
+
+        entropy_millibits = 1000 * Σ_v cnt_v·(bits(n) − bits(cnt_v)) / n
+
+    — an integer-exact upper-ish approximation of n·H (exact when all
+    counts are powers of two), bit-identical across engines. Returns
+    ``(uuid, n_events, n_distinct, entropy_millibits)`` where the
+    division is the truncating integer div.
+
+    Plan: one groupBy(uuid, value) count (map-side combined) + one
+    groupBy(uuid) — lexicon-bounded per trail, never event² anything.
+    """
+    per = df.groupBy(
+        F.col(uuid_col).alias("uuid"), F.col(field).alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bits = lambda c: F.length(F.bin(c))
+    out = per.groupBy("uuid").agg(
+        F.sum("cnt").alias("n_events"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("cnt") * bits(F.col("cnt"))).alias("__cb"),
+    )
+    return out.select(
+        "uuid",
+        "n_events",
+        "n_distinct",
+        F.expr(
+            "1000 * (n_events * length(bin(n_events)) - __cb)"
+            " div n_events"
+        ).alias("entropy_millibits"),
+    )
