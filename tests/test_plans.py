@@ -710,3 +710,26 @@ def test_winnow_single_doc_shuffle(spark):
     plan = audit.explain_str(out, "simple")
     assert "CartesianProduct" not in plan, plan
     assert audit.num_shuffles(out) <= 2, plan
+
+
+def test_upsample_corpus_zero_shuffle(spark, sf_dir):
+    """Epoch fan-out is a narrow explode: no exchange anywhere."""
+    from traildb_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation.upsample_corpus(docs, {"src0": 2.5})
+    assert audit.num_shuffles(out) == 0, audit.explain_str(out, "simple")
+
+
+def test_trail_vectors_no_pivot_join(spark, sf_dir):
+    """The lexicon ships as an array literal in the plan — vector
+    construction must not join or pivot per value: the only exchanges
+    are the two uuid/value aggregates."""
+    from tests.conftest import load_events
+    from traildb_spark.operators import trails as T
+
+    ev = load_events(spark, sf_dir)
+    out = T.trail_vectors(ev)
+    plan = audit.explain_str(out, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert audit.num_shuffles(out) <= 2, plan
