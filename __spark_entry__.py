@@ -2098,6 +2098,16 @@ def q145_trail_entropy(spark, sf_dir):
     return analytics.trail_entropy(ev)
 
 
+def q146_session_funnel(spark, sf_dir):
+    """Within-session funnels (signup → view → purchase inside ONE
+    30-minute session) — sessionize + the funnel latch fold keyed on
+    the (uuid, session) struct; whole-trail funnels over-credit
+    cross-session journeys."""
+    ev = _events(spark, sf_dir).select("uuid", "time", "event_type")
+    steps = [F.col("event_type") == s for s in ("signup", "view", "purchase")]
+    return analytics.session_funnel(ev, steps, gap=1800)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2273,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_embedding_outliers": q143_embedding_outliers,
         "q144_conversion_rates": q144_conversion_rates,
         "q145_trail_entropy": q145_trail_entropy,
+        "q146_session_funnel": q146_session_funnel,
     }
 
 
@@ -3302,6 +3313,37 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # q06's sessionization + q60's independent min-chain, both keyed
+        # on (uuid, session)
+        "q146_session_funnel": f"""
+            WITH e0 AS (SELECT uuid, "time" AS t, event_type FROM ({_E})),
+            m AS (
+              SELECT uuid, t, event_type,
+                     CASE WHEN t - lag(t) OVER (PARTITION BY uuid ORDER BY t) > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e0),
+            e AS (
+              SELECT uuid,
+                     CAST(SUM(is_new) OVER (PARTITION BY uuid ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid,
+                     t, event_type
+              FROM m),
+            u AS (SELECT DISTINCT uuid, sid FROM e),
+            c0 AS (SELECT uuid, sid, min(t) AS t0 FROM e
+                   WHERE event_type = 'signup' GROUP BY uuid, sid),
+            c1 AS (SELECT e.uuid, e.sid, min(t) AS t1
+                   FROM e JOIN c0 USING (uuid, sid)
+                   WHERE event_type = 'view' AND t > t0 GROUP BY e.uuid, e.sid),
+            c2 AS (SELECT e.uuid, e.sid, min(t) AS t2
+                   FROM e JOIN c1 USING (uuid, sid)
+                   WHERE event_type = 'purchase' AND t > t1 GROUP BY e.uuid, e.sid)
+            SELECT u.uuid, u.sid AS session_id,
+                   c0.t0 AS s0, c1.t1 AS s1, c2.t2 AS s2
+            FROM u LEFT JOIN c0 USING (uuid, sid)
+                   LEFT JOIN c1 USING (uuid, sid)
+                   LEFT JOIN c2 USING (uuid, sid)
+        """,
         # Wilson bounds: same IEEE op chain on exact counts, half-up
         # round — z and z² appear as identical double literals
         "q144_conversion_rates": f"""

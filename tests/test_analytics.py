@@ -966,3 +966,26 @@ def test_trail_entropy_whole_bit(spark):
         for r in analytics.trail_entropy(df).collect()
     }
     assert got == {"u1": (4, 1, 0), "u2": (4, 2, 1000), "u3": (4, 2, 1250)}
+
+
+def test_session_funnel_resets_across_sessions(spark):
+    # u1 session0: a@0 b@10 (complete); session1 (gap>1800): a@10000
+    # only — the whole-trail funnel would credit b@10 BEFORE a@10000?
+    # no: whole-trail latches a@0,b@10; the session form must give
+    # session1 an incomplete funnel instead of inheriting session0's.
+    rows = [
+        ("u1", 0, "a"), ("u1", 10, "b"),
+        ("u1", 10000, "a"), ("u1", 10005, "b"),
+        ("u2", 0, "b"),  # step-0 never fires
+    ]
+    df = spark.createDataFrame(rows, "uuid string, time long, event_type string")
+    steps = [F.col("event_type") == "a", F.col("event_type") == "b"]
+    got = {
+        (r["uuid"], r["session_id"]): (r["s0"], r["s1"])
+        for r in analytics.session_funnel(df, steps, gap=1800).collect()
+    }
+    assert got == {
+        ("u1", 0): (0, 10),
+        ("u1", 1): (10000, 10005),
+        ("u2", 0): (None, None),
+    }

@@ -2150,3 +2150,46 @@ def trail_entropy(
             " div n_events"
         ).alias("entropy_millibits"),
     )
+
+
+def session_funnel(
+    df: DataFrame,
+    steps: list[Column],
+    gap: int = 1800,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    within: int | None = None,
+) -> DataFrame:
+    """Within-SESSION funnels: :func:`funnel_times` evaluated per
+    (trail, session) instead of per whole trail -- "did the user
+    complete the flow in one sitting", the product-analytics question
+    whole-trail funnels over-credit (a signup on Monday and a purchase
+    in an unrelated Friday session is not one funnel). Sessions come
+    from `trails.sessionize` (the tutorial's gap rule); the funnel fold
+    then keys on the composite (uuid, session_id).
+
+    Returns one row per session: ``(uuid, session_id, s0..s_k)`` --
+    same latch semantics, NULL once the chain breaks inside the
+    session. Plan: sessionize's uuid window + the fold's composite-key
+    shuffle -- two uuid-clustered exchanges, no Python.
+    """
+    from .trails import sessionize
+
+    s = sessionize(df, gap, uuid_col, time_col)
+    # composite key as a STRUCT (groupBy on struct types is exact) --
+    # string concatenation would corrupt uuids containing the delimiter
+    sk = F.struct(
+        F.col(uuid_col).alias("u"), F.col("session_id").alias("sid")
+    )
+    out = funnel_times(
+        s.withColumn("__sk", sk),
+        steps,
+        uuid_col="__sk",
+        time_col=time_col,
+        within=within,
+    )
+    return out.select(
+        F.col("uuid.u").alias("uuid"),
+        F.col("uuid.sid").alias("session_id"),
+        *[c for c in out.columns if c != "uuid"],
+    )
