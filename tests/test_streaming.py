@@ -1010,3 +1010,78 @@ def test_streaming_anomalies_from_histogram_state(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_hll_matches_batch_and_trend_from_state(spark, sf_dir, tmp_path):
+    """streamed HLL registers == the one-shot batch sketch; plus the
+    trend leg of the monitoring trio: trend_from_counts over a
+    time-bucketed streaming histogram == batch trend_by_key."""
+    from traildb_spark.functions.core import ts_seconds
+    from traildb_spark.operators import analytics
+    from traildb_spark.streaming.ingest import (
+        _hll_batch,
+        histogram_current,
+        hll_current,
+        streaming_histogram,
+        streaming_hll,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        F.col("event_type").cast("string").alias("event_type"),
+        ts_seconds(raw).alias("time"),
+        F.concat_ws(":", F.col("user_id").cast("string"), F.col("props")).alias("pair"),
+    )
+    path = str(tmp_path / "hll_src")
+    ev.repartition(3).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    # --- HLL leg ---
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out, ckpt = str(tmp_path / "hll_out"), str(tmp_path / "hll_ckpt")
+    q = streaming_hll(stream, "pair", out, ckpt, p=7)
+    q.awaitTermination(120)
+    [live] = hll_current(spark, out, ckpt, p=7).collect()
+    [batch] = analytics.hll_distinct(ev, "pair", p=7).collect()
+    assert (live["m"], live["n_present"], live["numer_d"], live["estimate"]) == (
+        batch["m"], batch["n_present"], batch["numer_d"], batch["estimate"])
+
+    # replay of the committed last batch is a no-op
+    import hashlib, os
+
+    token = hashlib.md5(ckpt.encode()).hexdigest()[:8]
+    cur = [f for f in os.listdir(out) if f.startswith("_latest")][0]
+    with open(f"{out}/{cur}") as fh:
+        last_id = int(fh.read().strip().rsplit("_", 1)[1])
+    assert _hll_batch(
+        spark.read.parquet(path), last_id, out, "pair", 7, token
+    ) is False
+
+    # --- trend leg ---
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out2, ckpt2 = str(tmp_path / "tr_out"), str(tmp_path / "tr_ckpt")
+    q2 = streaming_histogram(
+        stream2, out2, ckpt2, key_col="event_type", value_col="time",
+        bin_width=86400.0,
+    )
+    q2.awaitTermination(120)
+    live_counts = histogram_current(spark, out2, ckpt2).select(
+        "key", F.col("bin").alias("b"), F.col("cnt").alias("y")
+    )
+    streamed = {
+        r["key"]: (r["n_buckets"], r["total"], r["slope_num"], r["slope_den"])
+        for r in analytics.trend_from_counts(live_counts).collect()
+    }
+    batch_t = {
+        r["key"]: (r["n_buckets"], r["total"], r["slope_num"], r["slope_den"])
+        for r in analytics.trend_by_key(ev, bucket_seconds=86400).collect()
+    }
+    assert streamed == batch_t and len(batch_t) > 0

@@ -1329,6 +1329,17 @@ def trend_by_key(
     per = df.select(F.col(key_col).alias("key"), b.alias("b")).groupBy(
         "key", "b"
     ).agg(F.count(F.lit(1)).alias("y"))
+    return trend_from_counts(per)
+
+
+def trend_from_counts(per: DataFrame) -> DataFrame:
+    """:func:`trend_by_key`'s regression applied to a PREBUILT
+    per-(key, bucket) count table ``(key, b, y)`` — point it at
+    `streaming.ingest.histogram_current` state (stream histogrammed on
+    time buckets) and the exact batch slope semantics run against
+    histogram-sized state with zero event rescans; the third leg of the
+    streaming monitoring trio (drift, anomalies, trend). Identical
+    math and columns as the batch form."""
     rng = F.broadcast(
         per.agg(F.min("b").alias("b_lo"), F.max("b").alias("b_hi"))
     )

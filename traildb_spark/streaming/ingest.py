@@ -691,3 +691,140 @@ def histogram_current(spark, path: str, checkpoint: str) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"{path}/_latest_{run_token}")
     return spark.read.parquet(cur.strip())
+
+
+def streaming_hll(
+    stream: DataFrame,
+    col: str,
+    path: str,
+    checkpoint: str,
+    p: int = 12,
+    processing_time: str | None = None,
+):
+    """Continuously maintain a portable-HLL register table over a
+    stream — "distinct users/URLs so far" on an unbounded firehose with
+    2^p rows of state forever: per-batch registers merge into the
+    running table by (bucket, MAX rank), the HLL merge law. Read the
+    estimate any time with :func:`hll_current` (identical math to
+    `analytics.hll_distinct`, so the streamed sketch equals the batch
+    sketch over the same rows — tested). Same exactly-once pointer
+    protocol as :func:`streaming_countmin` / :func:`streaming_histogram`,
+    all I/O through the Hadoop FS API.
+    """
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _hll_batch(batch_df, batch_id, path, col, p, run_token)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _hll_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    col: str,
+    p: int,
+    run_token: str,
+) -> bool:
+    """One register-merge step (exposed for crash-replay tests); same
+    replay/lineage contract as ``_histogram_batch``."""
+    from ..functions.core import md5_60
+
+    spark = batch_df.sparkSession
+    latest = f"{path}/_latest_{run_token}"
+    out_b = f"{path}/hll_{run_token}_{batch_id}"
+    prev = (_fs_read_small(spark, latest) or "").strip() or None
+    if prev == out_b:
+        return False
+    if prev is not None and batch_id == 0:
+        raise RuntimeError(
+            "streaming_hll: batch id 0 arrived but this sketch path "
+            "already holds state from a previous lineage of the same "
+            "checkpoint path (checkpoint was cleared and reused) — use a "
+            f"fresh checkpoint path or delete the state at {path} "
+            "explicitly."
+        )
+    q = 60 - p
+    h = md5_60(F.col(col))
+    rest = h.bitwiseAND(F.lit((1 << q) - 1))
+    rank = F.when(rest == 0, F.lit(q + 1)).otherwise(
+        F.lit(q) - F.length(F.bin(rest)) + 1
+    )
+    part = (
+        batch_df.select(F.shiftright(h, q).alias("b"), rank.alias("r"))
+        .groupBy("b")
+        .agg(F.max("r").alias("r"))
+    )
+    if prev is not None:
+        merged = (
+            spark.read.parquet(prev)
+            .unionByName(part)
+            .groupBy("b")
+            .agg(F.max("r").alias("r"))
+        )
+    else:
+        merged = part
+    merged.coalesce(1).write.mode("overwrite").parquet(out_b)
+    _fs_swap_pointer(spark, latest, out_b)
+    if prev is not None:
+        _, hpath, fs = _hfs(spark, prev)
+        fs.delete(hpath(prev), True)
+    return True
+
+
+def hll_current(spark, path: str, checkpoint: str, p: int = 12) -> DataFrame:
+    """The live distinct-count estimate from the ``streaming_hll``
+    register state — one row, `analytics.hll_distinct` columns/math."""
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+    cur = _fs_read_small(spark, f"{path}/_latest_{run_token}")
+    if cur is None:
+        raise FileNotFoundError(f"{path}/_latest_{run_token}")
+    regs = spark.read.parquet(cur.strip())
+    m = 1 << p
+    big_r = 60 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    dec = "decimal(38,0)"
+    return (
+        regs.agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(
+                F.expr(
+                    f"CAST(shiftleft(CAST(1 AS BIGINT), {big_r} - r) AS {dec})"
+                )
+            ).alias("present_sum"),
+        )
+        .select(
+            F.lit(m).alias("m"),
+            "n_present",
+            (
+                F.coalesce(F.col("present_sum"), F.lit(0).cast(dec))
+                + (F.lit(m).cast(dec) - F.col("n_present").cast(dec))
+                * F.expr(
+                    f"CAST(shiftleft(CAST(1 AS BIGINT), {big_r}) AS {dec})"
+                )
+            ).alias("numer_dec"),
+        )
+        .select(
+            "m",
+            "n_present",
+            F.col("numer_dec").cast("double").alias("numer_d"),
+            (
+                F.lit(alpha * m * m) * F.lit(float(2 ** big_r))
+                / F.col("numer_dec").cast("double")
+            ).alias("estimate"),
+        )
+    )
