@@ -2108,6 +2108,23 @@ def q146_session_funnel(spark, sf_dir):
     return analytics.session_funnel(ev, steps, gap=1800)
 
 
+def q147_transition_entropy(spark, sf_dir):
+    """Next-event predictability: whole-bit conditional entropy of each
+    event type's outgoing transition distribution (trail-adjacent
+    pairs, event_id tiebreak) — low = mechanical flow, high = genuine
+    branching."""
+    ev = _events(spark, sf_dir).select("uuid", "time", "event_id", "event_type")
+    return analytics.transition_entropy(ev, "event_type", "uuid", "time", "event_id")
+
+
+def q148_corpus_card(spark, sf_dir):
+    """One-row corpus card: doc/token totals, vocabulary, exact-dup
+    volume, length stats — every number integer-exact, the release
+    summary a dataset ships."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.corpus_card(docs)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2284,6 +2301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_conversion_rates": q144_conversion_rates,
         "q145_trail_entropy": q145_trail_entropy,
         "q146_session_funnel": q146_session_funnel,
+        "q147_transition_entropy": q147_transition_entropy,
+        "q148_corpus_card": q148_corpus_card,
     }
 
 
@@ -3313,6 +3332,53 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # lead over (time, event_id) per trail; whole-bit entropy of the
+        # outgoing counts, truncating div
+        "q147_transition_entropy": f"""
+            WITH e AS ({_E}),
+            p AS (
+              SELECT event_type AS src,
+                     lead(event_type) OVER (
+                       PARTITION BY uuid ORDER BY "time", event_id) AS dst
+              FROM e),
+            c AS (
+              SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+              FROM p WHERE dst IS NOT NULL GROUP BY src, dst)
+            SELECT src, CAST(SUM(c) AS BIGINT) AS n_out,
+                   CAST(COUNT(*) AS BIGINT) AS n_dst,
+                   1000 * (CAST(SUM(c) AS BIGINT)
+                           * length(bin(CAST(SUM(c) AS BIGINT)))
+                           - CAST(SUM(c * length(bin(c))) AS BIGINT))
+                     // CAST(SUM(c) AS BIGINT) AS entropy_millibits
+            FROM c GROUP BY src
+        """,
+        # three vocabulary-/doc-scale aggregates: totals, distinct
+        # tokens, duplicate-fingerprint volume
+        "q148_corpus_card": f"""
+            WITH per AS (
+              SELECT doc_id, CAST(len({_TOKENS}) AS INT) AS n_toks,
+                     md5({_NORM_TEXT}) AS fp
+              FROM documents),
+            ds AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                     MIN(n_toks) AS min_tokens, MAX(n_toks) AS max_tokens
+              FROM per),
+            v AS (
+              SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_size
+              FROM (SELECT unnest({_TOKENS}) AS w FROM documents)),
+            d AS (
+              SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0)
+                          AS BIGINT) AS dup_docs
+              FROM (SELECT fp, COUNT(*) AS c FROM per GROUP BY fp))
+            SELECT ds.n_docs, ds.n_tokens, v.vocab_size,
+                   CASE WHEN ds.n_docs > 0
+                        THEN 1000 * ds.n_tokens // ds.n_docs END AS mean_tokens_x1000,
+                   ds.min_tokens, ds.max_tokens, d.dup_docs,
+                   CASE WHEN ds.n_docs > 0
+                        THEN d.dup_docs * 1000000 // ds.n_docs END AS dup_ppm
+            FROM ds CROSS JOIN v CROSS JOIN d
+        """,
         # q06's sessionization + q60's independent min-chain, both keyed
         # on (uuid, session)
         "q146_session_funnel": f"""

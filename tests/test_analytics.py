@@ -989,3 +989,22 @@ def test_session_funnel_resets_across_sessions(spark):
         ("u1", 1): (10000, 10005),
         ("u2", 0): (None, None),
     }
+
+
+def test_transition_entropy_predictable_vs_branching(spark):
+    # A always -> B (entropy 0); B branches to A/C evenly (1 bit)
+    rows = [
+        ("u", 1, "A"), ("u", 2, "B"), ("u", 3, "A"), ("u", 4, "B"),
+        ("u", 5, "C"), ("u", 6, "B"), ("u", 7, "A"), ("u", 8, "B"),
+        ("u", 9, "C"),
+    ]
+    # transitions: A->B x3; B->A x2? sequence: A B A B C B A B C
+    # pairs: AB, BA, AB, BC, CB, BA, AB, BC
+    # A: {B:3} -> 0 bits; B: {A:2, C:2} n=4 -> 1000*(4*3-(2*2+2*2))div4=1000
+    # C: {B:1} n=1 -> 0
+    df = spark.createDataFrame(rows, "uuid string, time long, event_type string")
+    got = {
+        r["src"]: (r["n_out"], r["n_dst"], r["entropy_millibits"])
+        for r in analytics.transition_entropy(df).collect()
+    }
+    assert got == {"A": (3, 1, 0), "B": (4, 2, 1000), "C": (1, 1, 0)}

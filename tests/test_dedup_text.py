@@ -1488,3 +1488,21 @@ def test_embedding_outliers_validation(spark):
     )
     with _pytest.raises(ValueError, match="max_dist"):
         similarity.embedding_outliers(df, max_dist=0)
+
+
+def test_corpus_card_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c"),      # exact dup of 1 (normalized)
+            (3, "A  b   c"),   # normalizes to the same -> dup group of 3
+            (4, "x y"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    [r] = text.corpus_card(df).collect()
+    assert (r["n_docs"], r["n_tokens"], r["vocab_size"]) == (5, 11, 5)
+    assert r["mean_tokens_x1000"] == 2200
+    assert (r["min_tokens"], r["max_tokens"]) == (0, 3)
+    assert (r["dup_docs"], r["dup_ppm"]) == (3, 600000)

@@ -2204,3 +2204,51 @@ def session_funnel(
         F.col("uuid.sid").alias("session_id"),
         *[c for c in out.columns if c != "uuid"],
     )
+
+
+def transition_entropy(
+    df: DataFrame,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+) -> DataFrame:
+    """Next-event predictability per state: whole-bit conditional
+    entropy of each value's OUTGOING transition distribution — low
+    entropy means "after A, B always follows" (mechanical/bot flows,
+    good candidates for funnel steps); high entropy means genuine
+    branching. Same integerized-Shannon discipline as
+    :func:`trail_entropy` (bits via length(bin()), no libm), applied to
+    the in-trail adjacent-transition counts of `transition_counts`::
+
+        entropy_millibits(src) = 1000·(n·bits(n) − Σ_dst c·bits(c)) div n
+
+    Returns ``(src, n_out, n_dst, entropy_millibits)``. Plan: one
+    trail-windowed lead (the transition_counts shuffle) + two
+    lexicon²-bounded aggregates.
+    """
+    w = _trail_window(uuid_col, time_col, *tiebreak)
+    nxt = F.lead(F.col(field)).over(w)
+    pairs = (
+        df.withColumn("__dst", nxt)
+        .filter(F.col("__dst").isNotNull())
+        .groupBy(F.col(field).alias("src"), F.col("__dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bits = lambda c: F.length(F.bin(c))
+    return (
+        pairs.groupBy("src")
+        .agg(
+            F.sum("c").alias("n_out"),
+            F.count(F.lit(1)).alias("n_dst"),
+            F.sum(F.col("c") * bits(F.col("c"))).alias("__cb"),
+        )
+        .select(
+            "src",
+            "n_out",
+            "n_dst",
+            F.expr(
+                "1000 * (n_out * length(bin(n_out)) - __cb) div n_out"
+            ).alias("entropy_millibits"),
+        )
+    )

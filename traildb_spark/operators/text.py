@@ -1235,3 +1235,64 @@ def split_sentences(
             "n_tokens"
         ),
     )
+
+
+def corpus_card(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row corpus card — the summary table a dataset release ships:
+    document and token totals, vocabulary size, exact-duplicate volume,
+    and length stats, all integer-exact (counts, truncating-div means,
+    ppm rates) so the card is bit-reproducible on any engine::
+
+        n_docs, n_tokens, vocab_size, mean_tokens (x1000),
+        dup_docs (docs whose normalized text repeats), dup_ppm,
+        min/max_tokens
+
+    Plan: one tokens pass feeding three aggregates (doc stats map-side;
+    vocabulary = distinct-token count; duplicate volume = fingerprint
+    groups with count > 1) — all vocabulary-/doc-scale, no joins back
+    to the corpus.
+    """
+    toks = tokens(F.col(text_col))
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_toks"),
+        F.md5(normalize_text(F.col(text_col))).alias("fp"),
+    )
+    doc_stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.min("n_toks").alias("min_tokens"),
+        F.max("n_toks").alias("max_tokens"),
+    )
+    vocab = df.select(F.explode(toks).alias("w")).agg(
+        F.count_distinct("w").alias("vocab_size")
+    )
+    dups = (
+        per_doc.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+            ).alias("dup_docs")
+        )
+    )
+    return (
+        doc_stats.crossJoin(vocab)
+        .crossJoin(dups)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            F.expr("CASE WHEN n_docs > 0 THEN 1000 * n_tokens div n_docs END").alias(
+                "mean_tokens_x1000"
+            ),
+            "min_tokens",
+            "max_tokens",
+            "dup_docs",
+            F.expr(
+                "CASE WHEN n_docs > 0 THEN dup_docs * 1000000 div n_docs END"
+            ).alias("dup_ppm"),
+        )
+    )
