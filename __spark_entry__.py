@@ -2125,6 +2125,52 @@ def q148_corpus_card(spark, sf_dir):
     return text.corpus_card(docs)
 
 
+def q149_dup_source_flow(spark, sf_dir):
+    """Exact-duplicate flow between sources: which source pairs share
+    identical (normalized) documents — the whole-doc-fingerprint
+    sibling of q125's gram overlap, same `set_jaccard_pairs` kernel
+    (id = source, feature = content md5)."""
+    docs = _load(spark, sf_dir, "documents").select("source", "text")
+    # a deterministic mirror tier (the real-world shape: site mirrors
+    # serve the same pages under another domain) so the flow matrix is
+    # non-trivial on this synthetic corpus; the oracle mirrors the union
+    mirrored = docs.select(
+        F.concat(F.lit("mirror-"), F.col("source")).alias("source"), "text"
+    )
+    fp = docs.unionByName(mirrored).select(
+        "source", F.md5(dedup.normalize_text(F.col("text"))).alias("fp")
+    )
+    return dedup.set_jaccard_pairs(
+        fp, "source", "fp", max_ids_per_feature=16
+    ).select(
+        F.col("id_a").alias("source_a"),
+        F.col("id_b").alias("source_b"),
+        F.col("size_a").alias("docs_a"),
+        F.col("size_b").alias("docs_b"),
+        F.col("shared").alias("shared_docs"),
+        "jaccard_ppm",
+    )
+
+
+def q150_entry_exit(spark, sf_dir):
+    """Entry/exit analysis (landing and leaving events): struct-min/max
+    over (time, event_id) picks each trail's first and last event
+    deterministically; counts per (entry, exit) pair — the classic
+    web-analytics table as two lexicon²-bounded aggregates."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("uuid").agg(
+        F.min(F.struct("time", "event_id", "event_type"))["event_type"].alias(
+            "entry"
+        ),
+        F.max(F.struct("time", "event_id", "event_type"))["event_type"].alias(
+            "exit"
+        ),
+    )
+    return per.groupBy("entry", "exit").agg(
+        F.count(F.lit(1)).alias("trails")
+    )
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2303,6 +2349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_session_funnel": q146_session_funnel,
         "q147_transition_entropy": q147_transition_entropy,
         "q148_corpus_card": q148_corpus_card,
+        "q149_dup_source_flow": q149_dup_source_flow,
+        "q150_entry_exit": q150_entry_exit,
     }
 
 
@@ -3332,6 +3380,46 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY uuid
         """,
         "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        # whole-doc md5 sets per source through the q125 pair recipe
+        "q149_dup_source_flow": f"""
+            WITH d0 AS (
+              SELECT source, text FROM documents
+              UNION ALL
+              SELECT 'mirror-' || source, text FROM documents),
+            sf AS (
+              SELECT DISTINCT source AS id, md5({_NORM_TEXT}) AS f
+              FROM d0),
+            keep AS (SELECT f FROM sf GROUP BY f HAVING COUNT(*) <= 16),
+            sfk AS (SELECT sf.id, sf.f FROM sf JOIN keep USING (f)),
+            tot AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_f FROM sfk GROUP BY id),
+            sh AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared
+              FROM sfk a JOIN sfk b ON a.f = b.f AND a.id < b.id
+              GROUP BY 1, 2)
+            SELECT sh.id_a AS source_a, sh.id_b AS source_b,
+                   ta.n_f AS docs_a, tb.n_f AS docs_b,
+                   sh.shared AS shared_docs,
+                   sh.shared * 1000000
+                     // (ta.n_f + tb.n_f - sh.shared) AS jaccard_ppm
+            FROM sh
+            JOIN tot ta ON ta.id = sh.id_a
+            JOIN tot tb ON tb.id = sh.id_b
+        """,
+        # arg-min/max via ROW ordering on (time, event_id)
+        "q150_entry_exit": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT uuid,
+                     min(struct_pack(t := "time", i := event_id,
+                                     v := event_type)) AS mn,
+                     max(struct_pack(t := "time", i := event_id,
+                                     v := event_type)) AS mx
+              FROM e GROUP BY uuid)
+            SELECT mn.v AS entry, mx.v AS exit,
+                   CAST(COUNT(*) AS BIGINT) AS trails
+            FROM per GROUP BY mn.v, mx.v
+        """,
         # lead over (time, event_id) per trail; whole-bit entropy of the
         # outgoing counts, truncating div
         "q147_transition_entropy": f"""

@@ -267,3 +267,21 @@ def test_trail_vectors_lexicon_guard(spark):
     )
     with _pytest.raises(ValueError, match="max_lexicon"):
         T.trail_vectors(df, max_lexicon=10)
+
+
+def test_entry_exit_struct_pick(spark):
+    """Entry/exit shape as in q150: struct-min/max over (time, tiebreak,
+    value) with deterministic same-timestamp resolution."""
+    rows = [
+        ("u", 5, 2, "b"), ("u", 5, 1, "a"), ("u", 9, 3, "c"),
+        ("v", 1, 1, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string"
+    )
+    per = df.groupBy("uuid").agg(
+        F.min(F.struct("time", "event_id", "event_type"))["event_type"].alias("entry"),
+        F.max(F.struct("time", "event_id", "event_type"))["event_type"].alias("exit"),
+    )
+    got = {r["uuid"]: (r["entry"], r["exit"]) for r in per.collect()}
+    assert got == {"u": ("a", "c"), "v": ("x", "x")}
