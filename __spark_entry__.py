@@ -2171,6 +2171,17 @@ def q150_entry_exit(spark, sf_dir):
     )
 
 
+def q151_edit_distance(spark, sf_dir):
+    """Character-level near-dup: all doc pairs within Levenshtein
+    distance 6 of each other on normalized text — Ed-Join q-gram prefix
+    filter for candidates (rarest-gram banding, short-doc length-bucket
+    fallback), exact banded-levenshtein verify. Oracle: brute force over
+    the |len diff| <= d complete filter (the theorem says outputs are
+    identical, so brute-vs-filtered IS the completeness check)."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.edit_distance_pairs(docs, max_distance=6, q=3)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2351,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_corpus_card": q148_corpus_card,
         "q149_dup_source_flow": q149_dup_source_flow,
         "q150_entry_exit": q150_entry_exit,
+        "q151_edit_distance": q151_edit_distance,
     }
 
 
@@ -3405,6 +3417,24 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
+        """,
+        # brute-force over the complete |len diff| <= d filter; the
+        # Spark side prunes further with the Ed-Join prefix filter, but
+        # exact verify on both sides makes the OUTPUTS identical — the
+        # materialized fences stop DuckDB from hoisting levenshtein into
+        # the 250k-pair nested loop
+        "q151_edit_distance": f"""
+            WITH n AS MATERIALIZED (
+              SELECT doc_id, {_NORM_TEXT} AS t, length({_NORM_TEXT}) AS l
+              FROM documents),
+            cand AS MATERIALIZED (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.t AS ta, b.t AS tb
+              FROM n a JOIN n b
+                ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 6),
+            scored AS MATERIALIZED (
+              SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INT) AS edit_distance
+              FROM cand)
+            SELECT id_a, id_b, edit_distance FROM scored WHERE edit_distance <= 6
         """,
         # arg-min/max via ROW ordering on (time, event_id)
         "q150_entry_exit": f"""

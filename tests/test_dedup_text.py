@@ -1506,3 +1506,74 @@ def test_corpus_card_exact(spark):
     assert r["mean_tokens_x1000"] == 2200
     assert (r["min_tokens"], r["max_tokens"]) == (0, 3)
     assert (r["dup_docs"], r["dup_ppm"]) == (3, 600000)
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    # independent reference DP (not Spark, not DuckDB)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def _brute_edit_pairs(rows, d):
+    out = set()
+    norm = {i: " ".join(t.lower().split()) for i, t in rows}
+    for i, a in norm.items():
+        for j, b in norm.items():
+            if i < j and abs(len(a) - len(b)) <= d:
+                dist = _py_levenshtein(a, b)
+                if dist <= d:
+                    out.add((i, j, dist))
+    return out
+
+
+def test_edit_distance_pairs_vs_brute(spark):
+    """Prefix-filter candidates + exact verify == brute force (the
+    completeness theorem, checked on long docs with planted edits)."""
+    base = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    rows = [
+        (0, base),
+        (1, base.replace("quick", "quack")),          # distance 1 (i->a)
+        (2, base.replace("jumps over", "leaps over")), # small edit
+        (3, "a completely different document about spark shuffles and joins ok"),
+        (4, base),                                     # exact dup: distance 0
+        (5, base + " extra tail words beyond the threshold distance limit here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.edit_distance)
+        for r in dedup.edit_distance_pairs(df, max_distance=6).collect()
+    }
+    assert got == _brute_edit_pairs(rows, 6)
+    assert (0, 4, 0) in got and (0, 1, 1) in got
+
+
+def test_edit_distance_pairs_short_doc_band(spark):
+    """Docs with <= q*d distinct grams evade the prefix theorem; the
+    length-bucket band must still find them (e.g. disjoint-alphabet
+    short strings within distance d)."""
+    rows = [
+        (0, "aaaa"),
+        (1, "bbbb"),     # distance 4 from 'aaaa', zero shared grams
+        (2, "aaab"),     # distance 1 from 'aaaa'
+        (3, "zzzzzzzzzzzzzzzzzzzzzz"),  # far from everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.edit_distance)
+        for r in dedup.edit_distance_pairs(df, max_distance=4).collect()
+    }
+    assert got == _brute_edit_pairs(rows, 4)
+    assert (0, 1, 4) in got and (0, 2, 1) in got
+
+
+def test_edit_distance_pairs_validates_args(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.edit_distance_pairs(df, max_distance=0)
+    with pytest.raises(ValueError):
+        dedup.edit_distance_pairs(df, q=1)

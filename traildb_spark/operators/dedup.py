@@ -2172,3 +2172,119 @@ def winnow_fingerprints(
         F.col("fp.pos").alias("pos"),
         F.col("fp.h").alias("gram_hash"),
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+# character-level edit-distance near-dup (Ed-Join family)
+# --------------------------------------------------------------------------
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 6,
+    q: int = 3,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with Levenshtein distance <= max_distance
+    on normalized text — the character-level near-dup family (OCR noise,
+    single-field edits, template fills) that token/shingle Jaccard and
+    MinHash miss when the edit falls inside one token.
+
+    Candidate generation is Ed-Join-style q-gram prefix filtering
+    (Xiao, Wang, Lin, VLDB'08): one edit destroys at most ``q`` distinct
+    character q-grams, so two strings within edit distance ``d`` have
+    gram-SET difference <= q*d on each side; by the prefix-filter theorem
+    their prefixes of length q*d + 1 under ANY globally consistent total
+    order of the gram universe must intersect. The order used is
+    ascending document frequency (rarest grams first) with the gram
+    string as tiebreak — deterministic and engine-portable, so the DuckDB
+    oracle mirrors the identical pipeline. Completeness edge: a doc with
+    <= q*d distinct grams can evade the prefix argument entirely, so
+    short docs fall back to a length-bucket band (bucket width d+1;
+    |len diff| <= d confines a qualifying pair to the same or adjacent
+    bucket) — exhaustive within the short pool only, which is empty for
+    any corpus of real documents.
+
+    Verification is exact and engine-side: Spark's banded
+    ``levenshtein(a, b, threshold)`` (O(d*n) early-exit) against the
+    candidate set only; survivors carry the true distance. Because BOTH
+    engines verify exactly, the oracle needs only candidate-COMPLETENESS
+    parity, which the mirrored prefix scheme provides.
+
+    100 TB posture: the char-q-gram universe over normalized text is
+    bounded (~|alphabet|^q), so the document-frequency table is
+    metadata-scale and broadcast; the candidate join keys on each doc's
+    RAREST grams (stop-grams never enter a prefix), which is exactly the
+    skew story of `ngram_jaccard_pairs`; everything else is equi-join +
+    distinct. No gram array is ever cached or shuffled — only
+    (id, gram, len) prefix rows move. Reference analog: TrailDB has no
+    similarity ops; this extends the §2 LLM-curation surface.
+    """
+    if max_distance < 1:
+        raise ValueError(
+            f"edit_distance_pairs: max_distance must be >= 1, got {max_distance}"
+        )
+    if q < 2:
+        raise ValueError(f"edit_distance_pairs: q must be >= 2, got {q}")
+    d = int(max_distance)
+    prefix_len = q * d + 1
+
+    base = _spread(df).select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t")
+    ).withColumn("l", F.length("t"))
+
+    # distinct char q-grams, JVM-side (guard: sequence(1, n) descends when
+    # n < 1, so gate on l >= q explicitly)
+    grams_expr = F.when(
+        F.col("l") >= q,
+        F.array_distinct(
+            F.expr(f"transform(sequence(1, l - {q} + 1), i -> substring(t, i, {q}))")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = base.select("id", "l", grams_expr.alias("grams")).withColumn(
+        "ng", F.size("grams")
+    )
+
+    exploded = with_grams.select("id", "l", "ng", F.explode("grams").alias("g"))
+    # gram document frequency: bounded-universe aggregate, broadcast back
+    gram_df = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("dfc"))
+    ranked = exploded.join(F.broadcast(gram_df), "g")
+    wp = Window.partitionBy("id").orderBy("dfc", "g")
+    prefix = (
+        ranked.filter(F.col("ng") > q * d)
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", "l", "g")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand_prefix = pa.join(
+        pb,
+        (F.col("pa.g") == F.col("pb.g"))
+        & (F.col("pa.id") < F.col("pb.id"))
+        & (F.abs(F.col("pa.l") - F.col("pb.l")) <= d),
+    ).select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+
+    # short-doc completeness band: |len diff| <= d => same or adjacent
+    # bucket of width d+1, so joining bucket b to {b, b+1} is exhaustive
+    short = with_grams.filter(F.col("ng") <= q * d).select(
+        "id", "l", (F.col("l") / (d + 1)).cast("long").alias("bkt")
+    )
+    sa = short.select("id", "l", F.explode(F.array("bkt", F.col("bkt") + 1)).alias("j"))
+    sb = short.select(F.col("id").alias("id_b2"), F.col("l").alias("l_b"), F.col("bkt").alias("j"))
+    cand_short = (
+        sa.join(sb, sa["j"] == sb["j"])
+        .filter((sa["id"] < sb["id_b2"]) & (F.abs(sa["l"] - sb["l_b"]) <= d))
+        .select(sa["id"].alias("id_a"), sb["id_b2"].alias("id_b"))
+    )
+
+    cands = cand_prefix.unionByName(cand_short).distinct()
+
+    texts = base.select(F.col("id"), F.col("t"))
+    verified = (
+        cands.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "ta"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "tb"), "id_b")
+        .withColumn("edit_distance", F.expr(f"levenshtein(ta, tb, {d})"))
+        .filter(F.col("edit_distance") >= 0)
+        .select("id_a", "id_b", F.col("edit_distance").cast("int").alias("edit_distance"))
+    )
+    return verified
