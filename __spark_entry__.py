@@ -2182,6 +2182,17 @@ def q151_edit_distance(spark, sf_dir):
     return dedup.edit_distance_pairs(docs, max_distance=6, q=3)
 
 
+def q152_survival_table(spark, sf_dir):
+    """Kaplan-Meier life table for trail lifetimes: right-censored churn
+    (silent > 1 day at observation end = churn event, else censored),
+    1-hour lifetime buckets, suffix-cumsum at-risk counts — survival
+    analysis as exact integer counts."""
+    ev = _events(spark, sf_dir).select("uuid", "time")
+    return analytics.survival_table(
+        ev, churn_gap_seconds=86400, bucket_seconds=3600
+    )
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2363,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_dup_source_flow": q149_dup_source_flow,
         "q150_entry_exit": q150_entry_exit,
         "q151_edit_distance": q151_edit_distance,
+        "q152_survival_table": q152_survival_table,
     }
 
 
@@ -3417,6 +3429,33 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
+        """,
+        # right-censored life table: churn observed iff silent > gap at
+        # obs end; at_risk = suffix cumsum over the lifetime histogram
+        "q152_survival_table": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT uuid, min("time") AS first_t, max("time") AS last_t
+              FROM e GROUP BY uuid),
+            obs AS (SELECT max(last_t) AS obs_end FROM per),
+            lt AS (
+              SELECT (last_t - first_t) // 3600 AS duration_bucket,
+                     (obs_end - last_t) > {86400} AS is_churn
+              FROM per, obs),
+            hist AS (
+              SELECT duration_bucket,
+                     CAST(SUM(CASE WHEN is_churn THEN 1 ELSE 0 END) AS BIGINT)
+                       AS churned,
+                     CAST(SUM(CASE WHEN is_churn THEN 0 ELSE 1 END) AS BIGINT)
+                       AS censored
+              FROM lt GROUP BY duration_bucket)
+            SELECT duration_bucket,
+                   CAST(SUM(churned + censored) OVER (
+                     ORDER BY duration_bucket DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS at_risk,
+                   churned, censored
+            FROM hist
         """,
         # brute-force over the complete |len diff| <= d filter; the
         # Spark side prunes further with the Ed-Join prefix filter, but

@@ -1008,3 +1008,33 @@ def test_transition_entropy_predictable_vs_branching(spark):
         for r in analytics.transition_entropy(df).collect()
     }
     assert got == {"A": (3, 1, 0), "B": (4, 2, 1000), "C": (1, 1, 0)}
+
+
+def test_survival_table_hand_computed(spark):
+    """4 users, obs_end = 100: u1 lifetime 0 (single event, silent 90 >
+    gap 50 -> churned@0), u2 lifetime 25 (silent 60 -> churned@2),
+    u3 lifetime 30 (silent 10 -> censored@3), u4 lifetime 35 ending AT
+    obs_end (silent 0 -> censored@3). bucket=10."""
+    rows = [
+        ("u1", 10),
+        ("u2", 15), ("u2", 40),
+        ("u3", 60), ("u3", 90),
+        ("u4", 65), ("u4", 100),
+    ]
+    df = spark.createDataFrame(rows, "uuid string, time long")
+    got = {
+        r["duration_bucket"]: (r["at_risk"], r["churned"], r["censored"])
+        for r in analytics.survival_table(
+            df, churn_gap_seconds=50, bucket_seconds=10
+        ).collect()
+    }
+    assert got == {0: (4, 1, 0), 2: (3, 1, 0), 3: (2, 0, 2)}
+
+
+def test_survival_table_validates_args(spark):
+    df = spark.createDataFrame([("u", 1)], "uuid string, time long")
+    import pytest
+    with pytest.raises(ValueError):
+        analytics.survival_table(df, churn_gap_seconds=-1)
+    with pytest.raises(ValueError):
+        analytics.survival_table(df, bucket_seconds=0)

@@ -2252,3 +2252,70 @@ def transition_entropy(
             ).alias("entropy_millibits"),
         )
     )
+
+
+def survival_table(
+    df: DataFrame,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    churn_gap_seconds: int = 7 * 86400,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Kaplan-Meier life table for trail lifetimes with right-censoring —
+    "how long do users stay active before churning" as the classic
+    survival-analysis (t, at_risk, churned, censored) table, every
+    number an exact integer count.
+
+    Semantics: observation ends at the dataset's max event time. A
+    trail's lifetime is ``last - first`` event time, bucketed by
+    ``bucket_seconds``. The churn EVENT is observed when the trail has
+    been silent longer than ``churn_gap_seconds`` at observation end;
+    otherwise the lifetime is right-CENSORED (the user may still be
+    active — treating them as churned is the textbook bias this table
+    exists to avoid). ``at_risk(t)`` counts trails with lifetime bucket
+    >= t, so downstream KM estimates S(t) = prod(1 - d/n) need no extra
+    pass; the integer table itself is the oracle-checked artifact
+    (survival products are float and engine-divergent by design).
+
+    Plan shape: one per-uuid aggregate (map-side combined), a 1-row
+    global max broadcast-crossed back, a lifetime-bucket histogram
+    aggregate, and a suffix cumulative sum over the HISTOGRAM (rows =
+    distinct lifetime buckets, bounded by observation span /
+    bucket_seconds — metadata-scale, so the unpartitioned window is
+    deliberate and safe at any corpus size). Reference analog: trail
+    iteration + first/last timestamps (src/tdb_decode.c cursor min/max
+    semantics); the life table itself extends §2.9 analytics.
+    """
+    if churn_gap_seconds < 0:
+        raise ValueError(
+            f"survival_table: churn_gap_seconds must be >= 0, got {churn_gap_seconds}"
+        )
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"survival_table: bucket_seconds must be > 0, got {bucket_seconds}"
+        )
+    per = df.groupBy(F.col(uuid_col).alias("uuid")).agg(
+        F.min(time_col).alias("first_t"), F.max(time_col).alias("last_t")
+    )
+    obs = per.agg(F.max("last_t").alias("obs_end"))
+    lt = per.crossJoin(F.broadcast(obs)).select(
+        F.expr(f"(last_t - first_t) div {int(bucket_seconds)}").alias(
+            "duration_bucket"
+        ),
+        (
+            (F.col("obs_end") - F.col("last_t")) > F.lit(int(churn_gap_seconds))
+        ).alias("is_churn"),
+    )
+    hist = lt.groupBy("duration_bucket").agg(
+        F.sum(F.when(F.col("is_churn"), 1).otherwise(0)).alias("churned"),
+        F.sum(F.when(F.col("is_churn"), 0).otherwise(1)).alias("censored"),
+    )
+    w = Window.orderBy(F.desc("duration_bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "duration_bucket",
+        F.sum(F.col("churned") + F.col("censored")).over(w).alias("at_risk"),
+        "churned",
+        "censored",
+    )
