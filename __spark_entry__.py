@@ -2193,6 +2193,15 @@ def q152_survival_table(spark, sf_dir):
     )
 
 
+def q153_diurnal_profile(spark, sf_dir):
+    """Hour-of-day rhythm per event type: peak hour (tie -> earliest,
+    struct-min), peak concentration ppm, active hours, whole-bit
+    entropy of the 24-bin histogram — clock-driven vs organic traffic,
+    lexicon x 24 rows after the first aggregate."""
+    ev = _events(spark, sf_dir).select("time", "event_type")
+    return analytics.diurnal_profile(ev)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2375,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_entry_exit": q150_entry_exit,
         "q151_edit_distance": q151_edit_distance,
         "q152_survival_table": q152_survival_table,
+        "q153_diurnal_profile": q153_diurnal_profile,
     }
 
 
@@ -3429,6 +3439,27 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
+        """,
+        # 24-bin diurnal histogram per type; struct-min (-c, hour) peak
+        # (earliest hour on ties); whole-bit entropy, truncating div
+        "q153_diurnal_profile": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT event_type AS key, ("time" // 3600) % 24 AS hour,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM e GROUP BY event_type, ("time" // 3600) % 24),
+            agg AS (
+              SELECT key, CAST(SUM(c) AS BIGINT) AS n_events,
+                     min(struct_pack(nc := -c, h := hour)) AS pk,
+                     CAST(COUNT(*) AS BIGINT) AS hours_active,
+                     CAST(SUM(c * length(bin(c))) AS BIGINT) AS cb
+              FROM per GROUP BY key)
+            SELECT key, n_events, CAST(pk.h AS BIGINT) AS peak_hour,
+                   (-pk.nc) * 1000000 // n_events AS peak_ppm,
+                   hours_active,
+                   1000 * (n_events * length(bin(n_events)) - cb)
+                     // n_events AS entropy_millibits
+            FROM agg
         """,
         # right-censored life table: churn observed iff silent > gap at
         # obs end; at_risk = suffix cumsum over the lifetime histogram

@@ -1038,3 +1038,34 @@ def test_survival_table_validates_args(spark):
         analytics.survival_table(df, churn_gap_seconds=-1)
     with pytest.raises(ValueError):
         analytics.survival_table(df, bucket_seconds=0)
+
+
+def test_diurnal_profile_hand_computed(spark):
+    """cron: 4 events all at hour 2 -> peak 2, ppm 1e6, entropy 0.
+    human: 2 at hour 1, 2 at hour 5 -> tie breaks to EARLIEST hour;
+    entropy of (2,2): 1000*(4*3 - 2*2*2 - ... whole-bit: bits(4)=3,
+    bits(2)=2 -> 1000*(12-8)//4 = 1000."""
+    rows = [
+        ("cron", 2 * 3600), ("cron", 2 * 3600 + 60),
+        ("cron", 26 * 3600), ("cron", 50 * 3600 + 5),
+        ("human", 1 * 3600), ("human", 25 * 3600),
+        ("human", 5 * 3600), ("human", 29 * 3600),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    got = {
+        r["key"]: (
+            r["n_events"], r["peak_hour"], r["peak_ppm"],
+            r["hours_active"], r["entropy_millibits"],
+        )
+        for r in analytics.diurnal_profile(df).collect()
+    }
+    assert got == {
+        "cron": (4, 2, 1000000, 1, 0),
+        "human": (4, 1, 500000, 2, 1000),
+    }
+
+
+def test_diurnal_profile_tz_offset_shifts_hours(spark):
+    df = spark.createDataFrame([("a", 0)], "event_type string, time long")
+    r = analytics.diurnal_profile(df, tz_offset_seconds=3 * 3600).collect()[0]
+    assert r["peak_hour"] == 3

@@ -2319,3 +2319,55 @@ def survival_table(
         "churned",
         "censored",
     )
+
+
+def diurnal_profile(
+    df: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = TIME_COL,
+    tz_offset_seconds: int = 0,
+) -> DataFrame:
+    """Hour-of-day rhythm per key: peak hour, peak concentration, and
+    whole-bit entropy of each key's 24-bin diurnal histogram — separates
+    clock-driven traffic (cron jobs, batch imports: low entropy, sharp
+    peak) from organic human activity (high entropy, soft evening peak).
+
+    All integer-exact: peak share is ppm by truncating division; entropy
+    is the same millibit formula as `transition_entropy` (bits(x) =
+    length(bin(x)) = floor(log2)+1, so 1000*(n*bits(n) - sum c*bits(c))
+    div n — engine-portable whole-bit form). Peak ties break to the
+    EARLIEST hour via a single struct-min over (-count, hour): both
+    engines order structs field-lexicographically.
+
+    Plan shape: one map-side-combined groupBy(key, hour) — at most
+    lexicon x 24 rows move — then a per-key fold. Nothing is
+    event-scale after the first aggregate.
+    """
+    hour = F.expr(
+        f"(({time_col} + {int(tz_offset_seconds)}) div 3600) % 24"
+    ).alias("hour")
+    per = df.select(F.col(key_col).alias("key"), hour).groupBy(
+        "key", "hour"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bits = lambda c: F.length(F.bin(c))
+    return (
+        per.groupBy("key")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("hour").alias("h"))).alias(
+                "__pk"
+            ),
+            F.count(F.lit(1)).alias("hours_active"),
+            F.sum(F.col("c") * bits(F.col("c"))).alias("__cb"),
+        )
+        .select(
+            "key",
+            "n_events",
+            F.col("__pk.h").cast("long").alias("peak_hour"),
+            F.expr("(-__pk.nc) * 1000000 div n_events").alias("peak_ppm"),
+            "hours_active",
+            F.expr(
+                "1000 * (n_events * length(bin(n_events)) - __cb) div n_events"
+            ).alias("entropy_millibits"),
+        )
+    )
