@@ -2202,6 +2202,15 @@ def q153_diurnal_profile(spark, sf_dir):
     return analytics.diurnal_profile(ev)
 
 
+def q154_source_balance(spark, sf_dir):
+    """Corpus balance card: Gini concentration (ppm) of documents and
+    character mass across sources plus the top source's share —
+    integer-exact rank-formula Gini, metadata-scale after one
+    groupBy(source)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.source_balance(docs)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2385,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_edit_distance": q151_edit_distance,
         "q152_survival_table": q152_survival_table,
         "q153_diurnal_profile": q153_diurnal_profile,
+        "q154_source_balance": q154_source_balance,
     }
 
 
@@ -3439,6 +3449,43 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
+        """,
+        # rank-formula Gini over per-source masses; HUGEINT products
+        # mirror Spark's decimal(38,0); non-negative numerator so // ==
+        # truncating div
+        "q154_source_balance": """
+            WITH per AS (
+              SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS nd,
+                     CAST(SUM(length(text)) AS BIGINT) AS nc
+              FROM documents GROUP BY source),
+            ranked AS (
+              SELECT key, nd, nc,
+                     row_number() OVER (ORDER BY nd, key) AS rd,
+                     row_number() OVER (ORDER BY nc, key) AS rc
+              FROM per),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+                     CAST(SUM(nd) AS BIGINT) AS total_docs,
+                     CAST(SUM(nc) AS BIGINT) AS total_chars,
+                     SUM(CAST(rd AS HUGEINT) * CAST(nd AS HUGEINT)) AS sd,
+                     SUM(CAST(rc AS HUGEINT) * CAST(nc AS HUGEINT)) AS sc,
+                     CAST(MAX(nd) AS BIGINT) AS maxd
+              FROM ranked)
+            SELECT n_sources, total_docs, total_chars,
+                   CAST((2 * sd - (CAST(n_sources AS HUGEINT) + 1)
+                         * CAST(total_docs AS HUGEINT)) * 1000000
+                        // (CAST(n_sources AS HUGEINT)
+                            * CAST(total_docs AS HUGEINT)) AS BIGINT)
+                     AS gini_docs_ppm,
+                   CAST((2 * sc - (CAST(n_sources AS HUGEINT) + 1)
+                         * CAST(total_chars AS HUGEINT)) * 1000000
+                        // (CAST(n_sources AS HUGEINT)
+                            * CAST(total_chars AS HUGEINT)) AS BIGINT)
+                     AS gini_chars_ppm,
+                   CAST(CAST(maxd AS HUGEINT) * 1000000
+                        // CAST(total_docs AS HUGEINT) AS BIGINT)
+                     AS top_share_ppm
+            FROM agg
         """,
         # 24-bin diurnal histogram per type; struct-min (-c, hour) peak
         # (earliest hour on ties); whole-bit entropy, truncating div

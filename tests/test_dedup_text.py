@@ -1577,3 +1577,29 @@ def test_edit_distance_pairs_validates_args(spark):
         dedup.edit_distance_pairs(df, max_distance=0)
     with pytest.raises(ValueError):
         dedup.edit_distance_pairs(df, q=1)
+
+
+def test_source_balance_hand_computed(spark):
+    """Three sources with 1/1/2 docs and char masses 4/4/8 (x='ab'*k):
+    sorted docs (1,1,2): gini = (2*(1*1+2*1+3*2) - 4*4) / (3*4) = 2/12
+    -> 166666 ppm; chars (4,4,8) scale-invariant -> same gini; top
+    share = 2/4 = 500000 ppm."""
+    rows = [
+        (0, "ab" * 2, "s1"),
+        (1, "ab" * 2, "s2"),
+        (2, "ab" * 2, "s3"),
+        (3, "ab" * 2, "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = text.source_balance(df).collect()[0]
+    assert (r.n_sources, r.total_docs, r.total_chars) == (3, 4, 16)
+    assert r.gini_docs_ppm == 166666
+    assert r.gini_chars_ppm == 166666
+    assert r.top_share_ppm == 500000
+
+
+def test_source_balance_uniform_is_zero(spark):
+    rows = [(i, "xyz", f"s{i % 4}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = text.source_balance(df).collect()[0]
+    assert r.gini_docs_ppm == 0 and r.gini_chars_ppm == 0

@@ -1296,3 +1296,69 @@ def corpus_card(
             ).alias("dup_ppm"),
         )
     )
+
+
+def source_balance(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row corpus balance card: Gini concentration of documents and
+    character mass across sources — the "is this corpus dominated by one
+    crawl" diagnostic that decides whether `temperature_mix` /
+    `upsample_corpus` is needed before training.
+
+    Exact integers end to end. Gini over per-source masses x_1 <= ... <=
+    x_n (rank ties broken by source name — the value is tie-order
+    invariant since equal x contribute equally at either rank)::
+
+        gini_ppm = 10^6 * (2*sum(i*x_i) - (n+1)*sum(x)) div (n*sum(x))
+
+    truncating division on a non-negative numerator, products carried in
+    decimal(38,0) (n*sum(chars) at 100 TB exceeds int64; the quotient is
+    ppm-scale so the engine's exact decimal div applies). 0 = perfectly
+    uniform, ->1e6 = one source is the corpus.
+
+    Plan shape: one map-side-combined groupBy(source) — everything after
+    is SOURCE-count-sized (metadata scale), so the two unpartitioned
+    rank windows are deliberate and safe. `top_share_ppm` is the largest
+    single source's document share.
+    """
+    per = df.groupBy(F.col(group_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.length(F.col(text_col))).alias("nc"),
+    )
+    w_d = Window.orderBy("nd", "key")
+    w_c = Window.orderBy("nc", "key")
+    ranked = per.select(
+        "key",
+        "nd",
+        "nc",
+        F.row_number().over(w_d).alias("rd"),
+        F.row_number().over(w_c).alias("rc"),
+    )
+    dec = "decimal(38,0)"
+    c = lambda e: F.expr(e).cast(dec)
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("nd").alias("total_docs"),
+        F.sum("nc").alias("total_chars"),
+        F.sum(c("rd") * c("nd")).alias("__sd"),
+        F.sum(c("rc") * c("nc")).alias("__sc"),
+        F.max("nd").alias("__maxd"),
+    )
+    gini = (
+        lambda s, tot: f"(CAST(2 AS {dec}) * {s} - (CAST(n_sources AS {dec})"
+        f" + CAST(1 AS {dec})) * CAST({tot} AS {dec}))"
+        f" * CAST(1000000 AS {dec})"
+        f" div (CAST(n_sources AS {dec}) * CAST({tot} AS {dec}))"
+    )
+    return agg.select(
+        "n_sources",
+        "total_docs",
+        "total_chars",
+        F.expr(gini("__sd", "total_docs")).alias("gini_docs_ppm"),
+        F.expr(gini("__sc", "total_chars")).alias("gini_chars_ppm"),
+        F.expr(f"CAST(__maxd AS {dec}) * CAST(1000000 AS {dec})"
+               f" div CAST(total_docs AS {dec})").alias("top_share_ppm"),
+    )
