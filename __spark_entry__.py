@@ -2211,6 +2211,16 @@ def q154_source_balance(spark, sf_dir):
     return text.source_balance(docs)
 
 
+def q155_volume_autocorrelation(spark, sf_dir):
+    """Periodicity detection: lag-{1,2,3,6,12,24} Pearson
+    autocorrelation of hourly event volume per event type — exact
+    integer sub-range moments over the zero-filled global range, three
+    IEEE ops + half-up round at the end (q132's exactness contract,
+    self-lag form)."""
+    ev = _events(spark, sf_dir).select("time", "event_type")
+    return analytics.volume_autocorrelation(ev, bucket_seconds=3600)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2395,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_survival_table": q152_survival_table,
         "q153_diurnal_profile": q153_diurnal_profile,
         "q154_source_balance": q154_source_balance,
+        "q155_volume_autocorrelation": q155_volume_autocorrelation,
     }
 
 
@@ -3449,6 +3460,54 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
+        """,
+        # self-lag form of q132: sub-range moments on [lo, hi-k] /
+        # [lo+k, hi] (zero-filled, so conditional sums over observed
+        # buckets), HUGEINT products, 3-IEEE-op finale
+        "q155_volume_autocorrelation": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT event_type AS key, "time" // 3600 AS b,
+                     CAST(COUNT(*) AS BIGINT) AS y
+              FROM e GROUP BY 1, 2),
+            rng AS (
+              SELECT CAST(MIN(b) AS BIGINT) AS lo, CAST(MAX(b) AS BIGINT) AS hi
+              FROM per),
+            lags AS (SELECT CAST(unnest([1, 2, 3, 6, 12, 24]) AS BIGINT) AS k),
+            st AS (
+              SELECT key, k,
+                     COALESCE(SUM(CASE WHEN b <= hi - k THEN y END), 0) AS sx,
+                     COALESCE(SUM(CASE WHEN b <= hi - k
+                              THEN CAST(y AS HUGEINT) * y END), 0) AS qx,
+                     COALESCE(SUM(CASE WHEN b >= lo + k THEN y END), 0) AS sy,
+                     COALESCE(SUM(CASE WHEN b >= lo + k
+                              THEN CAST(y AS HUGEINT) * y END), 0) AS qy
+              FROM per CROSS JOIN rng CROSS JOIN lags
+              GROUP BY key, k),
+            xy AS (
+              SELECT a.key, l.k,
+                     CAST(SUM(CAST(a.y AS HUGEINT) * c.y) AS HUGEINT) AS sxy
+              FROM per a CROSS JOIN lags l
+              JOIN per c ON c.key = a.key AND c.b = a.b + l.k
+              GROUP BY 1, 2),
+            m AS (
+              SELECT st.key, st.k, rng.hi - rng.lo + 1 - st.k AS n,
+                     (rng.hi - rng.lo + 1 - st.k) * COALESCE(xy.sxy, 0)
+                       - CAST(st.sx AS HUGEINT) * st.sy AS num,
+                     (rng.hi - rng.lo + 1 - st.k) * st.qx
+                       - CAST(st.sx AS HUGEINT) * st.sx AS dx,
+                     (rng.hi - rng.lo + 1 - st.k) * st.qy
+                       - CAST(st.sy AS HUGEINT) * st.sy AS dy
+              FROM st
+              LEFT JOIN xy ON xy.key = st.key AND xy.k = st.k
+              CROSS JOIN rng
+              WHERE rng.hi - rng.lo + 1 - st.k >= 2)
+            SELECT key, k AS lag, CAST(n AS BIGINT) AS n_buckets,
+                   CASE WHEN dx > 0 AND dy > 0 THEN
+                     round(CAST(num AS DOUBLE)
+                           / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6)
+                   END AS autocorr
+            FROM m
         """,
         # rank-formula Gini over per-source masses; HUGEINT products
         # mirror Spark's decimal(38,0); non-negative numerator so // ==

@@ -1069,3 +1069,63 @@ def test_diurnal_profile_tz_offset_shifts_hours(spark):
     df = spark.createDataFrame([("a", 0)], "event_type string, time long")
     r = analytics.diurnal_profile(df, tz_offset_seconds=3 * 3600).collect()[0]
     assert r["peak_hour"] == 3
+
+
+def test_volume_autocorrelation_perfect_period(spark):
+    """Volume alternating 2,1,2,1,... over 8 buckets: lag-2 correlation
+    is exactly +1, lag-1 exactly -1 (interior n keeps the series
+    balanced); checked against python floats on the same closed form."""
+    rows = []
+    for b in range(8):
+        n = 2 if b % 2 == 0 else 1
+        rows += [("a", b * 3600 + i) for i in range(n)]
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    got = {
+        r["lag"]: (r["n_buckets"], r["autocorr"])
+        for r in analytics.volume_autocorrelation(df, lags=[1, 2]).collect()
+    }
+    assert got == {1: (7, -1.0), 2: (6, 1.0)}
+
+
+def test_volume_autocorrelation_constant_is_null(spark):
+    rows = [("a", b * 3600) for b in range(6)]
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    got = analytics.volume_autocorrelation(df, lags=[1]).collect()
+    assert len(got) == 1 and got[0]["autocorr"] is None
+
+
+def test_volume_autocorrelation_zero_filled_gap(spark):
+    """A key observed only at buckets 0 and 10: the zero-filled range
+    makes n = 11 - k; the conditional sub-range sums must count the
+    missing buckets as zeros, matching a python reference exactly."""
+    import math
+    rows = [("a", 0), ("a", 1), ("a", 10 * 3600)]
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    got = {r["lag"]: r["autocorr"]
+           for r in analytics.volume_autocorrelation(df, lags=[1, 10]).collect()}
+    series = [2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1]
+    def ref(k):
+        x, y = series[:-k], series[k:]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        qx, qy = sum(v*v for v in x), sum(v*v for v in y)
+        sxy = sum(a*b for a, b in zip(x, y))
+        num, dx, dy = n*sxy - sx*sy, n*qx - sx*sx, n*qy - sy*sy
+        if dx <= 0 or dy <= 0:
+            return None
+        v = num / math.sqrt(dx * dy)
+        from decimal import Decimal, ROUND_HALF_UP
+        return float(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+    # lag 10 leaves n = 1 < 2: the operator drops the row entirely
+    assert got == {1: ref(1)}
+
+
+def test_volume_autocorrelation_validates_args(spark):
+    import pytest
+    df = spark.createDataFrame([("a", 1)], "event_type string, time long")
+    with pytest.raises(ValueError):
+        analytics.volume_autocorrelation(df, bucket_seconds=0)
+    with pytest.raises(ValueError):
+        analytics.volume_autocorrelation(df, lags=[0])
+    with pytest.raises(ValueError):
+        analytics.volume_autocorrelation(df, lags=[])

@@ -2371,3 +2371,113 @@ def diurnal_profile(
             ).alias("entropy_millibits"),
         )
     )
+
+
+def volume_autocorrelation(
+    df: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = TIME_COL,
+    bucket_seconds: int = 3600,
+    lags: list[int] | None = None,
+) -> DataFrame:
+    """Lag-k Pearson autocorrelation of each key's per-bucket event
+    volume — periodicity detection (a spike at lag 24 on hourly buckets
+    = daily rhythm; high lag-1 = bursty/sticky load) complementing
+    `volume_correlation_pairs`' cross-key form.
+
+    Same exactness contract as that operator: all four moments are exact
+    integers over the zero-filled global bucket range — for lag k the x
+    series lives on [lo, hi-k] and the y series on [lo+k, hi], so the
+    sub-range sums are conditional sums of the OBSERVED buckets (zero
+    buckets contribute nothing) and n = span - k comes from the range.
+    The only floats are the final ``num / sqrt(dx*dy)`` — three
+    correctly-rounded IEEE ops on exact decimal(38,0) operands, rounded
+    half-up to 6 places; constant series (dx or dy = 0) yield NULL.
+
+    Plan shape: groupBy(key, bucket) map-side combine once; the lag
+    cross-product and Σ x·y self-join run on the HISTOGRAM (keys ×
+    observed buckets × |lags| rows), never on events; the range is a
+    broadcast 1-row aggregate.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"volume_autocorrelation: bucket_seconds must be > 0, got {bucket_seconds}"
+        )
+    lags = list(lags) if lags is not None else [1, 2, 3, 6, 12, 24]
+    if not lags or any(int(k) <= 0 for k in lags):
+        raise ValueError(
+            f"volume_autocorrelation: lags must be positive and non-empty, got {lags}"
+        )
+    spark = df.sparkSession
+    b = F.expr(f"{time_col} div {bucket_seconds}")
+    per = df.select(F.col(key_col).alias("key"), b.alias("b")).groupBy(
+        "key", "b"
+    ).agg(F.count(F.lit(1)).alias("y"))
+    rng = F.broadcast(
+        per.agg(F.min("b").alias("b_lo"), F.max("b").alias("b_hi"))
+    )
+    lag_df = F.broadcast(
+        spark.createDataFrame([(int(k),) for k in sorted(set(lags))], "k long")
+    )
+    dec = "decimal(38,0)"
+    yd = F.col("y").cast(dec)
+    # per-(key, lag) sub-range moments: x on [lo, hi-k], y on [lo+k, hi]
+    stats = (
+        per.crossJoin(rng)
+        .crossJoin(lag_df)
+        .groupBy("key", "k")
+        .agg(
+            F.sum(F.when(F.col("b") <= F.col("b_hi") - F.col("k"), F.col("y"))).alias("sx"),
+            F.sum(F.when(F.col("b") <= F.col("b_hi") - F.col("k"), yd * yd)).alias("qx"),
+            F.sum(F.when(F.col("b") >= F.col("b_lo") + F.col("k"), F.col("y"))).alias("sy"),
+            F.sum(F.when(F.col("b") >= F.col("b_lo") + F.col("k"), yd * yd)).alias("qy"),
+        )
+    )
+    # Σ x·y: probe rows at (key, b + k) against the observed histogram
+    probes = per.crossJoin(lag_df).select(
+        "key", (F.col("b") + F.col("k")).alias("bb"), "k", F.col("y").alias("ya")
+    )
+    xy = (
+        probes.join(
+            per.select("key", F.col("b").alias("bb"), F.col("y").alias("yb")),
+            ["key", "bb"],
+        )
+        .groupBy("key", "k")
+        .agg(F.sum(F.col("ya").cast(dec) * F.col("yb").cast(dec)).alias("sxy"))
+    )
+    j = (
+        stats.join(xy, ["key", "k"], "left")
+        .crossJoin(rng)
+        .select(
+            "key",
+            "k",
+            F.coalesce(F.col("sxy"), F.lit(0).cast(dec)).alias("sxy"),
+            "sx",
+            "qx",
+            "sy",
+            "qy",
+            (F.col("b_hi") - F.col("b_lo") + 1 - F.col("k")).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    # sub-ranges can be all-zero buckets: NULL conditional sums mean 0
+    sx = F.coalesce(F.col("sx"), F.lit(0)).cast(dec)
+    sy = F.coalesce(F.col("sy"), F.lit(0)).cast(dec)
+    qx = F.coalesce(F.col("qx"), F.lit(0).cast(dec))
+    qy = F.coalesce(F.col("qy"), F.lit(0).cast(dec))
+    n = F.col("n").cast(dec)
+    num = n * F.col("sxy") - sx * sy
+    dx = n * qx - sx * sx
+    dy = n * qy - sy * sy
+    return j.select(
+        "key",
+        F.col("k").alias("lag"),
+        F.col("n").alias("n_buckets"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")),
+                6,
+            ),
+        ).alias("autocorr"),
+    )
