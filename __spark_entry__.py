@@ -2221,6 +2221,15 @@ def q155_volume_autocorrelation(spark, sf_dir):
     return analytics.volume_autocorrelation(ev, bucket_seconds=3600)
 
 
+def q156_robot_trails(spark, sf_dir):
+    """Bot detection by timing regularity: per-trail squared
+    coefficient of variation of inter-event gaps as exact ppm
+    (decimal(38,0) products, truncating div); is_robot = >= 10 events
+    and cv2 <= 10000 ppm. One window pass + one trail aggregate."""
+    ev = _events(spark, sf_dir).select("uuid", "time", "event_id")
+    return analytics.robot_trails(ev, min_events=10, max_cv2_ppm=10_000)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2406,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_diurnal_profile": q153_diurnal_profile,
         "q154_source_balance": q154_source_balance,
         "q155_volume_autocorrelation": q155_volume_autocorrelation,
+        "q156_robot_trails": q156_robot_trails,
     }
 
 
@@ -3460,6 +3470,33 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
+        """,
+        # lag gaps per trail ((time, event_id) tiebreak); HUGEINT
+        # products; non-negative numerator so // == truncating div;
+        # sum_gap = 0 -> NULL cv2
+        "q156_robot_trails": f"""
+            WITH e AS ({_E}),
+            gaps AS (
+              SELECT uuid,
+                     "time" - lag("time") OVER (
+                       PARTITION BY uuid ORDER BY "time", event_id) AS g
+              FROM e),
+            per AS (
+              SELECT uuid, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(COUNT(g) AS BIGINT) AS n_gaps,
+                     CAST(COALESCE(SUM(g), 0) AS BIGINT) AS sum_gap,
+                     COALESCE(SUM(CAST(g AS HUGEINT) * g), 0) AS q
+              FROM gaps GROUP BY uuid)
+            SELECT uuid, n_events,
+                   sum_gap // greatest(n_gaps, 1) AS mean_gap,
+                   CASE WHEN sum_gap > 0 THEN
+                     CAST(1000000 * (CAST(n_gaps AS HUGEINT) * q
+                                     - CAST(sum_gap AS HUGEINT) * sum_gap)
+                          // (CAST(sum_gap AS HUGEINT) * sum_gap) AS BIGINT)
+                   END AS cv2_ppm,
+                   (n_events >= 10 AND cv2_ppm IS NOT NULL
+                    AND cv2_ppm <= 10000) AS is_robot
+            FROM per
         """,
         # self-lag form of q132: sub-range moments on [lo, hi-k] /
         # [lo+k, hi] (zero-filled, so conditional sums over observed

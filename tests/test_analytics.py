@@ -1129,3 +1129,41 @@ def test_volume_autocorrelation_validates_args(spark):
         analytics.volume_autocorrelation(df, lags=[0])
     with pytest.raises(ValueError):
         analytics.volume_autocorrelation(df, lags=[])
+
+
+def test_robot_trails_hand_computed(spark):
+    """Perfect 10s clock -> cv2 0, robot. Irregular human -> large cv2.
+    Single-timestamp trail -> NULL cv2, never a robot. Short trail ->
+    below min_events."""
+    rows = (
+        [("bot", 100 + 10 * i, i) for i in range(12)]
+        + [("hum", t, i) for i, t in enumerate(
+            [0, 7, 9, 30, 31, 55, 80, 81, 90, 140, 141, 200])]
+        + [("few", 5, 0), ("few", 9, 1)]
+        + [("zero", 50, 0), ("zero", 50, 1), ("zero", 50, 2)]
+    )
+    df = spark.createDataFrame(rows, "uuid string, time long, event_id long")
+    got = {
+        r.uuid: (r.n_events, r.mean_gap, r.cv2_ppm, r.is_robot)
+        for r in analytics.robot_trails(
+            df, min_events=10, max_cv2_ppm=10_000
+        ).collect()
+    }
+    # hum reference: n*sum(g^2) - s^2 over s^2, scaled 1e6, truncated
+    ts = [0, 7, 9, 30, 31, 55, 80, 81, 90, 140, 141, 200]
+    gs = [b - a for a, b in zip(ts, ts[1:])]
+    n, s, q = len(gs), sum(gs), sum(g * g for g in gs)
+    hum_cv2 = (1_000_000 * (n * q - s * s)) // (s * s)
+    assert got == {
+        "bot": (12, 10, 0, True),
+        "hum": (12, s // n, hum_cv2, False),
+        "few": (2, 4, 0, False),
+        "zero": (3, 0, None, False),
+    }
+
+
+def test_robot_trails_validates_args(spark):
+    import pytest
+    df = spark.createDataFrame([("u", 1, 0)], "uuid string, time long, event_id long")
+    with pytest.raises(ValueError):
+        analytics.robot_trails(df, min_events=1)

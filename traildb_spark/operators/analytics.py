@@ -2481,3 +2481,71 @@ def volume_autocorrelation(
             ),
         ).alias("autocorr"),
     )
+
+
+def robot_trails(
+    df: DataFrame,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    tiebreak_col: str = "event_id",
+    min_events: int = 10,
+    max_cv2_ppm: int = 10_000,
+) -> DataFrame:
+    """Bot/automation detection by inter-event timing regularity: a
+    scripted client fires on a clock (near-zero gap variance), a human
+    doesn't. Per trail, the squared coefficient of variation of the
+    inter-event gaps as exact ppm::
+
+        cv2_ppm = 10^6 * (n_gaps * sum(g^2) - sum(g)^2) div sum(g)^2
+
+    (population variance over mean^2 — dimensionless, so one threshold
+    works across slow and fast bots). ``is_robot`` flags trails with at
+    least ``min_events`` events and cv2 below ``max_cv2_ppm``; trails
+    whose gaps sum to zero (all events on one timestamp — batch imports)
+    get NULL cv2 and are flagged by the count alone. Products ride in
+    decimal(38,0) (a year of seconds squared times 10^6 exceeds int64).
+
+    Plan shape: one window pass per trail for the lag gaps ((time,
+    tiebreak) ordering — same deterministic tiebreak as every trail
+    operator), one per-uuid aggregate. Output is trail-count-sized.
+    Reference analog: per-trail cursor iteration + timestamp deltas
+    (src/tdb_decode.c cursor contract); the regularity statistic extends
+    §2.9 analytics.
+    """
+    if min_events < 2:
+        raise ValueError(
+            f"robot_trails: min_events must be >= 2, got {min_events}"
+        )
+    w = Window.partitionBy(uuid_col).orderBy(time_col, tiebreak_col)
+    g = (F.col(time_col) - F.lag(time_col).over(w)).alias("g")
+    gaps = df.select(F.col(uuid_col).alias("uuid"), g)
+    dec = "decimal(38,0)"
+    gd = F.col("g").cast(dec)
+    per = gaps.groupBy("uuid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("g").alias("n_gaps"),
+        F.sum("g").alias("sum_gap"),
+        F.sum(gd * gd).alias("__q"),
+    )
+    sg = F.col("sum_gap").cast(dec)
+    var_num = F.col("n_gaps").cast(dec) * F.col("__q") - sg * sg
+    return per.select(
+        "uuid",
+        "n_events",
+        F.expr("sum_gap div greatest(n_gaps, 1)").alias("mean_gap"),
+        F.when(
+            F.col("sum_gap") > 0,
+            (F.lit(1000000).cast(dec) * var_num).cast(dec),
+        ).alias("__num"),
+        sg.alias("__sg"),
+    ).select(
+        "uuid",
+        "n_events",
+        "mean_gap",
+        F.expr("__num div (__sg * __sg)").alias("cv2_ppm"),
+    ).withColumn(
+        "is_robot",
+        (F.col("n_events") >= min_events)
+        & F.col("cv2_ppm").isNotNull()
+        & (F.col("cv2_ppm") <= max_cv2_ppm),
+    )
