@@ -2230,6 +2230,22 @@ def q156_robot_trails(spark, sf_dir):
     return analytics.robot_trails(ev, min_events=10, max_cv2_ppm=10_000)
 
 
+def q157_curriculum_order(spark, sf_dir):
+    """Curriculum manifest: round-robin interleave of sources in
+    descending quality order — sparse sortable position (rank-1)*G+gi,
+    two-phase range-partition rank (no whale-source reducer), rerun-
+    identical tie-break on doc_id."""
+    docs = _load(spark, sf_dir, "documents")
+    from traildb_spark.operators import curation
+
+    scored = docs.select(
+        "doc_id", "source", text.quality_score(F.col("text")).alias("quality")
+    )
+    return curation.curriculum_order(
+        scored, score_col="quality", group_col="source", id_col="doc_id"
+    )
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2416,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_source_balance": q154_source_balance,
         "q155_volume_autocorrelation": q155_volume_autocorrelation,
         "q156_robot_trails": q156_robot_trails,
+        "q157_curriculum_order": q157_curriculum_order,
     }
 
 
@@ -3470,6 +3487,40 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
+        """,
+        # q31's quality expr; rank within source by (quality DESC, id);
+        # gi = alphabetical source index; sparse position (r-1)*G + gi
+        "q157_curriculum_order": f"""
+            WITH t AS (
+              SELECT doc_id, source, {_NORM_TEXT} AS nt,
+                     CAST(len({_TOKENS}) AS DOUBLE) AS n_tokens
+              FROM documents),
+            m AS (
+              SELECT doc_id, source,
+                     CAST(length(nt) AS DOUBLE) AS n_chars,
+                     CAST(length(regexp_replace(nt, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                     CAST(length(regexp_replace(nt, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+                     n_tokens
+              FROM t),
+            q AS (
+              SELECT doc_id, source,
+                     round(((CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+                      + (CASE WHEN n_tokens > 0 AND n_alpha / n_tokens >= 2.0 AND n_alpha / n_tokens <= 12.0 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.2 THEN 1.0 WHEN n_chars = 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+              FROM m),
+            gi AS (
+              SELECT source, row_number() OVER (ORDER BY source) - 1 AS g,
+                     (SELECT COUNT(DISTINCT source) FROM documents) AS ng
+              FROM (SELECT DISTINCT source FROM documents)),
+            r AS (
+              SELECT doc_id, source, quality,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY quality DESC, doc_id)
+                       AS BIGINT) AS rank_in_group
+              FROM q)
+            SELECT r.doc_id, r.source, r.quality, r.rank_in_group,
+                   (r.rank_in_group - 1) * gi.ng + gi.g AS position
+            FROM r JOIN gi ON r.source = gi.source
         """,
         # lag gaps per trail ((time, event_id) tiebreak); HUGEINT
         # products; non-negative numerator so // == truncating div;

@@ -465,3 +465,42 @@ def test_leakage_safe_split_clusters_move_together(spark):
         len({s for (c2, s) in by_comp if c2 == c}) == 1
         for c in set(comp.values())
     )
+
+
+def test_curriculum_order_interleaves_sources(spark):
+    """Sources a(3 docs), b(2), c(1): position (r-1)*3 + gi round-robins
+    best-first; ties on score break by id; positions are unique and
+    sort to a->b->c within each rank round."""
+    from traildb_spark.operators.curation import curriculum_order
+
+    rows = [
+        (0, "a", 0.9), (1, "a", 0.5), (2, "a", 0.7),
+        (3, "b", 0.8), (4, "b", 0.8),       # tie -> id order
+        (5, "c", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = {r.doc_id: (r.rank_in_group, r.position)
+           for r in curriculum_order(df, "score").collect()}
+    assert got == {
+        0: (1, 0), 2: (2, 3), 1: (3, 6),      # a: gi 0
+        3: (1, 1), 4: (2, 4),                  # b: gi 1, tie by id
+        5: (1, 2),                             # c: gi 2
+    }
+    order = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    assert order == [0, 3, 5, 2, 4, 1]
+
+
+def test_curriculum_order_matches_plain_window(spark):
+    """Two-phase rank == plain per-group window rank on a shuffled
+    200-row fixture (the scalable construction must be a pure
+    optimization)."""
+    from pyspark.sql import Window as W
+
+    from traildb_spark.operators.curation import curriculum_order
+
+    rows = [(i, f"s{i % 7}", float((i * 37) % 50) / 10.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = {r.doc_id: r.rank_in_group for r in curriculum_order(df, "score").collect()}
+    w = W.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id"))
+    want = {r.doc_id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == want

@@ -882,3 +882,87 @@ def leakage_safe_split(
     return hash_split(
         labeled, weights, id_col="component", salt=salt, buckets=buckets
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic curriculum manifest: an ordering key that round-
+    robins across sources in descending score order — epoch position
+    k*G + gi serves source gi's (k+1)-th best document, so early
+    training sees every source's best material instead of one crawl's
+    (data-ordering curricula; the interleave also de-clusters
+    domain-correlated batches).
+
+    ``position`` is a SPARSE sortable key ((rank-1)*n_groups +
+    group_index), not a dense sequence — writers sort by it; densifying
+    would cost a global rank for zero training benefit. Ties on score
+    break by id, so the manifest is rerun-identical.
+
+    Scale: the within-group rank is the `trail_ids` two-phase
+    construction generalized to (group, score) — range-partition by
+    (group, -score, id), bring PER-(PARTITION, GROUP) counts (bounded by
+    partitions x source lexicon — metadata-scale) to the driver for the
+    prefix scan, then partition-local row_number + base offset. No
+    whale source ever funnels through one reducer, unlike a plain
+    per-group window. The group index table is source-lexicon-sized and
+    broadcast.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(score_col).alias("score"),
+    )
+    rp = (
+        base.repartitionByRange(
+            n, F.col("grp"), F.col("score").desc(), F.col("id")
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        # pin ONE materialization: range boundaries come from sampling,
+        # so the count pass and the ranking pass must agree (trail_ids
+        # precedent)
+        .localCheckpoint()
+    )
+    counts = (
+        rp.groupBy("__pid", "grp").agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    acc: dict[str, int] = {}
+    bases = []
+    for r in sorted(counts, key=lambda r: (r["grp"], r["__pid"])):
+        bases.append((r["__pid"], r["grp"], acc.get(r["grp"], 0)))
+        acc[r["grp"]] = acc.get(r["grp"], 0) + r["__n"]
+    base_df = F.broadcast(
+        spark.createDataFrame(
+            bases or [(0, "", 0)], "__pid int, grp string, __base long"
+        )
+    )
+    groups = sorted(acc)
+    gi_df = F.broadcast(
+        spark.createDataFrame(
+            [(g, i) for i, g in enumerate(groups)] or [("", 0)],
+            "grp string, __gi long",
+        )
+    )
+    n_groups = max(len(groups), 1)
+    w = Window.partitionBy("__pid", "grp").orderBy(
+        F.col("score").desc(), F.col("id")
+    )
+    return (
+        rp.join(base_df, ["__pid", "grp"])
+        .join(gi_df, "grp")
+        .withColumn("rank_in_group", F.col("__base") + F.row_number().over(w))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            F.col("score").alias(score_col),
+            "rank_in_group",
+            (
+                (F.col("rank_in_group") - 1) * F.lit(n_groups) + F.col("__gi")
+            ).alias("position"),
+        )
+    )
