@@ -2246,6 +2246,46 @@ def q157_curriculum_order(spark, sf_dir):
     )
 
 
+def q158_lexical_richness(spark, sf_dir):
+    """Per-source lexical diversity: type-token ratio and hapax-legomena
+    rate as exact ppm — template mills vs diverse prose, one
+    (source, token) aggregate then a source-lexicon-sized fold."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.lexical_richness(docs)
+
+
+def q159_trail_seq_distance(spark, sf_dir):
+    """Order-sensitive trail similarity: Levenshtein over event-type
+    sequences rendered via a codepoint lexicon map, on a deterministic
+    ~40-trail md5 panel (panel-exact quadratic stage; the order-blind
+    full-population screen is q127)."""
+    from traildb_spark.operators.curation import hash_bucket
+
+    ev_all = _events(spark, sf_dir)
+    n_all = ev_all.select("uuid").distinct().count()
+    mod = max(3, (n_all + 39) // 40)
+    ev = ev_all.filter(hash_bucket(F.col("uuid"), mod, salt="seqpanel:") == 0)
+    return trails.trail_sequence_distance(ev, min_similarity_ppm=420000)
+
+
+def q160_ngram_coverage(spark, sf_dir):
+    """Held-out coverage: fraction of the val split's distinct word
+    3-grams already present in the train split (q46's 90/10 md5 split
+    discipline) — the memorization-vs-generalization aggregate, one
+    gram-keyed join on distinct gram sets."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    split = curation.hash_split(
+        docs, {"train": 0.9, "val": 0.1}, salt="cov:"
+    )
+    return text.ngram_coverage(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "val"),
+        n=3,
+    )
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2433,6 +2473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_volume_autocorrelation": q155_volume_autocorrelation,
         "q156_robot_trails": q156_robot_trails,
         "q157_curriculum_order": q157_curriculum_order,
+        "q158_lexical_richness": q158_lexical_richness,
+        "q159_trail_seq_distance": q159_trail_seq_distance,
+        "q160_ngram_coverage": q160_ngram_coverage,
     }
 
 
@@ -3487,6 +3530,83 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
+        """,
+        # q46 md5 bucket split (buckets=10000, hi=9000); distinct
+        # 3-gram sets; left-join membership; truncating div
+        "q160_ngram_coverage": f"""
+            WITH sp AS (
+              SELECT *, CASE WHEN CAST(('0x' || substr(md5('cov:' || doc_id),
+                                        1, 15)) AS BIGINT) % 10000 < 9000
+                             THEN 'train' ELSE 'val' END AS split
+              FROM documents),
+            toks AS (
+              SELECT split, string_split({_NORM_TEXT}, ' ') AS w FROM sp),
+            tg AS (
+              SELECT DISTINCT unnest({grams3}) AS g FROM toks
+              WHERE split = 'train'),
+            pg AS (
+              SELECT DISTINCT unnest({grams3}) AS g FROM toks
+              WHERE split = 'val')
+            SELECT CAST(COUNT(*) AS BIGINT) AS probe_grams,
+                   CAST(COALESCE(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 END), 0)
+                        AS BIGINT) AS covered_grams,
+                   CAST(COALESCE(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 END), 0)
+                        * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm
+            FROM pg LEFT JOIN tg ON pg.g = tg.g
+        """,
+        # single-byte ASCII lexicon map (chr(33+r-1) — DuckDB
+        # levenshtein is BYTE-level, Spark's char-level; ASCII keeps
+        # them identical); string_agg rendering in (time, event_id)
+        # order; native levenshtein on the md5 panel
+        "q159_trail_seq_distance": f"""
+            WITH e0 AS ({_E}),
+            pm AS (
+              SELECT GREATEST(3, (COUNT(DISTINCT uuid) + 39) // 40) AS m
+              FROM e0),
+            e AS (
+              SELECT e0.* FROM e0 CROSS JOIN pm
+              WHERE CAST(('0x' || substr(md5('seqpanel:' || uuid), 1, 15))
+                         AS BIGINT) % pm.m = 0),
+            lex AS (
+              SELECT v, chr(33 + CAST(row_number() OVER (ORDER BY v)
+                                      AS INT) - 1) AS ch
+              FROM (SELECT DISTINCT event_type AS v FROM e)),
+            seqs AS (
+              SELECT uuid,
+                     string_agg(ch, '' ORDER BY "time", event_id) AS seq
+              FROM e JOIN lex ON e.event_type = lex.v
+              GROUP BY uuid),
+            pairs AS MATERIALIZED (
+              SELECT a.uuid AS uuid_a, b.uuid AS uuid_b,
+                     CAST(length(a.seq) AS INT) AS len_a,
+                     CAST(length(b.seq) AS INT) AS len_b,
+                     CAST(levenshtein(a.seq, b.seq) AS INT) AS seq_distance
+              FROM seqs a JOIN seqs b ON a.uuid < b.uuid)
+            SELECT uuid_a, uuid_b, len_a, len_b, seq_distance,
+                   CAST((GREATEST(len_a, len_b) - seq_distance) * 1000000
+                        // GREATEST(len_a, len_b) AS BIGINT)
+                     AS similarity_ppm
+            FROM pairs
+            WHERE (GREATEST(len_a, len_b) - seq_distance) * 1000000
+                  // GREATEST(len_a, len_b) >= 420000
+        """,
+        # (source, token) counts; hapax = count==1 within source;
+        # truncating div on non-negative operands
+        "q158_lexical_richness": f"""
+            WITH tok AS (
+              SELECT source AS key, unnest({_TOKENS}) AS w FROM documents),
+            per AS (
+              SELECT key, w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY key, w)
+            SELECT key, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hapax,
+                   CAST(COUNT(*) * 1000000 // CAST(SUM(c) AS BIGINT)
+                        AS BIGINT) AS ttr_ppm,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                        // COUNT(*) AS BIGINT) AS hapax_ppm
+            FROM per GROUP BY key
         """,
         # q31's quality expr; rank within source by (quality DESC, id);
         # gi = alphabetical source index; sparse position (r-1)*G + gi

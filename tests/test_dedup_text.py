@@ -1603,3 +1603,42 @@ def test_source_balance_uniform_is_zero(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     r = text.source_balance(df).collect()[0]
     assert r.gini_docs_ppm == 0 and r.gini_chars_ppm == 0
+
+
+def test_lexical_richness_hand_computed(spark):
+    """mill: 'a a a a' -> 1 type, 0 hapax. prose: 'x y z x' -> 3 types,
+    2 hapax (y, z); ttr = 3/4, hapax rate = 2/3 (truncated ppm)."""
+    rows = [
+        (0, "a a a a", "mill"),
+        (1, "x y z x", "prose"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.key: (r.n_tokens, r.n_types, r.n_hapax, r.ttr_ppm, r.hapax_ppm)
+        for r in text.lexical_richness(df).collect()
+    }
+    assert got == {
+        "mill": (4, 1, 0, 250000, 0),
+        "prose": (4, 3, 2, 750000, 666666),
+    }
+
+
+def test_ngram_coverage_hand_computed(spark):
+    """train 'a b c d' has 3-grams {abc, bcd}; probe 'a b c x' has
+    {abc, bcx} -> 1 of 2 covered = 500000 ppm. Probe with n>len falls
+    back to the whole text as one gram (word_ngrams min-1 contract)."""
+    train = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    probe = spark.createDataFrame([(1, "a b c x")], "doc_id long, text string")
+    r = text.ngram_coverage(train, probe, n=3).collect()[0]
+    assert (r.probe_grams, r.covered_grams, r.coverage_ppm) == (2, 1, 500000)
+    import pytest
+    with pytest.raises(ValueError):
+        text.ngram_coverage(train, probe, n=0)
+
+
+def test_ngram_coverage_disjoint_and_full(spark):
+    a = spark.createDataFrame([(0, "p q r s")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "p q r s")], "doc_id long, text string")
+    c = spark.createDataFrame([(2, "z z z z")], "doc_id long, text string")
+    assert text.ngram_coverage(a, b, n=2).collect()[0].coverage_ppm == 1000000
+    assert text.ngram_coverage(a, c, n=2).collect()[0].coverage_ppm == 0

@@ -285,3 +285,60 @@ def test_entry_exit_struct_pick(spark):
     )
     got = {r["uuid"]: (r["entry"], r["exit"]) for r in per.collect()}
     assert got == {"u": ("a", "c"), "v": ("x", "x")}
+
+
+def test_trail_sequence_distance_hand_computed(spark):
+    """u1 = a,b,c ; u2 = a,b,c (identical -> d 0, sim 1e6);
+    u3 = a,c (one deletion from u1 -> d 1, sim 666666 over max len 3)."""
+    from traildb_spark.operators.trails import trail_sequence_distance
+
+    rows = [
+        ("u1", 1, 1, "a"), ("u1", 2, 2, "b"), ("u1", 3, 3, "c"),
+        ("u2", 1, 4, "a"), ("u2", 2, 5, "b"), ("u2", 3, 6, "c"),
+        ("u3", 1, 7, "a"), ("u3", 2, 8, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string"
+    )
+    got = {
+        (r.uuid_a, r.uuid_b): (r.len_a, r.len_b, r.seq_distance, r.similarity_ppm)
+        for r in trail_sequence_distance(df).collect()
+    }
+    assert got == {
+        ("u1", "u2"): (3, 3, 0, 1000000),
+        ("u1", "u3"): (3, 2, 1, 666666),
+        ("u2", "u3"): (3, 2, 1, 666666),
+    }
+
+
+def test_trail_sequence_distance_guards(spark):
+    from traildb_spark.operators.trails import trail_sequence_distance
+
+    df = spark.createDataFrame(
+        [("u", 1, 1, "a")], "uuid string, time long, event_id long, event_type string"
+    )
+    import pytest
+    with pytest.raises(ValueError):
+        trail_sequence_distance(df, max_lexicon=95)
+    many = spark.createDataFrame(
+        [(f"u{i}", 1, i, "a") for i in range(5)],
+        "uuid string, time long, event_id long, event_type string",
+    )
+    with pytest.raises(ValueError):
+        trail_sequence_distance(many, max_trails=3)
+
+
+def test_trail_sequence_distance_order_sensitivity(spark):
+    """Same event multiset, different order: Jaccard would say identical;
+    the sequence distance must not."""
+    from traildb_spark.operators.trails import trail_sequence_distance
+
+    rows = [
+        ("f", 1, 1, "a"), ("f", 2, 2, "b"), ("f", 3, 3, "c"),
+        ("r", 1, 4, "c"), ("r", 2, 5, "b"), ("r", 3, 6, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string"
+    )
+    r = trail_sequence_distance(df).collect()[0]
+    assert r.seq_distance == 2

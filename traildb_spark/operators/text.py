@@ -1362,3 +1362,90 @@ def source_balance(
         F.expr(f"CAST(__maxd AS {dec}) * CAST(1000000 AS {dec})"
                f" div CAST(total_docs AS {dec})").alias("top_share_ppm"),
     )
+
+
+def lexical_richness(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source lexical diversity: type-token ratio and hapax rate —
+    the corpus-linguistics signal that separates template/boilerplate
+    mills (few types, no hapax legomena) from genuinely diverse prose,
+    per slice so a bad crawl can't hide inside a healthy aggregate.
+
+    Exact integers: ``ttr_ppm = 10^6 * n_types div n_tokens``,
+    ``hapax_ppm = 10^6 * n_hapax div n_types`` (hapax = tokens occurring
+    EXACTLY ONCE within their source — the classic productivity
+    numerator), truncating division on non-negative operands.
+
+    Plan shape: one explode → groupBy(source, token) map-side-combined
+    count (the only corpus-scale shuffle, keyed wide enough that no
+    stop-word hot-spots a reducer), then a per-source fold over the
+    (source × vocabulary) table. No joins back to documents.
+    """
+    tok = df.select(
+        F.col(group_col).alias("key"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    per_tok = tok.groupBy("key", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_tok.groupBy("key")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "key",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("n_types * 1000000 div n_tokens").alias("ttr_ppm"),
+            F.expr("n_hapax * 1000000 div n_types").alias("hapax_ppm"),
+        )
+    )
+
+
+def ngram_coverage(
+    train: DataFrame,
+    probe: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """How much of a held-out slice the training corpus already covers:
+    the fraction of the probe split's distinct word n-grams that occur
+    anywhere in the training split — high coverage means the held-out
+    loss is partly memorization, not generalization (the aggregate
+    companion to `contamination_report`'s per-pair audit and
+    `decontaminate`'s removal).
+
+    One row, all exact integers: distinct probe grams, how many appear
+    in train, ``coverage_ppm = 10^6 * covered div probe_grams``.
+
+    Plan shape: both sides reduce to DISTINCT gram sets (map-side
+    combined — gram vocabulary, not corpus, after the explode); the
+    membership test is a gram-keyed left semi-style join aggregated to
+    one row. No doc pairs, no text re-reads; at 100 TB both gram sets
+    shard by hash and the join co-locates.
+    """
+    if n < 1:
+        raise ValueError(f"ngram_coverage: n must be >= 1, got {n}")
+    from .dedup import word_ngrams
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+        ).distinct()
+
+    tg = grams(train).withColumn("__in_train", F.lit(1))
+    pg = grams(probe)
+    j = pg.join(tg, "g", "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("probe_grams"),
+        F.sum(F.coalesce(F.col("__in_train"), F.lit(0))).alias("covered_grams"),
+    ).select(
+        "probe_grams",
+        "covered_grams",
+        F.expr("covered_grams * 1000000 div probe_grams").alias("coverage_ppm"),
+    )

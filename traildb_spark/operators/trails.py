@@ -477,3 +477,111 @@ def trail_vectors(
             lex_arr, lambda v: F.coalesce(F.element_at(F.col("m"), v), F.lit(0))
         ).alias("vec"),
     )
+
+
+def trail_sequence_distance(
+    df: DataFrame,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    tiebreak_col: str = "event_id",
+    max_lexicon: int = 90,
+    max_trails: int = 2000,
+    min_similarity_ppm: int = 0,
+) -> DataFrame:
+    """ORDER-sensitive behavioral similarity between trails: Levenshtein
+    distance over the trails' event-type SEQUENCES — two users who did
+    the same things in the same order score high even when their
+    feature-set Jaccard (`trail_similarity_pairs`, order-blind) ties
+    them with everyone else on the same pages.
+
+    Construction: the field lexicon (bounded, guarded by
+    ``max_lexicon`` <= 94) maps each value to one single-byte ASCII
+    codepoint (33 + rank in value sort order — single-byte ON PURPOSE:
+    DuckDB's levenshtein is byte-level while Spark's is
+    character-level, so any multi-byte alphabet silently diverges
+    across engines; the oracle derives the identical mapping with
+    row_number + chr); each trail
+    renders to a string in (time, tiebreak) order; pairwise distance is
+    the engine's native ``levenshtein``. ``similarity_ppm =
+    10^6 * (max_len - d) div max_len`` (1e6 = identical sequences).
+
+    PANEL-EXACT operator: pairwise edit distance is quadratic in cohort
+    size and quadratic in trail length by definition, so this runs on
+    deterministic fixed-size panels (`curation.hash_bucket`, the q127
+    discipline) and hard-raises above ``max_trails`` — the full-
+    population screen is `trail_similarity_pairs` / MinHash; this is
+    the exact refinement stage. Reference analog: per-trail cursor
+    iteration renders the same sequences (src/tdb_decode.c); the
+    alignment metric extends §2.9.
+    """
+    if not (1 <= max_lexicon <= 94) or max_trails < 2:
+        raise ValueError(
+            f"trail_sequence_distance: bad guards max_lexicon={max_lexicon} "
+            f"(must be 1..94 — single-byte ASCII alphabet) "
+            f"max_trails={max_trails}"
+        )
+    spark = df.sparkSession
+    lex = [
+        r["v"]
+        for r in df.select(F.col(field).alias("v")).distinct().orderBy("v").limit(
+            max_lexicon + 1
+        ).collect()
+    ]
+    if len(lex) > max_lexicon:
+        raise ValueError(
+            f"trail_sequence_distance: field lexicon exceeds max_lexicon="
+            f"{max_lexicon}; this is a panel-exact operator — screen with "
+            f"trail_similarity_pairs instead"
+        )
+    ch_map = F.broadcast(
+        spark.createDataFrame(
+            [(v, chr(33 + i)) for i, v in enumerate(lex)] or [("", "")],
+            "v string, ch string",
+        )
+    )
+    seqs = (
+        df.select(
+            F.col(uuid_col).alias("uuid"),
+            F.col(time_col).alias("t"),
+            F.col(tiebreak_col).alias("tb"),
+            F.col(field).alias("v"),
+        )
+        .join(ch_map, "v")
+        .groupBy("uuid")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(t, tb, ch))),"
+                " x -> x.ch), '')"
+            ).alias("seq")
+        )
+    )
+    n = seqs.count()
+    if n > max_trails:
+        raise ValueError(
+            f"trail_sequence_distance: {n} trails exceed max_trails="
+            f"{max_trails}; pass a hash_bucket panel"
+        )
+    a = seqs.select(
+        F.col("uuid").alias("uuid_a"), F.col("seq").alias("sa")
+    )
+    b = seqs.select(
+        F.col("uuid").alias("uuid_b"), F.col("seq").alias("sb")
+    )
+    pairs = a.join(b, F.col("uuid_a") < F.col("uuid_b"))
+    la, lb = F.length("sa"), F.length("sb")
+    mx = F.greatest(la, lb)
+    return (
+        pairs.select(
+            "uuid_a",
+            "uuid_b",
+            la.cast("int").alias("len_a"),
+            lb.cast("int").alias("len_b"),
+            F.levenshtein("sa", "sb").cast("int").alias("seq_distance"),
+            F.expr(
+                "CAST((greatest(length(sa), length(sb)) - levenshtein(sa, sb))"
+                " * 1000000 div greatest(length(sa), length(sb)) AS BIGINT)"
+            ).alias("similarity_ppm"),
+        )
+        .filter(F.col("similarity_ppm") >= min_similarity_ppm)
+    )
