@@ -2175,10 +2175,18 @@ def q151_edit_distance(spark, sf_dir):
     """Character-level near-dup: all doc pairs within Levenshtein
     distance 6 of each other on normalized text — Ed-Join q-gram prefix
     filter for candidates (rarest-gram banding, short-doc length-bucket
-    fallback), exact banded-levenshtein verify. Oracle: brute force over
-    the |len diff| <= d complete filter (the theorem says outputs are
-    identical, so brute-vs-filtered IS the completeness check)."""
-    docs = _load(spark, sf_dir, "documents")
+    fallback), exact banded-levenshtein verify, on a deterministic
+    ~1200-doc md5 panel (exact pairwise edit distance is near-quadratic
+    when lengths cluster — the q127 fixed-panel discipline; the
+    full-population screens are MinHash/SimHash). Oracle: brute force
+    over the |len diff| <= d complete filter (the theorem says outputs
+    are identical, so brute-vs-filtered IS the completeness check)."""
+    from traildb_spark.operators.curation import hash_bucket
+
+    docs_all = _load(spark, sf_dir, "documents")
+    n_all = docs_all.count()
+    mod = max(1, (n_all + 1199) // 1200)
+    docs = docs_all.filter(hash_bucket(F.col("doc_id"), mod, salt="edpanel:") == 0)
     return dedup.edit_distance_pairs(docs, max_distance=6, q=3)
 
 
@@ -2284,6 +2292,31 @@ def q160_ngram_coverage(spark, sf_dir):
         split.filter(F.col("split") == "val"),
         n=3,
     )
+
+
+def q161_containment(spark, sf_dir):
+    """Asymmetric containment dedup: docs whose char-5-shingle set is
+    >= 70% inside ANOTHER doc's set (quote/aggregator/appendix dups
+    that Jaccard's union term hides), on a deterministic ~300-doc md5
+    panel (containment at a loose threshold over a shared-vocabulary
+    corpus is dense by nature — fixed panel keeps the exact stage flat;
+    q127 discipline). Super-side-df-ordered prefix filter; brute
+    oracle — output identity IS the completeness proof."""
+    from traildb_spark.operators.curation import hash_bucket
+
+    docs_all = _load(spark, sf_dir, "documents")
+    n_all = docs_all.count()
+    mod = max(1, (n_all + 299) // 300)
+    docs = docs_all.filter(hash_bucket(F.col("doc_id"), mod, salt="ctpanel:") == 0)
+    return dedup.containment_pairs(docs, docs, k=5, threshold=0.7)
+
+
+def q162_hash_embedding(spark, sf_dir):
+    """Model-free doc vectors by the hashing trick: signed token counts
+    in md5-bucketed dims — deterministic integer vectors feeding the
+    similarity stack without an embeddings table. dim=32."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.hash_embedding(docs, dim=32)
 
 
 def q118_resolve_duplicates(spark, sf_dir):
@@ -2476,6 +2509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_lexical_richness": q158_lexical_richness,
         "q159_trail_seq_distance": q159_trail_seq_distance,
         "q160_ngram_coverage": q160_ngram_coverage,
+        "q161_containment": q161_containment,
+        "q162_hash_embedding": q162_hash_embedding,
     }
 
 
@@ -3531,6 +3566,60 @@ def oracle_sql() -> dict[str, str]:
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
         """,
+        # md5-60 bucket + parity sign; grid + list(ORDER BY) dense
+        # layout (the trail_vectors mirror)
+        "q162_hash_embedding": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKENS}) AS w FROM documents),
+            h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv
+              FROM tok),
+            per AS (
+              SELECT doc_id, hv % 32 AS b,
+                     CAST(SUM(CASE WHEN (hv // 32) % 2 = 0 THEN 1 ELSE -1 END)
+                          AS BIGINT) AS v
+              FROM h GROUP BY doc_id, hv % 32),
+            grid AS (
+              SELECT d.doc_id, gs.i
+              FROM (SELECT DISTINCT doc_id FROM per) d
+              CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) gs),
+            vec AS (
+              SELECT grid.doc_id,
+                     list(COALESCE(per.v, 0) ORDER BY grid.i) AS vector
+              FROM grid LEFT JOIN per
+                ON per.doc_id = grid.doc_id AND per.b = grid.i
+              GROUP BY grid.doc_id)
+            SELECT doc_id, vector FROM vec
+        """,
+        # brute all-pairs on the portable md5-60 shingle sets; the
+        # Spark side prunes with the df-ordered prefix filter but both
+        # verify exactly, so outputs are identical
+        "q161_containment": f"""
+            WITH pm AS (
+              SELECT GREATEST(1, (COUNT(*) + 299) // 300) AS m
+              FROM documents),
+            t AS (
+              SELECT doc_id, {_NORM_TEXT} AS nt
+              FROM documents CROSS JOIN pm
+              WHERE CAST(('0x' || substr(md5('ctpanel:' || doc_id), 1, 15))
+                         AS BIGINT) % pm.m = 0),
+            g AS MATERIALIZED (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                       [CAST(('0x' || substr(md5(substr(nt, i, 5)), 1, 15)) AS BIGINT)
+                        for i in generate_series(1, greatest(length(nt) - 4, 1))])) AS hs
+              FROM t),
+            sz AS (SELECT doc_id, hs, len(hs) AS n FROM g WHERE len(hs) > 0),
+            pairs AS MATERIALIZED (
+              SELECT a.doc_id AS sub_id, b.doc_id AS super_id,
+                     CAST(a.n AS INT) AS sub_grams,
+                     round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                           / CAST(a.n AS DOUBLE), 6) AS containment
+              FROM sz a JOIN sz b ON a.doc_id <> b.doc_id)
+            SELECT sub_id, super_id, sub_grams, containment
+            FROM pairs WHERE containment >= 0.7
+        """,
         # q46 md5 bucket split (buckets=10000, hi=9000); distinct
         # 3-gram sets; left-join membership; truncating div
         "q160_ngram_coverage": f"""
@@ -3808,9 +3897,14 @@ def oracle_sql() -> dict[str, str]:
         # materialized fences stop DuckDB from hoisting levenshtein into
         # the 250k-pair nested loop
         "q151_edit_distance": f"""
-            WITH n AS MATERIALIZED (
-              SELECT doc_id, {_NORM_TEXT} AS t, length({_NORM_TEXT}) AS l
+            WITH pm AS (
+              SELECT GREATEST(1, (COUNT(*) + 1199) // 1200) AS m
               FROM documents),
+            n AS MATERIALIZED (
+              SELECT doc_id, {_NORM_TEXT} AS t, length({_NORM_TEXT}) AS l
+              FROM documents CROSS JOIN pm
+              WHERE CAST(('0x' || substr(md5('edpanel:' || doc_id), 1, 15))
+                         AS BIGINT) % pm.m = 0),
             cand AS MATERIALIZED (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.t AS ta, b.t AS tb
               FROM n a JOIN n b

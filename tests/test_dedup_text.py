@@ -1642,3 +1642,97 @@ def test_ngram_coverage_disjoint_and_full(spark):
     c = spark.createDataFrame([(2, "z z z z")], "doc_id long, text string")
     assert text.ngram_coverage(a, b, n=2).collect()[0].coverage_ppm == 1000000
     assert text.ngram_coverage(a, c, n=2).collect()[0].coverage_ppm == 0
+
+
+def test_containment_pairs_asymmetric(spark):
+    """sub fully inside super -> containment 1.0 one direction; the
+    super side scores low the other way (union-blind by design). A
+    disjoint doc pairs with nothing."""
+    inner = "abcdefghij" * 4                       # 40 chars, 36 shingles
+    rows = [
+        (0, inner),
+        (1, inner + " " + "zyxwvutsrq" * 6),       # superset with long tail
+        (2, "0123456789" * 5),                     # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.sub_id, r.super_id): r.containment
+        for r in dedup.containment_pairs(df, df, k=5, threshold=0.9).collect()
+    }
+    assert got == {(0, 1): 1.0}
+    # jaccard would NOT call these near-dups: union is dominated by the tail
+    import pytest
+    with pytest.raises(ValueError):
+        dedup.containment_pairs(df, df, threshold=0.0)
+    with pytest.raises(ValueError):
+        dedup.containment_pairs(df, df, k=0)
+
+
+def test_containment_pairs_matches_brute(spark):
+    """Prefix-filter candidates + exact verify == brute force over all
+    ordered pairs (completeness under the df-ordered prefix)."""
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a completely different sentence about spark and shuffles"),
+        (3, "quick brown fox jumps over"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.sub_id, r.super_id): (r.sub_grams, r.containment)
+        for r in dedup.containment_pairs(df, df, k=5, threshold=0.6).collect()
+    }
+
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    def sh(t):
+        t = norm(t)
+        return {t[i:i + 5] for i in range(max(len(t) - 4, 1))}
+
+    want = {}
+    for i, ta in docs:
+        for j, tb in docs:
+            if i == j:
+                continue
+            A, B = sh(ta), sh(tb)
+            c = round(len(A & B) / len(A), 6)
+            if c >= 0.6:
+                want[(i, j)] = (len(A), c)
+    assert got == want
+
+
+def test_hash_embedding_deterministic_and_signed(spark):
+    from traildb_spark.functions.core import md5_60 as _  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "alpha beta alpha"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.vector for r in text.hash_embedding(df, dim=8).collect()}
+    # identical docs -> identical vectors; empty doc emits no row
+    assert out[0] == out[1] and 2 not in out
+    assert len(out[0]) == 8
+    # alpha appears twice, beta once: total absolute mass is 3 in <= 2 buckets
+    assert sum(abs(v) for v in out[0]) in (1, 3)  # 1 if alpha/beta collide w/ opposite signs
+
+
+def test_hash_embedding_python_reference(spark):
+    """Bucket and sign must equal the md5-60 reference exactly."""
+    import hashlib
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    words = ["spark", "join", "shuffle", "spark"]
+    df = spark.createDataFrame([(7, " ".join(words))], "doc_id long, text string")
+    dim = 16
+    want = [0] * dim
+    for w in words:
+        h = md5_60(w)
+        want[h % dim] += 1 if (h // dim) % 2 == 0 else -1
+    got = text.hash_embedding(df, dim=dim).collect()[0].vector
+    assert got == want
+    import pytest
+    with pytest.raises(ValueError):
+        text.hash_embedding(df, dim=0)

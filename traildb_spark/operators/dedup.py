@@ -2241,8 +2241,14 @@ def edit_distance_pairs(
             F.expr(f"transform(sequence(1, l - {q} + 1), i -> substring(t, i, {q}))")
         ),
     ).otherwise(F.array().cast("array<string>"))
-    with_grams = base.select("id", "l", grams_expr.alias("grams")).withColumn(
-        "ng", F.size("grams")
+    # materialize BEFORE the explode: projection collapse would inline
+    # the transform+array_distinct tree into Generate and re-evaluate it
+    # once per OUTPUT gram (measured 20x+ on this exact shape — see
+    # _materialize) — the array must be born once per doc
+    with_grams = _materialize(
+        base.select("id", "l", grams_expr.alias("grams")).withColumn(
+            "ng", F.size("grams")
+        )
     )
 
     exploded = with_grams.select("id", "l", "ng", F.explode("grams").alias("g"))
@@ -2288,3 +2294,92 @@ def edit_distance_pairs(
         .select("id_a", "id_b", F.col("edit_distance").cast("int").alias("edit_distance"))
     )
     return verified
+
+
+def containment_pairs(
+    sub_df: DataFrame,
+    super_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: all (sub, super) pairs where at least
+    ``threshold`` of sub's char k-shingles appear in super —
+    containment C(A,B) = |A∩B| / |A|. This is the dup class Jaccard
+    misses by construction: a quote wrapped in boilerplate, an
+    aggregator page embedding a full article, a doc re-published with a
+    long appendix — the union term drowns the overlap, but the
+    contained side still scores 1.0 here (Broder's resemblance vs
+    containment distinction).
+
+    Candidates by prefix filtering on the SUB side only: if
+    |A∩B| >= ceil(t*|A|), then under ANY consistent total order A's
+    prefix of its |A| - ceil(t*|A|) + 1 smallest grams must contain an
+    element of B. The order used is ascending SUPER-side document
+    frequency (gram string tiebreak): grams absent from the corpus sort
+    FIRST (df 0 — they join nothing, pruning for free) and stop-grams
+    sort last, leaving prefixes keyed on rare grams — the PPJoin skew
+    story applied to the asymmetric join. The super side explodes its
+    full distinct gram set (the inverted-index side — `q85`'s artifact
+    shape); exact verify recomputes |A∩B|/|A| on semi-joined survivors
+    only. Portable md5-60 shingles throughout, so the DuckDB oracle
+    runs brute-force and output identity proves candidate completeness.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"containment_pairs: threshold must be in (0, 1], got {threshold}"
+        )
+    if k < 1:
+        raise ValueError(f"containment_pairs: k must be >= 1, got {k}")
+    a = _materialize(
+        _spread(sub_df).select(
+            F.col(id_col).alias("sub_id"),
+            F.col(text_col).alias("__text"),
+            md5_shingle_hashes(F.col(text_col), k).alias("ga"),
+        ).withColumn("sz", F.size("ga")).filter(F.col("sz") > 0)
+    )
+    b = _materialize(
+        _spread(super_df).select(
+            F.col(id_col).alias("super_id"),
+            F.col(text_col).alias("__textb"),
+            md5_shingle_hashes(F.col(text_col), k).alias("gb"),
+        ).filter(F.size("gb") > 0)
+    )
+    bp = b.select("super_id", F.explode("gb").alias("g"))
+    bdf = bp.groupBy("g").agg(F.count(F.lit(1)).alias("dfc"))
+    # prefix length: |A| - ceil(t*|A|) + 1 (>= 1)
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    ap = (
+        a.select("sub_id", plen.alias("p"), F.explode("ga").alias("g"))
+        .join(bdf, "g", "left")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("sub_id").orderBy(
+                    F.coalesce(F.col("dfc"), F.lit(0)), F.col("g")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= F.col("p"))
+        .select("sub_id", "g")
+    )
+    cand = (
+        ap.join(bp, "g")
+        .filter(F.col("sub_id") != F.col("super_id"))
+        .select("sub_id", "super_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    return (
+        cand.join(a.select("sub_id", "ga", "sz"), "sub_id")
+        .join(b.select("super_id", "gb"), "super_id")
+        .withColumn("containment", F.round(inter / F.col("sz").cast("double"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "sub_id",
+            "super_id",
+            F.col("sz").alias("sub_grams"),
+            "containment",
+        )
+    )

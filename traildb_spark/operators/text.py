@@ -1449,3 +1449,65 @@ def ngram_coverage(
         "covered_grams",
         F.expr("covered_grams * 1000000 div probe_grams").alias("coverage_ppm"),
     )
+
+
+def hash_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-free text vectors by the hashing trick (Weinberger et al.
+    2009): each token lands in bucket ``md5_60(token) % dim`` with sign
+    ±1 from the next hash bit; the doc vector is the signed count per
+    bucket. Bridges raw text into the vector-similarity stack (cosine
+    top-k, SRP-LSH, IVF) with NO trained model and NO embeddings table
+    — and deterministically: the same doc hashes to the same vector in
+    any engine, rerun, or language, unlike learned embeddings.
+
+    Output (id, vector array<long>) — integer vectors on purpose: exact
+    cross-engine equality, and the downstream quantized-cosine kernels
+    take integer inputs natively.
+
+    Plan shape: explode → groupBy(id, bucket) signed-count (map-side
+    combined, the only corpus-scale shuffle) → per-doc map_from_entries
+    + a dim-length transform to zero-fill. No grid join, no pivot —
+    the dense layout is built inside one projection.
+    """
+    if dim < 1:
+        raise ValueError(f"hash_embedding: dim must be >= 1, got {dim}")
+    from ..functions.core import md5_60
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    hashed = tok.select("id", md5_60(F.col("w")).alias("h"))
+    # integer div/mod only — float division on 60-bit hashes would lose
+    # the low bits that decide bucket parity
+    per = (
+        hashed.select(
+            "id",
+            F.expr(f"h % {dim}").alias("b"),
+            F.expr(f"CASE WHEN (h div {dim}) % 2 = 0 THEN 1 ELSE -1 END").alias(
+                "sgn"
+            ),
+        )
+        .groupBy("id", "b")
+        .agg(F.sum("sgn").alias("v"))
+    )
+    return (
+        per.groupBy("id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("b"), F.col("v")))
+            ).alias("m")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.expr(
+                f"transform(sequence(0, {dim - 1}),"
+                " i -> coalesce(element_at(m, CAST(i AS BIGINT)), CAST(0 AS BIGINT)))"
+            ).alias("vector"),
+        )
+    )
