@@ -733,3 +733,83 @@ def test_trail_vectors_no_pivot_join(spark, sf_dir):
     plan = audit.explain_str(out, "simple")
     assert "CartesianProduct" not in plan, plan
     assert audit.num_shuffles(out) <= 2, plan
+
+
+def test_diurnal_profile_two_exchanges(spark, sf_dir):
+    """(key, hour) aggregate then per-key fold — nothing event-sized
+    after the first map-side combine, no joins at all."""
+    from tests.conftest import load_events
+    from traildb_spark.operators import analytics
+
+    ev = load_events(spark, sf_dir).select("time", "event_type")
+    out = analytics.diurnal_profile(ev)
+    plan = audit.explain_str(out, "simple")
+    assert "Join" not in plan, plan
+    assert audit.num_shuffles(out) <= 2, plan
+
+
+def test_lexical_richness_two_exchanges(spark, sf_dir):
+    """(source, token) aggregate then per-source fold — no joins, no
+    window, no re-read of documents."""
+    from traildb_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = T.lexical_richness(docs)
+    plan = audit.explain_str(out, "simple")
+    assert "Join" not in plan, plan
+    assert audit.num_shuffles(out) <= 2, plan
+
+
+def test_hash_embedding_no_grid_join(spark, sf_dir):
+    """Dense layout comes from map_from_entries inside a projection:
+    no join against a dim grid, <= 2 aggregates."""
+    from traildb_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = T.hash_embedding(docs, dim=16)
+    plan = audit.explain_str(out, "simple")
+    assert "Join" not in plan, plan
+    assert audit.num_shuffles(out) <= 2, plan
+
+
+def test_survival_table_histogram_sized_window(spark, sf_dir):
+    """The suffix-cumsum window runs AFTER the lifetime-bucket
+    aggregate — the plan's window input is the histogram aggregate,
+    never the event relation; the global obs_end is a broadcast."""
+    from tests.conftest import load_events
+    from traildb_spark.operators import analytics
+
+    ev = load_events(spark, sf_dir).select("uuid", "time")
+    out = analytics.survival_table(ev)
+    plan = audit.explain_str(out, "formatted")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    w = plan.find("Window")
+    agg = plan.find("HashAggregate")
+    assert w != -1 and agg != -1, plan
+
+
+def test_volume_autocorrelation_histogram_joins(spark, sf_dir):
+    """Range + lags are broadcast; the Σxy probe join and the moment
+    cross-products run on the (key, bucket) histogram, never events —
+    no CartesianProduct against the event relation."""
+    from tests.conftest import load_events
+    from traildb_spark.operators import analytics
+
+    ev = load_events(spark, sf_dir).select("time", "event_type")
+    out = analytics.volume_autocorrelation(ev, lags=[1, 24])
+    plan = audit.explain_str(out, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_edit_distance_pairs_broadcast_df_and_no_cross(spark, sf_dir):
+    """Gram document-frequency table is broadcast (bounded universe);
+    candidates come from equi-joins on gram/bucket keys — no cross
+    product anywhere in the plan."""
+    from traildb_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.edit_distance_pairs(docs, max_distance=4)
+    plan = audit.explain_str(out, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
