@@ -2319,6 +2319,14 @@ def q162_hash_embedding(spark, sf_dir):
     return text.hash_embedding(docs, dim=32)
 
 
+def q163_burstiness(spark, sf_dir):
+    """Fano factor (index of dispersion) of hourly volume per event
+    type — Poisson = 1e6 ppm exactly, clocked < 1e6, bursty > 1e6;
+    exact integer moments over the zero-filled range."""
+    ev = _events(spark, sf_dir).select("time", "event_type")
+    return analytics.burstiness_index(ev, bucket_seconds=3600)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2511,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_ngram_coverage": q160_ngram_coverage,
         "q161_containment": q161_containment,
         "q162_hash_embedding": q162_hash_embedding,
+        "q163_burstiness": q163_burstiness,
     }
 
 
@@ -3565,6 +3574,27 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
+        """,
+        # Fano factor over zero-filled hourly buckets; HUGEINT
+        # products, non-negative numerator so // == truncating div
+        "q163_burstiness": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT event_type AS key, "time" // 3600 AS b,
+                     CAST(COUNT(*) AS BIGINT) AS y
+              FROM e GROUP BY 1, 2),
+            rng AS (
+              SELECT CAST(MAX(b) - MIN(b) + 1 AS BIGINT) AS n FROM per),
+            st AS (
+              SELECT key, CAST(SUM(y) AS BIGINT) AS s,
+                     SUM(CAST(y AS HUGEINT) * y) AS q
+              FROM per GROUP BY key)
+            SELECT key, rng.n AS n_buckets, st.s AS n_events,
+                   CAST((CAST(rng.n AS HUGEINT) * st.q
+                         - CAST(st.s AS HUGEINT) * st.s) * 1000000
+                        // (CAST(rng.n AS HUGEINT) * st.s) AS BIGINT)
+                     AS fano_ppm
+            FROM st CROSS JOIN rng
         """,
         # md5-60 bucket + parity sign; grid + list(ORDER BY) dense
         # layout (the trail_vectors mirror)

@@ -1167,3 +1167,32 @@ def test_robot_trails_validates_args(spark):
     df = spark.createDataFrame([("u", 1, 0)], "uuid string, time long, event_id long")
     with pytest.raises(ValueError):
         analytics.robot_trails(df, min_events=1)
+
+
+def test_burstiness_index_hand_computed(spark):
+    """'clock': 1 event in each of 4 buckets -> variance 0 -> fano 0.
+    'burst': 4 events in one bucket over the same 4-bucket range ->
+    S=4, Q=16, n=4: fano = (4*16-16)*1e6 // (4*4) = 3_000_000."""
+    rows = (
+        [("clock", b * 3600) for b in range(4)]
+        + [("burst", 10) for _ in range(4)]
+        + [("burst", 3 * 3600)]  # pins burst's range... actually global range
+    )
+    # global range = buckets 0..3 from 'clock'; drop the pin row for clarity
+    rows = rows[:-1]
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    got = {
+        r.key: (r.n_buckets, r.n_events, r.fano_ppm)
+        for r in analytics.burstiness_index(df).collect()
+    }
+    assert got == {
+        "clock": (4, 4, 0),
+        "burst": (4, 4, 3000000),
+    }
+
+
+def test_burstiness_index_validates_args(spark):
+    import pytest
+    df = spark.createDataFrame([("a", 1)], "event_type string, time long")
+    with pytest.raises(ValueError):
+        analytics.burstiness_index(df, bucket_seconds=0)

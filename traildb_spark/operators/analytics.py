@@ -2549,3 +2549,56 @@ def robot_trails(
         & F.col("cv2_ppm").isNotNull()
         & (F.col("cv2_ppm") <= max_cv2_ppm),
     )
+
+
+def burstiness_index(
+    df: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = TIME_COL,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Fano factor of each key's per-bucket event counts — the
+    index-of-dispersion completing the volume family: `anomalous_buckets`
+    flags WHICH buckets deviate, `volume_autocorrelation` asks WHEN load
+    repeats, this asks HOW bursty the process is overall. A Poisson
+    arrival process scores 1e6 ppm exactly; clocked/regular load scores
+    below; bursty (self-exciting, batchy) load scores above.
+
+    Exact integers over the zero-filled global bucket range::
+
+        fano_ppm = 10^6 * (n*Q - S^2) div (n*S)     n = span, S = Σy, Q = Σy²
+
+    (population variance over mean, scale factored so one truncating
+    division happens last; products in decimal(38,0)). Keys with S = 0
+    cannot occur (a key exists only via events).
+
+    Plan shape: one map-side-combined groupBy(key, bucket), per-key fold
+    on the histogram, broadcast 1-row range. Nothing event-sized after
+    the first aggregate.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"burstiness_index: bucket_seconds must be > 0, got {bucket_seconds}"
+        )
+    b = F.expr(f"{time_col} div {bucket_seconds}")
+    per = df.select(F.col(key_col).alias("key"), b.alias("b")).groupBy(
+        "key", "b"
+    ).agg(F.count(F.lit(1)).alias("y"))
+    rng = F.broadcast(
+        per.agg((F.max("b") - F.min("b") + 1).alias("n"))
+    )
+    dec = "decimal(38,0)"
+    yd = F.col("y").cast(dec)
+    stats = per.groupBy("key").agg(
+        F.sum("y").alias("s"), F.sum(yd * yd).alias("q")
+    )
+    return stats.crossJoin(rng).select(
+        "key",
+        F.col("n").alias("n_buckets"),
+        F.col("s").alias("n_events"),
+        F.expr(
+            f"(CAST(n AS {dec}) * q - CAST(s AS {dec}) * CAST(s AS {dec}))"
+            f" * CAST(1000000 AS {dec})"
+            f" div (CAST(n AS {dec}) * CAST(s AS {dec}))"
+        ).alias("fano_ppm"),
+    )
