@@ -1085,3 +1085,57 @@ def test_streaming_hll_matches_batch_and_trend_from_state(spark, sf_dir, tmp_pat
         for r in analytics.trend_by_key(ev, bucket_seconds=86400).collect()
     }
     assert streamed == batch_t and len(batch_t) > 0
+
+
+def test_streaming_robot_stats_matches_batch(spark, tmp_path):
+    """robot_trails as a streaming cursor fold: cross-batch disorder,
+    gaps spanning chunk seams — emitted (cv2_ppm, is_robot) must equal
+    the batch operator exactly (python-int math == decimal(38,0))."""
+    from traildb_spark.operators import analytics
+    from traildb_spark.streaming.cursor import streaming_robot_stats_cursor
+
+    base = 1700000000
+    bot = [("bot", base + 10 * i) for i in range(12)]          # perfect clock
+    hum = [("hum", base + t) for t in (0, 7, 9, 30, 31, 55, 80, 81, 90, 140, 141, 200)]
+    rows = bot + hum
+    path = str(tmp_path / "robot_stream")
+    import time as _time
+
+    # split mid-trail so gap accumulation crosses micro-batch seams,
+    # with the humans' opener arriving LATE
+    for chunk in (bot[:6] + hum[3:], bot[6:] + hum[:3]):
+        _time.sleep(0.05)
+        spark.createDataFrame(chunk, "uuid string, t long").withColumn(
+            "event_time", F.timestamp_seconds(F.col("t"))
+        ).drop("t").coalesce(1).write.mode("append").parquet(path)
+    schema = spark.read.parquet(path).schema
+    _append_watermark_sentinels(spark, path, schema, base + 300)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = streaming_robot_stats_cursor(
+        stream, min_events=10, max_cv2_ppm=10_000,
+        watermark="1 hour", idle_timeout=7200,
+    )
+    _run_stream(out, "robot_stream_out", mode="append")
+    got = {
+        r["uuid"]: (r["n_events"], r["mean_gap"], r["cv2_ppm"], r["is_robot"])
+        for r in spark.sql(
+            "select * from robot_stream_out where uuid <> 'ffffffff'"
+        ).collect()
+    }
+    batch_in = spark.createDataFrame(
+        [(u, t, i) for i, (u, t) in enumerate(rows)],
+        "uuid string, time long, event_id long",
+    )
+    want = {
+        r["uuid"]: (r["n_events"], r["mean_gap"], r["cv2_ppm"], r["is_robot"])
+        for r in analytics.robot_trails(
+            batch_in, min_events=10, max_cv2_ppm=10_000
+        ).collect()
+    }
+    assert got == want
+    assert got["bot"][3] is True and got["hum"][3] is False

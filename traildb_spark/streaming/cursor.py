@@ -210,3 +210,77 @@ def streaming_session_stats_cursor(
         watermark=watermark,
         idle_timeout=idle_timeout,
     )
+
+
+def streaming_robot_stats_cursor(
+    events: DataFrame,
+    min_events: int = 10,
+    max_cv2_ppm: int = 10_000,
+    uuid_col: str = "uuid",
+    ts_col: str = "event_time",
+    watermark: str = "1 hour",
+    idle_timeout: int = 7200,
+) -> DataFrame:
+    """`analytics.robot_trails` as a STREAMING cursor fold: constant
+    state per trail (event count, last timestamp, Σgap, Σgap² as python
+    ints — arbitrary precision, so the math is the batch operator's
+    decimal(38,0) arithmetic verbatim), one
+    ``(uuid, n_events, mean_gap, cv2_ppm, is_robot)`` row when the
+    trail goes idle. Bot detection is exactly the workload that WANTS
+    the streaming form — flag the scripted client while it is still
+    hammering, not in tomorrow's batch. Chunk-boundary-invariant by
+    construction (gaps accumulate across chunk seams through ``last``),
+    so stream ≡ batch for in-watermark data — the parity test's oracle.
+    """
+    import pandas as pd
+
+    def init(u):
+        return {"uuid": u, "n": 0, "last": None, "sg": 0, "qg": 0}
+
+    def step(st, chunk):
+        ts = chunk["time"].to_numpy()
+        for t in ts:
+            t = int(t)
+            if st["last"] is not None:
+                g = t - st["last"]
+                st["sg"] += g
+                st["qg"] += g * g
+            st["last"] = t
+            st["n"] += 1
+        return st, None
+
+    def finish(st):
+        n_gaps = max(st["n"] - 1, 1)
+        mean_gap = st["sg"] // n_gaps
+        if st["sg"] > 0:
+            cv2 = (1_000_000 * ((st["n"] - 1) * st["qg"] - st["sg"] ** 2)) // (
+                st["sg"] ** 2
+            )
+        else:
+            cv2 = None
+        return pd.DataFrame(
+            {
+                uuid_col: [st["uuid"]],
+                "n_events": [st["n"]],
+                "mean_gap": [mean_gap],
+                "cv2_ppm": [cv2],
+                "is_robot": [
+                    st["n"] >= min_events and cv2 is not None and cv2 <= max_cv2_ppm
+                ],
+            }
+        )
+
+    return apply_to_trails_stream(
+        events,
+        init,
+        step,
+        finish,
+        output_schema=(
+            f"{uuid_col} string, n_events long, mean_gap long, "
+            "cv2_ppm long, is_robot boolean"
+        ),
+        uuid_col=uuid_col,
+        ts_col=ts_col,
+        watermark=watermark,
+        idle_timeout=idle_timeout,
+    )
