@@ -946,3 +946,124 @@ def test_set_jaccard_matches_python_sets(spark, sets):
                 want[(a, b)] = (len(sets[a]), len(sets[b]), sh,
                                 sh * 1_000_000 // un)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# round-6 third batch: integer-exact analytics vs pure-python references
+# --------------------------------------------------------------------------
+
+_ev_small = st.lists(
+    st.tuples(
+        st.sampled_from(["u0", "u1", "u2", "u3"]),
+        st.integers(min_value=0, max_value=50_000),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_ev_small, gap=st.integers(min_value=0, max_value=20_000),
+       bucket=st.integers(min_value=1, max_value=5_000))
+def test_survival_table_matches_python_oracle(spark, rows, gap, bucket):
+    from traildb_spark.operators import analytics
+
+    df = spark.createDataFrame(rows, "uuid string, time long")
+    got = {
+        r["duration_bucket"]: (r["at_risk"], r["churned"], r["censored"])
+        for r in analytics.survival_table(
+            df, churn_gap_seconds=gap, bucket_seconds=bucket
+        ).collect()
+    }
+    per = {}
+    for u, t in rows:
+        lo, hi = per.get(u, (t, t))
+        per[u] = (min(lo, t), max(hi, t))
+    obs_end = max(hi for _, hi in per.values())
+    hist = {}
+    for u, (lo, hi) in per.items():
+        db = (hi - lo) // bucket
+        churn = (obs_end - hi) > gap
+        c, s = hist.get(db, (0, 0))
+        hist[db] = (c + (1 if churn else 0), s + (0 if churn else 1))
+    want = {}
+    for db in hist:
+        at_risk = sum(c + s for d, (c, s) in hist.items() if d >= db)
+        want[db] = (at_risk, hist[db][0], hist[db][1])
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 400_000)),
+    min_size=1, max_size=60,
+))
+def test_burstiness_matches_python_oracle(spark, rows):
+    from traildb_spark.operators import analytics
+
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    got = {r["key"]: (r["n_buckets"], r["n_events"], r["fano_ppm"])
+           for r in analytics.burstiness_index(df, bucket_seconds=3600).collect()}
+    bks = [t // 3600 for _, t in rows]
+    n = max(bks) - min(bks) + 1
+    want = {}
+    for k in {k for k, _ in rows}:
+        cnt = Counter(t // 3600 for kk, t in rows if kk == k)
+        S = sum(cnt.values())
+        Q = sum(v * v for v in cnt.values())
+        want[k] = (n, S, (1_000_000 * (n * Q - S * S)) // (n * S))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 999), st.text(alphabet="ab c", min_size=0, max_size=12),
+              st.sampled_from(["s0", "s1", "s2"])),
+    min_size=1, max_size=40, unique_by=lambda r: r[0],
+))
+def test_source_balance_matches_python_oracle(spark, rows):
+    from traildb_spark.operators import text as T
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = T.source_balance(df).collect()[0]
+    per = {}
+    for _, t, srck in rows:
+        nd, nc = per.get(srck, (0, 0))
+        per[srck] = (nd + 1, nc + len(t))
+
+    def gini(vals):
+        xs = sorted(vals)
+        n, s = len(xs), sum(xs)
+        if s == 0:
+            return None
+        num = 2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * s
+        return (1_000_000 * num) // (n * s)
+
+    assert r.n_sources == len(per)
+    assert r.total_docs == len(rows)
+    assert r.gini_docs_ppm == gini([nd for nd, _ in per.values()])
+    if r.total_chars > 0:
+        assert r.gini_chars_ppm == gini([nc for _, nc in per.values()])
+    assert r.top_share_ppm == (1_000_000 * max(nd for nd, _ in per.values())) // len(rows)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_ev_small)
+def test_robot_trails_matches_python_oracle(spark, rows):
+    from traildb_spark.operators import analytics
+
+    uniq = [(u, t, i) for i, (u, t) in enumerate(rows)]
+    df = spark.createDataFrame(uniq, "uuid string, time long, event_id long")
+    got = {r["uuid"]: (r["n_events"], r["mean_gap"], r["cv2_ppm"], r["is_robot"])
+           for r in analytics.robot_trails(df, min_events=5, max_cv2_ppm=50_000).collect()}
+    want = {}
+    for u in {u for u, _ in rows}:
+        evs = sorted([(t, i) for (uu, t), i in zip(rows, range(len(rows))) if uu == u])
+        ts = [t for t, _ in evs]
+        gs = [b - a for a, b in zip(ts, ts[1:])]
+        ng = max(len(gs), 1)
+        sg, qg = sum(gs), sum(g * g for g in gs)
+        cv2 = (1_000_000 * (len(gs) * qg - sg * sg)) // (sg * sg) if sg > 0 else None
+        want[u] = (len(ts), sg // ng, cv2,
+                   len(ts) >= 5 and cv2 is not None and cv2 <= 50_000)
+    assert got == want

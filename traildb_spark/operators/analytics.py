@@ -2524,7 +2524,10 @@ def robot_trails(
     per = gaps.groupBy("uuid").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count("g").alias("n_gaps"),
-        F.sum("g").alias("sum_gap"),
+        # coalesce: a single-event trail has NO gaps — sum(g) is NULL,
+        # but the contract (and the oracle) says zero (caught by
+        # test_robot_trails_matches_python_oracle)
+        F.coalesce(F.sum("g"), F.lit(0)).alias("sum_gap"),
         F.sum(gd * gd).alias("__q"),
     )
     sg = F.col("sum_gap").cast(dec)

@@ -1357,10 +1357,20 @@ def source_balance(
         "n_sources",
         "total_docs",
         "total_chars",
-        F.expr(gini("__sd", "total_docs")).alias("gini_docs_ppm"),
-        F.expr(gini("__sc", "total_chars")).alias("gini_chars_ppm"),
-        F.expr(f"CAST(__maxd AS {dec}) * CAST(1000000 AS {dec})"
-               f" div CAST(total_docs AS {dec})").alias("top_share_ppm"),
+        # zero-mass guards: an all-empty-text corpus has total_chars = 0
+        # (caught by test_source_balance_matches_python_oracle) — Gini of
+        # zero mass is undefined, not a divide-by-zero
+        F.when(
+            F.col("total_docs") > 0, F.expr(gini("__sd", "total_docs"))
+        ).alias("gini_docs_ppm"),
+        F.when(
+            F.col("total_chars") > 0, F.expr(gini("__sc", "total_chars"))
+        ).alias("gini_chars_ppm"),
+        F.when(
+            F.col("total_docs") > 0,
+            F.expr(f"CAST(__maxd AS {dec}) * CAST(1000000 AS {dec})"
+                   f" div CAST(total_docs AS {dec})"),
+        ).alias("top_share_ppm"),
     )
 
 
