@@ -342,3 +342,19 @@ def test_trail_sequence_distance_order_sensitivity(spark):
     )
     r = trail_sequence_distance(df).collect()[0]
     assert r.seq_distance == 2
+
+
+def test_trail_sequence_distance_null_field_is_empty_value(spark):
+    """NULL field values fold to '' (the reference's empty-value
+    convention) — they must render as a symbol, not silently drop."""
+    from traildb_spark.operators.trails import trail_sequence_distance
+
+    rows = [
+        ("u1", 1, 1, None), ("u1", 2, 2, "a"),
+        ("u2", 1, 3, None), ("u2", 2, 4, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string"
+    )
+    r = trail_sequence_distance(df).collect()[0]
+    assert (r.len_a, r.len_b, r.seq_distance) == (2, 2, 0)

@@ -522,9 +522,12 @@ def trail_sequence_distance(
             f"max_trails={max_trails}"
         )
     spark = df.sparkSession
+    # NULL ≡ '' (the reference's empty-value convention, filters.py P6):
+    # a NULL field would silently drop its events at the map join
+    fval = F.coalesce(F.col(field).cast("string"), F.lit(""))
     lex = [
         r["v"]
-        for r in df.select(F.col(field).alias("v")).distinct().orderBy("v").limit(
+        for r in df.select(fval.alias("v")).distinct().orderBy("v").limit(
             max_lexicon + 1
         ).collect()
     ]
@@ -545,7 +548,7 @@ def trail_sequence_distance(
             F.col(uuid_col).alias("uuid"),
             F.col(time_col).alias("t"),
             F.col(tiebreak_col).alias("tb"),
-            F.col(field).alias("v"),
+            fval.alias("v"),
         )
         .join(ch_map, "v")
         .groupBy("uuid")
