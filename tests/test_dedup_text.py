@@ -1736,3 +1736,10 @@ def test_hash_embedding_python_reference(spark):
     import pytest
     with pytest.raises(ValueError):
         text.hash_embedding(df, dim=0)
+
+
+def test_ngram_coverage_empty_probe_is_null(spark):
+    train = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    probe = train.filter("doc_id < 0")
+    r = text.ngram_coverage(train, probe, n=2).collect()[0]
+    assert (r.probe_grams, r.covered_grams, r.coverage_ppm) == (0, 0, None)

@@ -1453,11 +1453,18 @@ def ngram_coverage(
     j = pg.join(tg, "g", "left")
     return j.agg(
         F.count(F.lit(1)).alias("probe_grams"),
-        F.sum(F.coalesce(F.col("__in_train"), F.lit(0))).alias("covered_grams"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("__in_train"), F.lit(0))), F.lit(0)
+        ).alias("covered_grams"),
     ).select(
         "probe_grams",
         "covered_grams",
-        F.expr("covered_grams * 1000000 div probe_grams").alias("coverage_ppm"),
+        # an EMPTY probe frame still aggregates to one row — coverage of
+        # nothing is undefined, not a divide-by-zero
+        F.when(
+            F.col("probe_grams") > 0,
+            F.expr("covered_grams * 1000000 div probe_grams"),
+        ).alias("coverage_ppm"),
     )
 
 
