@@ -222,3 +222,48 @@ def test_join_skew_report_exact_fanout_and_order(spark):
 
     with _pytest.raises(ValueError, match="top_k"):
         join_skew_report(a, b, "uuid", top_k=0)
+
+
+def test_as_of_join_tolerance_matches_pandas(spark):
+    """tolerance semantics == pandas merge_asof(tolerance=...) in both
+    directions, including the inclusive boundary and equal-timestamp
+    matches."""
+    import pandas as pd
+
+    from traildb_spark.operators.joins import as_of_join
+
+    left = [("k1", 10), ("k1", 100), ("k1", 101), ("k2", 50), ("k2", 5)]
+    right = [("k1", 7, 1.0), ("k1", 90, 2.0), ("k2", 50, 3.0), ("k2", 400, 4.0)]
+    ldf = spark.createDataFrame(left, "k string, time long")
+    rdf = spark.createDataFrame(right, "k string, time long, px double")
+    lpd = pd.DataFrame(left, columns=["k", "time"]).sort_values("time")
+    rpd = pd.DataFrame(right, columns=["k", "time", "px"]).sort_values("time")
+    for direction, tol in (("backward", 10), ("backward", 3), ("forward", 50),
+                           ("backward", 0), ("forward", 0)):
+        got = {
+            (r.k, r.time): r.px
+            for r in as_of_join(
+                ldf, rdf, "k", direction=direction, tolerance=tol
+            ).collect()
+        }
+        want_pd = pd.merge_asof(
+            lpd, rpd, on="time", by="k", direction=direction,
+            tolerance=tol, allow_exact_matches=True,
+        )
+        want = {
+            (r.k, r.time): (None if pd.isna(r.px) else r.px)
+            for r in want_pd.itertuples()
+        }
+        assert got == want, (direction, tol, got, want)
+
+
+def test_as_of_join_tolerance_none_unchanged_and_validates(spark):
+    import pytest
+
+    from traildb_spark.operators.joins import as_of_join
+
+    ldf = spark.createDataFrame([("k", 10)], "k string, time long")
+    rdf = spark.createDataFrame([("k", 5, 1.0)], "k string, time long, px double")
+    assert as_of_join(ldf, rdf, "k").collect()[0].px == 1.0
+    with pytest.raises(ValueError):
+        as_of_join(ldf, rdf, "k", tolerance=-1)

@@ -96,11 +96,17 @@ def as_of_join(
     right_time: str = "time",
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """As-of (nearest-timestamp) left join: for every left row, attach the
     right row with the greatest ``right_time`` <= ``left_time`` within the
     same key group (``direction='backward'``, inclusive), or the smallest
-    ``right_time`` >= ``left_time`` (``'forward'``).
+    ``right_time`` >= ``left_time`` (``'forward'``). ``tolerance``
+    bounds the match age (pandas ``merge_asof(tolerance=...)``
+    semantics, inclusive): a match farther than ``tolerance`` time
+    units from the left row comes back NULL — a quote from last month
+    is not "the prevailing quote". Differentially tested against
+    pandas merge_asof.
 
     100 TB-safe plan: a UNION of both sides followed by ONE hash shuffle on
     the key and a running ``last(..., ignorenulls)`` window — the classic
@@ -115,6 +121,8 @@ def as_of_join(
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward': {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance!r}")
     sign = 1 if direction == "backward" else -1
     r_payload = [c for c in right.columns if c not in keys]
     l_payload = [c for c in left.columns if c not in keys]
@@ -160,14 +168,27 @@ def as_of_join(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
-        F.col("__side") == 1
-    )
+    matched = u.withColumn(
+        "__m",
+        F.last(
+            F.when(F.col("__side") == 0, F.struct(F.col("__t").alias("__mt"), F.col("__r").alias("__rv"))),
+            ignorenulls=True,
+        ).over(w),
+    ).filter(F.col("__side") == 1)
+    if tolerance is not None:
+        # __t carries the direction sign, so (left __t - match __t) >= 0
+        # is the match age in both directions
+        matched = matched.withColumn(
+            "__m",
+            F.when(
+                F.col("__t") - F.col("__m.__mt") <= F.lit(tolerance), F.col("__m")
+            ),
+        )
     out = [*[F.col(c) for c in keys]]
     out += [F.col(f"__l.{c}").alias(c) for c in l_payload]
     for c in r_payload:
         name = c if c not in left.columns else c + suffix
-        out.append(F.col(f"__m.{c}").alias(name))
+        out.append(F.col(f"__m.__rv.{c}").alias(name))
     return matched.select(*out)
 
 
