@@ -2327,6 +2327,34 @@ def q163_burstiness(spark, sf_dir):
     return analytics.burstiness_index(ev, bucket_seconds=3600)
 
 
+def q164_pnm_decode(spark, sf_dir):
+    """REAL netpbm decode: image-kind rows carry P5 (binary, even ids)
+    / P2 (ASCII, odd ids) grayscale fixtures with px(y, x) =
+    (y*11 + x*17 + id*3) % 256 on a (4 + id%5) x (5 + id%3) canvas —
+    gray netpbm is lossless and un-rescaled at maxval 255, so the
+    oracle recomputes every stat from the closed form, proving header
+    parsing (incl. comments), both sample encodings, and the dispatch."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.multimodal import make_pnm
+
+    @F.pandas_udf("binary")
+    def pnm_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            h, w = 4 + i % 5, 5 + i % 3
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = ((yy * 11 + xx * 17 + i * 3) % 256).astype(np.uint8)
+            out.append(make_pnm(g, binary=(i % 2 == 0)))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "image", pnm_payload, cache_name="pnm")
+    return multimodal.image_luma_stats(media)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2520,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_containment": q161_containment,
         "q162_hash_embedding": q162_hash_embedding,
         "q163_burstiness": q163_burstiness,
+        "q164_pnm_decode": q164_pnm_decode,
     }
 
 
@@ -3574,6 +3603,28 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
+        """,
+        "q164_pnm_decode": """
+            -- gray netpbm at maxval 255 is a raw sample dump: luma ==
+            -- (y*11 + x*17 + id*3) % 256 on a (4+id%5) x (5+id%3) canvas
+            WITH a AS (
+              SELECT doc_id,
+                     5 + CAST(doc_id % 3 AS INT) AS w,
+                     4 + CAST(doc_id % 5 AS INT) AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ), t AS (
+              SELECT doc_id, w, h,
+                     [ ((k // w) * 11 + (k % w) * 17 + doc_id * 3) % 256
+                       for k in generate_series(0, h * w - 1) ] AS px
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(list_sum(px) AS BIGINT) AS luma_sum,
+                   CAST(list_min(px) AS INT) AS luma_min,
+                   CAST(list_max(px) AS INT) AS luma_max
+            FROM t
         """,
         # Fano factor over zero-filled hourly buckets; HUGEINT
         # products, non-negative numerator so // == truncating div

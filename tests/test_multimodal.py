@@ -1346,3 +1346,51 @@ def test_decoder_override_ships_to_workers_end_to_end(spark):
             ) == (2, 2, 512, 128, 128)
         else:
             assert luma[i]["width"] == 5 and luma[i]["luma_sum"] >= 0
+
+
+def test_pnm_codec_roundtrip_and_edges():
+    import numpy as np
+    import pytest
+
+    from traildb_spark.operators.multimodal import (
+        decode_image_size, decode_pnm, make_pnm,
+    )
+
+    g = (np.arange(35).reshape(5, 7) * 13 % 256).astype(np.uint8)
+    for binary in (True, False):
+        b = make_pnm(g, binary=binary)
+        assert (decode_pnm(b) == g).all()
+        assert decode_image_size(b) == (7, 5)
+    # P6 RGB -> BT.601 luma, same coefficients as the PNG path
+    p6 = b"P6\n# comment\n2 1\n255\n" + bytes([255, 0, 0, 0, 0, 255])
+    lum = decode_pnm(p6)
+    assert abs(lum[0, 0] - 0.299 * 255) < 1e-9
+    assert abs(lum[0, 1] - 0.114 * 255) < 1e-9
+    # 16-bit binary keeps the high byte (the PNG reduction rule)
+    import struct
+    b16 = b"P5\n2 1\n65535\n" + struct.pack(">HH", 0xABCD, 0x0102)
+    assert (decode_pnm(b16) == [[0xAB, 0x01]]).all()
+    # sub-255 maxval rescales round(v*255/maxval)
+    assert (decode_pnm(b"P2\n2 1\n3\n0 3\n") == [[0, 255]]).all()
+    # honest gates: bitmaps, truncation, over-maxval samples
+    with pytest.raises(ValueError):
+        decode_pnm(b"P4\n2 2\n\x00")
+    with pytest.raises(ValueError):
+        decode_pnm(b"P5\n4 4\n255\nab")
+    with pytest.raises(ValueError):
+        decode_pnm(b"P2\n2 1\n10\n0 11\n")
+
+
+def test_pnm_feeds_image_stats(spark):
+    import numpy as np
+
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.multimodal import make_pnm
+
+    g = np.full((3, 4), 9, dtype=np.uint8)
+    rows = [(1, "image", bytearray(make_pnm(g))),
+            (2, "image", bytearray(b"garbage"))]
+    df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    got = {r.media_id: (r.width, r.height, r.luma_sum, r.luma_min, r.luma_max)
+           for r in multimodal.image_luma_stats(df).collect()}
+    assert got == {1: (4, 3, 108, 9, 9), 2: (-1, -1, -1, -1, -1)}

@@ -109,6 +109,9 @@ def decode_image_size(content: bytes) -> tuple[int, int]:
     if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 10:
         w, h = struct.unpack("<HH", content[6:10])
         return int(w), int(h)
+    if content[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
+        _, w, h, _, _ = _pnm_header(content)
+        return int(w), int(h)
     raise ValueError("unrecognized image container")
 
 
@@ -174,6 +177,8 @@ def _gray_pixels(content: bytes) -> np.ndarray:
         from .gif import decode_gif_luma
 
         return decode_gif_luma(content)
+    if content[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        return decode_pnm(content)
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos, width, height, channels = 8, None, None, None
@@ -1374,3 +1379,105 @@ def extract_video_chroma(df: DataFrame, every_n: int = 1) -> DataFrame:
             )
 
     return vids.mapInPandas(run, VIDEO_CHROMA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# netpbm (PGM/PPM) — the uncompressed interchange family
+# --------------------------------------------------------------------------
+
+def _pnm_header(content: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a netpbm header: (magic, width, height, maxval, data_offset).
+    Token grammar per the spec: magic, then whitespace-separated decimal
+    tokens with ``#``-to-EOL comments allowed anywhere between them;
+    binary sample data begins after EXACTLY ONE whitespace byte following
+    maxval. P1/P4 (bitmaps) have no maxval token."""
+    magic = content[:2]
+    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
+        raise ValueError("not a netpbm payload")
+    want = 2 if magic in (b"P1", b"P4") else 3
+    vals = []
+    i = 2
+    n = len(content)
+    while len(vals) < want:
+        while i < n and content[i : i + 1].isspace():
+            i += 1
+        if i < n and content[i : i + 1] == b"#":
+            while i < n and content[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and content[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("netpbm: malformed header token")
+        vals.append(int(content[i:j]))
+        i = j
+    if magic in (b"P1", b"P4"):
+        vals.append(1)
+    else:
+        i += 1  # exactly one whitespace byte separates maxval from data
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not (1 <= maxval <= 65535):
+        raise ValueError("netpbm: bad dimensions or maxval")
+    return magic, w, h, maxval, i
+
+
+def decode_pnm(content: bytes) -> np.ndarray:
+    """Decode netpbm P2/P3 (ASCII) and P5/P6 (binary) to float gray
+    (H, W) — the zero-compression interchange family every tool can
+    write, and the simplest REAL container in the codec suite. Gray
+    formats pass samples through (so fixtures are closed-form exact);
+    RGB reduces by the same ITU-R 601 luma as the PNG/GIF paths.
+    maxval > 255 means two-byte big-endian samples, reduced to the high
+    byte exactly like the PNG 16-bit rule; maxval < 255 rescales to
+    [0, 255] by round(v * 255 / maxval) (the spec's own brightness
+    normalization). P1/P4 bitmaps are rejected (no luma content worth a
+    decoder — honest gate, documented like arithmetic JPEG)."""
+    magic, w, h, maxval, off = _pnm_header(content)
+    if magic in (b"P1", b"P4"):
+        raise ValueError("netpbm: P1/P4 bitmaps not supported")
+    ch = 3 if magic in (b"P3", b"P6") else 1
+    count = w * h * ch
+    if magic in (b"P2", b"P3"):
+        toks = content[off:].split()
+        if len(toks) < count:
+            raise ValueError("netpbm: truncated ASCII samples")
+        vals = np.array([int(t) for t in toks[:count]], dtype=np.int64)
+    else:
+        if maxval > 255:
+            raw = content[off : off + 2 * count]
+            if len(raw) < 2 * count:
+                raise ValueError("netpbm: truncated binary samples")
+            vals = np.frombuffer(raw, dtype=">u2").astype(np.int64)
+        else:
+            raw = content[off : off + count]
+            if len(raw) < count:
+                raise ValueError("netpbm: truncated binary samples")
+            vals = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    if (vals > maxval).any():
+        raise ValueError("netpbm: sample exceeds maxval")
+    if maxval > 255:
+        vals = vals >> 8  # high byte — the PNG 16-bit reduction rule
+    elif maxval < 255:
+        vals = np.round(vals * 255.0 / maxval).astype(np.int64)
+    if ch == 3:
+        rgb = vals.reshape(h, w, 3).astype(np.float64)
+        return (
+            0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        )
+    return vals.reshape(h, w).astype(np.float64)
+
+
+def make_pnm(
+    gray: np.ndarray, binary: bool = True, comment: str | None = "fixture"
+) -> bytes:
+    """Deterministic 8-bit grayscale netpbm encoder (fixture generator):
+    P5 (binary) or P2 (ASCII), optional header comment so tests exercise
+    the comment-skipping branch of the parser."""
+    a = np.asarray(gray, dtype=np.uint8)
+    h, w = a.shape
+    c = f"# {comment}\n" if comment else ""
+    if binary:
+        return f"P5\n{c}{w} {h}\n255\n".encode() + a.tobytes()
+    body = "\n".join(" ".join(str(v) for v in row) for row in a.tolist())
+    return f"P2\n{c}{w} {h}\n255\n{body}\n".encode()
