@@ -2355,6 +2355,46 @@ def q164_pnm_decode(spark, sf_dir):
     return multimodal.image_luma_stats(media)
 
 
+def q165_aiff_decode(spark, sf_dir):
+    """AIFF decode: audio-kind rows carry big-endian 16-bit AIFF
+    fixtures (80-bit extended rate field) with samples
+    s[i] = (i*53 + doc_id*17) % 4001 - 2000, n = 50 + id%40,
+    rate = 8000 + 4000*(id%3) — the oracle recomputes every stat from
+    the closed form, proving the FORM chunk walk, the f80 rate parse,
+    and the shared feature kernel (q69's WAV proof, big-endian
+    sibling)."""
+    from traildb_spark.operators import multimodal
+
+    @F.pandas_udf("binary")
+    def aiff_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            n = 50 + i % 40
+            rate = 8000 + 4000 * (i % 3)
+            s = ((np.arange(n, dtype=np.int64) * 53 + i * 17) % 4001 - 2000).astype(
+                "int16"
+            )
+            out.append(multimodal.make_aiff(s, rate))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "audio", aiff_payload, cache_name="aiff")
+    feats = multimodal.extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_samples",
+        "duration_ms",
+        F.round(F.col("rms"), 6).alias("rms"),
+        "zcr",
+        "peak",
+    )
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2549,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_hash_embedding": q162_hash_embedding,
         "q163_burstiness": q163_burstiness,
         "q164_pnm_decode": q164_pnm_decode,
+        "q165_aiff_decode": q165_aiff_decode,
     }
 
 
@@ -3603,6 +3644,30 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
+        """,
+        "q165_aiff_decode": """
+            -- AIFF 16-bit PCM is lossless: s[i] = (i*53 + id*17) % 4001
+            -- - 2000, n = 50 + id%40, rate = 8000 + 4000*(id%3)
+            WITH a AS (
+              SELECT doc_id,
+                     50 + CAST(doc_id % 40 AS BIGINT) AS n,
+                     CAST(8000 + 4000 * (doc_id % 3) AS INT) AS rate
+              FROM documents WHERE doc_id % 3 = 1
+            ), s AS (
+              SELECT doc_id, n, rate,
+                     [ (i*53 + doc_id*17) % 4001 - 2000
+                       for i in generate_series(0, n - 1) ] AS xs
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   rate AS sample_rate,
+                   1 AS channels,
+                   n AS n_samples,
+                   n * 1000 // rate AS duration_ms,
+                   ROUND(sqrt(CAST(list_sum(list_transform(xs, x -> x*x)) AS DOUBLE) / n), 6) AS rms,
+                   CAST(len(list_filter(generate_series(2, n), i -> xs[i-1] * xs[i] < 0)) AS BIGINT) AS zcr,
+                   CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
+            FROM s
         """,
         "q164_pnm_decode": """
             -- gray netpbm at maxval 255 is a raw sample dump: luma ==

@@ -1394,3 +1394,46 @@ def test_pnm_feeds_image_stats(spark):
     got = {r.media_id: (r.width, r.height, r.luma_sum, r.luma_min, r.luma_max)
            for r in multimodal.image_luma_stats(df).collect()}
     assert got == {1: (4, 3, 108, 9, 9), 2: (-1, -1, -1, -1, -1)}
+
+
+def test_aiff_codec_roundtrip_and_edges():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from traildb_spark.operators.multimodal import (
+        _f80_to_int, _int_to_f80, decode_aiff, decode_audio, make_aiff,
+    )
+
+    s = (np.arange(200) * 211 % 2048 - 1024).astype(np.int16)
+    b = make_aiff(s, 44100)
+    r, ch, out = decode_aiff(b)
+    assert (r, ch) == (44100, 1) and (out == s).all()
+    # dispatch: AIFF and WAV through one call site
+    assert (decode_audio(b)[2] == s).all()
+    for rate in (8000, 11025, 22050, 44100, 48000, 96000, 192000):
+        assert _f80_to_int(_int_to_f80(rate)) == rate
+    # AIFC 'sowt' (little-endian) 16-bit
+    comm = struct.pack(">hIh", 1, 3, 16) + _int_to_f80(8000) + b"sowt"
+    ssnd = struct.pack(">II", 0, 0) + np.array([1, -2, 300], "<i2").tobytes()
+    aifc = (b"FORM" + struct.pack(">I", 4 + 8 + len(comm) + 8 + len(ssnd))
+            + b"AIFC"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    r, ch, out = decode_aiff(aifc)
+    assert list(out) == [1, -2, 300]
+    # honest gates: perceptual AIFC codec, wrong container
+    bad = aifc.replace(b"sowt", b"ima4")
+    with pytest.raises(ValueError):
+        decode_aiff(bad)
+    with pytest.raises(ValueError):
+        decode_aiff(b"RIFFxxxxWAVE")
+    # 8-bit AIFF is SIGNED (unlike WAV): -1 scales to -256
+    comm8 = struct.pack(">hIh", 1, 2, 8) + _int_to_f80(8000)
+    ssnd8 = struct.pack(">II", 0, 0) + bytes([0xFF, 0x01])
+    a8 = (b"FORM" + struct.pack(">I", 4 + 8 + len(comm8) + 8 + len(ssnd8))
+          + b"AIFF"
+          + b"COMM" + struct.pack(">I", len(comm8)) + comm8
+          + b"SSND" + struct.pack(">I", len(ssnd8)) + ssnd8)
+    assert list(decode_aiff(a8)[2]) == [-256, 256]

@@ -801,7 +801,7 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["content"]):
                 content = bytes(payload) if payload is not None else b""
                 try:
-                    rate, channels, s = decode_wav(content)
+                    rate, channels, s = decode_audio(content)
                     n = int(s.size)
                     x = s.astype(np.int64)
                     rms = float(np.sqrt((x * x).sum() / n)) if n else 0.0
@@ -1481,3 +1481,118 @@ def make_pnm(
         return f"P5\n{c}{w} {h}\n255\n".encode() + a.tobytes()
     body = "\n".join(" ".join(str(v) for v in row) for row in a.tolist())
     return f"P2\n{c}{w} {h}\n255\n{body}\n".encode()
+
+
+# --------------------------------------------------------------------------
+# AIFF / AIFF-C — the big-endian PCM container (Mac/pro-audio corpora)
+# --------------------------------------------------------------------------
+
+def _f80_to_int(b: bytes) -> int:
+    """IEEE 754 80-bit extended float → integer (AIFF sampleRate field).
+    Integer-exact for every real-world rate: value = mantissa scaled by
+    2^(e - 16383 - 63) with the explicit leading-bit 64-bit mantissa."""
+    if len(b) != 10:
+        raise ValueError("AIFF: bad extended float")
+    se = struct.unpack(">H", b[:2])[0]
+    mant = struct.unpack(">Q", b[2:])[0]
+    if se & 0x8000:
+        raise ValueError("AIFF: negative sample rate")
+    e = se & 0x7FFF
+    if e == 0 and mant == 0:
+        return 0
+    shift = 16383 + 63 - e
+    if shift < 0:
+        raise ValueError("AIFF: sample rate overflow")
+    return mant >> shift if shift <= 63 else 0
+
+
+def _int_to_f80(v: int) -> bytes:
+    if v <= 0:
+        raise ValueError("rate must be positive")
+    e = v.bit_length() - 1
+    mant = v << (63 - e)
+    return struct.pack(">H", 16383 + e) + struct.pack(">Q", mant)
+
+
+def decode_aiff(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse an AIFF / AIFF-C payload → (sample_rate, channels, samples
+    int16) — the big-endian sibling of :func:`decode_wav`, same
+    normalization contract. Chunk walk over FORM; COMM carries channel
+    count, frame count, bit depth, and the sample rate as an 80-bit
+    extended float (parsed integer-exactly); SSND carries the frames.
+    Depths: 16 native, 8 (SIGNED in AIFF, unlike WAV's unsigned —
+    scaled up), 24/32 keep the high 16 bits. AIFF-C compression types
+    ``NONE`` (big-endian) and ``sowt`` (the little-endian Mac variant)
+    are handled; perceptual AIFC codecs raise (the decode_wav honest-
+    gate contract). Odd-length chunks consume their spec pad byte."""
+    if content[:4] != b"FORM" or content[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF container")
+    pos = 12
+    rate = channels = bits = frames = None
+    little = False
+    data = None
+    while pos + 8 <= len(content):
+        ctype = content[pos : pos + 4]
+        (clen,) = struct.unpack(">I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        if ctype == b"COMM":
+            channels, frames, bits = struct.unpack(">hIh", body[:8])
+            rate = _f80_to_int(body[8:18])
+            if len(body) >= 22:  # AIFC: compressionType 4CC
+                comp = body[18:22]
+                if comp == b"sowt":
+                    little = True
+                elif comp != b"NONE":
+                    raise ValueError(f"AIFF-C compression {comp!r} needs a codec")
+        elif ctype == b"SSND":
+            off, _blk = struct.unpack(">II", body[:8])
+            data = body[8 + off :]
+        pos += 8 + clen + (clen & 1)  # chunks pad to even length
+    if None in (rate, channels, bits) or data is None:
+        raise ValueError("AIFF: missing COMM or SSND")
+    if rate <= 0 or channels <= 0:
+        raise ValueError("AIFF: bad rate or channels")
+    end = "<" if little else ">"
+    if bits == 16:
+        s = np.frombuffer(data[: (len(data) // 2) * 2], dtype=f"{end}i2").astype(
+            np.int16
+        )
+    elif bits == 8:
+        s = (np.frombuffer(data, dtype=np.int8).astype(np.int16)) << 8
+    elif bits in (24, 32):
+        step = bits // 8
+        usable = (len(data) // step) * step
+        raw = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, step)
+        hi = (
+            raw[:, :2] if not little else raw[:, step - 2 :][:, ::-1]
+        )
+        s = ((hi[:, 0].astype(np.int32) << 8) | hi[:, 1]).astype(np.uint16).view(
+            np.int16
+        )
+    else:
+        raise ValueError(f"AIFF: unsupported sample size {bits}")
+    if frames is not None:
+        s = s[: frames * channels]
+    return int(rate), int(channels), s
+
+
+def make_aiff(samples: np.ndarray, rate: int) -> bytes:
+    """Deterministic mono 16-bit AIFF encoder (fixture generator) —
+    exercises the 80-bit extended rate field and big-endian frames."""
+    s = np.asarray(samples, dtype=np.int16)
+    comm = struct.pack(">hIh", 1, len(s), 16) + _int_to_f80(int(rate))
+    ssnd = struct.pack(">II", 0, 0) + s.astype(">i2").tobytes()
+    chunks = (
+        b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+
+def decode_audio(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Container dispatch for the audio surface: RIFF/WAVE →
+    :func:`decode_wav`, FORM/AIFF(-C) → :func:`decode_aiff`. One call
+    site for the extractors, same (rate, channels, int16) contract."""
+    if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff(content)
+    return decode_wav(content)
