@@ -2395,6 +2395,34 @@ def q165_aiff_decode(spark, sf_dir):
     )
 
 
+def q166_bmp_decode(spark, sf_dir):
+    """BMP decode: image-kind rows carry 8-bit identity-gray-palette
+    BI_RGB bitmaps (bottom-up rows, 4-byte stride padding) with
+    px(y, x) = (y*13 + x*7 + id*5) % 256 on a (3 + id%6) x (4 + id%4)
+    canvas — identity palette makes rounded luma == index, so the
+    oracle recomputes every stat from the closed form, proving header
+    parse, palette map, stride/flip handling."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.multimodal import make_bmp
+
+    @F.pandas_udf("binary")
+    def bmp_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            h, w = 3 + i % 6, 4 + i % 4
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = ((yy * 13 + xx * 7 + i * 5) % 256).astype(np.uint8)
+            out.append(make_bmp(g))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "image", bmp_payload, cache_name="bmp")
+    return multimodal.image_luma_stats(media)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2590,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_burstiness": q163_burstiness,
         "q164_pnm_decode": q164_pnm_decode,
         "q165_aiff_decode": q165_aiff_decode,
+        "q166_bmp_decode": q166_bmp_decode,
     }
 
 
@@ -3644,6 +3673,28 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
+        """,
+        "q166_bmp_decode": """
+            -- identity gray palette: rounded luma == palette index ==
+            -- (y*13 + x*7 + id*5) % 256 on a (3+id%6) x (4+id%4) canvas
+            WITH a AS (
+              SELECT doc_id,
+                     4 + CAST(doc_id % 4 AS INT) AS w,
+                     3 + CAST(doc_id % 6 AS INT) AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ), t AS (
+              SELECT doc_id, w, h,
+                     [ ((k // w) * 13 + (k % w) * 7 + doc_id * 5) % 256
+                       for k in generate_series(0, h * w - 1) ] AS px
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(list_sum(px) AS BIGINT) AS luma_sum,
+                   CAST(list_min(px) AS INT) AS luma_min,
+                   CAST(list_max(px) AS INT) AS luma_max
+            FROM t
         """,
         "q165_aiff_decode": """
             -- AIFF 16-bit PCM is lossless: s[i] = (i*53 + id*17) % 4001

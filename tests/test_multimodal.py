@@ -1437,3 +1437,39 @@ def test_aiff_codec_roundtrip_and_edges():
           + b"COMM" + struct.pack(">I", len(comm8)) + comm8
           + b"SSND" + struct.pack(">I", len(ssnd8)) + ssnd8)
     assert list(decode_aiff(a8)[2]) == [-256, 256]
+
+
+def test_bmp_codec_roundtrip_and_edges():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from traildb_spark.operators.multimodal import (
+        decode_bmp, decode_image_size, make_bmp,
+    )
+
+    g = (np.arange(6 * 5).reshape(6, 5) * 31 % 256).astype(np.uint8)
+    out = np.round(decode_bmp(make_bmp(g)))
+    assert out.shape == (6, 5) and (out == g).all()
+    assert decode_image_size(make_bmp(g)) == (5, 6)
+    # 24-bit BGR with stride padding, bottom-up flip
+    w, h = 2, 2
+    stride = (w * 3 + 3) & ~3
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                         0, 0, 0, 0))
+    row_bottom = bytes([0, 0, 255, 0, 0, 0]) + b"\x00" * (stride - 6)
+    row_top = bytes([255, 0, 0, 0, 0, 0]) + b"\x00" * (stride - 6)
+    lum = decode_bmp(hdr + row_bottom + row_top)
+    # file stores bottom row first: decoded [0][0] is the TOP row (blue)
+    assert abs(lum[0, 0] - 0.114 * 255) < 1e-9
+    assert abs(lum[1, 0] - 0.299 * 255) < 1e-9
+    # honest gates
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 60)  # zero dims
+    rle = bytearray(make_bmp(g)); rle[30] = 1  # BI_RLE8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(rle))
+    with pytest.raises(ValueError):
+        decode_bmp(b"XY12")

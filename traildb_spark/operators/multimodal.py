@@ -112,6 +112,9 @@ def decode_image_size(content: bytes) -> tuple[int, int]:
     if content[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         _, w, h, _, _ = _pnm_header(content)
         return int(w), int(h)
+    if content[:2] == b"BM" and len(content) >= 26:
+        w, h = struct.unpack("<ii", content[18:26])
+        return int(w), int(abs(h))
     raise ValueError("unrecognized image container")
 
 
@@ -179,6 +182,8 @@ def _gray_pixels(content: bytes) -> np.ndarray:
         return decode_gif_luma(content)
     if content[:2] in (b"P2", b"P3", b"P5", b"P6"):
         return decode_pnm(content)
+    if content[:2] == b"BM":
+        return decode_bmp(content)
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos, width, height, channels = 8, None, None, None
@@ -1596,3 +1601,84 @@ def decode_audio(content: bytes) -> tuple[int, int, np.ndarray]:
     if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
         return decode_aiff(content)
     return decode_wav(content)
+
+
+# --------------------------------------------------------------------------
+# BMP (Windows bitmap) — uncompressed BI_RGB
+# --------------------------------------------------------------------------
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Decode an uncompressed (BI_RGB) Windows bitmap to float gray
+    (H, W): BITMAPFILEHEADER + BITMAPINFOHEADER (or the larger V4/V5
+    headers — size field tells), bottom-up row order (negative height =
+    top-down), rows padded to 4 bytes. Depths: 24-bit BGR and 32-bit
+    BGRX via BT.601 luma (same coefficients as the PNG/GIF/PNM paths),
+    8-bit through the BGRX palette. RLE compression and 1/4/16-bit
+    depths raise — the honest-gate contract (swap FAST_IMAGE_DECODER
+    for full coverage)."""
+    if content[:2] != b"BM" or len(content) < 54:
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", content[10:14])
+    (hdr_size,) = struct.unpack("<I", content[14:18])
+    if hdr_size < 40:
+        raise ValueError("BMP: core/OS2 headers not supported")
+    w, h_raw = struct.unpack("<ii", content[18:26])
+    planes, bits = struct.unpack("<HH", content[26:30])
+    (comp,) = struct.unpack("<I", content[30:34])
+    if comp != 0:
+        raise ValueError(f"BMP: compression {comp} needs a codec")
+    if w <= 0 or h_raw == 0:
+        raise ValueError("BMP: bad dimensions")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    if bits == 8:
+        (n_colors,) = struct.unpack("<I", content[46:50])
+        n_colors = n_colors or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            content[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
+        ).reshape(-1, 4)
+        if len(pal) < n_colors:
+            raise ValueError("BMP: truncated palette")
+        pal_luma = (
+            0.299 * pal[:, 2] + 0.587 * pal[:, 1] + 0.114 * pal[:, 0]
+        )  # palette entries are BGRX
+        step = 1
+    elif bits in (24, 32):
+        step = bits // 8
+    else:
+        raise ValueError(f"BMP: {bits}-bit depth needs a codec")
+    stride = ((w * step) + 3) & ~3
+    need = stride * h
+    raw = content[data_off : data_off + need]
+    if len(raw) < need:
+        raise ValueError("BMP: truncated pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)[:, : w * step]
+    if not top_down:
+        rows = rows[::-1]
+    if bits == 8:
+        idx = rows.astype(np.int64)
+        if (idx >= len(pal_luma)).any():
+            raise ValueError("BMP: palette index out of range")
+        return pal_luma[idx]
+    px = rows.reshape(h, w, step).astype(np.float64)
+    # BGR(X) order
+    return 0.299 * px[:, :, 2] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 0]
+
+
+def make_bmp(gray: np.ndarray) -> bytes:
+    """Deterministic 8-bit grayscale BMP encoder (fixture generator):
+    identity gray palette, bottom-up rows, spec padding — so decoded
+    luma equals the input exactly."""
+    a = np.asarray(gray, dtype=np.uint8)
+    h, w = a.shape
+    stride = (w + 3) & ~3
+    pal = np.zeros((256, 4), dtype=np.uint8)
+    pal[:, 0] = pal[:, 1] = pal[:, 2] = np.arange(256)
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, :w] = a[::-1]
+    data_off = 14 + 40 + 256 * 4
+    size = data_off + stride * h
+    file_hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, stride * h, 2835, 2835, 256, 0)
+    return file_hdr + info + pal.tobytes() + body.tobytes()
