@@ -1139,3 +1139,52 @@ def test_streaming_robot_stats_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert got["bot"][3] is True and got["hum"][3] is False
+
+
+def test_streaming_diurnal_from_histogram_state(spark, sf_dir, tmp_path):
+    """Fourth leg of the monitoring family: diurnal_from_counts over an
+    HOURLY streaming histogram == batch diurnal_profile (identical
+    columns, struct-min peak, whole-bit entropy)."""
+    from traildb_spark.functions.core import ts_seconds
+    from traildb_spark.operators import analytics
+    from traildb_spark.streaming.ingest import (
+        histogram_current,
+        streaming_histogram,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        F.col("event_type").cast("string").alias("event_type"),
+        ts_seconds(raw).alias("time"),
+    )
+    path = str(tmp_path / "diurnal_src")
+    ev.repartition(3).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out, ckpt = str(tmp_path / "di_out"), str(tmp_path / "di_ckpt")
+    q = streaming_histogram(
+        stream, out, ckpt, key_col="event_type", value_col="time",
+        bin_width=3600.0,
+    )
+    q.awaitTermination(120)
+    live = histogram_current(spark, out, ckpt).select(
+        "key", F.col("bin").alias("b"), F.col("cnt").alias("y")
+    )
+    cols = ("n_events", "peak_hour", "peak_ppm", "hours_active",
+            "entropy_millibits")
+    streamed = {
+        r["key"]: tuple(r[c] for c in cols)
+        for r in analytics.diurnal_from_counts(live).collect()
+    }
+    batch = {
+        r["key"]: tuple(r[c] for c in cols)
+        for r in analytics.diurnal_profile(ev).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    import pytest
+    with pytest.raises(ValueError):
+        analytics.diurnal_from_counts(live, bucket_seconds=7000)

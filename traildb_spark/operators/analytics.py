@@ -2349,6 +2349,43 @@ def diurnal_profile(
     per = df.select(F.col(key_col).alias("key"), hour).groupBy(
         "key", "hour"
     ).agg(F.count(F.lit(1)).alias("c"))
+    return _diurnal_fold(per)
+
+
+def diurnal_from_counts(
+    per: DataFrame,
+    bucket_seconds: int = 3600,
+    tz_offset_seconds: int = 0,
+) -> DataFrame:
+    """:func:`diurnal_profile` applied to a PREBUILT per-(key, bucket)
+    count table ``(key, b, y)`` with ``b = time div bucket_seconds`` —
+    point it at `streaming.ingest.histogram_current` state (stream
+    histogrammed on time buckets) and the batch rhythm profile runs
+    against histogram-sized state with zero event rescans; the fourth
+    leg of the streaming monitoring family (drift, anomalies, trend,
+    rhythm). ``bucket_seconds`` must divide 3600 so every bucket maps
+    to exactly one hour. Identical math and columns as the batch form
+    (parity-tested)."""
+    if bucket_seconds <= 0 or 3600 % bucket_seconds != 0:
+        raise ValueError(
+            "diurnal_from_counts: bucket_seconds must divide 3600, got "
+            f"{bucket_seconds}"
+        )
+    hour = F.expr(
+        f"((b * {int(bucket_seconds)} + {int(tz_offset_seconds)}) div 3600) % 24"
+    ).alias("hour")
+    hourly = (
+        per.select(F.col("key"), hour, F.col("y"))
+        .groupBy("key", "hour")
+        .agg(F.sum("y").alias("c"))
+    )
+    return _diurnal_fold(hourly)
+
+
+def _diurnal_fold(per: DataFrame) -> DataFrame:
+    """Shared per-key fold over a (key, hour, c) table: peak (earliest
+    hour on ties via struct-min), peak ppm, active hours, whole-bit
+    entropy — metadata-scale input by contract."""
     bits = lambda c: F.length(F.bin(c))
     return (
         per.groupBy("key")
