@@ -358,3 +358,84 @@ def test_trail_sequence_distance_null_field_is_empty_value(spark):
     )
     r = trail_sequence_distance(df).collect()[0]
     assert (r.len_a, r.len_b, r.seq_distance) == (2, 2, 0)
+
+
+def _capped_sessions_ref(ts, gap, cap):
+    sessions = events = cur_n = best = 0
+    start = last = None
+    for t in sorted(ts):
+        if last is None or t - last > gap or t - start > cap:
+            best = max(best, cur_n)
+            sessions += 1
+            start = t
+            cur_n = 0
+        last = t
+        cur_n += 1
+        events += 1
+    return sessions, events, max(best, cur_n)
+
+
+def test_session_stats_capped_matches_reference(spark):
+    """Duration cap splits a continuous drip that the gap rule never
+    would; differential vs a sequential python fold, plus the gap-only
+    reduction to session_stats when the cap is effectively infinite."""
+    from traildb_spark.operators import trails
+
+    rows = (
+        # bot: event every 100s for 5000s — one gap-session, but cap 1000
+        # slices it into ceil chunks
+        [("bot", 100 * i) for i in range(50)]
+        # human: three bursts separated by > gap
+        + [("hum", t) for t in (0, 10, 20, 2000, 2010, 9000)]
+        + [("one", 42)]
+    )
+    df = spark.createDataFrame(rows, "uuid string, time long")
+    got = {
+        r.uuid: (r.num_sessions, r.num_events, r.longest_session_events)
+        for r in trails.session_stats_capped(
+            df, gap=300, max_duration=1000
+        ).collect()
+    }
+    by_uuid = {}
+    for u, t in rows:
+        by_uuid.setdefault(u, []).append(t)
+    want = {u: _capped_sessions_ref(ts, 300, 1000) for u, ts in by_uuid.items()}
+    assert got == want
+    assert got["bot"][0] > 1  # the cap did the splitting
+    # cap -> infinity reduces to the windowed session_stats
+    inf = {
+        r.uuid: (r.num_sessions, r.num_events)
+        for r in trails.session_stats_capped(
+            df, gap=300, max_duration=10**15
+        ).collect()
+    }
+    base = {
+        r.uuid: (r.num_sessions, r.num_events)
+        for r in trails.session_stats(df, gap=300).collect()
+    }
+    assert inf == base
+    import pytest
+    with pytest.raises(ValueError):
+        trails.session_stats_capped(df, gap=-1)
+    with pytest.raises(ValueError):
+        trails.session_stats_capped(df, max_duration=0)
+
+
+def test_session_stats_capped_cross_chunk_state(spark):
+    """Tiny Arrow batches + chunk_size force the session fold to carry
+    (start, last, counts) across chunk seams."""
+    from traildb_spark.operators import trails
+
+    rows = [("u", 100 * i) for i in range(30)]
+    df = spark.createDataFrame(rows, "uuid string, time long")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = trails.session_stats_capped(
+            df, gap=300, max_duration=1000, chunk_size=3
+        ).collect()[0]
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = _capped_sessions_ref([t for _, t in rows], 300, 1000)
+    assert (got.num_sessions, got.num_events, got.longest_session_events) == want

@@ -588,3 +588,90 @@ def trail_sequence_distance(
         )
         .filter(F.col("similarity_ppm") >= min_similarity_ppm)
     )
+
+
+def session_stats_capped(
+    df: DataFrame,
+    gap: int = 1800,
+    max_duration: int = 24 * 3600,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    chunk_size: int | None = None,
+) -> DataFrame:
+    """Sessionization with BOTH cut rules production analytics uses: a
+    new session opens on inactivity > ``gap`` OR when the current
+    session's span would exceed ``max_duration`` (the "sessions reset
+    after 24h no matter what" rule — a bot hammering every minute for a
+    week is not one session). Returns (uuid, num_sessions, num_events,
+    longest_session_events).
+
+    The duration cap makes assignment a RUNNING FOLD — each session's
+    start depends on where the previous one ended, which no
+    fixed-frame window can express (the gap-only form is a prefix sum
+    of boundary flags; this is not) — so it runs on the bounded-memory
+    chunked cursor (`apply_to_trails_chunked`, the reference cursor
+    contract, src/tdb_decode.c:227-329): state is (session start, last
+    timestamp, counts), O(1) per trail at any trail length.
+    Differentially tested against an independent sequential python
+    reference; gap-only results reduce to `session_stats` exactly when
+    ``max_duration`` is infinite.
+    """
+    if gap < 0 or max_duration <= 0:
+        raise ValueError(
+            f"session_stats_capped: bad gap={gap} max_duration={max_duration}"
+        )
+    import pandas as pd
+
+    def init(u):
+        return {
+            "uuid": u,
+            "start": None,  # current session's first timestamp
+            "last": None,
+            "sessions": 0,
+            "events": 0,
+            "cur_n": 0,
+            "best_n": 0,
+        }
+
+    def step(st, chunk):
+        for t in chunk[time_col].to_numpy():
+            t = int(t)
+            new = (
+                st["last"] is None
+                or t - st["last"] > gap
+                or t - st["start"] > max_duration
+            )
+            if new:
+                st["best_n"] = max(st["best_n"], st["cur_n"])
+                st["sessions"] += 1
+                st["start"] = t
+                st["cur_n"] = 0
+            st["last"] = t
+            st["cur_n"] += 1
+            st["events"] += 1
+        return st, None
+
+    def finish(st):
+        return pd.DataFrame(
+            {
+                uuid_col: [st["uuid"]],
+                "num_sessions": [st["sessions"]],
+                "num_events": [st["events"]],
+                "longest_session_events": [max(st["best_n"], st["cur_n"])],
+            }
+        )
+
+    uuid_t = dict(df.dtypes)[uuid_col]
+    return apply_to_trails_chunked(
+        df.select(uuid_col, time_col),
+        init,
+        step,
+        finish,
+        schema=(
+            f"{uuid_col} {uuid_t}, num_sessions long, num_events long, "
+            "longest_session_events long"
+        ),
+        uuid_col=uuid_col,
+        time_col=time_col,
+        chunk_size=chunk_size,
+    )
