@@ -2423,6 +2423,23 @@ def q166_bmp_decode(spark, sf_dir):
     return multimodal.image_luma_stats(media)
 
 
+def q167_twap(spark, sf_dir):
+    """Per-trail time-weighted average of the value column (LOCF
+    integral over the trail span): cents integerization, exact
+    decimal(38,0) weighted sum, truncating div; single-event trails
+    report their own value."""
+    ev = _events(spark, sf_dir).select("uuid", "time", "event_id", "value")
+    return analytics.time_weighted_average(ev)
+
+
+def q168_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC bars of the value column per event type: struct-
+    min/max open/close over (time, event_id, cents) — deterministic on
+    ties — plus integer high/low; keys x buckets output."""
+    ev = _events(spark, sf_dir).select("time", "event_id", "event_type", "value")
+    return analytics.ohlc_bars(ev, bucket_seconds=3600)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2619,6 +2636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_pnm_decode": q164_pnm_decode,
         "q165_aiff_decode": q165_aiff_decode,
         "q166_bmp_decode": q166_bmp_decode,
+        "q167_twap": q167_twap,
+        "q168_ohlc_bars": q168_ohlc_bars,
     }
 
 
@@ -3673,6 +3692,49 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
+        """,
+        # LOCF integral: lead-gap per (time, event_id) window; cents
+        # via one round(value*100); HUGEINT weighted sum; span-0 trails
+        # report their own (struct-max) value
+        "q167_twap": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT uuid, "time" AS t, event_id AS tb,
+                     CAST(round(value * 100) AS BIGINT) AS c,
+                     lead("time") OVER (
+                       PARTITION BY uuid ORDER BY "time", event_id) - "time"
+                       AS gap
+              FROM e),
+            agg AS (
+              SELECT uuid, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     min(t) AS first_t, max(t) AS last_t,
+                     COALESCE(SUM(CAST(c AS HUGEINT) * gap), 0) AS ws,
+                     max(struct_pack(t := t, tb := tb, c := c)) AS lastc
+              FROM per GROUP BY uuid)
+            SELECT uuid, n_events,
+                   CAST(last_t - first_t AS BIGINT) AS span_seconds,
+                   CASE WHEN last_t > first_t THEN
+                     CAST(CASE WHEN ws >= 0
+                          THEN ws // CAST(last_t - first_t AS HUGEINT)
+                          ELSE -((-ws) // CAST(last_t - first_t AS HUGEINT))
+                          END AS BIGINT)
+                   ELSE lastc.c END AS twap_cents
+            FROM agg
+        """,
+        # struct-min/max open/close on (t, event_id, cents)
+        "q168_ohlc_bars": f"""
+            WITH e AS ({_E}),
+            b AS (
+              SELECT event_type AS key, "time" // 3600 AS bucket,
+                     "time" AS t, event_id AS tb,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM e)
+            SELECT key, bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   min(struct_pack(t := t, tb := tb, c := c)).c AS open_cents,
+                   max(c) AS high_cents,
+                   min(c) AS low_cents,
+                   max(struct_pack(t := t, tb := tb, c := c)).c AS close_cents
+            FROM b GROUP BY key, bucket
         """,
         "q166_bmp_decode": """
             -- identity gray palette: rounded luma == palette index ==

@@ -1196,3 +1196,44 @@ def test_burstiness_index_validates_args(spark):
     df = spark.createDataFrame([("a", 1)], "event_type string, time long")
     with pytest.raises(ValueError):
         analytics.burstiness_index(df, bucket_seconds=0)
+
+
+def test_time_weighted_average_hand_computed(spark):
+    """LOCF integral: value 1.00 for 10s then 3.00 for 30s over a 40s
+    span -> (100*10 + 300*30) / 40 = 250 cents (NOT the 200-cent
+    arithmetic mean). Single-event trail reports its own cents.
+    Negative values truncate toward zero (Spark div semantics)."""
+    rows = [
+        ("u1", 0, 1, 1.00), ("u1", 10, 2, 3.00), ("u1", 40, 3, 9.99),
+        ("one", 5, 4, 7.25),
+        ("neg", 0, 5, -1.00), ("neg", 3, 6, 0.0),   # ws = -300, span 3
+    ]
+    df = spark.createDataFrame(rows, "uuid string, time long, event_id long, value double")
+    got = {r.uuid: (r.n_events, r.span_seconds, r.twap_cents)
+           for r in analytics.time_weighted_average(df).collect()}
+    assert got == {
+        "u1": (3, 40, 250),
+        "one": (1, 0, 725),
+        "neg": (2, 3, -100),
+    }
+
+
+def test_ohlc_bars_hand_computed(spark):
+    """Open/close pick by (time, event_id) order incl. same-timestamp
+    ties; high/low independent of order."""
+    rows = [
+        ("a", 10, 1, 5.00), ("a", 10, 2, 1.00),    # tie: open by event_id
+        ("a", 3599, 3, 9.00),
+        ("a", 3600, 4, 2.50),                       # next bucket
+    ]
+    df = spark.createDataFrame(rows, "event_type string, time long, event_id long, value double")
+    got = {(r.key, r.bucket): (r.n_events, r.open_cents, r.high_cents,
+                               r.low_cents, r.close_cents)
+           for r in analytics.ohlc_bars(df).collect()}
+    assert got == {
+        ("a", 0): (3, 500, 900, 100, 900),
+        ("a", 1): (1, 250, 250, 250, 250),
+    }
+    import pytest
+    with pytest.raises(ValueError):
+        analytics.ohlc_bars(df, bucket_seconds=0)

@@ -2642,3 +2642,95 @@ def burstiness_index(
             f" div (CAST(n AS {dec}) * CAST(s AS {dec}))"
         ).alias("fano_ppm"),
     )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    value_col: str = "value",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-trail time-weighted average of a sampled value (TWAP): each
+    observation holds until the next one (last-observation-carried-
+    forward), so the average is Σ value_i · (t_{i+1} − t_i) over the
+    trail's span — the correct summary for irregularly-sampled state
+    (plan price, queue depth, position size), where the arithmetic mean
+    over-weights chatty periods by construction.
+
+    Exactness: values are integerized to cents once
+    (``round(value*100)`` — one IEEE op, engine-identical), the
+    weighted sum is exact decimal(38,0), and the output is
+    ``twap_cents = Σ cents·gap div span`` by truncating division. A
+    single-event trail (span 0) reports its own value. Plan shape: one
+    (time, tiebreak) window pass for the lead-gap, one per-uuid
+    aggregate.
+    """
+    w = Window.partitionBy(uuid_col).orderBy(time_col, tiebreak_col)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = df.select(
+        F.col(uuid_col).alias("uuid"),
+        F.col(time_col).alias("t"),
+        F.col(tiebreak_col).alias("tb"),
+        cents.alias("c"),
+        (F.lead(time_col).over(w) - F.col(time_col)).alias("gap"),
+    )
+    dec = "decimal(38,0)"
+    agg = per.groupBy("uuid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("first_t"),
+        F.max("t").alias("last_t"),
+        F.sum(F.col("c").cast(dec) * F.col("gap").cast(dec)).alias("__ws"),
+        F.max(F.struct(F.col("t"), F.col("tb"), F.col("c"))).alias("__lastc"),
+    )
+    span = F.col("last_t") - F.col("first_t")
+    return agg.select(
+        "uuid",
+        "n_events",
+        span.alias("span_seconds"),
+        F.when(span > 0, F.expr(f"__ws div CAST(last_t - first_t AS {dec})"))
+        .otherwise(F.col("__lastc.c"))
+        .alias("twap_cents"),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    time_col: str = TIME_COL,
+    tiebreak_col: str = "event_id",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """OHLC bars: per (key, time bucket), the opening / highest / lowest
+    / closing observation of a value column — the canonical downsampled
+    view of any sampled series (prices, latencies, queue depths), and
+    the shape charting and monitoring stacks ingest directly.
+
+    Integer-exact: cents via one round(value*100); open/close are
+    struct-min/max over (time, tiebreak, cents) — deterministic
+    first/last even with same-timestamp ties, both engines order
+    structs field-lexicographically. One map-side-combined aggregate,
+    output keys × buckets.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"ohlc_bars: bucket_seconds must be > 0, got {bucket_seconds}"
+        )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    b = F.expr(f"{time_col} div {bucket_seconds}")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        b.alias("bucket"),
+        F.col(time_col).alias("t"),
+        F.col(tiebreak_col).alias("tb"),
+        cents.alias("c"),
+    )
+    pick = F.struct("t", "tb", "c")
+    return base.groupBy("key", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(pick)["c"].alias("open_cents"),
+        F.max("c").alias("high_cents"),
+        F.min("c").alias("low_cents"),
+        F.max(pick)["c"].alias("close_cents"),
+    )
