@@ -2440,6 +2440,15 @@ def q168_ohlc_bars(spark, sf_dir):
     return analytics.ohlc_bars(ev, bucket_seconds=3600)
 
 
+def q169_trail_value_outliers(spark, sf_dir):
+    """Per-trail value anomalies: events > 2 sigma from their OWN
+    trail's mean — exact integer k-sigma inequality on cents
+    ((n*c - S)^2 > k^2*(n*Q - S^2)); magnitudes reported as doubles
+    cast from the exact integers."""
+    ev = _events(spark, sf_dir).select("uuid", "time", "event_id", "value")
+    return analytics.trail_value_outliers(ev, k=2, min_events=5)
+
+
 def q118_resolve_duplicates(spark, sf_dir):
     """Quality-aware duplicate resolution: SimHash near-dup components
     (q42's pair set) resolved by KEEPING the best quality_score doc per
@@ -2638,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_bmp_decode": q166_bmp_decode,
         "q167_twap": q167_twap,
         "q168_ohlc_bars": q168_ohlc_bars,
+        "q169_trail_value_outliers": q169_trail_value_outliers,
     }
 
 
@@ -3692,6 +3702,32 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.id = sh.id_a
             JOIN tot tb ON tb.id = sh.id_b
+        """,
+        # exact k-sigma on cents per trail; HUGEINT products; the
+        # magnitudes cast to DOUBLE from exact integers (deterministic)
+        "q169_trail_value_outliers": f"""
+            WITH e AS ({_E}),
+            b AS (
+              SELECT uuid, "time", event_id AS tb,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM e),
+            st AS (
+              SELECT uuid, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(c) AS BIGINT) AS s,
+                     SUM(CAST(c AS HUGEINT) * c) AS q
+              FROM b GROUP BY uuid HAVING COUNT(*) >= 5)
+            SELECT b.uuid, b."time", b.tb AS event_id, b.c AS cents,
+                   CAST((CAST(st.n AS HUGEINT) * b.c - st.s)
+                        * (CAST(st.n AS HUGEINT) * b.c - st.s) AS DOUBLE)
+                     AS dev_num,
+                   CAST(4 * (CAST(st.n AS HUGEINT) * st.q
+                             - CAST(st.s AS HUGEINT) * st.s) AS DOUBLE)
+                     AS bound_num
+            FROM b JOIN st ON b.uuid = st.uuid
+            WHERE (CAST(st.n AS HUGEINT) * b.c - st.s)
+                  * (CAST(st.n AS HUGEINT) * b.c - st.s)
+                  > 4 * (CAST(st.n AS HUGEINT) * st.q
+                         - CAST(st.s AS HUGEINT) * st.s)
         """,
         # LOCF integral: lead-gap per (time, event_id) window; cents
         # via one round(value*100); HUGEINT weighted sum; span-0 trails

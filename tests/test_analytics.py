@@ -1237,3 +1237,26 @@ def test_ohlc_bars_hand_computed(spark):
     import pytest
     with pytest.raises(ValueError):
         analytics.ohlc_bars(df, bucket_seconds=0)
+
+
+def test_trail_value_outliers_hand_computed(spark):
+    """One spike in an otherwise-flat trail flags exactly that event;
+    constant trails and short trails flag nothing."""
+    rows = (
+        [("u1", t, t, 1.00) for t in range(6)] + [("u1", 6, 6, 50.00)]
+        + [("flat", t, 10 + t, 2.00) for t in range(6)]
+        + [("short", 0, 100, 0.0), ("short", 1, 101, 99.0)]
+    )
+    df = spark.createDataFrame(rows, "uuid string, time long, event_id long, value double")
+    got = analytics.trail_value_outliers(df, k=2, min_events=5).collect()
+    assert [(r.uuid, r.time, r.cents) for r in got] == [("u1", 6, 5000)]
+    r = got[0]
+    # exact-integer magnitudes: n=7, S=5600, Q=25060000
+    n, S, Q, c = 7, 600 + 5000, 6 * 100 * 100 + 5000 * 5000, 5000
+    assert r.dev_num == float((n * c - S) ** 2)
+    assert r.bound_num == float(4 * (n * Q - S * S))
+    import pytest
+    with pytest.raises(ValueError):
+        analytics.trail_value_outliers(df, k=0)
+    with pytest.raises(ValueError):
+        analytics.trail_value_outliers(df, min_events=1)

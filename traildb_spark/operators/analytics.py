@@ -2734,3 +2734,74 @@ def ohlc_bars(
         F.min("c").alias("low_cents"),
         F.max(pick)["c"].alias("close_cents"),
     )
+
+
+def trail_value_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    tiebreak_col: str = "event_id",
+    k: int = 3,
+    min_events: int = 5,
+) -> DataFrame:
+    """Per-trail value anomalies: events whose value deviates from THEIR
+    OWN TRAIL's mean by more than ``k`` standard deviations — the
+    per-entity complement of `anomalous_buckets`' per-key volume test
+    (a $900 charge is an outlier for one account and routine for
+    another; a global threshold can't see that). Same exact-integer
+    k-sigma discipline, on cents::
+
+        (n·c - S)² > k²·(n·Q - S²)      S = Σc, Q = Σc² per trail
+
+    so flagging is bit-identical across engines (strict >, constant-
+    value trails flag nothing). Trails with fewer than ``min_events``
+    events are skipped — a 2-event trail has no meaningful own-history.
+    Returns the flagged events ``(uuid, time, tiebreak, cents, dev_num,
+    bound_num)``; dev/bound ranks magnitude.
+
+    Plan shape: one per-trail aggregate, joined back to the trail's own
+    events on uuid (the join is what lets the flag stay event-level
+    while the stats stay trail-level); decimal(38,0) products.
+    """
+    if k < 1 or min_events < 2:
+        raise ValueError(
+            f"trail_value_outliers: bad k={k} min_events={min_events}"
+        )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(uuid_col).alias("uuid"),
+        F.col(time_col).alias("time"),
+        F.col(tiebreak_col).alias("tb"),
+        cents.alias("c"),
+    )
+    dec = "decimal(38,0)"
+    cd = F.col("c").cast(dec)
+    stats = base.groupBy("uuid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(cd * cd).alias("q"),
+    ).filter(F.col("n") >= min_events)
+    j = base.join(stats, "uuid")
+    n, s, q = (
+        F.col("n").cast(dec),
+        F.col("s").cast(dec),
+        F.col("q").cast(dec),
+    )
+    dev = (n * cd - s) * (n * cd - s)
+    bound = F.lit(k * k).cast(dec) * (n * q - s * s)
+    return (
+        j.filter(dev > bound)
+        .select(
+            "uuid",
+            "time",
+            F.col("tb").alias(tiebreak_col),
+            F.col("c").alias("cents"),
+            # the FLAG is the exact-integer inequality above; the
+            # reported magnitudes are those exact integers cast to
+            # double (round-to-nearest from an exact value — identical
+            # in any engine), because dev can exceed int64 at scale
+            dev.cast("double").alias("dev_num"),
+            bound.cast("double").alias("bound_num"),
+        )
+    )
