@@ -2474,6 +2474,28 @@ def q119_recency_scores(spark, sf_dir):
     return analytics.recency_scores(ev, t_ref=TIME_HI, half_life=86400)
 
 
+
+def q170_cusum_changepoint(spark, sf_dir):
+    """Per-event-type CUSUM changepoint over hourly counts: exact
+    integer D_i = |n*S_i - i*T| argmax over the zero-filled global
+    bucket range (plateau-endpoint candidates, no zero materialization);
+    earliest-boundary ties; split rates as events-per-1000-buckets."""
+    ev = _events(spark, sf_dir).select("time", "event_type")
+    return analytics.cusum_changepoint(ev, bucket_seconds=3600)
+
+
+
+def q171_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: per-source ascending rank by
+    exact whole-bit unigram surprisal, cut into equal-mass head/middle/
+    tail buckets ((rank-1)*3 div n) — the classic keep-head-and-middle
+    data-selection key, bit-reproducible."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    return curation.perplexity_buckets(docs)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2648,6 +2670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_twap": q167_twap,
         "q168_ohlc_bars": q168_ohlc_bars,
         "q169_trail_value_outliers": q169_trail_value_outliers,
+        "q170_cusum_changepoint": q170_cusum_changepoint,
+        "q171_perplexity_buckets": q171_perplexity_buckets,
     }
 
 
@@ -3705,6 +3729,93 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact k-sigma on cents per trail; HUGEINT products; the
         # magnitudes cast to DOUBLE from exact integers (deterministic)
+        # CUSUM argmax over the materialized zero-filled range (the
+        # operator's plateau-endpoint candidate set is provably the same
+        # argmax); HUGEINT products; stat cast to DOUBLE from the exact int
+        "q170_cusum_changepoint": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT event_type AS key, "time" // 3600 AS b,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM e GROUP BY 1, 2),
+            rng AS (SELECT min(b) AS lo, max(b) AS hi,
+                           CAST(max(b) - min(b) + 1 AS BIGINT) AS n FROM per),
+            grid AS (
+              SELECT k.key, t.i
+              FROM (SELECT DISTINCT key FROM per) k
+              CROSS JOIN (SELECT unnest(generate_series(1, n)) AS i
+                          FROM rng) t),
+            cum AS (
+              SELECT g.key, g.i,
+                     CAST(COALESCE(SUM(p.y) OVER (
+                       PARTITION BY g.key ORDER BY g.i), 0) AS BIGINT) AS s
+              FROM grid g
+              LEFT JOIN per p ON p.key = g.key
+                AND p.b - (SELECT lo FROM rng) + 1 = g.i),
+            tot AS (SELECT key, max(s) AS t FROM cum GROUP BY key),
+            scored AS (
+              SELECT c.key, c.i, c.s, tot.t,
+                     abs(CAST((SELECT n FROM rng) AS HUGEINT) * c.s
+                         - CAST(c.i AS HUGEINT) * tot.t) AS d
+              FROM cum c JOIN tot USING (key)),
+            pick AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY key ORDER BY d DESC, i ASC) AS r
+              FROM scored)
+            SELECT p.key,
+                   (SELECT n FROM rng) AS n_buckets,
+                   p.t AS n_events,
+                   CASE WHEN (SELECT n FROM rng) > 1
+                        THEN (SELECT lo FROM rng) + p.i - 1 END AS cp_bucket,
+                   CASE WHEN (SELECT n FROM rng) > 1 THEN p.i END AS cp_index,
+                   CASE WHEN (SELECT n FROM rng) > 1
+                        THEN CAST(p.d AS DOUBLE) END AS cusum_stat,
+                   CASE WHEN (SELECT n FROM rng) > 1
+                        THEN 1000 * p.s // p.i END AS rate_before_ppm_mille,
+                   CASE WHEN (SELECT n FROM rng) > 1
+                         AND (SELECT n FROM rng) > p.i
+                        THEN 1000 * (p.t - p.s)
+                             // ((SELECT n FROM rng) - p.i) END
+                     AS rate_after_ppm_mille
+            FROM pick p WHERE p.r = 1
+        """,
+        # q75's whole-bit surprisal + per-source ascending rank +
+        # equal-mass integer tertile cut
+        "q171_perplexity_buckets": f"""
+            WITH w AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+            tot AS (SELECT sum(cnt) AS total FROM vocab),
+            s AS (
+              SELECT tf.doc_id,
+                     sum(tf.tf * (length(bin(CAST(tot.total AS BIGINT)))
+                                  - length(bin(CAST(vocab.cnt AS BIGINT)))))
+                       AS sb,
+                     sum(tf.tf) AS nt
+              FROM tf JOIN vocab USING (term) CROSS JOIN tot
+              GROUP BY tf.doc_id),
+            mb AS (
+              SELECT d.doc_id, d.source,
+                     CASE WHEN COALESCE(s.nt, 0) = 0 THEN 0
+                          ELSE 1000 * s.sb // s.nt END AS millibits_per_token
+              FROM documents d LEFT JOIN s USING (doc_id)),
+            r AS (
+              SELECT *,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY millibits_per_token, doc_id) AS BIGINT)
+                       AS rank_in_group,
+                     CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                       AS n_in_group
+              FROM mb)
+            SELECT doc_id, source, millibits_per_token, rank_in_group,
+                   n_in_group,
+                   CASE (rank_in_group - 1) * 3 // n_in_group
+                        WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM r
+        """,
         "q169_trail_value_outliers": f"""
             WITH e AS ({_E}),
             b AS (

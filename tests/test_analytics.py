@@ -1260,3 +1260,42 @@ def test_trail_value_outliers_hand_computed(spark):
         analytics.trail_value_outliers(df, k=0)
     with pytest.raises(ValueError):
         analytics.trail_value_outliers(df, min_events=1)
+
+
+def test_cusum_changepoint_hand_computed(spark):
+    """'shift': counts 1,1,1,3,3,3 over buckets 0..5 -> D_i =
+    |6*S_i - 12i| peaks at 18 for i=3 -> cp_bucket 2, rates 1000/3000.
+    'flat': 1/bucket -> D == 0 everywhere, earliest boundary wins.
+    'late': 2 events only in bucket 5 with the range pinned 0..5 by the
+    other keys -> the leading zero plateau's endpoint i=5 (D = 10) beats
+    the observed bucket (D = 0): the zero-fill candidates matter."""
+    rows = (
+        [("shift", b * 3600) for b in range(3)]
+        + [("shift", b * 3600) for b in range(3, 6) for _ in range(3)]
+        + [("flat", b * 3600) for b in range(6)]
+        + [("late", 5 * 3600), ("late", 5 * 3600 + 10)]
+    )
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    got = {
+        r.key: (
+            r.n_buckets, r.n_events, r.cp_bucket, r.cp_index,
+            r.cusum_stat, r.rate_before_ppm_mille, r.rate_after_ppm_mille,
+        )
+        for r in analytics.cusum_changepoint(df).collect()
+    }
+    assert got == {
+        "shift": (6, 12, 2, 3, 18.0, 1000, 3000),
+        "flat": (6, 6, 0, 1, 0.0, 1000, 1000),
+        "late": (6, 2, 4, 5, 10.0, 0, 2000),
+    }
+
+
+def test_cusum_changepoint_single_bucket_and_args(spark):
+    import pytest
+    df = spark.createDataFrame([("solo", 100)], "event_type string, time long")
+    [r] = analytics.cusum_changepoint(df).collect()
+    assert (r.n_buckets, r.n_events) == (1, 1)
+    assert r.cp_bucket is None and r.cusum_stat is None
+    assert r.rate_before_ppm_mille is None and r.rate_after_ppm_mille is None
+    with pytest.raises(ValueError):
+        analytics.cusum_changepoint(df, bucket_seconds=0)

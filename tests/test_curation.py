@@ -504,3 +504,34 @@ def test_curriculum_order_matches_plain_window(spark):
     w = W.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id"))
     want = {r.doc_id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
     assert got == want
+
+
+def test_perplexity_buckets_hand_computed(spark):
+    """6 docs in one source with distinct whole-bit surprisal ordering:
+    ranks 1-2 -> head, 3-4 -> middle, 5-6 -> tail. A second 1-doc source
+    lands rank 1 of 1 -> (0*3) div 1 = 0 -> head. Repeated-rare-word
+    docs rank above common-word docs; ties break by doc_id."""
+    from traildb_spark.operators.curation import perplexity_buckets
+
+    rows = [
+        # source A: "a" appears in every doc (common), xN unique (rare)
+        (1, "a a a a", "A"), (2, "a a a x2", "A"), (3, "a a x3 x3b", "A"),
+        (4, "a x4 x4b x4c", "A"), (5, "x5 x5b x5c x5d", "A"),
+        (6, "x6 x6b x6c x6d x6e x6f", "A"),
+        (7, "a a", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: (r.source, r.rank_in_group, r.n_in_group, r.ppl_bucket)
+           for r in perplexity_buckets(df).collect()}
+    assert out[7] == ("B", 1, 1, "head")
+    assert [out[i][1] for i in range(1, 7)] == [1, 2, 3, 4, 5, 6]
+    assert [out[i][3] for i in range(1, 7)] == [
+        "head", "head", "middle", "middle", "tail", "tail"]
+
+
+def test_perplexity_buckets_validates_args(spark):
+    import pytest
+    from traildb_spark.operators.curation import perplexity_buckets
+    df = spark.createDataFrame([(1, "a", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError):
+        perplexity_buckets(df, n_buckets=0)

@@ -2805,3 +2805,105 @@ def trail_value_outliers(
             bound.cast("double").alias("bound_num"),
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = TIME_COL,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key CUSUM changepoint over the bucketed event-count series —
+    the level-shift question completing the volume family
+    (`anomalous_buckets` flags outlier buckets, `burstiness_index` rates
+    dispersion, this locates WHERE the rate changed): the changepoint is
+    the bucket boundary i maximizing the scaled CUSUM deviation
+
+        D_i = | n * S_i  -  i * T |        i = 1..n
+
+    over the zero-filled global range (n buckets, S_i = events through
+    bucket i, T = total) — the classic cumulative-sum statistic with the
+    mean factored out, kept in exact integers (products in
+    decimal(38,0), D can exceed int64 at scale so the reported statistic
+    is the exact integer cast to double; the ARGMAX itself compares the
+    exact integers).
+
+    Zero-fill without materializing zeros: between observed buckets S is
+    constant, so D_i is linear in i and maximal at a plateau endpoint —
+    the candidate set is {position of each observed bucket} union
+    {position just before each observed bucket, with the lagged sum}
+    (covers the leading all-zero plateau via the first bucket's lag-0
+    candidate). Candidates are 2x the histogram, never event-sized.
+    Ties break to the EARLIEST boundary. Keys with n = 1 report a NULL
+    changepoint (no interior boundary; D_1 = 0 degenerately).
+
+    Output: (key, n_buckets, n_events, cp_bucket, cp_index, cusum_stat,
+    rate_before_ppm_mille, rate_after_ppm_mille) — the split rates are
+    events-per-1000-buckets (truncating div on exact integers).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"cusum_changepoint: bucket_seconds must be > 0, got {bucket_seconds}"
+        )
+    b = F.expr(f"{time_col} div {bucket_seconds}")
+    per = (
+        df.select(F.col(key_col).alias("key"), b.alias("b"))
+        .groupBy("key", "b")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    rng = F.broadcast(per.agg(F.min("b").alias("lo"), F.max("b").alias("hi")))
+    w = Window.partitionBy("key").orderBy("b")
+    cum = (
+        per.crossJoin(rng)
+        .withColumn("pos", F.col("b") - F.col("lo") + 1)
+        .withColumn("s_i", F.sum("y").over(w))
+        .withColumn("s_prev", F.coalesce(F.lag("s_i").over(w), F.lit(0)))
+    )
+    tot = cum.groupBy("key").agg(
+        F.max("s_i").alias("t_total"), F.count(F.lit(1)).alias("n_obs")
+    )
+    # candidate boundaries: each observed position with its sum, and the
+    # position just before it with the lagged sum (plateau endpoints)
+    cands = (
+        cum.select(
+            "key", "lo", "hi", F.col("pos").alias("i"), F.col("s_i").alias("s")
+        )
+        .unionByName(
+            cum.select(
+                "key",
+                "lo",
+                "hi",
+                (F.col("pos") - 1).alias("i"),
+                F.col("s_prev").alias("s"),
+            ).filter(F.col("i") >= 1)
+        )
+        .join(tot, "key")
+    )
+    dec = "decimal(38,0)"
+    n = (F.col("hi") - F.col("lo") + 1).cast(dec)
+    d = F.abs(
+        n * F.col("s").cast(dec) - F.col("i").cast(dec) * F.col("t_total").cast(dec)
+    )
+    scored = cands.withColumn("d", d)
+    pick = Window.partitionBy("key").orderBy(F.col("d").desc(), F.col("i").asc())
+    nb = F.col("hi") - F.col("lo") + 1
+    return (
+        scored.withColumn("__r", F.row_number().over(pick))
+        .filter(F.col("__r") == 1)
+        .select(
+            "key",
+            nb.alias("n_buckets"),
+            F.col("t_total").alias("n_events"),
+            F.when(nb > 1, F.col("lo") + F.col("i") - 1).alias("cp_bucket"),
+            F.when(nb > 1, F.col("i")).alias("cp_index"),
+            F.when(nb > 1, F.col("d").cast("double")).alias("cusum_stat"),
+            F.when(
+                nb > 1,
+                F.expr("1000 * s div i"),
+            ).alias("rate_before_ppm_mille"),
+            F.when(
+                (nb > 1) & (nb > F.col("i")),
+                F.expr("1000 * (t_total - s) div (hi - lo + 1 - i)"),
+            ).alias("rate_after_ppm_mille"),
+        )
+    )

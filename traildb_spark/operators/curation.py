@@ -966,3 +966,62 @@ def curriculum_order(
             ).alias("position"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
+    each group, rank documents by the model-free unigram surprisal
+    (:func:`..text.unigram_surprisal`'s exact whole-bit
+    ``millibits_per_token``, ascending — fluent/templated first, rare-
+    word-heavy last) and cut the ranking into ``n_buckets`` equal-mass
+    buckets: ``head`` / ``middle`` / ``tail`` for the classic 3, else
+    ``b0..b{n-1}``. CCNet keeps head+middle and drops (or down-weights)
+    tail; the bucket column is the selection key.
+
+    All arithmetic is exact integers — surprisal is whole-bit, the
+    bucket index is ``(rank-1) * n_buckets div n_group`` — so the
+    assignment is bit-reproducible in any engine. Ties break by id.
+
+    Scale: the within-group rank is :func:`curriculum_order`'s two-phase
+    range-partition construction (no whale source funnels through one
+    reducer); group sizes are a lexicon-scale aggregate, broadcast.
+    """
+    if n_buckets < 1:
+        raise ValueError(
+            f"perplexity_buckets: n_buckets must be >= 1, got {n_buckets}"
+        )
+    from .text import unigram_surprisal
+
+    scored = unigram_surprisal(df, text_col=text_col, id_col=id_col)
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp"))
+    j = scored.join(base, "doc_id").withColumn(
+        "__neg_mb", -F.col("millibits_per_token")
+    )
+    ranked = curriculum_order(j, "__neg_mb", group_col="grp", id_col="doc_id")
+    sizes = F.broadcast(base.groupBy("grp").agg(F.count(F.lit(1)).alias("__n")))
+    idx = F.expr(f"(rank_in_group - 1) * {int(n_buckets)} div __n")
+    if n_buckets == 3:
+        label = (
+            F.when(idx == 0, F.lit("head"))
+            .when(idx == 1, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        label = F.concat(F.lit("b"), idx.cast("string"))
+    return (
+        ranked.join(sizes, "grp")
+        .select(
+            "doc_id",
+            F.col("grp").alias(group_col),
+            (-F.col("__neg_mb")).alias("millibits_per_token"),
+            "rank_in_group",
+            F.col("__n").alias("n_in_group"),
+            label.alias("ppl_bucket"),
+        )
+    )
