@@ -2496,6 +2496,32 @@ def q171_perplexity_buckets(spark, sf_dir):
     return curation.perplexity_buckets(docs)
 
 
+
+def q172_dsir_importance(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): whole-bit log importance
+    weight of the English subcorpus (target) over the full corpus (raw)
+    under the binary-digit-count unigram model — positive = more
+    target-like; exact integers end-to-end."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return curation.dsir_importance(docs, target)
+
+
+def q173_ab_conversion(spark, sf_dir):
+    """Two-proportion z-test between md5-bucket experiment arms: trails
+    hash-split 50/50, conversion = any purchase event; z-squared as a
+    double over exact-integer terms, rates as exact ppm."""
+    from traildb_spark.operators import curation
+
+    ev = _events(spark, sf_dir).select("uuid", "event_type")
+    arms = curation.hash_split(ev, {"arm_a": 0.5, "arm_b": 0.5}, id_col="uuid")
+    return analytics.ab_conversion_test(
+        arms, variant_col="split", target_value="purchase"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2672,6 +2698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_trail_value_outliers": q169_trail_value_outliers,
         "q170_cusum_changepoint": q170_cusum_changepoint,
         "q171_perplexity_buckets": q171_perplexity_buckets,
+        "q172_dsir_importance": q172_dsir_importance,
+        "q173_ab_conversion": q173_ab_conversion,
     }
 
 
@@ -3815,6 +3843,89 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
             FROM r
+        """,
+        # whole-bit DSIR: raw-vocab left join to the target counts,
+        # count-0 smoothing = the one-digit binary; sign-factored //
+        "q172_dsir_importance": f"""
+            WITH w AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            vr AS (SELECT term, sum(tf) AS cnt_r FROM tf GROUP BY term),
+            tt AS (
+              SELECT unnest(ws) AS term
+              FROM (SELECT {_TOKENS} AS ws FROM documents WHERE lang = 'en')),
+            vt AS (SELECT term, count(*) AS cnt_t FROM tt GROUP BY term),
+            v AS (
+              SELECT vr.term, vr.cnt_r, COALESCE(vt.cnt_t, 0) AS cnt_t
+              FROM vr LEFT JOIN vt USING (term)),
+            totr AS (SELECT sum(cnt_r) AS total_r FROM v),
+            tott AS (SELECT count(*) AS total_t FROM tt),
+            s AS (
+              SELECT tf.doc_id,
+                     sum(tf.tf * (
+                       (length(bin(CAST(totr.total_r AS BIGINT)))
+                        - length(bin(CAST(v.cnt_r AS BIGINT))))
+                       - (length(bin(CAST(tott.total_t AS BIGINT)))
+                          - length(bin(CAST(v.cnt_t AS BIGINT))))))
+                       AS wb,
+                     sum(tf.tf) AS nt
+              FROM tf JOIN v USING (term) CROSS JOIN totr CROSS JOIN tott
+              GROUP BY tf.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(s.nt, 0) AS n_tokens,
+                   COALESCE(s.wb, 0) AS weight_bits,
+                   CASE WHEN COALESCE(s.nt, 0) = 0 THEN 0
+                        WHEN s.wb >= 0 THEN 1000 * s.wb // s.nt
+                        ELSE -((1000 * -s.wb) // s.nt) END
+                     AS milliweight_per_token
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        # md5-bucket arms; pooled z-squared with the FIXED double
+        # evaluation order ((dd*dd)*N) / (((n_a*n_b)*s)*(N-s))
+        "q173_ab_conversion": f"""
+            WITH e AS ({_E}),
+            arm AS (
+              SELECT uuid,
+                     CASE WHEN CAST(('0x' || substr(md5(uuid), 1, 15))
+                               AS BIGINT) % 10000 < 5000
+                          THEN 'arm_a' ELSE 'arm_b' END AS variant,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS conv
+              FROM e),
+            pt AS (
+              SELECT uuid, min(variant) AS variant,
+                     CAST(max(conv) AS BIGINT) AS conv
+              FROM arm GROUP BY uuid),
+            pv AS (
+              SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(conv) AS BIGINT) AS s
+              FROM pt GROUP BY variant)
+            SELECT a.variant AS variant_a, b.variant AS variant_b,
+                   a.n AS n_a, a.s AS conv_a, b.n AS n_b, b.s AS conv_b,
+                   1000000 * a.s // a.n AS rate_a_ppm,
+                   1000000 * b.s // b.n AS rate_b_ppm,
+                   CASE WHEN a.s + b.s > 0 AND a.s + b.s < a.n + b.n THEN
+                     (CAST(CAST(a.s AS HUGEINT) * b.n
+                           - CAST(b.s AS HUGEINT) * a.n AS DOUBLE)
+                      * CAST(CAST(a.s AS HUGEINT) * b.n
+                             - CAST(b.s AS HUGEINT) * a.n AS DOUBLE)
+                      * CAST(a.n + b.n AS DOUBLE))
+                     / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)
+                        * CAST(a.s + b.s AS DOUBLE)
+                        * CAST(a.n + b.n - a.s - b.s AS DOUBLE))
+                   END AS z2,
+                   CASE WHEN a.s + b.s > 0 AND a.s + b.s < a.n + b.n THEN
+                     (CAST(CAST(a.s AS HUGEINT) * b.n
+                           - CAST(b.s AS HUGEINT) * a.n AS DOUBLE)
+                      * CAST(CAST(a.s AS HUGEINT) * b.n
+                             - CAST(b.s AS HUGEINT) * a.n AS DOUBLE)
+                      * CAST(a.n + b.n AS DOUBLE))
+                     / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)
+                        * CAST(a.s + b.s AS DOUBLE)
+                        * CAST(a.n + b.n - a.s - b.s AS DOUBLE))
+                     > 3.841458820694124
+                   END AS significant_95
+            FROM pv a JOIN pv b ON a.variant < b.variant
         """,
         "q169_trail_value_outliers": f"""
             WITH e AS ({_E}),

@@ -1299,3 +1299,30 @@ def test_cusum_changepoint_single_bucket_and_args(spark):
     assert r.rate_before_ppm_mille is None and r.rate_after_ppm_mille is None
     with pytest.raises(ValueError):
         analytics.cusum_changepoint(df, bucket_seconds=0)
+
+
+def test_ab_conversion_test_hand_computed(spark):
+    """A: 4 trails / 2 conversions, B: 4 / 1 -> diff = 2*4-1*4 = 4,
+    z2 = 16*8/(4*4*3*5) = 0.5333..., rates 500000/250000 ppm, not
+    significant. C/D pair has zero pooled conversions -> NULL z2."""
+    rows = []
+    for i in range(4):
+        rows += [(f"a{i}", "A", "view"), (f"b{i}", "B", "view")]
+    rows += [("a0", "A", "purchase"), ("a1", "A", "purchase"),
+             ("b0", "B", "purchase"),
+             ("c0", "C", "view"), ("d0", "D", "view")]
+    df = spark.createDataFrame(rows, "uuid string, variant string, event_type string")
+    out = {(r.variant_a, r.variant_b): r
+           for r in analytics.ab_conversion_test(df).collect()}
+    ab = out[("A", "B")]
+    assert (ab.n_a, ab.conv_a, ab.n_b, ab.conv_b) == (4, 2, 4, 1)
+    assert (ab.rate_a_ppm, ab.rate_b_ppm) == (500000, 250000)
+    assert abs(ab.z2 - 128.0 / 240.0) < 1e-15 and ab.significant_95 is False
+    cd = out[("C", "D")]
+    assert cd.z2 is None and cd.significant_95 is None
+    # an overwhelming split is significant: E 50/50 vs F 50/0
+    rows2 = [(f"e{i}", "E", "purchase") for i in range(50)]
+    rows2 += [(f"f{i}", "F", "view") for i in range(50)]
+    df2 = spark.createDataFrame(rows2, "uuid string, variant string, event_type string")
+    [ef] = analytics.ab_conversion_test(df2).collect()
+    assert ef.significant_95 is True and ef.z2 == 100.0

@@ -535,3 +535,42 @@ def test_perplexity_buckets_validates_args(spark):
     df = spark.createDataFrame([(1, "a", "s")], "doc_id long, text string, source string")
     with pytest.raises(ValueError):
         perplexity_buckets(df, n_buckets=0)
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    """Whole-bit DSIR weights vs an independent python mirror of the
+    binary-digit-count model, including the absent-from-target smoothing
+    (count-0 -> one binary digit) and negative weights for docs made of
+    target-rare terms."""
+    from traildb_spark.operators.curation import dsir_importance
+
+    raw_rows = [
+        (1, "cat cat"), (2, "dog"), (3, "cat dog bird"),
+        (4, "zed zed zed"), (5, ""),
+    ]
+    tgt_rows = [(10, "cat cat cat"), (11, "cat dog")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+
+    # python mirror
+    from collections import Counter
+    cr = Counter(w for _, t in raw_rows for w in t.split() if w)
+    ct = Counter(w for _, t in tgt_rows for w in t.split() if w)
+    tr, tt = sum(cr.values()), sum(ct.values())
+    bits_r = {w: len(bin(tr)[2:]) - len(bin(c)[2:]) for w, c in cr.items()}
+    bits_t = {w: len(bin(tt)[2:]) - len(bin(ct.get(w, 0))[2:] or "0")
+              for w in cr}
+    want = {}
+    for d, t in raw_rows:
+        ws = [w for w in t.split() if w]
+        wb = sum(bits_r[w] - bits_t[w] for w in ws)
+        n = len(ws)
+        milli = 0 if n == 0 else int(1000 * wb / n) if wb >= 0 else -(
+            (1000 * -wb) // n)
+        want[d] = (n, wb, milli)
+
+    got = {r.doc_id: (r.n_tokens, r.weight_bits, r.milliweight_per_token)
+           for r in dsir_importance(raw, tgt).collect()}
+    assert got == want
+    # the target-rare doc must score below the target-like doc
+    assert got[4][1] < got[1][1]

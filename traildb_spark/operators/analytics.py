@@ -2907,3 +2907,92 @@ def cusum_changepoint(
             ).alias("rate_after_ppm_mille"),
         )
     )
+
+
+def ab_conversion_test(
+    df: DataFrame,
+    variant_col: str = "variant",
+    target_value: str = "purchase",
+    key_col: str = "event_type",
+    uuid_col: str = UUID_COL,
+) -> DataFrame:
+    """Two-proportion z-test between every ordered pair of experiment
+    variants: per trail, converted = did any event carry
+    ``key_col = target_value``; per variant, (n trails, conversions);
+    per pair (a < b), the chi-square-equivalent z² statistic
+
+        z² = (s_a·n_b − s_b·n_a)² · N / (n_a·n_b·s·(N−s))
+
+    with s = s_a+s_b, N = n_a+n_b (the pooled two-proportion test
+    squared — algebraically rational, no sqrt). The DIFFERENCE term is
+    exact decimal(38,0); the final ratio is evaluated in double on
+    exact-integer inputs (each cast rounds-to-nearest identically in
+    any IEEE engine, and the multiplication order is fixed), because
+    the squared numerator exceeds decimal(38,0) at petabyte scale.
+    ``significant_95`` is z² > 3.841458820694124 (χ²₁ at α=0.05).
+    Degenerate pools (s = 0 or s = N) report NULL z².
+
+    Per-variant rates are exact ppm (truncating div). A trail's variant
+    is its MINIMUM observed variant value — assignment is expected
+    constant per trail; min makes mixed assignments deterministic
+    rather than partition-dependent.
+
+    Plan shape: one uuid-keyed aggregate (map-side combined), then a
+    variant-lexicon-sized table self-joined a < b — metadata-scale
+    after the first shuffle.
+    """
+    per_trail = (
+        df.select(
+            F.col(uuid_col).alias("uuid"),
+            F.col(variant_col).alias("variant"),
+            (F.col(key_col) == F.lit(target_value)).cast("long").alias("conv"),
+        )
+        .groupBy("uuid")
+        .agg(F.min("variant").alias("variant"), F.max("conv").alias("conv"))
+    )
+    per_variant = per_trail.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("s")
+    )
+    a = per_variant.select(
+        F.col("variant").alias("variant_a"),
+        F.col("n").alias("n_a"),
+        F.col("s").alias("conv_a"),
+    )
+    b = per_variant.select(
+        F.col("variant").alias("variant_b"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("conv_b"),
+    )
+    dec = "decimal(38,0)"
+    pairs = a.join(b, F.col("variant_a") < F.col("variant_b"))
+    diff = (
+        F.col("conv_a").cast(dec) * F.col("n_b").cast(dec)
+        - F.col("conv_b").cast(dec) * F.col("n_a").cast(dec)
+    )
+    s = F.col("conv_a") + F.col("conv_b")
+    n_tot = F.col("n_a") + F.col("n_b")
+    # fixed evaluation order: ((dd*dd)*N) / (((n_a*n_b)*s)*(N-s))
+    z2 = (
+        (diff.cast("double") * diff.cast("double") * n_tot.cast("double"))
+        / (
+            F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+            * s.cast("double")
+            * (n_tot - s).cast("double")
+        )
+    )
+    z2 = F.when((s > 0) & (s < n_tot), z2)
+    return pairs.select(
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("1000000 * conv_a div n_a").alias("rate_a_ppm"),
+        F.expr("1000000 * conv_b div n_b").alias("rate_b_ppm"),
+        z2.alias("z2"),
+        F.when(z2.isNotNull(), z2 > F.lit(3.841458820694124)).alias(
+            "significant_95"
+        ),
+    )

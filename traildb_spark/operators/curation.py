@@ -1025,3 +1025,80 @@ def perplexity_buckets(
             label.alias("ppl_bucket"),
         )
     )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169) with the unigram bag-of-words feature model: score
+    every raw document by the log importance weight of the target
+    distribution over the raw distribution,
+
+        log w(doc) = sum_tokens [ log p_target(term) - log p_raw(term) ]
+
+    integerized to WHOLE BITS via binary-digit counts (the
+    :func:`..text.unigram_surprisal` discipline): ``bits_X(term) =
+    len(bin(total_X)) - len(bin(count_X(term)))``, so ``weight_bits =
+    sum tf * (bits_raw - bits_target)`` is exact integer arithmetic and
+    bit-reproducible in any engine. Terms absent from the target count
+    as ``len(bin(total_t)) - 1`` target bits (the count-0 binary has one
+    digit — an implicit ceiling smoothing; absent-from-target terms
+    drag the weight down, as DSIR intends). Positive weights = more
+    target-like; select by ``weight_bits`` (or the per-token
+    ``milliweight_per_token``) descending.
+
+    Plan shape at 100 TB: term frequencies combine map-side on
+    (doc, term); both unigram models are vocabulary-scale aggregates,
+    outer-merged on term and broadcast with the two 1-row totals; the
+    raw tf table joins the broadcast vocab once and re-shuffles only
+    onto doc for the final sum. The target corpus is scanned once,
+    never joined row-wise against raw.
+    """
+    from .text import tokens as _tokens
+
+    t_raw = raw.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = t_raw.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab_r = tf.groupBy("term").agg(F.sum("tf").alias("cnt_r"))
+    t_tgt = target.select(F.explode(_tokens(F.col(text_col))).alias("term"))
+    vocab_t = t_tgt.groupBy("term").agg(F.count(F.lit(1)).alias("cnt_t"))
+    # raw-vocab-keyed left join: target-only terms can't appear in any
+    # raw doc, so the model table only needs raw's vocabulary
+    vocab = vocab_r.join(vocab_t, "term", "left").withColumn(
+        "cnt_t", F.coalesce("cnt_t", F.lit(0))
+    )
+    tot_r = vocab.agg(F.sum("cnt_r").alias("total_r"))
+    tot_t = F.broadcast(t_tgt.groupBy().agg(F.count(F.lit(1)).alias("total_t")))
+    bits_r = F.length(F.bin(F.col("total_r"))) - F.length(F.bin(F.col("cnt_r")))
+    bits_t = F.length(F.bin(F.col("total_t"))) - F.length(F.bin(F.col("cnt_t")))
+    scored = (
+        tf.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(tot_t)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * (bits_r - bits_t)).alias("weight_bits"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("weight_bits"), F.lit(0)).alias("weight_bits"),
+            # Spark div truncates toward zero on negatives (DuckDB //
+            # floors — the oracle sign-factors to match)
+            F.expr(
+                "CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0 "
+                "ELSE 1000 * weight_bits div n_tokens END"
+            ).alias("milliweight_per_token"),
+        )
+    )
