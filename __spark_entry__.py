@@ -2522,6 +2522,25 @@ def q173_ab_conversion(spark, sf_dir):
     )
 
 
+
+def q174_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency slope per source: exact whole-bit OLS of
+    log2(freq) on log2(rank) over each source's term table — corpus-
+    health signal (natural text fits slope ~ -1)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.zipf_slope(docs)
+
+
+def q175_pagerank(spark, sf_dir):
+    """PageRank over the event-transition graph (Q12 fixed-point, 10
+    iterations, dangling mass dropped): behavior-flow centrality of
+    each event type, bit-reproducible across engines."""
+    ev = _events(spark, sf_dir)
+    return analytics.pagerank_transitions(
+        ev, "event_type", "uuid", "time", "event_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2700,6 +2719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_perplexity_buckets": q171_perplexity_buckets,
         "q172_dsir_importance": q172_dsir_importance,
         "q173_ab_conversion": q173_ab_conversion,
+        "q174_zipf_slope": q174_zipf_slope,
+        "q175_pagerank": q175_pagerank,
     }
 
 
@@ -3926,6 +3947,184 @@ def oracle_sql() -> dict[str, str]:
                      > 3.841458820694124
                    END AS significant_95
             FROM pv a JOIN pv b ON a.variant < b.variant
+        """,
+        # exact whole-bit Zipf OLS; rank = row_number(freq desc, term)
+        "q174_zipf_slope": f"""
+            WITH t AS (
+              SELECT source AS grp, unnest({_TOKENS}) AS term
+              FROM documents),
+            tf AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS freq
+                   FROM t GROUP BY 1, 2),
+            rk AS (
+              SELECT grp, freq,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY grp ORDER BY freq DESC, term) AS BIGINT)
+                       AS rank
+              FROM tf),
+            m AS (
+              SELECT grp,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(length(bin(rank))) AS HUGEINT) AS sx,
+                     CAST(sum(length(bin(freq))) AS HUGEINT) AS sy,
+                     CAST(sum(CAST(length(bin(rank)) AS HUGEINT)
+                              * length(bin(freq))) AS HUGEINT) AS sxy,
+                     CAST(sum(CAST(length(bin(rank)) AS HUGEINT)
+                              * length(bin(rank))) AS HUGEINT) AS sxx
+              FROM rk GROUP BY grp)
+            SELECT grp AS source, CAST(n AS BIGINT) AS n_terms,
+                   CASE WHEN n * sxx - sx * sx > 0
+                        THEN CAST(n * sxy - sx * sy AS BIGINT) END
+                     AS slope_num,
+                   CASE WHEN n * sxx - sx * sx > 0
+                        THEN CAST(n * sxx - sx * sx AS BIGINT) END
+                     AS slope_den,
+                   CASE WHEN n * sxx - sx * sx > 0 THEN
+                     CASE WHEN n * sxy - sx * sy >= 0
+                          THEN CAST(((n * sxy - sx * sy) * 1000000)
+                                    // (n * sxx - sx * sx) AS BIGINT)
+                          ELSE -CAST(((sx * sy - n * sxy) * 1000000)
+                                     // (n * sxx - sx * sx) AS BIGINT)
+                     END END AS slope_ppm
+            FROM m
+        """,
+        # Q12 fixed-point PageRank, 10 unrolled iterations mirroring the
+        # operator's integer recurrence (per-edge truncating div on
+        # non-negative operands -> // == div)
+        "q175_pagerank": f"""
+            WITH l AS (
+              SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY uuid
+                                           ORDER BY "time", event_id) AS prev
+              FROM ({_E})),
+            edges AS (
+              SELECT prev AS src, event_type AS dst,
+                     CAST(COUNT(*) AS HUGEINT) AS w
+              FROM l WHERE prev IS NOT NULL GROUP BY 1, 2),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)),
+            cnt AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(1000000000000 AS HUGEINT) // count(*) AS r0,
+                     15 * CAST(1000000000000 AS HUGEINT)
+                       // (100 * count(*)) AS b
+              FROM nodes),
+            outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY src),
+            it0 AS (SELECT node, (SELECT r0 FROM cnt) AS r FROM nodes),
+            it1 AS (
+              SELECT n.node,
+                     (SELECT b FROM cnt)
+                     + 85 * COALESCE(c.contrib, 0) // 100 AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((p.r * e.w) // o.tw) AS contrib
+                FROM it0 p
+                JOIN edges e ON e.src = p.node
+                JOIN outw o ON o.src = p.node
+                GROUP BY e.dst) c ON c.node = n.node),
+            it2 AS (
+              SELECT n.node,
+                     (SELECT b FROM cnt)
+                     + 85 * COALESCE(c.contrib, 0) // 100 AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((p.r * e.w) // o.tw) AS contrib
+                FROM it1 p
+                JOIN edges e ON e.src = p.node
+                JOIN outw o ON o.src = p.node
+                GROUP BY e.dst) c ON c.node = n.node),
+            it3 AS (
+              SELECT n.node,
+                     (SELECT b FROM cnt)
+                     + 85 * COALESCE(c.contrib, 0) // 100 AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((p.r * e.w) // o.tw) AS contrib
+                FROM it2 p
+                JOIN edges e ON e.src = p.node
+                JOIN outw o ON o.src = p.node
+                GROUP BY e.dst) c ON c.node = n.node),
+            it4 AS (
+              SELECT n.node,
+                     (SELECT b FROM cnt)
+                     + 85 * COALESCE(c.contrib, 0) // 100 AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((p.r * e.w) // o.tw) AS contrib
+                FROM it3 p
+                JOIN edges e ON e.src = p.node
+                JOIN outw o ON o.src = p.node
+                GROUP BY e.dst) c ON c.node = n.node),
+            it5 AS (
+              SELECT n.node,
+                     (SELECT b FROM cnt)
+                     + 85 * COALESCE(c.contrib, 0) // 100 AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((p.r * e.w) // o.tw) AS contrib
+                FROM it4 p
+                JOIN edges e ON e.src = p.node
+                JOIN outw o ON o.src = p.node
+                GROUP BY e.dst) c ON c.node = n.node),
+            it6 AS (
+              SELECT n.node,
+                     (SELECT b FROM cnt)
+                     + 85 * COALESCE(c.contrib, 0) // 100 AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((p.r * e.w) // o.tw) AS contrib
+                FROM it5 p
+                JOIN edges e ON e.src = p.node
+                JOIN outw o ON o.src = p.node
+                GROUP BY e.dst) c ON c.node = n.node),
+            it7 AS (
+              SELECT n.node,
+                     (SELECT b FROM cnt)
+                     + 85 * COALESCE(c.contrib, 0) // 100 AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((p.r * e.w) // o.tw) AS contrib
+                FROM it6 p
+                JOIN edges e ON e.src = p.node
+                JOIN outw o ON o.src = p.node
+                GROUP BY e.dst) c ON c.node = n.node),
+            it8 AS (
+              SELECT n.node,
+                     (SELECT b FROM cnt)
+                     + 85 * COALESCE(c.contrib, 0) // 100 AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((p.r * e.w) // o.tw) AS contrib
+                FROM it7 p
+                JOIN edges e ON e.src = p.node
+                JOIN outw o ON o.src = p.node
+                GROUP BY e.dst) c ON c.node = n.node),
+            it9 AS (
+              SELECT n.node,
+                     (SELECT b FROM cnt)
+                     + 85 * COALESCE(c.contrib, 0) // 100 AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((p.r * e.w) // o.tw) AS contrib
+                FROM it8 p
+                JOIN edges e ON e.src = p.node
+                JOIN outw o ON o.src = p.node
+                GROUP BY e.dst) c ON c.node = n.node),
+            it10 AS (
+              SELECT n.node,
+                     (SELECT b FROM cnt)
+                     + 85 * COALESCE(c.contrib, 0) // 100 AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((p.r * e.w) // o.tw) AS contrib
+                FROM it9 p
+                JOIN edges e ON e.src = p.node
+                JOIN outw o ON o.src = p.node
+                GROUP BY e.dst) c ON c.node = n.node)
+            SELECT node AS event_type, CAST(r AS BIGINT) AS rank_q12,
+                   CAST((SELECT n FROM cnt) AS BIGINT) AS n_nodes
+            FROM it10
         """,
         "q169_trail_value_outliers": f"""
             WITH e AS ({_E}),

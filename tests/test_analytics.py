@@ -1326,3 +1326,48 @@ def test_ab_conversion_test_hand_computed(spark):
     df2 = spark.createDataFrame(rows2, "uuid string, variant string, event_type string")
     [ef] = analytics.ab_conversion_test(df2).collect()
     assert ef.significant_95 is True and ef.z2 == 100.0
+
+
+def test_pagerank_transitions_hand_computed(spark):
+    """Two-node cycle a->b->a (one trail 'a b a b'): symmetric graph ->
+    both ranks equal base + 85% of the other's full rank; 1 iteration
+    from r0 = SCALE/2 gives each 75000000000 + 425000000000 =
+    500000000000 (mass conserved, no dangling). A sink variant
+    'x -> y' (trail 'x y'): y never redistributes, so total mass
+    decays; hand-roll the same integer recurrence in python and
+    compare bit-for-bit over 10 iterations."""
+    from traildb_spark.operators.analytics import (
+        PAGERANK_SCALE, pagerank_transitions,
+    )
+
+    cyc = [("u", t, v) for t, v in enumerate(["a", "b", "a", "b"])]
+    df = spark.createDataFrame(cyc, "uuid string, time long, event_type string")
+    got = {r.event_type: r.rank_q12
+           for r in pagerank_transitions(df, iterations=1).collect()}
+    base = 15 * PAGERANK_SCALE // (100 * 2)
+    each = base + 85 * (PAGERANK_SCALE // 2) // 100
+    assert got == {"a": each, "b": each}
+
+    sink = [("u", 0, "x"), ("u", 1, "y")]
+    df2 = spark.createDataFrame(sink, "uuid string, time long, event_type string")
+    got2 = {r.event_type: r.rank_q12
+            for r in pagerank_transitions(df2, iterations=10).collect()}
+    # python mirror: edges {(x,y):1}, outw x=1, y dangling
+    r = {"x": PAGERANK_SCALE // 2, "y": PAGERANK_SCALE // 2}
+    b2 = 15 * PAGERANK_SCALE // 200
+    for _ in range(10):
+        c = {"x": 0, "y": r["x"] * 1 // 1}
+        r = {v: b2 + 85 * c[v] // 100 for v in ("x", "y")}
+    assert got2 == r and got2["y"] > got2["x"]
+
+
+def test_pagerank_transitions_validates_args(spark):
+    import pytest
+    df = spark.createDataFrame(
+        [("u", 0, "a"), ("u", 1, "b")], "uuid string, time long, event_type string")
+    with pytest.raises(ValueError):
+        analytics.pagerank_transitions(df, damping_pct=101)
+    with pytest.raises(ValueError):
+        analytics.pagerank_transitions(df, iterations=0)
+    with pytest.raises(ValueError):
+        analytics.pagerank_transitions(df, max_nodes=1)

@@ -1743,3 +1743,22 @@ def test_ngram_coverage_empty_probe_is_null(spark):
     probe = train.filter("doc_id < 0")
     r = text.ngram_coverage(train, probe, n=2).collect()[0]
     assert (r.probe_grams, r.covered_grams, r.coverage_ppm) == (0, 0, None)
+
+
+def test_zipf_slope_hand_computed(spark):
+    """Frequencies 8,4,2,1 -> ranks 1..4: x = bits(rank) = 1,2,2,3,
+    y = bits(freq) = 4,3,2,1. n=4, Sx=8, Sy=10, Sxy=17, Sxx=18 ->
+    num = 4*17-80 = -12, den = 4*18-64 = 8, slope = -1.5 ->
+    slope_ppm = -1500000. A 1-term vocabulary has zero x-variance ->
+    NULL slope."""
+    from traildb_spark.operators.text import zipf_slope
+
+    doc = " ".join(["w1"] * 8 + ["w2"] * 4 + ["w3"] * 2 + ["w4"])
+    df = spark.createDataFrame(
+        [(1, doc, "A"), (2, "only only", "B")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: (r.n_terms, r.slope_num, r.slope_den, r.slope_ppm)
+           for r in zipf_slope(df).collect()}
+    assert got["A"] == (4, -12, 8, -1500000)
+    assert got["B"] == (1, None, None, None)

@@ -2996,3 +2996,82 @@ def ab_conversion_test(
             "significant_95"
         ),
     )
+
+
+PAGERANK_SCALE = 10**12
+
+
+def pagerank_transitions(
+    df: DataFrame,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+    damping_pct: int = 85,
+    iterations: int = 10,
+    max_nodes: int = 10_000,
+) -> DataFrame:
+    """PageRank over the event-transition graph: nodes are the field's
+    lexicon values, edge weights the within-trail adjacent-transition
+    counts (:func:`transition_counts`), giving a global "which states
+    does behavior flow through" importance score — the graph-centrality
+    complement to `transition_entropy`'s local predictability.
+
+    Fixed-point exact integers (Q12 on ``PAGERANK_SCALE`` = 10^12) with
+    a FIXED iteration count, so the result is bit-reproducible in any
+    engine — float PageRank is partitioning-dependent::
+
+        base     = (100 - d) * SCALE div (100 * n)
+        contrib(v) = sum_u  (r(u) * w(u,v)) div W(u)     [per-edge div]
+        r'(v)    = base + d * contrib(v) div 100
+
+    Dangling nodes (no out-edges — e.g. a value only ever observed as a
+    trail's last event) keep receiving rank but redistribute none; the
+    total mass therefore decays below SCALE, which is the standard
+    "dangling mass dropped" PageRank variant and is documented here
+    rather than silently renormalized.
+
+    Scale posture: the GRAPH is lexicon-sized (≤ max_nodes nodes,
+    lexicon² edges) — the one deliberate driver-side structure in this
+    module, same contract as `trails.trail_vectors`: the event-scale
+    work (one uuid shuffle + lexicon²-keyed count) happens in Spark;
+    the iteration runs on the collected matrix in exact python ints
+    (arbitrary precision, no overflow); ``max_nodes`` refuses rather
+    than silently collecting an unbounded value domain.
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(
+            f"pagerank_transitions: damping_pct in [0,100], got {damping_pct}"
+        )
+    if iterations < 1:
+        raise ValueError(
+            f"pagerank_transitions: iterations must be >= 1, got {iterations}"
+        )
+    edges = transition_counts(df, field, uuid_col, time_col, *tiebreak).collect()
+    nodes = sorted({r.src for r in edges} | {r.dst for r in edges})
+    if len(nodes) > max_nodes:
+        raise ValueError(
+            f"pagerank_transitions: {len(nodes)} nodes exceeds max_nodes="
+            f"{max_nodes}; raise the cap only if a lexicon-sized driver "
+            "matrix is acceptable"
+        )
+    spark = df.sparkSession
+    if not nodes:
+        return spark.createDataFrame(
+            [], f"{field} string, rank_q12 long, n_nodes long"
+        )
+    n = len(nodes)
+    outw: dict[str, int] = {}
+    for r in edges:
+        outw[r.src] = outw.get(r.src, 0) + r.freq
+    rank = {v: PAGERANK_SCALE // n for v in nodes}
+    base = (100 - damping_pct) * PAGERANK_SCALE // (100 * n)
+    for _ in range(iterations):
+        contrib = {v: 0 for v in nodes}
+        for e in edges:
+            contrib[e.dst] += rank[e.src] * e.freq // outw[e.src]
+        rank = {v: base + damping_pct * contrib[v] // 100 for v in nodes}
+    return spark.createDataFrame(
+        [(v, rank[v], n) for v in nodes],
+        f"{field} string, rank_q12 long, n_nodes long",
+    )

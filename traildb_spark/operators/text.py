@@ -1539,3 +1539,72 @@ def hash_embedding(
         df.select(F.col(id_col), vec_udf(F.col(text_col)).alias("vector"))
         .filter(F.col("vector").isNotNull())
     )
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Zipf rank-frequency slope per group: OLS of log2(frequency) on
+    log2(rank) over the group's term table — natural corpora fit slope
+    ≈ −1 (Zipf's law); templated/synthetic/degenerate corpora flatten
+    or steepen, making the slope a corpus-health signal next to
+    :func:`vocab_growth`'s Heaps curve.
+
+    Both logs are integerized to WHOLE BITS (``len(bin(x))`` — the
+    :func:`unigram_surprisal` discipline), so the regression is exact
+    integer arithmetic: ``slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)``
+    reported as ``slope_num``/``slope_den`` plus sign-factored
+    ``slope_ppm`` (truncating division on non-negative operands — Spark
+    div and DuckDB // agree). NULL slope when every rank has the same
+    bit length (degenerate x variance, e.g. a 1-term vocabulary).
+
+    Plan shape: (group, term) frequencies combine map-side; ranking is
+    a window over the GROUP's vocabulary (vocab-scale rows, never
+    doc-scale — the same posture as `top_terms`); the OLS moments are
+    one further vocab-scale aggregate. Ranks tie-break by term so the
+    ranking, and therefore the slope, is deterministic.
+    """
+    t = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = t.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("grp").orderBy(F.col("freq").desc(), F.col("term"))
+    ranked = tf.withColumn("rank", F.row_number().over(w))
+    x = F.length(F.bin(F.col("rank")))
+    y = F.length(F.bin(F.col("freq")))
+    dec = "decimal(38,0)"
+    m = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+    )
+    num = (
+        F.col("n_terms").cast(dec) * F.col("sxy")
+        - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    )
+    den = (
+        F.col("n_terms").cast(dec) * F.col("sxx")
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    )
+    return (
+        m.withColumn("__num", num)
+        .withColumn("__den", den)
+        .select(
+            F.col("grp").alias(group_col),
+            "n_terms",
+            F.when(F.col("__den") > 0, num.cast("long")).alias("slope_num"),
+            F.when(F.col("__den") > 0, den.cast("long")).alias("slope_den"),
+            # sign-factored truncating div on exact decimals (Spark div
+            # truncates; the oracle mirrors with DuckDB // on positives)
+            F.when(
+                F.col("__den") > 0,
+                F.when(
+                    F.col("__num") >= 0,
+                    F.expr("(__num * 1000000) div __den"),
+                ).otherwise(-F.expr("((-__num) * 1000000) div __den")),
+            ).alias("slope_ppm"),
+        )
+    )
