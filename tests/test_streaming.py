@@ -1188,3 +1188,49 @@ def test_streaming_diurnal_from_histogram_state(spark, sf_dir, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         analytics.diurnal_from_counts(live, bucket_seconds=7000)
+
+
+def test_streaming_cusum_from_histogram_state(spark, sf_dir, tmp_path):
+    """Fifth leg of the monitoring family: cusum_from_counts over an
+    HOURLY streaming histogram == batch cusum_changepoint (identical
+    columns: exact-integer argmax, earliest ties, split rates)."""
+    from traildb_spark.functions.core import ts_seconds
+    from traildb_spark.operators import analytics
+    from traildb_spark.streaming.ingest import (
+        histogram_current,
+        streaming_histogram,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        F.col("event_type").cast("string").alias("event_type"),
+        ts_seconds(raw).alias("time"),
+    )
+    path = str(tmp_path / "cusum_src")
+    ev.repartition(3).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out, ckpt = str(tmp_path / "cu_out"), str(tmp_path / "cu_ckpt")
+    q = streaming_histogram(
+        stream, out, ckpt, key_col="event_type", value_col="time",
+        bin_width=3600.0,
+    )
+    q.awaitTermination(120)
+    live = histogram_current(spark, out, ckpt).select(
+        "key", F.col("bin").alias("b"), F.col("cnt").alias("y")
+    )
+    cols = ("n_buckets", "n_events", "cp_bucket", "cp_index", "cusum_stat",
+            "rate_before_ppm_mille", "rate_after_ppm_mille")
+    streamed = {
+        r["key"]: tuple(r[c] for c in cols)
+        for r in analytics.cusum_from_counts(live).collect()
+    }
+    batch = {
+        r["key"]: tuple(r[c] for c in cols)
+        for r in analytics.cusum_changepoint(ev).collect()
+    }
+    assert streamed == batch and len(batch) > 0

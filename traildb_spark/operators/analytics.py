@@ -2851,6 +2851,17 @@ def cusum_changepoint(
         .groupBy("key", "b")
         .agg(F.count(F.lit(1)).alias("y"))
     )
+    return cusum_from_counts(per)
+
+
+def cusum_from_counts(per: DataFrame) -> DataFrame:
+    """:func:`cusum_changepoint` applied to a PREBUILT per-(key, bucket)
+    count table ``(key, b, y)`` — point it at
+    `streaming.ingest.histogram_current` state and the exact batch
+    changepoint semantics run against histogram-sized state with zero
+    event rescans; the fifth leg of the streaming monitoring family
+    (drift, anomalies, trend, rhythm, level shift). Identical math and
+    columns as the batch form (parity-tested)."""
     rng = F.broadcast(per.agg(F.min("b").alias("lo"), F.max("b").alias("hi")))
     w = Window.partitionBy("key").orderBy("b")
     cum = (
