@@ -2541,6 +2541,32 @@ def q175_pagerank(spark, sf_dir):
     )
 
 
+
+def q176_langid_confusion(spark, sf_dir):
+    """Language-ID evaluation: confusion matrix of the stopword-overlap
+    detector against the labeled lang column — off-table languages
+    surface as 'und', the honest dashboard failure mode."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.langid_confusion(docs)
+
+
+def q177_rfm_segments(spark, sf_dir):
+    """RFM segmentation: exact-quintile recency/frequency/monetary
+    scores per trail (two-phase ranks, integer cents) concatenated into
+    the classic three-digit segment label."""
+    ev = _events(spark, sf_dir).select("uuid", "time", "value")
+    return analytics.rfm_segments(ev, t_ref=TIME_HI)
+
+
+
+def q178_dedup_sentences(spark, sf_dir):
+    """Intra-document sentence dedup (web-pipeline line-dedup step):
+    first-occurrence filter inside the sentence array, exact removal
+    ppm, text rebuilt — zero shuffles, rows never dropped."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.dedup_sentences(docs)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2721,6 +2747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_ab_conversion": q173_ab_conversion,
         "q174_zipf_slope": q174_zipf_slope,
         "q175_pagerank": q175_pagerank,
+        "q176_langid_confusion": q176_langid_confusion,
+        "q177_rfm_segments": q177_rfm_segments,
+        "q178_dedup_sentences": q178_dedup_sentences,
     }
 
 
@@ -4125,6 +4154,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS event_type, CAST(r AS BIGINT) AS rank_q12,
                    CAST((SELECT n FROM cnt) AS BIGINT) AS n_nodes
             FROM it10
+        """,
+        # q32's stopword-overlap CASE reused against the label column
+        "q176_langid_confusion": f"""
+            SELECT lang_actual, lang_detected,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   lang_actual = lang_detected AS is_match
+            FROM (SELECT lang AS lang_actual, {lang_case} AS lang_detected
+                  FROM documents)
+            GROUP BY 1, 2
+        """,
+        # exact quintiles: 5 - (rank-1)*5 // n, rank desc ties by uuid
+        "q177_rfm_segments": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT uuid, max("time") AS last_time,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS monetary_cents
+              FROM e GROUP BY uuid),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM per),
+            rk AS (
+              SELECT *,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY last_time DESC, uuid) AS BIGINT) AS rr,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY n_events DESC, uuid) AS BIGINT) AS rf,
+                     CAST(ROW_NUMBER() OVER (
+                       ORDER BY monetary_cents DESC, uuid) AS BIGINT) AS rm
+              FROM per)
+            SELECT uuid, {TIME_HI} - last_time AS recency_seconds,
+                   n_events, monetary_cents,
+                   5 - (rr - 1) * 5 // nn AS r_score,
+                   5 - (rf - 1) * 5 // nn AS f_score,
+                   5 - (rm - 1) * 5 // nn AS m_score,
+                   CAST(5 - (rr - 1) * 5 // nn AS VARCHAR)
+                   || CAST(5 - (rf - 1) * 5 // nn AS VARCHAR)
+                   || CAST(5 - (rm - 1) * 5 // nn AS VARCHAR) AS segment
+            FROM rk CROSS JOIN n
+        """,
+        # first-occurrence sentence filter by list_position, q129's
+        # segmentation
+        "q178_dedup_sentences": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter([trim(x) for x in
+                                  string_split_regex({_NORM_TEXT}, '[.!?]+')],
+                                 x -> x <> '') AS ss
+              FROM documents),
+            u AS (
+              SELECT doc_id, ss,
+                     [ss[i] for i in generate_series(1, len(ss))
+                      if list_position(ss, ss[i]) = i] AS uu
+              FROM s)
+            SELECT doc_id,
+                   CAST(len(ss) AS BIGINT) AS n_sentences,
+                   CAST(len(uu) AS BIGINT) AS n_unique,
+                   CAST(CASE WHEN len(ss) = 0 THEN 0 ELSE
+                     1000000 * (len(ss) - len(uu)) // len(ss) END AS BIGINT)
+                     AS removed_ppm,
+                   array_to_string(uu, '. ') AS text_deduped
+            FROM u
         """,
         "q169_trail_value_outliers": f"""
             WITH e AS ({_E}),

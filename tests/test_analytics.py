@@ -1371,3 +1371,25 @@ def test_pagerank_transitions_validates_args(spark):
         analytics.pagerank_transitions(df, iterations=0)
     with pytest.raises(ValueError):
         analytics.pagerank_transitions(df, max_nodes=1)
+
+
+def test_rfm_segments_hand_computed(spark):
+    """5 trails with strictly ordered recency/frequency/monetary in the
+    SAME order -> scores 5,4,3,2,1 on every axis; segments '555'..'111'.
+    Quintiles: rank r of 5 -> 5 - (r-1)*5 div 5 = 6 - r."""
+    rows = []
+    for i in range(5):  # trail u{i}: last event at 1000*(5-i), i+1 extra events
+        u = f"u{i}"
+        rows.append((u, 1000 * (5 - i), 10.0 * (5 - i)))
+        for j in range(4 - i):
+            rows.append((u, 10 + j, 0.0))
+    df = spark.createDataFrame(rows, "uuid string, time long, value double")
+    out = {r.uuid: r for r in analytics.rfm_segments(df, t_ref=10000).collect()}
+    for i in range(5):
+        r = out[f"u{i}"]
+        want = 5 - i
+        assert (r.r_score, r.f_score, r.m_score) == (want, want, want), r
+        assert r.segment == f"{want}{want}{want}"
+        assert r.recency_seconds == 10000 - 1000 * (5 - i)
+        assert r.n_events == 5 - i
+        assert r.monetary_cents == 1000 * (5 - i)

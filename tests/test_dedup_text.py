@@ -1762,3 +1762,46 @@ def test_zipf_slope_hand_computed(spark):
            for r in zipf_slope(df).collect()}
     assert got["A"] == (4, -12, 8, -1500000)
     assert got["B"] == (1, None, None, None)
+
+
+def test_langid_confusion_hand_computed(spark):
+    """Stopword-overlap detector vs labels: en text labeled en -> match
+    cell; de text labeled en -> off-diagonal; zh (no marker table) ->
+    'und' column; counts aggregate per cell."""
+    from traildb_spark.operators.text import langid_confusion
+
+    rows = [
+        (1, "the cat and the dog", "en"),
+        (2, "the mouse and the cat", "en"),
+        (3, "der hund und die katze", "en"),   # mislabeled: detector says de
+        (4, "der die das und", "de"),
+        (5, "你好 世界", "zh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {(r.lang_actual, r.lang_detected): (r.n_docs, r.is_match)
+           for r in langid_confusion(df).collect()}
+    assert got == {
+        ("en", "en"): (2, True),
+        ("en", "de"): (1, False),
+        ("de", "de"): (1, True),
+        ("zh", "und"): (1, False),
+    }
+
+
+def test_dedup_sentences_hand_computed(spark):
+    """'buy now. great page. buy now. the end' -> first occurrences
+    kept in order, 1 of 4 removed (250000 ppm); a no-sentence doc
+    survives with zeros; dedup never drops rows."""
+    from traildb_spark.operators.text import dedup_sentences
+
+    rows = [
+        (1, "Buy now. Great page! Buy now? The end."),
+        (2, "..."),
+        (3, "same. same. same."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_sentences, r.n_unique, r.removed_ppm, r.text_deduped)
+           for r in dedup_sentences(df).collect()}
+    assert got[1] == (4, 3, 250000, "buy now. great page. the end")
+    assert got[2] == (0, 0, 0, "")
+    assert got[3] == (3, 1, 666666, "same")

@@ -3086,3 +3086,81 @@ def pagerank_transitions(
         [(v, rank[v], n) for v in nodes],
         f"{field} string, rank_q12 long, n_nodes long",
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    t_ref: int,
+    value_col: str = "value",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """RFM segmentation: per trail, Recency (seconds from last event to
+    ``t_ref``), Frequency (event count) and Monetary (sum of the value
+    column in cents — one IEEE round per event, both engines agree),
+    each scored into exact quintiles (5 = best: most recent / most
+    frequent / highest spend) and concatenated into the classic
+    three-digit segment label ('555' = champions, '111' = lost).
+
+    Quintile scores are exact integer arithmetic — ``5 − (rank−1)·5 div
+    n`` with rank 1 = best, ties broken by uuid — so segmentation is
+    bit-reproducible and insensitive to partitioning.
+
+    Scale: the per-trail table is one uuid-keyed aggregate (map-side
+    combined); each of the three rankings uses the
+    `curriculum_order` two-phase range-partition construction rather
+    than a global window sort, so no single reducer ever sees all
+    trails. Three rankings = three passes over the TRAILS-scale table
+    (not the event table).
+    """
+    from .curation import curriculum_order
+
+    per = (
+        df.select(
+            F.col(uuid_col).alias("uuid"),
+            F.col(time_col).alias("t"),
+            F.expr(f"CAST(round({value_col} * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("uuid")
+        .agg(
+            F.max("t").alias("last_time"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("monetary_cents"),
+        )
+        .withColumn("recency_seconds", F.lit(int(t_ref)) - F.col("last_time"))
+        .withColumn("__g", F.lit(""))
+    )
+    n_trails = F.broadcast(per.groupBy().agg(F.count(F.lit(1)).alias("__n")))
+    # rank DESC on last_time (recent first), n_events, monetary_cents
+    scored = per.select(
+        "uuid", "last_time", "n_events", "monetary_cents", "recency_seconds"
+    )
+    for col, out in (
+        ("last_time", "r_score"),
+        ("n_events", "f_score"),
+        ("monetary_cents", "m_score"),
+    ):
+        s = curriculum_order(per, col, group_col="__g", id_col="uuid").select(
+            "uuid", F.col("rank_in_group").alias(f"__rk_{out}")
+        )
+        scored = scored.join(s, "uuid")
+    return (
+        scored.crossJoin(n_trails)
+        .select(
+            "uuid",
+            "recency_seconds",
+            "n_events",
+            "monetary_cents",
+            F.expr("5 - (__rk_r_score - 1) * 5 div __n").alias("r_score"),
+            F.expr("5 - (__rk_f_score - 1) * 5 div __n").alias("f_score"),
+            F.expr("5 - (__rk_m_score - 1) * 5 div __n").alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
+    )

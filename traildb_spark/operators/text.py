@@ -1608,3 +1608,78 @@ def zipf_slope(
             ).alias("slope_ppm"),
         )
     )
+
+
+def langid_confusion(
+    df: DataFrame, text_col: str = "text", label_col: str = "lang"
+) -> DataFrame:
+    """Confusion matrix of the n-gram language detector against labeled
+    ground truth — the evaluation harness for :func:`detect_language`:
+    per (actual, predicted) cell, document count and an exact per-cell
+    accuracy flag. Languages outside the detector's stopword tables
+    (predicted 'und') surface as their own column value, which is the
+    honest failure mode a quality dashboard needs to see.
+
+    One scan, one (label × prediction)-keyed aggregate — lexicon²
+    output, map-side combined.
+    """
+    return (
+        df.select(
+            F.col(label_col).alias("lang_actual"),
+            detect_language(F.col(text_col)).alias("lang_detected"),
+        )
+        .groupBy("lang_actual", "lang_detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "is_match", F.col("lang_actual") == F.col("lang_detected")
+        )
+    )
+
+
+def dedup_sentences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document sentence deduplication — the within-page line
+    dedup step of web-corpus pipelines (repeated nav/footer/CTA lines
+    inside one page), distinct from corpus-level
+    :func:`remove_boilerplate` (lines repeated ACROSS documents):
+    keep each document's FIRST occurrence of every sentence (the
+    :func:`split_sentences` segmentation), rebuild the text, and report
+    exact removal stats.
+
+    Returns ``(doc_id, n_sentences, n_unique, removed_ppm,
+    text_deduped)`` with sentences re-joined by '. '. Documents with no
+    sentences survive with empty text and zero counts — dedup must
+    never drop rows.
+
+    Plan shape: pure narrow map (split + array ops per row) — zero
+    shuffles, no explode; the dedup is first-occurrence filtering
+    INSIDE the sentence array, so nothing row-multiplies.
+    """
+    sents = F.filter(
+        F.transform(
+            F.split(normalize_text(F.col(text_col)), r"[.!?]+"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    # first-occurrence filter by position (engine-portable semantics;
+    # array_distinct also preserves first order in Spark but the
+    # position form is the contract the oracle mirrors)
+    uniq = F.expr(
+        "filter(__ss, (s, i) -> array_position(__ss, s) = i + 1)"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), sents.alias("__ss"))
+        .withColumn("__u", uniq)
+        .select(
+            "doc_id",
+            F.size("__ss").cast("long").alias("n_sentences"),
+            F.size("__u").cast("long").alias("n_unique"),
+            F.expr(
+                "CASE WHEN size(__ss) = 0 THEN 0 ELSE "
+                "1000000 * (size(__ss) - size(__u)) div size(__ss) END"
+            ).cast("long").alias("removed_ppm"),
+            F.array_join("__u", ". ").alias("text_deduped"),
+        )
+    )
