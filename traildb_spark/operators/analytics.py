@@ -2713,6 +2713,27 @@ def ohlc_bars(
     structs field-lexicographically. One map-side-combined aggregate,
     output keys × buckets.
     """
+    return ohlc_from_partials(
+        ohlc_partials(
+            df, key_col, value_col, time_col, tiebreak_col, bucket_seconds
+        )
+    )
+
+
+def ohlc_partials(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    time_col: str = TIME_COL,
+    tiebreak_col: str = "event_id",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """:func:`ohlc_bars`'s MERGEABLE partial state: per (key, bucket),
+    count plus the full (t, tb, c) structs for open/close and bare
+    high/low — partials from disjoint row sets merge by (sum, struct-
+    min, max, min, struct-max), which is what lets
+    `streaming.ingest.streaming_ohlc` keep bars-sized state forever on
+    an unbounded stream and still equal the batch bars exactly."""
     if bucket_seconds <= 0:
         raise ValueError(
             f"ohlc_bars: bucket_seconds must be > 0, got {bucket_seconds}"
@@ -2729,10 +2750,34 @@ def ohlc_bars(
     pick = F.struct("t", "tb", "c")
     return base.groupBy("key", "bucket").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min(pick)["c"].alias("open_cents"),
+        F.min(pick).alias("o"),
         F.max("c").alias("high_cents"),
         F.min("c").alias("low_cents"),
-        F.max(pick)["c"].alias("close_cents"),
+        F.max(pick).alias("cl"),
+    )
+
+
+def ohlc_from_partials(p: DataFrame) -> DataFrame:
+    """Merge :func:`ohlc_partials` tables (one or many, unioned) into
+    final bars — identical columns to :func:`ohlc_bars`."""
+    return (
+        p.groupBy("key", "bucket")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.min("o").alias("o"),
+            F.max("high_cents").alias("high_cents"),
+            F.min("low_cents").alias("low_cents"),
+            F.max("cl").alias("cl"),
+        )
+        .select(
+            "key",
+            "bucket",
+            "n_events",
+            F.col("o")["c"].alias("open_cents"),
+            "high_cents",
+            "low_cents",
+            F.col("cl")["c"].alias("close_cents"),
+        )
     )
 
 

@@ -828,3 +828,118 @@ def hll_current(spark, path: str, checkpoint: str, p: int = 12) -> DataFrame:
             ).alias("estimate"),
         )
     )
+
+
+def streaming_ohlc(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    time_col: str = "time",
+    tiebreak_col: str = "event_id",
+    bucket_seconds: int = 3600,
+    processing_time: str | None = None,
+):
+    """Continuously maintain OHLC bars over a stream — live downsampled
+    series (prices, latencies, queue depths) with bars-sized state
+    forever: per-batch `analytics.ohlc_partials` merge into the running
+    table by (key, bucket) — count sums, open/close as struct-min/max
+    carry their (t, tiebreak, cents) provenance so late or out-of-order
+    rows land in the right bar with the right open/close, no watermark
+    needed (OHLC partials are order-free). Read the live bars any time
+    with :func:`ohlc_current` (identical math to `analytics.ohlc_bars`
+    — parity-tested). Same exactly-once pointer protocol as
+    :func:`streaming_countmin` / :func:`streaming_histogram`; all I/O
+    through the Hadoop FS API.
+    """
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _ohlc_batch(
+            batch_df, batch_id, path, key_col, value_col, time_col,
+            tiebreak_col, bucket_seconds, run_token,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _ohlc_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    key_col: str,
+    value_col: str,
+    time_col: str,
+    tiebreak_col: str,
+    bucket_seconds: int,
+    run_token: str,
+) -> bool:
+    """One partial-merge step (exposed for crash-replay tests); same
+    replay/lineage contract as ``_histogram_batch``."""
+    from ..operators.analytics import ohlc_partials
+
+    spark = batch_df.sparkSession
+    latest = f"{path}/_latest_{run_token}"
+    out_b = f"{path}/ohlc_{run_token}_{batch_id}"
+    prev = (_fs_read_small(spark, latest) or "").strip() or None
+    if prev == out_b:
+        return False
+    if prev is not None and batch_id == 0:
+        raise RuntimeError(
+            "streaming_ohlc: batch id 0 arrived but this path already "
+            "holds state from a previous lineage of the same checkpoint "
+            "path (checkpoint was cleared and reused). Merging would "
+            "double-count and resetting would destroy the accumulated "
+            "bars — use a fresh checkpoint path or delete the state at "
+            f"{path} explicitly."
+        )
+    part = ohlc_partials(
+        batch_df, key_col, value_col, time_col, tiebreak_col, bucket_seconds
+    )
+    if prev is not None:
+        merged = (
+            spark.read.parquet(prev)
+            .unionByName(part)
+            .groupBy("key", "bucket")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.min("o").alias("o"),
+                F.max("high_cents").alias("high_cents"),
+                F.min("low_cents").alias("low_cents"),
+                F.max("cl").alias("cl"),
+            )
+        )
+    else:
+        merged = part
+    merged.coalesce(1).write.mode("overwrite").parquet(out_b)
+    _fs_swap_pointer(spark, latest, out_b)
+    if prev is not None:
+        _, hpath, fs = _hfs(spark, prev)
+        fs.delete(hpath(prev), True)
+    return True
+
+
+def ohlc_current(spark, path: str, checkpoint: str) -> DataFrame:
+    """The live OHLC bars the ``streaming_ohlc`` pointer references —
+    identical columns to ``analytics.ohlc_bars``."""
+    import hashlib as _hashlib
+
+    from ..operators.analytics import ohlc_from_partials
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+    cur = _fs_read_small(spark, f"{path}/_latest_{run_token}")
+    if cur is None:
+        raise FileNotFoundError(f"{path}/_latest_{run_token}")
+    return ohlc_from_partials(spark.read.parquet(cur.strip()))
