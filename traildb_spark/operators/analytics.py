@@ -3133,6 +3133,60 @@ def pagerank_transitions(
     )
 
 
+def _exact_rank_rows(
+    per: DataFrame, metric_col: str, ranks: list[int], id_col: str = "uuid"
+) -> dict[int, tuple]:
+    """Exact order statistics without a global sort: the (metric, id)
+    pairs at the given 1-based global ranks of the (metric DESC, id ASC)
+    order — the `trail_ids` two-phase construction inverted to SELECT
+    ranks instead of assigning them. Range-partition, per-partition
+    counts to the driver (metadata-scale), locate each wanted rank's
+    partition, then a partition-LOCAL row_number restricted to the ≤
+    len(ranks) partitions that matter. Nothing trail-scale is sorted
+    globally or joined."""
+    if not ranks:
+        return {}
+    spark = per.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rp = (
+        per.select(F.col(metric_col).alias("__m"), F.col(id_col).alias("__id"))
+        .repartitionByRange(nparts, F.col("__m").desc(), F.col("__id"))
+        .withColumn("__pid", F.spark_partition_id())
+        # boundaries come from sampling: pin ONE materialization so the
+        # count pass and the extraction pass agree (trail_ids precedent)
+        .localCheckpoint()
+    )
+    counts = sorted(
+        rp.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    want: dict[int, tuple[int, int]] = {}
+    acc = 0
+    it = iter(sorted(ranks))
+    r = next(it)
+    for row in counts:
+        while r is not None and acc < r <= acc + row["c"]:
+            want[r] = (row["__pid"], r - acc)
+            r = next(it, None)
+        acc += row["c"]
+        if r is None:
+            break
+    pids = sorted({p for p, _ in want.values()})
+    w = Window.partitionBy("__pid").orderBy(F.col("__m").desc(), F.col("__id"))
+    got = (
+        rp.filter(F.col("__pid").isin(pids))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            F.struct("__pid", "__rn").isin(
+                [F.struct(F.lit(p), F.lit(l)) for p, l in want.values()]
+            )
+        )
+        .collect()
+    )
+    by_loc = {(r["__pid"], r["__rn"]): (r["__m"], r["__id"]) for r in got}
+    return {rank: by_loc[loc] for rank, loc in want.items()}
+
+
 def rfm_segments(
     df: DataFrame,
     t_ref: int,
@@ -3151,15 +3205,16 @@ def rfm_segments(
     n`` with rank 1 = best, ties broken by uuid — so segmentation is
     bit-reproducible and insensitive to partitioning.
 
-    Scale: the per-trail table is one uuid-keyed aggregate (map-side
-    combined); each of the three rankings uses the
-    `curriculum_order` two-phase range-partition construction rather
-    than a global window sort, so no single reducer ever sees all
-    trails. Three rankings = three passes over the TRAILS-scale table
-    (not the event table).
+    Scale: one uuid-keyed aggregate (map-side combined) builds the
+    trails-scale table ONCE (pinned); per metric, the four exact
+    quintile-boundary rows are extracted via :func:`_exact_rank_rows`
+    (range partition + metadata-scale counts + a partition-local sort
+    of only the boundary partitions) and broadcast as LITERALS, so
+    scoring is a single projection — no global sort, no trails-scale
+    join, ever. A trail's bucket is the number of boundaries ordered
+    at-or-before it: rank ≥ r_i ⟺ the boundary row at rank
+    r_i = ceil(i·n/5)+1 compares ≤ (metric, uuid) in descending order.
     """
-    from .curation import curriculum_order
-
     per = (
         df.select(
             F.col(uuid_col).alias("uuid"),
@@ -3173,39 +3228,52 @@ def rfm_segments(
             F.sum("c").alias("monetary_cents"),
         )
         .withColumn("recency_seconds", F.lit(int(t_ref)) - F.col("last_time"))
-        .withColumn("__g", F.lit(""))
+        # pin ONE materialization: three boundary extractions and the
+        # final projection all read this trails-scale table
+        .localCheckpoint()
     )
-    n_trails = F.broadcast(per.groupBy().agg(F.count(F.lit(1)).alias("__n")))
-    # rank DESC on last_time (recent first), n_events, monetary_cents
-    scored = per.select(
-        "uuid", "last_time", "n_events", "monetary_cents", "recency_seconds"
-    )
-    for col, out in (
+    n = per.count()
+    if n == 0:
+        return per.select(
+            "uuid", "recency_seconds", "n_events", "monetary_cents",
+            F.lit(None).cast("long").alias("r_score"),
+            F.lit(None).cast("long").alias("f_score"),
+            F.lit(None).cast("long").alias("m_score"),
+            F.lit(None).cast("string").alias("segment"),
+        )
+    ranks = sorted({(i * n + 4) // 5 + 1 for i in range(1, 5)
+                    if (i * n + 4) // 5 + 1 <= n})
+    scores = {}
+    for metric, out_col in (
         ("last_time", "r_score"),
         ("n_events", "f_score"),
         ("monetary_cents", "m_score"),
     ):
-        s = curriculum_order(per, col, group_col="__g", id_col="uuid").select(
-            "uuid", F.col("rank_in_group").alias(f"__rk_{out}")
-        )
-        scored = scored.join(s, "uuid")
-    return (
-        scored.crossJoin(n_trails)
-        .select(
-            "uuid",
-            "recency_seconds",
-            "n_events",
-            "monetary_cents",
-            F.expr("5 - (__rk_r_score - 1) * 5 div __n").alias("r_score"),
-            F.expr("5 - (__rk_f_score - 1) * 5 div __n").alias("f_score"),
-            F.expr("5 - (__rk_m_score - 1) * 5 div __n").alias("m_score"),
-        )
-        .withColumn(
-            "segment",
-            F.concat(
-                F.col("r_score").cast("string"),
-                F.col("f_score").cast("string"),
-                F.col("m_score").cast("string"),
-            ),
-        )
+        bnd = _exact_rank_rows(per, metric, ranks)
+        passed = F.lit(0)
+        for i in range(1, 5):
+            r_i = (i * n + 4) // 5 + 1
+            if r_i not in bnd:
+                continue  # empty tail bucket: boundary beyond n
+            m_i, id_i = bnd[r_i]
+            hit = (F.col(metric) < F.lit(m_i)) | (
+                (F.col(metric) == F.lit(m_i)) & (F.col("uuid") >= F.lit(id_i))
+            )
+            passed = passed + hit.cast("int")
+        scores[out_col] = (F.lit(5) - passed).cast("long")
+    return per.select(
+        "uuid",
+        "recency_seconds",
+        "n_events",
+        "monetary_cents",
+        scores["r_score"].alias("r_score"),
+        scores["f_score"].alias("f_score"),
+        scores["m_score"].alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
     )
