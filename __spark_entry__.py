@@ -2567,6 +2567,15 @@ def q178_dedup_sentences(spark, sf_dir):
     return text.dedup_sentences(docs)
 
 
+
+def q179_token_stats(spark, sf_dir):
+    """Tokenizer fertility per language: whitespace vs BPE-ish token
+    totals, chars, and exact derived rates — the per-language budget
+    table."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.token_stats(docs)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2750,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_langid_confusion": q176_langid_confusion,
         "q177_rfm_segments": q177_rfm_segments,
         "q178_dedup_sentences": q178_dedup_sentences,
+        "q179_token_stats": q179_token_stats,
     }
 
 
@@ -4215,6 +4225,32 @@ def oracle_sql() -> dict[str, str]:
                      AS removed_ppm,
                    array_to_string(uu, '. ') AS text_deduped
             FROM u
+        """,
+        # whitespace tokens of the NORMALIZED text vs BPE-ish regex over
+        # the RAW text; exact truncating rates
+        "q179_token_stats": f"""
+            WITH per AS (
+              SELECT lang,
+                     CAST(len({_TOKENS}) AS BIGINT) AS ws,
+                     CAST(len(regexp_extract_all(text, '{_BPE_RE}'))
+                          AS BIGINT) AS bpe,
+                     CAST(length({_NORM_TEXT}) AS BIGINT) AS ch
+              FROM documents),
+            m AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+                     CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+                     CAST(sum(ch) AS BIGINT) AS n_chars
+              FROM per GROUP BY lang)
+            SELECT lang, n_docs, n_ws_tokens, n_bpe_tokens, n_chars,
+                   CASE WHEN n_ws_tokens > 0
+                        THEN 1000000 * n_bpe_tokens // n_ws_tokens END
+                     AS fertility_ppm,
+                   CASE WHEN n_ws_tokens > 0
+                        THEN 1000 * n_chars // n_ws_tokens END
+                     AS chars_per_token_milli,
+                   1000 * n_ws_tokens // n_docs AS tokens_per_doc_milli
+            FROM m
         """,
         "q169_trail_value_outliers": f"""
             WITH e AS ({_E}),

@@ -1805,3 +1805,22 @@ def test_dedup_sentences_hand_computed(spark):
     assert got[1] == (4, 3, 250000, "buy now. great page. the end")
     assert got[2] == (0, 0, 0, "")
     assert got[3] == (3, 1, 666666, "same")
+
+
+def test_token_stats_hand_computed(spark):
+    """'aa bb, cc3!' raw: BPE-ish tokens = aa,bb,',',cc,3,'!' = 6; ws
+    tokens of normalized 'aa bb, cc3!' = 3; chars = 11 ->
+    fertility 2e6 ppm, chars/token 3666 milli. Zero-token group reports
+    NULL rates but keeps totals."""
+    from traildb_spark.operators.text import token_stats
+
+    df = spark.createDataFrame(
+        [(1, "aa bb, cc3!", "x"), (2, "", "y")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.lang: (r.n_docs, r.n_ws_tokens, r.n_bpe_tokens, r.n_chars,
+                    r.fertility_ppm, r.chars_per_token_milli,
+                    r.tokens_per_doc_milli)
+           for r in token_stats(df).collect()}
+    assert got["x"] == (1, 3, 6, 11, 2000000, 3666, 3000)
+    assert got["y"] == (1, 0, 0, 0, None, None, 0)

@@ -1683,3 +1683,56 @@ def dedup_sentences(
             F.array_join("__u", ". ").alias("text_deduped"),
         )
     )
+
+
+def token_stats(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Tokenizer fertility per group — the "how many tokens does this
+    language cost" table that drives per-language budget and sampling
+    decisions: per group, document/whitespace-token/BPE-ish-token/char
+    totals plus the exact derived rates::
+
+        fertility_ppm        = 10^6 * n_bpe_tokens div n_ws_tokens
+        chars_per_token_milli = 1000 * n_chars div n_ws_tokens
+        tokens_per_doc_milli  = 1000 * n_ws_tokens div n_docs
+
+    Whitespace tokens use the normalized-text tokenization every text
+    operator here shares; BPE-ish tokens are the :data:`TOKEN_REGEX`
+    count over the RAW text (letter runs / digit runs / single symbols
+    — the subword-cost proxy). High fertility = scripts the whitespace
+    model underestimates (CJK, URLs, code). All integer-exact.
+
+    One scan, one lexicon-keyed aggregate with map-side combine.
+    """
+    norm = normalize_text(F.col(text_col))
+    m = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            token_count(F.col(text_col)).cast("long").alias("ws"),
+            bpe_token_count(F.col(text_col)).cast("long").alias("bpe"),
+            F.length(norm).cast("long").alias("ch"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("n_ws_tokens"),
+            F.sum("bpe").alias("n_bpe_tokens"),
+            F.sum("ch").alias("n_chars"),
+        )
+    )
+    nz = F.col("n_ws_tokens") > 0
+    return m.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "n_chars",
+        F.when(nz, F.expr("1000000 * n_bpe_tokens div n_ws_tokens")).alias(
+            "fertility_ppm"
+        ),
+        F.when(nz, F.expr("1000 * n_chars div n_ws_tokens")).alias(
+            "chars_per_token_milli"
+        ),
+        F.expr("1000 * n_ws_tokens div n_docs").alias("tokens_per_doc_milli"),
+    )
