@@ -1295,3 +1295,71 @@ def test_streaming_ohlc_matches_batch_and_replays_noop(spark, sf_dir, tmp_path):
         for r in ohlc_current(spark, out, ckpt).collect()
     }
     assert after == streamed
+
+
+def test_streaming_twap_matches_batch(spark, tmp_path):
+    """LOCF TWAP as a streaming cursor fold: cross-batch disorder AND a
+    same-timestamp tie split across micro-batches (the lower-tiebreak
+    event must add zero weight and never become the carried value) —
+    emitted twap_cents must equal batch time_weighted_average exactly."""
+    from traildb_spark.operators import analytics
+    from traildb_spark.streaming.cursor import streaming_twap_cursor
+
+    base = 1700000000
+    rows = [
+        # uuid, t, event_id, value
+        ("u1", base + 0, 1, 1.00), ("u1", base + 10, 2, 3.00),
+        ("u1", base + 40, 3, 9.99),
+        # tie at base+50: event 5 (later tb) is the carried value
+        ("u2", base + 0, 4, 2.00), ("u2", base + 50, 6, 8.00),
+        ("u2", base + 50, 5, 4.00), ("u2", base + 100, 7, 0.0),
+        ("one", base + 5, 8, 7.25),
+        ("neg", base + 0, 9, -1.00), ("neg", base + 3, 10, 0.0),
+    ]
+    path = str(tmp_path / "twap_stream")
+    import time as _time
+    # split mid-trail and deliver the tie's later-tiebreak event FIRST
+    for chunk in (rows[:2] + rows[4:6], rows[2:4] + rows[6:]):
+        _time.sleep(0.05)
+        spark.createDataFrame(
+            chunk, "uuid string, t long, event_id long, value double"
+        ).withColumn(
+            "event_time", F.timestamp_seconds(F.col("t"))
+        ).drop("t").coalesce(1).write.mode("append").parquet(path)
+    schema = spark.read.parquet(path).schema
+    # sentinel columns must carry the twap stream's schema
+    for off in (10**6, 2 * 10**6):
+        _time.sleep(0.05)
+        spark.createDataFrame(
+            [("ffffffff", base + 300 + off, 0, 0.0)],
+            "uuid string, t long, event_id long, value double",
+        ).withColumn("event_time", F.timestamp_seconds(F.col("t"))).drop(
+            "t"
+        ).select(*[f.name for f in schema.fields]).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = streaming_twap_cursor(stream, watermark="1 hour", idle_timeout=7200)
+    _run_stream(out, "twap_stream_out", mode="append")
+    got = {
+        r["uuid"]: (r["n_events"], r["span_seconds"], r["twap_cents"])
+        for r in spark.sql(
+            "select * from twap_stream_out where uuid <> 'ffffffff'"
+        ).collect()
+    }
+    batch_in = spark.createDataFrame(
+        [(u, t, i, v) for (u, t, i, v) in rows],
+        "uuid string, time long, event_id long, value double",
+    )
+    want = {
+        r["uuid"]: (r["n_events"], r["span_seconds"], r["twap_cents"])
+        for r in analytics.time_weighted_average(batch_in).collect()
+    }
+    assert got == want
+    # hand check the tie trail: 200c*50s + 800c*50s over 100s = 500
+    assert got["u2"] == (4, 100, 500)

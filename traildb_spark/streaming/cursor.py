@@ -41,6 +41,7 @@ import pickle
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def apply_to_trails_stream(
@@ -281,6 +282,89 @@ def streaming_robot_stats_cursor(
         ),
         uuid_col=uuid_col,
         ts_col=ts_col,
+        watermark=watermark,
+        idle_timeout=idle_timeout,
+    )
+
+
+def streaming_twap_cursor(
+    events: DataFrame,
+    uuid_col: str = "uuid",
+    ts_col: str = "event_time",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    watermark: str = "1 hour",
+    idle_timeout: int = 7200,
+) -> DataFrame:
+    """`analytics.time_weighted_average` (LOCF TWAP) as a STREAMING
+    cursor fold: constant state per trail (count, first/last timestamp,
+    current cents, Σ cents·gap as python ints — the batch operator's
+    decimal(38,0) arithmetic verbatim), one ``(uuid, n_events,
+    span_seconds, twap_cents)`` row when the trail goes idle. The
+    "position's time-weighted price while the session is still open"
+    workload. Cents are rounded in SPARK before the state fold (one
+    IEEE round, same as batch). Tie handling is order-insensitive: an
+    event at the current timestamp with a LOWER tiebreak never becomes
+    the carried value and adds zero weight, so stream ≡ batch under any
+    within-watermark disorder (the parity test's oracle).
+    """
+    import pandas as pd
+
+    cents_df = events.withColumn(
+        "__cents", F.round(F.col(value_col) * 100).cast("long")
+    )
+
+    def init(u):
+        return {
+            "uuid": u, "n": 0, "first_t": None,
+            "last_t": None, "last_tb": None, "last_c": None, "ws": 0,
+        }
+
+    def step(st, chunk):
+        for t, tb, c in zip(
+            chunk["time"].to_numpy(),
+            chunk[tiebreak_col].to_numpy(),
+            chunk["__cents"].to_numpy(),
+        ):
+            t, tb, c = int(t), int(tb), int(c)
+            st["n"] += 1
+            if st["last_t"] is None:
+                st["first_t"] = t
+                st["last_t"], st["last_tb"], st["last_c"] = t, tb, c
+            elif (t, tb) > (st["last_t"], st["last_tb"]):
+                st["ws"] += st["last_c"] * (t - st["last_t"])
+                st["last_t"], st["last_tb"], st["last_c"] = t, tb, c
+            # else: same-timestamp event with a lower tiebreak — counted,
+            # zero weight, never becomes the carried value
+        return st, None
+
+    def finish(st):
+        span = st["last_t"] - st["first_t"]
+        if span > 0:
+            ws = st["ws"]
+            twap = ws // span if ws >= 0 else -((-ws) // span)
+        else:
+            twap = st["last_c"]
+        return pd.DataFrame(
+            {
+                "uuid": [st["uuid"]],
+                "n_events": [st["n"]],
+                "span_seconds": [span],
+                "twap_cents": [twap],
+            }
+        )
+
+    return apply_to_trails_stream(
+        cents_df,
+        init,
+        step,
+        finish,
+        output_schema=(
+            "uuid string, n_events long, span_seconds long, twap_cents long"
+        ),
+        uuid_col=uuid_col,
+        ts_col=ts_col,
+        carry_cols=(tiebreak_col, "__cents"),
         watermark=watermark,
         idle_timeout=idle_timeout,
     )
