@@ -2576,6 +2576,15 @@ def q179_token_stats(spark, sf_dir):
     return text.token_stats(docs)
 
 
+
+def q180_weekly_profile(spark, sf_dir):
+    """Day-of-week rhythm per event type: peak day (earliest ties),
+    peak ppm, active days, whole-bit entropy — the 7-bin companion of
+    the diurnal profile."""
+    ev = _events(spark, sf_dir).select("time", "event_type")
+    return analytics.weekly_profile(ev)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2760,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_rfm_segments": q177_rfm_segments,
         "q178_dedup_sentences": q178_dedup_sentences,
         "q179_token_stats": q179_token_stats,
+        "q180_weekly_profile": q180_weekly_profile,
     }
 
 
@@ -4251,6 +4261,26 @@ def oracle_sql() -> dict[str, str]:
                      AS chars_per_token_milli,
                    1000 * n_ws_tokens // n_docs AS tokens_per_doc_milli
             FROM m
+        """,
+        # q153's fold on day-of-week bins (epoch day 0 = Thursday -> +3)
+        "q180_weekly_profile": f"""
+            WITH e AS ({_E}),
+            per AS (
+              SELECT event_type AS key, (("time" // 86400) + 3) % 7 AS hour,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM e GROUP BY 1, 2),
+            agg AS (
+              SELECT key, CAST(SUM(c) AS BIGINT) AS n_events,
+                     min(struct_pack(nc := -c, h := hour)) AS pk,
+                     CAST(COUNT(*) AS BIGINT) AS days_active,
+                     CAST(SUM(c * length(bin(c))) AS BIGINT) AS cb
+              FROM per GROUP BY key)
+            SELECT key, n_events, CAST(pk.h AS BIGINT) AS peak_dow,
+                   (-pk.nc) * 1000000 // n_events AS peak_ppm,
+                   days_active,
+                   1000 * (n_events * length(bin(n_events)) - cb)
+                     // n_events AS entropy_millibits
+            FROM agg
         """,
         "q169_trail_value_outliers": f"""
             WITH e AS ({_E}),

@@ -1393,3 +1393,19 @@ def test_rfm_segments_hand_computed(spark):
         assert r.recency_seconds == 10000 - 1000 * (5 - i)
         assert r.n_events == 5 - i
         assert r.monetary_cents == 1000 * (5 - i)
+
+
+def test_weekly_profile_hand_computed(spark):
+    """1970-01-01 (epoch day 0) was a THURSDAY -> dow 3. Key 'work':
+    3 events on day 0 (thu), 1 on day 4 (monday, dow 0) -> peak thu
+    750000 ppm, 2 active days, entropy = whole-bit H over (3,1).
+    Tie key: 1 event thu + 1 event friday -> earliest dow (3) wins."""
+    rows = (
+        [("work", 10), ("work", 20), ("work", 30), ("work", 4 * 86400)]
+        + [("tie", 100), ("tie", 86400 + 100)]
+    )
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    got = {r.key: (r.n_events, r.peak_dow, r.peak_ppm, r.days_active)
+           for r in analytics.weekly_profile(df).collect()}
+    assert got["work"] == (4, 3, 750000, 2)
+    assert got["tie"] == (2, 3, 500000, 2)

@@ -3277,3 +3277,38 @@ def rfm_segments(
             F.col("m_score").cast("string"),
         ),
     )
+
+
+def weekly_profile(
+    df: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = TIME_COL,
+    tz_offset_seconds: int = 0,
+) -> DataFrame:
+    """Day-of-week rhythm per key — the 7-bin companion of
+    :func:`diurnal_profile` (hour-of-day): peak day (earliest on ties,
+    struct-min), peak ppm, active days, whole-bit entropy. Day 0 =
+    Monday (Unix epoch day 0 was a Thursday, hence the +3 shift).
+    Weekday-heavy keys read as workplace traffic, flat profiles as
+    automation — same exact-integer discipline as the diurnal form.
+
+    One map-side-combined (key, dow) aggregate; everything after is
+    keys × 7.
+    """
+    dow = F.expr(
+        f"((({time_col} + {int(tz_offset_seconds)}) div 86400) + 3) % 7"
+    ).alias("hour")
+    per = (
+        df.select(F.col(key_col).alias("key"), dow)
+        .groupBy("key", "hour")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = _diurnal_fold(per)
+    return out.select(
+        "key",
+        "n_events",
+        F.col("peak_hour").alias("peak_dow"),
+        "peak_ppm",
+        F.col("hours_active").alias("days_active"),
+        "entropy_millibits",
+    )
