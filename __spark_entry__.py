@@ -2585,6 +2585,19 @@ def q180_weekly_profile(spark, sf_dir):
     return analytics.weekly_profile(ev)
 
 
+
+def q181_sample_exact_by_key(spark, sf_dir):
+    """Exactly-k-per-source eval carving: md5-ranked per-key top-k via
+    the salted two-phase prune — exact sizes where rate-based
+    stratified sampling only hits them in expectation."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    return curation.sample_exact_by_key(
+        docs.select("doc_id", "source", "n_chars"), 5, seed="evalk:"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2770,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_dedup_sentences": q178_dedup_sentences,
         "q179_token_stats": q179_token_stats,
         "q180_weekly_profile": q180_weekly_profile,
+        "q181_sample_exact_by_key": q181_sample_exact_by_key,
     }
 
 
@@ -4281,6 +4295,18 @@ def oracle_sql() -> dict[str, str]:
                    1000 * (n_events * length(bin(n_events)) - cb)
                      // n_events AS entropy_millibits
             FROM agg
+        """,
+        # per-key md5 rank <= k
+        "q181_sample_exact_by_key": """
+            SELECT doc_id, source, n_chars
+            FROM (
+              SELECT doc_id, source, n_chars,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('evalk:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS r
+              FROM documents)
+            WHERE r <= 5
         """,
         "q169_trail_value_outliers": f"""
             WITH e AS ({_E}),

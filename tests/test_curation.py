@@ -574,3 +574,31 @@ def test_dsir_importance_matches_python_reference(spark):
     assert got == want
     # the target-rare doc must score below the target-like doc
     assert got[4][1] < got[1][1]
+
+
+def test_sample_exact_by_key_sizes_and_determinism(spark):
+    """Exact sizes per key (uniform k and per-key dict), deterministic
+    membership under re-partitioning, unlisted dict keys keep 0."""
+    from traildb_spark.operators.curation import sample_exact_by_key
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_exact_by_key(df, 7, seed="s1:")
+    got = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"a": 7, "b": 7}
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in sample_exact_by_key(df.repartition(13), 7, seed="s1:").collect()
+    )
+    assert ids1 == ids2
+    outd = sample_exact_by_key(df, {"a": 3}, seed="s1:")
+    gotd = {r.source: r.n for r in
+            outd.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert gotd == {"a": 3}
+    # k larger than the stratum keeps the whole stratum
+    assert sample_exact_by_key(df, {"b": 999}, seed="x").count() == 20
+    import pytest
+    with pytest.raises(ValueError):
+        sample_exact_by_key(df, -1)

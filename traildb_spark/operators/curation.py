@@ -1102,3 +1102,59 @@ def dsir_importance(
             ).alias("milliweight_per_token"),
         )
     )
+
+
+def sample_exact_by_key(
+    df: DataFrame,
+    k: int | dict[str, int],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """EXACTLY-k-per-key deterministic sample — the stratified sibling
+    of :func:`uniform_sample_exact` ("exactly 10k eval docs from EVERY
+    source", where rate-based :func:`stratified_sample` only hits sizes
+    in expectation): rank rows within each key by ``md5(seed || id)``
+    and keep each key's k smallest. ``k`` is one budget for all keys or
+    a per-key dict (unlisted keys keep 0).
+
+    Scale: salted two-phase per-key top-k — each input partition first
+    prunes to its own k-per-key head (one partition-local sort, no
+    shuffle), so the final per-key window ranks at most
+    partitions × k rows per key instead of the key's full mass; a whale
+    key never funnels through one reducer un-pruned. Deterministic
+    under re-partitioning: the md5 order depends only on (seed, id).
+    """
+    if isinstance(k, dict):
+        if any(v < 0 for v in k.values()):
+            raise ValueError("sample_exact_by_key: negative k")
+        kmax = max(k.values(), default=0)
+        spark = df.sparkSession
+        kmap = F.broadcast(
+            spark.createDataFrame(
+                [(key, int(v)) for key, v in k.items()] or [("", 0)],
+                f"{key_col} string, __k long",
+            )
+        )
+        base = df.join(kmap, key_col, "inner")
+    else:
+        if k < 0:
+            raise ValueError(f"sample_exact_by_key: negative k {k}")
+        kmax = int(k)
+        base = df.withColumn("__k", F.lit(int(k)))
+    rk = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    staged = base.withColumn("__rk", rk).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w1 = Window.partitionBy("__pid", key_col).orderBy("__rk", id_col)
+    pruned = (
+        staged.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= F.lit(kmax))
+        .drop("__r1", "__pid")
+    )
+    w2 = Window.partitionBy(key_col).orderBy("__rk", id_col)
+    return (
+        pruned.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= F.col("__k"))
+        .drop("__r2", "__rk", "__k")
+    )
