@@ -2598,6 +2598,19 @@ def q181_sample_exact_by_key(spark, sf_dir):
     )
 
 
+
+def q182_lsh_recall(spark, sf_dir):
+    """ANN-candidate quality report: SRP-LSH near-dup pairs (q38's
+    pipeline) scored against the exact cosine pair set (q37's) —
+    precision/recall/F1 as exact ppm, one row."""
+    emb = _load(spark, sf_dir, "embeddings")
+    pred = dedup.embedding_neardup_pairs_portable(
+        emb, threshold=0.4, num_planes=24, bands=4
+    )
+    truth = vectorized.pairwise_cosine_pairs(emb, threshold=0.4)
+    return dedup.pair_set_metrics(pred, truth)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2784,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_token_stats": q179_token_stats,
         "q180_weekly_profile": q180_weekly_profile,
         "q181_sample_exact_by_key": q181_sample_exact_by_key,
+        "q182_lsh_recall": q182_lsh_recall,
     }
 
 
@@ -4307,6 +4321,34 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id) AS r
               FROM documents)
             WHERE r <= 5
+        """,
+        # q38's SRP pipeline and q37's exact pairs as CTEs; canonical
+        # unordered pairs; exact ppm ratios (f1 = 2c/(p+t))
+        "q182_lsh_recall": f"""
+            WITH pred0 AS (SELECT * FROM ({_srp_neardup_oracle(24, 4, 0.4)})),
+            truth0 AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE round({cos_ab}, 6) >= 0.4),
+            p AS (SELECT DISTINCT least(id_a, id_b) AS a,
+                         greatest(id_a, id_b) AS b FROM pred0),
+            t AS (SELECT DISTINCT least(id_a, id_b) AS a,
+                         greatest(id_a, id_b) AS b FROM truth0),
+            np AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM p),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM t),
+            nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+                   FROM p JOIN t USING (a, b))
+            SELECT n_pred, n_truth, n_common,
+                   CASE WHEN n_pred > 0
+                        THEN 1000000 * n_common // n_pred END
+                     AS precision_ppm,
+                   CASE WHEN n_truth > 0
+                        THEN 1000000 * n_common // n_truth END
+                     AS recall_ppm,
+                   CASE WHEN n_pred + n_truth > 0
+                        THEN 2000000 * n_common // (n_pred + n_truth) END
+                     AS f1_ppm
+            FROM np CROSS JOIN nt CROSS JOIN nc
         """,
         "q169_trail_value_outliers": f"""
             WITH e AS ({_E}),

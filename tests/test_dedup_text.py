@@ -1824,3 +1824,23 @@ def test_token_stats_hand_computed(spark):
            for r in token_stats(df).collect()}
     assert got["x"] == (1, 3, 6, 11, 2000000, 3666, 3000)
     assert got["y"] == (1, 0, 0, 0, None, None, 0)
+
+
+def test_pair_set_metrics_hand_computed(spark):
+    """pred {AB,BC,CD(reversed,dup)} vs truth {AB,CD,DE}: common 2 of
+    3 pred / 3 truth -> P = R = 666666 ppm, F1 = 2*2/(3+3) = 666666.
+    Empty pred -> NULL precision, 0 recall."""
+    from traildb_spark.operators.dedup import pair_set_metrics
+
+    pred = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("D", "C"), ("C", "D")],
+        "id_a string, id_b string",
+    )
+    truth = spark.createDataFrame(
+        [("A", "B"), ("C", "D"), ("D", "E")], "id_a string, id_b string")
+    [r] = pair_set_metrics(pred, truth).collect()
+    assert (r.n_pred, r.n_truth, r.n_common) == (3, 3, 2)
+    assert (r.precision_ppm, r.recall_ppm, r.f1_ppm) == (666666, 666666, 666666)
+    empty = pred.filter(F.lit(False))
+    [r2] = pair_set_metrics(empty, truth).collect()
+    assert r2.precision_ppm is None and r2.recall_ppm == 0 and r2.n_pred == 0

@@ -2383,3 +2383,59 @@ def containment_pairs(
             "containment",
         )
     )
+
+
+def pair_set_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Precision/recall report of one duplicate-pair set against
+    another — the evaluation harness that closes the approximate-dedup
+    loop: point a candidate pipeline (LSH / SimHash / SRP) at the exact
+    pair set on a panel and read recall as a number instead of a hope.
+
+    Pairs are canonicalized (unordered, deduplicated) before counting,
+    so orientation and repeats never skew the score. All exact
+    integers: ``precision_ppm = 10^6·common div n_pred``, ``recall_ppm
+    = 10^6·common div n_truth``, ``f1_ppm = 2·10^6·common div
+    (n_pred + n_truth)`` (the 2c/(p+t) identity — one truncating div).
+    Empty sides report NULL for their undefined ratio. One row out.
+
+    Scale: two pair-keyed distincts + one pair-keyed join — shuffles
+    on the pair key, metadata-scale output.
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        a, b = F.col(id_a), F.col(id_b)
+        return df.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        ).distinct()
+
+    p = canon(pred)
+    t = canon(truth)
+    np_ = p.agg(F.count(F.lit(1)).alias("n_pred"))
+    nt = t.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = p.join(t, ["a", "b"]).agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        np_.crossJoin(nt)
+        .crossJoin(nc)
+        .select(
+            "n_pred",
+            "n_truth",
+            "n_common",
+            F.when(
+                F.col("n_pred") > 0,
+                F.expr("1000000 * n_common div n_pred"),
+            ).alias("precision_ppm"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.expr("1000000 * n_common div n_truth"),
+            ).alias("recall_ppm"),
+            F.when(
+                F.col("n_pred") + F.col("n_truth") > 0,
+                F.expr("2000000 * n_common div (n_pred + n_truth)"),
+            ).alias("f1_ppm"),
+        )
+    )
