@@ -2611,6 +2611,15 @@ def q182_lsh_recall(spark, sf_dir):
     return dedup.pair_set_metrics(pred, truth)
 
 
+
+def q183_doc_keywords(spark, sf_dir):
+    """Per-document keyword extraction: top-5 terms by exact whole-bit
+    tf-idf (integer-log idf), ties alphabetical — deterministic
+    labeling metadata."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.doc_keywords(docs, k=5)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2798,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_weekly_profile": q180_weekly_profile,
         "q181_sample_exact_by_key": q181_sample_exact_by_key,
         "q182_lsh_recall": q182_lsh_recall,
+        "q183_doc_keywords": q183_doc_keywords,
     }
 
 
@@ -4349,6 +4359,28 @@ def oracle_sql() -> dict[str, str]:
                         THEN 2000000 * n_common // (n_pred + n_truth) END
                      AS f1_ppm
             FROM np CROSS JOIN nt CROSS JOIN nc
+        """,
+        # whole-bit tf-idf per doc, rank (score desc, term)
+        "q183_doc_keywords": f"""
+            WITH t AS (
+              SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM t GROUP BY 1, 2),
+            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY term),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            sc AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     CAST(length(bin(nd.n)) - length(bin(dfq.df)) AS BIGINT)
+                       AS idf_bits
+              FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+            SELECT doc_id, term, tf, idf_bits,
+                   tf * idf_bits AS score, rank
+            FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY tf * idf_bits DESC, term) AS INT) AS rank
+                  FROM sc)
+            WHERE rank <= 5
         """,
         "q169_trail_value_outliers": f"""
             WITH e AS ({_E}),

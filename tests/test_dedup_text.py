@@ -1844,3 +1844,26 @@ def test_pair_set_metrics_hand_computed(spark):
     empty = pred.filter(F.lit(False))
     [r2] = pair_set_metrics(empty, truth).collect()
     assert r2.precision_ppm is None and r2.recall_ppm == 0 and r2.n_pred == 0
+
+
+def test_doc_keywords_hand_computed(spark):
+    """4 docs: 'the' appears in all (df 4 -> idf 0, never a keyword),
+    'cat' in doc 1 only with tf 2 (idf = 3-1 = 2, score 4) beats
+    'mat' tf 1 (score 2); ties break alphabetically."""
+    from traildb_spark.operators.text import doc_keywords
+
+    rows = [
+        (1, "the cat cat mat"), (2, "the dog"), (3, "the bird"),
+        (4, "the fish"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in doc_keywords(df, k=2).collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.term, r.score))
+    assert sorted(got[1]) == [(1, "cat", 4), (2, "mat", 2)]
+    # doc 2's only positive-score term is 'dog'; 'the' scores 0 but may
+    # fill rank 2 — assert the leader only
+    assert sorted(got[2])[0] == (1, "dog", 2)
+    import pytest
+    with pytest.raises(ValueError):
+        doc_keywords(df, k=0)

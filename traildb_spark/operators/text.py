@@ -1736,3 +1736,50 @@ def token_stats(
         ),
         F.expr("1000 * n_ws_tokens div n_docs").alias("tokens_per_doc_milli"),
     )
+
+
+def doc_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document — tf·idf keyword
+    extraction with the whole-bit idf (``idf_bits = len(bin(n_docs)) −
+    len(bin(df_term))``, the :func:`unigram_surprisal` integer-log
+    discipline), so scores are exact integers and the ranking is
+    bit-reproducible: the labeling / RAG-metadata step ("what is this
+    page about") as a deterministic operator instead of a float model.
+
+    Ties break (score desc, term asc). Returns ``(doc_id, term, tf,
+    idf_bits, score, rank)`` for each document's top k.
+
+    Plan shape: (doc, term) tf combines map-side; document frequencies
+    are a vocab-scale aggregate broadcast back; the top-k is a window
+    per DOCUMENT — partitions are single-document term lists (bounded
+    by doc length), never corpus-scale.
+    """
+    if k < 1:
+        raise ValueError(f"doc_keywords: k must be >= 1, got {k}")
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+    idf = F.length(F.bin(F.col("__n"))) - F.length(F.bin(F.col("df")))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(n_docs)
+        .withColumn("idf_bits", idf.cast("long"))
+        .withColumn("score", (F.col("tf") * F.col("idf_bits")).cast("long"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "idf_bits", "score", "rank")
+    )
