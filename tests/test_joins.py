@@ -267,3 +267,25 @@ def test_as_of_join_tolerance_none_unchanged_and_validates(spark):
     assert as_of_join(ldf, rdf, "k").collect()[0].px == 1.0
     with pytest.raises(ValueError):
         as_of_join(ldf, rdf, "k", tolerance=-1)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Anchors get top-k among DIFFERENT-label vectors only: v0 (label
+    A) is most similar to v1 (A, identical direction) but must skip it
+    and return v2/v3 (B); ranks order by cosine."""
+    from traildb_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),       # label 0, same dir
+        (2, [0.9, 0.1], 1), (3, [0.0, 1.0], 1),       # label 1
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label")
+    got = [(r.corpus_id, r.rank, r.corpus_label)
+           for r in hard_negatives(emb, q, k=2).orderBy("rank").collect()]
+    assert got == [(2, 1, 1), (3, 2, 1)]
+    import pytest
+    with pytest.raises(ValueError):
+        hard_negatives(emb, q, k=0)

@@ -514,8 +514,9 @@ def r6c_family(spark):
     timed("dsir_500k", lambda: _force(curation.dsir_importance(
         docs, docs.filter(F.col("source") == "src_0"))))
     timed("zipf_500k", lambda: _force(text_ops.zipf_slope(docs)))
+    # docs500k has no lang label; source stands in as the actual column
     timed("langid_confusion_500k", lambda: _force(
-        text_ops.langid_confusion(docs)))
+        text_ops.langid_confusion(docs, label_col="source")))
     timed("dedup_sentences_500k", lambda: _force(
         text_ops.dedup_sentences(docs)))
 

@@ -776,3 +776,61 @@ def embedding_outliers(
         "d2_lattice",
         (F.col("d2_lattice") > F.lit(t_lattice)).alias("is_outlier"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+    max_labels: int = 1000,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor (query vector
+    with a label), its top-k most-similar corpus vectors carrying a
+    DIFFERENT label — the highest-loss negatives a contrastive /
+    metric-learning batch wants, as an exact deterministic operator.
+    An anchor is excluded from its own candidates by the label rule.
+
+    Implementation: one :func:`brute_force_topk` pass per distinct
+    anchor label against the corpus with that label filtered out — the
+    label set is lexicon-sized (guarded by ``max_labels``), so the plan
+    is a UNION of ≤ |labels| broadcast-query scans, each inheriting the
+    kernel's 100 TB posture (corpus never reshuffles; only
+    |Q|·partitions·k candidates rank). Returns ``(query_id, corpus_id,
+    cos, rank, query_label, corpus_label)``.
+    """
+    if k < 1:
+        raise ValueError(f"hard_negatives: k must be >= 1, got {k}")
+    labels = [
+        r["l"] for r in queries.select(F.col(label_col).alias("l")).distinct().collect()
+    ]
+    if len(labels) > max_labels:
+        raise ValueError(
+            f"hard_negatives: {len(labels)} anchor labels exceeds "
+            f"max_labels={max_labels}"
+        )
+    out = None
+    lab = F.broadcast(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(label_col).alias("corpus_label"),
+        )
+    )
+    for l_value in sorted(labels, key=lambda v: (v is None, v)):
+        q_l = queries.filter(F.col(label_col).eqNullSafe(F.lit(l_value))).select(
+            F.col(query_id_col).alias(query_id_col), vec_col
+        )
+        c_l = corpus.filter(~F.col(label_col).eqNullSafe(F.lit(l_value)))
+        part = brute_force_topk(
+            c_l, q_l, k=k, vec_col=vec_col, id_col=id_col,
+            query_id_col=query_id_col,
+        ).withColumn("query_label", F.lit(l_value))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("hard_negatives: queries table has no rows")
+    return out.join(lab, "corpus_id").select(
+        query_id_col, "corpus_id", "cos", "rank", "query_label", "corpus_label"
+    )
