@@ -2620,6 +2620,18 @@ def q183_doc_keywords(spark, sf_dir):
     return text.doc_keywords(docs, k=5)
 
 
+
+def q184_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: top-3 different-label cosine
+    neighbors for 10 anchor vectors — one brute topk pass per anchor
+    label, corpus never reshuffled."""
+    emb = _load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return similarity.hard_negatives(emb, anchors, k=3)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2808,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_sample_exact_by_key": q181_sample_exact_by_key,
         "q182_lsh_recall": q182_lsh_recall,
         "q183_doc_keywords": q183_doc_keywords,
+        "q184_hard_negatives": q184_hard_negatives,
     }
 
 
@@ -4381,6 +4394,22 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY tf * idf_bits DESC, term) AS INT) AS rank
                   FROM sc)
             WHERE rank <= 5
+        """,
+        # per-anchor top-3 among DIFFERENT-label vectors (q39's scoring
+        # with the label exclusion)
+        "q184_hard_negatives": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round({cos_cq}, 6) AS cos,
+                     q.label AS query_label, c.label AS corpus_label
+              FROM embeddings c
+              JOIN embeddings q ON q.vec_id < 10 AND c.label <> q.label)
+            SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS rank,
+                   query_label, corpus_label
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, corpus_id) AS rnk
+                  FROM scored)
+            WHERE rnk <= 3
         """,
         "q169_trail_value_outliers": f"""
             WITH e AS ({_E}),
