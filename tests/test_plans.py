@@ -813,3 +813,66 @@ def test_edit_distance_pairs_broadcast_df_and_no_cross(spark, sf_dir):
     plan = audit.explain_str(out, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_cusum_changepoint_histogram_sized(spark, sf_dir):
+    """After the (key, bucket) map-side combine everything is
+    histogram-scale: the plan re-reads NO event-sized relation and the
+    only join is the broadcast 1-row range / per-key total."""
+    from traildb_spark.operators import analytics
+
+    ev = load_events(spark, sf_dir).select("time", "event_type")
+    out = analytics.cusum_changepoint(ev, bucket_seconds=3600)
+    plan = audit.explain_str(out, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert audit.num_broadcast_joins(out) >= 1, plan
+
+
+def test_dedup_sentences_zero_shuffle(spark, sf_dir):
+    """Pure narrow map: split + array ops per row — zero exchanges."""
+    from traildb_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = T.dedup_sentences(docs)
+    assert audit.num_shuffles(out) == 0, audit.explain_str(out, "simple")
+
+
+def test_token_stats_one_aggregate(spark, sf_dir):
+    """One lexicon-keyed aggregate with map-side combine: <= 1 exchange,
+    no joins, no explode (token counts are size()/regexp_count)."""
+    from traildb_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = T.token_stats(docs)
+    plan = audit.explain_str(out, "simple")
+    assert "Join" not in plan and "Generate" not in plan, plan
+    assert audit.num_shuffles(out) <= 1, plan
+
+
+def test_doc_keywords_broadcast_vocab(spark, sf_dir):
+    """The df model joins back as a BROADCAST (vocab-scale), and the
+    top-k window partitions by doc_id — no corpus-scale sort-merge."""
+    from traildb_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = T.doc_keywords(docs, k=5)
+    plan = audit.explain_str(out, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert audit.num_broadcast_joins(out) >= 1, plan
+
+
+def test_ab_conversion_metadata_pairs(spark, sf_dir):
+    """One uuid aggregate, then the variant-pair self-join runs on the
+    lexicon-sized per-variant table — AQE decides it; the plan holds no
+    event-sized join."""
+    from traildb_spark.operators import analytics
+    from traildb_spark.operators.curation import hash_split
+
+    ev = load_events(spark, sf_dir).select("uuid", "event_type")
+    arms = hash_split(ev, {"a": 0.5, "b": 0.5}, id_col="uuid")
+    out = analytics.ab_conversion_test(arms, variant_col="split")
+    plan = audit.explain_str(out, "simple")
+    # the per-variant table is pinned (localCheckpoint): the pair join
+    # reads an ExistingRDD twice, never the event scan twice
+    assert "FileScan" not in plan, plan
+    assert "ExistingRDD" in plan, plan

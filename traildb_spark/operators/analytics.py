@@ -3008,7 +3008,9 @@ def ab_conversion_test(
     )
     per_variant = per_trail.groupBy("variant").agg(
         F.count(F.lit(1)).alias("n"), F.sum("conv").alias("s")
-    )
+    # pin the lexicon-sized table: the a/b self-join below would
+    # otherwise re-run the event scan + uuid aggregate on BOTH sides
+    ).localCheckpoint()
     a = per_variant.select(
         F.col("variant").alias("variant_a"),
         F.col("n").alias("n_a"),
