@@ -2632,6 +2632,45 @@ def q184_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(emb, anchors, k=3)
 
 
+
+def q185_au_decode(spark, sf_dir):
+    """Sun/NeXT .au decode: 16-bit BE fixtures with an annotation
+    offset, samples s[i] = (i*59 + doc_id*13) % 3601 - 1800,
+    n = 40 + id%50, rate = 8000 + 2000*(id%4) — the oracle recomputes
+    every stat from the closed form, proving the header/offset parse
+    through the shared feature kernel (q69/q165's third sibling)."""
+    from traildb_spark.operators import multimodal
+
+    @F.pandas_udf("binary")
+    def au_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            n = 40 + i % 50
+            rate = 8000 + 2000 * (i % 4)
+            s = ((np.arange(n, dtype=np.int64) * 59 + i * 13) % 3601 - 1800).astype(
+                "int16"
+            )
+            out.append(multimodal.make_au(s, rate, annotation=b"fx\x00\x00"))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "audio", au_payload, cache_name="au")
+    feats = multimodal.extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_samples",
+        "duration_ms",
+        F.round(F.col("rms"), 6).alias("rms"),
+        "zcr",
+        "peak",
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2821,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_lsh_recall": q182_lsh_recall,
         "q183_doc_keywords": q183_doc_keywords,
         "q184_hard_negatives": q184_hard_negatives,
+        "q185_au_decode": q185_au_decode,
     }
 
 
@@ -4410,6 +4450,30 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY cos DESC, corpus_id) AS rnk
                   FROM scored)
             WHERE rnk <= 3
+        """,
+        "q185_au_decode": """
+            -- AU 16-bit BE PCM is lossless: s[i] = (i*59 + id*13) % 3601
+            -- - 1800, n = 40 + id%50, rate = 8000 + 2000*(id%4)
+            WITH a AS (
+              SELECT doc_id,
+                     40 + CAST(doc_id % 50 AS BIGINT) AS n,
+                     CAST(8000 + 2000 * (doc_id % 4) AS INT) AS rate
+              FROM documents WHERE doc_id % 3 = 1
+            ), s AS (
+              SELECT doc_id, n, rate,
+                     [ (i*59 + doc_id*13) % 3601 - 1800
+                       for i in generate_series(0, n - 1) ] AS xs
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   rate AS sample_rate,
+                   1 AS channels,
+                   n AS n_samples,
+                   n * 1000 // rate AS duration_ms,
+                   ROUND(sqrt(CAST(list_sum(list_transform(xs, x -> x*x)) AS DOUBLE) / n), 6) AS rms,
+                   CAST(len(list_filter(generate_series(2, n), i -> xs[i-1] * xs[i] < 0)) AS BIGINT) AS zcr,
+                   CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
+            FROM s
         """,
         "q169_trail_value_outliers": f"""
             WITH e AS ({_E}),

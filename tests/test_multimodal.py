@@ -1473,3 +1473,45 @@ def test_bmp_codec_roundtrip_and_edges():
         decode_bmp(bytes(rle))
     with pytest.raises(ValueError):
         decode_bmp(b"XY12")
+
+
+def test_au_decode_encodings_and_gates():
+    """AU round-trip (16-bit BE with an annotation offset), signed-8
+    scaling, mu-law through the shared G.711 tables, and the honest
+    gates (bad magic, float encoding, bad header)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from traildb_spark.operators.multimodal import (
+        _g711_expand, decode_au, decode_audio, make_au,
+    )
+
+    s = ((np.arange(60, dtype=np.int64) * 53 + 17) % 4001 - 2000).astype("int16")
+    payload = make_au(s, 8000, annotation=b"note\x00\x00")
+    rate, ch, got = decode_au(payload)
+    assert (rate, ch) == (8000, 1) and np.array_equal(got, s)
+    # dispatch routes by magic
+    r2, c2, g2 = decode_audio(payload)
+    assert r2 == 8000 and np.array_equal(g2, s)
+    # signed 8-bit scales by << 8
+    raw8 = b".snd" + struct.pack(">IIIII", 24, 3, 2, 8000, 1) + bytes(
+        [0x01, 0xFF, 0x80])
+    _, _, s8 = decode_au(raw8)
+    assert list(s8) == [256, -256, -32768]
+    # mu-law matches the shared table
+    mu = bytes([0x00, 0x7F, 0xFF])
+    raw_mu = b".snd" + struct.pack(">IIIII", 24, 3, 1, 8000, 1) + mu
+    _, _, sm = decode_au(raw_mu)
+    assert list(sm) == list(_g711_expand(mu, alaw=False))
+    # unknown-size sentinel reads to end
+    raw_un = b".snd" + struct.pack(">IIIII", 24, 0xFFFFFFFF, 3, 8000, 1) + \
+        s[:4].astype(">i2").tobytes()
+    assert len(decode_au(raw_un)[2]) == 4
+    with pytest.raises(ValueError):
+        decode_au(b"XXXX" + payload[4:])
+    with pytest.raises(ValueError):
+        decode_au(b".snd" + struct.pack(">IIIII", 24, 4, 6, 8000, 1) + b"\0" * 4)
+    with pytest.raises(ValueError):
+        decode_au(b".snd" + struct.pack(">IIIII", 8, 4, 3, 8000, 1))

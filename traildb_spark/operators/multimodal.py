@@ -1594,12 +1594,68 @@ def make_aiff(samples: np.ndarray, rate: int) -> bytes:
     return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
 
 
+def decode_au(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a Sun/NeXT .au payload → (sample_rate, channels, samples
+    int16) — the third classic PCM container next to WAV and AIFF
+    (public next/sun audio file format spec): 24-byte big-endian header
+    ``magic '.snd', data_offset, data_size, encoding, rate, channels``
+    with an optional annotation up to data_offset. Encodings: 1 G.711
+    μ-law and 27 A-law (shared :func:`_g711_expand` tables), 2 signed
+    8-bit (scaled up), 3 native 16-bit BE, 4/5 24/32-bit keeping the
+    high 16; floats (6/7) and ADPCM raise — the honest-gate contract.
+    data_size 0xFFFFFFFF ("unknown") reads to end of payload."""
+    if content[:4] != b".snd" or len(content) < 24:
+        raise ValueError("not an AU payload")
+    off, size, enc, rate, channels = struct.unpack(">IIIII", content[4:24])
+    if off < 24 or rate <= 0 or channels <= 0:
+        raise ValueError("AU: bad header")
+    data = content[off:]
+    if size != 0xFFFFFFFF:
+        data = data[:size]
+    if enc == 1:
+        s = _g711_expand(data, alaw=False)
+    elif enc == 27:
+        s = _g711_expand(data, alaw=True)
+    elif enc == 2:
+        s = (np.frombuffer(data, dtype=np.int8).astype(np.int16)) << 8
+    elif enc == 3:
+        s = np.frombuffer(data[: (len(data) // 2) * 2], dtype=">i2").astype(
+            np.int16
+        )
+    elif enc in (4, 5):
+        step = 3 if enc == 4 else 4
+        usable = (len(data) // step) * step
+        raw = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, step)
+        s = ((raw[:, 0].astype(np.int32) << 8) | raw[:, 1]).astype(
+            np.uint16
+        ).view(np.int16)
+    else:
+        raise ValueError(f"AU: encoding {enc} needs a codec")
+    return int(rate), int(channels), s
+
+
+def make_au(samples: np.ndarray, rate: int, annotation: bytes = b"") -> bytes:
+    """Deterministic mono 16-bit-BE AU encoder (fixture generator) —
+    exercises the data_offset field via an optional annotation."""
+    s = np.asarray(samples, dtype=np.int16).astype(">i2").tobytes()
+    off = 24 + len(annotation)
+    return (
+        b".snd"
+        + struct.pack(">IIIII", off, len(s), 3, int(rate), 1)
+        + annotation
+        + s
+    )
+
+
 def decode_audio(content: bytes) -> tuple[int, int, np.ndarray]:
     """Container dispatch for the audio surface: RIFF/WAVE →
-    :func:`decode_wav`, FORM/AIFF(-C) → :func:`decode_aiff`. One call
-    site for the extractors, same (rate, channels, int16) contract."""
+    :func:`decode_wav`, FORM/AIFF(-C) → :func:`decode_aiff`, '.snd' →
+    :func:`decode_au`. One call site for the extractors, same
+    (rate, channels, int16) contract."""
     if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
         return decode_aiff(content)
+    if content[:4] == b".snd":
+        return decode_au(content)
     return decode_wav(content)
 
 
