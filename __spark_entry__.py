@@ -2671,6 +2671,36 @@ def q185_au_decode(spark, sf_dir):
     )
 
 
+
+def q186_tga_decode(spark, sf_dir):
+    """TGA decode: 8-bit grayscale fixtures alternating uncompressed /
+    RLE / bottom-up encodings of the SAME closed form px(y, x) =
+    (y*19 + x*5 + id*7) % 256 on a (3 + id%5) x (4 + id%6) canvas —
+    identical stats regardless of encoding, proving the RLE packet
+    walk and origin flip."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.multimodal import make_tga
+
+    @F.pandas_udf("binary")
+    def tga_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            h, w = 3 + i % 5, 4 + i % 6
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = ((yy * 19 + xx * 5 + i * 7) % 256).astype(np.uint8)
+            out.append(
+                make_tga(g, rle=(i % 2 == 0), top_down=(i % 4 < 2))
+            )
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "image", tga_payload, cache_name="tga")
+    return multimodal.image_luma_stats(media)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2861,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_doc_keywords": q183_doc_keywords,
         "q184_hard_negatives": q184_hard_negatives,
         "q185_au_decode": q185_au_decode,
+        "q186_tga_decode": q186_tga_decode,
     }
 
 
@@ -4541,6 +4572,29 @@ def oracle_sql() -> dict[str, str]:
                    min(c) AS low_cents,
                    max(struct_pack(t := t, tb := tb, c := c)).c AS close_cents
             FROM b GROUP BY key, bucket
+        """,
+        "q186_tga_decode": """
+            -- 8-bit gray TGA is a raw sample dump regardless of RLE /
+            -- origin: luma == (y*19 + x*5 + id*7) % 256 on a
+            -- (3 + id%5) x (4 + id%6) canvas
+            WITH a AS (
+              SELECT doc_id,
+                     4 + CAST(doc_id % 6 AS INT) AS w,
+                     3 + CAST(doc_id % 5 AS INT) AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ), t AS (
+              SELECT doc_id, w, h,
+                     [ ((k // w) * 19 + (k % w) * 5 + doc_id * 7) % 256
+                       for k in generate_series(0, h * w - 1) ] AS px
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(list_sum(px) AS BIGINT) AS luma_sum,
+                   CAST(list_min(px) AS INT) AS luma_min,
+                   CAST(list_max(px) AS INT) AS luma_max
+            FROM t
         """,
         "q166_bmp_decode": """
             -- identity gray palette: rounded luma == palette index ==

@@ -1515,3 +1515,37 @@ def test_au_decode_encodings_and_gates():
         decode_au(b".snd" + struct.pack(">IIIII", 24, 4, 6, 8000, 1) + b"\0" * 4)
     with pytest.raises(ValueError):
         decode_au(b".snd" + struct.pack(">IIIII", 8, 4, 3, 8000, 1))
+
+
+def test_tga_decode_rle_flip_and_gates():
+    """TGA round-trips: uncompressed vs naive-RLE encodings of the same
+    gray canvas decode identically; bottom-up origin flips; dispatch
+    detects via the v2 footer; palette/15-bit gates raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from traildb_spark.operators.multimodal import (
+        _gray_pixels, decode_tga, make_tga,
+    )
+
+    yy, xx = np.mgrid[0:5, 0:7]
+    g = ((yy * 31 + xx * 7) % 256).astype(np.uint8)
+    plain = decode_tga(make_tga(g))
+    rle = decode_tga(make_tga(g, rle=True))
+    assert np.array_equal(plain, g) and np.array_equal(rle, g)
+    # bottom-up payload decodes to the same top-down array
+    bu = decode_tga(make_tga(g, top_down=False))
+    assert np.array_equal(bu, g)
+    # runs longer than 127 split correctly
+    flat = np.full((3, 300), 9, dtype=np.uint8)
+    assert np.array_equal(decode_tga(make_tga(flat, rle=True)), flat)
+    # dispatch by footer
+    assert np.array_equal(_gray_pixels(make_tga(g)), g)
+    with pytest.raises(ValueError):
+        decode_tga(struct.pack("<BBBHHBHHHHBB", 0, 1, 1, 0, 0, 0, 0, 0, 3, 3, 8, 0))
+    with pytest.raises(ValueError):  # 15-bit truecolor
+        decode_tga(struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 2, 2, 15, 0) + b"\0" * 20)
+    with pytest.raises(ValueError):  # truncated RLE
+        decode_tga(struct.pack("<BBBHHBHHHHBB", 0, 0, 11, 0, 0, 0, 0, 0, 4, 4, 8, 0) + b"\x8f")

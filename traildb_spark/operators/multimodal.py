@@ -184,6 +184,8 @@ def _gray_pixels(content: bytes) -> np.ndarray:
         return decode_pnm(content)
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[-18:] == _TGA_FOOTER:
+        return decode_tga(content)
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos, width, height, channels = 8, None, None, None
@@ -1592,6 +1594,119 @@ def make_aiff(samples: np.ndarray, rate: int) -> bytes:
         + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
     )
     return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+
+_TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
+
+
+def decode_tga(content: bytes) -> np.ndarray:
+    """Decode a Truevision TGA payload to float gray (H, W) — the
+    classic game/texture format (public TGA 2.0 spec): 18-byte
+    little-endian header, optional image ID, pixels bottom-up unless
+    descriptor bit 5 sets top-down. Image types: 2 uncompressed
+    truecolor (24/32-bit BGR(A), BT.601 luma like the BMP path), 3
+    uncompressed 8-bit grayscale, and their RLE forms 10/11 (packet
+    walk: high bit = run, low 7 bits = count-1). Color-mapped types
+    (1/9) and 15/16-bit depths raise — the honest-gate contract."""
+    if len(content) < 18:
+        raise ValueError("not a TGA payload")
+    id_len = content[0]
+    cmap_type = content[1]
+    dtype = content[2]
+    w, h = struct.unpack("<HH", content[12:16])
+    bpp = content[16]
+    desc = content[17]
+    if cmap_type != 0 or dtype in (1, 9):
+        raise ValueError("TGA: color-mapped images need a palette decoder")
+    if dtype not in (2, 3, 10, 11):
+        raise ValueError(f"TGA: image type {dtype} not supported")
+    if w == 0 or h == 0:
+        raise ValueError("TGA: bad dimensions")
+    step = bpp // 8
+    if (dtype in (2, 10) and bpp not in (24, 32)) or (
+        dtype in (3, 11) and bpp != 8
+    ):
+        raise ValueError(f"TGA: depth {bpp} unsupported for type {dtype}")
+    data = content[18 + id_len :]
+    n_px = w * h
+    if dtype in (2, 3):  # uncompressed
+        need = n_px * step
+        if len(data) < need:
+            raise ValueError("TGA: truncated pixel data")
+        px = np.frombuffer(data[:need], dtype=np.uint8).reshape(n_px, step)
+    else:  # RLE packet walk
+        out = np.empty((n_px, step), dtype=np.uint8)
+        pos = filled = 0
+        while filled < n_px:
+            if pos >= len(data):
+                raise ValueError("TGA: truncated RLE stream")
+            hdr = data[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            count = min(count, n_px - filled)
+            if hdr & 0x80:  # run packet: one pixel repeated
+                v = np.frombuffer(data[pos : pos + step], dtype=np.uint8)
+                if len(v) < step:
+                    raise ValueError("TGA: truncated RLE run")
+                out[filled : filled + count] = v
+                pos += step
+            else:  # raw packet
+                need = count * step
+                if pos + need > len(data):
+                    raise ValueError("TGA: truncated RLE raw packet")
+                out[filled : filled + count] = np.frombuffer(
+                    data[pos : pos + need], dtype=np.uint8
+                ).reshape(count, step)
+                pos += need
+            filled += count
+        px = out
+    px = px.reshape(h, w, step)
+    if not desc & 0x20:  # origin bottom-left: flip to top-down
+        px = px[::-1]
+    if step == 1:
+        return px[:, :, 0].astype(np.float64)
+    # BGR(A) like BMP
+    return 0.299 * px[:, :, 2] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 0]
+
+
+def make_tga(gray: np.ndarray, rle: bool = False, top_down: bool = True) -> bytes:
+    """Deterministic 8-bit grayscale TGA encoder (fixture generator) —
+    type 3 (or 11 with a naive per-row RLE), v2 footer appended so the
+    image dispatch can detect the format (TGA has no header magic)."""
+    g = np.asarray(gray, dtype=np.uint8)
+    h, w = g.shape
+    dtype = 11 if rle else 3
+    desc = 0x20 if top_down else 0
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, dtype, 0, 0, 0, 0, 0, w, h, 8, desc
+    )
+    rows = g if top_down else g[::-1]
+    if not rle:
+        body = rows.tobytes()
+    else:
+        parts = []
+        for row in rows:
+            i = 0
+            while i < len(row):
+                j = i
+                while j + 1 < len(row) and row[j + 1] == row[i] and j - i < 126:
+                    j += 1
+                if j > i:  # run of (j - i + 1)
+                    parts.append(bytes([0x80 | (j - i), row[i]]))
+                    i = j + 1
+                else:
+                    k = i
+                    while (
+                        k + 1 < len(row)
+                        and row[k + 1] != row[k]
+                        and k - i < 126
+                    ):
+                        k += 1
+                    parts.append(bytes([k - i]) + row[i : k + 1].tobytes())
+                    i = k + 1
+        body = b"".join(parts)
+    footer = b"\x00" * 8 + _TGA_FOOTER
+    return hdr + body + footer
 
 
 def decode_au(content: bytes) -> tuple[int, int, np.ndarray]:
