@@ -2701,6 +2701,45 @@ def q186_tga_decode(spark, sf_dir):
     return multimodal.image_luma_stats(media)
 
 
+
+def q187_ico_decode(spark, sf_dir):
+    """ICO favicon decode: classic DIB entries (doubled-height header,
+    identity gray palette, AND mask dropped) built from the closed form
+    px(y, x) = (y*23 + x*11 + id*3) % 256 on a (4 + id%4) x (4 + id%5)
+    canvas — the oracle recomputes every stat from the form, proving
+    the directory walk and the synthesized-BMP path."""
+    import struct as _struct
+
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.multimodal import make_bmp
+
+    @F.pandas_udf("binary")
+    def ico_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            h, w = 4 + i % 4, 4 + i % 5
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = ((yy * 23 + xx * 11 + i * 3) % 256).astype(np.uint8)
+            bmp = make_bmp(g)
+            body = bytearray(bmp[14:])
+            _struct.pack_into("<i", body, 8, h * 2)
+            and_stride = ((w + 31) // 32) * 4
+            d = bytes(body) + b"\x00" * (and_stride * h)
+            out.append(
+                b"\x00\x00\x01\x00" + _struct.pack("<H", 1)
+                + bytes([w % 256, h % 256, 0, 0])
+                + _struct.pack("<HHII", 1, 8, len(d), 22) + d
+            )
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "image", ico_payload, cache_name="ico")
+    return multimodal.image_luma_stats(media)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2892,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_hard_negatives": q184_hard_negatives,
         "q185_au_decode": q185_au_decode,
         "q186_tga_decode": q186_tga_decode,
+        "q187_ico_decode": q187_ico_decode,
     }
 
 
@@ -4572,6 +4612,29 @@ def oracle_sql() -> dict[str, str]:
                    min(c) AS low_cents,
                    max(struct_pack(t := t, tb := tb, c := c)).c AS close_cents
             FROM b GROUP BY key, bucket
+        """,
+        "q187_ico_decode": """
+            -- identity gray palette DIB inside the icon: rounded luma ==
+            -- (y*23 + x*11 + id*3) % 256 on a (4 + id%4) x (4 + id%5)
+            -- canvas
+            WITH a AS (
+              SELECT doc_id,
+                     4 + CAST(doc_id % 5 AS INT) AS w,
+                     4 + CAST(doc_id % 4 AS INT) AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ), t AS (
+              SELECT doc_id, w, h,
+                     [ ((k // w) * 23 + (k % w) * 11 + doc_id * 3) % 256
+                       for k in generate_series(0, h * w - 1) ] AS px
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(list_sum(px) AS BIGINT) AS luma_sum,
+                   CAST(list_min(px) AS INT) AS luma_min,
+                   CAST(list_max(px) AS INT) AS luma_max
+            FROM t
         """,
         "q186_tga_decode": """
             -- 8-bit gray TGA is a raw sample dump regardless of RLE /

@@ -1549,3 +1549,56 @@ def test_tga_decode_rle_flip_and_gates():
         decode_tga(struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 2, 2, 15, 0) + b"\0" * 20)
     with pytest.raises(ValueError):  # truncated RLE
         decode_tga(struct.pack("<BBBHHBHHHHBB", 0, 0, 11, 0, 0, 0, 0, 0, 4, 4, 8, 0) + b"\x8f")
+
+
+def test_ico_decode_dib_png_and_largest_entry():
+    """ICO: classic DIB entry (doubled height, palette) decodes through
+    the synthesized-BMP path; a PNG entry routes to the PNG decoder;
+    with two entries the LARGEST wins; gates raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from traildb_spark.operators.multimodal import (
+        _gray_pixels, decode_ico, make_bmp, make_png,
+    )
+
+    yy, xx = np.mgrid[0:4, 0:4]
+    g = ((yy * 9 + xx * 3) % 256).astype(np.uint8)
+
+    def dib_entry(gray):
+        # build via make_bmp (8-bit identity palette) then strip the
+        # 14-byte file header and double the height field (AND mask = 0)
+        bmp = make_bmp(gray)
+        (off,) = struct.unpack("<I", bmp[10:14])
+        body = bytearray(bmp[14:])
+        h, w = gray.shape
+        struct.pack_into("<i", body, 8, h * 2)
+        and_stride = ((w + 31) // 32) * 4
+        return bytes(body) + b"\x00" * (and_stride * h)
+
+    d = dib_entry(g)
+    ico = (
+        b"\x00\x00\x01\x00" + struct.pack("<H", 1)
+        + bytes([4, 4, 0, 0]) + struct.pack("<HHII", 1, 8, len(d), 22)
+        + d
+    )
+    out = decode_ico(ico)
+    assert out.shape == (4, 4) and np.array_equal(np.round(out), g)
+    assert np.array_equal(np.round(_gray_pixels(ico)), g)
+
+    # two entries: the larger (8x8 PNG) must win over the 4x4 DIB
+    g8 = ((np.mgrid[0:8, 0:8][0] * 5 + np.mgrid[0:8, 0:8][1]) % 256).astype(np.uint8)
+    p = make_png(g8)
+    ico2 = (
+        b"\x00\x00\x01\x00" + struct.pack("<H", 2)
+        + bytes([4, 4, 0, 0]) + struct.pack("<HHII", 1, 8, len(d), 38)
+        + bytes([8, 8, 0, 0]) + struct.pack("<HHII", 1, 32, len(p), 38 + len(d))
+        + d + p
+    )
+    assert decode_ico(ico2).shape == (8, 8)
+    with pytest.raises(ValueError):
+        decode_ico(b"\x00\x00\x02\x00" + b"\x00" * 20)  # CUR, not ICO
+    with pytest.raises(ValueError):
+        decode_ico(b"\x00\x00\x01\x00\x00\x00")  # empty directory

@@ -186,6 +186,8 @@ def _gray_pixels(content: bytes) -> np.ndarray:
         return decode_bmp(content)
     if content[-18:] == _TGA_FOOTER:
         return decode_tga(content)
+    if content[:4] == b"\x00\x00\x01\x00":
+        return decode_ico(content)
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos, width, height, channels = 8, None, None, None
@@ -1594,6 +1596,59 @@ def make_aiff(samples: np.ndarray, rate: int) -> bytes:
         + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
     )
     return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+
+def decode_ico(content: bytes) -> np.ndarray:
+    """Decode a Windows ICO container to float gray (H, W) — favicon
+    processing for web corpora (public ICONDIR spec): pick the LARGEST
+    entry, then dispatch its payload — PNG-compressed entries (Vista+)
+    go through the PNG path; classic DIB entries are a BITMAPINFOHEADER
+    with DOUBLED height (XOR + AND masks) and no file header — decoded
+    by synthesizing the BMP header the plain decoder expects and
+    dropping the AND mask rows. 8/24/32-bit DIBs supported; 1/4-bit
+    raise (honest gate)."""
+    if len(content) < 6 or content[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO payload")
+    (n_img,) = struct.unpack("<H", content[4:6])
+    if n_img == 0:
+        raise ValueError("ICO: empty icon directory")
+    best = None
+    for i in range(n_img):
+        e = content[6 + 16 * i : 22 + 16 * i]
+        if len(e) < 16:
+            raise ValueError("ICO: truncated directory")
+        w, h = e[0] or 256, e[1] or 256
+        size, off = struct.unpack("<II", e[8:16])
+        if best is None or w * h > best[0]:
+            best = (w * h, size, off)
+    _, size, off = best
+    payload = content[off : off + size]
+    if payload[:8] == _PNG_SIG:
+        return _gray_pixels(payload)
+    # classic DIB: BITMAPINFOHEADER with height = 2x (XOR + AND mask)
+    if len(payload) < 40:
+        raise ValueError("ICO: truncated DIB")
+    (hdr_size,) = struct.unpack("<I", payload[:4])
+    w, h2 = struct.unpack("<ii", payload[4:12])
+    bits = struct.unpack("<H", payload[14:16])[0]
+    h = abs(h2) // 2
+    # synthesize the file header decode_bmp expects, with the height
+    # halved (mask rows dropped) and data offset past the palette
+    n_colors = 0
+    if bits == 8:
+        (stored,) = struct.unpack("<I", payload[32:36])
+        n_colors = stored or 256
+    data_off = 14 + hdr_size + 4 * n_colors
+    fixed = bytearray(payload)
+    struct.pack_into("<i", fixed, 8, h if h2 > 0 else -h)
+    xor_rows = ((w * bits + 31) // 32) * 4 * h
+    body = bytes(fixed[: hdr_size + 4 * n_colors + xor_rows])
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + len(body), 0, 0, data_off)
+        + body
+    )
+    return decode_bmp(bmp)
 
 
 _TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
