@@ -2740,6 +2740,14 @@ def q187_ico_decode(spark, sf_dir):
     return multimodal.image_luma_stats(media)
 
 
+
+def q188_longest_streak(spark, sf_dir):
+    """Engagement streaks: longest run of consecutive active days per
+    trail via the day − row_number() run anchor; earliest end on ties."""
+    ev = _events(spark, sf_dir).select("uuid", "time")
+    return analytics.longest_streak(ev)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2932,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_au_decode": q185_au_decode,
         "q186_tga_decode": q186_tga_decode,
         "q187_ico_decode": q187_ico_decode,
+        "q188_longest_streak": q188_longest_streak,
     }
 
 
@@ -4545,6 +4554,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(generate_series(2, n), i -> xs[i-1] * xs[i] < 0)) AS BIGINT) AS zcr,
                    CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
             FROM s
+        """,
+        # day - row_number() run anchor; struct-min (-len, end) tie rule
+        "q188_longest_streak": f"""
+            WITH e AS ({_E}),
+            days AS (SELECT DISTINCT uuid, "time" // 86400 AS d FROM e),
+            runs AS (
+              SELECT uuid, CAST(count(*) AS BIGINT) AS len, max(d) AS "end"
+              FROM (SELECT uuid, d,
+                           d - ROW_NUMBER() OVER (
+                             PARTITION BY uuid ORDER BY d) AS anchor
+                    FROM days)
+              GROUP BY uuid, anchor)
+            SELECT uuid,
+                   CAST(sum(len) AS BIGINT) AS active_buckets,
+                   CAST(-(min(struct_pack(nl := -len, e := "end")).nl)
+                        AS BIGINT) AS longest_streak,
+                   min(struct_pack(nl := -len, e := "end")).e
+                     AS streak_end_bucket
+            FROM runs GROUP BY uuid
         """,
         "q169_trail_value_outliers": f"""
             WITH e AS ({_E}),

@@ -1409,3 +1409,21 @@ def test_weekly_profile_hand_computed(spark):
            for r in analytics.weekly_profile(df).collect()}
     assert got["work"] == (4, 3, 750000, 2)
     assert got["tie"] == (2, 3, 500000, 2)
+
+
+def test_longest_streak_hand_computed(spark):
+    """Active days {0,1,2, 5,6, 9} -> runs 3/2/1: longest 3 ending day
+    2; duplicate events per day collapse; a tie between two 2-runs
+    reports the EARLIER end."""
+    rows = (
+        [("u", d * 86400 + off) for d in (0, 1, 2, 5, 6, 9) for off in (0, 100)]
+        + [("tie", d * 86400) for d in (0, 1, 4, 5)]
+    )
+    df = spark.createDataFrame(rows, "uuid string, time long")
+    got = {r.uuid: (r.active_buckets, r.longest_streak, r.streak_end_bucket)
+           for r in analytics.longest_streak(df).collect()}
+    assert got["u"] == (6, 3, 2)
+    assert got["tie"] == (4, 2, 1)
+    import pytest
+    with pytest.raises(ValueError):
+        analytics.longest_streak(df, bucket_seconds=0)

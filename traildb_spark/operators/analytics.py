@@ -3314,3 +3314,53 @@ def weekly_profile(
         F.col("hours_active").alias("days_active"),
         "entropy_millibits",
     )
+
+
+def longest_streak(
+    df: DataFrame,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Longest run of CONSECUTIVE active buckets (default: days) per
+    trail — the engagement streak metric: distinct active days collapse
+    to runs via the classic ``day − row_number()`` grouping (a run of
+    consecutive days shares one anchor), then max run length. Returns
+    ``(uuid, active_buckets, longest_streak, current_streak_end)`` —
+    the bucket where the longest streak ends (earliest such bucket on
+    ties, via struct-min on (−len, end)).
+
+    Exact integers throughout. Plan shape: distinct (uuid, bucket) with
+    map-side partial, one per-trail window over ACTIVE BUCKETS (bounded
+    by the time span, not the event count), one aggregate.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"longest_streak: bucket_seconds must be > 0, got {bucket_seconds}"
+        )
+    b = F.expr(f"{time_col} div {bucket_seconds}")
+    days = (
+        df.select(F.col(uuid_col).alias("uuid"), b.alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("uuid").orderBy("d")
+    runs = (
+        days.withColumn("__anchor", F.col("d") - F.row_number().over(w))
+        .groupBy("uuid", "__anchor")
+        .agg(F.count(F.lit(1)).alias("len"), F.max("d").alias("end"))
+    )
+    return (
+        runs.groupBy("uuid")
+        .agg(
+            F.sum("len").alias("active_buckets"),
+            F.min(
+                F.struct((-F.col("len")).alias("nl"), F.col("end").alias("e"))
+            ).alias("__pk"),
+        )
+        .select(
+            "uuid",
+            "active_buckets",
+            (-F.col("__pk.nl")).cast("long").alias("longest_streak"),
+            F.col("__pk.e").alias("streak_end_bucket"),
+        )
+    )
