@@ -2748,6 +2748,15 @@ def q188_longest_streak(spark, sf_dir):
     return analytics.longest_streak(ev)
 
 
+
+def q189_peak_concurrency(spark, sf_dir):
+    """Peak simultaneous sessions: +1/−1 endpoint sweep over the gap-
+    rule session intervals with a two-phase prefix scan (no global
+    window); closed intervals, earliest peak time."""
+    ev = _events(spark, sf_dir).select("uuid", "time")
+    return analytics.peak_concurrency(ev, gap=1800)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2941,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_tga_decode": q186_tga_decode,
         "q187_ico_decode": q187_ico_decode,
         "q188_longest_streak": q188_longest_streak,
+        "q189_peak_concurrency": q189_peak_concurrency,
     }
 
 
@@ -4573,6 +4583,37 @@ def oracle_sql() -> dict[str, str]:
                    min(struct_pack(nl := -len, e := "end")).e
                      AS streak_end_bucket
             FROM runs GROUP BY uuid
+        """,
+        # gap-rule sessions -> [start, end] intervals -> +1/-1 sweep;
+        # starts before ends at equal t (closed intervals)
+        "q189_peak_concurrency": f"""
+            WITH e AS ({_E}),
+            m AS (
+              SELECT uuid, "time" AS t,
+                     CASE WHEN "time" - lag("time") OVER (
+                       PARTITION BY uuid ORDER BY "time") > 1800
+                       THEN 1 ELSE 0 END AS is_new
+              FROM e),
+            sid AS (
+              SELECT uuid, t,
+                     SUM(is_new) OVER (PARTITION BY uuid ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM m),
+            sess AS (
+              SELECT uuid, session_id, min(t) AS s, max(t) AS en
+              FROM sid GROUP BY uuid, session_id),
+            pts AS (
+              SELECT s AS t, 1 AS d FROM sess
+              UNION ALL SELECT en AS t, -1 AS d FROM sess),
+            run AS (
+              SELECT t, SUM(d) OVER (ORDER BY t, d DESC
+                ROWS UNBOUNDED PRECEDING) AS r
+              FROM pts),
+            pk AS (SELECT max(r) AS p FROM run)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
+                   CAST(pk.p AS BIGINT) AS peak_concurrency,
+                   (SELECT min(t) FROM run WHERE r = pk.p) AS peak_time
+            FROM pk
         """,
         "q169_trail_value_outliers": f"""
             WITH e AS ({_E}),

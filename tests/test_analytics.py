@@ -1427,3 +1427,25 @@ def test_longest_streak_hand_computed(spark):
     import pytest
     with pytest.raises(ValueError):
         analytics.longest_streak(df, bucket_seconds=0)
+
+
+def test_peak_concurrency_hand_computed(spark):
+    """Three single-session trails: [0,100], [50,150], [140,200] ->
+    concurrency peaks at 2 (first at t=50); closed intervals mean a
+    session ending AT another's start still overlaps (u4 [100,100]
+    makes t=100 a 3-peak)."""
+    rows = (
+        [("a", 0), ("a", 100), ("b", 50), ("b", 150), ("c", 140), ("c", 200)]
+    )
+    df = spark.createDataFrame(rows, "uuid string, time long")
+    [r] = analytics.peak_concurrency(df, gap=1800).collect()
+    assert (r.n_sessions, r.peak_concurrency, r.peak_time) == (3, 2, 50)
+    df2 = df.unionByName(
+        spark.createDataFrame([("d", 100)], "uuid string, time long"))
+    [r2] = analytics.peak_concurrency(df2, gap=1800).collect()
+    assert (r2.n_sessions, r2.peak_concurrency, r2.peak_time) == (4, 3, 100)
+    # gap splits: one trail, two sessions, never concurrent with itself
+    df3 = spark.createDataFrame(
+        [("x", 0), ("x", 10_000)], "uuid string, time long")
+    [r3] = analytics.peak_concurrency(df3, gap=1800).collect()
+    assert (r3.n_sessions, r3.peak_concurrency) == (2, 1)

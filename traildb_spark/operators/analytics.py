@@ -3364,3 +3364,81 @@ def longest_streak(
             F.col("__pk.e").alias("streak_end_bucket"),
         )
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    gap: int = 1800,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """Peak number of SIMULTANEOUSLY open sessions — the capacity
+    question ("how many live users at the worst moment") answered
+    exactly: sessionize (the tutorial gap rule), reduce each session to
+    its [start, end] interval, sweep +1/−1 endpoint deltas in time
+    order, and take the maximum of the running sum. Intervals are
+    CLOSED (a session whose last event is at t still counts at t), so
+    at equal timestamps starts apply before ends. Returns one row
+    ``(n_sessions, peak_concurrency, peak_time)`` — the EARLIEST time
+    the peak is reached.
+
+    Scale: the running sum is a two-phase prefix scan, not a global
+    window — range-partition endpoints by time, bring per-partition
+    delta sums to the driver (metadata-scale), then partition-local
+    cumulative sums start from their exclusive prefix offset (the
+    `trail_ids` construction on the time axis). No single reducer ever
+    holds the endpoint stream.
+    """
+    from .trails import sessionize
+
+    s = sessionize(df, gap, uuid_col, time_col)
+    sess = s.groupBy(F.col(uuid_col).alias("u"), "session_id").agg(
+        F.min(time_col).alias("s"), F.max(time_col).alias("e")
+    )
+    # +1 at start, -1 just AFTER end (closed interval: at t == e the
+    # session still counts, so the decrement sorts behind every event
+    # at e via the (t, delta desc) order ... encode as (e, -1) with
+    # starts-first tie rule instead)
+    ends = sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    starts = sess.select(F.col("s").alias("t"), F.lit(1).alias("d"))
+    pts = starts.unionByName(ends)
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rp = (
+        # +1 before -1 at the same t: d DESC in the range order
+        pts.repartitionByRange(nparts, F.col("t"), F.col("d").desc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = sorted(
+        rp.groupBy("__pid").agg(F.sum("d").alias("s")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    base, acc = {}, 0
+    for r in sums:
+        base[r["__pid"]] = acc
+        acc += r["s"]
+    base_df = F.broadcast(
+        spark.createDataFrame(
+            [(p, b) for p, b in base.items()] or [(0, 0)],
+            "__pid int, __base long",
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(
+        F.col("t"), F.col("d").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    run = (
+        rp.join(base_df, "__pid")
+        .withColumn("__run", F.col("__base") + F.sum("d").over(w))
+    )
+    n_sessions = sess.count()
+    peak = run.agg(F.max("__run").alias("p")).collect()[0]["p"] or 0
+    earliest = (
+        run.filter(F.col("__run") == F.lit(peak))
+        .agg(F.min("t").alias("t"))
+        .collect()[0]["t"]
+    )
+    return spark.createDataFrame(
+        [(int(n_sessions), int(peak), earliest)],
+        "n_sessions long, peak_concurrency long, peak_time long",
+    )
