@@ -2757,6 +2757,16 @@ def q189_peak_concurrency(spark, sf_dir):
     return analytics.peak_concurrency(ev, gap=1800)
 
 
+def q190_percentiles_by_bucket(spark, sf_dir):
+    """p50/p99 of value per (event_type, hour bucket) — the dashboard
+    time series form of the sort-free histogram percentile path; exact
+    integer nearest-rank selection per cell, no row sort."""
+    ev = _events(spark, sf_dir).select("event_type", "time", "value")
+    return analytics.percentiles_by_bucket(
+        ev, probs=(0.5, 0.99), bucket_seconds=3600, bin_width=10.0
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2951,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_ico_decode": q187_ico_decode,
         "q188_longest_streak": q188_longest_streak,
         "q189_peak_concurrency": q189_peak_concurrency,
+        "q190_percentiles_by_bucket": q190_percentiles_by_bucket,
     }
 
 
@@ -4614,6 +4625,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pk.p AS BIGINT) AS peak_concurrency,
                    (SELECT min(t) FROM run WHERE r = pk.p) AS peak_time
             FROM pk
+        """,
+        # q138's integer nearest-rank lattice per (key, hour bucket);
+        # truncating `div` == `//` for non-negative epoch times
+        "q190_percentiles_by_bucket": f"""
+            WITH e AS ({_E}),
+            pb AS (
+              SELECT event_type AS key, "time" // 3600 AS bucket,
+                     CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM e WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+            c AS (
+              SELECT key, bucket, bin,
+                     CAST(SUM(cnt) OVER (PARTITION BY key, bucket
+                          ORDER BY bin) AS HUGEINT) AS cum,
+                     CAST(SUM(cnt) OVER (PARTITION BY key, bucket)
+                          AS HUGEINT) AS tot
+              FROM pb)
+            SELECT key, bucket, CAST(MAX(tot) AS BIGINT) AS n_values,
+                   MIN(CASE WHEN cum * 1000000 >= 500000 * tot THEN bin END) AS p50_bin,
+                   MIN(CASE WHEN cum * 1000000 >= 500000 * tot THEN bin END) * CAST(10.0 AS DOUBLE) AS p50,
+                   MIN(CASE WHEN cum * 1000000 >= 990000 * tot THEN bin END) AS p99_bin,
+                   MIN(CASE WHEN cum * 1000000 >= 990000 * tot THEN bin END) * CAST(10.0 AS DOUBLE) AS p99
+            FROM c GROUP BY key, bucket
         """,
         "q169_trail_value_outliers": f"""
             WITH e AS ({_E}),

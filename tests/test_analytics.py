@@ -1449,3 +1449,19 @@ def test_peak_concurrency_hand_computed(spark):
         [("x", 0), ("x", 10_000)], "uuid string, time long")
     [r3] = analytics.peak_concurrency(df3, gap=1800).collect()
     assert (r3.n_sessions, r3.peak_concurrency) == (2, 1)
+
+
+def test_percentiles_by_bucket_matches_per_bucket_histogram(spark):
+    """Bucketed form == histogram_percentiles run on each bucket's
+    slice independently (hour 0 and hour 1 carry different value
+    distributions)."""
+    rows = [("a", t, float(v)) for t, v in
+            [(0, 1), (10, 2), (20, 9), (3600, 50), (3700, 60), (3800, 70)]]
+    df = spark.createDataFrame(rows, "event_type string, time long, value double")
+    got = {(r.key, r.bucket): (r.n_values, r.p50, r.p99)
+           for r in analytics.percentiles_by_bucket(df).collect()}
+    for bucket in (0, 1):
+        sl = df.filter((F.col("time") / 3600).cast("long") == bucket)
+        [want] = analytics.histogram_percentiles(sl).collect()
+        assert got[("a", bucket)] == (want.n_values, want.p50, want.p99)
+    assert got[("a", 0)][1] != got[("a", 1)][1]

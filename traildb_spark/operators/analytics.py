@@ -3442,3 +3442,40 @@ def peak_concurrency(
         [(int(n_sessions), int(peak), earliest)],
         "n_sessions long, peak_concurrency long, peak_time long",
     )
+
+
+def percentiles_by_bucket(
+    df: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    key_col: str = "event_type",
+    value_col: str = "value",
+    time_col: str = TIME_COL,
+    bucket_seconds: int = 3600,
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Time-bucketed percentiles — the "p99 per key per hour" dashboard
+    series: :func:`histogram_percentiles`'s sort-free nearest-rank
+    selection applied per (key, time bucket). Same exact-integer
+    selection lattice and column scheme, plus the ``bucket`` column.
+
+    Plan shape inherits the histogram operator: one map-side-combined
+    (key, bucket, bin) aggregate, windows over BINS within each
+    (key, bucket) cell — never a row sort.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"percentiles_by_bucket: bucket_seconds must be > 0, got "
+            f"{bucket_seconds}"
+        )
+    b = F.expr(f"{time_col} div {bucket_seconds}")
+    keyed = df.withColumn(
+        "__kb",
+        F.struct(F.col(key_col).alias("k"), b.alias("b")),
+    )
+    out = histogram_percentiles(
+        keyed, probs, key_col="__kb", value_col=value_col, bin_width=bin_width
+    )
+    rest = [c for c in out.columns if c != "key"]
+    return out.select(
+        F.col("key.k").alias("key"), F.col("key.b").alias("bucket"), *rest
+    )
