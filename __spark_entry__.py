@@ -2767,6 +2767,14 @@ def q190_percentiles_by_bucket(spark, sf_dir):
     )
 
 
+def q191_mad_outliers(spark, sf_dir):
+    """Robust per-event-type anomalies: values beyond 5 median-absolute-
+    deviations from the key's median — lower-median nearest-rank on the
+    cents lattice, broadcast stats, strict integer flag."""
+    ev = _events(spark, sf_dir).select("event_type", "uuid", "time", "value")
+    return analytics.mad_outliers_by_key(ev, k=5)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2962,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_longest_streak": q188_longest_streak,
         "q189_peak_concurrency": q189_peak_concurrency,
         "q190_percentiles_by_bucket": q190_percentiles_by_bucket,
+        "q191_mad_outliers": q191_mad_outliers,
     }
 
 
@@ -4625,6 +4634,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pk.p AS BIGINT) AS peak_concurrency,
                    (SELECT min(t) FROM run WHERE r = pk.p) AS peak_time
             FROM pk
+        """,
+        # lower-median / MAD by the 2·cum >= tot nearest-rank rule on the
+        # cents lattice; strict |c - med| > k·mad integer flag
+        "q191_mad_outliers": f"""
+            WITH e AS ({_E}),
+            b AS (
+              SELECT event_type AS key, uuid, "time",
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM e WHERE value IS NOT NULL),
+            h AS (SELECT key, c, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM b GROUP BY 1, 2),
+            cu AS (
+              SELECT key, c,
+                     SUM(cnt) OVER (PARTITION BY key ORDER BY c) AS cum,
+                     SUM(cnt) OVER (PARTITION BY key) AS tot
+              FROM h),
+            med AS (
+              SELECT key, MIN(CASE WHEN 2 * cum >= tot THEN c END) AS med
+              FROM cu GROUP BY key),
+            ad AS (
+              SELECT h.key, abs(h.c - med.med) AS d,
+                     CAST(SUM(h.cnt) AS BIGINT) AS cnt
+              FROM h JOIN med ON h.key = med.key GROUP BY 1, 2),
+            cu2 AS (
+              SELECT key, d,
+                     SUM(cnt) OVER (PARTITION BY key ORDER BY d) AS cum,
+                     SUM(cnt) OVER (PARTITION BY key) AS tot
+              FROM ad),
+            mad AS (
+              SELECT key, MIN(CASE WHEN 2 * cum >= tot THEN d END) AS mad
+              FROM cu2 GROUP BY key)
+            SELECT b.key, b.uuid, b."time", b.c AS cents,
+                   med.med AS med_cents, mad.mad AS mad_cents
+            FROM b JOIN med ON b.key = med.key
+            JOIN mad ON b.key = mad.key
+            WHERE abs(b.c - med.med) > 5 * mad.mad
         """,
         # q138's integer nearest-rank lattice per (key, hour bucket);
         # truncating `div` == `//` for non-negative epoch times

@@ -1465,3 +1465,25 @@ def test_percentiles_by_bucket_matches_per_bucket_histogram(spark):
         [want] = analytics.histogram_percentiles(sl).collect()
         assert got[("a", bucket)] == (want.n_values, want.p50, want.p99)
     assert got[("a", 0)][1] != got[("a", 1)][1]
+
+
+def test_mad_outliers_hand_computed(spark):
+    """Lower-median + MAD selection hand-checked; key 'a' exercises the
+    MAD=0 degeneracy (any off-median value flags), key 'b' the normal
+    k·MAD threshold (only the whale crosses 5·MAD)."""
+    rows = [("a", f"u{i}", i, v) for i, v in
+            enumerate([1.0, 1.0, 1.0, 2.0, 100.0])]
+    rows += [("b", f"u{i}", i, float(v)) for i, v in
+             enumerate(list(range(1, 11)) + [1000])]
+    df = spark.createDataFrame(
+        rows, "event_type string, uuid string, time long, value double")
+    got = analytics.mad_outliers_by_key(df, k=5).collect()
+    a = sorted((r.cents, r.med_cents, r.mad_cents)
+               for r in got if r.key == "a")
+    b = sorted((r.cents, r.med_cents, r.mad_cents)
+               for r in got if r.key == "b")
+    assert a == [(200, 100, 0), (10000, 100, 0)]
+    assert b == [(100000, 600, 300)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        analytics.mad_outliers_by_key(df, k=0)

@@ -3479,3 +3479,88 @@ def percentiles_by_bucket(
     return out.select(
         F.col("key.k").alias("key"), F.col("key.b").alias("bucket"), *rest
     )
+
+
+def mad_outliers_by_key(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    k: int = 5,
+) -> DataFrame:
+    """Robust per-key value anomalies: events whose value deviates from
+    their KEY's median by more than ``k`` median-absolute-deviations —
+    the heavy-tail-safe complement of `trail_value_outliers`' k-sigma
+    test (one whale purchase doesn't move a median the way it moves a
+    mean, so MAD flags the whale instead of masking it). All integer on
+    the cents lattice: lower-median selection ``min c : 2·cum ≥ tot``
+    (the same nearest-rank rule as `histogram_percentiles` at p50),
+    MAD by the same rule over ``|c − med|``, strict ``|c − med| > k·MAD``
+    flag — bit-identical across engines. When MAD = 0 (more than half
+    the key's values identical) any value off the median flags; that is
+    the standard MAD degeneracy, not a bug. NULL values are excluded.
+
+    Plan shape: one map-side-combined (key, cents) histogram feeds both
+    selection windows (value-lattice-sized, never event-sized); the
+    per-key (median, MAD) table is keys-sized and BROADCASTs back onto
+    the events for the flag filter — the event scan never shuffles.
+    Returns flagged events ``(key, uuid, time, cents, med_cents,
+    mad_cents)``.
+    """
+    if k < 1:
+        raise ValueError(f"mad_outliers_by_key: k must be >= 1, got {k}")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(uuid_col).alias("uuid"),
+        F.col(time_col).alias("time"),
+        F.round(F.col(value_col) * 100).cast("long").alias("c"),
+    ).filter(F.col("c").isNotNull())
+    hist = base.groupBy("key", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.partitionBy("key").orderBy("c")
+    wk = Window.partitionBy("key")
+    med = (
+        hist.select(
+            "key",
+            "c",
+            F.sum("cnt").over(wv).alias("cu"),
+            F.sum("cnt").over(wk).alias("tot"),
+        )
+        .groupBy("key")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cu") >= F.col("tot"), F.col("c"))
+            ).alias("med")
+        )
+    )
+    wd = Window.partitionBy("key").orderBy("d")
+    mad = (
+        hist.join(F.broadcast(med), "key")
+        .groupBy("key", F.abs(F.col("c") - F.col("med")).alias("d"))
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            "key",
+            "d",
+            F.sum("cnt").over(wd).alias("cu"),
+            F.sum("cnt").over(wk).alias("tot"),
+        )
+        .groupBy("key")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cu") >= F.col("tot"), F.col("d"))
+            ).alias("mad")
+        )
+    )
+    st = med.join(mad, "key")
+    return (
+        base.join(F.broadcast(st), "key")
+        .filter(F.abs(F.col("c") - F.col("med")) > F.lit(int(k)) * F.col("mad"))
+        .select(
+            "key",
+            "uuid",
+            "time",
+            F.col("c").alias("cents"),
+            F.col("med").alias("med_cents"),
+            F.col("mad").alias("mad_cents"),
+        )
+    )
