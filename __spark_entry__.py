@@ -2775,6 +2775,14 @@ def q191_mad_outliers(spark, sf_dir):
     return analytics.mad_outliers_by_key(ev, k=5)
 
 
+def q192_label_separability(spark, sf_dir):
+    """Per-label embedding cluster quality: exact Q10-lattice within-
+    class scatter, between-centroid numerator, and Fisher-style ppm
+    ratio — labels×dims partials only ever shuffle."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.label_separability(emb, q_scale_bits=10)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2971,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_peak_concurrency": q189_peak_concurrency,
         "q190_percentiles_by_bucket": q190_percentiles_by_bucket,
         "q191_mad_outliers": q191_mad_outliers,
+        "q192_label_separability": q192_label_separability,
     }
 
 
@@ -4634,6 +4643,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pk.p AS BIGINT) AS peak_concurrency,
                    (SELECT min(t) FROM run WHERE r = pk.p) AS peak_time
             FROM pk
+        """,
+        # q121's Q10 unnest; W = n·T − Σ S², B = Σ (N·S_l − n·S)², all
+        # HUGEINT; fisher = B·1e6 // (N²·W), NULL at W = 0
+        "q192_label_separability": """
+            WITH q AS (
+              SELECT CAST(label AS BIGINT) AS label, vec_id,
+                     unnest(generate_series(1, len(embedding))) AS di,
+                     unnest([CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)
+                             for x in embedding]) AS qx
+              FROM embeddings WHERE label IS NOT NULL),
+            ld AS (
+              SELECT label, di, CAST(SUM(qx) AS HUGEINT) AS s
+              FROM q GROUP BY 1, 2),
+            lt AS (
+              SELECT label, CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n,
+                     CAST(SUM(qx * qx) AS HUGEINT) AS t
+              FROM q GROUP BY 1),
+            g AS (SELECT di, CAST(SUM(s) AS HUGEINT) AS gs
+                  FROM ld GROUP BY di),
+            tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn FROM lt),
+            w AS (
+              SELECT lt.label, lt.n,
+                     lt.n * lt.t - (SELECT SUM(ld.s * ld.s) FROM ld
+                                    WHERE ld.label = lt.label) AS wl
+              FROM lt),
+            b AS (
+              SELECT ld.label,
+                     SUM((tot.nn * ld.s - lt.n * g.gs)
+                         * (tot.nn * ld.s - lt.n * g.gs)) AS bl
+              FROM ld JOIN lt ON lt.label = ld.label
+              JOIN g ON g.di = ld.di CROSS JOIN tot
+              GROUP BY ld.label)
+            SELECT w.label, CAST(w.n AS BIGINT) AS n_vecs,
+                   CAST(w.wl AS DECIMAL(38,0)) AS within_lattice,
+                   CAST(b.bl AS DECIMAL(38,0)) AS between_num,
+                   CASE WHEN w.wl > 0 THEN
+                     CAST((b.bl * 1000000)
+                          // ((SELECT nn FROM tot) * (SELECT nn FROM tot)
+                              * w.wl) AS BIGINT)
+                   ELSE NULL END AS fisher_ppm
+            FROM w JOIN b ON w.label = b.label
         """,
         # lower-median / MAD by the 2·cum >= tot nearest-rank rule on the
         # cents lattice; strict |c - med| > k·mad integer flag

@@ -1867,3 +1867,42 @@ def test_doc_keywords_hand_computed(spark):
     import pytest
     with pytest.raises(ValueError):
         doc_keywords(df, k=0)
+
+
+def test_label_separability_hand_computed(spark):
+    """Two symmetric 2-dim labels: W = 2T - |S|^2 and the 4.5x Fisher
+    ratio hand-check, bit-equal under different partitionings."""
+    rows = [
+        (0, [1.0, 0.0], 10), (1, [0.5, 0.0], 10),
+        (2, [0.0, 1.0], 20), (3, [0.0, 0.5], 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r.label: r for r in
+           similarity.label_separability(df).collect()}
+    for lab in (10, 20):
+        r = got[lab]
+        assert (r.n_vecs, int(r.within_lattice), int(r.between_num),
+                r.fisher_ppm) == (2, 262144, 18874368, 4500000)
+    got7 = {r.label: r for r in
+            similarity.label_separability(df.repartition(7)).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == \
+           {k: tuple(v) for k, v in got7.items()}
+
+
+def test_label_separability_degenerate_and_nulls(spark):
+    """Identical vectors within a label -> W=0 -> fisher NULL; NULL
+    labels are excluded from N entirely."""
+    rows = [
+        (0, [1.0, 0.0], 1), (1, [1.0, 0.0], 1),
+        (2, [0.0, 1.0], 2), (3, [0.0, 0.5], 2),
+        (4, [9.0, 9.0], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r.label: r for r in
+           similarity.label_separability(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].fisher_ppm is None and int(got[1].within_lattice) == 0
+    assert got[2].fisher_ppm is not None
+    assert sum(r.n_vecs for r in got.values()) == 4

@@ -834,3 +834,127 @@ def hard_negatives(
     return out.join(lab, "corpus_id").select(
         query_id_col, "corpus_id", "cos", "rank", "query_label", "corpus_label"
     )
+
+
+def label_separability(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    q_scale_bits: int = 10,
+) -> DataFrame:
+    """Per-label cluster-quality report over an embedding column — the
+    "is this labeled data actually separable before I train on it"
+    audit: for every label, the within-class scatter and the distance
+    of the label centroid to the global centroid, plus a Fisher-style
+    between/within ratio. Exact end to end on the Q-lattice
+    (``floor(v·2^bits)``, :func:`embedding_gram`'s discipline), so the
+    report is bit-identical across engines and partitionings::
+
+        W_l     = n_l·T_l − Σ_d S_ld²          (n_l²·mean within-dist²)
+        B_l     = Σ_d (N·S_ld − n_l·S_d)²      (n_l²·N²·centroid-dist²)
+        fisher  = B_l·10^6 // (N²·W_l)          (between/within, ppm)
+
+    with S_ld the per-label per-dimension quantized sums, T_l the
+    per-label Σq², S_d the global sums, all exact integers. NULL labels
+    are excluded; ``fisher_ppm`` is NULL when W_l = 0 (all of a label's
+    vectors quantize identically — nothing to normalize by).
+
+    Plan shape: one Arrow pass collapses each batch to label×d partial
+    sums (one int64 matmul-free ``np.add.at`` fold per batch); the
+    groupBy shuffles ``labels × d × batches`` rows — metadata-scale at
+    any corpus size. The final scatter algebra runs on the driver over
+    the labels×d table in arbitrary-precision Python ints (the same
+    centroid-policy collect as :func:`embedding_outliers`), with an
+    explicit decimal(38,0) overflow guard.
+
+    Returns one row per label:
+    ``(label, n_vecs, within_lattice, between_num, fisher_ppm)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not (1 <= q_scale_bits <= 20):
+        raise ValueError(
+            f"label_separability: q_scale_bits must be in [1, 20], "
+            f"got {q_scale_bits}"
+        )
+    scale = float(1 << q_scale_bits)
+    base = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(label_col).cast("long").alias("lab"), F.col(vec_col).alias("v")
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            Q = np.floor(V * scale).astype(np.int64)
+            labs = pdf["lab"].to_numpy()
+            uniq, inv = np.unique(labs, return_inverse=True)
+            d = Q.shape[1]
+            S = np.zeros((len(uniq), d), dtype=np.int64)
+            np.add.at(S, inv, Q)
+            n = np.bincount(inv).astype(np.int64)
+            t = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(t, inv, (Q * Q).sum(axis=1))
+            li = np.repeat(np.arange(len(uniq)), d)
+            di = np.tile(np.arange(d), len(uniq))
+            yield pd.DataFrame(
+                {
+                    "lab": uniq[li],
+                    "di": di.astype(np.int32),
+                    "s": S[li, di],
+                    # n and t ride dim 0 only, so the (lab, di) sum
+                    # reconstructs them without double counting
+                    "n": np.where(di == 0, n[li], 0),
+                    "t": np.where(di == 0, t[li], 0),
+                }
+            )
+
+    agg = (
+        base.mapInPandas(
+            partials, schema="lab long, di int, s long, n long, t long"
+        )
+        .groupBy("lab", "di")
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum("n").alias("n"),
+            F.sum("t").alias("t"),
+        )
+    )
+    rows = agg.collect()  # labels × d — metadata-scale
+    if not rows:
+        raise ValueError("label_separability: no labeled vectors")
+    per: dict = {}
+    for r in rows:
+        e = per.setdefault(int(r["lab"]), {"s": {}, "n": 0, "t": 0})
+        e["s"][int(r["di"])] = int(r["s"])
+        e["n"] += int(r["n"])
+        e["t"] += int(r["t"])
+    dims = sorted(next(iter(per.values()))["s"])
+    N = sum(e["n"] for e in per.values())
+    Sg = {d_: sum(e["s"][d_] for e in per.values()) for d_ in dims}
+    out = []
+    lim = 10**38
+    for lab in sorted(per):
+        e = per[lab]
+        n_l = e["n"]
+        W = n_l * e["t"] - sum(v * v for v in e["s"].values())
+        B = sum(
+            (N * e["s"][d_] - n_l * Sg[d_]) ** 2 for d_ in dims
+        )
+        if W >= lim or B >= lim:
+            raise ValueError(
+                "label_separability: scatter exceeds decimal(38,0) — "
+                "reduce q_scale_bits"
+            )
+        fisher = (B * 10**6) // (N * N * W) if W > 0 else None
+        from decimal import Decimal
+
+        out.append((lab, n_l, Decimal(W), Decimal(B), fisher))
+    return df.sparkSession.createDataFrame(
+        out,
+        "label long, n_vecs long, within_lattice decimal(38,0), "
+        "between_num decimal(38,0), fisher_ppm long",
+    )
