@@ -2783,6 +2783,14 @@ def q192_label_separability(spark, sf_dir):
     return similarity.label_separability(emb, q_scale_bits=10)
 
 
+def q193_interarrival(spark, sf_dir):
+    """Per-event-type cadence: p50/p90/p99 of same-type within-trail
+    inter-arrival gaps — one lag window, then the sort-free histogram
+    lattice at 1-second bins."""
+    ev = _events(spark, sf_dir).select("uuid", "time", "event_id", "event_type")
+    return analytics.interarrival_percentiles(ev, probs=(0.5, 0.9, 0.99))
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2980,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_percentiles_by_bucket": q190_percentiles_by_bucket,
         "q191_mad_outliers": q191_mad_outliers,
         "q192_label_separability": q192_label_separability,
+        "q193_interarrival": q193_interarrival,
     }
 
 
@@ -4643,6 +4652,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pk.p AS BIGINT) AS peak_concurrency,
                    (SELECT min(t) FROM run WHERE r = pk.p) AS peak_time
             FROM pk
+        """,
+        # lag over (uuid, key) with event_id tiebreak; q138's lattice on
+        # 1-second gap bins (floor(gap/1) = gap for integer seconds)
+        "q193_interarrival": f"""
+            WITH e AS ({_E}),
+            g AS (
+              SELECT event_type AS key,
+                     "time" - lag("time") OVER (
+                       PARTITION BY uuid, event_type
+                       ORDER BY "time", event_id) AS gap
+              FROM e),
+            pb AS (
+              SELECT key, gap AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+            c AS (
+              SELECT key, bin,
+                     CAST(SUM(cnt) OVER (PARTITION BY key ORDER BY bin)
+                          AS HUGEINT) AS cum,
+                     CAST(SUM(cnt) OVER (PARTITION BY key) AS HUGEINT) AS tot
+              FROM pb)
+            SELECT key, CAST(MAX(tot) AS BIGINT) AS n_values,
+                   MIN(CASE WHEN cum * 1000000 >= 500000 * tot THEN bin END) AS p50_bin,
+                   MIN(CASE WHEN cum * 1000000 >= 500000 * tot THEN bin END) * CAST(1.0 AS DOUBLE) AS p50,
+                   MIN(CASE WHEN cum * 1000000 >= 900000 * tot THEN bin END) AS p90_bin,
+                   MIN(CASE WHEN cum * 1000000 >= 900000 * tot THEN bin END) * CAST(1.0 AS DOUBLE) AS p90,
+                   MIN(CASE WHEN cum * 1000000 >= 990000 * tot THEN bin END) AS p99_bin,
+                   MIN(CASE WHEN cum * 1000000 >= 990000 * tot THEN bin END) * CAST(1.0 AS DOUBLE) AS p99
+            FROM c GROUP BY key
         """,
         # q121's Q10 unnest; W = n·T − Σ S², B = Σ (N·S_l − n·S)², all
         # HUGEINT; fisher = B·1e6 // (N²·W), NULL at W = 0

@@ -1487,3 +1487,22 @@ def test_mad_outliers_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         analytics.mad_outliers_by_key(df, k=0)
+
+
+def test_interarrival_percentiles_hand_computed(spark):
+    """Gaps partition per (trail, key): u1 clicks at 0/10/30 -> gaps
+    10,20; u2's lone click adds nothing; view events interleaved in the
+    same trail don't break click gaps. Equal timestamps give a 0 gap."""
+    rows = [
+        ("u1", 0, 1, "click"), ("u1", 5, 2, "view"), ("u1", 10, 3, "click"),
+        ("u1", 30, 4, "click"), ("u2", 100, 5, "click"),
+        ("u3", 7, 6, "view"), ("u3", 7, 7, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string")
+    got = {r.key: r for r in analytics.interarrival_percentiles(
+        df, probs=(0.5, 0.99)).collect()}
+    assert got["click"].n_values == 2
+    assert (got["click"].p50, got["click"].p99) == (10.0, 20.0)
+    assert got["view"].n_values == 1
+    assert got["view"].p50 == 0.0  # the u3 same-timestamp pair

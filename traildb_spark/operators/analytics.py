@@ -3564,3 +3564,39 @@ def mad_outliers_by_key(
             F.col("mad").alias("mad_cents"),
         )
     )
+
+
+def interarrival_percentiles(
+    df: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    key_col: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    tiebreak_col: str = "event_id",
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Inter-arrival-time percentiles per key: how long between a
+    trail's consecutive events OF THE SAME TYPE ("users click every
+    ~40s at p50, every 20min at p99") — the cadence report behind
+    session-gap tuning and robot thresholds (`robot_trails` flags the
+    too-regular tail; this maps the whole distribution). Gaps come from
+    one per-(trail, key) lag window with the deterministic
+    ``tiebreak_col`` ordering (equal timestamps yield 0-second gaps,
+    kept — they are real cadence); each trail's first event of a key
+    has no predecessor and contributes nothing. Selection is
+    :func:`histogram_percentiles`' exact-integer nearest-rank lattice.
+
+    Plan shape: ONE uuid-hash shuffle for the lag window, then the
+    histogram aggregate (map-side combined, gap-lattice-sized state);
+    never an event-scale sort beyond the per-partition window sort.
+    """
+    w = Window.partitionBy(uuid_col, key_col).orderBy(
+        time_col, tiebreak_col
+    )
+    gaps = df.withColumn(
+        "__gap",
+        (F.col(time_col) - F.lag(time_col).over(w)).cast("double"),
+    ).filter(F.col("__gap").isNotNull())
+    return histogram_percentiles(
+        gaps, probs, key_col=key_col, value_col="__gap", bin_width=bin_width
+    )
