@@ -2791,6 +2791,22 @@ def q193_interarrival(spark, sf_dir):
     return analytics.interarrival_percentiles(ev, probs=(0.5, 0.9, 0.99))
 
 
+def q194_tfidf_cosine(spark, sf_dir):
+    """Weighted near-dup pairs: tf·idf cosine ≥ 0.5 on a deterministic
+    ~400-doc md5 panel — whole-bit idf weights, cross-multiplied
+    decimal lattice threshold, squared-cosine ppm score (q161 panel
+    discipline: the all-pairs stage stays flat across SF)."""
+    from traildb_spark.operators.curation import hash_bucket
+
+    docs_all = _load(spark, sf_dir, "documents")
+    n_all = docs_all.count()
+    mod = max(1, (n_all + 399) // 400)
+    docs = docs_all.filter(
+        hash_bucket(F.col("doc_id"), mod, salt="tfpanel:") == 0
+    )
+    return dedup.tfidf_cosine_pairs(docs, min_cosine_ppm=500_000)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2989,6 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_mad_outliers": q191_mad_outliers,
         "q192_label_separability": q192_label_separability,
         "q193_interarrival": q193_interarrival,
+        "q194_tfidf_cosine": q194_tfidf_cosine,
     }
 
 
@@ -4652,6 +4669,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pk.p AS BIGINT) AS peak_concurrency,
                    (SELECT min(t) FROM run WHERE r = pk.p) AS peak_time
             FROM pk
+        """,
+        # tfpanel md5 panel; whole-bit idf weights (q183), df cap 1000,
+        # HUGEINT cross-multiplied cos² lattice at t = 0.5 (t² = 2.5e11)
+        "q194_tfidf_cosine": f"""
+            WITH pm AS (
+              SELECT greatest(1, (COUNT(*) + 399) // 400) AS m
+              FROM documents),
+            d AS (
+              SELECT doc_id, text FROM documents CROSS JOIN pm
+              WHERE CAST(('0x' || substr(md5('tfpanel:' || doc_id), 1, 15))
+                         AS BIGINT) % pm.m = 0),
+            t AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM d),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM t GROUP BY 1, 2),
+            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY term HAVING count(*) <= 1000),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+            w AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * (length(bin(nd.n)) - length(bin(dfq.df))) AS w
+              FROM tf JOIN dfq USING (term) CROSS JOIN nd
+              WHERE tf.tf * (length(bin(nd.n)) - length(bin(dfq.df))) > 0),
+            nrm AS (SELECT doc_id, CAST(SUM(w * w) AS HUGEINT) AS n2
+                    FROM w GROUP BY doc_id),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(SUM(a.w * b.w) AS HUGEINT) AS dot
+              FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT p.id_a, p.id_b, CAST(p.dot AS BIGINT) AS dot,
+                   CAST(na.n2 AS BIGINT) AS norm_a,
+                   CAST(nb.n2 AS BIGINT) AS norm_b,
+                   CAST((p.dot * p.dot * 1000000) // (na.n2 * nb.n2)
+                        AS BIGINT) AS cos2_ppm
+            FROM p
+            JOIN nrm na ON na.doc_id = p.id_a
+            JOIN nrm nb ON nb.doc_id = p.id_b
+            WHERE p.dot * p.dot * 1000000000000
+                  >= CAST(250000000000 AS HUGEINT) * na.n2 * nb.n2
         """,
         # lag over (uuid, key) with event_id tiebreak; q138's lattice on
         # 1-second gap bins (floor(gap/1) = gap for integer seconds)

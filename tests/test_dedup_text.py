@@ -1906,3 +1906,38 @@ def test_label_separability_degenerate_and_nulls(spark):
     assert got[1].fisher_ppm is None and int(got[1].within_lattice) == 0
     assert got[2].fisher_ppm is not None
     assert sum(r.n_vecs for r in got.values()) == 4
+
+
+def test_tfidf_cosine_pairs_hand_computed(spark):
+    """N=4 whole-bit idf: apple/banana weight 1, singletons weight 2.
+    Duplicates hit cos2 = 1e6 exactly; the d1-d4 pair (cos = sqrt(0.1))
+    passes 0.3 but not 0.5; disjoint d3 pairs with nobody."""
+    rows = [("d1", "apple banana"), ("d2", "apple banana"),
+            ("d3", "cherry durian egg"), ("d4", "apple zebra")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    hi = {(r.id_a, r.id_b): r for r in
+          dedup.tfidf_cosine_pairs(df, min_cosine_ppm=500_000).collect()}
+    assert set(hi) == {("d1", "d2")}
+    r = hi[("d1", "d2")]
+    assert (r.dot, r.norm_a, r.norm_b, r.cos2_ppm) == (2, 2, 2, 1_000_000)
+    lo = {(r.id_a, r.id_b): r.cos2_ppm for r in
+          dedup.tfidf_cosine_pairs(df, min_cosine_ppm=300_000).collect()}
+    assert lo == {("d1", "d2"): 1_000_000,
+                  ("d1", "d4"): 100_000, ("d2", "d4"): 100_000}
+
+
+def test_tfidf_cosine_pairs_ubiquity_cap(spark):
+    """A term over the df cap drops from candidates AND norms — the
+    d1-d2 pair survives on banana alone at full cosine."""
+    rows = [("d1", "apple banana"), ("d2", "apple banana"),
+            ("d3", "apple cherry"), ("d4", "apple zebra")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {(r.id_a, r.id_b): r for r in dedup.tfidf_cosine_pairs(
+        df, max_ids_per_term=2, min_cosine_ppm=500_000).collect()}
+    assert set(got) == {("d1", "d2")}
+    assert got[("d1", "d2")].cos2_ppm == 1_000_000
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup.tfidf_cosine_pairs(df, max_ids_per_term=1)
+    with _pytest.raises(ValueError):
+        dedup.tfidf_cosine_pairs(df, min_cosine_ppm=0)

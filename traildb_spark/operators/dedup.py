@@ -2439,3 +2439,118 @@ def pair_set_metrics(
             ).alias("f1_ppm"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ids_per_term: int = 1000,
+    min_cosine_ppm: int = 500_000,
+) -> DataFrame:
+    """Weighted near-duplicate pairs: tf·idf cosine similarity between
+    every pair of documents sharing at least one informative term — the
+    frequency-weighted sibling of :func:`set_jaccard_pairs` (Jaccard
+    treats "the the the breakthrough" and "breakthrough" alike; tf-idf
+    cosine ranks by how much DISTINCTIVE vocabulary two docs share).
+    Exact integers end to end: weights are ``tf · idf_bits`` with the
+    whole-bit idf (``len(bin(N)) − len(bin(df))`` —
+    `text.doc_keywords`' integer-log discipline), and the threshold
+    evaluates as the cross-multiplied lattice::
+
+        cos ≥ t  ⇔  dot²·10¹²  ≥  t_ppm² · Σw_a² · Σw_b²
+
+    in decimal(38,0) — no sqrt, no float, bit-identical across engines.
+    ``cos2_ppm = dot²·10⁶ // (Σw_a²·Σw_b²)`` (SQUARED cosine, ppm) is
+    the reported rank score.
+
+    Consistency contract (same as `set_jaccard_pairs`): a term whose
+    document frequency exceeds ``max_ids_per_term`` is excluded from
+    candidates AND norms — the skew guard that bounds the self-join
+    shuffle by ``terms × cap²`` is part of the semantics, mirrored by
+    oracles. Zero-idf terms (df > N/2) carry zero weight and are
+    dropped wholesale; pairs sharing only those terms have cosine 0
+    and cannot pass any positive threshold, so nothing is lost —
+    ``min_cosine_ppm`` must therefore be ≥ 1.
+
+    Returns ``(id_a, id_b, dot, norm_a, norm_b, cos2_ppm)`` with
+    ``id_a < id_b``.
+    """
+    from .text import tokens
+
+    if max_ids_per_term < 2:
+        raise ValueError(
+            "tfidf_cosine_pairs: max_ids_per_term must be >= 2, "
+            f"got {max_ids_per_term}"
+        )
+    if not (1 <= min_cosine_ppm <= 1_000_000):
+        raise ValueError(
+            "tfidf_cosine_pairs: min_cosine_ppm must be in [1, 1e6], "
+            f"got {min_cosine_ppm}"
+        )
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = t.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_ids_per_term)
+    )
+    n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(n_docs)
+        .select(
+            "id",
+            "term",
+            (
+                F.col("tf")
+                * (F.length(F.bin(F.col("__n"))) - F.length(F.bin(F.col("df"))))
+            ).cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    dec = "decimal(38,0)"
+    j = (
+        dots.join(
+            norms.select(F.col("id").alias("id_a"), F.col("n2").alias("norm_a")),
+            "id_a",
+        )
+        .join(
+            norms.select(F.col("id").alias("id_b"), F.col("n2").alias("norm_b")),
+            "id_b",
+        )
+    )
+    d_, na_, nb_ = (
+        F.col("dot").cast(dec),
+        F.col("norm_a").cast(dec),
+        F.col("norm_b").cast(dec),
+    )
+    t2 = F.lit(int(min_cosine_ppm) ** 2).cast(dec)
+    return (
+        j.filter(d_ * d_ * F.lit(10**12).cast(dec) >= t2 * na_ * nb_)
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            "norm_a",
+            "norm_b",
+            F.expr(
+                "CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000"
+                " div (CAST(norm_a AS DECIMAL(38,0)) * norm_b) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+    )
