@@ -2807,6 +2807,33 @@ def q194_tfidf_cosine(spark, sf_dir):
     return dedup.tfidf_cosine_pairs(docs, min_cosine_ppm=500_000)
 
 
+def q195_pcx_decode(spark, sf_dir):
+    """PCX decode: RLE 8-bit fixtures alternating identity-VGA-palette /
+    paletteless encodings of the SAME closed form px(y, x) =
+    (y*23 + x*3 + id*11) % 256 on a (3 + id%4) x (4 + id%5) canvas —
+    identical rounded stats either way, proving the RLE walk, the
+    even-bytes_per_line pad, and the palette trailer path."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.multimodal import make_pcx
+
+    @F.pandas_udf("binary")
+    def pcx_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            h, w = 3 + i % 4, 4 + i % 5
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = ((yy * 23 + xx * 3 + i * 11) % 256).astype(np.uint8)
+            out.append(make_pcx(g, vga_palette=(i % 2 == 0)))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "image", pcx_payload, cache_name="pcx")
+    return multimodal.image_luma_stats(media)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3006,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_label_separability": q192_label_separability,
         "q193_interarrival": q193_interarrival,
         "q194_tfidf_cosine": q194_tfidf_cosine,
+        "q195_pcx_decode": q195_pcx_decode,
     }
 
 
@@ -4916,6 +4944,28 @@ def oracle_sql() -> dict[str, str]:
             ), t AS (
               SELECT doc_id, w, h,
                      [ ((k // w) * 23 + (k % w) * 11 + doc_id * 3) % 256
+                       for k in generate_series(0, h * w - 1) ] AS px
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(list_sum(px) AS BIGINT) AS luma_sum,
+                   CAST(list_min(px) AS INT) AS luma_min,
+                   CAST(list_max(px) AS INT) AS luma_max
+            FROM t
+        """,
+        "q195_pcx_decode": """
+            -- identity VGA palette (or paletteless raw indices): rounded
+            -- luma == (y*23 + x*3 + id*11) % 256 on (3+id%4) x (4+id%5)
+            WITH a AS (
+              SELECT doc_id,
+                     4 + CAST(doc_id % 5 AS INT) AS w,
+                     3 + CAST(doc_id % 4 AS INT) AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ), t AS (
+              SELECT doc_id, w, h,
+                     [ ((k // w) * 23 + (k % w) * 3 + doc_id * 11) % 256
                        for k in generate_series(0, h * w - 1) ] AS px
               FROM a
             )

@@ -1602,3 +1602,47 @@ def test_ico_decode_dib_png_and_largest_entry():
         decode_ico(b"\x00\x00\x02\x00" + b"\x00" * 20)  # CUR, not ICO
     with pytest.raises(ValueError):
         decode_ico(b"\x00\x00\x01\x00\x00\x00")  # empty directory
+
+
+def test_pcx_decode_rle_palette_planar_and_gates():
+    """PCX round-trips: identity-VGA-palette and paletteless payloads of
+    the same canvas decode to the index (rounded); values >= 0xC0 are
+    RLE-escaped; odd widths exercise the even bytes_per_line pad; the
+    24-bit planar path and the EGA-depth/truncation gates hold."""
+    import struct as _struct
+
+    from traildb_spark.operators.multimodal import (
+        _gray_pixels, decode_image_size, decode_pcx, make_pcx,
+    )
+
+    yy, xx = np.mgrid[0:5, 0:7]  # odd width -> bpl pad byte
+    g = ((yy * 61 + xx * 11 + 150) % 256).astype(np.uint8)  # hits >= 0xC0
+    assert g.max() >= 0xC0
+    pal = decode_pcx(make_pcx(g, vga_palette=True))
+    raw = decode_pcx(make_pcx(g, vga_palette=False))
+    assert np.array_equal(np.round(pal), g)
+    assert np.array_equal(raw, g)
+    assert decode_image_size(make_pcx(g)) == (7, 5)
+    assert np.array_equal(np.round(_gray_pixels(make_pcx(g))), g)
+    # runs longer than 63 split
+    flat = np.full((2, 200), 0xC5, dtype=np.uint8)
+    assert np.array_equal(decode_pcx(make_pcx(flat, vga_palette=False)), flat)
+    # 24-bit planar: 3 planes per scanline, constant color -> BT.601
+    w, h = 4, 2
+    hdr = bytearray(128)
+    hdr[0], hdr[1], hdr[2], hdr[3] = 0x0A, 5, 1, 8
+    hdr[4:12] = _struct.pack("<HHHH", 0, 0, w - 1, h - 1)
+    hdr[65] = 3
+    hdr[66:68] = _struct.pack("<H", w)
+    row = bytes([0xC0 | w, 100, 0xC0 | w, 150, 0xC0 | w, 200])
+    out = decode_pcx(bytes(hdr) + row * h)
+    want = 0.299 * 100 + 0.587 * 150 + 0.114 * 200
+    assert out.shape == (h, w) and np.allclose(out, want)
+    with pytest.raises(ValueError):  # EGA 4-bit
+        bad = bytearray(make_pcx(g)); bad[3] = 4
+        decode_pcx(bytes(bad))
+    with pytest.raises(ValueError):  # truncated RLE
+        decode_pcx(bytes(make_pcx(g, vga_palette=False))[:-3][:130])
+    with pytest.raises(ValueError):  # bpl shorter than row
+        bad = bytearray(make_pcx(g)); bad[66:68] = _struct.pack("<H", 1)
+        decode_pcx(bytes(bad))

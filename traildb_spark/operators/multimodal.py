@@ -115,6 +115,14 @@ def decode_image_size(content: bytes) -> tuple[int, int]:
     if content[:2] == b"BM" and len(content) >= 26:
         w, h = struct.unpack("<ii", content[18:26])
         return int(w), int(abs(h))
+    if (
+        len(content) >= 128
+        and content[0] == 0x0A
+        and content[2] == 1
+        and content[1] in (0, 2, 3, 4, 5)
+    ):
+        xmin, ymin, xmax, ymax = struct.unpack("<HHHH", content[4:12])
+        return xmax - xmin + 1, ymax - ymin + 1
     raise ValueError("unrecognized image container")
 
 
@@ -188,6 +196,14 @@ def _gray_pixels(content: bytes) -> np.ndarray:
         return decode_tga(content)
     if content[:4] == b"\x00\x00\x01\x00":
         return decode_ico(content)
+    if (
+        len(content) >= 128
+        and content[0] == 0x0A
+        and content[2] == 1
+        and content[1] in (0, 2, 3, 4, 5)
+        and content[3] in (1, 2, 4, 8)
+    ):
+        return decode_pcx(content)
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos, width, height, channels = 8, None, None, None
@@ -1908,3 +1924,104 @@ def make_bmp(gray: np.ndarray) -> bytes:
     file_hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, stride * h, 2835, 2835, 256, 0)
     return file_hdr + info + pal.tobytes() + body.tobytes()
+
+
+def decode_pcx(content: bytes) -> np.ndarray:
+    """Decode a ZSoft PCX payload to float gray (H, W) — the DOS-era
+    paint format still common in legacy/game corpora (public ZSoft PCX
+    technical reference): 128-byte little-endian header, byte-oriented
+    RLE (two high bits set = run of ``byte & 0x3F``, next byte the
+    value; anything < 0xC0 is a literal), ``bytes_per_line`` even
+    padding per plane per scanline. Supported rasters: 8-bit single
+    plane (VGA palette trailer ``0x0C + 768 bytes`` → BT.601 luma on
+    the palette RGB; no trailer → indices ARE gray), and 24-bit as 3
+    planes per scanline (R row, G row, B row → BT.601). 1/2/4-bit EGA
+    depths raise — the honest-gate contract."""
+    if len(content) < 128 or content[0] != 0x0A:
+        raise ValueError("not a PCX payload")
+    version, encoding, bpp = content[1], content[2], content[3]
+    if encoding != 1:
+        raise ValueError(f"PCX: unknown encoding {encoding}")
+    xmin, ymin, xmax, ymax = struct.unpack("<HHHH", content[4:12])
+    w, h = xmax - xmin + 1, ymax - ymin + 1
+    if w <= 0 or h <= 0:
+        raise ValueError("PCX: bad dimensions")
+    nplanes = content[65]
+    (bpl,) = struct.unpack("<H", content[66:68])
+    if bpp != 8 or nplanes not in (1, 3):
+        raise ValueError(
+            f"PCX: {bpp}-bit x {nplanes}-plane rasters need an EGA decoder"
+        )
+    if bpl < w:
+        raise ValueError("PCX: bytes_per_line shorter than the row")
+    data = content[128:]
+    total = h * nplanes * bpl
+    out = np.empty(total, dtype=np.uint8)
+    pos = filled = 0
+    n = len(data)
+    while filled < total:
+        if pos >= n:
+            raise ValueError("PCX: truncated RLE stream")
+        b = data[pos]
+        pos += 1
+        if b >= 0xC0:
+            if pos >= n:
+                raise ValueError("PCX: truncated RLE run")
+            count = min(b & 0x3F, total - filled)
+            out[filled : filled + count] = data[pos]
+            pos += 1
+            filled += count
+        else:
+            out[filled] = b
+            filled += 1
+    if nplanes == 1:
+        idx = out.reshape(h, bpl)[:, :w]
+        # VGA palette trailer: version 5 files append 0x0C + 256 RGB
+        if version == 5 and len(content) >= 128 + 769 and content[-769] == 0x0C:
+            pal = np.frombuffer(content[-768:], dtype=np.uint8).reshape(256, 3)
+            rgb = pal[idx].astype(np.float64)
+            return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        return idx.astype(np.float64)
+    planes = out.reshape(h, 3, bpl)[:, :, :w].astype(np.float64)
+    return (
+        0.299 * planes[:, 0] + 0.587 * planes[:, 1] + 0.114 * planes[:, 2]
+    )
+
+
+def make_pcx(gray: np.ndarray, vga_palette: bool = True) -> bytes:
+    """Deterministic 8-bit single-plane PCX encoder (fixture generator):
+    spec RLE (values >= 0xC0 always escaped, runs capped at 63, never
+    crossing scanlines), even ``bytes_per_line`` padding, optional
+    identity VGA palette trailer — either way decoded luma rounds to
+    the input index exactly."""
+    a = np.asarray(gray, dtype=np.uint8)
+    h, w = a.shape
+    bpl = w + (w & 1)
+    hdr = bytearray(128)
+    hdr[0], hdr[1], hdr[2], hdr[3] = 0x0A, 5, 1, 8
+    hdr[4:12] = struct.pack("<HHHH", 0, 0, w - 1, h - 1)
+    hdr[12:16] = struct.pack("<HH", 72, 72)
+    hdr[65] = 1
+    hdr[66:68] = struct.pack("<H", bpl)
+    hdr[68:70] = struct.pack("<H", 1)
+    rows = np.zeros((h, bpl), dtype=np.uint8)
+    rows[:, :w] = a
+    parts = []
+    for row in rows:
+        i = 0
+        while i < len(row):
+            j = i
+            while j + 1 < len(row) and row[j + 1] == row[i] and j - i < 62:
+                j += 1
+            count = j - i + 1
+            if count > 1 or row[i] >= 0xC0:
+                parts.append(bytes([0xC0 | count, row[i]]))
+            else:
+                parts.append(bytes([row[i]]))
+            i = j + 1
+    body = b"".join(parts)
+    tail = b""
+    if vga_palette:
+        pal = np.repeat(np.arange(256, dtype=np.uint8), 3)
+        tail = b"\x0c" + pal.tobytes()
+    return bytes(hdr) + body + tail
