@@ -2834,6 +2834,47 @@ def q195_pcx_decode(spark, sf_dir):
     return multimodal.image_luma_stats(media)
 
 
+def q196_voc_decode(spark, sf_dir):
+    """Creative Voice (.voc) decode: 16-bit type-9 fixtures, odd ids
+    split across a type-2 continuation behind a skipped text block —
+    same samples either way. s[i] = (i*41 + id*19) % 3801 - 1900,
+    n = 45 + id%45, rate = 11025 + 1000*(id%3); the oracle recomputes
+    every stat from the closed form (q185's fourth sibling)."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.multimodal import make_voc
+
+    @F.pandas_udf("binary")
+    def voc_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            n = 45 + i % 45
+            rate = 11025 + 1000 * (i % 3)
+            s = (
+                (np.arange(n, dtype=np.int64) * 41 + i * 19) % 3801 - 1900
+            ).astype("int16")
+            out.append(
+                make_voc(s, rate, split=(i % 2 == 1), text=b"fx")
+            )
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "audio", voc_payload, cache_name="voc")
+    feats = multimodal.extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_samples",
+        "duration_ms",
+        F.round(F.col("rms"), 6).alias("rms"),
+        "zcr",
+        "peak",
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3034,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_interarrival": q193_interarrival,
         "q194_tfidf_cosine": q194_tfidf_cosine,
         "q195_pcx_decode": q195_pcx_decode,
+        "q196_voc_decode": q196_voc_decode,
     }
 
 
@@ -4954,6 +4996,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(px) AS INT) AS luma_min,
                    CAST(list_max(px) AS INT) AS luma_max
             FROM t
+        """,
+        "q196_voc_decode": """
+            -- VOC 16-bit PCM is lossless (split or not): s[i] =
+            -- (i*41 + id*19) % 3801 - 1900, n = 45 + id%45,
+            -- rate = 11025 + 1000*(id%3)
+            WITH a AS (
+              SELECT doc_id,
+                     45 + CAST(doc_id % 45 AS BIGINT) AS n,
+                     CAST(11025 + 1000 * (doc_id % 3) AS INT) AS rate
+              FROM documents WHERE doc_id % 3 = 1
+            ), s AS (
+              SELECT doc_id, n, rate,
+                     [ (i*41 + doc_id*19) % 3801 - 1900
+                       for i in generate_series(0, n - 1) ] AS xs
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   rate AS sample_rate,
+                   1 AS channels,
+                   n AS n_samples,
+                   n * 1000 // rate AS duration_ms,
+                   ROUND(sqrt(CAST(list_sum(list_transform(xs, x -> x*x)) AS DOUBLE) / n), 6) AS rms,
+                   CAST(len(list_filter(generate_series(2, n), i -> xs[i-1] * xs[i] < 0)) AS BIGINT) AS zcr,
+                   CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
+            FROM s
         """,
         "q195_pcx_decode": """
             -- identity VGA palette (or paletteless raw indices): rounded

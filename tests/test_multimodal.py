@@ -1646,3 +1646,44 @@ def test_pcx_decode_rle_palette_planar_and_gates():
     with pytest.raises(ValueError):  # bpl shorter than row
         bad = bytearray(make_pcx(g)); bad[66:68] = _struct.pack("<H", 1)
         decode_pcx(bytes(bad))
+
+
+def test_voc_decode_blocks_and_gates():
+    """VOC round-trips: plain vs continuation-split encodings decode to
+    the same samples; the text block is skipped; a type-1 divisor-rate
+    8-bit block and a silence block decode per spec; checksum/codec/
+    truncation gates raise."""
+    import struct as _struct
+
+    from traildb_spark.operators.multimodal import (
+        decode_audio, decode_voc, make_voc,
+    )
+
+    s = ((np.arange(70, dtype=np.int64) * 37) % 3001 - 1500).astype(np.int16)
+    plain = decode_voc(make_voc(s, 11025))
+    split = decode_voc(make_voc(s, 11025, split=True, text=b"fixture"))
+    assert plain[0] == split[0] == 11025
+    assert plain[1] == split[1] == 1
+    assert np.array_equal(plain[2], s) and np.array_equal(split[2], s)
+    # dispatch by magic
+    assert np.array_equal(decode_audio(make_voc(s, 8000))[2], s)
+    # type 1 (divisor rate, 8-bit unsigned) + type 3 silence
+    hdr = b"Creative Voice File\x1a" + _struct.pack(
+        "<HHH", 26, 0x010A, (~0x010A + 0x1234) & 0xFFFF)
+    snd = bytes([131, 0]) + bytes([128, 255, 0, 128])  # div 131 -> 8000 Hz
+    sil = _struct.pack("<HB", 2, 131)  # 3 zero samples
+    voc = (hdr + b"\x01" + len(snd).to_bytes(3, "little") + snd
+           + b"\x03" + len(sil).to_bytes(3, "little") + sil + b"\x00")
+    rate, ch, out = decode_voc(voc)
+    assert rate == 1_000_000 // (256 - 131) and ch == 1
+    assert list(out) == [0, 127 << 8, -128 << 8, 0, 0, 0, 0]
+    with pytest.raises(ValueError):  # bad checksum
+        decode_voc(b"Creative Voice File\x1a" + _struct.pack("<HHH", 26, 0x010A, 0)
+                   + b"\x00")
+    with pytest.raises(ValueError):  # ADPCM codec
+        bad = bytes([131, 1]) + b"\x00\x00"
+        decode_voc(hdr + b"\x01" + len(bad).to_bytes(3, "little") + bad + b"\x00")
+    with pytest.raises(ValueError):  # continuation before sound data
+        decode_voc(hdr + b"\x02" + (2).to_bytes(3, "little") + b"\x00\x00" + b"\x00")
+    with pytest.raises(ValueError):  # truncated block body
+        decode_voc(hdr + b"\x09" + (99).to_bytes(3, "little") + b"\x00" * 12)

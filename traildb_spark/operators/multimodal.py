@@ -1842,6 +1842,8 @@ def decode_audio(content: bytes) -> tuple[int, int, np.ndarray]:
         return decode_aiff(content)
     if content[:4] == b".snd":
         return decode_au(content)
+    if content[:20] == _VOC_MAGIC:
+        return decode_voc(content)
     return decode_wav(content)
 
 
@@ -2025,3 +2027,115 @@ def make_pcx(gray: np.ndarray, vga_palette: bool = True) -> bytes:
         pal = np.repeat(np.arange(256, dtype=np.uint8), 3)
         tail = b"\x0c" + pal.tobytes()
     return bytes(hdr) + body + tail
+
+
+_VOC_MAGIC = b"Creative Voice File\x1a"
+
+
+def decode_voc(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a Creative Voice (.voc) payload → (sample_rate, channels,
+    samples int16) — the fourth classic PCM container (public Creative
+    Voice File format spec): 26-byte header with a ones-complement
+    version checksum, then typed blocks with 24-bit little-endian
+    lengths. Blocks: 1 sound data (rate divisor ``1e6/(256-div)``,
+    codec byte), 2 continuation (previous block's codec), 3 silence
+    (zero samples appended), 4 marker / 5 text (skipped), 9 extended
+    sound data (explicit u32 rate, bits, channels, u16 codec), 0
+    terminator. Codecs: 8-bit unsigned PCM (scaled to int16 like WAV's)
+    and 16-bit signed LE; ADPCM variants raise — the honest-gate
+    contract."""
+    if content[:20] != _VOC_MAGIC or len(content) < 26:
+        raise ValueError("not a VOC payload")
+    (hdr_size, version, check) = struct.unpack("<HHH", content[20:26])
+    if hdr_size < 26 or ((~version + 0x1234) & 0xFFFF) != check:
+        raise ValueError("VOC: bad header size or version checksum")
+
+    def pcm(data: bytes, codec: int) -> np.ndarray:
+        if codec == 0:  # 8-bit unsigned
+            return (
+                np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+            ) << 8
+        if codec == 4:  # 16-bit signed LE
+            return np.frombuffer(
+                data[: (len(data) // 2) * 2], dtype="<i2"
+            ).astype(np.int16)
+        raise ValueError(f"VOC: codec {codec} needs an ADPCM decoder")
+
+    pos = hdr_size
+    rate: int | None = None
+    channels = 1
+    codec: int | None = None
+    parts: list[np.ndarray] = []
+    while pos < len(content):
+        btype = content[pos]
+        if btype == 0:
+            break
+        if pos + 4 > len(content):
+            raise ValueError("VOC: truncated block header")
+        blen = int.from_bytes(content[pos + 1 : pos + 4], "little")
+        data = content[pos + 4 : pos + 4 + blen]
+        if len(data) < blen:
+            raise ValueError("VOC: truncated block body")
+        if btype == 1:
+            if blen < 2:
+                raise ValueError("VOC: short sound-data block")
+            div, codec = data[0], data[1]
+            if rate is None:
+                rate = 1_000_000 // (256 - div)
+            parts.append(pcm(data[2:], codec))
+        elif btype == 2:
+            if codec is None:
+                raise ValueError("VOC: continuation before sound data")
+            parts.append(pcm(data, codec))
+        elif btype == 3:
+            if blen < 3:
+                raise ValueError("VOC: short silence block")
+            n = struct.unpack("<H", data[:2])[0] + 1
+            if rate is None:
+                rate = 1_000_000 // (256 - data[2])
+            parts.append(np.zeros(n, dtype=np.int16))
+        elif btype in (4, 5):  # marker / text: metadata, no samples
+            pass
+        elif btype == 9:
+            if blen < 12:
+                raise ValueError("VOC: short extended sound-data block")
+            r, bits, ch, cod = struct.unpack("<IBBH", data[:8])
+            if bits not in (8, 16) or (bits == 8) != (cod == 0):
+                raise ValueError(
+                    f"VOC: bits {bits} / codec {cod} mismatch"
+                )
+            rate, channels, codec = int(r), int(ch), int(cod)
+            parts.append(pcm(data[12:], codec))
+        else:
+            raise ValueError(f"VOC: block type {btype} not supported")
+        pos += 4 + blen
+    if rate is None or not parts:
+        raise ValueError("VOC: no sound data")
+    return int(rate), int(channels), np.concatenate(parts)
+
+
+def make_voc(
+    samples: np.ndarray,
+    rate: int,
+    split: bool = False,
+    text: bytes = b"",
+) -> bytes:
+    """Deterministic mono 16-bit-LE VOC encoder (fixture generator):
+    correct version checksum, optional leading text block (proves the
+    skip walk), type 9 extended sound data, optionally split across a
+    type 2 continuation (proves codec carry-over), terminator."""
+    s = np.asarray(samples, dtype=np.int16).astype("<i2").tobytes()
+    hdr = _VOC_MAGIC + struct.pack(
+        "<HHH", 26, 0x010A, (~0x010A + 0x1234) & 0xFFFF
+    )
+    blocks = b""
+    if text:
+        body = text + b"\x00"
+        blocks += b"\x05" + len(body).to_bytes(3, "little") + body
+    cut = (len(s) // 4) * 2 if split else len(s)
+    head = struct.pack("<IBBH", int(rate), 16, 1, 4) + b"\x00" * 4 + s[:cut]
+    blocks += b"\x09" + len(head).to_bytes(3, "little") + head
+    if split and cut < len(s):
+        rest = s[cut:]
+        blocks += b"\x02" + len(rest).to_bytes(3, "little") + rest
+    return hdr + blocks + b"\x00"
