@@ -2875,6 +2875,36 @@ def q196_voc_decode(spark, sf_dir):
     )
 
 
+def q197_avi_decode(spark, sf_dir):
+    """Uncompressed AVI decode: identity-palette DIB frames with the
+    closed form p[f, y*6+x] = (id*5 + f*17 + (y*6+x)*3) % 256 over
+    n = 2 + id % 4 frames of 6×5, stride-2 sampling — proving the RIFF
+    hdrl/movi walk and the synthesized-BMP frame route through the
+    same kernel as q94's Y4M path."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.multimodal import make_avi
+
+    @F.pandas_udf("binary")
+    def avi_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            n, h, w = 2 + i % 4, 5, 6
+            base = np.arange(h * w, dtype=np.int64)
+            frames = np.stack(
+                [((i * 5 + f * 17 + base * 3) % 256).astype(np.uint8).reshape(h, w)
+                 for f in range(n)]
+            )
+            out.append(make_avi(frames, fps=10))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "video", avi_payload, cache_name="avi")
+    return multimodal.extract_video_frames(media, every_n=2)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3076,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_tfidf_cosine": q194_tfidf_cosine,
         "q195_pcx_decode": q195_pcx_decode,
         "q196_voc_decode": q196_voc_decode,
+        "q197_avi_decode": q197_avi_decode,
     }
 
 
@@ -6399,6 +6430,28 @@ def oracle_sql() -> dict[str, str]:
               FROM per)
             SELECT day, COUNT(DISTINCT uuid) AS active_trails
             FROM sp GROUP BY day
+        """,
+        "q197_avi_decode": """
+            -- identity-palette DIB frames: rounded luma p[f,i] =
+            -- (id*5 + f*17 + i*3) % 256 over 6x5 frames, n = 2 + id % 4,
+            -- stride 2 (q94's shape on the AVI container)
+            WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+            f AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, (2 + doc_id % 4) - 1, 2)) AS frame_idx
+              FROM v),
+            px AS (
+              SELECT doc_id, frame_idx, unnest(generate_series(0, 29)) AS i
+              FROM f)
+            SELECT doc_id AS media_id,
+                   CAST(frame_idx AS INTEGER) AS frame_idx,
+                   CAST(6 AS INTEGER) AS width,
+                   CAST(5 AS INTEGER) AS height,
+                   CAST(2 + doc_id % 4 AS INTEGER) AS n_frames,
+                   CAST(SUM((doc_id * 5 + frame_idx * 17 + i * 3) % 256) AS BIGINT) AS luma_sum,
+                   CAST(MAX((doc_id * 5 + frame_idx * 17 + i * 3) % 256) AS INTEGER) AS luma_max
+            FROM px
+            GROUP BY doc_id, frame_idx
         """,
         "q94_video_decode": """
             -- closed form of the Y4M fixture: luma p[f,i] = (id*7 + f*13

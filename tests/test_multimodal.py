@@ -1687,3 +1687,29 @@ def test_voc_decode_blocks_and_gates():
         decode_voc(hdr + b"\x02" + (2).to_bytes(3, "little") + b"\x00\x00" + b"\x00")
     with pytest.raises(ValueError):  # truncated block body
         decode_voc(hdr + b"\x09" + (99).to_bytes(3, "little") + b"\x00" * 12)
+
+
+def test_avi_decode_roundtrip_and_gates():
+    """AVI: identity-palette DIB frames round-trip (stride pad via odd
+    width); the movi walk finds every '00db'; compression and truncation
+    gates raise; dims must agree with avih."""
+    import struct as _struct
+
+    from traildb_spark.operators.multimodal import (
+        decode_avi_frames, make_avi,
+    )
+
+    a = ((np.arange(4 * 3 * 7).reshape(4, 3, 7) * 11 + 5) % 256).astype(
+        np.uint8)
+    w, h, fr = decode_avi_frames(make_avi(a, fps=25))
+    assert (w, h) == (7, 3) and np.array_equal(fr, a)
+    with pytest.raises(ValueError):  # not RIFF/AVI
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    payload = make_avi(a)
+    comp = bytearray(payload)
+    i = payload.index(_struct.pack("<Iii", 40, 7, 3))  # strf info start
+    comp[i + 16 : i + 20] = _struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(ValueError):
+        decode_avi_frames(bytes(comp))
+    with pytest.raises(ValueError):  # truncated chunk
+        decode_avi_frames(payload[:-10])

@@ -1277,6 +1277,8 @@ def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
         if content[:6] in (b"GIF87a", b"GIF89a"):
             w, h, luma = decode_gif_frames(content)
             return w, h, np.round(luma).astype(np.uint8)
+        if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+            return decode_avi_frames(content)
         return decode_y4m(content)
 
     def run(batches):
@@ -2139,3 +2141,120 @@ def make_voc(
         rest = s[cut:]
         blocks += b"\x02" + len(rest).to_bytes(3, "little") + rest
     return hdr + blocks + b"\x00"
+
+
+def decode_avi_frames(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an uncompressed ('DIB ') AVI payload → (width, height,
+    frames uint8 (N, H, W) luma) — the RIFF video container (public
+    AVI/RIFF and BITMAPINFOHEADER specs): word-aligned chunk walk to
+    LIST hdrl (``avih`` dims, ``strf`` = BITMAPINFOHEADER + palette)
+    and LIST movi ('00db'/'00dc' frame chunks). Each frame is a
+    bottom-up BI_RGB DIB raster, decoded by synthesizing a BMP file
+    header in front of the stream's own ``strf`` block — the ICO DIB
+    route (:func:`decode_ico`), so 8-bit palette / 24 / 32-bit depths
+    all ride the tested :func:`decode_bmp` path. Compressed streams
+    (biCompression != 0) raise — the honest-gate contract."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            cid = content[pos : pos + 4]
+            (sz,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+            if pos + 8 + sz > end:
+                raise ValueError("AVI: truncated chunk")
+            yield cid, pos + 8, pos + 8 + sz
+            pos += 8 + sz + (sz & 1)
+
+    width = height = None
+    strf = None
+    frames_raw: list[bytes] = []
+    for cid, s, e in walk(12, len(content)):
+        if cid != b"LIST":
+            continue
+        ltype = content[s : s + 4]
+        if ltype == b"hdrl":
+            for cid2, s2, e2 in walk(s + 4, e):
+                if cid2 == b"avih":
+                    width, height = struct.unpack(
+                        "<II", content[s2 + 32 : s2 + 40]
+                    )
+                elif cid2 == b"LIST" and content[s2 : s2 + 4] == b"strl":
+                    for cid3, s3, e3 in walk(s2 + 4, e2):
+                        if cid3 == b"strf" and strf is None:
+                            strf = content[s3:e3]
+        elif ltype == b"movi":
+            for cid2, s2, e2 in walk(s + 4, e):
+                if cid2[2:4] in (b"db", b"dc"):
+                    frames_raw.append(content[s2:e2])
+    if width is None or strf is None:
+        raise ValueError("AVI: missing hdrl headers")
+    if len(strf) < 40:
+        raise ValueError("AVI: short BITMAPINFOHEADER")
+    (comp,) = struct.unpack("<I", strf[16:20])
+    if comp != 0:
+        raise ValueError(f"AVI: compression {comp} needs a codec")
+    if not frames_raw:
+        raise ValueError("AVI: no frame chunks in movi")
+    frames = []
+    for fr in frames_raw:
+        data_off = 14 + len(strf)
+        bmp = (
+            b"BM"
+            + struct.pack("<IHHI", data_off + len(fr), 0, 0, data_off)
+            + strf
+            + fr
+        )
+        frames.append(np.round(decode_bmp(bmp)).astype(np.uint8))
+    stacked = np.stack(frames)
+    if stacked.shape[1:] != (height, width):
+        raise ValueError("AVI: frame dims disagree with avih")
+    return int(width), int(height), stacked
+
+
+def make_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Deterministic 8-bit grayscale AVI encoder (fixture generator):
+    identity gray palette in ``strf``, bottom-up '00db' DIB frames with
+    4-byte stride padding — decoded rounded luma equals the input
+    indices exactly (the BMP identity-palette discipline)."""
+    a = np.asarray(frames, dtype=np.uint8)
+    n, h, w = a.shape
+    stride = (w + 3) & ~3
+    pal = np.zeros((256, 4), dtype=np.uint8)
+    pal[:, 0] = pal[:, 1] = pal[:, 2] = np.arange(256)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, stride * h, 2835, 2835, 256, 0
+    )
+    strf_body = info + pal.tobytes()
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, stride * h, w, h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, stride * h, 0, 0,
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf_body)),
+    )
+    movi_body = b""
+    for f in a:
+        raster = np.zeros((h, stride), dtype=np.uint8)
+        raster[:, :w] = f[::-1]
+        movi_body += chunk(b"00db", raster.tobytes())
+    movi = lst(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
