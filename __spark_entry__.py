@@ -2905,6 +2905,18 @@ def q197_avi_decode(spark, sf_dir):
     return multimodal.extract_video_frames(media, every_n=2)
 
 
+def q198_percentiles_from_counts(spark, sf_dir):
+    """Percentiles off pre-aggregated histogram state: value_histogram
+    partials → percentiles_from_counts — the live-dashboard consumer of
+    the streamed histogram pointer, exercised batch-side at 5.0-wide
+    bins (q138's lattice via the from-counts route)."""
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    per = analytics.value_histogram(ev, bin_width=5.0)
+    return analytics.percentiles_from_counts(
+        per, probs=(0.5, 0.9, 0.99), bin_width=5.0
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3107,6 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_pcx_decode": q195_pcx_decode,
         "q196_voc_decode": q196_voc_decode,
         "q197_avi_decode": q197_avi_decode,
+        "q198_percentiles_from_counts": q198_percentiles_from_counts,
     }
 
 
@@ -5027,6 +5040,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(px) AS INT) AS luma_min,
                    CAST(list_max(px) AS INT) AS luma_max
             FROM t
+        """,
+        # q138's lattice at bin_width 5.0 — NULL values excluded before
+        # binning, same nearest-rank rule
+        "q198_percentiles_from_counts": f"""
+            WITH e AS ({_E}),
+            pb AS (
+              SELECT event_type AS key,
+                     CAST(floor(value / 5.0) AS BIGINT) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM e WHERE value IS NOT NULL GROUP BY 1, 2),
+            c AS (
+              SELECT key, bin,
+                     CAST(SUM(cnt) OVER (PARTITION BY key ORDER BY bin)
+                          AS HUGEINT) AS cum,
+                     CAST(SUM(cnt) OVER (PARTITION BY key) AS HUGEINT) AS tot
+              FROM pb)
+            SELECT key, CAST(MAX(tot) AS BIGINT) AS n_values,
+                   MIN(CASE WHEN cum * 1000000 >= 500000 * tot THEN bin END) AS p50_bin,
+                   MIN(CASE WHEN cum * 1000000 >= 500000 * tot THEN bin END) * CAST(5.0 AS DOUBLE) AS p50,
+                   MIN(CASE WHEN cum * 1000000 >= 900000 * tot THEN bin END) AS p90_bin,
+                   MIN(CASE WHEN cum * 1000000 >= 900000 * tot THEN bin END) * CAST(5.0 AS DOUBLE) AS p90,
+                   MIN(CASE WHEN cum * 1000000 >= 990000 * tot THEN bin END) AS p99_bin,
+                   MIN(CASE WHEN cum * 1000000 >= 990000 * tot THEN bin END) * CAST(5.0 AS DOUBLE) AS p99
+            FROM c GROUP BY key
         """,
         "q196_voc_decode": """
             -- VOC 16-bit PCM is lossless (split or not): s[i] =

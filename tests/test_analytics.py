@@ -1506,3 +1506,25 @@ def test_interarrival_percentiles_hand_computed(spark):
     assert (got["click"].p50, got["click"].p99) == (10.0, 20.0)
     assert got["view"].n_values == 1
     assert got["view"].p50 == 0.0  # the u3 same-timestamp pair
+
+
+def test_percentiles_from_counts_parity_and_null_bin(spark):
+    """value_histogram -> percentiles_from_counts equals the one-shot
+    histogram_percentiles (delegation makes it so by construction —
+    this pins the contract); NULL value bins are excluded; prob
+    validation raises."""
+    rows = [("a", float(v)) for v in [1, 2, 9, 50, 60, 70]] + [("a", None)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    per = analytics.value_histogram(df, bin_width=10.0)
+    assert per.filter(F.col("bin").isNull()).count() == 1
+    got = analytics.percentiles_from_counts(per, (0.5, 0.99), bin_width=10.0)
+    want = analytics.histogram_percentiles(df, (0.5, 0.99), bin_width=10.0)
+    assert sorted(map(tuple, got.collect())) == \
+           sorted(map(tuple, want.collect()))
+    [r] = got.collect()
+    assert r.n_values == 6  # the NULL row never counts
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        analytics.percentiles_from_counts(per, (0.00001,))
+    with _pytest.raises(ValueError):
+        analytics.percentiles_from_counts(per, (0.5,), bin_width=0)

@@ -2034,6 +2034,42 @@ def histogram_percentiles(
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return percentiles_from_counts(per_bin, probs, bin_width=bin_width)
+
+
+def percentiles_from_counts(
+    per: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """:func:`histogram_percentiles`' selection stage over an ALREADY
+    AGGREGATED ``(key, bin, cnt)`` histogram — the live-dashboard
+    consumer of `value_histogram` partials and the streamed
+    ``histogram_current`` state (same family as `trend_from_counts` /
+    `anomalies_from_counts` / `cusum_from_counts`: the batch operator
+    DELEGATES here, so streamed-state percentiles equal the batch
+    operator by construction). NULL bins (`value_histogram` keeps NULL
+    values as their own bin) are excluded — no place on a CDF. Exact
+    integer nearest-rank selection; windows run over BINS, never rows.
+    """
+    ppms = []
+    for p in probs:
+        ppm = round(p * 1_000_000)
+        if not (0 < ppm <= 1_000_000):
+            raise ValueError(
+                f"percentiles_from_counts: prob {p} out of (0, 1]"
+            )
+        if ppm % 1000:
+            raise ValueError(
+                f"percentiles_from_counts: prob {p} must be a multiple "
+                "of 0.001"
+            )
+        ppms.append(ppm)
+    if bin_width <= 0:
+        raise ValueError(
+            f"percentiles_from_counts: bin_width must be > 0, got {bin_width}"
+        )
+    per_bin = per.filter(F.col("bin").isNotNull())
     wc = (
         Window.partitionBy("key")
         .orderBy("bin")
