@@ -2917,6 +2917,18 @@ def q198_percentiles_from_counts(spark, sf_dir):
     )
 
 
+def q199_chisq_hour_mix(spark, sf_dir):
+    """Independence audit: is the event-type mix the same at every hour
+    of day? Per-cell chi-square terms on the exact decimal lattice,
+    zero-observed cells first-class (the margins×margins grid is
+    lexicon-bounded)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        ((F.col("time") / 3600).cast("long") % 24).alias("hour"),
+    )
+    return analytics.contingency_chisq(ev, "event_type", "hour")
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3120,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_voc_decode": q196_voc_decode,
         "q197_avi_decode": q197_avi_decode,
         "q198_percentiles_from_counts": q198_percentiles_from_counts,
+        "q199_chisq_hour_mix": q199_chisq_hour_mix,
     }
 
 
@@ -5040,6 +5053,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(px) AS INT) AS luma_min,
                    CAST(list_max(px) AS INT) AS luma_max
             FROM t
+        """,
+        # margins×margins grid with zero-fill; dev = N·O − R·C, chi2 =
+        # dev²·1e6 // (N·R·C), all HUGEINT
+        "q199_chisq_hour_mix": f"""
+            WITH e AS ({_E}),
+            b AS (
+              SELECT event_type AS a, ("time" // 3600) % 24 AS hb
+              FROM e WHERE event_type IS NOT NULL),
+            obs AS (SELECT a, hb, CAST(COUNT(*) AS BIGINT) AS o
+                    FROM b GROUP BY 1, 2),
+            ra AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS r FROM b GROUP BY a),
+            cb AS (SELECT hb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY hb),
+            nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM b)
+            SELECT ra.a, cb.hb AS b,
+                   COALESCE(obs.o, 0) AS observed,
+                   ra.r AS row_total, cb.c AS col_total,
+                   CAST(nn.n * COALESCE(obs.o, 0) - CAST(ra.r AS HUGEINT) * cb.c
+                        AS BIGINT) AS dev_num,
+                   CAST(((nn.n * COALESCE(obs.o, 0)
+                          - CAST(ra.r AS HUGEINT) * cb.c)
+                         * (nn.n * COALESCE(obs.o, 0)
+                            - CAST(ra.r AS HUGEINT) * cb.c) * 1000000)
+                        // (nn.n * ra.r * cb.c) AS BIGINT) AS chi2_cell_ppm
+            FROM ra CROSS JOIN cb CROSS JOIN nn
+            LEFT JOIN obs ON obs.a = ra.a AND obs.hb = cb.hb
         """,
         # q138's lattice at bin_width 5.0 — NULL values excluded before
         # binning, same nearest-rank rule

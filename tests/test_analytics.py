@@ -1528,3 +1528,19 @@ def test_percentiles_from_counts_parity_and_null_bin(spark):
         analytics.percentiles_from_counts(per, (0.00001,))
     with _pytest.raises(ValueError):
         analytics.percentiles_from_counts(per, (0.5,), bin_width=0)
+
+
+def test_contingency_chisq_hand_computed(spark):
+    """3x2 table with a structurally-empty cell: dev = N*O - R*C and
+    chi2_ppm = dev^2*1e6 // (N*R*C) hand-checked per cell; NULL
+    categories drop."""
+    rows = ([("x", 0)] * 3 + [("x", 1)] + [("y", 0)] + [("y", 1)] * 3
+            + [("z", 1)] * 2 + [(None, 0)])
+    df = spark.createDataFrame(rows, "a string, b int")
+    got = {(r.a, r.b): (r.observed, r.dev_num, r.chi2_cell_ppm)
+           for r in analytics.contingency_chisq(df, "a", "b").collect()}
+    assert got == {
+        ("x", 0): (3, 14, 1_225_000), ("x", 1): (1, -14, 816_666),
+        ("y", 0): (1, -6, 225_000), ("y", 1): (3, 6, 150_000),
+        ("z", 0): (0, -8, 800_000), ("z", 1): (2, 8, 533_333),
+    }

@@ -3636,3 +3636,81 @@ def interarrival_percentiles(
     return histogram_percentiles(
         gaps, probs, key_col=key_col, value_col="__gap", bin_width=bin_width
     )
+
+
+def contingency_chisq(
+    df: DataFrame,
+    col_a: str = "a",
+    col_b: str = "b",
+) -> DataFrame:
+    """Chi-square contingency cells for two categorical columns — the
+    "is event mix independent of hour / is label mix independent of
+    source" audit, reported PER CELL so the answer is which
+    combinations deviate, not just a single statistic. Exact integers::
+
+        dev          = N·O_ab − R_a·C_b        (signed: over/under)
+        chi2_ppm     = dev²·10⁶ // (N·R_a·C_b)  (the cell's χ² term, ppm)
+
+    Zero-observed cells are first-class (an (a, b) combination that
+    never occurs IS the finding when both margins are big). NULL
+    categories are excluded. The decimal(38,0) lattice is exact to
+    N ≤ 10⁹ rows; beyond that an in-plan ``assert_true`` raises rather
+    than wraps (and a χ² on more rows is statistically meaningless
+    anyway — slice first).
+
+    Plan shape: one (a, b) map-side-combined aggregate plus two margin
+    aggregates; the grid is margins × margins (lexicon²-bounded,
+    BROADCAST on the smaller side) — the event scan runs once, nothing
+    event-scale shuffles twice. Returns ``(a, b, observed, row_total,
+    col_total, dev_num, chi2_cell_ppm)``.
+    """
+    base = df.select(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    from .dedup import _materialize
+
+    base = _materialize(base)
+    obs = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
+    ra = base.groupBy("a").agg(F.count(F.lit(1)).alias("r"))
+    cb = base.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(obs, ["a", "b"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("o"), F.lit(0)).alias("observed"),
+            F.col("r").alias("row_total"),
+            F.col("c").alias("col_total"),
+            "n",
+        )
+    )
+    dec = "decimal(38,0)"
+    nn = F.col("n").cast(dec)
+    dev = (
+        nn * F.col("observed").cast(dec)
+        - F.col("row_total").cast(dec) * F.col("col_total").cast(dec)
+    )
+    guard = F.assert_true(
+        F.col("n") <= F.lit(1_000_000_000),
+        F.lit("contingency_chisq: N > 1e9 overflows the lattice — slice first"),
+    )
+    return grid.select(
+        "a",
+        "b",
+        "observed",
+        "row_total",
+        "col_total",
+        F.when(guard.isNull(), dev.cast("long")).alias("dev_num"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * observed"
+            " - CAST(row_total AS DECIMAL(38,0)) * col_total)"
+            " * (CAST(n AS DECIMAL(38,0)) * observed"
+            " - CAST(row_total AS DECIMAL(38,0)) * col_total)"
+            " * 1000000"
+            " div (CAST(n AS DECIMAL(38,0)) * row_total * col_total)"
+            " AS BIGINT)"
+        ).alias("chi2_cell_ppm"),
+    )
