@@ -2929,6 +2929,17 @@ def q199_chisq_hour_mix(spark, sf_dir):
     return analytics.contingency_chisq(ev, "event_type", "hour")
 
 
+def q200_edge_savings(spark, sf_dir):
+    """Edge-encoding compressibility per field: how often each field
+    repeats its trail predecessor (NULL-safe, the decoder-carry rule) —
+    the reference encoder's storage win as a measurable profile; one
+    shared-window shuffle."""
+    ev = _events(spark, sf_dir)
+    return analytics.edge_savings_by_field(
+        ev, fields=("event_type", "value", "props")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3133,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_avi_decode": q197_avi_decode,
         "q198_percentiles_from_counts": q198_percentiles_from_counts,
         "q199_chisq_hour_mix": q199_chisq_hour_mix,
+        "q200_edge_savings": q200_edge_savings,
     }
 
 
@@ -5053,6 +5065,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(px) AS INT) AS luma_min,
                    CAST(list_max(px) AS INT) AS luma_max
             FROM t
+        """,
+        # one lag window per field, NULL-safe predecessor equality
+        # (IS NOT DISTINCT FROM == eqNullSafe); fields unioned
+        "q200_edge_savings": f"""
+            WITH e AS ({_E}),
+            l AS (
+              SELECT
+                CASE WHEN lag("time") OVER w IS NOT NULL
+                     THEN 1 ELSE 0 END AS cmp,
+                CASE WHEN lag("time") OVER w IS NOT NULL
+                          AND event_type IS NOT DISTINCT FROM
+                              lag(event_type) OVER w
+                     THEN 1 ELSE 0 END AS r_et,
+                CASE WHEN lag("time") OVER w IS NOT NULL
+                          AND value IS NOT DISTINCT FROM lag(value) OVER w
+                     THEN 1 ELSE 0 END AS r_v,
+                CASE WHEN lag("time") OVER w IS NOT NULL
+                          AND props IS NOT DISTINCT FROM lag(props) OVER w
+                     THEN 1 ELSE 0 END AS r_p
+              FROM e
+              WINDOW w AS (PARTITION BY uuid ORDER BY "time", event_id)),
+            a AS (
+              SELECT CAST(SUM(cmp) AS BIGINT) AS n,
+                     CAST(SUM(r_et) AS BIGINT) AS et,
+                     CAST(SUM(r_v) AS BIGINT) AS v,
+                     CAST(SUM(r_p) AS BIGINT) AS p
+              FROM l)
+            SELECT 'event_type' AS field, n AS n_comparisons,
+                   et AS n_repeats,
+                   CASE WHEN n > 0 THEN et * 1000000 // n END AS repeat_ppm
+            FROM a
+            UNION ALL
+            SELECT 'value', n, v,
+                   CASE WHEN n > 0 THEN v * 1000000 // n END FROM a
+            UNION ALL
+            SELECT 'props', n, p,
+                   CASE WHEN n > 0 THEN p * 1000000 // n END FROM a
         """,
         # margins×margins grid with zero-fill; dev = N·O − R·C, chi2 =
         # dev²·1e6 // (N·R·C), all HUGEINT

@@ -1544,3 +1544,24 @@ def test_contingency_chisq_hand_computed(spark):
         ("y", 0): (1, -6, 225_000), ("y", 1): (3, 6, 150_000),
         ("z", 0): (0, -8, 800_000), ("z", 1): (2, 8, 533_333),
     }
+
+
+def test_edge_savings_hand_computed(spark):
+    """u1: types a,a,b -> 1 repeat of 2 comparisons; value NULL->NULL
+    counts as a repeat (the decoder carry); a lone-event trail adds no
+    comparisons."""
+    rows = [
+        ("u1", 0, 1, "a", 1.0), ("u1", 10, 2, "a", None),
+        ("u1", 20, 3, "b", None), ("u2", 5, 4, "a", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string,"
+        " value double")
+    got = {r.field: r for r in analytics.edge_savings_by_field(
+        df, fields=("event_type", "value")).collect()}
+    assert got["event_type"].n_comparisons == 2
+    assert (got["event_type"].n_repeats, got["event_type"].repeat_ppm) == (1, 500_000)
+    assert (got["value"].n_repeats, got["value"].repeat_ppm) == (1, 500_000)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        analytics.edge_savings_by_field(df, fields=())

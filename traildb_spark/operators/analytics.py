@@ -3714,3 +3714,63 @@ def contingency_chisq(
             " AS BIGINT)"
         ).alias("chi2_cell_ppm"),
     )
+
+
+def edge_savings_by_field(
+    df: DataFrame,
+    fields: tuple[str, ...] = ("event_type", "value", "props"),
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Edge-encoding compressibility profile: for each field, how often
+    an event repeats its trail-predecessor's value — EXACTLY the win
+    the reference's encoder banks by storing only changed items per
+    event (`src/tdb_encode.c` edge encoding; surfaced by our only-diff
+    cursor view, `trails.py` C7). A field at 900k ppm repeats is why
+    TrailDB files are small; the same number tells a Spark pipeline
+    which columns deserve dictionary/RLE-friendly sort orders.
+
+    Per field: ``n_comparisons`` (events that HAVE a predecessor —
+    first-of-trail rows can't repeat anything), ``n_repeats``
+    (NULL-safe equality with the predecessor: NULL→NULL counts as a
+    repeat, exactly like the decoder's carry), ``repeat_ppm`` by
+    truncating integer division.
+
+    Plan shape: ONE uuid-hash shuffle — every field's lag shares the
+    same window spec, so Catalyst evaluates all lags in a single
+    Window node; the final aggregate is fields-sized.
+    """
+    if not fields:
+        raise ValueError("edge_savings_by_field: fields must be non-empty")
+    w = Window.partitionBy(uuid_col).orderBy(time_col, tiebreak_col)
+    has_prev = F.lag(F.col(time_col)).over(w).isNotNull()
+    cols = [has_prev.cast("long").alias("__cmp")]
+    for f in fields:
+        rep = (has_prev & F.col(f).eqNullSafe(F.lag(F.col(f)).over(w))).cast(
+            "long"
+        )
+        cols.append(rep.alias(f"__rep_{f}"))
+    agg = df.select(*cols).agg(
+        F.sum("__cmp").alias("n_comparisons"),
+        *[F.sum(f"__rep_{f}").alias(f"__r_{f}") for f in fields],
+    )
+    rows = []
+    for f in fields:
+        rows.append(
+            F.struct(
+                F.lit(f).alias("field"),
+                F.col("n_comparisons"),
+                F.col(f"__r_{f}").alias("n_repeats"),
+                F.when(
+                    F.col("n_comparisons") > 0,
+                    F.expr(
+                        f"__r_{f} * CAST(1000000 AS BIGINT)"
+                        " div n_comparisons"
+                    ),
+                ).alias("repeat_ppm"),
+            )
+        )
+    return agg.select(
+        F.explode(F.array(*rows)).alias("s")
+    ).select("s.field", "s.n_comparisons", "s.n_repeats", "s.repeat_ppm")
