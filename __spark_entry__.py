@@ -2940,6 +2940,35 @@ def q200_edge_savings(spark, sf_dir):
     )
 
 
+def q201_ras_decode(spark, sf_dir):
+    """Sun raster decode: fixtures cycling RLE/standard × colormap/raw
+    over the SAME closed form px(y, x) = (y*29 + x*7 + id*13) % 256 on
+    a (4 + id%3) x (3 + id%6) canvas — identical rounded stats across
+    all four encodings, proving the byte-run walk, the 0x80 escape,
+    the 16-bit row pad, and the equal-RGB colormap planes."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.multimodal import make_ras
+
+    @F.pandas_udf("binary")
+    def ras_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            h, w = 4 + i % 3, 3 + i % 6
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = ((yy * 29 + xx * 7 + i * 13) % 256).astype(np.uint8)
+            out.append(
+                make_ras(g, rle=(i % 2 == 0), colormap=(i % 4 < 2))
+            )
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "image", ras_payload, cache_name="ras")
+    return multimodal.image_luma_stats(media)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3145,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_percentiles_from_counts": q198_percentiles_from_counts,
         "q199_chisq_hour_mix": q199_chisq_hour_mix,
         "q200_edge_savings": q200_edge_savings,
+        "q201_ras_decode": q201_ras_decode,
     }
 
 
@@ -5176,6 +5206,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(generate_series(2, n), i -> xs[i-1] * xs[i] < 0)) AS BIGINT) AS zcr,
                    CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
             FROM s
+        """,
+        "q201_ras_decode": """
+            -- identity colormap or raw indices: rounded luma ==
+            -- (y*29 + x*7 + id*13) % 256 on (4+id%3) x (3+id%6)
+            WITH a AS (
+              SELECT doc_id,
+                     3 + CAST(doc_id % 6 AS INT) AS w,
+                     4 + CAST(doc_id % 3 AS INT) AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ), t AS (
+              SELECT doc_id, w, h,
+                     [ ((k // w) * 29 + (k % w) * 7 + doc_id * 13) % 256
+                       for k in generate_series(0, h * w - 1) ] AS px
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(list_sum(px) AS BIGINT) AS luma_sum,
+                   CAST(list_min(px) AS INT) AS luma_min,
+                   CAST(list_max(px) AS INT) AS luma_max
+            FROM t
         """,
         "q195_pcx_decode": """
             -- identity VGA palette (or paletteless raw indices): rounded

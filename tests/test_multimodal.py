@@ -1713,3 +1713,42 @@ def test_avi_decode_roundtrip_and_gates():
         decode_avi_frames(bytes(comp))
     with pytest.raises(ValueError):  # truncated chunk
         decode_avi_frames(payload[:-10])
+
+
+def test_ras_decode_rle_colormap_and_gates():
+    """Sun raster round-trips across RLE x colormap; the 0x80 escape
+    and the 16-bit row pad hold; a 24-bit BGR/RGB pair agrees through
+    the type-3 ordering; depth/truncation gates raise."""
+    import struct as _struct
+
+    from traildb_spark.operators.multimodal import (
+        _gray_pixels, decode_ras, make_ras,
+    )
+
+    yy, xx = np.mgrid[0:5, 0:7]
+    g = ((yy * 61 + xx * 11 + 120) % 256).astype(np.uint8)
+    for rle in (False, True):
+        for cm in (False, True):
+            out = decode_ras(make_ras(g, rle=rle, colormap=cm))
+            assert np.array_equal(np.round(out), g), (rle, cm)
+    assert np.array_equal(np.round(_gray_pixels(make_ras(g))), g)
+    # flag-byte escape: an all-0x80 canvas survives RLE
+    flat = np.full((2, 9), 0x80, np.uint8)
+    assert np.array_equal(
+        decode_ras(make_ras(flat, rle=True, colormap=False)), flat)
+    # 24-bit: same pixels as BGR (type 1) and RGB (type 3)
+    w, h = 3, 2
+    bgr = (bytes([10, 150, 200] * w) + b"\x00") * h  # 16-bit row pad
+    hdr1 = _struct.pack(">8I", 0x59A66A95, w, h, 24, len(bgr), 1, 0, 0)
+    hdr3 = _struct.pack(">8I", 0x59A66A95, w, h, 24, len(bgr), 3, 0, 0)
+    b1 = decode_ras(hdr1 + bgr)   # BGR: B=10 G=150 R=200
+    b3 = decode_ras(hdr3 + bgr)   # RGB: R=10 G=150 B=200
+    assert np.allclose(b1, 0.299 * 200 + 0.587 * 150 + 0.114 * 10)
+    assert np.allclose(b3, 0.299 * 10 + 0.587 * 150 + 0.114 * 200)
+    with pytest.raises(ValueError):  # 1-bit depth
+        decode_ras(_struct.pack(">8I", 0x59A66A95, 8, 8, 1, 8, 1, 0, 0) + b"\0" * 8)
+    with pytest.raises(ValueError):  # truncated RLE
+        decode_ras(_struct.pack(">8I", 0x59A66A95, 4, 4, 8, 2, 2, 0, 0) + b"\x80")
+    with pytest.raises(ValueError):  # colormap index out of range
+        hdr = _struct.pack(">8I", 0x59A66A95, 2, 1, 8, 2, 1, 1, 6)
+        decode_ras(hdr + bytes(6) + bytes([5, 0]))

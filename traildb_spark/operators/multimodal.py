@@ -204,6 +204,8 @@ def _gray_pixels(content: bytes) -> np.ndarray:
         and content[3] in (1, 2, 4, 8)
     ):
         return decode_pcx(content)
+    if content[:4] == b"\x59\xa6\x6a\x95":
+        return decode_ras(content)
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos, width, height, channels = 8, None, None, None
@@ -2258,3 +2260,136 @@ def make_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     movi = lst(b"movi", movi_body)
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+_RAS_MAGIC = 0x59A66A95
+
+
+def decode_ras(content: bytes) -> np.ndarray:
+    """Decode a Sun Raster (.ras/.sun) payload to float gray (H, W) —
+    the SunOS screendump format (public rasterfile.h layout): eight
+    big-endian u32 header words, optional equal-RGB colormap stored as
+    three planes (all reds, all greens, all blues), rows padded to
+    16-bit boundaries. Types: 1 standard, 2 byte-run RLE (``0x80, n,
+    v`` = n+1 copies of v; ``0x80, 0`` = one literal 0x80), 3 RGB
+    ordering. Depths: 8-bit (colormap → BT.601 luma, or raw gray
+    without one) and 24-bit (BGR, type 3 = RGB). 1/32-bit rasters
+    raise — the honest-gate contract."""
+    if len(content) < 32:
+        raise ValueError("not a Sun raster payload")
+    (magic, w, h, depth, _length, rtype, maptype, maplen) = struct.unpack(
+        ">8I", content[:32]
+    )
+    if magic != _RAS_MAGIC:
+        raise ValueError("not a Sun raster payload")
+    if rtype not in (0, 1, 2, 3):
+        raise ValueError(f"RAS: type {rtype} not supported")
+    if depth not in (8, 24):
+        raise ValueError(f"RAS: depth {depth} needs another decoder")
+    if w == 0 or h == 0:
+        raise ValueError("RAS: bad dimensions")
+    cmap = None
+    if maptype == 1 and maplen:
+        if maplen % 3 or len(content) < 32 + maplen:
+            raise ValueError("RAS: malformed colormap")
+        n = maplen // 3
+        raw = np.frombuffer(content[32 : 32 + maplen], dtype=np.uint8)
+        cmap = np.stack([raw[:n], raw[n : 2 * n], raw[2 * n :]], axis=1)
+    elif maptype not in (0, 1):
+        raise ValueError(f"RAS: colormap type {maptype} not supported")
+    data = content[32 + maplen :]
+    step = depth // 8
+    stride = (w * step + 1) & ~1
+    total = stride * h
+    if rtype == 2:
+        out = np.empty(total, dtype=np.uint8)
+        pos = filled = 0
+        n_in = len(data)
+        while filled < total:
+            if pos >= n_in:
+                raise ValueError("RAS: truncated RLE stream")
+            b = data[pos]
+            pos += 1
+            if b == 0x80:
+                if pos >= n_in:
+                    raise ValueError("RAS: truncated RLE flag")
+                cnt = data[pos]
+                pos += 1
+                if cnt == 0:
+                    out[filled] = 0x80
+                    filled += 1
+                else:
+                    if pos >= n_in:
+                        raise ValueError("RAS: truncated RLE run")
+                    k = min(cnt + 1, total - filled)
+                    out[filled : filled + k] = data[pos]
+                    pos += 1
+                    filled += k
+            else:
+                out[filled] = b
+                filled += 1
+        raster = out
+    else:
+        if len(data) < total:
+            raise ValueError("RAS: truncated pixel data")
+        raster = np.frombuffer(data[:total], dtype=np.uint8)
+    rows = raster.reshape(h, stride)[:, : w * step]
+    if depth == 8:
+        idx = rows.astype(np.int64)
+        if cmap is not None:
+            if (idx >= len(cmap)).any():
+                raise ValueError("RAS: colormap index out of range")
+            rgb = cmap[idx].astype(np.float64)
+            return (
+                0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+            )
+        return idx.astype(np.float64)
+    px = rows.reshape(h, w, 3).astype(np.float64)
+    if rtype == 3:  # RT_FORMAT_RGB
+        return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    return 0.299 * px[:, :, 2] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 0]
+
+
+def make_ras(gray: np.ndarray, rle: bool = False, colormap: bool = True) -> bytes:
+    """Deterministic 8-bit Sun raster encoder (fixture generator):
+    identity equal-RGB colormap (or none), 16-bit row padding, optional
+    type-2 byte-run RLE with the 0x80 escape — decoded rounded luma
+    equals the input indices either way."""
+    a = np.asarray(gray, dtype=np.uint8)
+    h, w = a.shape
+    stride = (w + 1) & ~1
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = a
+    flat = rows.reshape(-1)
+    if not rle:
+        body = flat.tobytes()
+        rtype = 1
+    else:
+        rtype = 2
+        parts = []
+        i = 0
+        n = len(flat)
+        while i < n:
+            j = i
+            while j + 1 < n and flat[j + 1] == flat[i] and j - i < 254:
+                j += 1
+            count = j - i + 1
+            v = int(flat[i])
+            if count == 1 and v == 0x80:
+                parts.append(bytes([0x80, 0]))  # escaped literal flag byte
+            elif count > 2 or v == 0x80:
+                parts.append(bytes([0x80, count - 1, v]))
+            else:
+                parts.append(bytes([v] * count))
+            i = j + 1
+        body = b"".join(parts)
+    maplen = 768 if colormap else 0
+    hdr = struct.pack(
+        ">8I", _RAS_MAGIC, w, h, 8, len(body), rtype,
+        1 if colormap else 0, maplen,
+    )
+    cmap = b""
+    if colormap:
+        ramp = bytes(range(256))
+        cmap = ramp * 3
+    return hdr + cmap + body
