@@ -2969,6 +2969,38 @@ def q201_ras_decode(spark, sf_dir):
     return multimodal.image_luma_stats(media)
 
 
+def q202_media_inventory(spark, sf_dir):
+    """Container inventory over a mixed media table: image rows cycle
+    tga/pcx/bmp/ras encoders by doc_id % 4 — the magic-byte routing
+    report a multimodal ingest runs before choosing decoders (counts
+    only; byte totals are encoder-dependent and stay operator-side)."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.multimodal import (
+        make_bmp, make_pcx, make_ras, make_tga,
+    )
+
+    @F.pandas_udf("binary")
+    def mixed_payload(ids: pd.Series) -> pd.Series:
+        makers = [make_tga, make_pcx, make_bmp, make_ras]
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            h, w = 3 + i % 3, 4 + i % 4
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = ((yy * 7 + xx * 5 + i) % 256).astype(np.uint8)
+            out.append(makers[i % 4](g))
+        return pd.Series(out)
+
+    media = _media_table(
+        spark, sf_dir, "image", mixed_payload, cache_name="mixed"
+    )
+    inv = multimodal.media_inventory(media.filter(F.col("kind") == "image"))
+    return inv.select("container", "n_payloads")
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3175,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_chisq_hour_mix": q199_chisq_hour_mix,
         "q200_edge_savings": q200_edge_savings,
         "q201_ras_decode": q201_ras_decode,
+        "q202_media_inventory": q202_media_inventory,
     }
 
 
@@ -5206,6 +5239,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(generate_series(2, n), i -> xs[i-1] * xs[i] < 0)) AS BIGINT) AS zcr,
                    CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
             FROM s
+        """,
+        "q202_media_inventory": """
+            -- container = cycle(tga,pcx,bmp,ras)[doc_id % 4] on image rows
+            SELECT ['tga', 'pcx', 'bmp', 'ras'][CAST(doc_id % 4 AS INT) + 1]
+                     AS container,
+                   CAST(COUNT(*) AS BIGINT) AS n_payloads
+            FROM documents WHERE doc_id % 3 = 0
+            GROUP BY 1
         """,
         "q201_ras_decode": """
             -- identity colormap or raw indices: rounded luma ==

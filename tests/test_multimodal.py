@@ -1752,3 +1752,26 @@ def test_ras_decode_rle_colormap_and_gates():
     with pytest.raises(ValueError):  # colormap index out of range
         hdr = _struct.pack(">8I", 0x59A66A95, 2, 1, 8, 2, 1, 1, 6)
         decode_ras(hdr + bytes(6) + bytes([5, 0]))
+
+
+def test_media_inventory_counts_containers(spark):
+    """Mixed table: per-container counts and byte totals; text payloads
+    land in 'unknown', NULLs in 'empty'."""
+    from traildb_spark.operators.multimodal import (
+        make_bmp, make_pcx, make_ras, make_tga, media_inventory,
+    )
+
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    rows = [
+        (1, bytearray(make_tga(g))), (2, bytearray(make_pcx(g))),
+        (3, bytearray(make_ras(g))), (4, bytearray(make_bmp(g))),
+        (5, bytearray(make_tga(g))), (6, bytearray(b"just text")),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.container: (r.n_payloads, r.total_bytes)
+           for r in media_inventory(df).collect()}
+    assert got["tga"] == (2, 2 * len(make_tga(g)))
+    assert got["pcx"][0] == 1 and got["ras"][0] == 1 and got["bmp"][0] == 1
+    assert got["unknown"] == (1, 9)
+    assert got["empty"] == (1, 0)

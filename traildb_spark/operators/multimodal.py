@@ -2393,3 +2393,93 @@ def make_ras(gray: np.ndarray, rle: bool = False, colormap: bool = True) -> byte
         ramp = bytes(range(256))
         cmap = ramp * 3
     return hdr + cmap + body
+
+
+def sniff_container(content: bytes) -> str:
+    """Container label from magic bytes alone — no decode, no payload
+    walk beyond fixed offsets. Labels match the codecs this module
+    ships: png/jpeg/gif/pnm/bmp/tga/ico/pcx/ras, wav/aiff/au/voc,
+    y4m/avi; anything else is 'unknown'. Order matters only where
+    magics could overlap (RIFF splits on the form type; the PCX guard
+    requires the version/encoding/depth triple)."""
+    if content.startswith(_PNG_SIG):
+        return "png"
+    if content[:2] == b"\xff\xd8":
+        return "jpeg"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if content[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6") and (
+        len(content) > 2 and content[2:3].isspace()
+    ):
+        return "pnm"
+    if content[:2] == b"BM":
+        return "bmp"
+    if content[-18:] == _TGA_FOOTER:
+        return "tga"
+    if content[:4] == b"\x00\x00\x01\x00":
+        return "ico"
+    if (
+        len(content) >= 128
+        and content[0] == 0x0A
+        and content[2] == 1
+        and content[1] in (0, 2, 3, 4, 5)
+        and content[3] in (1, 2, 4, 8)
+    ):
+        return "pcx"
+    if content[:4] == b"\x59\xa6\x6a\x95":
+        return "ras"
+    if content[:4] == b"RIFF":
+        if content[8:12] == b"AVI ":
+            return "avi"
+        if content[8:12] == b"WAVE":
+            return "wav"
+        return "unknown"
+    if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
+    if content[:4] == b".snd":
+        return "au"
+    if content[:20] == _VOC_MAGIC:
+        return "voc"
+    if content[:9] == b"YUV4MPEG2":
+        return "y4m"
+    return "unknown"
+
+
+def media_inventory(df: DataFrame) -> DataFrame:
+    """Container inventory over a media table — the FIRST pass a 100 TB
+    multimodal ingest runs: what formats are actually in the corpus,
+    how many payloads and bytes each, before any decode strategy is
+    chosen (decode throughput differs 100× between containers; this is
+    the routing table). Pure magic-byte sniffing via
+    :func:`sniff_container` in one Arrow-batched pass; only
+    (container, count, bytes) partials leave the workers — the
+    aggregate is formats-sized at any corpus size.
+
+    Returns ``(container, n_payloads, total_bytes)``.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            labels = []
+            sizes = []
+            for content in pdf["content"]:
+                if content is None:
+                    labels.append("empty")
+                    sizes.append(0)
+                    continue
+                b = bytes(content)
+                labels.append(sniff_container(b))
+                sizes.append(len(b))
+            out = pd.DataFrame({"container": labels, "n": sizes})
+            yield out.groupby("container", as_index=False).agg(
+                n_payloads=("n", "size"), total_bytes=("n", "sum")
+            )
+
+    part = df.select("content").mapInPandas(
+        run, schema="container string, n_payloads long, total_bytes long"
+    )
+    return part.groupBy("container").agg(
+        F.sum("n_payloads").alias("n_payloads"),
+        F.sum("total_bytes").alias("total_bytes"),
+    )
