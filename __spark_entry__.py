@@ -3001,6 +3001,17 @@ def q202_media_inventory(spark, sf_dir):
     return inv.select("container", "n_payloads")
 
 
+def q203_attribution_decay(spark, sf_dir):
+    """Time-decay attribution: purchases split 10000 bp over 1-day
+    prefix click/view touches with weights halving per 6h of age —
+    pure power-of-two shifts, decimal-lattice floors, remainder to the
+    most recent touch (q99's conservation rule with recency bias)."""
+    ev = _events(spark, sf_dir)
+    return analytics.attribution_decay(
+        ev, "purchase", ["click", "view"], half_life=21600, lookback=86400
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3208,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q200_edge_savings": q200_edge_savings,
         "q201_ras_decode": q201_ras_decode,
         "q202_media_inventory": q202_media_inventory,
+        "q203_attribution_decay": q203_attribution_decay,
     }
 
 
@@ -6597,6 +6609,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(per.rev) AS BIGINT) AS revenue_cents
             FROM per JOIN c ON per.uuid = c.uuid
             GROUP BY c.cohort, per.d - c.cohort
+        """,
+        # q99's pairing with power-of-two decay: w = 1 << (62 - min(b, 62)),
+        # b = age // 21600; floors via HUGEINT //, remainder to rn = 1
+        "q203_attribution_decay": f"""
+            WITH e AS ({_E}),
+            c AS (SELECT uuid, "time" AS ct, event_id AS cid FROM e
+                  WHERE event_type = 'purchase'),
+            t AS (SELECT uuid, "time" AS tt, event_id AS tid,
+                         event_type AS ch FROM e
+                  WHERE event_type IN ('click', 'view')),
+            j AS (
+              SELECT c.uuid, c.cid, t.ch, t.tt, t.tid,
+                     CAST(1 AS BIGINT) << CAST(62 - least(
+                       (c.ct - t.tt) // 21600, 62) AS INT) AS w
+              FROM c JOIN t ON c.uuid = t.uuid
+              WHERE (t.tt < c.ct OR (t.tt = c.ct AND t.tid < c.cid))
+                AND t.tt >= c.ct - 86400),
+            k AS (
+              SELECT uuid, cid, ch, tt, tid, w,
+                     SUM(CAST(w AS HUGEINT)) OVER (PARTITION BY uuid, cid)
+                       AS ww,
+                     row_number() OVER (PARTITION BY uuid, cid
+                                        ORDER BY tt DESC, tid DESC) AS rn
+              FROM j),
+            f AS (
+              SELECT uuid, cid, ch, rn,
+                     CAST((CAST(10000 AS HUGEINT) * w) // ww AS BIGINT)
+                       AS bpf,
+                     SUM(CAST((CAST(10000 AS HUGEINT) * w) // ww AS BIGINT))
+                       OVER (PARTITION BY uuid, cid) AS sbp
+              FROM k),
+            credited AS (
+              SELECT uuid, cid, ch,
+                     CASE WHEN rn = 1 THEN 10000 - (sbp - bpf)
+                          ELSE bpf END AS bp
+              FROM f),
+            per_ch AS (
+              SELECT ch AS channel,
+                     COUNT(DISTINCT (uuid, cid)) AS conversions_touched,
+                     CAST(SUM(bp) AS BIGINT) AS credit_bp
+              FROM credited GROUP BY ch),
+            untouched AS (
+              SELECT '(none)' AS channel,
+                     COUNT(*) AS conversions_touched,
+                     CAST(COUNT(*) * 10000 AS BIGINT) AS credit_bp
+              FROM c
+              WHERE NOT EXISTS (
+                SELECT 1 FROM credited x
+                WHERE x.uuid = c.uuid AND x.cid = c.cid)
+              HAVING COUNT(*) > 0)
+            SELECT * FROM per_ch UNION ALL SELECT * FROM untouched
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

@@ -1565,3 +1565,27 @@ def test_edge_savings_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         analytics.edge_savings_by_field(df, fields=())
+
+
+def test_attribution_decay_hand_computed(spark):
+    """2-vs-1 half-life ages give the exact 2:1 weight split (3333 /
+    6667 with the remainder to the most recent); an untouched
+    conversion credits '(none)'; total credit conserves at 10000 per
+    conversion."""
+    hl = 86400
+    rows = [
+        ("u1", 0, 1, "click"), ("u1", hl, 2, "view"),
+        ("u1", 2 * hl, 3, "purchase"),
+        ("u2", 0, 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string")
+    got = {r.channel: (r.conversions_touched, r.credit_bp)
+           for r in analytics.attribution_decay(
+               df, "purchase", ["click", "view"], half_life=hl).collect()}
+    assert got == {"click": (1, 3333), "view": (1, 6667),
+                   "(none)": (1, 10000)}
+    assert sum(v[1] for v in got.values()) == 20000
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        analytics.attribution_decay(df, "purchase", ["click"], half_life=0)

@@ -3774,3 +3774,106 @@ def edge_savings_by_field(
     return agg.select(
         F.explode(F.array(*rows)).alias("s")
     ).select("s.field", "s.n_comparisons", "s.n_repeats", "s.repeat_ppm")
+
+
+def attribution_decay(
+    df: DataFrame,
+    conversion: str,
+    touches: list[str],
+    half_life: int = 86400,
+    lookback: int | None = None,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-decay multi-touch attribution: every conversion splits
+    exactly 10000 basis points over its eligible prefix touches with
+    weights HALVING per ``half_life`` seconds of age — the standard
+    "recent touches matter more" model, exact in integers: a touch
+    ``b = age // half_life`` half-lives old carries weight
+    ``2^(62 − min(b, 62))`` (a pure shift — no float pow anywhere), the
+    per-touch credit is the decimal-lattice floor ``10000·w // Σw``,
+    and the remainder goes to the MOST RECENT touch so credit conserves
+    exactly (`attribution_linear`'s conservation rule; a touch 62+
+    half-lives stale still carries the 1-weight floor). Conversions
+    with no eligible touch credit '(none)'.
+
+    Same plan as `attribution_linear`: one uuid-keyed per-trail
+    pairing, per-conversion windows, ≤ |touches|+1 output channels.
+
+    Returns ``(channel, conversions_touched, credit_bp)``.
+    """
+    if half_life <= 0:
+        raise ValueError(
+            f"attribution_decay: half_life must be > 0, got {half_life}"
+        )
+    conv = df.filter(F.col(field) == conversion).select(
+        F.col(uuid_col).alias("__u"),
+        F.col(time_col).alias("__ct"),
+        F.col(id_col).alias("__cid"),
+    )
+    tch = df.filter(F.col(field).isin(list(touches))).select(
+        F.col(uuid_col).alias("__u"),
+        F.col(time_col).alias("__tt"),
+        F.col(id_col).alias("__tid"),
+        F.col(field).alias("__ch"),
+    )
+    before = (F.col("__tt") < F.col("__ct")) | (
+        (F.col("__tt") == F.col("__ct")) & (F.col("__tid") < F.col("__cid"))
+    )
+    cond = before
+    if lookback is not None:
+        cond = cond & (F.col("__tt") >= F.col("__ct") - F.lit(int(lookback)))
+    j = conv.join(tch, "__u").filter(cond)
+    b = F.least(
+        F.floor((F.col("__ct") - F.col("__tt")) / F.lit(int(half_life))),
+        F.lit(62),
+    ).cast("int")
+    # pyspark's shiftleft wrapper wants a literal shift — the SQL form
+    # takes the computed one
+    j = j.withColumn("__b", b).withColumn(
+        "__w", F.expr("shiftleft(CAST(1 AS BIGINT), 62 - __b)")
+    )
+    wn = Window.partitionBy("__u", "__cid")
+    wr = Window.partitionBy("__u", "__cid").orderBy(
+        F.desc("__tt"), F.desc("__tid")
+    )
+    dec = "decimal(38,0)"
+    credited = (
+        j.withColumn("__W", F.sum(F.col("__w").cast(dec)).over(wn))
+        .withColumn("__rn", F.row_number().over(wr))
+        .withColumn(
+            "__bpf",
+            F.expr(
+                "CAST(CAST(10000 AS DECIMAL(38,0)) * __w div __W AS BIGINT)"
+            ),
+        )
+        .withColumn("__sbp", F.sum("__bpf").over(wn))
+        .withColumn(
+            "__bp",
+            F.when(
+                F.col("__rn") == 1,
+                F.lit(10000) - (F.col("__sbp") - F.col("__bpf")),
+            ).otherwise(F.col("__bpf")),
+        )
+    )
+    per_channel = credited.groupBy(F.col("__ch").alias("channel")).agg(
+        F.countDistinct("__u", "__cid").alias("conversions_touched"),
+        F.sum("__bp").cast("long").alias("credit_bp"),
+    )
+    untouched = (
+        conv.join(
+            credited.select("__u", "__cid").distinct(),
+            ["__u", "__cid"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("(none)").alias("channel"),
+            F.col("n").alias("conversions_touched"),
+            (F.col("n") * 10000).cast("long").alias("credit_bp"),
+        )
+        .filter(F.col("conversions_touched") > 0)
+    )
+    return per_channel.unionByName(untouched)
