@@ -3840,13 +3840,16 @@ def attribution_decay(
         F.desc("__tt"), F.desc("__tid")
     )
     dec = "decimal(38,0)"
+    # NOTE: the sum column must NOT be named "__W" — Spark's resolver is
+    # case-insensitive by default, so withColumn("__W") would silently
+    # REPLACE "__w" and every touch's weight becomes the window total.
     credited = (
-        j.withColumn("__W", F.sum(F.col("__w").cast(dec)).over(wn))
+        j.withColumn("__tw", F.sum(F.col("__w").cast(dec)).over(wn))
         .withColumn("__rn", F.row_number().over(wr))
         .withColumn(
             "__bpf",
             F.expr(
-                "CAST(CAST(10000 AS DECIMAL(38,0)) * __w div __W AS BIGINT)"
+                "CAST(CAST(10000 AS DECIMAL(38,0)) * __w div __tw AS BIGINT)"
             ),
         )
         .withColumn("__sbp", F.sum("__bpf").over(wn))
