@@ -3012,6 +3012,104 @@ def q203_attribution_decay(spark, sf_dir):
     )
 
 
+def q204_qoi_decode(spark, sf_dir):
+    """QOI decode: fixtures whose encoder runs the REAL op ladder
+    (RUN/INDEX/DIFF/LUMA/RGB chunks) over the closed form
+    px(y, x) = (y*13 + x*3 + id*5) % 256 on a (3 + id%5) x (4 + id%4)
+    canvas with a run-friendly first column — identical rounded luma
+    regardless of which chunk types the encoder picked."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.multimodal import make_qoi
+
+    @F.pandas_udf("binary")
+    def qoi_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            h, w = 3 + i % 5, 4 + i % 4
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = ((yy * 13 + xx * 3 + i * 5) % 256).astype(np.uint8)
+            out.append(make_qoi(g))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "image", qoi_payload, cache_name="qoi")
+    return multimodal.image_luma_stats(media)
+
+
+def q205_tiff_decode(spark, sf_dir):
+    """Baseline-gray TIFF decode: fixtures cycling PackBits/uncompressed
+    × little/big-endian × BlackIsZero/WhiteIsZero with 2-row strips,
+    all over the SAME closed form px(y, x) = (y*11 + x*17 + id*7) % 256
+    on a (4 + id%4) x (3 + id%5) canvas — identical rounded stats
+    across all eight encodings, proving the IFD walk, the strip
+    reassembly, the PackBits RLE, and the photometric inversion."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.multimodal import make_tiff
+
+    @F.pandas_udf("binary")
+    def tiff_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            h, w = 4 + i % 4, 3 + i % 5
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = ((yy * 11 + xx * 17 + i * 7) % 256).astype(np.uint8)
+            out.append(make_tiff(
+                g,
+                packbits=(i % 2 == 0),
+                big_endian=(i % 4 < 2),
+                white_is_zero=(i % 8 < 4),
+                rows_per_strip=2,
+            ))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "image", tiff_payload, cache_name="tiff")
+    return multimodal.image_luma_stats(media)
+
+
+def q206_midi_decode(spark, sf_dir):
+    """SMF MIDI decode into the note table: per-doc fixtures with
+    n = 3 + id%7 notes at pitch (id + 5k) % 128, velocity 1 + (id+k)%127,
+    onset 240k, duration 120 + (k%4)*60 ticks, spread over 1 + id%2
+    tracks — every aggregate (pitch sum/min/max, velocity sum, duration
+    mass, span) has a closed form the SQL oracle reproduces, proving
+    varint deltas, running status, meta/end-of-track handling, and
+    note-on/off pairing."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.multimodal import make_midi
+
+    @F.pandas_udf("binary")
+    def midi_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            n = 3 + i % 7
+            notes = [
+                (0, (i + 5 * k) % 128, 1 + (i + k) % 127, 240 * k,
+                 120 + (k % 4) * 60)
+                for k in range(n)
+            ]
+            out.append(make_midi(notes, division=480, n_tracks=1 + i % 2))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "audio", midi_payload, cache_name="midi")
+    return multimodal.midi_note_stats(
+        media.filter(F.col("kind") == "audio")
+    ).select(
+        "media_id", "division", "n_tracks", "n_notes", "pitch_sum",
+        "pitch_min", "pitch_max", "velocity_sum", "dur_sum", "span_ticks",
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3220,6 +3318,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_ras_decode": q201_ras_decode,
         "q202_media_inventory": q202_media_inventory,
         "q203_attribution_decay": q203_attribution_decay,
+        "q204_qoi_decode": q204_qoi_decode,
+        "q205_tiff_decode": q205_tiff_decode,
+        "q206_midi_decode": q206_midi_decode,
     }
 
 
@@ -6660,6 +6761,82 @@ def oracle_sql() -> dict[str, str]:
                 WHERE x.uuid = c.uuid AND x.cid = c.cid)
               HAVING COUNT(*) > 0)
             SELECT * FROM per_ch UNION ALL SELECT * FROM untouched
+        """,
+        "q204_qoi_decode": """
+            -- QOI round-trips gray exactly (BT.601 weights sum to 1):
+            -- rounded luma == (y*13 + x*3 + id*5) % 256
+            -- on a (3 + id%5) x (4 + id%4) canvas
+            WITH a AS (
+              SELECT doc_id,
+                     4 + CAST(doc_id % 4 AS INT) AS w,
+                     3 + CAST(doc_id % 5 AS INT) AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ), t AS (
+              SELECT doc_id, w, h,
+                     [ ((k // w) * 13 + (k % w) * 3 + doc_id * 5) % 256
+                       for k in generate_series(0, h * w - 1) ] AS px
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(list_sum(px) AS BIGINT) AS luma_sum,
+                   CAST(list_min(px) AS INT) AS luma_min,
+                   CAST(list_max(px) AS INT) AS luma_max
+            FROM t
+        """,
+        "q205_tiff_decode": """
+            -- PackBits/uncompressed x II/MM x BlackIsZero/WhiteIsZero all
+            -- decode to the same gray: luma == (y*11 + x*17 + id*7) % 256
+            -- on a (4 + id%4) x (3 + id%5) canvas
+            WITH a AS (
+              SELECT doc_id,
+                     3 + CAST(doc_id % 5 AS INT) AS w,
+                     4 + CAST(doc_id % 4 AS INT) AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ), t AS (
+              SELECT doc_id, w, h,
+                     [ ((k // w) * 11 + (k % w) * 17 + doc_id * 7) % 256
+                       for k in generate_series(0, h * w - 1) ] AS px
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(list_sum(px) AS BIGINT) AS luma_sum,
+                   CAST(list_min(px) AS INT) AS luma_min,
+                   CAST(list_max(px) AS INT) AS luma_max
+            FROM t
+        """,
+        "q206_midi_decode": """
+            -- note k of doc i: pitch (i+5k)%128, velocity 1+(i+k)%127,
+            -- onset 240k, duration 120+(k%4)*60; n = 3 + i%7 notes
+            WITH a AS (
+              SELECT doc_id, 3 + CAST(doc_id % 7 AS INT) AS n
+              FROM documents WHERE doc_id % 3 = 1
+            ), t AS (
+              SELECT doc_id, n,
+                [ (doc_id + 5 * k) % 128
+                  for k in generate_series(0, n - 1) ] AS pitches,
+                [ 1 + (doc_id + k) % 127
+                  for k in generate_series(0, n - 1) ] AS vels,
+                [ 120 + (k % 4) * 60
+                  for k in generate_series(0, n - 1) ] AS durs,
+                [ 240 * k + 120 + (k % 4) * 60
+                  for k in generate_series(0, n - 1) ] AS offs
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   CAST(480 AS INT) AS division,
+                   CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+                   CAST(n AS BIGINT) AS n_notes,
+                   CAST(list_sum(pitches) AS BIGINT) AS pitch_sum,
+                   CAST(list_min(pitches) AS INT) AS pitch_min,
+                   CAST(list_max(pitches) AS INT) AS pitch_max,
+                   CAST(list_sum(vels) AS BIGINT) AS velocity_sum,
+                   CAST(list_sum(durs) AS BIGINT) AS dur_sum,
+                   CAST(list_max(offs) AS BIGINT) AS span_ticks
+            FROM t
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

@@ -1775,3 +1775,144 @@ def test_media_inventory_counts_containers(spark):
     assert got["pcx"][0] == 1 and got["ras"][0] == 1 and got["bmp"][0] == 1
     assert got["unknown"] == (1, 9)
     assert got["empty"] == (1, 0)
+
+
+def test_qoi_roundtrip_all_chunk_types():
+    """QOI: the fixture encoder uses the full op ladder (RUN/INDEX/DIFF/
+    LUMA/RGB), so exact round-trip proves every decode branch, including
+    the 62-run cap, the wrap-mod-256 deltas, and the (3r+5g+7b+11a)%64
+    index slots; honest gates raise."""
+    import struct as _struct
+
+    from traildb_spark.operators.multimodal import decode_qoi, make_qoi
+
+    rng = np.random.RandomState(11)
+    for trial in range(30):
+        h, w = rng.randint(1, 14), rng.randint(1, 14)
+        g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        if trial % 3 == 0:
+            g[:, : w // 2 + 1] = g[0, 0]  # long runs
+        if trial % 4 == 0:
+            g = np.cumsum(g, axis=1).astype(np.uint8)  # DIFF/LUMA deltas
+        dec = np.round(decode_qoi(make_qoi(g))).astype(np.uint8)
+        assert dec.shape == g.shape and (dec == g).all()
+    # a 200-wide constant row exercises multiple max-length RUN chunks
+    flat = np.full((1, 200), 77, np.uint8)
+    assert (np.round(decode_qoi(make_qoi(flat))) == 77).all()
+    with pytest.raises(ValueError):  # bad magic
+        decode_qoi(b"qoix" + bytes(20))
+    with pytest.raises(ValueError):  # zero dims
+        decode_qoi(b"qoif" + _struct.pack(">II", 0, 4) + bytes([3, 0]) + bytes(8))
+    with pytest.raises(ValueError):  # bad channels
+        decode_qoi(b"qoif" + _struct.pack(">II", 2, 2) + bytes([5, 0]) + bytes(8))
+    with pytest.raises(ValueError):  # truncated chunk stream
+        good = make_qoi(np.arange(16, dtype=np.uint8).reshape(4, 4))
+        decode_qoi(good[: len(good) // 2])
+
+
+def test_tiff_roundtrip_flags_and_gates():
+    """TIFF: PackBits/uncompressed x II/MM x photometric 0/1 x strip
+    splits all round-trip to the same gray; unsupported forms raise."""
+    import struct as _struct
+
+    from traildb_spark.operators.multimodal import decode_tiff, make_tiff
+
+    rng = np.random.RandomState(13)
+    for trial in range(30):
+        h, w = rng.randint(1, 11), rng.randint(1, 11)
+        g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        if trial % 2:
+            g[: h // 2 + 1, :] = g[0, 0]  # PackBits repeat runs
+        dec = decode_tiff(make_tiff(
+            g,
+            packbits=(trial % 2 == 0),
+            big_endian=(trial % 3 == 0),
+            white_is_zero=(trial % 5 == 0),
+            rows_per_strip=None if trial % 4 else max(1, h // 2),
+        )).astype(np.uint8)
+        assert dec.shape == g.shape and (dec == g).all()
+    g = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    with pytest.raises(ValueError):  # not a TIFF
+        decode_tiff(b"II+\x00" + bytes(8))
+    with pytest.raises(ValueError):  # truncated strip
+        decode_tiff(make_tiff(g)[:-30])
+    enc = bytearray(make_tiff(g))
+    # flip compression tag (259) value to LZW (5): honest gate
+    ifd_off = _struct.unpack("<I", enc[4:8])[0]
+    for i in range(_struct.unpack("<H", enc[ifd_off:ifd_off + 2])[0]):
+        e = ifd_off + 2 + 12 * i
+        if _struct.unpack("<H", enc[e:e + 2])[0] == 259:
+            enc[e + 8:e + 10] = _struct.pack("<H", 5)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(enc))
+
+
+def test_midi_roundtrip_and_note_pairing():
+    """SMF: varint deltas, running status, meta/sysex skip, multi-track
+    split, and FIFO note-on/off pairing all round-trip; velocity-0
+    note-on acts as note-off; unclosed notes end at end-of-track."""
+    import struct as _struct
+
+    from traildb_spark.operators.multimodal import decode_midi, make_midi
+
+    rng = np.random.RandomState(17)
+    for trial in range(25):
+        n = int(rng.randint(0, 18))
+        # distinct pitches per trial -> pairing is unambiguous
+        pitches = rng.permutation(128)[:n]
+        notes = [
+            (int(rng.randint(0, 16)), int(pitches[k]),
+             int(rng.randint(1, 128)), int(rng.randint(0, 4000)),
+             int(rng.randint(1, 800)))
+            for k in range(n)
+        ]
+        nt = 1 + trial % 3
+        division, ntrks, arr = decode_midi(make_midi(notes, 384, nt))
+        assert (division, ntrks) == (384, nt)
+        got = sorted(tuple(map(int, r[1:])) for r in arr)
+        exp = sorted((ch, p, v, on, d) for ch, p, v, on, d in notes)
+        assert got == exp
+    # velocity-0 note-on closes a note (spec's running-status idiom)
+    body = b"\x00\x90\x3c\x40" + b"\x60\x3c\x00" + b"\x00\xff\x2f\x00"
+    raw = (_struct.pack(">4sIHHH", b"MThd", 6, 0, 1, 480)
+           + _struct.pack(">4sI", b"MTrk", len(body)) + body)
+    _, _, arr = decode_midi(raw)
+    assert arr.tolist() == [[0, 0, 0x3C, 0x40, 0, 0x60]]
+    # unclosed note ends at end-of-track tick
+    body = b"\x00\x90\x3c\x40" + b"\x81\x00\xff\x2f\x00"  # EOT at t=128
+    raw = (_struct.pack(">4sIHHH", b"MThd", 6, 0, 1, 480)
+           + _struct.pack(">4sI", b"MTrk", len(body)) + body)
+    _, _, arr = decode_midi(raw)
+    assert arr.tolist() == [[0, 0, 0x3C, 0x40, 0, 128]]
+    with pytest.raises(ValueError):  # SMPTE division
+        decode_midi(_struct.pack(">4sIHHH", b"MThd", 6, 0, 1, 0xE250))
+    with pytest.raises(ValueError):  # format 2
+        decode_midi(_struct.pack(">4sIHHH", b"MThd", 6, 2, 1, 480))
+    with pytest.raises(ValueError):  # truncated track
+        decode_midi(_struct.pack(">4sIHHH", b"MThd", 6, 0, 1, 480)
+                    + _struct.pack(">4sI", b"MTrk", 99) + b"\x00")
+
+
+def test_midi_note_stats_spark(spark):
+    """midi_note_stats over a mixed table: per-payload aggregates match
+    a hand decode; undecodable and NULL payloads are skipped."""
+    from traildb_spark.operators.multimodal import make_midi, midi_note_stats
+
+    notes1 = [(0, 60, 100, 0, 480), (1, 64, 90, 240, 240)]
+    notes2 = [(2, 30, 10, 100, 50)]
+    rows = [
+        (1, bytearray(make_midi(notes1, 480, 2))),
+        (2, bytearray(make_midi(notes2, 96, 1))),
+        (3, bytearray(b"not midi")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in midi_note_stats(df).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1.division, r1.n_tracks, r1.n_notes) == (480, 2, 2)
+    assert (r1.pitch_sum, r1.pitch_min, r1.pitch_max) == (124, 60, 64)
+    assert (r1.velocity_sum, r1.dur_sum, r1.span_ticks) == (190, 720, 480)
+    r2 = got[2]
+    assert (r2.division, r2.n_tracks, r2.n_notes) == (96, 1, 1)
+    assert (r2.pitch_sum, r2.dur_sum, r2.span_ticks) == (30, 50, 150)

@@ -206,6 +206,10 @@ def _gray_pixels(content: bytes) -> np.ndarray:
         return decode_pcx(content)
     if content[:4] == b"\x59\xa6\x6a\x95":
         return decode_ras(content)
+    if content[:4] == b"qoif":
+        return decode_qoi(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(content)
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos, width, height, channels = 8, None, None, None
@@ -2395,10 +2399,560 @@ def make_ras(gray: np.ndarray, rle: bool = False, colormap: bool = True) -> byte
     return hdr + cmap + body
 
 
+def decode_qoi(content: bytes) -> np.ndarray:
+    """Decode a QOI (Quite OK Image, qoiformat.org spec v1.0) payload to
+    float gray (H, W) via BT.601 luma. QOI is a byte-aligned streaming
+    format: a 14-byte header (``qoif``, BE u32 width/height, channels
+    3|4, colorspace 0|1) then one chunk per pixel run — RGB (0xFE),
+    RGBA (0xFF), INDEX (2-bit tag 0b00 into a 64-slot recently-seen
+    array keyed ``(3r+5g+7b+11a) % 64``), DIFF (0b01, three 2-bit
+    channel deltas biased +2), LUMA (0b10, 6-bit dg biased +32 plus
+    4-bit dr−dg / db−dg biased +8), RUN (0b11, 1..62 repeats of the
+    previous pixel), closed by seven 0x00 and one 0x01. Deltas wrap
+    mod 256; the implicit start pixel is (0, 0, 0, 255). Truncated
+    streams and bad headers raise ValueError (honest-gate contract)."""
+    if len(content) < 22 or content[:4] != b"qoif":
+        raise ValueError("not a QOI payload")
+    w, h = struct.unpack(">II", content[4:12])
+    channels, colorspace = content[12], content[13]
+    if channels not in (3, 4) or colorspace not in (0, 1):
+        raise ValueError("QOI: bad channels/colorspace")
+    if w == 0 or h == 0:
+        raise ValueError("QOI: zero-dimension image")
+    total = w * h
+    out = np.empty((total, 3), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, filled, n = 14, 0, len(content)
+    data = content
+    while filled < total:
+        if pos >= n:
+            raise ValueError("QOI: truncated chunk stream")
+        byte = data[pos]
+        pos += 1
+        if byte == 0xFE:  # QOI_OP_RGB
+            if pos + 3 > n:
+                raise ValueError("QOI: truncated RGB chunk")
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif byte == 0xFF:  # QOI_OP_RGBA
+            if pos + 4 > n:
+                raise ValueError("QOI: truncated RGBA chunk")
+            r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            pos += 4
+        else:
+            tag = byte >> 6
+            if tag == 0:  # QOI_OP_INDEX
+                r, g, b, a = index[byte & 0x3F]
+            elif tag == 1:  # QOI_OP_DIFF
+                r = (r + ((byte >> 4) & 3) - 2) & 0xFF
+                g = (g + ((byte >> 2) & 3) - 2) & 0xFF
+                b = (b + (byte & 3) - 2) & 0xFF
+            elif tag == 2:  # QOI_OP_LUMA
+                if pos >= n:
+                    raise ValueError("QOI: truncated LUMA chunk")
+                dg = (byte & 0x3F) - 32
+                b2 = data[pos]
+                pos += 1
+                r = (r + dg + ((b2 >> 4) & 0x0F) - 8) & 0xFF
+                g = (g + dg) & 0xFF
+                b = (b + dg + (b2 & 0x0F) - 8) & 0xFF
+            else:  # QOI_OP_RUN
+                run = (byte & 0x3F) + 1
+                k = min(run, total - filled)
+                out[filled : filled + k] = (r, g, b)
+                filled += k
+                continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        out[filled] = (r, g, b)
+        filled += 1
+    px = out.reshape(h, w, 3).astype(np.float64)
+    return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+
+
+def make_qoi(gray: np.ndarray) -> bytes:
+    """Deterministic QOI encoder (fixture generator): gray values become
+    (v, v, v, 255) pixels run through the REAL op ladder — RUN for
+    repeats, INDEX for recently-seen values, DIFF/LUMA when the wrapped
+    deltas fit, RGB otherwise — so a decoder must implement every chunk
+    type to round-trip it. Gray in, gray out: BT.601 weights sum to 1,
+    so rounded luma equals the input exactly."""
+    a8 = np.asarray(gray, dtype=np.uint8)
+    h, w = a8.shape
+    flat = a8.reshape(-1)
+    parts = [b"qoif" + struct.pack(">II", w, h) + bytes([3, 0])]
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for v in flat:
+        v = int(v)
+        px = (v, v, v, 255)
+        if px == (pr, pg, pb, pa):
+            run += 1
+            if run == 62:
+                parts.append(bytes([0xC0 | (run - 1)]))
+                run = 0
+            continue
+        if run:
+            parts.append(bytes([0xC0 | (run - 1)]))
+            run = 0
+        slot = (v * 3 + v * 5 + v * 7 + 255 * 11) % 64
+        if index[slot] == px:
+            parts.append(bytes([slot]))
+        else:
+            index[slot] = px
+            dr = (v - pr + 128) % 256 - 128
+            dg = (v - pg + 128) % 256 - 128
+            db = (v - pb + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                parts.append(
+                    bytes([0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)])
+                )
+            elif (
+                -32 <= dg <= 31
+                and -8 <= dr - dg <= 7
+                and -8 <= db - dg <= 7
+            ):
+                parts.append(
+                    bytes([0x80 | (dg + 32), ((dr - dg + 8) << 4) | (db - dg + 8)])
+                )
+            else:
+                parts.append(bytes([0xFE, v, v, v]))
+        pr, pg, pb, pa = px
+    if run:
+        parts.append(bytes([0xC0 | (run - 1)]))
+    parts.append(b"\x00" * 7 + b"\x01")
+    return b"".join(parts)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773, public TIFF 6.0 spec
+    §9): control byte n in 0..127 copies the next n+1 literals, n in
+    129..255 (two's-complement −1..−127) repeats the next byte 257−n
+    times, n == 128 is a no-op. Stops at ``expected`` output bytes;
+    truncation raises."""
+    out = bytearray()
+    pos, n = 0, len(data)
+    while len(out) < expected:
+        if pos >= n:
+            raise ValueError("TIFF: truncated PackBits stream")
+        c = data[pos]
+        pos += 1
+        if c == 128:
+            continue
+        if c < 128:
+            if pos + c + 1 > n:
+                raise ValueError("TIFF: truncated PackBits literal run")
+            out += data[pos : pos + c + 1]
+            pos += c + 1
+        else:
+            if pos >= n:
+                raise ValueError("TIFF: truncated PackBits repeat")
+            out += bytes([data[pos]]) * (257 - c)
+            pos += 1
+    return bytes(out[:expected])
+
+
+def decode_tiff(content: bytes) -> np.ndarray:
+    """Decode a baseline-gray TIFF payload to float gray (H, W) — the
+    TIFF 6.0 baseline grayscale profile, both byte orders: ``II*\\0``
+    little-endian or ``MM\\0*`` big-endian header, a single IFD of
+    12-byte entries, strip layout via tags 273/279 (StripOffsets /
+    StripByteCounts, possibly out-of-line arrays), compression 1 (none)
+    or 32773 (PackBits), photometric 0 (WhiteIsZero → inverted) or 1,
+    8-bit single-sample pixels. Multi-sample, tiled, predictor'd, LZW
+    and sub-byte forms raise — the honest-gate contract."""
+    if len(content) < 8:
+        raise ValueError("not a TIFF payload")
+    if content[:4] == b"II*\x00":
+        bo = "<"
+    elif content[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack(bo + "I", content[4:8])
+    if ifd_off + 2 > len(content):
+        raise ValueError("TIFF: truncated IFD offset")
+    (n_ent,) = struct.unpack(bo + "H", content[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    base = ifd_off + 2
+    if base + 12 * n_ent > len(content):
+        raise ValueError("TIFF: truncated IFD")
+    for i in range(n_ent):
+        e = content[base + 12 * i : base + 12 * i + 12]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        tags[tag] = (typ, cnt, e[8:12])
+    type_size = {1: 1, 3: 2, 4: 4}
+
+    def values(tag: int, default=None) -> list[int]:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF: missing required tag {tag}")
+            return [default]
+        typ, cnt, raw = tags[tag]
+        if typ not in type_size:
+            raise ValueError(f"TIFF: tag {tag} type {typ} not supported")
+        sz = type_size[typ] * cnt
+        if sz <= 4:
+            buf = raw[:sz]
+        else:
+            (off,) = struct.unpack(bo + "I", raw)
+            if off + sz > len(content):
+                raise ValueError("TIFF: out-of-line tag value truncated")
+            buf = content[off : off + sz]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return list(struct.unpack(bo + fmt * cnt, buf))
+
+    w = values(256)[0]
+    h = values(257)[0]
+    bits = values(258, default=8)
+    comp = values(259, default=1)[0]
+    photo = values(262)[0]
+    spp = values(277, default=1)[0]
+    offsets = values(273)
+    counts = values(279)
+    if spp != 1 or bits != [8]:
+        raise ValueError("TIFF: only 8-bit single-sample gray supported")
+    if comp not in (1, 32773):
+        raise ValueError(f"TIFF: compression {comp} needs another decoder")
+    if photo not in (0, 1):
+        raise ValueError(f"TIFF: photometric {photo} not supported")
+    if w == 0 or h == 0:
+        raise ValueError("TIFF: zero-dimension image")
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF: strip offset/count mismatch")
+    rows_per_strip = values(278, default=h)[0]
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(content):
+            raise ValueError("TIFF: strip beyond payload")
+        strip = content[off : off + cnt]
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        if n_rows <= 0:
+            raise ValueError("TIFF: more strips than rows")
+        if comp == 32773:
+            raw += _packbits_decode(strip, n_rows * w)
+        else:
+            if cnt < n_rows * w:
+                raise ValueError("TIFF: truncated strip")
+            raw += strip[: n_rows * w]
+    if len(raw) < w * h:
+        raise ValueError("TIFF: pixel data short of width*height")
+    px = np.frombuffer(bytes(raw[: w * h]), dtype=np.uint8).reshape(h, w)
+    out = px.astype(np.float64)
+    return 255.0 - out if photo == 0 else out
+
+
+def make_tiff(
+    gray: np.ndarray,
+    packbits: bool = False,
+    big_endian: bool = False,
+    white_is_zero: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Deterministic baseline-gray TIFF encoder (fixture generator):
+    header + pixel strips + trailing IFD, strip layout honoring
+    ``rows_per_strip``, optional PackBits compression (runs ≥ 3 become
+    repeats, literals chunked at 128), optional big-endian byte order
+    and WhiteIsZero photometric (pixels stored inverted) — decoded
+    gray equals the input under every flag combination."""
+    a = np.asarray(gray, dtype=np.uint8)
+    if white_is_zero:
+        a = (255 - a.astype(np.int64)).astype(np.uint8)
+    h, w = a.shape
+    bo = ">" if big_endian else "<"
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = a[y0 : y0 + rps].reshape(-1)
+        if not packbits:
+            strips.append(rows.tobytes())
+            continue
+        parts = []
+        i, n = 0, len(rows)
+        while i < n:
+            j = i
+            while j + 1 < n and rows[j + 1] == rows[i] and j - i < 126:
+                j += 1
+            run = j - i + 1
+            if run >= 3:
+                parts.append(bytes([257 - run, int(rows[i])]))
+                i = j + 1
+            else:
+                k = i
+                while (
+                    k < n
+                    and k - i < 128
+                    and not (
+                        k + 2 < n and rows[k] == rows[k + 1] == rows[k + 2]
+                    )
+                ):
+                    k += 1
+                parts.append(bytes([k - i - 1]) + rows[i:k].tobytes())
+                i = k
+        strips.append(b"".join(parts))
+    data_start = 8
+    offs, cnts, pos = [], [], data_start
+    for s in strips:
+        offs.append(pos)
+        cnts.append(len(s))
+        pos += len(s)
+    body = b"".join(strips)
+    ifd_off = data_start + len(body)
+    n_strips = len(strips)
+    extra = b""
+    extra_base = ifd_off + 2 + 9 * 12 + 4
+
+    def arr_field(vals: list[int]) -> bytes:
+        nonlocal extra
+        if len(vals) == 1:
+            return struct.pack(bo + "I", vals[0])
+        off = extra_base + len(extra)
+        extra += struct.pack(bo + "I" * len(vals), *vals)
+        return struct.pack(bo + "I", off)
+
+    def entry(tag: int, typ: int, cnt: int, val: bytes) -> bytes:
+        return struct.pack(bo + "HHI", tag, typ, cnt) + val
+
+    entries = [
+        entry(256, 4, 1, struct.pack(bo + "I", w)),
+        entry(257, 4, 1, struct.pack(bo + "I", h)),
+        entry(258, 3, 1, struct.pack(bo + "HH", 8, 0)),
+        entry(259, 3, 1, struct.pack(bo + "HH", 32773 if packbits else 1, 0)),
+        entry(262, 3, 1, struct.pack(bo + "HH", 0 if white_is_zero else 1, 0)),
+        entry(273, 4, n_strips, arr_field(offs)),
+        entry(277, 3, 1, struct.pack(bo + "HH", 1, 0)),
+        entry(278, 4, 1, struct.pack(bo + "I", rps)),
+        entry(279, 4, n_strips, arr_field(cnts)),
+    ]
+    hdr = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
+        bo + "I", ifd_off
+    )
+    ifd = struct.pack(bo + "H", len(entries)) + b"".join(entries) + b"\x00" * 4
+    return hdr + body + ifd + extra
+
+
+def _midi_varint(data: bytes, pos: int) -> tuple[int, int]:
+    """SMF variable-length quantity: 7 bits per byte, high bit =
+    continuation, ≤ 4 bytes (spec max 0x0FFFFFFF)."""
+    v = 0
+    for i in range(4):
+        if pos >= len(data):
+            raise ValueError("MIDI: truncated varint")
+        b = data[pos]
+        pos += 1
+        v = (v << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return v, pos
+    raise ValueError("MIDI: varint longer than 4 bytes")
+
+
+def decode_midi(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a Standard MIDI File (SMF format 0/1, public MIDI 1.0 /
+    RP-001 spec) into a note table — the symbolic-music analog of
+    decode_wav: header chunk (``MThd``, format, ntrks, division),
+    per-track event streams with variable-length delta times, running
+    status, sysex (F0/F7, length-prefixed, cancels running status) and
+    meta events (FF type len), channel voice messages with their
+    status-dependent operand counts. Note-on (velocity > 0) pairs with
+    the EARLIEST open note-off of the same (channel, pitch) — the
+    spec's FIFO overlap rule; note-on with velocity 0 IS a note-off.
+    Unclosed notes end at the track's end-of-track tick. SMPTE
+    (negative) division raises.
+
+    Returns ``(division, n_tracks, notes)`` where notes is an (N, 6)
+    int64 array of (track, channel, pitch, velocity, onset_ticks,
+    dur_ticks) sorted by (track, onset, channel, pitch)."""
+    if len(content) < 14 or content[:4] != b"MThd":
+        raise ValueError("not a MIDI payload")
+    (hlen, fmt, ntrks, division) = struct.unpack(">IHHH", content[4:14])
+    if hlen != 6:
+        raise ValueError("MIDI: bad MThd length")
+    if fmt not in (0, 1):
+        raise ValueError(f"MIDI: format {fmt} not supported")
+    if division & 0x8000:
+        raise ValueError("MIDI: SMPTE division not supported")
+    if fmt == 0 and ntrks != 1:
+        raise ValueError("MIDI: format 0 must have exactly one track")
+    pos = 14
+    notes: list[tuple[int, int, int, int, int, int]] = []
+    n_data = {0x80: 2, 0x90: 2, 0xA0: 2, 0xB0: 2, 0xC0: 1, 0xD0: 1, 0xE0: 2}
+    for track in range(ntrks):
+        if pos + 8 > len(content) or content[pos : pos + 4] != b"MTrk":
+            raise ValueError("MIDI: missing MTrk chunk")
+        (tlen,) = struct.unpack(">I", content[pos + 4 : pos + 8])
+        data = content[pos + 8 : pos + 8 + tlen]
+        if len(data) < tlen:
+            raise ValueError("MIDI: truncated track chunk")
+        pos += 8 + tlen
+        t = 0
+        i = 0
+        status = None
+        open_notes: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        ended = False
+        while i < len(data) and not ended:
+            delta, i = _midi_varint(data, i)
+            t += delta
+            if i >= len(data):
+                raise ValueError("MIDI: truncated event")
+            b = data[i]
+            if b >= 0x80:
+                i += 1
+                if b == 0xFF:
+                    if i >= len(data):
+                        raise ValueError("MIDI: truncated meta event")
+                    mtype = data[i]
+                    mlen, i2 = _midi_varint(data, i + 1)
+                    i = i2 + mlen
+                    if i > len(data):
+                        raise ValueError("MIDI: truncated meta payload")
+                    if mtype == 0x2F:
+                        ended = True
+                    continue
+                if b in (0xF0, 0xF7):
+                    slen, i2 = _midi_varint(data, i)
+                    i = i2 + slen
+                    if i > len(data):
+                        raise ValueError("MIDI: truncated sysex payload")
+                    status = None
+                    continue
+                if b < 0x80 or b >= 0xF0:
+                    raise ValueError(f"MIDI: unsupported status 0x{b:02x}")
+                status = b
+            elif status is None:
+                raise ValueError("MIDI: data byte with no running status")
+            kind = status & 0xF0
+            ch = status & 0x0F
+            nd = n_data[kind]
+            if i + nd > len(data):
+                raise ValueError("MIDI: truncated channel message")
+            d1 = data[i]
+            d2 = data[i + 1] if nd == 2 else 0
+            i += nd
+            if kind == 0x90 and d2 > 0:
+                open_notes.setdefault((ch, d1), []).append((t, d2))
+            elif kind == 0x80 or (kind == 0x90 and d2 == 0):
+                q = open_notes.get((ch, d1))
+                if q:
+                    onset, vel = q.pop(0)
+                    notes.append((track, ch, d1, vel, onset, t - onset))
+        for (ch, pitch), q in open_notes.items():
+            for onset, vel in q:
+                notes.append((track, ch, pitch, vel, onset, t - onset))
+    arr = (
+        np.array(sorted(notes, key=lambda r: (r[0], r[4], r[1], r[2])),
+                 dtype=np.int64)
+        if notes
+        else np.empty((0, 6), dtype=np.int64)
+    )
+    return int(division), int(ntrks), arr
+
+
+def make_midi(
+    notes: list[tuple[int, int, int, int, int]],
+    division: int = 480,
+    n_tracks: int = 1,
+) -> bytes:
+    """Deterministic SMF encoder (fixture generator): notes are
+    (channel, pitch, velocity, onset_ticks, dur_ticks) tuples spread
+    round-robin across ``n_tracks`` tracks (format 0 when one, format 1
+    otherwise). Emits real varint deltas, note-on/note-off pairs,
+    running status for consecutive same-status events, a tempo meta
+    event per track, and end-of-track — exercising every branch
+    decode_midi must implement."""
+
+    def varint(v: int) -> bytes:
+        out = [v & 0x7F]
+        v >>= 7
+        while v:
+            out.append(0x80 | (v & 0x7F))
+            v >>= 7
+        return bytes(reversed(out))
+
+    fmt = 0 if n_tracks == 1 else 1
+    chunks = [struct.pack(">4sIHHH", b"MThd", 6, fmt, n_tracks, division)]
+    for ti in range(n_tracks):
+        mine = [n for k, n in enumerate(notes) if k % n_tracks == ti]
+        evs: list[tuple[int, int, bytes]] = []  # (tick, order, msg)
+        for ch, pitch, vel, onset, dur in mine:
+            evs.append((onset, 1, bytes([0x90 | ch, pitch, vel])))
+            evs.append((onset + dur, 0, bytes([0x80 | ch, pitch, 0])))
+        evs.sort(key=lambda e: (e[0], e[1]))
+        body = bytearray(b"\x00\xff\x51\x03\x07\xa1\x20")  # tempo 500000
+        t = 0
+        last_status = None
+        for tick, _, msg in evs:
+            body += varint(tick - t)
+            t = tick
+            if msg[0] == last_status:
+                body += msg[1:]  # running status
+            else:
+                body += msg
+                last_status = msg[0]
+        end = max((e[0] for e in evs), default=0)
+        body += varint(max(0, end - t) + 1) + b"\xff\x2f\x00"
+        chunks.append(struct.pack(">4sI", b"MTrk", len(body)) + bytes(body))
+    return b"".join(chunks)
+
+
+def midi_note_stats(df: DataFrame) -> DataFrame:
+    """Symbolic-music feature extraction over a media table: one row per
+    decodable MIDI payload with the note-table aggregates a
+    music-training curation pass filters on (note density, pitch range,
+    duration mass). Same shape as the image/audio extractors — Arrow
+    mapInPandas, per-payload decode, sentinel-free: undecodable
+    payloads are SKIPPED (DECODE_ERRORS), never fatal.
+
+    Returns ``(media_id, division, n_tracks, n_notes, pitch_sum,
+    pitch_min, pitch_max, velocity_sum, dur_sum, span_ticks)``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    division, ntrks, notes = decode_midi(bytes(content))
+                except DECODE_ERRORS:
+                    continue
+                if len(notes):
+                    onset = notes[:, 4]
+                    dur = notes[:, 5]
+                    rows.append((
+                        int(mid), division, ntrks, len(notes),
+                        int(notes[:, 2].sum()), int(notes[:, 2].min()),
+                        int(notes[:, 2].max()), int(notes[:, 3].sum()),
+                        int(dur.sum()), int((onset + dur).max()),
+                    ))
+                else:
+                    rows.append((int(mid), division, ntrks, 0, 0, None,
+                                 None, 0, 0, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "division", "n_tracks", "n_notes",
+                    "pitch_sum", "pitch_min", "pitch_max", "velocity_sum",
+                    "dur_sum", "span_ticks",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run,
+        schema=(
+            "media_id long, division int, n_tracks int, n_notes long,"
+            " pitch_sum long, pitch_min int, pitch_max int,"
+            " velocity_sum long, dur_sum long, span_ticks long"
+        ),
+    )
+
+
 def sniff_container(content: bytes) -> str:
     """Container label from magic bytes alone — no decode, no payload
     walk beyond fixed offsets. Labels match the codecs this module
-    ships: png/jpeg/gif/pnm/bmp/tga/ico/pcx/ras, wav/aiff/au/voc,
+    ships: png/jpeg/gif/pnm/bmp/tga/ico/pcx/ras/qoi/tiff, wav/aiff/au/voc,
+    midi,
     y4m/avi; anything else is 'unknown'. Order matters only where
     magics could overlap (RIFF splits on the form type; the PCX guard
     requires the version/encoding/depth triple)."""
@@ -2428,6 +2982,12 @@ def sniff_container(content: bytes) -> str:
         return "pcx"
     if content[:4] == b"\x59\xa6\x6a\x95":
         return "ras"
+    if content[:4] == b"qoif":
+        return "qoi"
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if content[:4] == b"MThd":
+        return "midi"
     if content[:4] == b"RIFF":
         if content[8:12] == b"AVI ":
             return "avi"
