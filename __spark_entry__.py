@@ -3110,6 +3110,37 @@ def q206_midi_decode(spark, sf_dir):
     )
 
 
+def q207_field_mi(spark, sf_dir):
+    """Whole-bit mutual information between event_type and hour-of-day:
+    the feature-dependence score in the binary-digit-count lattice (q82's
+    PMI integerization lifted from word bigrams to field pairs), with the
+    sign-factored millibits-per-event division both engines agree on."""
+    ev = _events(spark, sf_dir).withColumn(
+        "hour", F.expr("(time div 3600) % 24").cast("string")
+    )
+    return analytics.field_mutual_information(ev, "event_type", "hour")
+
+
+def q208_ordered_pairs(spark, sf_dir):
+    """Sequential-pattern support (length-2 PrefixSpan core): trails
+    containing src strictly-before dst, exact via the min(src-time) <
+    max(dst-time) equivalence — one per-(trail, value) aggregate, the
+    pair join on lexicon-bounded per-trail value tables, never events."""
+    ev = _events(spark, sf_dir)
+    return analytics.ordered_pair_support(ev, "event_type", min_trails=2)
+
+
+def q209_trail_surprisal(spark, sf_dir):
+    """Per-trail Markov surprisal: each prev→cur step costs
+    bits(c_prev) − bits(c_pair) whole bits under the corpus's own
+    transition model (broadcast, lexicon²-bounded) — the sequence-anomaly
+    ranking that complements robot_trails' timing score."""
+    ev = _events(spark, sf_dir)
+    return analytics.transition_surprisal(
+        ev, "event_type", "uuid", "time", "event_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3321,6 +3352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_qoi_decode": q204_qoi_decode,
         "q205_tiff_decode": q205_tiff_decode,
         "q206_midi_decode": q206_midi_decode,
+        "q207_field_mi": q207_field_mi,
+        "q208_ordered_pairs": q208_ordered_pairs,
+        "q209_trail_surprisal": q209_trail_surprisal,
     }
 
 
@@ -6837,6 +6871,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(durs) AS BIGINT) AS dur_sum,
                    CAST(list_max(offs) AS BIGINT) AS span_ticks
             FROM t
+        """,
+        "q207_field_mi": f"""
+            WITH e AS ({_E}),
+            ev AS (SELECT event_type AS x,
+                          CAST(("time" // 3600) % 24 AS VARCHAR) AS y
+                   FROM e),
+            cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+                      FROM ev GROUP BY x, y),
+            cx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx
+                   FROM cells GROUP BY x),
+            cy AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy
+                   FROM cells GROUP BY y),
+            nn AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM cells),
+            per AS (
+              SELECT nn.n, c.cxy,
+                     (length(bin(c.cxy)) + length(bin(nn.n))
+                      - length(bin(cx.cx)) - length(bin(cy.cy)))
+                       AS pmi_bits
+              FROM cells c
+              JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN nn)
+            SELECT CAST(n AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(cxy * pmi_bits) AS BIGINT) AS mi_bits_weighted,
+                   CAST(CASE WHEN SUM(cxy * pmi_bits) >= 0
+                        THEN (SUM(cxy * pmi_bits) * 1000) // n
+                        ELSE -(((-SUM(cxy * pmi_bits)) * 1000) // n)
+                        END AS BIGINT) AS mi_millibits_per_event
+            FROM per GROUP BY n
+        """,
+        "q208_ordered_pairs": f"""
+            WITH e AS ({_E}),
+            per AS (SELECT uuid, event_type AS v,
+                           MIN("time") AS tmin, MAX("time") AS tmax
+                    FROM e GROUP BY uuid, event_type)
+            SELECT a.v AS src, b.v AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS n_trails
+            FROM per a JOIN per b
+              ON a.uuid = b.uuid AND a.tmin < b.tmax
+            GROUP BY a.v, b.v
+            HAVING COUNT(*) >= 2
+        """,
+        "q209_trail_surprisal": f"""
+            WITH e AS ({_E}),
+            s AS (SELECT uuid, event_type AS dst,
+                         lag(event_type) OVER (PARTITION BY uuid
+                           ORDER BY "time", event_id) AS src
+                  FROM e),
+            st AS (SELECT uuid, src, dst FROM s WHERE src IS NOT NULL),
+            pc AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS freq
+                   FROM st GROUP BY src, dst),
+            sc AS (SELECT src, CAST(SUM(freq) AS BIGINT) AS c_src
+                   FROM pc GROUP BY src),
+            model AS (SELECT pc.src, pc.dst,
+                             (length(bin(sc.c_src)) - length(bin(pc.freq)))
+                               AS step_bits
+                      FROM pc JOIN sc USING (src))
+            SELECT uuid, CAST(COUNT(*) AS BIGINT) AS n_steps,
+                   CAST(SUM(step_bits) AS BIGINT) AS surprisal_bits,
+                   CAST((SUM(step_bits) * 1000) // COUNT(*) AS BIGINT)
+                     AS millibits_per_step
+            FROM st JOIN model USING (src, dst)
+            GROUP BY uuid
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

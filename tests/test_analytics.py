@@ -1589,3 +1589,48 @@ def test_attribution_decay_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         analytics.attribution_decay(df, "purchase", ["click"], half_life=0)
+
+
+def test_field_mutual_information_hand_computed(spark):
+    """Perfectly correlated fields score bits(2)+bits(4)-bits(2)-bits(2)
+    = 1 whole bit per event (1000 millibits); independent uniform fields
+    score exactly 0."""
+    rows = [("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = analytics.field_mutual_information(df, "x", "y").collect()[0]
+    assert (r.n_events, r.n_cells) == (4, 2)
+    assert (r.mi_bits_weighted, r.mi_millibits_per_event) == (4, 1000)
+    rows = [("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = analytics.field_mutual_information(df, "x", "y").collect()[0]
+    assert (r.n_events, r.n_cells) == (4, 4)
+    assert (r.mi_bits_weighted, r.mi_millibits_per_event) == (0, 0)
+
+
+def test_ordered_pair_support_hand_computed(spark):
+    """min(src time) < max(dst time) equivalence: u1 a@1 b@2 a@3 yields
+    a->b, b->a, a->a but NOT b->b; support threshold counts trails."""
+    rows = [("u1", 1, 1, "a"), ("u1", 2, 2, "b"), ("u1", 3, 3, "a"),
+            ("u2", 5, 4, "b"), ("u2", 6, 5, "a")]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string")
+    got = {(r.src, r.dst): r.n_trails
+           for r in analytics.ordered_pair_support(df, min_trails=1).collect()}
+    assert got == {("a", "b"): 1, ("b", "a"): 2, ("a", "a"): 1}
+    got2 = {(r.src, r.dst): r.n_trails
+            for r in analytics.ordered_pair_support(df, min_trails=2).collect()}
+    assert got2 == {("b", "a"): 2}
+
+
+def test_transition_surprisal_hand_computed(spark):
+    """u1 alternates a/b (its transitions are the corpus's common ones ->
+    0 bits); u2's a->a is 1-of-3 from 'a' -> bits(3)-bits(1) = 1 bit."""
+    rows = [("u1", 1, 1, "a"), ("u1", 2, 2, "b"), ("u1", 3, 3, "a"),
+            ("u1", 4, 4, "b"), ("u1", 5, 5, "a"),
+            ("u2", 1, 6, "a"), ("u2", 2, 7, "a")]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string")
+    got = {r.uuid: (r.n_steps, r.surprisal_bits, r.millibits_per_step)
+           for r in analytics.transition_surprisal(
+               df, "event_type", "uuid", "time", "event_id").collect()}
+    assert got == {"u1": (4, 0, 0), "u2": (1, 1, 1000)}

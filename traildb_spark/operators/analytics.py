@@ -3880,3 +3880,174 @@ def attribution_decay(
         .filter(F.col("conversions_touched") > 0)
     )
     return per_channel.unionByName(untouched)
+
+
+def field_mutual_information(
+    df: DataFrame,
+    field_x: str,
+    field_y: str,
+) -> DataFrame:
+    """Whole-bit mutual information between two categorical fields — the
+    feature-dependence signal ("does event_type carry information about
+    hour-of-day?") in the same binary-digit integerization as
+    :func:`~traildb_spark.operators.text.cooccurrence_pmi`: each
+    occupied cell contributes ``c_xy · pmi_bits`` where ``pmi_bits =
+    bits(c_xy) + bits(N) − bits(c_x) − bits(c_y)`` (bits = binary digit
+    count ≤ 63, so nothing overflows and the score is bit-portable
+    across engines). Exact-rational MI needs logs no integer lattice
+    holds; the whole-bit form preserves ordering between field pairs,
+    which is what feature selection consumes.
+
+    Per-event millibits use the non-negative-operand rule: ``sign(W) ·
+    (|W|·1000 div N)`` so Spark ``div`` (truncate) and DuckDB ``//``
+    (floor) agree on negative totals.
+
+    Scale: one groupBy(x, y) with map-side combine bounds everything at
+    lexicon_x × lexicon_y cells; marginals and N are re-aggregates of
+    the cell table, never of the events; output is ONE row.
+
+    Returns ``(n_events, n_cells, mi_bits_weighted,
+    mi_millibits_per_event)``.
+    """
+    cells = df.groupBy(
+        F.col(field_x).alias("x"), F.col(field_y).alias("y")
+    ).agg(F.count(F.lit(1)).alias("cxy"))
+    cx = cells.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    cy = cells.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    n = cells.agg(F.sum("cxy").alias("n"))
+
+    def bits(c):
+        return F.length(F.bin(c.cast("long")))
+
+    per = (
+        cells.join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            "cxy",
+            (
+                bits(F.col("cxy")) + bits(F.col("n"))
+                - bits(F.col("cx")) - bits(F.col("cy"))
+            ).cast("long").alias("pmi_bits"),
+        )
+    )
+    return (
+        per.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.col("cxy") * F.col("pmi_bits")).alias("w"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_events"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.col("w").cast("long").alias("mi_bits_weighted"),
+            (
+                F.signum("w").cast("long")
+                * F.expr("abs(w) * 1000 div n")
+            ).cast("long").alias("mi_millibits_per_event"),
+        )
+    )
+
+
+def ordered_pair_support(
+    df: DataFrame,
+    field: str = "event_type",
+    min_trails: int = 2,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """Sequential-pattern support counting (the length-2 core of
+    PrefixSpan): for every ordered value pair (src → dst), the number of
+    trails containing src strictly-before dst in time — any gap, any
+    events between. The exactness trick that avoids a per-trail
+    event×event self-join: "src before dst somewhere in the trail" ⟺
+    ``min_time(src) < max_time(dst)``, so one per-(trail, value)
+    aggregate (min, max) suffices and the pair join runs on the
+    per-trail VALUE table (≤ lexicon rows per trail), never on events.
+    src = dst counts trails with two occurrences at distinct times.
+
+    Scale: one shuffle keyed (uuid, value) with map-side combine; the
+    per-trail self-join fans out ≤ lexicon² rows per trail; the final
+    aggregate is pair-space-sized. ``min_trails`` prunes the tail.
+
+    Returns ``(src, dst, n_trails)``.
+    """
+    per = df.groupBy(
+        F.col(uuid_col).alias("u"), F.col(field).alias("v")
+    ).agg(
+        F.min(time_col).alias("tmin"), F.max(time_col).alias("tmax")
+    )
+    a = per.select("u", F.col("v").alias("src"), "tmin")
+    b = per.select("u", F.col("v").alias("dst"), "tmax")
+    return (
+        a.join(b, "u")
+        .filter(F.col("tmin") < F.col("tmax"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_trails"))
+        .filter(F.col("n_trails") >= int(min_trails))
+    )
+
+
+def transition_surprisal(
+    df: DataFrame,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+) -> DataFrame:
+    """Per-trail surprisal under the corpus's own first-order Markov
+    model — the behavioral-anomaly score "how unusual is this trail's
+    event SEQUENCE", complementing :func:`robot_trails` (which scores
+    timing). Each step prev → cur costs ``bits(c_prev) − bits(c_pair)``
+    whole bits (≈ log2(1/P(cur|prev)), non-negative since c_pair ≤
+    c_prev), where the counts come from :func:`transition_counts` over
+    the SAME input. Trails whose transitions are all common score near
+    zero; a trail full of never-seen-elsewhere transitions scores
+    high. millibits_per_step = 1000·sum div steps (non-negative, so
+    truncate == floor across engines).
+
+    Scale: the model is the lexicon²-bounded pair table, broadcast with
+    its src marginals; events shuffle ONCE on uuid for the lag window;
+    the join against the broadcast model is map-side. Per-trail output.
+
+    Returns ``(uuid, n_steps, surprisal_bits, millibits_per_step)``.
+    """
+    w = _trail_window(uuid_col, time_col, *tiebreak)
+    steps = df.withColumn("__prev", F.lag(F.col(field)).over(w)).filter(
+        F.col("__prev").isNotNull()
+    )
+    pair_counts = transition_counts(
+        df, field, uuid_col, time_col, *tiebreak
+    )
+    src_counts = pair_counts.groupBy("src").agg(
+        F.sum("freq").alias("c_src")
+    )
+    model = pair_counts.join(src_counts, "src").select(
+        "src",
+        "dst",
+        (
+            F.length(F.bin(F.col("c_src")))
+            - F.length(F.bin(F.col("freq")))
+        ).cast("long").alias("step_bits"),
+    )
+    return (
+        steps.select(
+            F.col(uuid_col).alias("uuid"),
+            F.col("__prev").alias("src"),
+            F.col(field).alias("dst"),
+        )
+        .join(F.broadcast(model), ["src", "dst"])
+        .groupBy("uuid")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.sum("step_bits").alias("surprisal_bits"),
+        )
+        .select(
+            "uuid",
+            F.col("n_steps").cast("long").alias("n_steps"),
+            F.col("surprisal_bits").cast("long").alias("surprisal_bits"),
+            F.expr("surprisal_bits * 1000 div n_steps")
+            .cast("long").alias("millibits_per_step"),
+        )
+    )
