@@ -3141,6 +3141,23 @@ def q209_trail_surprisal(spark, sf_dir):
     )
 
 
+def q210_rolling_features(spark, sf_dir):
+    """Per-event rolling features (last-5 window over each trail) on the
+    cents lattice — the as-of feature-generation pass, one uuid shuffle,
+    O(k) window state per trail."""
+    ev = _events(spark, sf_dir)
+    return analytics.rolling_features(ev, 5, "value", "uuid", "time",
+                                      "event_id")
+
+
+def q211_column_profile(spark, sf_dir):
+    """Deequ-style column profile over event_type and props: melt to
+    (field, value) rows, ONE map-side-combined aggregate bounded at
+    Σ lexicon sizes, modal value with the lexicographic tie rule."""
+    ev = _events(spark, sf_dir)
+    return analytics.column_profile(ev, ["event_type", "props"])
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3355,6 +3372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q207_field_mi": q207_field_mi,
         "q208_ordered_pairs": q208_ordered_pairs,
         "q209_trail_surprisal": q209_trail_surprisal,
+        "q210_rolling_features": q210_rolling_features,
+        "q211_column_profile": q211_column_profile,
     }
 
 
@@ -6933,6 +6952,48 @@ def oracle_sql() -> dict[str, str]:
                      AS millibits_per_step
             FROM st JOIN model USING (src, dst)
             GROUP BY uuid
+        """,
+        "q210_rolling_features": f"""
+            WITH e AS ({_E}),
+            c AS (SELECT uuid, "time", event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM e)
+            SELECT uuid, "time", event_id, cents,
+                   CAST(COUNT(cents) OVER w AS BIGINT) AS roll_n,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum_cents,
+                   CAST(MIN(cents) OVER w AS BIGINT) AS roll_min_cents,
+                   CAST(MAX(cents) OVER w AS BIGINT) AS roll_max_cents
+            FROM c
+            WINDOW w AS (PARTITION BY uuid ORDER BY "time", event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "q211_column_profile": f"""
+            WITH e AS ({_E}),
+            pairs AS (
+              SELECT 'event_type' AS field, event_type AS value FROM e
+              UNION ALL
+              SELECT 'props' AS field, props AS value FROM e
+            ),
+            vals AS (SELECT field, value, COUNT(*) AS freq
+                     FROM pairs GROUP BY field, value),
+            pf AS (SELECT field,
+                          CAST(SUM(freq) AS BIGINT) AS n_rows,
+                          CAST(SUM(CASE WHEN value = '' THEN freq
+                                   ELSE 0 END) AS BIGINT) AS n_empty,
+                          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                          CAST(MIN(length(value)) AS INT) AS min_len,
+                          CAST(MAX(length(value)) AS INT) AS max_len
+                   FROM vals GROUP BY field),
+            top AS (SELECT field, value AS top_value,
+                           CAST(freq AS BIGINT) AS top_freq
+                    FROM (SELECT field, value, freq,
+                                 row_number() OVER (PARTITION BY field
+                                   ORDER BY freq DESC, value ASC) AS rn
+                          FROM vals WHERE value != '')
+                    WHERE rn = 1)
+            SELECT pf.field, pf.n_rows, pf.n_empty, pf.n_distinct,
+                   pf.min_len, pf.max_len, top.top_value, top.top_freq
+            FROM pf LEFT JOIN top USING (field)
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

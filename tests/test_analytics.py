@@ -1634,3 +1634,41 @@ def test_transition_surprisal_hand_computed(spark):
            for r in analytics.transition_surprisal(
                df, "event_type", "uuid", "time", "event_id").collect()}
     assert got == {"u1": (4, 0, 0), "u2": (1, 1, 1000)}
+
+
+def test_rolling_features_hand_computed(spark):
+    """Window is the k most recent INCLUDING current; NULL values occupy
+    a slot but don't aggregate; roll_n counts non-NULLs only."""
+    rows = [("u1", 1, 1, 1.0), ("u1", 2, 2, 2.0), ("u1", 3, 3, None),
+            ("u1", 4, 4, 4.0)]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, value double")
+    got = {r.event_id: (r.roll_n, r.roll_sum_cents, r.roll_min_cents,
+                        r.roll_max_cents)
+           for r in analytics.rolling_features(
+               df, 2, "value", "uuid", "time", "event_id").collect()}
+    assert got[1] == (1, 100, 100, 100)
+    assert got[2] == (2, 300, 100, 200)
+    assert got[3] == (1, 200, 200, 200)   # window = [2.0, NULL]
+    assert got[4] == (1, 400, 400, 400)   # window = [NULL, 4.0]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        analytics.rolling_features(df, 0)
+
+
+def test_column_profile_hand_computed(spark):
+    """Modal value excludes '' and breaks ties lexicographically; NULL
+    coalesces into the '' bucket; an all-empty field has NULL top."""
+    rows = [("a", ""), ("a", None), ("b", ""), ("b", ""), ("", "")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = {r.field: r for r in
+           analytics.column_profile(df, ["x", "y"]).collect()}
+    rx = got["x"]
+    assert (rx.n_rows, rx.n_empty, rx.n_distinct) == (5, 1, 3)
+    assert (rx.top_value, rx.top_freq) == ("a", 2)  # a==b tie -> 'a'
+    ry = got["y"]
+    assert (ry.n_rows, ry.n_empty, ry.n_distinct) == (5, 5, 1)
+    assert ry.top_value is None and ry.top_freq is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        analytics.column_profile(df, [])

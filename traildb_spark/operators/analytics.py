@@ -4051,3 +4051,116 @@ def transition_surprisal(
             .cast("long").alias("millibits_per_step"),
         )
     )
+
+
+def rolling_features(
+    df: DataFrame,
+    k: int = 5,
+    value_col: str = "value",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+) -> DataFrame:
+    """Per-event rolling-window features over each trail — the standard
+    ML feature-generation pass ("mean/extremes of the last k values as
+    of each event") that cursor programs hand-roll in the reference
+    model. Exact on the cents lattice (``round(value·100)`` as int64,
+    bit-portable across engines); the window is the k most recent
+    events INCLUDING the current one, ordered by (time, *tiebreak).
+    NULL values stay in the event stream (they occupy a window slot)
+    but contribute nothing to the aggregates — ``roll_n`` counts only
+    non-NULL values, so callers can distinguish "window of NULLs" from
+    "trail too short".
+
+    One shuffle on uuid; four frame-bounded window aggregates share the
+    single sort — Catalyst fuses them into one Window node. Per-trail
+    window state is O(k) regardless of trail length, so whales stream.
+
+    Returns ``(uuid, time, event_id, cents, roll_n, roll_sum_cents,
+    roll_min_cents, roll_max_cents)``.
+    """
+    if k <= 0:
+        raise ValueError(f"rolling_features: k must be > 0, got {k}")
+    w = (
+        Window.partitionBy(uuid_col)
+        .orderBy(time_col, *tiebreak)
+        .rowsBetween(-(k - 1), 0)
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return df.select(
+        F.col(uuid_col).alias("uuid"),
+        F.col(time_col).alias("time"),
+        F.col("event_id"),
+        cents.alias("cents"),
+    ).select(
+        "uuid",
+        "time",
+        "event_id",
+        "cents",
+        F.count("cents").over(w).alias("roll_n"),
+        F.sum("cents").over(w).alias("roll_sum_cents"),
+        F.min("cents").over(w).alias("roll_min_cents"),
+        F.max("cents").over(w).alias("roll_max_cents"),
+    )
+
+
+def column_profile(
+    df: DataFrame,
+    fields: list[str],
+) -> DataFrame:
+    """One-pass data-profiling report over string fields — the
+    Deequ-style summary a pipeline runs before trusting a new drop:
+    per field, row/empty counts, distinct cardinality, value-length
+    extremes, and the modal value with its frequency (ties break to the
+    lexicographically smallest value, deterministic across engines and
+    partitionings).
+
+    Scale: the fields are MELTED into (field, value) rows (a narrow
+    k-way explode, no shuffle), then ONE aggregate keyed (field, value)
+    with map-side combine bounds everything downstream at Σ lexicon
+    sizes; the per-field rollup and the modal row_number run on that
+    value table, never on events. '' is the canonical empty marker
+    (the ''≡NULL contract), counted separately and excluded from the
+    modal pick.
+
+    Returns ``(field, n_rows, n_empty, n_distinct, min_len, max_len,
+    top_value, top_freq)``.
+    """
+    if not fields:
+        raise ValueError("column_profile: fields must be non-empty")
+    pairs = df.select(
+        F.explode(
+            F.create_map(
+                *[
+                    x
+                    for f in fields
+                    for x in (F.lit(f), F.coalesce(F.col(f), F.lit("")))
+                ]
+            )
+        ).alias("field", "value")
+    )
+    vals = pairs.groupBy("field", "value").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    per_field = vals.groupBy("field").agg(
+        F.sum("freq").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("value") == "", F.col("freq")).otherwise(0))
+        .cast("long").alias("n_empty"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.min(F.length("value")).cast("int").alias("min_len"),
+        F.max(F.length("value")).cast("int").alias("max_len"),
+    )
+    wtop = Window.partitionBy("field").orderBy(
+        F.desc("freq"), F.asc("value")
+    )
+    top = (
+        vals.filter(F.col("value") != "")
+        .withColumn("__rn", F.row_number().over(wtop))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "field",
+            F.col("value").alias("top_value"),
+            F.col("freq").cast("long").alias("top_freq"),
+        )
+    )
+    return per_field.join(top, "field", "left")
