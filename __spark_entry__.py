@@ -3158,6 +3158,53 @@ def q211_column_profile(spark, sf_dir):
     return analytics.column_profile(ev, ["event_type", "props"])
 
 
+def q212_flac_decode(spark, sf_dir):
+    """FLAC decode (real compressed lossless audio): fixtures cycling
+    FIXED order 0-2 / LPC / VERBATIM subframes, 1-2 rice partitions,
+    CRC-8/CRC-16-sealed frames, all over the SAME closed form
+    s[i] = (i*53 + doc_id*17) % 3001 - 1500, n = 50 + id%60,
+    rate = 8000 + 4000*(id%3) — lossless means the oracle recomputes
+    every stat from the closed form, whatever encoding the fixture
+    picked (q185's contract through a genuinely compressed codec)."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.flac import make_flac
+
+    @F.pandas_udf("binary")
+    def flac_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            n = 50 + i % 60
+            rate = 8000 + 4000 * (i % 3)
+            s = ((np.arange(n, dtype=np.int64) * 53 + i * 17) % 3001
+                 - 1500).astype(np.int16)
+            out.append(make_flac(
+                s, rate, block_size=64,
+                order=i % 3,
+                partition_order=i % 2,
+                lpc=(i % 5 == 0),
+                verbatim=(i % 7 == 0),
+            ))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "audio", flac_payload,
+                         cache_name="flac")
+    feats = multimodal.extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_samples",
+        "duration_ms",
+        F.round(F.col("rms"), 6).alias("rms"),
+        "zcr",
+        "peak",
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3374,6 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_trail_surprisal": q209_trail_surprisal,
         "q210_rolling_features": q210_rolling_features,
         "q211_column_profile": q211_column_profile,
+        "q212_flac_decode": q212_flac_decode,
     }
 
 
@@ -6994,6 +7042,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT pf.field, pf.n_rows, pf.n_empty, pf.n_distinct,
                    pf.min_len, pf.max_len, top.top_value, top.top_freq
             FROM pf LEFT JOIN top USING (field)
+        """,
+        "q212_flac_decode": """
+            -- FLAC is lossless: s[i] = (i*53 + id*17) % 3001 - 1500,
+            -- n = 50 + id%60, rate = 8000 + 4000*(id%3), whatever
+            -- subframe/partition encoding the fixture cycled to
+            WITH a AS (
+              SELECT doc_id,
+                     50 + CAST(doc_id % 60 AS BIGINT) AS n,
+                     CAST(8000 + 4000 * (doc_id % 3) AS INT) AS rate
+              FROM documents WHERE doc_id % 3 = 1
+            ), s AS (
+              SELECT doc_id, n, rate,
+                     [ (i*53 + doc_id*17) % 3001 - 1500
+                       for i in generate_series(0, n - 1) ] AS xs
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   rate AS sample_rate,
+                   1 AS channels,
+                   n AS n_samples,
+                   n * 1000 // rate AS duration_ms,
+                   ROUND(sqrt(CAST(list_sum(list_transform(xs, x -> x*x)) AS DOUBLE) / n), 6) AS rms,
+                   CAST(len(list_filter(generate_series(2, n), i -> xs[i-1] * xs[i] < 0)) AS BIGINT) AS zcr,
+                   CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
+            FROM s
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

@@ -1844,14 +1844,18 @@ def make_au(samples: np.ndarray, rate: int, annotation: bytes = b"") -> bytes:
 def decode_audio(content: bytes) -> tuple[int, int, np.ndarray]:
     """Container dispatch for the audio surface: RIFF/WAVE →
     :func:`decode_wav`, FORM/AIFF(-C) → :func:`decode_aiff`, '.snd' →
-    :func:`decode_au`. One call site for the extractors, same
-    (rate, channels, int16) contract."""
+    :func:`decode_au`, 'fLaC' → :func:`~.flac.decode_flac`. One call
+    site for the extractors, same (rate, channels, int16) contract."""
     if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
         return decode_aiff(content)
     if content[:4] == b".snd":
         return decode_au(content)
     if content[:20] == _VOC_MAGIC:
         return decode_voc(content)
+    if content[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(content)
     return decode_wav(content)
 
 
@@ -2998,6 +3002,8 @@ def sniff_container(content: bytes) -> str:
         return "aiff"
     if content[:4] == b".snd":
         return "au"
+    if content[:4] == b"fLaC":
+        return "flac"
     if content[:20] == _VOC_MAGIC:
         return "voc"
     if content[:9] == b"YUV4MPEG2":
