@@ -3205,6 +3205,43 @@ def q212_flac_decode(spark, sf_dir):
     )
 
 
+def q213_label_propagation(spark, sf_dir):
+    """Community detection on the transition graph: synchronous LPA,
+    5 fixed iterations, symmetrized weights, min-label ties — the
+    deterministic (oracle-able) variant; same lexicon-sized driver
+    matrix contract as q175's PageRank."""
+    ev = _events(spark, sf_dir)
+    return analytics.label_propagation(
+        ev, "event_type", "uuid", "time", "event_id", iterations=5
+    )
+
+
+def q214_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over (event_type, hour-of-day) quasi-
+    identifiers: distinct-individual counts per combination, at-risk
+    flag below k=30 — the privacy gate next to the PII scrub."""
+    from traildb_spark.operators import curation
+
+    ev = _events(spark, sf_dir).withColumn(
+        "hour", F.expr("(time div 3600) % 24").cast("string")
+    )
+    out = curation.k_anonymity(ev, ["event_type", "hour"], k=30)
+    return out.select(
+        "event_type", "hour", "n_uuids", "n_events",
+        F.col("at_risk").cast("int").alias("at_risk"),
+    )
+
+
+def q215_seasonal_anomalies(spark, sf_dir):
+    """Seasonally-adjusted anomalies: each (event_type, hour-of-day)
+    cell tested against its own per-day baseline with the exact k-sigma
+    integer inequality — diurnal rhythm never masquerades as an
+    anomaly."""
+    ev = _events(spark, sf_dir)
+    return analytics.seasonal_anomalies(ev, "event_type", "time", k=3,
+                                        period="day")
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3422,6 +3459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_rolling_features": q210_rolling_features,
         "q211_column_profile": q211_column_profile,
         "q212_flac_decode": q212_flac_decode,
+        "q213_label_propagation": q213_label_propagation,
+        "q214_k_anonymity": q214_k_anonymity,
+        "q215_seasonal_anomalies": q215_seasonal_anomalies,
     }
 
 
@@ -7067,6 +7107,106 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(generate_series(2, n), i -> xs[i-1] * xs[i] < 0)) AS BIGINT) AS zcr,
                    CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
             FROM s
+        """,
+        "q213_label_propagation": f"""
+            WITH e AS ({_E}),
+            s AS (SELECT uuid, event_type AS dst,
+                         lag(event_type) OVER (PARTITION BY uuid
+                           ORDER BY "time", event_id) AS src
+                  FROM e),
+            pc AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS freq
+                   FROM s WHERE src IS NOT NULL GROUP BY src, dst),
+            ed AS (SELECT u, v, CAST(SUM(f) AS BIGINT) AS w FROM (
+                     SELECT src AS u, dst AS v, freq AS f FROM pc
+                       WHERE src != dst
+                     UNION ALL
+                     SELECT dst AS u, src AS v, freq AS f FROM pc
+                       WHERE src != dst) GROUP BY u, v),
+            nodes AS (SELECT DISTINCT x AS v FROM (
+                        SELECT src AS x FROM pc
+                        UNION SELECT dst FROM pc)),
+            l0 AS (SELECT v, v AS label FROM nodes),
+            v1 AS (SELECT ed.u AS v, l.label AS lab, SUM(ed.w) AS ws
+                   FROM ed JOIN l0 l ON ed.v = l.v GROUP BY ed.u, l.label),
+            b1 AS (SELECT v, min(struct_pack(nw := -ws, l := lab)).l
+                            AS best FROM v1 GROUP BY v),
+            l1 AS (SELECT n.v, COALESCE(b1.best, p.label) AS label
+                   FROM nodes n JOIN l0 p ON n.v = p.v
+                   LEFT JOIN b1 ON b1.v = n.v),
+            v2 AS (SELECT ed.u AS v, l.label AS lab, SUM(ed.w) AS ws
+                   FROM ed JOIN l1 l ON ed.v = l.v GROUP BY ed.u, l.label),
+            b2 AS (SELECT v, min(struct_pack(nw := -ws, l := lab)).l
+                            AS best FROM v2 GROUP BY v),
+            l2 AS (SELECT n.v, COALESCE(b2.best, p.label) AS label
+                   FROM nodes n JOIN l1 p ON n.v = p.v
+                   LEFT JOIN b2 ON b2.v = n.v),
+            v3 AS (SELECT ed.u AS v, l.label AS lab, SUM(ed.w) AS ws
+                   FROM ed JOIN l2 l ON ed.v = l.v GROUP BY ed.u, l.label),
+            b3 AS (SELECT v, min(struct_pack(nw := -ws, l := lab)).l
+                            AS best FROM v3 GROUP BY v),
+            l3 AS (SELECT n.v, COALESCE(b3.best, p.label) AS label
+                   FROM nodes n JOIN l2 p ON n.v = p.v
+                   LEFT JOIN b3 ON b3.v = n.v),
+            v4 AS (SELECT ed.u AS v, l.label AS lab, SUM(ed.w) AS ws
+                   FROM ed JOIN l3 l ON ed.v = l.v GROUP BY ed.u, l.label),
+            b4 AS (SELECT v, min(struct_pack(nw := -ws, l := lab)).l
+                            AS best FROM v4 GROUP BY v),
+            l4 AS (SELECT n.v, COALESCE(b4.best, p.label) AS label
+                   FROM nodes n JOIN l3 p ON n.v = p.v
+                   LEFT JOIN b4 ON b4.v = n.v),
+            v5 AS (SELECT ed.u AS v, l.label AS lab, SUM(ed.w) AS ws
+                   FROM ed JOIN l4 l ON ed.v = l.v GROUP BY ed.u, l.label),
+            b5 AS (SELECT v, min(struct_pack(nw := -ws, l := lab)).l
+                            AS best FROM v5 GROUP BY v),
+            l5 AS (SELECT n.v, COALESCE(b5.best, p.label) AS label
+                   FROM nodes n JOIN l4 p ON n.v = p.v
+                   LEFT JOIN b5 ON b5.v = n.v),
+            sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cs
+                   FROM l5 GROUP BY label)
+            SELECT l5.v AS value, l5.label AS community,
+                   sz.cs AS community_size
+            FROM l5 JOIN sz ON sz.label = l5.label
+        """,
+        "q214_k_anonymity": f"""
+            WITH e AS ({_E})
+            SELECT event_type,
+                   CAST(("time" // 3600) % 24 AS VARCHAR) AS hour,
+                   CAST(COUNT(DISTINCT uuid) AS BIGINT) AS n_uuids,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT uuid) < 30 AS INT) AS at_risk
+            FROM e GROUP BY 1, 2
+        """,
+        "q215_seasonal_anomalies": f"""
+            WITH e AS ({_E}),
+            per AS (SELECT event_type AS key,
+                           (("time" // 3600) % 24) AS how,
+                           "time" // 86400 AS b,
+                           CAST(COUNT(*) AS BIGINT) AS y
+                    FROM e GROUP BY 1, 2, 3),
+            rng AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM per),
+            stats AS (SELECT key, how,
+                             (SELECT hi - lo + 1 FROM rng) AS n,
+                             CAST(SUM(y) AS HUGEINT) AS s,
+                             SUM(CAST(y AS HUGEINT) * y) AS q
+                      FROM per GROUP BY key, how),
+            grid AS (SELECT st.key, st.how, g.b
+                     FROM stats st CROSS JOIN (
+                       SELECT unnest(generate_series(lo, hi)) AS b
+                       FROM rng) g),
+            filled AS (SELECT g.key, g.how, g.b, COALESCE(p.y, 0) AS y
+                       FROM grid g LEFT JOIN per p
+                         ON p.key = g.key AND p.how = g.how AND p.b = g.b),
+            fl AS (SELECT f.key, f.how, f.b, f.y,
+                          CAST(st.n AS HUGEINT) * f.y - st.s AS dev,
+                          9 * (CAST(st.n AS HUGEINT) * st.q - st.s * st.s)
+                            AS bound
+                   FROM filled f JOIN stats st
+                     ON st.key = f.key AND st.how = f.how)
+            SELECT key, CAST(how AS INT) AS phase_hour,
+                   CAST(b AS BIGINT) AS bucket, CAST(y AS BIGINT) AS y,
+                   CAST(dev * dev AS BIGINT) AS dev_num,
+                   CAST(bound AS BIGINT) AS bound_num
+            FROM fl WHERE dev * dev > bound
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

@@ -1672,3 +1672,76 @@ def test_column_profile_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         analytics.column_profile(df, [])
+
+
+def test_label_propagation_hand_computed(spark):
+    """Two triangles (ab=2, bc=2, ca=1 / xy=2, yz=2, zx=1) with a weak
+    c-x bridge: one synchronous round adopts each node's max-weight
+    neighbor label with min-label ties — hand-traced."""
+    seq1 = ["a", "b", "c", "a", "b", "c"]
+    seq2 = ["x", "y", "z", "x", "y", "z"]
+    rows = (
+        [("u1", t, t, v) for t, v in enumerate(seq1)]
+        + [("u2", t, 10 + t, v) for t, v in enumerate(seq2)]
+        + [("u3", 0, 100, "c"), ("u3", 1, 101, "x")]
+    )
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string")
+    got = {r.value: r.community
+           for r in analytics.label_propagation(
+               df, "event_type", "uuid", "time", "event_id",
+               iterations=1).collect()}
+    assert got == {"a": "b", "b": "a", "c": "b",
+                   "x": "y", "y": "x", "z": "y"}
+    got2 = {r.value: r.community
+            for r in analytics.label_propagation(
+                df, "event_type", "uuid", "time", "event_id",
+                iterations=2).collect()}
+    assert got2 == {"a": "a", "b": "b", "c": "a",
+                    "x": "x", "y": "y", "z": "x"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        analytics.label_propagation(df, iterations=0)
+    with _pytest.raises(ValueError):
+        analytics.label_propagation(
+            df, "event_type", "uuid", "time", max_nodes=2)
+
+
+def test_k_anonymity_hand_computed(spark):
+    from traildb_spark.operators import curation
+
+    rows = [("u1", "a"), ("u2", "a"), ("u3", "a"), ("u1", "a"),
+            ("u1", "b")]
+    df = spark.createDataFrame(rows, "uuid string, event_type string")
+    got = {r.event_type: (r.n_uuids, r.n_events, r.at_risk)
+           for r in curation.k_anonymity(df, ["event_type"], k=3).collect()}
+    assert got == {"a": (3, 4, False), "b": (1, 1, True)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curation.k_anonymity(df, [], k=3)
+    with _pytest.raises(ValueError):
+        curation.k_anonymity(df, ["event_type"], k=1)
+
+
+def test_seasonal_anomalies_hand_computed(spark):
+    """A 20-day hour-3 cell of constant 2s with one 22 spike flags only
+    the spike: dev² = (20·22−60)² = 144400 > 9·(20·560−3600) = 68400;
+    a key containing '|' still splits back correctly."""
+    rows = []
+    eid = 0
+    for d in range(20):
+        n = 22 if d == 7 else 2
+        for i in range(n):
+            rows.append(("u1", d * 86400 + 3 * 3600 + i, eid, "k|x"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string")
+    out = analytics.seasonal_anomalies(df, "event_type", "time", k=3,
+                                       period="day").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.key, r.phase_hour, r.bucket, r.y) == ("k|x", 3, 7, 22)
+    assert (r.dev_num, r.bound_num) == (144400, 68400)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        analytics.seasonal_anomalies(df, period="month")

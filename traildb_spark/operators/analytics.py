@@ -4164,3 +4164,132 @@ def column_profile(
         )
     )
     return per_field.join(top, "field", "left")
+
+
+def label_propagation(
+    df: DataFrame,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+    iterations: int = 5,
+    max_nodes: int = 10_000,
+) -> DataFrame:
+    """Community detection over the event-transition graph by
+    synchronous label propagation — "which states cluster into
+    behavioral phases", the partitioning complement to
+    :func:`pagerank_transitions`' centrality. Edges are the SYMMETRIZED
+    within-trail adjacency counts (w(u,v) = freq(u→v) + freq(v→u),
+    self-loops dropped); every node starts as its own community; each
+    round every node adopts the label with the highest incident weight
+    sum, ties to the lexicographically SMALLEST label; a FIXED
+    iteration count makes the output deterministic and bit-portable
+    (classic async LPA is order-dependent — useless as an oracle-able
+    operator).
+
+    Scale posture: identical to pagerank_transitions — the event-scale
+    work (one uuid shuffle + lexicon²-keyed count) runs in Spark, the
+    iteration runs on the collected lexicon-sized matrix in exact
+    python (``max_nodes`` refuses unbounded value domains).
+
+    Returns ``(value, community, community_size)``.
+    """
+    if iterations < 1:
+        raise ValueError(
+            f"label_propagation: iterations must be >= 1, got {iterations}"
+        )
+    raw = transition_counts(df, field, uuid_col, time_col, *tiebreak).collect()
+    w: dict[tuple[str, str], int] = {}
+    for r in raw:
+        if r.src == r.dst:
+            continue
+        w[(r.src, r.dst)] = w.get((r.src, r.dst), 0) + r.freq
+        w[(r.dst, r.src)] = w.get((r.dst, r.src), 0) + r.freq
+    nodes = sorted({r.src for r in raw} | {r.dst for r in raw})
+    if len(nodes) > max_nodes:
+        raise ValueError(
+            f"label_propagation: {len(nodes)} nodes exceeds max_nodes="
+            f"{max_nodes}"
+        )
+    spark = df.sparkSession
+    if not nodes:
+        return spark.createDataFrame(
+            [], "value string, community string, community_size long"
+        )
+    nbrs: dict[str, list[tuple[str, int]]] = {v: [] for v in nodes}
+    for (u, v), wt in w.items():
+        nbrs[u].append((v, wt))
+    label = {v: v for v in nodes}
+    for _ in range(iterations):
+        new = {}
+        for v in nodes:
+            if not nbrs[v]:
+                new[v] = label[v]
+                continue
+            votes: dict[str, int] = {}
+            for u, wt in nbrs[v]:
+                votes[label[u]] = votes.get(label[u], 0) + wt
+            # max weight, ties -> smallest label
+            new[v] = min(votes, key=lambda l: (-votes[l], l))
+        label = new
+    size: dict[str, int] = {}
+    for v in nodes:
+        size[label[v]] = size.get(label[v], 0) + 1
+    return spark.createDataFrame(
+        [(v, label[v], size[label[v]]) for v in nodes],
+        "value string, community string, community_size long",
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = TIME_COL,
+    k: int = 3,
+    period: str = "day",
+) -> DataFrame:
+    """Seasonally-adjusted volume anomalies: each (key, hour-of-PERIOD)
+    cell is tested against ITS OWN per-period baseline — "15:00 volume
+    is off for this source, for a 15:00" — so diurnal/weekly rhythm
+    never masquerades as an anomaly the way it does under
+    :func:`anomalous_buckets`' flat per-key baseline. Delegates the
+    exact k-sigma integer inequality to :func:`anomalies_from_counts`
+    with a composite (key, phase) key and the PERIOD as the bucket
+    axis: ``period='day'`` tests (key, hour-of-day) cells across days;
+    ``period='week'`` tests (key, hour-of-week) cells across epoch
+    weeks (boundaries Thursday 00:00 UTC; hours shifted +72 so phase 0
+    = Monday 00:00, the `weekly_profile` rule). Zero periods are
+    first-class candidates.
+
+    Returns ``(key, phase_hour, bucket, y, dev_num, bound_num)`` — only
+    the flagged rows, magnitudes exact.
+    """
+    if period == "day":
+        phase = F.expr(f"({time_col} div 3600) % 24")
+        bucket_seconds = 86400
+    elif period == "week":
+        phase = F.expr(f"(({time_col} div 3600) + 72) % 168")
+        bucket_seconds = 604800
+    else:
+        raise ValueError(
+            f"seasonal_anomalies: period must be 'day' or 'week', got {period!r}"
+        )
+    out = anomalous_buckets(
+        df.withColumn(
+            "__skey",
+            F.concat_ws("|", F.col(key_col), F.lpad(phase.cast("string"), 3, "0")),
+        ),
+        "__skey",
+        time_col,
+        bucket_seconds,
+        k,
+    )
+    return out.select(
+        F.expr("substring(key, 1, length(key) - 4)").alias("key"),
+        F.expr("CAST(substring(key, length(key) - 2, 3) AS INT)")
+        .alias("phase_hour"),
+        F.col("bucket"),
+        "y",
+        "dev_num",
+        "bound_num",
+    )

@@ -1158,3 +1158,35 @@ def sample_exact_by_key(
         .filter(F.col("__r2") <= F.col("__k"))
         .drop("__r2", "__rk", "__k")
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    fields: list[str],
+    k: int = 5,
+    uuid_col: str = "uuid",
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier combinations — the
+    privacy gate a dataset release runs next to the PII scrub: every
+    distinct value combination of ``fields`` with the number of
+    DISTINCT individuals (trails) sharing it; combinations held by
+    fewer than ``k`` individuals are re-identification risks
+    (``at_risk``). Event counts ride along so a whale individual
+    doesn't masquerade as crowd cover.
+
+    One map-side-combined aggregate keyed on the combination space
+    (≤ Π field lexicons rows — quasi-identifiers are low-cardinality
+    by definition; a high-cardinality field in ``fields`` is itself
+    the finding). count_distinct(uuid) is the one exact-distinct cost,
+    bounded per combination by the crowd size being measured.
+
+    Returns ``(*fields, n_uuids, n_events, at_risk)``.
+    """
+    if not fields:
+        raise ValueError("k_anonymity: fields must be non-empty")
+    if k < 2:
+        raise ValueError(f"k_anonymity: k must be >= 2, got {k}")
+    return df.groupBy(*[F.col(f) for f in fields]).agg(
+        F.countDistinct(uuid_col).cast("long").alias("n_uuids"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ).withColumn("at_risk", F.col("n_uuids") < k)
