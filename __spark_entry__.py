@@ -3242,6 +3242,44 @@ def q215_seasonal_anomalies(spark, sf_dir):
                                         period="day")
 
 
+def q216_webp_decode(spark, sf_dir):
+    """WebP-lossless (VP8L) decode: fixtures cycling transform stacks —
+    plain literals / subtract-green / predictor mode id%14 /
+    color-cache / LZ77 runs — all genuinely entropy-coded (real Huffman
+    trees through the code-length code) over the SAME closed form
+    px(y, x) = (y*7 + x*19 + id*3) % 256 on a (3 + id%6) x (4 + id%3)
+    canvas; lossless, so rounded luma equals the closed form under
+    every encoding."""
+    from traildb_spark.operators import multimodal
+    from traildb_spark.operators.webp import make_webp
+
+    @F.pandas_udf("binary")
+    def webp_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            if pd.isna(i):
+                out.append(None)
+                continue
+            i = int(i)
+            h, w = 3 + i % 6, 4 + i % 3
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = ((yy * 7 + xx * 19 + i * 3) % 256).astype(np.uint8)
+            kw = {}
+            if i % 4 == 1:
+                kw["subtract_green"] = True
+            elif i % 4 == 2:
+                kw["predictor_mode"] = i % 14
+            elif i % 4 == 3:
+                kw["cache_bits"] = 1 + i % 6
+                kw["use_backrefs"] = True
+            out.append(make_webp(g, **kw))
+        return pd.Series(out)
+
+    media = _media_table(spark, sf_dir, "image", webp_payload,
+                         cache_name="webp")
+    return multimodal.image_luma_stats(media)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3462,6 +3500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_label_propagation": q213_label_propagation,
         "q214_k_anonymity": q214_k_anonymity,
         "q215_seasonal_anomalies": q215_seasonal_anomalies,
+        "q216_webp_decode": q216_webp_decode,
     }
 
 
@@ -7207,6 +7246,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dev * dev AS BIGINT) AS dev_num,
                    CAST(bound AS BIGINT) AS bound_num
             FROM fl WHERE dev * dev > bound
+        """,
+        "q216_webp_decode": """
+            -- VP8L is lossless whatever the transform stack: rounded
+            -- luma == (y*7 + x*19 + id*3) % 256 on (3+id%6) x (4+id%3)
+            WITH a AS (
+              SELECT doc_id,
+                     4 + CAST(doc_id % 3 AS INT) AS w,
+                     3 + CAST(doc_id % 6 AS INT) AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ), t AS (
+              SELECT doc_id, w, h,
+                     [ ((k // w) * 7 + (k % w) * 19 + doc_id * 3) % 256
+                       for k in generate_series(0, h * w - 1) ] AS px
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS INT) AS width,
+                   CAST(h AS INT) AS height,
+                   CAST(list_sum(px) AS BIGINT) AS luma_sum,
+                   CAST(list_min(px) AS INT) AS luma_min,
+                   CAST(list_max(px) AS INT) AS luma_max
+            FROM t
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

@@ -123,6 +123,17 @@ def decode_image_size(content: bytes) -> tuple[int, int]:
     ):
         xmin, ymin, xmax, ymax = struct.unpack("<HHHH", content[4:12])
         return xmax - xmin + 1, ymax - ymin + 1
+    if (
+        len(content) >= 25
+        and content[:4] == b"RIFF"
+        and content[8:12] == b"WEBP"
+        and content[12:16] == b"VP8L"
+        and content[20] == 0x2F
+    ):
+        b0, b1, b2, b3 = content[21:25]
+        w = 1 + (b0 | ((b1 & 0x3F) << 8))
+        h = 1 + ((b1 >> 6) | (b2 << 2) | ((b3 & 0x0F) << 10))
+        return w, h
     raise ValueError("unrecognized image container")
 
 
@@ -210,6 +221,10 @@ def _gray_pixels(content: bytes) -> np.ndarray:
         return decode_qoi(content)
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(content)
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos, width, height, channels = 8, None, None, None
@@ -2997,6 +3012,8 @@ def sniff_container(content: bytes) -> str:
             return "avi"
         if content[8:12] == b"WAVE":
             return "wav"
+        if content[8:12] == b"WEBP":
+            return "webp"
         return "unknown"
     if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
         return "aiff"
