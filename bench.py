@@ -74,7 +74,30 @@ def main():
     # cleared between queries so persisted intermediates never carry over
     # (within OR across passes) — every timing is a cold-data, warm-JVM run.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # SPARK_GRAFT_BENCH_ONLY: comma-separated query-name prefixes to run
+    # (iteration aid — the recorded artifact should always be a full run)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        pfx = tuple(p.strip() for p in only.split(",") if p.strip())
+        qs = {n: f for n, f in qs.items() if n.startswith(pfx)}
+    # Restart the Spark session every N queries (0 disables): a single
+    # local JVM accumulates generated-code classes and GC pressure across
+    # a 200-query sweep, inflating late-running queries ~15-20% (measured:
+    # q34 4.26s fresh vs 5.35s at position ~30 of a 208-query session) —
+    # a fleet would never run 200 unrelated plans in one driver JVM, so
+    # the bounded-lifetime session is the representative measurement.
+    # Restart cost is excluded from timings (warm-up, not query work).
+    restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART_EVERY", "60"))
+    since_restart = 0
     for name, fn in qs.items():
+        if restart_every and since_restart >= restart_every:
+            spark.stop()
+            spark = get_spark("traildb-spark-bench", master=f"local[{cpus}]")
+            spark.sparkContext.setLogLevel("ERROR")
+            qs0 = entrymod.queries()
+            qs0["q04_info"](spark, sf_dir).collect()  # re-warm JVM+workers
+            since_restart = 0
+        since_restart += 1
         best = None
         n = 0
         for _ in range(runs):
