@@ -3280,6 +3280,31 @@ def q216_webp_decode(spark, sf_dir):
     return multimodal.image_luma_stats(media)
 
 
+def q217_prediction_accuracy(spark, sf_dir):
+    """Top-1 next-event accuracy of the corpus Markov model per trail:
+    argmax P(dst|src) with struct-min ties, broadcast predictor table,
+    exact ppm — q209's evaluation twin."""
+    ev = _events(spark, sf_dir)
+    return analytics.transition_prediction_accuracy(
+        ev, "event_type", "uuid", "time", "event_id"
+    )
+
+
+def q218_forget_report(spark, sf_dir):
+    """Right-to-erasure audit: the one-aggregate deletion report
+    (requested/present individuals, events removed/kept) for a
+    deterministic md5-sampled uuid panel — the privacy bookend to
+    q214's k-anonymity gate."""
+    from traildb_spark.operators import curation
+
+    ev = _events(spark, sf_dir)
+    panel = ev.select("uuid").distinct().filter(
+        F.md5(F.concat(F.lit("forget:"), F.col("uuid")))
+        < F.lit("18")
+    )
+    return curation.forget_report(ev, panel)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3501,6 +3526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_k_anonymity": q214_k_anonymity,
         "q215_seasonal_anomalies": q215_seasonal_anomalies,
         "q216_webp_decode": q216_webp_decode,
+        "q217_prediction_accuracy": q217_prediction_accuracy,
+        "q218_forget_report": q218_forget_report,
     }
 
 
@@ -7268,6 +7295,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(px) AS INT) AS luma_min,
                    CAST(list_max(px) AS INT) AS luma_max
             FROM t
+        """,
+        "q217_prediction_accuracy": f"""
+            WITH e AS ({_E}),
+            s AS (SELECT uuid, event_type AS dst,
+                         lag(event_type) OVER (PARTITION BY uuid
+                           ORDER BY "time", event_id) AS src
+                  FROM e),
+            st AS (SELECT uuid, src, dst FROM s WHERE src IS NOT NULL),
+            pc AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS freq
+                   FROM st GROUP BY src, dst),
+            pr AS (SELECT src,
+                          min(struct_pack(nf := -freq, d := dst)).d AS pred
+                   FROM pc GROUP BY src)
+            SELECT uuid, CAST(COUNT(*) AS BIGINT) AS n_steps,
+                   CAST(SUM(CASE WHEN dst = pred THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct,
+                   CAST((SUM(CASE WHEN dst = pred THEN 1 ELSE 0 END)
+                         * 1000000) // COUNT(*) AS BIGINT) AS accuracy_ppm
+            FROM st JOIN pr USING (src)
+            GROUP BY uuid
+        """,
+        "q218_forget_report": f"""
+            WITH e AS ({_E}),
+            panel AS (SELECT DISTINCT uuid FROM e
+                      WHERE md5('forget:' || uuid) < '18'),
+            flagged AS (SELECT e.uuid,
+                               p.uuid IS NOT NULL AS hit
+                        FROM e LEFT JOIN panel p ON e.uuid = p.uuid)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM panel)
+                     AS n_requested,
+                   CAST(COUNT(DISTINCT CASE WHEN hit THEN uuid END)
+                        AS BIGINT) AS n_present,
+                   CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_events_removed,
+                   CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_events_kept
+            FROM flagged
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

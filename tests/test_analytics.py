@@ -1745,3 +1745,28 @@ def test_seasonal_anomalies_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         analytics.seasonal_anomalies(df, period="month")
+
+
+def test_transition_prediction_accuracy_hand_computed(spark):
+    """Model from all trails: from 'a' the argmax is 'b' (2 vs 1);
+    ties break to the smallest dst; accuracy is exact ppm."""
+    rows = [("u1", 1, 1, "a"), ("u1", 2, 2, "b"), ("u1", 3, 3, "a"),
+            ("u1", 4, 4, "b"),
+            ("u2", 1, 5, "a"), ("u2", 2, 6, "c")]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string")
+    # transitions: u1 ab, ba, ab ; u2 ac -> from a: b=2, c=1 -> pred b
+    # from b: a=1 -> pred a
+    got = {r.uuid: (r.n_steps, r.n_correct, r.accuracy_ppm)
+           for r in analytics.transition_prediction_accuracy(
+               df, "event_type", "uuid", "time", "event_id").collect()}
+    assert got == {"u1": (3, 3, 1000000), "u2": (1, 0, 0)}
+    # tie: from 'x' both 'p' and 'q' once -> predicts 'p'
+    rows2 = [("v1", 1, 1, "x"), ("v1", 2, 2, "p"),
+             ("v2", 1, 3, "x"), ("v2", 2, 4, "q")]
+    df2 = spark.createDataFrame(
+        rows2, "uuid string, time long, event_id long, event_type string")
+    got2 = {r.uuid: r.n_correct
+            for r in analytics.transition_prediction_accuracy(
+                df2, "event_type", "uuid", "time", "event_id").collect()}
+    assert got2 == {"v1": 1, "v2": 0}

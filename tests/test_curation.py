@@ -602,3 +602,21 @@ def test_sample_exact_by_key_sizes_and_determinism(spark):
     import pytest
     with pytest.raises(ValueError):
         sample_exact_by_key(df, -1)
+
+
+def test_forget_uuids_and_report(spark):
+    from traildb_spark.operators import curation
+
+    rows = [("u1", 1), ("u1", 2), ("u2", 3), ("u3", 4)]
+    df = spark.createDataFrame(rows, "uuid string, event_id long")
+    kept = curation.forget_uuids(df, ["u1", "u9"]).collect()
+    assert sorted(r.uuid for r in kept) == ["u2", "u3"]
+    rep = curation.forget_report(df, ["u1", "u9", "u9"]).collect()[0]
+    assert (rep.n_requested, rep.n_present) == (2, 1)
+    assert (rep.n_events_removed, rep.n_events_kept) == (2, 2)
+    # DataFrame-side panel
+    panel = spark.createDataFrame([("u2",), ("u3",)], "uuid string")
+    rep2 = curation.forget_report(df, panel).collect()[0]
+    assert (rep2.n_requested, rep2.n_present,
+            rep2.n_events_removed, rep2.n_events_kept) == (2, 2, 2, 2)
+    assert curation.forget_uuids(df, panel).count() == 2

@@ -4293,3 +4293,68 @@ def seasonal_anomalies(
         "dev_num",
         "bound_num",
     )
+
+
+def transition_prediction_accuracy(
+    df: DataFrame,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+) -> DataFrame:
+    """Top-1 next-event prediction accuracy of the corpus's own Markov
+    model, per trail — "how mechanically predictable is this trail",
+    the evaluation twin of :func:`transition_surprisal` (that one
+    scores information content; this one scores a concrete predictor).
+    The model predicts argmax P(dst | src) with ties to the
+    lexicographically smallest dst (struct-min on (-freq, dst) — the
+    deterministic rule both engines share); each step scores hit/miss
+    against the trail's actual next event; accuracy is exact ppm.
+
+    Note the standard in-sample caveat: the model is fit on the SAME
+    events it scores (self-evaluation — fine for "which trails are
+    bots", wrong for honest generalization claims; fit on a split for
+    that).
+
+    Scale: one uuid shuffle for the lag window; the predictor table is
+    lexicon-sized and broadcast; output trail-sized.
+
+    Returns ``(uuid, n_steps, n_correct, accuracy_ppm)``.
+    """
+    w = _trail_window(uuid_col, time_col, *tiebreak)
+    steps = df.withColumn("__prev", F.lag(F.col(field)).over(w)).filter(
+        F.col("__prev").isNotNull()
+    )
+    pred = (
+        transition_counts(df, field, uuid_col, time_col, *tiebreak)
+        .groupBy("src")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("freq")).alias("nf"), F.col("dst").alias("d")
+                )
+            )["d"].alias("pred")
+        )
+    )
+    return (
+        steps.select(
+            F.col(uuid_col).alias("uuid"),
+            F.col("__prev").alias("src"),
+            F.col(field).alias("dst"),
+        )
+        .join(F.broadcast(pred), "src")
+        .groupBy("uuid")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.sum(
+                F.when(F.col("dst") == F.col("pred"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "uuid",
+            F.col("n_steps").cast("long").alias("n_steps"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            F.expr("n_correct * 1000000 div n_steps")
+            .cast("long").alias("accuracy_ppm"),
+        )
+    )

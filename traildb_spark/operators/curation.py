@@ -1190,3 +1190,60 @@ def k_anonymity(
         F.countDistinct(uuid_col).cast("long").alias("n_uuids"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     ).withColumn("at_risk", F.col("n_uuids") < k)
+
+
+def forget_uuids(
+    df: DataFrame,
+    uuids: list[str] | DataFrame,
+    uuid_col: str = "uuid",
+) -> DataFrame:
+    """Right-to-erasure filter: drop every event belonging to the given
+    individuals (broadcast anti-join for a literal list, AQE-decided for
+    a DataFrame side — the q09 whitelist machinery inverted). Pair with
+    :func:`forget_report` for the audit row a deletion request needs."""
+    if isinstance(uuids, DataFrame):
+        side = uuids.select(F.col(uuids.columns[0]).alias("__fu")).distinct()
+    else:
+        side = df.sparkSession.createDataFrame(
+            [(u,) for u in uuids], "__fu string"
+        )
+    return df.join(
+        side, F.col(uuid_col) == F.col("__fu"), "left_anti"
+    )
+
+
+def forget_report(
+    df: DataFrame,
+    uuids: list[str] | DataFrame,
+    uuid_col: str = "uuid",
+) -> DataFrame:
+    """The audit row a GDPR/CCPA deletion run records: how many of the
+    requested individuals exist in the dataset, how many events their
+    erasure removes, and what remains — computed in ONE aggregate over
+    the flagged scan (a broadcast membership flag, then conditional
+    counts; no second pass, no collect). The privacy bookend to
+    :func:`k_anonymity`.
+
+    Returns one row ``(n_requested, n_present, n_events_removed,
+    n_events_kept)``.
+    """
+    if isinstance(uuids, DataFrame):
+        side = uuids.select(F.col(uuids.columns[0]).alias("__fu")).distinct()
+    else:
+        side = df.sparkSession.createDataFrame(
+            [(u,) for u in sorted(set(uuids))], "__fu string"
+        )
+    n_req = side.count()
+    flagged = df.join(
+        F.broadcast(side), F.col(uuid_col) == F.col("__fu"), "left"
+    )
+    return flagged.agg(
+        F.lit(n_req).cast("long").alias("n_requested"),
+        F.count_distinct(
+            F.when(F.col("__fu").isNotNull(), F.col(uuid_col))
+        ).cast("long").alias("n_present"),
+        F.sum(F.when(F.col("__fu").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_events_removed"),
+        F.sum(F.when(F.col("__fu").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_events_kept"),
+    )
