@@ -3305,6 +3305,43 @@ def q218_forget_report(spark, sf_dir):
     return curation.forget_report(ev, panel)
 
 
+def q219_state_dwell(spark, sf_dir):
+    """Time-in-state attribution: each event owns the interval to its
+    trail's next event (LOCF), summed per event_type — where users
+    SPEND TIME, not where they click most. One lead window + one
+    lexicon-sized aggregate."""
+    ev = _events(spark, sf_dir)
+    return analytics.state_dwell_times(
+        ev, "event_type", "uuid", "time", "event_id"
+    )
+
+
+def q220_pattern_scan(spark, sf_dir):
+    """Blocklist audit: exact substring occurrence counts for a
+    broadcast pattern table via the replace-length identity — no regex
+    engine in the hot path, patterns-sized output."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.pattern_scan(
+        docs, ["table", "scan", "agg", "qu", "slow fast"]
+    )
+
+
+def q221_mixed_script(spark, sf_dir):
+    """Homoglyph scan: docs with doc_id % 7 == 0 get their 'a's swapped
+    for Cyrillic а (fixture-side translate both engines mirror); the
+    operator counts tokens mixing Latin with Cyrillic/Greek codepoint
+    ranges — the spoofing / dirty-scrape tell."""
+    docs = _load(spark, sf_dir, "documents")
+    fixed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.translate(F.col("text"), "a", "а"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return text.mixed_script_tokens(fixed)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3528,6 +3565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q216_webp_decode": q216_webp_decode,
         "q217_prediction_accuracy": q217_prediction_accuracy,
         "q218_forget_report": q218_forget_report,
+        "q219_state_dwell": q219_state_dwell,
+        "q220_pattern_scan": q220_pattern_scan,
+        "q221_mixed_script": q221_mixed_script,
     }
 
 
@@ -7332,6 +7372,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT)
                      AS n_events_kept
             FROM flagged
+        """,
+        "q219_state_dwell": f"""
+            WITH e AS ({_E}),
+            s AS (SELECT event_type AS value, "time" AS t,
+                         lead("time") OVER (PARTITION BY uuid
+                           ORDER BY "time", event_id) AS nt
+                  FROM e)
+            SELECT value,
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                   CAST(SUM(nt - t) AS BIGINT) AS total_dwell_seconds,
+                   CAST((SUM(nt - t) * 1000) // COUNT(*) AS BIGINT)
+                     AS mean_dwell_ms
+            FROM s WHERE nt IS NOT NULL
+            GROUP BY value
+        """,
+        "q220_pattern_scan": """
+            WITH pats AS (
+              SELECT unnest(['agg', 'qu', 'scan', 'slow fast', 'table'])
+                AS pattern
+            ),
+            h AS (
+              SELECT p.pattern,
+                     (length(d.text) - length(replace(d.text, p.pattern,
+                        ''))) // length(p.pattern) AS hits
+              FROM documents d CROSS JOIN pats p
+            )
+            SELECT pattern,
+                   CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs,
+                   CAST(SUM(hits) AS BIGINT) AS n_hits
+            FROM h GROUP BY pattern
+        """,
+        "q221_mixed_script": """
+            WITH fixed AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN translate(text, 'a', 'а')
+                          ELSE text END AS text
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, tok
+              FROM fixed,
+                   unnest(regexp_split_to_array(trim(text), '\\s+'))
+                     AS u(tok)
+              WHERE tok <> ''
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN regexp_matches(tok, '[A-Za-z]')
+                                  AND regexp_matches(tok,
+                                    '[\\x{0400}-\\x{04FF}\\x{0370}-\\x{03FF}]')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+                   CAST((SUM(CASE WHEN regexp_matches(tok, '[A-Za-z]')
+                                   AND regexp_matches(tok,
+                                     '[\\x{0400}-\\x{04FF}\\x{0370}-\\x{03FF}]')
+                                  THEN 1 ELSE 0 END) * 1000000)
+                        // COUNT(*) AS BIGINT) AS mixed_ppm
+            FROM toks GROUP BY doc_id
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

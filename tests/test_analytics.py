@@ -1770,3 +1770,19 @@ def test_transition_prediction_accuracy_hand_computed(spark):
             for r in analytics.transition_prediction_accuracy(
                 df2, "event_type", "uuid", "time", "event_id").collect()}
     assert got2 == {"v1": 1, "v2": 0}
+
+
+def test_state_dwell_times_hand_computed(spark):
+    """Each event owns time-to-next; last events own nothing;
+    same-timestamp successors contribute zero."""
+    rows = [("u1", 0, 1, "a"), ("u1", 10, 2, "b"), ("u1", 10, 3, "a"),
+            ("u1", 25, 4, "b"),
+            ("u2", 5, 5, "a")]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string")
+    got = {r.value: (r.n_intervals, r.total_dwell_seconds, r.mean_dwell_ms)
+           for r in analytics.state_dwell_times(
+               df, "event_type", "uuid", "time", "event_id").collect()}
+    # u1: a@0 owns 10, b@10 owns 0 (tie), a@10 owns 15; b@25 last;
+    # u2: single event owns nothing
+    assert got == {"a": (2, 25, 12500), "b": (1, 0, 0)}

@@ -1941,3 +1941,30 @@ def test_tfidf_cosine_pairs_ubiquity_cap(spark):
         dedup.tfidf_cosine_pairs(df, max_ids_per_term=1)
     with _pytest.raises(ValueError):
         dedup.tfidf_cosine_pairs(df, min_cosine_ppm=0)
+
+
+def test_pattern_scan_hand_computed(spark):
+    rows = [(1, "aa bb aa"), (2, "bb"), (3, "ccc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.pattern: (r.n_docs, r.n_hits)
+           for r in text.pattern_scan(df, ["aa", "bb", "c", "zz"]).collect()}
+    assert got == {"aa": (1, 2), "bb": (2, 2), "c": (1, 3), "zz": (0, 0)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        text.pattern_scan(df, [])
+    with _pytest.raises(ValueError):
+        text.pattern_scan(df, ["ok", ""])
+
+
+def test_mixed_script_tokens_hand_computed(spark):
+    rows = [
+        (1, "pаypal good αlpha"),   # Cyrillic а + Greek α mixes
+        (2, "only ascii words"),
+        (3, "только"),  # pure Cyrillic: no mix
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_mixed, r.mixed_ppm)
+           for r in text.mixed_script_tokens(df).collect()}
+    assert got[1] == (3, 2, 666666)
+    assert got[2] == (3, 0, 0)
+    assert got[3] == (1, 0, 0)

@@ -4358,3 +4358,46 @@ def transition_prediction_accuracy(
             .cast("long").alias("accuracy_ppm"),
         )
     )
+
+
+def state_dwell_times(
+    df: DataFrame,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+) -> DataFrame:
+    """Time-in-state attribution: every event "owns" the interval until
+    the trail's NEXT event (LOCF — the session-replay convention), and
+    the owned seconds aggregate per state — "where do users actually
+    spend their time", which event-count frequencies misstate badly
+    when states have different cadences. Each trail's LAST event owns
+    no interval (no successor; the open-ended tail is policy, not data
+    — callers append a synthetic end event if they want it counted).
+    Same-timestamp successors contribute zero dwell, consistent with
+    the TWAP tie rule.
+
+    One uuid shuffle for the lead window, one lexicon-sized aggregate.
+
+    Returns ``(value, n_intervals, total_dwell_seconds,
+    mean_dwell_ms)`` — the mean as exact milliseconds (truncating
+    division on non-negative operands).
+    """
+    w = _trail_window(uuid_col, time_col, *tiebreak)
+    nxt = df.withColumn("__nt", F.lead(F.col(time_col)).over(w)).filter(
+        F.col("__nt").isNotNull()
+    )
+    return (
+        nxt.groupBy(F.col(field).alias("value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("__nt") - F.col(time_col)).alias("dwell"),
+        )
+        .select(
+            "value",
+            F.col("n_intervals").cast("long").alias("n_intervals"),
+            F.col("dwell").cast("long").alias("total_dwell_seconds"),
+            F.expr("dwell * 1000 div n_intervals")
+            .cast("long").alias("mean_dwell_ms"),
+        )
+    )

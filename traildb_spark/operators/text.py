@@ -1783,3 +1783,93 @@ def doc_keywords(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "idf_bits", "score", "rank")
     )
+
+
+def pattern_scan(
+    df: DataFrame,
+    patterns: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist / banned-term audit: exact substring occurrence counts
+    for a bounded pattern list over every document — the safety-scan
+    pass a release pipeline runs before anything ships. Counting is the
+    pure-SQL occurrence identity ``(len(t) − len(replace(t, p, ''))) /
+    len(p)`` (JVM-side, no regex engine differences, overlapping
+    occurrences counted non-overlapping like every replace-based
+    scanner), evaluated on a broadcast pattern table crossed against
+    the corpus — one narrow pass per document row, patterns-sized
+    output after the aggregate.
+
+    Case-sensitive by contract (fold the corpus and the patterns
+    through lower() upstream for case-insensitive scans). Empty
+    patterns are refused (the identity divides by len(p)).
+
+    Returns ``(pattern, n_docs, n_hits)`` — documents containing the
+    pattern, and total occurrences across the corpus.
+    """
+    if not patterns:
+        raise ValueError("pattern_scan: patterns must be non-empty")
+    if any(not p for p in patterns):
+        raise ValueError("pattern_scan: empty pattern")
+    spark = df.sparkSession
+    pats = spark.createDataFrame(
+        [(p,) for p in sorted(set(patterns))], "pattern string"
+    )
+    t = F.col(text_col)
+    p = F.col("pattern")
+    hits = (
+        (F.length(t) - F.length(F.replace(t, p, F.lit("")))) / F.length(p)
+    ).cast("long")
+    return (
+        df.select(text_col)
+        .crossJoin(F.broadcast(pats))
+        .select("pattern", hits.alias("h"))
+        .groupBy("pattern")
+        .agg(
+            F.sum(F.when(F.col("h") > 0, 1).otherwise(0))
+            .cast("long").alias("n_docs"),
+            F.sum("h").cast("long").alias("n_hits"),
+        )
+    )
+
+
+def mixed_script_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Homoglyph / script-mixing signal: per document, how many
+    whitespace tokens mix Latin letters with Cyrillic or Greek — the
+    classic spoofing and low-quality-scrape tell ("pаypal" with a
+    Cyrillic а). Pure explicit-codepoint-range regex (``[A-Za-z]``
+    with ``[\\x{0400}-\\x{04FF}]`` or ``[\\x{0370}-\\x{03FF}]`` — the
+    escape form BOTH Java regex and RE2 accept; ``\\uXXXX`` is
+    Java-only) so the engines agree without unicode property classes.
+    One narrow pass; per-document output with exact ppm.
+
+    Returns ``(doc_id, n_tokens, n_mixed, mixed_ppm)``.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    latin = "[A-Za-z]"
+    confus = "[\\x{0400}-\\x{04FF}\\x{0370}-\\x{03FF}]"
+    is_mixed = (
+        F.col("tok").rlike(latin) & F.col("tok").rlike(confus)
+    )
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(is_mixed, 1).otherwise(0)).alias("n_mixed"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_mixed").cast("long").alias("n_mixed"),
+            F.expr("n_mixed * 1000000 div n_tokens")
+            .cast("long").alias("mixed_ppm"),
+        )
+    )
