@@ -3342,6 +3342,22 @@ def q221_mixed_script(spark, sf_dir):
     return text.mixed_script_tokens(fixed)
 
 
+def q222_kcenter(spark, sf_dir):
+    """Greedy k-center (farthest-point) diverse-subset selection over
+    the embeddings table: exact integer Δ² on the floor(v·2^20)
+    lattice, min-id ties — any engine picks the identical 5 exemplars."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.kcenter_select(emb, 5)
+
+
+def q223_benford(spark, sf_dir):
+    """Benford first-digit profile of the value column: observed exact
+    ppm vs the fixed floored-ppm Benford lattice, all nine digits
+    zero-filled — the fabricated-feed screen."""
+    ev = _events(spark, sf_dir)
+    return analytics.benford_deviation(ev, "value")
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3568,6 +3584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_state_dwell": q219_state_dwell,
         "q220_pattern_scan": q220_pattern_scan,
         "q221_mixed_script": q221_mixed_script,
+        "q222_kcenter": q222_kcenter,
+        "q223_benford": q223_benford,
     }
 
 
@@ -3939,6 +3957,28 @@ def oracle_sql() -> dict[str, str]:
 
     cos_ab = f"{_sql_dot('a.embedding','b.embedding')} / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})"
     cos_cq = f"{_sql_dot('c.embedding','q.embedding')} / ({_sql_norm('c.embedding')} * {_sql_norm('q.embedding')})"
+
+    # exact integer squared distance on floor(v·2^20)-quantized vectors
+    # (q222's portable k-center lattice)
+    kc_dist = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "[ (p.q[i] - s.q[i]) * (p.q[i] - s.q[i]) "
+        "for i in generate_series(1, len(p.q)) ]), (x, y) -> x + y)"
+    )
+
+    def _kc_round(r: int) -> str:
+        prev = f"sel{r - 1}"
+        return f"""
+            d{r} AS (SELECT p.vec_id, MIN({kc_dist}) AS dmin
+                     FROM qe p CROSS JOIN {prev} s
+                     WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+                     GROUP BY p.vec_id),
+            p{r} AS (SELECT vec_id, dmin FROM d{r}
+                     ORDER BY dmin DESC, vec_id LIMIT 1),
+            sel{r} AS (SELECT * FROM {prev}
+                       UNION ALL
+                       SELECT qe.* FROM qe JOIN p{r}
+                         ON qe.vec_id = p{r}.vec_id)"""
 
     _q75_sql = f"""
             -- self-information in whole bits via binary-digit counts:
@@ -7431,6 +7471,53 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1 ELSE 0 END) * 1000000)
                         // COUNT(*) AS BIGINT) AS mixed_ppm
             FROM toks GROUP BY doc_id
+        """,
+        "q222_kcenter": f"""
+            WITH qe AS (
+              SELECT vec_id,
+                     [ CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576)
+                            AS BIGINT)
+                       for i in generate_series(1, len(embedding)) ] AS q
+              FROM embeddings),
+            sel1 AS (SELECT qe.* FROM qe
+                     WHERE vec_id = (SELECT min(vec_id) FROM qe)),
+            {_kc_round(2)},
+            {_kc_round(3)},
+            {_kc_round(4)},
+            {_kc_round(5)}
+            SELECT CAST(1 AS INT) AS rank,
+                   (SELECT min(vec_id) FROM qe) AS vec_id,
+                   CAST(0 AS BIGINT) AS maximin_dist2
+            UNION ALL SELECT 2, vec_id, CAST(dmin AS BIGINT) FROM p2
+            UNION ALL SELECT 3, vec_id, CAST(dmin AS BIGINT) FROM p3
+            UNION ALL SELECT 4, vec_id, CAST(dmin AS BIGINT) FROM p4
+            UNION ALL SELECT 5, vec_id, CAST(dmin AS BIGINT) FROM p5
+        """,
+        "q223_benford": f"""
+            WITH e AS ({_E}),
+            c AS (SELECT abs(CAST(round(value * 100) AS BIGINT)) AS c
+                  FROM e WHERE value IS NOT NULL),
+            per AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1)
+                               AS INT) AS digit,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM c WHERE c > 0 GROUP BY 1),
+            grid AS (SELECT unnest(generate_series(1, 9)) AS digit),
+            bppm AS (SELECT unnest([301029, 176091, 124938, 96910,
+                                    79181, 66946, 57991, 51152, 45757])
+                       AS benford_ppm,
+                     unnest(generate_series(1, 9)) AS digit),
+            tot AS (SELECT SUM(n) AS t FROM per)
+            SELECT g.digit,
+                   CAST(COALESCE(p.n, 0) AS BIGINT) AS n,
+                   CAST((COALESCE(p.n, 0) * 1000000) // tot.t AS BIGINT)
+                     AS observed_ppm,
+                   CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+                   CAST(abs((COALESCE(p.n, 0) * 1000000) // tot.t
+                            - b.benford_ppm) AS BIGINT) AS abs_diff_ppm
+            FROM grid g
+            JOIN bppm b ON b.digit = g.digit
+            LEFT JOIN per p ON p.digit = g.digit
+            CROSS JOIN tot
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

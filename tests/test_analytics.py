@@ -1786,3 +1786,18 @@ def test_state_dwell_times_hand_computed(spark):
     # u1: a@0 owns 10, b@10 owns 0 (tie), a@10 owns 15; b@25 last;
     # u2: single event owns nothing
     assert got == {"a": (2, 25, 12500), "b": (1, 0, 0)}
+
+
+def test_benford_deviation_hand_computed(spark):
+    """Digits from |round(v*100)|; zeros dropped; all nine rows present
+    with the fixed Benford lattice."""
+    rows = [(1.0,), (1.5,), (-2.0,), (9.99,), (0.0,), (None,)]
+    df = spark.createDataFrame(rows, "value double")
+    got = {r.digit: (r.n, r.observed_ppm, r.benford_ppm, r.abs_diff_ppm)
+           for r in analytics.benford_deviation(df, "value").collect()}
+    assert len(got) == 9
+    # cents: 100, 150, 200, 999 -> digits 1, 1, 2, 9
+    assert got[1] == (2, 500000, 301029, 198971)
+    assert got[2] == (1, 250000, 176091, 73909)
+    assert got[9] == (1, 250000, 45757, 204243)
+    assert got[5] == (0, 0, 79181, 79181)

@@ -4401,3 +4401,59 @@ def state_dwell_times(
             .cast("long").alias("mean_dwell_ms"),
         )
     )
+
+
+# floor(1e6 · log10(1 + 1/d)) for d = 1..9 — fixed literals so both
+# engines compare against the identical rational lattice
+_BENFORD_PPM = [301029, 176091, 124938, 96910, 79181, 66946, 57991,
+                51152, 45757]
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """First-digit (Benford) profile of a numeric column — the
+    fraud/data-quality screen: naturally-occurring amounts follow
+    P(d) = log10(1 + 1/d); fabricated or truncated feeds don't. Values
+    are integerized to cents (one IEEE round), zeros dropped (no
+    leading digit), and each digit row carries the observed exact-ppm
+    share next to the fixed Benford lattice (floored-ppm literals — no
+    runtime logs, no float compare) and the absolute gap. All nine
+    digits always present (zero-filled), so the output is a fixed
+    9-row table any monitor can diff.
+
+    One map-side-combined 9-key aggregate; nothing value-sized leaves
+    the scan.
+
+    Returns ``(digit, n, observed_ppm, benford_ppm, abs_diff_ppm)``.
+    """
+    cents = F.abs(F.round(F.col(value_col) * 100).cast("long"))
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per = (
+        df.select(cents.alias("c"), digit.alias("digit"))
+        .filter(F.col("c") > 0)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(d + 1, _BENFORD_PPM[d]) for d in range(9)],
+        "digit int, benford_ppm long",
+    )
+    tot = per.agg(F.sum("n").alias("t"))
+    return (
+        grid.join(per, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.expr("coalesce(n, 0) * 1000000 div t")
+            .cast("long").alias("observed_ppm"),
+            "benford_ppm",
+            F.abs(
+                F.expr("coalesce(n, 0) * 1000000 div t")
+                - F.col("benford_ppm")
+            ).cast("long").alias("abs_diff_ppm"),
+        )
+    )

@@ -958,3 +958,87 @@ def label_separability(
         "label long, n_vecs long, within_lattice decimal(38,0), "
         "between_num decimal(38,0), fisher_ppm long",
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+    max_k: int = 64,
+) -> DataFrame:
+    """Diverse-subset selection by greedy k-center (farthest-point
+    traversal) over an embedding column — the coverage-sampling pass a
+    training-data pipeline runs to seed clusters / pick exemplars:
+    start from the smallest id, then repeatedly take the point whose
+    distance to the chosen set is LARGEST (the classic 2-approximation
+    to the k-center objective). Bit-portable by construction: vectors
+    are quantized to integers ``floor(v·2^20)`` (the q52 portable-math
+    rule — float→double is exact, scaling by a power of two is exact,
+    floor is exact) and all distances are exact integer ΣΔ², with ties
+    broken to the smallest id, so any engine picks the identical set.
+
+    Scale posture: k passes over the corpus, each computing the min
+    distance to ≤ k broadcast-literal centers (k·dim multiply-adds per
+    row, JVM-side zip_with — no shuffle, no crossJoin); the argmax is
+    a 1-row sort-limit. ``max_k`` refuses selections that would make
+    the per-row expression k·dim-huge.
+
+    Returns ``(rank, vec_id, maximin_dist2)`` — rank 1..k in selection
+    order; rank 1's distance is 0 by convention.
+    """
+    if k < 1:
+        raise ValueError(f"kcenter_select: k must be >= 1, got {k}")
+    if k > max_k:
+        raise ValueError(
+            f"kcenter_select: k={k} exceeds max_k={max_k} (per-row "
+            "expression grows with k·dim; raise max_k deliberately)"
+        )
+    qe = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale)))
+            .cast("long"),
+        ).alias("q"),
+    ).persist()
+    try:
+        first = qe.agg(F.min("id")).collect()[0][0]
+        if first is None:
+            raise ValueError("kcenter_select: empty input")
+        sel_rows = qe.filter(F.col("id") == first).collect()
+        picked = [(1, first, 0)]
+        sel_vecs = [list(sel_rows[0]["q"])]
+        sel_ids = [first]
+        for rank in range(2, k + 1):
+            dists = [
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"),
+                        F.array(*[F.lit(v) for v in sv]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for sv in sel_vecs
+            ]
+            dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+            row = (
+                qe.filter(~F.col("id").isin(sel_ids))
+                .select("id", dmin.alias("dmin"), "q")
+                .orderBy(F.desc("dmin"), F.asc("id"))
+                .limit(1)
+                .collect()
+            )
+            if not row:
+                break  # fewer than k points
+            picked.append((rank, row[0]["id"], int(row[0]["dmin"])))
+            sel_vecs.append(list(row[0]["q"]))
+            sel_ids.append(row[0]["id"])
+    finally:
+        qe.unpersist()
+    return df.sparkSession.createDataFrame(
+        picked, "rank int, vec_id long, maximin_dist2 long"
+    )
