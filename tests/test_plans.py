@@ -876,3 +876,69 @@ def test_ab_conversion_metadata_pairs(spark, sf_dir):
     # reads an ExistingRDD twice, never the event scan twice
     assert "FileScan" not in plan, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_field_mi_lexicon_bounded(spark, sf_dir):
+    """One (x, y) map-side combine; marginals re-aggregate the CELL
+    table; all joins broadcast — no event-sized sort-merge join."""
+    from traildb_spark.operators import analytics
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "hour", (F.col("time") % 86400 / 3600).cast("int").cast("string")
+    )
+    out = analytics.field_mutual_information(ev, "event_type", "hour")
+    plan = audit.explain_str(out, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert audit.num_broadcast_joins(out) >= 2, plan
+
+
+def test_transition_surprisal_broadcast_model(spark, sf_dir):
+    """The pair model joins back as a BROADCAST (lexicon²-scale); the
+    only sort-merge-scale work is the uuid window."""
+    from traildb_spark.operators import analytics
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "event_id", F.monotonically_increasing_id())
+    out = analytics.transition_surprisal(
+        ev, "event_type", "uuid", "time", "event_id")
+    plan = audit.explain_str(out, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert audit.num_broadcast_joins(out) >= 1, plan
+
+
+def test_pattern_scan_no_shuffle_before_aggregate(spark, sf_dir):
+    """Broadcast pattern table × corpus: the ONLY exchange is the final
+    patterns-keyed aggregate; no regex nodes in the plan."""
+    from traildb_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = T.pattern_scan(docs, ["table", "scan"])
+    plan = audit.explain_str(out, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert audit.num_shuffles(out) <= 1, plan
+
+
+def test_rolling_features_single_window(spark, sf_dir):
+    """All four frame-bounded aggregates fuse into ONE Window node over
+    one uuid exchange."""
+    from traildb_spark.operators import analytics
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "event_id", F.monotonically_increasing_id()
+    ).withColumn("value", F.length("event_type").cast("double"))
+    out = analytics.rolling_features(ev, 5, "value", "uuid", "time",
+                                     "event_id")
+    plan = audit.explain_str(out, "simple")
+    assert plan.count("Window") == 1, plan
+    assert audit.num_shuffles(out) == 1, plan
+
+
+def test_column_profile_melt_no_shuffle_explode(spark, sf_dir):
+    """The melt is narrow (Generate before any exchange); the modal
+    window runs on the value table, not rows."""
+    from traildb_spark.operators import analytics
+
+    ev = load_events(spark, sf_dir)
+    out = analytics.column_profile(ev, ["uuid", "event_type"])
+    plan = audit.explain_str(out, "simple")
+    assert "SortMergeJoin" not in plan, plan
