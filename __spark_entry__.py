@@ -3358,6 +3358,15 @@ def q223_benford(spark, sf_dir):
     return analytics.benford_deviation(ev, "value")
 
 
+def q224_ewma(spark, sf_dir):
+    """Exact α=1/2 EWMA per trail over a 32-deep horizon: pure shifts
+    + one sign-factored decimal division on the cents lattice —
+    bit-identical smoothing in any engine (a float recurrence isn't)."""
+    ev = _events(spark, sf_dir)
+    return analytics.ewma_features(ev, 32, "value", "uuid", "time",
+                                   "event_id")
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3586,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_mixed_script": q221_mixed_script,
         "q222_kcenter": q222_kcenter,
         "q223_benford": q223_benford,
+        "q224_ewma": q224_ewma,
     }
 
 
@@ -7518,6 +7528,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN bppm b ON b.digit = g.digit
             LEFT JOIN per p ON p.digit = g.digit
             CROSS JOIN tot
+        """,
+        "q224_ewma": f"""
+            WITH e AS ({_E}),
+            c AS (SELECT uuid, "time", event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM e),
+            fr AS (SELECT uuid, "time", event_id, cents,
+                          list_filter(
+                            list(cents) OVER (PARTITION BY uuid
+                              ORDER BY "time", event_id
+                              ROWS BETWEEN 31 PRECEDING AND CURRENT ROW),
+                            x -> x IS NOT NULL) AS xs
+                   FROM c),
+            n AS (SELECT uuid, "time", event_id, cents, xs,
+                         list_sum([ CAST(xs[i] AS HUGEINT)
+                                    * (CAST(1 AS BIGINT) << (i - 1))
+                                    for i in
+                                      generate_series(1, len(xs)) ])
+                           AS num,
+                         (CAST(1 AS BIGINT) << len(xs)) - 1 AS den
+                  FROM fr)
+            SELECT uuid, "time", event_id, cents,
+                   CASE WHEN len(xs) > 0 THEN
+                     CAST(CASE WHEN num >= 0 THEN num // den
+                          ELSE -((-num) // den) END AS BIGINT)
+                   END AS ewma_cents
+            FROM n
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

@@ -1801,3 +1801,33 @@ def test_benford_deviation_hand_computed(spark):
     assert got[2] == (1, 250000, 176091, 73909)
     assert got[9] == (1, 250000, 45757, 204243)
     assert got[5] == (0, 0, 79181, 79181)
+
+
+def test_ewma_features_hand_computed(spark):
+    """alpha=1/2 exact shifts: most recent value carries 2^(L-1);
+    NULLs occupy frame slots but no weight; negative sums sign-factor."""
+    rows = [("u1", 1, 1, 1.0), ("u1", 2, 2, 2.0), ("u1", 3, 3, None),
+            ("u1", 4, 4, 4.0), ("u1", 5, 5, -1.0)]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, value double")
+    got = {r.event_id: r.ewma_cents
+           for r in analytics.ewma_features(
+               df, 3, "value", "uuid", "time", "event_id").collect()}
+    # e1 [100] -> 100 ; e2 [100,200] -> 500//3=166
+    # e3 frame {e1,e2,NULL} -> [100,200] -> 166
+    # e4 frame {e2,NULL,e4} -> [200,400] -> 1000//3=333
+    # e5 frame {NULL,e4,e5} -> [400,-100] -> 200//3=66
+    assert got == {1: 100, 2: 166, 3: 166, 4: 333, 5: 66}
+    # all-negative truncates toward zero in both engines
+    rows2 = [("u2", 1, 1, -1.0), ("u2", 2, 2, -2.0)]
+    df2 = spark.createDataFrame(
+        rows2, "uuid string, time long, event_id long, value double")
+    got2 = {r.event_id: r.ewma_cents
+            for r in analytics.ewma_features(
+                df2, 3, "value", "uuid", "time", "event_id").collect()}
+    assert got2 == {1: -100, 2: -166}  # -500 -> sign * (500 div 3)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        analytics.ewma_features(df, 0)
+    with _pytest.raises(ValueError):
+        analytics.ewma_features(df, 41)

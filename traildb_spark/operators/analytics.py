@@ -4457,3 +4457,74 @@ def benford_deviation(
             ).cast("long").alias("abs_diff_ppm"),
         )
     )
+
+
+def ewma_features(
+    df: DataFrame,
+    window: int = 32,
+    value_col: str = "value",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+) -> DataFrame:
+    """Per-event exponentially-weighted moving average with α = 1/2,
+    EXACT: the most recent value carries weight 2^(L−1), the one before
+    2^(L−2), ... over the trailing ``window`` events (L = frame size at
+    this row), normalized by the closed-form weight sum 2^L − 1 — pure
+    shifts and one sign-factored integer division on the cents lattice,
+    so the smoothed series is bit-identical across engines (a float
+    recurrence is neither associative nor engine-portable). This IS
+    the α=1/2 EWMA restricted to a ``window``-deep horizon; terms
+    beyond it carry < 2^-window of the mass — truncation, not
+    approximation, is the contract.
+
+    NULL values are DROPPED from the frame (they carry no weight and
+    shift nothing — the pandas ``ewm(ignore_na=True)`` rule).
+
+    One uuid shuffle; the frame-ordered value list is O(window) per
+    row. ``window`` ≤ 40 keeps every shifted term inside int64 before
+    the decimal accumulate (cents up to ±2^20 · 2^39 < 2^63).
+
+    Returns ``(uuid, time, event_id, cents, ewma_cents)``.
+    """
+    if not 1 <= window <= 40:
+        raise ValueError(
+            f"ewma_features: window must be in [1, 40], got {window}"
+        )
+    w = (
+        Window.partitionBy(uuid_col)
+        .orderBy(time_col, *tiebreak)
+        .rowsBetween(-(window - 1), 0)
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(uuid_col).alias("uuid"),
+        F.col(time_col).alias("time"),
+        F.col("event_id"),
+        cents.alias("cents"),
+    ).withColumn(
+        "__xs",
+        F.filter(F.collect_list("cents").over(w), lambda x: x.isNotNull()),
+    )
+    base = base.withColumn(
+        "__num",
+        F.expr(
+            "aggregate(zip_with(__xs, sequence(0, size(__xs) - 1),"
+            " (v, i) -> struct(v AS v, i AS i)),"
+            " CAST(0 AS DECIMAL(38,0)),"
+            " (acc, s) -> acc + CAST(shiftleft(s.v, s.i)"
+            " AS DECIMAL(38,0)))"
+        ),
+    )
+    ewma = F.when(
+        F.size("__xs") > 0,
+        F.signum("__num").cast("long")
+        * F.expr(
+            "CAST(abs(__num) div"
+            " CAST(shiftleft(CAST(1 AS BIGINT), size(__xs)) - 1"
+            " AS DECIMAL(38,0)) AS BIGINT)"
+        ),
+    ).cast("long")
+    return base.select(
+        "uuid", "time", "event_id", "cents", ewma.alias("ewma_cents")
+    )
