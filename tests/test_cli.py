@@ -341,3 +341,43 @@ def test_cli_stats_and_explain(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "pushed filters:" in out and "event_type" in out
     assert "read schemas:" in out and "struct<" in out
+
+
+def test_cli_profile_and_forget(spark, tmp_path, capsys):
+    """tdb profile prints the per-field report; tdb forget scrubs the
+    listed uuids, writes a clean dataset, prints the audit row, and
+    exits 1 when a requested uuid was absent."""
+    src = tmp_path / "in.csv"
+    rows = ["a1,100,click", "a1,200,view", "b2,150,click", "b2,90,",
+            "c3,500,view"]
+    src.write_text("\n".join(rows) + "\n")
+    db = str(tmp_path / "db")
+    assert main(["make", "-o", db, "-f", "uuid,time,action", str(src)]) == 0
+    capsys.readouterr()
+
+    assert main(["profile", "-i", db]) == 0
+    out = capsys.readouterr().out
+    line = next(l for l in out.splitlines() if l.startswith("action "))
+    # 5 rows, 1 empty, 3 distinct ('', click, view); modal 'click'
+    # (click=2, view=2 tie -> lexicographic)
+    assert line.split() == ["action", "5", "1", "3", "0", "5", "click", "2"]
+
+    # forget a1 + a missing uuid: exit 1 (not fully honorable), audit
+    # row printed, scrubbed dataset written
+    out_db = str(tmp_path / "db2")
+    lst = tmp_path / "ids.txt"
+    lst.write_text("a1\nzz\n")
+    rc = main(["forget", "-i", db, "-o", out_db, "--uuids", f"@{lst}"])
+    assert rc == 1
+    rep = capsys.readouterr().out
+    assert "requested 2" in rep and "present 1" in rep
+    assert "events_removed 2" in rep and "events_kept 3" in rep
+    from traildb_spark.dataset import TrailDataset
+
+    db2 = TrailDataset.open(spark, out_db)
+    assert db2.df.filter(F.col("uuid") == "a1").count() == 0
+    assert db2.df.count() == 3
+
+    # fully-honorable request exits 0
+    out_db3 = str(tmp_path / "db3")
+    assert main(["forget", "-i", db, "-o", out_db3, "--uuids", "b2"]) == 0

@@ -294,6 +294,65 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """``tdb profile``: Deequ-style column report over the dataset's
+    string fields (row/empty counts, distinct cardinality, length
+    extremes, modal value) — the first look a new drop gets before
+    anything trusts it. Fields default to the dataset's own field list
+    (everything except uuid/time)."""
+    from .dataset import TrailDataset
+    from .operators.analytics import column_profile
+
+    spark = _spark()
+    ds = TrailDataset.open(spark, args.input)
+    fields = _split_fields(args.fields) if args.fields else list(ds.fields)
+    if not fields:
+        print("profile: dataset has no value fields", file=sys.stderr)
+        return 1
+    rows = column_profile(ds.df, fields).orderBy("field").collect()
+    print("field n_rows n_empty n_distinct min_len max_len top_value top_freq")
+    for r in rows:
+        print(
+            f"{r['field']} {r['n_rows']} {r['n_empty']} {r['n_distinct']} "
+            f"{r['min_len']} {r['max_len']} "
+            f"{r['top_value'] if r['top_value'] is not None else '-'} "
+            f"{r['top_freq'] if r['top_freq'] is not None else 0}"
+        )
+    return 0
+
+
+def cmd_forget(args) -> int:
+    """``tdb forget``: right-to-erasure over a dataset — drop every
+    event of the listed uuids (inline or ``@file``, one per line),
+    write the scrubbed dataset to ``-o``, and print the audit row a
+    deletion request needs. Exit 1 if any requested uuid was NOT
+    present (the request cannot be fully honored silently)."""
+    from .dataset import TrailDataset
+    from .operators.curation import forget_report, forget_uuids
+
+    spark = _spark()
+    ds = TrailDataset.open(spark, args.input)
+    ids: list[str] = []
+    for u in args.uuids:
+        if u.startswith("@"):
+            with open(u[1:], encoding="utf-8") as fh:
+                ids.extend(line.strip() for line in fh if line.strip())
+        else:
+            ids.append(u)
+    if not ids:
+        print("forget: no uuids given", file=sys.stderr)
+        return 1
+    rep = forget_report(ds.df, ids, uuid_col="uuid").collect()[0]
+    kept = forget_uuids(ds.df, ids, uuid_col="uuid")
+    TrailDataset(kept).finalize(args.output, mode="overwrite")
+    print(f"requested {rep['n_requested']}")
+    print(f"present {rep['n_present']}")
+    print(f"events_removed {rep['n_events_removed']}")
+    print(f"events_kept {rep['n_events_kept']}")
+    print(f"wrote {args.output}")
+    return 0 if rep["n_present"] == rep["n_requested"] else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tdb", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -380,6 +439,26 @@ def build_parser() -> argparse.ArgumentParser:
     df_.add_argument("-b", required=True, help="right dataset")
     df_.add_argument("--patch", help="write the row-level A→B patch here")
     df_.set_defaults(fn=cmd_diff)
+
+    pr = sub.add_parser(
+        "profile", help="column profile (nulls, cardinality, modal value)"
+    )
+    pr.add_argument("-i", "--input", required=True)
+    pr.add_argument(
+        "--fields", help="comma-separated fields (default: all value fields)"
+    )
+    pr.set_defaults(fn=cmd_profile)
+
+    fg = sub.add_parser(
+        "forget", help="right-to-erasure: drop uuids, write scrubbed dataset"
+    )
+    fg.add_argument("-i", "--input", required=True)
+    fg.add_argument("-o", "--output", required=True)
+    fg.add_argument(
+        "--uuids", nargs="+", required=True,
+        help="uuid values and/or @file (one per line)",
+    )
+    fg.set_defaults(fn=cmd_forget)
     return p
 
 

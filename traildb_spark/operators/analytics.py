@@ -4134,7 +4134,13 @@ def column_profile(
                 *[
                     x
                     for f in fields
-                    for x in (F.lit(f), F.coalesce(F.col(f), F.lit("")))
+                    # cast BEFORE coalesce: a numeric field melted next
+                    # to strings would otherwise coerce the whole map's
+                    # value type (and '' -> BIGINT casts throw under ANSI)
+                    for x in (
+                        F.lit(f),
+                        F.coalesce(F.col(f).cast("string"), F.lit("")),
+                    )
                 ]
             )
         ).alias("field", "value")
