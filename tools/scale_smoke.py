@@ -521,11 +521,110 @@ def r6c_family(spark):
         text_ops.dedup_sentences(docs)))
 
 
+def r6d_family(spark):
+    """Round-6 fifth/sixth-batch operators at 100M events / 500k docs /
+    500k vectors — the trail-feature windows (rolling/EWMA), the
+    transition-model trio (surprisal / prediction / LPA), the
+    monitoring additions (seasonal anomalies, MI, Benford, dwell,
+    profile, k-anonymity) and the text scans (pattern / mixed-script),
+    each with an invariant check."""
+    from traildb_spark.operators import analytics, curation, similarity
+    from traildb_spark.operators import text as text_ops
+
+    big = "/tmp/scale_smoke/events100m"
+    if not Path(big).exists():
+        raise SystemExit("run SMOKE_HEAVY=1 first to build events100m")
+    ev = spark.read.parquet(big).withColumn(
+        "value", (F.col("time") % 1000).cast("double") / 7.0
+    )
+
+    timed("rolling_features_100m", lambda: _force(
+        analytics.rolling_features(ev, 5, "value", "uuid", "time",
+                                   "event_id")))
+    timed("ewma_100m", lambda: _force(
+        analytics.ewma_features(ev, 32, "value", "uuid", "time",
+                                "event_id")))
+    timed("state_dwell_100m", lambda: _force(
+        analytics.state_dwell_times(ev, "event_type", "uuid", "time",
+                                    "event_id")))
+    dw = analytics.state_dwell_times(
+        ev, "event_type", "uuid", "time", "event_id").collect()
+    assert all(r["total_dwell_seconds"] >= 0 for r in dw)
+    timed("ordered_pairs_100m", lambda: _force(
+        analytics.ordered_pair_support(ev, "event_type", min_trails=2)))
+    timed("surprisal_100m", lambda: _force(
+        analytics.transition_surprisal(ev, "event_type", "uuid", "time",
+                                       "event_id")))
+    timed("pred_accuracy_100m", lambda: _force(
+        analytics.transition_prediction_accuracy(
+            ev, "event_type", "uuid", "time", "event_id")))
+    acc = analytics.transition_prediction_accuracy(
+        ev, "event_type", "uuid", "time", "event_id"
+    ).agg(F.min("accuracy_ppm"), F.max("accuracy_ppm")).collect()[0]
+    assert 0 <= acc[0] <= acc[1] <= 1_000_000
+    timed("label_propagation_100m", lambda: _force(
+        analytics.label_propagation(ev, "event_type", "uuid", "time",
+                                    "event_id")))
+    timed("seasonal_anomalies_100m", lambda: _force(
+        analytics.seasonal_anomalies(ev, "event_type", "time", k=3)))
+    timed("field_mi_100m", lambda: _force(
+        analytics.field_mutual_information(
+            ev.withColumn("hour",
+                          F.expr("(time div 3600) % 24").cast("string")),
+            "event_type", "hour")))
+    timed("benford_100m", lambda: _force(
+        analytics.benford_deviation(ev, "value")))
+    assert analytics.benford_deviation(ev, "value").count() == 9
+    timed("column_profile_100m", lambda: _force(
+        analytics.column_profile(ev, ["event_type", "uuid"])))
+    timed("k_anonymity_100m", lambda: _force(curation.k_anonymity(
+        ev.withColumn("hour",
+                      F.expr("(time div 3600) % 24").cast("string")),
+        ["event_type", "hour"], k=1000)))
+    panel = [str(i) for i in range(0, 5000, 7)]
+    timed("forget_report_100m", lambda: _force(
+        curation.forget_report(ev, panel)))
+
+    docs_big = "/tmp/scale_smoke/docs500k"
+    if not Path(docs_big).exists():
+        raise SystemExit("run SMOKE_R6=1 first to build docs500k")
+    docs = spark.read.parquet(docs_big)
+    timed("pattern_scan_500k", lambda: _force(text_ops.pattern_scan(
+        docs, ["table", "scan", "agg", "slow fast", "never-present-term"])))
+    ps = {r["pattern"]: r["n_hits"] for r in
+          text_ops.pattern_scan(docs, ["table", "never-present-term"])
+          .collect()}
+    assert ps["never-present-term"] == 0 and ps["table"] > 0
+    timed("mixed_script_500k", lambda: _force(
+        text_ops.mixed_script_tokens(docs)))
+
+    vec_big = "/tmp/scale_smoke/vecs500k"
+    if not Path(vec_big).exists():
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        n = emb.count()
+        reps = [emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
+                for i in range(100)]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(vec_big)
+    vecs = spark.read.parquet(vec_big)
+    timed("kcenter_500k_k5", lambda: _force(
+        similarity.kcenter_select(vecs, 5)))
+    kc = similarity.kcenter_select(vecs, 5).collect()
+    d = [r["maximin_dist2"] for r in sorted(kc, key=lambda r: r["rank"])]
+    assert d[0] == 0 and all(a >= b for a, b in zip(d[1:], d[2:]))
+
+
 def main():
     spark = get_spark("scale-smoke", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
     import os
+
+    if os.environ.get("SMOKE_R6D"):
+        r6d_family(spark)
+        return
 
     if os.environ.get("SMOKE_R6C"):
         r6c_family(spark)
