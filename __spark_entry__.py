@@ -3367,6 +3367,21 @@ def q224_ewma(spark, sf_dir):
                                    "event_id")
 
 
+def q225_json_schema(spark, sf_dir):
+    """Semi-structured schema census over props, with deterministic
+    corruption injected on event_id % 13 == 0 (strip the leading '{')
+    so the __invalid__ row counts real parse failures both engines
+    reproduce."""
+    ev = _events(spark, sf_dir)
+    fixed = ev.select(
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.substring(F.col("props"), 2, 10_000_000),
+        ).otherwise(F.col("props")).alias("props")
+    )
+    return analytics.json_schema_report(fixed, "props")
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3596,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_kcenter": q222_kcenter,
         "q223_benford": q223_benford,
         "q224_ewma": q224_ewma,
+        "q225_json_schema": q225_json_schema,
     }
 
 
@@ -7555,6 +7571,42 @@ def oracle_sql() -> dict[str, str]:
                           ELSE -((-num) // den) END AS BIGINT)
                    END AS ewma_cents
             FROM n
+        """,
+        "q225_json_schema": f"""
+            WITH e AS ({_E}),
+            fixed AS (SELECT CASE WHEN event_id % 13 = 0
+                                  THEN substring(props, 2)
+                                  ELSE props END AS props
+                      FROM e),
+            ok AS (SELECT props FROM fixed
+                   WHERE props <> '' AND json_valid(props)
+                     AND json_type(props) = 'OBJECT'),
+            kv AS (SELECT k AS key,
+                          json_extract_string(props, '$.' || k) AS value
+                   FROM ok, unnest(json_keys(props)) AS u(k)),
+            per AS (SELECT key,
+                           CAST(COUNT(*) AS BIGINT) AS n_present,
+                           CAST(SUM(CASE WHEN regexp_full_match(value,
+                               '-?[0-9]+(\\.[0-9]+)?') THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n_numeric,
+                           round(MIN(CASE WHEN regexp_full_match(value,
+                               '-?[0-9]+(\\.[0-9]+)?')
+                               THEN CAST(value AS DOUBLE) END), 6)
+                             AS min_num,
+                           round(MAX(CASE WHEN regexp_full_match(value,
+                               '-?[0-9]+(\\.[0-9]+)?')
+                               THEN CAST(value AS DOUBLE) END), 6)
+                             AS max_num
+                    FROM kv GROUP BY key),
+            inv AS (SELECT '__invalid__' AS key,
+                           CAST(COUNT(*) AS BIGINT) AS n_present,
+                           CAST(NULL AS BIGINT) AS n_numeric,
+                           CAST(NULL AS DOUBLE) AS min_num,
+                           CAST(NULL AS DOUBLE) AS max_num
+                    FROM fixed
+                    WHERE props = '' OR NOT json_valid(props)
+                       OR json_type(props) <> 'OBJECT')
+            SELECT * FROM per UNION ALL SELECT * FROM inv
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

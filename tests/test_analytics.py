@@ -1831,3 +1831,17 @@ def test_ewma_features_hand_computed(spark):
         analytics.ewma_features(df, 0)
     with _pytest.raises(ValueError):
         analytics.ewma_features(df, 41)
+
+
+def test_json_schema_report_hand_computed(spark):
+    """Per-key presence/numeric stats; non-object / corrupt / empty
+    payloads all land in __invalid__; string values count as present
+    but not numeric."""
+    rows = [('{"a": 1, "b": "x"}',), ('{"a": 2.5}',), ('{"b": "-3"}',),
+            ("not json",), ("",), ("[1, 2]",)]
+    df = spark.createDataFrame(rows, "props string")
+    got = {r.key: (r.n_present, r.n_numeric, r.min_num, r.max_num)
+           for r in analytics.json_schema_report(df, "props").collect()}
+    assert got["a"] == (2, 2, 1.0, 2.5)
+    assert got["b"] == (2, 1, -3.0, -3.0)
+    assert got["__invalid__"][0] == 3

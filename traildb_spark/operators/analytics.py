@@ -4534,3 +4534,67 @@ def ewma_features(
     return base.select(
         "uuid", "time", "event_id", "cents", ewma.alias("ewma_cents")
     )
+
+
+def json_schema_report(
+    df: DataFrame,
+    json_col: str = "props",
+) -> DataFrame:
+    """Semi-structured profiling of a JSON-string column — the schema
+    census a pipeline runs before promoting stringly props to real
+    columns: per top-level key, how many rows carry it, how many of
+    those values look numeric, and the numeric range; plus the
+    ``__invalid__`` row counting payloads that don't parse as a JSON
+    object at all (the '' ≡ NULL empties land there too — an empty
+    props is "no object", not "object with no keys"). Values are
+    profiled as STRINGS (``map<string,string>`` parse), numeric-ness by
+    the explicit ``^-?[0-9]+(\\.[0-9]+)?$`` regex both engines share.
+
+    One narrow parse + explode, then a key-space-sized aggregate with
+    map-side combine — top-level key universes are schema-sized, not
+    row-sized.
+
+    Returns ``(key, n_present, n_numeric, min_num, max_num)`` with the
+    range as ``round(x, 6)`` doubles (NULL when no numeric values).
+    """
+    parsed = df.select(
+        F.from_json(F.col(json_col), "map<string,string>").alias("__m")
+    )
+    num_re = r"^-?[0-9]+(\.[0-9]+)?$"
+    kv = parsed.filter(F.col("__m").isNotNull()).select(
+        F.explode("__m").alias("key", "value")
+    )
+    per_key = kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(F.when(F.col("value").rlike(num_re), 1).otherwise(0))
+        .cast("long").alias("n_numeric"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("value").rlike(num_re),
+                    F.col("value").cast("double"),
+                )
+            ),
+            6,
+        ).alias("min_num"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("value").rlike(num_re),
+                    F.col("value").cast("double"),
+                )
+            ),
+            6,
+        ).alias("max_num"),
+    )
+    invalid = parsed.agg(
+        F.sum(F.when(F.col("__m").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_present")
+    ).select(
+        F.lit("__invalid__").alias("key"),
+        "n_present",
+        F.lit(None).cast("long").alias("n_numeric"),
+        F.lit(None).cast("double").alias("min_num"),
+        F.lit(None).cast("double").alias("max_num"),
+    )
+    return per_key.unionByName(invalid)
