@@ -3382,6 +3382,24 @@ def q225_json_schema(spark, sf_dir):
     return analytics.json_schema_report(fixed, "props")
 
 
+def q226_conversion_paths(spark, sf_dir):
+    """Top journey shapes into purchase: the last ≤3 click/view touches
+    per conversion, oldest→newest, counted per path — attribution's
+    per-channel totals re-expanded into sequences."""
+    ev = _events(spark, sf_dir)
+    return analytics.conversion_paths(
+        ev, "purchase", ["click", "view"], n_last=3, lookback=86400
+    )
+
+
+def q227_mmr(spark, sf_dir):
+    """Maximal Marginal Relevance top-5 for query vec_id 0 at λ=70%:
+    relevance vs redundancy on the floor(v·2^20) dot lattice — the
+    diversity-aware retrieval classic, bit-identical in any engine."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.mmr_select(emb, query_id=0, k=5, lambda_pct=70)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3612,6 +3630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_benford": q223_benford,
         "q224_ewma": q224_ewma,
         "q225_json_schema": q225_json_schema,
+        "q226_conversion_paths": q226_conversion_paths,
+        "q227_mmr": q227_mmr,
     }
 
 
@@ -3991,6 +4011,28 @@ def oracle_sql() -> dict[str, str]:
         "[ (p.q[i] - s.q[i]) * (p.q[i] - s.q[i]) "
         "for i in generate_series(1, len(p.q)) ]), (x, y) -> x + y)"
     )
+
+    mm_dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "[ c.q[i] * s.q[i] for i in generate_series(1, len(c.q)) ]), "
+        "(x, y) -> x + y)"
+    )
+
+    def _mmr_round(r: int, lam: int = 70) -> str:
+        prev = f"s{r - 1}"
+        return f"""
+            d{r} AS (SELECT c.vec_id, MAX(c.rel) AS rel,
+                            MAX({mm_dot}) AS ms
+                     FROM cand c CROSS JOIN {prev} s
+                     WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+                     GROUP BY c.vec_id),
+            p{r} AS (SELECT vec_id,
+                            {lam} * rel - {100 - lam} * ms AS score
+                     FROM d{r} ORDER BY score DESC, vec_id LIMIT 1),
+            s{r} AS (SELECT * FROM {prev}
+                     UNION ALL
+                     SELECT qe.vec_id, qe.q FROM qe JOIN p{r}
+                       ON qe.vec_id = p{r}.vec_id)"""
 
     def _kc_round(r: int) -> str:
         prev = f"sel{r - 1}"
@@ -7607,6 +7649,63 @@ def oracle_sql() -> dict[str, str]:
                     WHERE props = '' OR NOT json_valid(props)
                        OR json_type(props) <> 'OBJECT')
             SELECT * FROM per UNION ALL SELECT * FROM inv
+        """,
+        "q226_conversion_paths": f"""
+            WITH e AS ({_E}),
+            c AS (SELECT uuid, "time" AS ct, event_id AS cid FROM e
+                  WHERE event_type = 'purchase'),
+            t AS (SELECT uuid, "time" AS tt, event_id AS tid,
+                         event_type AS ch FROM e
+                  WHERE event_type IN ('click', 'view')),
+            j AS (SELECT c.uuid, c.cid, t.ch, t.tt, t.tid
+                  FROM c JOIN t ON c.uuid = t.uuid
+                  WHERE (t.tt < c.ct OR (t.tt = c.ct AND t.tid < c.cid))
+                    AND t.tt >= c.ct - 86400),
+            r AS (SELECT uuid, cid, ch,
+                         row_number() OVER (PARTITION BY uuid, cid
+                           ORDER BY tt DESC, tid DESC) AS rn
+                  FROM j),
+            lastn AS (SELECT uuid, cid,
+                             array_to_string(
+                               list(ch ORDER BY rn DESC), '>') AS path
+                      FROM r WHERE rn <= 3 GROUP BY uuid, cid),
+            per AS (SELECT path,
+                           CAST(COUNT(*) AS BIGINT) AS n_conversions
+                    FROM lastn GROUP BY path),
+            untouched AS (
+              SELECT '(none)' AS path,
+                     CAST(COUNT(*) AS BIGINT) AS n_conversions
+              FROM c WHERE NOT EXISTS (
+                SELECT 1 FROM lastn x
+                WHERE x.uuid = c.uuid AND x.cid = c.cid)
+              HAVING COUNT(*) > 0)
+            SELECT * FROM per UNION ALL SELECT * FROM untouched
+        """,
+        "q227_mmr": f"""
+            WITH qe AS (
+              SELECT vec_id,
+                     [ CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576)
+                            AS BIGINT)
+                       for i in generate_series(1, len(embedding)) ] AS q
+              FROM embeddings),
+            cand AS (
+              SELECT c.vec_id, c.q, {mm_dot} AS rel
+              FROM qe c CROSS JOIN (SELECT q FROM qe WHERE vec_id = 0) s
+              WHERE c.vec_id <> 0),
+            p1 AS (SELECT vec_id, 70 * rel AS score FROM cand
+                   ORDER BY score DESC, vec_id LIMIT 1),
+            s1 AS (SELECT qe.vec_id, qe.q FROM qe JOIN p1
+                     ON qe.vec_id = p1.vec_id),
+            {_mmr_round(2)},
+            {_mmr_round(3)},
+            {_mmr_round(4)},
+            {_mmr_round(5)}
+            SELECT CAST(1 AS INT) AS rank, vec_id,
+                   CAST(score AS BIGINT) AS score100 FROM p1
+            UNION ALL SELECT 2, vec_id, CAST(score AS BIGINT) FROM p2
+            UNION ALL SELECT 3, vec_id, CAST(score AS BIGINT) FROM p3
+            UNION ALL SELECT 4, vec_id, CAST(score AS BIGINT) FROM p4
+            UNION ALL SELECT 5, vec_id, CAST(score AS BIGINT) FROM p5
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

@@ -1845,3 +1845,28 @@ def test_json_schema_report_hand_computed(spark):
     assert got["a"] == (2, 2, 1.0, 2.5)
     assert got["b"] == (2, 1, -3.0, -3.0)
     assert got["__invalid__"][0] == 3
+
+
+def test_conversion_paths_hand_computed(spark):
+    """Last-3 touches oldest->newest; ties on time break by event_id;
+    touchless conversions count under (none)."""
+    rows = [("u1", 1, 1, "click"), ("u1", 2, 2, "view"),
+            ("u1", 3, 3, "click"), ("u1", 4, 4, "view"),
+            ("u1", 5, 5, "purchase"),
+            ("u2", 9, 6, "purchase")]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string")
+    got = {r.path: r.n_conversions
+           for r in analytics.conversion_paths(
+               df, "purchase", ["click", "view"], n_last=3).collect()}
+    # last 3 of [click view click view] = view>click>view
+    assert got == {"view>click>view": 1, "(none)": 1}
+    got2 = {r.path: r.n_conversions
+            for r in analytics.conversion_paths(
+                df, "purchase", ["click", "view"], n_last=2,
+                lookback=2).collect()}
+    # lookback 2s from t=5 keeps touches at t>=3: click@3, view@4
+    assert got2 == {"click>view": 1, "(none)": 1}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        analytics.conversion_paths(df, "purchase", ["click"], n_last=0)

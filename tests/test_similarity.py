@@ -30,3 +30,32 @@ def test_kcenter_select_hand_computed(spark):
         similarity.kcenter_select(df, 0)
     with _pytest.raises(ValueError):
         similarity.kcenter_select(df, 65)
+
+
+def test_mmr_select_hand_computed(spark):
+    """Pure relevance (lambda=100) ranks by dot; at lambda=50 a
+    near-duplicate of the first pick loses to a diverse lower-relevance
+    candidate."""
+    rows = [
+        (0, [1.0, 0.0]),            # query
+        (1, [0.9, 0.1]),            # most relevant
+        (2, [0.85, 0.1]),           # near-dup of 1, slightly less rel
+        (3, [0.6, 0.6]),            # diverse, lower rel
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pure = [(r.rank, r.vec_id) for r in
+            similarity.mmr_select(df, 0, k=3, lambda_pct=100)
+            .orderBy("rank").collect()]
+    assert pure == [(1, 1), (2, 2), (3, 3)]
+    mmr = [(r.rank, r.vec_id) for r in
+           similarity.mmr_select(df, 0, k=3, lambda_pct=30)
+           .orderBy("rank").collect()]
+    # round 2 at lambda=30: score(2) = .3·.85 − .7·(.9·.85+.01) ≈ −.29
+    # < score(3) = .3·.6 − .7·.6 = −.24 — the near-dup loses to the
+    # diverse candidate
+    assert mmr == [(1, 1), (2, 3), (3, 2)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity.mmr_select(df, 99, k=2)
+    with _pytest.raises(ValueError):
+        similarity.mmr_select(df, 0, k=2, lambda_pct=101)

@@ -4598,3 +4598,94 @@ def json_schema_report(
         F.lit(None).cast("double").alias("max_num"),
     )
     return per_key.unionByName(invalid)
+
+
+def conversion_paths(
+    df: DataFrame,
+    conversion: str,
+    touches: list[str],
+    n_last: int = 3,
+    lookback: int | None = None,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top paths to conversion: for every conversion event, the ordered
+    sequence of its LAST ``n_last`` prefix touches (oldest→newest,
+    rendered ``a>b>c``), counted across all conversions — the
+    journey-shape report that attribution's per-channel totals erase.
+    Prefix semantics match :func:`attribution_linear`: strictly-before
+    in time with the id tiebreak, optional ``lookback`` window;
+    touchless conversions count under the ``(none)`` path.
+
+    Scale: the conversion × prefix-touch join is the attribution
+    fan-out (bounded by touches-per-trail within the lookback); the
+    recency window partitions by (trail, conversion); output is
+    path-space-sized (≤ |touches|^n_last + 1).
+
+    Returns ``(path, n_conversions)``.
+    """
+    if n_last < 1:
+        raise ValueError(
+            f"conversion_paths: n_last must be >= 1, got {n_last}"
+        )
+    conv = df.filter(F.col(field) == conversion).select(
+        F.col(uuid_col).alias("__u"),
+        F.col(time_col).alias("__ct"),
+        F.col(id_col).alias("__cid"),
+    )
+    tch = df.filter(F.col(field).isin(list(touches))).select(
+        F.col(uuid_col).alias("__u"),
+        F.col(time_col).alias("__tt"),
+        F.col(id_col).alias("__tid"),
+        F.col(field).alias("__ch"),
+    )
+    before = (F.col("__tt") < F.col("__ct")) | (
+        (F.col("__tt") == F.col("__ct")) & (F.col("__tid") < F.col("__cid"))
+    )
+    cond = before
+    if lookback is not None:
+        cond = cond & (F.col("__tt") >= F.col("__ct") - F.lit(int(lookback)))
+    j = conv.join(tch, "__u").filter(cond)
+    wr = Window.partitionBy("__u", "__cid").orderBy(
+        F.desc("__tt"), F.desc("__tid")
+    )
+    lastn = (
+        j.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= int(n_last))
+        .groupBy("__u", "__cid")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.reverse(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("__rn").alias("r"),
+                                    F.col("__ch").alias("c"),
+                                )
+                            )
+                        ),
+                        lambda s: s["c"],
+                    )
+                ),
+            ).alias("path")
+        )
+    )
+    per_path = lastn.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions")
+    )
+    untouched = (
+        conv.join(
+            lastn.select("__u", "__cid"), ["__u", "__cid"], "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("(none)").alias("path"),
+            F.col("n").cast("long").alias("n_conversions"),
+        )
+        .filter(F.col("n_conversions") > 0)
+    )
+    return per_path.unionByName(untouched)

@@ -1042,3 +1042,96 @@ def kcenter_select(
     return df.sparkSession.createDataFrame(
         picked, "rank int, vec_id long, maximin_dist2 long"
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    lambda_pct: int = 70,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+    max_k: int = 64,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) top-k:
+    retrieval that trades relevance against redundancy — each round
+    picks the candidate maximizing ``λ·rel(q, c) − (1−λ)·max_{s∈S}
+    sim(c, s)``, so near-duplicates of already-selected results lose to
+    fresh ones. Bit-portable like :func:`kcenter_select`: dots on the
+    floor(v·2^20) integer lattice, λ as an integer percentage
+    (``score100 = lambda_pct·rel − (100−lambda_pct)·maxsim``, the
+    max-sim term 0 for the first pick), ties to the smallest id.
+
+    Scale posture: identical to kcenter_select — k passes, each a
+    narrow zip_with against ≤ k broadcast-literal vectors, a 1-row
+    sort-limit per round, no shuffle; ``max_k`` refusal.
+
+    Returns ``(rank, vec_id, score100)``.
+    """
+    if k < 1:
+        raise ValueError(f"mmr_select: k must be >= 1, got {k}")
+    if k > max_k:
+        raise ValueError(f"mmr_select: k={k} exceeds max_k={max_k}")
+    if not 0 <= lambda_pct <= 100:
+        raise ValueError(
+            f"mmr_select: lambda_pct in [0, 100], got {lambda_pct}"
+        )
+    qe = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale)))
+            .cast("long"),
+        ).alias("q"),
+    ).persist()
+
+    def dot_to(vec: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(v) for v in vec]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    try:
+        qrow = qe.filter(F.col("id") == query_id).collect()
+        if not qrow:
+            raise ValueError(f"mmr_select: query id {query_id} not found")
+        qvec = list(qrow[0]["q"])
+        cand = qe.filter(F.col("id") != query_id).withColumn(
+            "rel", dot_to(qvec)
+        )
+        lam = int(lambda_pct)
+        picked: list[tuple[int, int, int]] = []
+        sel_vecs: list[list[int]] = []
+        sel_ids: list[int] = []
+        for rank in range(1, k + 1):
+            if sel_vecs:
+                sims = [dot_to(sv) for sv in sel_vecs]
+                maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            else:
+                maxsim = F.lit(0).cast("long")
+            score = (
+                F.lit(lam) * F.col("rel") - F.lit(100 - lam) * maxsim
+            )
+            row = (
+                cand.filter(~F.col("id").isin(sel_ids))
+                .select("id", "q", score.alias("score100"))
+                .orderBy(F.desc("score100"), F.asc("id"))
+                .limit(1)
+                .collect()
+            )
+            if not row:
+                break
+            picked.append((rank, row[0]["id"], int(row[0]["score100"])))
+            sel_vecs.append(list(row[0]["q"]))
+            sel_ids.append(row[0]["id"])
+    finally:
+        qe.unpersist()
+    return df.sparkSession.createDataFrame(
+        picked, "rank int, vec_id long, score100 long"
+    )
