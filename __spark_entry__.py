@@ -3400,6 +3400,15 @@ def q227_mmr(spark, sf_dir):
     return similarity.mmr_select(emb, query_id=0, k=5, lambda_pct=70)
 
 
+def q228_window_cooccurrence(spark, sf_dir):
+    """±2-window unordered co-occurrence with whole-bit PMI — the
+    word2vec-context statistic; q82's adjacent bigrams are the
+    window=1, ordered special case. Zero-shuffle pair derivation
+    (one slice-zip per offset)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.window_cooccurrence(docs, window=2, min_count=50)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3632,6 +3641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q225_json_schema": q225_json_schema,
         "q226_conversion_paths": q226_conversion_paths,
         "q227_mmr": q227_mmr,
+        "q228_window_cooccurrence": q228_window_cooccurrence,
     }
 
 
@@ -7706,6 +7716,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, vec_id, CAST(score AS BIGINT) FROM p3
             UNION ALL SELECT 4, vec_id, CAST(score AS BIGINT) FROM p4
             UNION ALL SELECT 5, vec_id, CAST(score AS BIGINT) FROM p5
+        """,
+        "q228_window_cooccurrence": f"""
+            WITH w AS (SELECT {_TOKENS} AS ws FROM documents),
+            p AS (
+              SELECT least(ws[i], ws[i + o]) AS w1,
+                     greatest(ws[i], ws[i + o]) AS w2
+              FROM w, unnest([1, 2]) AS ofs(o),
+                   unnest(generate_series(1, greatest(len(ws) - o, 0)))
+                     AS u(i)
+            ),
+            uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM (SELECT unnest(ws) AS t FROM w) GROUP BY t),
+            pairs AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT)
+                        AS pair_count
+                      FROM p GROUP BY w1, w2
+                      HAVING COUNT(*) >= 50),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p)
+            SELECT pairs.w1, pairs.w2, pairs.pair_count,
+                   CAST(length(bin(pairs.pair_count)) + length(bin(nn.n))
+                        - length(bin(u1.cnt)) - length(bin(u2.cnt))
+                        AS BIGINT) AS pmi_bits
+            FROM pairs
+            JOIN uni u1 ON u1.t = pairs.w1
+            JOIN uni u2 ON u2.t = pairs.w2
+            CROSS JOIN nn
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

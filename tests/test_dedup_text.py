@@ -1968,3 +1968,25 @@ def test_mixed_script_tokens_hand_computed(spark):
     assert got[1] == (3, 2, 666666)
     assert got[2] == (3, 0, 0)
     assert got[3] == (1, 0, 0)
+
+
+def test_window_cooccurrence_hand_computed(spark):
+    """'a b c a': window=2 pairs per (pos, offset) — off1: (a,b),(b,c),
+    (a,c); off2: (a,c),(a,b) -> canonical counts (a,b)=2, (a,c)=2,
+    (b,c)=1; N=5; whole-bit PMI from unigram counts a=2,b=1,c=1."""
+    df = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    got = {(r.w1, r.w2): (r.pair_count, r.pmi_bits)
+           for r in text.window_cooccurrence(
+               df, window=2, min_count=1).collect()}
+    # bits: pair 2->2, 1->1 ; N=5->3 ; a=2->2, b=1->1, c=1->1
+    assert got == {("a", "b"): (2, 2 + 3 - 2 - 1),
+                   ("a", "c"): (2, 2 + 3 - 2 - 1),
+                   ("b", "c"): (1, 1 + 3 - 1 - 1)}
+    # window=1 reduces to adjacent pairs (order folded)
+    got1 = {(r.w1, r.w2): r.pair_count
+            for r in text.window_cooccurrence(
+                df, window=1, min_count=1).collect()}
+    assert got1 == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        text.window_cooccurrence(df, window=0)

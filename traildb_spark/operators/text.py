@@ -1873,3 +1873,90 @@ def mixed_script_tokens(
             .cast("long").alias("mixed_ppm"),
         )
     )
+
+
+def window_cooccurrence(
+    df: DataFrame,
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Windowed co-occurrence collocations: UNORDERED token pairs
+    within ±``window`` positions, whole-bit PMI scored — the word2vec/
+    GloVe-style co-occurrence statistic that :func:`cooccurrence_pmi`'s
+    adjacent bigrams are the window=1 special case of (with order
+    folded: pairs canonicalize to (least, greatest), so "data table"
+    and "table data" pool their counts — the symmetric-context
+    convention). A token pairs once per (position, offset), the
+    standard unweighted flat window.
+
+    Derivation stays zero-shuffle: one ``zip_with`` of two array slices
+    per offset (``window`` narrow maps), one explode, then the same
+    map-side-combined pair/unigram aggregates and broadcast joins as
+    the bigram form — vocab²-bounded after ``min_count`` prunes the
+    count-1 tail (which dominates the distinct-pair universe).
+
+    Whole-bit PMI = bits(c_pair) + bits(N_pairs) − bits(c_w1·appear) −
+    bits(c_w2): marginals here are UNIGRAM occurrence counts, matching
+    cooccurrence_pmi's convention.
+
+    Returns ``(w1, w2, pair_count, pmi_bits)`` with ``w1 <= w2``.
+    """
+    if window < 1:
+        raise ValueError(
+            f"window_cooccurrence: window must be >= 1, got {window}"
+        )
+    w = tokens(F.col(text_col))
+    pair_arrays = [
+        F.zip_with(
+            F.slice(w, 1, F.greatest(F.size(w) - off, F.lit(0))),
+            F.slice(w, 1 + off, F.greatest(F.size(w) - off, F.lit(0))),
+            lambda a, b: F.struct(
+                F.least(a, b).alias("w1"), F.greatest(a, b).alias("w2")
+            ),
+        )
+        for off in range(1, window + 1)
+    ]
+    base = df.select(
+        w.alias("__w"), F.concat(*pair_arrays).alias("__p")
+    )
+    uni = (
+        base.select(F.explode("__w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = (
+        base.select(F.explode("__p").alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= int(min_count))
+    )
+    n_total = base.select(
+        F.coalesce(F.sum(F.size("__p")), F.lit(0)).alias("n")
+    )
+
+    def bits(c: Column) -> Column:
+        return F.length(F.bin(c.cast("long")))
+
+    # unigram joins stay AQE-decided (vocab can exceed broadcast size at
+    # corpus scale — cooccurrence_pmi's rule); only the 1-row N broadcasts
+    return (
+        pairs.join(
+            uni.select(F.col("t").alias("w1"), F.col("cnt").alias("c1")),
+            "w1")
+        .join(
+            uni.select(F.col("t").alias("w2"), F.col("cnt").alias("c2")),
+            "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            (
+                bits(F.col("pair_count")) + bits(F.col("n"))
+                - bits(F.col("c1")) - bits(F.col("c2"))
+            ).cast("long").alias("pmi_bits"),
+        )
+    )
