@@ -421,12 +421,15 @@ def _sub_px(a: int, b: int) -> int:
 
 
 def _pred_neighbors(img: np.ndarray, x: int, y: int, w: int):
-    """(L, T, TR, TL) with the spec's edge conventions (TR at row end
-    wraps to the first pixel of the same row per libwebp: uses T)."""
+    """(L, T, TR, TL) with the spec's edge conventions. TR for the
+    rightmost column is the CURRENT row's leftmost pixel: the ARGB
+    cache is contiguous, so reading one past the previous row's end
+    lands on this row's x=0 (already reconstructed — x=0 decodes via
+    the edge override before any in-row predictor runs)."""
     l = int(img[y, x - 1]) if x > 0 else 0
     t = int(img[y - 1, x]) if y > 0 else 0
     tr = int(img[y - 1, x + 1]) if (y > 0 and x + 1 < w) else (
-        int(img[y - 1, 0]) if y > 0 else 0
+        int(img[y, 0]) if y > 0 else 0
     )
     tl = int(img[y - 1, x - 1]) if (x > 0 and y > 0) else 0
     return l, t, tr, tl
