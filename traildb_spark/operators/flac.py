@@ -159,11 +159,8 @@ def _read_residual(r: _BitReader, block_size: int, order: int) -> list[int]:
     escape = (1 << pbits) - 1
     porder = r.read(4)
     n_part = 1 << porder
-    if block_size % n_part or (block_size >> porder) <= order and porder:
-        # partitions must divide the block; first partition must be
-        # able to hold its (size - order) samples
-        if block_size % n_part:
-            raise ValueError("FLAC: partition order does not divide block")
+    if block_size % n_part:
+        raise ValueError("FLAC: partition order does not divide block")
     out: list[int] = []
     for p in range(n_part):
         n = (block_size >> porder) - (order if p == 0 else 0)
