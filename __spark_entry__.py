@@ -3409,6 +3409,19 @@ def q228_window_cooccurrence(spark, sf_dir):
     return text.window_cooccurrence(docs, window=2, min_count=50)
 
 
+def q229_weighted_sample(spark, sf_dir):
+    """Deterministic weight-proportional systematic sampling (weights =
+    char counts, k = 100): stride cuts on the exact integer weight
+    axis, offsets from the two-phase prefix sum — no floats, no RNG,
+    rerun-identical."""
+    from traildb_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "weight", F.length("text").cast("long")
+    )
+    return curation.weighted_systematic_sample(docs, k=100, shard_size=100)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3642,6 +3655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_conversion_paths": q226_conversion_paths,
         "q227_mmr": q227_mmr,
         "q228_window_cooccurrence": q228_window_cooccurrence,
+        "q229_weighted_sample": q229_weighted_sample,
     }
 
 
@@ -7741,6 +7755,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u1 ON u1.t = pairs.w1
             JOIN uni u2 ON u2.t = pairs.w2
             CROSS JOIN nn
+        """,
+        "q229_weighted_sample": """
+            WITH base AS (
+              SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+              FROM documents WHERE length(text) > 0),
+            o AS (SELECT doc_id, n,
+                         COALESCE(SUM(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS off
+                  FROM base),
+            tot AS (SELECT greatest(SUM(n) // 100, 1) AS stride
+                    FROM base)
+            SELECT doc_id AS id, n AS weight,
+                   CAST(off AS BIGINT) AS offset,
+                   CAST((off + n - 1) // stride
+                        - greatest(off - 1, 0) // stride AS BIGINT)
+                     AS n_boundaries
+            FROM o CROSS JOIN tot
+            WHERE (off + n - 1) // stride
+                  - greatest(off - 1, 0) // stride > 0
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

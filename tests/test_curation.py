@@ -620,3 +620,35 @@ def test_forget_uuids_and_report(spark):
     assert (rep2.n_requested, rep2.n_present,
             rep2.n_events_removed, rep2.n_events_kept) == (2, 2, 2, 2)
     assert curation.forget_uuids(df, panel).count() == 2
+
+
+def test_weighted_systematic_sample_hand_computed(spark):
+    """Weights 10,10,10,10 with k=2 -> stride 20 -> boundaries at 20
+    select the docs whose intervals cross 20 and 40; a heavy doc
+    spanning several boundaries appears ONCE with its crossing count;
+    zero-weight rows never select; rerun-identical."""
+    from traildb_spark.operators import curation
+
+    rows = [(1, 10), (2, 10), (3, 10), (4, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    got = {r.id: (r.offset, r.n_boundaries) for r in
+           curation.weighted_systematic_sample(df, 2).collect()}
+    # offsets 0,10,20,30; stride 20; crossing = off <= m*20 <= off+n-1:
+    # only doc3 [20,29] holds boundary 20 (40 > 39, doc4 misses it)
+    assert got == {3: (20, 1)}
+    # heavy doc: weights 1, 100, 1 with k=4 -> W=102, stride 25
+    rows2 = [(1, 1), (2, 100), (3, 1)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, weight long")
+    out = {r.id: r.n_boundaries for r in
+           curation.weighted_systematic_sample(df2, 4).collect()}
+    # doc2 spans [1,101): crosses 25,50,75,100 -> 4 boundaries
+    assert out[2] == 4 and 1 not in out
+    out_again = {r.id: r.n_boundaries for r in
+                 curation.weighted_systematic_sample(df2, 4).collect()}
+    assert out == out_again
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curation.weighted_systematic_sample(df2, 0)
+    with _pytest.raises(ValueError):
+        curation.weighted_systematic_sample(
+            df2.withColumn("doc_id", df2.doc_id.cast("string")), 2)

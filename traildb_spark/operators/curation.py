@@ -1247,3 +1247,95 @@ def forget_report(
         F.sum(F.when(F.col("__fu").isNull(), 1).otherwise(0))
         .cast("long").alias("n_events_kept"),
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: Column | None = None,
+    id_col: str = "doc_id",
+    shard_size: int = 100_000,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling WITHOUT floats or
+    randomness: lay the corpus end-to-end in ``id_col`` order on the
+    integer weight axis (cents-scale weights), cut it into ``k`` equal
+    strides (``stride = W div k``), and keep every document whose
+    weight interval crosses a stride boundary — classic systematic
+    sampling (boundaries at ``m·stride`` for m ≥ 1 — the offset-0
+    boundary is excluded by convention), so inclusion probability is
+    proportional to weight, heavy documents (weight ≥ stride) are
+    ALWAYS kept (possibly covering several boundaries — still one
+    output row), and reruns are bit-identical on any engine. The global offsets come from
+    :func:`pack_sequences`' two-phase prefix sum (per-shard totals to
+    the driver, broadcast bases, partitioned windows) — no global
+    window, no single-task cumsum.
+
+    Picks exactly k documents when every weight < stride and W % k = 0;
+    in general between ``W div stride − n_heavy·(spans−1)`` and k+1 —
+    systematic sampling's standard size variance (exact-k with weights
+    requires rejection rounds; :func:`sample_exact_by_key` is the
+    unweighted exact-k tool).
+
+    Returns ``(id, weight, offset, n_boundaries)`` for selected rows.
+    """
+    if k < 1:
+        raise ValueError(
+            f"weighted_systematic_sample: k must be >= 1, got {k}"
+        )
+    integral = {"tinyint", "smallint", "int", "bigint", "long"}
+    if dict(df.dtypes).get(id_col) not in integral:
+        raise ValueError(
+            f"weighted_systematic_sample requires an integral {id_col!r}"
+            " (the weight axis follows the global id order)"
+        )
+    wcol = (
+        weight_col if weight_col is not None else F.col("weight")
+    ).cast("long").alias("__n")
+    shard = (F.col(id_col) / F.lit(shard_size)).cast("long").alias("__shard")
+    base = df.select(F.col(id_col), wcol, shard).filter(F.col("__n") > 0)
+    totals = base.groupBy("__shard").agg(F.sum("__n").alias("__tot")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(totals, key=lambda r: r["__shard"]):
+        offsets.append((r["__shard"], acc))
+        acc += r["__tot"]
+    total_w = acc
+    if total_w == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"id long, weight long, offset long, n_boundaries long"
+        )
+    stride = max(1, total_w // int(k))
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], ["__shard", "__base"])
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(off, "__shard")
+        .withColumn(
+            "offset",
+            (F.col("__base")
+             + F.coalesce(F.sum("__n").over(w), F.lit(0))).cast("long"),
+        )
+        .withColumn(
+            "n_boundaries",
+            # boundaries at m·stride for m >= 1; both div operands are
+            # non-negative (greatest guard), so truncate == floor across
+            # engines
+            F.expr(
+                f"(offset + __n - 1) div {stride}"
+                f" - greatest(offset - 1, 0) div {stride}"
+            ).cast("long"),
+        )
+        .filter(F.col("n_boundaries") > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("__n").alias("weight"),
+            "offset",
+            "n_boundaries",
+        )
+    )
