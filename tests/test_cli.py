@@ -381,3 +381,40 @@ def test_cli_profile_and_forget(spark, tmp_path, capsys):
     # fully-honorable request exits 0
     out_db3 = str(tmp_path / "db3")
     assert main(["forget", "-i", db, "-o", out_db3, "--uuids", "b2"]) == 0
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    """tdb compact rewrites a sharded dataset's small files through the
+    CLI (the command tdb stats' advice points at)."""
+    import os
+
+    from traildb_spark.dataset import TrailDataset
+    from traildb_spark.streaming.ingest import streaming_finalize
+
+    db = str(tmp_path / "sharded")
+    # build a sharded dataset via the streaming finalizer (per-batch
+    # writes -> multiple small files per shard)
+    ev_src = str(tmp_path / "ev")
+    df = spark.createDataFrame(
+        [(f"u{i % 3}", 86400 * (1 + i % 2) + i, f"e{i % 2}")
+         for i in range(12)],
+        "uuid string, time long, event_type string")
+    df.repartition(3).write.parquet(ev_src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(ev_src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(ev_src)
+    )
+    q = streaming_finalize(stream, db, checkpoint=str(tmp_path / "ck"),
+                           time_shard="yyyy-MM-dd")
+    q.awaitTermination(180)
+    before = {tuple(r) for r in TrailDataset.open(spark, db).df.collect()}
+    capsys.readouterr()
+    assert main(["compact", "-i", f"file://{db}", "--buckets", "1"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("compacted ")
+    assert {tuple(r) for r in
+            TrailDataset.open(spark, db).df.collect()} == before
+    shard0 = sorted(d for d in os.listdir(db) if d.startswith("__shard="))[0]
+    files = [f for f in os.listdir(os.path.join(db, shard0))
+             if f.endswith(".parquet")]
+    assert len(files) == 1

@@ -353,6 +353,26 @@ def cmd_forget(args) -> int:
     return 0 if rep["n_present"] == rep["n_requested"] else 1
 
 
+def cmd_compact(args) -> int:
+    """``tdb compact``: rewrite closed time shards of a (streaming-
+    appended) sharded dataset as one uuid-clustered file set each —
+    the remedy `tdb stats` advises for small-file shards. Only compact
+    shards no longer receiving appends (see compact_shards' docstring
+    for the swap/crash-recovery contract)."""
+    from .dataset import compact_shards
+
+    spark = _spark()
+    shards = _split_fields(args.shards) if args.shards else None
+    done = compact_shards(
+        spark, args.input, shards=shards, num_buckets=args.buckets
+    )
+    if not done:
+        print("nothing to compact")
+        return 0
+    print(f"compacted {len(done)} shard(s): " + ",".join(done[:20]))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tdb", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -459,6 +479,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="uuid values and/or @file (one per line)",
     )
     fg.set_defaults(fn=cmd_forget)
+
+    cp = sub.add_parser(
+        "compact", help="rewrite closed shards as clustered file sets"
+    )
+    cp.add_argument("-i", "--input", required=True)
+    cp.add_argument(
+        "--shards", help="comma-separated shard values (default: all)"
+    )
+    cp.add_argument("--buckets", type=int, default=None)
+    cp.set_defaults(fn=cmd_compact)
     return p
 
 
