@@ -3422,6 +3422,16 @@ def q229_weighted_sample(spark, sf_dir):
     return curation.weighted_systematic_sample(docs, k=100, shard_size=100)
 
 
+def q230_run_lengths(spark, sf_dir):
+    """Same-state run-length histogram per event_type — q200's repeat
+    ratio expanded to the full distribution (the reference edge
+    encoding's exact payoff profile)."""
+    ev = _events(spark, sf_dir)
+    return analytics.run_length_distribution(
+        ev, "event_type", "uuid", "time", "event_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3656,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_mmr": q227_mmr,
         "q228_window_cooccurrence": q228_window_cooccurrence,
         "q229_weighted_sample": q229_weighted_sample,
+        "q230_run_lengths": q230_run_lengths,
     }
 
 
@@ -7775,6 +7786,29 @@ def oracle_sql() -> dict[str, str]:
             FROM o CROSS JOIN tot
             WHERE (off + n - 1) // stride
                   - greatest(off - 1, 0) // stride > 0
+        """,
+        "q230_run_lengths": f"""
+            WITH e AS ({_E}),
+            s AS (SELECT uuid, "time", event_id,
+                         event_type AS value,
+                         CASE WHEN lag(event_type) OVER w IS NULL
+                                OR lag(event_type) OVER w <> event_type
+                              THEN 1 ELSE 0 END AS chg
+                  FROM e
+                  WINDOW w AS (PARTITION BY uuid
+                               ORDER BY "time", event_id)),
+            r AS (SELECT uuid, value,
+                         SUM(chg) OVER (PARTITION BY uuid
+                           ORDER BY "time", event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS run
+                  FROM s),
+            runs AS (SELECT value, CAST(COUNT(*) AS BIGINT)
+                       AS run_length
+                     FROM r GROUP BY uuid, value, run)
+            SELECT value, run_length,
+                   CAST(COUNT(*) AS BIGINT) AS n_runs
+            FROM runs GROUP BY value, run_length
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

@@ -1870,3 +1870,16 @@ def test_conversion_paths_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         analytics.conversion_paths(df, "purchase", ["click"], n_last=0)
+
+
+def test_run_length_distribution_hand_computed(spark):
+    """a,a,b,a in one trail -> runs (a,2),(b,1),(a,1); a second trail's
+    single b pools into (b,1)."""
+    rows = [("u1", 1, 1, "a"), ("u1", 2, 2, "a"), ("u1", 3, 3, "b"),
+            ("u1", 4, 4, "a"), ("u2", 1, 5, "b")]
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string")
+    got = {(r.value, r.run_length): r.n_runs
+           for r in analytics.run_length_distribution(
+               df, "event_type", "uuid", "time", "event_id").collect()}
+    assert got == {("a", 2): 1, ("a", 1): 1, ("b", 1): 2}

@@ -4689,3 +4689,51 @@ def conversion_paths(
         .filter(F.col("n_conversions") > 0)
     )
     return per_path.unionByName(untouched)
+
+
+def run_length_distribution(
+    df: DataFrame,
+    field: str = "event_type",
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+) -> DataFrame:
+    """Distribution of same-value run lengths within trails — the full
+    histogram behind :func:`edge_savings_by_field`'s single repeat
+    ratio: how long do users stay in one state before switching
+    (run-length 1 everywhere = thrashing; heavy tails = sticky states
+    — and the exact payoff profile of the reference's edge encoding,
+    which stores one event per RUN). Runs are maximal: a trail
+    a,a,b,a contributes runs (a,2), (b,1), (a,1).
+
+    One uuid shuffle shared by two stacked windows (change flags →
+    run ids via the prefix-sum-of-changes trick), then a (value,
+    run_length)-keyed aggregate — output bounded by lexicon × max-run.
+
+    Returns ``(value, run_length, n_runs)``.
+    """
+    w = _trail_window(uuid_col, time_col, *tiebreak)
+    changed = F.when(
+        F.lag(F.col(field)).over(w).isNull()
+        | (F.lag(F.col(field)).over(w) != F.col(field)),
+        1,
+    ).otherwise(0)
+    wrun = (
+        Window.partitionBy(uuid_col)
+        .orderBy(time_col, *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = df.select(
+        F.col(uuid_col),
+        F.col(time_col),
+        *[F.col(t) for t in tiebreak],
+        F.col(field).alias("value"),
+        changed.alias("__chg"),
+    ).withColumn("__run", F.sum("__chg").over(wrun))
+    return (
+        runs.groupBy(F.col(uuid_col).alias("uuid"), F.col("value"),
+                     F.col("__run"))
+        .agg(F.count(F.lit(1)).alias("run_length"))
+        .groupBy("value", "run_length")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_runs"))
+    )
