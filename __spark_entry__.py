@@ -3432,6 +3432,23 @@ def q230_run_lengths(spark, sf_dir):
     )
 
 
+def q231_kwic(spark, sf_dir):
+    """KWIC concordance for 'table' (±3 tokens, ≤10 hits/doc): the
+    corpus-inspection view, one posexplode with the match filter on the
+    exploded token."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.keyword_in_context(docs, "table", window_tokens=3,
+                                   max_hits_per_doc=10)
+
+
+def q232_lorenz(spark, sf_dir):
+    """Activity-concentration Lorenz curve at deciles: cumulative event
+    share of the bottom i/10 of trails, exact ppm — ranks/cumsums via
+    the two-phase range-partition construction, never a global window."""
+    ev = _events(spark, sf_dir)
+    return analytics.lorenz_points(ev, n_points=10)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3667,6 +3684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_window_cooccurrence": q228_window_cooccurrence,
         "q229_weighted_sample": q229_weighted_sample,
         "q230_run_lengths": q230_run_lengths,
+        "q231_kwic": q231_kwic,
+        "q232_lorenz": q232_lorenz,
     }
 
 
@@ -7809,6 +7828,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT value, run_length,
                    CAST(COUNT(*) AS BIGINT) AS n_runs
             FROM runs GROUP BY value, run_length
+        """,
+        "q231_kwic": f"""
+            WITH w AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            h AS (SELECT doc_id, ws, i AS position
+                  FROM w, unnest(generate_series(1, len(ws))) AS u(i)
+                  WHERE ws[i] = 'table'),
+            cap AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY position) AS hn
+                    FROM h)
+            SELECT doc_id, CAST(position AS BIGINT) AS position,
+                   -- a backwards slice (position = 1) is NULL in
+                   -- DuckDB, '' in Spark's array_join
+                   COALESCE(array_to_string(
+                     ws[greatest(position - 3, 1):position - 1], ' '),
+                     '') AS left_ctx,
+                   COALESCE(array_to_string(
+                     ws[position + 1:least(position + 3, len(ws))], ' '),
+                     '') AS right_ctx
+            FROM cap WHERE hn <= 10
+        """,
+        "q232_lorenz": f"""
+            WITH e AS ({_E}),
+            per AS (SELECT uuid, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM e GROUP BY uuid),
+            ranked AS (SELECT n,
+                              row_number() OVER (ORDER BY n, uuid) AS r,
+                              SUM(n) OVER (ORDER BY n, uuid
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+                       FROM per),
+            tot AS (SELECT MAX(r) AS t, MAX(cum) AS e FROM ranked),
+            pts AS (SELECT unnest(generate_series(1, 10)) AS point)
+            SELECT CAST(point AS INT) AS point,
+                   CAST(point * t // 10 AS BIGINT) AS trails_cum,
+                   CAST(point * 1000000 // 10 AS BIGINT)
+                     AS trail_share_ppm,
+                   CAST(COALESCE(cum * 1000000 // e, 0) AS BIGINT)
+                     AS event_share_ppm
+            FROM pts CROSS JOIN tot
+            LEFT JOIN ranked ON ranked.r = point * t // 10
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

@@ -1883,3 +1883,20 @@ def test_run_length_distribution_hand_computed(spark):
            for r in analytics.run_length_distribution(
                df, "event_type", "uuid", "time", "event_id").collect()}
     assert got == {("a", 2): 1, ("a", 1): 1, ("b", 1): 2}
+
+
+def test_lorenz_points_hand_computed(spark):
+    """Trails with 1, 1, 2, 6 events: bottom half (2 trails) holds
+    2/10 events -> 200000 ppm; full curve ends at 1e6."""
+    rows = ([("a", i) for i in range(1)] + [("b", i) for i in range(1)]
+            + [("c", i) for i in range(2)] + [("d", i) for i in range(6)])
+    df = spark.createDataFrame(rows, "uuid string, x long")
+    got = {r.point: (r.trails_cum, r.trail_share_ppm, r.event_share_ppm)
+           for r in analytics.lorenz_points(df, n_points=4).collect()}
+    assert got[1] == (1, 250000, 100000)   # bottom 1 trail: 1/10
+    assert got[2] == (2, 500000, 200000)   # bottom 2: 2/10
+    assert got[3] == (3, 750000, 400000)   # bottom 3: 4/10
+    assert got[4] == (4, 1000000, 1000000)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        analytics.lorenz_points(df, n_points=0)

@@ -1990,3 +1990,20 @@ def test_window_cooccurrence_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         text.window_cooccurrence(df, window=0)
+
+
+def test_keyword_in_context_hand_computed(spark):
+    """Positions are 1-based token indices; contexts clamp at doc
+    edges; the per-doc hit cap keeps pathological repeats bounded."""
+    rows = [(1, "x y table a b c table"), (2, "table"),
+            (3, " ".join(["table"] * 20))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.position): (r.left_ctx, r.right_ctx)
+           for r in text.keyword_in_context(df, "table", 2).collect()}
+    assert got[(1, 3)] == ("x y", "a b")
+    assert got[(1, 7)] == ("b c", "")
+    assert got[(2, 1)] == ("", "")
+    assert sum(1 for k in got if k[0] == 3) == 10  # capped
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        text.keyword_in_context(df, "")

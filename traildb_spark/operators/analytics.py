@@ -4737,3 +4737,80 @@ def run_length_distribution(
         .groupBy("value", "run_length")
         .agg(F.count(F.lit(1)).cast("long").alias("n_runs"))
     )
+
+
+def lorenz_points(
+    df: DataFrame,
+    n_points: int = 10,
+    uuid_col: str = UUID_COL,
+) -> DataFrame:
+    """Lorenz-curve points for activity concentration: trails sorted by
+    event count ascending, the cumulative share of EVENTS held by the
+    bottom i/n of TRAILS, as exact ppm — the distribution view behind a
+    single Gini number ("the busiest decile holds 62% of events").
+    Ranks and cumulative sums run on the per-trail COUNT table (one
+    event-scale aggregate with map-side combine, everything after is
+    trail-count-sized); ties order by uuid so the curve is
+    deterministic; point i covers the first ``floor(i·T/n)`` trails.
+
+    The global (rank, cumulative sum) over the trail table uses the
+    two-phase range-partition construction (trail_ids' pattern) — an
+    unpartitioned orderBy window would funnel every trail through one
+    task, the canonical does-not-scale plan.
+
+    Returns ``(point, trails_cum, trail_share_ppm, event_share_ppm)``
+    for i = 1..n_points.
+    """
+    if n_points < 1:
+        raise ValueError(
+            f"lorenz_points: n_points must be >= 1, got {n_points}"
+        )
+    per = df.groupBy(F.col(uuid_col).alias("uuid")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tagged = per.repartitionByRange(F.col("n"), F.col("uuid")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    totals = (
+        tagged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n").alias("sn"))
+        .collect()
+    )
+    acc_r = acc_e = 0
+    offs = []
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offs.append((row["__pid"], acc_r, acc_e))
+        acc_r += row["cnt"]
+        acc_e += row["sn"]
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(
+            offs or [(0, 0, 0)], ["__pid", "__base_r", "__base_e"]
+        )
+    )
+    wl = Window.partitionBy("__pid").orderBy("n", "uuid")
+    wc = wl.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = tagged.join(off, "__pid").select(
+        "n",
+        (F.col("__base_r") + F.row_number().over(wl)).alias("r"),
+        (F.col("__base_e") + F.sum("n").over(wc)).alias("cum"),
+    )
+    tot = spark.createDataFrame([(acc_r, acc_e)], ["t", "e"])
+    pts = df.sparkSession.range(1, n_points + 1).select(
+        F.col("id").cast("int").alias("point")
+    )
+    j = pts.crossJoin(F.broadcast(tot)).withColumn(
+        "trails_cum", F.expr("point * t div " + str(int(n_points)))
+    )
+    return (
+        j.join(ranked, F.col("r") == F.col("trails_cum"), "left")
+        .select(
+            "point",
+            F.col("trails_cum").cast("long").alias("trails_cum"),
+            F.expr(f"point * 1000000 div {int(n_points)}")
+            .cast("long").alias("trail_share_ppm"),
+            F.coalesce(
+                F.expr("cum * 1000000 div e"), F.lit(0)
+            ).cast("long").alias("event_share_ppm"),
+        )
+    )

@@ -1960,3 +1960,62 @@ def window_cooccurrence(
             ).cast("long").alias("pmi_bits"),
         )
     )
+
+
+def keyword_in_context(
+    df: DataFrame,
+    term: str,
+    window_tokens: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits_per_doc: int = 10,
+) -> DataFrame:
+    """KWIC concordance: every occurrence of ``term`` as a NORMALIZED
+    token (the corpus tokenizer's lowercase/whitespace rules), with
+    ``window_tokens`` of left and right context — the corpus-inspection
+    view quality work starts from ("show me how this word is actually
+    used"). One narrow tokenize + posexplode, an equality filter ON THE
+    TOKEN (so only matching positions survive the explode), and a
+    slice-join back to the doc's own token array for context —
+    per-hit output, ``max_hits_per_doc`` caps pathological repeats.
+
+    Returns ``(doc_id, position, left_ctx, right_ctx)`` — positions
+    1-based, contexts space-joined (possibly empty at doc edges).
+    """
+    if not term:
+        raise ValueError("keyword_in_context: term must be non-empty")
+    if window_tokens < 0:
+        raise ValueError("keyword_in_context: window_tokens must be >= 0")
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__w"))
+    hits = (
+        base.select(
+            "doc_id",
+            "__w",
+            F.posexplode("__w").alias("__p0", "__tok"),
+        )
+        .filter(F.col("__tok") == term)
+        .withColumn("position", F.col("__p0") + 1)
+    )
+    wcap = Window.partitionBy("doc_id").orderBy("position")
+    hits = hits.withColumn("__hn", F.row_number().over(wcap)).filter(
+        F.col("__hn") <= int(max_hits_per_doc)
+    )
+    left = F.slice(
+        F.col("__w"),
+        F.greatest(F.col("position") - window_tokens, F.lit(1)),
+        F.least(F.lit(window_tokens), F.col("position") - 1),
+    )
+    right = F.slice(
+        F.col("__w"),
+        F.col("position") + 1,
+        F.least(
+            F.lit(window_tokens), F.size("__w") - F.col("position")
+        ),
+    )
+    return hits.select(
+        "doc_id",
+        F.col("position").cast("long").alias("position"),
+        F.array_join(left, " ").alias("left_ctx"),
+        F.array_join(right, " ").alias("right_ctx"),
+    )
