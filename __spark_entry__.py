@@ -2633,12 +2633,10 @@ def q184_hard_negatives(spark, sf_dir):
 
 
 
-def q185_au_decode(spark, sf_dir):
-    """Sun/NeXT .au decode: 16-bit BE fixtures with an annotation
-    offset, samples s[i] = (i*59 + doc_id*13) % 3601 - 1800,
-    n = 40 + id%50, rate = 8000 + 2000*(id%4) — the oracle recomputes
-    every stat from the closed form, proving the header/offset parse
-    through the shared feature kernel (q69/q165's third sibling)."""
+def _au_fixture_payload():
+    """AU payload UDF shared by q185/q233: 16-bit BE samples
+    s[i] = (i*59 + doc_id*13) % 3601 - 1800, n = 40 + id%50,
+    rate = 8000 + 2000*(id%4), with an annotation offset."""
     from traildb_spark.operators import multimodal
 
     @F.pandas_udf("binary")
@@ -2657,7 +2655,19 @@ def q185_au_decode(spark, sf_dir):
             out.append(multimodal.make_au(s, rate, annotation=b"fx\x00\x00"))
         return pd.Series(out)
 
-    media = _media_table(spark, sf_dir, "audio", au_payload, cache_name="au")
+    return au_payload
+
+
+def q185_au_decode(spark, sf_dir):
+    """Sun/NeXT .au decode: 16-bit BE fixtures with an annotation
+    offset, samples s[i] = (i*59 + doc_id*13) % 3601 - 1800,
+    n = 40 + id%50, rate = 8000 + 2000*(id%4) — the oracle recomputes
+    every stat from the closed form, proving the header/offset parse
+    through the shared feature kernel (q69/q165's third sibling)."""
+    from traildb_spark.operators import multimodal
+
+    media = _media_table(spark, sf_dir, "audio", _au_fixture_payload(),
+                         cache_name="au")
     feats = multimodal.extract_audio_features(media)
     return feats.select(
         "media_id",
@@ -3449,6 +3459,19 @@ def q232_lorenz(spark, sf_dir):
     return analytics.lorenz_points(ev, n_points=10)
 
 
+def q233_audio_quality(spark, sf_dir):
+    """Audio curation gates over the q185 AU fixtures: frame-silence
+    profile, clip counts, exact DC offset — every stat recomputable
+    from the closed-form samples s[i] = (i*59 + id*13) % 3601 - 1800."""
+    from traildb_spark.operators import multimodal
+
+    media = _media_table(spark, sf_dir, "audio", _au_fixture_payload(),
+                         cache_name="au")
+    return multimodal.audio_quality_stats(
+        media, frame_samples=16, silence_rms=600, clip_level=1700
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3686,6 +3709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q230_run_lengths": q230_run_lengths,
         "q231_kwic": q231_kwic,
         "q232_lorenz": q232_lorenz,
+        "q233_audio_quality": q233_audio_quality,
     }
 
 
@@ -7868,6 +7892,39 @@ def oracle_sql() -> dict[str, str]:
                      AS event_share_ppm
             FROM pts CROSS JOIN tot
             LEFT JOIN ranked ON ranked.r = point * t // 10
+        """,
+        "q233_audio_quality": """
+            -- s[i] = (i*59 + id*13) % 3601 - 1800, n = 40 + id%50;
+            -- frames of 16, silence rms 600 (sum x^2 < 600^2*len),
+            -- clip at |s| >= 1700, dc = trunc(mean)
+            WITH a AS (
+              SELECT doc_id, 40 + CAST(doc_id % 50 AS BIGINT) AS n
+              FROM documents WHERE doc_id % 3 = 1
+            ), s AS (
+              SELECT doc_id, n,
+                     [ (i*59 + doc_id*13) % 3601 - 1800
+                       for i in generate_series(0, n - 1) ] AS xs
+              FROM a
+            ), fr AS (
+              SELECT doc_id, n, xs,
+                     [ xs[f*16 + 1 : least((f+1)*16, n)]
+                       for f in generate_series(0,
+                         CAST(ceil(n / 16.0) AS BIGINT) - 1) ] AS frames
+              FROM s
+            )
+            SELECT doc_id AS media_id,
+                   n AS n_samples,
+                   CAST(len(frames) AS BIGINT) AS n_frames,
+                   CAST(len(list_filter(frames, f ->
+                     list_sum(list_transform(f, x -> CAST(x AS HUGEINT) * x))
+                       < 360000 * len(f))) AS BIGINT) AS silent_frames,
+                   CAST(len(list_filter(xs, x -> abs(x) >= 1700))
+                     AS BIGINT) AS clipped_samples,
+                   CAST(CASE WHEN list_sum(xs) >= 0
+                        THEN list_sum(xs) // n
+                        ELSE -((-list_sum(xs)) // n) END AS BIGINT)
+                     AS dc_offset
+            FROM fr
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

@@ -1916,3 +1916,32 @@ def test_midi_note_stats_spark(spark):
     r2 = got[2]
     assert (r2.division, r2.n_tracks, r2.n_notes) == (96, 1, 1)
     assert (r2.pitch_sum, r2.dur_sum, r2.span_ticks) == (30, 50, 150)
+
+
+def test_audio_quality_stats_hand_computed(spark):
+    """Silence frames by the exact sum(x^2) < thr^2*len rule (trailing
+    partial frame counted), clip threshold inclusive, DC truncates
+    toward zero; undecodable payloads skipped."""
+    from traildb_spark.operators.multimodal import (
+        audio_quality_stats, make_wav,
+    )
+
+    s = np.array([0, 0, 0, 0, 32700, -32700, 5, -6], np.int16)
+    rows = [(1, bytearray(make_wav(s, 8000))),
+            (2, bytearray(b"junk")), (3, None)]
+    df = spark.createDataFrame(
+        rows, "media_id long, content binary").withColumn(
+        "kind", F.lit("audio"))
+    r = audio_quality_stats(df, frame_samples=4, silence_rms=100,
+                            clip_level=32700).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.n_samples, row.n_frames) == (8, 2)
+    # frame1 all zeros -> silent; frame2 has 32700s -> not
+    assert row.silent_frames == 1
+    assert row.clipped_samples == 2
+    # sum = -1, trunc(-1/8) = 0
+    assert row.dc_offset == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        audio_quality_stats(df, frame_samples=0)

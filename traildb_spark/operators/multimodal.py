@@ -3066,3 +3066,66 @@ def media_inventory(df: DataFrame) -> DataFrame:
         F.sum("n_payloads").alias("n_payloads"),
         F.sum("total_bytes").alias("total_bytes"),
     )
+
+
+def audio_quality_stats(
+    df: DataFrame,
+    frame_samples: int = 800,
+    silence_rms: int = 100,
+    clip_level: int = 32700,
+) -> DataFrame:
+    """Audio curation gates over decoded PCM: per payload, the frame
+    silence profile (RMS < ``silence_rms`` per ``frame_samples``-sample
+    frame — trailing partial frames count), clipped-sample count
+    (|s| ≥ ``clip_level``), and the integer DC offset (mean sample,
+    truncated toward zero) — the "is this clip actually usable"
+    screen a speech pipeline runs before transcription. Exact integer
+    math over int16 samples (frame RMS compared as sum(x²)·denom² —
+    no float sqrt in the predicate), same mapInPandas shape and
+    DECODE_ERRORS skip rule as the other extractors.
+
+    Returns ``(media_id, n_samples, n_frames, silent_frames,
+    clipped_samples, dc_offset)``.
+    """
+    if frame_samples < 1:
+        raise ValueError("audio_quality_stats: frame_samples must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                if payload is None:
+                    continue
+                try:
+                    _rate, _ch, s = decode_audio(bytes(payload))
+                except DECODE_ERRORS:
+                    continue
+                x = s.astype(np.int64)
+                n = int(x.size)
+                clipped = int(np.count_nonzero(np.abs(x) >= clip_level))
+                tot = int(x.sum())
+                # exact truncate-toward-zero (float / loses low bits)
+                dc = (tot // n if tot >= 0 else -((-tot) // n)) if n else 0
+                silent = 0
+                n_frames = 0
+                for i in range(0, n, frame_samples):
+                    fr = x[i : i + frame_samples]
+                    n_frames += 1
+                    # rms < thr  <=>  sum(x²) < thr² · len
+                    if int((fr * fr).sum()) < silence_rms * silence_rms * len(fr):
+                        silent += 1
+                rows.append((int(mid), n, n_frames, silent, clipped, dc))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "n_frames",
+                         "silent_frames", "clipped_samples", "dc_offset"],
+            )
+
+    return df.filter(F.col("kind") == "audio").select(
+        "media_id", "content"
+    ).mapInPandas(
+        run,
+        schema=("media_id long, n_samples long, n_frames long,"
+                " silent_frames long, clipped_samples long,"
+                " dc_offset long"),
+    )
