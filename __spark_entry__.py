@@ -3472,6 +3472,17 @@ def q233_audio_quality(spark, sf_dir):
     )
 
 
+def q234_image_quality(spark, sf_dir):
+    """Image curation gates over the q49/q70 PNG fixtures: exact
+    variance numerator, gradient energy, extreme-pixel counts — every
+    output recomputable from px(y, x) = (y*17 + x*31 + id) % 256."""
+    from traildb_spark.operators import multimodal
+
+    media = _media_table(spark, sf_dir, "image", _png_fixture_payload(),
+                         cache_name="png")
+    return multimodal.image_quality_stats(media)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3710,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_kwic": q231_kwic,
         "q232_lorenz": q232_lorenz,
         "q233_audio_quality": q233_audio_quality,
+        "q234_image_quality": q234_image_quality,
     }
 
 
@@ -7925,6 +7937,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -((-list_sum(xs)) // n) END AS BIGINT)
                      AS dc_offset
             FROM fr
+        """,
+        "q234_image_quality": """
+            -- px(y, x) = (y*17 + x*31 + id) % 256 on
+            -- (8 + id%7) x (8 + id%9); var_num = n*Q - S^2;
+            -- grad = sum |horizontal d| + sum |vertical d|
+            WITH a AS (
+              SELECT doc_id,
+                     8 + CAST(doc_id % 9 AS INT) AS w,
+                     8 + CAST(doc_id % 7 AS INT) AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ), t AS (
+              SELECT doc_id, w, h,
+                     [ ((k // w) * 17 + (k % w) * 31 + doc_id) % 256
+                       for k in generate_series(0, h * w - 1) ] AS px
+              FROM a
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w * h AS BIGINT) AS n_pixels,
+                   CAST(CAST(w * h AS HUGEINT)
+                        * list_sum(list_transform(px,
+                            x -> CAST(x AS HUGEINT) * x))
+                        - CAST(list_sum(px) AS HUGEINT)
+                          * list_sum(px) AS BIGINT) AS var_num,
+                   CAST(
+                     COALESCE(list_sum([ abs(px[k + 2] - px[k + 1])
+                       for k in generate_series(0, h * w - 2)
+                       if (k % w) <> w - 1 ]), 0)
+                     + COALESCE(list_sum([ abs(px[k + w + 1] - px[k + 1])
+                       for k in generate_series(0, h * w - w - 1) ]), 0)
+                     AS BIGINT) AS grad_energy,
+                   CAST(len(list_filter(px, x -> x <= 5 OR x >= 250))
+                     AS BIGINT) AS extreme_pixels
+            FROM t
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

@@ -1945,3 +1945,31 @@ def test_audio_quality_stats_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         audio_quality_stats(df, frame_samples=0)
+
+
+def test_image_quality_stats_hand_computed(spark):
+    """Flat image -> var_num 0 and grad 0; a step edge contributes its
+    |delta| once per neighbor pair; extremes count both tails;
+    undecodable payloads get -1 sentinels."""
+    from traildb_spark.operators.multimodal import (
+        image_quality_stats, make_png,
+    )
+
+    flat = np.full((3, 4), 128, np.uint8)
+    step = np.array([[0, 0, 255, 255]] * 2, np.uint8)  # 2x4
+    rows = [(1, bytearray(make_png(flat))), (2, bytearray(make_png(step))),
+            (3, bytearray(b"junk"))]
+    df = spark.createDataFrame(
+        rows, "media_id long, content binary").withColumn(
+        "kind", F.lit("image"))
+    got = {r.media_id: r for r in image_quality_stats(df).collect()}
+    f = got[1]
+    assert (f.n_pixels, f.var_num, f.grad_energy, f.extreme_pixels) == \
+        (12, 0, 0, 0)
+    s = got[2]
+    # horizontal: per row |0-0|+|255-0|+|255-255| = 255 -> 510;
+    # vertical: all 0; var_num = 8*(4*255^2) - (4*255)^2 = 8*260100 - 1040400
+    assert (s.n_pixels, s.grad_energy) == (8, 510)
+    assert s.var_num == 8 * 4 * 255 * 255 - (4 * 255) ** 2
+    assert s.extreme_pixels == 8
+    assert got[3].n_pixels == -1 and got[3].var_num == -1

@@ -3129,3 +3129,66 @@ def audio_quality_stats(
                 " silent_frames long, clipped_samples long,"
                 " dc_offset long"),
     )
+
+
+def image_quality_stats(df: DataFrame, decoder=None) -> DataFrame:
+    """Image curation gates from REAL pixel decode: per image-kind row,
+    the flat/blur/contrast signals a pretraining filter thresholds on —
+    exact integer variance terms (``var_num = n·Σx² − (Σx)²``, the
+    k-sigma lattice trick: zero ⟺ perfectly flat), total horizontal +
+    vertical gradient energy (Σ|Δ| between neighbors — near-zero means
+    blur/flat, the integer stand-in for Laplacian variance), and the
+    extreme-pixel count (luma ≤ 5 or ≥ 250 — blown shadows/highlights).
+    All from the rounded luma bitmap, so closed-form fixtures make
+    every output SQL-recomputable. Undecodable payloads → -1
+    sentinels. Same mapInPandas shape as image_luma_stats.
+
+    Returns ``(media_id, n_pixels, var_num, grad_energy,
+    extreme_pixels)``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(payload) if payload is not None else b""
+                try:
+                    g = np.round(
+                        _gray_pixels_with(content, decoder)
+                    ).astype(np.int64)
+                    n = int(g.size)
+                    s = int(g.sum())
+                    q = int((g * g).sum())
+                    gh = int(np.abs(np.diff(g, axis=1)).sum())
+                    gv = int(np.abs(np.diff(g, axis=0)).sum())
+                    extreme = int(
+                        np.count_nonzero((g <= 5) | (g >= 250))
+                    )
+                    out.append({
+                        "media_id": media_id,
+                        "n_pixels": n,
+                        "var_num": n * q - s * s,
+                        "grad_energy": gh + gv,
+                        "extreme_pixels": extreme,
+                    })
+                except DECODE_ERRORS:
+                    out.append({
+                        "media_id": media_id,
+                        "n_pixels": -1,
+                        "var_num": -1,
+                        "grad_energy": -1,
+                        "extreme_pixels": -1,
+                    })
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_pixels", "var_num",
+                         "grad_energy", "extreme_pixels"],
+            )
+
+    return df.filter(F.col("kind") == "image").select(
+        "media_id", "content"
+    ).mapInPandas(
+        run,
+        schema=("media_id long, n_pixels long, var_num long,"
+                " grad_energy long, extreme_pixels long"),
+    )
