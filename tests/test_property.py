@@ -1067,3 +1067,74 @@ def test_robot_trails_matches_python_oracle(spark, rows):
         want[u] = (len(ts), sg // ng, cv2,
                    len(ts) >= 5 and cv2 is not None and cv2 <= 50_000)
     assert got == want
+
+
+@given(
+    st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**32 - 1),
+    st.booleans(), st.booleans(), st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_qoi_tiff_roundtrip_property(h, w, seed, packbits, be, wz):
+    """Any uint8 bitmap survives QOI and TIFF round-trips bit-exactly
+    under every encoder flag combination."""
+    import numpy as np
+
+    from traildb_spark.operators.multimodal import (
+        decode_qoi, decode_tiff, make_qoi, make_tiff,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    assert (np.round(decode_qoi(make_qoi(g))).astype(np.uint8) == g).all()
+    dec = decode_tiff(make_tiff(
+        g, packbits=packbits, big_endian=be, white_is_zero=wz,
+        rows_per_strip=max(1, h // 2),
+    )).astype(np.uint8)
+    assert (dec == g).all()
+
+
+@given(
+    st.integers(1, 400), st.integers(0, 2**32 - 1),
+    st.integers(0, 4), st.integers(0, 2), st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_flac_roundtrip_property(n, seed, order, porder, lpc):
+    """Any int16 signal survives FLAC round-trips exactly under every
+    subframe/partition shape."""
+    import numpy as np
+
+    from traildb_spark.operators.flac import decode_flac, make_flac
+
+    rng = np.random.RandomState(seed % (2**31))
+    s = rng.randint(-32768, 32768, n).astype(np.int16)
+    enc = make_flac(s, 8000, block_size=64, order=order,
+                    partition_order=porder, lpc=lpc)
+    rate, ch, dec = decode_flac(enc)
+    assert (rate, ch) == (8000, 1)
+    assert (dec == s).all()
+
+
+@given(st.integers(1, 16), st.integers(1, 16), st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_webp_roundtrip_property(h, w, seed):
+    """Any uint8 bitmap survives VP8L round-trips under a seed-picked
+    transform/cache/backref combination."""
+    import numpy as np
+
+    from traildb_spark.operators.webp import decode_webp, make_webp
+
+    rng = np.random.RandomState(seed % (2**31))
+    g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    kw = {}
+    pick = seed % 5
+    if pick == 1:
+        kw["subtract_green"] = True
+    elif pick == 2:
+        kw["predictor_mode"] = seed % 14
+    elif pick == 3:
+        kw["cache_bits"] = 1 + seed % 6
+        kw["use_backrefs"] = True
+    elif pick == 4:
+        kw["meta_bits"] = 2 + seed % 2
+    dec = np.round(decode_webp(make_webp(g, **kw))).astype(np.uint8)
+    assert (dec == g).all()
