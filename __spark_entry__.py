@@ -3483,6 +3483,14 @@ def q234_image_quality(spark, sf_dir):
     return multimodal.image_quality_stats(media)
 
 
+def q235_adoption_curve(spark, sf_dir):
+    """Per-event-type adoption: trails first touching each value per
+    day + the running cumulative — growth accounting from one
+    per-(trail, value) min-time aggregate."""
+    ev = _events(spark, sf_dir)
+    return analytics.adoption_curve(ev, "event_type", 86400)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3722,6 +3730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q232_lorenz": q232_lorenz,
         "q233_audio_quality": q233_audio_quality,
         "q234_image_quality": q234_image_quality,
+        "q235_adoption_curve": q235_adoption_curve,
     }
 
 
@@ -7970,6 +7979,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(px, x -> x <= 5 OR x >= 250))
                      AS BIGINT) AS extreme_pixels
             FROM t
+        """,
+        "q235_adoption_curve": f"""
+            WITH e AS ({_E}),
+            first AS (SELECT uuid, event_type AS value,
+                             MIN("time") AS t0
+                      FROM e GROUP BY uuid, event_type),
+            per AS (SELECT value, t0 // 86400 AS bucket,
+                           CAST(COUNT(*) AS BIGINT) AS n_first_trails
+                    FROM first GROUP BY value, t0 // 86400)
+            SELECT value, CAST(bucket AS BIGINT) AS bucket,
+                   n_first_trails,
+                   CAST(SUM(n_first_trails) OVER (PARTITION BY value
+                     ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS BIGINT) AS cum_trails
+            FROM per
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

@@ -1900,3 +1900,18 @@ def test_lorenz_points_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         analytics.lorenz_points(df, n_points=0)
+
+
+def test_adoption_curve_hand_computed(spark):
+    """First-touch per (trail, value); cumulative runs over active
+    buckets per value."""
+    rows = [("u1", 0, "a"), ("u1", 90000, "a"), ("u2", 90000, "a"),
+            ("u2", 90001, "b"), ("u3", 180000, "a")]
+    df = spark.createDataFrame(rows, "uuid string, time long, event_type string")
+    got = {(r.value, r.bucket): (r.n_first_trails, r.cum_trails)
+           for r in analytics.adoption_curve(df, "event_type", 86400).collect()}
+    assert got == {("a", 0): (1, 1), ("a", 1): (1, 2), ("a", 2): (1, 3),
+                   ("b", 1): (1, 1)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        analytics.adoption_curve(df, bucket_seconds=0)

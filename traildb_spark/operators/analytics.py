@@ -4814,3 +4814,44 @@ def lorenz_points(
             ).cast("long").alias("event_share_ppm"),
         )
     )
+
+
+def adoption_curve(
+    df: DataFrame,
+    field: str = "event_type",
+    bucket_seconds: int = 86400,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """Feature-adoption curves: for each value, how many trails
+    FIRST touched it in each time bucket, plus the running cumulative —
+    "how fast is purchase spreading through the user base", the
+    growth-accounting view. First-touch is the per-(trail, value)
+    min-time (one map-side-combined aggregate); the cumulative window
+    partitions by value over its ACTIVE buckets only (values × buckets
+    rows — zero buckets add nothing to a cumulative and are omitted).
+
+    Returns ``(value, bucket, n_first_trails, cum_trails)``.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"adoption_curve: bucket_seconds must be > 0, got {bucket_seconds}"
+        )
+    first = df.groupBy(
+        F.col(uuid_col).alias("uuid"), F.col(field).alias("value")
+    ).agg(F.min(time_col).alias("t0"))
+    per = first.groupBy(
+        "value",
+        F.expr(f"t0 div {int(bucket_seconds)}").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_first_trails"))
+    w = (
+        Window.partitionBy("value")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per.select(
+        "value",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_first_trails").cast("long").alias("n_first_trails"),
+        F.sum("n_first_trails").over(w).cast("long").alias("cum_trails"),
+    )
