@@ -749,7 +749,10 @@ def _write_entropy_image(
             )
             meta_img = (gi & 0xFF) << 8 | (gi >> 8) << 16
             _write_entropy_image(w, meta_img.astype(np.uint32), False)
-            n_groups = 2
+            # the DECODER sizes the group list from max(gi)+1 — a
+            # degenerate 1-block meta grid must emit ONE tree set, or
+            # the unread second set desyncs the pixel stream
+            n_groups = int(gi.max()) + 1
         else:
             w.write(0, 1)
     cache_size = (1 << cache_bits) if cache_bits else 0
