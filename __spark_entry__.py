@@ -620,7 +620,10 @@ def _png_fixture_payload():
 
 
 # bump when any payload closed-form changes, or stale caches serve old bytes
-_MEDIA_CACHE_VERSION = "1"
+# v2: VP8L sub-images now carry the spec's per-image color-cache-info bit
+# (RFC 9649 §5) and RIFF chunk sizes exclude the pad byte — WebP payloads
+# encoded by v1 are one flag bit short per transform sub-image.
+_MEDIA_CACHE_VERSION = "2"
 
 
 def _media_table(spark, sf_dir, target_kind, payload_udf, cache_name=None):

@@ -132,3 +132,20 @@ def test_flac_through_decode_audio_dispatch(spark):
     x = s.astype(np.int64)
     assert r.peak == int(np.abs(x).max())
     assert r.zcr == int(np.count_nonzero(x[1:] * x[:-1] < 0))
+
+
+def test_flac_unknown_total_samples_decodes_to_eof():
+    """STREAMINFO total_samples == 0 means 'unknown' per the FLAC spec;
+    the decoder must decode frames until the payload ends instead of
+    returning an empty stream."""
+    import numpy as _np
+    s = (_np.arange(700, dtype=_np.int64) * 37 % 4096 - 2048).astype(
+        _np.int16)
+    enc = bytearray(make_flac(s, 8000, block_size=256))
+    # STREAMINFO body starts at byte 8; total_samples is the low nibble
+    # of body[13] plus body[14:18] (36 bits after 16+16+24+24+20+3+5).
+    enc[8 + 13] &= 0xF0
+    enc[8 + 14 : 8 + 18] = b"\x00\x00\x00\x00"
+    rate, ch, dec = decode_flac(bytes(enc))
+    assert rate == 8000 and ch == 1
+    assert (dec == s).all()

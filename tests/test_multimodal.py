@@ -1973,3 +1973,21 @@ def test_image_quality_stats_hand_computed(spark):
     assert s.var_num == 8 * 4 * 255 * 255 - (4 * 255) ** 2
     assert s.extreme_pixels == 8
     assert got[3].n_pixels == -1 and got[3].var_num == -1
+
+
+def test_qoi_run_past_end_raises():
+    """A RUN chunk overrunning width*height is a malformed stream and
+    must raise (honest-gate contract), not silently truncate."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from traildb_spark.operators.multimodal import decode_qoi
+
+    content = (
+        b"qoif" + _struct.pack(">II", 1, 1) + bytes([3, 0])
+        + bytes([0xC1])  # QOI_OP_RUN, run = 2 > 1 pixel
+        + bytes(7) + b"\x01"
+    )
+    with _pytest.raises(ValueError, match="run past end"):
+        decode_qoi(content)

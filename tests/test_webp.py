@@ -119,3 +119,79 @@ def test_webp_through_gray_pixels_dispatch(spark):
     r = image_luma_stats(df).collect()[0]
     assert (r.width, r.height) == (7, 5)
     assert r.luma_sum == int(g.astype(np.int64).sum())
+
+
+def test_webp_subimage_color_cache_bit_spec_stream():
+    """RFC 9649 §5 grammar: EVERY entropy-coded image — transform
+    sub-images included — starts with color-cache-info. This stream is
+    hand-built bit by bit from the spec (not via make_webp), with a
+    predictor sub-image that DECLARES a color cache; a decoder that
+    only reads the cache flag at level 0 desyncs by 5 bits here."""
+    w = _LsbWriter()
+    w.write(0x2F, 8)            # VP8L signature
+    w.write(1, 14)              # width - 1  (w = 2)
+    w.write(0, 14)              # height - 1 (h = 1)
+    w.write(0, 1)               # alpha hint
+    w.write(0, 3)               # version
+    w.write(1, 1)               # transform present
+    w.write(0, 2)               # PREDICTOR transform
+    w.write(0, 3)               # size_bits - 2 => block bits = 2 (1x1 modes)
+    # --- predictor sub-image (entropy-coded image, NOT level 0) ---
+    w.write(1, 1)               # color-cache-info: present  <-- the crux
+    w.write(1, 4)               # cache_bits = 1
+    for _ in range(3):          # green/red/blue: simple code, 1 symbol = 0
+        w.write(1, 1); w.write(0, 1); w.write(0, 1); w.write(0, 1)
+    w.write(1, 1); w.write(0, 1); w.write(1, 1); w.write(255, 8)  # alpha=255
+    w.write(1, 1); w.write(0, 1); w.write(0, 1); w.write(0, 1)    # dist
+    # single-symbol codes read 0 bits: sub-image pixel = 0xFF000000 (mode 0)
+    w.write(0, 1)               # end of transforms
+    # --- main image (level 0) ---
+    w.write(0, 1)               # no color cache
+    w.write(0, 1)               # no meta-prefix image
+    for _ in range(3):          # green/red/blue: simple, 2 symbols {0, 42}
+        w.write(1, 1); w.write(1, 1); w.write(0, 1)
+        w.write(0, 1); w.write(42, 8)
+    w.write(1, 1); w.write(0, 1); w.write(0, 1); w.write(0, 1)    # alpha=0
+    w.write(1, 1); w.write(0, 1); w.write(0, 1); w.write(0, 1)    # dist
+    # pixel 1: residual (a=0, r=42, g=42, b=42): canonical code for 42 is 1
+    w.write(1, 1); w.write(1, 1); w.write(1, 1)
+    # pixel 2: residual 0 -> inherits pixel 1 via row-0 L prediction
+    w.write(0, 1); w.write(0, 1); w.write(0, 1)
+    payload = w.bytes()
+    pad = b"\x00" if len(payload) % 2 else b""
+    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload + pad
+    riff = b"WEBP" + vp8l
+    content = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    out = np.round(decode_webp(content)).astype(np.uint8)
+    assert out.shape == (1, 2)
+    assert (out == 42).all()
+
+
+def test_webp_subimage_cache_roundtrip_all_transforms():
+    """Encoder and decoder agree on the per-sub-image cache flag across
+    the transform stack (each sub-image now costs one extra 0 bit)."""
+    rng = np.random.RandomState(23)
+    g = rng.randint(0, 256, (9, 13)).astype(np.uint8)
+    _rt(g, predictor_mode=7, transform_bits=3)
+    _rt(g, color_transform=(0x10, 0x20, 0x08))
+    _rt((rng.randint(0, 16, (6, 9)) * 16).astype(np.uint8), palette=True)
+    _rt(g, meta_bits=2, cache_bits=3)
+
+
+def test_webp_riff_chunk_size_excludes_pad_byte():
+    """RIFF chunk sizes must exclude the odd-length pad byte; the pad
+    still counts toward the outer RIFF size."""
+    import struct as _s
+    seen_odd = False
+    for n in range(1, 12):
+        content = make_webp(np.arange(n, dtype=np.uint8).reshape(1, n))
+        (riff_size,) = _s.unpack("<I", content[4:8])
+        (clen,) = _s.unpack("<I", content[16:20])
+        assert len(content) == 8 + riff_size
+        assert len(content) == 20 + clen + (clen % 2)
+        assert len(content) % 2 == 0
+        if clen % 2:
+            seen_odd = True
+        dec = np.round(decode_webp(content)).astype(np.uint8)
+        assert (dec == np.arange(n, dtype=np.uint8)).all()
+    assert seen_odd, "no odd-length payload exercised the pad path"

@@ -277,7 +277,11 @@ def decode_flac(content: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("FLAC: zero sample rate")
     chans: list[list[int]] = [[] for _ in range(channels)]
     got = 0
-    while got < total:
+    # STREAMINFO total_samples == 0 means "unknown" per the FLAC spec
+    # (§ streaminfo): decode frames until the payload is exhausted
+    # instead of treating the stream as empty.
+    unknown_total = total == 0
+    while (pos < len(content)) if unknown_total else (got < total):
         frame_start = pos
         r = _BitReader(content, pos)
         sync = r.read(14)
@@ -369,7 +373,7 @@ def decode_flac(content: bytes) -> tuple[int, int, np.ndarray]:
                 left.append((mm + s) >> 1)
                 right.append((mm - s) >> 1)
             subs = [left, right]
-        take = min(block_size, total - got)
+        take = block_size if unknown_total else min(block_size, total - got)
         for c in range(channels):
             chans[c].extend(subs[c][:take])
         got += take

@@ -2478,9 +2478,10 @@ def decode_qoi(content: bytes) -> np.ndarray:
                 b = (b + dg + (b2 & 0x0F) - 8) & 0xFF
             else:  # QOI_OP_RUN
                 run = (byte & 0x3F) + 1
-                k = min(run, total - filled)
-                out[filled : filled + k] = (r, g, b)
-                filled += k
+                if filled + run > total:
+                    raise ValueError("QOI: run past end of image")
+                out[filled : filled + run] = (r, g, b)
+                filled += run
                 continue
         index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
         out[filled] = (r, g, b)

@@ -247,8 +247,12 @@ def _read_entropy_image(
     """The spatially-coded image stream (spec §5): prefix-code groups
     (+ optional meta groups and color cache at level 0), literals,
     back-references, cache hits. Returns (h, w) uint32 ARGB."""
+    # color-cache-info leads EVERY entropy-coded image (RFC 9649 §5
+    # grammar: both spatially-coded-image and entropy-coded-image start
+    # with color-cache-info) — transform sub-images and the meta-prefix
+    # image included, NOT just the level-0 image.
     cache_bits = 0
-    if is_level0 and r.read(1):
+    if r.read(1):
         cache_bits = r.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("VP8L: invalid color-cache size")
@@ -731,12 +735,14 @@ def _write_entropy_image(
     meta blocks (level-0 only)."""
     h, wd = img.shape
     flat = [int(v) for v in img.reshape(-1)]
-    if is_level0:
-        if cache_bits:
-            w.write(1, 1)
-            w.write(cache_bits, 4)
-        else:
-            w.write(0, 1)
+    # color-cache-info is emitted for every entropy-coded image (the
+    # decoder reads it unconditionally per RFC 9649 §5); sub-images
+    # emit the 0 flag unless a cache was requested for them too.
+    if cache_bits:
+        w.write(1, 1)
+        w.write(cache_bits, 4)
+    else:
+        w.write(0, 1)
     n_groups = 1
     if is_level0:
         if meta_bits:
@@ -1003,8 +1009,9 @@ def make_webp(
         meta_bits=meta_bits,
     )
     payload = w.bytes()
-    if len(payload) % 2:
-        payload += b"\x00"
-    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    # RIFF chunk sizes exclude the odd-length pad byte; the pad is
+    # appended after the payload and counted only in the outer RIFF size.
+    pad = b"\x00" if len(payload) % 2 else b""
+    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload + pad
     riff = b"WEBP" + vp8l
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
