@@ -504,8 +504,11 @@ def q35_minhash_lsh(spark, sf_dir):
     tests/test_dedup_text.py (reference ethos: differential everywhere,
     tests/c-tests/multi_cursor.c:129-146)."""
     docs = _load(spark, sf_dir, "documents")
+    # sig_prune pinned True: this query's oracle mirrors the prune stage
+    # (the production default is False — pure candidates→verify)
     return dedup.minhash_lsh_pairs_portable(
-        docs, shingle_k=7, num_hashes=16, bands=4, threshold=0.5
+        docs, shingle_k=7, num_hashes=16, bands=4, threshold=0.5,
+        sig_prune=True,
     )
 
 
@@ -547,7 +550,8 @@ def q44_minhash_portable(spark, sf_dir):
     band keys): the ONLY fully oracle-checked LSH pipeline — candidates AND
     verify reproduced in DuckDB. q35 remains the numpy fast path."""
     docs = _load(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs_portable(docs)
+    # sig_prune pinned True to keep oracle parity (default is now False)
+    return dedup.minhash_lsh_pairs_portable(docs, sig_prune=True)
 
 
 def q45_boilerplate_removal(spark, sf_dir):
@@ -1764,8 +1768,11 @@ def q116_fuzzy_dedup_against(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
+    # sig_prune pinned True: the oracle reproduces the prune stage too
+    # (the production default is False — pure candidates→verify)
     return dedup.fuzzy_dedup_against(
-        new, corpus, shingle_k=5, num_hashes=16, bands=4, threshold=0.5
+        new, corpus, shingle_k=5, num_hashes=16, bands=4, threshold=0.5,
+        sig_prune=True,
     )
 
 

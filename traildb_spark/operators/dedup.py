@@ -636,7 +636,7 @@ def minhash_lsh_pairs_portable(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
-    sig_prune: bool = True,
+    sig_prune: bool = False,
 ) -> DataFrame:
     """MinHash banding with every step reproducible in ANSI SQL: md5-prefix
     shingle hashes, rotate-XOR permutations (no overflow), md5 band keys,
@@ -666,8 +666,11 @@ def minhash_lsh_pairs_portable(
     # a small (≈0.6% at the 2.5σ margin) chance of signature agreement
     # below the cutoff and is then dropped BEFORE the exact verify — a
     # recall trade of the same kind banding itself makes, and one the
-    # mirrored oracle cannot surface. Pass sig_prune=False for the pure
-    # candidates→exact-verify contract (every banded candidate verified).
+    # mirrored oracle cannot surface. The DEFAULT is therefore the pure
+    # candidates→exact-verify contract (sig_prune=False: every banded
+    # candidate verified, recall identical to banding alone); opt in with
+    # sig_prune=True when the ≈0.6%-at-threshold recall trade is worth
+    # skipping the exact verify on low-agreement candidates.
     min_agree = _sig_min_agree(threshold, num_hashes)
     if sig_prune and min_agree > rows:
         sa = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
@@ -718,7 +721,7 @@ def fuzzy_dedup_against(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
-    sig_prune: bool = True,
+    sig_prune: bool = False,
 ) -> DataFrame:
     """Incremental FUZZY dedup: near-duplicate matches of a NEW batch
     against an EXISTING corpus — the daily-crawl production shape
