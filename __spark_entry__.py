@@ -505,10 +505,11 @@ def q35_minhash_lsh(spark, sf_dir):
     tests/c-tests/multi_cursor.c:129-146)."""
     docs = _load(spark, sf_dir, "documents")
     # sig_prune pinned True: this query's oracle mirrors the prune stage
-    # (the production default is False — pure candidates→verify)
+    # (the production default is False — pure candidates→verify).
+    # max_bucket=256 is the hot-bucket skew guard, also mirrored in SQL.
     return dedup.minhash_lsh_pairs_portable(
         docs, shingle_k=7, num_hashes=16, bands=4, threshold=0.5,
-        sig_prune=True,
+        sig_prune=True, max_bucket=256,
     )
 
 
@@ -550,8 +551,11 @@ def q44_minhash_portable(spark, sf_dir):
     band keys): the ONLY fully oracle-checked LSH pipeline — candidates AND
     verify reproduced in DuckDB. q35 remains the numpy fast path."""
     docs = _load(spark, sf_dir, "documents")
-    # sig_prune pinned True to keep oracle parity (default is now False)
-    return dedup.minhash_lsh_pairs_portable(docs, sig_prune=True)
+    # sig_prune pinned True to keep oracle parity (default is now False);
+    # max_bucket=256 skew guard mirrored in the oracle's QUALIFY stage
+    return dedup.minhash_lsh_pairs_portable(
+        docs, sig_prune=True, max_bucket=256
+    )
 
 
 def q45_boilerplate_removal(spark, sf_dir):
@@ -830,7 +834,10 @@ def q52_emb_neardup_portable(spark, sf_dir):
     exact integer comparisons, so candidates AND verify reproduce in
     DuckDB. q38 remains the numpy-Gaussian fast path (rows-only)."""
     emb = _load(spark, sf_dir, "embeddings")
-    return dedup.embedding_neardup_pairs_portable(emb, threshold=0.4)
+    # max_bucket=256 skew guard mirrored in the oracle's QUALIFY stage
+    return dedup.embedding_neardup_pairs_portable(
+        emb, threshold=0.4, max_bucket=256
+    )
 
 
 def q53_sim_topk_portable(spark, sf_dir):
@@ -874,8 +881,9 @@ def q38_emb_neardup_lsh(spark, sf_dir):
     exported and is soundness-tested against exact pairs in
     tests/test_dedup_text.py."""
     emb = _load(spark, sf_dir, "embeddings")
+    # max_bucket=256 skew guard mirrored in the oracle's QUALIFY stage
     return dedup.embedding_neardup_pairs_portable(
-        emb, threshold=0.4, num_planes=24, bands=4
+        emb, threshold=0.4, num_planes=24, bands=4, max_bucket=256
     )
 
 
@@ -1769,10 +1777,11 @@ def q116_fuzzy_dedup_against(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
     # sig_prune pinned True: the oracle reproduces the prune stage too
-    # (the production default is False — pure candidates→verify)
+    # (the production default is False — pure candidates→verify).
+    # max_bucket=256: per-side hot-bucket skew guard, mirrored in SQL.
     return dedup.fuzzy_dedup_against(
         new, corpus, shingle_k=5, num_hashes=16, bands=4, threshold=0.5,
-        sig_prune=True,
+        sig_prune=True, max_bucket=256,
     )
 
 
@@ -1787,7 +1796,10 @@ def q117_emb_neardup_against(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
     new = emb.filter(F.col("vec_id") % 2 == 1)
-    return dedup.embedding_neardup_against(new, corpus, threshold=0.4)
+    # max_bucket=256: per-side hot-bucket skew guard, mirrored in SQL
+    return dedup.embedding_neardup_against(
+        new, corpus, threshold=0.4, max_bucket=256
+    )
 
 
 def q115_sessions_chunked(spark, sf_dir):
@@ -3744,7 +3756,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _srp_neardup_oracle(num_planes: int, bands: int, threshold: float) -> str:
+def _srp_neardup_oracle(
+    num_planes: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int | None = None,
+) -> str:
     """SQL for the portable SRP near-dup: the ±1 hyperplanes inline as
     VALUES literals (the same matrix dedup._srp_planes hands Spark).
     Parameterized so q52 (16 planes / 4 bands) and q38 (24 planes / 4 bands, i.e. 6 bits per band) share it."""
@@ -3781,7 +3798,7 @@ def _srp_neardup_oracle(num_planes: int, bands: int, threshold: float) -> str:
           FROM dots GROUP BY vec_id),
         banded AS (
           SELECT vec_id, b, (code >> (b * {bits})) & {mask} AS bh
-          FROM codes, generate_series(0, {bands - 1}) AS t(b)),
+          FROM codes, generate_series(0, {bands - 1}) AS t(b){_qualify_cap(max_bucket, "b", "bh")}),
         cand AS (
           SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
           FROM banded a JOIN banded b2
@@ -3794,7 +3811,12 @@ def _srp_neardup_oracle(num_planes: int, bands: int, threshold: float) -> str:
     """
 
 
-def _srp_against_oracle(num_planes: int, bands: int, threshold: float) -> str:
+def _srp_against_oracle(
+    num_planes: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int | None = None,
+) -> str:
     """Cross-corpus twin of _srp_neardup_oracle: corpus = even vec_ids,
     new batch = odd; candidates from the (band, bh) join of the two
     banded code tables; quantized-cosine verify; BEST match per new
@@ -3830,7 +3852,7 @@ def _srp_against_oracle(num_planes: int, bands: int, threshold: float) -> str:
           FROM dots GROUP BY vec_id, side),
         banded AS (
           SELECT vec_id, side, b, (code >> (b * {bits})) & {mask} AS bh
-          FROM codes, generate_series(0, {bands - 1}) AS t(b)),
+          FROM codes, generate_series(0, {bands - 1}) AS t(b){_qualify_cap(max_bucket, "side", "b", "bh")}),
         cand AS (
           SELECT DISTINCT n.vec_id AS new_id, c.vec_id AS corpus_id
           FROM banded n JOIN banded c
@@ -3959,8 +3981,25 @@ def _ivf_topk_oracle(num_centroids: int, nprobe: int, k: int) -> str:
     """
 
 
+def _qualify_cap(max_bucket, *keys) -> str:
+    """DuckDB twin of dedup._cap_band_buckets: drop (band, bh) buckets
+    larger than max_bucket before the candidate join. QUALIFY runs after
+    the window, exactly like the Spark window-count filter."""
+    if max_bucket is None:
+        return ""
+    cols = ", ".join(keys)
+    return (
+        f"\n          QUALIFY count(*) OVER (PARTITION BY {cols})"
+        f" <= {max_bucket}"
+    )
+
+
 def _minhash_portable_oracle(
-    shingle_k: int, num_hashes: int, bands: int, threshold: float
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int | None = None,
 ) -> str:
     """Portable MinHash+LSH SQL: md5-prefix shingle hashes, rotate-XOR
     permutations, md5 band keys, exact Jaccard verify — the DuckDB twin of
@@ -4008,7 +4047,7 @@ def _minhash_portable_oracle(
         banded AS (
           SELECT doc_id, b,
                  md5(array_to_string(sig[b * {rows_per_band} + 1 : b * {rows_per_band} + {rows_per_band}], ',')) AS bh
-          FROM s, generate_series(0, {bands - 1}) AS bt(b)),
+          FROM s, generate_series(0, {bands - 1}) AS bt(b){_qualify_cap(max_bucket, "b", "bh")}),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
           FROM banded a JOIN banded b2
@@ -4022,7 +4061,11 @@ def _minhash_portable_oracle(
 
 
 def _fuzzy_against_oracle(
-    shingle_k: int, num_hashes: int, bands: int, threshold: float
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_bucket: int | None = None,
 ) -> str:
     """Cross-corpus twin of _minhash_portable_oracle: corpus = even
     doc_ids, new batch = odd; candidates from the (band, bh) join of the
@@ -4064,7 +4107,7 @@ def _fuzzy_against_oracle(
         banded AS (
           SELECT doc_id, side, b,
                  md5(array_to_string(sig[b * {rows_per_band} + 1 : b * {rows_per_band} + {rows_per_band}], ',')) AS bh
-          FROM s, generate_series(0, {bands - 1}) AS bt(b)),
+          FROM s, generate_series(0, {bands - 1}) AS bt(b){_qualify_cap(max_bucket, "side", "b", "bh")}),
         cand AS (
           SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
           FROM banded n JOIN banded c
@@ -4798,7 +4841,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS num_events
             FROM m GROUP BY uuid
         """,
-        "q116_fuzzy_dedup_against": _fuzzy_against_oracle(5, 16, 4, 0.5),
+        "q116_fuzzy_dedup_against": _fuzzy_against_oracle(5, 16, 4, 0.5, max_bucket=256),
         # dyadic bucketed decay: integer-exact, so SUM is order-free and
         # engine-portable (no libm exp/pow anywhere)
         "q119_recency_scores": f"""
@@ -4813,7 +4856,7 @@ def oracle_sql() -> dict[str, str]:
                    MAX("time") AS last_seen
             FROM w GROUP BY uuid
         """,
-        "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4),
+        "q117_emb_neardup_against": _srp_against_oracle(16, 4, 0.4, max_bucket=256),
         # whole-doc md5 sets per source through the q125 pair recipe
         "q149_dup_source_flow": f"""
             WITH d0 AS (
@@ -8682,11 +8725,11 @@ def oracle_sql() -> dict[str, str]:
             FROM f WHERE rn = 1 GROUP BY lang_detected
         """,
         "q42_dedup_clusters": _q42_sql,
-        "q35_minhash_lsh": _minhash_portable_oracle(7, 16, 4, 0.5),
-        "q38_emb_neardup_lsh": _srp_neardup_oracle(24, 4, 0.4),
+        "q35_minhash_lsh": _minhash_portable_oracle(7, 16, 4, 0.5, max_bucket=256),
+        "q38_emb_neardup_lsh": _srp_neardup_oracle(24, 4, 0.4, max_bucket=256),
         "q40_sim_topk_lsh": _srp_topk_oracle(12, 3, 5),
         "q41_sim_topk_ivf": _ivf_topk_oracle(16, 4, 5),
-        "q52_emb_neardup_portable": _srp_neardup_oracle(16, 4, 0.4),
+        "q52_emb_neardup_portable": _srp_neardup_oracle(16, 4, 0.4, max_bucket=256),
         "q53_sim_topk_portable": _srp_topk_oracle(8, 4, 5),
         "q54_sim_topk_ivf_portable": _ivf_topk_oracle(8, 2, 5),
         "q55_stratified_sample": """
@@ -8888,7 +8931,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS clean_text
             FROM kept GROUP BY doc_id
         """,
-        "q44_minhash_portable": _minhash_portable_oracle(5, 16, 4, 0.5),
+        "q44_minhash_portable": _minhash_portable_oracle(5, 16, 4, 0.5, max_bucket=256),
         "q36_simhash": f"""
             WITH t AS (
               SELECT doc_id, {_TOKENS} AS w FROM documents),

@@ -2007,3 +2007,53 @@ def test_keyword_in_context_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         text.keyword_in_context(df, "")
+
+
+def test_max_bucket_skew_guard_bounds_clone_density(spark):
+    """Adversarial clone density: N identical docs put all N ids in one
+    (band, bh) bucket per band — uncapped, the candidate join emits
+    N(N-1)/2 pairs; with max_bucket the hot buckets drop and the blowup
+    is bounded. Distinct near-dup pairs outside hot buckets survive."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(60)]  # 60 clones: every bucket hot
+    rows += [(100, "completely different text about spark physical plans"),
+             (101, "completely different text about spark physical plan")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = dedup.minhash_lsh_pairs_portable(docs, threshold=0.5)
+    capped = dedup.minhash_lsh_pairs_portable(
+        docs, threshold=0.5, max_bucket=8
+    )
+    un = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cp = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in un and (100, 101) in cp  # survivor pair intact
+    assert len(un) >= 60 * 59 // 2               # clone blowup uncapped
+    assert len(cp) == 1                          # hot buckets dropped
+
+    # cross-corpus twin: per-side cap
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    fz_un = dedup.fuzzy_dedup_against(new, corpus, threshold=0.5)
+    fz_cp = dedup.fuzzy_dedup_against(
+        new, corpus, threshold=0.5, max_bucket=8
+    )
+    got_un = {r.new_id for r in fz_un.collect()}
+    got_cp = {r.new_id for r in fz_cp.collect()}
+    assert 101 in got_un and 101 in got_cp       # survivor match intact
+    assert all(i in got_un for i in range(1, 60, 2))  # clones matched uncapped
+    assert got_cp == {101}                       # hot buckets dropped
+
+    # embedding twin: one dense direction = one hot SRP bucket per band
+    vecs = [(i, [1.0] + [0.0] * 63) for i in range(60)]
+    vecs += [(100, [0.0] * 32 + [1.0] + [0.0] * 31),
+             (101, [0.0] * 32 + [0.99] + [0.01] * 31)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    e_un = dedup.embedding_neardup_pairs_portable(emb, threshold=0.9)
+    e_cp = dedup.embedding_neardup_pairs_portable(
+        emb, threshold=0.9, max_bucket=8
+    )
+    eu = {(r.id_a, r.id_b) for r in e_un.collect()}
+    ec = {(r.id_a, r.id_b) for r in e_cp.collect()}
+    assert len(eu) >= 60 * 59 // 2
+    assert (100, 101) in eu and (100, 101) in ec
+    assert len(ec) == 1

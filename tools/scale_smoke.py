@@ -616,11 +616,65 @@ def r6d_family(spark):
     assert d[0] == 0 and all(a >= b for a, b in zip(d[1:], d[2:]))
 
 
+def skew_family(spark):
+    """SMOKE_SKEW=1 — adversarial clone density through the banded-LSH
+    paths: a 100k-doc corpus where 20k docs are byte-identical clones of
+    ONE template (the boilerplate-shard shape VERDICT r6 flagged). The
+    clone block puts 20k ids in one (band, bh) bucket per band, so the
+    uncapped candidate join owes 20k²/2 = 2e8 pairs; max_bucket=256
+    drops those buckets and the pipeline stays flat. Numbers land in
+    SCALE.md."""
+    from traildb_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    template = "breaking news sports weather traffic subscribe newsletter footer"
+    clones = (
+        spark.range(20000)
+        .select(
+            (F.col("id") + 1_000_000).alias("doc_id"),
+            F.lit(template).alias("text"),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(clones)
+    corpus.write.mode("overwrite").parquet("/tmp/scale_smoke/skew_docs")
+    corpus = spark.read.parquet("/tmp/scale_smoke/skew_docs")
+    n = corpus.count()
+    print(f"skew corpus: {n} docs, 20000 clones of one template", flush=True)
+
+    timed(
+        "minhash_portable_capped256",
+        lambda: dedup.minhash_lsh_pairs_portable(
+            corpus, threshold=0.5, max_bucket=256
+        ).count(),
+    )
+    new = corpus.filter(F.col("doc_id") % 2 == 1)
+    old = corpus.filter(F.col("doc_id") % 2 == 0)
+    timed(
+        "fuzzy_against_capped256",
+        lambda: dedup.fuzzy_dedup_against(
+            new, old, threshold=0.5, max_bucket=256
+        ).count(),
+    )
+    # uncapped leg on a REDUCED clone block (2k clones → 2M owed pairs)
+    # so the comparison finishes; extrapolation is quadratic
+    small = corpus.filter(F.col("doc_id") < 1_002_000)
+    timed(
+        "minhash_portable_uncapped_2kclones",
+        lambda: dedup.minhash_lsh_pairs_portable(
+            small, threshold=0.5
+        ).count(),
+    )
+
+
 def main():
     spark = get_spark("scale-smoke", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
     import os
+
+    if os.environ.get("SMOKE_SKEW"):
+        skew_family(spark)
+        return
 
     if os.environ.get("SMOKE_R6D"):
         r6d_family(spark)

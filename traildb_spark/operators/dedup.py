@@ -421,15 +421,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    if max_bucket is not None:
-        # one extra shuffle on the SAME (band, bh) key the join needs —
-        # bucket sizes ride along as a window count, no second scan
-        bw = Window.partitionBy("band", "bh")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(bw))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
+    banded = _cap_band_buckets(banded, max_bucket)
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (
@@ -620,6 +612,29 @@ def _portable_sig_pipeline(
     return raw, base, banded
 
 
+def _cap_band_buckets(banded: DataFrame, max_bucket) -> DataFrame:
+    """Hot-bucket skew guard shared by every banded-LSH path: drop
+    (band, bh) buckets larger than ``max_bucket`` before the candidate
+    join. On a real crawl, template/boilerplate-heavy shards put
+    thousands of docs in one band bucket and the equi-join then emits
+    |bucket|² candidate rows; the cap bounds that at max_bucket² per
+    bucket. Costs one extra shuffle on the SAME (band, bh) key the join
+    needs (the window count rides the join's partitioning). The rule is
+    deterministic — a pure function of the banded table — so SQL oracles
+    mirror it exactly (COUNT(*) OVER (PARTITION BY band, bh)) and capped
+    pipelines stay fully differential-checked. Recall note: a dropped
+    bucket loses only pairs not certified by any OTHER band — the same
+    trade the numpy fast path has always made (minhash_lsh_pairs)."""
+    if max_bucket is None:
+        return banded
+    bw = Window.partitionBy("band", "bh")
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(bw))
+        .filter(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
 def _sig_min_agree(threshold: float, num_hashes: int) -> int:
     """Stage-1 signature-agreement cutoff shared by the self-join and
     cross-corpus pipelines: ceil((t - 2.5σ) * num_hashes)."""
@@ -637,6 +652,7 @@ def minhash_lsh_pairs_portable(
     bands: int = 4,
     threshold: float = 0.5,
     sig_prune: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash banding with every step reproducible in ANSI SQL: md5-prefix
     shingle hashes, rotate-XOR permutations (no overflow), md5 band keys,
@@ -648,6 +664,7 @@ def minhash_lsh_pairs_portable(
     raw, base, banded = _portable_sig_pipeline(
         df, text_col, id_col, shingle_k, num_hashes, bands
     )
+    banded = _cap_band_buckets(banded, max_bucket)
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (
@@ -722,6 +739,7 @@ def fuzzy_dedup_against(
     bands: int = 4,
     threshold: float = 0.5,
     sig_prune: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental FUZZY dedup: near-duplicate matches of a NEW batch
     against an EXISTING corpus — the daily-crawl production shape
@@ -748,6 +766,11 @@ def fuzzy_dedup_against(
     raw_c, base_c, banded_c = _portable_sig_pipeline(
         corpus_df, text_col, id_col, shingle_k, num_hashes, bands
     )
+    # skew guard per SIDE: each banded table capped independently, so a
+    # boilerplate-heavy corpus bucket can't multiply against a hot new
+    # bucket (|new_bucket|×|corpus_bucket| ≤ max_bucket²)
+    banded_n = _cap_band_buckets(banded_n, max_bucket)
+    banded_c = _cap_band_buckets(banded_c, max_bucket)
     cand = (
         banded_n.select(F.col("id").alias("new_id"), "band", "bh")
         .join(banded_c.select(F.col("id").alias("corpus_id"), "band", "bh"), ["band", "bh"])
@@ -860,6 +883,7 @@ def fuzzy_dedup_against_prebuilt(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """:func:`fuzzy_dedup_against` against a :func:`save_minhash_index`
     artifact: the corpus is never re-shingled — the banded table joins
@@ -897,6 +921,8 @@ def fuzzy_dedup_against_prebuilt(
         new_df, text_col, id_col, shingle_k, num_hashes, bands
     )
     banded_c = spark.read.parquet(f"{path}/bands")
+    banded_n = _cap_band_buckets(banded_n, max_bucket)
+    banded_c = _cap_band_buckets(banded_c, max_bucket)
     cand = (
         banded_n.select(F.col("id").alias("new_id"), "band", "bh")
         .join(banded_c.select(F.col("id").alias("corpus_id"), "band", "bh"), ["band", "bh"])
@@ -1507,6 +1533,7 @@ def embedding_neardup_against(
     num_planes: int = 16,
     bands: int = 4,
     dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental EMBEDDING near-dup: matches of a NEW vector batch
     against an EXISTING corpus — the embedding sibling of
@@ -1528,6 +1555,10 @@ def embedding_neardup_against(
     base_c, banded_c = _portable_srp_banded(
         corpus_df, vec_col, id_col, num_planes, bands, dim
     )
+    # skew guard per side (see _cap_band_buckets): dense embedding
+    # regions put whole clusters in one SRP band bucket
+    banded_n = _cap_band_buckets(banded_n, max_bucket)
+    banded_c = _cap_band_buckets(banded_c, max_bucket)
     cand = (
         banded_n.select(F.col("id").alias("new_id"), "band", "bh")
         .join(
@@ -1561,6 +1592,7 @@ def embedding_neardup_pairs_portable(
     num_planes: int = 16,
     bands: int = 4,
     dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Sign-random-projection near-dup with every step reproducible in
     ANSI SQL: vectors quantize to integers (floor(v·2^20) — float
@@ -1577,6 +1609,7 @@ def embedding_neardup_pairs_portable(
     embedding_neardup_pairs (the numpy fast path).
     """
     base, banded = _portable_srp_banded(df, vec_col, id_col, num_planes, bands, dim)
+    banded = _cap_band_buckets(banded, max_bucket)
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (
