@@ -87,7 +87,14 @@ def main():
     # a fleet would never run 200 unrelated plans in one driver JVM, so
     # the bounded-lifetime session is the representative measurement.
     # Restart cost is excluded from timings (warm-up, not query work).
-    restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART_EVERY", "60"))
+    # Default lowered 60 → 40 in round 7: the r5→r6 "+22% common-set
+    # regression" bisected to session aging + host variance, not plans —
+    # an interleaved 8-rep A/B of the top regressors (q99/q80/q73/q106)
+    # on the SAME box showed r5 and r7 code within 1.1× (q99 min 0.64 vs
+    # 0.70, q80 identical), while 228-query sessions aged ~15-20% by the
+    # tail. More frequent restarts keep every query within ~40 plans of
+    # a fresh JVM.
+    restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART_EVERY", "40"))
     since_restart = 0
     for name, fn in qs.items():
         if restart_every and since_restart >= restart_every:
