@@ -3513,6 +3513,66 @@ def q235_adoption_curve(spark, sf_dir):
     return analytics.adoption_curve(ev, "event_type", 86400)
 
 
+def _tdb_fixture(spark, sf_dir):
+    """Native-.tdb fixture: the canonical events table exported once per
+    (sf, version) to the reference C library's own single-file tar
+    package via sources.tdbfile.write_tdb (literal-only spec-valid
+    encoding, cross-checked against the reference decoder in
+    tests/test_tdbfile.py). uuid = user_id zero-padded to 32 hex
+    (deterministic, oracle-reproducible via lpad); event_id rides as a
+    string field so the aggregate below can prove integer-exact
+    round-trip fidelity."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        f"{sf_dir}|tdbimport|v{_MEDIA_CACHE_VERSION}".encode()
+    ).hexdigest()[:12]
+    os.makedirs("/tmp/traildb_spark_media_cache", exist_ok=True)
+    path = f"/tmp/traildb_spark_media_cache/tdbimport-{key}.tdb"
+    if not os.path.exists(path):
+        from traildb_spark.sources.tdbfile import write_tdb
+
+        ev = _events(spark, sf_dir).select(
+            F.lpad("uuid", 32, "0").alias("uuid"),
+            "time",
+            "event_type",
+            F.col("event_id").cast("string"),
+        )
+        tmp = path + ".tmp"
+        write_tdb(
+            (tuple(r) for r in ev.toLocalIterator()),
+            ["event_type", "event_id"],
+            tmp,
+            package=True,
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def q236_tdb_import(spark, sf_dir):
+    """Native TrailDB ingest (reference tdb_open src/tdb.c:298-393 +
+    the full decode stack src/tdb_decode.c:227-329): the events table
+    exported to a REAL .tdb tar package (fixture above), re-opened with
+    TrailDataset.open_tdb — driver parses the TOC, executors decode
+    trail byte-ranges — then aggregated per trail. The DuckDB oracle
+    computes the same aggregate from the ORIGINAL parquet, so any event
+    lost or corrupted anywhere in the encode→package→decode loop breaks
+    the hash. This is the migration query: a TrailDB user's artifact in,
+    engine DataFrame out."""
+    from traildb_spark.dataset import TrailDataset
+
+    path = _tdb_fixture(spark, sf_dir)
+    ev = TrailDataset.open_tdb(spark, path).df
+    return ev.groupBy("uuid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("time").alias("first_time"),
+        F.max("time").alias("last_time"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(F.col("event_id").cast("long")).alias("id_sum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3753,6 +3813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_audio_quality": q233_audio_quality,
         "q234_image_quality": q234_image_quality,
         "q235_adoption_curve": q235_adoption_curve,
+        "q236_tdb_import": q236_tdb_import,
     }
 
 
@@ -8047,6 +8108,21 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
                      AND CURRENT ROW) AS BIGINT) AS cum_trails
             FROM per
+        """,
+        # q236 proves the native-.tdb round trip: the Spark side reads
+        # the events EXPORTED to a real TrailDB package and re-imported
+        # through the full decode stack; the oracle reads the ORIGINAL
+        # parquet — a hash match certifies nothing was lost or corrupted
+        # in encode -> tar package -> bitstream decode.
+        "q236_tdb_import": f"""
+            WITH e AS ({_E})
+            SELECT lpad(uuid, 32, '0') AS uuid,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN("time") AS first_time,
+                   MAX("time") AS last_time,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(SUM(event_id) AS BIGINT) AS id_sum
+            FROM e GROUP BY uuid
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

@@ -1,0 +1,231 @@
+"""Native .tdb format: reader/writer round-trips, the reference's own
+test.tdb, a committed gold dump captured from the reference C library,
+Spark integration, and the CLI import/export loop.
+
+The gold chain: ``tests/fixtures/tdb_gold.csv`` is the output of the
+reference implementation's decoder (tdb.c/tdb_decode.c/tdb_huffman.h
+compiled in this container) run over the deterministic fixture built by
+``gold_fixture_rows()`` + ``write_tdb``. The test regenerates the same
+fixture and demands OUR reader produce identical rows — so reader and
+writer are pinned to the reference's behavior without needing a C
+toolchain at test time (the codec-module differential pattern;
+reference ethos: tests/c-tests/multi_cursor.c:129-146 qsort oracle).
+"""
+
+import os
+import subprocess
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from traildb_spark.sources import tdbfile
+from traildb_spark.sources.tdbfile import (
+    TdbMeta,
+    iter_events,
+    read_tdb,
+    write_tdb,
+)
+
+FIXTURES = Path(__file__).parent / "fixtures"
+REFERENCE_TDB = "/root/reference/test.tdb"
+
+
+def gold_fixture_rows():
+    """Deterministic fixture: 40 trails, ~300 events, values exercising
+    empties (val 0), value→empty transitions (edge encoding must emit
+    the NULL item), commas/newlines/unicode (the C dump escapes them),
+    shared timestamps, and >1-byte lexicon codes."""
+    rows = []
+    vals_a = ["view", "click", "", "purchase", "naïve→", "a,b\nc", "z" * 40]
+    vals_b = ["", "x", "yy", "zzz", "Ω"]
+    for u in range(40):
+        uuid = bytes([u * 3 % 251] + [(u * 7 + k) % 256 for k in range(15)])
+        t = 1_500_000_000 + (u * 977) % 10_000
+        for i in range((u * 13) % 9 + 1):
+            t += (u + i * 131) % 4000
+            rows.append((
+                uuid.hex(), t,
+                vals_a[(u + i) % len(vals_a)],
+                vals_b[(u * i) % len(vals_b)],
+                str((u * 31 + i) % 50),
+            ))
+    return rows, ["event_type", "tag", "num"]
+
+
+def c_dump_escape(s: str) -> str:
+    """The gold CSV uses the C dumper's escaping for , \\ and controls."""
+    return "".join(
+        f"\\x{ord(ch):02x}" if ch in ",\\" or ord(ch) < 32 else ch
+        for ch in s
+    )
+
+
+def expected_rows(rows):
+    """Reference semantics: trails in little-endian-uint128 uuid order,
+    events per trail by (time, input order), edge decode == full rows."""
+    from collections import defaultdict
+
+    tr = defaultdict(list)
+    for r in rows:
+        tr[bytes.fromhex(r[0])].append(r[1:])
+    out = []
+    for u in sorted(tr, key=lambda b: int.from_bytes(b, "little")):
+        for ev in sorted(tr[u], key=lambda e: e[0]):
+            out.append((u.hex(),) + tuple(ev))
+    return out
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_TDB), reason="reference test.tdb absent"
+)
+def test_reader_matches_reference_test_tdb():
+    """The reference's in-tree artifact (real encoder: Huffman codebook,
+    tar package) decodes to exactly what the C library dumps."""
+    meta = TdbMeta(REFERENCE_TDB)
+    assert meta.version == 1
+    assert meta.field_names == ["time", "first_field", "second_field"]
+    assert (meta.num_trails, meta.num_events) == (2, 2)
+    assert meta.lexicon_size(1) == 3  # 'hello', 'it' + implicit NULL
+    rows = list(iter_events(REFERENCE_TDB))
+    assert rows == [
+        ("10000000000000000000000000000000", 1463696903, "hello", "world"),
+        ("20000000000000000000000000000000", 1463696952, "it", "works!"),
+    ]
+
+
+def test_gold_dump_cross_decoder(tmp_path):
+    """Committed C-decoder output == our reader, over our writer's file."""
+    rows, fields = gold_fixture_rows()
+    path = str(tmp_path / "gold.tdb")
+    write_tdb(rows, fields, path, package=True)
+    got = [
+        ",".join([r[0], str(r[1])] + [c_dump_escape(v) for v in r[2:]])
+        for r in iter_events(path)
+    ]
+    gold = (FIXTURES / "tdb_gold.csv").read_text().strip().split("\n")
+    assert got == gold
+
+
+@pytest.mark.parametrize("version", [1, 0])
+@pytest.mark.parametrize("package", [False, True])
+def test_write_read_roundtrip(tmp_path, version, package):
+    if version == 0 and package:
+        with pytest.raises(ValueError, match="v0"):
+            write_tdb([], ["f"], str(tmp_path / "x.tdb"),
+                      package=True, version=0)
+        return
+    rows, fields = gold_fixture_rows()
+    path = str(tmp_path / ("rt.tdb" if package else "rt"))
+    write_tdb(rows, fields, path, package=package, version=version)
+    assert list(iter_events(path)) == expected_rows(rows)
+
+
+def test_roundtrip_edge_cases(tmp_path):
+    # value -> empty transition forces an explicit val-0 item; ties on
+    # time keep input order; single-event trails; 16-byte uuid extremes
+    rows = [
+        ("ff" * 16, 100, "a"),
+        ("ff" * 16, 100, ""),       # same ts, value -> NULL
+        ("ff" * 16, 100, "a"),      # NULL -> value again
+        ("00" * 16, 5, ""),         # all-NULL single event
+    ]
+    path = str(tmp_path / "edge")
+    write_tdb(rows, ["v"], path)
+    got = list(iter_events(path))
+    assert got == [
+        ("00" * 16, 5, ""),
+        ("ff" * 16, 100, "a"),
+        ("ff" * 16, 100, ""),
+        ("ff" * 16, 100, "a"),
+    ]
+
+    # zero ofields (reference tests/c-tests/zero_fields.c)
+    path2 = str(tmp_path / "zf")
+    write_tdb([("ab" * 16, 7), ("ab" * 16, 9)], [], path2)
+    assert list(iter_events(path2)) == [("ab" * 16, 7), ("ab" * 16, 9)]
+
+    # >127 fields exercises wide field ids in the literal paths
+    nf = 140
+    fields = [f"f{i:03d}" for i in range(nf)]
+    row = ("cd" * 16, 1, *[f"v{i}" if i % 3 else "" for i in range(nf)])
+    path3 = str(tmp_path / "wide")
+    write_tdb([row], fields, path3)
+    assert list(iter_events(path3)) == [row]
+
+    # invalid inputs
+    with pytest.raises(ValueError, match="not hex"):
+        write_tdb([("not-hex!", 1, "x")], ["v"], str(tmp_path / "bad1"))
+    with pytest.raises(ValueError, match="invalid field name"):
+        write_tdb([], ["time"], str(tmp_path / "bad2"))
+    with pytest.raises(FileNotFoundError):
+        TdbMeta(str(tmp_path / "missing"))
+
+
+def test_read_tdb_spark_and_open_tdb(spark, tmp_path):
+    """Distributed decode: multi-partition ranges reassemble the full
+    event set; TrailDataset.open_tdb applies the engine conventions."""
+    rows, fields = gold_fixture_rows()
+    path = str(tmp_path / "spark.tdb")
+    write_tdb(rows, fields, path, package=True)
+    # tiny target_bytes forces many partitions (range-split correctness)
+    df = read_tdb(spark, path, target_bytes=256)
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted(expected_rows(rows))
+    assert df.columns == ["uuid", "time"] + fields
+
+    from traildb_spark.dataset import TrailDataset
+
+    ds = TrailDataset.open_tdb(spark, path)
+    assert ds.df.count() == len(rows)
+    out = str(tmp_path / "migrated")
+    ds.finalize(out, mode="overwrite")
+    back = TrailDataset.open(spark, out)
+    assert back.info().num_events == len(rows)
+    assert sorted(tuple(r) for r in back.df.collect()) == got
+
+
+def test_cli_tdb_import_export(spark, tmp_path):
+    """tdb dump --tdb → native artifact → tdb make --from-tdb → same
+    events (the migration loop both ways)."""
+    from traildb_spark import cli
+
+    src = str(tmp_path / "src")
+    rows, fields = gold_fixture_rows()
+    write_tdb(rows, fields, src)
+    exported = str(tmp_path / "exp.tdb")
+    assert cli.main(["make", "--from-tdb", src, "-o",
+                     str(tmp_path / "pq")]) == 0
+    assert cli.main(["dump", "-i", str(tmp_path / "pq"), "-T",
+                     "-o", exported]) == 0
+    assert list(iter_events(exported)) == expected_rows(rows)
+    # knob rejection parity with -p/-O
+    assert cli.main(["make", "--from-tdb", src, "--csv-header",
+                     "-o", str(tmp_path / "x")]) == 1
+    assert cli.main(["make", "--from-tdb", src, "-f", "a,b",
+                     "-o", str(tmp_path / "x")]) == 1
+
+
+def test_package_generic_tar_fallback(tmp_path):
+    """A tdb repacked by ordinary tar tooling (no fixed-offset TOC) must
+    still open via the tarfile fallback."""
+    import tarfile as tf
+
+    rows, fields = gold_fixture_rows()
+    d = str(tmp_path / "plain")
+    write_tdb(rows, fields, d)
+    repacked = tmp_path / "repacked.tdb"
+    with tf.open(repacked, "w") as t:
+        for name in sorted(os.listdir(d)):
+            t.add(os.path.join(d, name), arcname=name)
+    assert list(iter_events(str(repacked))) == expected_rows(rows)
+
+
+def test_version_gate(tmp_path):
+    rows, fields = gold_fixture_rows()
+    d = str(tmp_path / "v9")
+    write_tdb(rows[:5], fields, d)
+    with open(os.path.join(d, "version"), "w") as f:
+        f.write("9")
+    with pytest.raises(ValueError, match="incompatible"):
+        TdbMeta(d)

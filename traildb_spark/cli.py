@@ -43,10 +43,14 @@ def cmd_make(args) -> int:
     from .dataset import TrailDataset
 
     spark = _spark()
-    if args.parquet or args.orc:
-        # CSV/JSON-only knobs have no meaning for columnar ingest; error
-        # instead of silently ignoring them (the row formats are typed)
-        flag = "-p/--parquet" if args.parquet else "-O/--orc"
+    if args.parquet or args.orc or args.from_tdb:
+        # CSV/JSON-only knobs have no meaning for columnar/native ingest;
+        # error instead of silently ignoring them (these formats are typed)
+        flag = (
+            "-p/--parquet" if args.parquet
+            else "-O/--orc" if args.orc
+            else "--from-tdb"
+        )
         bad = [
             name
             for name, val in (
@@ -60,6 +64,21 @@ def cmd_make(args) -> int:
             print(f"make: {', '.join(bad)} not applicable with {flag}",
                   file=sys.stderr)
             return 1
+        if args.from_tdb:
+            # native TrailDB import: the reference's own artifact format
+            # (dir or tar package) — schema comes from the tdb's fields
+            # file, so a field spec is not applicable either
+            if args.fields:
+                print("make: --fields not applicable with --from-tdb "
+                      "(the tdb declares its own schema)", file=sys.stderr)
+                return 1
+            ds = TrailDataset.open_tdb(spark, args.inputs)
+            ds.finalize(args.output, num_buckets=args.buckets,
+                        mode="overwrite")
+            info = TrailDataset.open(spark, args.output).info()
+            print(f"created {args.output}: {info.num_events} events, "
+                  f"{info.num_trails} trails")
+            return 0
         from .sources.make import make_from_dataframe
 
         raw = (
@@ -112,10 +131,35 @@ def cmd_dump(args) -> int:
             wl = [ln.strip() for ln in fh if ln.strip()]
         df = uuid_whitelist(df, wl)
     fields = _split_fields(args.fields)
-    if (args.parquet or args.orc) and args.output == "-":
-        print("dump: --parquet/--orc needs -o (columnar cannot stream to stdout)",
+    if (args.parquet or args.orc or args.to_tdb) and args.output == "-":
+        print("dump: --parquet/--orc/--tdb needs -o (cannot stream to stdout)",
               file=sys.stderr)
         return 1
+    if args.to_tdb:
+        from .sources.dump import project_fields as _pf
+        from .sources.tdbfile import write_tdb
+
+        out_df = _pf(df, fields)
+        cols = out_df.columns
+        if cols[:2] != ["uuid", "time"]:
+            print("dump: --tdb needs uuid and time as the leading fields",
+                  file=sys.stderr)
+            return 1
+        ofields = cols[2:]
+        sel = out_df.select(
+            "uuid", F.col("time").cast("long"),
+            *[F.col(c).cast("string") for c in ofields]
+        )
+        # driver-side single-file assembly: the tdb format IS one file —
+        # bounded-extract export, streamed through toLocalIterator
+        write_tdb(
+            (tuple(r) for r in sel.toLocalIterator()),
+            list(ofields),
+            args.output,
+            package=args.output.endswith(".tdb"),
+        )
+        print(f"created {args.output}")
+        return 0
     if args.output == "-":
         rows = project_fields(df, fields).limit(args.limit).collect()
         cols = fields or df.columns
@@ -386,6 +430,9 @@ def build_parser() -> argparse.ArgumentParser:
     mk_fmt.add_argument("-j", "--json", action="store_true")
     mk_fmt.add_argument("-p", "--parquet", action="store_true",
                         help="ingest parquet events (user_id/ts aliases accepted)")
+    mk_fmt.add_argument("--from-tdb", action="store_true", dest="from_tdb",
+                        help="input is a native TrailDB artifact "
+                             "(directory or .tdb tar package)")
     mk_fmt.add_argument("-O", "--orc", action="store_true",
                         help="ingest ORC events (same alias rules as -p)")
     mk.add_argument("-d", "--delimiter", default=None,
@@ -405,6 +452,11 @@ def build_parser() -> argparse.ArgumentParser:
     dp_fmt.add_argument("-j", "--json", action="store_true")
     dp_fmt.add_argument("-p", "--parquet", action="store_true",
                         help="write parquet instead of CSV/JSON")
+    dp_fmt.add_argument("-T", "--tdb", action="store_true", dest="to_tdb",
+                        help="write a native TrailDB artifact (-o ending "
+                             "in .tdb = single-file tar package, else a "
+                             "directory); literal-only encoding, readable "
+                             "by the reference C library")
     dp_fmt.add_argument("-O", "--orc", action="store_true",
                         help="write ORC instead of CSV/JSON")
     dp.add_argument("-d", "--delimiter", default=",")

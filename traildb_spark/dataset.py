@@ -256,6 +256,22 @@ class TrailDataset:
         return cls(spark.read.parquet(path), shard_fmt=shard_fmt, zindex=zindex)
 
     @classmethod
+    def open_tdb(
+        cls, spark: SparkSession, path: str, target_bytes: int = 32 << 20
+    ) -> "TrailDataset":
+        """Open a NATIVE TrailDB artifact — the reference C library's own
+        on-disk format, directory or single-file tar package, v0 and v1
+        (``tdb_open``, src/tdb.c:298-393) — as a TrailDataset. Decode is
+        distributed (sources.tdbfile.read_tdb: driver parses the TOC,
+        executors decode ~target_bytes trail slices); ``finalize()`` on
+        the result is the migration path to the Parquet layout. The path
+        must be executor-visible (local/shared FS), the same contract as
+        the reference's mmap."""
+        from .sources.tdbfile import read_tdb
+
+        return cls.from_dataframe(read_tdb(spark, path, target_bytes))
+
+    @classmethod
     def from_dataframe(
         cls, df: DataFrame, uuid_col: str = UUID_COL, time_col: str = TIME_COL
     ) -> "TrailDataset":
