@@ -1,6 +1,8 @@
 """TrailDataset round-trip + merge tests (FIXTURES F1 tiny, F5 merge_abc;
 reference what_you_write_you_get_back.c, test_tdbcli.py merge suite)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -550,3 +552,74 @@ def test_diff_datasets_null_uuid_trail_compares_as_one(spark):
     )
     d2 = {r["uuid"]: r["match"] for r in diff_datasets(a, b).collect()}
     assert d2 == {None: False, "u1": True}
+
+
+def test_package_roundtrip_single_file(tiny, spark, tmp_path):
+    """S3/S4 single-file ergonomics (reference src/tdb_cons_package.c):
+    finalized dataset -> ONE .tdbx file -> extract -> identical rows,
+    sidecar intact, z-index re-tied (no false-stale warning) and still
+    routing. Manifest catches truncation and unmanifested extras."""
+    import json as _json
+    import tarfile
+    import warnings
+
+    from traildb_spark.dataset import (
+        export_package, import_package, PACKAGE_MANIFEST,
+    )
+
+    src = str(tmp_path / "src")
+    tiny.finalize(src)
+    TrailDataset.build_index(spark, src, ["action"])
+
+    pkg = str(tmp_path / "ds.tdbx")
+    export_package(src, pkg)
+    assert os.path.isfile(pkg)
+
+    out = str(tmp_path / "back")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a stale-index warning = failure
+        import_package(spark, pkg, out)
+        back = TrailDataset.open(spark, out)
+        assert back._zindex is not None  # index survived + re-tied
+    a = sorted(map(tuple, tiny.df.collect()))
+    b = sorted(map(tuple, back.df.collect()))
+    assert a == b
+
+    # CLI loop: dump --package / make --from-package
+    from traildb_spark import cli
+
+    pkg2 = str(tmp_path / "cli.tdbx")
+    assert cli.main(["dump", "-i", src, "--package", pkg2]) == 0
+    out2 = str(tmp_path / "cliback")
+    assert cli.main(["make", "--from-package", pkg2, "-o", out2]) == 0
+    assert sorted(map(tuple, TrailDataset.open(spark, out2).df.collect())) == a
+    # incompatible-knob rejection
+    assert cli.main(["dump", "-i", src, "--package", pkg2,
+                     "--filter", "action=open"]) == 1
+    assert cli.main(["make", "--from-package", pkg2, "--csv-header",
+                     "-o", out2]) == 1
+
+    # truncation refusal: rewrite one member short
+    broken = str(tmp_path / "broken.tdbx")
+    with tarfile.open(pkg) as t, tarfile.open(
+        broken, "w", format=tarfile.USTAR_FORMAT
+    ) as w:
+        for m in t.getmembers():
+            blob = t.extractfile(m).read()
+            if m.name.endswith(".parquet"):
+                blob = blob[: len(blob) // 2]
+                m.size = len(blob)
+            import io as _io
+            w.addfile(m, _io.BytesIO(blob))
+    with pytest.raises(ValueError, match="truncated"):
+        import_package(spark, broken, str(tmp_path / "nope"))
+
+    # non-package tar refusal
+    not_pkg = str(tmp_path / "not.tdbx")
+    with tarfile.open(not_pkg, "w") as w:
+        ti = tarfile.TarInfo("x")
+        ti.size = 1
+        import io as _io
+        w.addfile(ti, _io.BytesIO(b"a"))
+    with pytest.raises(ValueError, match="manifest"):
+        import_package(spark, not_pkg, str(tmp_path / "nope2"))

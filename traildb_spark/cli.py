@@ -43,6 +43,28 @@ def cmd_make(args) -> int:
     from .dataset import TrailDataset
 
     spark = _spark()
+    if args.from_package:
+        bad = [
+            name for name, val in (
+                ("--delimiter", args.delimiter is not None),
+                ("--csv-header", args.csv_header),
+                ("--skip-bad-input", args.skip_bad_input),
+                ("--fields", bool(args.fields)),
+                ("--buckets", args.buckets is not None),
+            ) if val
+        ]
+        if bad:
+            print(f"make: {', '.join(bad)} not applicable with "
+                  "--from-package (the package IS a finalized dataset)",
+                  file=sys.stderr)
+            return 1
+        from .dataset import import_package
+
+        import_package(spark, args.inputs, args.output)
+        info = TrailDataset.open(spark, args.output).info()
+        print(f"unpacked {args.inputs} -> {args.output}: "
+              f"{info.num_events} events, {info.num_trails} trails")
+        return 0
     if args.parquet or args.orc or args.from_tdb:
         # CSV/JSON-only knobs have no meaning for columnar/native ingest;
         # error instead of silently ignoring them (these formats are typed)
@@ -118,6 +140,29 @@ def cmd_dump(args) -> int:
     from .dataset import TrailDataset
     from .operators.filters import parse_filter, uuid_whitelist
     from .sources.dump import dump_csv, dump_json, project_fields
+
+    if args.package:
+        bad = [
+            name for name, val in (
+                ("--filter", bool(args.filter)),
+                ("--uuids", bool(args.uuids)),
+                ("-f/--fields", bool(args.fields)),
+                ("format flags", args.csv or args.json or args.parquet
+                 or args.orc or args.to_tdb),
+                ("--json-no-empty", args.json_no_empty),
+            ) if val
+        ]
+        if bad:
+            print(f"dump: {', '.join(bad)} not applicable with --package "
+                  "(the package carries the dataset as-is; extract with "
+                  "`tdb make --from-package` and dump from there)",
+                  file=sys.stderr)
+            return 1
+        from .dataset import export_package
+
+        export_package(args.input, args.package)
+        print(f"packaged {args.input} -> {args.package}")
+        return 0
 
     spark = _spark()
     ds = TrailDataset.open(spark, args.input, use_index=not args.no_index)
@@ -433,6 +478,11 @@ def build_parser() -> argparse.ArgumentParser:
     mk_fmt.add_argument("--from-tdb", action="store_true", dest="from_tdb",
                         help="input is a native TrailDB artifact "
                              "(directory or .tdb tar package)")
+    mk_fmt.add_argument("--from-package", action="store_true",
+                        dest="from_package",
+                        help="input is a .tdbx single-file package "
+                             "(tar of a finalized dataset, from "
+                             "`tdb dump --package`); extracts + verifies")
     mk_fmt.add_argument("-O", "--orc", action="store_true",
                         help="ingest ORC events (same alias rules as -p)")
     mk.add_argument("-d", "--delimiter", default=None,
@@ -466,6 +516,10 @@ def build_parser() -> argparse.ArgumentParser:
     dp.add_argument("--csv-header", action="store_true")
     dp.add_argument("--json-no-empty", action="store_true")
     dp.add_argument("--limit", type=int, default=1000, help="stdout row cap")
+    dp.add_argument("--package", metavar="OUT.tdbx",
+                    help="write the whole finalized dataset as ONE "
+                         ".tdbx file (tar + manifest; round-trips via "
+                         "`tdb make --from-package`)")
     dp.add_argument("--no-index", action="store_true",
                     help="ignore any auxiliary index (reference --no-index)")
     dp.set_defaults(fn=cmd_dump)

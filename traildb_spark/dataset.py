@@ -725,6 +725,114 @@ class TrailDataset:
         return zpath
 
 
+PACKAGE_MANIFEST = "_tdbx_manifest.json"
+
+
+def export_package(dataset_path: str, out_path: str) -> str:
+    """Single-file package of a finalized dataset (reference S3/S4
+    ergonomics, `src/tdb_cons_package.c:24-34`): one uncompressed ustar
+    tar — `.tdbx` — holding the dataset directory verbatim (parquet
+    parts, `_traildb_meta.json` sidecar, z-index, shard dirs) plus a
+    leading manifest member recording every file's (path, size) so
+    import can verify nothing was truncated in transit. Parquet is
+    already compressed, so the tar adds framing only; the payload
+    stays byte-identical and mmap/range-readable by offset.
+
+    Local-filesystem paths (the workflow is "hand someone one file");
+    datasets on hdfs://s3a:// should be copied down first — the package
+    is a transport container, not a query target."""
+    import tarfile
+
+    if not os.path.isdir(dataset_path):
+        raise FileNotFoundError(f"no dataset directory at {dataset_path}")
+    files = []
+    for root, _dirs, names in os.walk(dataset_path):
+        for name in sorted(names):
+            if name.startswith("."):
+                # filesystem-local artifacts (Hadoop .crc siblings,
+                # editor droppings) — fresh ones regenerate on write,
+                # and a packaged .crc would go stale the moment import
+                # re-ties the sidecar fingerprint
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, dataset_path)
+            files.append((rel, os.path.getsize(full)))
+    files.sort()
+    manifest = json.dumps(
+        {"format": "tdbx/1", "files": files}, sort_keys=True
+    ).encode()
+    with tarfile.open(out_path, "w", format=tarfile.USTAR_FORMAT) as tf:
+        import io as _io
+
+        mi = tarfile.TarInfo(PACKAGE_MANIFEST)
+        mi.size = len(manifest)
+        tf.addfile(mi, _io.BytesIO(manifest))
+        for rel, _size in files:
+            tf.add(os.path.join(dataset_path, rel), arcname=rel,
+                   recursive=False)
+    return out_path
+
+
+def import_package(spark: SparkSession, package_path: str,
+                   out_dir: str) -> str:
+    """Extract a `.tdbx` package into ``out_dir`` and verify every
+    member against the manifest (path + size). Tar stores mtimes at
+    second precision while the z-index fingerprint uses milliseconds,
+    so a recorded index fingerprint is recomputed against the extracted
+    files — index and data came from the same package, so re-tying them
+    is sound (the alternative is a guaranteed false-stale warning on
+    every import)."""
+    import tarfile
+
+    with tarfile.open(package_path, "r") as tf:
+        names = tf.getnames()
+        if PACKAGE_MANIFEST not in names:
+            raise ValueError(
+                f"{package_path} is not a tdbx package (no manifest)"
+            )
+        manifest = json.loads(
+            tf.extractfile(PACKAGE_MANIFEST).read().decode()
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        members = [m for m in tf.getmembers()
+                   if m.name != PACKAGE_MANIFEST]
+        tf.extractall(out_dir, members=members, filter="data")
+    expected = {rel: size for rel, size in manifest["files"]}
+    for rel, size in expected.items():
+        full = os.path.join(out_dir, rel)
+        if not os.path.isfile(full) or os.path.getsize(full) != size:
+            raise ValueError(
+                f"package member {rel!r} missing or truncated after "
+                "extraction — refusing a partial dataset"
+            )
+    extra = []
+    for root, _dirs, names in os.walk(out_dir):
+        for name in names:
+            rel = os.path.relpath(os.path.join(root, name), out_dir)
+            if rel not in expected:
+                extra.append(rel)
+    if extra:
+        raise ValueError(
+            f"package extracted unmanifested files {sorted(extra)[:5]} — "
+            "refusing (out_dir must start empty)"
+        )
+    # re-tie the z-index to the extracted files' fingerprint
+    meta_path = os.path.join(out_dir, META_FILE)
+    if os.path.isfile(meta_path):
+        with open(meta_path, "r", encoding="utf-8") as f:
+            meta = json.load(f)
+        if meta.get("zindex"):
+            meta["zindex"]["data_fingerprint"] = _data_fingerprint(
+                spark, out_dir
+            )
+            with open(meta_path, "w", encoding="utf-8") as f:
+                json.dump(meta, f, sort_keys=True)
+            crc = os.path.join(out_dir, f".{META_FILE}.crc")
+            if os.path.exists(crc):  # now-stale Hadoop checksum sibling
+                os.remove(crc)
+    return out_dir
+
+
 def compact_shards(
     spark: SparkSession,
     path: str,
