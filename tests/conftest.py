@@ -30,6 +30,41 @@ def load_events(spark, sf_dir, *, as_timestamp=False):
     )
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--shard", default=None, metavar="i/n",
+        help="run only the i-th of n deterministic slices (1-based): "
+             "the full suite splits by a stable hash of each test id, "
+             "so `--shard 1/2` + `--shard 2/2` in two processes cover "
+             "exactly the whole suite in roughly half the wall each",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running suites (Hypothesis codec round-trips) — "
+        "excluded from the quick lane `-m 'not slow'`",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    shard = config.getoption("--shard")
+    if not shard:
+        return
+    import zlib
+
+    i, n = (int(x) for x in shard.split("/"))
+    if not 1 <= i <= n:
+        raise pytest.UsageError(f"--shard {shard}: need 1 <= i <= n")
+    keep, drop = [], []
+    for it in items:
+        (keep if zlib.crc32(it.nodeid.encode()) % n == i - 1 else drop
+         ).append(it)
+    items[:] = keep
+    config.hook.pytest_deselected(items=drop)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("traildb-spark-tests", master="local[4]")

@@ -13,6 +13,9 @@ from pyspark.sql import Window
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# Hypothesis suites dominate the full-lane wall; the quick lane skips them
+pytestmark = pytest.mark.slow
+
 from traildb_spark import EventFilter, TrailDataset
 from traildb_spark.dataset import normalize_events
 
