@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 from traildb_spark import EventFilter, TrailDataset
 from traildb_spark.functions import core, vectorized
-from traildb_spark.operators import analytics, dedup, joins, similarity, text, trails
+from traildb_spark.operators import (
+    analytics, curation, dedup, joins, similarity, text, trails,
+)
 from traildb_spark.operators.filters import trail_filter_overrides
 from traildb_spark.streaming.sessions import streaming_session_counts
 
@@ -3573,6 +3575,69 @@ def q236_tdb_import(spark, sf_dir):
     )
 
 
+def q237_bpe_train(spark, sf_dir):
+    """Tokenizer TRAINING: learn BPE merges from the corpus (Sennrich
+    2016) — corpus-scale work is one tokenize+count shuffle, the merge
+    rounds run on the vocabulary-bounded word table with a 1-row argmax
+    per round. FULLY oracle-checked despite being iterative: the DuckDB
+    twin unrolls the 8 rounds as CTE pairs and replays the greedy merge
+    as a list fold (_bpe_oracle); a pure-Python BPE reference double-
+    checks in tests/test_dedup_text.py."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.bpe_train(docs, num_merges=8)
+
+
+def q238_quality_classifier(spark, sf_dir):
+    """Model-based quality gate SHAPE (fastText/logreg): hash tokens,
+    sum integer weights, threshold — the trained-weights path is the
+    same plan with a broadcast join. Default weights derive from the
+    token hash (md5_60 % 17 − 8), so the oracle re-derives every score
+    bit-for-bit."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.hashed_linear_score(docs)
+
+
+def q239_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility audit by DETECTED language (q32's langid):
+    subwords per word and chars per subword, exact integer ppm via
+    `div` (1e6·Σ outruns double's 53 bits long before int64)."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.tokenizer_fertility(docs)
+
+
+def q240_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the SimHash near-dup graph (q36's
+    edges): degree-oriented wedge join — each triangle counted once at
+    its lowest-degree corner, hub fan-out bounded by O(√|E|) per node.
+    Oracle: brute pair CTE + canonical a<b<c triangle join."""
+    docs = _load(spark, sf_dir, "documents")
+    from traildb_spark.functions.core import md5_60
+
+    # hamming ≤ 6 (wider than q36's 3): the radius where the sf
+    # fixtures' near-dup graph actually closes triangles
+    edges = dedup.simhash_pairs(docs, max_hamming=6, token_hasher=md5_60)
+    return analytics.triangle_count(edges)
+
+
+def q241_simpson_diversity(spark, sf_dir):
+    """Per-source lexical concentration (Simpson index over token
+    frequencies, exact ppm on a decimal(38,0) lattice): template/clone
+    -heavy sources surface as high concentration before any dedup
+    runs."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.simpson_diversity(docs)
+
+
+def q242_cross_source_contamination(spark, sf_dir):
+    """Source-pair 13-gram leakage matrix (mirror/syndication
+    detection): distinct (source, gram-hash) reduction first, pair join
+    keyed on the uniform 60-bit hash, containment ppm of the smaller
+    side — the step BEFORE benchmark decontamination (q47) in a real
+    curation audit."""
+    docs = _load(spark, sf_dir, "documents")
+    return curation.cross_source_contamination(docs, n=13)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3814,6 +3879,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q234_image_quality": q234_image_quality,
         "q235_adoption_curve": q235_adoption_curve,
         "q236_tdb_import": q236_tdb_import,
+        "q237_bpe_train": q237_bpe_train,
+        "q238_quality_classifier": q238_quality_classifier,
+        "q239_tokenizer_fertility": q239_tokenizer_fertility,
+        "q240_triangle_count": q240_triangle_count,
+        "q241_simpson_diversity": q241_simpson_diversity,
+        "q242_cross_source_contamination": q242_cross_source_contamination,
     }
 
 
@@ -4053,6 +4124,53 @@ def _qualify_cap(max_bucket, *keys) -> str:
         f"\n          QUALIFY count(*) OVER (PARTITION BY {cols})"
         f" <= {max_bucket}"
     )
+
+
+def _bpe_oracle(num_merges: int) -> str:
+    """DuckDB twin of text.bpe_train: one CTE pair per UNROLLED merge
+    round (the q175 pagerank-unrolling pattern — recursive CTEs dedup
+    the working table, so rounds are spelled out). The greedy
+    left-to-right pair merge is a list fold: state = list of merged
+    symbols, step appends the next char-list element or replaces the
+    tail when (tail, next) equals the round's best pair — greedy
+    non-overlap holds because a merged token l||r can never equal l
+    (r is never empty). Argmax tie rule mirrored via
+    row_number() OVER (ORDER BY total DESC, l, r)."""
+    parts = [f"""
+        WITH wc AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)
+          GROUP BY tok),
+        w0 AS (
+          SELECT regexp_extract_all(tok, '.') AS sym, cnt FROM wc)"""]
+    for r in range(num_merges):
+        parts.append(f"""
+        p{r} AS (
+          SELECT pr.l AS l, pr.r AS r, SUM(cnt) AS total
+          FROM (SELECT unnest([{{'l': sym[i], 'r': sym[i+1]}}
+                        for i in generate_series(1, len(sym) - 1)]) AS pr,
+                       cnt
+                FROM w{r})
+          GROUP BY pr.l, pr.r),
+        b{r} AS (
+          SELECT l, r, total FROM p{r}
+          QUALIFY row_number() OVER (ORDER BY total DESC, l, r) = 1),
+        w{r + 1} AS (
+          SELECT CASE WHEN b.total >= 2 THEN
+                   list_reduce([[s] for s in sym],
+                     (acc, x) -> CASE
+                       WHEN len(acc) > 0 AND acc[len(acc)] = b.l
+                            AND x[1] = b.r
+                       THEN acc[1:len(acc)-1] || [b.l || b.r]
+                       ELSE acc || x END)
+                 ELSE sym END AS sym, cnt
+          FROM w{r} CROSS JOIN b{r} b)""")
+    unions = "\n          UNION ALL ".join(
+        f'SELECT {r} AS round, l AS "left", r AS "right",'
+        f" CAST(total AS BIGINT) AS pair_count FROM b{r} WHERE total >= 2"
+        for r in range(num_merges)
+    )
+    return ",".join(parts) + f"\n        {unions}"
 
 
 def _minhash_portable_oracle(
@@ -8123,6 +8241,112 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
                    CAST(SUM(event_id) AS BIGINT) AS id_sum
             FROM e GROUP BY uuid
+        """,
+        "q237_bpe_train": _bpe_oracle(8),
+        "q238_quality_classifier": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+            s AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                     CAST(list_reduce(list_prepend(0::BIGINT,
+                       [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+                        % 17 - 8 for x in w]),
+                       (a, b) -> a + b) AS BIGINT) AS score
+              FROM t)
+            SELECT doc_id, n_tokens, score, score > 0 AS keep FROM s
+        """,
+        "q239_tokenizer_fertility": f"""
+            WITH per AS (
+              SELECT {lang_case} AS lang,
+                     CAST(len({_TOKENS}) AS BIGINT) AS w,
+                     CAST(len(regexp_extract_all(text, '{_BPE_RE}'))
+                          AS BIGINT) AS s,
+                     CAST(length(text) AS BIGINT) AS c
+              FROM documents),
+            a AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     SUM(w) AS W, SUM(s) AS S, SUM(c) AS C
+              FROM per GROUP BY lang)
+            SELECT lang, n_docs,
+                   CAST(W AS BIGINT) AS n_words,
+                   CAST(S AS BIGINT) AS n_subwords,
+                   CASE WHEN W > 0
+                        THEN CAST((1000000 * S) // W AS BIGINT)
+                   END AS fertility_ppm,
+                   CASE WHEN S > 0
+                        THEN CAST((1000000 * C) // S AS BIGINT)
+                   END AS chars_per_subword_ppm
+            FROM a
+        """,
+        "q240_triangle_count": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS} AS w FROM documents),
+            h AS (
+              SELECT doc_id,
+                     [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in w] AS hs
+              FROM t),
+            s AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(0::BIGINT,
+                       [CASE WHEN 2 * len(list_filter(hs, v -> (v >> b) & 1 = 1)) > len(hs)
+                             THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                        for b in generate_series(0, 59)]),
+                       (x, y) -> x + y) AS sh
+              FROM h),
+            e AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e1.v = e2.u
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+            corners AS (
+              SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY node
+        """,
+        "q241_simpson_diversity": f"""
+            WITH t AS (
+              SELECT source, unnest({_TOKENS}) AS tok FROM documents),
+            c AS (
+              SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+              FROM t GROUP BY source, tok),
+            a AS (
+              SELECT source, SUM(n) AS N, SUM(n * (n - 1)) AS pairs,
+                     CAST(COUNT(*) AS BIGINT) AS distinct_tokens
+              FROM c GROUP BY source)
+            SELECT source, CAST(N AS BIGINT) AS n_tokens, distinct_tokens,
+                   CASE WHEN N > 1
+                        THEN CAST((1000000::HUGEINT * pairs)
+                                  // (N::HUGEINT * (N - 1)) AS BIGINT)
+                        ELSE 0 END AS simpson_ppm
+            FROM a
+        """,
+        "q242_cross_source_contamination": f"""
+            WITH w AS (
+              SELECT doc_id, source, {_TOKENS} AS ws FROM documents),
+            g AS (
+              SELECT DISTINCT source, unnest(list_distinct(
+                [CAST(('0x' || substr(md5(array_to_string(ws[i:i+12], ' ')), 1, 15)) AS BIGINT)
+                 for i in generate_series(1, greatest(len(ws) - 12, 1))])) AS g
+              FROM w),
+            sz AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM g GROUP BY source),
+            p AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared_grams
+              FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+              GROUP BY a.source, b.source)
+            SELECT src_a, src_b, shared_grams,
+                   CAST((1000000 * shared_grams)
+                        // least(na.n, nb.n) AS BIGINT) AS containment_ppm
+            FROM p
+            JOIN sz na ON na.source = p.src_a
+            JOIN sz nb ON nb.source = p.src_b
         """,
         "q99_attribution_linear": f"""
             WITH e AS ({_E}),

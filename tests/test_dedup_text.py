@@ -3,7 +3,7 @@
 import pytest
 from pyspark.sql import functions as F
 
-from traildb_spark.operators import dedup, similarity, text
+from traildb_spark.operators import analytics, curation, dedup, similarity, text
 
 
 @pytest.fixture(scope="module")
@@ -2057,3 +2057,158 @@ def test_max_bucket_skew_guard_bounds_clone_density(spark):
     assert len(eu) >= 60 * 59 // 2
     assert (100, 101) in eu and (100, 101) in ec
     assert len(ec) == 1
+
+
+def test_hashed_linear_score_matches_python(spark):
+    """Integer hash-weight model: exact parity with an independent
+    Python evaluator, weights-table path, empty docs."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, ""), (3, "alpha")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.n_tokens, r.score, r.keep)
+           for r in text.hashed_linear_score(docs).collect()}
+
+    def w(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 17 - 8
+
+    for doc_id, txt in [(1, "alpha beta beta gamma"), (2, ""), (3, "alpha")]:
+        toks = txt.split()
+        exp = (len(toks), sum(w(t) for t in toks))
+        assert got[doc_id] == (exp[0], exp[1], exp[1] > 0), doc_id
+
+    weights = spark.createDataFrame(
+        [("alpha", 5), ("beta", -2)], ["token", "weight"]
+    )
+    got_w = {r.doc_id: r.score for r in
+             text.hashed_linear_score(docs, weights=weights).collect()}
+    assert got_w == {1: 5 - 2 - 2 + 0, 2: 0, 3: 5}
+
+
+def test_simpson_diversity_hand_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a", "s0"),       # one token repeated -> 1e6
+         (2, "a b c d", "s1"),       # all distinct -> 0
+         (3, "a a b b", "s2")],      # 2+2 of 4: 4/12 -> 333333
+        ["doc_id", "text", "source"],
+    )
+    got = {r.source: (r.n_tokens, r.distinct_tokens, r.simpson_ppm)
+           for r in text.simpson_diversity(docs).collect()}
+    assert got == {"s0": (4, 1, 1_000_000), "s1": (4, 4, 0),
+                   "s2": (4, 2, 333_333)}
+
+
+def test_tokenizer_fertility_hand_values(spark):
+    # 'hello world' -> 2 words, 2 subwords; "don't stop" -> 2 words,
+    # 4 subwords (don | ' | t | stop)
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "don't stop")], ["doc_id", "text"]
+    )
+    rows = text.tokenizer_fertility(docs).collect()
+    agg = {(r.n_words, r.n_subwords, r.fertility_ppm) for r in rows}
+    # both docs are the same detected language bucket on this fixture:
+    # 4 words, 6 subwords -> 1.5e6 ppm
+    assert agg == {(4, 6, 1_500_000)}
+
+
+def test_cross_source_contamination_shared_grams(spark):
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, shared + " alpha", "s0"),
+         (2, shared + " beta", "s1"),
+         (3, "totally different words everywhere here now", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    got = {(r.src_a, r.src_b): (r.shared_grams, r.containment_ppm)
+           for r in curation.cross_source_contamination(docs, n=5).collect()}
+    # s0/s1 share the 5-grams fully inside the common 10-word prefix:
+    # windows 1..6 of 11-word docs are identical (positions 7-11 differ)
+    assert ("s0", "s1") in got
+    sh, ppm = got[("s0", "s1")]
+    assert sh == 6 and ppm == 6 * 1_000_000 // 7
+    assert ("s0", "s2") not in got and ("s1", "s2") not in got
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant 5 + disjoint
+    # edge {6,7}; duplicate/reversed edges must not double-count
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (6, 7), (2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.node: r.n_triangles for r in
+           analytics.triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """Differential gate for the iterative trainer: pure-Python BPE on
+    the same word-count table must produce the identical merge table
+    (the reference's qsort-oracle pattern for non-SQL ops)."""
+    from collections import Counter
+
+    def py_bpe(word_counts, num_merges):
+        vocab = {tuple(w): c for w, c in word_counts.items()}
+        merges = []
+        for rnd in range(num_merges):
+            pc = Counter()
+            for sym, c in vocab.items():
+                for i in range(len(sym) - 1):
+                    pc[(sym[i], sym[i + 1])] += c
+            if not pc:
+                break
+            best = max(pc.items(), key=lambda kv: (kv[1], [-ord(ch) for ch in kv[0][0]], ))
+            # deterministic tie rule: max count, then lexicographically
+            # smallest (left, right)
+            top = max(pc.values())
+            cands = sorted(k for k, v in pc.items() if v == top)
+            pair, total = cands[0], top
+            if total < 2:
+                break
+            merges.append((rnd, pair[0], pair[1], total))
+            new_vocab = {}
+            for sym, c in vocab.items():
+                res, i = [], 0
+                while i < len(sym):
+                    if (i + 1 < len(sym) and sym[i] == pair[0]
+                            and sym[i + 1] == pair[1]):
+                        res.append(pair[0] + pair[1])
+                        i += 2
+                    else:
+                        res.append(sym[i])
+                        i += 1
+                new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + c
+            vocab = new_vocab
+        return merges
+
+    # classic toy corpus
+    docs = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower"),
+         (3, "newest newest newest newest newest newest"),
+         (4, "widest widest widest")],
+        ["doc_id", "text"],
+    )
+    got = [(r.round, r.left, r.right, r.pair_count)
+           for r in text.bpe_train(docs, num_merges=6).collect()]
+    wc = Counter()
+    for _, t in docs.collect():
+        wc.update(t.split())
+    assert got == py_bpe(wc, 6)
+
+    # real fixture sample
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    got2 = [(r.round, r.left, r.right, r.pair_count)
+            for r in text.bpe_train(real, num_merges=5).collect()]
+    from traildb_spark.operators.dedup import normalize_text as _nt
+    wc2 = Counter()
+    for row in real.select(
+        F.split(_nt(F.col("text")), " ").alias("w")
+    ).collect():
+        wc2.update(t for t in row.w if t)
+    assert got2 == py_bpe(wc2, 5)
+    assert len(got2) == 5  # a real corpus never runs dry in 5 merges
+
+    # vocab-cap refusal
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        text.bpe_train(real, num_merges=1, max_vocab_rows=3)

@@ -4855,3 +4855,81 @@ def adoption_curve(
         F.col("n_first_trails").cast("long").alias("n_first_trails"),
         F.sum("n_first_trails").over(w).cast("long").alias("cum_trails"),
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge list —
+    the graph-quality companion to label_propagation/connected
+    components: triangle-dense neighborhoods in a near-dup graph are
+    genuine clone clusters, triangle-free hubs are false-positive
+    magnets (one template matching everything pairwise without mutual
+    matches).
+
+    Algorithm: canonicalize + dedup edges, then ORIENT every edge from
+    the lower-degree endpoint to the higher (ties by id) — the standard
+    compact-forward scheme: each triangle is counted exactly once as a
+    wedge at its lowest-degree vertex, and the wedge join fans out as
+    Σ d_out(v)² with d_out ≤ O(√|E|) for ANY degree distribution, so a
+    web-scale hub (degree 10⁶) contributes its √ bound instead of a
+    10¹² self-join. Per-node counts then credit each triangle to all
+    three corners. Shuffles: degree count, two wedge joins keyed on
+    node ids, final per-node fold — no driver state.
+    """
+    from .dedup import _materialize
+
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # the edge list fans out into degree count, two orientation joins,
+    # and the closing join — pin it once or an expensive upstream edge
+    # pipeline (LSH candidates + verify) re-executes per consumer
+    e = _materialize(e)
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(
+            e.select(F.col("v").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        e.join(du, "u").join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            ).otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    )
+    oriented = _materialize(oriented)
+    w1 = oriented.select(F.col("s"), F.col("t").alias("a"))
+    w2 = oriented.select(F.col("s"), F.col("t").alias("b"))
+    wedges = (
+        w1.join(w2, "s")
+        .filter(F.col("a") < F.col("b"))
+    )
+    # the wedge (s; a, b) closes iff {a, b} is an edge (canonical form)
+    tri = wedges.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+    ).select("s", "a", "b")
+    per_node = (
+        tri.select(F.col("s").alias("node"))
+        .unionAll(tri.select(F.col("a").alias("node")))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node.select("node", F.col("n_triangles").cast("long"))

@@ -1339,3 +1339,60 @@ def weighted_systematic_sample(
             "n_boundaries",
         )
     )
+
+
+def cross_source_contamination(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 13,
+) -> DataFrame:
+    """Source-pair n-gram leakage matrix: for every pair of sources,
+    how many DISTINCT word n-grams they share, and that count as ppm of
+    the smaller side's gram vocabulary. :func:`decontaminate` answers
+    "is my corpus clean of this benchmark"; this answers the curation
+    question one step earlier — WHICH sources are copying each other
+    (mirrors, syndication, scraped re-posts) before any benchmark
+    enters the picture.
+
+    Scale shape: grams reduce to DISTINCT (source, gram-hash) first —
+    bounded by vocabulary, not corpus rows — then the pair join keys on
+    the gram hash (uniform 60-bit md5: no hot keys by construction) and
+    aggregates to the source-pair matrix (|sources|² tiny). Grams
+    travel as 60-bit hashes, never strings."""
+    grams = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                md5_word_ngram_hashes(F.col(text_col), n)
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    from .dedup import _materialize
+
+    grams = _materialize(grams)
+    sizes = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
+    pairs = (
+        grams.alias("a")
+        .join(grams.alias("b"), "g")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes.select(F.col("src").alias("src_a"),
+                                            F.col("n_grams").alias("__na"))),
+                   "src_a")
+        .join(F.broadcast(sizes.select(F.col("src").alias("src_b"),
+                                       F.col("n_grams").alias("__nb"))),
+              "src_b")
+        .select(
+            "src_a", "src_b",
+            F.col("shared_grams").cast("long"),
+            # integer `div` keeps the ppm exact past double's range
+            F.expr("(1000000 * shared_grams) div least(__na, __nb)")
+            .alias("containment_ppm"),
+        )
+    )

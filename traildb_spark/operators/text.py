@@ -2019,3 +2019,247 @@ def keyword_in_context(
         F.array_join(left, " ").alias("left_ctx"),
         F.array_join(right, " ").alias("right_ctx"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: DataFrame | None = None,
+    threshold: int = 0,
+) -> DataFrame:
+    """Linear bag-of-hashed-tokens classifier — the fastText /
+    logistic-regression quality-filter SHAPE (hash tokens, sum weights,
+    threshold) with everything Spark-side staying in built-in functions:
+    tokenize → md5_60 per token → per-doc integer sum → label.
+
+    ``weights``: optional (token STRING, weight LONG) model table,
+    broadcast-joined (a trained model's vocabulary is classifier-scale,
+    never corpus-scale); tokens absent from the table score 0. Without
+    it, the DEFAULT weight is derived from the token hash itself —
+    ``w(t) = md5_60(t) % 17 - 8`` ∈ [-8, 8] — a deterministic random
+    linear model: exactly the plumbing a real filter runs (and what the
+    SQL oracle re-derives bit-for-bit), with the learned weights swapped
+    out. Integer end-to-end, so scores are associativity-proof.
+
+    Returns (id, n_tokens, score, label). Reference parity note: the
+    reference has no classifiers — this is north-star pipeline surface
+    (BASELINE.json), the model-based quality gate next to the heuristic
+    q31/q72 gates."""
+    from ..functions.core import md5_60
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens(F.col(text_col))).alias("__tok"),
+    )
+    if weights is not None:
+        w = toks.join(
+            F.broadcast(weights.select(
+                F.col("token").alias("__tok"),
+                F.col("weight").cast("long").alias("__w"),
+            )),
+            "__tok", "left",
+        ).select("id", F.coalesce("__w", F.lit(0)).alias("__w"))
+    else:
+        w = toks.select(
+            "id",
+            F.when(
+                F.col("__tok").isNull(), F.lit(0)
+            ).otherwise(md5_60(F.col("__tok")) % 17 - 8).alias("__w"),
+        )
+    agg = w.groupBy("id").agg(
+        F.count(F.col("__w")).alias("__n"),
+        F.sum("__w").alias("score"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        # explode_outer keeps empty docs as one NULL token (n 0, score 0)
+        F.when(F.col("score").isNull(), F.lit(0))
+        .otherwise(F.col("__n")).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+        (F.coalesce(F.col("score"), F.lit(0)) > threshold).alias("keep"),
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer fertility by detected language: subword tokens per
+    word and characters per subword — the first thing a tokenizer
+    audit asks of a multilingual corpus (high fertility = the tokenizer
+    fragments that language, training pays more compute per word).
+    Subwords = the BPE-ish regex tokens over RAW text (q179's contract);
+    words = whitespace tokens of the normalized text. Integer sums with
+    one truncating division per ratio, so the ppm values are exact."""
+    per = df.select(
+        detect_language_vec(F.col(text_col)).alias("lang"),
+        token_count(F.col(text_col)).cast("long").alias("__w"),
+        bpe_token_count(F.col(text_col)).cast("long").alias("__s"),
+        F.length(F.col(text_col)).cast("long").alias("__c"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("__W"),
+        F.sum("__s").alias("__S"),
+        F.sum("__c").alias("__C"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long"),
+        F.col("__W").alias("n_words"),
+        F.col("__S").alias("n_subwords"),
+        # integer `div`, not float `/`: 1e6·Σ exceeds double's 53-bit
+        # exact range long before it exceeds int64
+        F.when(F.col("__W") > 0,
+               F.expr("(1000000 * __S) div __W")).alias("fertility_ppm"),
+        F.when(F.col("__S") > 0,
+               F.expr("(1000000 * __C) div __S"))
+        .alias("chars_per_subword_ppm"),
+    )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group lexical concentration: Simpson index
+    Σ nᵢ(nᵢ−1) / (N(N−1)) over token frequencies (the probability two
+    tokens drawn without replacement are equal — 0 = maximally diverse,
+    1e6 ppm = one token repeated). Duplicate-heavy or template-heavy
+    sources stick out immediately; the integer numerator/denominator
+    make the ppm exact. Two shuffles: (group, token) count, then group
+    fold."""
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    )
+    counts = tok.groupBy("grp", "__tok").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    agg = counts.groupBy("grp").agg(
+        F.sum("__n").alias("__N"),
+        F.sum(F.col("__n") * (F.col("__n") - 1)).alias("__pairs"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("__N").alias("n_tokens"),
+        F.col("distinct_tokens").cast("long"),
+        # decimal(38,0) `div`: 1e6·pairs and N(N−1) both blow past
+        # int64/double exactness on a 100 TB source — the 128-bit
+        # lattice keeps the ppm a true integer floor
+        F.when(
+            F.col("__N") > 1,
+            F.expr(
+                "CAST(1000000 AS DECIMAL(38,0)) * CAST(__pairs AS"
+                " DECIMAL(38,0)) div (CAST(__N AS DECIMAL(38,0)) *"
+                " CAST(__N - 1 AS DECIMAL(38,0)))"
+            ).cast("long"),
+        ).otherwise(F.lit(0)).alias("simpson_ppm"),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    max_vocab_rows: int = 2_000_000,
+) -> DataFrame:
+    """Learn byte-pair-encoding merges from a corpus (Sennrich et al.
+    2016 — the tokenizer-TRAINING step; ``bpe_token_count``/q179 only
+    counts with a fixed regex). Returns one row per learned merge:
+    ``(round, left, right, pair_count)``.
+
+    Semantics pinned for determinism: words are whitespace tokens of
+    the normalized text, weighted by corpus frequency; symbols start as
+    characters; each round picks the adjacent pair with the highest
+    total count (ties → lexicographically smallest (left, right)) and
+    merges it greedily left-to-right inside every word. Stops early
+    when no pair occurs twice.
+
+    Scale shape: the corpus-scale work is ONE tokenize+count shuffle —
+    everything after runs on the DISTINCT-WORD table (vocabulary-
+    bounded, refused above ``max_vocab_rows`` rather than silently
+    thrashing). Each round is: adjacent-pair explode + sum (map-side
+    partial), a 1-row argmax collect (the merge decision IS
+    driver-scale), and an Arrow-batched greedy merge over the vocab,
+    localCheckpointed so 10 rounds don't stack 10 UDF plans. The merge
+    loop is iterative by nature — the differential gate is a
+    pure-Python BPE reference in tests, not a SQL oracle (driver
+    records the rows-only check; same posture as label_propagation's
+    fixpoint)."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_vocab = words.count()
+    if n_vocab > max_vocab_rows:
+        raise ValueError(
+            f"bpe_train: {n_vocab} distinct words exceeds max_vocab_rows="
+            f"{max_vocab_rows}; raise the cap explicitly if the executors "
+            "can hold the vocab through the merge rounds"
+        )
+    vocab = words.select(
+        F.split(F.col("w"), "").alias("sym"), "cnt"
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rnd in range(num_merges):
+        pairs = (
+            vocab.filter(F.size("sym") > 1)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(sym, 1, size(sym) - 1),"
+                        " (x, i) -> struct(x AS l,"
+                        " element_at(sym, i + 2) AS r))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("total"))
+        )
+        best = pairs.orderBy(
+            F.desc("total"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not best or best[0]["total"] < 2:
+            break
+        left, right, total = best[0]["l"], best[0]["r"], int(best[0]["total"])
+        merges.append((rnd, left, right, total))
+
+        @F.pandas_udf("array<string>")
+        def merge_pair(s: pd.Series) -> pd.Series:
+            out = []
+            for seq in s:
+                seq = list(seq)
+                res = []
+                i = 0
+                n = len(seq)
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and seq[i] == left
+                        and seq[i + 1] == right
+                    ):
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(seq[i])
+                        i += 1
+                out.append(res)
+            return pd.Series(out)
+
+        vocab = vocab.select(
+            merge_pair(F.col("sym")).alias("sym"), "cnt"
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, pair_count long"
+    )
