@@ -3638,6 +3638,23 @@ def q242_cross_source_contamination(spark, sf_dir):
     return curation.cross_source_contamination(docs, n=13)
 
 
+def q243_audio_fingerprint_dedup(spark, sf_dir):
+    """Acoustic-fingerprint dedup buckets (the audio sibling of q94's
+    pHash): decoded PCM → exact integer frame energies → energy-delta
+    sign bits → plain fingerprint groupBy — exact-dedup shape, no pair
+    join. The oracle recomputes energies and bits from the AU closed
+    form s[i] = (i*59 + id*13) % 3601 − 1800."""
+    from traildb_spark.operators import multimodal
+
+    media = _media_table(spark, sf_dir, "audio", _au_fixture_payload(),
+                         cache_name="au")
+    fp = multimodal.audio_fingerprints(media, frame_samples=16)
+    return fp.groupBy("n_frames", "fingerprint").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("media_id").alias("canonical_id"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3885,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_triangle_count": q240_triangle_count,
         "q241_simpson_diversity": q241_simpson_diversity,
         "q242_cross_source_contamination": q242_cross_source_contamination,
+        "q243_audio_fingerprint_dedup": q243_audio_fingerprint_dedup,
     }
 
 
@@ -8243,6 +8261,40 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY uuid
         """,
         "q237_bpe_train": _bpe_oracle(8),
+        "q243_audio_fingerprint_dedup": """
+            -- s[i] = (i*59 + id*13) % 3601 - 1800, n = 40 + id%50;
+            -- frame energies over 16 samples, bit f = E(f+1) > E(f)
+            WITH a AS (
+              SELECT doc_id, 40 + CAST(doc_id % 50 AS BIGINT) AS n
+              FROM documents WHERE doc_id % 3 = 1
+            ), s AS (
+              SELECT doc_id, n,
+                     [ (i*59 + doc_id*13) % 3601 - 1800
+                       for i in generate_series(0, n - 1) ] AS xs
+              FROM a
+            ), fr AS (
+              SELECT doc_id,
+                     [ list_sum(list_transform(
+                         xs[f*16 + 1 : least((f+1)*16, n)],
+                         x -> CAST(x AS HUGEINT) * x))
+                       for f in generate_series(0,
+                         CAST(ceil(n / 16.0) AS BIGINT) - 1) ] AS es
+              FROM s
+            ), fp AS (
+              SELECT doc_id,
+                     CAST(len(es) AS BIGINT) AS n_frames,
+                     CAST(COALESCE(list_sum(
+                       [ CASE WHEN es[f + 2] > es[f + 1]
+                              THEN (1::BIGINT << f) ELSE 0::BIGINT END
+                         for f in generate_series(0, len(es) - 2) ]),
+                       0) AS BIGINT) AS fingerprint
+              FROM fr
+            )
+            SELECT n_frames, fingerprint,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   MIN(doc_id) AS canonical_id
+            FROM fp GROUP BY n_frames, fingerprint
+        """,
         "q238_quality_classifier": f"""
             WITH t AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
             s AS (

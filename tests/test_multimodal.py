@@ -1991,3 +1991,46 @@ def test_qoi_run_past_end_raises():
     )
     with _pytest.raises(ValueError, match="run past end"):
         decode_qoi(content)
+
+
+def test_audio_fingerprints_hand_values(spark):
+    """Energy-delta sign bits: a quiet→loud→quiet→loud staircase over
+    4 frames gives bits 1,0,1; the 63-comparison int64 cap raises."""
+    import numpy as _np
+
+    import pytest as _pytest
+
+    from traildb_spark.operators.multimodal import (
+        audio_fingerprints, make_au,
+    )
+
+    frames = [10, 900, 20, 800]  # per-frame amplitude, 4 samples each
+    s = _np.concatenate(
+        [_np.full(4, a, dtype=_np.int16) for a in frames]
+    )
+    rows = [(1, "audio", bytearray(make_au(s, 8000)), "x/audio", "{}"),
+            (2, "video", bytearray(b"junk"), "x/video", "{}")]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary,"
+        " mime string, meta string")
+    got = audio_fingerprints(df, frame_samples=4).collect()
+    assert len(got) == 1  # non-audio rows filtered
+    r = got[0]
+    assert (r.media_id, r.n_frames) == (1, 4)
+    assert r.fingerprint == 0b101  # up, down, up
+
+    # gain invariance: doubling amplitude preserves the signature
+    rows2 = [(3, "audio", bytearray(make_au(s * 2, 8000)), "x/audio", "{}")]
+    df2 = spark.createDataFrame(
+        rows2, "media_id long, kind string, content binary,"
+        " mime string, meta string")
+    assert audio_fingerprints(df2, frame_samples=4).collect()[0] \
+        .fingerprint == 0b101
+
+    long = _np.arange(200, dtype=_np.int16)
+    df3 = spark.createDataFrame(
+        [(4, "audio", bytearray(make_au(long, 8000)), "x/audio", "{}")],
+        "media_id long, kind string, content binary, mime string,"
+        " meta string")
+    with _pytest.raises(Exception, match="63-bit"):
+        audio_fingerprints(df3, frame_samples=2).collect()

@@ -3193,3 +3193,62 @@ def image_quality_stats(df: DataFrame, decoder=None) -> DataFrame:
         schema=("media_id long, n_pixels long, var_num long,"
                 " grad_energy long, extreme_pixels long"),
     )
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    frame_samples: int = 400,
+) -> DataFrame:
+    """Acoustic fingerprint per audio payload — the audio sibling of
+    image pHash (q94): decoded PCM → per-frame energies (exact integer
+    Σx² over ``frame_samples``-sample frames, trailing partial frame
+    included) → one bit per adjacent frame pair, set iff energy rose.
+    The energy-delta SIGN sequence is what survives gain changes and
+    re-encodes (both scale every frame energy by the same factor), so
+    identical-content clips collide exactly — dedup is then a plain
+    fingerprint groupBy, the scalable exact-dedup shape, no pair join.
+
+    Returns ``(media_id, n_frames, fingerprint)`` with the bit for
+    frames (f, f+1) at position f (LSB first); payloads with one frame
+    fingerprint as 0. Caps at 63 comparisons (int64) — longer clips
+    raise rather than silently truncating the signature. Same
+    mapInPandas shape and DECODE_ERRORS skip rule as the other
+    extractors."""
+    if frame_samples < 1:
+        raise ValueError("audio_fingerprints: frame_samples must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                if payload is None:
+                    continue
+                try:
+                    _rate, _ch, s = decode_audio(bytes(payload))
+                except DECODE_ERRORS:
+                    continue
+                x = s.astype(np.int64)
+                energies = [
+                    int((x[i:i + frame_samples] ** 2).sum())
+                    for i in range(0, int(x.size), frame_samples)
+                ]
+                nf = len(energies)
+                if nf - 1 > 63:
+                    raise ValueError(
+                        f"audio_fingerprints: {nf} frames exceeds the "
+                        "63-bit signature — raise frame_samples"
+                    )
+                fp = 0
+                for f in range(nf - 1):
+                    if energies[f + 1] > energies[f]:
+                        fp |= 1 << f
+                rows.append((int(mid), nf, fp))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_frames", "fingerprint"]
+            )
+
+    return df.filter(F.col("kind") == "audio").select(
+        "media_id", "content"
+    ).mapInPandas(
+        run, schema="media_id long, n_frames long, fingerprint long"
+    )
