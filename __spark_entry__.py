@@ -1325,6 +1325,17 @@ def q94_video_decode(spark, sf_dir):
     retired audio/image)."""
     from traildb_spark.operators import multimodal
 
+    media = _media_table(spark, sf_dir, "video", _y4m_fixture_payload(),
+                         cache_name="y4m")
+    return multimodal.extract_video_frames(media, every_n=2)
+
+
+def _y4m_fixture_payload():
+    """Y4M payload UDF shared by q94/q244: luma ramp
+    p[f, i] = (doc_id*7 + f*13 + i) % 256 over n = 2 + id%4 frames of
+    8×4 (Cmono)."""
+    from traildb_spark.operators import multimodal
+
     @F.pandas_udf("binary")
     def y4m_payload(ids: pd.Series) -> pd.Series:
         out = []
@@ -1342,8 +1353,7 @@ def q94_video_decode(spark, sf_dir):
             out.append(multimodal.make_y4m(frames))
         return pd.Series(out)
 
-    media = _media_table(spark, sf_dir, "video", y4m_payload, cache_name="y4m")
-    return multimodal.extract_video_frames(media, every_n=2)
+    return y4m_payload
 
 
 def q95_pattern_match(spark, sf_dir):
@@ -3655,6 +3665,36 @@ def q243_audio_fingerprint_dedup(spark, sf_dir):
     )
 
 
+def q244_scene_changes(spark, sf_dir):
+    """Scene-cut detection over REAL decoded Y4M (q94's fixture,
+    p[f, i] = (id*7 + f*13 + i) % 256 on 2+id%4 frames of 8×4): flag
+    frames whose |Δ luma_sum|·1000 > 12000·n_px — exact integers, no
+    float mean. The keyframe question a video-captioning pipeline asks
+    first; the oracle recomputes every frame sum from the closed
+    form."""
+    from traildb_spark.operators import multimodal
+
+    media = _media_table(spark, sf_dir, "video", _y4m_fixture_payload(),
+                         cache_name="y4m")
+    return multimodal.scene_changes(media, min_avg_delta_milli=12_000)
+
+
+def q245_mixture_plan(spark, sf_dir):
+    """Static training-mixture planning: per-source token inventories
+    (one tokenize+count pass) against target shares with a 4-epoch
+    repetition cap — planned tokens, epochs, and EXPLICIT deficits on
+    the exact ppm lattice (floor division end-to-end)."""
+    docs = _load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(text.token_count(F.col("text"))).alias("n_tokens")
+    )
+    targets = {"src0": 300_000, "src1": 250_000, "src2": 200_000,
+               "src3": 150_000, "src4": 100_000}
+    return curation.plan_mixture(
+        counts, targets, budget_tokens=1_000_000, max_epochs_ppm=4_000_000
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3903,6 +3943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q241_simpson_diversity": q241_simpson_diversity,
         "q242_cross_source_contamination": q242_cross_source_contamination,
         "q243_audio_fingerprint_dedup": q243_audio_fingerprint_dedup,
+        "q244_scene_changes": q244_scene_changes,
+        "q245_mixture_plan": q245_mixture_plan,
     }
 
 
@@ -8261,6 +8303,60 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY uuid
         """,
         "q237_bpe_train": _bpe_oracle(8),
+        "q244_scene_changes": """
+            -- p[f, i] = (id*7 + f*13 + i) % 256, n = 2 + id%4 frames of
+            -- 8x4; cut iff |sum(f) - sum(f-1)| * 1000 > 12000 * 32
+            WITH v AS (
+              SELECT doc_id, 2 + CAST(doc_id % 4 AS BIGINT) AS n
+              FROM documents WHERE doc_id % 3 = 2
+            ), fs AS (
+              SELECT doc_id, n,
+                     [ list_sum([ (doc_id*7 + f*13 + i) % 256
+                                  for i in generate_series(0, 31) ])
+                       for f in generate_series(0, n - 1) ] AS sums
+              FROM v
+            ), cuts AS (
+              SELECT doc_id,
+                     unnest([ {'frame': f, 'delta': sums[f+1] - sums[f]}
+                              for f in generate_series(1, len(sums) - 1) ])
+                       AS c
+              FROM fs
+            )
+            SELECT doc_id AS media_id,
+                   CAST(c.frame AS BIGINT) AS frame,
+                   CAST(c.delta AS BIGINT) AS luma_delta
+            FROM cuts
+            WHERE abs(c.delta) * 1000 > 12000 * 32
+        """,
+        "q245_mixture_plan": f"""
+            WITH c AS (
+              SELECT source,
+                     CAST(SUM(len({_TOKENS})) AS BIGINT) AS available_tokens
+              FROM documents GROUP BY source),
+            t(source, share_ppm) AS (VALUES
+              ('src0', 300000), ('src1', 250000), ('src2', 200000),
+              ('src3', 150000), ('src4', 100000)),
+            j AS (
+              SELECT c.source, c.available_tokens,
+                     CAST(COALESCE(t.share_ppm, 0) AS BIGINT) AS share_ppm
+              FROM c LEFT JOIN t ON c.source = t.source)
+            SELECT source, available_tokens,
+                   share_ppm AS target_share_ppm,
+                   (1000000 * share_ppm) // 1000000 AS target_tokens,
+                   least((1000000 * share_ppm) // 1000000,
+                         (available_tokens * 4000000) // 1000000)
+                     AS planned_tokens,
+                   CASE WHEN available_tokens > 0 THEN
+                     (least((1000000 * share_ppm) // 1000000,
+                            (available_tokens * 4000000) // 1000000)
+                      * 1000000) // available_tokens
+                   ELSE 0 END AS epochs_ppm,
+                   (1000000 * share_ppm) // 1000000
+                   - least((1000000 * share_ppm) // 1000000,
+                           (available_tokens * 4000000) // 1000000)
+                     AS deficit_tokens
+            FROM j
+        """,
         "q243_audio_fingerprint_dedup": """
             -- s[i] = (i*59 + id*13) % 3601 - 1800, n = 40 + id%50;
             -- frame energies over 16 samples, bit f = E(f+1) > E(f)

@@ -652,3 +652,30 @@ def test_weighted_systematic_sample_hand_computed(spark):
     with _pytest.raises(ValueError):
         curation.weighted_systematic_sample(
             df2.withColumn("doc_id", df2.doc_id.cast("string")), 2)
+
+
+def test_plan_mixture_hand_values(spark):
+    from traildb_spark.operators import curation
+
+    counts = spark.createDataFrame(
+        [("web", 1000), ("code", 50), ("books", 0)],
+        ["source", "n_tokens"],
+    )
+    plan = {r.source: r for r in curation.plan_mixture(
+        counts, {"web": 500_000, "code": 400_000},
+        budget_tokens=1000, max_epochs_ppm=4_000_000,
+    ).collect()}
+    web = plan["web"]     # target 500, cap 4000 -> planned 500
+    assert (web.target_tokens, web.planned_tokens,
+            web.epochs_ppm, web.deficit_tokens) == (500, 500, 500_000, 0)
+    code = plan["code"]   # target 400, cap 200 -> deficit 200, 4 epochs
+    assert (code.target_tokens, code.planned_tokens,
+            code.epochs_ppm, code.deficit_tokens) == (400, 200,
+                                                      4_000_000, 200)
+    books = plan["books"]  # no target, zero inventory
+    assert (books.target_share_ppm, books.planned_tokens,
+            books.epochs_ppm) == (0, 0, 0)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="absent"):
+        curation.plan_mixture(counts, {"nosuch": 1}, budget_tokens=10)

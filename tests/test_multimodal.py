@@ -2034,3 +2034,26 @@ def test_audio_fingerprints_hand_values(spark):
         " meta string")
     with _pytest.raises(Exception, match="63-bit"):
         audio_fingerprints(df3, frame_samples=2).collect()
+
+
+def test_scene_changes_hand_values(spark):
+    """Two flat shots with one hard cut: only the cut frame flags; a
+    one-frame clip yields no rows."""
+    import numpy as _np
+
+    from traildb_spark.operators.multimodal import make_y4m, scene_changes
+
+    a = _np.full((2, 4, 4), 10, dtype=_np.uint8)   # shot 1: two frames
+    b = _np.full((2, 4, 4), 200, dtype=_np.uint8)  # shot 2: two frames
+    clip = _np.concatenate([a, b])
+    one = _np.full((1, 4, 4), 7, dtype=_np.uint8)
+    rows = [(1, "video", bytearray(make_y4m(clip)), "x/video", "{}"),
+            (2, "video", bytearray(make_y4m(one)), "x/video", "{}"),
+            (3, "audio", bytearray(b"junk"), "x/audio", "{}")]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary,"
+        " mime string, meta string")
+    got = scene_changes(df, min_avg_delta_milli=50_000).collect()
+    assert [(r.media_id, r.frame, r.luma_delta) for r in got] == [
+        (1, 2, (200 - 10) * 16)
+    ]

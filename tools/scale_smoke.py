@@ -666,11 +666,45 @@ def skew_family(spark):
     )
 
 
+def r7_family(spark):
+    """Round-7 batch at 500k docs / 100M events: BPE training (the
+    vocabulary-bounded-after-one-shuffle claim), source-pair
+    contamination (vocab-bounded distinct reduction), hashed linear
+    scoring + Simpson diversity + fertility (single-pass aggregates),
+    triangle census over a real near-dup graph, audio fingerprints."""
+    from traildb_spark.operators import analytics, curation, dedup
+    from traildb_spark.operators import text as text_ops
+    from traildb_spark.functions.core import md5_60
+
+    docs_big = "/tmp/scale_smoke/docs500k"
+    if not Path(docs_big).exists():
+        raise SystemExit("run SMOKE_R6=1 first to build docs500k")
+    docs = spark.read.parquet(docs_big)
+    print(f"docs: {docs.count()} rows", flush=True)
+
+    timed("bpe_train8_500k", lambda: text_ops.bpe_train(
+        docs, num_merges=8).count())
+    timed("hashed_linear_500k", lambda: _force(
+        text_ops.hashed_linear_score(docs)))
+    timed("fertility_500k", lambda: _force(
+        text_ops.tokenizer_fertility(docs)))
+    timed("simpson_500k", lambda: _force(text_ops.simpson_diversity(docs)))
+    timed("cross_contamination_500k", lambda: _force(
+        curation.cross_source_contamination(docs, n=13)))
+    edges = dedup.simhash_pairs(docs, max_hamming=6, token_hasher=md5_60)
+    timed("triangles_500k_graph", lambda: _force(
+        analytics.triangle_count(edges)))
+
+
 def main():
     spark = get_spark("scale-smoke", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
     import os
+
+    if os.environ.get("SMOKE_R7"):
+        r7_family(spark)
+        return
 
     if os.environ.get("SMOKE_SKEW"):
         skew_family(spark)

@@ -1396,3 +1396,66 @@ def cross_source_contamination(
             .alias("containment_ppm"),
         )
     )
+
+
+def plan_mixture(
+    counts: DataFrame,
+    targets_ppm: dict[str, int],
+    budget_tokens: int,
+    max_epochs_ppm: int = 4_000_000,
+    key_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Static training-mixture plan: given per-source token inventories
+    and target shares, how many tokens each source contributes to a
+    ``budget_tokens`` run, capped at ``max_epochs_ppm`` repetitions of
+    the source (4e6 ppm = at most 4 epochs — the practical over-
+    sampling ceiling before repetition hurts). The planning table every
+    mixture discussion (temperature/quota/DoReMi weights) ends in, with
+    deficits made explicit instead of silently renormalized.
+
+    Exact integer arithmetic (ppm lattice, floor division): target =
+    budget·share // 1e6, cap = available·max_epochs // 1e6, planned =
+    min(target, cap); epochs_ppm = planned·1e6 // available; deficit =
+    target − planned. Unknown sources in ``targets_ppm`` raise (a plan
+    naming a source the corpus lacks is a config error, not a zero
+    row); sources without a target plan 0. One broadcast join against a
+    targets literal table — the plan is |sources|-sized metadata."""
+    spark = counts.sparkSession
+    have = {r[0] for r in counts.select(key_col).distinct().collect()}
+    missing = sorted(set(targets_ppm) - have)
+    if missing:
+        raise ValueError(
+            f"plan_mixture: targets name sources absent from the corpus: "
+            f"{missing}"
+        )
+    tgt = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(targets_ppm.items())],
+        f"{key_col} string, __share_ppm long",
+    )
+    joined = counts.select(
+        F.col(key_col), F.col(tokens_col).cast("long").alias("__avail")
+    ).join(F.broadcast(tgt), key_col, "left").select(
+        key_col,
+        "__avail",
+        F.coalesce("__share_ppm", F.lit(0)).alias("__share_ppm"),
+    )
+    return joined.select(
+        key_col,
+        F.col("__avail").alias("available_tokens"),
+        F.col("__share_ppm").alias("target_share_ppm"),
+        F.expr(f"({budget_tokens} * __share_ppm) div 1000000")
+        .alias("target_tokens"),
+        F.expr(
+            f"least(({budget_tokens} * __share_ppm) div 1000000,"
+            f" (__avail * {int(max_epochs_ppm)}) div 1000000)"
+        ).alias("planned_tokens"),
+    ).select(
+        key_col, "available_tokens", "target_share_ppm", "target_tokens",
+        "planned_tokens",
+        F.expr("CASE WHEN available_tokens > 0 THEN"
+               " (planned_tokens * 1000000) div available_tokens"
+               " ELSE 0 END").alias("epochs_ppm"),
+        (F.col("target_tokens") - F.col("planned_tokens"))
+        .alias("deficit_tokens"),
+    )

@@ -3252,3 +3252,44 @@ def audio_fingerprints(
     ).mapInPandas(
         run, schema="media_id long, n_frames long, fingerprint long"
     )
+
+
+def scene_changes(
+    df: DataFrame,
+    min_avg_delta_milli: int = 12_000,
+) -> DataFrame:
+    """Scene-cut detection over decoded video: a cut is a frame whose
+    mean-luma jump from the previous frame exceeds the threshold —
+    flagged by the exact integer inequality
+    ``|Δ luma_sum| · 1000 > min_avg_delta_milli · n_pixels`` (no float
+    mean). The frame-sampling question a video-curation pipeline asks
+    before extracting keyframes for captioning: how many shots, and
+    where. Returns one row per detected cut ``(media_id, frame,
+    luma_delta)`` — frame is the index of the LATER frame; a one-frame
+    clip yields no rows. Same mapInPandas + DECODE_ERRORS posture as
+    the other extractors."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                if payload is None:
+                    continue
+                try:
+                    _w, _h, frames = decode_y4m(bytes(payload))
+                except DECODE_ERRORS:
+                    continue
+                sums = [int(f.astype(np.int64).sum()) for f in frames]
+                npx = int(frames[0].size) if len(frames) else 0
+                for f in range(1, len(sums)):
+                    delta = sums[f] - sums[f - 1]
+                    if abs(delta) * 1000 > min_avg_delta_milli * npx:
+                        rows.append((int(mid), f, delta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame", "luma_delta"]
+            )
+
+    return df.filter(F.col("kind") == "video").select(
+        "media_id", "content"
+    ).mapInPandas(
+        run, schema="media_id long, frame long, luma_delta long"
+    )
