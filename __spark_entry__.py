@@ -3695,6 +3695,76 @@ def q245_mixture_plan(spark, sf_dir):
     )
 
 
+def q246_sim_topk_sq8(spark, sf_dir):
+    """ANN top-k over the SCALAR-QUANTIZED (int8-grid) corpus — the
+    memory-compression scale path (FAISS-SQ8 shape) beside LSH (q53)
+    and IVF (q54): per-dim [lo,hi] calibration in one aggregation,
+    integer-dot candidate scan over 0..255 codes (4x smaller than
+    float32), exact quantized-cosine rerank of the 20 survivors. Every
+    step integer-or-IEEE-identical, so candidates AND ranks oracle-check
+    bit-for-bit."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.sq8_topk(emb, queries, k=5, rerank=20)
+
+
+def q247_readability(spark, sf_dir):
+    """Per-doc Flesch-class readability on the exact milli lattice
+    (regexp counts stay JVM-side; BIGINT div end-to-end) — the classic
+    pre-LLM quality prior used to bucket curricula."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.readability_scores(docs)
+
+
+def q248_markov_stationary(spark, sf_dir):
+    """Stationary state mix of the per-trail transition chain: 4 rounds
+    of integer power iteration (ppm lattice, dangling self-loops) on the
+    lexicon²-bounded edge table — the long-run complement to q59's
+    one-step matrix. Oracle unrolls the rounds as CTEs."""
+    ev = _events(spark, sf_dir)
+    return analytics.markov_stationary(
+        ev, "event_type", "uuid", "time", "event_id", iters=4
+    )
+
+
+def q249_lagged_crosscorr(spark, sf_dir):
+    """Lead/lag Pearson cross-correlation of click vs purchase hourly
+    volumes at lags 0..6 over the DENSE hour grid (missing hours are
+    real zeros). Moment sums exact int64; corr_micro is the only double
+    step (exact casts + correctly-rounded sqrt/div, bit-stable across
+    engines)."""
+    ev = _events(spark, sf_dir)
+    return analytics.lagged_crosscorr(ev, "click", "purchase", max_lag_hours=6)
+
+
+def q250_prefix_dedup(spark, sf_dir):
+    """Truncation-duplicate groups (same first-12-token prefix): the
+    crawl pathology exact hashing misses. Exact-dedup plan shape — one
+    groupBy on the 60-bit prefix hash."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.prefix_dup_groups(docs, n_tokens=12)
+
+
+def q251_template_dedup(spark, sf_dir):
+    """Template families by token-length SHAPE signature (digit/short/
+    medium/long/punct classes): boilerplate generators produce distinct
+    texts with identical shapes. distinct-text counts separate true
+    templates from exact clones."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.template_signature_groups(docs)
+
+
+def q252_ngram_novelty(spark, sf_dir):
+    """Per-doc 13-gram novelty vs everything earlier in the corpus
+    (arrival order): the curriculum/repeat-downweighting signal between
+    exact dedup and corpus-level vocab growth (q123). Grams travel as
+    60-bit hashes; novelty is exact ppm."""
+    docs = _load(spark, sf_dir, "documents")
+    return curation.ngram_novelty(docs, n=13)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3945,6 +4015,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_audio_fingerprint_dedup": q243_audio_fingerprint_dedup,
         "q244_scene_changes": q244_scene_changes,
         "q245_mixture_plan": q245_mixture_plan,
+        "q246_sim_topk_sq8": q246_sim_topk_sq8,
+        "q247_readability": q247_readability,
+        "q248_markov_stationary": q248_markov_stationary,
+        "q249_lagged_crosscorr": q249_lagged_crosscorr,
+        "q250_prefix_dedup": q250_prefix_dedup,
+        "q251_template_dedup": q251_template_dedup,
+        "q252_ngram_novelty": q252_ngram_novelty,
     }
 
 
@@ -8455,6 +8532,203 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT c FROM tri)
             SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
             FROM corners GROUP BY node
+        """,
+        "q246_sim_topk_sq8": """
+            WITH fz AS (
+              SELECT vec_id,
+                     [CAST(embedding[i] AS DOUBLE)
+                      for i in generate_series(1, 64)] AS fv,
+                     [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+                      for i in generate_series(1, 64)] AS qv
+              FROM embeddings),
+            dims AS (
+              SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+                        max(CAST(embedding[i] AS DOUBLE)) AS hi
+              FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY i),
+            codes AS (
+              SELECT e.vec_id,
+                     list(CAST(CASE WHEN d.hi = d.lo THEN 0
+                          ELSE greatest(0, least(255,
+                            floor((e.fv[d.i] - d.lo) * 255.0 / (d.hi - d.lo))))
+                          END AS BIGINT) ORDER BY d.i) AS code
+              FROM fz e, dims d GROUP BY e.vec_id),
+            cand AS (
+              SELECT query_id, corpus_id, int_dot,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY int_dot DESC, corpus_id ASC) AS crank
+              FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                       CAST(list_sum([qc.code[i] * cc.code[i]
+                            for i in generate_series(1, 64)]) AS BIGINT) AS int_dot
+                FROM codes qc JOIN fz q ON q.vec_id = qc.vec_id
+                CROSS JOIN codes cc JOIN fz c ON c.vec_id = cc.vec_id
+                WHERE q.vec_id < 5)),
+            reranked AS (
+              SELECT cd.query_id, cd.corpus_id, cd.int_dot,
+                     round(list_sum([cv.qv[i] * qv.qv[i] for i in generate_series(1, 64)])
+                           / (sqrt(list_sum([cv.qv[i] * cv.qv[i] for i in generate_series(1, 64)]))
+                              * sqrt(list_sum([qv.qv[i] * qv.qv[i] for i in generate_series(1, 64)]))),
+                           6) AS cos
+              FROM cand cd
+              JOIN fz cv ON cv.vec_id = cd.corpus_id
+              JOIN fz qv ON qv.vec_id = cd.query_id
+              WHERE cd.crank <= 20)
+            SELECT query_id, corpus_id, int_dot, cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank
+            FROM reranked
+            QUALIFY rank <= 5
+        """,
+        "q247_readability": """
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+                     CAST(len(regexp_extract_all(text, '[.!?]+')) + 1 AS BIGINT) AS n_sentences,
+                     CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+              FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words > 0
+                        THEN CAST(206835 - (1015 * n_words) // n_sentences
+                                  - (84600 * n_syllables) // n_words AS BIGINT)
+                   END AS flesch_milli
+            FROM c
+        """,
+        "q248_markov_stationary": f"""
+            WITH l AS (
+              SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY uuid
+                                           ORDER BY "time", event_id) AS prev
+              FROM ({_E})),
+            t0 AS (
+              SELECT prev AS src, event_type AS dst, COUNT(*) AS freq
+              FROM l WHERE prev IS NOT NULL GROUP BY 1, 2),
+            states AS (
+              SELECT DISTINCT state FROM (
+                SELECT src AS state FROM t0
+                UNION SELECT dst AS state FROM t0)),
+            outd AS (SELECT src, SUM(freq) AS out_freq FROM t0 GROUP BY src),
+            tr AS (
+              SELECT t0.src, t0.dst,
+                     CAST((1000000 * t0.freq) // o.out_freq AS BIGINT) AS p_ppm
+              FROM t0 JOIN outd o ON o.src = t0.src
+              UNION ALL
+              SELECT state, state, CAST(1000000 AS BIGINT)
+              FROM states WHERE state NOT IN (SELECT src FROM t0)),
+            v0 AS (
+              SELECT state,
+                     CAST(1000000 // (SELECT COUNT(*) FROM states) AS BIGINT) AS mass
+              FROM states),
+            v1 AS (
+              SELECT s.state, COALESCE(f.m, 0) AS mass FROM states s LEFT JOIN (
+                SELECT t.dst AS state, SUM((v.mass * t.p_ppm) // 1000000) AS m
+                FROM v0 v JOIN tr t ON v.state = t.src GROUP BY t.dst) f
+              ON f.state = s.state),
+            v2 AS (
+              SELECT s.state, COALESCE(f.m, 0) AS mass FROM states s LEFT JOIN (
+                SELECT t.dst AS state, SUM((v.mass * t.p_ppm) // 1000000) AS m
+                FROM v1 v JOIN tr t ON v.state = t.src GROUP BY t.dst) f
+              ON f.state = s.state),
+            v3 AS (
+              SELECT s.state, COALESCE(f.m, 0) AS mass FROM states s LEFT JOIN (
+                SELECT t.dst AS state, SUM((v.mass * t.p_ppm) // 1000000) AS m
+                FROM v2 v JOIN tr t ON v.state = t.src GROUP BY t.dst) f
+              ON f.state = s.state),
+            v4 AS (
+              SELECT s.state, COALESCE(f.m, 0) AS mass FROM states s LEFT JOIN (
+                SELECT t.dst AS state, SUM((v.mass * t.p_ppm) // 1000000) AS m
+                FROM v3 v JOIN tr t ON v.state = t.src GROUP BY t.dst) f
+              ON f.state = s.state)
+            SELECT state AS event_type, CAST(mass AS BIGINT) AS stationary_ppm
+            FROM v4
+        """,
+        "q249_lagged_crosscorr": f"""
+            WITH e AS ({_E}),
+            hr AS (
+              SELECT "time" // 3600 AS h, event_type FROM e
+              WHERE event_type IN ('click', 'purchase')),
+            per AS (
+              SELECT h,
+                     CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                     CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+              FROM hr GROUP BY h),
+            b AS (SELECT min(h) AS lo, max(h) AS hi FROM per),
+            grid AS (SELECT unnest(generate_series(lo, hi)) AS h FROM b),
+            dense AS (
+              SELECT g.h, COALESCE(p.x, 0) AS x, COALESCE(p.y, 0) AS y
+              FROM grid g LEFT JOIN per p ON p.h = g.h),
+            lags AS (SELECT unnest(generate_series(0, 6)) AS lag),
+            j AS (
+              SELECT l.lag, t1.x, t2.y
+              FROM dense t1 CROSS JOIN lags l
+              JOIN dense t2 ON t2.h = t1.h + l.lag),
+            a AS (
+              SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                     SUM(x * x) AS sxx, SUM(y * y) AS syy
+              FROM j GROUP BY lag)
+            SELECT CAST(lag AS BIGINT) AS lag, n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+                   CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+                   CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                        THEN CAST(round(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 0) AS BIGINT)
+                   END AS corr_micro
+            FROM a ORDER BY lag
+        """,
+        "q250_prefix_dedup": f"""
+            WITH w AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+            p AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(array_to_string(ws[1:12], ' ')), 1, 15))
+                          AS BIGINT) AS prefix_hash
+              FROM w),
+            g AS (
+              SELECT doc_id, prefix_hash,
+                     CAST(COUNT(*) OVER (PARTITION BY prefix_hash) AS BIGINT) AS group_size,
+                     MIN(doc_id) OVER (PARTITION BY prefix_hash) AS canonical_id
+              FROM p)
+            SELECT doc_id, prefix_hash, group_size, canonical_id
+            FROM g WHERE group_size >= 2
+        """,
+        "q251_template_dedup": f"""
+            WITH w AS (
+              SELECT doc_id, {_NORM_TEXT} AS norm, {_TOKENS} AS ws FROM documents),
+            s AS (
+              SELECT doc_id, norm,
+                     CAST(('0x' || substr(md5(array_to_string(
+                       [CASE WHEN regexp_matches(t, '^[0-9]+$') THEN 'd'
+                             WHEN regexp_matches(t, '^[A-Za-z]{{1,3}}$') THEN 's'
+                             WHEN regexp_matches(t, '^[A-Za-z]{{4,6}}$') THEN 'm'
+                             WHEN regexp_matches(t, '^[A-Za-z]+$') THEN 'l'
+                             ELSE 'p' END for t in ws], '')), 1, 15))
+                          AS BIGINT) AS shape_hash
+              FROM w)
+            SELECT shape_hash, CAST(COUNT(*) AS BIGINT) AS group_size,
+                   CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_distinct_texts,
+                   MIN(doc_id) AS canonical_id
+            FROM s GROUP BY shape_hash
+            HAVING COUNT(*) >= 2
+        """,
+        "q252_ngram_novelty": f"""
+            WITH w AS (SELECT doc_id, source, {_TOKENS} AS ws FROM documents),
+            gr AS (
+              SELECT doc_id, source, unnest(list_distinct(
+                [CAST(('0x' || substr(md5(array_to_string(ws[i:i+12], ' ')), 1, 15)) AS BIGINT)
+                 for i in generate_series(1, greatest(len(ws) - 12, 1))])) AS g
+              FROM w),
+            f AS (SELECT g, MIN(doc_id) AS first_doc FROM gr GROUP BY g),
+            per AS (
+              SELECT gr.doc_id, gr.source,
+                     CAST(COUNT(*) AS BIGINT) AS n_grams,
+                     CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                          AS BIGINT) AS novel_grams
+              FROM gr JOIN f ON f.g = gr.g
+              GROUP BY gr.doc_id, gr.source)
+            SELECT doc_id, source, n_grams, novel_grams,
+                   CAST((1000000 * novel_grams) // n_grams AS BIGINT) AS novelty_ppm
+            FROM per
         """,
         "q241_simpson_diversity": f"""
             WITH t AS (

@@ -1915,3 +1915,54 @@ def test_adoption_curve_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         analytics.adoption_curve(df, bucket_seconds=0)
+
+
+def test_markov_stationary_hand_computed(spark):
+    """Deterministic 2-cycle keeps the uniform start; a dangling sink
+    absorbs all mass through its explicit self-loop."""
+    from traildb_spark.operators.analytics import markov_stationary
+
+    cycle = spark.createDataFrame(
+        [("u", 0, 0, "A"), ("u", 1, 1, "B"), ("u", 2, 2, "A"), ("u", 3, 3, "B")],
+        "uuid string, time long, event_id long, event_type string",
+    )
+    out = {r.event_type: r.stationary_ppm
+           for r in markov_stationary(cycle, "event_type", "uuid", "time",
+                                      "event_id", iters=4).collect()}
+    assert out == {"A": 500_000, "B": 500_000}
+
+    sink = spark.createDataFrame(
+        [("u", 0, 0, "A"), ("u", 1, 1, "C")],
+        "uuid string, time long, event_id long, event_type string",
+    )
+    out = {r.event_type: r.stationary_ppm
+           for r in markov_stationary(sink, "event_type", "uuid", "time",
+                                      "event_id", iters=4).collect()}
+    assert out == {"A": 0, "C": 1_000_000}
+
+
+def test_lagged_crosscorr_hand_computed(spark):
+    """y is x shifted one hour: perfect correlation at lag 1 (and at
+    lag 0 for these collinear series); the dense grid supplies the
+    missing-hour zeros."""
+    from traildb_spark.operators.analytics import lagged_crosscorr
+
+    rows = []
+    eid = 0
+    x = {0: 1, 1: 2, 2: 3}
+    y = {0: 0, 1: 1, 2: 2}   # hour 0 has NO b events: grid must emit 0
+    for h, n in x.items():
+        for _ in range(n):
+            rows.append(("u", h * 3600 + 1, eid, "a")); eid += 1
+    for h, n in y.items():
+        for _ in range(n):
+            rows.append(("u", h * 3600 + 2, eid, "b")); eid += 1
+    df = spark.createDataFrame(
+        rows, "uuid string, time long, event_id long, event_type string"
+    )
+    out = {r.lag: r for r in lagged_crosscorr(df, "a", "b",
+                                              max_lag_hours=1).collect()}
+    assert out[0].n == 3 and out[1].n == 2
+    # x=[1,2,3] vs y=[0,1,2] and the lag-1 pairs (1,1),(2,2): both exact
+    assert out[0].corr_micro == 1_000_000
+    assert out[1].corr_micro == 1_000_000

@@ -679,3 +679,22 @@ def test_plan_mixture_hand_values(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="absent"):
         curation.plan_mixture(counts, {"nosuch": 1}, budget_tokens=10)
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """n=2 grams: doc0 all-novel, doc1 half-novel (shares 'a b'),
+    doc2 a re-combination of seen grams scores 0."""
+    from traildb_spark.operators.curation import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c", "s0"),
+            (1, "a b x", "s0"),
+            (2, "a b c", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(df, n=2).collect()}
+    assert out[0].novelty_ppm == 1_000_000 and out[0].n_grams == 2
+    assert out[1].novelty_ppm == 500_000 and out[1].novel_grams == 1
+    assert out[2].novelty_ppm == 0 and out[2].source == "s1"

@@ -2212,3 +2212,69 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
     # vocab-cap refusal
     with pytest.raises(ValueError, match="max_vocab_rows"):
         text.bpe_train(real, num_merges=1, max_vocab_rows=3)
+
+
+def test_readability_scores_hand_computed(spark):
+    """'The cat sat. It ran!' — 5 words, 5 vowel groups, 3 sentence
+    units; flesch_milli = 206835 - (1015*5)//3 - (84600*5)//5."""
+    from traildb_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran!"), (2, "!!!")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in readability_scores(df).collect()}
+    r = out[1]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 3, 5)
+    assert r.flesch_milli == 206835 - (1015 * 5) // 3 - (84600 * 5) // 5
+    # no words -> NULL score, not a crash or a divide-by-zero
+    assert out[2].n_words == 0 and out[2].flesch_milli is None
+
+
+def test_prefix_dup_groups_hand_computed(spark):
+    """Docs sharing their first-12-token prefix group together; docs
+    shorter than the prefix group only on full equality of tokens."""
+    from traildb_spark.operators.dedup import prefix_dup_groups
+
+    base = "a b c d e f g h i j k l"
+    df = spark.createDataFrame(
+        [
+            (1, base + " tail one"),
+            (2, base + " different ending entirely"),
+            (3, "unrelated text"),
+            (4, "short doc"),
+            (5, "short doc"),  # exact short clone: full list is the key
+        ],
+        "doc_id long, text string",
+    )
+    rows = prefix_dup_groups(df, n_tokens=12).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.prefix_hash, set()).add(r.doc_id)
+    assert {frozenset(g) for g in groups.values()} == {
+        frozenset({1, 2}),
+        frozenset({4, 5}),
+    }
+    assert all(r.canonical_id == min(1, 2) for r in rows if r.doc_id in (1, 2))
+
+
+def test_template_signature_groups_hand_computed(spark):
+    """Same token-length shape, different texts -> one family with
+    n_distinct_texts = 2; an exact clone pair is a family with
+    n_distinct_texts = 1."""
+    from traildb_spark.operators.dedup import template_signature_groups
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat dog 123"),   # shapes: s s d
+            (2, "dog cat 456"),   # same shape, distinct text
+            (3, "a completely different shape with many long tokens"),
+            (4, "clone text here 9"),
+            (5, "clone text here 9"),
+        ],
+        "doc_id long, text string",
+    )
+    fams = {r.canonical_id: r for r in template_signature_groups(df).collect()}
+    assert set(fams) == {1, 4}
+    assert fams[1].group_size == 2 and fams[1].n_distinct_texts == 2
+    assert fams[4].group_size == 2 and fams[4].n_distinct_texts == 1

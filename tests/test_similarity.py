@@ -59,3 +59,36 @@ def test_mmr_select_hand_computed(spark):
         similarity.mmr_select(df, 99, k=2)
     with _pytest.raises(ValueError):
         similarity.mmr_select(df, 0, k=2, lambda_pct=101)
+
+
+def test_sq8_topk_hand_computed(spark):
+    """64-dim corpus dominated by two axes: the int8 candidate scan and
+    the exact rerank agree with brute-force cosine order; a constant
+    dimension exercises the degenerate-grid (hi == lo) guard."""
+    import math
+
+    def vec(a, b):
+        v = [0.0] * 64
+        v[0], v[1] = a, b
+        v[63] = 7.0          # constant dim: hi == lo -> code 0, no NaN
+        return v
+
+    rows = [
+        (0, vec(1.0, 0.0)),
+        (1, vec(0.9, 0.1)),
+        (2, vec(0.0, 1.0)),
+        (3, vec(0.5, 0.5)),
+        (4, vec(-1.0, 0.0)),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.sq8_topk(df, q, k=5, rerank=5).orderBy("rank").collect()
+    assert [r.corpus_id for r in out][0] == 0          # self first
+    order = [r.corpus_id for r in out]
+    # exact cosine order for query (1,0,..,7): self, then 1, 3, 2, 4
+    assert order == [0, 1, 3, 2, 4]
+    assert all(out[i].cos >= out[i + 1].cos for i in range(len(out) - 1))

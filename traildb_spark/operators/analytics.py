@@ -4933,3 +4933,153 @@ def triangle_count(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node.select("node", F.col("n_triangles").cast("long"))
+
+
+def markov_stationary(
+    df: DataFrame,
+    field: str,
+    uuid_col: str = UUID_COL,
+    time_col: str = TIME_COL,
+    *tiebreak: str,
+    iters: int = 4,
+) -> DataFrame:
+    """Stationary distribution of the per-trail transition chain (power
+    iteration on the exact ppm lattice) — "where does a random session
+    end up": the long-run state mix behind the one-step matrix (q59) and
+    the dwell-time view (q219).
+
+    The corpus-scale work is ONE pass — transition_counts' lag window —
+    after which everything runs on the lexicon²-bounded edge table:
+    ``iters`` fixed rounds of v·P, each a vocabulary-sized join + groupBy
+    (no driver loop over data, no collect). All math is integer:
+    p_ppm = (1e6·freq) div out_degree, mass flow = (mass·p_ppm) div 1e6,
+    dangling states get an explicit 1e6 self-loop so no mass silently
+    vanishes. Floor rounding loses ≤1 ppm per (state, round) —
+    deterministic, mirrored by the unrolled-CTE oracle (q248)."""
+    counts = transition_counts(df, field, uuid_col, time_col, *tiebreak)
+    states = (
+        counts.select(F.col("src").alias("state"))
+        .union(counts.select(F.col("dst").alias("state")))
+        .distinct()
+    )
+    out = counts.groupBy("src").agg(F.sum("freq").alias("out_freq"))
+    trans = counts.join(out, "src").select(
+        "src", "dst",
+        F.expr("(1000000 * freq) div out_freq").cast("long").alias("p_ppm"),
+    )
+    dangling = (
+        states.join(out, states.state == out.src, "left_anti")
+        .select(
+            F.col("state").alias("src"),
+            F.col("state").alias("dst"),
+            F.lit(1_000_000).cast("long").alias("p_ppm"),
+        )
+    )
+    trans = trans.union(dangling)
+    n_states = states.count()
+    if n_states == 0:
+        raise ValueError("markov_stationary: no transitions in input")
+    v = states.select(
+        "state",
+        F.lit(1_000_000 // n_states).cast("long").alias("mass_ppm"),
+    )
+    for _ in range(iters):
+        flow = (
+            v.join(trans, v.state == trans.src)
+            .select(
+                F.col("dst").alias("state"),
+                F.expr("(mass_ppm * p_ppm) div 1000000").cast("long").alias("m"),
+            )
+            .groupBy("state")
+            .agg(F.sum("m").alias("mass_ppm"))
+        )
+        v = (
+            states.join(flow, "state", "left")
+            .select(
+                "state",
+                F.coalesce(F.col("mass_ppm"), F.lit(0).cast("long")).alias("mass_ppm"),
+            )
+        )
+    return v.withColumnRenamed("state", field).select(
+        F.col(field), F.col("mass_ppm").alias("stationary_ppm")
+    )
+
+
+def lagged_crosscorr(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    max_lag_hours: int = 6,
+    type_col: str = "event_type",
+    time_col: str = TIME_COL,
+) -> DataFrame:
+    """Lead/lag structure between two event streams: Pearson
+    cross-correlation of their hourly volumes at lags 0..max_lag — "do
+    errors foreshadow purchases dropping an hour later". Complements the
+    single-series autocorrelation (q155).
+
+    The corpus reduces to the DENSE hourly grid in one aggregation
+    (missing hours are real zeros — the grid comes from a sequence over
+    [min, max], not from observed buckets); every lag is then an
+    integer-shifted self-join of that time-grid-sized table, so the
+    per-lag stage costs nothing at any corpus scale. Moment sums stay
+    exact int64; only the final normalization touches doubles (exact
+    int→double casts, correctly-rounded sqrt/div — bit-stable across
+    engines), emitted as corr_micro rounded to an integer."""
+    hours = df.filter(F.col(type_col).isin([type_a, type_b])).select(
+        F.floor(F.col(time_col).cast("long") / F.lit(3600)).cast("long").alias("h"),
+        type_col,
+    )
+    per = hours.groupBy("h").agg(
+        F.sum(F.when(F.col(type_col) == type_a, 1).otherwise(0)).cast("long").alias("x"),
+        F.sum(F.when(F.col(type_col) == type_b, 1).otherwise(0)).cast("long").alias("y"),
+    )
+    bounds = per.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h")
+    )
+    dense = (
+        grid.join(per, "h", "left")
+        .select(
+            "h",
+            F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0).cast("long")).alias("y"),
+        )
+    )
+    lags = dense.sparkSession.range(0, max_lag_hours + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    t1 = dense.select(F.col("h").alias("h1"), F.col("x"))
+    t2 = dense.select(F.col("h").alias("h2"), F.col("y"))
+    joined = (
+        t1.crossJoin(F.broadcast(lags))
+        .join(t2, F.col("h2") == F.col("h1") + F.col("lag"))
+    )
+    agg = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "lag", "n",
+        num.cast("long").alias("num"),
+        den_x.cast("long").alias("den_x"),
+        den_y.cast("long").alias("den_y"),
+    ).withColumn(
+        "corr_micro",
+        F.when(
+            (F.col("den_x") > 0) & (F.col("den_y") > 0),
+            F.round(
+                F.lit(1_000_000.0) * F.col("num").cast("double")
+                / (F.sqrt(F.col("den_x").cast("double"))
+                   * F.sqrt(F.col("den_y").cast("double"))),
+                0,
+            ).cast("long"),
+        ),
+    ).orderBy("lag")

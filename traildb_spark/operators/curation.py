@@ -1459,3 +1459,47 @@ def plan_mixture(
         (F.col("target_tokens") - F.col("planned_tokens"))
         .alias("deficit_tokens"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-document n-gram novelty against everything EARLIER in the
+    corpus (doc_id order = arrival order): the share of a doc's distinct
+    n-grams never seen in any lower-id document. The curriculum/curation
+    signal between exact dedup (novelty 0 for a clone) and vocab growth
+    (q123, corpus-level): near-dups, quotes, and syndicated fragments
+    score low; genuinely new material scores high — the per-doc knob for
+    "train on novel text first" ordering and repeat-downweighting.
+
+    One explode to distinct (doc, gram-hash) rows, one groupBy on the
+    uniform 60-bit gram hash for the global first-seer (min doc_id), one
+    join back on the same key — partial aggregation everywhere, grams
+    travel only as hashes. Novelty is exact ppm (floor div)."""
+    grams = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(md5_word_ngram_hashes(F.col(text_col), n)).alias("g"),
+    )
+    from .dedup import _materialize
+
+    grams = _materialize(grams)
+    first = grams.groupBy("g").agg(F.min(id_col).alias("first_doc"))
+    per = (
+        grams.join(first, "g")
+        .groupBy(id_col, source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)
+            ).cast("long").alias("novel_grams"),
+        )
+    )
+    return per.withColumn(
+        "novelty_ppm",
+        F.expr("(1000000 * novel_grams) div n_grams").cast("long"),
+    )

@@ -2590,3 +2590,94 @@ def tfidf_cosine_pairs(
             ).alias("cos2_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# structural near-dup families: truncation prefixes, layout templates
+# --------------------------------------------------------------------------
+
+def prefix_dup_groups(
+    df: DataFrame,
+    n_tokens: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Truncation-duplicate groups: documents sharing their first
+    ``n_tokens`` tokens — the crawl pathology exact dedup (q33) misses
+    (same page captured at different cut-offs hashes differently) and
+    MinHash only catches when the shared prefix dominates the shingle
+    set. Standard prefilter in crawl pipelines (RefinedWeb-style
+    line/prefix dedup).
+
+    Exact-dedup plan shape: hash the token prefix (md5_60 over the
+    space-joined slice — DuckDB mirrors it verbatim), ONE groupBy on the
+    uniform 60-bit key, groups of >= 2 out. Docs shorter than the prefix
+    still participate (their full token list is the key) so pure clones
+    of short docs are caught too. The raw text never shuffles — only
+    (id, hash, n) rows do."""
+    from ..functions.core import md5_60
+
+    toks = _tokens_of(df, text_col)  # reuse the canonical tokenizer
+    pref = df.select(
+        F.col(id_col),
+        md5_60(
+            F.array_join(F.slice(toks, 1, n_tokens), " ")
+        ).alias("prefix_hash"),
+    )
+    w = Window.partitionBy("prefix_hash")
+    return (
+        pref.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .filter(F.col("group_size") >= 2)
+        .select(id_col, "prefix_hash", "group_size", "canonical_id")
+    )
+
+
+def template_signature_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Template families: documents whose token-length SHAPE matches —
+    each token reduced to a length class (digit run → 'd', 1-3 letters →
+    's', 4-6 → 'm', longer → 'l', else 'p'), the class string hashed.
+    Boilerplate generators (error pages, product stubs, mirrors with
+    substituted entities) produce distinct texts with identical shapes;
+    this is the cheap structural screen that runs BEFORE pairwise
+    near-dup, shrinking its candidate space.
+
+    Same one-shuffle exact-dedup plan as prefix_dup_groups: per-doc
+    signature via JVM regexp/transform (no Python), groupBy the 60-bit
+    hash, emit families of >= 2 with distinct-text counts so pure exact
+    clones (same text) rank below true templates (same shape, many
+    texts)."""
+    from ..functions.core import md5_60
+
+    toks = _tokens_of(df, text_col)
+    classes = F.transform(
+        toks,
+        lambda t: F.when(t.rlike("^[0-9]+$"), F.lit("d"))
+        .when(t.rlike("^[A-Za-z]{1,3}$"), F.lit("s"))
+        .when(t.rlike("^[A-Za-z]{4,6}$"), F.lit("m"))
+        .when(t.rlike("^[A-Za-z]+$"), F.lit("l"))
+        .otherwise(F.lit("p")),
+    )
+    sig = df.select(
+        F.col(id_col),
+        md5_60(F.array_join(classes, "")).alias("shape_hash"),
+        F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash"),
+    )
+    grouped = sig.groupBy("shape_hash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct("content_hash").alias("n_distinct_texts"),
+        F.min(id_col).alias("canonical_id"),
+    )
+    return grouped.filter(F.col("group_size") >= 2)
+
+
+def _tokens_of(df: DataFrame, text_col: str) -> Column:
+    """Canonical whitespace tokens (text.tokens) without a circular
+    import at module load."""
+    from .text import tokens
+
+    return tokens(F.col(text_col))

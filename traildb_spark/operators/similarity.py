@@ -1135,3 +1135,109 @@ def mmr_select(
     return df.sparkSession.createDataFrame(
         picked, "rank int, vec_id long, score100 long"
     )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k over SCALAR-QUANTIZED (int8-grid) vectors: the memory-
+    compression scale path that complements LSH (q40/q53) and IVF
+    (q41/q54).
+
+    Production vector stores (FAISS SQ8, Milvus, pgvector halfvec) scan a
+    0..255-quantized copy of the corpus — 4x smaller than float32, so 4x
+    more of a 100 TB corpus fits in page cache — then re-rank the survivors
+    against full precision. Shape here is the same two stages:
+
+      1. CALIBRATE: one aggregation pass computes the per-dimension
+         [lo, hi] grid over the corpus (128 tiny JVM-side aggregates, one
+         row out — metadata-scale, broadcast back as literals).
+      2. SCAN: quantize corpus + queries onto the grid with
+         ``F.transform`` (whole-stage codegen, no Python), rank candidates
+         per query by the exact INTEGER dot product of the quantized
+         codes, keep ``rerank`` per query — only |Q|*rerank rows survive.
+      3. RERANK: exact cosine on the floor(v*2^20) lattice (the portable
+         cosine every other similarity op uses) over the survivors.
+
+    The corpus is scanned once, never shuffled; the ranked shuffle carries
+    |Q| * partitions * rerank candidate rows. Every arithmetic step is
+    IEEE-double-then-floor or integer, so the DuckDB oracle (q246)
+    reproduces candidates AND final ranks bit-for-bit.
+    """
+    from .dedup import quantize_q20, quantized_cosine_udf
+
+    dims = corpus.select(F.col(vec_col).alias("v")).agg(
+        *[F.min(F.col("v")[i].cast("double")).alias(f"lo{i}") for i in range(64)],
+        *[F.max(F.col("v")[i].cast("double")).alias(f"hi{i}") for i in range(64)],
+    ).collect()[0]
+    lo = [float(dims[f"lo{i}"]) for i in range(64)]
+    hi = [float(dims[f"hi{i}"]) for i in range(64)]
+    lo_arr = F.array(*[F.lit(x) for x in lo])
+    hi_arr = F.array(*[F.lit(x) for x in hi])
+
+    def sq8(col):
+        # code_d = clamp(floor((v_d - lo_d) * 255 / (hi_d - lo_d)), 0, 255);
+        # identical expression order in the oracle SQL so the doubles agree
+        # constant dimension (hi == lo) → code 0: the grid is degenerate
+        # there and the NaN a 0/0 would produce must never reach the codes
+        return F.transform(
+            col.cast("array<double>"),
+            lambda x, i: F.when(
+                F.element_at(hi_arr, i + 1) == F.element_at(lo_arr, i + 1),
+                F.lit(0).cast("long"),
+            ).otherwise(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.least(
+                        F.lit(255).cast("long"),
+                        F.floor(
+                            (x - F.element_at(lo_arr, i + 1))
+                            * F.lit(255.0)
+                            / (F.element_at(hi_arr, i + 1) - F.element_at(lo_arr, i + 1))
+                        ).cast("long"),
+                    ),
+                )
+            ),
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        quantize_q20(F.col(vec_col)).alias("cv20"),
+        sq8(F.col(vec_col)).alias("cq"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantize_q20(F.col(vec_col)).alias("qv20"),
+        sq8(F.col(vec_col)).alias("qq"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("cq"), F.col("qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.desc("int_dot"), F.asc("corpus_id")
+    )
+    cands = (
+        c.join(F.broadcast(q))
+        .withColumn("int_dot", int_dot)
+        .withColumn("crank", F.row_number().over(cand_w))
+        .filter(F.col("crank") <= rerank)
+    )
+    rerank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("corpus_id")
+    )
+    return (
+        cands.withColumn(
+            "cos", F.round(quantized_cosine_udf(F.col("cv20"), F.col("qv20")), 6)
+        )
+        .withColumn("rank", F.row_number().over(rerank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "int_dot", "cos", "rank")
+    )

@@ -2263,3 +2263,38 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "round int, left string, right string, pair_count long"
     )
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document readability on the exact milli lattice — the classic
+    pre-LLM quality prior (C4 kept Flesch-ish heuristics; Gopher reports
+    them) still used to bucket curricula.
+
+    Counts are regex counts (JVM-side ``regexp_count``, whole-stage
+    codegen): words = letter runs, syllables = vowel-group runs in the
+    lowercased text, sentences = terminal-punctuation runs + 1. The
+    Flesch score is computed with BIGINT floor division end-to-end —
+    ``206835 - (1015*W) // S - (84600*Syl) // W`` — so the DuckDB
+    oracle (q247) agrees bit-for-bit; no float ratio ever forms.
+    One narrow projection of the corpus, no shuffle at all.
+    """
+    low = F.lower(F.col(text_col))
+    words = F.regexp_count(low, F.lit(r"[a-z]+"))
+    syllables = F.regexp_count(low, F.lit(r"[aeiouy]+"))
+    sentences = F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")) + F.lit(1)
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+    ).withColumn(
+        "flesch_milli",
+        F.when(
+            F.col("n_words") > 0,
+            F.lit(206835).cast("long")
+            - F.expr("(1015 * n_words) div n_sentences")
+            - F.expr("(84600 * n_syllables) div n_words"),
+        ),
+    )
