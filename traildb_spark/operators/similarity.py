@@ -7,6 +7,8 @@ file with k-means-style centroids) — all pure DataFrame ops.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1216,11 +1218,18 @@ def sq8_topk(
         quantize_q20(F.col(vec_col)).alias("qv20"),
         sq8(F.col(vec_col)).alias("qq"),
     )
-    int_dot = F.aggregate(
-        F.zip_with(F.col("cq"), F.col("qq"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # exact int64 dot in an Arrow batch (order-free integer sums, so the
+    # numpy execution is engine-portable); the Catalyst zip_with+aggregate
+    # fold computes the same values but interprets 64 ops per row
+    @F.pandas_udf("long")
+    def int_dot_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        X = np.vstack(xs.to_numpy()).astype(np.int64)
+        Y = np.vstack(ys.to_numpy()).astype(np.int64)
+        return pd.Series((X * Y).sum(axis=1))
+
+    int_dot = int_dot_udf(F.col("cq"), F.col("qq"))
     cand_w = Window.partitionBy("query_id").orderBy(
         F.desc("int_dot"), F.asc("corpus_id")
     )
