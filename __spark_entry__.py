@@ -3765,6 +3765,37 @@ def q252_ngram_novelty(spark, sf_dir):
     return curation.ngram_novelty(docs, n=13)
 
 
+def q253_kmv_distinct(spark, sf_dir):
+    """KMV (bottom-k) distinct-users sketch per event type — the third
+    sketch family beside count-min (q93) and HLL (q131), deterministic
+    by construction (md5_60 order statistics), so estimator AND exact
+    calibration column oracle-check bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    return analytics.kmv_distinct(ev, "uuid", keys=("event_type",), k=64)
+
+
+def q254_audio_gain(spark, sf_dir):
+    """Loudness-normalization audit over REAL decoded AU PCM: exact
+    integer RMS floor (isqrt), milli gain to target RMS 20000, integer
+    clip test (mixed outcomes across ids). The oracle recomputes
+    everything from the closed form s[i] = (i*59 + id*13) % 3601 - 1800."""
+    from traildb_spark.operators import multimodal
+
+    media = _media_table(spark, sf_dir, "audio", _au_fixture_payload(),
+                         cache_name="au")
+    # target 20000 sits just above the fixture's ~1039 RMS x 1800 peak
+    # headroom, so the clip flag is exercised BOTH ways across ids
+    return multimodal.audio_gain_report(media, target_rms=20000)
+
+
+def q255_stopword_discovery(spark, sf_dir):
+    """Corpus-driven stopword list by DOCUMENT frequency (>= 60% of
+    docs): the per-corpus replacement for fixed stopword lists feeding
+    the q31/q72 quality gates. Exact ppm."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.stopword_discovery(docs, min_df_ppm=600_000)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4022,6 +4053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_prefix_dedup": q250_prefix_dedup,
         "q251_template_dedup": q251_template_dedup,
         "q252_ngram_novelty": q252_ngram_novelty,
+        "q253_kmv_distinct": q253_kmv_distinct,
+        "q254_audio_gain": q254_audio_gain,
+        "q255_stopword_discovery": q255_stopword_discovery,
     }
 
 
@@ -8729,6 +8763,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_grams, novel_grams,
                    CAST((1000000 * novel_grams) // n_grams AS BIGINT) AS novelty_ppm
             FROM per
+        """,
+        "q253_kmv_distinct": f"""
+            WITH e AS ({_E}),
+            d AS (
+              SELECT DISTINCT event_type,
+                     CAST(('0x' || substr(md5(uuid), 1, 15)) AS BIGINT) AS h
+              FROM e),
+            r AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY h) AS rn
+              FROM d),
+            a AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     MAX(h) AS hk
+              FROM r WHERE rn <= 64 GROUP BY event_type),
+            x AS (
+              SELECT event_type,
+                     CAST(COUNT(DISTINCT uuid) AS BIGINT) AS exact_distinct
+              FROM e GROUP BY event_type)
+            SELECT a.event_type,
+                   CASE WHEN a.n < 64 THEN a.n
+                        ELSE CAST((63::HUGEINT * 1152921504606846976) // a.hk
+                                  AS BIGINT) END AS kmv_estimate,
+                   x.exact_distinct
+            FROM a JOIN x ON x.event_type = a.event_type
+        """,
+        "q254_audio_gain": """
+            -- fixture closed form: s[i] = (i*59 + id*13) % 3601 - 1800,
+            -- n = 40 + id%50, audio rows are doc_id % 3 = 1
+            WITH a AS (
+              SELECT doc_id, 40 + CAST(doc_id % 50 AS BIGINT) AS n
+              FROM documents WHERE doc_id % 3 = 1
+            ), s AS (
+              SELECT doc_id, n,
+                     [ (i*59 + doc_id*13) % 3601 - 1800
+                       for i in generate_series(0, n - 1) ] AS xs
+              FROM a
+            ), base AS (
+              SELECT doc_id AS media_id, n AS n_samples,
+                     CAST(list_sum(list_transform(xs,
+                          x -> CAST(x AS HUGEINT) * x)) AS BIGINT) AS sum_sq,
+                     CAST(list_max(list_transform(xs, x -> abs(x)))
+                          AS BIGINT) AS max_abs
+              FROM s
+            ), g AS (
+              SELECT media_id, n_samples, sum_sq,
+                     CAST(floor(sqrt(CAST(sum_sq // n_samples AS DOUBLE)))
+                          AS BIGINT) AS rms_floor,
+                     max_abs
+              FROM base)
+            SELECT media_id, n_samples, sum_sq, rms_floor, max_abs,
+                   CASE WHEN rms_floor > 0
+                        THEN CAST((1000 * 20000) // rms_floor AS BIGINT)
+                   END AS gain_milli,
+                   CASE WHEN rms_floor > 0
+                        THEN max_abs * ((1000 * 20000) // rms_floor)
+                             > 32767 * 1000
+                   END AS would_clip
+            FROM g
+        """,
+        "q255_stopword_discovery": f"""
+            WITH t AS (
+              SELECT doc_id, unnest(list_distinct({_TOKENS})) AS token
+              FROM documents),
+            f AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+              FROM t GROUP BY token),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT token, doc_freq,
+                   CAST((1000000 * doc_freq) // n.n_docs AS BIGINT) AS df_ppm
+            FROM f, n
+            WHERE (1000000 * doc_freq) // n.n_docs >= 600000
         """,
         "q241_simpson_diversity": f"""
             WITH t AS (

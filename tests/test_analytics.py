@@ -1966,3 +1966,41 @@ def test_lagged_crosscorr_hand_computed(spark):
     # x=[1,2,3] vs y=[0,1,2] and the lag-1 pairs (1,1),(2,2): both exact
     assert out[0].corr_micro == 1_000_000
     assert out[1].corr_micro == 1_000_000
+
+
+def test_kmv_distinct_formula_and_partition_invariance(spark):
+    """The sketch equals a driver-side replay of the same order
+    statistics, exact below k, and is BIT-identical under different
+    partitionings (bottom-k of a union == merge of per-partition
+    bottom-k's)."""
+    import hashlib
+
+    from traildb_spark.operators.analytics import kmv_distinct
+
+    rows = [("big", f"u{i}") for i in range(500)] + [
+        ("small", f"u{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, uuid string")
+    out = {r.event_type: r for r in
+           kmv_distinct(df, "uuid", keys=("event_type",), k=64).collect()}
+    assert out["small"].kmv_estimate == 10        # n < k -> exact
+    assert out["small"].exact_distinct == 10
+    hs = sorted(
+        int.from_bytes(
+            hashlib.md5(f"u{i}".encode()).digest()[:8], "big") >> 4
+        for i in range(500)
+    )
+    expected = (63 * (1 << 60)) // hs[63]
+    assert out["big"].kmv_estimate == expected
+    assert out["big"].exact_distinct == 500
+    # within the expected KMV error envelope at k=64 (~12.5% sigma)
+    assert 300 <= out["big"].kmv_estimate <= 700
+    a = sorted(map(tuple, kmv_distinct(
+        df.repartition(7), "uuid", k=64).collect()))
+    b = sorted(map(tuple, kmv_distinct(
+        df.coalesce(1), "uuid", k=64).collect()))
+    assert a == b
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kmv_distinct(df, "uuid", k=1)

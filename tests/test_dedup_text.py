@@ -2278,3 +2278,18 @@ def test_template_signature_groups_hand_computed(spark):
     assert set(fams) == {1, 4}
     assert fams[1].group_size == 2 and fams[1].n_distinct_texts == 2
     assert fams[4].group_size == 2 and fams[4].n_distinct_texts == 1
+
+
+def test_stopword_discovery_hand_computed(spark):
+    """df ppm over 3 docs: 3/3 and 2/3 tokens pass the 60% gate, 1/3
+    does not."""
+    from traildb_spark.operators.text import stopword_discovery
+
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "the cat runs"), (3, "the dog")],
+        "doc_id long, text string",
+    )
+    out = {r.token: r for r in stopword_discovery(df, 600_000).collect()}
+    assert set(out) == {"the", "cat"}
+    assert out["the"].df_ppm == 1_000_000
+    assert out["cat"].df_ppm == 666_666

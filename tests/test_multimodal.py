@@ -2057,3 +2057,46 @@ def test_scene_changes_hand_values(spark):
     assert [(r.media_id, r.frame, r.luma_delta) for r in got] == [
         (1, 2, (200 - 10) * 16)
     ]
+
+
+def test_audio_gain_report_hand_computed(spark):
+    """Constant-amplitude clip: rms == amplitude exactly, gain is the
+    floor ratio, clip test flips with amplitude; silence yields NULL
+    gain rather than a division crash."""
+    import numpy as np
+
+    from traildb_spark.operators.multimodal import audio_gain_report, make_au
+
+    quiet = make_au(np.full(100, 300, dtype=np.int64), 8000)
+    loud = make_au(np.full(100, 30000, dtype=np.int64), 8000)
+    silent = make_au(np.zeros(50, dtype=np.int64), 8000)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(quiet)),
+         (2, "audio", bytearray(loud)),
+         (3, "audio", bytearray(silent))],
+        "media_id long, kind string, content binary",
+    )
+    out = {r.media_id: r for r in audio_gain_report(df, target_rms=600).collect()}
+    assert out[1].rms_floor == 300 and out[1].gain_milli == 2000
+    # 300 * 2000 = 600000 <= 32767000: no clip
+    assert out[1].would_clip is False
+    assert out[2].rms_floor == 30000 and out[2].gain_milli == 20
+    # 30000 * 20 = 600000 <= 32767000: still no clip
+    assert out[2].would_clip is False
+    assert out[3].rms_floor == 0 and out[3].gain_milli is None
+
+    # a spiky clip at an aggressive target: rms_floor 423 but a 3000
+    # peak -> gain 47281 milli drives the peak to ~141.8M > 32.767M
+    import math
+
+    spike = np.full(100, 300, dtype=np.int64)
+    spike[0] = 3000
+    df2 = spark.createDataFrame(
+        [(9, "audio", bytearray(make_au(spike, 8000)))],
+        "media_id long, kind string, content binary",
+    )
+    r = audio_gain_report(df2, target_rms=20000).collect()[0]
+    rms = math.isqrt(int((spike.astype("int64") ** 2).sum()) // 100)
+    assert r.rms_floor == rms == 423
+    assert r.gain_milli == 20_000_000 // rms
+    assert r.would_clip is True

@@ -5083,3 +5083,102 @@ def lagged_crosscorr(
             ).cast("long"),
         ),
     ).orderBy("lag")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    keys: tuple[str, ...] = ("event_type",),
+    k: int = 64,
+) -> DataFrame:
+    """Per-key distinct-count estimate from a KMV (k-minimum-values /
+    bottom-k) sketch — the third sketch family beside count-min (q93)
+    and HLL (q131): unlike HLL it supports set INTERSECTION estimates
+    downstream, and its hashes double as a uniform sample of the
+    distinct values.
+
+    The sketch is fully deterministic (order statistics of the shared
+    md5_60 hash family — no seeds, no partitioning dependence: the
+    bottom-k of a union is the merge of per-partition bottom-k's), so
+    the whole estimator oracle-checks bit-for-bit. Estimator:
+    n < k → exact n; else (k-1)·2^60 // h_k on the HUGEINT lattice.
+
+    Scale shape: a mapInPandas partial pass holds AT MOST k hashes per
+    key per task (bounded state, the countmin/MG posture), so the
+    exchange carries ≤ k·partitions rows per key — never the distinct
+    values themselves. The exact distinct count is emitted alongside
+    for calibration at test scale; drop it at 100 TB (it is the only
+    full-shuffle column)."""
+    from ..functions.core import md5_60
+
+    if k < 2:
+        raise ValueError("kmv_distinct: k must be >= 2")
+    # keys travel as strings through the Arrow partial pass; cast once
+    # here so the merge join and the exact side agree on type
+    kdf = df.select(
+        *[F.col(c).cast("string").alias(c) for c in keys],
+        F.col(value_col).alias("__v"),
+    )
+    key_cols = [F.col(c) for c in keys]
+    proj = kdf.select(
+        *key_cols, md5_60(F.col("__v").cast("string")).alias("h")
+    )
+
+    n_keys = len(keys)
+
+    def partials(batches):
+        import heapq
+
+        import pandas as pd
+
+        state: dict[tuple, tuple[list, set]] = {}
+        for pdf in batches:
+            cols = [pdf[c] for c in keys]
+            hs = pdf["h"]
+            for i in range(len(pdf)):
+                kt = tuple(c.iloc[i] for c in cols)
+                hv = int(hs.iloc[i])
+                heap, seen = state.setdefault(kt, ([], set()))
+                if hv in seen:
+                    continue
+                if len(heap) < k:
+                    heapq.heappush(heap, -hv)
+                    seen.add(hv)
+                elif hv < -heap[0]:
+                    seen.discard(-heapq.heappushpop(heap, -hv))
+                    seen.add(hv)
+        rows = [kt + (hv,) for kt, (heap, _) in state.items()
+                for hv in heap]
+        yield pd.DataFrame(
+            rows, columns=list(keys) + ["neg_h"]
+        ) if rows else pd.DataFrame(
+            {c: pd.Series(dtype="object") for c in keys}
+            | {"neg_h": pd.Series(dtype="int64")}
+        )
+
+    part_schema = ", ".join(
+        f"{c} string" for c in keys
+    ) + ", neg_h long"
+    part = proj.mapInPandas(partials, schema=part_schema)
+    merged = part.select(*key_cols, (-F.col("neg_h")).alias("h")).distinct()
+    w = Window.partitionBy(*key_cols).orderBy("h")
+    ranked = merged.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= k
+    )
+    agg = ranked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("h").alias("__hk")
+    )
+    exact = kdf.groupBy(*key_cols).agg(
+        F.countDistinct("__v").alias("exact_distinct")
+    )
+    est = F.when(F.col("__n") < k, F.col("__n")).otherwise(
+        F.expr(
+            f"CAST((CAST({k - 1} AS DECIMAL(38, 0)) * 1152921504606846976)"
+            " div __hk AS BIGINT)"
+        )
+    )
+    return (
+        agg.join(exact, list(keys))
+        .select(*key_cols, est.cast("long").alias("kmv_estimate"),
+                "exact_distinct")
+    )

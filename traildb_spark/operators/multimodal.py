@@ -3293,3 +3293,67 @@ def scene_changes(
     ).mapInPandas(
         run, schema="media_id long, frame long, luma_delta long"
     )
+
+
+def audio_gain_report(
+    df: DataFrame,
+    target_rms: int = 600,
+    full_scale: int = 32767,
+) -> DataFrame:
+    """Loudness-normalization report over decoded PCM: the gain each
+    clip needs to hit ``target_rms``, and whether applying it would
+    clip — the pre-mix audit an audio-training pipeline runs before
+    normalizing a corpus (its quality sibling is q233's silence/clip
+    gates).
+
+    Everything is exact integers: per-clip Σx² (int64 via HUGEINT-safe
+    numpy int64; 16-bit samples keep it < 2^53 for any real clip),
+    mean square by floor division, RMS floor via ``math.isqrt`` (exact
+    integer sqrt — matches DuckDB's floor(sqrt(double)) for any RMS
+    < 2^26), gain in milli by floor division, clip test as an integer
+    cross-multiplication. Same mapInPandas + DECODE_ERRORS skip posture
+    as the other extractors; only fixed-width stats leave the worker."""
+    import math
+
+    if target_rms < 1:
+        raise ValueError("audio_gain_report: target_rms must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                if payload is None:
+                    continue
+                try:
+                    _rate, _ch, s = decode_audio(bytes(payload))
+                except DECODE_ERRORS:
+                    continue
+                x = s.astype(np.int64)
+                n = int(x.size)
+                if n == 0:
+                    continue
+                sum_sq = int((x * x).sum())
+                rms_floor = math.isqrt(sum_sq // n)
+                max_abs = int(np.abs(x).max())
+                if rms_floor > 0:
+                    gain_milli = (1000 * target_rms) // rms_floor
+                    would_clip = max_abs * gain_milli > full_scale * 1000
+                else:
+                    gain_milli = None
+                    would_clip = None
+                rows.append((int(mid), n, sum_sq, rms_floor, max_abs,
+                             gain_milli, would_clip))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "sum_sq",
+                               "rms_floor", "max_abs", "gain_milli",
+                               "would_clip"],
+            )
+
+    return df.filter(F.col("kind") == "audio").select(
+        "media_id", "content"
+    ).mapInPandas(
+        run,
+        schema="media_id long, n_samples long, sum_sq long, "
+               "rms_floor long, max_abs long, gain_milli long, "
+               "would_clip boolean",
+    )

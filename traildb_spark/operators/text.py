@@ -2298,3 +2298,38 @@ def readability_scores(
             - F.expr("(84600 * n_syllables) div n_words"),
         ),
     )
+
+
+def stopword_discovery(
+    df: DataFrame,
+    min_df_ppm: int = 600_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-driven stopword list: tokens present in at least
+    ``min_df_ppm`` (ppm of documents) — document frequency, not raw
+    frequency (q56's top_terms), which is the right axis for stopwords:
+    a token repeated heavily in few docs is topical, one appearing in
+    most docs is glue. Feeds the stopword-ratio quality gates (q31/q72)
+    with a PER-CORPUS list instead of a fixed English one — the
+    multilingual-corpus fix.
+
+    One explode of per-doc DISTINCT tokens, one vocabulary-bounded
+    groupBy, doc total broadcast as a one-row crossJoin. Exact ppm by
+    floor division."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .withColumn(
+            "df_ppm", F.expr("(1000000 * doc_freq) div __n_docs").cast("long")
+        )
+        .filter(F.col("df_ppm") >= min_df_ppm)
+        .select("token", "doc_freq", "df_ppm")
+    )
