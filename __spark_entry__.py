@@ -3796,6 +3796,80 @@ def q255_stopword_discovery(spark, sf_dir):
     return text.stopword_discovery(docs, min_df_ppm=600_000)
 
 
+def q256_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: revenue of orders placed before / shipped after a
+    date, top-10 by revenue with full deterministic tiebreaks. Both
+    filters reach the scans (pushdown) BEFORE the fact-fact join; the
+    join shuffles only filtered keys + two money columns."""
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    cut = F.lit("1998-06-15")
+    return (
+        li.filter(F.col("l_shipdate") > cut)
+        .join(o.filter(F.col("o_orderdate") < cut),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                     4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q257_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue where the customer and the line's
+    supplier sit in the SAME nation — the classic co-located-join
+    probe. Dims broadcast (customer/supplier/nation never shuffle the
+    fact); the nation equality is applied as a post-broadcast filter,
+    so the only corpus-scale exchange is the lineitem⋈orders key
+    shuffle."""
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = _load(spark, sf_dir, "customer")
+    s = _load(spark, sf_dir, "supplier")
+    n = _load(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q258_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape by ship month: share of revenue from PROMO
+    parts. Part is a broadcast dim; the share divides the two
+    ALREADY-ROUNDED sums so the float division is bit-stable across
+    engines."""
+    li = _load(spark, sf_dir, "lineitem")
+    p = _load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    m = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                          .otherwise(F.lit(0.0))), 4).alias("promo_revenue"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+        )
+    )
+    return m.withColumn(
+        "promo_share",
+        F.round(F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4056,6 +4130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q253_kmv_distinct": q253_kmv_distinct,
         "q254_audio_gain": q254_audio_gain,
         "q255_stopword_discovery": q255_stopword_discovery,
+        "q256_shipping_priority": q256_shipping_priority,
+        "q257_local_supplier_volume": q257_local_supplier_volume,
+        "q258_promo_revenue": q258_promo_revenue,
     }
 
 
@@ -8836,6 +8913,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * doc_freq) // n.n_docs AS BIGINT) AS df_ppm
             FROM f, n
             WHERE (1000000 * doc_freq) // n.n_docs >= 600000
+        """,
+        "q256_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate < TIMESTAMP '1998-06-15'
+              AND l_shipdate > TIMESTAMP '1998-06-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q257_local_supplier_volume": """
+            SELECT n_name,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
+        "q258_promo_revenue": """
+            WITH m AS (
+              SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                     round(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0.0 END), 4) AS promo_revenue,
+                     round(SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS total_revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1)
+            SELECT ship_month, promo_revenue, total_revenue,
+                   round(100.0 * promo_revenue / total_revenue, 4)
+                     AS promo_share
+            FROM m
         """,
         "q241_simpson_diversity": f"""
             WITH t AS (

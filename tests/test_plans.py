@@ -942,3 +942,25 @@ def test_column_profile_melt_no_shuffle_explode(spark, sf_dir):
     out = analytics.column_profile(ev, ["uuid", "event_type"])
     plan = audit.explain_str(out, "simple")
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_trio_pushdown_and_broadcast(spark, sf_dir):
+    """q256/q257/q258 plan shapes: date filters reach the parquet scans,
+    every dim join is a broadcast (no sort-merge against customer/
+    supplier/nation/part), and the only corpus-scale exchange in q257 is
+    the lineitem-orders key shuffle."""
+    import __spark_entry__ as entry
+
+    q3 = entry.q256_shipping_priority(spark, sf_dir)
+    pf = " ".join(audit.pushed_filters(q3))
+    assert "shipdate" in pf.lower() or "orderdate" in pf.lower(), pf
+
+    q5 = entry.q257_local_supplier_volume(spark, sf_dir)
+    plan5 = audit.explain_str(q5, "simple")
+    assert audit.num_broadcast_joins(q5) >= 3, plan5
+    assert plan5.count("SortMergeJoin") <= 1, plan5
+
+    q14 = entry.q258_promo_revenue(spark, sf_dir)
+    plan14 = audit.explain_str(q14, "simple")
+    assert "SortMergeJoin" not in plan14, plan14
+    assert audit.num_broadcast_joins(q14) >= 1, plan14
