@@ -1363,3 +1363,63 @@ def test_streaming_twap_matches_batch(spark, tmp_path):
     assert got == want
     # hand check the tie trail: 200c*50s + 800c*50s over 100s = 500
     assert got["u2"] == (4, 100, 500)
+
+
+def test_streaming_kmv_matches_batch_and_replay(spark, sf_dir, tmp_path):
+    """Streamed bottom-k state == a driver-side replay of the same
+    order statistics over ALL rows (the bottom-k-of-union merge law);
+    committed-batch replay is a no-op; a cleared-checkpoint lineage
+    reuse refuses."""
+    import hashlib
+    import os
+
+    from traildb_spark.streaming.ingest import (
+        _kmv_batch,
+        kmv_current,
+        streaming_kmv,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        F.concat_ws(":", F.col("user_id").cast("string"),
+                    F.col("props")).alias("pair")
+    )
+    path = str(tmp_path / "kmv_src")
+    ev.repartition(3).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out, ckpt = str(tmp_path / "kmv_out"), str(tmp_path / "kmv_ckpt")
+    q = streaming_kmv(stream, "pair", out, ckpt, k=16)
+    q.awaitTermination(120)
+    [live] = kmv_current(spark, out, ckpt, k=16).collect()
+
+    vals = {r.pair for r in ev.collect()}
+    hs = sorted(
+        int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big") >> 4
+        for v in vals
+    )
+    if len(hs) < 16:
+        expected = len(hs)
+    else:
+        expected = (15 * (1 << 60)) // hs[15]
+    assert live.kmv_estimate == expected
+    assert live.n_hashes == min(16, len(hs))
+
+    # replay of the committed last batch is a no-op
+    token = hashlib.md5(ckpt.encode()).hexdigest()[:8]
+    cur = [f for f in os.listdir(out) if f.startswith("_latest")][0]
+    with open(f"{out}/{cur}") as fh:
+        last_id = int(fh.read().strip().rsplit("_", 1)[1])
+    assert _kmv_batch(
+        spark.read.parquet(path), last_id, out, "pair", 16, token
+    ) is False
+
+    # cleared-checkpoint reuse (batch 0 against existing state) refuses
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="lineage"):
+        _kmv_batch(spark.read.parquet(path), 0, out, "pair", 16, token)

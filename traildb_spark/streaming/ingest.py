@@ -943,3 +943,115 @@ def ohlc_current(spark, path: str, checkpoint: str) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"{path}/_latest_{run_token}")
     return ohlc_from_partials(spark.read.parquet(cur.strip()))
+
+
+def streaming_kmv(
+    stream: DataFrame,
+    col: str,
+    path: str,
+    checkpoint: str,
+    k: int = 64,
+    processing_time: str | None = None,
+):
+    """Continuously maintain a KMV (bottom-k) distinct sketch over a
+    stream — the streaming twin of ``analytics.kmv_distinct``, with AT
+    MOST k rows of state forever. The merge law is the bottom-k of a
+    union: each batch's bottom-k hashes union into the running table,
+    re-sort, keep k — fully deterministic (md5_60 order statistics, no
+    seeds), so the streamed sketch is BIT-equal to the batch sketch over
+    the same rows. Unlike HLL the surviving hashes also identify a
+    uniform sample of the distinct values and support downstream
+    intersection estimates. Same exactly-once pointer protocol as
+    :func:`streaming_countmin` / :func:`streaming_hll`."""
+    import hashlib as _hashlib
+
+    if k < 2:
+        raise ValueError("streaming_kmv: k must be >= 2")
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _kmv_batch(batch_df, batch_id, path, col, k, run_token)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _kmv_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    col: str,
+    k: int,
+    run_token: str,
+) -> bool:
+    """One bottom-k merge step (exposed for crash-replay tests); same
+    replay/lineage contract as ``_hll_batch``."""
+    from ..functions.core import md5_60
+
+    spark = batch_df.sparkSession
+    latest = f"{path}/_latest_{run_token}"
+    out_b = f"{path}/kmv_{run_token}_{batch_id}"
+    prev = (_fs_read_small(spark, latest) or "").strip() or None
+    if prev == out_b:
+        return False
+    if prev is not None and batch_id == 0:
+        raise RuntimeError(
+            "streaming_kmv: batch id 0 arrived but this sketch path "
+            "already holds state from a previous lineage of the same "
+            "checkpoint path (checkpoint was cleared and reused) — use a "
+            f"fresh checkpoint path or delete the state at {path} "
+            "explicitly."
+        )
+    part = (
+        batch_df.select(md5_60(F.col(col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    if prev is not None:
+        merged = (
+            spark.read.parquet(prev)
+            .unionByName(part)
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+    else:
+        merged = part
+    merged.coalesce(1).write.mode("overwrite").parquet(out_b)
+    _fs_swap_pointer(spark, latest, out_b)
+    if prev is not None:
+        _, hpath, fs = _hfs(spark, prev)
+        fs.delete(hpath(prev), True)
+    return True
+
+
+def kmv_current(spark, path: str, checkpoint: str, k: int = 64) -> DataFrame:
+    """The live distinct-count estimate from ``streaming_kmv`` state —
+    one row ``(n_hashes, kmv_estimate)``, same estimator as
+    ``analytics.kmv_distinct`` (exact below k, else (k-1)·2^60 // h_k)."""
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+    cur = _fs_read_small(spark, f"{path}/_latest_{run_token}")
+    if cur is None:
+        raise FileNotFoundError(f"{path}/_latest_{run_token}")
+    state = spark.read.parquet(cur.strip())
+    agg = state.agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("__hk")
+    )
+    est = F.when(F.col("n_hashes") < k, F.col("n_hashes")).otherwise(
+        F.expr(
+            f"CAST((CAST({k - 1} AS DECIMAL(38, 0)) * 1152921504606846976)"
+            " div __hk AS BIGINT)"
+        )
+    )
+    return agg.select("n_hashes", est.cast("long").alias("kmv_estimate"))
