@@ -3870,6 +3870,26 @@ def q258_promo_revenue(spark, sf_dir):
     )
 
 
+def q259_label_confusion(spark, sf_dir):
+    """Pairwise label-centroid cosine matrix — which embedding classes
+    are entangled with which (the pairwise complement to q192's
+    within/between separability). Centroid cosine == SUM-vector cosine,
+    so the whole matrix is exact int64 sums + one guarded int→double
+    cast per pair."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.label_centroid_cosines(emb, q_scale_bits=10)
+
+
+def q260_dedup_impact(spark, sf_dir):
+    """Per-source dedup cost accounting: docs/tokens removed by exact
+    dedup, then by MinHash near-dup among exact survivors (greedy
+    lower-id rule — deterministic and SQL-checkable; clustering stays
+    q42/q118). The report a curation review reads next to the mixture
+    plan (q245)."""
+    docs = _load(spark, sf_dir, "documents")
+    return curation.dedup_impact_report(docs)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4133,6 +4153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q256_shipping_priority": q256_shipping_priority,
         "q257_local_supplier_volume": q257_local_supplier_volume,
         "q258_promo_revenue": q258_promo_revenue,
+        "q259_label_confusion": q259_label_confusion,
+        "q260_dedup_impact": q260_dedup_impact,
     }
 
 
@@ -8663,19 +8685,36 @@ def oracle_sql() -> dict[str, str]:
                             floor((e.fv[d.i] - d.lo) * 255.0 / (d.hi - d.lo))))
                           END AS BIGINT) ORDER BY d.i) AS code
               FROM fz e, dims d GROUP BY e.vec_id),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     CAST(list_sum([qc.code[i] * cc.code[i]
+                          for i in generate_series(1, 64)]) AS BIGINT) AS int_dot,
+                     CAST(list_sum([cc.code[i] * cc.code[i]
+                          for i in generate_series(1, 64)]) AS BIGINT) AS n2c,
+                     CAST(list_sum([qc.code[i] * qc.code[i]
+                          for i in generate_series(1, 64)]) AS BIGINT) AS n2q
+              FROM codes qc JOIN fz q ON q.vec_id = qc.vec_id
+              CROSS JOIN codes cc JOIN fz c ON c.vec_id = cc.vec_id
+              WHERE q.vec_id < 5),
             cand AS (
-              SELECT query_id, corpus_id, int_dot,
+              SELECT query_id, corpus_id, approx_cos_micro,
                      row_number() OVER (PARTITION BY query_id
-                                        ORDER BY int_dot DESC, corpus_id ASC) AS crank
+                                        ORDER BY approx_cos_micro DESC NULLS LAST,
+                                                 corpus_id ASC) AS crank
               FROM (
-                SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                       CAST(list_sum([qc.code[i] * cc.code[i]
-                            for i in generate_series(1, 64)]) AS BIGINT) AS int_dot
-                FROM codes qc JOIN fz q ON q.vec_id = qc.vec_id
-                CROSS JOIN codes cc JOIN fz c ON c.vec_id = cc.vec_id
-                WHERE q.vec_id < 5)),
+                SELECT query_id, corpus_id,
+                       CASE WHEN n2c > 0 AND n2q > 0 THEN
+                         CASE WHEN int_dot >= 0
+                              THEN (1000000 * int_dot)
+                                   // CAST(floor(sqrt(CAST(n2c * n2q AS DOUBLE))) AS BIGINT)
+                              ELSE -((1000000 * -int_dot)
+                                   // CAST(floor(sqrt(CAST(n2c * n2q AS DOUBLE))) AS BIGINT))
+                         END
+                       END AS approx_cos_micro
+                FROM scored)),
             reranked AS (
-              SELECT cd.query_id, cd.corpus_id, cd.int_dot,
+              SELECT cd.query_id, cd.corpus_id,
+                     CAST(cd.approx_cos_micro AS BIGINT) AS approx_cos_micro,
                      round(list_sum([cv.qv[i] * qv.qv[i] for i in generate_series(1, 64)])
                            / (sqrt(list_sum([cv.qv[i] * cv.qv[i] for i in generate_series(1, 64)]))
                               * sqrt(list_sum([qv.qv[i] * qv.qv[i] for i in generate_series(1, 64)]))),
@@ -8684,7 +8723,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN fz cv ON cv.vec_id = cd.corpus_id
               JOIN fz qv ON qv.vec_id = cd.query_id
               WHERE cd.crank <= 20)
-            SELECT query_id, corpus_id, int_dot, cos,
+            SELECT query_id, corpus_id, approx_cos_micro, cos,
                    CAST(row_number() OVER (PARTITION BY query_id
                                            ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank
             FROM reranked
@@ -8952,6 +8991,68 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * promo_revenue / total_revenue, 4)
                      AS promo_share
             FROM m
+        """,
+        "q259_label_confusion": """
+            WITH qz AS (
+              SELECT label,
+                     [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT)
+                      for i in generate_series(1, 64)] AS qv
+              FROM embeddings WHERE label IS NOT NULL),
+            u AS (
+              SELECT CAST(label AS BIGINT) AS label, t.i,
+                     CAST(SUM(qv[t.i]) AS BIGINT) AS sd
+              FROM qz, generate_series(1, 64) AS t(i)
+              GROUP BY label, t.i),
+            s AS (SELECT label, list(sd ORDER BY i) AS s FROM u GROUP BY label),
+            n AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM qz GROUP BY label)
+            SELECT a.label AS label_a, b.label AS label_b,
+                   na.n AS n_a, nb.n AS n_b,
+                   round(CAST(list_sum([a.s[i] * b.s[i]
+                              for i in generate_series(1, 64)]) AS DOUBLE)
+                         / (sqrt(CAST(list_sum([a.s[i] * a.s[i]
+                              for i in generate_series(1, 64)]) AS DOUBLE))
+                            * sqrt(CAST(list_sum([b.s[i] * b.s[i]
+                              for i in generate_series(1, 64)]) AS DOUBLE))),
+                         6) AS centroid_cos
+            FROM s a JOIN s b ON a.label < b.label
+            JOIN n na ON na.label = a.label
+            JOIN n nb ON nb.label = b.label
+        """,
+        "q260_dedup_impact": f"""
+            WITH pairs AS ({_minhash_portable_oracle(5, 16, 4, 0.5, max_bucket=256)}),
+            d AS (
+              SELECT doc_id, source, CAST(len({_TOKENS}) AS BIGINT) AS tok,
+                     {_NORM_TEXT} AS nt
+              FROM documents),
+            m AS (
+              SELECT doc_id, source, tok,
+                     (doc_id > MIN(doc_id) OVER (PARTITION BY nt))
+                       AS exact_removed
+              FROM d),
+            surv AS (SELECT doc_id FROM m WHERE NOT exact_removed),
+            near AS (
+              SELECT DISTINCT p.id_b AS doc_id FROM pairs p
+              JOIN surv sa ON sa.doc_id = p.id_a
+              JOIN surv sb ON sb.doc_id = p.id_b),
+            mk AS (
+              SELECT m.doc_id, m.source, m.tok, m.exact_removed,
+                     (NOT m.exact_removed AND near.doc_id IS NOT NULL)
+                       AS near_removed
+              FROM m LEFT JOIN near ON near.doc_id = m.doc_id)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN exact_removed THEN 1 ELSE 0 END)
+                        AS BIGINT) AS exact_removed,
+                   CAST(SUM(CASE WHEN near_removed THEN 1 ELSE 0 END)
+                        AS BIGINT) AS near_removed,
+                   CAST(SUM(CASE WHEN NOT exact_removed AND NOT near_removed
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(tok) AS BIGINT) AS tokens_before,
+                   CAST(SUM(CASE WHEN NOT exact_removed AND NOT near_removed
+                        THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept
+            FROM mk GROUP BY source
         """,
         "q241_simpson_diversity": f"""
             WITH t AS (

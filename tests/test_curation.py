@@ -698,3 +698,28 @@ def test_ngram_novelty_hand_computed(spark):
     assert out[0].novelty_ppm == 1_000_000 and out[0].n_grams == 2
     assert out[1].novelty_ppm == 500_000 and out[1].novel_grams == 1
     assert out[2].novelty_ppm == 0 and out[2].source == "s1"
+
+
+def test_dedup_impact_report_hand_computed(spark):
+    """One exact clone (removed by exact), one near-clone of a survivor
+    (removed by near), one unique doc per source; token accounting
+    follows the kept set."""
+    from traildb_spark.operators.curation import dedup_impact_report
+
+    words = "alpha beta gamma delta epsilon zeta eta theta"
+    base = " ".join([words] * 3)  # J(base, base+' omega') = 0.902 and
+    # the fixed md5 hash family provably bands the pair at 16/4
+    # (checked offline against _portable_perms — deterministic forever)
+    rows = [
+        (1, base, "s0"),
+        (2, base, "s0"),                 # exact clone -> exact_removed
+        (3, base + " omega", "s1"),      # near-dup of surviving 1
+        (4, "completely different content entirely unrelated", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in dedup_impact_report(df).collect()}
+    s0, s1 = out["s0"], out["s1"]
+    assert (s0.n_docs, s0.exact_removed, s0.near_removed, s0.n_kept) == (2, 1, 0, 1)
+    assert (s1.n_docs, s1.exact_removed, s1.near_removed, s1.n_kept) == (2, 0, 1, 1)
+    assert s0.tokens_before == 48 and s0.tokens_kept == 24
+    assert s1.tokens_before == 30 and s1.tokens_kept == 5

@@ -92,3 +92,39 @@ def test_sq8_topk_hand_computed(spark):
     # exact cosine order for query (1,0,..,7): self, then 1, 3, 2, 4
     assert order == [0, 1, 3, 2, 4]
     assert all(out[i].cos >= out[i + 1].cos for i in range(len(out) - 1))
+
+
+def test_label_centroid_cosines_hand_computed(spark):
+    """Orthogonal label centroids score 0, a 45-degree label scores
+    1/sqrt(2); the exact-dot guard raises when quantized sums approach
+    the int->double bound."""
+    import pytest as _pytest
+
+    def vec(*nz):
+        v = [0.0] * 64
+        for i, x in nz:
+            v[i] = x
+        return v
+
+    rows = [
+        (0, 0, vec((0, 1.0))),
+        (1, 0, vec((0, 1.0))),
+        (2, 1, vec((1, 1.0))),
+        (3, 2, vec((0, 1.0), (1, 1.0))),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {(r.label_a, r.label_b): r
+           for r in similarity.label_centroid_cosines(df).collect()}
+    assert out[(0, 1)].centroid_cos == 0.0
+    assert out[(0, 2)].centroid_cos == 0.707107
+    assert out[(0, 1)].n_a == 2 and out[(0, 1)].n_b == 1
+
+    # 9 unit vectors at q20 push a per-dim sum past 2^23: must refuse
+    big = spark.createDataFrame(
+        [(i, 0, vec((0, 1.0))) for i in range(9)] + [(99, 1, vec((1, 1.0)))],
+        "vec_id long, label int, embedding array<float>",
+    )
+    with _pytest.raises(Exception, match="label_centroid_cosines"):
+        similarity.label_centroid_cosines(big, q_scale_bits=20).collect()

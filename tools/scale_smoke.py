@@ -696,11 +696,132 @@ def r7_family(spark):
         analytics.triangle_count(edges)))
 
 
+def _ensure_events100m(spark):
+    big = "/tmp/scale_smoke/events100m"
+    if not Path(big).exists():
+        raw = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        ev = raw.select(
+            F.col("user_id").cast("string").alias("uuid"),
+            ts_seconds(raw).alias("time"),
+            "event_id",
+            F.coalesce("event_type", F.lit("")).alias("event_type"),
+        )
+        reps = spark.range(0, 1000).select(F.col("id").alias("rep"))
+        (
+            ev.crossJoin(reps)
+            .select(
+                F.concat(F.col("uuid"), F.lit("-"), F.col("rep")).alias("uuid"),
+                "time", "event_id", "event_type",
+            )
+            .repartition(64)
+            .write.mode("overwrite").parquet(big)
+        )
+    return spark.read.parquet(big)
+
+
+def _ensure_docs500k(spark):
+    docs_big = "/tmp/scale_smoke/docs500k"
+    if not Path(docs_big).exists():
+        d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        reps = spark.range(0, 100).select(F.col("id").alias("rep"))
+        (
+            d.crossJoin(reps)
+            .select(
+                (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" r"), F.col("rep")).alias("text"),
+                "source",
+            )
+            .repartition(32)
+            .write.mode("overwrite").parquet(docs_big)
+        )
+    return spark.read.parquet(docs_big)
+
+
+def _ensure_vecs500k(spark):
+    vec_big = "/tmp/scale_smoke/vecs500k"
+    if not Path(vec_big).exists():
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        n = emb.count()
+        reps = [emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
+                for i in range(100)]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(vec_big)
+    return spark.read.parquet(vec_big)
+
+
+def r7b_family(spark):
+    """Round-7 session batch at 100M events / 500k docs / 500k vectors:
+    SQ8 ANN (the 4x-smaller-scan claim), KMV sketch (bounded partial
+    state), Markov stationary (lexicon-bounded iteration on a 100M-event
+    chain), lagged cross-correlation (grid-sized after one reduction),
+    the structural dedup screens, n-gram novelty, readability and
+    stopword discovery — each with an invariant check."""
+    from traildb_spark.operators import analytics, curation, dedup, similarity
+    from traildb_spark.operators import text as text_ops
+
+    ev = _ensure_events100m(spark)
+    print(f"events: {ev.count()} rows", flush=True)
+
+    timed("kmv_100m", lambda: _force(
+        analytics.kmv_distinct(ev, "uuid", keys=("event_type",), k=64)))
+    km = {r["event_type"]: r for r in analytics.kmv_distinct(
+        ev, "uuid", keys=("event_type",), k=64).collect()}
+    for r in km.values():  # k=64 sigma ~ 12.5%: require within 4 sigma
+        assert abs(r["kmv_estimate"] - r["exact_distinct"]) <= (
+            r["exact_distinct"] // 2
+        ), r
+
+    timed("markov_stationary_100m", lambda: _force(
+        analytics.markov_stationary(ev, "event_type", "uuid", "time",
+                                    "event_id", iters=4)))
+    st = analytics.markov_stationary(
+        ev, "event_type", "uuid", "time", "event_id", iters=4).collect()
+    total = sum(r["stationary_ppm"] for r in st)
+    assert 900_000 <= total <= 1_000_000, total  # floor loss only
+
+    timed("lagged_crosscorr_100m", lambda: _force(
+        analytics.lagged_crosscorr(ev, "click", "purchase",
+                                   max_lag_hours=6)))
+
+    docs = _ensure_docs500k(spark)
+    print(f"docs: {docs.count()} rows", flush=True)
+    timed("readability_500k", lambda: _force(
+        text_ops.readability_scores(docs)))
+    timed("stopwords_500k", lambda: _force(
+        text_ops.stopword_discovery(docs)))
+    timed("prefix_dedup_500k", lambda: _force(
+        dedup.prefix_dup_groups(docs, n_tokens=12)))
+    timed("template_dedup_500k", lambda: _force(
+        dedup.template_signature_groups(docs)))
+    timed("ngram_novelty_500k", lambda: _force(
+        curation.ngram_novelty(docs, n=13)))
+
+    vecs = _ensure_vecs500k(spark)
+    print(f"vecs: {vecs.count()} rows", flush=True)
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    timed("sq8_topk_500k", lambda: _force(
+        similarity.sq8_topk(vecs, queries, k=5, rerank=20)))
+    out = similarity.sq8_topk(vecs, queries, k=5, rerank=20).collect()
+    assert len(out) == 25
+    # each query finds itself (or an exact replica) at cos 1.0
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert all(max(x["cos"] for x in v) == 1.0 for v in by_q.values())
+
+
 def main():
     spark = get_spark("scale-smoke", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
     import os
+
+    if os.environ.get("SMOKE_R7B"):
+        r7b_family(spark)
+        return
 
     if os.environ.get("SMOKE_R7"):
         r7_family(spark)

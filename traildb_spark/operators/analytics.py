@@ -5127,40 +5127,37 @@ def kmv_distinct(
     n_keys = len(keys)
 
     def partials(batches):
-        import heapq
-
+        import numpy as np
         import pandas as pd
 
-        state: dict[tuple, tuple[list, set]] = {}
+        # vectorized bounded state: per key, the sorted distinct bottom-k
+        # hashes seen so far (<= k int64s per key per task). Each Arrow
+        # batch contributes via one groupby + np.unique — no per-row
+        # Python. Merging is bottom-k of a union, so arrival order and
+        # batch boundaries cannot change the result.
+        state: dict[tuple, "np.ndarray"] = {}
         for pdf in batches:
-            cols = [pdf[c] for c in keys]
-            hs = pdf["h"]
-            for i in range(len(pdf)):
-                kt = tuple(c.iloc[i] for c in cols)
-                hv = int(hs.iloc[i])
-                heap, seen = state.setdefault(kt, ([], set()))
-                if hv in seen:
-                    continue
-                if len(heap) < k:
-                    heapq.heappush(heap, -hv)
-                    seen.add(hv)
-                elif hv < -heap[0]:
-                    seen.discard(-heapq.heappushpop(heap, -hv))
-                    seen.add(hv)
-        rows = [kt + (hv,) for kt, (heap, _) in state.items()
-                for hv in heap]
+            for kt, sub in pdf.groupby(list(keys), sort=False):
+                if not isinstance(kt, tuple):
+                    kt = (kt,)
+                top = np.unique(sub["h"].to_numpy())[:k]
+                prev = state.get(kt)
+                if prev is not None:
+                    top = np.unique(np.concatenate([prev, top]))[:k]
+                state[kt] = top
+        rows = [kt + (int(hv),) for kt, top in state.items() for hv in top]
         yield pd.DataFrame(
-            rows, columns=list(keys) + ["neg_h"]
+            rows, columns=list(keys) + ["h"]
         ) if rows else pd.DataFrame(
             {c: pd.Series(dtype="object") for c in keys}
-            | {"neg_h": pd.Series(dtype="int64")}
+            | {"h": pd.Series(dtype="int64")}
         )
 
     part_schema = ", ".join(
         f"{c} string" for c in keys
-    ) + ", neg_h long"
+    ) + ", h long"
     part = proj.mapInPandas(partials, schema=part_schema)
-    merged = part.select(*key_cols, (-F.col("neg_h")).alias("h")).distinct()
+    merged = part.distinct()
     w = Window.partitionBy(*key_cols).orderBy("h")
     ranked = merged.withColumn("__r", F.row_number().over(w)).filter(
         F.col("__r") <= k

@@ -1503,3 +1503,84 @@ def ngram_novelty(
         "novelty_ppm",
         F.expr("(1000000 * novel_grams) div n_grams").cast("long"),
     )
+
+
+def dedup_impact_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """Per-source dedup cost accounting — "what does deduplication take
+    from each source" BEFORE committing to it: documents and tokens
+    removed by exact dedup, then by MinHash near-dup among the exact
+    survivors, per source. The report a curation review reads next to
+    the mixture plan (q245): a source losing 60% to near-dup needs a
+    crawler fix, not a bigger quota.
+
+    Removal rules are deterministic and local (no transitive closure,
+    so the whole report is SQL-oracle-checkable): exact-removed = any
+    doc above the min id of its content-hash group; near-removed = any
+    exact SURVIVOR with a verified near-dup partner of LOWER id that is
+    itself a survivor. The greedy min-id rule under-counts versus full
+    clustering (q42) by at most the chain cases where a doc's only
+    lower partners were themselves removed — documented, and the
+    clustered path remains `resolve_duplicates`.
+
+    Plan: exact dedup is one hash groupBy; near-dup reuses the banded
+    LSH pipeline (skew-capped); the report is a sources-sized
+    aggregate. Token counts ride the same scan as the hashes."""
+    from .dedup import exact_duplicates, minhash_lsh_pairs_portable
+    from .text import token_count
+
+    base = df.select(
+        F.col(id_col), F.col(source_col),
+        token_count(F.col(text_col)).cast("long").alias("__tok"),
+    )
+    exact = exact_duplicates(df, text_col=text_col, id_col=id_col).filter(
+        ~F.col("is_canonical")
+    ).select(F.col(id_col).alias("__xid"))
+    pairs = minhash_lsh_pairs_portable(
+        df, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        sig_prune=True, max_bucket=max_bucket,
+    ).select("id_a", "id_b")
+    flagged = (
+        base.join(exact, base[id_col] == F.col("__xid"), "left")
+        .withColumn("exact_removed", F.col("__xid").isNotNull())
+        .drop("__xid")
+    )
+    surv = flagged.filter(~F.col("exact_removed")).select(
+        F.col(id_col).alias("__sid")
+    )
+    # partner of LOWER id that survived exact dedup
+    near_ids = (
+        pairs.join(surv, pairs.id_a == F.col("__sid"), "leftsemi")
+        .join(surv, pairs.id_b == F.col("__sid"), "leftsemi")
+        .select(F.col("id_b").alias("__nid"))
+        .distinct()
+    )
+    marked = (
+        flagged.join(near_ids, flagged[id_col] == F.col("__nid"), "left")
+        .withColumn(
+            "near_removed",
+            ~F.col("exact_removed") & F.col("__nid").isNotNull(),
+        )
+        .drop("__nid")
+    )
+    kept = ~F.col("exact_removed") & ~F.col("near_removed")
+    return marked.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("exact_removed").cast("long")).alias("exact_removed"),
+        F.sum(F.col("near_removed").cast("long")).alias("near_removed"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum("__tok").alias("tokens_before"),
+        F.sum(F.when(kept, F.col("__tok")).otherwise(F.lit(0))).alias(
+            "tokens_kept"
+        ),
+    )

@@ -1208,16 +1208,20 @@ def sq8_topk(
             ),
         )
 
+    code_norm2 = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         quantize_q20(F.col(vec_col)).alias("cv20"),
         sq8(F.col(vec_col)).alias("cq"),
-    )
+    ).withColumn("n2c", code_norm2(F.col("cq")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         quantize_q20(F.col(vec_col)).alias("qv20"),
         sq8(F.col(vec_col)).alias("qq"),
-    )
+    ).withColumn("n2q", code_norm2(F.col("qq")))
     # exact int64 dot in an Arrow batch (order-free integer sums, so the
     # numpy execution is engine-portable); the Catalyst zip_with+aggregate
     # fold computes the same values but interprets 64 ops per row
@@ -1230,12 +1234,29 @@ def sq8_topk(
         return pd.Series((X * Y).sum(axis=1))
 
     int_dot = int_dot_udf(F.col("cq"), F.col("qq"))
+    # candidate metric = cosine in CODE space (micro, sign-factored
+    # integer division so Spark's truncating div == DuckDB's floor on
+    # negatives): raw code dots favor large-norm vectors and can crowd
+    # the true neighbor out of the rerank set; code-space cosine is
+    # maximal for identical codes, so exact matches always survive.
+    den = F.floor(
+        F.sqrt((F.col("n2c") * F.col("n2q")).cast("double"))
+    ).cast("long")
+    acs = F.when(
+        (F.col("n2c") > 0) & (F.col("n2q") > 0),
+        F.when(
+            F.col("int_dot") >= 0,
+            F.expr("(1000000 * int_dot) div __den"),
+        ).otherwise(-F.expr("(1000000 * -int_dot) div __den")),
+    )
     cand_w = Window.partitionBy("query_id").orderBy(
-        F.desc("int_dot"), F.asc("corpus_id")
+        F.desc_nulls_last("approx_cos_micro"), F.asc("corpus_id")
     )
     cands = (
         c.join(F.broadcast(q))
         .withColumn("int_dot", int_dot)
+        .withColumn("__den", den)
+        .withColumn("approx_cos_micro", acs)
         .withColumn("crank", F.row_number().over(cand_w))
         .filter(F.col("crank") <= rerank)
     )
@@ -1248,5 +1269,85 @@ def sq8_topk(
         )
         .withColumn("rank", F.row_number().over(rerank_w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "corpus_id", "int_dot", "cos", "rank")
+        .select("query_id", "corpus_id", "approx_cos_micro", "cos", "rank")
+    )
+
+
+def label_centroid_cosines(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    q_scale_bits: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """Pairwise label-centroid cosine matrix — WHICH classes are
+    entangled with which, the pairwise complement to
+    :func:`label_separability`'s per-label within/between report (the
+    confusion structure an embedding audit reads before trusting labels
+    for hard-negative mining or stratified splits).
+
+    Exactness: centroid cosine equals SUM-vector cosine (the 1/n
+    factors cancel), so the operator never divides by counts — per-label
+    per-dimension int64 sums on the floor(v·2^q) lattice, pairwise
+    integer dots on the labels²-sized table. An in-plan guard raises if
+    any |sum| reaches 2^23 (the bound keeping the 64-dim dot < 2^53 so
+    the int→double casts are exact); lower q_scale_bits for bigger
+    corpora — the default q10 covers ~6k vectors/label at |v| ≤ 1.
+
+    Plan: one JVM-side quantize + 64-aggregate groupBy (map-side
+    combine, labels-sized result), then a broadcast self-join of the
+    tiny label table. No Arrow, no corpus re-shuffle."""
+    scale = float(1 << q_scale_bits)
+    qv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(scale)).cast("long"),
+    )
+    base = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(label_col).cast("long").alias("label"), qv.alias("q")
+    )
+    sums = base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)],
+    ).select(
+        "label", "n",
+        F.array(*[F.col(f"s{i}") for i in range(dim)]).alias("s"),
+    )
+    max_abs = F.array_max(F.transform(F.col("s"), lambda x: F.abs(x)))
+    guarded = F.when(
+        F.assert_true(
+            max_abs < F.lit(1 << 23),
+            F.lit(
+                "label_centroid_cosines: a per-label quantized sum "
+                "reached 2^23 — the 64-dim dot would exceed the exact "
+                "int->double range; lower q_scale_bits"
+            ),
+        ).isNull(),
+        F.col("s"),
+    )
+    sums = sums.select("label", "n", guarded.alias("s"))
+    a = sums.select(
+        F.col("label").alias("label_a"), F.col("n").alias("n_a"),
+        F.col("s").alias("sa"),
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), F.col("n").alias("n_b"),
+        F.col("s").alias("sb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a", "label_b", "n_a", "n_b",
+            F.round(dot.cast("double") / (norm("sa") * norm("sb")), 6)
+            .alias("centroid_cos"),
+        )
     )
