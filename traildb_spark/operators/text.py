@@ -2052,6 +2052,9 @@ def hashed_linear_score(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens(F.col(text_col))).alias("__tok"),
     )
+    # the empty-doc contract rides on NULL: explode_outer emits one NULL
+    # token for an empty doc, and its weight must STAY NULL so count()
+    # sees 0 tokens and sum() yields NULL (folded to score 0 below)
     if weights is not None:
         w = toks.join(
             F.broadcast(weights.select(
@@ -2059,13 +2062,20 @@ def hashed_linear_score(
                 F.col("weight").cast("long").alias("__w"),
             )),
             "__tok", "left",
-        ).select("id", F.coalesce("__w", F.lit(0)).alias("__w"))
+        ).select(
+            "id",
+            F.when(
+                F.col("__tok").isNotNull(),
+                F.coalesce("__w", F.lit(0)),
+            ).alias("__w"),
+        )
     else:
         w = toks.select(
             "id",
             F.when(
-                F.col("__tok").isNull(), F.lit(0)
-            ).otherwise(md5_60(F.col("__tok")) % 17 - 8).alias("__w"),
+                F.col("__tok").isNotNull(),
+                md5_60(F.col("__tok")) % 17 - 8,
+            ).alias("__w"),
         )
     agg = w.groupBy("id").agg(
         F.count(F.col("__w")).alias("__n"),
