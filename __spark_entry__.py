@@ -3890,6 +3890,33 @@ def q260_dedup_impact(spark, sf_dir):
     return curation.dedup_impact_report(docs)
 
 
+def q261_neardup_audit_sample(spark, sf_dir):
+    """Near-dup QA sample — the human-review step of a dedup rollout:
+    a deterministic md5 20% sample of LSH CANDIDATE pairs (passing AND
+    failing verification), each with its exact Jaccard and verdict.
+    The sampled pass rate estimates LSH precision; the failing rows are
+    exactly what reviewers need to tune the threshold. Threshold-0 +
+    no-prune keeps every banded candidate visible; the sample gate is
+    the shared md5_60 family so the same pairs come back in any rerun,
+    engine, or audit."""
+    from traildb_spark.functions.core import md5_60
+
+    docs = _load(spark, sf_dir, "documents")
+    # gate pushed BEFORE the exact verify (id-only predicate): 5x fewer
+    # gram recomputes — identical output to filtering afterwards
+    gate = lambda a, b: md5_60(  # noqa: E731
+        F.concat(a.cast("string"), F.lit(":"), b.cast("string"))
+    ) % 100 < 20
+    pairs = dedup.minhash_lsh_pairs_portable(
+        docs, threshold=0.0, sig_prune=False, max_bucket=256,
+        pair_filter=gate,
+    )
+    return pairs.select(
+        "id_a", "id_b", "jaccard",
+        (F.col("jaccard") >= 0.5).alias("passes"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4155,6 +4182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q258_promo_revenue": q258_promo_revenue,
         "q259_label_confusion": q259_label_confusion,
         "q260_dedup_impact": q260_dedup_impact,
+        "q261_neardup_audit_sample": q261_neardup_audit_sample,
     }
 
 
@@ -9053,6 +9081,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN NOT exact_removed AND NOT near_removed
                         THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept
             FROM mk GROUP BY source
+        """,
+        "q261_neardup_audit_sample": f"""
+            WITH cands AS ({_minhash_portable_oracle(5, 16, 4, 0.0, max_bucket=256)})
+            SELECT id_a, id_b, jaccard, jaccard >= 0.5 AS passes
+            FROM cands
+            WHERE CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR) || ':'
+                       || CAST(id_b AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 100 < 20
         """,
         "q241_simpson_diversity": f"""
             WITH t AS (

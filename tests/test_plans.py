@@ -964,3 +964,18 @@ def test_tpch_trio_pushdown_and_broadcast(spark, sf_dir):
     plan14 = audit.explain_str(q14, "simple")
     assert "SortMergeJoin" not in plan14, plan14
     assert audit.num_broadcast_joins(q14) >= 1, plan14
+
+
+def test_sq8_and_kmv_plan_shapes(spark, sf_dir):
+    """q246: the corpus is scanned, never sort-merge-joined (queries
+    broadcast); q253: the partial pass bounds the exchange — no raw
+    value column survives past the mapInPandas projection."""
+    import __spark_entry__ as entry
+
+    sq8 = entry.q246_sim_topk_sq8(spark, sf_dir)
+    plan = audit.explain_str(sq8, "simple")
+    assert "SortMergeJoin" not in plan, plan
+
+    kmv = entry.q253_kmv_distinct(spark, sf_dir)
+    plan = audit.explain_str(kmv, "formatted")
+    assert "MapInPandas" in plan, plan

@@ -653,12 +653,20 @@ def minhash_lsh_pairs_portable(
     threshold: float = 0.5,
     sig_prune: bool = False,
     max_bucket: int | None = None,
+    pair_filter=None,
 ) -> DataFrame:
     """MinHash banding with every step reproducible in ANSI SQL: md5-prefix
     shingle hashes, rotate-XOR permutations (no overflow), md5 band keys,
     exact Jaccard verify. Same plan shape as minhash_lsh_pairs (the numpy
     fast path); exists so the full LSH pipeline — candidates AND verify —
     can be differentially tested against a DuckDB oracle.
+
+    ``pair_filter``: optional predicate builder ``(id_a: Column, id_b:
+    Column) -> Column`` applied to CANDIDATES before the exact-verify
+    stage — for id-deterministic gates (audit sampling, shard routing)
+    this skips the gram recompute + set-intersection on filtered-out
+    pairs entirely. Semantics identical to filtering the output, since
+    the gate may only read the ids.
     """
     rows = num_hashes // bands
     raw, base, banded = _portable_sig_pipeline(
@@ -703,6 +711,8 @@ def minhash_lsh_pairs_portable(
             .filter(agree >= F.lit(min_agree))
             .select("id_a", "id_b")
         )
+    if pair_filter is not None:
+        cand = cand.filter(pair_filter(F.col("id_a"), F.col("id_b")))
     # exact verify: md5 shingle sets recomputed from text for surviving
     # ids only (bounded), never cached corpus-wide
     cand = _materialize(cand)
