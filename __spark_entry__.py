@@ -3917,6 +3917,19 @@ def q261_neardup_audit_sample(spark, sf_dir):
     )
 
 
+def q262_sim_topk_jl(spark, sf_dir):
+    """ANN top-k over Johnson-Lindenstrauss ±1 projections (Achlioptas
+    2001) — DIMENSION compression beside SQ8's precision compression
+    (q246): 64→16-dim exact integer projections, reduced-space cosine
+    candidates, full-lattice exact rerank. Candidates AND ranks
+    oracle-checked."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.jl_topk(emb, queries, k=5, rerank=20, out_dim=16)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4183,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q259_label_confusion": q259_label_confusion,
         "q260_dedup_impact": q260_dedup_impact,
         "q261_neardup_audit_sample": q261_neardup_audit_sample,
+        "q262_sim_topk_jl": q262_sim_topk_jl,
     }
 
 
@@ -4469,6 +4483,84 @@ def _bpe_oracle(num_merges: int) -> str:
         for r in range(num_merges)
     )
     return ",".join(parts) + f"\n        {unions}"
+
+
+def _jl_topk_oracle(out_dim: int, rerank: int, k: int) -> str:
+    """JL ±1-projection ANN top-k: q10 integer projections onto the
+    literal Rademacher planes, reduced-space cosine-micro candidates
+    (sign-factored // so DuckDB floors match Spark's truncation on the
+    sign-factored absolute value), full-q20-lattice exact rerank."""
+    from traildb_spark.operators.dedup import _srp_planes
+
+    planes = _srp_planes(out_dim, 64)
+    values = ", ".join(
+        f"({p}, [{', '.join(str(int(x)) for x in row)}])"
+        for p, row in enumerate(planes)
+    )
+    qcos = (
+        "round(list_sum([cv.qv[i] * qv.qv[i] for i in generate_series(1, 64)])"
+        " / (sqrt(list_sum([cv.qv[i] * cv.qv[i] for i in generate_series(1, 64)]))"
+        " * sqrt(list_sum([qv.qv[i] * qv.qv[i] for i in generate_series(1, 64)]))), 6)"
+    )
+    return f"""
+        WITH qz AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+                  for i in generate_series(1, 64)] AS qv,
+                 [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT)
+                  for i in generate_series(1, 64)] AS q10
+          FROM embeddings),
+        planes(pid, h) AS (VALUES {values}),
+        red AS (
+          SELECT vec_id,
+                 list(CAST(list_sum([q10[i] * h[i] for i in generate_series(1, 64)])
+                      AS BIGINT) ORDER BY pid) AS rv
+          FROM qz, planes GROUP BY vec_id),
+        n2 AS (
+          SELECT vec_id,
+                 CAST(list_sum([rv[i] * rv[i] for i in generate_series(1, {out_dim})])
+                      AS BIGINT) AS n2
+          FROM red),
+        scored AS (
+          SELECT rq.vec_id AS query_id, rc.vec_id AS corpus_id,
+                 CAST(list_sum([rq.rv[i] * rc.rv[i]
+                      for i in generate_series(1, {out_dim})]) AS BIGINT) AS red_dot,
+                 nq.n2 AS n2q, nc.n2 AS n2c
+          FROM red rq JOIN n2 nq ON nq.vec_id = rq.vec_id
+          CROSS JOIN red rc JOIN n2 nc ON nc.vec_id = rc.vec_id
+          WHERE rq.vec_id < 5),
+        cand AS (
+          SELECT query_id, corpus_id, approx_cos_micro,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY approx_cos_micro DESC NULLS LAST,
+                                             corpus_id ASC) AS crank
+          FROM (
+            SELECT query_id, corpus_id,
+                   CASE WHEN n2c > 0 AND n2q > 0 THEN
+                     CASE WHEN red_dot >= 0
+                          THEN (1000000 * red_dot)
+                               // CAST(floor(sqrt(CAST(n2c AS DOUBLE)
+                                    * CAST(n2q AS DOUBLE))) AS BIGINT)
+                          ELSE -((1000000 * -red_dot)
+                               // CAST(floor(sqrt(CAST(n2c AS DOUBLE)
+                                    * CAST(n2q AS DOUBLE))) AS BIGINT))
+                     END
+                   END AS approx_cos_micro
+            FROM scored)),
+        reranked AS (
+          SELECT cd.query_id, cd.corpus_id,
+                 CAST(cd.approx_cos_micro AS BIGINT) AS approx_cos_micro,
+                 {qcos} AS cos
+          FROM cand cd
+          JOIN qz cv ON cv.vec_id = cd.corpus_id
+          JOIN qz qv ON qv.vec_id = cd.query_id
+          WHERE cd.crank <= {rerank})
+        SELECT query_id, corpus_id, approx_cos_micro, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank
+        FROM reranked
+        QUALIFY rank <= {k}
+    """
 
 
 def _minhash_portable_oracle(
@@ -9090,6 +9182,7 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(id_b AS VARCHAR)), 1, 15)) AS BIGINT)
                   % 100 < 20
         """,
+        "q262_sim_topk_jl": _jl_topk_oracle(16, 20, 5),
         "q241_simpson_diversity": f"""
             WITH t AS (
               SELECT source, unnest({_TOKENS}) AS tok FROM documents),

@@ -128,3 +128,32 @@ def test_label_centroid_cosines_hand_computed(spark):
     )
     with _pytest.raises(Exception, match="label_centroid_cosines"):
         similarity.label_centroid_cosines(big, q_scale_bits=20).collect()
+
+
+def test_jl_topk_self_at_top(spark):
+    """Identical vectors have identical projections, so the reduced-
+    space cosine puts a query's exact replica at the top of the
+    candidate set; the final order equals exact cosine order."""
+    from pyspark.sql import functions as F
+
+    def vec(a, b):
+        v = [0.0] * 64
+        v[0], v[1] = a, b
+        return v
+
+    rows = [
+        (0, vec(1.0, 0.0)),
+        (1, vec(0.9, 0.1)),
+        (2, vec(0.0, 1.0)),
+        (3, vec(0.5, 0.5)),
+        (4, vec(1.0, 0.0)),   # exact replica of the query
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.jl_topk(df, q, k=5, rerank=5).orderBy("rank").collect()
+    # replicas tie at cos 1.0; min-id tiebreak puts 0 before 4
+    assert [r.corpus_id for r in out] == [0, 4, 1, 3, 2]
+    assert out[0].cos == 1.0 and out[1].cos == 1.0
+    assert out[0].approx_cos_micro == out[1].approx_cos_micro

@@ -1351,3 +1351,110 @@ def label_centroid_cosines(
             .alias("centroid_cos"),
         )
     )
+
+
+def jl_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k over Johnson-Lindenstrauss ±1 projections — the
+    DIMENSION-compression scale path beside SQ8's precision compression
+    (q246): project 64 dims onto ``out_dim`` deterministic Rademacher
+    planes (Achlioptas 2001: ±1 planes satisfy the JL lemma), rank
+    candidates by cosine in the REDUCED space, exact-rerank the
+    survivors on the full q20 lattice. A 16-dim int scan reads 4× less
+    than the 64-dim one — and composes with SQ8 for 16× in principle.
+
+    Determinism: projections are exact int64 dots of q10-quantized
+    vectors against ±1 literal planes (the q10 lattice keeps the
+    reduced dot < 2^53-exact territory for |v| ≤ 1 at 64 dims); the
+    candidate score is cosine-micro with sign-factored integer
+    division; the only doubles are exact int casts + correctly-rounded
+    mul/sqrt — identical in any engine, so the DuckDB oracle reproduces
+    candidates AND ranks bit-for-bit."""
+    from .dedup import _srp_planes, quantize_q20, quantized_cosine_udf
+
+    planes = _srp_planes(out_dim, 64)
+    q10 = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1024.0)).cast("long"),
+    )
+
+    def project(qcol):
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    qcol,
+                    F.array(*[F.lit(int(v)) for v in row]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for row in planes
+        ])
+
+    norm2 = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        quantize_q20(F.col(vec_col)).alias("cv20"),
+        project(q10).alias("rc"),
+    ).withColumn("n2c", norm2(F.col("rc")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantize_q20(F.col(vec_col)).alias("qv20"),
+        project(q10).alias("rq"),
+    ).withColumn("n2q", norm2(F.col("rq")))
+
+    @F.pandas_udf("long")
+    def red_dot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        X = np.vstack(xs.to_numpy()).astype(np.int64)
+        Y = np.vstack(ys.to_numpy()).astype(np.int64)
+        return pd.Series((X * Y).sum(axis=1))
+
+    # n2 products exceed int64: go through doubles (exact int casts,
+    # correctly-rounded mul/sqrt — bit-identical across engines)
+    den = F.floor(
+        F.sqrt(F.col("n2c").cast("double") * F.col("n2q").cast("double"))
+    ).cast("long")
+    dot = red_dot(F.col("rc"), F.col("rq"))
+    acs = F.when(
+        (F.col("n2c") > 0) & (F.col("n2q") > 0),
+        F.when(
+            F.col("red_dot") >= 0,
+            F.expr("(1000000 * red_dot) div __den"),
+        ).otherwise(-F.expr("(1000000 * -red_dot) div __den")),
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("approx_cos_micro"), F.asc("corpus_id")
+    )
+    cands = (
+        c.join(F.broadcast(q))
+        .withColumn("red_dot", dot)
+        .withColumn("__den", den)
+        .withColumn("approx_cos_micro", acs)
+        .withColumn("crank", F.row_number().over(cand_w))
+        .filter(F.col("crank") <= rerank)
+    )
+    rerank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("corpus_id")
+    )
+    return (
+        cands.withColumn(
+            "cos", F.round(quantized_cosine_udf(F.col("cv20"), F.col("qv20")), 6)
+        )
+        .withColumn("rank", F.row_number().over(rerank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "approx_cos_micro", "cos", "rank")
+    )
