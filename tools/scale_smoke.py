@@ -812,6 +812,15 @@ def r7b_family(spark):
         by_q.setdefault(r["query_id"], []).append(r)
     assert all(max(x["cos"] for x in v) == 1.0 for v in by_q.values())
 
+    timed("jl_topk_500k", lambda: _force(
+        similarity.jl_topk(vecs, queries, k=5, rerank=20)))
+    out = similarity.jl_topk(vecs, queries, k=5, rerank=20).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # identical projections rank replicas first: cos 1.0 must survive
+    assert all(max(x["cos"] for x in v) == 1.0 for v in by_q.values())
+
 
 def main():
     spark = get_spark("scale-smoke", master="local[32]")
