@@ -3930,6 +3930,80 @@ def q262_sim_topk_jl(spark, sf_dir):
     return similarity.jl_topk(emb, queries, k=5, rerank=20, out_dim=16)
 
 
+def q263_ensemble_neardup(spark, sf_dir):
+    """High-precision ensemble dedup: pairs flagged by BOTH the lexical
+    channel (MinHash-banded Jaccard ≥ 0.5, q44's pipeline) and the
+    n-gram containment channel — the two-signal agreement rule a
+    production rollout uses when a false removal is costlier than a
+    miss. Pure inner join of the two verified pair sets on the
+    canonical (id_a, id_b) key; each channel keeps its own candidates
+    and verify, so the ensemble costs no new corpus pass."""
+    docs = _load(spark, sf_dir, "documents")
+    # pair-scale table consumed three times (two id semi-joins + the
+    # final join): materialize once or the whole minhash pipeline
+    # re-executes per consumer
+    lex = dedup._materialize(
+        dedup.minhash_lsh_pairs_portable(
+            docs, sig_prune=True, max_bucket=256
+        ).select("id_a", "id_b", "jaccard")
+    )
+    # the second channel VERIFIES the first channel's pairs — gram sets
+    # are built only for flagged ids (pair-scale, never corpus-pair
+    # scale; running the full n-gram pipeline at threshold 0.5 instead
+    # costs ~4x: prefix filtering has no teeth at loose thresholds).
+    # Grams travel as md5_60 hashes from the Arrow kernel — the
+    # interpreted slice+array_join formulation costs ~10s at sf0.1.
+    ids = lex.select(F.col("id_a").alias("gid")).union(
+        lex.select(F.col("id_b").alias("gid"))
+    ).distinct()
+    hit = docs.join(ids, docs.doc_id == F.col("gid"), "left_semi")
+    grams = hit.select(
+        F.col("doc_id").alias("gid"),
+        curation.md5_word_ngram_hashes(F.col("text"), 3).alias("g"),
+    )
+    ga = grams.select(F.col("gid").alias("id_a"), F.col("g").alias("g_a"))
+    gb = grams.select(F.col("gid").alias("id_b"), F.col("g").alias("g_b"))
+    gram_j = F.round(
+        F.size(F.array_intersect(F.col("g_a"), F.col("g_b"))).cast("double")
+        / F.size(F.array_distinct(F.concat(F.col("g_a"), F.col("g_b"))))
+        .cast("double"),
+        6,
+    )
+    return (
+        lex.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("gram_jaccard", gram_j)
+        .filter(F.col("gram_jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard", "gram_jaccard")
+    )
+
+
+def q264_threshold_sweep(spark, sf_dir):
+    """Dedup threshold tuning curve: from ONE candidate+verify pass
+    (threshold-0, no prune — q261's audit set without the sample gate),
+    the pair count surviving each candidate threshold 0.3..0.9 — the
+    table a curation review reads to pick the rollout threshold. One
+    extra groupBy over the verified pairs; the corpus is scanned
+    once."""
+    docs = _load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs_portable(
+        docs, threshold=0.0, sig_prune=False, max_bucket=256
+    )
+    ths = spark.createDataFrame(
+        [(t,) for t in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)],
+        "threshold double",
+    )
+    return (
+        pairs.crossJoin(F.broadcast(ths))
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_docs_removed"),
+        )
+        .orderBy("threshold")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4197,6 +4271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q260_dedup_impact": q260_dedup_impact,
         "q261_neardup_audit_sample": q261_neardup_audit_sample,
         "q262_sim_topk_jl": q262_sim_topk_jl,
+        "q263_ensemble_neardup": q263_ensemble_neardup,
+        "q264_threshold_sweep": q264_threshold_sweep,
     }
 
 
@@ -9183,6 +9259,32 @@ def oracle_sql() -> dict[str, str]:
                   % 100 < 20
         """,
         "q262_sim_topk_jl": _jl_topk_oracle(16, 20, 5),
+        "q263_ensemble_neardup": f"""
+            WITH lex AS ({_minhash_portable_oracle(5, 16, 4, 0.5, max_bucket=256)}),
+            toks AS (
+              SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, {{grams3}} AS g FROM toks WHERE len(w) > 0),
+            gp AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                           / CAST(len(list_distinct(list_concat(a.g, b.g)))
+                                  AS DOUBLE), 6) AS gram_jaccard
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+            SELECT l.id_a, l.id_b, l.jaccard, gp.gram_jaccard
+            FROM lex l JOIN gp ON gp.id_a = l.id_a AND gp.id_b = l.id_b
+            WHERE gp.gram_jaccard >= 0.5
+        """.replace("{grams3}", grams3),
+        "q264_threshold_sweep": f"""
+            WITH cands AS ({_minhash_portable_oracle(5, 16, 4, 0.0, max_bucket=256)}),
+            ths AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                         AS DOUBLE) AS threshold)
+            SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_docs_removed
+            FROM cands, ths
+            WHERE jaccard >= threshold
+            GROUP BY threshold ORDER BY threshold
+        """,
         "q241_simpson_diversity": f"""
             WITH t AS (
               SELECT source, unnest({_TOKENS}) AS tok FROM documents),
