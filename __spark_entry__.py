@@ -4004,6 +4004,18 @@ def q264_threshold_sweep(spark, sf_dir):
     )
 
 
+def q265_sim_topk_jl_sq8(spark, sf_dir):
+    """STACKED compression ANN: JL 64→16 dims (q262), then SQ8 on the
+    reduced space (q246) — the candidate scan reads 16 BYTES per vector
+    (16× less than float32), proving the composition both single-stage
+    operators advertise. Candidates AND ranks oracle-checked."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.jl_sq8_topk(emb, queries, k=5, rerank=20, out_dim=16)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4273,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_sim_topk_jl": q262_sim_topk_jl,
         "q263_ensemble_neardup": q263_ensemble_neardup,
         "q264_threshold_sweep": q264_threshold_sweep,
+        "q265_sim_topk_jl_sq8": q265_sim_topk_jl_sq8,
     }
 
 
@@ -4621,6 +4634,91 @@ def _jl_topk_oracle(out_dim: int, rerank: int, k: int) -> str:
                                // CAST(floor(sqrt(CAST(n2c AS DOUBLE)
                                     * CAST(n2q AS DOUBLE))) AS BIGINT))
                      END
+                   END AS approx_cos_micro
+            FROM scored)),
+        reranked AS (
+          SELECT cd.query_id, cd.corpus_id,
+                 CAST(cd.approx_cos_micro AS BIGINT) AS approx_cos_micro,
+                 {qcos} AS cos
+          FROM cand cd
+          JOIN qz cv ON cv.vec_id = cd.corpus_id
+          JOIN qz qv ON qv.vec_id = cd.query_id
+          WHERE cd.crank <= {rerank})
+        SELECT query_id, corpus_id, approx_cos_micro, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank
+        FROM reranked
+        QUALIFY rank <= {k}
+    """
+
+
+def _jl_sq8_oracle(out_dim: int, rerank: int, k: int) -> str:
+    """Stacked JL→SQ8 ANN: q10 integer projections onto the literal
+    Rademacher planes, per-reduced-dim [lo,hi] grid, 0..255 codes,
+    code-space cosine-micro candidates (codes are non-negative so no
+    sign factoring), full-q20 exact rerank."""
+    from traildb_spark.operators.dedup import _srp_planes
+
+    planes = _srp_planes(out_dim, 64)
+    values = ", ".join(
+        f"({p}, [{', '.join(str(int(x)) for x in row)}])"
+        for p, row in enumerate(planes)
+    )
+    qcos = (
+        "round(list_sum([cv.qv[i] * qv.qv[i] for i in generate_series(1, 64)])"
+        " / (sqrt(list_sum([cv.qv[i] * cv.qv[i] for i in generate_series(1, 64)]))"
+        " * sqrt(list_sum([qv.qv[i] * qv.qv[i] for i in generate_series(1, 64)]))), 6)"
+    )
+    return f"""
+        WITH qz AS (
+          SELECT vec_id,
+                 [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+                  for i in generate_series(1, 64)] AS qv,
+                 [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT)
+                  for i in generate_series(1, 64)] AS q10
+          FROM embeddings),
+        planes(pid, h) AS (VALUES {values}),
+        red AS (
+          SELECT vec_id,
+                 list(CAST(list_sum([q10[i] * h[i] for i in generate_series(1, 64)])
+                      AS BIGINT) ORDER BY pid) AS rv
+          FROM qz, planes GROUP BY vec_id),
+        dims AS (
+          SELECT i, min(CAST(rv[i] AS DOUBLE)) AS lo,
+                    max(CAST(rv[i] AS DOUBLE)) AS hi
+          FROM red, generate_series(1, {out_dim}) AS t(i) GROUP BY i),
+        codes AS (
+          SELECT r.vec_id,
+                 list(CAST(CASE WHEN d.hi = d.lo THEN 0
+                      ELSE greatest(0, least(255,
+                        floor((CAST(r.rv[d.i] AS DOUBLE) - d.lo) * 255.0
+                              / (d.hi - d.lo))))
+                      END AS BIGINT) ORDER BY d.i) AS code
+          FROM red r, dims d GROUP BY r.vec_id),
+        n2 AS (
+          SELECT vec_id,
+                 CAST(list_sum([code[i] * code[i]
+                      for i in generate_series(1, {out_dim})]) AS BIGINT) AS n2
+          FROM codes),
+        scored AS (
+          SELECT cq.vec_id AS query_id, cc.vec_id AS corpus_id,
+                 CAST(list_sum([cq.code[i] * cc.code[i]
+                      for i in generate_series(1, {out_dim})]) AS BIGINT) AS code_dot,
+                 nq.n2 AS n2q, nc.n2 AS n2c
+          FROM codes cq JOIN n2 nq ON nq.vec_id = cq.vec_id
+          CROSS JOIN codes cc JOIN n2 nc ON nc.vec_id = cc.vec_id
+          WHERE cq.vec_id < 5),
+        cand AS (
+          SELECT query_id, corpus_id, approx_cos_micro,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY approx_cos_micro DESC NULLS LAST,
+                                             corpus_id ASC) AS crank
+          FROM (
+            SELECT query_id, corpus_id,
+                   CASE WHEN n2c > 0 AND n2q > 0
+                        THEN (1000000 * code_dot)
+                             // CAST(floor(sqrt(CAST(n2c * n2q AS DOUBLE)))
+                                     AS BIGINT)
                    END AS approx_cos_micro
             FROM scored)),
         reranked AS (
@@ -9259,6 +9357,7 @@ def oracle_sql() -> dict[str, str]:
                   % 100 < 20
         """,
         "q262_sim_topk_jl": _jl_topk_oracle(16, 20, 5),
+        "q265_sim_topk_jl_sq8": _jl_sq8_oracle(16, 20, 5),
         "q263_ensemble_neardup": f"""
             WITH lex AS ({_minhash_portable_oracle(5, 16, 4, 0.5, max_bucket=256)}),
             toks AS (

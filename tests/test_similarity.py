@@ -157,3 +157,25 @@ def test_jl_topk_self_at_top(spark):
     assert [r.corpus_id for r in out] == [0, 4, 1, 3, 2]
     assert out[0].cos == 1.0 and out[1].cos == 1.0
     assert out[0].approx_cos_micro == out[1].approx_cos_micro
+
+
+def test_jl_sq8_topk_replica_invariant(spark):
+    """Stacked compression keeps exact replicas at the top: identical
+    vectors share projections AND codes, so code-space cosine ties them
+    at the maximum and the exact rerank confirms cos 1.0."""
+    from pyspark.sql import functions as F
+
+    def vec(a, b):
+        v = [0.0] * 64
+        v[0], v[1] = a, b
+        return v
+
+    rows = [(0, vec(1.0, 0.0)), (1, vec(0.9, 0.1)), (2, vec(0.0, 1.0)),
+            (3, vec(0.5, 0.5)), (4, vec(1.0, 0.0))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.jl_sq8_topk(df, q, k=5, rerank=5).orderBy("rank").collect()
+    assert [r.corpus_id for r in out][:2] == [0, 4]
+    assert out[0].cos == 1.0 and out[1].cos == 1.0

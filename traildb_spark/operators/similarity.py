@@ -1458,3 +1458,135 @@ def jl_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "approx_cos_micro", "cos", "rank")
     )
+
+
+def jl_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The STACKED compression path: JL-project 64→out_dim (q262),
+    then SQ8-quantize the reduced space (q246) — the candidate scan
+    reads ``out_dim`` BYTES per vector (16 bytes vs 256 for float32:
+    16× more corpus per page-cache byte), proving the composition the
+    two single-stage operators advertise. Candidates rank by cosine in
+    the stacked code space; survivors re-rank on the full q20 lattice.
+    Same determinism inventory as its parents: exact int projections,
+    IEEE-identical grid quantization, sign-factored integer division,
+    exact-int rerank — the oracle reproduces candidates AND ranks."""
+    from .dedup import _srp_planes, quantize_q20, quantized_cosine_udf
+
+    planes = _srp_planes(out_dim, 64)
+    q10 = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1024.0)).cast("long"),
+    )
+
+    def project(qcol):
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    qcol,
+                    F.array(*[F.lit(int(v)) for v in row]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for row in planes
+        ])
+
+    proj = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        quantize_q20(F.col(vec_col)).alias("cv20"),
+        project(q10).alias("rv"),
+    )
+    dims = proj.agg(
+        *[F.min(F.col("rv")[i].cast("double")).alias(f"lo{i}")
+          for i in range(out_dim)],
+        *[F.max(F.col("rv")[i].cast("double")).alias(f"hi{i}")
+          for i in range(out_dim)],
+    ).collect()[0]
+    lo_arr = F.array(*[F.lit(float(dims[f"lo{i}"])) for i in range(out_dim)])
+    hi_arr = F.array(*[F.lit(float(dims[f"hi{i}"])) for i in range(out_dim)])
+
+    def sq8(col):
+        return F.transform(
+            col.cast("array<double>"),
+            lambda x, i: F.when(
+                F.element_at(hi_arr, i + 1) == F.element_at(lo_arr, i + 1),
+                F.lit(0).cast("long"),
+            ).otherwise(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.least(
+                        F.lit(255).cast("long"),
+                        F.floor(
+                            (x - F.element_at(lo_arr, i + 1))
+                            * F.lit(255.0)
+                            / (F.element_at(hi_arr, i + 1)
+                               - F.element_at(lo_arr, i + 1))
+                        ).cast("long"),
+                    ),
+                )
+            ),
+        )
+
+    norm2 = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    c = proj.select(
+        "corpus_id", "cv20", sq8(F.col("rv")).alias("cq")
+    ).withColumn("n2c", norm2(F.col("cq")))
+    qproj = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantize_q20(F.col(vec_col)).alias("qv20"),
+        project(q10).alias("rv"),
+    )
+    q = qproj.select(
+        "query_id", "qv20", sq8(F.col("rv")).alias("qq")
+    ).withColumn("n2q", norm2(F.col("qq")))
+
+    @F.pandas_udf("long")
+    def code_dot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        X = np.vstack(xs.to_numpy()).astype(np.int64)
+        Y = np.vstack(ys.to_numpy()).astype(np.int64)
+        return pd.Series((X * Y).sum(axis=1))
+
+    den = F.floor(
+        F.sqrt((F.col("n2c") * F.col("n2q")).cast("double"))
+    ).cast("long")
+    acs = F.when(
+        (F.col("n2c") > 0) & (F.col("n2q") > 0),
+        F.expr("(1000000 * code_dot) div __den"),
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("approx_cos_micro"), F.asc("corpus_id")
+    )
+    cands = (
+        c.join(F.broadcast(q))
+        .withColumn("code_dot", code_dot(F.col("cq"), F.col("qq")))
+        .withColumn("__den", den)
+        .withColumn("approx_cos_micro", acs)
+        .withColumn("crank", F.row_number().over(cand_w))
+        .filter(F.col("crank") <= rerank)
+    )
+    rerank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("corpus_id")
+    )
+    return (
+        cands.withColumn(
+            "cos", F.round(quantized_cosine_udf(F.col("cv20"), F.col("qv20")), 6)
+        )
+        .withColumn("rank", F.row_number().over(rerank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "approx_cos_micro", "cos", "rank")
+    )
