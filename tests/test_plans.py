@@ -979,3 +979,14 @@ def test_sq8_and_kmv_plan_shapes(spark, sf_dir):
     kmv = entry.q253_kmv_distinct(spark, sf_dir)
     plan = audit.explain_str(kmv, "formatted")
     assert "MapInPandas" in plan, plan
+
+
+def test_compressed_ann_trio_no_sortmerge(spark, sf_dir):
+    """q262/q265 (JL and stacked JL-SQ8): queries broadcast against the
+    scanned corpus — no sort-merge join anywhere in the candidate or
+    rerank stages."""
+    import __spark_entry__ as entry
+
+    for fn in (entry.q262_sim_topk_jl, entry.q265_sim_topk_jl_sq8):
+        plan = audit.explain_str(fn(spark, sf_dir), "simple")
+        assert "SortMergeJoin" not in plan, plan
