@@ -9198,7 +9198,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST((63::HUGEINT * 1152921504606846976) // a.hk
                                   AS BIGINT) END AS kmv_estimate,
                    x.exact_distinct
-            FROM a JOIN x ON x.event_type = a.event_type
+            FROM a JOIN x
+              ON x.event_type IS NOT DISTINCT FROM a.event_type
         """,
         "q254_audio_gain": """
             -- fixture closed form: s[i] = (i*59 + id*13) % 3601 - 1800,

@@ -2004,3 +2004,35 @@ def test_kmv_distinct_formula_and_partition_invariance(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         kmv_distinct(df, "uuid", k=1)
+
+
+def test_kmv_distinct_null_keys_survive(spark):
+    """A null-key group must appear in the output with a correct exact
+    count and estimate — pandas groupby drops NaN groups by default and
+    SQL inner joins reject nulls, so both the partial pass and the merge
+    join need explicit null handling (ADVICE r7)."""
+    from traildb_spark.operators.analytics import kmv_distinct
+
+    rows = [("a", f"u{i}") for i in range(5)] + [
+        (None, f"n{i}") for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, uuid string")
+    out = {r.event_type: r for r in
+           kmv_distinct(df, "uuid", keys=("event_type",), k=64).collect()}
+    assert set(out) == {"a", None}
+    assert out[None].exact_distinct == 7
+    assert out[None].kmv_estimate == 7            # n < k -> exact
+    assert out["a"].exact_distinct == 5
+
+
+def test_kmv_distinct_non_string_value_matches_streaming_hash(spark):
+    """kmv over an integer value column works (values are stringified
+    before hashing) — the same contract streaming_kmv follows so the
+    batch/stream bit-equality law holds for non-string columns."""
+    from traildb_spark.operators.analytics import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", i % 9) for i in range(40)], "event_type string, v long"
+    )
+    out = kmv_distinct(df, "v", keys=("event_type",), k=64).collect()
+    assert out[0].exact_distinct == 9 and out[0].kmv_estimate == 9

@@ -94,6 +94,36 @@ def test_sq8_topk_hand_computed(spark):
     assert all(out[i].cos >= out[i + 1].cos for i in range(len(out) - 1))
 
 
+def test_compressed_ann_dim_mismatch_fails_loudly(spark):
+    """A corpus whose vectors are not `dim` wide must raise, not emit
+    null codes (ADVICE r7): sq8_topk checks widths on the calibration
+    aggregate; jl_topk folds an assert_true into the projection; and a
+    non-default dim= works end-to-end."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # default dim=64 over an 8-wide corpus: loud failure, both paths
+    with _pytest.raises(Exception, match="sq8_topk"):
+        similarity.sq8_topk(df, q, k=2, rerank=2).collect()
+    with _pytest.raises(Exception, match="jl_topk"):
+        similarity.jl_topk(df, q, k=2, rerank=2, out_dim=4).collect()
+    # matching dim= runs end-to-end and puts the replica first
+    out = similarity.sq8_topk(df, q, k=2, rerank=4, dim=8).orderBy(
+        "rank").collect()
+    assert out[0].corpus_id == 0
+    out = similarity.jl_topk(df, q, k=2, rerank=4, out_dim=4, dim=8).orderBy(
+        "rank").collect()
+    assert out[0].corpus_id == 0
+    out = similarity.jl_sq8_topk(
+        df, q, k=2, rerank=4, out_dim=4, dim=8).orderBy("rank").collect()
+    assert out[0].corpus_id == 0
+
+
 def test_label_centroid_cosines_hand_computed(spark):
     """Orthogonal label centroids score 0, a 45-degree label scores
     1/sqrt(2); the exact-dot guard raises when quantized sums approach

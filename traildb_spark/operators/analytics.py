@@ -5108,7 +5108,13 @@ def kmv_distinct(
     exchange carries ≤ k·partitions rows per key — never the distinct
     values themselves. The exact distinct count is emitted alongside
     for calibration at test scale; drop it at 100 TB (it is the only
-    full-shuffle column)."""
+    full-shuffle column).
+
+    Null keys are first-class: the pandas partials group with
+    dropna=False and the final merge join is null-safe, so a null-key
+    group estimates exactly like any other (it would otherwise vanish
+    — SQL inner joins reject nulls and pandas groupby drops them by
+    default, silently and asymmetrically)."""
     from ..functions.core import md5_60
 
     if k < 2:
@@ -5137,9 +5143,20 @@ def kmv_distinct(
         # batch boundaries cannot change the result.
         state: dict[tuple, "np.ndarray"] = {}
         for pdf in batches:
-            for kt, sub in pdf.groupby(list(keys), sort=False):
+            # dropna=False: null-key groups must survive the partial
+            # pass — the exact side (Spark groupBy) keeps them, and the
+            # final join is null-safe, so dropping them here would
+            # silently erase null-key rows from the output
+            for kt, sub in pdf.groupby(list(keys), sort=False,
+                                       dropna=False):
                 if not isinstance(kt, tuple):
                     kt = (kt,)
+                kt = tuple(
+                    None
+                    if v is None or (isinstance(v, float) and np.isnan(v))
+                    else v
+                    for v in kt
+                )
                 top = np.unique(sub["h"].to_numpy())[:k]
                 prev = state.get(kt)
                 if prev is not None:
@@ -5174,8 +5191,16 @@ def kmv_distinct(
             " div __hk AS BIGINT)"
         )
     )
+    # null-safe equi-join so null-key groups (kept by BOTH sides above)
+    # appear in the output instead of being silently dropped by SQL
+    # null-rejecting join semantics
+    cond = None
+    for c in keys:
+        term = agg[c].eqNullSafe(exact[c])
+        cond = term if cond is None else cond & term
     return (
-        agg.join(exact, list(keys))
-        .select(*key_cols, est.cast("long").alias("kmv_estimate"),
+        agg.join(exact, cond)
+        .select(*[agg[c].alias(c) for c in keys],
+                est.cast("long").alias("kmv_estimate"),
                 "exact_distinct")
     )

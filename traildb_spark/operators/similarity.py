@@ -1147,6 +1147,7 @@ def sq8_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    dim: int = 64,
 ) -> DataFrame:
     """ANN top-k over SCALAR-QUANTIZED (int8-grid) vectors: the memory-
     compression scale path that complements LSH (q40/q53) and IVF
@@ -1174,12 +1175,27 @@ def sq8_topk(
     """
     from .dedup import quantize_q20, quantized_cosine_udf
 
+    # width check rides the calibration aggregate (zero extra jobs) so a
+    # corpus of any other vector width fails loudly instead of silently
+    # producing null lo/hi and all-null codes
+    # F.get (null on out-of-bounds, unlike []) so a too-narrow corpus
+    # reaches the szmin/szmax check below and gets the clear error
     dims = corpus.select(F.col(vec_col).alias("v")).agg(
-        *[F.min(F.col("v")[i].cast("double")).alias(f"lo{i}") for i in range(64)],
-        *[F.max(F.col("v")[i].cast("double")).alias(f"hi{i}") for i in range(64)],
+        F.min(F.size("v")).alias("szmin"),
+        F.max(F.size("v")).alias("szmax"),
+        *[F.min(F.get("v", i).cast("double")).alias(f"lo{i}")
+          for i in range(dim)],
+        *[F.max(F.get("v", i).cast("double")).alias(f"hi{i}")
+          for i in range(dim)],
     ).collect()[0]
-    lo = [float(dims[f"lo{i}"]) for i in range(64)]
-    hi = [float(dims[f"hi{i}"]) for i in range(64)]
+    if dims["szmin"] != dim or dims["szmax"] != dim:
+        raise ValueError(
+            f"sq8_topk: corpus {vec_col!r} widths span "
+            f"[{dims['szmin']}, {dims['szmax']}] but dim={dim} — pass "
+            "dim= matching the embedding width"
+        )
+    lo = [float(dims[f"lo{i}"]) for i in range(dim)]
+    hi = [float(dims[f"hi{i}"]) for i in range(dim)]
     lo_arr = F.array(*[F.lit(x) for x in lo])
     hi_arr = F.array(*[F.lit(x) for x in hi])
 
@@ -1217,10 +1233,16 @@ def sq8_topk(
         quantize_q20(F.col(vec_col)).alias("cv20"),
         sq8(F.col(vec_col)).alias("cq"),
     ).withColumn("n2c", code_norm2(F.col("cq")))
+    # same width guard for the query side, folded into the projection
+    # (assert_true returns NULL when valid — zero extra jobs)
+    q_guard = F.assert_true(
+        F.size(F.col(vec_col)) == dim,
+        f"sq8_topk: query {vec_col} width != dim={dim}",
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         quantize_q20(F.col(vec_col)).alias("qv20"),
-        sq8(F.col(vec_col)).alias("qq"),
+        F.when(q_guard.isNull(), sq8(F.col(vec_col))).alias("qq"),
     ).withColumn("n2q", code_norm2(F.col("qq")))
     # exact int64 dot in an Arrow batch (order-free integer sums, so the
     # numpy execution is engine-portable); the Catalyst zip_with+aggregate
@@ -1362,6 +1384,7 @@ def jl_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    dim: int = 64,
 ) -> DataFrame:
     """ANN top-k over Johnson-Lindenstrauss ±1 projections — the
     DIMENSION-compression scale path beside SQ8's precision compression
@@ -1380,11 +1403,18 @@ def jl_topk(
     candidates AND ranks bit-for-bit."""
     from .dedup import _srp_planes, quantize_q20, quantized_cosine_udf
 
-    planes = _srp_planes(out_dim, 64)
-    q10 = F.transform(
+    planes = _srp_planes(out_dim, dim)
+    # width guard folded into the quantize step (assert_true is NULL
+    # when valid — zero extra jobs): a vector of any other width would
+    # otherwise silently zip_with-truncate against the ±1 planes
+    guard = F.assert_true(
+        F.size(F.col(vec_col)) == dim,
+        f"jl_topk: {vec_col} width != dim={dim}",
+    )
+    q10 = F.when(guard.isNull(), F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.floor(x * F.lit(1024.0)).cast("long"),
-    )
+    ))
 
     def project(qcol):
         return F.array(*[
@@ -1469,8 +1499,9 @@ def jl_sq8_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    dim: int = 64,
 ) -> DataFrame:
-    """The STACKED compression path: JL-project 64→out_dim (q262),
+    """The STACKED compression path: JL-project dim→out_dim (q262),
     then SQ8-quantize the reduced space (q246) — the candidate scan
     reads ``out_dim`` BYTES per vector (16 bytes vs 256 for float32:
     16× more corpus per page-cache byte), proving the composition the
@@ -1481,11 +1512,17 @@ def jl_sq8_topk(
     exact-int rerank — the oracle reproduces candidates AND ranks."""
     from .dedup import _srp_planes, quantize_q20, quantized_cosine_udf
 
-    planes = _srp_planes(out_dim, 64)
-    q10 = F.transform(
+    planes = _srp_planes(out_dim, dim)
+    # width guard folded into the quantize step (zero extra jobs) — a
+    # mismatched corpus fails loudly instead of zip_with-truncating
+    guard = F.assert_true(
+        F.size(F.col(vec_col)) == dim,
+        f"jl_sq8_topk: {vec_col} width != dim={dim}",
+    )
+    q10 = F.when(guard.isNull(), F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.floor(x * F.lit(1024.0)).cast("long"),
-    )
+    ))
 
     def project(qcol):
         return F.array(*[

@@ -1011,7 +1011,11 @@ def _kmv_batch(
             "explicitly."
         )
     part = (
-        batch_df.select(md5_60(F.col(col)).alias("h"))
+        # cast to string before hashing — batch kmv_distinct hashes the
+        # stringified value, so the bit-equality law between streaming
+        # and batch sketches must use the identical hash input for
+        # non-string columns too
+        batch_df.select(md5_60(F.col(col).cast("string")).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(k)
