@@ -162,6 +162,46 @@ def test_roundtrip_edge_cases(tmp_path):
         TdbMeta(str(tmp_path / "missing"))
 
 
+def test_vectorized_decoder_matches_scalar(tmp_path):
+    """The across-trails vectorized range decoder (_decode_range_pdf)
+    is differentially pinned to the per-gram scalar oracle
+    (iter_events) on a fixture big enough (200 trails in one range)
+    that the numpy main loop — not just the <32-active scalar tail —
+    does the work, including whale trails that spill into the tail."""
+    rows = []
+    fields = ["event_type", "tag", "num"]
+    vals = ["", "view", "click", "purchase", "naïve→", "x" * 50]
+    for u in range(200):
+        uuid = bytes([(u * 11 + k * 17) % 256 for k in range(16)])
+        t = 1_600_000_000 + u
+        # trail 0 is a whale (400 events) to force the scalar-tail path
+        n_ev = 400 if u == 0 else (u * 7) % 11 + 1
+        for i in range(n_ev):
+            t += (u * 13 + i * 29) % 1000
+            rows.append((
+                uuid.hex(), t,
+                vals[(u + i) % len(vals)],
+                vals[(u * 3 + i * 5) % len(vals)],
+                str((u + i * 7) % 30),
+            ))
+    path = str(tmp_path / "vec.tdb")
+    write_tdb(rows, fields, path, package=True)
+
+    meta = TdbMeta(path)
+    # laziness contract: construction reads no per-trail metadata
+    assert meta._toc is None and not meta._lex_values
+    pdf = tdbfile._decode_range_pdf(meta, 0, meta.num_trails, fields)
+    got = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    want = list(iter_events(path))
+    assert got == want
+    # split ranges must agree too (range-boundary bit offsets)
+    pdf_a = tdbfile._decode_range_pdf(meta, 0, 67, fields)
+    pdf_b = tdbfile._decode_range_pdf(meta, 67, meta.num_trails, fields)
+    got_split = [tuple(r) for r in pdf_a.itertuples(index=False, name=None)]
+    got_split += [tuple(r) for r in pdf_b.itertuples(index=False, name=None)]
+    assert got_split == want
+
+
 def test_read_tdb_spark_and_open_tdb(spark, tmp_path):
     """Distributed decode: multi-partition ranges reassemble the full
     event set; TrailDataset.open_tdb applies the engine conventions."""

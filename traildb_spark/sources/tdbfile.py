@@ -67,11 +67,21 @@ Scale shape of ``read_tdb``: metadata (info/fields/TOC) parses on the
 driver; trail ranges split into ~32 MB partitions which decode in
 executors via ``mapInPandas`` — each worker opens the file itself
 (seekable local/shared-FS path, the same deployment contract as the
-reference's mmap) and reads ONLY its byte slice of ``trails.data``
-plus the shared lexicons (cached per worker process). A one-file tdb is
-inherently single-host data; at 100 TB the corpus is many tdbs (the
-reference's own "daily tdb" pattern, doc/docs/index.md:43-45) — import
-parallelism comes from one job per file × partitions within the file.
+reference's mmap) and reads ONLY its byte slices: the range's window of
+``trails.data``, ``trails.toc`` and ``uuids``, plus the shared lexicons
+and codebook (cached per worker process). Worker memory is therefore
+O(range + vocab), never O(num_trails): ``TdbMeta`` holds no per-trail
+Python objects (uuids stay raw bytes sliced on demand, the TOC loads
+lazily and only on the driver, lexicons parse per-field on first use
+into one numpy array each). Trail bitstreams decode with a vectorized
+numpy kernel that advances one gram per *round* across every still-
+active trail in the range (the across-trails transpose of the
+reference's per-trail cursor loop), falling back to the scalar decoder
+for the few longest trails once the active set is too small to
+vectorize. A one-file tdb is inherently single-host data; at 100 TB the
+corpus is many tdbs (the reference's own "daily tdb" pattern,
+doc/docs/index.md:43-45) — import parallelism comes from one job per
+file × partitions within the file.
 """
 
 from __future__ import annotations
@@ -203,12 +213,19 @@ class _Container:
 # --------------------------------------------------------------------------
 
 class TdbMeta:
-    """Driver/worker-side parsed tdb metadata: everything except
-    ``trails.data`` payload bytes (the TOC is included — it is what
-    partitions the payload)."""
+    """Driver/worker-side parsed tdb metadata. Scale contract: holds
+    NOTHING proportional to num_trails as Python objects — uuids and the
+    TOC are read as byte slices on demand (``uuid_hex_range`` /
+    ``toc_slice``), the full TOC loads lazily (driver-only, for range
+    planning) as one numpy array, and lexicon values parse per-field on
+    first use. On the reference's headline 44 M-trail artifact
+    (doc/docs/tutorial.md:171-174) eager construction costs a few KB of
+    field metadata plus the fixed 1.3 MB codebook — not the several GB
+    per worker the old list-of-bytes uuids form required."""
 
     def __init__(self, path: str):
         c = _Container(path)
+        self._c = c
         self.path = c.path
         self.is_package = c.is_package
 
@@ -236,25 +253,28 @@ class TdbMeta:
         self.field_names = ["time"] + names
         self.num_fields = len(self.field_names)
 
-        # lexicons: list (per ofield) of value-bytes lists, index = val-1
-        self.lexicons: list[list[bytes]] = []
+        # lexicon COUNTS from each file header (width from file size,
+        # matching the reader's >2^32 rule) — values parse lazily
+        self._lex_counts: list[int] = []
         for name in names:
-            self.lexicons.append(
-                _parse_lexicon(c.read(f"lexicon.{name}"), self.version)
+            lname = f"lexicon.{name}"
+            size = c.size(lname)
+            if size == 0:
+                self._lex_counts.append(0)
+                continue
+            width = 8 if size > UINT32_MAX else 4
+            head = c.read_slice(lname, 0, width)
+            self._lex_counts.append(
+                struct.unpack("<I" if width == 4 else "<Q", head)[0]
             )
+        self._lex_values: dict[int, list[bytes]] = {}
+        self._lex_strs: dict[int, np.ndarray] = {}
+        self._toc = None
 
         if self.num_trails:
-            uuids_name = "cookies" if self.version == 0 else "uuids"
-            raw = c.read(uuids_name)
-            self.uuids = [raw[i * 16:(i + 1) * 16] for i in range(self.num_trails)]
-
+            self._uuids_name = "cookies" if self.version == 0 else "uuids"
             data_size = c.size("trails.data")
-            toc_raw = c.read("trails.toc")
-            width = 4 if data_size < UINT32_MAX else 8
-            self.toc = np.frombuffer(
-                toc_raw, dtype=np.uint32 if width == 4 else np.uint64,
-                count=self.num_trails + 1,
-            ).astype(np.int64)
+            self._toc_width = 4 if data_size < UINT32_MAX else 8
 
             cb = c.read("trails.codebook")
             if self.version == 0:
@@ -272,22 +292,96 @@ class TdbMeta:
             self.cb_lo = lo.astype(np.int64)  # packed item (low 64)
             self.cb_hi = hi.astype(np.int64)  # bigram second item
         else:
-            self.uuids = []
-            self.toc = np.zeros(1, dtype=np.int64)
+            self._uuids_name = "uuids"
+            self._toc_width = 4
             self.cb_lo = self.cb_hi = self.cb_bits = np.zeros(0, np.int64)
 
         # bit widths: src/tdb.c:229-253 + src/tdb_huffman.c:232-247
         self.field_id_bits = _bits_needed(self.num_fields)
         self.field_bits = [_bits_needed(self.max_timestamp_delta)] + [
-            _bits_needed(len(lex)) for lex in self.lexicons
+            _bits_needed(n) for n in self._lex_counts
         ]
+
+    # -- lazy per-trail metadata (O(range) reads, never O(num_trails)) --
+
+    @property
+    def toc(self) -> np.ndarray:
+        """Full TOC as int64 (lazy; intended for driver-side range
+        planning — workers use toc_slice)."""
+        if self._toc is None:
+            if not self.num_trails:
+                self._toc = np.zeros(1, dtype=np.int64)
+            else:
+                raw = self._c.read("trails.toc")
+                self._toc = np.frombuffer(
+                    raw,
+                    dtype=np.uint32 if self._toc_width == 4 else np.uint64,
+                    count=self.num_trails + 1,
+                ).astype(np.int64)
+        return self._toc
+
+    def toc_slice(self, start: int, end: int) -> np.ndarray:
+        """TOC entries [start, end] inclusive → int64 array of
+        end-start+1 absolute byte offsets into trails.data."""
+        if self._toc is not None:
+            return self._toc[start:end + 1]
+        w = self._toc_width
+        raw = self._c.read_slice("trails.toc", start * w, (end - start + 1) * w)
+        return np.frombuffer(
+            raw, dtype=np.uint32 if w == 4 else np.uint64,
+            count=end - start + 1,
+        ).astype(np.int64)
+
+    def uuid_bytes(self, trail: int) -> bytes:
+        return self._c.read_slice(self._uuids_name, trail * 16, 16)
+
+    def uuid_hex_range(self, start: int, end: int) -> np.ndarray:
+        """uuids[start:end] as a numpy U32 hex array (vectorized
+        hexlify; hex chars are never NUL so S32 round-trips exactly)."""
+        import binascii
+
+        if start >= end:
+            return np.empty(0, dtype="U32")
+        raw = self._c.read_slice(self._uuids_name, start * 16,
+                                 (end - start) * 16)
+        return np.frombuffer(binascii.hexlify(raw), dtype="S32").astype("U32")
+
+    def lexicon_values(self, ofield: int) -> list[bytes]:
+        """Values of ofield (0-based among non-time fields), lazily
+        parsed and cached; index = val-1."""
+        vals = self._lex_values.get(ofield)
+        if vals is None:
+            name = self.field_names[ofield + 1]
+            vals = _parse_lexicon(self._c.read(f"lexicon.{name}"),
+                                  self.version)
+            self._lex_values[ofield] = vals
+        return vals
+
+    def lexicon_strs(self, ofield: int) -> np.ndarray:
+        """Decoded lexicon as an object array with '' at index 0 (the
+        NULL item), so ``arr[val_id]`` vectorizes id→string mapping."""
+        arr = self._lex_strs.get(ofield)
+        if arr is None:
+            vals = self.lexicon_values(ofield)
+            arr = np.empty(len(vals) + 1, dtype=object)
+            arr[0] = ""
+            for i, v in enumerate(vals):
+                arr[i + 1] = v.decode("utf-8", "replace")
+            self._lex_strs[ofield] = arr
+        return arr
+
+    # backwards-compatible views (tests / plain-Python iterator)
+    @property
+    def lexicons(self) -> list[list[bytes]]:
+        return [self.lexicon_values(i)
+                for i in range(len(self.field_names) - 1)]
 
     def lexicon_size(self, field: int) -> int:
         """+1 for the implicit NULL, matching tdb_lexicon_size
         (src/tdb.c:455-465)."""
         if field == 0 or field >= self.num_fields:
             return 0
-        return len(self.lexicons[field - 1]) + 1
+        return self._lex_counts[field - 1] + 1
 
 
 def _parse_lexicon(blob: bytes, version: int) -> list[bytes]:
@@ -367,29 +461,241 @@ def _decode_trail(buf: bytes, meta: TdbMeta) -> list[tuple[int, list[int]]]:
 def iter_events(path: str, trail_range: tuple[int, int] | None = None):
     """Plain-Python iterator over (uuid_hex, timestamp, values...) rows —
     the cursor contract without Spark (used by tests and the CLI's
-    streaming import)."""
+    streaming import). This per-gram scalar path doubles as the
+    differential oracle for the vectorized range decoder
+    (test_vectorized_decoder_matches_scalar)."""
     meta = TdbMeta(path)
     yield from _iter_events_meta(meta, trail_range)
 
 
 def _iter_events_meta(meta: TdbMeta, trail_range=None):
-    c = _Container(meta.path)
     start, end = trail_range or (0, meta.num_trails)
     if start >= end:
         return
-    byte0, byte1 = int(meta.toc[start]), int(meta.toc[end])
-    blob = c.read_slice("trails.data", byte0, byte1 - byte0)
-    lex = meta.lexicons
-    for t in range(start, end):
-        b0, b1 = int(meta.toc[t]) - byte0, int(meta.toc[t + 1]) - byte0
-        uuid_hex = meta.uuids[t].hex()
+    toc = meta.toc_slice(start, end)
+    byte0, byte1 = int(toc[0]), int(toc[-1])
+    blob = meta._c.read_slice("trails.data", byte0, byte1 - byte0)
+    uuid_hexes = meta.uuid_hex_range(start, end)
+    nof = meta.num_fields - 1
+    lex = [meta.lexicon_strs(f) for f in range(nof)]
+    for t in range(end - start):
+        b0, b1 = int(toc[t]) - byte0, int(toc[t + 1]) - byte0
+        uuid_hex = str(uuid_hexes[t])
         for ts, vals in _decode_trail(blob[b0:b1], meta):
             row = [uuid_hex, ts]
             for f, v in enumerate(vals):
-                row.append(
-                    lex[f][v - 1].decode("utf-8", "replace") if v else ""
-                )
+                row.append(str(lex[f][v]))
             yield tuple(row)
+
+
+# --------------------------------------------------------------------------
+# vectorized range decode (the read_tdb executor kernel)
+# --------------------------------------------------------------------------
+
+def _unpack_items(items: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized tdb_item_field / tdb_item_val (src/tdb_types.h:24-99)."""
+    narrow = (items & 128) == 0
+    field = np.where(narrow, items & 127,
+                     (items & 127) | (((items >> 8) & 127) << 7))
+    val = np.where(narrow, (items >> 8) & UINT32_MAX, items >> 16)
+    return field, val
+
+
+def _decode_grams_vectorized(blob: bytes, bit_starts: np.ndarray,
+                             bit_ends: np.ndarray, meta: TdbMeta):
+    """Decode every gram of every trail in a contiguous data window.
+
+    The across-trails transpose of the reference cursor: each ROUND
+    advances one gram in every still-active trail with pure numpy ops
+    (gather 9 bytes → 64-bit window → codebook/literal split), so the
+    Python interpreter runs O(max trail grams) times, not O(total
+    grams). Once fewer than 32 trails remain active (the whale tail),
+    the scalar per-gram loop finishes them — bounding the worst case at
+    the old per-gram cost instead of paying numpy dispatch per gram.
+
+    Returns (trail_idx, item1, item2) int64 arrays in trail-major
+    stream order.
+    """
+    # pad so a[q+1] is always readable, then view as aligned u64 words:
+    # the 64-bit window at any bit offset is two adjacent words shifted
+    # — 2 gathers, no per-gram byte assembly
+    pad_len = (len(blob) + 23) // 8 * 8
+    pad = blob + b"\x00" * (pad_len - len(blob))
+    a = np.frombuffer(pad, dtype="<u8")
+    u64_0 = np.uint64(0)
+    u64_1 = np.uint64(1)
+
+    fid_bits = meta.field_id_bits
+    fid_mask = (1 << fid_bits) - 1
+    # pad to the mask so garbage field ids on codebook lanes index
+    # safely (their results are discarded by the where-select)
+    fbits_pad = np.zeros(fid_mask + 1, dtype=np.uint64)
+    fbits_pad[:meta.num_fields] = meta.field_bits
+    cb_lo, cb_hi = meta.cb_lo, meta.cb_hi
+    cb_adv = meta.cb_bits + 1
+
+    out_trail: list[np.ndarray] = []
+    out_i1: list[np.ndarray] = []
+    out_i2: list[np.ndarray] = []
+
+    act = np.flatnonzero(bit_starts < bit_ends).astype(np.int64)
+    offs = bit_starts[act].astype(np.int64)
+    ends_a = bit_ends[act].astype(np.int64)
+    while act.size >= 32:
+        q = offs >> 6
+        r = (offs & 63).astype(np.uint64)
+        enc = a[q] >> r
+        enc |= np.where(r == u64_0, u64_0,
+                        a[q + 1] << ((np.uint64(64) - r) & np.uint64(63)))
+
+        is_code = (enc & u64_1) == u64_1
+        body = (enc >> u64_1).astype(np.int64)
+        idx16 = body & 0xFFFF
+        fld = body & fid_mask
+        fb = fbits_pad[fld]
+        val = ((enc >> np.uint64(1 + fid_bits))
+               & ((u64_1 << fb) - u64_1)).astype(np.int64)
+        wide = (fld > 127) | (val > 0xFFFFFF)
+        lit1 = np.where(wide,
+                        (fld & 127) | 128 | ((fld >> 7) << 8) | (val << 16),
+                        fld | (val << 8))
+        # act is never mutated in place (compress builds new arrays),
+        # so appending the same object per round is safe
+        out_trail.append(act)
+        out_i1.append(np.where(is_code, cb_lo[idx16], lit1))
+        out_i2.append(np.where(is_code, cb_hi[idx16], 0))
+        adv = np.where(is_code, cb_adv[idx16],
+                       1 + fid_bits + fb.astype(np.int64))
+        offs = offs + adv
+        still = offs < ends_a
+        if not still.all():
+            act = act[still]
+            offs = offs[still]
+            ends_a = ends_a[still]
+
+    # scalar tail: the few longest trails (or tiny ranges)
+    if act.size:
+        data = pad
+        fbits_arr = fbits_pad
+        cb_bits = meta.cb_bits
+        for k in range(act.size):
+            t = int(act[k])
+            off, end = int(offs[k]), int(ends_a[k])
+            t1s, t2s = [], []
+            while off < end:
+                encw = (int.from_bytes(
+                    data[off >> 3:(off >> 3) + 9], "little")
+                    >> (off & 7)) & _MASK64
+                if encw & 1:
+                    idx = (encw >> 1) & 0xFFFF
+                    t1s.append(int(cb_lo[idx]))
+                    t2s.append(int(cb_hi[idx]))
+                    off += int(cb_bits[idx]) + 1
+                else:
+                    field = (encw >> 1) & fid_mask
+                    fb = int(fbits_arr[field])
+                    val = (encw >> (1 + fid_bits)) & ((1 << fb) - 1)
+                    t1s.append(_make_item(field, val))
+                    t2s.append(0)
+                    off += 1 + fid_bits + fb
+            if t1s:
+                out_trail.append(np.full(len(t1s), t, np.int64))
+                out_i1.append(np.asarray(t1s, np.int64))
+                out_i2.append(np.asarray(t2s, np.int64))
+
+    if not out_trail:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    tr = np.concatenate(out_trail)
+    i1 = np.concatenate(out_i1)
+    i2 = np.concatenate(out_i2)
+    # rounds are interleaved across trails; a stable sort by trail id
+    # restores trail-major stream order (rounds are appended in stream
+    # order per trail, and the scalar tail appends after all rounds)
+    order = np.argsort(tr, kind="stable")
+    return tr[order], i1[order], i2[order]
+
+
+def _decode_range_pdf(meta: TdbMeta, start: int, end: int,
+                      names: list[str]):
+    """Decode trails [start, end) into ONE pandas DataFrame, fully
+    vectorized: grams → event boundaries (cumsum over field-0 grams) →
+    per-trail timestamp prefix sums → scatter field assignments into an
+    events×ofields id matrix → per-column forward-fill (edge decode) →
+    lexicon id→string via one array take per field. Equivalent to
+    _iter_events_meta row by row (differential-tested)."""
+    import pandas as pd
+
+    cols = ["uuid", "time"] + list(names)
+    nof = meta.num_fields - 1
+    if start >= end:
+        return pd.DataFrame({c: [] for c in cols})
+    toc = meta.toc_slice(start, end)
+    byte0 = int(toc[0])
+    blob = meta._c.read_slice("trails.data", byte0, int(toc[-1]) - byte0)
+
+    rel = toc - byte0
+    starts = rel[:-1]
+    lens = rel[1:] - starts
+    nonempty = lens > 0
+    # first byte of each trail stores the ignore-bit count (low 3 bits)
+    first_bytes = np.zeros(len(starts), np.int64)
+    if blob:
+        fb_idx = starts[nonempty]
+        first_bytes[nonempty] = np.frombuffer(
+            blob, dtype=np.uint8)[fb_idx].astype(np.int64)
+    bit_starts = starts * 8 + 3
+    bit_ends = starts * 8 + lens * 8 - (first_bytes & 7)
+    bit_ends = np.maximum(bit_ends, bit_starts)
+
+    tr, i1, i2 = _decode_grams_vectorized(blob, bit_starts, bit_ends, meta)
+    if tr.size == 0:
+        return pd.DataFrame({c: [] for c in cols})
+
+    f1, v1 = _unpack_items(i1)
+    is_ts = f1 == 0
+    ev_id = np.cumsum(is_ts) - 1
+    n_events = int(ev_id[-1]) + 1
+
+    # timestamps: per-trail prefix sums of field-0 deltas
+    ev_trail = tr[is_ts]
+    deltas = v1[is_ts]
+    cum = np.cumsum(deltas)
+    trail_first_ev = np.flatnonzero(np.diff(ev_trail, prepend=-1))
+    counts = np.diff(np.append(trail_first_ev, n_events))
+    base = np.where(trail_first_ev > 0, cum[trail_first_ev - 1], 0)
+    times = meta.min_timestamp + cum - np.repeat(base, counts)
+
+    # object array of shared str (a U32 fancy-index would copy 128 B
+    # per EVENT; object pointers share one str per trail)
+    uuid_hexes = meta.uuid_hex_range(start, end).astype(object)
+    uuids = uuid_hexes[ev_trail]
+
+    data = {"uuid": uuids, "time": times}
+    if nof:
+        # ofield ids per event: init 0 (NULL) at each trail's first
+        # event, scatter the explicit assignments (each (event, field)
+        # is assigned at most once — tdb events carry one item per
+        # changed field), then forward-fill down each column; trail
+        # firsts being always-assigned stops fills crossing trails
+        dtype = (np.int32 if all(c < 0x7FFFFFFF for c in meta._lex_counts)
+                 else np.int64)
+        vals = np.full((n_events, nof), -1, dtype=dtype)
+        vals[trail_first_ev, :] = 0
+        m1 = ~is_ts
+        vals[ev_id[m1], f1[m1] - 1] = v1[m1].astype(dtype)
+        has2 = i2 != 0
+        if has2.any():
+            f2, v2 = _unpack_items(i2[has2])
+            real = f2 > 0
+            vals[ev_id[has2][real], f2[real] - 1] = v2[real].astype(dtype)
+        rowidx = np.arange(n_events)
+        for c in range(nof):
+            col = vals[:, c]
+            src = np.where(col >= 0, rowidx, 0)
+            np.maximum.accumulate(src, out=src)
+            data[names[c]] = meta.lexicon_strs(c)[col[src]]
+    return pd.DataFrame(data, columns=cols)
 
 
 def read_tdb(spark, path: str, target_bytes: int = 32 << 20):
@@ -397,11 +703,11 @@ def read_tdb(spark, path: str, target_bytes: int = 32 << 20):
     DataFrame. Trail ranges are split on the driver into ~target_bytes
     partitions of ``trails.data`` (contiguous byte slices — each task
     seeks once and decodes sequentially, the access pattern the TOC
-    exists for); decode happens in executors via mapInPandas. The path
+    exists for); decode happens in executors via mapInPandas with the
+    vectorized kernel, touching only the range's slices of trails.data
+    / trails.toc / uuids (worker memory O(range + vocab)). The path
     must be visible to executors (local/shared FS — the reference's own
     deployment contract for mmap)."""
-    import pandas as pd
-
     meta = TdbMeta(path)
     abspath = os.path.abspath(meta.path)
     names = meta.field_names[1:]
@@ -409,18 +715,27 @@ def read_tdb(spark, path: str, target_bytes: int = 32 << 20):
         f", `{n}` string" for n in names
     )
 
-    # contiguous trail ranges of ~target_bytes each
+    # contiguous trail ranges of ~target_bytes each: searchsorted over
+    # the TOC gives O(num_ranges log num_trails) planning, not a
+    # per-trail Python loop
+    toc = meta.toc
     ranges = []
     start = 0
     while start < meta.num_trails:
-        end = start + 1
-        limit = int(meta.toc[start]) + target_bytes
-        while end < meta.num_trails and int(meta.toc[end + 1]) <= limit:
-            end += 1
+        cut = int(np.searchsorted(toc, int(toc[start]) + target_bytes,
+                                  side="right")) - 1
+        end = max(start + 1, min(cut, meta.num_trails))
         ranges.append((start, end))
         start = end
     if not ranges:
         return spark.createDataFrame([], schema)
+
+    # sub-chunk the range inside the task: the decode working set is
+    # ~50-100× the bitstream bytes (3 int64 gram lanes + sort + the
+    # events×fields matrix + pandas objects), so a whole 32 MB range at
+    # once would cost GBs; ~2 MB sub-chunks bound the task at a few
+    # hundred MB and stream out as separate Arrow batches
+    sub_bytes = 2 << 20
 
     def decode(batches):
         metas = _WORKER_META
@@ -429,11 +744,18 @@ def read_tdb(spark, path: str, target_bytes: int = 32 << 20):
             m = metas[abspath] = TdbMeta(abspath)
         for pdf in batches:
             for s, e in zip(pdf["start"], pdf["end"]):
-                rows = list(_iter_events_meta(m, (int(s), int(e))))
-                if rows:
-                    yield pd.DataFrame(
-                        rows, columns=["uuid", "time"] + names
-                    )
+                s, e = int(s), int(e)
+                rtoc = m.toc_slice(s, e)
+                sub = s
+                while sub < e:
+                    cut = int(np.searchsorted(
+                        rtoc, int(rtoc[sub - s]) + sub_bytes,
+                        side="right")) - 1 + s
+                    sub_end = max(sub + 1, min(cut, e))
+                    out = _decode_range_pdf(m, sub, sub_end, names)
+                    if len(out):
+                        yield out
+                    sub = sub_end
 
     rdf = spark.createDataFrame(ranges, "start long, end long")
     rdf = rdf.repartition(min(len(ranges), 64))
