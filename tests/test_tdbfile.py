@@ -202,6 +202,55 @@ def test_vectorized_decoder_matches_scalar(tmp_path):
     assert got_split == want
 
 
+def test_compressed_writer_roundtrip(tmp_path):
+    """write_tdb(compress=True) = the reference's unigram Huffman stage
+    (top-65536 symbols, two-queue tree, depth-16 cap, expanded
+    codebook). Both our decoders — and, via the pinned gold chain, the
+    reference C library — must read it back exactly; the stream must
+    actually shrink; and the vectorized decoder's CODEBOOK branch (not
+    just literals) does the work on this 40-trail fixture."""
+    rows, fields = gold_fixture_rows()
+    lit = str(tmp_path / "lit.tdb")
+    comp = str(tmp_path / "comp.tdb")
+    write_tdb(rows, fields, lit, package=True)
+    write_tdb(rows, fields, comp, package=True, compress=True)
+
+    want = expected_rows(rows)
+    assert list(iter_events(comp)) == want
+    meta = TdbMeta(comp)
+    pdf = tdbfile._decode_range_pdf(meta, 0, meta.num_trails, fields)
+    assert [tuple(r) for r in pdf.itertuples(index=False, name=None)] == want
+    # Huffman grams are present (codebook referenced) and pay off
+    assert meta.cb_bits.max() > 0
+    ratio = meta._c.size("trails.data") / TdbMeta(lit)._c.size("trails.data")
+    assert ratio < 0.85, ratio
+
+    with pytest.raises(ValueError, match="compress requires version 1"):
+        write_tdb(rows, fields, str(tmp_path / "v0c"), version=0,
+                  compress=True)
+
+
+def test_compressed_gold_cross_decoder(tmp_path):
+    """The compressed-export gold chain: regenerating the deterministic
+    compressed artifact must be byte-identical (md5 pinned) to the one
+    the reference C decoder (tools/cdump) dumped, and that dump equals
+    tdb_gold.csv — so the C library provably reads our Huffman stream."""
+    import hashlib
+
+    rows, fields = gold_fixture_rows()
+    path = str(tmp_path / "gold_comp.tdb")
+    write_tdb(rows, fields, path, package=True, compress=True)
+    with open(path, "rb") as f:
+        digest = hashlib.md5(f.read()).hexdigest()
+    assert digest == "7ec91c928192ebbdf4b81c08a54ddb52"
+    got = [
+        ",".join([r[0], str(r[1])] + [c_dump_escape(v) for v in r[2:]])
+        for r in iter_events(path)
+    ]
+    gold = (FIXTURES / "tdb_gold.csv").read_text().strip().split("\n")
+    assert got == gold
+
+
 def test_read_tdb_spark_and_open_tdb(spark, tmp_path):
     """Distributed decode: multi-partition ranges reassemble the full
     event set; TrailDataset.open_tdb applies the engine conventions."""
@@ -239,11 +288,20 @@ def test_cli_tdb_import_export(spark, tmp_path):
     assert cli.main(["dump", "-i", str(tmp_path / "pq"), "-T",
                      "-o", exported]) == 0
     assert list(iter_events(exported)) == expected_rows(rows)
+    # compressed export round-trips the same events
+    comp = str(tmp_path / "exp_comp.tdb")
+    assert cli.main(["dump", "-i", str(tmp_path / "pq"), "-T",
+                     "--tdb-compress", "-o", comp]) == 0
+    assert list(iter_events(comp)) == expected_rows(rows)
+    assert (TdbMeta(comp)._c.size("trails.data")
+            < TdbMeta(exported)._c.size("trails.data"))
     # knob rejection parity with -p/-O
     assert cli.main(["make", "--from-tdb", src, "--csv-header",
                      "-o", str(tmp_path / "x")]) == 1
     assert cli.main(["make", "--from-tdb", src, "-f", "a,b",
                      "-o", str(tmp_path / "x")]) == 1
+    assert cli.main(["dump", "-i", str(tmp_path / "pq"), "-c",
+                     "--tdb-compress", "-o", str(tmp_path / "y.csv")]) == 1
 
 
 def test_package_generic_tar_fallback(tmp_path):

@@ -148,7 +148,7 @@ def cmd_dump(args) -> int:
                 ("--uuids", bool(args.uuids)),
                 ("-f/--fields", bool(args.fields)),
                 ("format flags", args.csv or args.json or args.parquet
-                 or args.orc or args.to_tdb),
+                 or args.orc or args.to_tdb or args.tdb_compress),
                 ("--json-no-empty", args.json_no_empty),
             ) if val
         ]
@@ -180,6 +180,10 @@ def cmd_dump(args) -> int:
         print("dump: --parquet/--orc/--tdb needs -o (cannot stream to stdout)",
               file=sys.stderr)
         return 1
+    if args.tdb_compress and not args.to_tdb:
+        print("dump: --tdb-compress only applies with -T/--tdb",
+              file=sys.stderr)
+        return 1
     if args.to_tdb:
         from .sources.dump import project_fields as _pf
         from .sources.tdbfile import write_tdb
@@ -202,6 +206,7 @@ def cmd_dump(args) -> int:
             list(ofields),
             args.output,
             package=args.output.endswith(".tdb"),
+            compress=args.tdb_compress,
         )
         print(f"created {args.output}")
         return 0
@@ -505,8 +510,13 @@ def build_parser() -> argparse.ArgumentParser:
     dp_fmt.add_argument("-T", "--tdb", action="store_true", dest="to_tdb",
                         help="write a native TrailDB artifact (-o ending "
                              "in .tdb = single-file tar package, else a "
-                             "directory); literal-only encoding, readable "
-                             "by the reference C library")
+                             "directory); readable by the reference C "
+                             "library")
+    dp.add_argument("--tdb-compress", action="store_true",
+                    dest="tdb_compress",
+                    help="with -T: unigram-Huffman-compress the trail "
+                         "streams (the reference's codebook stage; "
+                         "literal-only without it)")
     dp_fmt.add_argument("-O", "--orc", action="store_true",
                         help="write ORC instead of CSV/JSON")
     dp.add_argument("-d", "--delimiter", default=",")

@@ -52,16 +52,23 @@ implementation (all citations into /root/reference):
   line after the magic ``TAR TOC FOR TDB VER 1`` (``src/tdb_package.c:
   16-124``, writer ``src/tdb_cons_package.c:24-34``)
 
-The WRITER (``write_tdb``) emits spec-valid literal-only streams: every
-gram is a flag-0 literal, the codebook is present but never referenced.
-The reference decoder reads such files byte-for-byte identically (its
-decode loop dispatches per gram on the flag bit) — cross-checked in
-tests against a dump captured from the reference C library compiled in
-this container. Compression parity is an explicit non-goal (SURVEY §4:
-Parquet owns compression in this engine); the writer exists so (a)
-round-trip property tests exercise the same bitstream grammar the
-reader parses, and (b) small extracts can be handed back to C-library
-consumers.
+The WRITER (``write_tdb``) emits spec-valid streams in two modes.
+Default: literal-only — every gram is a flag-0 literal, the codebook is
+present but never referenced. ``compress=True`` adds the reference's
+unigram Huffman stage (top-65536 symbols, two-queue tree, depth-16 code
+cap, expanded direct-lookup codebook — ``huff_create_codemap``
+``src/tdb_huffman.c:249-287``, ``create_codebook_fun``
+``src/tdb_huffman.c:343-357``); bigram pairing stays a non-goal (the
+reference's own encoder falls back to two unigrams for uncoded bigrams,
+``src/tdb_huffman.c:313-317``, so unigram streams are a strict subset
+of what its decoder handles). The reference decoder reads both forms
+byte-for-byte identically (its decode loop dispatches per gram on the
+flag bit) — cross-checked in tests against dumps captured from the
+reference C library compiled in this container. Full compression parity
+is still a SURVEY §4 non-goal (Parquet owns compression in this
+engine); the writer exists so (a) round-trip property tests exercise
+the same bitstream grammar the reader parses, and (b) extracts can be
+handed back to C-library consumers at a sane size.
 
 Scale shape of ``read_tdb``: metadata (info/fields/TOC) parses on the
 driver; trail ranges split into ~32 MB partitions which decode in
@@ -789,12 +796,85 @@ class _BitWriter:
         return self.acc.to_bytes(nbytes, "little")
 
 
+def _huffman_codes(freqs: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Length-capped Huffman codes over item frequencies, mirroring the
+    reference's construction exactly (huff_create_codemap,
+    src/tdb_huffman.c:249-287): top-65536 symbols by frequency feed a
+    two-queue bottom-up tree build (sorted leaf array consumed from the
+    tail vs a FIFO of internal nodes — internal weights are
+    non-decreasing, so the FIFO head is always the minimum), then
+    codewords allocate top-down with the depth-16 cap: recursion stops
+    at an internal node at depth 16, so symbols deeper than 16 get NO
+    code and fall back to literals (allocate_codewords,
+    src/tdb_huffman.c:85-99). Ties sort by symbol for determinism
+    (the reference's qsort leaves ties unspecified; any prefix-free
+    assignment is spec-valid).
+
+    Returns {item: (code, num_bits)} with codes read LSB-first.
+    """
+    from collections import deque
+
+    syms = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:65536]
+    if not syms:
+        return {}
+    # node = [weight, left, right, symbol]
+    leaves = [[w, None, None, s] for s, w in syms]
+    n_leaves = len(leaves)
+    q: deque = deque()
+    i = n_leaves
+
+    def pop_min():
+        nonlocal i
+        head = q[0] if q else None
+        if i == 0 or (head is not None and head[0] < leaves[i - 1][0]):
+            return q.popleft() if q else None
+        if i:
+            i -= 1
+            return leaves[i]
+        return None
+
+    while i or len(q) > 1:
+        left = pop_min()
+        right = pop_min()
+        w = (left[0] if left else 0) + (right[0] if right else 0)
+        q.append([w, left, right, None])
+
+    codes: dict[int, tuple[int, int]] = {}
+    stack = [(q.pop(), 0, 0)]
+    while stack:
+        node, code, depth = stack.pop()
+        if node is None:
+            continue
+        _, left, right, sym = node
+        if depth < 16 and (left is not None or right is not None):
+            stack.append((left, code, depth + 1))
+            stack.append((right, code | (1 << depth), depth + 1))
+        elif sym is not None and depth:
+            codes[sym] = (code, depth)
+    return codes
+
+
+def _render_codebook(codes: dict[int, tuple[int, int]]) -> bytes:
+    """Expanded 65536-entry direct-lookup codebook, v1 20-byte entries:
+    every 16-bit word whose low ``bits`` bits equal a code maps to that
+    code's entry (create_codebook_fun, src/tdb_huffman.c:343-357).
+    Unigram-only export: the bigram half (hi 64 bits) stays zero."""
+    book = np.zeros(65536, dtype=np.dtype(
+        [("lo", "<u8"), ("hi", "<u8"), ("bits", "<u4")]))
+    for sym, (code, bits) in codes.items():
+        k = code + (np.arange(1 << (16 - bits), dtype=np.int64) << bits)
+        book["lo"][k] = sym
+        book["bits"][k] = bits
+    return book.tobytes()
+
+
 def write_tdb(
     rows,
     fields: list[str],
     path: str,
     package: bool = False,
     version: int = 1,
+    compress: bool = False,
 ) -> str:
     """Write a spec-valid literal-only ``.tdb`` (see module docstring).
 
@@ -891,25 +971,54 @@ def write_tdb(
         _bits_needed(len(lex)) for lex in lexicons
     ]
 
+    def trail_items(uuid):
+        """The trail's gram item stream: per event a field-0 timestamp
+        -delta item then one item per CHANGED field (edge encoding) —
+        the same stream the literal and Huffman paths encode."""
+        prev_vals = [0] * len(fields)
+        prev_t = min_ts
+        for ts, vals in trails[uuid]:
+            yield _make_item(0, ts - prev_t)
+            prev_t = ts
+            for i, v in enumerate(vals):
+                vid = val_id[i][v] if v else 0
+                if vid != prev_vals[i]:
+                    yield _make_item(i + 1, vid)
+                    prev_vals[i] = vid
+
+    codes: dict[int, tuple[int, int]] = {}
+    if compress:
+        if version == 0:
+            raise ValueError("write_tdb: compress requires version 1 "
+                             "(v0 codebooks are a legacy read path)")
+        # pass 1: unigram frequencies (SURVEY §4 keeps bigram pairing a
+        # non-goal — the reference's encode_gram falls back to two
+        # unigrams for uncoded bigrams anyway, so unigram-only streams
+        # are a strict subset of what its decoder handles)
+        freqs: dict[int, int] = {}
+        for uuid in uuids:
+            for item in trail_items(uuid):
+                freqs[item] = freqs.get(item, 0) + 1
+        codes = _huffman_codes(freqs)
+
     data = io.BytesIO()
     toc = []
     for uuid in uuids:
         w = _BitWriter()
         w.write(0, 3)  # residual placeholder
-        prev_vals = [0] * len(fields)
-        prev_t = min_ts
-        for ts, vals in trails[uuid]:
-            w.write(0, 1)  # literal flag
-            w.write(0, field_id_bits)  # field 0 = timestamp
-            w.write(ts - prev_t, field_bits[0])
-            prev_t = ts
-            for i, v in enumerate(vals):
-                vid = val_id[i][v] if v else 0
-                if vid != prev_vals[i]:  # edge encoding
-                    w.write(0, 1)
-                    w.write(i + 1, field_id_bits)
-                    w.write(vid, field_bits[i + 1])
-                    prev_vals[i] = vid
+        for item in trail_items(uuid):
+            field = _item_field(item)
+            cw = codes.get(item)
+            # reference condition (encode_gram, src/tdb_huffman.c:
+            # 300-312): codeword only when strictly shorter than the
+            # literal
+            if cw is not None and cw[1] + 1 < 1 + field_id_bits + \
+                    field_bits[field]:
+                w.write(1 | (cw[0] << 1), cw[1] + 1)
+            else:
+                w.write(0, 1)  # literal flag
+                w.write(field, field_id_bits)
+                w.write(_item_val(item), field_bits[field])
         toc.append(data.tell())
         data.write(w.close_trail())
     toc.append(data.tell())
@@ -937,7 +1046,9 @@ def write_tdb(
         members.append(
             ("cookies" if version == 0 else "uuids", b"".join(uuids))
         )
-        members.append(("trails.codebook", b"\x00" * (65536 * cb_entry)))
+        members.append(("trails.codebook",
+                        _render_codebook(codes) if codes
+                        else b"\x00" * (65536 * cb_entry)))
         members.append(("trails.toc", toc_bytes))
         members.append(("trails.data", data_bytes))
     members = [(n, b) for n, b in members if b is not None]
