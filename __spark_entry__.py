@@ -4016,6 +4016,42 @@ def q265_sim_topk_jl_sq8(spark, sf_dir):
     return similarity.jl_sq8_topk(emb, queries, k=5, rerank=20, out_dim=16)
 
 
+def _sq8_index_path(spark, sf_dir):
+    """Build-once SQ8 index artifact for this sf_dir (the served form
+    of q246's per-run calibration): codes/ (1 byte/dim + norm), full/
+    (q20 lattice range-sorted by corpus_id), calibration sidecar with
+    staleness fingerprints. Cached like the media fixtures."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        f"{sf_dir}|sq8index|v{_MEDIA_CACHE_VERSION}".encode()
+    ).hexdigest()[:12]
+    os.makedirs("/tmp/traildb_spark_media_cache", exist_ok=True)
+    path = f"/tmp/traildb_spark_media_cache/sq8index-{key}"
+    if not os.path.exists(os.path.join(path, similarity.SQ8_META_FILE)):
+        emb = _load(spark, sf_dir, "embeddings")
+        similarity.save_sq8_index(emb, path)
+    return path
+
+
+def q266_sq8_prebuilt(spark, sf_dir):
+    """ANN top-k against the PERSISTED SQ8 artifact (save_sq8_index /
+    sq8_topk_prebuilt) — the 100 TB deployment form of q246: codes are
+    computed once and served, the probe's candidate stage scans only
+    the 1-byte/dim code table, and the rerank reaches full precision
+    via a bounded IN-list pushed into the range-sorted full/ layout
+    (point reads). Bit-identical to the direct run, so the oracle is
+    exactly q246's SQL — candidates AND ranks reproduce from the raw
+    embeddings table."""
+    path = _sq8_index_path(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.sq8_topk_prebuilt(spark, path, queries, k=5, rerank=20)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4286,6 +4322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q263_ensemble_neardup": q263_ensemble_neardup,
         "q264_threshold_sweep": q264_threshold_sweep,
         "q265_sim_topk_jl_sq8": q265_sim_topk_jl_sq8,
+        "q266_sq8_prebuilt": q266_sq8_prebuilt,
     }
 
 
@@ -9359,6 +9396,69 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q262_sim_topk_jl": _jl_topk_oracle(16, 20, 5),
         "q265_sim_topk_jl_sq8": _jl_sq8_oracle(16, 20, 5),
+        "q266_sq8_prebuilt": """
+            WITH fz AS (
+              SELECT vec_id,
+                     [CAST(embedding[i] AS DOUBLE)
+                      for i in generate_series(1, 64)] AS fv,
+                     [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+                      for i in generate_series(1, 64)] AS qv
+              FROM embeddings),
+            dims AS (
+              SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+                        max(CAST(embedding[i] AS DOUBLE)) AS hi
+              FROM embeddings, generate_series(1, 64) AS t(i) GROUP BY i),
+            codes AS (
+              SELECT e.vec_id,
+                     list(CAST(CASE WHEN d.hi = d.lo THEN 0
+                          ELSE greatest(0, least(255,
+                            floor((e.fv[d.i] - d.lo) * 255.0 / (d.hi - d.lo))))
+                          END AS BIGINT) ORDER BY d.i) AS code
+              FROM fz e, dims d GROUP BY e.vec_id),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     CAST(list_sum([qc.code[i] * cc.code[i]
+                          for i in generate_series(1, 64)]) AS BIGINT) AS int_dot,
+                     CAST(list_sum([cc.code[i] * cc.code[i]
+                          for i in generate_series(1, 64)]) AS BIGINT) AS n2c,
+                     CAST(list_sum([qc.code[i] * qc.code[i]
+                          for i in generate_series(1, 64)]) AS BIGINT) AS n2q
+              FROM codes qc JOIN fz q ON q.vec_id = qc.vec_id
+              CROSS JOIN codes cc JOIN fz c ON c.vec_id = cc.vec_id
+              WHERE q.vec_id < 5),
+            cand AS (
+              SELECT query_id, corpus_id, approx_cos_micro,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY approx_cos_micro DESC NULLS LAST,
+                                                 corpus_id ASC) AS crank
+              FROM (
+                SELECT query_id, corpus_id,
+                       CASE WHEN n2c > 0 AND n2q > 0 THEN
+                         CASE WHEN int_dot >= 0
+                              THEN (1000000 * int_dot)
+                                   // CAST(floor(sqrt(CAST(n2c * n2q AS DOUBLE))) AS BIGINT)
+                              ELSE -((1000000 * -int_dot)
+                                   // CAST(floor(sqrt(CAST(n2c * n2q AS DOUBLE))) AS BIGINT))
+                         END
+                       END AS approx_cos_micro
+                FROM scored)),
+            reranked AS (
+              SELECT cd.query_id, cd.corpus_id,
+                     CAST(cd.approx_cos_micro AS BIGINT) AS approx_cos_micro,
+                     round(list_sum([cv.qv[i] * qv.qv[i] for i in generate_series(1, 64)])
+                           / (sqrt(list_sum([cv.qv[i] * cv.qv[i] for i in generate_series(1, 64)]))
+                              * sqrt(list_sum([qv.qv[i] * qv.qv[i] for i in generate_series(1, 64)]))),
+                           6) AS cos
+              FROM cand cd
+              JOIN fz cv ON cv.vec_id = cd.corpus_id
+              JOIN fz qv ON qv.vec_id = cd.query_id
+              WHERE cd.crank <= 20)
+            SELECT query_id, corpus_id, approx_cos_micro, cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank
+            FROM reranked
+            QUALIFY rank <= 5
+        """,
         "q263_ensemble_neardup": f"""
             WITH lex AS ({_minhash_portable_oracle(5, 16, 4, 0.5, max_bucket=256)}),
             toks AS (

@@ -209,3 +209,66 @@ def test_jl_sq8_topk_replica_invariant(spark):
     out = similarity.jl_sq8_topk(df, q, k=5, rerank=5).orderBy("rank").collect()
     assert [r.corpus_id for r in out][:2] == [0, 4]
     assert out[0].cos == 1.0 and out[1].cos == 1.0
+
+
+def test_sq8_prebuilt_matches_direct_and_scans_code_table_only(
+        spark, sf_dir, tmp_path):
+    """save_sq8_index / sq8_topk_prebuilt: the persisted artifact's probe
+    is BIT-identical to the direct sq8_topk run (codes computed once with
+    the same expressions), its candidate stage scans only the 1-byte/dim
+    code table (no scan of the source embeddings parquet in the plan),
+    and the rerank reaches full/ through a pushed IN-list on the
+    range-sorted corpus_id — point reads, not a corpus scan."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from traildb_spark.plans import audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "sq8")
+    similarity.save_sq8_index(emb, idx)
+    # materialize queries locally so the probe plan contains NO trace of
+    # the source parquet — everything big must come from the artifact
+    qrows = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding").collect()
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<float>")
+
+    out = similarity.sq8_topk_prebuilt(spark, idx, queries, k=5, rerank=20)
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in
+                  similarity.sq8_topk(emb, queries, k=5, rerank=20).collect())
+    assert got == want and len(got) == 15
+
+    plan = audit.explain_str(out)
+    assert "embeddings.parquet" not in plan           # artifact-only probe
+    scans = re.findall(r"Location:.*?\[([^\]]*)\]", plan)
+    assert any("/codes" in s for s in scans), plan[:800]
+    m = re.search(r"PushedFilters: \[In\(corpus_id", plan)
+    assert m, f"no IN-list pushdown into full/:\n{plan[:1200]}"
+    assert "WindowGroupLimit" in plan                 # partial top-k
+
+
+def test_sq8_prebuilt_refuses_stale_or_missing_sidecar(
+        spark, sf_dir, tmp_path):
+    """Same consistency contract as the IVF artifact (reference
+    tdbcli/tdb_index.c:439-451): rewritten codes/ -> hard refusal;
+    missing sidecar -> FileNotFoundError naming the fix."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    idx = str(tmp_path / "sq8_stale")
+    similarity.save_sq8_index(emb, idx)
+    queries = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    # rewrite codes/ after the sidecar: fingerprints no longer match
+    spark.read.parquet(f"{idx}/codes").limit(50).write.mode(
+        "overwrite").parquet(f"{idx}/codes")
+    with pytest.raises(ValueError, match="stale"):
+        similarity.sq8_topk_prebuilt(spark, idx, queries).collect()
+
+    with pytest.raises(FileNotFoundError, match="save_sq8_index"):
+        similarity.sq8_topk_prebuilt(
+            spark, str(tmp_path / "nowhere"), queries)

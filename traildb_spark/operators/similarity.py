@@ -1139,6 +1139,61 @@ def mmr_select(
     )
 
 
+def _sq8_calibrate(corpus: DataFrame, vec_col: str, dim: int,
+                   who: str) -> tuple[list, list]:
+    """Per-dimension [lo, hi] grid over the corpus in ONE aggregation
+    pass (metadata-scale output: 2*dim doubles). The width check rides
+    the same aggregate (zero extra jobs) so a corpus of any other
+    vector width fails loudly instead of silently producing null lo/hi
+    and all-null codes; F.get (null on out-of-bounds, unlike []) lets a
+    too-narrow corpus reach the szmin/szmax check."""
+    dims = corpus.select(F.col(vec_col).alias("v")).agg(
+        F.min(F.size("v")).alias("szmin"),
+        F.max(F.size("v")).alias("szmax"),
+        *[F.min(F.get("v", i).cast("double")).alias(f"lo{i}")
+          for i in range(dim)],
+        *[F.max(F.get("v", i).cast("double")).alias(f"hi{i}")
+          for i in range(dim)],
+    ).collect()[0]
+    if dims["szmin"] != dim or dims["szmax"] != dim:
+        raise ValueError(
+            f"{who}: corpus {vec_col!r} widths span "
+            f"[{dims['szmin']}, {dims['szmax']}] but dim={dim} — pass "
+            "dim= matching the embedding width"
+        )
+    lo = [float(dims[f"lo{i}"]) for i in range(dim)]
+    hi = [float(dims[f"hi{i}"]) for i in range(dim)]
+    return lo, hi
+
+
+def _sq8_expr(col, lo_arr, hi_arr):
+    """code_d = clamp(floor((v_d - lo_d) * 255 / (hi_d - lo_d)), 0, 255)
+    — identical expression order in the oracle SQL so the doubles
+    agree. Constant dimension (hi == lo) → code 0: the grid is
+    degenerate there and the NaN a 0/0 would produce must never reach
+    the codes."""
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x, i: F.when(
+            F.element_at(hi_arr, i + 1) == F.element_at(lo_arr, i + 1),
+            F.lit(0).cast("long"),
+        ).otherwise(
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(255).cast("long"),
+                    F.floor(
+                        (x - F.element_at(lo_arr, i + 1))
+                        * F.lit(255.0)
+                        / (F.element_at(hi_arr, i + 1)
+                           - F.element_at(lo_arr, i + 1))
+                    ).cast("long"),
+                ),
+            )
+        ),
+    )
+
+
 def sq8_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1175,54 +1230,12 @@ def sq8_topk(
     """
     from .dedup import quantize_q20, quantized_cosine_udf
 
-    # width check rides the calibration aggregate (zero extra jobs) so a
-    # corpus of any other vector width fails loudly instead of silently
-    # producing null lo/hi and all-null codes
-    # F.get (null on out-of-bounds, unlike []) so a too-narrow corpus
-    # reaches the szmin/szmax check below and gets the clear error
-    dims = corpus.select(F.col(vec_col).alias("v")).agg(
-        F.min(F.size("v")).alias("szmin"),
-        F.max(F.size("v")).alias("szmax"),
-        *[F.min(F.get("v", i).cast("double")).alias(f"lo{i}")
-          for i in range(dim)],
-        *[F.max(F.get("v", i).cast("double")).alias(f"hi{i}")
-          for i in range(dim)],
-    ).collect()[0]
-    if dims["szmin"] != dim or dims["szmax"] != dim:
-        raise ValueError(
-            f"sq8_topk: corpus {vec_col!r} widths span "
-            f"[{dims['szmin']}, {dims['szmax']}] but dim={dim} — pass "
-            "dim= matching the embedding width"
-        )
-    lo = [float(dims[f"lo{i}"]) for i in range(dim)]
-    hi = [float(dims[f"hi{i}"]) for i in range(dim)]
+    lo, hi = _sq8_calibrate(corpus, vec_col, dim, "sq8_topk")
     lo_arr = F.array(*[F.lit(x) for x in lo])
     hi_arr = F.array(*[F.lit(x) for x in hi])
 
     def sq8(col):
-        # code_d = clamp(floor((v_d - lo_d) * 255 / (hi_d - lo_d)), 0, 255);
-        # identical expression order in the oracle SQL so the doubles agree
-        # constant dimension (hi == lo) → code 0: the grid is degenerate
-        # there and the NaN a 0/0 would produce must never reach the codes
-        return F.transform(
-            col.cast("array<double>"),
-            lambda x, i: F.when(
-                F.element_at(hi_arr, i + 1) == F.element_at(lo_arr, i + 1),
-                F.lit(0).cast("long"),
-            ).otherwise(
-                F.greatest(
-                    F.lit(0).cast("long"),
-                    F.least(
-                        F.lit(255).cast("long"),
-                        F.floor(
-                            (x - F.element_at(lo_arr, i + 1))
-                            * F.lit(255.0)
-                            / (F.element_at(hi_arr, i + 1) - F.element_at(lo_arr, i + 1))
-                        ).cast("long"),
-                    ),
-                )
-            ),
-        )
+        return _sq8_expr(col, lo_arr, hi_arr)
 
     code_norm2 = lambda col: F.aggregate(  # noqa: E731
         F.transform(col, lambda x: x * x),
@@ -1289,6 +1302,214 @@ def sq8_topk(
         cands.withColumn(
             "cos", F.round(quantized_cosine_udf(F.col("cv20"), F.col("qv20")), 6)
         )
+        .withColumn("rank", F.row_number().over(rerank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "approx_cos_micro", "cos", "rank")
+    )
+
+
+SQ8_META_FILE = "_sq8_meta.json"
+
+
+def save_sq8_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> str:
+    """Persist the SQ8 compressed-scan artifact — the production form of
+    :func:`sq8_topk`, which recalibrates and re-encodes the corpus per
+    run (fine for one-off queries, wasteful for a served index at
+    100 TB). Layout:
+
+    - ``codes/``: parquet ``(corpus_id, code BINARY(dim), n2 LONG)`` —
+      genuinely 1 byte/dimension (4× under float32, 8× under the q20
+      lattice), the only thing a probe's candidate stage scans.
+    - ``full/``: parquet ``(corpus_id, cv20)`` RANGE-SORTED by
+      corpus_id, so the probe's rerank — a bounded |Q|·rerank IN-list
+      pushed into the scan — reads only the row groups holding the
+      survivors instead of the corpus.
+    - sidecar JSON: the calibration grid (per-dim lo/hi), dim, id type,
+      and a data fingerprint per subdir (same staleness contract as
+      :func:`save_ivf_index`, reference index↔data checksum analog
+      ``tdbcli/tdb_index.c:439-451``).
+
+    Codes are computed ONCE here with the exact :func:`sq8_topk`
+    expressions, so a probe returns bit-identical candidates and ranks
+    to the direct run on the same corpus.
+    """
+    import json
+
+    from .. import fsutil
+    from .dedup import quantize_q20
+
+    spark = corpus.sparkSession
+    lo, hi = _sq8_calibrate(corpus, vec_col, dim, "save_sq8_index")
+    lo_arr = F.array(*[F.lit(x) for x in lo])
+    hi_arr = F.array(*[F.lit(x) for x in hi])
+
+    @F.pandas_udf("binary")
+    def pack_codes(cs: pd.Series) -> pd.Series:
+        if len(cs) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        arr = np.vstack(cs.to_numpy()).astype(np.uint8)
+        return pd.Series([arr[i].tobytes() for i in range(arr.shape[0])])
+
+    code_norm2 = F.aggregate(
+        F.transform(F.col("__cq"), lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    codes = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            _sq8_expr(F.col(vec_col), lo_arr, hi_arr).alias("__cq"),
+        )
+        .select(
+            "corpus_id",
+            pack_codes(F.col("__cq")).alias("code"),
+            code_norm2.alias("n2"),
+        )
+    )
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    full = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        quantize_q20(F.col(vec_col)).alias("cv20"),
+    )
+    (full.repartitionByRange(max(corpus.rdd.getNumPartitions(), 1),
+                             "corpus_id")
+         .sortWithinPartitions("corpus_id")
+         .write.mode("overwrite").parquet(f"{path}/full"))
+    fsutil.write_small(
+        spark,
+        f"{path}/{SQ8_META_FILE}",
+        json.dumps({
+            "dim": dim,
+            "lo": lo,
+            "hi": hi,
+            "id_type": dict(corpus.dtypes)[id_col],
+            "codes_fingerprint": fsutil.data_fingerprint(
+                spark, f"{path}/codes"),
+            "full_fingerprint": fsutil.data_fingerprint(
+                spark, f"{path}/full"),
+        }),
+    )
+    return path
+
+
+def sq8_topk_prebuilt(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k against a :func:`save_sq8_index` artifact, bit-identical
+    to :func:`sq8_topk` on the same corpus. Plan shape (audited in
+    ``test_sq8_prebuilt_scans_code_table_only``):
+
+    1. CANDIDATES: scan ``codes/`` only — 1 byte/dim + one long per
+       vector; queries quantize onto the SIDECAR grid (literals, no
+       corpus pass); exact int64 code dot in an Arrow batch; code-space
+       cosine rank with the partial top-k (WindowGroupLimit) keeping
+       partitions×|Q|×rerank rows in the shuffle.
+    2. RERANK: the survivor id set is |Q|·rerank — metadata-scale by
+       construction — so it collects to an IN-list literal pushed into
+       the ``full/`` scan (row-group pruning on the range-sorted
+       layout: point reads, not a corpus scan).
+
+    Stale artifacts are refused (fingerprint mismatch on either subdir
+    → ValueError), absent sidecar → FileNotFoundError, same contract as
+    :func:`ivf_topk_prebuilt`.
+    """
+    import json
+
+    from .. import fsutil
+    from .dedup import quantize_q20, quantized_cosine_udf
+
+    raw = fsutil.read_small(spark, f"{path}/{SQ8_META_FILE}")
+    if raw is None:
+        raise FileNotFoundError(
+            f"no SQ8 index sidecar at {path}/{SQ8_META_FILE}; "
+            "build one with save_sq8_index"
+        )
+    meta = json.loads(raw)
+    for sub in ("codes", "full"):
+        want = meta.get(f"{sub}_fingerprint")
+        if want is not None and want != fsutil.data_fingerprint(
+                spark, f"{path}/{sub}"):
+            raise ValueError(
+                f"SQ8 index at {path} is stale: {sub}/ changed since the "
+                "sidecar was written — rebuild with save_sq8_index"
+            )
+    dim = int(meta["dim"])
+    lo_arr = F.array(*[F.lit(float(x)) for x in meta["lo"]])
+    hi_arr = F.array(*[F.lit(float(x)) for x in meta["hi"]])
+
+    q_guard = F.assert_true(
+        F.size(F.col(vec_col)) == dim,
+        f"sq8_topk_prebuilt: query {vec_col} width != dim={dim}",
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantize_q20(F.col(vec_col)).alias("qv20"),
+        F.when(q_guard.isNull(),
+               _sq8_expr(F.col(vec_col), lo_arr, hi_arr)).alias("qq"),
+    ).withColumn(
+        "n2q",
+        F.aggregate(F.transform(F.col("qq"), lambda x: x * x),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x),
+    )
+
+    @F.pandas_udf("long")
+    def packed_dot_udf(code: pd.Series, qq: pd.Series) -> pd.Series:
+        if len(code) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        X = np.frombuffer(b"".join(code.to_numpy()),
+                          dtype=np.uint8).reshape(len(code), -1)
+        Y = np.vstack(qq.to_numpy()).astype(np.int64)
+        return pd.Series((X.astype(np.int64) * Y).sum(axis=1))
+
+    codes = spark.read.parquet(f"{path}/codes")
+    den = F.floor(
+        F.sqrt((F.col("n2") * F.col("n2q")).cast("double"))
+    ).cast("long")
+    acs = F.when(
+        (F.col("n2") > 0) & (F.col("n2q") > 0),
+        F.when(
+            F.col("int_dot") >= 0,
+            F.expr("(1000000 * int_dot) div __den"),
+        ).otherwise(-F.expr("(1000000 * -int_dot) div __den")),
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("approx_cos_micro"), F.asc("corpus_id")
+    )
+    cands = (
+        codes.join(F.broadcast(q))
+        .withColumn("int_dot", packed_dot_udf(F.col("code"), F.col("qq")))
+        .withColumn("__den", den)
+        .withColumn("approx_cos_micro", acs)
+        .withColumn("crank", F.row_number().over(cand_w))
+        .filter(F.col("crank") <= rerank)
+        .select("query_id", "corpus_id", "approx_cos_micro", "qv20")
+    )
+    # survivor ids are |Q|·rerank (bounded, metadata-scale) → literal
+    # IN-list so the full/ scan prunes row groups on the sorted layout.
+    # persist (not checkpoint) keeps the ids-collect from rescanning the
+    # codes while leaving the candidate lineage visible to plan audits
+    surv = cands.persist()
+    ids = [r[0] for r in surv.select("corpus_id").distinct().collect()]
+    full = spark.read.parquet(f"{path}/full").filter(
+        F.col("corpus_id").isin(ids))
+    rerank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("corpus_id")
+    )
+    return (
+        surv.join(full, "corpus_id")
+        .withColumn("cos", F.round(
+            quantized_cosine_udf(F.col("cv20"), F.col("qv20")), 6))
         .withColumn("rank", F.row_number().over(rerank_w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "approx_cos_micro", "cos", "rank")
