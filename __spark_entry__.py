@@ -4052,6 +4052,57 @@ def q266_sq8_prebuilt(spark, sf_dir):
     return similarity.sq8_topk_prebuilt(spark, path, queries, k=5, rerank=20)
 
 
+def _zdb_path(spark, sf_dir):
+    """Build-once finalized dataset WITH the z-ordered auxiliary index
+    (TrailDataset.build_index = the reference's optional index artifact,
+    tdbcli/tdb_index.c:721-779): events in canonical form plus an
+    hour-of-day column so the index covers a 2-column conjunctive
+    filter; small parquet blocks so z-order pruning has row groups to
+    skip. Cached like the media fixtures."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        f"{sf_dir}|zdb|v{_MEDIA_CACHE_VERSION}".encode()
+    ).hexdigest()[:12]
+    os.makedirs("/tmp/traildb_spark_media_cache", exist_ok=True)
+    path = f"/tmp/traildb_spark_media_cache/zdb-{key}"
+    if not os.path.exists(os.path.join(path, "_traildb_meta.json")):
+        ev = _events(spark, sf_dir).select(
+            "uuid", "time", "event_type",
+            (F.expr("time div 3600") % 24).cast("string").alias("hod"),
+        )
+        TrailDataset.from_dataframe(ev).finalize(path, mode="overwrite")
+        TrailDataset.build_index(
+            spark, path, ["event_type", "hod"],
+            parquet_block_bytes=64 * 1024,
+        )
+    return path
+
+
+def q267_zindex_routing(spark, sf_dir):
+    """CNF filter served END-TO-END by the z-ordered auxiliary index
+    (the reference's `tdb index` + auto-discovery loop,
+    tdbcli/tdb_index.c:637-662): open() discovers <db>/_zindex, the
+    router sends the covered 2-column conjunctive filter there (plan-
+    audited in test_plans.py::test_q267_routes_through_zindex), and the
+    rows hash-match the full-scan oracle computed from the RAW parquet
+    — the reference's index/no-index differential
+    (tests/tdbcli/test_tdbcli.py:72-78) as a driver-checked query."""
+    from traildb_spark.operators.filters import parse_filter
+
+    path = _zdb_path(spark, sf_dir)
+    ds = TrailDataset.open(spark, path).with_filter(
+        parse_filter("event_type=click event_type=view & hod=12")
+    )
+    df = ds.df
+    return df.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("uuid").alias("n_trails"),
+        F.sum("time").alias("sum_time"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4323,6 +4374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q264_threshold_sweep": q264_threshold_sweep,
         "q265_sim_topk_jl_sq8": q265_sim_topk_jl_sq8,
         "q266_sq8_prebuilt": q266_sq8_prebuilt,
+        "q267_zindex_routing": q267_zindex_routing,
     }
 
 
@@ -9396,6 +9448,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q262_sim_topk_jl": _jl_topk_oracle(16, 20, 5),
         "q265_sim_topk_jl_sq8": _jl_sq8_oracle(16, 20, 5),
+        "q267_zindex_routing": f"""
+            WITH ev AS (
+              SELECT uuid, "time", event_type,
+                     CAST(("time" // 3600) % 24 AS VARCHAR) AS hod
+              FROM ({_E}))
+            SELECT event_type, hod,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT uuid) AS n_trails,
+                   SUM("time") AS sum_time
+            FROM ev
+            WHERE (event_type = 'click' OR event_type = 'view')
+              AND hod = '12'
+            GROUP BY event_type, hod
+        """,
         "q266_sq8_prebuilt": """
             WITH fz AS (
               SELECT vec_id,

@@ -990,3 +990,35 @@ def test_compressed_ann_trio_no_sortmerge(spark, sf_dir):
     for fn in (entry.q262_sim_topk_jl, entry.q265_sim_topk_jl_sq8):
         plan = audit.explain_str(fn(spark, sf_dir), "simple")
         assert "SortMergeJoin" not in plan, plan
+
+
+def test_q267_routes_through_zindex(spark):
+    """The registered z-index query (q267) must actually serve its scan
+    from <db>/_zindex with the covered predicate pushed there, and its
+    result must equal the no-index full-scan run — the reference's
+    index/no-index differential (tests/tdbcli/test_tdbcli.py:72-78) on
+    the exact query the driver grades."""
+    import __spark_entry__ as entry
+    from traildb_spark.dataset import TrailDataset
+    from traildb_spark.operators.filters import parse_filter
+
+    sf = "/root/testdata/sf0.001"
+    df = entry.q267_zindex_routing(spark, sf)
+    plan = audit.explain_str(df)
+    assert "_zindex" in plan, "q267 did not route through the z-index"
+    assert "PushedFilters" in plan
+
+    path = entry._zdb_path(spark, sf)
+    f = parse_filter("event_type=click event_type=view & hod=12")
+    unrouted = (TrailDataset.open(spark, path, use_index=False)
+                .with_filter(f).df)
+    assert "_zindex" not in audit.explain_str(unrouted)
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(
+        tuple(r) for r in unrouted.groupBy("event_type", "hod").agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("uuid").alias("n_trails"),
+            F.sum("time").alias("sum_time"),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
