@@ -4103,6 +4103,58 @@ def q267_zindex_routing(spark, sf_dir):
     )
 
 
+def q268_streaming_dedup_against(spark, sf_dir):
+    """Streaming incremental dedup vs a static corpus
+    (streaming_dedup_against: corpus Bloom prefilter + exact re-check +
+    cross-batch accepted-fingerprint state, exactly-once pointer
+    protocol). 'New' docs (doc_id % 5 != 0) stream in three ascending-id
+    micro-batches against the 'existing' corpus (doc_id % 5 == 0); with
+    ascending batches the accepted row per fingerprint is the GLOBAL
+    min-id row, so the drained result is fully SQL-expressible:
+    fp ∉ corpus, doc_id = min per fp — the q65 batch law + keep-first.
+    The state dir is cache-keyed per sf_dir: a rerun drains zero new
+    files and reads back the identical committed state (the replay
+    no-op is part of what the hash match certifies)."""
+    import hashlib
+    import os
+    import time as _time
+
+    from traildb_spark.streaming.ingest import (
+        dedup_accepted_rows,
+        streaming_dedup_against,
+    )
+
+    key = hashlib.md5(
+        f"{sf_dir}|sdedup|v{_MEDIA_CACHE_VERSION}".encode()
+    ).hexdigest()[:12]
+    base = f"/tmp/traildb_spark_media_cache/sdedup-{key}"
+    src, out, ckpt = f"{base}/src", f"{base}/state", f"{base}/ckpt"
+    docs = _load(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    if not os.path.exists(src):
+        os.makedirs(base, exist_ok=True)
+        new = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+        hi = new.agg(F.max("doc_id")).collect()[0][0]
+        cuts = [hi // 3, 2 * hi // 3, hi]
+        lo = -1
+        for c in cuts:
+            _time.sleep(0.05)  # distinct mtimes → deterministic order
+            (new.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= c))
+             .coalesce(1).write.mode("append").parquet(src))
+            lo = c
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_dedup_against(stream, existing, out, ckpt,
+                                text_col="text", id_col="doc_id")
+    q.awaitTermination(300)
+    acc = dedup_accepted_rows(spark, out, ckpt)
+    return acc.select(
+        F.md5(dedup.normalize_text(F.col("text"))).alias("fp"),
+        F.col("doc_id"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4375,6 +4427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q265_sim_topk_jl_sq8": q265_sim_topk_jl_sq8,
         "q266_sq8_prebuilt": q266_sq8_prebuilt,
         "q267_zindex_routing": q267_zindex_routing,
+        "q268_streaming_dedup_against": q268_streaming_dedup_against,
     }
 
 
@@ -9448,6 +9501,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q262_sim_topk_jl": _jl_topk_oracle(16, 20, 5),
         "q265_sim_topk_jl_sq8": _jl_sq8_oracle(16, 20, 5),
+        "q268_streaming_dedup_against": f"""
+            WITH newd AS (
+              SELECT doc_id, md5({_NORM_TEXT}) AS fp
+              FROM documents WHERE doc_id % 5 <> 0),
+            corp AS (
+              SELECT DISTINCT md5({_NORM_TEXT}) AS fp
+              FROM documents WHERE doc_id % 5 = 0)
+            SELECT fp, MIN(doc_id) AS doc_id
+            FROM newd
+            WHERE fp NOT IN (SELECT fp FROM corp)
+            GROUP BY fp
+        """,
         "q267_zindex_routing": f"""
             WITH ev AS (
               SELECT uuid, "time", event_type,

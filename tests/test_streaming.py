@@ -1423,3 +1423,81 @@ def test_streaming_kmv_matches_batch_and_replay(spark, sf_dir, tmp_path):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="lineage"):
         _kmv_batch(spark.read.parquet(path), 0, out, "pair", 16, token)
+
+
+def test_streaming_dedup_against_matches_batch_and_replay(spark, tmp_path):
+    """streaming_dedup_against == batch dedup_against + keep-first over
+    the drained prefix: accepted fingerprints are exactly
+    distinct(new fps) \\ corpus fps, the surviving row per fingerprint
+    is the global min-id (batches split on ascending id), committed-
+    batch replay is a no-op, and a cleared-checkpoint lineage reuse
+    refuses — the countmin/kmv pointer contract on the exact-dedup
+    operator."""
+    import hashlib
+    import os
+    import time as _time
+
+    from traildb_spark.operators import dedup
+    from traildb_spark.streaming.ingest import (
+        _dedup_against_batch,
+        dedup_accepted_rows,
+        streaming_dedup_against,
+    )
+
+    corpus_rows = [(100 + i, f"corpus doc {i}") for i in range(8)]
+    corpus_rows += [(108, "shared text one"), (109, "shared text two")]
+    existing = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+
+    # three ascending-id batches: corpus dups, in-batch dups (8/9),
+    # cross-batch dups (12 repeats 1's text; 21 repeats "fresh two")
+    batches = [
+        [(1, "fresh one"), (2, "Shared   Text One"), (3, "fresh two"),
+         (8, "twin"), (9, "TWIN")],
+        [(11, "shared text two"), (12, "fresh one"), (13, "fresh three")],
+        [(21, "fresh two"), (22, "fresh four"), (23, "twin")],
+    ]
+    src = str(tmp_path / "dd_src")
+    for b in batches:
+        _time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+        spark.createDataFrame(b, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out, ckpt = str(tmp_path / "dd_out"), str(tmp_path / "dd_ckpt")
+    q = streaming_dedup_against(stream, existing, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {(r.doc_id, r.text) for r in
+           dedup_accepted_rows(spark, out, ckpt).collect()}
+    # batch law: dedup_against(prefix, corpus) + keep min-id per fp
+    assert got == {(1, "fresh one"), (3, "fresh two"), (8, "twin"),
+                   (13, "fresh three"), (22, "fresh four")}
+    prefix = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string")
+    surv = dedup.dedup_against(prefix, existing)
+    fp = F.md5(dedup.normalize_text(F.col("text")))
+    first = (surv.withColumn("__fp", fp)
+             .groupBy("__fp").agg(F.min("doc_id").alias("doc_id")))
+    want_ids = {r.doc_id for r in first.collect()}
+    assert {d for d, _ in got} == want_ids
+
+    # replay of the committed last batch is a no-op
+    token = hashlib.md5(ckpt.encode()).hexdigest()[:8]
+    cur = [f for f in os.listdir(out) if f.startswith("_latest")][0]
+    with open(f"{out}/{cur}") as fh:
+        last_id = int(fh.read().strip().rsplit("_", 1)[1])
+    bloom = spark.sparkContext.broadcast(
+        dedup.build_bloom_filter(existing))
+    assert _dedup_against_batch(
+        spark.read.parquet(src), last_id, out, "text", "doc_id",
+        bloom, 1 << 20, 4, token,
+    ) is False
+
+    # cleared-checkpoint reuse (batch 0 against existing state) refuses
+    with pytest.raises(RuntimeError, match="lineage"):
+        _dedup_against_batch(
+            spark.read.parquet(src), 0, out, "text", "doc_id",
+            bloom, 1 << 20, 4, token,
+        )

@@ -18,6 +18,8 @@ data in the SAME finalized layout batch queries already prune:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1059,3 +1061,174 @@ def kmv_current(spark, path: str, checkpoint: str, k: int = 64) -> DataFrame:
         )
     )
     return agg.select("n_hashes", est.cast("long").alias("kmv_estimate"))
+
+
+def streaming_dedup_against(
+    stream: DataFrame,
+    existing: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    processing_time: str | None = None,
+):
+    """Streaming incremental-ingest dedup vs a STATIC corpus — the
+    streaming twin of ``dedup.bloom_dedup_against(exact=True)`` with
+    cross-batch first-wins, the production "today's crawl vs the
+    ingested corpus" loop run continuously instead of nightly.
+
+    Per micro-batch: rows pass the corpus Bloom prefilter (bitmap built
+    ONCE here from ``existing`` and broadcast — no false negatives, so
+    Bloom misses are provably new and skip the join); Bloom hits
+    re-check against the exact corpus fingerprint set (materialized
+    once under ``path``); survivors then anti-join the ACCEPTED
+    fingerprint state accumulated from earlier batches, and within a
+    batch the min-``id_col`` row per fingerprint wins (deterministic).
+    Accepted rows land in ``{path}/rows_<token>_<batch>`` (overwrite →
+    idempotent on replay); the fingerprint state advances through the
+    same exactly-once pointer protocol as ``streaming_countmin`` /
+    ``streaming_kmv`` (replayed batch ids are no-ops, a cleared-and-
+    reused checkpoint is refused).
+
+    Parity law (tested): over any prefix of batches, the accepted
+    fingerprint set ≡ distinct(prefix fps) MINUS corpus fps — batching-
+    independent; and with batches split on ascending ``id_col`` the
+    accepted ROW per fingerprint is the global min-id row, i.e. exactly
+    ``dedup_against(prefix, existing)`` + keep-first — SQL-expressible,
+    so the registered query (q268) carries a full oracle.
+
+    State scale: the accepted-fingerprint table grows with DISTINCT new
+    content (16-byte hashes — ~16 GB per billion distinct docs, a
+    parquet anti-join side, never driver-resident); the corpus side
+    stays a fixed bitmap + fingerprint parquet. At 100 TB the corpus
+    fingerprints shard by digest prefix exactly as
+    ``dedup.build_bloom_filter`` documents.
+    """
+    import hashlib as _hashlib
+
+    from ..operators.dedup import build_bloom_filter
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+    spark = existing.sparkSession
+
+    corpus_fps = f"{path}/corpus_fps_{run_token}"
+    _, hpath, fs = _hfs(spark, corpus_fps)
+    if not fs.exists(hpath(corpus_fps)):
+        (existing.select(fingerprint(F.col(text_col)).alias("fp"))
+         .distinct().write.mode("overwrite").parquet(corpus_fps))
+    bloom = spark.sparkContext.broadcast(
+        build_bloom_filter(existing, text_col, num_bits, num_hashes)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _dedup_against_batch(
+            batch_df, batch_id, path, text_col, id_col,
+            bloom, num_bits, num_hashes, run_token,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _dedup_against_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    text_col: str,
+    id_col: str,
+    bloom,
+    num_bits: int,
+    num_hashes: int,
+    run_token: str,
+) -> bool:
+    """One Bloom-prefiltered accept step (exposed for crash-replay
+    tests); same replay/lineage contract as ``_kmv_batch``."""
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    latest = f"{path}/_latest_{run_token}"
+    out_b = f"{path}/acc_{run_token}_{batch_id}"
+    rows_b = f"{path}/rows_{run_token}_{batch_id}"
+    prev = (_fs_read_small(spark, latest) or "").strip() or None
+    if prev == out_b:
+        return False
+    if prev is not None and batch_id == 0:
+        raise RuntimeError(
+            "streaming_dedup_against: batch id 0 arrived but this state "
+            "path already holds a previous lineage of the same "
+            "checkpoint path (checkpoint was cleared and reused) — use a "
+            f"fresh checkpoint path or delete the state at {path} "
+            "explicitly."
+        )
+    m, k = num_bits, num_hashes
+
+    @F.pandas_udf("boolean")
+    def bloom_hit(fp: pd.Series) -> pd.Series:
+        a = bloom.value
+        h1 = np.array([int(s[:15], 16) for s in fp], dtype=np.uint64)
+        h2 = np.array([int(s[16:31], 16) for s in fp], dtype=np.uint64)
+        res = np.ones(len(fp), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            res &= ((a[(pos >> np.uint64(6)).astype(np.int64)]
+                     >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+        return pd.Series(res)
+
+    tagged = batch_df.withColumn(
+        "__fp", fingerprint(F.col(text_col))
+    ).withColumn("__hit", bloom_hit(F.col("__fp")))
+    misses = tagged.filter(~F.col("__hit"))
+    corpus = spark.read.parquet(f"{path}/corpus_fps_{run_token}")
+    rechecked = tagged.filter(F.col("__hit")).join(
+        corpus.withColumnRenamed("fp", "__fp"), "__fp", "left_anti"
+    )
+    surv = misses.unionByName(rechecked).drop("__hit")
+    # first-wins within the batch: deterministic min-id representative
+    w = Window.partitionBy("__fp").orderBy(F.asc(id_col))
+    surv = (surv.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+    if prev is not None:
+        prev_fps = spark.read.parquet(prev).withColumnRenamed("fp", "__fp")
+        surv = surv.join(prev_fps, "__fp", "left_anti")
+    surv = surv.localCheckpoint(eager=True)  # one computation, two sinks
+    surv.drop("__fp").write.mode("overwrite").parquet(rows_b)
+    accepted = surv.select(F.col("__fp").alias("fp"))
+    if prev is not None:
+        accepted = spark.read.parquet(prev).unionByName(accepted)
+    accepted.write.mode("overwrite").parquet(out_b)
+    _fs_swap_pointer(spark, latest, out_b)
+    if prev is not None:
+        _, hpath, fs = _hfs(spark, prev)
+        fs.delete(hpath(prev), True)
+    return True
+
+
+def dedup_accepted_rows(spark, path: str, checkpoint: str) -> DataFrame:
+    """All rows accepted so far by ``streaming_dedup_against`` (union of
+    the per-batch output dirs). Intended to be read after the stream
+    drains (availableNow) or between triggers — a batch mid-commit can
+    surface its rows momentarily before the pointer advances, which a
+    replay then overwrites in place."""
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+    if _fs_read_small(spark, f"{path}/_latest_{run_token}") is None:
+        raise FileNotFoundError(f"{path}/_latest_{run_token}")
+    _, hpath, fs = _hfs(spark, path)
+    prefix = f"rows_{run_token}_"
+    dirs = [
+        f"{path}/{st.getPath().getName()}"
+        for st in fs.listStatus(hpath(path))
+        if st.getPath().getName().startswith(prefix)
+    ]
+    return spark.read.parquet(*sorted(dirs))
