@@ -633,7 +633,7 @@ def _png_fixture_payload():
 # v2: VP8L sub-images now carry the spec's per-image color-cache-info bit
 # (RFC 9649 §5) and RIFF chunk sizes exclude the pad byte — WebP payloads
 # encoded by v1 are one flag bit short per transform sub-image.
-_MEDIA_CACHE_VERSION = "2"
+_MEDIA_CACHE_VERSION = "3"
 
 
 def _media_table(spark, sf_dir, target_kind, payload_udf, cache_name=None):

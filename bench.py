@@ -67,6 +67,38 @@ def main():
         ).alias("v")
     ).agg(F.max("v")).collect()
 
+    # ---- canary: normalize cross-round ratios against host variance ----
+    # The same-code bench spread on this VM is the dominant noise on every
+    # cross-round comparison (182.9-275.6s for identical code in one day,
+    # SCALE.md). A pinned set of 7 stable queries runs 3x at the START of
+    # every recorded bench; canary_factor = canary_seconds / the baseline
+    # recorded on an idle box, so a judged ratio r_N/r_M should be read as
+    # (total_N / canary_factor_N) / (total_M / canary_factor_M).
+    CANARY_QUERIES = [
+        "q01_cnf_filter_dump", "q03_trail_lengths", "q06_sessions",
+        "q31_quality", "q58_value_freqs", "q80_attribution", "q93_countmin",
+    ]
+    CANARY_BASELINE_S = 3.56  # min-of-3 sum, recording box, round 8, sf0.1
+    canary_seconds = None
+    # SPARK_GRAFT_BENCH_ONLY: comma-separated query-name prefixes to run
+    # (iteration aid — the recorded artifact should always be a full run)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if all(n in qs for n in CANARY_QUERIES) and not only:
+        canary = {}
+        for name in CANARY_QUERIES:
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            canary[name] = round(best, 3)
+        canary_seconds = round(sum(canary.values()), 3)
+        print(f"# canary: {canary_seconds}s over {len(canary)} pinned "
+              f"queries (baseline {CANARY_BASELINE_S}s, factor "
+              f"{canary_seconds / CANARY_BASELINE_S:.2f})", file=sys.stderr)
+
     timings: dict[str, float] = {}
     # two passes, report per-query min: the first pass pays plan/codegen
     # warmup and is exposed to host-contention spikes (observed 3× on this
@@ -74,9 +106,6 @@ def main():
     # cleared between queries so persisted intermediates never carry over
     # (within OR across passes) — every timing is a cold-data, warm-JVM run.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    # SPARK_GRAFT_BENCH_ONLY: comma-separated query-name prefixes to run
-    # (iteration aid — the recorded artifact should always be a full run)
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     if only:
         pfx = tuple(p.strip() for p in only.split(",") if p.strip())
         qs = {n: f for n, f in qs.items() if n.startswith(pfx)}
@@ -126,6 +155,10 @@ def main():
         "sf": sf,
         "runs_per_query": runs,
     }
+    if canary_seconds is not None:
+        result["canary_seconds"] = canary_seconds
+        result["canary_baseline_seconds"] = CANARY_BASELINE_S
+        result["canary_factor"] = round(canary_seconds / CANARY_BASELINE_S, 3)
     # Persist the full result so it survives regardless of how much of
     # stdout the driver captures (BENCH_r03 recorded parsed=null because
     # the driver keeps only the last 2000 chars and the full 96-query JSON

@@ -2,6 +2,8 @@
 entropy-coding shape, plus honest gates."""
 
 import struct
+import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -195,3 +197,32 @@ def test_webp_riff_chunk_size_excludes_pad_byte():
         dec = np.round(decode_webp(content)).astype(np.uint8)
         assert (dec == np.arange(n, dtype=np.uint8)).all()
     assert seen_odd, "no odd-length payload exercised the pad path"
+
+
+def test_decode_real_libwebp_stream():
+    """Byte-exact decode of a stream captured from ACTUAL libwebp
+    (libwebp.so.7 via ctypes — tools/capture_libwebp_fixture.py), the
+    gold fixture the hand-built spec streams stood in for. This caught
+    a real conformance bug: our kCodeLengthCodeOrder had 16 at the end
+    instead of position 8 (RFC 9649 §6.2.2) — self-consistent with our
+    own encoder, desynced on any libwebp stream transmitting more than
+    8 code-length codes. Pixels regenerate from the capture formula, so
+    libwebp is NOT needed at test time."""
+    import numpy as np
+
+    from traildb_spark.operators.webp import decode_webp
+
+    sys_path = str(Path(__file__).resolve().parent.parent)
+    if sys_path not in sys.path:
+        sys.path.insert(0, sys_path)
+    from tools.capture_libwebp_fixture import H, W, fixture_pixels
+
+    blob = (Path(__file__).parent / "fixtures"
+            / "libwebp_lossless.webp").read_bytes()
+    img = fixture_pixels()
+    luma = (0.299 * img[:, :, 0].astype(np.int64)
+            + 0.587 * img[:, :, 1].astype(np.int64)
+            + 0.114 * img[:, :, 2].astype(np.int64))
+    got = decode_webp(blob)
+    assert got.shape == (H, W)
+    assert np.array_equal(got, luma)

@@ -29,7 +29,12 @@ import struct
 import numpy as np
 
 # order in which code-length code lengths are transmitted (spec §6.2.2)
-_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+# kCodeLengthCodeOrder (RFC 9649 §6.2.2): 16 sits at position 8, NOT at
+# the end. The old order here ([17, 18, 0..15, 16]) was self-consistent
+# (our encoder wrote the same order, so round-trips passed) but desynced
+# on any REAL libwebp stream transmitting more than 8 code-length codes
+# — caught by the captured-libwebp fixture (tools/capture_libwebp_fixture).
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
 # 2D proximity offsets for distance codes 1..120 (spec §5.2.3):
 # (dx, dy) with dy in 0..7, dx in -8..7, ordered by the spec table
