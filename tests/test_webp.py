@@ -215,14 +215,20 @@ def test_decode_real_libwebp_stream():
     sys_path = str(Path(__file__).resolve().parent.parent)
     if sys_path not in sys.path:
         sys.path.insert(0, sys_path)
-    from tools.capture_libwebp_fixture import H, W, fixture_pixels
+    from tools.capture_libwebp_fixture import (
+        _luma,
+        fixture_pixels,
+        palette_pixels,
+        rgba_pixels,
+    )
 
-    blob = (Path(__file__).parent / "fixtures"
-            / "libwebp_lossless.webp").read_bytes()
-    img = fixture_pixels()
-    luma = (0.299 * img[:, :, 0].astype(np.int64)
-            + 0.587 * img[:, :, 1].astype(np.int64)
-            + 0.114 * img[:, :, 2].astype(np.int64))
-    got = decode_webp(blob)
-    assert got.shape == (H, W)
-    assert np.array_equal(got, luma)
+    cases = [
+        ("libwebp_lossless.webp", fixture_pixels()),   # predictor+SG
+        ("libwebp_palette.webp", palette_pixels()),    # color-indexing
+        ("libwebp_rgba.webp", rgba_pixels()),          # real alpha code
+    ]
+    for name, img in cases:
+        blob = (Path(__file__).parent / "fixtures" / name).read_bytes()
+        got = decode_webp(blob)
+        assert got.shape == img.shape[:2], name
+        assert np.array_equal(got, _luma(img)), name

@@ -52,35 +52,66 @@ def fixture_pixels() -> np.ndarray:
     return img
 
 
-def main():
-    lib = ctypes.CDLL("libwebp.so.7")
-    lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
-    lib.WebPEncodeLosslessRGB.argtypes = [
-        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-    ]
-    img = fixture_pixels()
-    out = ctypes.POINTER(ctypes.c_uint8)()
-    size = lib.WebPEncodeLosslessRGB(
-        img.tobytes(), W, H, W * 3, ctypes.byref(out))
-    assert size > 0, "libwebp encode failed"
-    blob = ctypes.string_at(out, size)
-    ctypes.CDLL(None).free(out)
+def palette_pixels() -> np.ndarray:
+    """(25, 41) image from a 13-color palette — odd width + ≤16 colors
+    pushes libwebp onto the COLOR_INDEXING transform with 4-pixel
+    bundling (pack=1), the sub-byte path the main fixture skips."""
+    pal = [(i * 19 % 256, i * 53 % 256, i * 97 % 256) for i in range(13)]
+    img = np.zeros((25, 41, 3), np.uint8)
+    for y in range(25):
+        for x in range(41):
+            img[y, x] = pal[(x * x + 3 * y) % 13]
+    return img
 
-    luma = (0.299 * img[:, :, 0].astype(np.int64)
+
+def rgba_pixels() -> np.ndarray:
+    """(20, 32, 4) with varying alpha — exercises the alpha prefix code
+    on a real stream (the RGB fixtures keep alpha constant 255)."""
+    img = np.zeros((20, 32, 4), np.uint8)
+    for y in range(20):
+        for x in range(32):
+            img[y, x] = ((x * 8) & 0xFF, (y * 12) & 0xFF,
+                         ((x ^ y) * 16) & 0xFF, 255 - ((x + y) * 3) % 128)
+    return img
+
+
+def _luma(img: np.ndarray) -> np.ndarray:
+    return (0.299 * img[:, :, 0].astype(np.int64)
             + 0.587 * img[:, :, 1].astype(np.int64)
             + 0.114 * img[:, :, 2].astype(np.int64))
-    got = decode_webp(blob)
-    assert got.shape == (H, W)
-    assert np.array_equal(got, luma), "our decoder disagrees with libwebp"
 
-    dst = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "tests", "fixtures",
-        "libwebp_lossless.webp")
-    with open(dst, "wb") as f:
-        f.write(blob)
-    print(f"captured {size} bytes -> {dst} (decode verified: "
-          f"{H * W} pixels exact)")
+
+def main():
+    lib = ctypes.CDLL("libwebp.so.7")
+    for fn in ("WebPEncodeLosslessRGB", "WebPEncodeLosslessRGBA"):
+        getattr(lib, fn).restype = ctypes.c_size_t
+        getattr(lib, fn).argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+    fixtures = [
+        ("libwebp_lossless.webp", fixture_pixels(), 3),
+        ("libwebp_palette.webp", palette_pixels(), 3),
+        ("libwebp_rgba.webp", rgba_pixels(), 4),
+    ]
+    base = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "fixtures")
+    for name, img, ch in fixtures:
+        h, w = img.shape[:2]
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        enc = (lib.WebPEncodeLosslessRGB if ch == 3
+               else lib.WebPEncodeLosslessRGBA)
+        size = enc(img.tobytes(), w, h, w * ch, ctypes.byref(out))
+        assert size > 0, f"libwebp encode failed for {name}"
+        blob = ctypes.string_at(out, size)
+        ctypes.CDLL(None).free(out)
+        got = decode_webp(blob)
+        assert got.shape == (h, w), name
+        assert np.array_equal(got, _luma(img)), \
+            f"our decoder disagrees with libwebp on {name}"
+        with open(os.path.join(base, name), "wb") as f:
+            f.write(blob)
+        print(f"captured {size} bytes -> {name} ({h * w} pixels exact)")
 
 
 if __name__ == "__main__":
