@@ -4052,6 +4052,39 @@ def q266_sq8_prebuilt(spark, sf_dir):
     return similarity.sq8_topk_prebuilt(spark, path, queries, k=5, rerank=20)
 
 
+def _jl_sq8_index_path(spark, sf_dir):
+    """Build-once stacked JL→SQ8 artifact (16 bytes/vector) for this
+    sf_dir — the served form of q265, cached like the SQ8 index."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        f"{sf_dir}|jlsq8index|v{_MEDIA_CACHE_VERSION}".encode()
+    ).hexdigest()[:12]
+    os.makedirs("/tmp/traildb_spark_media_cache", exist_ok=True)
+    path = f"/tmp/traildb_spark_media_cache/jlsq8index-{key}"
+    if not os.path.exists(os.path.join(path, similarity.SQ8_META_FILE)):
+        emb = _load(spark, sf_dir, "embeddings")
+        similarity.save_jl_sq8_index(emb, path, out_dim=16)
+    return path
+
+
+def q269_jl_sq8_prebuilt(spark, sf_dir):
+    """ANN top-k against the PERSISTED stacked JL→SQ8 artifact
+    (save_jl_sq8_index / jl_sq8_topk_prebuilt) — q265's 16-byte-per-
+    vector candidate scan served from a build-once code table with the
+    staleness-guarded sidecar. Bit-identical to the direct run, so the
+    oracle is q265's SQL verbatim."""
+    path = _jl_sq8_index_path(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.jl_sq8_topk_prebuilt(spark, path, queries, k=5,
+                                           rerank=20)
+
+
+
 def _zdb_path(spark, sf_dir):
     """Build-once finalized dataset WITH the z-ordered auxiliary index
     (TrailDataset.build_index = the reference's optional index artifact,
@@ -4428,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q266_sq8_prebuilt": q266_sq8_prebuilt,
         "q267_zindex_routing": q267_zindex_routing,
         "q268_streaming_dedup_against": q268_streaming_dedup_against,
+        "q269_jl_sq8_prebuilt": q269_jl_sq8_prebuilt,
     }
 
 
@@ -9501,6 +9535,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q262_sim_topk_jl": _jl_topk_oracle(16, 20, 5),
         "q265_sim_topk_jl_sq8": _jl_sq8_oracle(16, 20, 5),
+        "q269_jl_sq8_prebuilt": _jl_sq8_oracle(16, 20, 5),
         "q268_streaming_dedup_against": f"""
             WITH newd AS (
               SELECT doc_id, md5({_NORM_TEXT}) AS fp

@@ -272,3 +272,34 @@ def test_sq8_prebuilt_refuses_stale_or_missing_sidecar(
     with pytest.raises(FileNotFoundError, match="save_sq8_index"):
         similarity.sq8_topk_prebuilt(
             spark, str(tmp_path / "nowhere"), queries)
+
+
+def test_jl_sq8_prebuilt_matches_direct(spark, sf_dir, tmp_path):
+    """save_jl_sq8_index / jl_sq8_topk_prebuilt: the persisted 16-byte
+    stacked-code probe is BIT-identical to the direct jl_sq8_topk run;
+    a kind mismatch (probing a jl_sq8 artifact as sq8 or vice versa)
+    refuses loudly instead of silently scoring the wrong code space."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "jlsq8")
+    similarity.save_jl_sq8_index(emb, idx, out_dim=16)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    got = sorted(tuple(r) for r in similarity.jl_sq8_topk_prebuilt(
+        spark, idx, queries, k=5, rerank=20).collect())
+    want = sorted(tuple(r) for r in similarity.jl_sq8_topk(
+        emb, queries, k=5, rerank=20, out_dim=16).collect())
+    assert got == want and len(got) == 15
+
+    # 16 bytes per vector on disk (codes column, before parquet framing)
+    row = spark.read.parquet(f"{idx}/codes").first()
+    assert len(row["code"]) == 16
+
+    with pytest.raises(ValueError, match="kind"):
+        similarity.sq8_topk_prebuilt(spark, idx, queries).collect()
+    idx2 = str(tmp_path / "plainsq8")
+    similarity.save_sq8_index(emb.limit(50), idx2)
+    with pytest.raises(ValueError, match="kind"):
+        similarity.jl_sq8_topk_prebuilt(spark, idx2, queries).collect()

@@ -1349,52 +1349,64 @@ def save_sq8_index(
     lo_arr = F.array(*[F.lit(x) for x in lo])
     hi_arr = F.array(*[F.lit(x) for x in hi])
 
+    coded = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        _sq8_expr(F.col(vec_col), lo_arr, hi_arr).alias("__cq"),
+        quantize_q20(F.col(vec_col)).alias("cv20"),
+    )
+    _write_code_artifact(
+        spark, coded, path,
+        {"kind": "sq8", "dim": dim, "lo": lo, "hi": hi,
+         "id_type": dict(corpus.dtypes)[id_col]},
+        parts=max(corpus.rdd.getNumPartitions(), 1),
+    )
+    return path
+
+
+def _pack_codes(col: Column) -> Column:
+    """array<long 0..255> → BINARY, one byte per dimension."""
+
     @F.pandas_udf("binary")
-    def pack_codes(cs: pd.Series) -> pd.Series:
+    def pack(cs: pd.Series) -> pd.Series:
         if len(cs) == 0:
             return pd.Series(np.empty(0, dtype=object))
         arr = np.vstack(cs.to_numpy()).astype(np.uint8)
         return pd.Series([arr[i].tobytes() for i in range(arr.shape[0])])
 
+    return pack(col)
+
+
+def _write_code_artifact(spark, coded: DataFrame, path: str,
+                         meta: dict, parts: int) -> None:
+    """Shared artifact writer for the compressed-scan ANN family:
+    ``coded`` carries (corpus_id, __cq array<long 0..255>, cv20).
+    codes/ = packed 1-byte-per-dim BINARY + norm; full/ = q20 lattice
+    range-sorted by corpus_id (the probe's point-read side); sidecar =
+    calibration meta + per-subdir staleness fingerprints."""
+    import json
+
+    from .. import fsutil
+
     code_norm2 = F.aggregate(
         F.transform(F.col("__cq"), lambda x: x * x),
         F.lit(0).cast("long"), lambda acc, x: acc + x,
     )
-    codes = (
-        corpus.select(
-            F.col(id_col).alias("corpus_id"),
-            _sq8_expr(F.col(vec_col), lo_arr, hi_arr).alias("__cq"),
-        )
-        .select(
-            "corpus_id",
-            pack_codes(F.col("__cq")).alias("code"),
-            code_norm2.alias("n2"),
-        )
+    codes = coded.select(
+        "corpus_id",
+        _pack_codes(F.col("__cq")).alias("code"),
+        code_norm2.alias("n2"),
     )
     codes.write.mode("overwrite").parquet(f"{path}/codes")
-    full = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        quantize_q20(F.col(vec_col)).alias("cv20"),
-    )
-    (full.repartitionByRange(max(corpus.rdd.getNumPartitions(), 1),
-                             "corpus_id")
-         .sortWithinPartitions("corpus_id")
-         .write.mode("overwrite").parquet(f"{path}/full"))
-    fsutil.write_small(
-        spark,
-        f"{path}/{SQ8_META_FILE}",
-        json.dumps({
-            "dim": dim,
-            "lo": lo,
-            "hi": hi,
-            "id_type": dict(corpus.dtypes)[id_col],
-            "codes_fingerprint": fsutil.data_fingerprint(
-                spark, f"{path}/codes"),
-            "full_fingerprint": fsutil.data_fingerprint(
-                spark, f"{path}/full"),
-        }),
-    )
-    return path
+    (coded.select("corpus_id", "cv20")
+          .repartitionByRange(parts, "corpus_id")
+          .sortWithinPartitions("corpus_id")
+          .write.mode("overwrite").parquet(f"{path}/full"))
+    meta = dict(meta)
+    meta["codes_fingerprint"] = fsutil.data_fingerprint(
+        spark, f"{path}/codes")
+    meta["full_fingerprint"] = fsutil.data_fingerprint(
+        spark, f"{path}/full")
+    fsutil.write_small(spark, f"{path}/{SQ8_META_FILE}", json.dumps(meta))
 
 
 def sq8_topk_prebuilt(
@@ -1436,6 +1448,11 @@ def sq8_topk_prebuilt(
             "build one with save_sq8_index"
         )
     meta = json.loads(raw)
+    if meta.get("kind", "sq8") != "sq8":
+        raise ValueError(
+            f"index at {path} is kind={meta.get('kind')!r}, not sq8 — "
+            "probe it with the matching *_topk_prebuilt"
+        )
     for sub in ("codes", "full"):
         want = meta.get(f"{sub}_fingerprint")
         if want is not None and want != fsutil.data_fingerprint(
@@ -1463,32 +1480,59 @@ def sq8_topk_prebuilt(
                     F.lit(0).cast("long"), lambda acc, x: acc + x),
     )
 
+    return _code_table_probe(spark, path, q, k, rerank, signed=True)
+
+
+def _packed_dot(code: Column, qq: Column) -> Column:
+    """Exact int64 dot of a packed byte-code column against an
+    array<long> query code, in one Arrow batch."""
+
     @F.pandas_udf("long")
-    def packed_dot_udf(code: pd.Series, qq: pd.Series) -> pd.Series:
-        if len(code) == 0:
+    def dot(cs: pd.Series, qs: pd.Series) -> pd.Series:
+        if len(cs) == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
-        X = np.frombuffer(b"".join(code.to_numpy()),
-                          dtype=np.uint8).reshape(len(code), -1)
-        Y = np.vstack(qq.to_numpy()).astype(np.int64)
+        X = np.frombuffer(b"".join(cs.to_numpy()),
+                          dtype=np.uint8).reshape(len(cs), -1)
+        Y = np.vstack(qs.to_numpy()).astype(np.int64)
         return pd.Series((X.astype(np.int64) * Y).sum(axis=1))
+
+    return dot(code, qq)
+
+
+def _code_table_probe(spark, path: str, q: DataFrame, k: int, rerank: int,
+                      signed: bool) -> DataFrame:
+    """Shared probe tail for the persisted compressed-scan artifacts:
+    code-table scan → code-space-cosine candidates (partial top-k) →
+    bounded IN-list point reads of full/ → exact q20 rerank. ``q`` must
+    carry (query_id, qv20, qq, n2q). ``signed`` mirrors the matching
+    direct operator's candidate metric exactly (sq8_topk sign-factors
+    negative dots; jl_sq8_topk's codes are 0..255 so its expression has
+    no negative branch — bit-parity requires matching forms)."""
+    from .dedup import quantized_cosine_udf
 
     codes = spark.read.parquet(f"{path}/codes")
     den = F.floor(
         F.sqrt((F.col("n2") * F.col("n2q")).cast("double"))
     ).cast("long")
-    acs = F.when(
-        (F.col("n2") > 0) & (F.col("n2q") > 0),
-        F.when(
-            F.col("int_dot") >= 0,
+    if signed:
+        acs = F.when(
+            (F.col("n2") > 0) & (F.col("n2q") > 0),
+            F.when(
+                F.col("int_dot") >= 0,
+                F.expr("(1000000 * int_dot) div __den"),
+            ).otherwise(-F.expr("(1000000 * -int_dot) div __den")),
+        )
+    else:
+        acs = F.when(
+            (F.col("n2") > 0) & (F.col("n2q") > 0),
             F.expr("(1000000 * int_dot) div __den"),
-        ).otherwise(-F.expr("(1000000 * -int_dot) div __den")),
-    )
+        )
     cand_w = Window.partitionBy("query_id").orderBy(
         F.desc_nulls_last("approx_cos_micro"), F.asc("corpus_id")
     )
     cands = (
         codes.join(F.broadcast(q))
-        .withColumn("int_dot", packed_dot_udf(F.col("code"), F.col("qq")))
+        .withColumn("int_dot", _packed_dot(F.col("code"), F.col("qq")))
         .withColumn("__den", den)
         .withColumn("approx_cos_micro", acs)
         .withColumn("crank", F.row_number().over(cand_w))
@@ -1514,6 +1558,151 @@ def sq8_topk_prebuilt(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "approx_cos_micro", "cos", "rank")
     )
+
+
+def _jl_project_exprs(vec_col: str, dim: int, out_dim: int, who: str):
+    """The JL stage's shared expressions: q10 fixed-point lift (with the
+    loud width guard folded in) and the exact-integer Rademacher
+    projection over the deterministic plane table."""
+    from .dedup import _srp_planes
+
+    planes = _srp_planes(out_dim, dim)
+    guard = F.assert_true(
+        F.size(F.col(vec_col)) == dim,
+        f"{who}: {vec_col} width != dim={dim}",
+    )
+    q10 = F.when(guard.isNull(), F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1024.0)).cast("long"),
+    ))
+
+    def project(qcol):
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    qcol,
+                    F.array(*[F.lit(int(v)) for v in row]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for row in planes
+        ])
+
+    return q10, project
+
+
+def save_jl_sq8_index(
+    corpus: DataFrame,
+    path: str,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> str:
+    """Persist the STACKED JL→SQ8 artifact — the served form of
+    :func:`jl_sq8_topk`: ``codes/`` stores ``out_dim`` BYTES per vector
+    (16 bytes at the default — 16× under float32), computed once with
+    the exact direct-operator expressions (JL projection on the
+    deterministic Rademacher planes, then SQ8 on the reduced space), so
+    a probe is bit-identical to the direct run. Same layout and
+    staleness contract as :func:`save_sq8_index`."""
+    from .dedup import quantize_q20
+
+    spark = corpus.sparkSession
+    q10, project = _jl_project_exprs(vec_col, dim, out_dim,
+                                     "save_jl_sq8_index")
+    proj = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        quantize_q20(F.col(vec_col)).alias("cv20"),
+        project(q10).alias("rv"),
+    )
+    dims = proj.agg(
+        *[F.min(F.col("rv")[i].cast("double")).alias(f"lo{i}")
+          for i in range(out_dim)],
+        *[F.max(F.col("rv")[i].cast("double")).alias(f"hi{i}")
+          for i in range(out_dim)],
+    ).collect()[0]
+    lo = [float(dims[f"lo{i}"]) for i in range(out_dim)]
+    hi = [float(dims[f"hi{i}"]) for i in range(out_dim)]
+    lo_arr = F.array(*[F.lit(x) for x in lo])
+    hi_arr = F.array(*[F.lit(x) for x in hi])
+    coded = proj.select(
+        "corpus_id",
+        _sq8_expr(F.col("rv"), lo_arr, hi_arr).alias("__cq"),
+        "cv20",
+    )
+    _write_code_artifact(
+        spark, coded, path,
+        {"kind": "jl_sq8", "dim": dim, "out_dim": out_dim,
+         "lo": lo, "hi": hi, "id_type": dict(corpus.dtypes)[id_col]},
+        parts=max(corpus.rdd.getNumPartitions(), 1),
+    )
+    return path
+
+
+def jl_sq8_topk_prebuilt(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k against a :func:`save_jl_sq8_index` artifact,
+    bit-identical to :func:`jl_sq8_topk` on the same corpus: queries
+    JL-project on the regenerated plane table and quantize onto the
+    sidecar grid (no corpus pass), candidates come from the 16-byte
+    code-table scan alone, and the rerank point-reads ``full/`` through
+    the bounded IN-list. Stale/missing sidecar contract as
+    :func:`sq8_topk_prebuilt`; the non-negative candidate metric
+    mirrors jl_sq8_topk's expression exactly (its codes are 0..255, so
+    the direct operator has no negative branch)."""
+    import json
+
+    from .. import fsutil
+    from .dedup import quantize_q20
+
+    raw = fsutil.read_small(spark, f"{path}/{SQ8_META_FILE}")
+    if raw is None:
+        raise FileNotFoundError(
+            f"no SQ8-family index sidecar at {path}/{SQ8_META_FILE}; "
+            "build one with save_jl_sq8_index"
+        )
+    meta = json.loads(raw)
+    if meta.get("kind") != "jl_sq8":
+        raise ValueError(
+            f"index at {path} is kind={meta.get('kind')!r}, not jl_sq8 — "
+            "probe it with the matching *_topk_prebuilt"
+        )
+    for sub in ("codes", "full"):
+        want = meta.get(f"{sub}_fingerprint")
+        if want is not None and want != fsutil.data_fingerprint(
+                spark, f"{path}/{sub}"):
+            raise ValueError(
+                f"JL-SQ8 index at {path} is stale: {sub}/ changed since "
+                "the sidecar was written — rebuild with save_jl_sq8_index"
+            )
+    dim, out_dim = int(meta["dim"]), int(meta["out_dim"])
+    lo_arr = F.array(*[F.lit(float(x)) for x in meta["lo"]])
+    hi_arr = F.array(*[F.lit(float(x)) for x in meta["hi"]])
+    q10, project = _jl_project_exprs(vec_col, dim, out_dim,
+                                     "jl_sq8_topk_prebuilt")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        quantize_q20(F.col(vec_col)).alias("qv20"),
+        project(q10).alias("rv"),
+    ).select(
+        "query_id", "qv20",
+        _sq8_expr(F.col("rv"), lo_arr, hi_arr).alias("qq"),
+    ).withColumn(
+        "n2q",
+        F.aggregate(F.transform(F.col("qq"), lambda x: x * x),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x),
+    )
+    return _code_table_probe(spark, path, q, k, rerank, signed=False)
 
 
 def label_centroid_cosines(
