@@ -1487,7 +1487,7 @@ def test_streaming_dedup_against_matches_batch_and_replay(spark, tmp_path):
     token = hashlib.md5(ckpt.encode()).hexdigest()[:8]
     cur = [f for f in os.listdir(out) if f.startswith("_latest")][0]
     with open(f"{out}/{cur}") as fh:
-        last_id = int(fh.read().strip().rsplit("_", 1)[1])
+        last_id = int(fh.read().strip())  # pointer = committed batch id
     bloom = spark.sparkContext.broadcast(
         dedup.build_bloom_filter(existing))
     assert _dedup_against_batch(

@@ -822,11 +822,85 @@ def r7b_family(spark):
     assert all(max(x["cos"] for x in v) == 1.0 for v in by_q.values())
 
 
+def r8_family(spark):
+    """SMOKE_R8=1 — round-8 additions at 500k vectors + a compressed
+    tdb: the persisted SQ8 / stacked JL→SQ8 artifacts (build once,
+    probe many — the probe must beat re-running the direct operator,
+    which recalibrates + re-encodes the corpus per run, and must return
+    the identical rows), and a Huffman-compressed .tdb import leg so
+    the vectorized decoder's CODEBOOK lane gets a throughput number
+    (the 1M-trail leg and q236 are literal-only)."""
+    import shutil
+    import tempfile
+
+    from traildb_spark.operators import similarity
+    from traildb_spark.sources.tdbfile import TdbMeta, read_tdb, write_tdb
+
+    vecs = _ensure_vecs500k(spark)
+    print(f"vecs: {vecs.count()} rows", flush=True)
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    scratch = tempfile.mkdtemp(prefix="smoke_r8_")
+    try:
+        idx = f"{scratch}/sq8"
+        timed("save_sq8_index_500k", lambda: similarity.save_sq8_index(
+            vecs, idx))
+        timed("sq8_prebuilt_probe_500k", lambda: _force(
+            similarity.sq8_topk_prebuilt(spark, idx, queries, k=5,
+                                         rerank=20)))
+        timed("sq8_direct_500k", lambda: _force(
+            similarity.sq8_topk(vecs, queries, k=5, rerank=20)))
+        got = sorted(tuple(r) for r in similarity.sq8_topk_prebuilt(
+            spark, idx, queries, k=5, rerank=20).collect())
+        want = sorted(tuple(r) for r in similarity.sq8_topk(
+            vecs, queries, k=5, rerank=20).collect())
+        assert got == want and len(got) == 25
+
+        idx2 = f"{scratch}/jlsq8"
+        timed("save_jl_sq8_index_500k", lambda: similarity.save_jl_sq8_index(
+            vecs, idx2, out_dim=16))
+        timed("jl_sq8_prebuilt_probe_500k", lambda: _force(
+            similarity.jl_sq8_topk_prebuilt(spark, idx2, queries, k=5,
+                                            rerank=20)))
+        got2 = sorted(tuple(r) for r in similarity.jl_sq8_topk_prebuilt(
+            spark, idx2, queries, k=5, rerank=20).collect())
+        want2 = sorted(tuple(r) for r in similarity.jl_sq8_topk(
+            vecs, queries, k=5, rerank=20, out_dim=16).collect())
+        assert got2 == want2 and len(got2) == 25
+
+        # compressed-tdb import: codebook-lane decode throughput
+        docs = _ensure_docs500k(spark).limit(60000)
+        rows = [
+            (f"{r['doc_id'] % 4096:032x}", 1_600_000_000 + r["doc_id"],
+             r["source"], str(r["doc_id"] % 977))
+            for r in docs.select("doc_id", "source").collect()
+        ]
+        tdb = f"{scratch}/comp.tdb"
+        write_tdb(rows, ["source", "bucket"], tdb, package=True,
+                  compress=True)
+        meta = TdbMeta(tdb)
+        assert meta.cb_bits.max() > 0  # codebook grams present
+        data_mb = meta._c.size("trails.data") / 1e6
+        t0 = time.time()
+        n = read_tdb(spark, tdb).count()
+        print(f"compressed_tdb_import_60k: {n} events in "
+              f"{time.time() - t0:.2f}s (trails.data {data_mb:.1f} MB)",
+              flush=True)
+        assert n == len(rows)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main():
     spark = get_spark("scale-smoke", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
     import os
+
+    if os.environ.get("SMOKE_R8"):
+        r8_family(spark)
+        return
 
     if os.environ.get("SMOKE_R7B"):
         r7b_family(spark)

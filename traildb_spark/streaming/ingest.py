@@ -1152,24 +1152,35 @@ def _dedup_against_batch(
     run_token: str,
 ) -> bool:
     """One Bloom-prefiltered accept step (exposed for crash-replay
-    tests); same replay/lineage contract as ``_kmv_batch``."""
+    tests). State is APPEND-ONLY: each batch writes its accepted rows
+    (``rows_<token>_<id>``) and their fingerprints
+    (``fps_<token>_<id>`` — 16 bytes/doc, the anti-join side for later
+    batches), then advances the pointer to its batch id. Rewriting a
+    monolithic accepted-fingerprint table per batch would be quadratic
+    write I/O over the stream's life; appending keeps writes O(batch)
+    while reads (the anti-join over all committed fps dirs) cost the
+    same bytes a monolithic table would. Replay contract: a batch id at
+    or below the committed pointer is a no-op; batch id 0 against an
+    existing pointer means a cleared-and-reused checkpoint → refuse
+    (the ``_kmv_batch`` lineage rule)."""
     from pyspark.sql import Window
 
     spark = batch_df.sparkSession
     latest = f"{path}/_latest_{run_token}"
-    out_b = f"{path}/acc_{run_token}_{batch_id}"
     rows_b = f"{path}/rows_{run_token}_{batch_id}"
+    fps_b = f"{path}/fps_{run_token}_{batch_id}"
     prev = (_fs_read_small(spark, latest) or "").strip() or None
-    if prev == out_b:
+    prev_id = int(prev) if prev is not None else None
+    if prev_id is not None and batch_id <= prev_id:
+        if batch_id == 0:
+            raise RuntimeError(
+                "streaming_dedup_against: batch id 0 arrived but this "
+                "state path already holds a previous lineage of the same "
+                "checkpoint path (checkpoint was cleared and reused) — "
+                "use a fresh checkpoint path or delete the state at "
+                f"{path} explicitly."
+            )
         return False
-    if prev is not None and batch_id == 0:
-        raise RuntimeError(
-            "streaming_dedup_against: batch id 0 arrived but this state "
-            "path already holds a previous lineage of the same "
-            "checkpoint path (checkpoint was cleared and reused) — use a "
-            f"fresh checkpoint path or delete the state at {path} "
-            "explicitly."
-        )
     m, k = num_bits, num_hashes
 
     @F.pandas_udf("boolean")
@@ -1197,38 +1208,52 @@ def _dedup_against_batch(
     w = Window.partitionBy("__fp").orderBy(F.asc(id_col))
     surv = (surv.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
-    if prev is not None:
-        prev_fps = spark.read.parquet(prev).withColumnRenamed("fp", "__fp")
+    prev_dirs = _committed_fps_dirs(spark, path, run_token, prev_id)
+    if prev_dirs:
+        prev_fps = spark.read.parquet(*prev_dirs).withColumnRenamed(
+            "fp", "__fp")
         surv = surv.join(prev_fps, "__fp", "left_anti")
     surv = surv.localCheckpoint(eager=True)  # one computation, two sinks
     surv.drop("__fp").write.mode("overwrite").parquet(rows_b)
-    accepted = surv.select(F.col("__fp").alias("fp"))
-    if prev is not None:
-        accepted = spark.read.parquet(prev).unionByName(accepted)
-    accepted.write.mode("overwrite").parquet(out_b)
-    _fs_swap_pointer(spark, latest, out_b)
-    if prev is not None:
-        _, hpath, fs = _hfs(spark, prev)
-        fs.delete(hpath(prev), True)
+    (surv.select(F.col("__fp").alias("fp")).coalesce(1)
+     .write.mode("overwrite").parquet(fps_b))
+    _fs_swap_pointer(spark, latest, str(batch_id))
     return True
 
 
+def _committed_fps_dirs(spark, path: str, run_token: str,
+                        upto_id: int | None) -> list[str]:
+    """fps_<token>_<id> dirs with id <= upto_id (committed batches)."""
+    if upto_id is None:
+        return []
+    _, hpath, fs = _hfs(spark, path)
+    prefix = f"fps_{run_token}_"
+    out = []
+    for st in fs.listStatus(hpath(path)):
+        name = st.getPath().getName()
+        if name.startswith(prefix) and int(name[len(prefix):]) <= upto_id:
+            out.append(f"{path}/{name}")
+    return sorted(out)
+
+
 def dedup_accepted_rows(spark, path: str, checkpoint: str) -> DataFrame:
-    """All rows accepted so far by ``streaming_dedup_against`` (union of
-    the per-batch output dirs). Intended to be read after the stream
-    drains (availableNow) or between triggers — a batch mid-commit can
-    surface its rows momentarily before the pointer advances, which a
-    replay then overwrites in place."""
+    """All rows accepted so far by ``streaming_dedup_against``: the
+    union of the per-batch output dirs whose batch id is at or below
+    the committed pointer — a batch that crashed mid-write before its
+    pointer advance is invisible here until its replay commits."""
     import hashlib as _hashlib
 
     run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
-    if _fs_read_small(spark, f"{path}/_latest_{run_token}") is None:
+    cur = _fs_read_small(spark, f"{path}/_latest_{run_token}")
+    if cur is None:
         raise FileNotFoundError(f"{path}/_latest_{run_token}")
+    upto = int(cur.strip())
     _, hpath, fs = _hfs(spark, path)
     prefix = f"rows_{run_token}_"
     dirs = [
         f"{path}/{st.getPath().getName()}"
         for st in fs.listStatus(hpath(path))
         if st.getPath().getName().startswith(prefix)
+        and int(st.getPath().getName()[len(prefix):]) <= upto
     ]
     return spark.read.parquet(*sorted(dirs))
