@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from traildb_spark.sources.tdbfile import (  # noqa: E402
     TdbMeta, _BitWriter, _iter_events_meta, _render_lexicon, read_tdb,
+    write_tdb,
 )
 
 LEX_N = 255          # 8-bit value ids
@@ -42,26 +43,76 @@ DELTA_BITS = 16      # max_timestamp_delta = 65535
 FIELDS = ["event_type", "tag"]
 
 
-def build_synthetic_tdb(path: str, num_trails: int, events_per_trail: int):
-    """Directory-layout literal-only tdb: one hand-packed trail
-    bitstream tiled num_trails times; uuids = ascending little-endian
-    counters (the reference's sort order); 4-byte TOC via arange."""
+def build_synthetic_tdb(path: str, num_trails: int, events_per_trail: int,
+                        compress: bool = False):
+    """Directory-layout tdb: one trail bitstream tiled num_trails times
+    (valid by format — trails are independent; uuids differ); uuids =
+    ascending little-endian counters (the reference's sort order),
+    4-byte TOC via arange. ``compress=True`` builds the template trail
+    through write_tdb's real Huffman stage (single-trail frequencies =
+    per-trail frequencies under tiling, so the codebook is exactly what
+    the encoder would pick) — the codebook-lane twin of the literal
+    leg."""
     os.makedirs(path, exist_ok=True)
     nf = len(FIELDS) + 1
     fid_bits = max(1, nf.bit_length())  # bits_needed(3) = 2
 
-    # one trail's bitstream: every event writes ts + both fields
-    w = _BitWriter()
-    w.write(0, 3)
-    for i in range(events_per_trail):
-        w.write(0, 1)
-        w.write(0, fid_bits)
-        w.write((i * 131) % 60000 + 1, DELTA_BITS)       # ts delta
-        for f in range(2):
+    min_ts = 1_500_000_000
+    deltas = [(i * 131) % 60000 + 1 for i in range(events_per_trail)]
+    if compress:
+        # encode ONE template trail with the real compressed writer,
+        # then lift its trails.data (sans the 8-byte pad) + codebook
+        import shutil
+        import tempfile
+
+        from traildb_spark.sources.tdbfile import TdbMeta
+
+        tmp = tempfile.mkdtemp(prefix="tdb_template_")
+        rows = []
+        t = min_ts
+        for i, d in enumerate(deltas):
+            t += d
+            rows.append(("00" * 16, t,
+                         f"v{(i * 3) % LEX_N:03d}",
+                         f"v{(i * 4 + 1) % LEX_N:03d}"))
+        # pin the full lexicon so val ids cover 1..LEX_N regardless of
+        # which values the template happens to use
+        base = min_ts - 1
+        for j in range(LEX_N):
+            rows.append(("ff" * 16, base, f"v{j:03d}", f"v{j:03d}"))
+        tpath = os.path.join(tmp, "template")
+        write_tdb(rows, FIELDS, tpath, compress=True)
+        m = TdbMeta(tpath)
+        # reuse the template's OWN min_timestamp/max_delta: the reader
+        # derives literal ts-gram widths from info, so they must match
+        # what the encoder actually used
+        min_ts = m.min_timestamp
+        tmpl_max_delta = m.max_timestamp_delta
+        toc_t = m.toc
+        # trail 0 ('00'*16 sorts first) is the template trail
+        blob = m._c.read_slice("trails.data", int(toc_t[0]),
+                               int(toc_t[1]) - int(toc_t[0]))
+        with open(os.path.join(tpath, "trails.codebook"), "rb") as f:
+            codebook = f.read()
+        with open(os.path.join(tpath, f"lexicon.{FIELDS[0]}"), "rb") as f:
+            lex_blob = f.read()
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        w = _BitWriter()
+        w.write(0, 3)
+        for i, d in enumerate(deltas):
             w.write(0, 1)
-            w.write(f + 1, fid_bits)
-            w.write((i * (3 + f) + f) % LEX_N + 1, 8)    # val id, never 0
-    blob = w.close_trail()
+            w.write(0, fid_bits)
+            w.write(d, DELTA_BITS)                       # ts delta
+            for f in range(2):
+                w.write(0, 1)
+                w.write(f + 1, fid_bits)
+                w.write((i * (3 + f) + f) % LEX_N + 1, 8)  # val id != 0
+        blob = w.close_trail()
+        codebook = b"\x00" * (65536 * 20)
+        lex_blob = _render_lexicon(
+            [f"v{i:03d}".encode() for i in range(LEX_N)], 1)
+
     trail_len = len(blob)
     data = np.frombuffer(blob, np.uint8)
     tiled = np.tile(data, num_trails)
@@ -81,21 +132,20 @@ def build_synthetic_tdb(path: str, num_trails: int, events_per_trail: int):
         num_trails, 8)
     uu.tofile(os.path.join(path, "uuids"))
 
-    deltas_sum = sum((i * 131) % 60000 + 1 for i in range(events_per_trail))
-    min_ts = 1_500_000_000
+    deltas_sum = sum(deltas)
+    max_delta = tmpl_max_delta if compress else ((1 << DELTA_BITS) - 1)
     with open(os.path.join(path, "info"), "w") as f:
         f.write(f"{num_trails} {num_trails * events_per_trail} "
-                f"{min_ts} {min_ts + deltas_sum} {(1 << DELTA_BITS) - 1}\n")
+                f"{min_ts} {min_ts + deltas_sum + 1} {max_delta}\n")
     with open(os.path.join(path, "version"), "w") as f:
         f.write("1")
     with open(os.path.join(path, "fields"), "w") as f:
         f.write("".join(n + "\n" for n in FIELDS) + "\n")
-    lex = [f"v{i:03d}".encode() for i in range(LEX_N)]
     for name in FIELDS:
         with open(os.path.join(path, f"lexicon.{name}"), "wb") as f:
-            f.write(_render_lexicon(lex, 1))
+            f.write(lex_blob)
     with open(os.path.join(path, "trails.codebook"), "wb") as f:
-        f.write(b"\x00" * (65536 * 20))
+        f.write(codebook)
     return trail_len
 
 
@@ -126,11 +176,14 @@ def main():
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--compress", action="store_true",
+                    help="Huffman-compressed template (codebook lane)")
     args = ap.parse_args()
 
     path = os.path.join(args.dir, "scale.tdb")
     t0 = time.time()
-    trail_len = build_synthetic_tdb(path, args.trails, args.events)
+    trail_len = build_synthetic_tdb(path, args.trails, args.events,
+                                    compress=args.compress)
     build_s = time.time() - t0
     data_mb = trail_len * args.trails / 1e6
     print(f"built {args.trails} trails x {args.events} events, "
