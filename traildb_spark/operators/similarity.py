@@ -1339,9 +1339,6 @@ def save_sq8_index(
     expressions, so a probe returns bit-identical candidates and ranks
     to the direct run on the same corpus.
     """
-    import json
-
-    from .. import fsutil
     from .dedup import quantize_q20
 
     spark = corpus.sparkSession
