@@ -67,6 +67,26 @@ def main():
         ).alias("v")
     ).agg(F.max("v")).collect()
 
+    # BLAS warm: the first dense GEMM in a fresh python worker pays the
+    # OpenBLAS thread-pool/page-fault init, which this VM amplifies
+    # enormously (measured: identical q37 run 91.1s with cold workers vs
+    # 4.5s warm — same code, same data, same session). One real dgemm
+    # per worker moves that one-time cost into the excluded warm-up,
+    # where the plan/codegen warm-up already lives.
+    @F.pandas_udf("long")
+    def _warm_gemm(s: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        a = _np.ones((512, 512))
+        return pd.Series([int((a @ a)[0, 0])] * len(s))
+
+    def warm_gemm(sp):
+        sp.range(0, int(cpus) * 4, 1, int(cpus)).select(
+            _warm_gemm("id").alias("v")
+        ).agg(F.max("v")).collect()
+
+    warm_gemm(spark)
+
     # ---- canary: normalize cross-round ratios against host variance ----
     # The same-code bench spread on this VM is the dominant noise on every
     # cross-round comparison (182.9-275.6s for identical code in one day,
@@ -132,6 +152,7 @@ def main():
             spark.sparkContext.setLogLevel("ERROR")
             qs0 = entrymod.queries()
             qs0["q04_info"](spark, sf_dir).collect()  # re-warm JVM+workers
+            warm_gemm(spark)                          # re-warm BLAS pools
             since_restart = 0
         since_restart += 1
         best = None
