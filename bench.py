@@ -87,6 +87,44 @@ def main():
 
     warm_gemm(spark)
 
+    # python-worker canary: a fixed numpy workload per worker, AFTER the
+    # warm passes. The 7-query canary below is JVM/scan-bound and blind
+    # to python-worker throughput, which on this VM drifts INDEPENDENTLY
+    # of JVM throughput (round-8 recording: JVM canary 0.77× baseline
+    # while every pandas-UDF family read ~2× slower than the r7 map).
+    # canary_py_factor makes that visible per artifact.
+    @F.pandas_udf("long")
+    def _canary_py(s: pd.Series) -> pd.Series:
+        import hashlib as _hl
+
+        import numpy as _np
+
+        a = _np.ones((512, 512))
+        acc = 0
+        for _ in range(3):
+            acc += int((a @ a)[0, 0])
+        h = _hl.md5(b"x" * (2 << 20)).hexdigest()
+        acc += int(h[:8], 16) + int(_np.sort(
+            _np.arange(1 << 20)[::-1]).sum())
+        return pd.Series([acc] * len(s))
+
+    # min-of-3: single passes spread 1.3-2.7s on this VM (scheduler
+    # jank); the min tracks the clean envelope the baseline pins
+    CANARY_PY_BASELINE_S = 0.50  # min-of-3 fleet pass, round-8 box (settled)
+    canary_py_seconds = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, int(cpus), 1, int(cpus)).select(
+            _canary_py("id").alias("v")
+        ).agg(F.max("v")).collect()
+        dt = round(time.time() - t0, 3)
+        canary_py_seconds = dt if canary_py_seconds is None else min(
+            canary_py_seconds, dt)
+    print(f"# canary_py: {canary_py_seconds}s min-of-3 "
+          f"(baseline {CANARY_PY_BASELINE_S}s, factor "
+          f"{canary_py_seconds / CANARY_PY_BASELINE_S:.2f})",
+          file=sys.stderr)
+
     # ---- canary: normalize cross-round ratios against host variance ----
     # The same-code bench spread on this VM is the dominant noise on every
     # cross-round comparison (182.9-275.6s for identical code in one day,
@@ -180,6 +218,10 @@ def main():
         result["canary_seconds"] = canary_seconds
         result["canary_baseline_seconds"] = CANARY_BASELINE_S
         result["canary_factor"] = round(canary_seconds / CANARY_BASELINE_S, 3)
+    result["canary_py_seconds"] = canary_py_seconds
+    result["canary_py_baseline_seconds"] = CANARY_PY_BASELINE_S
+    result["canary_py_factor"] = round(
+        canary_py_seconds / CANARY_PY_BASELINE_S, 3)
     # Persist the full result so it survives regardless of how much of
     # stdout the driver captures (BENCH_r03 recorded parsed=null because
     # the driver keeps only the last 2000 chars and the full 96-query JSON
