@@ -125,6 +125,35 @@ def main():
           f"{canary_py_seconds / CANARY_PY_BASELINE_S:.2f})",
           file=sys.stderr)
 
+    # local-disk canary: the third independent resource on this VM.
+    # The minhash/dedup families stage candidates through localCheckpoint
+    # (_materialize) and media fixtures read/write /tmp — a round-8
+    # closing run recorded those families 3-10× slow while BOTH CPU
+    # canaries read <1.0; separately measured /tmp write throughput
+    # swings 4-70 MB/s between windows. 128 MB write+fsync+read, min-of-2.
+    import tempfile as _tf
+
+    CANARY_IO_BASELINE_S = 2.0  # 128 MB write+fsync+read, round-8 box
+    blob = b"\x5a" * (8 << 20)
+    canary_io_seconds = None
+    for _ in range(2):
+        t0 = time.time()
+        with _tf.NamedTemporaryFile(dir="/tmp", delete=True) as tf:
+            for _i in range(16):
+                tf.write(blob)
+            tf.flush()
+            os.fsync(tf.fileno())
+            tf.seek(0)
+            while tf.read(32 << 20):
+                pass
+        dt = round(time.time() - t0, 3)
+        canary_io_seconds = dt if canary_io_seconds is None else min(
+            canary_io_seconds, dt)
+    print(f"# canary_io: {canary_io_seconds}s min-of-2 "
+          f"(baseline {CANARY_IO_BASELINE_S}s, factor "
+          f"{canary_io_seconds / CANARY_IO_BASELINE_S:.2f})",
+          file=sys.stderr)
+
     # ---- canary: normalize cross-round ratios against host variance ----
     # The same-code bench spread on this VM is the dominant noise on every
     # cross-round comparison (182.9-275.6s for identical code in one day,
@@ -222,6 +251,10 @@ def main():
     result["canary_py_baseline_seconds"] = CANARY_PY_BASELINE_S
     result["canary_py_factor"] = round(
         canary_py_seconds / CANARY_PY_BASELINE_S, 3)
+    result["canary_io_seconds"] = canary_io_seconds
+    result["canary_io_baseline_seconds"] = CANARY_IO_BASELINE_S
+    result["canary_io_factor"] = round(
+        canary_io_seconds / CANARY_IO_BASELINE_S, 3)
     # Persist the full result so it survives regardless of how much of
     # stdout the driver captures (BENCH_r03 recorded parsed=null because
     # the driver keeps only the last 2000 chars and the full 96-query JSON
