@@ -4084,6 +4084,47 @@ def q269_jl_sq8_prebuilt(spark, sf_dir):
                                            rerank=20)
 
 
+def _sq8_appended_index_path(spark, sf_dir):
+    """Build-once SQ8 artifact exercising the APPEND path: base index
+    over the embeddings table, then append_sq8_index with clones of
+    vec_id 5..24 under ids +1,000,000 — clones are inside the frozen
+    grid's envelope by construction, so the appended artifact is
+    bit-identical to a rebuild on the union (the append parity law,
+    test_append_sq8_index_parity_and_refusal)."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        f"{sf_dir}|sq8append|v{_MEDIA_CACHE_VERSION}".encode()
+    ).hexdigest()[:12]
+    os.makedirs("/tmp/traildb_spark_media_cache", exist_ok=True)
+    path = f"/tmp/traildb_spark_media_cache/sq8append-{key}"
+    if not os.path.exists(os.path.join(path, similarity.SQ8_META_FILE)):
+        emb = _load(spark, sf_dir, "embeddings")
+        similarity.save_sq8_index(emb, path)
+        delta = emb.filter(
+            (F.col("vec_id") >= 5) & (F.col("vec_id") < 25)
+        ).withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+        similarity.append_sq8_index(delta, path)
+    return path
+
+
+def q270_sq8_append(spark, sf_dir):
+    """Incremental index maintenance: probe an SQ8 artifact that grew by
+    APPEND (append_sq8_index — the reference's tdb_cons_append
+    build-amortization, src/tdb_cons.c:574-657) instead of a rebuild.
+    The delta encodes on the FROZEN calibration grid; in-envelope deltas
+    (clones here) leave the union's per-dim min/max unchanged, so the
+    oracle is q246's SQL over embeddings UNION ALL the clones — the
+    hash match certifies the appended artifact is bit-identical to a
+    from-scratch build on the union, candidates and ranks included."""
+    path = _sq8_appended_index_path(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.sq8_topk_prebuilt(spark, path, queries, k=5, rerank=20)
+
 
 def _zdb_path(spark, sf_dir):
     """Build-once finalized dataset WITH the z-ordered auxiliary index
@@ -4150,7 +4191,6 @@ def q268_streaming_dedup_against(spark, sf_dir):
     no-op is part of what the hash match certifies)."""
     import hashlib
     import os
-    import time as _time
 
     from traildb_spark.streaming.ingest import (
         dedup_accepted_rows,
@@ -4170,11 +4210,20 @@ def q268_streaming_dedup_against(spark, sf_dir):
         hi = new.agg(F.max("doc_id")).collect()[0][0]
         cuts = [hi // 3, 2 * hi // 3, hi]
         lo = -1
-        for c in cuts:
-            _time.sleep(0.05)  # distinct mtimes → deterministic order
+        # FileStreamSource drains oldest-mtime-first; batch order is
+        # pinned by SETTING each batch's file mtimes 1000s apart (a fixed
+        # epoch, deterministic by construction) rather than hoping
+        # back-to-back writes land on distinct filesystem timestamps.
+        seen: set[str] = set()
+        for i, c in enumerate(cuts):
             (new.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= c))
              .coalesce(1).write.mode("append").parquet(src))
             lo = c
+            stamp = 1_600_000_000 + 1000 * i
+            for f in os.listdir(src):
+                if f not in seen and not f.startswith(("_", ".")):
+                    os.utime(os.path.join(src, f), (stamp, stamp))
+                    seen.add(f)
     schema = spark.read.parquet(src).schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
@@ -4462,6 +4511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q267_zindex_routing": q267_zindex_routing,
         "q268_streaming_dedup_against": q268_streaming_dedup_against,
         "q269_jl_sq8_prebuilt": q269_jl_sq8_prebuilt,
+        "q270_sq8_append": q270_sq8_append,
     }
 
 
@@ -9536,6 +9586,78 @@ def oracle_sql() -> dict[str, str]:
         "q262_sim_topk_jl": _jl_topk_oracle(16, 20, 5),
         "q265_sim_topk_jl_sq8": _jl_sq8_oracle(16, 20, 5),
         "q269_jl_sq8_prebuilt": _jl_sq8_oracle(16, 20, 5),
+        # q270: q246's pipeline over embeddings UNION ALL the appended
+        # clones — clones leave per-dim min/max unchanged, so this also
+        # IS the frozen-grid encode the appended artifact serves (the
+        # append parity law, SQL-expressible end-to-end).
+        "q270_sq8_append": """
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id >= 5 AND vec_id < 25),
+            fz AS (
+              SELECT vec_id,
+                     [CAST(embedding[i] AS DOUBLE)
+                      for i in generate_series(1, 64)] AS fv,
+                     [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+                      for i in generate_series(1, 64)] AS qv
+              FROM base),
+            dims AS (
+              SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+                        max(CAST(embedding[i] AS DOUBLE)) AS hi
+              FROM base, generate_series(1, 64) AS t(i) GROUP BY i),
+            codes AS (
+              SELECT e.vec_id,
+                     list(CAST(CASE WHEN d.hi = d.lo THEN 0
+                          ELSE greatest(0, least(255,
+                            floor((e.fv[d.i] - d.lo) * 255.0 / (d.hi - d.lo))))
+                          END AS BIGINT) ORDER BY d.i) AS code
+              FROM fz e, dims d GROUP BY e.vec_id),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     CAST(list_sum([qc.code[i] * cc.code[i]
+                          for i in generate_series(1, 64)]) AS BIGINT) AS int_dot,
+                     CAST(list_sum([cc.code[i] * cc.code[i]
+                          for i in generate_series(1, 64)]) AS BIGINT) AS n2c,
+                     CAST(list_sum([qc.code[i] * qc.code[i]
+                          for i in generate_series(1, 64)]) AS BIGINT) AS n2q
+              FROM codes qc JOIN fz q ON q.vec_id = qc.vec_id
+              CROSS JOIN codes cc JOIN fz c ON c.vec_id = cc.vec_id
+              WHERE q.vec_id < 5),
+            cand AS (
+              SELECT query_id, corpus_id, approx_cos_micro,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY approx_cos_micro DESC NULLS LAST,
+                                                 corpus_id ASC) AS crank
+              FROM (
+                SELECT query_id, corpus_id,
+                       CASE WHEN n2c > 0 AND n2q > 0 THEN
+                         CASE WHEN int_dot >= 0
+                              THEN (1000000 * int_dot)
+                                   // CAST(floor(sqrt(CAST(n2c * n2q AS DOUBLE))) AS BIGINT)
+                              ELSE -((1000000 * -int_dot)
+                                   // CAST(floor(sqrt(CAST(n2c * n2q AS DOUBLE))) AS BIGINT))
+                         END
+                       END AS approx_cos_micro
+                FROM scored)),
+            reranked AS (
+              SELECT cd.query_id, cd.corpus_id,
+                     CAST(cd.approx_cos_micro AS BIGINT) AS approx_cos_micro,
+                     round(list_sum([cv.qv[i] * qv.qv[i] for i in generate_series(1, 64)])
+                           / (sqrt(list_sum([cv.qv[i] * cv.qv[i] for i in generate_series(1, 64)]))
+                              * sqrt(list_sum([qv.qv[i] * qv.qv[i] for i in generate_series(1, 64)]))),
+                           6) AS cos
+              FROM cand cd
+              JOIN fz cv ON cv.vec_id = cd.corpus_id
+              JOIN fz qv ON qv.vec_id = cd.query_id
+              WHERE cd.crank <= 20)
+            SELECT query_id, corpus_id, approx_cos_micro, cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank
+            FROM reranked
+            QUALIFY rank <= 5
+        """,
         "q268_streaming_dedup_against": f"""
             WITH newd AS (
               SELECT doc_id, md5({_NORM_TEXT}) AS fp

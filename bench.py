@@ -111,19 +111,17 @@ def main():
     # min-of-3: single passes spread 1.3-2.7s on this VM (scheduler
     # jank); the min tracks the clean envelope the baseline pins
     CANARY_PY_BASELINE_S = 0.50  # min-of-3 fleet pass, round-8 box (settled)
-    canary_py_seconds = None
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(0, int(cpus), 1, int(cpus)).select(
-            _canary_py("id").alias("v")
-        ).agg(F.max("v")).collect()
-        dt = round(time.time() - t0, 3)
-        canary_py_seconds = dt if canary_py_seconds is None else min(
-            canary_py_seconds, dt)
-    print(f"# canary_py: {canary_py_seconds}s min-of-3 "
-          f"(baseline {CANARY_PY_BASELINE_S}s, factor "
-          f"{canary_py_seconds / CANARY_PY_BASELINE_S:.2f})",
-          file=sys.stderr)
+
+    def measure_canary_py(sp) -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            sp.range(0, int(cpus), 1, int(cpus)).select(
+                _canary_py("id").alias("v")
+            ).agg(F.max("v")).collect()
+            dt = round(time.time() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        return best
 
     # local-disk canary: the third independent resource on this VM.
     # The minhash/dedup families stage candidates through localCheckpoint
@@ -134,25 +132,23 @@ def main():
     import tempfile as _tf
 
     CANARY_IO_BASELINE_S = 2.0  # 128 MB write+fsync+read, round-8 box
-    blob = b"\x5a" * (8 << 20)
-    canary_io_seconds = None
-    for _ in range(2):
-        t0 = time.time()
-        with _tf.NamedTemporaryFile(dir="/tmp", delete=True) as tf:
-            for _i in range(16):
-                tf.write(blob)
-            tf.flush()
-            os.fsync(tf.fileno())
-            tf.seek(0)
-            while tf.read(32 << 20):
-                pass
-        dt = round(time.time() - t0, 3)
-        canary_io_seconds = dt if canary_io_seconds is None else min(
-            canary_io_seconds, dt)
-    print(f"# canary_io: {canary_io_seconds}s min-of-2 "
-          f"(baseline {CANARY_IO_BASELINE_S}s, factor "
-          f"{canary_io_seconds / CANARY_IO_BASELINE_S:.2f})",
-          file=sys.stderr)
+
+    def measure_canary_io() -> float:
+        blob = b"\x5a" * (8 << 20)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            with _tf.NamedTemporaryFile(dir="/tmp", delete=True) as tf:
+                for _i in range(16):
+                    tf.write(blob)
+                tf.flush()
+                os.fsync(tf.fileno())
+                tf.seek(0)
+                while tf.read(32 << 20):
+                    pass
+            dt = round(time.time() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        return best
 
     # ---- canary: normalize cross-round ratios against host variance ----
     # The same-code bench spread on this VM is the dominant noise on every
@@ -166,25 +162,88 @@ def main():
         "q31_quality", "q58_value_freqs", "q80_attribution", "q93_countmin",
     ]
     CANARY_BASELINE_S = 3.56  # min-of-3 sum, recording box, round 8, sf0.1
-    canary_seconds = None
     # SPARK_GRAFT_BENCH_ONLY: comma-separated query-name prefixes to run
     # (iteration aid — the recorded artifact should always be a full run)
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
-    if all(n in qs for n in CANARY_QUERIES) and not only:
-        canary = {}
+
+    def measure_canary_jvm(sp) -> float | None:
+        if only or not all(n in qs for n in CANARY_QUERIES):
+            return None
+        total = 0.0
         for name in CANARY_QUERIES:
             best = None
             for _ in range(3):
                 t0 = time.time()
-                qs[name](spark, sf_dir).count()
+                qs[name](sp, sf_dir).count()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-                spark.catalog.clearCache()
-            canary[name] = round(best, 3)
-        canary_seconds = round(sum(canary.values()), 3)
-        print(f"# canary: {canary_seconds}s over {len(canary)} pinned "
-              f"queries (baseline {CANARY_BASELINE_S}s, factor "
-              f"{canary_seconds / CANARY_BASELINE_S:.2f})", file=sys.stderr)
+                sp.catalog.clearCache()
+            total += best
+        return round(total, 3)
+
+    # ---- canary GATE: only record on a clean window ----------------------
+    # Rounds 6-8 each needed a post-hoc variance essay because the closing
+    # artifact was whatever window the sweep landed in, on a VM whose
+    # python-worker lane degrades up to 40x under load it doesn't own
+    # (VERDICT r8 "Performance"). The canaries now GATE the recording: all
+    # three must read clean before the sweep starts; otherwise wait and
+    # retry (bounded), then fall back to the best window observed. The
+    # recorded artifact carries the chosen window's factors + the gate
+    # status, and the py/io canaries re-run AFTER the sweep so a window
+    # that turned mid-run is visible in the artifact itself.
+    GATE_PY, GATE_JVM, GATE_IO = 1.5, 1.3, 2.0
+    gate_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_ATTEMPTS", "4"))
+    gate_wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "60"))
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_GATE") or only:
+        gate_attempts = 1  # measure once, never wait (iteration aid)
+
+    def measure_window():
+        py_s = measure_canary_py(spark)
+        io_s = measure_canary_io()
+        jvm_s = measure_canary_jvm(spark)
+        w = {
+            "canary_py_seconds": py_s,
+            "canary_py_factor": round(py_s / CANARY_PY_BASELINE_S, 3),
+            "canary_io_seconds": io_s,
+            "canary_io_factor": round(io_s / CANARY_IO_BASELINE_S, 3),
+            "canary_seconds": jvm_s,
+            "canary_factor": (round(jvm_s / CANARY_BASELINE_S, 3)
+                              if jvm_s is not None else None),
+        }
+        # worst violation, each factor normalized by its own threshold —
+        # 1.0 or below means the whole window passes the gate
+        w["gate_score"] = round(max(
+            w["canary_py_factor"] / GATE_PY,
+            w["canary_io_factor"] / GATE_IO,
+            (w["canary_factor"] or 0.0) / GATE_JVM,
+        ), 3)
+        return w
+
+    window = None
+    for attempt in range(1, gate_attempts + 1):
+        cur = measure_window()
+        print(f"# canary window {attempt}/{gate_attempts}: "
+              f"py {cur['canary_py_factor']}x, io {cur['canary_io_factor']}x,"
+              f" jvm {cur['canary_factor']}x (gate score "
+              f"{cur['gate_score']})", file=sys.stderr)
+        if window is None or cur["gate_score"] < window["gate_score"]:
+            window = dict(cur, gate_attempt=attempt)
+        if cur["gate_score"] <= 1.0:
+            break
+        if attempt < gate_attempts:
+            print(f"# canary gate: dirty window, waiting {gate_wait_s}s "
+                  "before retry", file=sys.stderr)
+            time.sleep(gate_wait_s)
+    gate_disabled = bool(os.environ.get("SPARK_GRAFT_BENCH_NO_GATE") or only)
+    window["canary_gate"] = (
+        "disabled" if gate_disabled and window["gate_score"] > 1.0
+        else "clean" if window["gate_score"] <= 1.0
+        else f"exhausted_best_of_{gate_attempts}")
+    window["canary_gate_thresholds"] = {
+        "py": GATE_PY, "jvm": GATE_JVM, "io": GATE_IO}
+    canary_seconds = window["canary_seconds"]
+    canary_py_seconds = window["canary_py_seconds"]
+    canary_io_seconds = window["canary_io_seconds"]
 
     timings: dict[str, float] = {}
     # two passes, report per-query min: the first pass pays plan/codegen
@@ -212,6 +271,17 @@ def main():
     # a fresh JVM.
     restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART_EVERY", "40"))
     since_restart = 0
+    # scan-vs-python class per query: a query whose RETURNED plan runs any
+    # python-worker stage (pandas UDF / applyInPandas / mapInArrow) is
+    # hostage to this VM's independently-drifting python lane; a pure
+    # JVM/scan plan is not. The judge reads regressions per class against
+    # the matching canary (canary_py vs canary). Classification is of the
+    # returned DataFrame's physical plan — eager operators that stage
+    # python work inside fn() before returning a scan classify as "scan",
+    # which matches what the timed re-run actually re-executes.
+    from traildb_spark.plans.audit import explain_str
+    classes: dict[str, str] = {}
+    PY_TOKENS = ("Python", "InPandas", "InArrow")
     for name, fn in qs.items():
         if restart_every and since_restart >= restart_every:
             spark.stop()
@@ -232,7 +302,20 @@ def main():
             best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s (min of {runs})", file=sys.stderr)
+        try:
+            plan = explain_str(df, "simple")
+            classes[name] = (
+                "python" if any(t in plan for t in PY_TOKENS) else "scan")
+        except Exception:
+            classes[name] = "unknown"
+        print(f"# {name}: {n} rows in {timings[name]}s (min of {runs}, "
+              f"{classes[name]})", file=sys.stderr)
+
+    # closing canaries: a window that turned dirty MID-sweep shows up as
+    # clean opening factors + dirty closing ones — recorded so the artifact
+    # adjudicates itself instead of needing a post-hoc essay.
+    canary_py_after = measure_canary_py(spark)
+    canary_io_after = measure_canary_io()
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -243,18 +326,23 @@ def main():
         "sf": sf,
         "runs_per_query": runs,
     }
-    if canary_seconds is not None:
-        result["canary_seconds"] = canary_seconds
-        result["canary_baseline_seconds"] = CANARY_BASELINE_S
-        result["canary_factor"] = round(canary_seconds / CANARY_BASELINE_S, 3)
-    result["canary_py_seconds"] = canary_py_seconds
+    result.update({k: v for k, v in window.items() if v is not None})
+    result["canary_baseline_seconds"] = CANARY_BASELINE_S
     result["canary_py_baseline_seconds"] = CANARY_PY_BASELINE_S
-    result["canary_py_factor"] = round(
-        canary_py_seconds / CANARY_PY_BASELINE_S, 3)
-    result["canary_io_seconds"] = canary_io_seconds
     result["canary_io_baseline_seconds"] = CANARY_IO_BASELINE_S
-    result["canary_io_factor"] = round(
-        canary_io_seconds / CANARY_IO_BASELINE_S, 3)
+    result["canary_py_factor_after"] = round(
+        canary_py_after / CANARY_PY_BASELINE_S, 3)
+    result["canary_io_factor_after"] = round(
+        canary_io_after / CANARY_IO_BASELINE_S, 3)
+    result["query_classes"] = classes
+    by_class: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name, t in timings.items():
+        c = classes.get(name, "unknown")
+        by_class[c] = round(by_class.get(c, 0.0) + t, 3)
+        counts[c] = counts.get(c, 0) + 1
+    result["class_seconds"] = by_class
+    result["class_counts"] = counts
     # Persist the full result so it survives regardless of how much of
     # stdout the driver captures (BENCH_r03 recorded parsed=null because
     # the driver keeps only the last 2000 chars and the full 96-query JSON
@@ -270,6 +358,9 @@ def main():
     if len(short) != len(timings):  # prefix collision safety net
         short = dict(timings)
     line_obj = dict(result, queries=short, full_results="BENCH_LAST.json")
+    # per-query class map is full-file-only (the printed line must stay
+    # under the driver's 2000-char tail); class totals stay on the line
+    line_obj.pop("query_classes", None)
     line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > 1800:
         keep = sorted(short.items(), key=lambda kv: -kv[1])

@@ -250,6 +250,120 @@ def test_sq8_prebuilt_matches_direct_and_scans_code_table_only(
     assert "WindowGroupLimit" in plan                 # partial top-k
 
 
+def test_append_sq8_index_parity_and_refusal(spark, sf_dir, tmp_path):
+    """append_sq8_index: an in-envelope delta appended onto a frozen
+    grid is BIT-identical to a full rebuild on the union (calibration is
+    per-dim min/max, so an in-envelope delta leaves the union's grid —
+    hence every code — unchanged), probes keep passing the staleness
+    guard after the append, and an out-of-envelope delta refuses loudly
+    naming the rebuild. Reference analog: tdb_cons_append
+    (src/tdb_cons.c:574-657) merges into an existing store instead of
+    re-encoding it."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200)
+    # clones of base rows under new ids: inside the envelope by
+    # construction, and near-duplicates stress the tie-break ordering
+    delta = base.filter(F.col("vec_id") < 40).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000))
+    union = base.unionByName(delta)
+
+    idx_app = str(tmp_path / "sq8_app")
+    similarity.save_sq8_index(base, idx_app)
+    similarity.append_sq8_index(delta, idx_app)
+    idx_reb = str(tmp_path / "sq8_reb")
+    similarity.save_sq8_index(union, idx_reb)
+
+    # artifact CONTENT parity: same codes, same full-precision lattice
+    for sub in ("codes", "full"):
+        a = sorted(map(tuple, spark.read.parquet(
+            f"{idx_app}/{sub}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(
+            f"{idx_reb}/{sub}").collect()))
+        assert a == b, f"{sub}/ diverged between append and rebuild"
+    meta = json.loads(open(f"{idx_app}/{similarity.SQ8_META_FILE}").read())
+    assert meta["appends"] == 1
+
+    # probe parity: appended artifact == rebuilt artifact == direct run
+    queries = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = sorted(tuple(r) for r in similarity.sq8_topk_prebuilt(
+        spark, idx_app, queries, k=5, rerank=20).collect())
+    want = sorted(tuple(r) for r in similarity.sq8_topk(
+        union, queries, k=5, rerank=20).collect())
+    assert got == want and len(got) == 15
+
+    # out-of-envelope delta: loud refusal (clamping would silently
+    # degrade candidates) — this is the recalibration boundary
+    wild = delta.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x * F.lit(10.0)).cast(
+            dict(delta.dtypes)["embedding"]),
+    )
+    with pytest.raises(ValueError, match="OUTSIDE"):
+        similarity.append_sq8_index(wild, idx_app)
+    # the refused append must not have touched the artifact
+    assert len(similarity.sq8_topk_prebuilt(
+        spark, idx_app, queries, k=5, rerank=20).collect()) == 15
+
+
+def test_append_jl_sq8_index_parity(spark, sf_dir, tmp_path):
+    """append_jl_sq8_index: same frozen-grid parity law, with the
+    envelope check in PROJECTED (Rademacher) space — clones of base
+    rows project to identical rv, so the union's projected min/max
+    equals the base grid and the append is bit-identical to rebuild."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 150)
+    delta = base.filter(F.col("vec_id") < 30).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000))
+    union = base.unionByName(delta)
+
+    idx = str(tmp_path / "jl_app")
+    similarity.save_jl_sq8_index(base, idx, out_dim=16)
+    similarity.append_jl_sq8_index(delta, idx)
+    queries = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = sorted(tuple(r) for r in similarity.jl_sq8_topk_prebuilt(
+        spark, idx, queries, k=5, rerank=20).collect())
+    want = sorted(tuple(r) for r in similarity.jl_sq8_topk(
+        union, queries, k=5, rerank=20, out_dim=16).collect())
+    assert got == want and len(got) == 15
+
+
+def test_sq8_prebuilt_probe_releases_its_cache(spark, sf_dir, tmp_path):
+    """_code_table_probe persists its candidate stage for the ids-collect
+    + rerank join; that cache must be released when the caller drops the
+    result — one pinned cache per probe for the session's life is a
+    storage leak on any long-lived serving session."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    idx = str(tmp_path / "sq8_leak")
+    similarity.save_sq8_index(emb, idx)
+    queries = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    gc.collect()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = similarity.sq8_topk_prebuilt(spark, idx, queries, k=3, rerank=5)
+    assert len(out.collect()) == 3
+    during = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert during > before  # the probe did cache its candidates
+    del out
+    gc.collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, (
+        f"probe cache leaked: {before} persistent RDDs before, "
+        f"{after} after the result was dropped")
+
+
 def test_sq8_prebuilt_refuses_stale_or_missing_sidecar(
         spark, sf_dir, tmp_path):
     """Same consistency contract as the IVF artifact (reference

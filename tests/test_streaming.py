@@ -1435,7 +1435,6 @@ def test_streaming_dedup_against_matches_batch_and_replay(spark, tmp_path):
     operator."""
     import hashlib
     import os
-    import time as _time
 
     from traildb_spark.operators import dedup
     from traildb_spark.streaming.ingest import (
@@ -1457,10 +1456,17 @@ def test_streaming_dedup_against_matches_batch_and_replay(spark, tmp_path):
         [(21, "fresh two"), (22, "fresh four"), (23, "twin")],
     ]
     src = str(tmp_path / "dd_src")
-    for b in batches:
-        _time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+    seen: set[str] = set()
+    for i, b in enumerate(batches):
         spark.createDataFrame(b, "doc_id long, text string") \
             .coalesce(1).write.mode("append").parquet(src)
+        # deterministic batch order: SET mtimes 1000s apart instead of
+        # relying on back-to-back writes landing on distinct timestamps
+        stamp = 1_600_000_000 + 1000 * i
+        for f in os.listdir(src):
+            if f not in seen and not f.startswith(("_", ".")):
+                os.utime(os.path.join(src, f), (stamp, stamp))
+                seen.add(f)
     schema = spark.read.parquet(src).schema
 
     stream = (spark.readStream.schema(schema)
@@ -1501,3 +1507,142 @@ def test_streaming_dedup_against_matches_batch_and_replay(spark, tmp_path):
             spark.read.parquet(src), 0, out, "text", "doc_id",
             bloom, 1 << 20, 4, token,
         )
+
+
+def test_streaming_dedup_against_batch0_replay_is_noop(spark, tmp_path):
+    """A legitimate Structured Streaming replay of COMMITTED batch 0
+    (crash between the pointer advance and the checkpoint commit log)
+    must be a no-op, not a crash-loop: the pointer protocol refuses
+    batch 0 only when a LATER id has committed (prev_id > 0), mirroring
+    streaming_finalize / _kmv_batch's replay-of-the-committed-id test."""
+    import hashlib
+
+    from traildb_spark.operators import dedup
+    from traildb_spark.streaming.ingest import (
+        _dedup_against_batch,
+        dedup_accepted_rows,
+    )
+
+    existing = spark.createDataFrame(
+        [(100, "corpus doc")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "fresh one"), (2, "corpus doc")], "doc_id long, text string")
+    out = str(tmp_path / "dd0_out")
+    ckpt = str(tmp_path / "dd0_ckpt")
+    token = hashlib.md5(ckpt.encode()).hexdigest()[:8]
+    (existing.select(F.md5(dedup.normalize_text(F.col("text"))).alias("fp"))
+     .distinct().write.parquet(f"{out}/corpus_fps_{token}"))
+    bloom = spark.sparkContext.broadcast(dedup.build_bloom_filter(existing))
+
+    assert _dedup_against_batch(
+        batch, 0, out, "text", "doc_id", bloom, 1 << 20, 4, token) is True
+    # the crash-replay of the SAME committed id 0: no-op, state intact
+    assert _dedup_against_batch(
+        batch, 0, out, "text", "doc_id", bloom, 1 << 20, 4, token) is False
+    got = {(r.doc_id, r.text)
+           for r in dedup_accepted_rows(spark, out, ckpt).collect()}
+    assert got == {(1, "fresh one")}
+    # and the stream continues normally past the replay
+    nxt = spark.createDataFrame([(3, "fresh two")], "doc_id long, text string")
+    assert _dedup_against_batch(
+        nxt, 1, out, "text", "doc_id", bloom, 1 << 20, 4, token) is True
+    got = {(r.doc_id, r.text)
+           for r in dedup_accepted_rows(spark, out, ckpt).collect()}
+    assert got == {(1, "fresh one"), (3, "fresh two")}
+
+
+def test_compact_dedup_state_preserves_semantics(spark, tmp_path):
+    """compact_dedup_state: N per-batch fps dirs -> one compacted dir
+    with IDENTICAL anti-join semantics (later batches still reject
+    everything accepted before the compaction), accepted rows untouched,
+    idempotent re-run, and per-batch dirs a crash left behind BELOW the
+    pointer are ignored by readers (their content is already compacted)."""
+    import hashlib
+    import os
+
+    from traildb_spark.operators import dedup
+    from traildb_spark.streaming.ingest import (
+        _committed_fps_dirs,
+        _dedup_against_batch,
+        compact_dedup_state,
+        dedup_accepted_rows,
+    )
+
+    existing = spark.createDataFrame(
+        [(100, "corpus doc")], "doc_id long, text string")
+    out = str(tmp_path / "cp_out")
+    ckpt = str(tmp_path / "cp_ckpt")
+    token = hashlib.md5(ckpt.encode()).hexdigest()[:8]
+    (existing.select(F.md5(dedup.normalize_text(F.col("text"))).alias("fp"))
+     .distinct().write.parquet(f"{out}/corpus_fps_{token}"))
+    bloom = spark.sparkContext.broadcast(dedup.build_bloom_filter(existing))
+
+    def run(bid, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return _dedup_against_batch(
+            df, bid, out, "text", "doc_id", bloom, 1 << 20, 4, token)
+
+    assert run(0, [(1, "alpha"), (2, "corpus doc")]) is True
+    assert run(1, [(3, "beta"), (4, "alpha")]) is True
+    assert run(2, [(5, "gamma")]) is True
+    before = {(r.doc_id, r.text)
+              for r in dedup_accepted_rows(spark, out, ckpt).collect()}
+    assert before == {(1, "alpha"), (3, "beta"), (5, "gamma")}
+
+    assert compact_dedup_state(spark, out, ckpt) == 3
+    dirs = _committed_fps_dirs(spark, out, token, 2)
+    assert dirs == [f"{out}/fpsc_{token}_2"]
+    assert not [d for d in os.listdir(out) if d.startswith(f"fps_{token}_")]
+    # rows (outputs) untouched; re-compaction is a no-op
+    after = {(r.doc_id, r.text)
+             for r in dedup_accepted_rows(spark, out, ckpt).collect()}
+    assert after == before
+    assert compact_dedup_state(spark, out, ckpt) == 0
+
+    # anti-join semantics identical post-compaction: dups of earlier
+    # accepted content reject, fresh content accepts
+    assert run(3, [(6, "ALPHA"), (7, "gamma"), (8, "delta")]) is True
+    got = {(r.doc_id, r.text)
+           for r in dedup_accepted_rows(spark, out, ckpt).collect()}
+    assert got == before | {(8, "delta")}
+
+    # crash-sim: a stale per-batch dir BELOW the pointer reappears (crash
+    # between pointer swap and lazy delete) — readers must skip it
+    spark.createDataFrame([("deadbeef" * 4,)], "fp string") \
+        .write.parquet(f"{out}/fps_{token}_1")
+    dirs = _committed_fps_dirs(spark, out, token, 3)
+    assert f"{out}/fps_{token}_1" not in dirs
+    assert f"{out}/fpsc_{token}_2" in dirs
+    assert f"{out}/fps_{token}_3" in dirs
+    # and a second compaction folds the live tail in (3 -> pointer)
+    assert compact_dedup_state(spark, out, ckpt) == 1
+    assert _committed_fps_dirs(spark, out, token, 3) == [
+        f"{out}/fpsc_{token}_3"]
+
+
+def test_streaming_dedup_against_refuses_swapped_corpus(spark, tmp_path):
+    """The materialized corpus fingerprint set is keyed by checkpoint
+    path; a DIFFERENT corpus arriving under the same checkpoint would
+    silently re-check Bloom hits against the stale set — the operator
+    must refuse up front (sq8-sidecar staleness contract)."""
+    from traildb_spark.streaming.ingest import streaming_dedup_against
+
+    corpus_a = spark.createDataFrame(
+        [(100, "corpus doc a")], "doc_id long, text string")
+    src = str(tmp_path / "cs_src")
+    spark.createDataFrame([(1, "fresh one")], "doc_id long, text string") \
+        .write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    out, ckpt = str(tmp_path / "cs_out"), str(tmp_path / "cs_ckpt")
+    q = streaming_dedup_against(stream, corpus_a, out, ckpt)
+    q.awaitTermination(120)
+
+    # same corpus content again: accepted (sig matches, fps reused)
+    q = streaming_dedup_against(stream, corpus_a, out, ckpt)
+    q.awaitTermination(120)
+
+    corpus_b = spark.createDataFrame(
+        [(200, "corpus doc b")], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="does not match"):
+        streaming_dedup_against(stream, corpus_b, out, ckpt)

@@ -7,6 +7,8 @@ file with k-means-style centroids) — all pure DataFrame ops.
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -1373,17 +1375,13 @@ def _pack_codes(col: Column) -> Column:
     return pack(col)
 
 
-def _write_code_artifact(spark, coded: DataFrame, path: str,
-                         meta: dict, parts: int) -> None:
-    """Shared artifact writer for the compressed-scan ANN family:
-    ``coded`` carries (corpus_id, __cq array<long 0..255>, cv20).
-    codes/ = packed 1-byte-per-dim BINARY + norm; full/ = q20 lattice
-    range-sorted by corpus_id (the probe's point-read side); sidecar =
-    calibration meta + per-subdir staleness fingerprints."""
-    import json
-
-    from .. import fsutil
-
+def _coded_tables(coded: DataFrame, parts: int):
+    """(codes, full) projections of a ``coded`` frame carrying
+    (corpus_id, __cq array<long 0..255>, cv20) — shared between the
+    full build and the append path so both write byte-compatible files:
+    codes = packed 1-byte-per-dim BINARY + norm; full = q20 lattice
+    range-sorted by corpus_id (tight per-row-group min/max stats, the
+    probe's point-read side)."""
     code_norm2 = F.aggregate(
         F.transform(F.col("__cq"), lambda x: x * x),
         F.lit(0).cast("long"), lambda acc, x: acc + x,
@@ -1393,17 +1391,145 @@ def _write_code_artifact(spark, coded: DataFrame, path: str,
         _pack_codes(F.col("__cq")).alias("code"),
         code_norm2.alias("n2"),
     )
-    codes.write.mode("overwrite").parquet(f"{path}/codes")
-    (coded.select("corpus_id", "cv20")
-          .repartitionByRange(parts, "corpus_id")
-          .sortWithinPartitions("corpus_id")
-          .write.mode("overwrite").parquet(f"{path}/full"))
+    full = (coded.select("corpus_id", "cv20")
+            .repartitionByRange(parts, "corpus_id")
+            .sortWithinPartitions("corpus_id"))
+    return codes, full
+
+
+def _refresh_code_meta(spark, path: str, meta: dict) -> None:
+    """Re-fingerprint codes/ and full/ and (re)write the sidecar —
+    always the LAST step of a build or append, so any crash mid-write
+    leaves fingerprints that no longer match and probes refuse the
+    artifact as stale instead of serving a half-written one."""
+    import json
+
+    from .. import fsutil
+
     meta = dict(meta)
     meta["codes_fingerprint"] = fsutil.data_fingerprint(
         spark, f"{path}/codes")
     meta["full_fingerprint"] = fsutil.data_fingerprint(
         spark, f"{path}/full")
     fsutil.write_small(spark, f"{path}/{SQ8_META_FILE}", json.dumps(meta))
+
+
+def _write_code_artifact(spark, coded: DataFrame, path: str,
+                         meta: dict, parts: int) -> None:
+    """Shared artifact writer for the compressed-scan ANN family:
+    ``coded`` carries (corpus_id, __cq array<long 0..255>, cv20).
+    codes/ = packed 1-byte-per-dim BINARY + norm; full/ = q20 lattice
+    range-sorted by corpus_id (the probe's point-read side); sidecar =
+    calibration meta + per-subdir staleness fingerprints."""
+    codes, full = _coded_tables(coded, parts)
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    full.write.mode("overwrite").parquet(f"{path}/full")
+    _refresh_code_meta(spark, path, meta)
+
+
+def _load_code_meta(spark, path: str, kind: str, who: str,
+                    check_fresh: bool = True) -> dict:
+    """Load + validate the SQ8-family sidecar: present, matching
+    ``kind``, and (optionally) both subdir fingerprints current —
+    the shared head of the probe and append paths."""
+    import json
+
+    from .. import fsutil
+
+    raw = fsutil.read_small(spark, f"{path}/{SQ8_META_FILE}")
+    if raw is None:
+        raise FileNotFoundError(
+            f"no SQ8-family index sidecar at {path}/{SQ8_META_FILE}; "
+            f"build one with save_{kind}_index"
+        )
+    meta = json.loads(raw)
+    if meta.get("kind", "sq8") != kind:
+        raise ValueError(
+            f"index at {path} is kind={meta.get('kind')!r}, not {kind} — "
+            f"{who} requires a save_{kind}_index artifact"
+        )
+    if check_fresh:
+        for sub in ("codes", "full"):
+            want = meta.get(f"{sub}_fingerprint")
+            if want is not None and want != fsutil.data_fingerprint(
+                    spark, f"{path}/{sub}"):
+                raise ValueError(
+                    f"index at {path} is stale: {sub}/ changed since the "
+                    f"sidecar was written — rebuild with save_{kind}_index"
+                )
+    return meta
+
+
+def _check_grid_envelope(dlo: list, dhi: list, lo: list, hi: list,
+                         who: str) -> None:
+    """Refuse a delta whose values fall outside the FROZEN calibration
+    grid: out-of-grid values CLAMP under ``_sq8_expr``, silently
+    degrading candidate quality — the grid-drift bound is zero by
+    policy, and crossing it means a recalibrating rebuild."""
+    bad = [i for i in range(len(lo)) if dlo[i] < lo[i] or dhi[i] > hi[i]]
+    if bad:
+        i = bad[0]
+        raise ValueError(
+            f"{who}: delta values fall OUTSIDE the frozen calibration "
+            f"grid on {len(bad)} dimension(s) (first: dim {i}, delta "
+            f"[{dlo[i]}, {dhi[i]}] vs grid [{lo[i]}, {hi[i]}]). "
+            "Out-of-grid values clamp under SQ8 encoding and silently "
+            "degrade candidates — rebuild the artifact to recalibrate."
+        )
+
+
+def append_sq8_index(
+    new_rows: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Append a delta to a :func:`save_sq8_index` artifact WITHOUT
+    re-encoding the corpus — the build-amortization move of the
+    reference's ``tdb_cons_append`` (src/tdb_cons.c:574-657: merge into
+    an existing store instead of re-encoding it).
+
+    The delta encodes on the FROZEN sidecar grid, so as long as its
+    values stay inside the grid's per-dim envelope the result is
+    bit-identical to a full rebuild on the union: calibration is per-dim
+    min/max, an in-envelope delta leaves the union's min/max — hence the
+    grid, hence every code — unchanged (tested:
+    ``test_append_sq8_index_parity_and_cost``). A delta that exceeds the
+    envelope refuses loudly (out-of-grid values clamp and degrade
+    candidates silently); that is the recalibration boundary where a
+    rebuild is required.
+
+    Cost ∝ delta: one agg pass + one encode pass over ``new_rows`` only;
+    codes/ and full/ gain new files (append mode), each appended full/
+    file is itself range-sorted so row-group pruning stays tight for
+    point reads. After many small appends, a rebuild re-compacts the
+    layout. Crash mid-append leaves fingerprints mismatched → probes
+    refuse the artifact as stale (loud, never wrong); re-append or
+    rebuild to recover. Duplicate ids are the caller's contract, exactly
+    as in :func:`save_sq8_index`.
+    """
+    from .dedup import quantize_q20
+
+    spark = new_rows.sparkSession
+    meta = _load_code_meta(spark, path, "sq8", "append_sq8_index")
+    dim = int(meta["dim"])
+    dlo, dhi = _sq8_calibrate(new_rows, vec_col, dim, "append_sq8_index")
+    _check_grid_envelope(dlo, dhi, meta["lo"], meta["hi"],
+                         "append_sq8_index")
+    lo_arr = F.array(*[F.lit(float(x)) for x in meta["lo"]])
+    hi_arr = F.array(*[F.lit(float(x)) for x in meta["hi"]])
+    coded = new_rows.select(
+        F.col(id_col).alias("corpus_id"),
+        _sq8_expr(F.col(vec_col), lo_arr, hi_arr).alias("__cq"),
+        quantize_q20(F.col(vec_col)).alias("cv20"),
+    )
+    codes, full = _coded_tables(
+        coded, parts=max(new_rows.rdd.getNumPartitions(), 1))
+    codes.write.mode("append").parquet(f"{path}/codes")
+    full.write.mode("append").parquet(f"{path}/full")
+    meta["appends"] = int(meta.get("appends", 0)) + 1
+    _refresh_code_meta(spark, path, meta)
+    return path
 
 
 def sq8_topk_prebuilt(
@@ -1547,7 +1673,7 @@ def _code_table_probe(spark, path: str, q: DataFrame, k: int, rerank: int,
     rerank_w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("corpus_id")
     )
-    return (
+    result = (
         surv.join(full, "corpus_id")
         .withColumn("cos", F.round(
             quantized_cosine_udf(F.col("cv20"), F.col("qv20")), 6))
@@ -1555,6 +1681,22 @@ def _code_table_probe(spark, path: str, q: DataFrame, k: int, rerank: int,
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "approx_cos_micro", "cos", "rank")
     )
+    # release the cached candidates when the caller lets go of the result
+    # — an unconditional persist would otherwise pin executor storage for
+    # the life of the session, one leak per probe. Early release is
+    # always safe (worst case the bounded candidate stage recomputes).
+    weakref.finalize(result, _unpersist_quietly, surv)
+    return result
+
+
+def _unpersist_quietly(df: DataFrame) -> None:
+    """weakref.finalize target: best-effort unpersist — at interpreter
+    exit the JVM gateway may already be gone, and a dead gateway must
+    not turn cache cleanup into a crash."""
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass
 
 
 def _jl_project_exprs(vec_col: str, dim: int, out_dim: int, who: str):
@@ -1636,6 +1778,59 @@ def save_jl_sq8_index(
          "lo": lo, "hi": hi, "id_type": dict(corpus.dtypes)[id_col]},
         parts=max(corpus.rdd.getNumPartitions(), 1),
     )
+    return path
+
+
+def append_jl_sq8_index(
+    new_rows: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Append a delta to a :func:`save_jl_sq8_index` artifact — same
+    contract as :func:`append_sq8_index` (frozen grid → bit-parity with
+    a rebuild on the union while the delta stays inside the envelope;
+    out-of-envelope refuses = the recalibration boundary), except the
+    envelope check runs in PROJECTED space: the grid lives over the
+    Rademacher projection ``rv``, so the delta projects on the
+    deterministic plane table first and its per-out-dim min/max compare
+    against the frozen grid. Cost ∝ delta (one projection + agg pass
+    over ``new_rows`` only)."""
+    from .dedup import quantize_q20
+
+    spark = new_rows.sparkSession
+    meta = _load_code_meta(spark, path, "jl_sq8", "append_jl_sq8_index")
+    dim, out_dim = int(meta["dim"]), int(meta["out_dim"])
+    q10, project = _jl_project_exprs(vec_col, dim, out_dim,
+                                     "append_jl_sq8_index")
+    proj = new_rows.select(
+        F.col(id_col).alias("corpus_id"),
+        quantize_q20(F.col(vec_col)).alias("cv20"),
+        project(q10).alias("rv"),
+    )
+    dims = proj.agg(
+        *[F.min(F.col("rv")[i].cast("double")).alias(f"lo{i}")
+          for i in range(out_dim)],
+        *[F.max(F.col("rv")[i].cast("double")).alias(f"hi{i}")
+          for i in range(out_dim)],
+    ).collect()[0]
+    dlo = [float(dims[f"lo{i}"]) for i in range(out_dim)]
+    dhi = [float(dims[f"hi{i}"]) for i in range(out_dim)]
+    _check_grid_envelope(dlo, dhi, meta["lo"], meta["hi"],
+                         "append_jl_sq8_index")
+    lo_arr = F.array(*[F.lit(float(x)) for x in meta["lo"]])
+    hi_arr = F.array(*[F.lit(float(x)) for x in meta["hi"]])
+    coded = proj.select(
+        "corpus_id",
+        _sq8_expr(F.col("rv"), lo_arr, hi_arr).alias("__cq"),
+        "cv20",
+    )
+    codes, full = _coded_tables(
+        coded, parts=max(new_rows.rdd.getNumPartitions(), 1))
+    codes.write.mode("append").parquet(f"{path}/codes")
+    full.write.mode("append").parquet(f"{path}/full")
+    meta["appends"] = int(meta.get("appends", 0)) + 1
+    _refresh_code_meta(spark, path, meta)
     return path
 
 

@@ -27,6 +27,7 @@ from ..dataset import TrailDataset
 from ..fsutil import hfs as _hfs
 from ..fsutil import read_small as _fs_read_small
 from ..fsutil import swap_pointer as _fs_swap_pointer
+from ..fsutil import write_small as _fs_write_small
 from ..operators.text import fingerprint
 
 
@@ -1114,10 +1115,39 @@ def streaming_dedup_against(
     spark = existing.sparkSession
 
     corpus_fps = f"{path}/corpus_fps_{run_token}"
-    _, hpath, fs = _hfs(spark, corpus_fps)
-    if not fs.exists(hpath(corpus_fps)):
-        (existing.select(fingerprint(F.col(text_col)).alias("fp"))
-         .distinct().write.mode("overwrite").parquet(corpus_fps))
+    fps_df = (existing.select(fingerprint(F.col(text_col)).alias("fp"))
+              .distinct())
+    # Content signature of the corpus fp set (count + order-free sum of a
+    # 60-bit slice) — the materialized fps are keyed by checkpoint path
+    # only, so without this a corpus swapped under the same checkpoint
+    # would let Bloom-miss rows skip the exact re-check against a STALE
+    # fp set and silently accept corpus duplicates. One extra aggregation
+    # over the same scan the Bloom build below already pays. Same
+    # artifact↔data consistency contract as the sq8 sidecar
+    # (similarity.save_sq8_index) / reference tdbcli/tdb_index.c:439-451.
+    sig_row = fps_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.conv(F.substring("fp", 1, 15), 16, 10)
+              .cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    sig = f"{sig_row['n']}:{sig_row['s'] or 0}"
+    sig_path = f"{corpus_fps}/_sig"
+    have = _fs_read_small(spark, sig_path)
+    if have is None:
+        # absent sig covers both "first run" and "crashed mid-write"
+        # (parquet dir without its sig) — (re)write, then commit the sig
+        # last so a trusted fps dir is always a complete one.
+        fps_df.write.mode("overwrite").parquet(corpus_fps)
+        _fs_write_small(spark, sig_path, sig)
+    elif have.strip() != sig:
+        raise RuntimeError(
+            "streaming_dedup_against: the `existing` corpus does not "
+            "match the fingerprint set materialized for this checkpoint "
+            f"(stored sig {have.strip()!r} != corpus sig {sig!r}). The "
+            "corpus must stay immutable for the life of a checkpoint — "
+            "use a fresh checkpoint+state path for the new corpus or "
+            f"delete the state at {path} explicitly."
+        )
     bloom = spark.sparkContext.broadcast(
         build_bloom_filter(existing, text_col, num_bits, num_hashes)
     )
@@ -1159,10 +1189,12 @@ def _dedup_against_batch(
     monolithic accepted-fingerprint table per batch would be quadratic
     write I/O over the stream's life; appending keeps writes O(batch)
     while reads (the anti-join over all committed fps dirs) cost the
-    same bytes a monolithic table would. Replay contract: a batch id at
-    or below the committed pointer is a no-op; batch id 0 against an
-    existing pointer means a cleared-and-reused checkpoint → refuse
-    (the ``_kmv_batch`` lineage rule)."""
+    same bytes a monolithic table would. Replay contract: a batch id
+    EQUAL to the committed pointer is a legitimate replay (crash between
+    the pointer advance and the checkpoint commit log) → no-op, exactly
+    like ``_kmv_batch``'s ``prev == out_b`` test; a batch id BELOW the
+    pointer — including id 0 over later state — can only come from a
+    cleared-and-reused checkpoint → refuse loudly."""
     from pyspark.sql import Window
 
     spark = batch_df.sparkSession
@@ -1171,16 +1203,25 @@ def _dedup_against_batch(
     fps_b = f"{path}/fps_{run_token}_{batch_id}"
     prev = (_fs_read_small(spark, latest) or "").strip() or None
     prev_id = int(prev) if prev is not None else None
-    if prev_id is not None and batch_id <= prev_id:
-        if batch_id == 0:
+    if prev_id is not None:
+        if batch_id == prev_id:
+            # replay of the committed id (crash landed between
+            # _fs_swap_pointer and the checkpoint commit) — the outputs
+            # for this id are already committed; no-op so the stream
+            # resumes instead of crash-looping. This includes batch 0
+            # replaying over prev_id == 0.
+            return False
+        if batch_id < prev_id:
             raise RuntimeError(
-                "streaming_dedup_against: batch id 0 arrived but this "
-                "state path already holds a previous lineage of the same "
-                "checkpoint path (checkpoint was cleared and reused) — "
-                "use a fresh checkpoint path or delete the state at "
-                f"{path} explicitly."
+                "streaming_dedup_against: batch id "
+                f"{batch_id} arrived but this state path has already "
+                f"committed batch {prev_id} — an intact checkpoint never "
+                "replays below its committed pointer, so this is a "
+                "previous lineage of the same checkpoint path "
+                "(checkpoint was cleared and reused). Use a fresh "
+                f"checkpoint path or delete the state at {path} "
+                "explicitly."
             )
-        return False
     m, k = num_bits, num_hashes
 
     @F.pandas_udf("boolean")
@@ -1215,7 +1256,13 @@ def _dedup_against_batch(
         surv = surv.join(prev_fps, "__fp", "left_anti")
     surv = surv.localCheckpoint(eager=True)  # one computation, two sinks
     surv.drop("__fp").write.mode("overwrite").parquet(rows_b)
-    (surv.select(F.col("__fp").alias("fp")).coalesce(1)
+    # fps file width ∝ accepted count (16 B/doc → ~2M fps per file):
+    # micro-batches still get the single file the union-reader likes,
+    # but a huge backfill batch no longer funnels through one task.
+    # The count is a cached-RDD scan (surv is checkpointed), not a
+    # recompute.
+    n_width = max(1, -(-surv.count() // 2_000_000))
+    (surv.select(F.col("__fp").alias("fp")).coalesce(n_width)
      .write.mode("overwrite").parquet(fps_b))
     _fs_swap_pointer(spark, latest, str(batch_id))
     return True
@@ -1223,17 +1270,75 @@ def _dedup_against_batch(
 
 def _committed_fps_dirs(spark, path: str, run_token: str,
                         upto_id: int | None) -> list[str]:
-    """fps_<token>_<id> dirs with id <= upto_id (committed batches)."""
+    """The dirs holding every committed accepted-fingerprint: the
+    compacted dir (if :func:`compact_dedup_state` has run — ids at or
+    below the ``_compacted`` pointer live there) plus the per-batch
+    ``fps_<token>_<id>`` dirs above the pointer, up to ``upto_id``.
+    Per-batch dirs at or below the pointer are SKIPPED even if a crash
+    left them on disk — their content is already in the compacted dir,
+    and fps dirs are an anti-join side, so an over-union would be
+    harmless but a partial one would not; the pointer is the truth."""
     if upto_id is None:
         return []
     _, hpath, fs = _hfs(spark, path)
+    compacted = (_fs_read_small(
+        spark, f"{path}/_compacted_{run_token}") or "").strip() or None
+    c_id = int(compacted) if compacted is not None else -1
+    out = [f"{path}/fpsc_{run_token}_{c_id}"] if c_id >= 0 else []
     prefix = f"fps_{run_token}_"
-    out = []
     for st in fs.listStatus(hpath(path)):
         name = st.getPath().getName()
-        if name.startswith(prefix) and int(name[len(prefix):]) <= upto_id:
+        if name.startswith(prefix) and c_id < int(
+                name[len(prefix):]) <= upto_id:
             out.append(f"{path}/{name}")
     return sorted(out)
+
+
+def compact_dedup_state(spark, path: str, checkpoint: str) -> int:
+    """Compact ``streaming_dedup_against``'s accepted-fingerprint state:
+    the N committed per-batch ``fps_<token>_<id>`` dirs become ONE
+    distinct-union dir, so the per-batch anti-join stops opening N
+    parquet footers as the stream ages. Run while the stream is STOPPED
+    (the batch step unions the same dirs this replaces).
+
+    Pointer-safe protocol (crash anywhere loses nothing):
+    1. write the distinct union of all committed fps to
+       ``fpsc_<token>_<upto>`` — new name, nothing reads it yet;
+    2. atomically swap the ``_compacted_<token>`` pointer to ``upto`` —
+       THE commit: readers now take the compacted dir plus per-batch
+       dirs above it;
+    3. lazily delete the superseded per-batch dirs and any older
+       compacted dir — a crash here leaves stale dirs readers already
+       ignore via the pointer.
+
+    Accepted ROW dirs (``rows_<token>_<id>``) are outputs, not state,
+    and stay untouched. Returns the number of per-batch dirs compacted
+    away. Reference analog: the same build-amortization idea as
+    ``tdb_cons_append`` (src/tdb_cons.c:574-657).
+    """
+    import hashlib as _hashlib
+
+    run_token = _hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
+    cur = _fs_read_small(spark, f"{path}/_latest_{run_token}")
+    if cur is None:
+        raise FileNotFoundError(
+            f"no committed streaming_dedup_against state at {path} for "
+            f"this checkpoint ({path}/_latest_{run_token} is absent)"
+        )
+    upto = int(cur.strip())
+    dirs = _committed_fps_dirs(spark, path, run_token, upto)
+    per_batch = [d for d in dirs if f"/fps_{run_token}_" in d]
+    if not per_batch:
+        return 0  # already compact (or single compacted dir only)
+    target = f"{path}/fpsc_{run_token}_{upto}"
+    (spark.read.parquet(*dirs).distinct()
+     .write.mode("overwrite").parquet(target))
+    _fs_swap_pointer(spark, f"{path}/_compacted_{run_token}", str(upto))
+    _, hpath, fs = _hfs(spark, path)
+    for d in dirs:
+        if d != target:
+            fs.delete(hpath(d), True)
+    return len(per_batch)
 
 
 def dedup_accepted_rows(spark, path: str, checkpoint: str) -> DataFrame:
