@@ -202,6 +202,44 @@ def test_vectorized_decoder_matches_scalar(tmp_path):
     assert got_split == want
 
 
+def test_bigram_fixture_cross_decoder(spark):
+    """REVERSE interop leg of the gold chain: a committed artifact
+    encoded by the REFERENCE C encoder's full pipeline (Apriori bigram
+    candidates + weighted set cover + Huffman,
+    src/tdb_encode_model.c:178-275,383-446 — captured via
+    tools/size_parity.py --fixture, whose cdump/make.c compiles the
+    reference encoder) must decode exactly in all three of our readers:
+    scalar per-gram, vectorized across-trails, and the Spark read_tdb
+    path. The codebook carries 31k+ BIGRAM entries (cb_hi nonzero), so
+    this is the one fixture where our item2 decode branch does real
+    work against reference-produced streams, not just our own writer's
+    unigram output."""
+    import numpy as np
+
+    path = str(FIXTURES / "tdb_bigram")
+    gold = sorted((FIXTURES / "tdb_bigram" / "gold.csv")
+                  .read_text().strip().split("\n"))
+
+    meta = TdbMeta(path)
+    assert int(np.count_nonzero(meta.cb_hi)) > 1000  # bigrams present
+
+    got_scalar = sorted(",".join(str(x) for x in r)
+                        for r in tdbfile._iter_events_meta(meta))
+    assert got_scalar == gold
+
+    fields = ["event_type", "tag"]
+    pdf = tdbfile._decode_range_pdf(meta, 0, meta.num_trails, fields)
+    got_vec = sorted(",".join(str(x) for x in r)
+                     for r in pdf.itertuples(index=False, name=None))
+    assert got_vec == gold
+
+    df = read_tdb(spark, path, target_bytes=64 * 1024)  # multi-range
+    got_spark = sorted(
+        f"{r['uuid']},{r['time']},{r['event_type']},{r['tag']}"
+        for r in df.collect())
+    assert got_spark == gold
+
+
 def test_compressed_writer_roundtrip(tmp_path):
     """write_tdb(compress=True) = the reference's unigram Huffman stage
     (top-65536 symbols, two-queue tree, depth-16 cap, expanded
