@@ -307,6 +307,89 @@ def whale10m(spark):
     )
 
 
+def whale_mem_asserted(spark):
+    """SMOKE_WHALE_MEM=1 — the ASSERTED whale-memory leg: the 10M-event
+    whale streams through the bounded-memory chunked cursor
+    (session_stats_chunked, the q115 path) and the run FAILS unless
+    every python worker's lifetime peak RSS stays under the stated
+    bound (900 MB — one Arrow batch + fold state + the ~200 MB
+    numpy/pandas interpreter base; the whole-group path must hold the
+    entire 10M-event trail as one pandas frame, measured multi-GB).
+    Phase order matters: the chunked fold runs FIRST in fresh workers
+    so VmHWM reflects it alone; the whole-group apply_to_trails ladder
+    rung then runs in the same session and its (unbounded-path) peak is
+    recorded for the SCALE.md table — the contrast IS the evidence.
+    VmHWM sampling must happen while the pyspark daemons are alive."""
+    import importlib.util as _ilu
+    import os
+
+    spec = _ilu.spec_from_file_location(
+        "scale_tdb_import", str(REPO / "tools" / "scale_tdb_import.py"))
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    worker_peak_rss_mb = mod.worker_peak_rss_mb
+
+    CHUNKED_BOUND_MB = 900.0
+
+    path = "/tmp/scale_smoke/whale10m"
+    if not Path(path).exists():
+        # same fixture as whale10m() — built JVM-side (no python
+        # workers), so it cannot pollute the worker peaks below
+        normal = spark.range(0, 10_000_000).select(
+            (F.col("id") % 100_000).cast("string").alias("uuid"),
+            (F.lit(1704067200) + (F.col("id") % 2_000_000)).alias("time"),
+            F.col("id").alias("event_id"),
+            F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias(
+                "event_type"),
+        )
+        w = spark.range(0, 10_000_000).select(
+            F.lit("WHALE10M").alias("uuid"),
+            (F.lit(1704067200) + (F.col("id") % 5_000_000)).alias("time"),
+            (F.col("id") + 100_000_000).alias("event_id"),
+            F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias(
+                "event_type"),
+        )
+        normal.unionByName(w).repartition(32).write.mode(
+            "overwrite").parquet(path)
+    ev = spark.read.parquet(path)
+    print(f"whale_mem dataset: {ev.count()} rows (10M on one uuid)",
+          flush=True)
+
+    timed("whale_mem_chunked_sessions", lambda: _force(
+        trails.session_stats_chunked(ev.select("uuid", "time"), gap=1800)))
+    peaks = worker_peak_rss_mb()
+    assert peaks, "no pyspark workers sampled — run before daemons exit"
+    print(f"chunked-path worker peak RSS MB (top5): "
+          f"{[round(x, 1) for x in peaks[:5]]} over {len(peaks)} workers",
+          flush=True)
+    assert peaks[0] < CHUNKED_BOUND_MB, (
+        f"chunked cursor worker peak {peaks[0]:.0f} MB exceeds the "
+        f"stated {CHUNKED_BOUND_MB:.0f} MB bound")
+    print(f"ASSERT OK: chunked path stays under {CHUNKED_BOUND_MB:.0f} MB "
+          "per worker", flush=True)
+
+    if os.environ.get("SMOKE_WHALE_MEM_LADDER"):
+        # the contrast rung: whole-trail pandas frame per group
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        out_schema = StructType([
+            StructField("uuid", StringType()),
+            StructField("n", LongType()),
+        ])
+
+        def per_trail(pdf):
+            return pd.DataFrame({"uuid": [pdf["uuid"].iloc[0]],
+                                 "n": [len(pdf)]})
+
+        timed("whale_mem_apply_whole_group", lambda: _force(
+            trails.apply_to_trails(ev, per_trail, out_schema)))
+        peaks2 = worker_peak_rss_mb()
+        print(f"whole-group worker peak RSS MB (top5): "
+              f"{[round(x, 1) for x in peaks2[:5]]}", flush=True)
+
+
 def whale100m_chunked(spark):
     """Verdict-r5 task 2's done-criterion: a 100M-event trail (10× the
     measured 10M whale) streams through the chunked cursor path under a
@@ -928,6 +1011,10 @@ def main():
 
     if os.environ.get("SMOKE_R6"):
         r6_family(spark)
+        return
+
+    if os.environ.get("SMOKE_WHALE_MEM"):
+        whale_mem_asserted(spark)
         return
 
     if os.environ.get("SMOKE_WHALE100"):
