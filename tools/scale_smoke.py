@@ -834,6 +834,102 @@ def _ensure_vecs500k(spark):
     return spark.read.parquet(vec_big)
 
 
+def r9_family(spark):
+    """SMOKE_R9=1 — round-9 additions at 500k vectors: incremental
+    index maintenance. Build the SQ8 artifact on the 500k corpus, then
+    append a 5k delta (1% — clones under new ids, in-envelope by
+    construction) and require the append to cost a fraction of the
+    build: append work is one agg + one encode pass over the DELTA
+    (tdb_cons_append's build-amortization, src/tdb_cons.c:574-657),
+    so its wall must scale with the delta, not the corpus. The probe
+    over the appended artifact must stay bit-identical to the direct
+    operator on the union. Also times compact_dedup_state over an
+    8-batch / ~400k-fingerprint streaming-dedup state."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from traildb_spark.operators import similarity
+
+    # 2M vectors (embeddings x1000 via ONE crossJoin-with-range plan):
+    # the corpus must be big enough that the build dwarfs the fixed
+    # per-job overhead (session + python-worker spin-up, ~15-20s on
+    # this box) — at 200k rows that overhead dominated BOTH sides and
+    # the ratio said nothing about scaling.
+    vec_big = "/tmp/scale_smoke/vecs2m"
+    if not Path(vec_big).exists():
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        n0 = emb.count()
+        (emb.crossJoin(spark.range(1000).withColumnRenamed("id", "__rep"))
+         .select((F.col("vec_id") + F.col("__rep") * n0).alias("vec_id"),
+                 "embedding")
+         .repartition(64).write.mode("overwrite").parquet(vec_big))
+    vecs = spark.read.parquet(vec_big)
+    n = vecs.count()
+    print(f"vecs: {n} rows", flush=True)
+    delta = vecs.filter(F.col("vec_id") < 10_000).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100_000_000))
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    scratch = tempfile.mkdtemp(prefix="smoke_r9_")
+    try:
+        idx = f"{scratch}/sq8"
+        t0 = _t.time()
+        similarity.save_sq8_index(vecs, idx)
+        build_s = _t.time() - t0
+        print(f"save_sq8_index_2m: {build_s:.2f}s", flush=True)
+        t0 = _t.time()
+        similarity.append_sq8_index(delta, idx)
+        append_s = _t.time() - t0
+        print(f"append_sq8_index_10k: {append_s:.2f}s "
+              f"({append_s / build_s:.2f}x of build for 0.5% of rows)",
+              flush=True)
+        assert append_s < 0.3 * build_s, (append_s, build_s)
+
+        got = sorted(tuple(r) for r in similarity.sq8_topk_prebuilt(
+            spark, idx, queries, k=5, rerank=20).collect())
+        want = sorted(tuple(r) for r in similarity.sq8_topk(
+            vecs.unionByName(delta), queries, k=5, rerank=20).collect())
+        assert got == want and len(got) == 25
+        print("append parity at 2M: probe == direct on the union",
+              flush=True)
+
+        # streaming-dedup state compaction at scale: 8 committed batch
+        # dirs of ~50k fps each -> one dir; accepted rows unchanged
+        import hashlib
+
+        from traildb_spark.streaming.ingest import (
+            _committed_fps_dirs,
+            compact_dedup_state,
+        )
+
+        state = f"{scratch}/ddstate"
+        ckpt = f"{scratch}/ddckpt"
+        token = hashlib.md5(ckpt.encode()).hexdigest()[:8]
+        import os as _os
+
+        _os.makedirs(state, exist_ok=True)
+        for b in range(8):
+            (spark.range(b * 50_000, (b + 1) * 50_000)
+             .select(F.md5(F.col("id").cast("string")).alias("fp"))
+             .write.parquet(f"{state}/fps_{token}_{b}"))
+        from traildb_spark.fsutil import write_small
+        write_small(spark, f"{state}/_latest_{token}", "7")
+        n_before = spark.read.parquet(
+            *_committed_fps_dirs(spark, state, token, 7)).distinct().count()
+        t0 = _t.time()
+        n_comp = compact_dedup_state(spark, state, ckpt)
+        comp_s = _t.time() - t0
+        dirs = _committed_fps_dirs(spark, state, token, 7)
+        n_after = spark.read.parquet(*dirs).distinct().count()
+        assert n_comp == 8 and len(dirs) == 1 and n_after == n_before
+        print(f"compact_dedup_state: 8 dirs / {n_before} fps -> 1 dir "
+              f"in {comp_s:.2f}s", flush=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def r7b_family(spark):
     """Round-7 session batch at 100M events / 500k docs / 500k vectors:
     SQ8 ANN (the 4x-smaller-scan claim), KMV sketch (bounded partial
@@ -980,6 +1076,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     import os
+
+    if os.environ.get("SMOKE_R9"):
+        r9_family(spark)
+        return
 
     if os.environ.get("SMOKE_R8"):
         r8_family(spark)
