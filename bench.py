@@ -192,8 +192,8 @@ def main():
     # status, and the py/io canaries re-run AFTER the sweep so a window
     # that turned mid-run is visible in the artifact itself.
     GATE_PY, GATE_JVM, GATE_IO = 1.5, 1.3, 2.0
-    gate_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_ATTEMPTS", "4"))
-    gate_wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "60"))
+    gate_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_ATTEMPTS", "6"))
+    gate_wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "75"))
     if os.environ.get("SPARK_GRAFT_BENCH_NO_GATE") or only:
         gate_attempts = 1  # measure once, never wait (iteration aid)
 
@@ -271,6 +271,20 @@ def main():
     # a fresh JVM.
     restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART_EVERY", "40"))
     since_restart = 0
+    # segment canaries: the opening gate proves the sweep STARTED clean,
+    # but this box's python lane turns dirty in windows of tens of
+    # minutes — a 40-minute sweep can open clean and finish 2-3x
+    # contaminated (round-9 10x recording: opening py 1.01, closing
+    # 2.77). One cheap py-canary at every session restart timestamps the
+    # contamination to a ~40-query segment so a judged ratio can weight
+    # segments instead of guessing.
+    segment_py: list[dict] = []
+    done_count = 0
+
+    def seg_mark(sp):
+        f = round(measure_canary_py(sp) / CANARY_PY_BASELINE_S, 3)
+        segment_py.append({"at_query": done_count, "py_factor": f})
+        print(f"# segment canary at {done_count}: py {f}x", file=sys.stderr)
     # scan-vs-python class per query: a query whose RETURNED plan runs any
     # python-worker stage (pandas UDF / applyInPandas / mapInArrow) is
     # hostage to this VM's independently-drifting python lane; a pure
@@ -290,6 +304,7 @@ def main():
             qs0 = entrymod.queries()
             qs0["q04_info"](spark, sf_dir).collect()  # re-warm JVM+workers
             warm_gemm(spark)                          # re-warm BLAS pools
+            seg_mark(spark)
             since_restart = 0
         since_restart += 1
         best = None
@@ -302,6 +317,7 @@ def main():
             best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        done_count += 1
         try:
             plan = explain_str(df, "simple")
             classes[name] = (
@@ -334,6 +350,7 @@ def main():
         canary_py_after / CANARY_PY_BASELINE_S, 3)
     result["canary_io_factor_after"] = round(
         canary_io_after / CANARY_IO_BASELINE_S, 3)
+    result["segment_py_factors"] = segment_py
     result["query_classes"] = classes
     by_class: dict[str, float] = {}
     counts: dict[str, int] = {}
