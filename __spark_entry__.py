@@ -4126,6 +4126,47 @@ def q270_sq8_append(spark, sf_dir):
     return similarity.sq8_topk_prebuilt(spark, path, queries, k=5, rerank=20)
 
 
+def _mh_appended_index_path(spark, sf_dir):
+    """Build-once MinHash artifact exercising the APPEND path: base
+    index over doc_id % 4 == 0, then append_minhash_index with
+    doc_id % 4 == 2 — the union is exactly the even-doc_id corpus, and
+    the fixed hash family makes append ≡ rebuild unconditionally."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        f"{sf_dir}|mhappend|v{_MEDIA_CACHE_VERSION}".encode()
+    ).hexdigest()[:12]
+    os.makedirs("/tmp/traildb_spark_media_cache", exist_ok=True)
+    path = f"/tmp/traildb_spark_media_cache/mhappend-{key}"
+    if not os.path.exists(os.path.join(path, dedup.MINHASH_META_FILE)):
+        docs = _load(spark, sf_dir, "documents")
+        dedup.save_minhash_index(
+            docs.filter(F.col("doc_id") % 4 == 0), path,
+            shingle_k=5, num_hashes=16, bands=4)
+        dedup.append_minhash_index(
+            docs.filter(F.col("doc_id") % 4 == 2), path)
+    return path
+
+
+def q271_minhash_append(spark, sf_dir):
+    """Incremental MinHash-index maintenance: q116's daily-crawl dedup
+    served by a persisted signature artifact that GREW BY APPEND
+    (append_minhash_index — base over doc_id%4==0, appended delta
+    doc_id%4==2; the reference's tdb_cons_append build-amortization,
+    src/tdb_cons.c:574-657). The portable hash family is fixed, so the
+    appended artifact is unconditionally bit-identical to a rebuild on
+    the union — which is exactly the even-doc_id corpus, so the oracle
+    is the q116 cross-corpus SQL at threshold 0.25 (at 16 hashes / 4
+    bands the sig-prune cutoff self-disables there, matching the
+    pruneless prebuilt probe)."""
+    path = _mh_appended_index_path(spark, sf_dir)
+    docs = _load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.fuzzy_dedup_against_prebuilt(
+        spark, path, new, threshold=0.25)
+
+
 def _zdb_path(spark, sf_dir):
     """Build-once finalized dataset WITH the z-ordered auxiliary index
     (TrailDataset.build_index = the reference's optional index artifact,
@@ -4512,6 +4553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q268_streaming_dedup_against": q268_streaming_dedup_against,
         "q269_jl_sq8_prebuilt": q269_jl_sq8_prebuilt,
         "q270_sq8_append": q270_sq8_append,
+        "q271_minhash_append": q271_minhash_append,
     }
 
 
@@ -9586,6 +9628,11 @@ def oracle_sql() -> dict[str, str]:
         "q262_sim_topk_jl": _jl_topk_oracle(16, 20, 5),
         "q265_sim_topk_jl_sq8": _jl_sq8_oracle(16, 20, 5),
         "q269_jl_sq8_prebuilt": _jl_sq8_oracle(16, 20, 5),
+        # q271: the appended artifact == rebuild on the union == the
+        # even-doc_id corpus, so the oracle is q116's cross-corpus SQL
+        # at threshold 0.25 (sig-prune cutoff self-disables there,
+        # matching the pruneless prebuilt probe)
+        "q271_minhash_append": _fuzzy_against_oracle(5, 16, 4, 0.25),
         # q270: q246's pipeline over embeddings UNION ALL the appended
         # clones — clones leave per-dim min/max unchanged, so this also
         # IS the frozen-grid encode the appended artifact serves (the

@@ -1192,6 +1192,64 @@ def test_minhash_index_artifact_roundtrip_and_stale(spark, sf_dir, tmp_path):
         dedup.fuzzy_dedup_against_prebuilt(spark, str(tmp_path / "nope"), new)
 
 
+def test_append_minhash_index_parity(spark, sf_dir, tmp_path):
+    """append_minhash_index: the portable hash family is FIXED, so an
+    appended artifact is bit-identical to a rebuild on the union
+    UNCONDITIONALLY (no calibration grid, no envelope) — probes against
+    the appended index must match both a rebuilt index and the direct
+    two-corpus run; a stale artifact refuses the append; a probe after
+    a crash-free append keeps passing the staleness guard."""
+    import json
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+    corpus = docs.filter(F.col("doc_id") % 4 == 0)
+    delta = docs.filter(F.col("doc_id") % 4 == 2)
+    union = corpus.unionByName(delta)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = str(tmp_path / "mh_app")
+    dedup.save_minhash_index(corpus, idx, shingle_k=5, num_hashes=16,
+                             bands=4)
+    dedup.append_minhash_index(delta, idx)
+    meta = json.loads(open(f"{idx}/{dedup.MINHASH_META_FILE}").read())
+    assert meta["appends"] == 1
+
+    via_app = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in dedup.fuzzy_dedup_against_prebuilt(
+            spark, idx, new, threshold=0.5).collect()
+    }
+    idx2 = str(tmp_path / "mh_reb")
+    dedup.save_minhash_index(union, idx2, shingle_k=5, num_hashes=16,
+                             bands=4)
+    via_reb = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in dedup.fuzzy_dedup_against_prebuilt(
+            spark, idx2, new, threshold=0.5).collect()
+    }
+    direct = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in dedup.fuzzy_dedup_against(
+            new, union, shingle_k=5, num_hashes=16, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert via_app == via_reb == direct and direct
+
+    # appending onto a STALE artifact refuses before writing anything
+    import os
+    import shutil
+
+    part = next(
+        f for f in os.listdir(f"{idx}/grams")
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    shutil.copy(f"{idx}/grams/{part}", f"{idx}/grams/part-x.parquet")
+    with pytest.raises(ValueError, match="stale"):
+        dedup.append_minhash_index(delta, idx)
+    with pytest.raises(FileNotFoundError, match="save_minhash_index"):
+        dedup.append_minhash_index(delta, str(tmp_path / "nope"))
+
+
 def test_embedding_neardup_against_best_match(spark):
     """Cross-corpus incremental embedding near-dup: new vectors match
     their corpus near-dups with the BEST match winning (max cos, tie ->

@@ -886,6 +886,65 @@ def save_minhash_index(
     return path
 
 
+def append_minhash_index(
+    new_corpus_rows: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Append new corpus documents to a :func:`save_minhash_index`
+    artifact WITHOUT re-shingling the corpus — the third member of the
+    incremental-maintenance family (with ``append_sq8_index`` /
+    ``append_jl_sq8_index``; reference analog ``tdb_cons_append``,
+    src/tdb_cons.c:574-657). Unlike the SQ8 artifacts there is no
+    calibration grid at all: the portable hash family is FIXED
+    (``_portable_perms``) and the signature parameters come from the
+    sidecar, so an append is bit-identical to a rebuild on the union
+    unconditionally — no envelope check, no recalibration boundary.
+    Cost ∝ delta (one Arrow pass over the new rows); bands/ and grams/
+    gain new files; a crash mid-append leaves the fingerprints
+    mismatched → probes refuse the artifact as stale. Duplicate ids
+    are the caller's contract, exactly as in the builder."""
+    import json
+
+    from .. import fsutil
+
+    spark = new_corpus_rows.sparkSession
+    raw_meta = fsutil.read_small(spark, f"{path}/{MINHASH_META_FILE}")
+    if raw_meta is None:
+        raise FileNotFoundError(
+            f"no minhash index sidecar at {path}/{MINHASH_META_FILE}; "
+            "build one with save_minhash_index"
+        )
+    meta = json.loads(raw_meta)
+    for sub in ("bands", "grams"):
+        want = meta["data_fingerprint"].get(sub)
+        if want is not None and want != fsutil.data_fingerprint(
+                spark, f"{path}/{sub}"):
+            raise ValueError(
+                f"minhash index at {path} is stale: {sub}/ changed since "
+                "the sidecar was written — rebuild with save_minhash_index"
+            )
+    shingle_k = int(meta["shingle_k"])
+    raw, base, banded = _portable_sig_pipeline(
+        new_corpus_rows, text_col, id_col, shingle_k,
+        int(meta["num_hashes"]), int(meta["bands"])
+    )
+    banded.write.mode("append").parquet(f"{path}/bands")
+    raw.select(
+        "id", md5_shingle_hashes(F.col("__text"), shingle_k).alias("grams")
+    ).write.mode("append").parquet(f"{path}/grams")
+    base.unpersist()
+    meta["data_fingerprint"] = {
+        "bands": fsutil.data_fingerprint(spark, f"{path}/bands"),
+        "grams": fsutil.data_fingerprint(spark, f"{path}/grams"),
+    }
+    meta["appends"] = int(meta.get("appends", 0)) + 1
+    fsutil.write_small(spark, f"{path}/{MINHASH_META_FILE}",
+                       json.dumps(meta))
+    return path
+
+
 def fuzzy_dedup_against_prebuilt(
     spark,
     path: str,
