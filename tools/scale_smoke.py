@@ -11,6 +11,13 @@ Usage: [SMOKE_REPS=100] python tools/scale_smoke.py  (scratch under /tmp)
        SPARK_GRAFT_DRIVER_MEM=4g SMOKE_WHALE100=1 — a 100M-event single
        trail through the bounded-memory chunked cursor path in a capped
        JVM (self-checking closed-form session count).
+       SMOKE_WHALE_MEM=1 — the ASSERTED whale-memory leg: 10M-event
+       whale through the chunked cursor, run FAILS if any python
+       worker's peak RSS exceeds 900 MB (add SMOKE_WHALE_MEM_LADDER=1
+       for the whole-group contrast rung).
+       SMOKE_R9=1 — incremental index maintenance at 2M vectors:
+       append_sq8_index cost ∝ delta (asserted < 0.3x build), probe
+       parity on the union, compact_dedup_state timing.
 """
 
 from __future__ import annotations
