@@ -4099,7 +4099,13 @@ def _sq8_appended_index_path(spark, sf_dir):
     ).hexdigest()[:12]
     os.makedirs("/tmp/traildb_spark_media_cache", exist_ok=True)
     path = f"/tmp/traildb_spark_media_cache/sq8append-{key}"
-    if not os.path.exists(os.path.join(path, similarity.SQ8_META_FILE)):
+    # cache validity requires the APPENDED state, not just the base
+    # sidecar: a run interrupted between save and append would otherwise
+    # pin a delta-less artifact in /tmp forever (ADVICE r9)
+    if not _appended_cache_ok(
+            os.path.join(path, similarity.SQ8_META_FILE)):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
         emb = _load(spark, sf_dir, "embeddings")
         similarity.save_sq8_index(emb, path)
         delta = emb.filter(
@@ -4107,6 +4113,23 @@ def _sq8_appended_index_path(spark, sf_dir):
         ).withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
         similarity.append_sq8_index(delta, path)
     return path
+
+
+def _appended_cache_ok(sidecar_path) -> bool:
+    """True iff a cached append-exercising artifact is COMPLETE: its
+    sidecar exists and records at least one committed append (the
+    sidecar rewrite is the append's last step, so appends>=1 implies
+    the delta's files and fingerprints are all in place)."""
+    import json
+    import os
+
+    if not os.path.exists(sidecar_path):
+        return False
+    try:
+        with open(sidecar_path) as fh:
+            return int(json.load(fh).get("appends", 0)) >= 1
+    except (OSError, ValueError):
+        return False
 
 
 def q270_sq8_append(spark, sf_dir):
@@ -4139,7 +4162,11 @@ def _mh_appended_index_path(spark, sf_dir):
     ).hexdigest()[:12]
     os.makedirs("/tmp/traildb_spark_media_cache", exist_ok=True)
     path = f"/tmp/traildb_spark_media_cache/mhappend-{key}"
-    if not os.path.exists(os.path.join(path, dedup.MINHASH_META_FILE)):
+    # same appended-state gate as _sq8_appended_index_path: never pin a
+    # half-built (append-less) artifact in the /tmp cache
+    if not _appended_cache_ok(os.path.join(path, dedup.MINHASH_META_FILE)):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
         docs = _load(spark, sf_dir, "documents")
         dedup.save_minhash_index(
             docs.filter(F.col("doc_id") % 4 == 0), path,

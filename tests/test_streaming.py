@@ -1489,17 +1489,29 @@ def test_streaming_dedup_against_matches_batch_and_replay(spark, tmp_path):
     want_ids = {r.doc_id for r in first.collect()}
     assert {d for d, _ in got} == want_ids
 
-    # replay of the committed last batch is a no-op
+    # replay of the committed last batch (same id, SAME content — what an
+    # intact checkpoint actually re-delivers) is a no-op
     token = hashlib.md5(ckpt.encode()).hexdigest()[:8]
     cur = [f for f in os.listdir(out) if f.startswith("_latest")][0]
     with open(f"{out}/{cur}") as fh:
         last_id = int(fh.read().strip())  # pointer = committed batch id
     bloom = spark.sparkContext.broadcast(
         dedup.build_bloom_filter(existing))
+    last_batch = spark.createDataFrame(
+        batches[last_id], "doc_id long, text string")
     assert _dedup_against_batch(
-        spark.read.parquet(src), last_id, out, "text", "doc_id",
+        last_batch, last_id, out, "text", "doc_id",
         bloom, 1 << 20, 4, token,
     ) is False
+
+    # same id but DIFFERENT content = a new lineage reusing the
+    # checkpoint path at the committed id — the content signature refuses
+    # (the pointer alone cannot see this corner)
+    with pytest.raises(RuntimeError, match="content signature"):
+        _dedup_against_batch(
+            spark.read.parquet(src), last_id, out, "text", "doc_id",
+            bloom, 1 << 20, 4, token,
+        )
 
     # cleared-checkpoint reuse (batch 0 against existing state) refuses
     with pytest.raises(RuntimeError, match="lineage"):
@@ -1539,6 +1551,15 @@ def test_streaming_dedup_against_batch0_replay_is_noop(spark, tmp_path):
     # the crash-replay of the SAME committed id 0: no-op, state intact
     assert _dedup_against_batch(
         batch, 0, out, "text", "doc_id", bloom, 1 << 20, 4, token) is False
+    # a checkpoint cleared and reused after exactly ONE committed batch
+    # delivers a NEW lineage's batch 0 — the ADVICE-r9 residual window:
+    # same id as the pointer, different data. The content signature
+    # refuses instead of silently skipping the new lineage's batch.
+    other = spark.createDataFrame(
+        [(7, "a different lineage")], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="content signature"):
+        _dedup_against_batch(
+            other, 0, out, "text", "doc_id", bloom, 1 << 20, 4, token)
     got = {(r.doc_id, r.text)
            for r in dedup_accepted_rows(spark, out, ckpt).collect()}
     assert got == {(1, "fresh one")}
@@ -1607,17 +1628,27 @@ def test_compact_dedup_state_preserves_semantics(spark, tmp_path):
     assert got == before | {(8, "delta")}
 
     # crash-sim: a stale per-batch dir BELOW the pointer reappears (crash
-    # between pointer swap and lazy delete) — readers must skip it
+    # between pointer swap and lazy delete), plus an uncommitted fpsc_*
+    # target from a compaction that crashed before its pointer swap —
+    # readers must skip both
     spark.createDataFrame([("deadbeef" * 4,)], "fp string") \
         .write.parquet(f"{out}/fps_{token}_1")
+    spark.createDataFrame([("feedface" * 4,)], "fp string") \
+        .write.parquet(f"{out}/fpsc_{token}_0")
     dirs = _committed_fps_dirs(spark, out, token, 3)
     assert f"{out}/fps_{token}_1" not in dirs
+    assert f"{out}/fpsc_{token}_0" not in dirs
     assert f"{out}/fpsc_{token}_2" in dirs
     assert f"{out}/fps_{token}_3" in dirs
-    # and a second compaction folds the live tail in (3 -> pointer)
+    # a second compaction folds the live tail in (3 -> pointer) AND
+    # sweeps the crash-orphaned dirs (ADVICE r9: without the name-based
+    # sweep they would accumulate unboundedly across crash cycles)
     assert compact_dedup_state(spark, out, ckpt) == 1
     assert _committed_fps_dirs(spark, out, token, 3) == [
         f"{out}/fpsc_{token}_3"]
+    leftover = [d for d in os.listdir(out)
+                if d.startswith((f"fps_{token}_", f"fpsc_{token}_"))]
+    assert leftover == [f"fpsc_{token}_3"], leftover
 
 
 def test_streaming_dedup_against_refuses_swapped_corpus(spark, tmp_path):

@@ -842,11 +842,11 @@ def _ensure_vecs500k(spark):
 
 
 def r9_family(spark):
-    """SMOKE_R9=1 — round-9 additions at 500k vectors: incremental
-    index maintenance. Build the SQ8 artifact on the 500k corpus, then
-    append a 5k delta (1% — clones under new ids, in-envelope by
-    construction) and require the append to cost a fraction of the
-    build: append work is one agg + one encode pass over the DELTA
+    """SMOKE_R9=1 — round-9 additions at 2 M vectors: incremental
+    index maintenance. Build the SQ8 artifact on the 2 M corpus, then
+    append a 10k delta (0.5% — clones under new ids, in-envelope by
+    construction) and require the append to cost < 0.3× the build:
+    append work is one agg + one encode pass over the DELTA
     (tdb_cons_append's build-amortization, src/tdb_cons.c:574-657),
     so its wall must scale with the delta, not the corpus. The probe
     over the appended artifact must stay bit-identical to the direct

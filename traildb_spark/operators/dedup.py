@@ -917,6 +917,15 @@ def append_minhash_index(
             "build one with save_minhash_index"
         )
     meta = json.loads(raw_meta)
+    want_t = meta.get("id_type")
+    got_t = dict(new_corpus_rows.dtypes).get(id_col)
+    if want_t is not None and got_t != want_t:
+        raise TypeError(
+            f"append_minhash_index: delta id column {id_col!r} has type "
+            f"{got_t!r} but the index was built with id_type {want_t!r} "
+            "— cast the delta's ids to match (mixed id types would "
+            "write schema-mismatched parquet into bands/grams)"
+        )
     for sub in ("bands", "grams"):
         want = meta["data_fingerprint"].get(sub)
         if want is not None and want != fsutil.data_fingerprint(

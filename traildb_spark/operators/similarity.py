@@ -1478,6 +1478,24 @@ def _check_grid_envelope(dlo: list, dhi: list, lo: list, hi: list,
         )
 
 
+def _check_id_type(meta: dict, new_rows: DataFrame, id_col: str,
+                   who: str) -> None:
+    """Refuse a delta whose id column type differs from the sidecar's
+    recorded ``id_type``: a mismatched delta would write
+    schema-divergent parquet files into codes/full that fail (or
+    silently coerce) only at probe time — the same fail-at-the-boundary
+    contract as the kind/staleness/envelope checks."""
+    want = meta.get("id_type")
+    got = dict(new_rows.dtypes).get(id_col)
+    if want is not None and got != want:
+        raise TypeError(
+            f"{who}: delta id column {id_col!r} has type {got!r} but the "
+            f"index was built with id_type {want!r} — cast the delta's "
+            "ids to match (mixed id types would write schema-mismatched "
+            "parquet into the artifact)"
+        )
+
+
 def append_sq8_index(
     new_rows: DataFrame,
     path: str,
@@ -1502,16 +1520,20 @@ def append_sq8_index(
     Cost ∝ delta: one agg pass + one encode pass over ``new_rows`` only;
     codes/ and full/ gain new files (append mode), each appended full/
     file is itself range-sorted so row-group pruning stays tight for
-    point reads. After many small appends, a rebuild re-compacts the
-    layout. Crash mid-append leaves fingerprints mismatched → probes
-    refuse the artifact as stale (loud, never wrong); re-append or
-    rebuild to recover. Duplicate ids are the caller's contract, exactly
-    as in :func:`save_sq8_index`.
+    point reads. After many small appends, :func:`compact_code_index`
+    re-compacts the layout (pure re-layout — the grid is frozen, so no
+    recalibration). Crash mid-append leaves fingerprints mismatched →
+    probes AND further appends refuse the artifact as stale (loud,
+    never wrong); recovery is a rebuild — a re-append would be refused
+    by the same staleness check, and blindly forcing one would
+    duplicate the delta's committed rows. Duplicate ids are the
+    caller's contract, exactly as in :func:`save_sq8_index`.
     """
     from .dedup import quantize_q20
 
     spark = new_rows.sparkSession
     meta = _load_code_meta(spark, path, "sq8", "append_sq8_index")
+    _check_id_type(meta, new_rows, id_col, "append_sq8_index")
     dim = int(meta["dim"])
     dlo, dhi = _sq8_calibrate(new_rows, vec_col, dim, "append_sq8_index")
     _check_grid_envelope(dlo, dhi, meta["lo"], meta["hi"],
@@ -1794,12 +1816,14 @@ def append_jl_sq8_index(
     envelope check runs in PROJECTED space: the grid lives over the
     Rademacher projection ``rv``, so the delta projects on the
     deterministic plane table first and its per-out-dim min/max compare
-    against the frozen grid. Cost ∝ delta (one projection + agg pass
-    over ``new_rows`` only)."""
+    against the frozen grid. Cost ∝ delta: the projected delta is
+    persisted so the envelope agg and the coded write share ONE
+    projection pass over ``new_rows``."""
     from .dedup import quantize_q20
 
     spark = new_rows.sparkSession
     meta = _load_code_meta(spark, path, "jl_sq8", "append_jl_sq8_index")
+    _check_id_type(meta, new_rows, id_col, "append_jl_sq8_index")
     dim, out_dim = int(meta["dim"]), int(meta["out_dim"])
     q10, project = _jl_project_exprs(vec_col, dim, out_dim,
                                      "append_jl_sq8_index")
@@ -1807,7 +1831,7 @@ def append_jl_sq8_index(
         F.col(id_col).alias("corpus_id"),
         quantize_q20(F.col(vec_col)).alias("cv20"),
         project(q10).alias("rv"),
-    )
+    ).persist()
     dims = proj.agg(
         *[F.min(F.col("rv")[i].cast("double")).alias(f"lo{i}")
           for i in range(out_dim)],
@@ -1816,19 +1840,22 @@ def append_jl_sq8_index(
     ).collect()[0]
     dlo = [float(dims[f"lo{i}"]) for i in range(out_dim)]
     dhi = [float(dims[f"hi{i}"]) for i in range(out_dim)]
-    _check_grid_envelope(dlo, dhi, meta["lo"], meta["hi"],
-                         "append_jl_sq8_index")
-    lo_arr = F.array(*[F.lit(float(x)) for x in meta["lo"]])
-    hi_arr = F.array(*[F.lit(float(x)) for x in meta["hi"]])
-    coded = proj.select(
-        "corpus_id",
-        _sq8_expr(F.col("rv"), lo_arr, hi_arr).alias("__cq"),
-        "cv20",
-    )
-    codes, full = _coded_tables(
-        coded, parts=max(new_rows.rdd.getNumPartitions(), 1))
-    codes.write.mode("append").parquet(f"{path}/codes")
-    full.write.mode("append").parquet(f"{path}/full")
+    try:
+        _check_grid_envelope(dlo, dhi, meta["lo"], meta["hi"],
+                             "append_jl_sq8_index")
+        lo_arr = F.array(*[F.lit(float(x)) for x in meta["lo"]])
+        hi_arr = F.array(*[F.lit(float(x)) for x in meta["hi"]])
+        coded = proj.select(
+            "corpus_id",
+            _sq8_expr(F.col("rv"), lo_arr, hi_arr).alias("__cq"),
+            "cv20",
+        )
+        codes, full = _coded_tables(
+            coded, parts=max(new_rows.rdd.getNumPartitions(), 1))
+        codes.write.mode("append").parquet(f"{path}/codes")
+        full.write.mode("append").parquet(f"{path}/full")
+    finally:
+        proj.unpersist()
     meta["appends"] = int(meta.get("appends", 0)) + 1
     _refresh_code_meta(spark, path, meta)
     return path

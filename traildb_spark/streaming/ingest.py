@@ -1122,7 +1122,11 @@ def streaming_dedup_against(
     # only, so without this a corpus swapped under the same checkpoint
     # would let Bloom-miss rows skip the exact re-check against a STALE
     # fp set and silently accept corpus duplicates. One extra aggregation
-    # over the same scan the Bloom build below already pays. Same
+    # over the same scan the Bloom build below already pays — at a
+    # 100 TB corpus that is two full passes per STREAM START (not per
+    # batch), a deliberate trade of startup cost for the consistency
+    # guarantee; amortize by starting streams rarely, not by skipping
+    # the check. Same
     # artifact↔data consistency contract as the sq8 sidecar
     # (similarity.save_sq8_index) / reference tdbcli/tdb_index.c:439-451.
     sig_row = fps_df.agg(
@@ -1191,16 +1195,34 @@ def _dedup_against_batch(
     while reads (the anti-join over all committed fps dirs) cost the
     same bytes a monolithic table would. Replay contract: a batch id
     EQUAL to the committed pointer is a legitimate replay (crash between
-    the pointer advance and the checkpoint commit log) → no-op, exactly
-    like ``_kmv_batch``'s ``prev == out_b`` test; a batch id BELOW the
-    pointer — including id 0 over later state — can only come from a
-    cleared-and-reused checkpoint → refuse loudly."""
+    the pointer advance and the checkpoint commit log) → no-op IF the
+    replayed batch's content signature matches the one committed for
+    that id (an intact checkpoint replays identical data; a checkpoint
+    cleared and reused after exactly N committed batches delivers a NEW
+    lineage's batch N — the signature closes the id==pointer corner the
+    pointer alone cannot see, batch 0 over prev_id 0 included); a batch
+    id BELOW the pointer can only come from a cleared-and-reused
+    checkpoint → refuse loudly."""
     from pyspark.sql import Window
 
     spark = batch_df.sparkSession
     latest = f"{path}/_latest_{run_token}"
     rows_b = f"{path}/rows_{run_token}_{batch_id}"
     fps_b = f"{path}/fps_{run_token}_{batch_id}"
+    bsig_b = f"{path}/_bsig_{run_token}_{batch_id}"
+
+    def batch_sig() -> str:
+        # order-free content signature of the batch INPUT (count + sum
+        # of a 60-bit fp slice) — same construction as the corpus
+        # signature in streaming_dedup_against; costs one agg over the
+        # batch, paid once at commit and once per (rare) replay.
+        r = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.conv(F.substring(fingerprint(F.col(text_col)), 1, 15),
+                         16, 10).cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return f"{r['n']}:{r['s'] or 0}"
+
     prev = (_fs_read_small(spark, latest) or "").strip() or None
     prev_id = int(prev) if prev is not None else None
     if prev_id is not None:
@@ -1208,8 +1230,22 @@ def _dedup_against_batch(
             # replay of the committed id (crash landed between
             # _fs_swap_pointer and the checkpoint commit) — the outputs
             # for this id are already committed; no-op so the stream
-            # resumes instead of crash-looping. This includes batch 0
-            # replaying over prev_id == 0.
+            # resumes instead of crash-looping, UNLESS the content
+            # differs from what was committed (a new lineage reusing the
+            # checkpoint path at the same id must not be skipped).
+            # Absent sig = state from a pre-signature version: keep the
+            # old no-op semantics.
+            want = (_fs_read_small(spark, bsig_b) or "").strip() or None
+            if want is not None and want != batch_sig():
+                raise RuntimeError(
+                    "streaming_dedup_against: batch id "
+                    f"{batch_id} replayed with DIFFERENT content than "
+                    "the committed batch (content signature mismatch) — "
+                    "an intact checkpoint replays identical data, so "
+                    "this checkpoint path was cleared and reused by a "
+                    "new stream lineage. Use a fresh checkpoint path or "
+                    f"delete the state at {path} explicitly."
+                )
             return False
         if batch_id < prev_id:
             raise RuntimeError(
@@ -1264,6 +1300,11 @@ def _dedup_against_batch(
     n_width = max(1, -(-surv.count() // 2_000_000))
     (surv.select(F.col("__fp").alias("fp")).coalesce(n_width)
      .write.mode("overwrite").parquet(fps_b))
+    # commit the batch content signature BEFORE the pointer advance so a
+    # committed pointer always has its sig alongside (the replay check
+    # above reads it; a crash between sig and pointer re-runs the batch,
+    # which overwrites both — rows/fps writes are mode=overwrite).
+    _fs_write_small(spark, bsig_b, batch_sig())
     _fs_swap_pointer(spark, latest, str(batch_id))
     return True
 
@@ -1334,10 +1375,28 @@ def compact_dedup_state(spark, path: str, checkpoint: str) -> int:
     (spark.read.parquet(*dirs).distinct()
      .write.mode("overwrite").parquet(target))
     _fs_swap_pointer(spark, f"{path}/_compacted_{run_token}", str(upto))
+    # Delete step sweeps by NAME, not just the dirs this run read:
+    # an earlier compaction that crashed mid-delete leaves per-batch
+    # fps dirs at/below its pointer and uncommitted fpsc_* targets that
+    # _committed_fps_dirs rightly ignores — without the sweep they
+    # accumulate unboundedly across crash cycles. Superseded bsig
+    # markers (only the pointer batch's sig is ever read) go too.
     _, hpath, fs = _hfs(spark, path)
-    for d in dirs:
-        if d != target:
-            fs.delete(hpath(d), True)
+    for st in fs.listStatus(hpath(path)):
+        name = st.getPath().getName()
+        full = f"{path}/{name}"
+        if full == target:
+            continue
+        for prefix in (f"fps_{run_token}_", f"fpsc_{run_token}_",
+                       f"_bsig_{run_token}_"):
+            if name.startswith(prefix):
+                d_id = int(name[len(prefix):])
+                stale = (d_id != upto if prefix.startswith("fpsc")
+                         else d_id < upto if prefix.startswith("_bsig")
+                         else d_id <= upto)
+                if stale:
+                    fs.delete(hpath(full), True)
+                break
     return len(per_batch)
 
 
