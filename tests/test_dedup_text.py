@@ -1250,6 +1250,55 @@ def test_append_minhash_index_parity(spark, sf_dir, tmp_path):
         dedup.append_minhash_index(delta, str(tmp_path / "nope"))
 
 
+def test_compact_minhash_index_parity(spark, sf_dir, tmp_path):
+    """compact_minhash_index: pure re-layout (fixed hash family, params
+    in the sidecar) — probe set-identical before/after, file count
+    collapses, superseded dirs swept, appends keep working against the
+    new generation."""
+    import json
+    import os
+
+    from traildb_spark.operators.similarity import _parquet_file_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+    corpus = docs.filter(F.col("doc_id") % 4 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "mh_cmp")
+    dedup.save_minhash_index(corpus, idx, shingle_k=5, num_hashes=16,
+                             bands=4)
+    for i in range(5):
+        delta = docs.filter(F.col("doc_id") % 4 == 2).limit(10) \
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000 * (i + 1)))
+        dedup.append_minhash_index(delta, idx)
+    before = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in dedup.fuzzy_dedup_against_prebuilt(
+            spark, idx, new, threshold=0.5).collect()
+    }
+    files_before = _parquet_file_count(spark, f"{idx}/grams")
+
+    removed = dedup.compact_minhash_index(spark, idx)
+    assert removed > 0
+    meta = json.loads(open(f"{idx}/{dedup.MINHASH_META_FILE}").read())
+    assert meta["grams_dir"] == "grams_g1" and meta["compactions"] == 1
+    assert not os.path.exists(f"{idx}/bands")
+    assert not os.path.exists(f"{idx}/grams")
+    assert _parquet_file_count(spark, f"{idx}/grams_g1") < files_before
+    after = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in dedup.fuzzy_dedup_against_prebuilt(
+            spark, idx, new, threshold=0.5).collect()
+    }
+    assert after == before and before
+
+    # append onto the compacted generation still works + re-probes
+    dedup.append_minhash_index(
+        docs.filter(F.col("doc_id") % 4 == 2).limit(5).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(90_000)), idx)
+    assert dedup.fuzzy_dedup_against_prebuilt(
+        spark, idx, new, threshold=0.5).count() >= len(before)
+
+
 def test_embedding_neardup_against_best_match(spark):
     """Cross-corpus incremental embedding near-dup: new vectors match
     their corpus near-dups with the BEST match winning (max cos, tie ->

@@ -335,6 +335,80 @@ def test_append_jl_sq8_index_parity(spark, sf_dir, tmp_path):
     assert got == want and len(got) == 15
 
 
+def test_compact_code_index_parity_and_layout(spark, sf_dir, tmp_path):
+    """compact_code_index: after many small appends the artifact
+    accumulates files and per-file-only range sorting; compaction is a
+    pure re-layout (grid frozen — no recalibration), so the probe must
+    be BIT-identical before/after, the file count must collapse, later
+    appends must keep working against the new generation dirs, and a
+    second compaction must sweep the superseded generation. Stale
+    artifacts refuse (compacting unverified bytes would bless them)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200)
+    idx = str(tmp_path / "sq8_cmp")
+    similarity.save_sq8_index(base, idx)
+    for i in range(6):  # many small appends -> file litter
+        delta = base.filter(F.col("vec_id") < 5).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(10_000 * (i + 1)))
+        similarity.append_sq8_index(delta, idx)
+    queries = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    before = sorted(tuple(r) for r in similarity.sq8_topk_prebuilt(
+        spark, idx, queries, k=5, rerank=20).collect())
+    files_before = similarity._parquet_file_count(spark, f"{idx}/full")
+
+    removed = similarity.compact_code_index(spark, idx)
+    assert removed > 0
+    meta = json.loads(open(f"{idx}/{similarity.SQ8_META_FILE}").read())
+    assert meta["codes_dir"] == "codes_g1"
+    assert meta["compactions"] == 1
+    assert not os.path.exists(f"{idx}/codes")  # superseded dirs swept
+    assert not os.path.exists(f"{idx}/full")
+    files_after = similarity._parquet_file_count(spark, f"{idx}/full_g1")
+    assert files_after < files_before
+    after = sorted(tuple(r) for r in similarity.sq8_topk_prebuilt(
+        spark, idx, queries, k=5, rerank=20).collect())
+    assert after == before  # bit-identical probe
+
+    # appends keep working against the compacted generation
+    delta = base.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(99_000))
+    similarity.append_sq8_index(delta, idx)
+    assert len(similarity.sq8_topk_prebuilt(
+        spark, idx, queries, k=5, rerank=20).collect()) == 15
+    # second compaction folds the append in and sweeps generation 1
+    assert similarity.compact_code_index(spark, idx) >= 0
+    assert not os.path.exists(f"{idx}/codes_g1")
+    assert os.path.exists(f"{idx}/codes_g2")
+
+    # stale artifact refuses compaction
+    import shutil
+
+    part = next(f for f in os.listdir(f"{idx}/full_g2")
+                if f.endswith(".parquet"))
+    shutil.copy(f"{idx}/full_g2/{part}", f"{idx}/full_g2/part-x.parquet")
+    with pytest.raises(ValueError, match="stale"):
+        similarity.compact_code_index(spark, idx)
+
+    # jl_sq8 goes through the same path
+    jl = str(tmp_path / "jl_cmp")
+    similarity.save_jl_sq8_index(base, jl, out_dim=16)
+    similarity.append_jl_sq8_index(
+        base.filter(F.col("vec_id") < 5).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(10_000)), jl)
+    jb = sorted(tuple(r) for r in similarity.jl_sq8_topk_prebuilt(
+        spark, jl, queries, k=5, rerank=20).collect())
+    similarity.compact_code_index(spark, jl)
+    ja = sorted(tuple(r) for r in similarity.jl_sq8_topk_prebuilt(
+        spark, jl, queries, k=5, rerank=20).collect())
+    assert ja == jb
+
+
 def test_sq8_prebuilt_probe_releases_its_cache(spark, sf_dir, tmp_path):
     """_code_table_probe persists its candidate stage for the ids-collect
     + rerank join; that cache must be released when the caller drops the

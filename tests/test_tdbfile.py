@@ -240,6 +240,55 @@ def test_bigram_fixture_cross_decoder(spark):
     assert got_spark == gold
 
 
+def test_edge_fixture_cross_decoders():
+    """Two committed artifacts encoded by the REFERENCE C encoder at
+    edge shapes its own c-tests exercise — tdb_widets: ZERO ofields
+    (zero_fields.c) with timestamp deltas just under TDB_MAX_TIMEDELTA
+    = 2^47-1 (wide_timestamps.c:40-62); tdb_manyfields: 60 fields
+    (really_lots_of_fields.c) at 95% empty values with wide deltas and
+    1-event trails, values stressing the \\xNN escape set. Captured by
+    tools/fuzz_tdb_codec.py's reference-encoder leg; both our readers
+    must reproduce the gold CSV with no C toolchain at test time."""
+    for tag in ("widets", "manyfields"):
+        path = str(FIXTURES / f"tdb_{tag}")
+        gold = sorted((FIXTURES / f"tdb_{tag}" / "gold.csv")
+                      .read_text().strip().split("\n"))
+        fields = (FIXTURES / f"tdb_{tag}" / "FIELDS").read_text().split()
+        meta = TdbMeta(path)
+        got_scalar = sorted(
+            ",".join([r[0], str(r[1])]
+                     + [c_dump_escape(v) for v in r[2:]])
+            for r in tdbfile._iter_events_meta(meta))
+        assert got_scalar == gold, tag
+        pdf = tdbfile._decode_range_pdf(meta, 0, meta.num_trails, fields)
+        got_vec = sorted(
+            ",".join([r[0], str(r[1])]
+                     + [c_dump_escape(v) for v in r[2:]])
+            for r in pdf.itertuples(index=False, name=None))
+        assert got_vec == gold, tag
+
+
+def test_codec_fuzz_sweep():
+    """Seeded cross-decoder differential sweep (tools/fuzz_tdb_codec):
+    random corpora across the reference c-tests' edge dimensions (0/1/
+    60 fields, lexicon sizes, empty values, ts ties, deltas near
+    TDB_MAX_TIMEDELTA, 1-event trails) → write_tdb in all three modes →
+    scalar and vectorized readers reproduce each corpus; with a C
+    toolchain in the container the reference decoder dumps every
+    artifact and the reference ENCODER's output decodes back through
+    our readers. Any disagreement self-pins as a fixture. Reduced shape
+    set here; tools/fuzz_tdb_codec.py runs the full sweep."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from fuzz_tdb_codec import SHAPES, run_sweep
+
+    # the cheapest representative slice: zero-field+wide-ts, common,
+    # many-field-sparse-wide — the full 10-shape sweep is a tool run
+    shapes = [SHAPES[1], SHAPES[3], SHAPES[8]]
+    assert run_sweep(shapes=shapes) == 0
+
+
 def test_compressed_writer_roundtrip(tmp_path):
     """write_tdb(compress=True) = the reference's FULL compression
     pipeline: Apriori candidate bigrams + per-event weighted set cover

@@ -96,6 +96,36 @@ def test_apply_to_trails(spark):
     assert got == {"u1": (2.0, 2), "u2": (7.0, 1)}
 
 
+def test_apply_to_trails_whale_guard(spark):
+    """The whole-group path REFUSES a trail longer than
+    max_events_per_trail (measured hazard: a 10M-event whale peaks one
+    worker at ~1.5 GB through this path vs ~120 MB chunked, SCALE.md) —
+    the error names apply_to_trails_chunked; at the bound it runs; with
+    None the pre-check (and its extra scan) is skipped entirely."""
+    import pandas as pd
+    import pytest
+
+    rows = [("whale", t, 1.0) for t in range(50)] + [("u2", 1, 2.0)]
+    df = spark.createDataFrame(rows, ["uuid", "time", "value"])
+
+    def counts(pdf):
+        return pd.DataFrame({"uuid": [pdf["uuid"].iloc[0]],
+                             "n": [len(pdf)]})
+
+    schema = "uuid string, n long"
+    with pytest.raises(ValueError, match="apply_to_trails_chunked"):
+        trails.apply_to_trails(df, counts, schema,
+                               max_events_per_trail=49)
+    # at the bound (not above): runs
+    got = {r["uuid"]: r["n"] for r in trails.apply_to_trails(
+        df, counts, schema, max_events_per_trail=50).collect()}
+    assert got == {"whale": 50, "u2": 1}
+    # opt-out skips the pre-check
+    got = {r["uuid"]: r["n"] for r in trails.apply_to_trails(
+        df, counts, schema, max_events_per_trail=None).collect()}
+    assert got == {"whale": 50, "u2": 1}
+
+
 def test_apply_to_trails_chunked_parity_and_streaming(spark):
     """The bounded-memory cursor path (reference stream-at-any-length
     contract, src/tdb_decode.c:227-329): state threads across chunks of

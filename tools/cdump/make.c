@@ -62,9 +62,11 @@ static uint64_t unesc(char *s)
 
 int main(int argc, char **argv)
 {
-    if (argc < 4) {
+    if (argc < 3) {
+        /* zero ofields (time-only events, tests/c-tests/zero_fields.c)
+           is a legal tdb — argc == 3 selects it */
         fprintf(stderr,
-                "usage: tdb_make in.csv outdir field1 [field2 ...]\n");
+                "usage: tdb_make in.csv outdir [field1 field2 ...]\n");
         return 2;
     }
     const char *fields[64];

@@ -390,6 +390,18 @@ def whale_mem_asserted(spark):
             return pd.DataFrame({"uuid": [pdf["uuid"].iloc[0]],
                                  "n": [len(pdf)]})
 
+        # the guard rail at scale: a bound below the whale refuses at
+        # the pre-check (no UDF launch, no frame materialization) and
+        # names the chunked path — the 10M whale only runs below
+        # because it sits exactly AT the default 10M bound
+        try:
+            trails.apply_to_trails(ev, per_trail, out_schema,
+                                   max_events_per_trail=1_000_000)
+            raise AssertionError("whale guard did not fire at 1M bound")
+        except ValueError as e:
+            assert "apply_to_trails_chunked" in str(e)
+        print("ASSERT OK: whale guard refuses the 10M whale at a 1M "
+              "bound, naming apply_to_trails_chunked", flush=True)
         timed("whale_mem_apply_whole_group", lambda: _force(
             trails.apply_to_trails(ev, per_trail, out_schema)))
         peaks2 = worker_peak_rss_mb()

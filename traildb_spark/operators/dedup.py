@@ -886,6 +886,15 @@ def save_minhash_index(
     return path
 
 
+def _mh_subdirs(path: str, meta: dict) -> tuple[str, str]:
+    """Resolve the LIVE bands/grams subdir paths — the sidecar is the
+    pointer (``compact_minhash_index`` writes new generation dirs and
+    repoints it); uncompacted artifacts default to ``bands``/``grams``
+    (the :func:`compact_code_index` shape)."""
+    return (f"{path}/{meta.get('bands_dir', 'bands')}",
+            f"{path}/{meta.get('grams_dir', 'grams')}")
+
+
 def append_minhash_index(
     new_corpus_rows: DataFrame,
     path: str,
@@ -926,10 +935,11 @@ def append_minhash_index(
             "— cast the delta's ids to match (mixed id types would "
             "write schema-mismatched parquet into bands/grams)"
         )
-    for sub in ("bands", "grams"):
+    bands_p, grams_p = _mh_subdirs(path, meta)
+    for sub, live in zip(("bands", "grams"), (bands_p, grams_p)):
         want = meta["data_fingerprint"].get(sub)
         if want is not None and want != fsutil.data_fingerprint(
-                spark, f"{path}/{sub}"):
+                spark, live):
             raise ValueError(
                 f"minhash index at {path} is stale: {sub}/ changed since "
                 "the sidecar was written — rebuild with save_minhash_index"
@@ -939,19 +949,86 @@ def append_minhash_index(
         new_corpus_rows, text_col, id_col, shingle_k,
         int(meta["num_hashes"]), int(meta["bands"])
     )
-    banded.write.mode("append").parquet(f"{path}/bands")
+    banded.write.mode("append").parquet(bands_p)
     raw.select(
         "id", md5_shingle_hashes(F.col("__text"), shingle_k).alias("grams")
-    ).write.mode("append").parquet(f"{path}/grams")
+    ).write.mode("append").parquet(grams_p)
     base.unpersist()
     meta["data_fingerprint"] = {
-        "bands": fsutil.data_fingerprint(spark, f"{path}/bands"),
-        "grams": fsutil.data_fingerprint(spark, f"{path}/grams"),
+        "bands": fsutil.data_fingerprint(spark, bands_p),
+        "grams": fsutil.data_fingerprint(spark, grams_p),
     }
     meta["appends"] = int(meta.get("appends", 0)) + 1
     fsutil.write_small(spark, f"{path}/{MINHASH_META_FILE}",
                        json.dumps(meta))
     return path
+
+
+def compact_minhash_index(spark, path: str,
+                          rows_per_file: int = 2_000_000) -> int:
+    """Re-compact a :func:`save_minhash_index` artifact after many
+    appends — the minhash twin of
+    :func:`similarity.compact_code_index`, same pointer-safe protocol
+    (write new generation dirs ``bands_g<N>``/``grams_g<N>`` → repoint
+    the sidecar with fresh fingerprints = THE commit → lazy-delete
+    superseded dirs, orphans swept by the next run). A pure re-layout:
+    the portable hash family is fixed and signature params live in the
+    sidecar, so no re-shingling and the probe is set-identical before
+    and after (tested). Returns parquet data files compacted away."""
+    import json
+
+    from .. import fsutil
+
+    raw_meta = fsutil.read_small(spark, f"{path}/{MINHASH_META_FILE}")
+    if raw_meta is None:
+        raise FileNotFoundError(
+            f"no minhash index sidecar at {path}/{MINHASH_META_FILE}")
+    meta = json.loads(raw_meta)
+    bands_p, grams_p = _mh_subdirs(path, meta)
+    for sub, live in zip(("bands", "grams"), (bands_p, grams_p)):
+        want = meta["data_fingerprint"].get(sub)
+        if want is not None and want != fsutil.data_fingerprint(
+                spark, live):
+            raise ValueError(
+                f"minhash index at {path} is stale: {sub}/ changed since "
+                "the sidecar was written — rebuild before compacting"
+            )
+    from .similarity import _parquet_file_count
+
+    files_before = (_parquet_file_count(spark, bands_p)
+                    + _parquet_file_count(spark, grams_p))
+    grams = spark.read.parquet(grams_p)
+    n = grams.count()
+    parts = max(1, -(-n // rows_per_file))
+    gen = int(meta.get("compactions", 0)) + 1
+    new_bands = f"{path}/bands_g{gen}"
+    new_grams = f"{path}/grams_g{gen}"
+    (spark.read.parquet(bands_p).repartition(parts)
+     .write.mode("overwrite").parquet(new_bands))
+    grams.repartition(parts).write.mode("overwrite").parquet(new_grams)
+    meta["bands_dir"] = f"bands_g{gen}"
+    meta["grams_dir"] = f"grams_g{gen}"
+    meta["compactions"] = gen
+    meta["data_fingerprint"] = {
+        "bands": fsutil.data_fingerprint(spark, new_bands),
+        "grams": fsutil.data_fingerprint(spark, new_grams),
+    }
+    fsutil.write_small(spark, f"{path}/{MINHASH_META_FILE}",
+                       json.dumps(meta))  # the commit
+    import re as _re
+
+    _, hpath, fs = fsutil.hfs(spark, path)
+    live_dirs = {meta["bands_dir"], meta["grams_dir"]}
+    for st in fs.listStatus(hpath(path)):
+        name = st.getPath().getName()
+        if name in live_dirs:
+            continue
+        if name in ("bands", "grams") or _re.fullmatch(
+                r"(bands|grams)_g\d+", name):
+            fs.delete(st.getPath(), True)
+    files_after = (_parquet_file_count(spark, new_bands)
+                   + _parquet_file_count(spark, new_grams))
+    return files_before - files_after
 
 
 def fuzzy_dedup_against_prebuilt(
@@ -981,11 +1058,12 @@ def fuzzy_dedup_against_prebuilt(
             "build one with save_minhash_index"
         )
     meta = json.loads(raw_meta)
+    bands_p, grams_p = _mh_subdirs(path, meta)
     fp = meta.get("data_fingerprint") or {}
-    for part in ("bands", "grams"):
+    for part, live in zip(("bands", "grams"), (bands_p, grams_p)):
         want = fp.get(part)
         if want is not None and want != fsutil.data_fingerprint(
-            spark, f"{path}/{part}"
+            spark, live
         ):
             raise ValueError(
                 f"minhash index at {path} is stale ({part} changed since "
@@ -998,7 +1076,7 @@ def fuzzy_dedup_against_prebuilt(
     raw_n, _base_n, banded_n = _portable_sig_pipeline(
         new_df, text_col, id_col, shingle_k, num_hashes, bands
     )
-    banded_c = spark.read.parquet(f"{path}/bands")
+    banded_c = spark.read.parquet(bands_p)
     banded_n = _cap_band_buckets(banded_n, max_bucket)
     banded_c = _cap_band_buckets(banded_c, max_bucket)
     cand = (
@@ -1016,7 +1094,7 @@ def fuzzy_dedup_against_prebuilt(
         )
     )
     gb = (
-        spark.read.parquet(f"{path}/grams")
+        spark.read.parquet(grams_p)
         .join(cand.select(F.col("corpus_id").alias("id")).distinct(), "id", "left_semi")
         .select(F.col("id").alias("corpus_id"), F.col("grams").alias("grams_b"))
     )

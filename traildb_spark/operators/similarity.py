@@ -1397,20 +1397,30 @@ def _coded_tables(coded: DataFrame, parts: int):
     return codes, full
 
 
+def _code_subdirs(path: str, meta: dict) -> tuple[str, str]:
+    """Resolve the LIVE codes/full subdir paths. The sidecar is the
+    pointer: :func:`compact_code_index` writes re-laid-out generation
+    dirs (``codes_g<N>``/``full_g<N>``) and repoints the sidecar as its
+    commit; artifacts that never compacted default to ``codes``/
+    ``full``."""
+    return (f"{path}/{meta.get('codes_dir', 'codes')}",
+            f"{path}/{meta.get('full_dir', 'full')}")
+
+
 def _refresh_code_meta(spark, path: str, meta: dict) -> None:
-    """Re-fingerprint codes/ and full/ and (re)write the sidecar —
-    always the LAST step of a build or append, so any crash mid-write
-    leaves fingerprints that no longer match and probes refuse the
-    artifact as stale instead of serving a half-written one."""
+    """Re-fingerprint the live codes/full dirs and (re)write the
+    sidecar — always the LAST step of a build, append, or compaction,
+    so any crash mid-write leaves fingerprints that no longer match and
+    probes refuse the artifact as stale instead of serving a
+    half-written one."""
     import json
 
     from .. import fsutil
 
     meta = dict(meta)
-    meta["codes_fingerprint"] = fsutil.data_fingerprint(
-        spark, f"{path}/codes")
-    meta["full_fingerprint"] = fsutil.data_fingerprint(
-        spark, f"{path}/full")
+    codes_p, full_p = _code_subdirs(path, meta)
+    meta["codes_fingerprint"] = fsutil.data_fingerprint(spark, codes_p)
+    meta["full_fingerprint"] = fsutil.data_fingerprint(spark, full_p)
     fsutil.write_small(spark, f"{path}/{SQ8_META_FILE}", json.dumps(meta))
 
 
@@ -1449,10 +1459,10 @@ def _load_code_meta(spark, path: str, kind: str, who: str,
             f"{who} requires a save_{kind}_index artifact"
         )
     if check_fresh:
-        for sub in ("codes", "full"):
+        for sub, live in zip(("codes", "full"), _code_subdirs(path, meta)):
             want = meta.get(f"{sub}_fingerprint")
             if want is not None and want != fsutil.data_fingerprint(
-                    spark, f"{path}/{sub}"):
+                    spark, live):
                 raise ValueError(
                     f"index at {path} is stale: {sub}/ changed since the "
                     f"sidecar was written — rebuild with save_{kind}_index"
@@ -1547,8 +1557,9 @@ def append_sq8_index(
     )
     codes, full = _coded_tables(
         coded, parts=max(new_rows.rdd.getNumPartitions(), 1))
-    codes.write.mode("append").parquet(f"{path}/codes")
-    full.write.mode("append").parquet(f"{path}/full")
+    codes_p, full_p = _code_subdirs(path, meta)
+    codes.write.mode("append").parquet(codes_p)
+    full.write.mode("append").parquet(full_p)
     meta["appends"] = int(meta.get("appends", 0)) + 1
     _refresh_code_meta(spark, path, meta)
     return path
@@ -1598,10 +1609,10 @@ def sq8_topk_prebuilt(
             f"index at {path} is kind={meta.get('kind')!r}, not sq8 — "
             "probe it with the matching *_topk_prebuilt"
         )
-    for sub in ("codes", "full"):
+    for sub, live in zip(("codes", "full"), _code_subdirs(path, meta)):
         want = meta.get(f"{sub}_fingerprint")
         if want is not None and want != fsutil.data_fingerprint(
-                spark, f"{path}/{sub}"):
+                spark, live):
             raise ValueError(
                 f"SQ8 index at {path} is stale: {sub}/ changed since the "
                 "sidecar was written — rebuild with save_sq8_index"
@@ -1625,7 +1636,8 @@ def sq8_topk_prebuilt(
                     F.lit(0).cast("long"), lambda acc, x: acc + x),
     )
 
-    return _code_table_probe(spark, path, q, k, rerank, signed=True)
+    return _code_table_probe(spark, path, meta, q, k, rerank,
+                             signed=True)
 
 
 def _packed_dot(code: Column, qq: Column) -> Column:
@@ -1644,8 +1656,8 @@ def _packed_dot(code: Column, qq: Column) -> Column:
     return dot(code, qq)
 
 
-def _code_table_probe(spark, path: str, q: DataFrame, k: int, rerank: int,
-                      signed: bool) -> DataFrame:
+def _code_table_probe(spark, path: str, meta: dict, q: DataFrame, k: int,
+                      rerank: int, signed: bool) -> DataFrame:
     """Shared probe tail for the persisted compressed-scan artifacts:
     code-table scan → code-space-cosine candidates (partial top-k) →
     bounded IN-list point reads of full/ → exact q20 rerank. ``q`` must
@@ -1655,7 +1667,8 @@ def _code_table_probe(spark, path: str, q: DataFrame, k: int, rerank: int,
     no negative branch — bit-parity requires matching forms)."""
     from .dedup import quantized_cosine_udf
 
-    codes = spark.read.parquet(f"{path}/codes")
+    codes_p, full_p = _code_subdirs(path, meta)
+    codes = spark.read.parquet(codes_p)
     den = F.floor(
         F.sqrt((F.col("n2") * F.col("n2q")).cast("double"))
     ).cast("long")
@@ -1690,7 +1703,7 @@ def _code_table_probe(spark, path: str, q: DataFrame, k: int, rerank: int,
     # codes while leaving the candidate lineage visible to plan audits
     surv = cands.persist()
     ids = [r[0] for r in surv.select("corpus_id").distinct().collect()]
-    full = spark.read.parquet(f"{path}/full").filter(
+    full = spark.read.parquet(full_p).filter(
         F.col("corpus_id").isin(ids))
     rerank_w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("corpus_id")
@@ -1852,13 +1865,110 @@ def append_jl_sq8_index(
         )
         codes, full = _coded_tables(
             coded, parts=max(new_rows.rdd.getNumPartitions(), 1))
-        codes.write.mode("append").parquet(f"{path}/codes")
-        full.write.mode("append").parquet(f"{path}/full")
+        codes_p, full_p = _code_subdirs(path, meta)
+        codes.write.mode("append").parquet(codes_p)
+        full.write.mode("append").parquet(full_p)
     finally:
         proj.unpersist()
     meta["appends"] = int(meta.get("appends", 0)) + 1
     _refresh_code_meta(spark, path, meta)
     return path
+
+
+def _parquet_file_count(spark, path: str) -> int:
+    from .. import fsutil
+
+    _, hpath, fs = fsutil.hfs(spark, path)
+    return sum(1 for st in fs.listStatus(hpath(path))
+               if st.getPath().getName().endswith(".parquet"))
+
+
+def compact_code_index(spark, path: str,
+                       rows_per_file: int = 2_000_000) -> int:
+    """Re-compact a :func:`save_sq8_index` / :func:`save_jl_sq8_index`
+    artifact after many appends. Each append adds files to codes/ and
+    full/, and each appended full/ file is only LOCALLY range-sorted —
+    so file counts grow without bound and the probe's bounded IN-list
+    point reads prune per-file instead of globally. Compaction is a
+    PURE RE-LAYOUT: codes are grid-frozen (the append envelope law), so
+    there is no recalibration and no re-encoding, and the probe is
+    bit-identical before and after (tested:
+    ``test_compact_code_index_parity_and_layout``).
+
+    Pointer-safe protocol (the sidecar IS the pointer — the
+    ``compact_dedup_state`` shape; same build-amortization family as
+    the reference's ``tdb_cons_append``, src/tdb_cons.c:574-657):
+
+    1. write the re-laid-out tables to NEW generation dirs
+       ``codes_g<N>``/``full_g<N>`` — nothing reads them yet;
+    2. rewrite the sidecar pointing at the new dirs with fresh
+       fingerprints — THE commit (the same last-step sidecar rewrite
+       every build and append already uses);
+    3. lazily delete superseded generation dirs — a crash here leaves
+       orphans readers already ignore, swept by the next compaction.
+
+    Run while no append is in flight (compaction and append both end in
+    a sidecar rewrite; the loser's fingerprints refuse, nothing is
+    silently lost). Returns the number of parquet data files compacted
+    away."""
+    import json
+
+    from .. import fsutil
+
+    raw = fsutil.read_small(spark, f"{path}/{SQ8_META_FILE}")
+    if raw is None:
+        raise FileNotFoundError(
+            f"no SQ8-family index sidecar at {path}/{SQ8_META_FILE}")
+    meta = json.loads(raw)
+    if meta.get("kind") not in ("sq8", "jl_sq8"):
+        raise ValueError(
+            f"index at {path} is kind={meta.get('kind')!r}, not an "
+            "SQ8-family artifact"
+        )
+    # refuse a stale artifact: compacting unverified bytes would bless
+    # them under fresh fingerprints
+    for sub, live in zip(("codes", "full"), _code_subdirs(path, meta)):
+        want = meta.get(f"{sub}_fingerprint")
+        if want is not None and want != fsutil.data_fingerprint(
+                spark, live):
+            raise ValueError(
+                f"index at {path} is stale: {sub}/ changed since the "
+                "sidecar was written — rebuild before compacting"
+            )
+    codes_p, full_p = _code_subdirs(path, meta)
+    files_before = (_parquet_file_count(spark, codes_p)
+                    + _parquet_file_count(spark, full_p))
+    full = spark.read.parquet(full_p)
+    n = full.count()
+    parts = max(1, -(-n // rows_per_file))
+    gen = int(meta.get("compactions", 0)) + 1
+    new_codes = f"{path}/codes_g{gen}"
+    new_full = f"{path}/full_g{gen}"
+    (spark.read.parquet(codes_p).repartition(parts)
+     .write.mode("overwrite").parquet(new_codes))
+    (full.repartitionByRange(parts, "corpus_id")
+     .sortWithinPartitions("corpus_id")
+     .write.mode("overwrite").parquet(new_full))
+    meta["codes_dir"] = f"codes_g{gen}"
+    meta["full_dir"] = f"full_g{gen}"
+    meta["compactions"] = gen
+    _refresh_code_meta(spark, path, meta)  # the commit
+    # lazy delete: every codes*/full* dir that is not the live pair —
+    # covers the superseded generation AND orphans of crashed runs
+    import re as _re
+
+    _, hpath, fs = fsutil.hfs(spark, path)
+    live = {meta["codes_dir"], meta["full_dir"]}
+    for st in fs.listStatus(hpath(path)):
+        name = st.getPath().getName()
+        if name in live:
+            continue
+        if name in ("codes", "full") or _re.fullmatch(
+                r"(codes|full)_g\d+", name):
+            fs.delete(st.getPath(), True)
+    files_after = (_parquet_file_count(spark, new_codes)
+                   + _parquet_file_count(spark, new_full))
+    return files_before - files_after
 
 
 def jl_sq8_topk_prebuilt(
@@ -1896,10 +2006,10 @@ def jl_sq8_topk_prebuilt(
             f"index at {path} is kind={meta.get('kind')!r}, not jl_sq8 — "
             "probe it with the matching *_topk_prebuilt"
         )
-    for sub in ("codes", "full"):
+    for sub, live in zip(("codes", "full"), _code_subdirs(path, meta)):
         want = meta.get(f"{sub}_fingerprint")
         if want is not None and want != fsutil.data_fingerprint(
-                spark, f"{path}/{sub}"):
+                spark, live):
             raise ValueError(
                 f"JL-SQ8 index at {path} is stale: {sub}/ changed since "
                 "the sidecar was written — rebuild with save_jl_sq8_index"
@@ -1921,7 +2031,8 @@ def jl_sq8_topk_prebuilt(
         F.aggregate(F.transform(F.col("qq"), lambda x: x * x),
                     F.lit(0).cast("long"), lambda acc, x: acc + x),
     )
-    return _code_table_probe(spark, path, q, k, rerank, signed=False)
+    return _code_table_probe(spark, path, meta, q, k, rerank,
+                             signed=False)
 
 
 def label_centroid_cosines(

@@ -216,14 +216,46 @@ def apply_to_trails(
     schema,
     uuid_col: str = UUID_COL,
     time_col: str = TIME_COL,
+    max_events_per_trail: int | None = 10_000_000,
 ) -> DataFrame:
     """The cursor-program escape hatch (reference extension model: iterate
     a trail from C/Python and compute anything, `doc/docs/index.md:21-26`).
 
     ``fn(pdf: pandas.DataFrame) -> pandas.DataFrame`` receives ONE trail,
     time-sorted, as a pandas frame (Arrow-batched). This is the 100 TB-safe
-    custom-logic path: work is distributed by uuid hash, no collect.
+    custom-logic path for BOUNDED trails: work is distributed by uuid
+    hash, no collect — but each trail materializes as ONE pandas frame
+    in a worker, so a whale trail is a worker-OOM hazard (measured: a
+    10M-event whale peaks one worker at ~1.5 GB through this path vs
+    ~120 MB through the chunked fold, SCALE.md).
+
+    ``max_events_per_trail`` is the guard rail: before launching the
+    grouped UDF, one cheap ``groupBy(uuid).count()`` pre-check (a
+    map-side-combined agg over distinct uuids — small next to the
+    shuffle the grouped UDF itself pays) finds the longest trail and
+    REFUSES when it exceeds the bound, naming
+    :func:`apply_to_trails_chunked` — the constant-memory fold whose
+    contract any whale-safe program must adopt (the reference analog:
+    cursors stream trails through a fixed decode buffer so no trail
+    must fit in memory, ``src/tdb_decode.c:227-329``). An automatic
+    reroute is impossible: ``fn`` sees the whole trail at once, a fold
+    does not. Pass ``None`` to skip the pre-check (and its extra scan)
+    when trail lengths are known-bounded.
     """
+    if max_events_per_trail is not None:
+        top = (df.groupBy(uuid_col).count()
+               .orderBy(F.desc("count")).limit(1).collect())
+        if top and top[0]["count"] > max_events_per_trail:
+            raise ValueError(
+                f"apply_to_trails: trail {top[0][uuid_col]!r} has "
+                f"{top[0]['count']} events (> max_events_per_trail="
+                f"{max_events_per_trail}) — a trail this long "
+                "materializes as one pandas frame and can OOM a worker. "
+                "Rewrite the program as a fold and use "
+                "apply_to_trails_chunked (constant-memory), or raise/"
+                "disable the bound explicitly if the workers are sized "
+                "for it."
+            )
 
     def sorted_fn(pdf):
         return fn(pdf.sort_values(time_col, kind="mergesort"))
