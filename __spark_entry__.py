@@ -4194,6 +4194,85 @@ def q271_minhash_append(spark, sf_dir):
         spark, path, new, threshold=0.25)
 
 
+def _sq8_compacted_index_path(spark, sf_dir):
+    """Build-once COMPACTED SQ8 artifact: q270's appended artifact
+    re-laid-out by compact_code_index (new generation dirs, sidecar
+    repointed). Compaction is a pure re-layout on the frozen grid, so
+    probes are bit-identical to the appended artifact's — q272's full
+    oracle (q270's SQL) certifies that end to end."""
+    import json
+    import os
+    import shutil
+
+    src = _sq8_appended_index_path(spark, sf_dir)
+    path = src + "-compacted"
+    sidecar = os.path.join(path, similarity.SQ8_META_FILE)
+    ok = False
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as fh:
+                ok = int(json.load(fh).get("compactions", 0)) >= 1
+        except (OSError, ValueError):
+            ok = False
+    if not ok:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.copytree(src, path)
+        similarity.compact_code_index(spark, path)
+    return path
+
+
+def q272_sq8_compact(spark, sf_dir):
+    """Index-layout compaction: q270's appended SQ8 artifact after
+    compact_code_index (generation-dir re-layout, sidecar-as-pointer —
+    the reference's build-amortization family, src/tdb_cons.c:574-657).
+    The re-layout is bit-neutral (frozen grid, no recalibration), so
+    the oracle is exactly q270's SQL: the hash match certifies the
+    compacted artifact serves results identical to a from-scratch
+    build on the union."""
+    path = _sq8_compacted_index_path(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.sq8_topk_prebuilt(spark, path, queries, k=5, rerank=20)
+
+
+def _mh_compacted_index_path(spark, sf_dir):
+    """Build-once COMPACTED MinHash artifact — q271's appended artifact
+    through compact_minhash_index, cached like its source."""
+    import json
+    import os
+    import shutil
+
+    src = _mh_appended_index_path(spark, sf_dir)
+    path = src + "-compacted"
+    sidecar = os.path.join(path, dedup.MINHASH_META_FILE)
+    ok = False
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as fh:
+                ok = int(json.load(fh).get("compactions", 0)) >= 1
+        except (OSError, ValueError):
+            ok = False
+    if not ok:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.copytree(src, path)
+        dedup.compact_minhash_index(spark, path)
+    return path
+
+
+def q273_minhash_compact(spark, sf_dir):
+    """MinHash-index compaction: q271's appended artifact after
+    compact_minhash_index — pure re-layout (fixed hash family, params
+    in the sidecar), so the oracle is exactly q271's SQL and the hash
+    match is the compaction-parity certificate."""
+    path = _mh_compacted_index_path(spark, sf_dir)
+    docs = _load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.fuzzy_dedup_against_prebuilt(
+        spark, path, new, threshold=0.25)
+
+
 def _zdb_path(spark, sf_dir):
     """Build-once finalized dataset WITH the z-ordered auxiliary index
     (TrailDataset.build_index = the reference's optional index artifact,
@@ -4581,6 +4660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q269_jl_sq8_prebuilt": q269_jl_sq8_prebuilt,
         "q270_sq8_append": q270_sq8_append,
         "q271_minhash_append": q271_minhash_append,
+        "q272_sq8_compact": q272_sq8_compact,
+        "q273_minhash_compact": q273_minhash_compact,
     }
 
 
@@ -5296,7 +5377,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
         """
 
-    return {
+    sql = {
         "q01_cnf_filter_dump": f"""
             SELECT uuid, "time", event_type FROM ({_E})
             WHERE event_type IN ('click', 'view')
@@ -10811,3 +10892,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE rnk <= 5
         """,
     }
+    # the compaction family serves BIT-IDENTICAL results to the
+    # appended artifacts it re-lays-out (pure re-layout, frozen
+    # grid/hash family), so q272/q273 share q270/q271's oracles —
+    # the hash match IS the compaction-parity certificate
+    sql["q272_sq8_compact"] = sql["q270_sq8_append"]
+    sql["q273_minhash_compact"] = sql["q271_minhash_append"]
+    return sql

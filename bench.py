@@ -192,7 +192,7 @@ def main():
     # status, and the py/io canaries re-run AFTER the sweep so a window
     # that turned mid-run is visible in the artifact itself.
     GATE_PY, GATE_JVM, GATE_IO = 1.5, 1.3, 2.0
-    gate_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_ATTEMPTS", "6"))
+    gate_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_ATTEMPTS", "3"))
     gate_wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "75"))
     if os.environ.get("SPARK_GRAFT_BENCH_NO_GATE") or only:
         gate_attempts = 1  # measure once, never wait (iteration aid)
@@ -270,21 +270,40 @@ def main():
     # tail. More frequent restarts keep every query within ~40 plans of
     # a fresh JVM.
     restart_every = int(os.environ.get("SPARK_GRAFT_BENCH_RESTART_EVERY", "40"))
-    since_restart = 0
-    # segment canaries: the opening gate proves the sweep STARTED clean,
-    # but this box's python lane turns dirty in windows of tens of
-    # minutes — a 40-minute sweep can open clean and finish 2-3x
-    # contaminated (round-9 10x recording: opening py 1.01, closing
-    # 2.77). One cheap py-canary at every session restart timestamps the
-    # contamination to a ~40-query segment so a judged ratio can weight
-    # segments instead of guessing.
-    segment_py: list[dict] = []
-    done_count = 0
+    # ---- per-segment canary-BRACKETED recording --------------------------
+    # The opening gate proves the sweep STARTED clean, but this box's
+    # python/io lanes flap on a ~5-15 min cycle — shorter than a full
+    # sweep — so rounds 8-9 never landed one clean monolithic window
+    # (five gated attempts, every artifact self-reported dirty mid-sweep
+    # segments). The recording UNIT is now the 40-query session segment:
+    # each segment is BRACKETED by the py+io canaries (open AND close),
+    # accepted only when both brackets read clean, and re-run otherwise
+    # (bounded retries on a fresh session, keeping the best-bracket
+    # attempt). The artifact stitches accepted segments and carries every
+    # segment's bracket factors, so a dirty host window costs one
+    # segment retry instead of contaminating the closing number.
+    seg_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_SEG_ATTEMPTS", "3"))
+    seg_wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_SEG_WAIT", "45"))
+    if gate_disabled:
+        seg_attempts = 1
 
-    def seg_mark(sp):
-        f = round(measure_canary_py(sp) / CANARY_PY_BASELINE_S, 3)
-        segment_py.append({"at_query": done_count, "py_factor": f})
-        print(f"# segment canary at {done_count}: py {f}x", file=sys.stderr)
+    def bracket(sp) -> dict:
+        return {
+            "py": round(measure_canary_py(sp) / CANARY_PY_BASELINE_S, 3),
+            "io": round(measure_canary_io() / CANARY_IO_BASELINE_S, 3),
+        }
+
+    def bracket_score(b: dict) -> float:
+        return round(max(b["py"] / GATE_PY, b["io"] / GATE_IO), 3)
+
+    def fresh_session(sp):
+        sp.stop()
+        sp = get_spark("traildb-spark-bench", master=f"local[{cpus}]")
+        sp.sparkContext.setLogLevel("ERROR")
+        entrymod.queries()["q04_info"](sp, sf_dir).collect()  # JVM+workers
+        warm_gemm(sp)                                         # BLAS pools
+        return sp
+
     # scan-vs-python class per query: a query whose RETURNED plan runs any
     # python-worker stage (pandas UDF / applyInPandas / mapInArrow) is
     # hostage to this VM's independently-drifting python lane; a pure
@@ -296,42 +315,100 @@ def main():
     from traildb_spark.plans.audit import explain_str
     classes: dict[str, str] = {}
     PY_TOKENS = ("Python", "InPandas", "InArrow")
-    for name, fn in qs.items():
-        if restart_every and since_restart >= restart_every:
-            spark.stop()
-            spark = get_spark("traildb-spark-bench", master=f"local[{cpus}]")
-            spark.sparkContext.setLogLevel("ERROR")
-            qs0 = entrymod.queries()
-            qs0["q04_info"](spark, sf_dir).collect()  # re-warm JVM+workers
-            warm_gemm(spark)                          # re-warm BLAS pools
-            seg_mark(spark)
-            since_restart = 0
-        since_restart += 1
-        best = None
-        n = 0
-        for _ in range(runs):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        done_count += 1
-        try:
-            plan = explain_str(df, "simple")
-            classes[name] = (
-                "python" if any(t in plan for t in PY_TOKENS) else "scan")
-        except Exception:
-            classes[name] = "unknown"
-        print(f"# {name}: {n} rows in {timings[name]}s (min of {runs}, "
-              f"{classes[name]})", file=sys.stderr)
 
-    # closing canaries: a window that turned dirty MID-sweep shows up as
-    # clean opening factors + dirty closing ones — recorded so the artifact
-    # adjudicates itself instead of needing a post-hoc essay.
-    canary_py_after = measure_canary_py(spark)
-    canary_io_after = measure_canary_io()
+    def run_segment(sp, seg_names):
+        seg_t: dict[str, float] = {}
+        seg_c: dict[str, str] = {}
+        for name in seg_names:
+            fn = qs[name]
+            best = None
+            n = 0
+            for _ in range(runs):
+                t0 = time.time()
+                df = fn(sp, sf_dir)
+                n = df.count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                sp.catalog.clearCache()
+            seg_t[name] = round(best, 3)
+            try:
+                plan = explain_str(df, "simple")
+                seg_c[name] = (
+                    "python" if any(t in plan for t in PY_TOKENS)
+                    else "scan")
+            except Exception:
+                seg_c[name] = "unknown"
+            print(f"# {name}: {n} rows in {seg_t[name]}s (min of {runs}, "
+                  f"{seg_c[name]})", file=sys.stderr)
+        return seg_t, seg_c
+
+    names = list(qs)
+    seg_size = restart_every if restart_every else len(names)
+    seg_lists = [names[i:i + seg_size]
+                 for i in range(0, len(names), seg_size)]
+    seg_records: list[dict] = []
+    for si, seg_names in enumerate(seg_lists):
+        best_att = None
+        attempts_used = 0
+        for attempt in range(1, seg_attempts + 1):
+            if si > 0 or attempt > 1:
+                spark = fresh_session(spark)
+            attempts_used = attempt
+            open_b = bracket(spark)
+            open_score = bracket_score(open_b)
+            print(f"# segment {si} attempt {attempt}/{seg_attempts}: open "
+                  f"py {open_b['py']}x io {open_b['io']}x", file=sys.stderr)
+            if (open_score > 1.0 and attempt < seg_attempts
+                    and seg_attempts > 1):
+                # host is dirty before any query ran — don't waste the
+                # ~minute running the segment into a known-dirty window
+                print(f"# segment {si}: dirty open bracket, waiting "
+                      f"{seg_wait_s}s", file=sys.stderr)
+                time.sleep(seg_wait_s)
+                continue
+            seg_t, seg_c = run_segment(spark, seg_names)
+            close_b = bracket(spark)
+            score = max(open_score, bracket_score(close_b))
+            att = {"open": open_b, "close": close_b, "score": score,
+                   "timings": seg_t, "classes": seg_c}
+            if best_att is None or score < best_att["score"]:
+                best_att = att
+            print(f"# segment {si} attempt {attempt}: close py "
+                  f"{close_b['py']}x io {close_b['io']}x (bracket score "
+                  f"{score})", file=sys.stderr)
+            if score <= 1.0:
+                break
+            if attempt < seg_attempts:
+                print(f"# segment {si}: dirty bracket, retrying after "
+                      f"{seg_wait_s}s", file=sys.stderr)
+                time.sleep(seg_wait_s)
+        if best_att is None:  # every attempt skipped at a dirty open —
+            # unreachable when the last attempt always runs, but never
+            # leave a segment unmeasured
+            seg_t, seg_c = run_segment(spark, seg_names)
+            close_b = bracket(spark)
+            best_att = {"open": open_b, "close": close_b,
+                        "score": max(open_score, bracket_score(close_b)),
+                        "timings": seg_t, "classes": seg_c}
+        timings.update(best_att["timings"])
+        classes.update(best_att["classes"])
+        seg_records.append({
+            "segment": si,
+            "first_query": seg_names[0],
+            "n_queries": len(seg_names),
+            "attempts": attempts_used,
+            "open_py": best_att["open"]["py"],
+            "open_io": best_att["open"]["io"],
+            "close_py": best_att["close"]["py"],
+            "close_io": best_att["close"]["io"],
+            "bracket_score": best_att["score"],
+            "accepted": best_att["score"] <= 1.0,
+        })
+
+    # closing canaries: redundant with the last segment's close bracket
+    # but kept for cross-round artifact continuity.
+    canary_py_after = best_att["close"]["py"] * CANARY_PY_BASELINE_S
+    canary_io_after = best_att["close"]["io"] * CANARY_IO_BASELINE_S
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -350,7 +427,11 @@ def main():
         canary_py_after / CANARY_PY_BASELINE_S, 3)
     result["canary_io_factor_after"] = round(
         canary_io_after / CANARY_IO_BASELINE_S, 3)
-    result["segment_py_factors"] = segment_py
+    result["segments"] = seg_records
+    result["segments_accepted"] = sum(
+        1 for s in seg_records if s["accepted"])
+    result["segments_total"] = len(seg_records)
+    result["segment_bracket_thresholds"] = {"py": GATE_PY, "io": GATE_IO}
     result["query_classes"] = classes
     by_class: dict[str, float] = {}
     counts: dict[str, int] = {}
@@ -376,8 +457,14 @@ def main():
         short = dict(timings)
     line_obj = dict(result, queries=short, full_results="BENCH_LAST.json")
     # per-query class map is full-file-only (the printed line must stay
-    # under the driver's 2000-char tail); class totals stay on the line
+    # under the driver's 2000-char tail); class totals stay on the line.
+    # segments compact to [open_py, open_io, close_py, close_io,
+    # attempts, accepted] per segment; full records in BENCH_LAST.json.
     line_obj.pop("query_classes", None)
+    line_obj["segments"] = [
+        [s["open_py"], s["open_io"], s["close_py"], s["close_io"],
+         s["attempts"], 1 if s["accepted"] else 0]
+        for s in seg_records]
     line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > 1800:
         keep = sorted(short.items(), key=lambda kv: -kv[1])

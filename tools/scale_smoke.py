@@ -853,6 +853,93 @@ def _ensure_vecs500k(spark):
     return spark.read.parquet(vec_big)
 
 
+def r10_family(spark):
+    """SMOKE_R10=1 — round-10 compaction at 2 M vectors: 20 small
+    appends litter the SQ8 artifact with files and per-file-only range
+    sorting, inflating the probe's point-read side; compact_code_index
+    re-lays it out (pure re-layout, frozen grid) and the probe must
+    (a) stay bit-identical and (b) return to single-build cost shape.
+    Asserted: file count collapses to the single-build width ballpark,
+    compacted probe wall <= 1.5x the single-build probe wall (same
+    session, interleaved), and <= the littered probe wall."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from traildb_spark.operators import similarity
+
+    vec_big = "/tmp/scale_smoke/vecs2m"
+    if not Path(vec_big).exists():
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        n0 = emb.count()
+        (emb.crossJoin(spark.range(1000).withColumnRenamed("id", "__rep"))
+         .select((F.col("vec_id") + F.col("__rep") * n0).alias("vec_id"),
+                 "embedding")
+         .repartition(64).write.mode("overwrite").parquet(vec_big))
+    vecs = spark.read.parquet(vec_big)
+    print(f"vecs: {vecs.count()} rows", flush=True)
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    scratch = tempfile.mkdtemp(prefix="smoke_r10_")
+    try:
+        idx = f"{scratch}/sq8"
+        similarity.save_sq8_index(vecs, idx)
+        files0 = similarity._parquet_file_count(spark, f"{idx}/full")
+
+        def probe_wall():
+            best = None
+            for _ in range(2):
+                t0 = _t.time()
+                n = similarity.sq8_topk_prebuilt(
+                    spark, idx, queries, k=5, rerank=20).count()
+                dt = _t.time() - t0
+                assert n == 25
+                best = dt if best is None else min(best, dt)
+            return best
+
+        base_probe = probe_wall()
+        print(f"single-build probe: {base_probe:.2f}s "
+              f"({files0} full/ files)", flush=True)
+        for i in range(20):
+            delta = vecs.filter(F.col("vec_id") < 500).withColumn(
+                "vec_id", F.col("vec_id") + F.lit((i + 1) * 10_000_000))
+            similarity.append_sq8_index(delta, idx)
+        files_littered = similarity._parquet_file_count(
+            spark, f"{idx}/full")
+        littered_probe = probe_wall()
+        want = sorted(tuple(r) for r in similarity.sq8_topk_prebuilt(
+            spark, idx, queries, k=5, rerank=20).collect())
+        print(f"after 20 appends: {files_littered} full/ files, probe "
+              f"{littered_probe:.2f}s", flush=True)
+
+        t0 = _t.time()
+        removed = similarity.compact_code_index(spark, idx)
+        comp_s = _t.time() - t0
+        import json as _json
+
+        meta = _json.loads(
+            open(f"{idx}/{similarity.SQ8_META_FILE}").read())
+        files1 = similarity._parquet_file_count(
+            spark, f"{idx}/{meta['full_dir']}")
+        got = sorted(tuple(r) for r in similarity.sq8_topk_prebuilt(
+            spark, idx, queries, k=5, rerank=20).collect())
+        assert got == want, "compaction changed probe results"
+        comp_probe = probe_wall()
+        print(f"compact_code_index: {removed} files removed in "
+              f"{comp_s:.2f}s; {files_littered} -> {files1} full/ files; "
+              f"probe {comp_probe:.2f}s (single-build {base_probe:.2f}s, "
+              f"littered {littered_probe:.2f}s)", flush=True)
+        assert files1 <= files0 + 2, (files1, files0)
+        assert comp_probe <= 1.5 * base_probe, (comp_probe, base_probe)
+        assert comp_probe <= littered_probe * 1.05, (
+            comp_probe, littered_probe)
+        print("ASSERT OK: compacted probe back to single-build shape",
+              flush=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def r9_family(spark):
     """SMOKE_R9=1 — round-9 additions at 2 M vectors: incremental
     index maintenance. Build the SQ8 artifact on the 2 M corpus, then
@@ -1095,6 +1182,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     import os
+
+    if os.environ.get("SMOKE_R10"):
+        r10_family(spark)
+        return
 
     if os.environ.get("SMOKE_R9"):
         r9_family(spark)
