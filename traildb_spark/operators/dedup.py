@@ -999,7 +999,12 @@ def compact_minhash_index(spark, path: str,
                     + _parquet_file_count(spark, grams_p))
     grams = spark.read.parquet(grams_p)
     n = grams.count()
-    parts = max(1, -(-n // rows_per_file))
+    # same width rule as compact_code_index: bounded file size at
+    # scale, floored at cluster parallelism so small compacted
+    # artifacts keep enough splits for the bucket-join scans
+    parts = max(1, -(-n // rows_per_file),
+                min(spark.sparkContext.defaultParallelism,
+                    -(-n // 10_000)))
     gen = int(meta.get("compactions", 0)) + 1
     new_bands = f"{path}/bands_g{gen}"
     new_grams = f"{path}/grams_g{gen}"

@@ -1940,7 +1940,13 @@ def compact_code_index(spark, path: str,
                     + _parquet_file_count(spark, full_p))
     full = spark.read.parquet(full_p)
     n = full.count()
-    parts = max(1, -(-n // rows_per_file))
+    # width: bounded-size files at scale (rows_per_file), floored at the
+    # cluster's parallelism — collapsing a small index to 1-2 files
+    # would starve the probe's codes scan of tasks (each file is
+    # typically one row group, hence one split)
+    parts = max(1, -(-n // rows_per_file),
+                min(spark.sparkContext.defaultParallelism,
+                    -(-n // 10_000)))
     gen = int(meta.get("compactions", 0)) + 1
     new_codes = f"{path}/codes_g{gen}"
     new_full = f"{path}/full_g{gen}"
