@@ -166,7 +166,11 @@ def write_gold_csv(rows, path):
 def pin_fixture(tag: str, corpus_csv: str, artifact: str):
     dest = os.path.join(REPO, "tests", "fixtures", f"fuzz_{tag}")
     shutil.rmtree(dest, ignore_errors=True)
-    shutil.copytree(artifact, dest)
+    if os.path.isdir(artifact):
+        shutil.copytree(artifact, dest)
+    else:  # single-file tar package
+        os.makedirs(dest, exist_ok=True)
+        shutil.copyfile(artifact, os.path.join(dest, "artifact.tdb"))
     shutil.copyfile(corpus_csv, os.path.join(dest, "gold.csv"))
     print(f"# DISAGREEMENT pinned: {dest}", file=sys.stderr)
 
@@ -193,7 +197,14 @@ def run_sweep(seed: int = 238713, shapes=None, spark_leg=False) -> int:
             for mode, kwargs in [("lit", {}),
                                  ("big", dict(compress=True)),
                                  ("uni", dict(compress=True,
-                                              bigrams=False))]:
+                                              bigrams=False)),
+                                 # container + legacy lanes: the tar
+                                 # package (fixed-offset TOC) and the v0
+                                 # layout (cookies file, NUL-terminated
+                                 # lexicons, 12-byte codebook entries)
+                                 ("pkg", dict(package=True,
+                                              compress=True)),
+                                 ("v0", dict(version=0))]:
                 art = os.path.join(work, f"ours_{mode}")
                 write_tdb(rows, fields, art, **kwargs)
                 scalar, vec = our_decode_both(art, fields)
@@ -201,7 +212,9 @@ def run_sweep(seed: int = 238713, shapes=None, spark_leg=False) -> int:
                     bad += 1
                     pin_fixture(f"{tag}_{mode}", csv, art)
                     continue
-                if tdb_dump:
+                if tdb_dump and mode != "v0":
+                    # the compiled reference reads v1 dirs and packages;
+                    # v0 is a museum layout our own readers cover
                     out = subprocess.run(
                         [tdb_dump, art], check=True, capture_output=True,
                         text=True).stdout
