@@ -83,6 +83,57 @@ def test_simhash_pairs(docs):
     assert not any(5 in p or 6 in p for p in pairs)
 
 
+def test_simhash_pairs_two_block_matches_brute_force(spark):
+    # max_hamming=6 takes the two-block-agreement candidate path (8
+    # blocks of 8 bits, C(8,2)=28 composite keys); recall must stay
+    # EXACT — every pair within the radius, none outside it — so
+    # compare against the blind all-pairs bit_count on the same
+    # simhash values, on a corpus with graded mutations that land
+    # pairs on both sides of the radius.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    rows = []
+    for i in range(30):
+        w = list(words)
+        w[i % len(w)] = f"mut{i}"
+        if i % 3 == 0:
+            w[(i + 5) % len(w)] = f"alt{i}"
+        rows.append((i, " ".join(w)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(df, max_hamming=6).collect()
+    }
+    from traildb_spark.functions.vectorized import simhash_from_hashes
+    from traildb_spark.operators.dedup import normalize_text
+
+    tokens = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda t: t != ""
+    )
+    sh = df.select(
+        F.col("doc_id").alias("id"),
+        simhash_from_hashes(
+            F.transform(tokens, lambda t: F.xxhash64(t))
+        ).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    assert got == brute and len(brute) > 0
+    # and some pair must sit outside the radius or the corpus proves nothing
+    n_all = 30 * 29 // 2
+    assert len(brute) < n_all
+
+
 def test_embedding_neardup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

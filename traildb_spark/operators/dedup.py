@@ -1146,9 +1146,20 @@ def simhash_pairs(
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
     Candidate generation by the standard block-permutation trick: split the
-    64-bit hash into (max_hamming+1) blocks; any pair within distance d
-    must agree exactly on at least one block (pigeonhole). Join per block —
-    shuffle key (block_idx, block_value), uniform.
+    64-bit hash into b blocks; d differing bits touch at most d blocks, so
+    any pair within distance d agrees exactly on at least b-d blocks
+    (pigeonhole). For small d the classic b = d+1 / join-per-block scheme
+    gives wide (>= 12-bit) block keys and a uniform shuffle. For larger d
+    that degenerates — at d=6, 9-bit blocks have only 512 distinct key
+    values, so every block join is an n²/512-shaped near-cross-join —
+    so we switch to TWO-block agreement: b = d+2 blocks, at least 2 of
+    which must agree, joined once per C(b,2) block pair on the composite
+    (pair_idx, bv_i, bv_j) key. The key space widens from 2^w to 2^2w
+    (~128x more selective at d=6) for a C(b,2)/b row-inflation in the
+    exploded candidate table — the table is (id, 64-bit sh) so the
+    inflation is bytes-cheap, while the join output shrinks ~32x. Recall
+    stays exact: <= d touched blocks leave >= 2 untouched, and every
+    2-subset is enumerated.
 
     ``token_hasher``: optional Column fn token → int64 hash. Default
     xxhash64; pass an md5-prefix hasher for cross-engine-reproducible
@@ -1168,21 +1179,56 @@ def simhash_pairs(
         _spread(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
     )
 
+    two_block = width < 12 and max_hamming >= 2
+    if two_block:
+        nblocks = max_hamming + 2
+        width = 64 // nblocks
+
     def block(i):
         return F.shiftright(F.col("sh"), i * width).bitwiseAND(F.lit((1 << width) - 1))
 
-    blocked = base.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(*[F.struct(F.lit(i).alias("blk"), block(i).alias("bv")) for i in range(nblocks)])
-        ).alias("b"),
-    ).select("id", "sh", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
-    a = blocked.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk", "bv")
-    b = blocked.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk", "bv")
+    if two_block:
+        combos = [
+            (i, j) for i in range(nblocks) for j in range(i + 1, nblocks)
+        ]
+        blocked = base.select(
+            "id",
+            "sh",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(ci).alias("blk"),
+                        block(i).alias("bv"),
+                        block(j).alias("bv2"),
+                    )
+                    for ci, (i, j) in enumerate(combos)
+                ])
+            ).alias("b"),
+        ).select(
+            "id", "sh",
+            F.col("b.blk").alias("blk"),
+            F.col("b.bv").alias("bv"),
+            F.col("b.bv2").alias("bv2"),
+        )
+        join_keys = ["blk", "bv", "bv2"]
+    else:
+        blocked = base.select(
+            "id",
+            "sh",
+            F.explode(
+                F.array(*[F.struct(F.lit(i).alias("blk"), block(i).alias("bv")) for i in range(nblocks)])
+            ).alias("b"),
+        ).select("id", "sh", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+        join_keys = ["blk", "bv"]
+    a = blocked.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), *join_keys
+    )
+    b = blocked.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), *join_keys
+    )
     xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     return (
-        a.join(b, ["blk", "bv"])
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(xor))
