@@ -1178,6 +1178,28 @@ def simhash_pairs(
     base = _materialize(
         _spread(df).select(F.col(id_col).alias("id"), sh.alias("sh"))
     )
+    return hamming_neardup_pairs(
+        base, hash_col="sh", id_col="id", max_hamming=max_hamming
+    )
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    hash_col: str = "h",
+    id_col: str = "id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs within Hamming distance <= max_hamming over a 64-bit
+    hash column — the shared candidate kernel behind ``simhash_pairs``
+    (text) and ``multimodal.phash_neardup_pairs`` (images). Block
+    scheme per the simhash_pairs docstring: single-block join while
+    blocks stay >= 12 bits, two-block agreement (b = d+2, C(b,2)
+    composite keys) for wider radii where narrow blocks would
+    degenerate into near-cross-joins. Returns (id_a, id_b, hamming),
+    id_a < id_b, exact (candidates verified by bit_count)."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    base = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
 
     two_block = width < 12 and max_hamming >= 2
     if two_block:

@@ -1066,43 +1066,18 @@ def phash_neardup_pairs(
     :func:`extract_image_features` (re-encodes, resizes, and mild edits
     land within a few bits of the 64-bit DCT pHash; unrelated images ~32).
 
-    Same block-permutation candidate generation (pigeonhole: a pair within
-    distance d agrees exactly on one of d+1 blocks), same scale posture:
-    the shuffle key is (block idx, block value) over 64/(d+1)-bit values —
-    uniform for DCT hashes — and only (id, phash) rows move; image bytes
-    never enter the join. Returns (id_a, id_b, hamming), id_a < id_b.
+    Same candidate generation as the text path (the shared
+    ``dedup.hamming_neardup_pairs`` kernel): block-permutation join
+    while blocks stay wide, two-block agreement past radius 4 (the
+    default d=6 would otherwise join on 9-bit / 512-value keys — a
+    near-cross-join on any large image corpus). Only (id, phash) rows
+    move; image bytes never enter the join. Returns (id_a, id_b,
+    hamming), id_a < id_b.
     """
-    nblocks = max_hamming + 1
-    width = 64 // nblocks
-    base = features.select(F.col(id_col).alias("id"), F.col(hash_col).alias("ph"))
+    from .dedup import hamming_neardup_pairs
 
-    def block(i: int):
-        return F.shiftright(F.col("ph"), i * width).bitwiseAND(
-            F.lit((1 << width) - 1)
-        )
-
-    blocked = base.select(
-        "id",
-        "ph",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("blk"), block(i).alias("bv"))
-                    for i in range(nblocks)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "ph", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
-    a = blocked.select(F.col("id").alias("id_a"), F.col("ph").alias("ph_a"), "blk", "bv")
-    b = blocked.select(F.col("id").alias("id_b"), F.col("ph").alias("ph_b"), "blk", "bv")
-    xor = F.col("ph_a").bitwiseXOR(F.col("ph_b"))
-    return (
-        a.join(b, ["blk", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(xor))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return hamming_neardup_pairs(
+        features, hash_col=hash_col, id_col=id_col, max_hamming=max_hamming
     )
 
 
