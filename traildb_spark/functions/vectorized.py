@@ -66,40 +66,69 @@ def _md5_shingle_flat(
 ) -> tuple[list[np.ndarray], np.ndarray, np.ndarray]:
     """Batch-flattened md5 char-shingle hashing (the portable 60-bit
     family: value-identical to DuckDB CAST('0x'||substr(md5(s),1,15) AS
-    BIGINT)). md5 runs once per DISTINCT shingle in the batch
-    (pd.factorize — shingles repeat heavily across docs), then per-doc
-    sorted-distinct via one lexsort. Returns (per-doc arrays, their
-    concatenation, doc start offsets) so callers can run signature
+    BIGINT)). ASCII docs (the overwhelming majority after normalization)
+    take a zero-object-churn path: one byte per code point, so the
+    k-code-point windows are k-byte sliding windows over one concatenated
+    buffer — numpy sliding_window_view + one batch-wide np.unique on the
+    V<k> view, md5 only once per DISTINCT window (measured 5x the former
+    per-window bytes-slice + pd.factorize formulation at sf0.1). Short
+    (< k chars) or non-ASCII docs fall back to per-window slices; per-doc
+    sorted-distinct via one lexsort either way. Returns (per-doc arrays,
+    their concatenation, doc start offsets) so callers can run signature
     reductions over the flat buffer without re-joining."""
     import hashlib
 
+    from numpy.lib.stride_tricks import sliding_window_view
+
     if not texts:  # np.split on zero docs would yield one spurious entry
         return [], np.empty(0, np.int64), np.empty(0, np.int64)
+    n = len(texts)
+    md5 = hashlib.md5
     counts = np.fromiter(
-        (max(len(t) - (k - 1), 1) for t in texts), dtype=np.int64, count=len(texts)
+        (max(len(t) - (k - 1), 1) for t in texts), dtype=np.int64, count=n
     )
-    # factorize over utf-8 BYTES: pandas' string hashtable is C-string
-    # (NUL-terminated) — '\x00' would collide with '' and every prefix
-    # before a NUL; bytes objects hash by full content
-    shingles = np.array(
-        [
-            t[i : i + k].encode("utf-8")
-            for t in texts
-            for i in range(max(len(t) - (k - 1), 1))
-        ],
-        dtype=object,
+    pos_end = np.cumsum(counts)
+    pos_start = pos_end - counts
+    flat_h = np.empty(int(pos_end[-1]), dtype=np.int64)
+    vec = np.fromiter(
+        ((len(t) >= k and t.isascii()) for t in texts), dtype=bool, count=n
     )
-    inv, uniq = pd.factorize(shingles)
-    uh = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(u).digest()[:8], "big") >> 4
-            for u in uniq
-        ),
-        dtype=np.int64,
-        count=len(uniq),
-    )
-    doc_ids = np.repeat(np.arange(len(texts)), counts)
-    grams = _per_doc_sorted_unique(uh[inv], doc_ids, len(texts))
+    vidx = np.nonzero(vec)[0]
+    if len(vidx):
+        vtexts = [texts[i] for i in vidx]
+        buf = np.frombuffer("".join(vtexts).encode(), dtype=np.uint8)
+        lens = np.fromiter((len(t) for t in vtexts), dtype=np.int64,
+                           count=len(vtexts))
+        off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        vcounts = lens - (k - 1)
+        win = sliding_window_view(buf, k)
+        starts = _flat_starts(off, vcounts)
+        wins = np.ascontiguousarray(win[starts])
+        v = wins.view("V%d" % k).ravel()
+        uniq, inv = np.unique(v, return_inverse=True)
+        ub = uniq.tobytes()
+        uh = np.fromiter(
+            (
+                int.from_bytes(md5(ub[i * k:(i + 1) * k]).digest()[:8],
+                               "big") >> 4
+                for i in range(len(uniq))
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        flat_h[_flat_starts(pos_start[vidx], vcounts)] = uh[inv]
+    for i in np.nonzero(~vec)[0]:
+        t = texts[i]
+        # utf-8 BYTES windows over code points — matching SQL
+        # substr(nt, i, k); a doc shorter than k chars is one whole-doc
+        # window, same as range(max(len-k+1, 1)) always has
+        flat_h[pos_start[i]:pos_end[i]] = [
+            int.from_bytes(md5(t[j:j + k].encode("utf-8")).digest()[:8],
+                           "big") >> 4
+            for j in range(max(len(t) - (k - 1), 1))
+        ]
+    doc_ids = np.repeat(np.arange(n), counts)
+    grams = _per_doc_sorted_unique(flat_h, doc_ids, n)
     lens = np.fromiter((len(g) for g in grams), dtype=np.int64, count=len(grams))
     offs = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(grams) else np.empty(0, np.int64)
     flat = np.concatenate(grams) if grams else np.empty(0, np.int64)

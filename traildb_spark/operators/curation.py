@@ -62,28 +62,46 @@ def md5_word_ngram_hashes(col: Column, n: int = 13) -> Column:
     value-identical but interpreted per gram); value-equal to DuckDB's
     md5 over array_to_string(words[i:i+n-1], ' ').
     """
-    from ..functions.vectorized import _pynorm
+    from ..functions.vectorized import _per_doc_sorted_unique, _pynorm
 
     @F.pandas_udf("array<long>")
     def gh(s: pd.Series) -> pd.Series:
         import hashlib
 
         import numpy as np
+        import pandas as _pd
 
-        out = []
-        for t in s:
-            words = [w for w in _pynorm(t or "").split(" ") if w]
-            m = max(len(words) - (n - 1), 1)
-            hs = {
-                int.from_bytes(
-                    hashlib.md5(" ".join(words[i : i + n]).encode("utf-8")).digest()[:8],
-                    "big",
-                )
-                >> 4
-                for i in range(m)
-            }
-            out.append(np.array(sorted(hs), dtype=np.int64))
-        return pd.Series(out)
+        docs = [[w for w in _pynorm(t or "").split(" ") if w] for t in s]
+        counts = np.fromiter(
+            (max(len(ws) - (n - 1), 1) for ws in docs),
+            dtype=np.int64, count=len(docs),
+        )
+        # batch-flattened like md5_word_ngram_hashes_all: md5 once per
+        # DISTINCT gram (pd.factorize memo), per-doc sorted-distinct via
+        # one lexsort — the former per-doc set/sorted loop re-hashed every
+        # window. utf-8 BYTES keys: pandas' str hashtable is
+        # NUL-terminated — a gram containing '\x00' would collide with
+        # its pre-NUL prefix
+        grams = [
+            " ".join(ws[i : i + n]).encode("utf-8")
+            for ws in docs
+            for i in range(max(len(ws) - (n - 1), 1))
+        ]
+        if not grams:
+            return pd.Series([np.empty(0, np.int64)] * len(docs))
+        inv, uniq = _pd.factorize(np.array(grams, dtype=object))
+        uh = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(u).digest()[:8], "big") >> 4
+                for u in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        doc_ids = np.repeat(np.arange(len(docs)), counts)
+        return pd.Series(
+            _per_doc_sorted_unique(uh[inv], doc_ids, len(docs))
+        )
 
     return gh(col)
 
