@@ -4956,8 +4956,16 @@ def markov_stationary(
     dangling states get an explicit 1e6 self-loop so no mass silently
     vanishes. Floor rounding loses ≤1 ppm per (state, round) —
     deterministic, mirrored by the unrolled-CTE oracle (q248)."""
-    counts = transition_counts(df, field, uuid_col, time_col, *tiebreak)
-    states = (
+    from .dedup import _materialize
+
+    # counts is the ONLY corpus-scale pass; every downstream table
+    # (states, out, trans, dangling) and all ``iters`` loop rounds derive
+    # from it, and without a persist boundary each derivation re-ran the
+    # full lag-window scan (plan audit: 34 parquet scans / 85 shuffles
+    # for one q248 call). counts/states/trans are lexicon²-bounded, so
+    # pinning them costs vocabulary, not corpus.
+    counts = _materialize(transition_counts(df, field, uuid_col, time_col, *tiebreak))
+    states = _materialize(
         counts.select(F.col("src").alias("state"))
         .union(counts.select(F.col("dst").alias("state")))
         .distinct()
@@ -4975,7 +4983,7 @@ def markov_stationary(
             F.lit(1_000_000).cast("long").alias("p_ppm"),
         )
     )
-    trans = trans.union(dangling)
+    trans = _materialize(trans.union(dangling))
     n_states = states.count()
     if n_states == 0:
         raise ValueError("markov_stationary: no transitions in input")

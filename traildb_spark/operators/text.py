@@ -794,11 +794,22 @@ def bm25_topk(
     one query's candidate set dominate. Returns ``(query_id, doc_id,
     score, rank)``.
     """
+    from .dedup import _materialize
+
     t = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
-    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # the tf table fans out into FOUR consumers (dl, df, corpus stats,
+    # and the query-term match join); without a persist boundary each
+    # consumer re-runs the corpus tokenize+explode+shuffle from the scan
+    # (plan audit: five `Scan parquet -> Generate` subtrees — the
+    # Filter/projection variants defeat ReusedExchange). Pinning the
+    # aggregated (doc, term, tf) rows — far smaller than the exploded
+    # token stream — makes the corpus-scale tokenize+shuffle run once.
+    tf = _materialize(
+        t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(
