@@ -429,11 +429,26 @@ def q66_set_ops(spark, sf_dir):
     Spark): trails that both purchased and errored, and trails that
     purchased but never errored."""
     ev = _events(spark, sf_dir)
-    purchasers = ev.filter(F.col("event_type") == "purchase").select("uuid")
-    erroring = ev.filter(F.col("event_type") == "error").select("uuid")
-    both = purchasers.intersect(erroring).withColumn("op", F.lit("both"))
-    only_purchase = purchasers.subtract(erroring).withColumn(
-        "op", F.lit("purchase_only")
+    # one pass instead of four: INTERSECT/EXCEPT each rescanned both
+    # filtered streams (plan audit: 4 scans); per-uuid boolean flags
+    # from a single type-filtered aggregate compute the same two
+    # distinct sets (intersect = has both flags, subtract = purchase
+    # flag only), map-side combined, one shuffle
+    flags = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("uuid")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("__p"),
+            F.max((F.col("event_type") == "error").cast("int")).alias("__e"),
+        )
+    )
+    both = (
+        flags.filter((F.col("__p") == 1) & (F.col("__e") == 1))
+        .select("uuid").withColumn("op", F.lit("both"))
+    )
+    only_purchase = (
+        flags.filter((F.col("__p") == 1) & (F.col("__e") == 0))
+        .select("uuid").withColumn("op", F.lit("purchase_only"))
     )
     return both.unionByName(only_purchase)
 
@@ -1063,9 +1078,14 @@ def q71_semantic_dedup(spark, sf_dir):
     arithmetic step is engine-portable, so the oracle reproduces the FULL
     pipeline: clustering, assignment, and the drop rule."""
     emb = _load(spark, sf_dir, "embeddings")
-    return dedup.semantic_dedup(emb, num_centroids=16, threshold=0.4).select(
-        F.col("id").alias("vec_id"), "cid", "is_kept"
-    )
+    # assign='gemm': bit-identical to the 'pairs' oracle twin
+    # (equivalence-tested) — one int64 matmul per Arrow batch for the
+    # assignment and blocked per-cell cos matrices for the drop rule,
+    # instead of the n x m broadcast fan-out + O(cell^2) pair join
+    # (guide §4.2)
+    return dedup.semantic_dedup(
+        emb, num_centroids=16, threshold=0.4, assign="gemm"
+    ).select(F.col("id").alias("vec_id"), "cid", "is_kept")
 
 
 def q72_gopher_quality(spark, sf_dir):
@@ -1089,7 +1109,12 @@ def q73_decontaminate_semantic(spark, sf_dir):
 
     emb = _load(spark, sf_dir, "embeddings")
     bench = emb.filter(F.col("vec_id") % 50 == 0)
-    out = curation.decontaminate_semantic(emb, bench, threshold=0.4)
+    # mode='gemm': bit-identical to the 'pairs' oracle twin
+    # (equivalence-tested) but computes per-batch int64 matmuls against
+    # the collected benchmark matrix instead of fanning out
+    # |corpus|x|bench| join rows — guide §4.2 (batch the kernel) +
+    # §3.3 (replace the broadcast-join fan-out)
+    out = curation.decontaminate_semantic(emb, bench, threshold=0.4, mode="gemm")
     return out.select("vec_id")
 
 
@@ -1606,7 +1631,11 @@ def q108_trail_overrides_table(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         "uuid", "time", "event_id", "event_type", "props"
     )
-    uuids = ev.select("uuid").distinct()
+    from traildb_spark.operators.dedup import _materialize
+
+    # the distinct-uuid table feeds four spec-row branches; unpersisted,
+    # each branch re-ran the corpus-wide distinct (plan audit: 6 scans)
+    uuids = _materialize(ev.select("uuid").distinct())
     u0 = uuids.filter(F.col("uuid").endswith("0"))
     u1 = uuids.filter(F.col("uuid").endswith("1"))
     spec = (

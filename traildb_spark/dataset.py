@@ -1026,8 +1026,16 @@ def make_patch(
             f"make_patch: schemas differ: {sorted(a.columns)} vs {sorted(b.columns)}"
         )
     b = b.select(*a.columns)
+    from .operators.dedup import _materialize
+
     if changed_only:
-        changed = (
+        # changed feeds TWO semi-joins and each narrowed side feeds TWO
+        # exceptAll consumers; unpersisted, the digest aggregate ran
+        # twice and each side's corpus scan ran four times (plan audit:
+        # 16 parquet scans for one q112 call). changed is uuid-sized and
+        # the narrowed sides are the <1%-of-trails delta by design, so
+        # both are safe to pin at any corpus scale.
+        changed = _materialize(
             diff_datasets(a, b, uuid_col)
             .filter(~F.col("match"))
             .select(F.col("uuid").alias(uuid_col))
@@ -1036,11 +1044,15 @@ def make_patch(
         # equi-join), so they'd silently vanish from the patch even when
         # the sides differ — carry them through unconditionally; the
         # exceptAll ignores them when they're identical anyway
-        a = a.join(changed, uuid_col, "left_semi").unionByName(
-            a.filter(F.col(uuid_col).isNull())
+        a = _materialize(
+            a.join(changed, uuid_col, "left_semi").unionByName(
+                a.filter(F.col(uuid_col).isNull())
+            )
         )
-        b = b.join(changed, uuid_col, "left_semi").unionByName(
-            b.filter(F.col(uuid_col).isNull())
+        b = _materialize(
+            b.join(changed, uuid_col, "left_semi").unionByName(
+                b.filter(F.col(uuid_col).isNull())
+            )
         )
     dels = a.exceptAll(b).withColumn("__op", F.lit("-"))
     ins = b.exceptAll(a).withColumn("__op", F.lit("+"))

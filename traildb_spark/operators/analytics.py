@@ -388,8 +388,12 @@ def session_cooccurrence(
     # shuffle run once, not per branch
     d = _materialize(sess.distinct())
     d.count()  # fill the cache distributed, once, before the branches
-    per_sess = d.groupBy("sid").agg(
-        F.array_sort(F.collect_set("v")).alias("vs")
+    # per_sess feeds the session total AND the pair explode — pin the
+    # session-sized array table so the groupBy runs once per call
+    per_sess = _materialize(
+        d.groupBy("sid").agg(
+            F.array_sort(F.collect_set("v")).alias("vs")
+        )
     )
     n_sessions = per_sess.select(F.count(F.lit(1)).alias("n"))
     singles = d.groupBy("v").agg(F.count(F.lit(1)).alias("nv"))
@@ -944,12 +948,20 @@ def attribution_linear(
     cond = before
     if lookback is not None:
         cond = cond & (F.col("__tt") >= F.col("__ct") - F.lit(int(lookback)))
+    from .dedup import _materialize
+
+    # conv feeds the pairing join AND the untouched anti-join — pin the
+    # projected conversions subset so events aren't re-scanned per
+    # consumer (plan audit: 5 scans per attribution query)
+    conv = _materialize(conv)
     j = conv.join(tch, "__u").filter(cond)
     wn = Window.partitionBy("__u", "__cid")
     wr = Window.partitionBy("__u", "__cid").orderBy(
         F.desc("__tt"), F.desc("__tid")
     )
-    credited = (
+    # credited feeds the per-channel aggregate AND the untouched
+    # anti-join; unpersisted, the pairing join + credit windows ran twice
+    credited = _materialize(
         j.withColumn("__n", F.count(F.lit(1)).over(wn))
         .withColumn("__rn", F.row_number().over(wr))
         .withColumn(
@@ -1458,11 +1470,18 @@ def anomalies_from_counts(per: DataFrame, k: int = 3) -> DataFrame:
     the batch form (see its docstring for the integer inequality)."""
     if k < 1:
         raise ValueError(f"anomalies_from_counts: k must be >= 1, got {k}")
+    from .dedup import _materialize
+
+    # per feeds the range aggregate, the per-key stats and the grid
+    # fill; when per is the batch form's corpus aggregate each consumer
+    # re-ran the full scan (plan audit: 6 scans for q128). per and stats
+    # are histogram-sized.
+    per = _materialize(per)
     rng = F.broadcast(
         per.agg(F.min("b").alias("b_lo"), F.max("b").alias("b_hi"))
     )
     dec = "decimal(38,0)"
-    stats = (
+    stats = _materialize(
         per.crossJoin(rng)
         .groupBy("key")
         .agg(
@@ -1821,18 +1840,28 @@ def volume_correlation_pairs(
             f"volume_correlation_pairs: bucket_seconds must be > 0, "
             f"got {bucket_seconds}"
         )
+    from .dedup import _materialize
+
     b = F.expr(f"{time_col} div {bucket_seconds}")
-    per = df.select(F.col(key_col).alias("key"), b.alias("b")).groupBy(
-        "key", "b"
-    ).agg(F.count(F.lit(1)).alias("y"))
+    # per feeds the range aggregate, the per-key stats and BOTH sides of
+    # the cross-moment self-join — unpersisted, each consumer re-ran the
+    # corpus scan+aggregate (plan audit: 5 scans for q132). per/stats
+    # are histogram-/lexicon-sized.
+    per = _materialize(
+        df.select(F.col(key_col).alias("key"), b.alias("b")).groupBy(
+            "key", "b"
+        ).agg(F.count(F.lit(1)).alias("y"))
+    )
     rng = F.broadcast(
         per.agg(F.min("b").alias("b_lo"), F.max("b").alias("b_hi"))
     )
     dec = "decimal(38,0)"
     # per-key first moments over the zero-filled range
-    stats = per.groupBy("key").agg(
-        F.sum("y").alias("s"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("q"),
+    stats = _materialize(
+        per.groupBy("key").agg(
+            F.sum("y").alias("s"),
+            F.sum((F.col("y") * F.col("y")).cast(dec)).alias("q"),
+        )
     )
     # cross-moment: only buckets where BOTH keys are non-zero contribute
     # to Σxy, so the bucket-keyed equi self-join suffices
@@ -2481,11 +2510,19 @@ def volume_autocorrelation(
         raise ValueError(
             f"volume_autocorrelation: lags must be positive and non-empty, got {lags}"
         )
+    from .dedup import _materialize
+
     spark = df.sparkSession
     b = F.expr(f"{time_col} div {bucket_seconds}")
-    per = df.select(F.col(key_col).alias("key"), b.alias("b")).groupBy(
-        "key", "b"
-    ).agg(F.count(F.lit(1)).alias("y"))
+    # per feeds the range aggregate, the sub-range moments and BOTH
+    # sides of the lag-probe join — unpersisted, each consumer re-ran
+    # the corpus scan+aggregate (plan audit: 5 scans for q155). per is
+    # histogram-sized.
+    per = _materialize(
+        df.select(F.col(key_col).alias("key"), b.alias("b")).groupBy(
+            "key", "b"
+        ).agg(F.count(F.lit(1)).alias("y"))
+    )
     rng = F.broadcast(
         per.agg(F.min("b").alias("b_lo"), F.max("b").alias("b_hi"))
     )
@@ -2943,9 +2980,16 @@ def cusum_from_counts(per: DataFrame) -> DataFrame:
     event rescans; the fifth leg of the streaming monitoring family
     (drift, anomalies, trend, rhythm, level shift). Identical math and
     columns as the batch form (parity-tested)."""
+    from .dedup import _materialize
+
+    # per feeds the range aggregate and the cumulative table; cum feeds
+    # the totals and BOTH halves of the candidate union — unpersisted,
+    # the corpus aggregate re-ran per consumer (plan audit: 6 scans for
+    # q170). Both are histogram-sized.
+    per = _materialize(per)
     rng = F.broadcast(per.agg(F.min("b").alias("lo"), F.max("b").alias("hi")))
     w = Window.partitionBy("key").orderBy("b")
-    cum = (
+    cum = _materialize(
         per.crossJoin(rng)
         .withColumn("pos", F.col("b") - F.col("lo") + 1)
         .withColumn("s_i", F.sum("y").over(w))
@@ -3552,7 +3596,14 @@ def mad_outliers_by_key(
         F.col(time_col).alias("time"),
         F.round(F.col(value_col) * 100).cast("long").alias("c"),
     ).filter(F.col("c").isNotNull())
-    hist = base.groupBy("key", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    from .dedup import _materialize
+
+    # hist feeds the median AND the MAD selection — unpersisted, the
+    # corpus aggregate ran twice (plan audit: 4 scans for q191);
+    # value-lattice-sized, free to pin
+    hist = _materialize(
+        base.groupBy("key", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     wv = Window.partitionBy("key").orderBy("c")
     wk = Window.partitionBy("key")
     med = (
@@ -3669,11 +3720,17 @@ def contingency_chisq(
     ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
     from .dedup import _materialize
 
-    base = _materialize(base)
-    obs = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
-    ra = base.groupBy("a").agg(F.count(F.lit(1)).alias("r"))
-    cb = base.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
-    n = base.agg(F.count(F.lit(1)).alias("n"))
+    # one corpus aggregate instead of four: the margins and the total
+    # are SUMS of the (a, b) cell counts, so only the lexicon²-bounded
+    # obs table is pinned — the event-scale projection is scanned once
+    # and never cached (previously base itself was persisted and four
+    # aggregates read the corpus-sized cache)
+    obs = _materialize(
+        base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
+    )
+    ra = obs.groupBy("a").agg(F.sum("o").alias("r"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.coalesce(F.sum("o"), F.lit(0)).alias("n"))
     grid = (
         ra.crossJoin(F.broadcast(cb))
         .join(obs, ["a", "b"], "left")
@@ -3825,6 +3882,12 @@ def attribution_decay(
     cond = before
     if lookback is not None:
         cond = cond & (F.col("__tt") >= F.col("__ct") - F.lit(int(lookback)))
+    from .dedup import _materialize
+
+    # conv feeds the pairing join AND the untouched anti-join — pin the
+    # projected conversions subset so events aren't re-scanned per
+    # consumer (plan audit: 5 scans per attribution query)
+    conv = _materialize(conv)
     j = conv.join(tch, "__u").filter(cond)
     b = F.least(
         F.floor((F.col("__ct") - F.col("__tt")) / F.lit(int(half_life))),
@@ -3843,7 +3906,9 @@ def attribution_decay(
     # NOTE: the sum column must NOT be named "__W" — Spark's resolver is
     # case-insensitive by default, so withColumn("__W") would silently
     # REPLACE "__w" and every touch's weight becomes the window total.
-    credited = (
+    # credited feeds the per-channel aggregate AND the untouched
+    # anti-join; unpersisted, the pairing join + credit windows ran twice
+    credited = _materialize(
         j.withColumn("__tw", F.sum(F.col("__w").cast(dec)).over(wn))
         .withColumn("__rn", F.row_number().over(wr))
         .withColumn(
@@ -3909,9 +3974,16 @@ def field_mutual_information(
     Returns ``(n_events, n_cells, mi_bits_weighted,
     mi_millibits_per_event)``.
     """
-    cells = df.groupBy(
-        F.col(field_x).alias("x"), F.col(field_y).alias("y")
-    ).agg(F.count(F.lit(1)).alias("cxy"))
+    from .dedup import _materialize
+
+    # cells feeds both marginals, the total and the PMI join —
+    # unpersisted, the corpus aggregate ran four times (plan audit: 4
+    # scans for q207); lexicon²-bounded
+    cells = _materialize(
+        df.groupBy(
+            F.col(field_x).alias("x"), F.col(field_y).alias("y")
+        ).agg(F.count(F.lit(1)).alias("cxy"))
+    )
     cx = cells.groupBy("x").agg(F.sum("cxy").alias("cx"))
     cy = cells.groupBy("y").agg(F.sum("cxy").alias("cy"))
     n = cells.agg(F.sum("cxy").alias("n"))
@@ -4017,8 +4089,13 @@ def transition_surprisal(
     steps = df.withColumn("__prev", F.lag(F.col(field)).over(w)).filter(
         F.col("__prev").isNotNull()
     )
-    pair_counts = transition_counts(
-        df, field, uuid_col, time_col, *tiebreak
+    from .dedup import _materialize
+
+    # pair_counts feeds the src marginals AND the model join —
+    # unpersisted, the corpus lag-window pass ran twice (plan audit: 3
+    # scans for q209); lexicon²-bounded
+    pair_counts = _materialize(
+        transition_counts(df, field, uuid_col, time_col, *tiebreak)
     )
     src_counts = pair_counts.groupBy("src").agg(
         F.sum("freq").alias("c_src")
@@ -4647,11 +4724,19 @@ def conversion_paths(
     cond = before
     if lookback is not None:
         cond = cond & (F.col("__tt") >= F.col("__ct") - F.lit(int(lookback)))
+    from .dedup import _materialize
+
+    # conv feeds the pairing join AND the untouched anti-join — pin the
+    # projected conversions subset so events aren't re-scanned per
+    # consumer (plan audit: 5 scans per attribution query)
+    conv = _materialize(conv)
     j = conv.join(tch, "__u").filter(cond)
     wr = Window.partitionBy("__u", "__cid").orderBy(
         F.desc("__tt"), F.desc("__tid")
     )
-    lastn = (
+    # lastn feeds the per-path aggregate AND the untouched anti-join;
+    # unpersisted, the pairing join + recency window ran twice
+    lastn = _materialize(
         j.withColumn("__rn", F.row_number().over(wr))
         .filter(F.col("__rn") <= int(n_last))
         .groupBy("__u", "__cid")
@@ -4893,7 +4978,8 @@ def triangle_count(
     # and the closing join — pin it once or an expensive upstream edge
     # pipeline (LSH candidates + verify) re-executes per consumer
     e = _materialize(e)
-    deg = (
+    # deg feeds both orientation sides — node-sized, pin it
+    deg = _materialize(
         e.select(F.col("u").alias("n")).unionAll(
             e.select(F.col("v").alias("n")))
         .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
@@ -4921,10 +5007,14 @@ def triangle_count(
         .filter(F.col("a") < F.col("b"))
     )
     # the wedge (s; a, b) closes iff {a, b} is an edge (canonical form)
-    tri = wedges.join(
-        e.select(F.col("u").alias("a"), F.col("v").alias("b")),
-        ["a", "b"],
-    ).select("s", "a", "b")
+    # tri feeds THREE corner-credit branches — unpersisted, the
+    # Σ d_out² wedge join (the dominant cost) executed three times
+    tri = _materialize(
+        wedges.join(
+            e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+            ["a", "b"],
+        ).select("s", "a", "b")
+    )
     per_node = (
         tri.select(F.col("s").alias("node"))
         .unionAll(tri.select(F.col("a").alias("node")))
@@ -5042,11 +5132,18 @@ def lagged_crosscorr(
         F.sum(F.when(F.col(type_col) == type_a, 1).otherwise(0)).cast("long").alias("x"),
         F.sum(F.when(F.col(type_col) == type_b, 1).otherwise(0)).cast("long").alias("y"),
     )
+    from .dedup import _materialize
+
+    per = _materialize(per)
     bounds = per.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     grid = bounds.select(
         F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h")
     )
-    dense = (
+    # dense feeds BOTH sides of the per-lag shifted self-join, and per
+    # feeds the bounds aggregate plus the grid fill — unpersisted, each
+    # consumer re-ran the corpus scan+hourly aggregate (plan audit: 4
+    # scans for q249). Both are time-grid-sized.
+    dense = _materialize(
         grid.join(per, "h", "left")
         .select(
             "h",

@@ -700,7 +700,12 @@ def rank_buckets(
     # NULL metric rows are excluded from ranking (they'd sort first and
     # shift every real bucket) and come back with a NULL bucket via the
     # left join below — callers decide their fate explicitly
-    freq = (
+    from ..operators.dedup import _materialize
+
+    # freq feeds both the total and the cumulative-rank branch; without
+    # a persist boundary each branch re-ran the corpus-scale value-
+    # frequency aggregate. freq is value-cardinality-sized — free to pin.
+    freq = _materialize(
         df.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -1082,17 +1087,36 @@ def dsir_importance(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(F.col(text_col))).alias("term"),
     )
-    tf = t_raw.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    from ..operators.dedup import _materialize
+
+    # tf feeds the raw vocabulary AND the scored join; vocab feeds the
+    # raw total AND the scored join; the target token stream fed its
+    # vocabulary AND a separate total count — unpersisted, each consumer
+    # re-ran a corpus tokenize+explode (plan audit: 6 scans for q172).
+    # The target total is the SUM of the target vocabulary counts, so
+    # one target pass suffices; all pinned tables are vocab-sized or
+    # (doc,term)-aggregate-sized.
+    tf = _materialize(
+        t_raw.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     vocab_r = tf.groupBy("term").agg(F.sum("tf").alias("cnt_r"))
     t_tgt = target.select(F.explode(_tokens(F.col(text_col))).alias("term"))
-    vocab_t = t_tgt.groupBy("term").agg(F.count(F.lit(1)).alias("cnt_t"))
+    vocab_t = _materialize(
+        t_tgt.groupBy("term").agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
     # raw-vocab-keyed left join: target-only terms can't appear in any
     # raw doc, so the model table only needs raw's vocabulary
-    vocab = vocab_r.join(vocab_t, "term", "left").withColumn(
-        "cnt_t", F.coalesce("cnt_t", F.lit(0))
+    vocab = _materialize(
+        vocab_r.join(vocab_t, "term", "left").withColumn(
+            "cnt_t", F.coalesce("cnt_t", F.lit(0))
+        )
     )
     tot_r = vocab.agg(F.sum("cnt_r").alias("total_r"))
-    tot_t = F.broadcast(t_tgt.groupBy().agg(F.count(F.lit(1)).alias("total_t")))
+    # coalesce: an EMPTY target must still yield total_t = 0 (the old
+    # count(*) form's value), not NULL
+    tot_t = F.broadcast(
+        vocab_t.agg(F.coalesce(F.sum("cnt_t"), F.lit(0)).alias("total_t"))
+    )
     bits_r = F.length(F.bin(F.col("total_r"))) - F.length(F.bin(F.col("cnt_r")))
     bits_t = F.length(F.bin(F.col("total_t"))) - F.length(F.bin(F.col("cnt_t")))
     scored = (

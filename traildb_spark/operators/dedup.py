@@ -2327,16 +2327,25 @@ def set_jaccard_pairs(
             "set_jaccard_pairs: min_jaccard_ppm must be in [0, 1e6], "
             f"got {min_jaccard_ppm}"
         )
-    sf = df.select(
-        F.col(id_col).alias("id"), F.col(feature_col).alias("f")
-    ).distinct()
-    keep = (
-        sf.groupBy("f")
-        .agg(F.count(F.lit(1)).alias("n_ids"))
-        .filter(F.col("n_ids") <= max_ids_per_feature)
-        .select("f")
+    from pyspark.sql import Window
+
+    # the capped (id, f) table fans out into THREE consumers (totals and
+    # both sides of the pair self-join); unpersisted, each consumer
+    # re-ran the corpus scan + distinct shuffle (plan audit: 8-16
+    # parquet scans per caller). The ubiquity cap as a count-over-
+    # window(f) instead of aggregate+join folds the cap into the same
+    # shuffle the distinct needs, and the persisted table keeps its
+    # hash(f) partitioning, so the pair self-join on f reads the cache
+    # without a further exchange.
+    sf = _materialize(
+        df.select(F.col(id_col).alias("id"), F.col(feature_col).alias("f"))
+        .distinct()
+        .withColumn(
+            "__n_ids", F.count(F.lit(1)).over(Window.partitionBy("f"))
+        )
+        .filter(F.col("__n_ids") <= max_ids_per_feature)
+        .select("id", "f")
     )
-    sf = sf.join(keep, "f")
     totals = sf.groupBy("id").agg(F.count(F.lit(1)).alias("n_f"))
     a, b = sf.alias("a"), sf.alias("b")
     shared = (
@@ -2678,8 +2687,12 @@ def pair_set_metrics(
             F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
         ).distinct()
 
-    p = canon(pred)
-    t = canon(truth)
+    # each canonical pair set feeds its own count AND the common join;
+    # unpersisted, the (expensive) upstream pair pipelines — LSH
+    # candidates+verify on one side, exact all-pairs on the other —
+    # executed twice each (plan audit: 10 scans for q182)
+    p = _materialize(canon(pred))
+    t = _materialize(canon(truth))
     np_ = p.agg(F.count(F.lit(1)).alias("n_pred"))
     nt = t.agg(F.count(F.lit(1)).alias("n_truth"))
     nc = p.join(t, ["a", "b"]).agg(F.count(F.lit(1)).alias("n_common"))
@@ -2753,26 +2766,33 @@ def tfidf_cosine_pairs(
             "tfidf_cosine_pairs: min_cosine_ppm must be in [1, 1e6], "
             f"got {min_cosine_ppm}"
         )
+    from pyspark.sql import Window
+
     t = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
     tf = t.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_ids_per_term)
-    )
     n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
-    w = (
-        tf.join(F.broadcast(dfreq), "term")
+    # document frequency as a count-over-window(term) folds the df cap
+    # into the shuffle the old aggregate+join pipeline paid twice, and
+    # the persisted weight table feeds THREE consumers (norms and both
+    # self-join sides) that each re-ran scan+tokenize+shuffle before
+    # (plan audit: 12 parquet scans for one q194 call). The persisted
+    # table keeps hash(term) partitioning, so the pair self-join reads
+    # the cache without a further exchange.
+    w = _materialize(
+        tf.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .filter(F.col("__df") <= max_ids_per_term)
         .crossJoin(n_docs)
         .select(
             "id",
             "term",
             (
                 F.col("tf")
-                * (F.length(F.bin(F.col("__n"))) - F.length(F.bin(F.col("df"))))
+                * (F.length(F.bin(F.col("__n"))) - F.length(F.bin(F.col("__df"))))
             ).cast("long").alias("w"),
         )
         .filter(F.col("w") > 0)

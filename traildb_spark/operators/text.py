@@ -432,10 +432,16 @@ def unigram_surprisal(
     corpus total, so the corpus-sized tf table never re-shuffles onto
     term; one final doc-keyed shuffle sums the weighted bits.
     """
+    from .dedup import _materialize
+
     t = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds the vocabulary aggregate AND the scored join; without a
+    # persist boundary each consumer re-ran the corpus tokenize+explode+
+    # (doc,term) shuffle. The aggregated tf rows are far smaller than
+    # the exploded token stream; MEMORY_AND_DISK spills at scale.
+    tf = _materialize(t.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     bits = F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("cnt")))
@@ -645,20 +651,27 @@ def cooccurrence_pmi(
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     base = df.select(w.alias("__w"), bigrams.alias("__b"))
-    uni = (
+    from .dedup import _materialize
+
+    # uni feeds BOTH marginal joins, and the bigram aggregate feeds the
+    # min_count survivors AND the pre-filter total (Σ pair_count ==
+    # Σ size(__b)) — unpersisted, the corpus tokenize ran once per
+    # consumer (plan audit: 4 scans for q82). Pinned tables are vocab-/
+    # bigram-aggregate-sized; two corpus passes remain.
+    uni = _materialize(
         base.select(F.explode("__w").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    bi = (
+    bc = _materialize(
         base.select(F.explode("__b").alias("b"))
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_count"))
-        .filter(F.col("pair_count") >= min_count)
     )
-    n_total = base.select(
-        F.coalesce(F.sum(F.size("__b")), F.lit(0)).alias("n")
+    bi = bc.filter(F.col("pair_count") >= min_count)
+    n_total = bc.agg(
+        F.coalesce(F.sum("pair_count"), F.lit(0)).alias("n")
     )
 
     def bits(c: Column) -> Column:
@@ -898,14 +911,52 @@ def trigram_backoff_surprisal(
             F.col(id_col).alias("doc_id"), F.explode(out).alias("g")
         )
 
-    uni = ngrams(model_df, 1).groupBy(F.col("g").alias("w")).agg(
-        F.count(F.lit(1)).alias("c1")
+    # the three model tables (unigram/bigram/trigram counts) used to be
+    # three separate corpus passes, and uni fans out into three
+    # consumers (two backoff joins + the N total) — eight model scans
+    # per call in the plan audit. One TAGGED explode builds all three
+    # gram streams from a single scan (shuffle volume is unchanged: the
+    # same grams move, keyed (n, g) instead of three separate keys), and
+    # the persisted distinct-gram count table serves every consumer.
+    from .dedup import _materialize
+
+    def tagged_ngram_arrays(d: DataFrame):
+        ws = tokens(F.col(text_col))
+        outs = []
+        for n in (1, 2, 3):
+            if n == 1:
+                out = ws
+            else:
+                cut = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+                parts = [F.slice(ws, i + 1, cut) for i in range(n)]
+                out = parts[0]
+                for p in parts[1:]:
+                    out = F.zip_with(
+                        out, p, lambda a, b: F.concat(a, F.lit(" "), b)
+                    )
+            # single-arg lambda via factory: a two-arg transform lambda
+            # would receive the ELEMENT INDEX as its second argument
+            def _tag(_n):
+                return lambda g: F.struct(F.lit(_n).alias("n"), g.alias("g"))
+
+            outs.append(F.transform(out, _tag(n)))
+        return d.select(
+            F.explode(F.concat(*outs)).alias("ng")
+        ).select(F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+
+    model = _materialize(
+        tagged_ngram_arrays(model_df)
+        .groupBy("n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    big = ngrams(model_df, 2).groupBy(F.col("g").alias("b")).agg(
-        F.count(F.lit(1)).alias("c2")
+    uni = model.filter(F.col("n") == 1).select(
+        F.col("g").alias("w"), F.col("c").alias("c1")
     )
-    tri = ngrams(model_df, 3).groupBy(F.col("g").alias("t")).agg(
-        F.count(F.lit(1)).alias("c3")
+    big = model.filter(F.col("n") == 2).select(
+        F.col("g").alias("b"), F.col("c").alias("c2")
+    )
+    tri = model.filter(F.col("n") == 3).select(
+        F.col("g").alias("t"), F.col("c").alias("c3")
     )
     n_total = uni.agg(F.sum("c1").alias("__N"))  # 1-row broadcast total
 
@@ -1025,8 +1076,15 @@ def bigram_surprisal(
     t = df.select(
         F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg")
     )
-    tf = t.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf"))
-    model = tf.groupBy("bg").agg(F.sum("tf").alias("cnt"))
+    from .dedup import _materialize
+
+    # tf feeds the model aggregate AND the scored join, and model feeds
+    # the context aggregate AND the scored join — unpersisted, the
+    # corpus tokenize+zip_with+explode ran once per consumer (plan
+    # audit: 4 scans for q107). Both tables are far smaller than the
+    # exploded bigram stream.
+    tf = _materialize(t.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf")))
+    model = _materialize(tf.groupBy("bg").agg(F.sum("tf").alias("cnt")))
     ctx = model.groupBy(
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
     ).agg(F.sum("cnt").alias("ctx_cnt"))
@@ -1091,9 +1149,17 @@ def source_divergence(
         F.col(source_col).alias("source"),
         F.explode(tokens(F.col(text_col))).alias("w"),
     )
-    sc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    from .dedup import _materialize
+
+    # sc feeds the corpus counts AND the pair join; pairs feeds the
+    # per-source totals AND the final TVD aggregate — unpersisted, each
+    # consumer re-ran the corpus tokenize+explode+shuffle (plan audit:
+    # 5 scans for q122). Both tables are (source, token)-aggregate-sized.
+    sc = _materialize(
+        tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     wc = sc.groupBy("w").agg(F.sum("cnt").alias("wtot"))
-    pairs = sc.join(wc, "w")
+    pairs = _materialize(sc.join(wc, "w"))
     per_src = pairs.groupBy("source").agg(
         F.sum("cnt").alias("tot_s"),
         F.sum(F.col("wtot") - F.col("cnt")).alias("rest_seen"),
@@ -1170,9 +1236,15 @@ def vocab_growth(
     """
     if n_buckets < 1:
         raise ValueError(f"vocab_growth: n_buckets must be >= 1, got {n_buckets}")
+    from .dedup import _materialize
+
+    # the 1-row bounds table is crossJoined into three branches; without
+    # a persist boundary each branch re-ran the corpus-wide min/max scan.
     bounds = F.broadcast(
-        df.agg(
-            F.min(id_col).alias("min_id"), F.max(id_col).alias("max_id")
+        _materialize(
+            df.agg(
+                F.min(id_col).alias("min_id"), F.max(id_col).alias("max_id")
+            )
         )
     )
     bucket_of = lambda c: F.expr(
@@ -1265,11 +1337,18 @@ def corpus_card(
     groups with count > 1) — all vocabulary-/doc-scale, no joins back
     to the corpus.
     """
+    from .dedup import _materialize
+
     toks = tokens(F.col(text_col))
-    per_doc = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_toks"),
-        F.md5(normalize_text(F.col(text_col))).alias("fp"),
+    # per_doc feeds the doc-stats aggregate AND the duplicate-volume
+    # aggregate — unpersisted, the corpus tokenize+fingerprint ran twice
+    # (plan audit: 3 scans for q148); doc-scale rows, free to pin
+    per_doc = _materialize(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("n_toks"),
+            F.md5(normalize_text(F.col(text_col))).alias("fp"),
+        )
     )
     doc_stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1776,7 +1855,14 @@ def doc_keywords(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
-    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    from .dedup import _materialize
+
+    # tf feeds the document-frequency aggregate AND the scored join —
+    # unpersisted, the corpus tokenize+explode+shuffle ran twice (plan
+    # audit: 3 scans for q183)
+    tf = _materialize(
+        t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
     idf = F.length(F.bin(F.col("__n"))) - F.length(F.bin(F.col("df")))
@@ -1932,20 +2018,28 @@ def window_cooccurrence(
     base = df.select(
         w.alias("__w"), F.concat(*pair_arrays).alias("__p")
     )
-    uni = (
+    from .dedup import _materialize
+
+    # uni feeds BOTH marginal joins, and the pair aggregate feeds the
+    # min_count survivors AND the pre-filter total (Σ pair_count over
+    # the aggregate == Σ size(__p) over the corpus) — unpersisted, the
+    # corpus tokenize+zip_with ran once per consumer (plan audit: 4
+    # scans for q228). Both pinned tables are vocab-/pair-aggregate-
+    # sized; two corpus passes remain (token explode, pair explode).
+    uni = _materialize(
         base.select(F.explode("__w").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    pairs = (
+    pc = _materialize(
         base.select(F.explode("__p").alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_count"))
-        .filter(F.col("pair_count") >= int(min_count))
     )
-    n_total = base.select(
-        F.coalesce(F.sum(F.size("__p")), F.lit(0)).alias("n")
+    pairs = pc.filter(F.col("pair_count") >= int(min_count))
+    n_total = pc.agg(
+        F.coalesce(F.sum("pair_count"), F.lit(0)).alias("n")
     )
 
     def bits(c: Column) -> Column:
