@@ -591,6 +591,12 @@ def trail_sequence_distance(
             ).alias("seq")
         )
     )
+    # seqs feeds the guard count AND both sides of the panel pair join —
+    # unpersisted, the corpus render pass ran three times; panel-sized
+    # (≤ max_trails rows), the bounded cartesian itself is the point
+    from .dedup import _materialize
+
+    seqs = _materialize(seqs)
     n = seqs.count()
     if n > max_trails:
         raise ValueError(
