@@ -3992,10 +3992,15 @@ def q263_ensemble_neardup(spark, sf_dir):
     )
     ga = grams.select(F.col("gid").alias("id_a"), F.col("g").alias("g_a"))
     gb = grams.select(F.col("gid").alias("id_b"), F.col("g").alias("g_b"))
+    # |A ∪ B| = |A| + |B| − |A ∩ B|: the md5_word_ngram_hashes arrays are
+    # per-doc distinct, so the union size is arithmetic — the former
+    # array_distinct(concat(...)) materialized a fresh array per pair
+    gram_inter = F.size(
+        F.array_intersect(F.col("g_a"), F.col("g_b"))
+    ).cast("double")
     gram_j = F.round(
-        F.size(F.array_intersect(F.col("g_a"), F.col("g_b"))).cast("double")
-        / F.size(F.array_distinct(F.concat(F.col("g_a"), F.col("g_b"))))
-        .cast("double"),
+        gram_inter
+        / ((F.size("g_a") + F.size("g_b")).cast("double") - gram_inter),
         6,
     )
     return (

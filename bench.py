@@ -20,6 +20,16 @@ sys.path.insert(0, str(REPO))
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Low-core legs (the driver's scaling measurement) must fit the same
+    # wall budget as the 32-core sweep: at 8 cores the r10 run timed out
+    # (BENCH_r10_c8.json rc=124) because 266 queries × min-of-2 PLUS the
+    # per-segment retry machinery (3 attempts × 45 s waits × 7 segments
+    # worst case) no longer fit. The per-query timing contract (count()
+    # action, min-of-2, clearCache, 40-query fresh-session segments) is
+    # UNCHANGED at every core count; below 32 cores only the retry/wait
+    # machinery is dropped (single gate pass, single segment attempt) so
+    # the leg completes. Env overrides still win when set explicitly.
+    low_core = int(cpus) < 32
 
     import __spark_entry__ as entrymod
     from traildb_spark.session import get_spark
@@ -192,7 +202,8 @@ def main():
     # status, and the py/io canaries re-run AFTER the sweep so a window
     # that turned mid-run is visible in the artifact itself.
     GATE_PY, GATE_JVM, GATE_IO = 1.5, 1.3, 2.0
-    gate_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_ATTEMPTS", "3"))
+    gate_attempts = int(os.environ.get(
+        "SPARK_GRAFT_BENCH_GATE_ATTEMPTS", "1" if low_core else "3"))
     gate_wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "75"))
     if os.environ.get("SPARK_GRAFT_BENCH_NO_GATE") or only:
         gate_attempts = 1  # measure once, never wait (iteration aid)
@@ -282,7 +293,8 @@ def main():
     # attempt). The artifact stitches accepted segments and carries every
     # segment's bracket factors, so a dirty host window costs one
     # segment retry instead of contaminating the closing number.
-    seg_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_SEG_ATTEMPTS", "3"))
+    seg_attempts = int(os.environ.get(
+        "SPARK_GRAFT_BENCH_SEG_ATTEMPTS", "1" if low_core else "3"))
     seg_wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_SEG_WAIT", "45"))
     if gate_disabled:
         seg_attempts = 1
@@ -449,30 +461,57 @@ def main():
 
     # The printed line must fit entirely inside the driver's 2000-char
     # tail capture or it cannot be parsed. Compact encoding + short query
-    # keys ("q34" for "q34_ngram_jaccard" — the qNN prefix is unique);
-    # if that is somehow still too long, drop the fastest queries from the
-    # printed dict (full data is in BENCH_LAST.json either way).
-    short = {name.split("_", 1)[0]: t for name, t in timings.items()}
+    # keys ("q34" for "q34_ngram_jaccard" — the qNN prefix is unique).
+    # The printed SUBSET is truncation-STABLE (round-10 VERDICT Next #2):
+    # a PINNED set — every query the round-10 line carried plus the 13
+    # its slowest-first truncation churned out — always prints (so the
+    # driver's line-diff never reads truncation as a dropped query), and
+    # remaining space fills with the slowest of the rest. Timing
+    # semantics are untouched; this changes only which entries fit on
+    # the line (full per-query data is in BENCH_LAST.json either way).
+    PRINT_PINNED = {
+        "q100", "q103", "q106", "q108", "q112", "q115", "q116", "q117",
+        "q118", "q122", "q125", "q127", "q133", "q134", "q141", "q142",
+        "q151", "q157", "q161", "q171", "q177", "q182", "q184", "q189",
+        "q191", "q212", "q216", "q222", "q227", "q228", "q237", "q240",
+        "q242", "q246", "q248", "q252", "q260", "q261", "q262", "q263",
+        "q264", "q265", "q266", "q269", "q270", "q271", "q272", "q273",
+        "q34", "q35", "q36", "q38", "q42", "q43", "q44", "q45", "q47",
+        "q50", "q52", "q68", "q82", "q86", "q88", "q99",
+        # churned out of the r10 line by slowest-first truncation:
+        "q40", "q41", "q73", "q74", "q83", "q159", "q168", "q169",
+        "q170", "q175", "q176", "q259", "q267",
+    }
+    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
     if len(short) != len(timings):  # prefix collision safety net
-        short = dict(timings)
-    line_obj = dict(result, queries=short, full_results="BENCH_LAST.json")
-    # per-query class map is full-file-only (the printed line must stay
-    # under the driver's 2000-char tail); class totals stay on the line.
+        short = {n: round(t, 2) for n, t in timings.items()}
+    pinned = [kv for kv in short.items() if kv[0] in PRINT_PINNED]
+    extras = sorted((kv for kv in short.items() if kv[0] not in PRINT_PINNED),
+                    key=lambda kv: -kv[1])
+    line_obj = dict(result, queries=dict(pinned + extras),
+                    full_results="BENCH_LAST.json")
+    # per-query class map and the static threshold/baseline constants are
+    # full-file-only (the printed line must stay under the driver's
+    # 2000-char tail); class totals and measured factors stay on the line.
     # segments compact to [open_py, open_io, close_py, close_io,
     # attempts, accepted] per segment; full records in BENCH_LAST.json.
-    line_obj.pop("query_classes", None)
+    for k in ("query_classes", "canary_gate_thresholds",
+              "segment_bracket_thresholds", "canary_baseline_seconds",
+              "canary_py_baseline_seconds", "canary_io_baseline_seconds"):
+        line_obj.pop(k, None)
     line_obj["segments"] = [
         [s["open_py"], s["open_io"], s["close_py"], s["close_io"],
          s["attempts"], 1 if s["accepted"] else 0]
         for s in seg_records]
     line = json.dumps(line_obj, separators=(",", ":"))
-    if len(line) > 1800:
-        keep = sorted(short.items(), key=lambda kv: -kv[1])
-        while len(line) > 1800 and keep:
-            keep.pop()
-            line_obj["queries"] = dict(keep)
-            line_obj["queries_truncated"] = True
-            line = json.dumps(line_obj, separators=(",", ":"))
+    while len(line) > 1800 and (extras or pinned):
+        # drop unpinned fillers first (slowest-first order, pop fastest);
+        # popping a pinned entry is a safety net that cannot fire while
+        # the pinned set + line metadata fit (~1.4k chars as of r11)
+        (extras or pinned).pop()
+        line_obj["queries"] = dict(pinned + extras)
+        line_obj["queries_truncated"] = True
+        line = json.dumps(line_obj, separators=(",", ":"))
     print(line)
 
 

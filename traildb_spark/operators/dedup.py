@@ -529,19 +529,28 @@ def _portable_sig_pipeline(
     shingle_k: int,
     num_hashes: int,
     bands: int,
+    with_sig: bool = False,
 ):
-    """Shared portable-MinHash front end: one Arrow pass computes md5
-    shingle hashes AND the rotate-XOR signature per doc; returns
-    ``(raw, base, banded)`` where raw = (id, __text), base = (id,
-    n_grams, sig) persisted + eagerly populated, banded = (id, band, bh)
-    md5 band keys. Only (n_grams, sig) leaves the Python worker — the
-    gram arrays are born and die inside the pass (array<long> columns
-    cache ~4× worse than they compute, and at scale an all-grams cache
-    is a non-starter); exact-verify re-derives grams from text for
-    survivors only. Serves the self-join pipeline
+    """Shared portable-MinHash front end: ONE Arrow pass computes md5
+    shingle hashes, the rotate-XOR signature AND the md5 band keys per
+    doc (signature+banding fused — the band keys are md5 over the same
+    in-memory signature matrix, value-identical to the former JVM
+    ``md5(concat_ws(",", slice(sig, ...)))`` since every sig value is a
+    nonnegative decimal). Returns ``(raw, base, banded)`` where raw =
+    (id, __text), base = (id, n_grams[, sig], __bh) persisted + eagerly
+    populated, banded = (id, band, bh) via posexplode of the cached band
+    keys — zero post-pass hashing. ``with_sig`` keeps the full signature
+    on base for the sig-agreement prune; when the prune is inactive (the
+    default and every registry query — cutoff ≤ the per-band certainty
+    floor) the 16-long sig array never crosses the Python boundary and
+    never lands in cache. The gram arrays are born and die inside the
+    pass (array<long> columns cache ~4× worse than they compute, and at
+    scale an all-grams cache is a non-starter); exact-verify re-derives
+    grams from text for survivors only. Serves the self-join pipeline
     (``minhash_lsh_pairs_portable``), the cross-corpus incremental path
     (``fuzzy_dedup_against``), and the persisted signature artifact
-    (``save_minhash_index``)."""
+    (``save_minhash_index`` — banded schema unchanged, so existing
+    sidecars stay valid)."""
     rows = num_hashes // bands
     perms = _portable_perms(num_hashes)
 
@@ -551,15 +560,25 @@ def _portable_sig_pipeline(
 
     from ..functions.vectorized import _pynorm
 
-    @F.pandas_udf("struct<n_grams: int, sig: array<long>>")
+    out_type = (
+        "struct<n_grams: int, sig: array<long>, bh: array<string>>"
+        if with_sig
+        else "struct<n_grams: int, bh: array<string>>"
+    )
+
+    @F.pandas_udf(out_type)
     def grams_sig_udf(s: pd.Series) -> pd.DataFrame:
+        import hashlib
+
         from ..functions.vectorized import _md5_shingle_flat
 
+        md5 = hashlib.md5
         texts = [_pynorm(t or "") for t in s]
         gs, flat, offs = _md5_shingle_flat(texts, shingle_k)
+        nd = len(gs)
         if len(flat):
             h = flat[None, :]
-            sigs_m = np.empty((num_hashes, len(gs)), dtype=np.int64)
+            sigs_m = np.empty((num_hashes, nd), dtype=np.int64)
             # permutations over the flat gram buffer, per-doc minima via
             # reduceat; 8 permutation rows at a time bounds the (rows, N)
             # intermediate independent of batch size
@@ -571,22 +590,42 @@ def _portable_sig_pipeline(
                 sigs_m[s0:s1] = np.minimum.reduceat(
                     rot ^ c_arr[s0:s1], offs, axis=1
                 )
-            sigs = [sigs_m[:, d] for d in range(len(gs))]
+            # fused banding: md5 over the comma-joined decimals of each
+            # band's signature rows (= SQL md5(concat_ws(",", slice(...))))
+            bhs = [
+                [
+                    md5(
+                        b",".join(
+                            b"%d" % v
+                            for v in sigs_m[b * rows:(b + 1) * rows, d]
+                        )
+                    ).hexdigest()
+                    for b in range(bands)
+                ]
+                for d in range(nd)
+            ]
+            sigs = [sigs_m[:, d] for d in range(nd)] if with_sig else None
         else:
+            bhs = []
             sigs = []
-        return pd.DataFrame(
-            {
-                "n_grams": np.fromiter(
-                    (len(g) for g in gs), dtype=np.int64, count=len(gs)
-                ),
-                "sig": sigs,
-            }
-        )
+        data = {
+            "n_grams": np.fromiter(
+                (len(g) for g in gs), dtype=np.int64, count=nd
+            )
+        }
+        if with_sig:
+            data["sig"] = sigs
+        data["bh"] = bhs
+        return pd.DataFrame(data)
 
     raw = _spread(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    cols = ["id", F.col("gs.n_grams").alias("n_grams")]
+    if with_sig:
+        cols.append(F.col("gs.sig").alias("sig"))
+    cols.append(F.col("gs.bh").alias("__bh"))
     base = _materialize(
         raw.select("id", grams_sig_udf(F.col("__text")).alias("gs"))
-        .select("id", F.col("gs.n_grams").alias("n_grams"), F.col("gs.sig").alias("sig"))
+        .select(*cols)
         .filter(F.col("n_grams") > 0)
     )
     # populate the cache distributed NOW: otherwise AQE's broadcast-build
@@ -594,21 +633,8 @@ def _portable_sig_pipeline(
     # single-threaded before the main stage fills the cache
     base.count()
     banded = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(",", F.slice("sig", b * rows + 1, rows))
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        "id", F.posexplode("__bh").alias("band", "bh")
+    ).select("id", "band", "bh")
     return raw, base, banded
 
 
@@ -669,8 +695,11 @@ def minhash_lsh_pairs_portable(
     the gate may only read the ids.
     """
     rows = num_hashes // bands
+    min_agree = _sig_min_agree(threshold, num_hashes)
+    prune_active = sig_prune and min_agree > rows
     raw, base, banded = _portable_sig_pipeline(
-        df, text_col, id_col, shingle_k, num_hashes, bands
+        df, text_col, id_col, shingle_k, num_hashes, bands,
+        with_sig=prune_active,
     )
     banded = _cap_band_buckets(banded, max_bucket)
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
@@ -696,8 +725,7 @@ def minhash_lsh_pairs_portable(
     # candidate verified, recall identical to banding alone); opt in with
     # sig_prune=True when the ≈0.6%-at-threshold recall trade is worth
     # skipping the exact verify on low-agreement candidates.
-    min_agree = _sig_min_agree(threshold, num_hashes)
-    if sig_prune and min_agree > rows:
+    if prune_active:
         sa = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
         sb = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
         agree = F.size(
@@ -729,7 +757,11 @@ def minhash_lsh_pairs_portable(
     ga = surv.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = surv.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    # |A ∪ B| = |A| + |B| − |A ∩ B|: both gram arrays are per-doc DISTINCT
+    # by construction (md5_shingle_hashes sorts + dedups), so the union
+    # size is pure arithmetic — array_union would materialize a fresh
+    # array per candidate pair only to take its length
+    union = (F.size("grams_a") + F.size("grams_b")).cast("double") - inter
     return (
         cand.join(ga, "id_a")
         .join(gb, "id_b")
@@ -770,11 +802,15 @@ def fuzzy_dedup_against(
     side.
     """
     rows = num_hashes // bands
+    min_agree = _sig_min_agree(threshold, num_hashes)
+    prune_active = sig_prune and min_agree > rows
     raw_n, base_n, banded_n = _portable_sig_pipeline(
-        new_df, text_col, id_col, shingle_k, num_hashes, bands
+        new_df, text_col, id_col, shingle_k, num_hashes, bands,
+        with_sig=prune_active,
     )
     raw_c, base_c, banded_c = _portable_sig_pipeline(
-        corpus_df, text_col, id_col, shingle_k, num_hashes, bands
+        corpus_df, text_col, id_col, shingle_k, num_hashes, bands,
+        with_sig=prune_active,
     )
     # skew guard per SIDE: each banded table capped independently, so a
     # boilerplate-heavy corpus bucket can't multiply against a hot new
@@ -787,8 +823,7 @@ def fuzzy_dedup_against(
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )
-    min_agree = _sig_min_agree(threshold, num_hashes)
-    if sig_prune and min_agree > rows:
+    if prune_active:
         sa = base_n.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_a"))
         sb = base_c.select(F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b"))
         agree = F.size(
@@ -816,7 +851,11 @@ def fuzzy_dedup_against(
         )
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    # |A ∪ B| = |A| + |B| − |A ∩ B|: both gram arrays are per-doc DISTINCT
+    # by construction (md5_shingle_hashes sorts + dedups), so the union
+    # size is pure arithmetic — array_union would materialize a fresh
+    # array per candidate pair only to take its length
+    union = (F.size("grams_a") + F.size("grams_b")).cast("double") - inter
     pairs = (
         cand.join(ga, "new_id")
         .join(gb, "corpus_id")
@@ -1104,7 +1143,11 @@ def fuzzy_dedup_against_prebuilt(
         .select(F.col("id").alias("corpus_id"), F.col("grams").alias("grams_b"))
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    # |A ∪ B| = |A| + |B| − |A ∩ B|: both gram arrays are per-doc DISTINCT
+    # by construction (md5_shingle_hashes sorts + dedups), so the union
+    # size is pure arithmetic — array_union would materialize a fresh
+    # array per candidate pair only to take its length
+    union = (F.size("grams_a") + F.size("grams_b")).cast("double") - inter
     pairs = (
         cand.join(ga, "new_id")
         .join(gb, "corpus_id")
@@ -1721,19 +1764,46 @@ def _portable_srp_banded(
     dim: int,
 ):
     """Shared portable-SRP front end: (base, banded) where base = (id, qv
-    quantized vector, code) persisted, banded = (id, band, bh) band keys
-    sliced from the packed sign bits. Serves the self-join pipeline
-    (``embedding_neardup_pairs_portable``) and the cross-corpus
+    quantized vector, code) persisted + eagerly populated, banded =
+    (id, band, bh) band keys sliced from the packed sign bits. ONE fused
+    Arrow pass quantizes and projects (the former separate
+    quantize_q20 + portable_srp_code pair floor-quantized the same
+    vectors twice); identical integer math, so codes and qv are
+    bit-identical to the standalone kernels. Serves the self-join
+    pipeline (``embedding_neardup_pairs_portable``) and the cross-corpus
     incremental path (``embedding_neardup_against``)."""
     bits_per_band = num_planes // bands
     mask = (1 << bits_per_band) - 1
+    planes = np.asarray(_srp_planes(num_planes, dim), dtype=np.int64)
+
+    @F.pandas_udf("struct<qv: array<long>, code: long>")
+    def qv_code_udf(c: pd.Series) -> pd.DataFrame:
+        if len(c) == 0:  # empty Arrow batch: no rows, no vstack crash
+            return pd.DataFrame(
+                {"qv": pd.Series([], dtype=object),
+                 "code": pd.Series([], dtype=np.int64)}
+            )
+        V = np.vstack(c.to_numpy()).astype(np.float64)
+        Q = np.floor(V * _Q_SCALE).astype(np.int64)
+        bits = (Q @ planes.T) >= 0  # (n, planes) integer GEMM — exact
+        weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
+        return pd.DataFrame(
+            {"qv": list(Q), "code": (bits * weights).sum(axis=1)}
+        )
+
     base = _materialize(
         _spread(df).select(
             F.col(id_col).alias("id"),
-            quantize_q20(F.col(vec_col)).alias("qv"),
-            portable_srp_code(F.col(vec_col), num_planes, dim).alias("code"),
+            qv_code_udf(F.col(vec_col)).alias("qc"),
+        ).select(
+            "id", F.col("qc.qv").alias("qv"), F.col("qc.code").alias("code")
         )
     )
+    # populate the cache distributed NOW (same rationale as the text
+    # pipeline): otherwise AQE's broadcast-build for the verify joins
+    # recomputes the Arrow pass single-threaded before the candidate
+    # stage fills the cache
+    base.count()
     banded = base.select(
         "id",
         F.explode(
