@@ -514,6 +514,7 @@ def decontaminate_semantic(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     mode: str = "pairs",
+    gemm_max_bench_rows: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-space decontamination: keep only corpus rows whose vector
     sits BELOW cosine ``threshold`` against EVERY benchmark vector — the
@@ -530,6 +531,12 @@ def decontaminate_semantic(
     against it inside mapInPandas: zero joins, zero shuffles, bit-identical
     (equivalence-tested). At 100 TB the corpus is scanned once either way;
     'gemm' just removes the |corpus|×|bench| row fan-out.
+
+    The gemm collect is driver-safe by GUARD, not by assumption: a
+    benchmark bigger than ``gemm_max_bench_rows`` (a derived "benchmark"
+    that silently grew with the corpus) falls back to the bit-identical
+    'pairs' plan instead of collecting an unbounded matrix to the driver
+    — results unchanged, only the physical strategy degrades.
     """
     from .dedup import quantize_q20, quantized_cosine_udf
 
@@ -537,6 +544,14 @@ def decontaminate_semantic(
         raise ValueError(f"decontaminate_semantic: unknown mode {mode!r}")
     c = corpus.withColumn("__qv", quantize_q20(F.col(vec_col)))
     b = benchmark.select(quantize_q20(F.col(vec_col)).alias("__bv"))
+    bench_rows = None
+    if mode == "gemm":
+        # the limit bounds driver memory BY CONSTRUCTION: an over-bound
+        # benchmark collects at most bound+1 rows, is discarded, and the
+        # query degrades to the bit-identical 'pairs' plan
+        bench_rows = b.limit(gemm_max_bench_rows + 1).collect()
+        if len(bench_rows) > gemm_max_bench_rows:
+            bench_rows, mode = None, "pairs"
     if mode == "pairs":
         hit = (
             c.select(F.col(id_col).alias("__cid"), "__qv")
@@ -552,7 +567,6 @@ def decontaminate_semantic(
 
     import numpy as np
 
-    bench_rows = b.collect()  # bounded: the benchmark set
     if not bench_rows:
         return corpus  # nothing to leak against (np.vstack would choke on 0 rows)
     B = np.array([list(r["__bv"]) for r in bench_rows], dtype=np.int64)

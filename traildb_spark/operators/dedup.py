@@ -36,7 +36,18 @@ def _materialize(df: DataFrame) -> DataFrame:
     expression trees into Generate, re-evaluating them once per OUTPUT row
     (measured 20x slowdown on hashed-shingle explode); a persisted
     boundary evaluates them exactly once per input row. MEMORY_AND_DISK
-    spills at scale; Spark evicts LRU."""
+    spills at scale; Spark evicts LRU.
+
+    Cache lifetime CONTRACT: pins are session-lived by design — the
+    returned DataFrame (and the query result built on it) stays lazy, so
+    there is no point inside the operator where an unpersist is safe
+    (the consumer may not have executed yet, and unpersisting after an
+    eager action would recompute the pin for every later consumer).
+    Long-lived sessions that interleave many operator calls reclaim the
+    blocks with ``spark.catalog.clearCache()`` between logical units
+    (bench.py does exactly this between runs); eviction is otherwise
+    LRU under memory pressure, with disk blocks bounded by the operator
+    inputs that produced them."""
     from pyspark import StorageLevel
 
     return df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1292,13 +1303,19 @@ def hamming_neardup_pairs(
         F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), *join_keys
     )
     xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    # verify BEFORE the dedup shuffle: bit_count is a codegen'd map-side
+    # expression, so filtering candidates (and dropping both 64-bit hash
+    # columns) here shrinks the dropDuplicates exchange to true pairs
+    # only — on clone-cluster-heavy graphs the unverified candidate set
+    # is the dominant shuffle. Result-identical: hamming is a pure
+    # function of the pair, so dedup-after-verify keeps the same rows.
     return (
         a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
