@@ -713,6 +713,15 @@ def minhash_lsh_pairs_portable(
         with_sig=prune_active,
     )
     banded = _cap_band_buckets(banded, max_bucket)
+    if max_bucket is not None:
+        # the capped table feeds BOTH self-join sides; unpinned, the
+        # cap's exchange+sort+window subtree executes once per side
+        # (cached-read subtrees defeat ReusedExchange under AQE) —
+        # pin it so the second side is a cache read. Only worth it when
+        # the cap window exists; the uncapped posexplode is a narrow
+        # cache read already.
+        banded = _materialize(banded)
+        banded.count()
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (
@@ -1926,6 +1935,11 @@ def embedding_neardup_pairs_portable(
     """
     base, banded = _portable_srp_banded(df, vec_col, id_col, num_planes, bands, dim)
     banded = _cap_band_buckets(banded, max_bucket)
+    if max_bucket is not None:
+        # same shared-subtree pin as minhash_lsh_pairs_portable: the cap
+        # window otherwise runs once per self-join side
+        banded = _materialize(banded)
+        banded.count()
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (
