@@ -2313,26 +2313,24 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # pin the word table so the vocab-size guard and the checkpoint read
-    # ONE tokenize+count pass: unpinned, the guard's count() and the
-    # eager localCheckpoint each re-ran the full corpus explode+shuffle
-    # (separate jobs share no shuffle lineage across DataFrame actions)
-    from .dedup import _materialize
-
-    words = _materialize(words)
-    n_vocab = words.count()
+    # ONE tokenize+count corpus pass: the eager checkpoint materializes
+    # the vocab and the size guard counts the CHECKPOINTED blocks —
+    # counting `words` first re-ran the full corpus explode+shuffle
+    # (separate actions share no shuffle lineage). The guard therefore
+    # fires after the vocab lands in executor storage rather than
+    # before; that write is distinct-word-scale (the merge rounds the
+    # cap protects hold the same data), while the pass it saves is
+    # corpus-scale.
+    vocab = words.select(
+        F.split(F.col("w"), "").alias("sym"), "cnt"
+    ).localCheckpoint(eager=True)
+    n_vocab = vocab.count()
     if n_vocab > max_vocab_rows:
-        words.unpersist()
         raise ValueError(
             f"bpe_train: {n_vocab} distinct words exceeds max_vocab_rows="
             f"{max_vocab_rows}; raise the cap explicitly if the executors "
             "can hold the vocab through the merge rounds"
         )
-    vocab = words.select(
-        F.split(F.col("w"), "").alias("sym"), "cnt"
-    ).localCheckpoint(eager=True)
-    # the checkpoint holds the split form; the word pin is consumed
-    words.unpersist()
 
     merges = []
     for rnd in range(num_merges):
